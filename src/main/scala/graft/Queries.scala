@@ -138,6 +138,173 @@ object Queries {
       .limit(10)
   }
 
+  /** E4: left outer + left semi + left anti joins. Customers with/without
+    * orders. Semi/anti plan as broadcast/shuffled hash joins with
+    * early-out probes — no row expansion at scale.
+    */
+  def q09_join_left(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(1).as("has_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(0).as("has_orders"))
+    withO.join(semi.union(anti), "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** E5: range/banded join — lineitem quantity against a tiny literal
+    * band dimension (broadcast nested-loop; the band table is 5 rows at
+    * any scale, so the BNLJ is really a map-side lookup).
+    */
+  def q10_join_range(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("b00_10", 0.0, 10.0), ("b10_20", 10.0, 20.0),
+      ("b20_30", 20.0, 30.0), ("b30_40", 30.0, 40.0), ("b40_50", 40.0, 50.0))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "lineitem")
+      .join(broadcast(bands), col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("price"))
+      .orderBy("band")
+  }
+
+  /** E7: distinct + count-distinct. The distinct pair listing shuffles
+    * only the (flag,status) pairs after map-side partial dedup.
+    */
+  def q11_distinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.select("l_returnflag", "l_linestatus").distinct()
+      .crossJoin(broadcast(
+        li.agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** E9: rollup — subtotals + grand total. NULLS FIRST ordering matches
+    * Spark's asc default; DuckDB needs it spelled out.
+    */
+  def q12_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** E11: analytic window — per-customer running order total (ROWS
+    * frame ⇒ summation order is frame-defined, so rounding is safe) and
+    * the previous order's price via lag.
+    */
+  def q13_window_running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E13: set operations — union all / intersect / except on key sets.
+    * Intersect/except plan as semi/anti joins after partial distinct.
+    */
+  def q14_setops(s: SparkSession, dir: String): DataFrame = {
+    val custWithOrders = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val allCust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val both = custWithOrders.intersect(allCust).select(col("k"), lit("both").as("src"))
+    val orphan = custWithOrders.except(allCust).select(col("k"), lit("orphan").as("src"))
+    val inactive = allCust.except(custWithOrders).select(col("k"), lit("inactive").as("src"))
+    both.union(orphan).union(inactive)
+      .groupBy("src").agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("src")
+  }
+
+  /** E14: string functions — lower/upper, substring, concat, length,
+    * LIKE, regexp_extract. All codegen'd builtins.
+    */
+  def q15_strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        upper(col("c_mktsegment")).as("useg"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).as("len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+      .orderBy("c_custkey")
+
+  /** E15: date/time functions — year/month/day, date_trunc, datediff
+    * against a fixed anchor. All partition-prunable at scale when the
+    * table is date-partitioned.
+    */
+  def q16_dates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  /** E16: math functions over lineitem measures. */
+  def q17_math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(abs(col("l_extendedprice") * lit(-1)), 2).as("abs_price"),
+        round(pow(col("l_discount") + lit(1), 2), 6).as("disc_sq"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_tax") * lit(100)).as("tax_pct"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        (col("l_partkey") % lit(7)).as("pk_mod"))
+      .orderBy("l_orderkey")
+
+  /** E17: JSON extraction from the events.props string column —
+    * `get_json_object` stays inside codegen; at scale prefer parsing
+    * once (`from_json`) when multiple keys are pulled.
+    */
+  def q18_json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** E18: array functions over embeddings — size, element_at, lambda
+    * filter/aggregate. All codegen'd; no UDFs.
+    */
+  def q19_arrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+        round(aggregate(transform(col("embedding"), _.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("vsum"))
+      .orderBy("vec_id")
+
+  /** E8: HLL approx distinct — no DuckDB oracle (approximation differs
+    * by engine); driver records a rows-only check. Exact counterpart is
+    * q11_distinct.
+    */
+  def q20_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("apx_supps"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -147,6 +314,18 @@ object Queries {
     "q06_dedup_exact"   -> (q06_dedup_exact _),
     "q07_text_wordcount" -> (q07_text_wordcount _),
     "q08_cosine_topk"   -> (q08_cosine_topk _),
+    "q09_join_left"     -> (q09_join_left _),
+    "q10_join_range"    -> (q10_join_range _),
+    "q11_distinct"      -> (q11_distinct _),
+    "q12_rollup"        -> (q12_rollup _),
+    "q13_window_running" -> (q13_window_running _),
+    "q14_setops"        -> (q14_setops _),
+    "q15_strings"       -> (q15_strings _),
+    "q16_dates"         -> (q16_dates _),
+    "q17_math"          -> (q17_math _),
+    "q18_json"          -> (q18_json _),
+    "q19_arrays"        -> (q19_arrays _),
+    "q20_approx_distinct" -> (q20_approx_distinct _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,5 +381,79 @@ object Queries {
         |         sqrt(list_dot_product(qv, qv))), 4) AS sim
         |FROM embeddings, probe WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q09_join_left" ->
+      """SELECT c.c_custkey,
+        |  count(o.o_orderkey) AS n_orders,
+        |  CASE WHEN count(o.o_orderkey) > 0 THEN 1 ELSE 0 END AS has_orders
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q10_join_range" ->
+      """SELECT b.band, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem
+        |JOIN (VALUES ('b00_10', 0.0, 10.0), ('b10_20', 10.0, 20.0),
+        |             ('b20_30', 20.0, 30.0), ('b30_40', 30.0, 40.0),
+        |             ('b40_50', 40.0, 50.0)) AS b(band, lo, hi)
+        |  ON l_quantity > b.lo AND l_quantity <= b.hi
+        |GROUP BY b.band ORDER BY b.band""".stripMargin,
+    "q11_distinct" ->
+      """SELECT d.l_returnflag, d.l_linestatus, a.n_parts, a.n_supps
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) d
+        |CROSS JOIN (SELECT count(DISTINCT l_partkey) AS n_parts,
+        |                   count(DISTINCT l_suppkey) AS n_supps FROM lineitem) a
+        |ORDER BY d.l_returnflag, d.l_linestatus""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q14_setops" ->
+      """WITH cwo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |     ac AS (SELECT c_custkey AS k FROM customer),
+        |     tagged AS (
+        |       SELECT k, 'both' AS src FROM (SELECT k FROM cwo INTERSECT SELECT k FROM ac)
+        |       UNION ALL
+        |       SELECT k, 'orphan' AS src FROM (SELECT k FROM cwo EXCEPT SELECT k FROM ac)
+        |       UNION ALL
+        |       SELECT k, 'inactive' AS src FROM (SELECT k FROM ac EXCEPT SELECT k FROM cwo))
+        |SELECT src, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM tagged GROUP BY src ORDER BY src""".stripMargin,
+    "q15_strings" ->
+      """SELECT c_custkey, lower(c_name) AS lname, upper(c_mktsegment) AS useg,
+        |  substring(c_name, 1, 8) AS prefix, length(c_name) AS len,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
+    "q16_dates" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q17_math" ->
+      """SELECT l_orderkey,
+        |  round(abs(l_extendedprice * -1), 2) AS abs_price,
+        |  round(power(l_discount + 1, 2), 6) AS disc_sq,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  l_partkey % 7 AS pk_mod
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "q18_json" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q19_arrays" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(embedding[1]::DOUBLE, 6) AS first,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  round(list_sum(embedding::DOUBLE[]), 4) AS vsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

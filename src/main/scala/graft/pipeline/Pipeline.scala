@@ -15,7 +15,11 @@ import graft.types.ColumnMeta
   * Call [[release]] after both sides have been materialized — the split
   * shares one persisted parse of the input.
   */
-final case class BatchResult(valid: DataFrame, dlq: DataFrame, private val parsed: DataFrame) {
+final case class BatchResult(
+    valid: DataFrame,
+    dlq: DataFrame,
+    validRaw: DataFrame,
+    private val parsed: DataFrame) {
   def release(): Unit = parsed.unpersist()
 }
 
@@ -78,6 +82,10 @@ object Pipeline {
     val dlq = parsed
       .filter(col(Err).isNotNull)
       .select(value.as("row"), col(Err).as("error"))
-    BatchResult(valid, dlq, parsed)
+    // Original payloads of the VALID rows — the reference pushes these
+    // (not the coerced form) to the DLQ if the post-retry insert still
+    // fails (main.py:446-450).
+    val validRaw = parsed.filter(col(Err).isNull).select(value.as("row"))
+    BatchResult(valid, dlq, validRaw, parsed)
   }
 }

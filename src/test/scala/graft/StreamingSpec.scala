@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.expr.PipelineConfig
+import graft.io.{FlakySink, ParquetDlqSink, ParquetSink, RecordSink}
+import graft.pipeline.BatchOrchestrator
+import graft.schema.SchemaProvider
+import graft.streaming.StreamJob
+
+/** End-to-end streaming tests (SURVEY §5.2.4): MemoryStream[String] →
+  * StreamJob → foreachBatch orchestrator → parquet sinks, including the
+  * schema-drift retry path (main.py:431-456).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val provider = SchemaProvider.fromDescribeRows(Seq(
+    "device_id" -> "UInt32",
+    "note"      -> "String",
+    "event_time" -> "DateTime"))
+  private val cfg = PipelineConfig(
+    required = Seq("device_id"),
+    datetimeCols = Set("event_time"),
+    stringEnumCols = Set.empty)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  private def runStream(
+      payloads: Seq[String],
+      validSink: RecordSink,
+      dlqSink: RecordSink,
+      orchestrator: BatchOrchestrator => BatchOrchestrator = identity)
+      : BatchOrchestrator = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val orch = orchestrator(new BatchOrchestrator(provider, cfg, validSink, dlqSink))
+    // Data must be present BEFORE start: AvailableNow snapshots the end
+    // offset when the query starts, so later addData is silently skipped.
+    mem.addData(payloads: _*)
+    val q = StreamJob.start(
+      mem.toDF().withColumnRenamed("value", graft.pipeline.Pipeline.ValueCol),
+      orch, tmp(), Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    orch
+  }
+
+  test("happy path: valid rows land in the sink, invalid in the DLQ, offsets commit") {
+    val validDir = tmp(); val dlqDir = tmp()
+    val orch = runStream(
+      Seq(
+        """{"device_id": 7, "note": "a", "event_time": "2024-05-01 10:00:00"}""",
+        """{"device_id": 8}""",
+        """{"note": "missing required"}""",
+        "{broken"),
+      new ParquetSink(validDir), new ParquetDlqSink(dlqDir))
+    val valid = spark.read.parquet(validDir).collect()
+    val dlq = spark.read.parquet(dlqDir).collect()
+    assert(valid.length == 2)
+    val r7 = valid.find(_.getLong(0) == 7L).get
+    assert(r7.getString(1) == "a")
+    assert(r7.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-05-01 10:00:00"))
+    val r8 = valid.find(_.getLong(0) == 8L).get
+    assert(r8.getString(1) == "" // missing note → sentinel ''
+      && r8.getTimestamp(2) == java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+    assert(dlq.length == 2)
+    assert(dlq.map(_.getString(1)).toSet ==
+      Set("data must contain ['device_id'] properties", "malformed JSON"))
+    assert(orch.schemaFetches == 1 && orch.insertAttempts == 1)
+  }
+
+  test("drift retry: first insert fails → schema re-resolved, retry succeeds, no duplicates") {
+    val validDir = tmp(); val dlqDir = tmp()
+    val parquet = new ParquetSink(validDir)
+    val flaky = new FlakySink(parquet, failures = 1)
+    val orch = runStream(
+      Seq("""{"device_id": 1, "note": "x"}""", """{"bad": true}"""),
+      flaky, new ParquetDlqSink(dlqDir))
+    val valid = spark.read.parquet(validDir).collect()
+    val dlq = spark.read.parquet(dlqDir).collect()
+    assert(valid.length == 1 && valid(0).getLong(0) == 1L)
+    assert(dlq.length == 1) // invalid row exactly once, via the retry path
+    assert(orch.insertAttempts == 2)
+    assert(orch.schemaFetches == 2) // initial + drift re-resolve (main.py:434-437)
+  }
+
+  test("second failure: still-valid rows land in DLQ as {row, error} envelopes") {
+    val validDir = tmp(); val dlqDir = tmp()
+    val alwaysFails = new FlakySink(new ParquetSink(validDir), failures = 99)
+    runStream(
+      Seq("""{"device_id": 5, "note": "doomed"}""", "{junk"),
+      alwaysFails, new ParquetDlqSink(dlqDir))
+    assert(!Files.exists(java.nio.file.Paths.get(validDir, "_SUCCESS")))
+    val dlq = spark.read.parquet(dlqDir).collect()
+    assert(dlq.length == 2)
+    val doomed = dlq.find(_.getString(0).contains("doomed")).get
+    assert(doomed.getString(1).contains("simulated insert failure"))
+    assert(dlq.exists(_.getString(1) == "malformed JSON"))
+  }
+
+  test("batch/stream parity: same input through streaming equals batch-mode output") {
+    import spark.implicits._
+    val payloads = Seq(
+      """{"device_id": 1, "note": "p", "event_time": "2024-01-01 00:00:01"}""",
+      """{"device_id": 2, "event_time": ""}""",
+      """{"device_id": 3, "note": "q"}""")
+    val validDir = tmp(); val dlqDir = tmp()
+    runStream(payloads, new ParquetSink(validDir), new ParquetDlqSink(dlqDir))
+    val streamed = spark.read.parquet(validDir).collect().map(_.toString).sorted
+    val batchRes = graft.pipeline.Pipeline.process(
+      payloads.toDF(graft.pipeline.Pipeline.ValueCol),
+      provider.resolveFiltered(), cfg)
+    val batch = batchRes.valid.collect().map(_.toString).sorted
+    batchRes.release()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
