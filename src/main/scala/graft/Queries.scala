@@ -305,6 +305,113 @@ object Queries {
         approx_count_distinct(col("l_partkey")).as("apx_parts"),
         approx_count_distinct(col("l_suppkey")).as("apx_supps"))
 
+  import graft.functions.TextFunctions
+  import graft.operators.Dedup
+
+  /** North-star text analysis: language-ID + quality scoring per doc
+    * (heuristic stopword profiles; Gopher/C4-style signals). One
+    * narrow projection — no shuffle until the final order.
+    */
+  def q21_lang_quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        Seq(col("doc_id"), col("lang").as("tagged_lang"),
+          TextFunctions.languageId(TextFunctions.tokens(col("text"))).as("pred_lang")) ++
+          TextFunctions.qualityColumns(col("text")): _*)
+      .orderBy("doc_id")
+
+  /** North-star token counting: whitespace / BPE-ish / alnum / est. */
+  def q22_token_counts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Seq(col("doc_id")) ++ TextFunctions.tokenCounts(col("text")): _*)
+      .orderBy("doc_id")
+
+  /** North-star MinHash+LSH near-dup detection: shingle → 32-hash
+    * signature → 16 bands → bucket join → exact-Jaccard re-rank at
+    * threshold 0.5. The data's planted near-dups all sit at
+    * jaccard >= 0.9 with nothing in (0.1, 0.9), so LSH recall here is
+    * 1 - ~1e-11 and the exact all-pairs SQL oracle is safe. At scale
+    * the shuffle carries only (band_key, id, shingles) — never bodies.
+    */
+  def q23_dedup_minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprint pair-distance histogram over a bounded probe
+    * set (first 50 docs): demonstrates the 64-bit sketch + Hamming
+    * path. Hash-based — no SQL oracle (rows-only driver check);
+    * construction-based ground truth lives in LlmOpsSpec.
+    */
+  def q24_simhash_hamming(s: SparkSession, dir: String): DataFrame = {
+    val fps = t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("fp"))
+    val a = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(TextFunctions.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
+  /** North-star embedding near-dup, exact threshold join (the
+    * verification baseline; quadratic, oracle-able). Vectors are
+    * pre-normalized so the pair stage is one fused dot product.
+    */
+  def q25_embed_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** LSH-bucketed embedding near-dup (random hyperplanes) — the scale
+    * path for very-near duplicates. Bucket recall for cosine ~0.4 pairs
+    * is probabilistic, so: rows-only driver check; recall ground truth
+    * in LlmOpsSpec on planted clusters.
+    */
+  def q26_embed_neardup_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.95, numPlanes = 8)
+      .agg(count(lit(1)).as("n_pairs"), coalesce(round(max("cosine"), 4), lit(0.0)).as("max_cos"))
+
+  /** Winnowing fingerprints (MOSS-style rolling-hash sketch): per-doc
+    * fingerprint cardinality for a bounded set. Hash-based — rows-only.
+    */
+  def q27_fingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(TextFunctions.fingerprints(col("text"), k = 5, window = 4)).as("n_fp"))
+      .orderBy("doc_id")
+
+  /** E22: tumbling-window aggregation on event time (the batch
+    * equivalent of the streaming `window()` group — same expression
+    * runs under readStream+watermark; see StreamingSpec).
+    */
+  def q28_window_tumble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+      .orderBy("wstart", "event_type")
+
+  /** E24: session windows (6h inactivity gap) per user via
+    * `session_window` — DuckDB oracle is the gaps-and-islands rewrite.
+    */
+  def q29_sessions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("n_events"), col("total"))
+      .orderBy("user_id", "s_start")
+
+  /** E23: dedup-by-key with deterministic keeper (streaming
+    * `dropDuplicates` batch equivalent — keeps min event per key).
+    */
+  def q30_dedup_keyed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event"), count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -326,6 +433,16 @@ object Queries {
     "q18_json"          -> (q18_json _),
     "q19_arrays"        -> (q19_arrays _),
     "q20_approx_distinct" -> (q20_approx_distinct _),
+    "q21_lang_quality"  -> (q21_lang_quality _),
+    "q22_token_counts"  -> (q22_token_counts _),
+    "q23_dedup_minhash" -> (q23_dedup_minhash _),
+    "q24_simhash_hamming" -> (q24_simhash_hamming _),
+    "q25_embed_neardup" -> (q25_embed_neardup _),
+    "q26_embed_neardup_lsh" -> (q26_embed_neardup_lsh _),
+    "q27_fingerprints"  -> (q27_fingerprints _),
+    "q28_window_tumble" -> (q28_window_tumble _),
+    "q29_sessions"      -> (q29_sessions _),
+    "q30_dedup_keyed"   -> (q30_dedup_keyed _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -455,5 +572,101 @@ object Queries {
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
         |  round(list_sum(embedding::DOUBLE[]), 4) AS vsum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q21_lang_quality" -> {
+      val profiles = graft.functions.TextFunctions.stopwordProfiles
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hits = profiles.map { case (l, ws) =>
+        s"len(list_distinct(list_intersect(toks, ${lst(ws)}))) AS h_$l"
+      }.mkString(",\n        ")
+      val bestExpr = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+      val caseArms = profiles.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, text, toks,
+        |        $hits
+        |  FROM tok),
+        |best AS (SELECT *, $bestExpr AS best FROM sc)
+        |SELECT doc_id, lang AS tagged_lang,
+        |  CASE $caseArms ELSE 'und' END AS pred_lang,
+        |  len(toks) AS n_tokens,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+        |    ELSE 0.0 END, 4) AS mean_word_len,
+        |  round((length(text) - length(regexp_replace(text,
+        |    '[.,;:!?''"()\\[\\]{}]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4)
+        |    AS punct_ratio,
+        |  round(len(list_distinct(list_intersect(toks, ${lst(profiles.head._2)})))::DOUBLE
+        |    / greatest(len(toks), 1), 4) AS stopword_ratio,
+        |  CASE WHEN len(toks) BETWEEN 5 AND 100000
+        |    AND (CASE WHEN len(toks) > 0
+        |         THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+        |         ELSE 0.0 END) BETWEEN 2 AND 12
+        |    THEN 1 ELSE 0 END AS quality_keep
+        |FROM best ORDER BY doc_id""".stripMargin
+    },
+    "q22_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_splits,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS alnum_tokens,
+        |  length(text) // 4 AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM d WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q25_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |    AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q28_window_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q29_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS total
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q30_dedup_keyed" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
   )
 }

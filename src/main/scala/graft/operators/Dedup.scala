@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection operators for LLM training-data curation
+  * (BASELINE.json north star). Three families, all shuffle-frugal:
+  *
+  *  - MinHash + LSH banding: O(n) signature pass, shuffle keyed by
+  *    8-byte band-bucket hashes (never by document bodies), candidate
+  *    pairs only within buckets, exact-Jaccard re-rank. The standard
+  *    100 TB-scale text dedup (Broder resemblance + banding).
+  *  - SimHash: one 64-bit fingerprint per doc; near-dups = small
+  *    Hamming distance, candidates via fingerprint prefix buckets.
+  *  - Embedding cosine: exact threshold join (quadratic, for
+  *    verification) and an LSH (random-hyperplane) bucketed variant
+  *    (the scale path).
+  *
+  * All candidate-pair joins key on `id_a < id_b` so each pair appears
+  * exactly once.
+  */
+object Dedup {
+
+  /** Exact dedup keyed by content hash: keeps min-id doc per distinct
+    * `textCol`, counts the duplicates it absorbs. The shuffle key is
+    * xxhash64(text) (8 bytes/row); text equality is re-checked within
+    * groups so hash collisions cannot merge distinct docs.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
+      .groupBy(col("__h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h", textCol)
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard re-rank.
+    *
+    * @param numHashes signature length (bands * rowsPerBand)
+    * @param bands     LSH bands; P(candidate | jaccard=s) =
+    *                  1 - (1 - s^rowsPerBand)^bands
+    * @param threshold keep pairs with exact shingle-Jaccard >= threshold
+    * @return (id_a, id_b, jaccard) one row per near-dup pair
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = df
+      .select(
+        col(idCol).as("id"),
+        wordShingles(tokens(col(textCol)), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+
+    // Candidates: docs sharing a band bucket. Self-join keyed on the
+    // 8-byte bucket hash; id_a < id_b dedups the pair space, and
+    // distinct collapses pairs that collide in several bands.
+    val left = sigs.select(col("band_key"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val right = sigs.select(col("band_key"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = left.join(right, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit
+    * fingerprint quadrants (any pair within Hamming distance <= 3 must
+    * agree on at least one quadrant — pigeonhole), verified by exact
+    * Hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+      .withColumn("quadrant", explode(
+        transform(sequence(lit(0), lit(3)),
+          q => concat_ws(":", q.cast("string"),
+            call_function("shiftright", col("fp"), q * lit(16)).bitwiseAND(lit(0xFFFFL)).cast("string")))))
+    val a = fps.select(col("quadrant"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("quadrant"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("quadrant"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact embedding near-dup pairs: all pairs with cosine >= threshold.
+    * Quadratic — the verification baseline. Pre-normalizes each vector
+    * once (O(n·d)) so the pair stage is a single dot product.
+    */
+  def embeddingPairsExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val normed = df.select(
+      col(idCol).as("id"),
+      transform(asDouble(col(vecCol)),
+        x => x / sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol))))).as("nv"))
+    val a = normed.select(col("id").as("id_a"), col("nv").as("nv_a"))
+    val b = normed.select(col("id").as("id_b"), col("nv").as("nv_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("nv_a"), col("nv_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Random-hyperplane LSH buckets for embeddings (Charikar): sign bits
+    * of `numPlanes` fixed pseudo-random hyperplanes, packed into one
+    * long bucket id. Pr[same bit] = 1 - angle/π. Deterministic planes
+    * derived from xxhash64(plane, dim) — no RNG state to ship.
+    */
+  def embeddingLshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column = {
+    val planes: Seq[Column] = (0 until numPlanes).map { p =>
+      // plane vector component j = signed hash in [-1, 1]
+      val proj = aggregate(
+        zip_with(asDouble(vecCol), sequence(lit(0), lit(dim - 1)),
+          (x, j) => x * (pmod(xxhash64(lit(p.toLong), j), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed embedding near-dup: exact cosine only within buckets.
+    * The scale path — shuffle keys are single longs; recall is tunable
+    * via numPlanes (fewer planes → bigger buckets → higher recall).
+    */
+  def embeddingPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numPlanes: Int = 8): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"),
+      embeddingLshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Brute-force cosine top-k neighbors of one probe vector (the exact
+    * ANN baseline; plans as broadcast of the probe + TakeOrdered).
+    */
+  def cosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: DataFrame,
+      k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    base.crossJoin(broadcast(probe.select(asDouble(col(vecCol)).as("qv"))))
+      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+}

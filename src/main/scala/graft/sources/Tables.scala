@@ -18,7 +18,11 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Truncate ns→µs in integer arithmetic (`div`, not `/`: the ns
+    // values are ~2^60, beyond double's exact range, so float division
+    // is off by up to ±256 ns). Truncation matches DuckDB's ns→µs
+    // conversion of the same file.
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 }
