@@ -120,22 +120,10 @@ object Queries {
     */
   def q08_cosine_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val asDouble = (c: Column) => transform(c, x => x.cast("double"))
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val probe = emb.filter(col("vec_id") === 0)
-      .select(asDouble(col("embedding")).as("qv"))
-    emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(probe))
-      .select(
-        col("vec_id"),
-        round(
-          dot(col("v"), col("qv")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))),
-          4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
+    graft.operators.Dedup.cosineTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      probe = emb.filter(col("vec_id") === 0), k = 10)
+      .withColumnRenamed("id", "vec_id")
   }
 
   /** E4: left outer + left semi + left anti joins. Customers with/without
@@ -205,7 +193,8 @@ object Queries {
         col("o_custkey"), col("o_orderkey"),
         round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("running_total"),
-        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"))
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -412,6 +401,23 @@ object Queries {
       .agg(min("event_id").as("first_event"), count(lit(1)).as("n"))
       .orderBy("user_id", "event_type")
 
+  /** E9 (cube half): full cross-tab subtotals. */
+  def q31_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** E22 (sliding half): 2-day windows sliding by 1 day — every event
+    * lands in exactly two overlapping buckets.
+    */
+  def q32_window_slide(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+      .orderBy("wstart", "event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -443,6 +449,8 @@ object Queries {
     "q28_window_tumble" -> (q28_window_tumble _),
     "q29_sessions"      -> (q29_sessions _),
     "q30_dedup_keyed"   -> (q30_dedup_keyed _),
+    "q31_cube"          -> (q31_cube _),
+    "q32_window_slide"  -> (q32_window_slide _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -529,7 +537,9 @@ object Queries {
         |    ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
         |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_price
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS next_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q14_setops" ->
       """WITH cwo AS (SELECT DISTINCT o_custkey AS k FROM orders),
@@ -668,5 +678,18 @@ object Queries {
     "q30_dedup_keyed" ->
       """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q31_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q32_window_slide" ->
+      """SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '1 day', ts),
+        |                 time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day']) AS wstart,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
   )
 }

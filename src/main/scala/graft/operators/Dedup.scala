@@ -53,28 +53,31 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
+    // Token-count guard BEFORE shingle construction (the filter would
+    // otherwise recompute the whole shingle expression); the two-step
+    // select keeps shingles built once per row.
     val sigs = df
-      .select(
-        col(idCol).as("id"),
-        wordShingles(tokens(col(textCol)), shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col("id"), wordShingles(col("toks"), shingleSize).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
 
     // Candidates: docs sharing a band bucket. Self-join keyed on the
-    // 8-byte bucket hash; id_a < id_b dedups the pair space, and
-    // distinct collapses pairs that collide in several bands.
+    // 8-byte bucket hash; id_a < id_b halves the pair space. Jaccard is
+    // computed IN the join projection and pairs are deduped after —
+    // so the pair-dedup shuffle carries only (id_a, id_b, jaccard)
+    // scalars (hash-aggregable), never the shingle arrays. A pair
+    // colliding in k bands re-ranks k times; only true near-dups
+    // collide in many bands, so the duplicate work is O(dups · bands).
     val left = sigs.select(col("band_key"), col("id").as("id_a"), col("shingles").as("sh_a"))
     val right = sigs.select(col("band_key"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = left.join(right, Seq("band_key"))
+    left.join(right, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit
@@ -114,15 +117,21 @@ object Dedup {
     * Quadratic — the verification baseline. Pre-normalizes each vector
     * once (O(n·d)) so the pair stage is a single dot product.
     */
+  /** Pre-normalized vectors: the norm is computed in its OWN projection
+    * step so CollapseProject won't inline the O(d) dot product into
+    * every element's division (which would make normalization O(d²)).
+    */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("norm"))
+      .select(col("id"), transform(col("v"), x => x / col("norm")).as("nv"))
+
   def embeddingPairsExact(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val normed = df.select(
-      col(idCol).as("id"),
-      transform(asDouble(col(vecCol)),
-        x => x / sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol))))).as("nv"))
+    val normed = normalized(df, idCol, vecCol)
     val a = normed.select(col("id").as("id_a"), col("nv").as("nv_a"))
     val b = normed.select(col("id").as("id_b"), col("nv").as("nv_b"))
     a.crossJoin(b)
@@ -160,15 +169,14 @@ object Dedup {
       dim: Int,
       threshold: Double,
       numPlanes: Int = 8): DataFrame = {
-    val bucketed = df.select(
-      col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"),
-      embeddingLshBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val bucketed = normalized(df, idCol, vecCol)
+      .select(col("id"), col("nv"),
+        embeddingLshBucket(col("nv"), dim, numPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("nv").as("nv_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("nv").as("nv_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cosine", round(dot(col("nv_a"), col("nv_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -182,9 +190,11 @@ object Dedup {
       vecCol: String,
       probe: DataFrame,
       k: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    base.crossJoin(broadcast(probe.select(asDouble(col(vecCol)).as("qv"))))
-      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+    val base = normalized(df, idCol, vecCol)
+    val q = normalized(probe.select(lit(0L).as("pid"), col(vecCol)), "pid", vecCol)
+      .select(col("nv").as("qnv"))
+    base.crossJoin(broadcast(q))
+      .select(col("id"), round(dot(col("nv"), col("qnv")), 4).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }

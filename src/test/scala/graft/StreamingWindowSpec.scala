@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** E22–E24 under the ACTUAL streaming engine (SURVEY §2.4): the same
+  * window/session/dedup expressions that run in batch for the DuckDB
+  * oracle (Queries.q28–q30, q32) here run under readStream with
+  * watermarks — asserting batch/stream parity on the closed windows and
+  * exercising late-row dropping, which batch mode cannot.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+    Ev(2, ts("2024-01-01 10:04:00"), 1, 2.0),
+    Ev(3, ts("2024-01-01 10:11:00"), 2, 3.0),
+    Ev(4, ts("2024-01-01 10:14:00"), 2, 4.0),
+    Ev(5, ts("2024-01-01 11:30:00"), 1, 5.0), // advances watermark past 10:xx
+    Ev(6, ts("2024-01-01 10:01:00"), 9, 99.0)) // LATE: behind watermark → dropped
+
+  test("E22 streaming: tumbling window agg with watermark drops late rows; closed windows match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events.take(5): _*)
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("wstart"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    mem.addData(events(5)) // late row, watermark already at ~11:20
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    // Closed (emitted) windows: 10:00 and 10:10. The 11:30 window is
+    // still open; the late 10:01 row must NOT reopen 10:00.
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", 2L, 3.0),
+      ("2024-01-01 10:10:00.0", 2L, 7.0)))
+  }
+
+  test("E23 streaming: dropDuplicates with watermark dedups within retention") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0), // exact dup
+      Ev(2, ts("2024-01-01 10:05:00"), 1, 2.0))
+    val dedup = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0)) // dup in later batch
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("E24 streaming: session_window merges within gap, splits across it; parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val data = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, 2.0), // same session (gap 15m)
+      Ev(3, ts("2024-01-01 10:40:00"), 1, 3.0), // new session
+      Ev(4, ts("2024-01-01 10:05:00"), 2, 4.0),
+      Ev(5, ts("2024-01-01 14:00:00"), 1, 9.0)) // closes all earlier sessions
+    mem.addData(data: _*)
+    val sess = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("n"), col("total"))
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      (1L, "2024-01-01 10:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 10:40:00.0", 1L, 3.0),
+      (2L, "2024-01-01 10:05:00.0", 1L, 4.0)))
+    // Batch parity: identical grouping expression over the same rows
+    val batch = data.take(4).toDF()
+      .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("n"), col("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    assert(batch == rows)
+  }
+}
