@@ -418,6 +418,36 @@ object Queries {
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
       .orderBy("wstart", "event_type")
 
+  /** North-star multimodal: typed metadata over binary payload columns.
+    * Payload bytes stay executor-side; only per-kind metadata aggregates
+    * leave. The byte-size column is oracle-able (octet_length of the
+    * source text); decoded features are covered by LlmOpsSpec.
+    */
+  def q33_media_meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.syntheticMedia(s, s"$dir/documents.parquet").toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        sum("duration_ms").as("total_ms"))
+      .orderBy("kind")
+  }
+
+  /** North-star ANN, IVF scale path: 16-cell inverted file, probe the
+    * 4 nearest cells (~1/4 of the data scanned), exact re-rank inside.
+    * Approximate by design → rows-only driver check; recall-vs-exact
+    * ground truth in AnnIvfSpec.
+    */
+  def q34_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIvf
+    val emb = t(s, dir, "embeddings")
+    val cents = AnnIvf.centroids(emb, "vec_id", "embedding", nCentroids = 16)
+    val index = AnnIvf.assign(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
+    AnnIvf.search(index, cents,
+      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -451,6 +481,8 @@ object Queries {
     "q30_dedup_keyed"   -> (q30_dedup_keyed _),
     "q31_cube"          -> (q31_cube _),
     "q32_window_slide"  -> (q32_window_slide _),
+    "q33_media_meta"    -> (q33_media_meta _),
+    "q34_ann_ivf"       -> (q34_ann_ivf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -691,5 +723,11 @@ object Queries {
         |         event_type, value
         |  FROM events)
         |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+    "q33_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN doc_id % 10 * 1000 + 1000 ELSE 0 END) AS BIGINT) AS total_ms
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor (inverted-file index, the
+  * FAISS coarse-quantizer pattern) in pure DataFrame ops:
+  *
+  *  - BUILD: pick `nCentroids` deterministic seed vectors (lowest ids —
+  *    at scale, a k-means|| pass or a hash-sample; deterministic here
+  *    so results are reproducible), assign every vector to its nearest
+  *    centroid. One broadcast of the centroid set + one narrow pass.
+  *  - SEARCH: assign the probe to its `nProbe` nearest centroids, scan
+  *    ONLY those inverted lists (a partition-pruned fraction ~
+  *    nProbe/nCentroids of the data), exact re-rank inside.
+  *
+  * At 100 TB the assignment pass writes the table partitioned/bucketed
+  * by `centroid_id`; every later query prunes to nProbe buckets —
+  * that's the IVF win: query cost O(n·nProbe/nCentroids), not O(n).
+  * Recall < 1 when a true neighbor's vector sits in a non-probed cell;
+  * raise nProbe to trade cost for recall (nProbe = nCentroids ≡ exact).
+  */
+object AnnIvf {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Normalize with the norm in its own projection (computed once). */
+  private def normalize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("norm"))
+      .select(col("id"), transform(col("v"), x => x / col("norm")).as("nv"))
+
+  /** The centroid table: `nCentroids` deterministic seeds (lowest ids),
+    * unit-normalized. Tiny → always broadcast.
+    */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
+    normalize(
+      df.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol)
+      .select(col("id").as("centroid_id"), col("nv").as("cv"))
+
+  /** BUILD: assign every vector to its nearest centroid (max cosine =
+    * max dot of unit vectors). Output: (id, nv, centroid_id) — the
+    * inverted file. `max_by` keeps the arg-max without a window.
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    normalize(df, idCol, vecCol)
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("nv"), col("centroid_id"), dot(col("nv"), col("cv")).as("sim"))
+      .groupBy("id")
+      .agg(
+        max_by(col("centroid_id"), col("sim")).as("centroid_id"),
+        first(col("nv")).as("nv"))
+
+  /** SEARCH: probe vector → its nProbe nearest centroids → exact top-k
+    * over just those cells.
+    */
+  def search(
+      index: DataFrame, // output of assign()
+      cents: DataFrame,
+      probe: DataFrame, // single row with vecCol
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val qn = normalize(probe.select(lit(0L).as("pid"), col(vecCol)), "pid", vecCol)
+      .select(col("nv").as("qnv"))
+    val probeCells = cents.crossJoin(broadcast(qn))
+      .select(col("centroid_id"), dot(col("cv"), col("qnv")).as("csim"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select("centroid_id")
+    index
+      .join(broadcast(probeCells), Seq("centroid_id")) // cell pruning
+      .crossJoin(broadcast(qn))
+      .select(col("id"), round(dot(col("nv"), col("qnv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+}
