@@ -448,6 +448,41 @@ object Queries {
       probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
   }
 
+  /** The reference's computational core (S2→S6: JSON decode → validate
+    * → coerce) run at benchmark scale: events re-serialized to JSON
+    * payloads (simulating Kafka values; µs timestampFormat so the
+    * round-trip is lossless) and pushed through the full pipeline. All
+    * rows are clean → the oracle is the identity projection, verifying
+    * every coercion branch preserves values exactly. This is the
+    * throughput-comparable analogue of the reference's 25k-msg batches.
+    */
+  def q35_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.PipelineConfig
+    import graft.pipeline.Pipeline
+    import graft.types.CHType
+    val events = Tables.events(s, dir)
+    val asJson = events.select(
+      to_json(
+        struct(events.columns.map(col): _*),
+        java.util.Map.of("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .as(Pipeline.ValueCol))
+    val metas = events.schema.fields.toSeq.map(f =>
+      CHType.columnMeta(f.name, CHType.fromSpark(f.dataType)))
+    val cfg = PipelineConfig(
+      required = Seq("event_id", "ts"),
+      datetimeCols = Set("ts"),
+      stringEnumCols = Set.empty,
+      // per-row semantics; skips the batch-presence driver collect
+      compatBatchPresence = false)
+    // share=true is load-bearing: the persisted parse is an optimizer
+    // barrier. Without it, PushDownPredicate inlines the (30-reference)
+    // error expression into the Filter below the parse projection and
+    // FilterExec re-evaluates to_json+parse_json per reference — 10×
+    // slower, measured. This is also the orchestrator's real shape.
+    Pipeline.process(asJson, metas, cfg, share = true).valid
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -483,6 +518,7 @@ object Queries {
     "q32_window_slide"  -> (q32_window_slide _),
     "q33_media_meta"    -> (q33_media_meta _),
     "q34_ann_ivf"       -> (q34_ann_ivf _),
+    "q35_ingest_pipeline" -> (q35_ingest_pipeline _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -729,5 +765,8 @@ object Queries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN doc_id % 10 * 1000 + 1000 ELSE 0 END) AS BIGINT) AS total_ms
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q35_ingest_pipeline" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

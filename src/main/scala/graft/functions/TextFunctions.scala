@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** sequence(1, n) for n >= 1, else an EMPTY array — a bare
+    * sequence(1, 0) yields the DESCENDING [1, 0], not [].
+    */
+  private def seq1to(count: Column): Column =
+    when(count >= 1, sequence(lit(1), count))
+      .otherwise(array().cast("array<int>"))
+
   /** Lower-cased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
@@ -28,9 +35,7 @@ object TextFunctions {
   def wordShingles(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - lit(n - 1), lit(0))
     array_distinct(
-      transform(
-        sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      transform(seq1to(count), i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** Distinct character k-grams of the lower-cased text. */
@@ -38,7 +43,7 @@ object TextFunctions {
     val t = lower(text)
     val count = greatest(length(t) - lit(k - 1), lit(0))
     array_distinct(
-      transform(sequence(lit(1), count), i => substring(t, i, lit(k))))
+      transform(seq1to(count), i => substring(t, i, lit(k))))
   }
 
   /** MinHash signature: H permutation-style hashes h_i(s) =
@@ -88,14 +93,15 @@ object TextFunctions {
     * counters as an array; a second fold packs the sign bits.
     */
   def simhash64(toks: Column): Column = {
+    // Hash once per token FIRST — folding over raw tokens would
+    // re-evaluate xxhash64(t) inside all 64 per-bit counter updates.
+    val tokHashes = transform(toks, t => xxhash64(t))
     val counters = aggregate(
-      toks,
+      tokHashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) =>
         zip_with(acc, sequence(lit(0), lit(63)),
-          (c, j) => c + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      })
+          (c, j) => c + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
     aggregate(
       zip_with(counters, sequence(lit(0), lit(63)),
         (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
@@ -121,12 +127,25 @@ object TextFunctions {
     * fingerprint set — position-robust, locally sensitive to edits.
     */
   def fingerprints(text: Column, k: Int, window: Int): Column = {
+    require(window > 0 && (window & (window - 1)) == 0,
+      "window must be a power of two (log-doubling sliding min)")
     val t = lower(text)
     val count = greatest(length(t) - lit(k - 1), lit(0))
-    val hashes = transform(sequence(lit(1), count), i => xxhash64(substring(t, i, lit(k))))
+    val hashes = transform(seq1to(count), i => xxhash64(substring(t, i, lit(k))))
+    // Sliding-window min by log-doubling: z_{s}[i] = min(h[i..i+2s-1]) =
+    // least(z_{s/2}[i], z_{s/2}[i+s]). A naive per-window
+    // `array_min(slice(hashes, i, w))` would re-evaluate the WHOLE hash
+    // array inside every window's lambda (HOFs are interpreted, no
+    // common-subexpression reuse) — O(L²·w) per row; this is O(L·log w)
+    // with a small constant re-evaluation factor.
+    var z = hashes
+    var s = 1
+    while (s < window) {
+      z = zip_with(z, slice(z, lit(s + 1), size(z)), (a, b) => least(a, b))
+      s *= 2
+    }
     val windows = greatest(size(hashes) - lit(window - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), windows), i => array_min(slice(hashes, i, lit(window)))))
+    array_distinct(slice(z, lit(1), windows))
   }
 
   /** Tiny per-language stopword profiles for the heuristic classifier.

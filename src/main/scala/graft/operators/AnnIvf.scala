@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
 object AnnIvf {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Native codegen'd dot product (graft.expr.DotProduct) — the
+    * interpreted `aggregate(zip_with(...))` form dominated the bench
+    * on quadratic pair joins.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expr.VectorExpressions.dot(a, b)
 
   /** Normalize with the norm in its own projection (computed once). */
   private def normalize(df: DataFrame, idCol: String, vecCol: String): DataFrame =

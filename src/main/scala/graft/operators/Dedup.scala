@@ -107,8 +107,12 @@ object Dedup {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot product (graft.expr.DotProduct) — the
+    * interpreted `aggregate(zip_with(...))` form dominated the bench
+    * on quadratic pair joins.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expr.VectorExpressions.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

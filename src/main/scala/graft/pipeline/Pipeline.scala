@@ -58,19 +58,32 @@ object Pipeline {
     metas.indices.collect { case i if !row.isNullAt(i) && row.getInt(i) == 1 => metas(i).name }.toSet
   }
 
-  /** Process one batch of raw JSON payloads (column [[ValueCol]]). */
-  def process(raw: DataFrame, metas: Seq[ColumnMeta], cfg: PipelineConfig): BatchResult = {
+  /** Process one batch of raw JSON payloads (column [[ValueCol]]).
+    *
+    * @param share persist the parsed batch so the valid/DLQ sides and
+    *              the batch-presence aggregate reuse one parse (the
+    *              streaming/orchestrator shape — call `release()` when
+    *              both sides are materialized). Pass false for
+    *              single-consumer batch use, where the cache would
+    *              never be reused and never be freed.
+    */
+  def process(
+      raw: DataFrame,
+      metas: Seq[ColumnMeta],
+      cfg: PipelineConfig,
+      share: Boolean = true): BatchResult = {
     val value = col(ValueCol).cast("string")
     // Python str.strip() strips all ASCII whitespace; Spark's 1-arg trim
     // strips spaces only — pass the trim set explicitly (main.py:519).
     val nonEmpty = raw.filter(
       value.isNotNull && length(trim(value, " \t\n\r\f")) > lit(0))
-    val parsed = nonEmpty
+    val parsedPlan = nonEmpty
       .withColumn(V, try_parse_json(value))
       .withColumn(Err,
         when(col(V).isNull, lit("malformed JSON"))
           .otherwise(Validation.errorColumn(col(V), metas, cfg)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parsed =
+      if (share) parsedPlan.persist(StorageLevel.MEMORY_AND_DISK) else parsedPlan
 
     val batchPresent: Option[Set[String]] =
       if (cfg.compatBatchPresence) Some(presentColumns(parsed, metas)) else None

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.VectorExpressions.dot
+
+/** The custom codegen DotProduct expression: value correctness vs the
+  * interpreted HOF form, null/length semantics, analysis-time typing.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("matches the interpreted aggregate/zip_with form on real embeddings") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = emb.limit(50).crossJoin(
+      emb.limit(50).select(col("v").as("w")))
+    val diff = pairs
+      .select((dot(col("v"), col("w")) - hofDot("v", "w")).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("null array propagates null; shorter array dots over common prefix") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq(2.0, 10.0)), Some(Seq(3.0)))).toDF("a", "b")
+    val out = df.select(dot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 6.0)
+  }
+
+  test("non-double arrays are rejected at analysis time") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_dot_product") ||
+      e.getMessage.toLowerCase.contains("array<double>"))
+  }
+}
