@@ -56,10 +56,18 @@ object TextFunctions {
     * whole-stage-codegen'd projection — the standard trade for
     * shuffle-free near-dup candidate generation at scale.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    // 31-bit prime modulus: a*h+b stays < 2^63 for any numHashes < 2^20,
-    // so the arithmetic is exact under ANSI mode (Spark 4 default —
-    // raw 64-bit wraparound would throw ARITHMETIC_OVERFLOW).
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.expr.MinHashExpression.minhash(shingles, numHashes)
+
+  /** The composable-expression form of [[minhashSignature]] (kept as
+    * the differential-test reference for the native codegen version;
+    * interpreted HOF lambdas make it ~5× slower).
+    *
+    * 31-bit prime modulus: a*h+b stays < 2^63 for any numHashes < 2^20,
+    * so the arithmetic is exact under ANSI mode (Spark 4 default — raw
+    * 64-bit wraparound would throw ARITHMETIC_OVERFLOW).
+    */
+  def minhashSignatureHof(shingles: Column, numHashes: Int): Column = {
     val P = lit(2147483647L) // 2^31 - 1, Mersenne prime
     transform(
       sequence(lit(0), lit(numHashes - 1)),

@@ -35,6 +35,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2).getDouble(0) == 6.0)
   }
 
+  test("native MinHashSignature matches the composable HOF form exactly") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id"), TextFunctions.wordShingles(
+        TextFunctions.tokens(col("text")), 3).as("sh"))
+    val both = docs.select(
+      TextFunctions.minhashSignature(col("sh"), 32).as("native"),
+      TextFunctions.minhashSignatureHof(col("sh"), 32).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // empty-input sentinel
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextFunctions.minhashSignature(col("sh"), 4)).collect()(0).getSeq[Long](0)
+    assert(empty == Seq.fill(4)(2147483647L))
+  }
+
   test("non-double arrays are rejected at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     val e = intercept[Exception] {
