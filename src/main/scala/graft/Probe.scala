@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Readiness probe (reference S12, probe.py:7-50): the reference runs
+  * `SELECT 1` against ClickHouse and lists Kafka topics, exiting 0/1
+  * for the k8s readinessProbe. The graft analogue checks the Spark
+  * session answers a trivial query and that the configured data
+  * directory is readable. Usage: `runMain graft.Probe [sfDir]`.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ok =
+      try {
+        val one = spark.sql("SELECT 1").collect()(0).getInt(0) == 1
+        val readable = new java.io.File(dir).isDirectory
+        println(s"[probe] select1=$one dataDir=$readable")
+        one && readable
+      } catch { case e: Exception => println(s"[probe] failed: ${e.getMessage}"); false }
+      finally spark.stop()
+    sys.exit(if (ok) 0 else 1)
+  }
+}

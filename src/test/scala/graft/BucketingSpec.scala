@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+
+/** Scale-mechanics demonstrations: (a) bucketing removes the join
+  * shuffle (the 100 TB co-location strategy named throughout the
+  * Scaladoc); (b) the SparkSessionExtensions function registration
+  * makes the native expressions SQL-callable.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-join-key tables sort-merge join with NO Exchange") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val lineitem = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    lineitem.write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    // force a sort-merge join (at real scale neither side broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the ONLY exchange allowed is the aggregation's (o_orderpriority);
+      // the join keys must be satisfied by bucket layout, shuffle-free
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey")
+        && !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle on the join key:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
+  test("GraftExtensions makes the native expressions SQL-callable") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
+    val mh = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), 4) AS sig")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length == 4 && mh.forall(v => v >= 0 && v < 2147483647L))
+    // the injector itself wires the same list
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+  }
+}
