@@ -483,6 +483,39 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** North-star n-gram Jaccard as a standalone judged operator:
+    * word-trigram similarity over a deterministic pair set (every 5th
+    * doc against its successor) — the same `jaccard` primitive the
+    * MinHash re-rank uses, here with a direct SQL oracle.
+    */
+  def q36_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextFunctions.wordShingles(col("toks"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .filter(col("id_a") % 5 === 0)
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  /** Skew-mitigation salted join, verified against the plain-join
+    * oracle: hot o_custkey values spread across 8 salted reducers with
+    * row-identical results.
+    */
+  def q37_skew_salted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val fact = t(s, dir, "orders").withColumnRenamed("o_custkey", "k")
+    val dim = t(s, dir, "customer").withColumnRenamed("c_custkey", "k")
+    Skew.saltedJoin(fact, dim, "k", factor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -519,6 +552,8 @@ object Queries {
     "q33_media_meta"    -> (q33_media_meta _),
     "q34_ann_ivf"       -> (q34_ann_ivf _),
     "q35_ingest_pipeline" -> (q35_ingest_pipeline _),
+    "q36_ngram_jaccard" -> (q36_ngram_jaccard _),
+    "q37_skew_salted"   -> (q37_skew_salted _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -768,5 +803,25 @@ object Queries {
     "q35_ingest_pipeline" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "q36_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM d WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 5 = 0
+        |ORDER BY id_a""".stripMargin,
+    "q37_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

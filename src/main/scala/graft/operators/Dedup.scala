@@ -23,16 +23,24 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup keyed by content hash: keeps min-id doc per distinct
-    * `textCol`, counts the duplicates it absorbs. The shuffle key is
-    * xxhash64(text) (8 bytes/row); text equality is re-checked within
-    * groups so hash collisions cannot merge distinct docs.
+  /** Exact dedup keyed by a 128-bit content hash (xxhash64 of the text
+    * plus xxhash64 of (text, const) — two decorrelated 64-bit
+    * functions): keeps the min-id doc per distinct `textCol`,
+    * counts the duplicates it absorbs. The shuffle carries ONLY
+    * (h1, h2, id) — 24 bytes/row, never the document body — which is
+    * what makes this viable at 100 TB. 128 bits ⇒ collision
+    * probability ~n²/2¹²⁹ (≪ 10⁻¹⁸ even at a trillion docs). Grouping
+    * by the text itself (see q06's oracle form) is the exact-equality
+    * alternative when bodies are small enough to shuffle.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
-      .groupBy(col("__h"), col(textCol))
+    df.select(
+      col(idCol),
+      xxhash64(col(textCol)).as("__h1"),
+      xxhash64(col(textCol), lit(7)).as("__h2"))
+      .groupBy(col("__h1"), col("__h2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .drop("__h", textCol)
+      .select("keep_id", "n_copies")
 
   /** MinHash-LSH candidate pairs with exact-Jaccard re-rank.
     *

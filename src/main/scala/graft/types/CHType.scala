@@ -79,12 +79,26 @@ object CHType {
     "DateTime" -> (TimestampType, EpochTs),
   )
 
+  /** Strip `Nullable(...)`/`LowCardinality(...)` wrappers before bare-
+    * type lookup. The reference handles wrapped String/UUID/Enum via
+    * substring match but maps e.g. `Nullable(Int64)` to UnknownType and
+    * would crash downstream (main.py:163-165 prints and stores None);
+    * unwrapping is the documented, strictly-more-useful divergence.
+    */
+  private def unwrap(chType: String): String = {
+    val wrapped = "^(?:Nullable|LowCardinality)\\((.+)\\)$".r
+    chType match {
+      case wrapped(inner) => unwrap(inner)
+      case other => other
+    }
+  }
+
   /** Physical mapping: (Spark type, sentinel default). */
   def toSpark(chType: String): (DataType, Any) =
     if (chType.contains("Enum")) (ShortType, 127.toShort)
     else if (chType.contains("String") || chType.contains("UUID")) (StringType, "")
     else exact.getOrElse(
-      chType,
+      unwrap(chType),
       throw new IllegalArgumentException(s"Unknown ClickHouse type: $chType"))
 
   /** Validation mapping (main.py:62-91): lower-cased substring dispatch,

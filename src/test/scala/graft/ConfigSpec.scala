@@ -48,6 +48,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(o("subscribe") == "t")
   }
 
+  test("CHType unwraps Nullable/LowCardinality; unknown types fail at analysis time") {
+    import graft.types.CHType
+    import org.apache.spark.sql.types._
+    assert(CHType.toSpark("Nullable(Int64)") == (LongType, Long.MinValue))
+    assert(CHType.toSpark("LowCardinality(String)") == (StringType, ""))
+    assert(CHType.toSpark("Nullable(LowCardinality(UInt16))") == (IntegerType, 65535))
+    assert(CHType.toSpark("Nullable(DateTime)")._1 == TimestampType)
+    intercept[IllegalArgumentException](CHType.toSpark("Array(Int64)"))
+    intercept[IllegalArgumentException](CHType.toSpark("Decimal(18, 4)"))
+  }
+
   test("clickhouse sink options carry the async-insert settings (main.py:329-335)") {
     val o = ServiceConfig.clickhouseSinkOptions(ServiceConfig.fromEnv(full))
     assert(o("url").contains("async_insert=1"))
