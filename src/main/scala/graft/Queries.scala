@@ -303,10 +303,15 @@ object Queries {
     */
   def q21_lang_quality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // tokens in their own projection: every downstream expression
+      // references the attribute, so the (interpreted) split+filter
+      // runs once per row, not once per reference
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"))
       .select(
         Seq(col("doc_id"), col("lang").as("tagged_lang"),
-          TextFunctions.languageId(TextFunctions.tokens(col("text"))).as("pred_lang")) ++
-          TextFunctions.qualityColumns(col("text")): _*)
+          TextFunctions.languageId(col("toks")).as("pred_lang")) ++
+          TextFunctions.qualityColumns(col("text"), col("toks")): _*)
       .orderBy("doc_id")
 
   /** North-star token counting: whitespace / BPE-ish / alnum / est. */

@@ -188,8 +188,14 @@ object TextFunctions {
     * mean word length, punctuation ratio, stopword ratio, and a composite
     * keep/drop score. All arithmetic over one token pass.
     */
-  def qualityColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+  def qualityColumns(text: Column): Seq[Column] =
+    qualityColumns(text, tokens(text))
+
+  /** Overload taking a precomputed token column — pass an attribute
+    * from a prior projection so the (interpreted) split+filter doesn't
+    * re-run for each of the ~6 references below.
+    */
+  def qualityColumns(text: Column, toks: Column): Seq[Column] = {
     val nTok = size(toks)
     val nChar = length(text)
     val punct = nChar - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}]", ""))
