@@ -45,17 +45,28 @@ object AnnIvf {
       .select(col("id").as("centroid_id"), col("nv").as("cv"))
 
   /** BUILD: assign every vector to its nearest centroid (max cosine =
-    * max dot of unit vectors). Output: (id, nv, centroid_id) — the
-    * inverted file. `max_by` keeps the arg-max without a window.
+    * max dot of unit vectors). The centroid set is tiny by
+    * construction, so it is collected once and inlined as LITERAL
+    * vectors: the whole assignment is one narrow projection —
+    * nCentroids native dot products + a `greatest` argmax per row, NO
+    * crossJoin row expansion and NO shuffle (the earlier
+    * crossJoin+groupBy form shuffled every normalized vector). Ties
+    * break toward the higher centroid id (struct ordering).
+    * Output: (id, nv, centroid_id) — the inverted file.
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val cvs: Seq[(Long, Seq[Double])] = cents.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Double](1)))
+    require(cvs.nonEmpty, "empty centroid set")
+    val scored = cvs.map { case (cid, cv) =>
+      struct(
+        dot(col("nv"), typedlit(cv)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
     normalize(df, idCol, vecCol)
-      .crossJoin(broadcast(cents))
-      .select(col("id"), col("nv"), col("centroid_id"), dot(col("nv"), col("cv")).as("sim"))
-      .groupBy("id")
-      .agg(
-        max_by(col("centroid_id"), col("sim")).as("centroid_id"),
-        first(col("nv")).as("nv"))
+      .select(col("id"), col("nv"), best.getField("cid").as("centroid_id"))
+  }
 
   /** SEARCH: probe vector → its nProbe nearest centroids → exact top-k
     * over just those cells.

@@ -103,6 +103,26 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.exists(_.getString(1) == "malformed JSON"))
   }
 
+  test("FileJsonSource: payload files stream through the full pipeline (S1 file impl)") {
+    import graft.io.FileJsonSource
+    val inDir = tmp(); val validDir = tmp(); val dlqDir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "batch1.jsonl"),
+      """{"device_id": 11, "note": "from-file"}
+        |{"bad": "row"}
+        |""".stripMargin)
+    val orch = new BatchOrchestrator(provider, cfg,
+      new ParquetSink(validDir), new ParquetDlqSink(dlqDir))
+    val q = StreamJob.start(
+      new FileJsonSource(inDir).load(spark), orch, tmp(), Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    val valid = spark.read.parquet(validDir).collect()
+    assert(valid.length == 1 && valid(0).getLong(0) == 11L
+      && valid(0).getString(1) == "from-file")
+    assert(spark.read.parquet(dlqDir).count() == 1)
+  }
+
   test("batch/stream parity: same input through streaming equals batch-mode output") {
     import spark.implicits._
     val payloads = Seq(
