@@ -229,6 +229,27 @@ class PipelineSpec extends SparkSpec {
     assert(dlq(0).getString(1) == "data must contain ['trip_id'] properties")
   }
 
+  test("datetime/string-enum membership is case-insensitive (main.py:267, 275 `col.lower()`)") {
+    val prov = SchemaProvider.fromDescribeRows(Seq(
+      "Device_ID" -> "UInt32", "Event_Time" -> "DateTime", "Mode" -> "Enum8('a'=1)"))
+    val cfgCi = PipelineConfig(
+      required = Seq("Device_ID"),
+      datetimeCols = Set("EVENT_TIME"), // different case than the schema
+      stringEnumCols = Set("mode"))
+    // Mode key intentionally absent: a present JSON null would fail
+    // validation (null is not string-or-integer); the batch-absent
+    // branch is overridden by per-row semantics when compat is off.
+    val res = Pipeline.process(
+      Seq("""{"Device_ID": 1, "Event_Time": ""}""").toDF(Pipeline.ValueCol),
+      prov.resolveFiltered(), cfgCi.copy(compatBatchPresence = false))
+    val r = res.valid.collect()(0)
+    res.release()
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
+      "datetime branch must apply despite case mismatch")
+    assert(r.getString(2) == "DEFAULT",
+      "string-enum branch must apply despite case mismatch")
+  }
+
   test("empty batch → empty outputs with the sink schema (main.py:254-255)") {
     val (valid, dlq, schema) = run()
     assert(valid.isEmpty && dlq.isEmpty)
