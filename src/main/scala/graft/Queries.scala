@@ -521,6 +521,46 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  /** Backward as-of join (operators/AsOfJoin): each purchase event gets
+    * the user's most recent prior-or-simultaneous click. One shuffle on
+    * user_id — union+window, never a per-pair range join. Unmatched
+    * rows take sentinel defaults (epoch / -1 / 0.0) in BOTH engines so
+    * the hash compare never meets engine-specific null stringification.
+    */
+  def q38_asof_join(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.backward(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+      rightTieCol = "event_id", rightPrefix = "click_")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("click_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"),
+        coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Custom streaming state (flatMapGroupsWithState) run in batch mode:
+    * the same open-session state machine that powers the streaming
+    * path (StreamingWindowSpec) here folds full per-user histories —
+    * and must hash-match the q29 gaps-and-islands SQL oracle.
+    */
+  def q39_sessions_stateful(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessions
+    val ev = StatefulSessions.project(
+      t(s, dir, "events"), "user_id", "event_id", "ts", "value")
+    StatefulSessions.sessionizeBatch(ev, gapUs = 6L * 3600 * 1000000).toDF()
+      .select(col("key").as("user_id"),
+        timestamp_micros(col("startUs")).as("s_start"),
+        col("n_events"), round(col("total"), 2).as("total"))
+      .orderBy("user_id", "s_start")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -559,6 +599,8 @@ object Queries {
     "q35_ingest_pipeline" -> (q35_ingest_pipeline _),
     "q36_ngram_jaccard" -> (q36_ngram_jaccard _),
     "q37_skew_salted"   -> (q37_skew_salted _),
+    "q38_asof_join"     -> (q38_asof_join _),
+    "q39_sessions_stateful" -> (q39_sessions_stateful _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -828,5 +870,33 @@ object Queries {
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q38_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  coalesce(r.ts, TIMESTAMP '1970-01-01') AS click_ts,
+        |  coalesce(r.event_id, -1) AS click_event_id,
+        |  coalesce(r.value, 0.0) AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |LEFT JOIN LATERAL (
+        |  SELECT ts, event_id, value FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
+        |ORDER BY l.event_id""".stripMargin,
+    "q39_sessions_stateful" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS total
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.streaming.StatefulSessions
+
+case class Trade(sym: Long, trade_id: Long, t: Timestamp, qty: Long)
+case class Quote(sym: Long, quote_id: Long, t: Timestamp, px: Double)
+
+/** Construction-based ground truth for the backward as-of join and the
+  * flatMapGroupsWithState session fold (batch mode) — covering exactly
+  * the corners the q38/q39 oracles can't isolate: inclusive bounds,
+  * equal-timestamp tie-breaks, no-match nulls, cross-key separation.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of join: latest quote at-or-before each trade, per key") {
+    val trades = Seq(
+      Trade(1, 10, ts("2024-01-01 10:00:05"), 100), // after q1, q2 → q2
+      Trade(1, 11, ts("2024-01-01 10:00:02"), 200), // exactly at q2 → inclusive
+      Trade(1, 12, ts("2024-01-01 09:59:59"), 300), // before any quote → null
+      Trade(2, 20, ts("2024-01-01 10:00:10"), 400), // other key → its own quote
+      Trade(3, 30, ts("2024-01-01 10:00:10"), 500)  // key with no quotes → null
+    ).toDS().toDF()
+    val quotes = Seq(
+      Quote(1, 1, ts("2024-01-01 10:00:00"), 1.0),
+      Quote(1, 2, ts("2024-01-01 10:00:02"), 2.0),
+      Quote(1, 3, ts("2024-01-01 10:00:02"), 3.0), // tie on ts: greater id wins
+      Quote(1, 4, ts("2024-01-01 10:00:06"), 4.0), // future of all trades
+      Quote(2, 5, ts("2024-01-01 10:00:01"), 5.0)
+    ).toDS().toDF()
+
+    val out = AsOfJoin.backward(trades, quotes,
+      keyCol = "sym", leftTsCol = "t", rightTsCol = "t",
+      rightTieCol = "quote_id", rightPrefix = "q_")
+      .select("trade_id", "q_quote_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out == Map(10L -> 3L, 11L -> 3L, 12L -> -1L, 20L -> 5L, 30L -> -1L))
+  }
+
+  test("as-of join output keeps every left row and all left columns") {
+    val trades = Seq(Trade(1, 10, ts("2024-01-01 10:00:05"), 100)).toDS().toDF()
+    val quotes = Seq(Quote(1, 1, ts("2024-01-01 10:00:00"), 1.5)).toDS().toDF()
+    val out = AsOfJoin.backward(trades, quotes, "sym", "t", "t", "quote_id")
+    assert(out.columns.toSeq == Seq("sym", "trade_id", "t", "qty",
+      "r_quote_id", "r_t", "r_px"))
+    val row = out.collect().head
+    assert(row.getLong(0) == 1 && row.getLong(3) == 100 &&
+      row.getDouble(6) == 1.5)
+  }
+
+  test("batch session fold: gap boundary is exclusive-open (>= gap starts new)") {
+    val gapUs = 60L * 1000000 // 1 minute
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 2L, ts("2024-01-01 10:00:59"), 2.0), // < gap → same session
+      (1L, 3L, ts("2024-01-01 10:01:59"), 4.0), // exactly gap after #2 → NEW
+      (2L, 4L, ts("2024-01-01 10:00:00"), 8.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = StatefulSessions.sessionizeBatch(
+      StatefulSessions.project(df, "user_id", "event_id", "ts", "value"), gapUs)
+      .collect().map(s => (s.key, s.startUs, s.n_events, s.total)).toSet
+    def us(s: String) = usecOf(ts(s))
+    assert(out == Set(
+      (1L, us("2024-01-01 10:00:00"), 2L, 3.0),
+      (1L, us("2024-01-01 10:01:59"), 1L, 4.0),
+      (2L, us("2024-01-01 10:00:00"), 1L, 8.0)))
+  }
+
+  private def usecOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+}
