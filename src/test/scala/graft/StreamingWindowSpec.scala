@@ -72,6 +72,43 @@ class StreamingWindowSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stateful sessions streaming: gap closes sessions, watermark timeout flushes the open one") {
+    import graft.streaming.StatefulSessions
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 10L * 60 * 1000000 // 10 minutes
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, 2.0),
+      Ev(3, ts("2024-01-01 10:30:00"), 1, 4.0)) // >= gap after 10:05 → closes session 1
+    val ev = StatefulSessions.project(
+      mem.toDF().select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      "user_id", "event_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val q = StatefulSessions.sessionizeStream(ev, gapUs)
+      .writeStream.format("memory").queryName("statesess")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("statesess").collect()
+      .map(s => (s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3))).toSet
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    // Only the gap-closed session is out; 10:30 is still open in state.
+    assert(afterBatch1 == Set((1L, us("2024-01-01 10:00:00"), 2L, 3.0)))
+
+    // Advance the watermark past lastTs+gap (10:40) in two steps: the
+    // 12:00 event sets max event time; the NEXT batch's watermark uses
+    // it, firing key 1's event-time timeout.
+    mem.addData(Ev(9, ts("2024-01-01 12:00:00"), 2, 9.0))
+    q.processAllAvailable()
+    mem.addData(Ev(10, ts("2024-01-01 12:00:01"), 2, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("statesess").collect()
+      .map(s => (s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3))).toSet
+    assert(all.contains((1L, us("2024-01-01 10:30:00"), 1L, 4.0)),
+      s"open session not flushed by timeout: $all")
+  }
+
   test("E24 streaming: session_window merges within gap, splits across it; parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
