@@ -561,6 +561,83 @@ object Queries {
       .orderBy("user_id", "s_start")
   }
 
+  /** Exact percentiles (continuous interpolation) per group — single
+    * partial+final agg pass; `percentile` keeps per-group value buffers
+    * so at 100 TB the approx sketch (q20's HLL cousin,
+    * `percentile_approx`) is the scale path; this is the exact
+    * verification baseline.
+    */
+  def q40_quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      // ONE percentile agg with an array of fractions — a single
+      // per-group value buffer serves all four cut points; four scalar
+      // percentile() calls would build (and shuffle) four copies.
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        round(element_at(col("ps"), 4), 2).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Deterministic stratified sampling: fixed-size per-stratum sample
+    * ordered by a multiplicative hash of the id — reproducible across
+    * engines AND across runs/cluster sizes (no RNG, no partition-order
+    * dependence), which is what a training-data pipeline needs for
+    * auditable corpus draws. One shuffle on the stratum key.
+    */
+  def q41_sample_stratified(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
+  }
+
+  /** Training-corpus assembly — the end-to-end curation composition:
+    * tokenize → quality gate → exact dedup (keep min doc_id per text)
+    * → greedy token-budget cut (cumulative tokens by doc_id). Each
+    * stage is one declarative op; the only shuffles are the dedup
+    * window and the final global running sum. At 100 TB the budget cut
+    * runs per-shard (salted budget) or via a two-pass prefix-sum; the
+    * greedy-by-id form here is the auditable deterministic spec.
+    */
+  def q42_corpus_filter(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), size(toks).as("n_tokens"))
+      .filter(col("n_tokens").between(5, 1000))
+    val dedupW = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    val budgetW = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(budgetW))
+      .filter(col("cum_tokens") - col("n_tokens") < 10000)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Pivot with EXPLICIT value list — compiles to one partial+final
+    * aggregation (no values-discovery job, which an implicit pivot
+    * would add and which cannot run at 100 TB).
+    */
+  def q43_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -601,6 +678,10 @@ object Queries {
     "q37_skew_salted"   -> (q37_skew_salted _),
     "q38_asof_join"     -> (q38_asof_join _),
     "q39_sessions_stateful" -> (q39_sessions_stateful _),
+    "q40_quantiles"     -> (q40_quantiles _),
+    "q41_sample_stratified" -> (q41_sample_stratified _),
+    "q42_corpus_filter" -> (q42_corpus_filter _),
+    "q43_pivot"         -> (q43_pivot _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -898,5 +979,42 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q40_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "q42_corpus_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE n_tokens BETWEEN 5 AND 1000),
+        |d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      ::BIGINT AS cum_tokens
+        |  FROM d WHERE rn = 1)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin,
+    "q43_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
