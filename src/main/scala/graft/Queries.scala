@@ -638,6 +638,26 @@ object Queries {
         col("O").as("n_o"), col("P").as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** Interval join (operators/IntervalJoin): purchase–click pairs of
+    * the same user within 30 minutes, via time-binned equi-join —
+    * shuffle keys are (user, bin), never a BNLJ range condition.
+    */
+  def q44_interval_join(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    IntervalJoin.within(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+      deltaUs = 30L * 60 * 1000000, rightPrefix = "click_")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("click_value"), 2).as("click_total"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -682,6 +702,7 @@ object Queries {
     "q41_sample_stratified" -> (q41_sample_stratified _),
     "q42_corpus_filter" -> (q42_corpus_filter _),
     "q43_pivot"         -> (q43_pivot _),
+    "q44_interval_join" -> (q44_interval_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1016,5 +1037,13 @@ object Queries {
         |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
         |  count(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q44_interval_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs,
+        |  round(sum(c.value), 2) AS click_total
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
   )
 }

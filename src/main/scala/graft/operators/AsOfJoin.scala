@@ -47,7 +47,35 @@ object AsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       rightTieCol: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_"): DataFrame =
+    joinImpl(left, right, keyCol, leftTsCol, rightTsCol, rightTieCol,
+      rightPrefix, forward = false)
+
+  /** Forward as-of join: the single EARLIEST right row with
+    * `right.ts >= left.ts` (inclusive); ties on the timestamp resolve
+    * to the smallest `rightTieCol`. Same union+window machinery as
+    * `backward`, with the time axis reversed.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String,
+      rightPrefix: String = "r_"): DataFrame =
+    joinImpl(left, right, keyCol, leftTsCol, rightTsCol, rightTieCol,
+      rightPrefix, forward = true)
+
+  private def joinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String,
+      rightPrefix: String,
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(_ == keyCol)
 
@@ -60,7 +88,11 @@ object AsOfJoin {
 
     // side 0 = right, 1 = left: at equal timestamps the right row sorts
     // first, making it visible to the left row (inclusive as-of).
-    val tagged = right.select(
+    // Backward walks time ascending (last right seen = latest <= t);
+    // forward walks descending (last right seen = earliest >= t, with
+    // the tie order reversed so the smallest tie id wins).
+    val tieSentinel = if (forward) Long.MinValue else Long.MaxValue
+    val tagged = right.filter(right(rightTsCol).isNotNull).select(
       right(keyCol).as("__k"),
       right(rightTsCol).as("__t"),
       lit(0).as("__side"),
@@ -71,12 +103,18 @@ object AsOfJoin {
         left(keyCol).as("__k"),
         left(leftTsCol).as("__t"),
         lit(1).as("__side"),
-        lit(Long.MaxValue).as("__tie"),
+        lit(tieSentinel).as("__tie"),
         lStruct.as("__l"),
         lit(null).cast(rType).as("__r")))
 
+    // nulls_first in BOTH directions: a left row with a null timestamp
+    // walks before any (non-null-ts) right row, so it matches nothing.
+    // Null-ts right rows are filtered above — they can never qualify.
+    val order =
+      if (forward) Seq(col("__t").desc_nulls_first, col("__side").asc, col("__tie").desc)
+      else Seq(col("__t").asc_nulls_first, col("__side").asc, col("__tie").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = tagged

@@ -57,6 +57,53 @@ class AsOfJoinSpec extends SparkSpec {
       row.getDouble(6) == 1.5)
   }
 
+  test("forward as-of join: earliest quote at-or-after each trade; ts ties take smallest id") {
+    val trades = Seq(
+      Trade(1, 10, ts("2024-01-01 10:00:01"), 100), // before q2/q3 tie → q2 (smaller id)
+      Trade(1, 11, ts("2024-01-01 10:00:02"), 200), // exactly at tie → inclusive, q2
+      Trade(1, 12, ts("2024-01-01 10:00:07"), 300), // after all quotes → null
+      Trade(2, 20, ts("2024-01-01 10:00:00"), 400)  // other key
+    ).toDS().toDF()
+    val quotes = Seq(
+      Quote(1, 1, ts("2024-01-01 10:00:00"), 1.0),
+      Quote(1, 2, ts("2024-01-01 10:00:02"), 2.0),
+      Quote(1, 3, ts("2024-01-01 10:00:02"), 3.0),
+      Quote(1, 4, ts("2024-01-01 10:00:06"), 4.0),
+      Quote(2, 5, ts("2024-01-01 10:00:01"), 5.0)
+    ).toDS().toDF()
+
+    val out = AsOfJoin.forward(trades, quotes,
+      keyCol = "sym", leftTsCol = "t", rightTsCol = "t",
+      rightTieCol = "quote_id", rightPrefix = "q_")
+      .select("trade_id", "q_quote_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out == Map(10L -> 2L, 11L -> 2L, 12L -> -1L, 20L -> 5L))
+  }
+
+  test("interval join: pairs within delta on both sides, across bin edges, never across keys") {
+    import graft.operators.IntervalJoin
+    val deltaUs = 60L * 1000000 // 1 minute
+    val lefts = Seq(
+      Trade(1, 10, ts("2024-01-01 10:01:00"), 0),
+      Trade(2, 20, ts("2024-01-01 10:01:00"), 0)
+    ).toDS().toDF()
+    val rights = Seq(
+      Quote(1, 1, ts("2024-01-01 10:00:00"), 1.0), // exactly -delta → included
+      Quote(1, 2, ts("2024-01-01 10:00:30"), 2.0), // previous bin, within delta
+      Quote(1, 3, ts("2024-01-01 10:01:59"), 3.0), // next bin, within delta
+      Quote(1, 4, ts("2024-01-01 10:02:01"), 4.0), // beyond delta → excluded
+      Quote(1, 5, ts("2024-01-01 09:59:59"), 5.0), // beyond -delta → excluded
+      Quote(2, 6, ts("2024-01-01 10:01:30"), 6.0)  // other key
+    ).toDS().toDF()
+    val out = IntervalJoin.within(lefts, rights,
+      keyCol = "sym", leftTsCol = "t", rightTsCol = "t", deltaUs = deltaUs)
+      .select("trade_id", "r_quote_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 1L), (10L, 2L), (10L, 3L), (20L, 6L)))
+  }
+
   test("batch session fold: gap boundary is exclusive-open (>= gap starts new)") {
     val gapUs = 60L * 1000000 // 1 minute
     val df = Seq(

@@ -72,6 +72,33 @@ class StreamingWindowSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join: purchases match clicks within the time bound; state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    purchases.addData(
+      Ev(1, ts("2024-01-01 10:30:00"), 1, 0.0),
+      Ev(2, ts("2024-01-01 12:00:00"), 2, 0.0))
+    clicks.addData(
+      Ev(10, ts("2024-01-01 10:05:00"), 1, 1.0), // within 30m of purchase 1
+      Ev(11, ts("2024-01-01 09:50:00"), 1, 2.0), // too early → no match
+      Ev(12, ts("2024-01-01 11:55:00"), 2, 3.0), // within 30m of purchase 2
+      Ev(13, ts("2024-01-01 11:55:00"), 9, 4.0)) // other user → no match
+    val p = purchases.toDF().withWatermark("ts", "1 hour").alias("p")
+    val c = clicks.toDF().withWatermark("ts", "1 hour").alias("c")
+    val joined = p.join(c,
+      expr("""p.user_id = c.user_id AND
+              c.ts BETWEEN p.ts - INTERVAL 30 MINUTES AND p.ts"""))
+      .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 12L)))
+  }
+
   test("stateful sessions streaming: gap closes sessions, watermark timeout flushes the open one") {
     import graft.streaming.StatefulSessions
     implicit val sqlCtx = spark.sqlContext
