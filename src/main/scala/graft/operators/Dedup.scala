@@ -71,21 +71,33 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
 
-    // Candidates: docs sharing a band bucket. Self-join keyed on the
-    // 8-byte bucket hash; id_a < id_b halves the pair space. Jaccard is
-    // computed IN the join projection and pairs are deduped after —
-    // so the pair-dedup shuffle carries only (id_a, id_b, jaccard)
-    // scalars (hash-aggregable), never the shingle arrays. A pair
-    // colliding in k bands re-ranks k times; only true near-dups
-    // collide in many bands, so the duplicate work is O(dups · bands).
-    val left = sigs.select(col("band_key"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val right = sigs.select(col("band_key"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    left.join(right, Seq("band_key"))
+    // Candidates-first: the band self-join carries ONLY (band_key, id)
+    // — 16 bytes/row — never the shingle arrays, and each candidate
+    // pair is deduped BEFORE the exact-Jaccard re-rank, so Jaccard runs
+    // exactly once per pair (a pair colliding in k bands would
+    // otherwise re-rank k times). The shingle arrays are then attached
+    // by two id-keyed joins of the (small) candidate set back to the
+    // doc shingles. At 100 TB this is the difference between shuffling
+    // O(n · bands · |shingles|) bytes and O(n · bands · 16) bytes;
+    // tokenization runs once per join side (3× total), which is
+    // map-side CPU — far cheaper than the avoided shuffle.
+    val bandedIds = sigs.select(col("band_key"), col("id"))
+    val cand = bandedIds.select(col("band_key"), col("id").as("id_a"))
+      .join(bandedIds.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val shingles = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col("id"), wordShingles(col("toks"), shingleSize).as("shingles"))
+    cand
+      .join(shingles.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit

@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan shape assertions for the headline queries — the
+  * properties that decide 100 TB viability are plan properties, not
+  * result properties, so they are pinned here: filter/column pushdown
+  * into the parquet scan, partial (map-side) aggregation, broadcast
+  * vs shuffle join selection, TakeOrderedAndProject for top-k, and
+  * the absence of nested-loop joins in the binned interval join.
+  */
+class PlanSpec extends SparkSpec {
+
+  import org.apache.spark.sql.execution.{CodegenMode, FormattedMode}
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    Queries.all(name)(spark, sf()).queryExecution.explainString(FormattedMode)
+
+  test("q01 agg: shipdate filter pushed to parquet; partial+final hash aggregation") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q01 agg: scan reads only referenced columns") {
+    val p = formatted("q01_agg_pricing")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+      s"column pruning failed, scan reads: $cols")
+  }
+
+  test("q02 dims broadcast: two BroadcastHashJoins, no shuffle join") {
+    val p = plan("q02_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not SMJ:\n$p")
+  }
+
+  test("q05 top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q05_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q44 interval join: equi-join on (key, bin), never a nested-loop range join") {
+    val p = plan("q44_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must not plan a nested loop:\n$p")
+  }
+
+  test("q38 as-of join: one shuffle on the key, no join operator at all") {
+    val p = plan("q38_asof_join")
+    assert(!p.contains("Join"), s"union+window as-of must be join-free:\n$p")
+    assert(p.contains("Window"), s"expected window operator:\n$p")
+  }
+
+  test("headline queries stay inside whole-stage codegen") {
+    for (q <- Seq("q01_agg_pricing", "q03_join_fact", "q17_math")) {
+      val p = Queries.all(q)(spark, sf()).queryExecution.explainString(CodegenMode)
+      assert(p.contains("WholeStageCodegen subtree"), s"$q fell out of codegen:\n$p")
+    }
+  }
+}
