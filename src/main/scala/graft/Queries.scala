@@ -658,6 +658,51 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Incremental dedup: drop new documents whose body already exists
+    * in the historical corpus — ONE left-anti join keyed on a 128-bit
+    * content hash, so the shuffle carries 24 bytes/row, never bodies.
+    * (The oracle anti-joins on the text itself — identical result
+    * absent a 2⁻¹²⁸ hash collision; q06's precedent.)
+    */
+  def q45_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def hashed(df: DataFrame) = df.select(
+      col("doc_id"), col("lang"),
+      xxhash64(col("text")).as("__h1"), xxhash64(col("text"), lit(7)).as("__h2"))
+    val history = hashed(docs.filter(col("doc_id") < 250))
+    val fresh = hashed(docs.filter(col("doc_id") >= 250))
+    fresh.join(history, Seq("__h1", "__h2"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_new"))
+      .orderBy("lang")
+  }
+
+  /** Grouped array aggregation: distinct order statuses per priority,
+    * sorted then string-joined so row values are engine-stable (raw
+    * array stringification differs between engines).
+    */
+  def q46_collect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
+  /** Blocklist redaction — the shape of PII scrubbing over a training
+    * corpus (same regexp machinery; the synthetic corpus carries no
+    * PII so the blocklist stands in): count and remove matches in one
+    * projection, all codegen'd, no UDF.
+    */
+  def q47_scrub(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|spark)\\b"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).as("n_redacted"),
+        length(regexp_replace(col("text"), pat, "[REDACTED]")).as("scrubbed_len"))
+      .filter(col("n_redacted") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -703,6 +748,9 @@ object Queries {
     "q42_corpus_filter" -> (q42_corpus_filter _),
     "q43_pivot"         -> (q43_pivot _),
     "q44_interval_join" -> (q44_interval_join _),
+    "q45_dedup_incremental" -> (q45_dedup_incremental _),
+    "q46_collect"       -> (q46_collect _),
+    "q47_scrub"         -> (q47_scrub _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1045,5 +1093,24 @@ object Queries {
         |  ON p.user_id = c.user_id
         | AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    "q45_dedup_incremental" ->
+      """SELECT lang, count(*) AS n_new
+        |FROM documents n
+        |WHERE doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id < 250 AND h.text = n.text)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q46_collect" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q47_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_redacted,
+        |  length(regexp_replace(text, '\b(customer|spark)\b', '[REDACTED]', 'g'))
+        |    AS scrubbed_len
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\b(customer|spark)\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
   )
 }
