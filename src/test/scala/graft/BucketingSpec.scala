@@ -42,6 +42,26 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
 
+  test("date-partitioned layout: a date filter prunes partitions at the scan") {
+    val out = Files.createTempDirectory("graft-part").toString
+    val ev = graft.sources.Tables.events(spark, sf())
+      .withColumn("event_date", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    val q = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-02")
+      .groupBy("event_type").count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      s"expected partition filters at the scan:\n$p")
+    // pruning must reach the file listing: only one date directory read
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scanned.contains("2024-01-01"),
+      s"unpruned partition directories in scan:\n$scanned")
+    assert(q.count() > 0)
+  }
+
   test("GraftExtensions makes the native expressions SQL-callable") {
     GraftExtensions.register(spark)
     val d = spark.sql(
