@@ -466,10 +466,15 @@ object Queries {
     import graft.pipeline.Pipeline
     import graft.types.CHType
     val events = Tables.events(s, dir)
-    val asJson = events.select(
-      to_json(
-        struct(events.columns.map(col): _*),
-        java.util.Map.of("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    // The test parquet is one row group → a 1-partition scan; without
+    // this the whole decode→validate→coerce pipeline runs on ONE core
+    // (a Kafka source would arrive partitioned, so this shuffle stands
+    // in for the source's natural parallelism).
+    val asJson = events.repartition(s.sparkContext.defaultParallelism)
+      .select(
+        to_json(
+          struct(events.columns.map(col): _*),
+          java.util.Map.of("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .as(Pipeline.ValueCol))
     val metas = events.schema.fields.toSeq.map(f =>
       CHType.columnMeta(f.name, CHType.fromSpark(f.dataType)))
