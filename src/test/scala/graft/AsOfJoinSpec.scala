@@ -124,4 +124,64 @@ class AsOfJoinSpec extends SparkSpec {
 
   private def usecOf(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  test("as-of joins match the naive per-row definition on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val trades = (0 until 300).map(i =>
+      Trade(rnd.nextInt(8), i, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i))
+    val quotes = (0 until 300).map(i =>
+      Quote(rnd.nextInt(8), i, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i * 1.0))
+    val tDf = trades.toDS().toDF()
+    val qDf = quotes.toDS().toDF()
+
+    def naiveBackward(t: Trade): Long =
+      quotes.filter(q => q.sym == t.sym && !q.t.after(t.t))
+        .sortBy(q => (q.t.getTime, q.quote_id)).lastOption.map(_.quote_id).getOrElse(-1L)
+    def naiveForward(t: Trade): Long =
+      quotes.filter(q => q.sym == t.sym && !q.t.before(t.t))
+        .sortBy(q => (q.t.getTime, -q.quote_id)).headOption.map(_.quote_id).getOrElse(-1L)
+
+    val back = AsOfJoin.backward(tDf, qDf, "sym", "t", "t", "quote_id")
+      .select("trade_id", "r_quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val fwd = AsOfJoin.forward(tDf, qDf, "sym", "t", "t", "quote_id")
+      .select("trade_id", "r_quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    trades.foreach { t =>
+      assert(back(t.trade_id) == naiveBackward(t), s"backward mismatch for $t")
+      assert(fwd(t.trade_id) == naiveForward(t), s"forward mismatch for $t")
+    }
+  }
+
+  test("interval join matches the naive range-join definition on seeded random data") {
+    import graft.operators.IntervalJoin
+    val rnd = new scala.util.Random(7)
+    val deltaUs = 5000L * 1000L // 5 seconds
+    val lefts = (0 until 200).map(i =>
+      Trade(rnd.nextInt(5), i, new Timestamp(1700000000000L + rnd.nextInt(60000)), 0))
+    val rights = (0 until 200).map(i =>
+      Quote(rnd.nextInt(5), i, new Timestamp(1700000000000L + rnd.nextInt(60000)), 0.0))
+    val expected = (for {
+      l <- lefts; r <- rights
+      if l.sym == r.sym && math.abs(l.t.getTime - r.t.getTime) * 1000L <= deltaUs
+    } yield (l.trade_id, r.quote_id)).toSet
+    val got = IntervalJoin.within(
+      lefts.toDS().toDF(), rights.toDS().toDF(), "sym", "t", "t", deltaUs)
+      .select("trade_id", "r_quote_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, extra=${got -- expected}")
+  }
+
+  test("percentile_approx (the 100 TB scale path) tracks exact percentile within 0.5%") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val row = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
+      .collect().head
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.005,
+      s"approx=$approx drifted from exact=$exact")
+  }
 }
