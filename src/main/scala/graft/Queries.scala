@@ -708,6 +708,44 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-vocabulary build + coverage: top-V words by frequency
+    * (TakeOrderedAndProject — never a global rank window; vocab ≪
+    * corpus by Heaps' law so the top-k heap is the scale path), then
+    * corpus coverage of that vocab. One wordcount shuffle feeds both.
+    */
+  def q48_vocab(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
+    vocab.agg(count(lit(1)).as("n_vocab"), sum("cnt").as("covered_tokens"))
+      .crossJoin(counts.agg(sum("cnt").as("total_tokens")))
+      .select(col("n_vocab"), col("total_tokens"), col("covered_tokens"),
+        round(col("covered_tokens") / col("total_tokens"), 4).as("coverage"))
+  }
+
+  /** Benchmark decontamination: eval docs (deterministic id slice)
+    * versus the training split by shared 5-gram shingles. The join key
+    * is the 8-byte shingle hash — the shuffle never carries shingle
+    * strings (oracle joins the strings; identical absent a collision).
+    */
+  def q49_contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("toks"), 5)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val evalSide = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val trainSide = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), col("h"))
+    evalSide.join(trainSide, Seq("h"))
+      .groupBy("eval_id")
+      .agg(countDistinct(col("train_id")).as("n_contaminating"))
+      .orderBy("eval_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -756,6 +794,8 @@ object Queries {
     "q45_dedup_incremental" -> (q45_dedup_incremental _),
     "q46_collect"       -> (q46_collect _),
     "q47_scrub"         -> (q47_scrub _),
+    "q48_vocab"         -> (q48_vocab _),
+    "q49_contamination" -> (q49_contamination _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1117,5 +1157,30 @@ object Queries {
         |FROM documents
         |WHERE len(regexp_extract_all(text, '\b(customer|spark)\b')) > 0
         |ORDER BY doc_id""".stripMargin,
+    "q48_vocab" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |v AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20)
+        |SELECT (SELECT count(*) FROM v) AS n_vocab,
+        |  (SELECT sum(cnt) FROM c)::BIGINT AS total_tokens,
+        |  (SELECT sum(cnt) FROM v)::BIGINT AS covered_tokens,
+        |  round((SELECT sum(cnt) FROM v)::DOUBLE /
+        |        (SELECT sum(cnt) FROM c), 4) AS coverage""".stripMargin,
+    "q49_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                          for i in range(1, len(toks) - 3)])) AS sh
+        |  FROM d WHERE len(toks) >= 5)
+        |SELECT e.doc_id AS eval_id, count(DISTINCT t.doc_id) AS n_contaminating
+        |FROM s e JOIN s t ON e.sh = t.sh AND t.doc_id % 97 <> 0
+        |WHERE e.doc_id % 97 = 0
+        |GROUP BY e.doc_id ORDER BY eval_id""".stripMargin,
   )
 }
