@@ -23,6 +23,17 @@ object Queries {
     if (name == "events") Tables.events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The test tables are single-row-group files, so they scan as ONE
+    * partition and parquet cannot split them — any CPU-heavy map stage
+    * (tokenize/shingle/hash) would run on one core. This spreads the
+    * rows first; the tiny shuffle stands in for the multi-file layout
+    * a 100 TB corpus has naturally (where it would be a no-op and the
+    * repartition unnecessary). Used ONLY by text-pipeline queries
+    * whose per-row work dwarfs the row bytes.
+    */
+  private def tWide(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** E6: TPC-H Q1-shaped hash aggregation — partial+final agg, no join.
     * At 100 TB: map-side combine reduces the shuffle to
     * |groups|·|partitions| rows; grouping keys are low-cardinality.
@@ -104,7 +115,7 @@ object Queries {
     * words (map-side combine).
     */
   def q07_text_wordcount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tWide(s, dir, "documents")
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")
@@ -302,7 +313,7 @@ object Queries {
     * narrow projection — no shuffle until the final order.
     */
   def q21_lang_quality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tWide(s, dir, "documents")
       // tokens in their own projection: every downstream expression
       // references the attribute, so the (interpreted) split+filter
       // runs once per row, not once per reference
@@ -316,7 +327,7 @@ object Queries {
 
   /** North-star token counting: whitespace / BPE-ish / alnum / est. */
   def q22_token_counts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tWide(s, dir, "documents")
       .select(Seq(col("doc_id")) ++ TextFunctions.tokenCounts(col("text")): _*)
       .orderBy("doc_id")
 
@@ -328,7 +339,7 @@ object Queries {
     * the shuffle carries only (band_key, id, shingles) — never bodies.
     */
   def q23_dedup_minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashLshPairs(tWide(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
@@ -371,7 +382,7 @@ object Queries {
     * fingerprint cardinality for a bounded set. Hash-based — rows-only.
     */
   def q27_fingerprints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("doc_id") < 100)
+    tWide(s, dir, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"),
         size(TextFunctions.fingerprints(col("text"), k = 5, window = 4)).as("n_fp"))
       .orderBy("doc_id")
@@ -499,7 +510,7 @@ object Queries {
     * MinHash re-rank uses, here with a direct SQL oracle.
     */
   def q36_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
+    val sh = tWide(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), TextFunctions.wordShingles(col("toks"), 3).as("sh"))
@@ -699,7 +710,7 @@ object Queries {
     */
   def q47_scrub(s: SparkSession, dir: String): DataFrame = {
     val pat = "\\b(customer|spark)\\b"
-    t(s, dir, "documents")
+    tWide(s, dir, "documents")
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(pat)).as("n_redacted"),
@@ -714,7 +725,7 @@ object Queries {
     * corpus coverage of that vocab. One wordcount shuffle feeds both.
     */
   def q48_vocab(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "documents")
+    val counts = tWide(s, dir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val vocab = counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
@@ -730,7 +741,7 @@ object Queries {
     * strings (oracle joins the strings; identical absent a collision).
     */
   def q49_contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
+    val sh = tWide(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"),
