@@ -130,7 +130,7 @@ object Queries {
     * baseline; LSH/IVF variants land in later rounds.
     */
   def q08_cosine_topk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = tWide(s, dir, "embeddings")
     graft.operators.Dedup.cosineTopK(
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       probe = emb.filter(col("vec_id") === 0), k = 10)
@@ -365,7 +365,7 @@ object Queries {
     * pre-normalized so the pair stage is one fused dot product.
     */
   def q25_embed_neardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    Dedup.embeddingPairsExact(tWide(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
 
   /** LSH-bucketed embedding near-dup (random hyperplanes) — the scale
@@ -374,7 +374,7 @@ object Queries {
     * in LlmOpsSpec on planted clusters.
     */
   def q26_embed_neardup_lsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.embeddingPairsLsh(tWide(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.95, numPlanes = 8)
       .agg(count(lit(1)).as("n_pairs"), coalesce(round(max("cosine"), 4), lit(0.0)).as("max_cos"))
 
