@@ -68,6 +68,18 @@ object AnnIvf {
       .select(col("id"), col("nv"), best.getField("cid").as("centroid_id"))
   }
 
+  /** Persist the inverted file partitioned by cell: each centroid's
+    * list is its own directory, so a search's cell pruning happens at
+    * the FILE LISTING — non-probed cells are never opened. This is the
+    * on-storage form of the IVF win; `search` over `readIndex` output
+    * prunes via `PartitionFilters` (asserted in AnnIvfSpec).
+    */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** SEARCH: probe vector → its nProbe nearest centroids → exact top-k
     * over just those cells.
     */

@@ -90,6 +90,19 @@ object Multimodal {
   def featurize(media: Dataset[MediaRecord], codec: MediaCodec): Dataset[MediaFeatures] =
     media.mapPartitions(rows => rows.map(codec.decode))(mediaFeaturesEnc)
 
+  /** Batched featurize — the shape a vectorized model call needs
+    * (mirrors Arrow-batch UDF execution): the partition iterator is
+    * chunked, each chunk crosses the codec boundary as ONE call, and
+    * results stream back without materializing the partition. A real
+    * implementation would hand the whole batch to the accelerator.
+    */
+  def featurizeBatched(
+      media: Dataset[MediaRecord],
+      codec: MediaCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] =
+    media.mapPartitions(rows =>
+      rows.grouped(batchSize).flatMap(batch => batch.map(codec.decode)))(mediaFeaturesEnc)
+
   /** Frame-sampling shape for video: emit one synthetic "frame" record
     * every `everyMs` of duration (a real codec would seek+decode). Row
     * explosion happens executor-side; output is (media_id, frame_no,

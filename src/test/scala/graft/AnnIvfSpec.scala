@@ -34,6 +34,26 @@ class AnnIvfSpec extends SparkSpec {
     assert(ivf.size == 10)
   }
 
+  test("persisted IVF index: search over the partitioned layout prunes non-probed cells at the scan") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val cents = AnnIvf.centroids(emb, "vec_id", "embedding", nCentroids = 16)
+    val index = AnnIvf.assign(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    AnnIvf.writeIndex(index, path)
+
+    val onDisk = AnnIvf.readIndex(spark, path)
+    val q = AnnIvf.search(onDisk, cents, emb.filter(col("vec_id") === 0),
+      "embedding", k = 10, nProbe = 4)
+    // same answer as the in-memory index at the same nProbe
+    val mem = AnnIvf.search(index, cents, emb.filter(col("vec_id") === 0),
+      "embedding", k = 10, nProbe = 4).collect().map(_.getLong(0)).toSeq
+    assert(q.collect().map(_.getLong(0)).toSeq == mem)
+    // and the cell filter reaches the scan as a partition filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(centroid_id"),
+      s"cell pruning did not reach the partitioned scan:\n$plan")
+  }
+
   test("salted join returns exactly the same rows as the plain join") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"))
       .toDF("k", "payload") // key 1 is "hot"

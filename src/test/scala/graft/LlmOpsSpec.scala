@@ -115,6 +115,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(again.byte_mean == r0.byte_mean && again.byte_entropy == r0.byte_entropy)
   }
 
+  test("multimodal: batched featurize chunks the partition iterator and matches row-at-a-time") {
+    val media = Multimodal.syntheticMedia(spark, s"${sf()}/documents.parquet")
+    val single = Multimodal.featurize(media.repartition(3), Multimodal.FakeCodec)
+      .collect().map(f => f.media_id -> f.byte_mean).toMap
+    val batched = Multimodal.featurizeBatched(media.repartition(3), Multimodal.FakeCodec, batchSize = 7)
+      .collect().map(f => f.media_id -> f.byte_mean).toMap
+    assert(batched == single)
+  }
+
   test("multimodal: frame sampling explodes video rows only, executor-side") {
     val media = Multimodal.syntheticMedia(spark, s"${sf()}/documents.parquet")
     val frames = Multimodal.sampleFrames(media, everyMs = 500)
