@@ -583,21 +583,21 @@ object Queries {
     * `percentile_approx`) is the scale path; this is the exact
     * verification baseline.
     */
-  def q40_quantiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      // ONE percentile agg with an array of fractions — a single
-      // per-group value buffer serves all four cut points; four scalar
-      // percentile() calls would build (and shuffle) four copies.
-      .agg(percentile(col("l_extendedprice"),
-        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("ps"))
-      .select(
-        col("l_returnflag"),
-        round(element_at(col("ps"), 1), 2).as("p25"),
-        round(element_at(col("ps"), 2), 2).as("p50"),
-        round(element_at(col("ps"), 3), 2).as("p75"),
-        round(element_at(col("ps"), 4), 2).as("p95"))
+  def q40_quantiles(s: SparkSession, dir: String): DataFrame = {
+    // Sort-based exact quantiles (operators/Quantiles): no per-group
+    // value buffer, so the exact computation survives any group size —
+    // the builtin `percentile` agg holds every group value in memory.
+    val qs = graft.operators.Quantiles.exactByGroup(
+      t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.95))
+    qs.select(
+      col("l_returnflag"),
+      round(col("q_0"), 2).as("p25"),
+      round(col("q_1"), 2).as("p50"),
+      round(col("q_2"), 2).as("p75"),
+      round(col("q_3"), 2).as("p95"))
       .orderBy("l_returnflag")
+  }
 
   /** Deterministic stratified sampling: fixed-size per-stratum sample
     * ordered by a multiplicative hash of the id — reproducible across

@@ -174,6 +174,22 @@ class AsOfJoinSpec extends SparkSpec {
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
 
+  test("sort-based exact quantiles equal the builtin buffering percentile on lineitem") {
+    import graft.operators.Quantiles
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val sortBased = Quantiles.exactByGroup(li, "l_returnflag", "l_extendedprice", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val builtin = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"),
+        array(ps.map(lit): _*)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(sortBased.keySet == builtin.keySet)
+    for (k <- builtin.keySet; i <- ps.indices)
+      assert(math.abs(sortBased(k)(i) - builtin(k)(i)) < 1e-6,
+        s"group $k p=${ps(i)}: sort=${sortBased(k)(i)} builtin=${builtin(k)(i)}")
+  }
+
   test("percentile_approx (the 100 TB scale path) tracks exact percentile within 0.5%") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
     val row = li.agg(
