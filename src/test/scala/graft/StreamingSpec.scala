@@ -123,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dlqDir).count() == 1)
   }
 
+  test("checkpoint restart: a resumed query processes only NEW files, no reprocessing (S11)") {
+    import graft.io.FileJsonSource
+    val inDir = tmp(); val validDir = tmp(); val dlqDir = tmp()
+    val checkpoint = tmp()
+    def orch() = new BatchOrchestrator(provider, cfg,
+      new ParquetSink(validDir), new ParquetDlqSink(dlqDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "b1.jsonl"),
+      """{"device_id": 1, "note": "first"}""" + "\n")
+    val q1 = StreamJob.start(
+      new FileJsonSource(inDir).load(spark), orch(), checkpoint, Trigger.AvailableNow())
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(validDir).count() == 1)
+
+    // New file after shutdown; SAME checkpoint → WAL replays offsets,
+    // batch 0 must not re-run (the reference's commit-after-process
+    // contract, main.py:525-526, upgraded to exactly-once by the WAL).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "b2.jsonl"),
+      """{"device_id": 2, "note": "second"}""" + "\n")
+    val q2 = StreamJob.start(
+      new FileJsonSource(inDir).load(spark), orch(), checkpoint, Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(validDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "first"), (2L, "second")),
+      s"restart must process exactly the new file once: ${rows.toSeq}")
+  }
+
   test("batch/stream parity: same input through streaming equals batch-mode output") {
     import spark.implicits._
     val payloads = Seq(
