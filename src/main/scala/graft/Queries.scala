@@ -757,6 +757,32 @@ object Queries {
       .orderBy("eval_id")
   }
 
+  /** Time-series resampling to OHLC candles: per (user, day) the
+    * first/last (by event time, id-tiebroken) and min/max values.
+    * first/last via one ranking window each direction — deterministic
+    * where `first_value`/`min_by` tie-breaking is not; min/max ride the
+    * same aggregation. One shuffle on (user, day).
+    */
+  def q50_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+    val asc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_f", row_number().over(asc))
+      .withColumn("rn_l", row_number().over(desc))
+      .groupBy("user_id", "day")
+      .agg(
+        round(max(when(col("rn_f") === 1, col("value"))), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max(when(col("rn_l") === 1, col("value"))), 2).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -807,6 +833,7 @@ object Queries {
     "q47_scrub"         -> (q47_scrub _),
     "q48_vocab"         -> (q48_vocab _),
     "q49_contamination" -> (q49_contamination _),
+    "q50_ohlc"          -> (q50_ohlc _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1193,5 +1220,20 @@ object Queries {
         |FROM s e JOIN s t ON e.sh = t.sh AND t.doc_id % 97 <> 0
         |WHERE e.doc_id % 97 = 0
         |GROUP BY e.doc_id ORDER BY eval_id""".stripMargin,
+    "q50_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::DATE AS day, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |      ORDER BY ts, event_id) AS rn_f,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |      ORDER BY ts DESC, event_id DESC) AS rn_l
+        |  FROM events)
+        |SELECT user_id, day,
+        |  round(max(CASE WHEN rn_f = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rn_l = 1 THEN value END), 2) AS close,
+        |  count(*) AS n_events
+        |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
   )
 }
