@@ -67,4 +67,93 @@ object Quantiles {
       .groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Fully-parallel exact quantiles — the two-pass bucket-histogram
+    * refinement for groups too large even to SORT serially (the
+    * `exactByGroup` window puts each whole group through one task;
+    * here no stage ever sees more than a bucket of one group).
+    *
+    *   pass 1: per-group (min, max, n) + a `buckets`-bin histogram —
+    *     both ordinary partial+final hash aggregations, fully parallel;
+    *   locate: a per-group running sum over the ≤`buckets` histogram
+    *     rows finds, for every requested rank (⌊h⌋+1 and ⌊h⌋+2 of
+    *     h = (n−1)·p), the bin that contains it and how many values
+    *     lie below that bin;
+    *   pass 2: rescan ONLY rows in located bins (a broadcast semi
+    *     filter), rank them within their bin (each bin holds ~n/buckets
+    *     rows — the only window, bounded by bin occupancy, not group
+    *     size), pick the target ranks, interpolate.
+    *
+    * Equal values always land in the same bin, so within-bin ties
+    * cannot straddle a rank boundary with different values — picked
+    * values are deterministic even though tie order is not.
+    * Differential-tested against the builtin to 1e-6.
+    */
+  def exactByGroupHistogram(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      ps: Seq[Double],
+      buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "fractions in [0,1]")
+    val base = df.select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+
+    // pass 1a: group envelope; 1b: histogram. Bin width from (min,max);
+    // a degenerate group (min==max) collapses to bin 0.
+    val stats = base.groupBy(col("__k"))
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"), count(lit(1)).as("__n"))
+    def binOf(v: org.apache.spark.sql.Column) =
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / lit(buckets))),
+          lit(buckets - 1L)).cast("long"))
+    val binned = base.join(broadcast(stats), Seq("__k"))
+    val hist = binned.groupBy(col("__k"), binOf(col("__v")).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(col("__k")).orderBy(col("__b"))))
+
+    // Target global ranks: for each p both bracketing ranks (upper ==
+    // lower when h is integral). frac rides along for interpolation.
+    val targets = stats.select(col("__k"), col("__n"),
+      explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(i).as("pi"), lit(p).as("p"))
+      }: _*)).as("__t"))
+      .select(col("__k"), col("__n"), col("__t.pi").as("__pi"),
+        ((col("__n") - 1) * col("__t.p")).as("__h"))
+      .select(col("__k"), col("__pi"),
+        (col("__h") - floor(col("__h"))).as("__frac"),
+        (floor(col("__h")) + 1).cast("long").as("__rlo"),
+        least(floor(col("__h")) + 2, col("__n")).cast("long").as("__rhi"))
+    val ranks = targets.select(col("__k"), explode(
+      array_distinct(array(col("__rlo"), col("__rhi")))).as("__r"))
+
+    // locate: the bin holding each rank (+ count below that bin).
+    val located = ranks.join(cum, Seq("__k"))
+      .filter(col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
+      .select(col("__k"), col("__r"), col("__b"),
+        (col("__cum") - col("__c")).as("__below"))
+
+    // pass 2: rows of located bins only; rank within bin.
+    val neededBins = located.select("__k", "__b", "__below").distinct()
+    val rankedInBin = binned
+      .select(col("__k"), col("__v"), binOf(col("__v")).as("__b"))
+      .join(broadcast(neededBins), Seq("__k", "__b"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k"), col("__b")).orderBy(col("__v").asc)))
+    val rankValues = rankedInBin
+      .join(broadcast(located), Seq("__k", "__b", "__below"))
+      .filter(col("__below") + col("__rn") === col("__r"))
+      .select(col("__k"), col("__r"), col("__v"))
+
+    // interpolate per (group, p) and pivot the fractions to columns.
+    val lower = rankValues.select(col("__k"), col("__r").as("__rlo"), col("__v").as("__vlo"))
+    val upper = rankValues.select(col("__k"), col("__r").as("__rhi"), col("__v").as("__vhi"))
+    val interp = targets.join(lower, Seq("__k", "__rlo")).join(upper, Seq("__k", "__rhi"))
+      .select(col("__k"), col("__pi"),
+        (col("__vlo") * (lit(1.0) - col("__frac")) + col("__vhi") * col("__frac")).as("__q"))
+    val aggs = ps.indices.map(i =>
+      max(when(col("__pi") === i, col("__q"))).as(s"q_$i"))
+    interp.groupBy(col("__k").as(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -190,6 +190,21 @@ class AsOfJoinSpec extends SparkSpec {
         s"group $k p=${ps(i)}: sort=${sortBased(k)(i)} builtin=${builtin(k)(i)}")
   }
 
+  test("two-pass histogram quantiles equal the builtin on lineitem (fully parallel path)") {
+    import graft.operators.Quantiles
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val hist = Quantiles.exactByGroupHistogram(li, "l_returnflag", "l_extendedprice", ps, buckets = 512)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val builtin = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), array(ps.map(lit): _*)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(hist.keySet == builtin.keySet)
+    for (k <- builtin.keySet; i <- ps.indices)
+      assert(math.abs(hist(k)(i) - builtin(k)(i)) < 1e-6,
+        s"group $k p=${ps(i)}: hist=${hist(k)(i)} builtin=${builtin(k)(i)}")
+  }
+
   test("percentile_approx (the 100 TB scale path) tracks exact percentile within 0.5%") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
     val row = li.agg(
