@@ -783,6 +783,30 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** Calendar gap-fill with forward fill: generate each user's full
+    * daily span (`sequence`+`explode` — executor-side row generation,
+    * no driver loop), left-join the actual daily totals, carry the
+    * last seen value across gaps with `last(_, ignoreNulls)`. Shuffles:
+    * the daily agg and the per-user fill window — both on user_id, so
+    * AQE reuses one exchange.
+    */
+  def q51_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("day_total"))
+    val calendar = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val fillW = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_total"), ignoreNulls = true).over(fillW).as("filled_total"),
+        col("day_total").isNull.cast("int").as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -834,6 +858,7 @@ object Queries {
     "q48_vocab"         -> (q48_vocab _),
     "q49_contamination" -> (q49_contamination _),
     "q50_ohlc"          -> (q50_ohlc _),
+    "q51_gapfill"       -> (q51_gapfill _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1235,5 +1260,22 @@ object Queries {
         |  round(max(CASE WHEN rn_l = 1 THEN value END), 2) AS close,
         |  count(*) AS n_events
         |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+    "q51_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (
+        |  SELECT c.user_id, c.day, d.day_total,
+        |    CASE WHEN d.day_total IS NULL THEN 1 ELSE 0 END AS is_gap
+        |  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day)
+        |SELECT user_id, day,
+        |  last_value(day_total IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_total,
+        |  is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
   )
 }
