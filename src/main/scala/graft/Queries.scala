@@ -807,6 +807,21 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** Map-typed JSON handling (the SURVEY §1.2 `from_json`/`MapType`
+    * path): props parsed ONCE into map<string,bigint>, entries exploded
+    * executor-side, aggregated per key — the schema-free counterpart to
+    * q18's path extraction (which re-parses per key pulled).
+    */
+  def q52_props_map(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    t(s, dir, "events")
+      .select(from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(explode(col("m")).as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .orderBy("key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -859,6 +874,7 @@ object Queries {
     "q49_contamination" -> (q49_contamination _),
     "q50_ohlc"          -> (q50_ohlc _),
     "q51_gapfill"       -> (q51_gapfill _),
+    "q52_props_map"     -> (q52_props_map _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1277,5 +1293,11 @@ object Queries {
         |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_total,
         |  is_gap
         |FROM j ORDER BY user_id, day""".stripMargin,
+    "q52_props_map" ->
+      """SELECT k.key, count(*) AS n,
+        |  sum(json_extract(props::JSON, '$.' || k.key)::BIGINT)::BIGINT AS total
+        |FROM events
+        |CROSS JOIN unnest(json_keys(props::JSON)) AS k(key)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
