@@ -205,6 +205,29 @@ class AsOfJoinSpec extends SparkSpec {
         s"group $k p=${ps(i)}: hist=${hist(k)(i)} builtin=${builtin(k)(i)}")
   }
 
+  test("both exact-quantile paths survive heavy duplicate values (seeded)") {
+    import graft.operators.Quantiles
+    val rnd = new scala.util.Random(11)
+    // many ties: values drawn from just 10 levels across 3 groups
+    val rows = (0 until 3000).map(_ =>
+      (rnd.nextInt(3).toString, rnd.nextInt(10).toDouble))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val builtin = df.groupBy("g")
+      .agg(percentile(col("v"), array(ps.map(lit): _*)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val sorted = Quantiles.exactByGroup(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val hist = Quantiles.exactByGroupHistogram(df, "g", "v", ps, buckets = 16)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    for (k <- builtin.keySet; i <- ps.indices) {
+      assert(math.abs(sorted(k)(i) - builtin(k)(i)) < 1e-9,
+        s"sort path: group $k p=${ps(i)}")
+      assert(math.abs(hist(k)(i) - builtin(k)(i)) < 1e-9,
+        s"hist path: group $k p=${ps(i)}")
+    }
+  }
+
   test("percentile_approx (the 100 TB scale path) tracks exact percentile within 0.5%") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
     val row = li.agg(
