@@ -583,19 +583,29 @@ object Queries {
     * `percentile_approx`) is the scale path; this is the exact
     * verification baseline.
     */
+  /** DISCRETE (type-1) quantiles for the cross-engine oracle: the
+    * picked values are raw data values — no interpolation — because
+    * interpolated doubles land on round-half boundaries where DuckDB's
+    * float-path `round` and Spark's BigDecimal `round` disagree by one
+    * cent (seen at sf0.001). The CONTINUOUS operators
+    * (`Quantiles.exactByGroup`/`exactByGroupHistogram`) are verified
+    * against Spark's builtin in AsOfJoinSpec instead, where both sides
+    * share one FP world. Same scale shape: rank via a spillable sort
+    * window, no per-group value buffer.
+    */
   def q40_quantiles(s: SparkSession, dir: String): DataFrame = {
-    // Sort-based exact quantiles (operators/Quantiles): no per-group
-    // value buffer, so the exact computation survives any group size —
-    // the builtin `percentile` agg holds every group value in memory.
-    val qs = graft.operators.Quantiles.exactByGroup(
-      t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
-      Seq(0.25, 0.5, 0.75, 0.95))
-    qs.select(
-      col("l_returnflag"),
-      round(col("q_0"), 2).as("p25"),
-      round(col("q_1"), 2).as("p50"),
-      round(col("q_2"), 2).as("p75"),
-      round(col("q_3"), 2).as("p95"))
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val aggs = ps.map { case (name, p) =>
+      max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))),
+        col("l_extendedprice"))).as(name)
+    }
+    li.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("l_returnflag")
   }
 
@@ -1173,12 +1183,18 @@ object Queries {
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
     "q40_quantiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.25 * n)) THEN l_extendedprice END) AS p25,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.75 * n)) THEN l_extendedprice END) AS p75,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN l_extendedprice END) AS p95
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q41_sample_stratified" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,

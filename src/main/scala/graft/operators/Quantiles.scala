@@ -55,17 +55,30 @@ object Quantiles {
         (col("__rn") === floor(h) + 2 && h > floor(h))
     }.reduce(_ || _)
 
-    val aggs = ps.zipWithIndex.map { case (p, i) =>
-      val h = (col("__n") - 1) * lit(p)
-      val frac = h - floor(h)
-      sum(
-        when(col("__rn") === floor(h) + 1, col("__v") * (lit(1.0) - frac))
-          .when(col("__rn") === floor(h) + 2, col("__v") * frac)
-          .otherwise(lit(0.0))).as(s"q_$i")
+    // Interpolate as lo + (hi − lo)·frac — the exact algebraic form
+    // DuckDB's quantile_cont and Spark's builtin Percentile use. The
+    // equivalent weighted sum lo·(1−frac) + hi·frac differs in the
+    // last ulp and can round across a cent boundary (seen at sf0.001).
+    val bracketed = ps.zipWithIndex.foldLeft(ranked.filter(needed)) {
+      case (df, (p, i)) =>
+        val h = (col("__n") - 1) * lit(p)
+        df.withColumn(s"__lo_$i", when(col("__rn") === floor(h) + 1, col("__v")))
+          .withColumn(s"__hi_$i", when(col("__rn") === floor(h) + 2, col("__v")))
+          .withColumn(s"__f_$i", h - floor(h))
     }
-    ranked.filter(needed)
+    val aggs = ps.indices.flatMap(i => Seq(
+      max(col(s"__lo_$i")).as(s"__alo_$i"),
+      max(col(s"__hi_$i")).as(s"__ahi_$i"),
+      max(col(s"__f_$i")).as(s"__af_$i")))
+    val finals = ps.indices.map { i =>
+      val lo = col(s"__alo_$i")
+      val hi = coalesce(col(s"__ahi_$i"), lo)
+      (lo + (hi - lo) * col(s"__af_$i")).as(s"q_$i")
+    }
+    bracketed
       .groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: finals: _*)
   }
 
   /** Fully-parallel exact quantiles — the two-pass bucket-histogram
@@ -149,9 +162,11 @@ object Quantiles {
     // interpolate per (group, p) and pivot the fractions to columns.
     val lower = rankValues.select(col("__k"), col("__r").as("__rlo"), col("__v").as("__vlo"))
     val upper = rankValues.select(col("__k"), col("__r").as("__rhi"), col("__v").as("__vhi"))
+    // Same lo + (hi − lo)·frac form as exactByGroup (ulp parity with
+    // DuckDB/builtin — the weighted-sum form rounds differently).
     val interp = targets.join(lower, Seq("__k", "__rlo")).join(upper, Seq("__k", "__rhi"))
       .select(col("__k"), col("__pi"),
-        (col("__vlo") * (lit(1.0) - col("__frac")) + col("__vhi") * col("__frac")).as("__q"))
+        (col("__vlo") + (col("__vhi") - col("__vlo")) * col("__frac")).as("__q"))
     val aggs = ps.indices.map(i =>
       max(when(col("__pi") === i, col("__q"))).as(s"q_$i"))
     interp.groupBy(col("__k").as(keyCol)).agg(aggs.head, aggs.tail: _*)
