@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected window operator:\n$p")
   }
 
+  test("nested-loop joins appear ONLY in the documented bounded/broadcast cases") {
+    // Each allowed entry is a 1-row broadcast aggregate, a <=5-row
+    // banded dimension, or the documented quadratic verification
+    // baseline. Anything else planning a nested loop is a regression.
+    val allowed = Set("q08_cosine_topk", "q10_join_range", "q11_distinct",
+      "q24_simhash_hamming", "q25_embed_neardup", "q34_ann_ivf", "q48_vocab")
+    for ((name, fn) <- Queries.all) {
+      val p = fn(spark, sf()).queryExecution.executedPlan.toString
+      val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      assert(!nested || allowed(name),
+        s"$name grew an undocumented nested-loop join")
+    }
+  }
+
   test("headline queries stay inside whole-stage codegen") {
     for (q <- Seq("q01_agg_pricing", "q03_join_fact", "q17_math")) {
       val p = Queries.all(q)(spark, sf()).queryExecution.explainString(CodegenMode)
