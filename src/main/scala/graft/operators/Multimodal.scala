@@ -45,9 +45,13 @@ object Multimodal {
 
   /** The decode seam. `decode` turns payload bytes into a feature
     * frame; a real implementation would rasterize/resample here.
+    * `decodeBatch` is the vectorized entry point — a real codec
+    * overrides it to hand the whole chunk to the accelerator in one
+    * call; the default delegates row-wise.
     */
   trait MediaCodec extends Serializable {
     def decode(rec: MediaRecord): MediaFeatures
+    def decodeBatch(recs: Seq[MediaRecord]): Seq[MediaFeatures] = recs.map(decode)
   }
 
   /** Deterministic fake codec: features are byte-histogram statistics —
@@ -92,16 +96,17 @@ object Multimodal {
 
   /** Batched featurize — the shape a vectorized model call needs
     * (mirrors Arrow-batch UDF execution): the partition iterator is
-    * chunked, each chunk crosses the codec boundary as ONE call, and
-    * results stream back without materializing the partition. A real
-    * implementation would hand the whole batch to the accelerator.
+    * chunked, each chunk crosses the codec boundary as ONE
+    * `decodeBatch` call, and results stream back without
+    * materializing the partition. A real codec overrides
+    * `decodeBatch` to hand the whole batch to the accelerator.
     */
   def featurizeBatched(
       media: Dataset[MediaRecord],
       codec: MediaCodec,
       batchSize: Int = 64): Dataset[MediaFeatures] =
     media.mapPartitions(rows =>
-      rows.grouped(batchSize).flatMap(batch => batch.map(codec.decode)))(mediaFeaturesEnc)
+      rows.grouped(batchSize).flatMap(codec.decodeBatch))(mediaFeaturesEnc)
 
   /** Frame-sampling shape for video: emit one synthetic "frame" record
     * every `everyMs` of duration (a real codec would seek+decode). Row

@@ -44,6 +44,10 @@ object Quantiles {
     val rankW = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
     val groupW = Window.partitionBy(col(keyCol))
     val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__v"))
+      // Nulls are excluded from the population (matching the builtin
+      // `percentile` and the histogram path below); without this they
+      // sort first and shift every rank.
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(rankW))
       .withColumn("__n", count(lit(1)).over(groupW))
 

@@ -119,7 +119,10 @@ object StatefulSessions {
             case Some(s) =>
               state.update(s)
               // Flush when the watermark passes the session's horizon.
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+              // Round the µs horizon UP to ms: truncating could fire
+              // the timeout ~1ms early and close a session an
+              // in-watermark sub-millisecond event still belongs to.
+              state.setTimeoutTimestamp(math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
             case None => state.remove()
           }
           toRows(key, closed)

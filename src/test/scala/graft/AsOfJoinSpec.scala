@@ -228,6 +228,31 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("both exact-quantile paths ignore null values like the builtin percentile") {
+    import graft.operators.Quantiles
+    val rnd = new scala.util.Random(13)
+    // ~20% nulls; if nulls entered the population they would sort first
+    // and shift every rank in the sort path
+    val rows = (0 until 2000).map(_ =>
+      (rnd.nextInt(3).toString,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble() * 100)))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val builtin = df.groupBy("g")
+      .agg(percentile(col("v"), array(ps.map(lit): _*)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val sorted = Quantiles.exactByGroup(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val hist = Quantiles.exactByGroupHistogram(df, "g", "v", ps, buckets = 32)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    for (k <- builtin.keySet; i <- ps.indices) {
+      assert(math.abs(sorted(k)(i) - builtin(k)(i)) < 1e-9,
+        s"sort path with nulls: group $k p=${ps(i)}")
+      assert(math.abs(hist(k)(i) - builtin(k)(i)) < 1e-9,
+        s"hist path with nulls: group $k p=${ps(i)}")
+    }
+  }
+
   test("percentile_approx (the 100 TB scale path) tracks exact percentile within 0.5%") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
     val row = li.agg(
