@@ -635,17 +635,20 @@ object Queries {
     * greedy-by-id form here is the auditable deterministic spec.
     */
   def q42_corpus_filter(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
     val toks = TextFunctions.tokens(col("text"))
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"), size(toks).as("n_tokens"))
       .filter(col("n_tokens").between(5, 1000))
     val dedupW = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
-    val budgetW = Window.orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val deduped = docs
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(budgetW))
+      .select("doc_id", "lang", "n_tokens")
+    // Budget cut via the two-pass distributed prefix sum (PrefixSum) —
+    // replaces the previous single-partition Window.orderBy running
+    // sum, which PlanAudit now flags as GlobalWindow.
+    PrefixSum.runningTotal(deduped, "doc_id", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") - col("n_tokens") < 10000)
       .select("doc_id", "lang", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
@@ -832,6 +835,121 @@ object Queries {
       .orderBy("key")
   }
 
+  /** Near-dup CLUSTERING — the dedup endgame: pair detection (q23)
+    * yields edges, but keep-one-per-group needs the transitive
+    * closure (A~B, B~C collapse together even when A~C never met an
+    * LSH band). Connected components via iterative min-label
+    * propagation (operators/Components); the oracle is DuckDB's
+    * recursive-CTE transitive closure over the exact-Jaccard pair
+    * graph (identical to the LSH pairs at this threshold — q23's
+    * proven separation).
+    */
+  def q53_dedup_components(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val pairs = Dedup.minhashLshPairs(tWide(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+    Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** E10/E11 long tail: distribution-analytic window functions —
+    * ntile quartiles, percent_rank, cume_dist, nth_value. pct_rank and
+    * cume are emitted UNROUNDED: each is one IEEE division of
+    * identical integers in both engines ((rank-1)/(n-1), k/n), so the
+    * doubles are bitwise equal — safer than rounding, which could
+    * straddle a half boundary (memory: the FP round-half trap).
+    */
+  def q54_window_analytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val runFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        coalesce(nth_value(col("o_orderkey"), 2).over(runFrame), lit(-1L)).as("second_key"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Training-sequence packing (concat-then-chunk, how LLM pretraining
+    * actually packs): the corpus token stream in doc_id order is cut
+    * every 2048 tokens; a doc belongs to the chunk where it STARTS.
+    * The running total uses operators/PrefixSum — a two-pass
+    * distributed scan (per-partition totals → broadcast offsets →
+    * partitioned window), NOT the single-partition global window
+    * `Window.orderBy` plans. Chunk stats aggregate per chunk.
+    */
+  def q55_pack_chunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    PrefixSum.runningTotal(docs, "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("chunk", expr("(cum_tokens - n_tokens) div 2048"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("chunk")
+  }
+
+  /** Text normalization + normalized-form dedup grouping: lowercase,
+    * strip non-alphanumerics, collapse whitespace — then group docs by
+    * the normalized body. Spark groups on the 8-byte xxhash64 of the
+    * normalized form (the shuffle never carries bodies — q45's
+    * precedent); the oracle groups the string itself.
+    */
+  def q56_normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val w = Window.partitionBy("__h")
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), norm.as("__norm"))
+      .select(col("doc_id"), xxhash64(col("__norm")).as("__h"),
+        length(col("__norm")).as("norm_len"))
+      .withColumn("n_same_norm", count(lit(1)).over(w))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select("doc_id", "norm_len", "n_same_norm", "canonical_id")
+      .orderBy("doc_id")
+  }
+
+  /** Repetition detection (Gopher-style quality signal): per doc, the
+    * fraction of word bigrams that are repeats. Emitted as integer
+    * basis points via exact integer division (never a cross-engine
+    * float round).
+    */
+  def q57_repetition(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 1, lit(0)).as("n_bigrams"),
+        size(TextFunctions.wordShingles(col("toks"), 2)).as("n_distinct"))
+      .withColumn("n_repeated", col("n_bigrams") - col("n_distinct"))
+      .withColumn("dup_bp", when(col("n_bigrams") > 0,
+        expr("((n_bigrams - n_distinct) * 10000) div n_bigrams")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+
+  /** Document frequency + IDF over the corpus vocabulary, top 25 terms
+    * by df: one distinct-(doc,word) explode, a count shuffle, and a
+    * TakeOrderedAndProject top-k (never a global sort). The corpus
+    * size rides in via a broadcast 1-row cross join (q48's shape).
+    */
+  def q58_doc_freq(s: SparkSession, dir: String): DataFrame = {
+    val docs = tWide(s, dir, "documents")
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("word"))
+    val dfCounts = words.groupBy("word").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    dfCounts.crossJoin(broadcast(total))
+      .orderBy(col("df").desc, col("word").asc)
+      .limit(25)
+      .select(col("word"), col("df"), col("n_docs"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4).as("idf"))
+      .orderBy(col("df").desc, col("word").asc)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -885,6 +1003,12 @@ object Queries {
     "q50_ohlc"          -> (q50_ohlc _),
     "q51_gapfill"       -> (q51_gapfill _),
     "q52_props_map"     -> (q52_props_map _),
+    "q53_dedup_components" -> (q53_dedup_components _),
+    "q54_window_analytics" -> (q54_window_analytics _),
+    "q55_pack_chunks"   -> (q55_pack_chunks _),
+    "q56_normalize"     -> (q56_normalize _),
+    "q57_repetition"    -> (q57_repetition _),
+    "q58_doc_freq"      -> (q58_doc_freq _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1315,5 +1439,98 @@ object Queries {
         |FROM events
         |CROSS JOIN unnest(json_keys(props::JSON)) AS k(key)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_dedup_components" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(lab) AS component,
+        |  CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q54_window_analytics" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS cume,
+        |  coalesce(nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS second_key
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q55_pack_chunks" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      ::BIGINT AS cum
+        |  FROM q)
+        |SELECT (cum - n_tokens) // 2048 AS chunk, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS chunk_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY chunk""".stripMargin,
+    "q56_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, length(norm) AS norm_len,
+        |  count(*) OVER (PARTITION BY norm) AS n_same_norm,
+        |  min(doc_id) OVER (PARTITION BY norm) AS canonical_id
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q57_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    greatest(len(toks) - 1, 0) AS n_bigrams,
+        |    len(list_distinct([array_to_string(toks[i:i+1], ' ')
+        |                       for i in range(1, len(toks))])) AS n_distinct
+        |  FROM d)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |  n_bigrams - n_distinct AS n_repeated,
+        |  CASE WHEN n_bigrams > 0
+        |    THEN ((n_bigrams - n_distinct) * 10000) // n_bigrams
+        |    ELSE 0 END AS dup_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q58_doc_freq" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> ''))) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+        |t AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT word, df, n_docs,
+        |  round(ln((n_docs + 1)::DOUBLE / (df + 1)), 4) AS idf
+        |FROM c CROSS JOIN t
+        |ORDER BY df DESC, word ASC LIMIT 25""".stripMargin,
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed running total (inclusive prefix sum) over a global
+  * order — WITHOUT the single-partition global window that
+  * `sum(...).over(Window.orderBy(...))` plans (WindowExec moves ALL
+  * rows to one task; the warning the bench log shows).
+  *
+  * Two-pass scan, the same shape as RDD.zipWithIndex:
+  *   1. range-repartition on the order key, sort within partitions;
+  *      per-partition totals (one row per partition) come to the
+  *      driver — O(#partitions) scalars, never row data — and are
+  *      folded into exclusive per-partition offsets, broadcast back;
+  *   2. within each partition a PARTITIONED window (partitionBy the
+  *      partition id) computes the local running sum; global cum =
+  *      partition offset + local cum. Every stage is partition-
+  *      parallel.
+  *
+  * The result is independent of partition boundaries: cum depends only
+  * on the total order of `orderCol` (which must be unique — document
+  * ids are). Range partitioning keeps equal/adjacent keys together and
+  * makes the per-partition sort O(n/p log n/p).
+  */
+object PrefixSum {
+
+  /** Adds `cumCol` = inclusive running sum of `valueCol` over
+    * ascending `orderCol` (must be globally unique).
+    */
+  def runningTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      cumCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+
+    // Pass 1: per-partition totals → exclusive offsets. O(p) rows to
+    // the driver (the zipWithIndex pattern) — scan-free for pass 2
+    // because parted is cached by the localCheckpoint below.
+    val checkpointed = parted.localCheckpoint(true)
+    val totals = checkpointed.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .tail.zip(totals)
+      .map { case ((_, cumIncl), (pid, t)) => (pid, cumIncl - t) }
+    val offsetDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__offset")
+
+    // Pass 2: partitioned (parallel) local running sum + offset.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid")
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    checkpointed
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(cumCol, sum(col(valueCol).cast("long")).over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, PrefixSum}
+
+/** Construction-based ground truth for the graph/scan operators:
+  * connected components (q53) and the distributed prefix sum (q42/q55).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains, cliques, and isolated pairs collapse to min id") {
+    // 1-2-3-4 chain, {10,11,12} triangle, {20,21} pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("connected components: long chain needs diameter rounds but converges") {
+    // a 30-node path — worst-case diameter for min-label propagation
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components match a BFS ground truth on a random graph (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = (0 until 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inEdges = edges.flatMap { case (a, b) => Seq(a.toInt, b.toInt) }.toSet
+    val want = inEdges.map(i => i.toLong ->
+      // component = min node id in the component, restricted to nodes with edges
+      inEdges.filter(j => find(j) == find(i)).min.toLong).toMap
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("distributed prefix sum equals the single-partition global window") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 5000).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = PrefixSum.runningTotal(df, "id", "v", "cum", numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("prefix sum is partition-count invariant") {
+    val df = (0 until 1000).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
+    val one = PrefixSum.runningTotal(df, "id", "v", "cum", numPartitions = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val many = PrefixSum.runningTotal(df, "id", "v", "cum", numPartitions = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one == many)
+  }
+
+  test("prefix-sum physical plan has no un-partitioned window") {
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val plan = PrefixSum.runningTotal(df, "id", "v", "cum")
+      .queryExecution.executedPlan
+    def nodes(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      sp.collect { case x => x }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: nodes(a.inputPlan)
+        case x => Seq(x)
+      }
+    val globalWins = nodes(plan).count {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+    assert(globalWins == 0, "prefix sum must not plan a single-partition window")
+  }
+}
