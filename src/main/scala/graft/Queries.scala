@@ -950,6 +950,74 @@ object Queries {
       .orderBy(col("df").desc, col("word").asc)
   }
 
+  /** Forward as-of join (the other time direction of q38): each click
+    * gets the user's NEXT purchase at-or-after it. Same union+window
+    * single-shuffle machinery; ties resolve to the smallest event id.
+    * Sentinel defaults keep nulls out of the hash compare (q38's
+    * precedent).
+    */
+  def q59_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.forward(clicks, purchases,
+      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+      rightTieCol = "event_id", rightPrefix = "next_")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("next_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("next_ts"),
+        coalesce(col("next_event_id"), lit(-1L)).as("next_event_id"),
+        coalesce(col("next_value"), lit(0.0)).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  /** E4 completion: FULL OUTER join — daily shipment revenue vs daily
+    * order intake; unmatched days on either side surface with zero
+    * fills. Both sides pre-aggregate BEFORE the join (the join carries
+    * |days| rows, not fact rows — at 100 TB the only viable shape).
+    */
+  def q60_join_full(s: SparkSession, dir: String): DataFrame = {
+    val ship = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(round(sum("l_extendedprice"), 2).as("ship_rev"))
+    val intake = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("order_rev"))
+    ship.join(intake, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("ship_rev"), lit(0.0)).as("ship_rev"),
+        coalesce(col("order_rev"), lit(0.0)).as("order_rev"),
+        (col("ship_rev").isNull || col("order_rev").isNull).cast("int").as("one_sided"))
+      .orderBy("day")
+  }
+
+  /** The SQL surface: this query IS its oracle — one SQL string run by
+    * BOTH engines (Spark via temp views + spark.sql, DuckDB via the
+    * driver's parquet views). Exercises correlated scalar subqueries
+    * (Catalyst decorrelates to aggregates + joins) and correlated
+    * EXISTS (planned as a semi join).
+    */
+  val q61Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT coalesce(round(sum(o.o_totalprice), 2), 0.0) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS total
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  def q61_sql_subquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q61Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1009,6 +1077,9 @@ object Queries {
     "q56_normalize"     -> (q56_normalize _),
     "q57_repetition"    -> (q57_repetition _),
     "q58_doc_freq"      -> (q58_doc_freq _),
+    "q59_asof_forward"  -> (q59_asof_forward _),
+    "q60_join_full"     -> (q60_join_full _),
+    "q61_sql_subquery"  -> (q61_sql_subquery _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1532,5 +1603,32 @@ object Queries {
         |  round(ln((n_docs + 1)::DOUBLE / (df + 1)), 4) AS idf
         |FROM c CROSS JOIN t
         |ORDER BY df DESC, word ASC LIMIT 25""".stripMargin,
+    "q59_asof_forward" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  coalesce(r.ts, TIMESTAMP '1970-01-01') AS next_ts,
+        |  coalesce(r.event_id, -1) AS next_event_id,
+        |  coalesce(r.value, 0.0) AS next_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |LEFT JOIN LATERAL (
+        |  SELECT ts, event_id, value FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |    AND r.ts >= l.ts
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) r ON true
+        |ORDER BY l.event_id""".stripMargin,
+    "q60_join_full" ->
+      """WITH ship AS (
+        |  SELECT l_shipdate::DATE AS day, round(sum(l_extendedprice), 2) AS ship_rev
+        |  FROM lineitem GROUP BY 1),
+        |intake AS (
+        |  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS order_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(s.day, i.day) AS day,
+        |  coalesce(s.ship_rev, 0.0) AS ship_rev,
+        |  coalesce(i.order_rev, 0.0) AS order_rev,
+        |  CASE WHEN s.day IS NULL OR i.day IS NULL THEN 1 ELSE 0 END AS one_sided
+        |FROM ship s FULL JOIN intake i ON s.day = i.day
+        |ORDER BY day""".stripMargin,
+    "q61_sql_subquery" -> Queries.q61Sql,
   )
 }

@@ -49,9 +49,13 @@ final class BatchOrchestrator(
   }
 
   def processBatch(raw: DataFrame, batchId: Long): Unit = {
+    // The valid-row path is epoch-keyed (exactly-once under an
+    // idempotent sink); DLQ writes stay at-least-once — duplicate
+    // diagnostic envelopes on a redelivered batch are acceptable, as
+    // in the reference (a retried batch re-produces to the DLQ topic).
     val res = Pipeline.process(raw, metas(), cfg)
     val firstFailure: Option[Exception] =
-      try { insertAttempts += 1; validSink.write(res.valid); None }
+      try { insertAttempts += 1; validSink.write(res.valid, batchId); None }
       catch { case e: Exception => Some(e) }
     firstFailure match {
       case None =>
@@ -62,7 +66,7 @@ final class BatchOrchestrator(
         // payloads (not the already-coerced rows), retry the insert
         // once (main.py:434-445).
         val res2 = Pipeline.process(raw, refreshMetas(), cfg)
-        try { insertAttempts += 1; validSink.write(res2.valid) }
+        try { insertAttempts += 1; validSink.write(res2.valid, batchId) }
         catch {
           case e2: Exception => // still-valid rows → DLQ (main.py:446-450)
             dlqSink.write(res2.validRaw.withColumn("error", lit(e2.getMessage)))

@@ -103,6 +103,42 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.exists(_.getString(1) == "malformed JSON"))
   }
 
+  test("idempotent sink: a redelivered batch is a no-op (exactly-once output)") {
+    import spark.implicits._
+    val dir = tmp()
+    val sink = new graft.io.IdempotentParquetSink(dir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink.write(df, 7L)
+    sink.write(df, 7L) // redelivery: crash fell between sink write and checkpoint commit
+    assert(graft.io.IdempotentParquetSink.readCommitted(spark, dir).count() == 2)
+    sink.write(Seq((3L, "c")).toDF("id", "v"), 8L)
+    assert(graft.io.IdempotentParquetSink.readCommitted(spark, dir).count() == 3)
+  }
+
+  test("idempotent sink: an uncommitted partial write is invisible and overwritten on retry") {
+    import spark.implicits._
+    val dir = tmp()
+    val sink = new graft.io.IdempotentParquetSink(dir)
+    // simulate crash mid-write: batch dir with data but no marker
+    Seq((9L, "stale"), (10L, "stale")).toDF("id", "v").write.parquet(s"$dir/batch=3")
+    assert(graft.io.IdempotentParquetSink.readCommitted(spark, dir).count() == 0)
+    sink.write(Seq((9L, "fresh")).toDF("id", "v"), 3L)
+    val rows = graft.io.IdempotentParquetSink.readCommitted(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "fresh")
+  }
+
+  test("idempotent sink through the orchestrator: reprocessed batch does not duplicate") {
+    import spark.implicits._
+    val validDir = tmp(); val dlqDir = tmp()
+    val orch = new BatchOrchestrator(provider, cfg,
+      new graft.io.IdempotentParquetSink(validDir), new ParquetDlqSink(dlqDir))
+    val raw = Seq("""{"device_id": 7, "note": "a"}""")
+      .toDF(graft.pipeline.Pipeline.ValueCol)
+    orch.processBatch(raw, 0L)
+    orch.processBatch(raw, 0L) // at-least-once redelivery of the same epoch
+    assert(graft.io.IdempotentParquetSink.readCommitted(spark, validDir).count() == 1)
+  }
+
   test("FileJsonSource: payload files stream through the full pipeline (S1 file impl)") {
     import graft.io.FileJsonSource
     val inDir = tmp(); val validDir = tmp(); val dlqDir = tmp()
