@@ -645,9 +645,9 @@ object Queries {
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
       .select("doc_id", "lang", "n_tokens")
-    // Budget cut via the two-pass distributed prefix sum (PrefixSum) —
-    // replaces the previous single-partition Window.orderBy running
-    // sum, which PlanAudit now flags as GlobalWindow.
+    // Budget cut via PrefixSum: cost-based — at test SFs Catalyst's
+    // size estimate picks the single-partition window (optimal small),
+    // past the threshold the two-pass distributed scan kicks in.
     PrefixSum.runningTotal(deduped, "doc_id", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") - col("n_tokens") < 10000)
       .select("doc_id", "lang", "n_tokens", "cum_tokens")
@@ -878,10 +878,11 @@ object Queries {
   /** Training-sequence packing (concat-then-chunk, how LLM pretraining
     * actually packs): the corpus token stream in doc_id order is cut
     * every 2048 tokens; a doc belongs to the chunk where it STARTS.
-    * The running total uses operators/PrefixSum — a two-pass
-    * distributed scan (per-partition totals → broadcast offsets →
-    * partitioned window), NOT the single-partition global window
-    * `Window.orderBy` plans. Chunk stats aggregate per chunk.
+    * The running total uses operators/PrefixSum — cost-based: a
+    * two-pass distributed scan (per-partition totals → broadcast
+    * offsets → partitioned window) above its size threshold, the
+    * single-partition window below it. Chunk stats aggregate per
+    * chunk.
     */
   def q55_pack_chunks(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.PrefixSum

@@ -27,14 +27,29 @@ object PrefixSum {
 
   /** Adds `cumCol` = inclusive running sum of `valueCol` over
     * ascending `orderCol` (must be globally unique).
+    *
+    * Physical selection is cost-based, mirroring Spark's own
+    * broadcast-join threshold: below `smallInputBytes` (Catalyst's
+    * size estimate) the single-partition window is strictly better —
+    * one task, no boundary-sampling scan, no materialization — so it
+    * is used; above it, the two-pass distributed scan. Pass
+    * `smallInputBytes = 0` to force the distributed path.
     */
   def runningTotal(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
       cumCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      smallInputBytes: Long = 64L << 20): DataFrame = {
     val spark = df.sparkSession
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(orderCol).asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      return df.withColumn(cumCol, sum(col(valueCol).cast("long")).over(w))
+    }
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val parted = df
       .repartitionByRange(p, col(orderCol))

@@ -63,23 +63,35 @@ class GraphOpsSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.currentRow)
     val want = df.withColumn("cum", sum("v").over(w))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val got = PrefixSum.runningTotal(df, "id", "v", "cum", numPartitions = 7)
+    val got = PrefixSum.runningTotal(df, "id", "v", "cum",
+        numPartitions = 7, smallInputBytes = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == want)
   }
 
   test("prefix sum is partition-count invariant") {
     val df = (0 until 1000).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
-    val one = PrefixSum.runningTotal(df, "id", "v", "cum", numPartitions = 1)
+    val one = PrefixSum.runningTotal(df, "id", "v", "cum",
+        numPartitions = 1, smallInputBytes = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val many = PrefixSum.runningTotal(df, "id", "v", "cum", numPartitions = 16)
+    val many = PrefixSum.runningTotal(df, "id", "v", "cum",
+        numPartitions = 16, smallInputBytes = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(one == many)
   }
 
-  test("prefix-sum physical plan has no un-partitioned window") {
+  test("prefix sum small-input path equals the distributed path") {
+    val df = (0 until 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val small = PrefixSum.runningTotal(df, "id", "v", "cum") // under threshold
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dist = PrefixSum.runningTotal(df, "id", "v", "cum", smallInputBytes = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(small == dist)
+  }
+
+  test("prefix-sum distributed plan has no un-partitioned window") {
     val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "v")
-    val plan = PrefixSum.runningTotal(df, "id", "v", "cum")
+    val plan = PrefixSum.runningTotal(df, "id", "v", "cum", smallInputBytes = 0)
       .queryExecution.executedPlan
     def nodes(sp: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
