@@ -1019,6 +1019,85 @@ object Queries {
     s.sql(q61Sql)
   }
 
+  /** Weighted mixture sampling — hit per-source quotas when composing
+    * a training mix (web-heavy, curated-light, …). Deterministic: each
+    * source's picks are its quota-first docs in multiplicative-hash
+    * order (q41's RNG-free machinery), quotas ride a broadcast
+    * dimension join. One shuffle on the stratum key.
+    */
+  def q62_source_mix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quotas = (0 until 20)
+      .map(i => (s"src$i", if (i < 5) 20 else if (i < 10) 10 else 5))
+      .toDF("source", "quota")
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select("doc_id", "source")
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_picked"), min("doc_id").as("first_pick"))
+      .orderBy("source")
+  }
+
+  /** Corpus analysis: top-3 5-gram shingles per language by document
+    * frequency. Two-level aggregation (per-(lang,ngram) doc counts →
+    * per-lang rank ≤ 3); WindowGroupLimit prunes each partition to 3
+    * rows before the rank sort at scale.
+    */
+  def q63_top_ngrams(s: SparkSession, dir: String): DataFrame = {
+    val counts = tWide(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("lang"), explode(TextFunctions.wordShingles(col("toks"), 5)).as("ng"))
+      .groupBy("lang", "ng")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang").orderBy(col("n_docs").desc, col("ng").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("lang", "rn", "ng", "n_docs")
+      .orderBy("lang", "rn")
+  }
+
+  /** Embedding aggregation: per-label centroid coordinates (first 4
+    * dims) + mean squared norm. The per-vector fold (`transform` +
+    * `aggregate`) is left-to-right in both engines, so per-row sums
+    * are bit-identical; cross-row averages are order-free only under
+    * rounding (4 dp).
+    */
+  def q64_label_centroids(s: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(transform(col("embedding"), _.cast("double")),
+      lit(0.0), (acc, x) => acc + x * x)
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c1"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 4).as("c2"),
+        round(avg(element_at(col("embedding"), 3).cast("double")), 4).as("c3"),
+        round(avg(element_at(col("embedding"), 4).cast("double")), 4).as("c4"),
+        round(avg(sq), 4).as("mean_sq_norm"))
+      .orderBy("label")
+  }
+
+  /** Multiway fact join: lineitem ⋈ part ⋈ supplier ⋈ nation (the
+    * TPC-H Q9 shape). part/supplier/nation are all dimension-sized →
+    * AQE turns every join into a broadcast hash join; the fact table
+    * is never shuffled. Exercises join ordering over 4 relations.
+    */
+  def q65_multiway_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name", "p_brand")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1081,6 +1160,10 @@ object Queries {
     "q59_asof_forward"  -> (q59_asof_forward _),
     "q60_join_full"     -> (q60_join_full _),
     "q61_sql_subquery"  -> (q61_sql_subquery _),
+    "q62_source_mix"    -> (q62_source_mix _),
+    "q63_top_ngrams"    -> (q63_top_ngrams _),
+    "q64_label_centroids" -> (q64_label_centroids _),
+    "q65_multiway_join" -> (q65_multiway_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1631,5 +1714,53 @@ object Queries {
         |FROM ship s FULL JOIN intake i ON s.day = i.day
         |ORDER BY day""".stripMargin,
     "q61_sql_subquery" -> Queries.q61Sql,
+    "q62_source_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+        |    CASE WHEN substr(source, 4)::INT < 5 THEN 20
+        |         WHEN substr(source, 4)::INT < 10 THEN 10
+        |         ELSE 5 END AS quota
+        |  FROM documents)
+        |SELECT source, count(*) AS n_picked, min(doc_id) AS first_pick
+        |FROM r WHERE rn <= quota
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q63_top_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                          for i in range(1, len(toks) - 3)])) AS ng
+        |  FROM d WHERE len(toks) >= 5),
+        |c AS (SELECT lang, ng, count(*) AS n_docs FROM s GROUP BY lang, ng),
+        |r AS (
+        |  SELECT lang, ng, n_docs,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_docs DESC, ng ASC) AS rn
+        |  FROM c)
+        |SELECT lang, rn, ng, n_docs FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
+    "q64_label_centroids" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(embedding[1]::DOUBLE), 4) AS c1,
+        |  round(avg(embedding[2]::DOUBLE), 4) AS c2,
+        |  round(avg(embedding[3]::DOUBLE), 4) AS c3,
+        |  round(avg(embedding[4]::DOUBLE), 4) AS c4,
+        |  round(avg(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+        |    AS mean_sq_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q65_multiway_join" ->
+      """SELECT n_name, p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
   )
 }
