@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Components, PrefixSum}
+
+/** Beyond-toy-size checks: the scale-sensitive operators run on
+  * generated inputs a few orders of magnitude past the driver
+  * fixtures, partitioned the way a real cluster would see them
+  * (`spark.range` is uniformly split across cores). These are not
+  * benchmarks — they assert CORRECTNESS survives real partition
+  * counts, spills, and multi-round convergence at sizes where a
+  * driver-side or single-partition implementation would blow up.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix sum over 2M rows (distributed path) matches a closed form") {
+    // v(i) = i % 97 → cum(n) has a closed form: full cycles + remainder
+    val df = spark.range(2000000).select(col("id"), (col("id") % 97).as("v"))
+    val got = PrefixSum.runningTotal(df, "id", "v", "cum", smallInputBytes = 0)
+    def closed(n: Long): Long = { // inclusive sum of i%97 for i in 0..n
+      val c = (n + 1) / 97; val r = (n + 1) % 97
+      c * (96 * 97 / 2) + r * (r - 1) / 2
+    }
+    val sample = got.filter(col("id").isin(0L, 96L, 97L, 999999L, 1999999L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sample.foreach { case (id, cum) =>
+      assert(cum == closed(id), s"id=$id got=$cum want=${closed(id)}")
+    }
+    assert(got.count() == 2000000)
+  }
+
+  test("connected components on a 100k-edge graph with planted structure") {
+    // 10k disjoint 10-node rings: component of node i = (i/10)*10.
+    val edges = spark.range(100000).select(
+      col("id").as("a"),
+      (col("id") - (col("id") % 10) + (col("id") + 1) % 10).as("b"))
+    val labels = Components.connectedComponents(edges.toDF(), "a", "b")
+    assert(labels.count() == 100000)
+    val wrong = labels.filter(col("component") =!= col("id") - (col("id") % 10)).count()
+    assert(wrong == 0, s"$wrong nodes got a wrong component")
+  }
+
+  test("as-of join over 1M events keeps exactly one match per left row") {
+    // right rows at even times t=0,2,4,..., left rows at odd times;
+    // backward match of left t is always right t-1... (t odd → t-1 even).
+    val right = spark.range(500000).select(
+      (col("id") % 1000).as("k"), expr("id div 1000 * 2").as("t"),
+      col("id").as("rid"))
+    val left = spark.range(500000).select(
+      (col("id") % 1000).as("k"), expr("id div 1000 * 2 + 1").as("t"),
+      col("id").as("lid"))
+    val joined = AsOfJoin.backward(
+      left.toDF(), right.toDF(), "k", "t", "t", "rid", "m_")
+    assert(joined.count() == 500000)
+    // every left row must match the right row at t-1 of the same key
+    val bad = joined.filter(col("m_t") =!= col("t") - 1).count()
+    assert(bad == 0, s"$bad rows matched the wrong as-of time")
+  }
+}
