@@ -1098,6 +1098,65 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("n_name", "p_brand")
 
+  /** Equi-width histogram of events.value in 20 bins. min/max ride a
+    * 1-row broadcast; the bin expression is the same IEEE arithmetic
+    * tree in both engines, so edge assignment is deterministic. At
+    * scale this is the one-pass profiling primitive (the quantile
+    * histogram's fixed-width cousin).
+    */
+  def q66_value_histogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.agg(min("value").as("mn"), max("value").as("mx"))
+    ev.crossJoin(broadcast(stats))
+      .select(least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / lit(20))),
+        lit(19L)).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** Unpivot (melt) — the inverse of q43's pivot, turning the wide
+    * status counts back into (priority, status, n) rows. Executor-side
+    * row generation; no shuffle beyond the pivot's own.
+    */
+  def q67_unpivot(s: SparkSession, dir: String): DataFrame =
+    q43_pivot(s, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status", "n")
+      .orderBy("o_orderpriority", "status")
+
+  /** Per-dimension embedding statistics via posexplode: mean/min/max of
+    * the first 8 coordinates across all vectors — the profiling pass a
+    * vector pipeline runs before normalization/whitening. Generator is
+    * top-level in its projection (codegen'd row expansion).
+    */
+  def q68_dim_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 4).as("mean_x"),
+        round(min("x"), 4).as("min_x"),
+        round(max("x"), 4).as("max_x"))
+      .orderBy("dim")
+
+  /** Conditional + boolean aggregation: count_if / filtered sum /
+    * bool_or / bool_and per event type (booleans cast to int for
+    * engine-stable stringification).
+    */
+  def q69_conditional_aggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count_if(col("value") > 100).as("n_big"),
+        round(coalesce(sum(when(col("value") > 100, col("value"))), lit(0.0)), 2).as("sum_big"),
+        bool_or(col("value") > 450).cast("int").as("any_huge"),
+        bool_and(col("value") >= 0).cast("int").as("all_nonneg"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1164,6 +1223,10 @@ object Queries {
     "q63_top_ngrams"    -> (q63_top_ngrams _),
     "q64_label_centroids" -> (q64_label_centroids _),
     "q65_multiway_join" -> (q65_multiway_join _),
+    "q66_value_histogram" -> (q66_value_histogram _),
+    "q67_unpivot"       -> (q67_unpivot _),
+    "q68_dim_stats"     -> (q68_dim_stats _),
+    "q69_conditional_aggs" -> (q69_conditional_aggs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1762,5 +1825,37 @@ object Queries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
+    "q66_value_histogram" ->
+      """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT least(floor((value - mn) / ((mx - mn) / 20)), 19)::BIGINT AS bin,
+        |  count(*) AS n
+        |FROM events, s GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q67_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |    count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |    count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_f' AS status, n_f AS n FROM p
+        |UNION ALL
+        |SELECT o_orderpriority, 'n_o', n_o FROM p
+        |UNION ALL
+        |SELECT o_orderpriority, 'n_p', n_p FROM p
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "q68_dim_stats" ->
+      """SELECT i AS dim, count(*) AS n,
+        |  round(avg(embedding[i]::DOUBLE), 4) AS mean_x,
+        |  round(min(embedding[i]::DOUBLE), 4) AS min_x,
+        |  round(max(embedding[i]::DOUBLE), 4) AS max_x
+        |FROM embeddings, range(1, 9) t(i)
+        |GROUP BY i ORDER BY dim""".stripMargin,
+    "q69_conditional_aggs" ->
+      """SELECT event_type,
+        |  count(*) FILTER (value > 100) AS n_big,
+        |  round(coalesce(sum(value) FILTER (value > 100), 0.0), 2) AS sum_big,
+        |  bool_or(value > 450)::INT AS any_huge,
+        |  bool_and(value >= 0)::INT AS all_nonneg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
