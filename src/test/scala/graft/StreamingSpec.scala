@@ -139,6 +139,18 @@ class StreamingSpec extends SparkSpec {
     assert(graft.io.IdempotentParquetSink.readCommitted(spark, validDir).count() == 1)
   }
 
+  test("idempotent sink end-to-end: StreamJob epochs land once each, readable only when committed") {
+    val validDir = tmp(); val dlqDir = tmp()
+    runStream(
+      Seq(
+        """{"device_id": 1, "note": "a"}""",
+        """{"device_id": 2, "note": "b"}"""),
+      new graft.io.IdempotentParquetSink(validDir), new ParquetDlqSink(dlqDir))
+    val out = graft.io.IdempotentParquetSink.readCommitted(spark, validDir)
+    assert(out.count() == 2)
+    assert(out.select("device_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("FileJsonSource: payload files stream through the full pipeline (S1 file impl)") {
     import graft.io.FileJsonSource
     val inDir = tmp(); val validDir = tmp(); val dlqDir = tmp()
