@@ -1157,6 +1157,57 @@ object Queries {
         bool_and(col("value") >= 0).cast("int").as("all_nonneg"))
       .orderBy("event_type")
 
+  /** Fuzzy matching: Levenshtein distance between successive customer
+    * names (the record-linkage / data-cleaning primitive). Classic DP
+    * gives identical integers in both engines; the pair set is a
+    * deterministic id equi-join, never an all-pairs blowup.
+    */
+  def q70_fuzzy_match(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+      .groupBy("edit_dist")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("edit_dist")
+  }
+
+  /** Rolling event-time window (RANGE frame): per user, the sum/count
+    * of the trailing 7 days at every event — the moving-average shape
+    * that tumbling windows (q28) cannot express. The frame is defined
+    * on µs epoch VALUES, so rows tying on ts get identical frames in
+    * both engines (peer-inclusive determinism, unlike a ROWS frame).
+    */
+  def q71_rolling_window(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-weekUs, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "n_7d", "sum_7d")
+      .orderBy("event_id")
+  }
+
+  /** Dispersion statistics per group: sample stddev/variance and the
+    * mean, rounded — the profiling aggregates a quality pipeline runs
+    * per source/type. All partial+final (Welford-mergeable) aggs.
+    */
+  def q72_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 2).as("mean_v"),
+        round(stddev_samp(col("value")), 2).as("sd_v"),
+        round(var_samp(col("value")), 1).as("var_v"),
+        round(min("value"), 2).as("min_v"),
+        round(max("value"), 2).as("max_v"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1227,6 +1278,9 @@ object Queries {
     "q67_unpivot"       -> (q67_unpivot _),
     "q68_dim_stats"     -> (q68_dim_stats _),
     "q69_conditional_aggs" -> (q69_conditional_aggs _),
+    "q70_fuzzy_match"   -> (q70_fuzzy_match _),
+    "q71_rolling_window" -> (q71_rolling_window _),
+    "q72_stats"         -> (q72_stats _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1856,6 +1910,26 @@ object Queries {
         |  round(coalesce(sum(value) FILTER (value > 100), 0.0), 2) AS sum_big,
         |  bool_or(value > 450)::INT AS any_huge,
         |  bool_and(value >= 0)::INT AS all_nonneg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q70_fuzzy_match" ->
+      """SELECT levenshtein(a.c_name, b.c_name) AS edit_dist, count(*) AS n_pairs
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |GROUP BY 1 ORDER BY edit_dist""".stripMargin,
+    "q71_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(value) OVER w, 2) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q72_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 2) AS mean_v,
+        |  round(stddev_samp(value), 2) AS sd_v,
+        |  round(var_samp(value), 1) AS var_v,
+        |  round(min(value), 2) AS min_v,
+        |  round(max(value), 2) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
