@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   * data beyond a per-round convergence scalar.
   *
   * Scale notes (100 TB design point):
-  *  - rounds needed = graph diameter. Near-dup graphs are
-  *    overwhelmingly tiny cliques/short chains (dup clusters), so
-  *    convergence is typically 2–4 rounds. For adversarial
-  *    long-diameter graphs the drop-in refinement is alternating
-  *    large-star/small-star (Kiveris et al., "Connected Components in
-  *    MapReduce and Beyond", SoCC '14) which bounds rounds by
-  *    O(log² n); the per-round dataflow (join + min-agg) is the same
-  *    shape as here.
+  *  - plain min propagation needs diameter-many rounds; each round
+  *    here ALSO pointer-jumps (label(x) ← label(label(x)), one
+  *    self-join — the path-halving trick of Shiloach–Vishkin-style
+  *    CC), which collapses convergence to O(log diameter): a 30-node
+  *    path closes in 5 rounds, not 30. Near-dup graphs are
+  *    overwhelmingly tiny cliques anyway (2–3 rounds); the
+  *    alternating large-star/small-star formulation (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC '14) is
+  *    the further refinement if edge-set rewriting is preferred over
+  *    label tables.
   *  - convergence is detected via sum(label): labels only ever
   *    decrease, so an unchanged sum IS the fixpoint — one Long to the
   *    driver per round, never the labels themselves.
@@ -64,9 +66,20 @@ object Components {
     while (iter < maxIter && !converged) {
       val msgs = sym.join(labels, sym("s") === labels("id"))
         .select(col("d").as("id"), col("component"))
-      val next = msgs.union(labels)
+      val propagated = msgs.union(labels)
         .groupBy("id")
         .agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // Pointer jump (path halving): label(x) ← label(label(x)).
+      // Every component value is itself a node id (labels are ids and
+      // min preserves that), so the inner self-join is total. Labels
+      // stay monotone non-increasing → the sum check still detects
+      // the fixpoint; rounds drop from O(diameter) to O(log diameter).
+      // (checkpoint first: self-joining the raw Union plan trips
+      // Catalyst's constraint rewrite on duplicate attribute ids)
+      val jump = propagated.select(col("id").as("jid"), col("component").as("jcomp"))
+      val next = propagated.join(jump, col("component") === col("jid"))
+        .select(col("id"), col("jcomp").as("component"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum("component")).head.getLong(0)
       labels = next

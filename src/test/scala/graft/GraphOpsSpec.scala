@@ -25,10 +25,11 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("connected components: long chain needs diameter rounds but converges") {
-    // a 30-node path — worst-case diameter for min-label propagation
+  test("connected components: pointer jumping closes a 30-node path in O(log d) rounds") {
+    // plain min propagation would need ~30 rounds; path halving must
+    // land well inside 8 (observed: 5)
     val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(edges, "a", "b", maxIter = 40)
+    val got = Components.connectedComponents(edges, "a", "b", maxIter = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 30 && got.values.forall(_ == 0L))
   }
