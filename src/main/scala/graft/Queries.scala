@@ -1208,6 +1208,92 @@ object Queries {
         round(max("value"), 2).as("max_v"))
       .orderBy("event_type")
 
+  /** SCD2 dimension build from a change log: each (user, event) row
+    * becomes a validity interval [ts, next-ts) via lead() — the
+    * slowly-changing-dimension primitive a warehouse load runs per
+    * batch. One shuffle on the entity key; open intervals close at
+    * Long.MaxValue so `is_current` is derivable without a second pass.
+    * Ties on (user, ts) are totally ordered by event_id, making the
+    * interval chain deterministic in both engines.
+    */
+  def q73_scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        col("ts_us").as("valid_from_us"),
+        coalesce(col("next_us"), lit(Long.MaxValue)).as("valid_to_us"),
+        col("next_us").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  /** Character-entropy quality score per document — the Shannon-entropy
+    * filter that catches mojibake/binary-garbage docs (abnormally high)
+    * and boilerplate/repetition (abnormally low). Single-pass form
+    * H = log2(L) − Σ n·log2(n) / L over per-char counts, so the whole
+    * thing is two hash aggregations (char counts, then per-doc fold) —
+    * no per-doc buffers, fully partial+final at any scale. The explode
+    * multiplies rows by doc length, hence tWide (CPU-heavy map stage).
+    */
+  def q74_entropy(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).cast("double").as("n"))
+      .groupBy("doc_id")
+      .agg((log2(sum("n")) - sum(col("n") * log2(col("n"))) / sum("n")).as("h"))
+      .select(col("doc_id"), round(col("h"), 2).as("entropy_bits"))
+      .orderBy("doc_id")
+
+  /** Term co-occurrence counts — the PMI / embedding-training prep
+    * pass: distinct (doc, word) pairs self-joined per doc with w_a <
+    * w_b. Shuffles on doc_id (both sides co-partitioned — one shuffle
+    * each, local pair expansion), then a partial+final count on the
+    * pair key. Pair blowup is |doc|·v² with v = per-doc DISTINCT
+    * vocabulary, which quality-gated corpora keep small; the top-k tail
+    * is TakeOrderedAndProject, never a global sort.
+    */
+  def q75_cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val words = tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val a = words.select(col("doc_id"), col("w").as("w_a"))
+    val b = words.select(col("doc_id").as("doc_b"), col("w").as("w_b"))
+    a.join(b, col("doc_id") === col("doc_b") && col("w_a") < col("w_b"))
+      .groupBy("w_a", "w_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("w_a"), col("w_b"))
+      .limit(25)
+  }
+
+  /** Inverted-index build: per term, document frequency + the first 10
+    * postings. The WindowGroupLimit-pruned row_number (rank ≤ 10 per
+    * term, discarded partition-local before the sort finishes) BOUNDS
+    * the collect_list state — the naive collect-then-slice holds a
+    * term's whole posting list in one aggregation buffer, which for a
+    * stopword at 100 TB is the corpus. df rides the same shuffled
+    * `words` via a separate count agg, joined back on the term.
+    */
+  def q76_posting_lists(s: SparkSession, dir: String): DataFrame = {
+    val words = tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy("w").orderBy("doc_id")
+    val top = words
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 10)
+      .groupBy("w")
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+    dfreq.join(top, Seq("w"))
+      .select(col("w").as("word"), col("df"), col("postings"))
+      .orderBy("word")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1281,6 +1367,10 @@ object Queries {
     "q70_fuzzy_match"   -> (q70_fuzzy_match _),
     "q71_rolling_window" -> (q71_rolling_window _),
     "q72_stats"         -> (q72_stats _),
+    "q73_scd2"          -> (q73_scd2 _),
+    "q74_entropy"       -> (q74_entropy _),
+    "q75_cooccurrence"  -> (q75_cooccurrence _),
+    "q76_posting_lists" -> (q76_posting_lists _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1931,5 +2021,43 @@ object Queries {
         |  round(min(value), 2) AS min_v,
         |  round(max(value), 2) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q73_scd2" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807) AS valid_to_us,
+        |  CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q74_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), counts AS (
+        |  SELECT doc_id, ch, count(*)::DOUBLE AS n FROM chars GROUP BY doc_id, ch
+        |)
+        |SELECT doc_id,
+        |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 2) AS entropy_bits
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q75_cooccurrence" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0)
+        |SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_docs
+        |FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.w < b.w
+        |GROUP BY 1, 2 ORDER BY n_docs DESC, w_a, w_b LIMIT 25""".stripMargin,
+    "q76_posting_lists" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |dfreq AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+        |top AS (
+        |  SELECT w, array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |  FROM (SELECT w, doc_id FROM (
+        |    SELECT w, doc_id, row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+        |    FROM words) r WHERE rn <= 10) f
+        |  GROUP BY w)
+        |SELECT d.w AS word, d.df, t.postings
+        |FROM dfreq d JOIN top t ON d.w = t.w ORDER BY word""".stripMargin,
   )
 }
