@@ -1294,6 +1294,80 @@ object Queries {
       .orderBy("word")
   }
 
+  /** Conversion funnel: per signup cohort week, the share of users who
+    * purchase within 7 days of first signup — the product-analytics
+    * query every event warehouse serves. The purchase probe is an
+    * EQUI-join on user_id with the time bounds as residual predicates
+    * (hash join, never BNLJ); conversion collapses per user before the
+    * tiny cohort rollup, so the wide side is touched exactly once.
+    */
+  def q77_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    signup.join(purch,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("signup_ts") &&
+          col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy("user_id", "signup_ts")
+      .agg(max(col("p_ts").isNotNull.cast("int")).as("converted"))
+      .groupBy(to_date(date_trunc("week", col("signup_ts"))).as("cohort_week"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("converted").as("n_converted"),
+        floor(lit(10000.0) * sum("converted") / count(lit(1))).cast("long").as("conv_bp"))
+      .orderBy("cohort_week")
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity week,
+    * counted distinct in each subsequent week — two shuffles (per-user
+    * cohort, then the distinct-count on (cohort, week)). The week
+    * offset is integer day arithmetic on DATE-truncated weeks, so both
+    * engines bucket identically (Monday weeks, 2024-01-01 epoch).
+    */
+  def q78_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cohort = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
+    val act = ev.select(col("user_id").as("a_user"),
+      to_date(date_trunc("week", col("ts"))).as("act_week")).distinct()
+    cohort.join(act, col("user_id") === col("a_user"))
+      .select(col("cohort_week"),
+        floor(datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_n"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_n")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  /** CSV wire-format ingest — the S2 decode stage for a second format:
+    * rows re-serialized as CSV lines, parsed back with `from_csv`
+    * (codegen'd UniVocity parser, no UDF), then checksum-aggregated.
+    * The oracle aggregates the ORIGINAL parquet values, so the hash
+    * match proves the serialize→parse round trip is lossless for
+    * longs, doubles, and µs timestamps. Same repartition rationale as
+    * q35: a real wire source arrives pre-partitioned.
+    */
+  def q79_csv_ingest(s: SparkSession, dir: String): DataFrame = {
+    val lines = tWide(s, dir, "events").select(concat_ws(",",
+      col("event_id"), unix_micros(col("ts")), col("user_id"),
+      col("event_type"), col("value").cast("string")).as("line"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    lines
+      .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        sum("event_id").as("sum_ids"),
+        max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1371,6 +1445,9 @@ object Queries {
     "q74_entropy"       -> (q74_entropy _),
     "q75_cooccurrence"  -> (q75_cooccurrence _),
     "q76_posting_lists" -> (q76_posting_lists _),
+    "q77_funnel"        -> (q77_funnel _),
+    "q78_retention"     -> (q78_retention _),
+    "q79_csv_ingest"    -> (q79_csv_ingest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2059,5 +2136,35 @@ object Queries {
         |  GROUP BY w)
         |SELECT d.w AS word, d.df, t.postings
         |FROM dfreq d JOIN top t ON d.w = t.w ORDER BY word""".stripMargin,
+    "q77_funnel" ->
+      """WITH signup AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT s.user_id, s.signup_ts,
+        |    max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+        |  FROM signup s LEFT JOIN events p
+        |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= s.signup_ts AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+        |  GROUP BY s.user_id, s.signup_ts)
+        |SELECT date_trunc('week', signup_ts)::DATE AS cohort_week,
+        |  count(*) AS n_users, sum(converted)::BIGINT AS n_converted,
+        |  floor(10000.0 * sum(converted) / count(*))::BIGINT AS conv_bp
+        |FROM conv GROUP BY 1 ORDER BY cohort_week""".stripMargin,
+    "q78_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS act_week FROM events)
+        |SELECT c.cohort_week,
+        |  floor(datediff('day', c.cohort_week, a.act_week) / 7)::INT AS week_n,
+        |  count(DISTINCT c.user_id) AS n_users
+        |FROM cohort c JOIN act a ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin,
+    "q79_csv_ingest" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  sum(event_id)::BIGINT AS sum_ids, max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
