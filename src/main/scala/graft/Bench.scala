@@ -23,10 +23,19 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness that captures this output keeps only a bounded tail of
+    // the log, so the JSON line must stay well under 2000 chars even as
+    // the query count grows: keys are compacted to the unambiguous qNN
+    // prefix and values rounded to centiseconds. Full names + precise
+    // times go to stderr for humans.
+    val qs = results.map { case (k, v) =>
+      val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+      f""""$short":$v%.2f"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.foreach { case (k, v) => System.err.println(f"BENCH_DETAIL $k $v%.3f") }
+    System.err.flush()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
