@@ -1368,6 +1368,205 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Bloom-prefiltered incremental dedup (operators/BloomDedup): which
+    * docs from the non-src0 sources are textually new vs. the src0
+    * corpus. The bloom routes "definitely new" rows around the exact
+    * anti-join — only maybe-dupes shuffle — yet the result is exactly
+    * the anti-join's, so a NOT EXISTS oracle verifies it. Compare
+    * q45_dedup_incremental, the hash-anti-join-only shape.
+    */
+  def q80_bloom_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomDedup
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("source") === "src0")
+    val incoming = docs.filter(col("source") =!= "src0")
+    BloomDedup.newRows(incoming, corpus, "text", expectedItems = 100000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** TF-IDF top terms per document. tf and df are integer aggregates;
+    * idf = ln(N/df) enters only the score VALUE (rounded, q74's log
+    * precedent) — ranking uses (tf DESC, word ASC), pure integers, so
+    * cross-engine float noise cannot reorder rows. Two hash-agg
+    * shuffles (doc×word, word) + one broadcast of the tiny df side.
+    */
+  def q81_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val words = tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 3).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25 relevance (k1=1.2, b=0.75) of every document against a fixed
+    * term set. avgdl is a sum of integer token counts — exact in
+    * doubles, so both engines divide identical numbers; output rows are
+    * keyed/ordered by doc_id alone (no float-ordered top-k). One
+    * explode+agg shuffle; per-term df and avgdl broadcast as 1-row/
+    * tiny sides.
+    */
+  def q82_bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val k1 = 1.2; val b = 0.75
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val words = tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg((sum("dl") / count(lit(1))).as("avgdl"))
+    val tf = words.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("s", idf * col("tf") * (lit(k1) + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("s"), 3).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy("doc_id")
+  }
+
+  /** Passage-level dedup: each doc is cut into 16-word passages; a
+    * passage is kept only at its first (doc_id, idx) occurrence
+    * corpus-wide — the sub-document dedup granularity real pipelines
+    * use for boilerplate. Chunking is pure array arithmetic
+    * (sequence/slice/array_join — codegen, no UDF); global first-wins
+    * is one row_number window partitioned by passage hash.
+    */
+  def q83_passage_dedup(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 16
+    val passages = tWide(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), (ceil(size(col("ws")) / lit(chunk.toDouble)) - 1).cast("int")),
+          i => array_join(slice(col("ws"), i * chunk + 1, lit(chunk)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "passage")
+    val w = Window.partitionBy(col("passage")).orderBy(col("doc_id").asc, col("idx").asc)
+    passages
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum((col("rnk") === 1).cast("long")).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Z-order layout clustering (operators/ZOrder): orders bucketed on
+    * (custkey mod 256, orderdate-day mod 256), z-interleaved, grouped
+    * into 64-z-value tiles. Each tile's min/max per dimension shows the
+    * 8×8 locality bound that makes footer-stats pruning work on BOTH
+    * columns after a z-sorted write. Pure bit-arithmetic projection +
+    * one hash agg.
+    */
+  def q84_zorder_layout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val x = pmod(col("o_custkey"), lit(256L))
+    // o_orderdate is TIMESTAMP_NTZ midnight; its epoch-day number is
+    // datediff from 1970-01-01 — matches the oracle's epoch_us // 86400e6.
+    val y = pmod(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"), lit(256L))
+    t(s, dir, "orders")
+      .select(x.as("x"), y.as("y"))
+      .withColumn("tile", shiftright(ZOrder.zvalue(col("x"), col("y")), 6))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("tile")
+  }
+
+  /** Length-bucketed batch planning: docs grouped into 32-token length
+    * buckets; per bucket the doc/token totals and the number of 8-doc
+    * training batches (integer ceil — no FP). The split a training
+    * loader uses to minimize padding waste. One explode-free projection
+    * (size of split) + one hash agg.
+    */
+  def q85_length_buckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((size(split(col("text"), " "))).as("tokens"))
+      .withColumn("bucket", (col("tokens") / lit(32)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
+        ((count(lit(1)) + 7) / 8).cast("long").as("n_batches"))
+      .orderBy("bucket")
+
+  /** Per-entity z-score anomaly flags: events deviating more than 2
+    * sample-stddevs from their user's mean value, counted per event
+    * type. The per-user stats join is a broadcast (users ≪ events);
+    * the flag predicate is evaluated on identical doubles in both
+    * engines (integer-exact counts, sums compared far from the
+    * threshold).
+    */
+  def q86_anomaly_zscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy("user_id")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    ev.join(broadcast(stats), "user_id")
+      .filter(col("sd").isNotNull && abs(col("value") - col("mu")) > lit(2) * col("sd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"), round(sum("value"), 2).as("sum_outlier_value"))
+      .orderBy("event_type")
+  }
+
+  /** Event-time inter-arrival gaps per user — stream-health telemetry.
+    * max gap needs the lag window; mean gap telescopes to
+    * (last−first)/(n−1), all integer µs arithmetic (DIV) — zero FP in
+    * the output. One shuffle on user_id serves window and aggregation.
+    */
+  def q87_event_gaps(s: SparkSession, dir: String): DataFrame = {
+    // Window ordering uses the post-projection alias `us` — the
+    // pre-projection `ts` no longer resolves after the select.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("gap").as("max_gap_us"),
+        ((max("us") - min("us")) / (count(lit(1)) - 1)).cast("long").as("avg_gap_us"))
+      .filter(col("n_events") >= 2)
+      .orderBy("user_id")
+  }
+
+  /** CDC merge/upsert (MERGE INTO semantics on plain parquet): a
+    * deterministic change batch (keys ≡0 mod 3: deletes where ≡0 mod
+    * 5, else updates at price+10) applied to a base snapshot (keys ≢0
+    * mod 7) in ONE full-outer join pass — updates overwrite, inserts
+    * append, deletes drop, untouched rows carry over. Output is the
+    * merged snapshot's per-priority checksum. At scale both sides
+    * co-partition on the merge key; AQE handles the skew.
+    */
+  def q88_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .select(col("o_orderkey").as("b_key"), col("o_orderpriority").as("b_pri"),
+        col("o_totalprice").as("b_price"))
+    val changes = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey").as("c_key"), col("o_orderpriority").as("c_pri"),
+        (col("o_totalprice") + 10).as("c_price"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, "D").otherwise("U").as("op"))
+    base.join(changes, col("b_key") === col("c_key"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "D")
+      .select(coalesce(col("b_pri"), col("c_pri")).as("pri"),
+        when(col("op") === "U", col("c_price")).otherwise(col("b_price")).as("price"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+      .orderBy("pri")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1448,6 +1647,15 @@ object Queries {
     "q77_funnel"        -> (q77_funnel _),
     "q78_retention"     -> (q78_retention _),
     "q79_csv_ingest"    -> (q79_csv_ingest _),
+    "q80_bloom_dedup"   -> (q80_bloom_dedup _),
+    "q81_tfidf"         -> (q81_tfidf _),
+    "q82_bm25"          -> (q82_bm25 _),
+    "q83_passage_dedup" -> (q83_passage_dedup _),
+    "q84_zorder_layout" -> (q84_zorder_layout _),
+    "q85_length_buckets" -> (q85_length_buckets _),
+    "q86_anomaly_zscore" -> (q86_anomaly_zscore _),
+    "q87_event_gaps"    -> (q87_event_gaps _),
+    "q88_merge_upsert"  -> (q88_merge_upsert _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2166,5 +2374,109 @@ object Queries {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
         |  sum(event_id)::BIGINT AS sum_ids, max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q80_bloom_dedup" ->
+      """SELECT source, count(*) AS n_new, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents d
+        |WHERE source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.source = 'src0' AND c.text = d.text)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q81_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, w AS word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, word FROM words) u GROUP BY word),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf DESC, tf.word ASC) AS rnk
+        |  FROM tf JOIN df USING (word))
+        |SELECT doc_id, rnk, word, tf,
+        |  round(tf * ln((SELECT n FROM n) / df), 3) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q82_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id, w AS word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |avgdl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark', 'join', 'window') GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5))
+        |            * tf * (1.2 + 1)
+        |            / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 3) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN avgdl
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q83_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    unnest(range(0, cast(ceil(len(ws) / 16.0) AS INT))) AS idx FROM w),
+        |p AS (SELECT doc_id, idx,
+        |    array_to_string(ws[idx*16+1 : idx*16+16], ' ') AS passage FROM c),
+        |r AS (SELECT doc_id, idx, passage,
+        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rnk
+        |  FROM p)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q84_zorder_layout" -> {
+      val z = graft.operators.ZOrder.zvalueSql("x", "y")
+      s"""WITH b AS (
+         |  SELECT o_custkey % 256 AS x,
+         |    (epoch_us(o_orderdate) // 86400000000) % 256 AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($z) >> 6 AS tile FROM b)
+         |SELECT tile, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+    },
+    "q85_length_buckets" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS tokens FROM documents)
+        |SELECT tokens // 32 AS bucket, count(*) AS n_docs,
+        |  sum(tokens)::BIGINT AS sum_tokens,
+        |  ((count(*) + 7) // 8)::BIGINT AS n_batches
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q86_anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n_outliers,
+        |  round(sum(value), 2) AS sum_outlier_value
+        |FROM events JOIN st USING (user_id)
+        |WHERE sd IS NOT NULL AND abs(value - mu) > 2 * sd
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q87_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events, max(gap) AS max_gap_us,
+        |  ((max(us) - min(us)) // (count(*) - 1))::BIGINT AS avg_gap_us
+        |FROM g GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin,
+    "q88_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS b_key, o_orderpriority AS b_pri,
+        |    o_totalprice AS b_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |changes AS (
+        |  SELECT o_orderkey AS c_key, o_orderpriority AS c_pri,
+        |    o_totalprice + 10 AS c_price,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |m AS (
+        |  SELECT coalesce(b_pri, c_pri) AS pri,
+        |    CASE WHEN op = 'U' THEN c_price ELSE b_price END AS price
+        |  FROM base FULL OUTER JOIN changes ON b_key = c_key
+        |  WHERE coalesce(op, 'keep') <> 'D')
+        |SELECT pri, count(*) AS n, round(sum(price), 2) AS total
+        |FROM m GROUP BY pri ORDER BY pri""".stripMargin,
   )
 }

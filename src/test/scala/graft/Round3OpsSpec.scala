@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomDedup, ZOrder}
+
+/** Construction-based ground truth for the round-3 operators: bloom
+  * dedup exactness (q80), z-order tile locality (q84), passage dedup
+  * accounting (q83), and merge semantics (q88).
+  */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom dedup returns exactly the anti-join result at every fpp") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "k")
+    val incoming = Seq(
+      (10L, "alpha"), (11L, "delta"), (12L, "beta"),
+      (13L, "epsilon"), (14L, "zeta")).toDF("id", "k")
+    val want = incoming.join(corpus.select(col("k").as("ck")),
+      col("k") === col("ck"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    // a tight fpp routes most rows around the join; a sloppy fpp (0.5)
+    // forces many false positives through the confirm join — the
+    // result must be identical either way
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = BloomDedup.newRows(incoming, corpus, "k", 100L, fpp)
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(want), s"fpp=$fpp")
+    }
+  }
+
+  test("bloom dedup: everything new when corpus is disjoint, nothing when equal") {
+    val corpus = Seq("a", "b", "c").toDF("k")
+    val fresh = Seq("x", "y").toDF("k")
+    assert(BloomDedup.newRows(fresh, corpus, "k", 10L).count() == 2)
+    assert(BloomDedup.newRows(corpus, corpus, "k", 10L).count() == 0)
+  }
+
+  test("z-value interleaves bits: zvalue(x,y) reproduces hand-computed mortons") {
+    // morton(x=5=101b, y=3=011b): bits x->even, y->odd positions
+    // x: 1<<0, 0<<2, 1<<4 = 17; y: 1<<1, 1<<3, 0<<5 = 10; z = 27
+    val df = Seq((5L, 3L), (0L, 0L), (255L, 255L)).toDF("x", "y")
+    val got = df.select(ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(got.sameElements(Array(27L, 0L, 65535L)))
+  }
+
+  test("a 64-z-value tile bounds both dimensions to an 8x8 square") {
+    // all (x,y) in [0,256)^2 on a coarse grid; dropping the low 6 z
+    // bits (3 x-bits + 3 y-bits) must bound each dim's spread to < 8
+    val pts = for (x <- 0L until 256L by 3; y <- 0L until 256L by 7) yield (x, y)
+    val spans = pts.toDF("x", "y")
+      .withColumn("tile", shiftright(ZOrder.zvalue(col("x"), col("y")), 6))
+      .groupBy("tile")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .agg(max("dx"), max("dy")).as[(Long, Long)].head()
+    assert(spans._1 <= 7 && spans._2 <= 7)
+  }
+
+  test("passage dedup keeps each distinct passage exactly once corpus-wide") {
+    val out = Queries.q83_passage_dedup(spark, sf())
+    val (totalKept, total) = out.agg(sum("n_kept"), sum("n_passages"))
+      .as[(Long, Long)].head()
+    assert(totalKept <= total)
+    // kept passages == distinct passages in the corpus (first-wins is a
+    // bijection onto the distinct passage set)
+    val distinctPassages = {
+      val chunk = 16
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(posexplode(transform(
+          sequence(lit(0), (ceil(size(col("ws")) / lit(chunk.toDouble)) - 1).cast("int")),
+          i => array_join(slice(col("ws"), i * chunk + 1, lit(chunk)), " "))))
+        .select("col").distinct().count()
+    }
+    assert(totalKept == distinctPassages)
+  }
+
+  test("merge upsert: row count follows the set algebra of base/updates/inserts/deletes") {
+    val dir = sf()
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val baseN = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0).count()
+    val delInBase = orders.filter(
+      pmod(col("o_orderkey"), lit(7)) =!= 0 &&
+        pmod(col("o_orderkey"), lit(3)) === 0 &&
+        pmod(col("o_orderkey"), lit(5)) === 0).count()
+    val inserts = orders.filter(
+      pmod(col("o_orderkey"), lit(7)) === 0 &&
+        pmod(col("o_orderkey"), lit(3)) === 0 &&
+        pmod(col("o_orderkey"), lit(5)) =!= 0).count()
+    val mergedN = Queries.q88_merge_upsert(spark, dir)
+      .agg(sum("n")).as[Long].head()
+    assert(mergedN == baseN - delInBase + inserts)
+  }
+}
