@@ -1567,6 +1567,61 @@ object Queries {
       .orderBy("pri")
   }
 
+  /** Global total-order sort — the one legitimately whole-dataset
+    * ordering primitive. Spark plans it as a range-partitioning
+    * exchange (sampled split points) + per-partition sort, so no task
+    * ever holds more than its range slice: the 100 TB-safe shape of
+    * ORDER BY, vs. the single-partition global window PlanAudit flags.
+    * PlanSpec asserts the RangePartitioning exchange is really there.
+    */
+  def q89_global_sort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** Deterministic train/val/test split assignment (90/5/5) by
+    * multiplicative hash of the doc id — reproducible across engines,
+    * runs, and cluster sizes (q41's hash family), which is what makes
+    * dataset splits auditable. Pure projection + one hash agg.
+    */
+  def q90_split_assign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Bigram language-model table: per left-word, the top-3 following
+    * words with conditional probability. Pairing is array arithmetic
+    * over the token list (no self-join — at 100 TB a positional
+    * self-join would shuffle the corpus twice); p = n/total is one
+    * division of exact integers, identical in both engines; ranking is
+    * integer-keyed (n DESC, w2 ASC).
+    */
+  def q91_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => length(w) > 0)
+    val pairs = tWide(s, dir, "documents")
+      .select(toks.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("w1").agg(sum("n").as("tot"))
+    val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2").asc)
+    counts.join(totals, "w1")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("w1"), col("rnk"), col("w2"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p"))
+      .orderBy("w1", "rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1656,6 +1711,9 @@ object Queries {
     "q86_anomaly_zscore" -> (q86_anomaly_zscore _),
     "q87_event_gaps"    -> (q87_event_gaps _),
     "q88_merge_upsert"  -> (q88_merge_upsert _),
+    "q89_global_sort"   -> (q89_global_sort _),
+    "q90_split_assign"  -> (q90_split_assign _),
+    "q91_bigram_lm"     -> (q91_bigram_lm _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2478,5 +2536,32 @@ object Queries {
         |  WHERE coalesce(op, 'keep') <> 'D')
         |SELECT pri, count(*) AS n, round(sum(price), 2) AS total
         |FROM m GROUP BY pri ORDER BY pri""".stripMargin,
+    "q89_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q90_split_assign" ->
+      """WITH d AS (
+        |  SELECT *, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q91_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM (
+        |    SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+        |    WHERE len(ws) >= 2) t),
+        |c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+        |tot AS (SELECT w1, sum(n)::BIGINT AS tot FROM c GROUP BY w1),
+        |r AS (SELECT c.w1, c.w2, c.n, tot.tot,
+        |    row_number() OVER (PARTITION BY c.w1
+        |                       ORDER BY c.n DESC, c.w2 ASC) AS rnk
+        |  FROM c JOIN tot USING (w1))
+        |SELECT w1, rnk, w2, n, round(n::DOUBLE / tot, 4) AS p
+        |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
   )
 }

@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q89 global sort plans a range-partitioning exchange, not a single-partition sort") {
+    val p = plan("q89_global_sort")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"global ORDER BY must range-partition:\n$p")
+  }
+
   test("headline queries stay inside whole-stage codegen") {
     for (q <- Seq("q01_agg_pricing", "q03_join_fact", "q17_math")) {
       val p = Queries.all(q)(spark, sf()).queryExecution.explainString(CodegenMode)
