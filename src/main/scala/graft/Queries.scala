@@ -1622,6 +1622,70 @@ object Queries {
       .orderBy("w1", "rnk")
   }
 
+  /** k-anonymity audit over quasi-identifiers (lang, source, size
+    * band): how many equivalence classes — and how many documents —
+    * fall below k=5, the groups a release would have to suppress or
+    * generalize. One hash agg + one tiny re-agg; the privacy gate a
+    * training-corpus export runs before leaving the trust boundary.
+    */
+  def q92_k_anonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / lit(100)).cast("long").as("size_band"))
+      .agg(count(lit(1)).as("class_n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_classes"),
+        sum((col("class_n") < 5).cast("long")).as("n_small_classes"),
+        sum(when(col("class_n") < 5, col("class_n")).otherwise(0L)).as("n_at_risk_docs"))
+      .orderBy("lang")
+
+  /** Equi-depth feature binning: lineitem prices cut into 10
+    * equal-population bins, per bin the support and value envelope —
+    * the discretization step feature pipelines run before categorical
+    * models. A builtin global `ntile` window would move every row to
+    * ONE task; instead the global rank comes from PrefixSum.globalRank
+    * (two-pass distributed zipWithIndex, cost-based small-input
+    * fallback to the single window at test scale) and the ntile bucket
+    * arithmetic — first n mod k buckets one row larger — is
+    * reproduced in exact integers from (rank, n, k).
+    */
+  def q93_equidepth_bins(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val li = t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val n = li.count()
+    val k = 10L
+    val q = lit(n / k); val rem = lit(n % k)
+    val ranked = PrefixSum.globalRank(li,
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "r")
+    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
+      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
+      .cast("long") + 1
+    ranked
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"))
+      .orderBy("bin")
+  }
+
+  /** CMS-prefiltered exact heavy hitters (operators/HeavyHitters):
+    * words occurring ≥ 930 times (about half the synthetic vocabulary
+    * at the gate SF). The count-min sketch's no-undercount guarantee
+    * lets the long tail skip the exact count entirely; the confirm
+    * pass makes the result exactly GROUP BY ... HAVING, so a plain SQL
+    * oracle verifies it.
+    */
+  def q94_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    val words = tWide(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    HeavyHitters.atLeast(words, "word", threshold = 930L)
+      .orderBy("word")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1714,6 +1778,9 @@ object Queries {
     "q89_global_sort"   -> (q89_global_sort _),
     "q90_split_assign"  -> (q90_split_assign _),
     "q91_bigram_lm"     -> (q91_bigram_lm _),
+    "q92_k_anonymity"   -> (q92_k_anonymity _),
+    "q93_equidepth_bins" -> (q93_equidepth_bins _),
+    "q94_heavy_hitters" -> (q94_heavy_hitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2563,5 +2630,27 @@ object Queries {
         |  FROM c JOIN tot USING (w1))
         |SELECT w1, rnk, w2, n, round(n::DOUBLE / tot, 4) AS p
         |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
+    "q92_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT lang, source, n_chars // 100 AS size_band, count(*) AS class_n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_classes,
+        |  sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_small_classes,
+        |  sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)::BIGINT AS n_at_risk_docs
+        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin,
+    "q93_equidepth_bins" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice,
+        |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                    l_linenumber) AS bin
+        |  FROM lineitem)
+        |SELECT bin, count(*) AS n, round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+    "q94_heavy_hitters" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0
+        |GROUP BY word HAVING count(*) >= 930 ORDER BY word""".stripMargin,
   )
 }

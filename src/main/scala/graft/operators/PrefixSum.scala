@@ -81,4 +81,44 @@ object PrefixSum {
       .withColumn(cumCol, sum(col(valueCol).cast("long")).over(w) + col("__offset"))
       .drop("__pid", "__offset")
   }
+
+  /** Adds `rankCol` = 1-based global rank over the ascending composite
+    * order `orderCols` (the tuple must be unique) — distributed
+    * zipWithIndex. Same two-pass shape as [[runningTotal]]: range-
+    * repartition on the full tuple, O(#partitions) row counts to the
+    * driver as exclusive offsets, then a PARTITIONED row_number window
+    * plus offset. Below `smallInputBytes` the single-partition window
+    * is strictly better and is used (documented at call sites —
+    * PlanAudit flags it otherwise).
+    */
+  def globalRank(
+      df: DataFrame,
+      orderCols: Seq[String],
+      rankCol: String,
+      numPartitions: Int = 0,
+      smallInputBytes: Long = 64L << 20): DataFrame = {
+    val spark = df.sparkSession
+    val order = orderCols.map(col(_).asc)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      return df.withColumn(rankCol, row_number().over(w).cast("long"))
+    }
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(p, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val checkpointed = parted.localCheckpoint(true)
+    val counts = checkpointed.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .tail.zip(counts)
+      .map { case ((_, cumIncl), (pid, n)) => (pid, cumIncl - n) }
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(order: _*)
+    checkpointed
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__offset"))
+      .drop("__pid", "__offset")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomDedup, ZOrder}
+import graft.operators.{BloomDedup, HeavyHitters, PrefixSum, ZOrder}
 
 /** Construction-based ground truth for the round-3 operators: bloom
   * dedup exactness (q80), z-order tile locality (q84), passage dedup
@@ -74,6 +74,35 @@ class Round3OpsSpec extends SparkSpec {
         .select("col").distinct().count()
     }
     assert(totalKept == distinctPassages)
+  }
+
+  test("heavy hitters equal GROUP BY HAVING exactly, at tight and sloppy sketch sizes") {
+    // skewed construction: 'hot' 500x, 'warm' 50x, 449 singletons —
+    // a sloppy sketch (eps=0.5 -> width 4) overestimates heavily and
+    // must still return exactly the >=50 set after the confirm pass
+    val rows = (Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 449).map(i => s"tail_$i")).toDF("k")
+    val want = rows.groupBy("k").count().filter(col("count") >= 50)
+      .select("k").as[String].collect().sorted
+    for (eps <- Seq(0.001, 0.5)) {
+      val got = HeavyHitters.atLeast(rows, "k", 50L, eps = eps)
+        .select("k").as[String].collect().sorted
+      assert(got.sameElements(want), s"eps=$eps")
+    }
+  }
+
+  test("globalRank matches the single-window row_number over a composite order") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 500).map(i => (rnd.nextInt(20).toDouble, i.toLong))
+      .toDF("v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("id").asc)
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    // force the distributed two-pass path (smallInputBytes = 0)
+    val got = PrefixSum.globalRank(df, Seq("v", "id"), "r", smallInputBytes = 0L)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got == want)
   }
 
   test("merge upsert: row count follows the set algebra of base/updates/inserts/deletes") {
