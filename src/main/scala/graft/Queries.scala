@@ -1686,6 +1686,28 @@ object Queries {
       .orderBy("word")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): key = u^(1/w) with u derived from the id by the
+    * q41/q90 multiplicative hash instead of an RNG — the draw is
+    * reproducible across engines, runs, and cluster sizes, and
+    * auditable (given the id you can recompute why it was picked).
+    * Top-k by key is TakeOrderedAndProject (per-partition heaps, no
+    * global sort); weights (n_chars) bias selection toward longer
+    * docs. u is built from exact integer arithmetic so both engines
+    * feed pow identical doubles.
+    */
+  def q95_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) + 1) /
+      lit(4294967297.0)
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .withColumn("skey", pow(u, lit(1.0) / col("n_chars")))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(50)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1781,6 +1803,7 @@ object Queries {
     "q92_k_anonymity"   -> (q92_k_anonymity _),
     "q93_equidepth_bins" -> (q93_equidepth_bins _),
     "q94_heavy_hitters" -> (q94_heavy_hitters _),
+    "q95_weighted_sample" -> (q95_weighted_sample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2652,5 +2675,14 @@ object Queries {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |WHERE length(word) > 0
         |GROUP BY word HAVING count(*) >= 930 ORDER BY word""".stripMargin,
+    "q95_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    pow((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0,
+        |        1.0 / n_chars) AS skey
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, lang, n_chars FROM d
+        |      ORDER BY skey DESC, doc_id ASC LIMIT 50)
+        |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
   )
 }

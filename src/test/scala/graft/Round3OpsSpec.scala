@@ -105,6 +105,49 @@ class Round3OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sketch-routed operators stay exact on randomized inputs (seeded trials)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      // zipfian-ish key pool: few hot keys, long tail
+      val keys = (0 until 800).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 40) s"hot_${rnd.nextInt(3)}"
+        else if (r < 70) s"warm_${rnd.nextInt(20)}"
+        else s"cold_${rnd.nextInt(500)}"
+      }
+      val df = keys.toDF("k")
+      val thresh = 1L + rnd.nextInt(30)
+      val wantHH = df.groupBy("k").count().filter(col("count") >= thresh)
+        .select("k").as[String].collect().sorted
+      val gotHH = HeavyHitters.atLeast(df, "k", thresh, eps = 0.1)
+        .select("k").as[String].collect().sorted
+      assert(gotHH.sameElements(wantHH), s"HH trial $trial thresh $thresh")
+
+      val corpus = keys.take(300).toDF("k").distinct()
+      val incoming = keys.drop(300).toDF("k")
+      val wantNew = incoming.join(corpus.select(col("k").as("ck")),
+        col("k") === col("ck"), "left_anti").count()
+      val gotNew = BloomDedup.newRows(incoming, corpus, "k", 1000L,
+        fpp = 0.05 + rnd.nextDouble() * 0.4).count()
+      assert(gotNew == wantNew, s"bloom trial $trial")
+    }
+  }
+
+  test("weighted sample is deterministic and biased toward heavier docs") {
+    val a = Queries.q95_weighted_sample(spark, sf())
+      .select("doc_id").as[Long].collect().toSet
+    val b = Queries.q95_weighted_sample(spark, sf())
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+    // mean weight of the A-ES draw must exceed the corpus mean
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpusMean = docs.agg(avg("n_chars")).as[Double].head()
+    val sampleMean = docs.filter(col("doc_id").isInCollection(a))
+      .agg(avg("n_chars")).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("merge upsert: row count follows the set algebra of base/updates/inserts/deletes") {
     val dir = sf()
     val orders = spark.read.parquet(s"$dir/orders.parquet")
