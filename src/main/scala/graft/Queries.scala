@@ -1708,6 +1708,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** ORC source/sink round-trip: a typed projection (int64 / decimal-
+    * valued double / string / TIMESTAMP_NTZ) written as ORC and read
+    * back, with the aggregate computed from the re-read copy. The
+    * oracle aggregates the ORIGINAL parquet — equality proves the
+    * format conversion is lossless, the way a 100 TB estate mixes
+    * formats across teams. Columnar ORC keeps the same pushdown/
+    * pruning properties as parquet.
+    */
+  def q96_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        sum("o_orderkey").as("key_sum"),
+        max(datediff(col("o_orderdate"), lit("1970-01-01"))).cast("long").as("max_day"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1804,6 +1826,7 @@ object Queries {
     "q93_equidepth_bins" -> (q93_equidepth_bins _),
     "q94_heavy_hitters" -> (q94_heavy_hitters _),
     "q95_weighted_sample" -> (q95_weighted_sample _),
+    "q96_orc_roundtrip" -> (q96_orc_roundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2684,5 +2707,11 @@ object Queries {
         |s AS (SELECT doc_id, lang, n_chars FROM d
         |      ORDER BY skey DESC, doc_id ASC LIMIT 50)
         |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
+    "q96_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS key_sum,
+        |  max(epoch_us(o_orderdate) // 86400000000) AS max_day
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -170,4 +170,31 @@ class StreamingWindowSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSet
     assert(batch == rows)
   }
+
+  test("stream-static anti-join dedups an incremental ingest against the corpus") {
+    // The streaming analogue of operators/BloomDedup: rows arriving on
+    // the stream are dropped when their key already exists in the
+    // static corpus table — the static side is re-broadcast per
+    // micro-batch, the stream side never shuffles. user_id stands in
+    // for the content hash.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "seen"), (2L, "seen")).toDF("user_id", "tag")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(10, ts("2024-01-01 10:00:00"), 1, 1.0), // in corpus → dropped
+      Ev(11, ts("2024-01-01 10:01:00"), 3, 2.0), // new
+      Ev(12, ts("2024-01-01 10:02:00"), 4, 3.0)) // new
+    val fresh = mem.toDF().join(corpus, Seq("user_id"), "left_anti")
+    val q = fresh.writeStream.format("memory").queryName("fresh_rows")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    mem.addData(
+      Ev(13, ts("2024-01-01 10:03:00"), 2, 4.0), // in corpus → dropped
+      Ev(14, ts("2024-01-01 10:04:00"), 5, 5.0)) // new
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fresh_rows").select("event_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L, 12L, 14L))
+  }
 }
