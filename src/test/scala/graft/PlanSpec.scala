@@ -74,6 +74,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q84 z-order layout is join-free: projection + one agg shuffle only") {
+    val p = plan("q84_zorder_layout")
+    assert(!p.contains("Join"), s"z-value must be pure column arithmetic:\n$p")
+  }
+
+  test("q80 bloom dedup confirms via hash joins, never a nested loop") {
+    val p = plan("q80_bloom_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bloom confirm path must stay a hash join:\n$p")
+  }
+
   test("q89 global sort plans a range-partitioning exchange, not a single-partition sort") {
     val p = plan("q89_global_sort")
     assert(p.toLowerCase.contains("rangepartitioning"),

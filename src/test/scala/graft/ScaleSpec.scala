@@ -31,6 +31,24 @@ class ScaleSpec extends SparkSpec {
     assert(got.count() == 2000000)
   }
 
+  test("globalRank over 1M rows (distributed path) is a bijection matching the order") {
+    // order key = (id*2654435761) % 2^32 — a permutation-ish scatter,
+    // unique composite order via (h, id); rank of a row must equal the
+    // count of rows ordered strictly before it
+    val df = spark.range(1000000)
+      .select(col("id"), pmod(col("id") * 2654435761L, lit(4294967296L)).as("h"))
+    val got = PrefixSum.globalRank(df, Seq("h", "id"), "r", smallInputBytes = 0)
+    assert(got.agg(min("r"), max("r"), countDistinct("r"))
+      .as[(Long, Long, Long)].head() == ((1L, 1000000L, 1000000L)))
+    // spot-check: rank == 1 + #rows with smaller (h, id)
+    val probe = got.filter(col("id").isin(0L, 12345L, 999999L))
+      .select("h", "id", "r").as[(Long, Long, Long)].collect()
+    probe.foreach { case (h, id, r) =>
+      val before = df.filter(col("h") < h || (col("h") === h && col("id") < id)).count()
+      assert(r == before + 1, s"id=$id")
+    }
+  }
+
   test("connected components on a 100k-edge graph with planted structure") {
     // 10k disjoint 10-node rings: component of node i = (i/10)*10.
     val edges = spark.range(100000).select(
