@@ -1730,6 +1730,55 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** Incremental aggregate maintenance (materialized-view refresh):
+    * the historical partition's PARTIAL aggregates (sum/count/min/max
+    * — all associative) merge with the fresh partition's partials by
+    * re-aggregation, never rescanning history. The oracle aggregates
+    * the full table in one pass — equality is the associativity
+    * guarantee incremental ETL relies on at 100 TB (avg is derived
+    * from merged sum/count, never averaged across partials).
+    */
+  def q97_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-03-01").cast("timestamp")
+    def partial(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("pn"), sum("value").as("psum"),
+        min("value").as("pmin"), max("value").as("pmax"))
+    partial(ev.filter(col("ts") < cut))
+      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"),
+        round(min("pmin"), 2).as("min_value"), round(max("pmax"), 2).as("max_value"),
+        round(sum("psum") / sum("pn"), 4).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  /** Snapshot diff: classify every key across two table versions as
+    * added / removed / changed / unchanged in ONE full-outer pass —
+    * the audit step between snapshot publishes (and the read-side
+    * complement of q88's merge). Change detection on the carried
+    * value; both sides co-partition on the key at scale.
+    */
+  def q98_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val old = orders.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
+    val neu = orders.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .select(col("o_orderkey").as("nkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 5)
+          .otherwise(col("o_totalprice")).as("nprice"))
+    old.join(neu, col("okey") === col("nkey"), "full_outer")
+      .select(
+        when(col("okey").isNull, "added")
+          .when(col("nkey").isNull, "removed")
+          .when(col("oprice") =!= col("nprice"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("nprice"), col("oprice")).as("price"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+      .orderBy("status")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1827,6 +1876,8 @@ object Queries {
     "q94_heavy_hitters" -> (q94_heavy_hitters _),
     "q95_weighted_sample" -> (q95_weighted_sample _),
     "q96_orc_roundtrip" -> (q96_orc_roundtrip _),
+    "q97_incremental_agg" -> (q97_incremental_agg _),
+    "q98_snapshot_diff" -> (q98_snapshot_diff _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2713,5 +2764,30 @@ object Queries {
         |  sum(o_orderkey)::BIGINT AS key_sum,
         |  max(epoch_us(o_orderdate) // 86400000000) AS max_day
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q97_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value,
+        |  round(sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q98_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS okey, o_totalprice AS oprice
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey AS nkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5
+        |         ELSE o_totalprice END AS nprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN okey IS NULL THEN 'added'
+        |              WHEN nkey IS NULL THEN 'removed'
+        |              WHEN oprice <> nprice THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |    coalesce(nprice, oprice) AS price
+        |  FROM old FULL OUTER JOIN neu ON okey = nkey)
+        |SELECT status, count(*) AS n, round(sum(price), 2) AS total
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
   )
 }
