@@ -1397,8 +1397,9 @@ object Queries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df derives from tf — one row per (doc, word) already — so the
+    // corpus is exploded ONCE, not re-scanned for a distinct pass.
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = t(s, dir, "documents").count()
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("word").asc)
@@ -1779,6 +1780,23 @@ object Queries {
       .orderBy("status")
   }
 
+  /** One-pass quantile SKETCH (Greenwald–Khanna via the builtin
+    * `percentile_approx`) — the bounded-memory, bounded-error
+    * complement to operators/Quantiles' exact paths: state is
+    * O(1/ε·log εn) per group regardless of group size, mergeable
+    * across partitions, one shuffle. No oracle: the sketch's picked
+    * values are engine-specific (rank error ≤ εn) — Round3OpsSpec
+    * bounds it against the exact builtin instead.
+    */
+  def q99_approx_quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1878,6 +1896,7 @@ object Queries {
     "q96_orc_roundtrip" -> (q96_orc_roundtrip _),
     "q97_incremental_agg" -> (q97_incremental_agg _),
     "q98_snapshot_diff" -> (q98_snapshot_diff _),
+    "q99_approx_quantiles" -> (q99_approx_quantiles _),
   )
 
   val oracle: Map[String, String] = Map(

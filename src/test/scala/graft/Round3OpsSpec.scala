@@ -148,6 +148,22 @@ class Round3OpsSpec extends SparkSpec {
       s"sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("approx quantile sketch lands within 2% of the exact builtin") {
+    val got = Queries.q99_approx_quantiles(spark, sf())
+      .select("l_returnflag", "p50_approx", "p95_approx")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .as[(String, Double, Double)].collect()
+    exact.foreach { case (flag, p50, p95) =>
+      val (a50, a95) = got(flag)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$flag p50 $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 < 0.02, s"$flag p95 $a95 vs $p95")
+    }
+  }
+
   test("merge upsert: row count follows the set algebra of base/updates/inserts/deletes") {
     val dir = sf()
     val orders = spark.read.parquet(s"$dir/orders.parquet")
