@@ -53,9 +53,15 @@ object BloomDedup {
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
 
+    // A null key can never equal a corpus key (SQL equality), so the
+    // row is new by definition. Without the explicit isNull branch it
+    // would be LOST: the primitive-long UDF returns null for a null
+    // hash, and a null predicate fails BOTH complementary filters.
     val hashed = incoming.withColumn("__h", xxhash64(col(keyCol)))
-    val definitelyNew = hashed.filter(!mightContain(col("__h")))
-    val maybeDupe = hashed.filter(mightContain(col("__h")))
+    val definitelyNew = hashed.filter(
+      col(keyCol).isNull || !mightContain(col("__h")))
+    val maybeDupe = hashed.filter(
+      col(keyCol).isNotNull && mightContain(col("__h")))
     val confirmedNew = maybeDupe.join(
       corpus.select(col(keyCol).as("__ck")),
       col(keyCol) === col("__ck"), "left_anti")

@@ -47,17 +47,27 @@ object HeavyHitters {
       eps: Double = 0.001,
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
+    // Null keys never enter the sketch and a null probe returns null,
+    // which would silently drop a frequent null key that SQL GROUP BY
+    // does count — so nulls bypass the sketch and are counted exactly
+    // (they are one group; the exact count costs one aggregate row).
     val spark = df.sparkSession
+    val nonNull = df.filter(col(keyCol).isNotNull)
     val cms: CountMinSketch =
-      df.stat.countMinSketch(keyCol, eps, confidence, seed)
+      nonNull.stat.countMinSketch(keyCol, eps, confidence, seed)
     val cmsB = spark.sparkContext.broadcast(cms)
     val estimate = udf((k: String) => cmsB.value.estimateCount(k))
 
-    val candidates = df.select(col(keyCol)).distinct()
+    val candidates = nonNull.select(col(keyCol)).distinct()
       .filter(estimate(col(keyCol)) >= threshold)
-    df.join(broadcast(candidates), Seq(keyCol), "left_semi")
+    val hot = nonNull.join(broadcast(candidates), Seq(keyCol), "left_semi")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
+    val nullHot = df.filter(col(keyCol).isNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+    hot.unionByName(nullHot)
   }
 }

@@ -36,6 +36,21 @@ class Round3OpsSpec extends SparkSpec {
     assert(BloomDedup.newRows(corpus, corpus, "k", 10L).count() == 0)
   }
 
+  test("null keys: bloom dedup keeps them as new; heavy hitters counts them as a group") {
+    // null never equals a corpus key → the null-key row must survive
+    val corpus = Seq("a", "b").toDF("k")
+    val incoming = Seq(Some("a"), None, Some("x")).toDF("k")
+    val got = BloomDedup.newRows(incoming, corpus, "k", 10L)
+      .select("k").collect().map(r => Option(r.getString(0))).toSet
+    assert(got == Set(None, Some("x")))
+    // SQL GROUP BY counts the null group — the sketch path must not lose it
+    val rows = (Seq.fill(10)(Option("hot")) ++ Seq.fill(7)(Option.empty[String]) ++
+      Seq(Some("rare"))).toDF("k")
+    val hh = HeavyHitters.atLeast(rows, "k", 5L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(hh == Map(Some("hot") -> 10L, None -> 7L))
+  }
+
   test("z-value interleaves bits: zvalue(x,y) reproduces hand-computed mortons") {
     // morton(x=5=101b, y=3=011b): bits x->even, y->odd positions
     // x: 1<<0, 0<<2, 1<<4 = 17; y: 1<<1, 1<<3, 0<<5 = 10; z = 27
