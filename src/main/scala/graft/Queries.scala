@@ -1797,6 +1797,50 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Trailing-7-day distinct users per day — windowed COUNT DISTINCT,
+    * which neither windows (no distinct frames) nor plain aggs
+    * express. Scale shape: daily distinct sets are built once (one
+    * agg), then each day's set is CONTRIBUTED to the ≤7 window days it
+    * belongs to via an explode of offsets — every shuffle stays
+    * equi-keyed on a date, no range join, no global window, state
+    * bounded by |users/day|·7. The oracle uses DuckDB's range join +
+    * COUNT(DISTINCT) formulation of the same thing.
+    */
+  def q100_rolling_distinct(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val daily = pairs.groupBy("day")
+      .agg(collect_set(col("user_id")).as("users"))
+    val contrib = daily
+      .select(col("day"), col("users"), explode(sequence(lit(0), lit(6))).as("i"))
+      .select(date_add(col("day"), col("i")).as("wday"), col("users"))
+    val win7 = contrib.groupBy("wday")
+      .agg(size(array_distinct(flatten(collect_list(col("users"))))).cast("long").as("n_users_7d"))
+    daily
+      .select(col("day"), size(col("users")).cast("long").as("n_users_day"))
+      .join(win7, col("day") === col("wday"))
+      .select("day", "n_users_day", "n_users_7d")
+      .orderBy("day")
+  }
+
+  /** Ratio-to-report: each priority's share of total revenue. The
+    * grand total is a 1-row aggregate broadcast back over the group
+    * rows (documented bounded nested-loop, q66's pattern) — at 100 TB
+    * the per-group partials and the total come from the SAME partial
+    * aggregation, so the fact table is scanned once.
+    */
+  def q101_share_of_total(s: SparkSession, dir: String): DataFrame = {
+    val byPri = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n"))
+    val total = byPri.agg(sum("rev").as("total_rev"))
+    byPri.crossJoin(broadcast(total))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("rev"), 2).as("revenue"),
+        round(col("rev") / col("total_rev"), 6).as("share"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1897,6 +1941,8 @@ object Queries {
     "q97_incremental_agg" -> (q97_incremental_agg _),
     "q98_snapshot_diff" -> (q98_snapshot_diff _),
     "q99_approx_quantiles" -> (q99_approx_quantiles _),
+    "q100_rolling_distinct" -> (q100_rolling_distinct _),
+    "q101_share_of_total" -> (q101_share_of_total _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2808,5 +2854,22 @@ object Queries {
         |  FROM old FULL OUTER JOIN neu ON okey = nkey)
         |SELECT status, count(*) AS n, round(sum(price), 2) AS total
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    "q100_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |w AS (SELECT d.day, count(DISTINCT e.user_id) AS n_users_7d
+        |      FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |      GROUP BY d.day),
+        |dd AS (SELECT day, count(*) AS n_users_day FROM e GROUP BY day)
+        |SELECT w.day, dd.n_users_day, w.n_users_7d
+        |FROM w JOIN dd USING (day) ORDER BY day""".stripMargin,
+    "q101_share_of_total" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority, sum(o_totalprice) AS rev, count(*) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |t AS (SELECT sum(rev) AS total_rev FROM p)
+        |SELECT o_orderpriority, n, round(rev, 2) AS revenue,
+        |  round(rev / total_rev, 6) AS share
+        |FROM p CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -63,9 +63,10 @@ class PlanSpec extends SparkSpec {
     // baseline. Anything else planning a nested loop is a regression.
     val allowed = Set("q08_cosine_topk", "q10_join_range", "q11_distinct",
       "q24_simhash_hamming", "q25_embed_neardup", "q34_ann_ivf", "q48_vocab",
-      // q58/q66/q82: 1-row broadcast aggregates (corpus size, min/max
-      // envelope, avgdl)
-      "q58_doc_freq", "q66_value_histogram", "q82_bm25")
+      // q58/q66/q82/q101: 1-row broadcast aggregates (corpus size,
+      // min/max envelope, avgdl, grand total)
+      "q58_doc_freq", "q66_value_histogram", "q82_bm25",
+      "q101_share_of_total")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
