@@ -1841,6 +1841,232 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Bivariate statistical aggregates: Pearson correlation, sample /
+    * population covariance, and least-squares regression of price on
+    * quantity, per return flag. All are single-pass co-moment
+    * aggregates (partial+final merge like sum/count), so the shape at
+    * 100 TB is exactly q01's: map-side combine, |groups| rows out.
+    */
+  def q102_corr_regression(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_s"),
+        round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_p"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
+      .orderBy("l_returnflag")
+
+  /** Spearman rank correlation of quantity vs price per return flag —
+    * Stats.spearmanByGroup (tie-averaged fractional ranks, one
+    * shuffle, no global window; see the operator doc).
+    */
+  def q103_spearman(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.spearmanByGroup(
+      t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Column profiling (data-quality pass a training pipeline runs
+    * before ingesting a new source): per column — non-null count, null
+    * count, exact distinct, min/max/avg — for four lineitem measures,
+    * all in ONE aggregation pass. The multi-column exact distincts
+    * plan as one Expand (×4 rows) feeding a single partial+final agg;
+    * at 100 TB swap countDistinct for approx_count_distinct and the
+    * Expand disappears. Wide-to-long via explode of a literal struct
+    * array over the single agg row (driver-side 1-row reshape, free).
+    */
+  def q104_profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        round(min(col(c)), 2).as(s"min_$c"),
+        round(max(col(c)), 2).as(s"max_$c"),
+        round(avg(col(c)), 4).as(s"avg_$c"))
+    }
+    t(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"n_$c").as("n_nonnull"),
+        col(s"null_$c").as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"),
+        col(s"avg_$c").as("avg_v"))): _*)).as("m"))
+      .select(col("m.*"))
+      .orderBy("column")
+  }
+
+  /** Int8 scalar quantization of the embedding column (the bandwidth
+    * lever for vector search at scale: 4 B float → 1 B code). Pass 1
+    * computes per-dimension min/max over the posexploded coordinates;
+    * the 64-row stats table broadcasts back over pass 2, which
+    * quantizes q = round(255·(x−lo)/(hi−lo)) and measures the
+    * round-trip reconstruction error per dimension. Both passes are
+    * keyed hash aggregations — no global state beyond the broadcast.
+    */
+  def q105_scalar_quant(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
+    val stats = ex.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+    val deq = col("lo") + col("q") * (col("hi") - col("lo")) / lit(255)
+    ex.join(broadcast(stats), "dim")
+      .withColumn("q", round(lit(255) * (col("x") - col("lo")) / (col("hi") - col("lo"))))
+      .withColumn("err", abs(col("x") - deq))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("lo"), 4).as("lo"),
+        round(min("hi"), 4).as("hi"),
+        round(avg("err"), 6).as("avg_abs_err"),
+        round(max("err"), 6).as("max_abs_err"))
+      .orderBy("dim")
+  }
+
+  /** Exact set-similarity self-join by prefix filtering (PPJoin
+    * family) over the q23 shingle sets — the deterministic-exact
+    * complement to q23's MinHash-LSH candidates: same pairs ≥ θ, no
+    * probabilistic signature, no all-pairs scan. See SetSimJoin for
+    * the prefix theorem and the shuffle story.
+    */
+  def q106_setsim_prefix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    graft.operators.SetSimJoin.prefixJaccardSelfJoin(docs, "doc_id", "sh", 0.5)
+      .select(col("id_a").as("id_a"), col("id_b").as("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Stopword-filtered suffix-stripped token counts (a Porter-lite
+    * stemmer as pure codegen'd regexp chain — every rule anchored at
+    * `$` so "replace all" vs "replace first" engine semantics cannot
+    * diverge). The stem map is a narrow projection; the count is one
+    * wordcount shuffle; top-30 plans as TakeOrderedAndProject.
+    */
+  def q107_stem_topwords(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq(
+      "the", "and", "for", "are", "but", "not", "you", "all", "can", "was",
+      "one", "our", "out", "has", "his", "her", "how", "its", "may", "new",
+      "now", "see", "two", "way", "who", "did", "that", "with", "this",
+      "from", "they", "have", "will", "what", "been", "were", "each",
+      "which", "their", "would", "there", "about")
+    val tok = regexp_replace(col("tok"), "[^a-z]", "")
+    val stem = Seq(
+      ("(ies|ied)$", "i"), ("sses$", "ss"), ("([^su])s$", "$1"),
+      ("^(.{4,})ing$", "$1"), ("^(.{3,})ed$", "$1"))
+      .foldLeft(tok) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    tWide(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(stem.as("stem"))
+      .filter(length(col("stem")) >= 3 && !col("stem").isin(stop: _*))
+      .groupBy("stem").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("stem").asc)
+      .limit(30)
+  }
+
+  /** Argmax aggregation: the latest event per user via max_by over a
+    * (ts, event_id) struct — ONE hash aggregation holding a single
+    * row of state per key, where the window-function formulation would
+    * shuffle and sort every event. The tie-break key (unique event_id)
+    * makes the argmax total, so no nondeterminism at equal timestamps.
+    */
+  def q108_argmax_latest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") <= 200)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max_by(
+          struct(col("event_type").as("event_type"), col("value").as("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .select(
+        col("user_id"), col("n_events"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 2).as("last_value"))
+      .orderBy("user_id")
+
+  /** Robust outlier detection: median / MAD per event type, flagging
+    * |x − median| > 3·1.4826·MAD (the normal-consistent MAD scale).
+    * Three keyed aggregations with the two 6-row stats tables
+    * broadcast back — no global sort. The exact `percentile` builtin
+    * buffers per group; at 100 TB swap in Quantiles.exactByGroup
+    * (spillable rank path) or approx_percentile — same contract.
+    * Both engines compare against the same 4.4478 literal so the
+    * threshold constant cannot differ in the last ulp.
+    */
+  def q109_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("med"), 4).as("median"),
+        round(min("mad"), 4).as("mad"),
+        count_if(col("ad") > lit(4.4478) * col("mad")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** kNN classification by cosine majority vote: probe vectors
+    * (vec_id ≡ 0 mod 101) against the rest of the corpus. The probe
+    * set is broadcast (it is the small side by construction), so the
+    * base corpus streams through one narrow map — no shuffle of the
+    * big side; ranking is per-probe (WindowGroupLimit prunes to k
+    * rows per probe per partition). Similarities are rounded to 4
+    * before ranking with vec_id tie-break, so the top-k frontier is
+    * engine-stable; the vote picks (votes DESC, label ASC).
+    */
+  def q110_knn_classify(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"), col("v").as("qv"))
+    val base = e.filter(col("vec_id") % 101 =!= 0)
+    val sims = base.crossJoin(broadcast(probes))
+      .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+        round(graft.operators.Dedup.cosine(col("v"), col("qv")), 4).as("sim"))
+    val topk = sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+    topk.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("vr") === 1)
+      .select(
+        col("qid").as("vec_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** Peak concurrency (max overlapping 5-minute sessions) per event
+    * type. The oracle runs the textbook single-window ±1 sweep; the
+    * engine side runs Concurrency.peakConcurrent's two-level
+    * distributed scan (within-day running sum + per-day carry-in
+    * prefix sum), which is algebraically identical — see that operator
+    * for the decomposition proof and the tie-determinism argument.
+    */
+  def q111_max_concurrency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Concurrency.peakConcurrent(
+      t(s, dir, "events"), "event_type", "ts", 300L)
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -1943,6 +2169,16 @@ object Queries {
     "q99_approx_quantiles" -> (q99_approx_quantiles _),
     "q100_rolling_distinct" -> (q100_rolling_distinct _),
     "q101_share_of_total" -> (q101_share_of_total _),
+    "q102_corr_regression" -> (q102_corr_regression _),
+    "q103_spearman"     -> (q103_spearman _),
+    "q104_profile"      -> (q104_profile _),
+    "q105_scalar_quant" -> (q105_scalar_quant _),
+    "q106_setsim_prefix" -> (q106_setsim_prefix _),
+    "q107_stem_topwords" -> (q107_stem_topwords _),
+    "q108_argmax_latest" -> (q108_argmax_latest _),
+    "q109_mad_outliers" -> (q109_mad_outliers _),
+    "q110_knn_classify" -> (q110_knn_classify _),
+    "q111_max_concurrency" -> (q111_max_concurrency _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2871,5 +3107,164 @@ object Queries {
         |SELECT o_orderpriority, n, round(rev, 2) AS revenue,
         |  round(rev / total_rev, 6) AS share
         |FROM p CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
+    "q102_corr_regression" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+        |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q103_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, round(corr(rq, rp), 4) AS spearman
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q104_profile" ->
+      """SELECT 'l_discount' AS "column", count(l_discount) AS n_nonnull,
+        |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  count(DISTINCT l_discount) AS n_distinct,
+        |  round(min(l_discount), 2) AS min_v, round(max(l_discount), 2) AS max_v,
+        |  round(avg(l_discount), 4) AS avg_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT l_extendedprice),
+        |  round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+        |  round(avg(l_extendedprice), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(l_quantity),
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT l_quantity),
+        |  round(min(l_quantity), 2), round(max(l_quantity), 2),
+        |  round(avg(l_quantity), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(l_tax),
+        |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT l_tax),
+        |  round(min(l_tax), 2), round(max(l_tax), 2), round(avg(l_tax), 4)
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+    "q105_scalar_quant" ->
+      """WITH ex AS (
+        |  SELECT i AS dim, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+        |q AS (
+        |  SELECT ex.dim, x, lo, hi, round(255 * (x - lo) / (hi - lo)) AS qv
+        |  FROM ex JOIN st USING (dim))
+        |SELECT dim, count(*) AS n, round(min(lo), 4) AS lo, round(min(hi), 4) AS hi,
+        |  round(avg(abs(x - (lo + qv * (hi - lo) / 255))), 6) AS avg_abs_err,
+        |  round(max(abs(x - (lo + qv * (hi - lo) / 255))), 6) AS max_abs_err
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    "q106_setsim_prefix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM d WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q107_stem_topwords" ->
+      """WITH tk AS (
+        |  SELECT regexp_replace(unnest(
+        |      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
+        |    '[^a-z]', '', 'g') AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(tok, '(ies|ied)$', 'i'),
+        |      'sses$', 'ss'), '([^su])s$', '\1'),
+        |      '^(.{4,})ing$', '\1'), '^(.{3,})ed$', '\1') AS stem
+        |  FROM tk)
+        |SELECT stem, count(*) AS n FROM st
+        |WHERE length(stem) >= 3 AND stem NOT IN (
+        |  'the','and','for','are','but','not','you','all','can','was','one',
+        |  'our','out','has','his','her','how','its','may','new','now','see',
+        |  'two','way','who','did','that','with','this','from','they','have',
+        |  'will','what','been','were','each','which','their','would','there',
+        |  'about')
+        |GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 30""".stripMargin,
+    "q108_argmax_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id <= 200)
+        |SELECT user_id, n_events, event_type AS last_type,
+        |  round(value, 2) AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q109_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, abs(value - med) AS ad, med
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(min(med), 4) AS median, round(min(mad), 4) AS mad,
+        |  count(*) FILTER (ad > 4.4478 * mad) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q110_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
+        |      FROM e WHERE vec_id % 101 = 0),
+        |b AS (SELECT * FROM e WHERE vec_id % 101 <> 0),
+        |sims AS (
+        |  SELECT q.qid, q.true_label, b.vec_id, b.label,
+        |    round(list_dot_product(b.v, q.qv) /
+        |          (sqrt(list_dot_product(b.v, b.v)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+        |  FROM q, b),
+        |top AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
+        |  WHERE rn <= 5),
+        |votes AS (SELECT qid, true_label, label, count(*) AS votes
+        |          FROM top GROUP BY qid, true_label, label),
+        |pick AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY votes DESC, label ASC) AS vr FROM votes) t
+        |  WHERE vr = 1)
+        |SELECT qid AS vec_id, true_label, label AS pred_label, votes,
+        |  (label = true_label)::INT AS correct
+        |FROM pick ORDER BY vec_id""".stripMargin,
+    "q111_max_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_type, ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events),
+        |r AS (
+        |  SELECT event_type, delta,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |                     ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d)
+        |SELECT event_type, max(run)::BIGINT AS peak_concurrent,
+        |  count(*) FILTER (delta = 1) AS n_sessions
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
