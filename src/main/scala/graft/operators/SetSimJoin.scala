@@ -19,16 +19,31 @@ import org.apache.spark.sql.functions._
   * theta/(1+theta) * (na+nb) overlap the threshold demands). So only
   * rows sharing a PREFIX element are candidates. Ordering rarest-first
   * makes prefixes carry the least-frequent elements, collapsing the
-  * candidate count: the join fan-out per element is df^2 over only the
-  * rare tail, not the stop-word head.
+  * candidate count; two further standard filters cut the survivors:
   *
-  * Shuffle shape at 100 TB: one groupBy per doc (set build), one
-  * element-frequency aggregation, one equi-join keyed on prefix
-  * elements, one verify join keyed on pair ids — every stage is
-  * hash-partitioned on a real key; no global window, no driver state,
-  * no cartesian product. The global element order needs NO global sort:
-  * each row sorts its own array by the (df, element) tuple, which is a
-  * total order computable locally once df is joined in.
+  *   - length filter: J >= θ forces min(na,nb) >= θ·max(na,nb)
+  *     (J <= min/max), applied inside the candidate join;
+  *   - positional filter: a match at prefix positions (pa, pb) bounds
+  *     the overlap by 1 + min(na−pa, nb−pb), which must reach
+  *     ceil(θ/(1+θ)·(na+nb)). Taking the MINIMUM matching positions
+  *     per pair only loosens the bound (safe — never drops a true
+  *     pair), so it composes with the groupBy that dedupes candidates.
+  *
+  * Elements travel as xxhash64 codes, not strings: an 8-byte shuffle
+  * key and an O(1)-compare verify array instead of ~20-byte strings.
+  * A 64-bit collision could merge two distinct elements (altering a
+  * Jaccard in the 15th decimal of probability: ~|vocab|²/2^65) — the
+  * same accepted trade as the q49 shingle-hash join, and one the
+  * string-exact oracle would immediately expose.
+  *
+  * Shuffle shape at 100 TB: one element-frequency aggregation, one
+  * groupBy per doc (set build, then localCheckpoint — the "build the
+  * index once" persistence point feeding all four downstream legs),
+  * one equi-join keyed on prefix-element hashes, one verify join keyed
+  * on pair ids — every stage hash-partitioned on a real key; no global
+  * window, no driver state, no cartesian product. The global element
+  * order needs NO global sort: each row sorts its own array by the
+  * (df, hash) tuple, a total order computable locally once df joins in.
   */
 object SetSimJoin {
 
@@ -43,14 +58,15 @@ object SetSimJoin {
       setCol: String,
       theta: Double): DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
-    // Set-ify: distinct (id, element) pairs; global document frequency.
+    // Set-ify PER ROW (array_distinct — a map, not the shuffle a
+    // global distinct() would cost), then explode to (id, hash) pairs.
     val pairs = docs
-      .select(col(idCol).as("id"), explode(col(setCol)).as("el"))
-      .distinct()
+      .select(col(idCol).as("id"), explode(array_distinct(col(setCol))).as("elS"))
+      .select(col("id"), xxhash64(col("elS")).as("el"))
     val freq = pairs.groupBy("el").agg(count(lit(1)).as("df"))
-    // Per doc: elements sorted rarest-first under the (df, el) total
-    // order. sort_array on the struct gives the order locally — the
-    // "global ordering" costs one equi-join, not a global sort.
+    // Per doc: element hashes sorted rarest-first under the (df, el)
+    // total order. sort_array on the struct gives the order locally —
+    // the "global ordering" costs one equi-join, not a global sort.
     val sorted = pairs.join(freq, "el")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("el")))).as("se"))
@@ -60,14 +76,27 @@ object SetSimJoin {
         size(col("se")).as("n"))
     val withPre = sorted.withColumn(
       "plen", (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))
-    val pre = withPre.select(
-      col("id"), explode(slice(col("els"), lit(1), col("plen"))).as("el"))
-    // Candidates: any pair sharing a prefix element, ordered, deduped.
+      .localCheckpoint(true)
+    val pre = withPre.select(col("id"), col("n"),
+      posexplode(slice(col("els"), lit(1), col("plen"))).as(Seq("p", "el")))
+    // Candidate pairs: shared prefix element + length filter, deduped
+    // by a groupBy that keeps the minimum matching positions, then the
+    // positional overlap bound.
+    val minOverlap = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
     val cand = pre.as("a")
-      .join(pre.as("b"), col("a.el") === col("b.el") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verify: exact Jaccard on the full element arrays.
+      .join(pre.as("b"),
+        col("a.el") === col("b.el") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")) >= lit(theta) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(min("pa").as("pa"), min("pb").as("pb"))
+      .filter(lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)
+        >= minOverlap)
+    // Verify: exact Jaccard on the full element-hash arrays (AQE
+    // broadcasts the checkpointed index when it is small; at scale it
+    // is an equi-join on the pair ids).
     val sets = withPre.select(col("id"), col("els"))
     cand
       .join(sets.toDF("id_a", "ea"), "id_a")
@@ -75,7 +104,7 @@ object SetSimJoin {
       .withColumn("inter", size(array_intersect(col("ea"), col("eb"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("ea")) + size(col("eb")) - col("inter")))
+          (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

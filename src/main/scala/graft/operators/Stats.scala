@@ -1,19 +1,25 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rank-based statistics. Spearman's rho per group = Pearson
   * correlation of tie-averaged fractional ranks (the standard
   * tie-corrected definition): the average rank of a tie group is its
-  * min rank plus (ties−1)/2, i.e. `rank()` over the value order plus a
-  * count over the value partition.
+  * min rank plus (ties−1)/2.
   *
-  * Scale shape: both rank columns come from windows keyed on the SAME
-  * group column (one shuffle, two in-partition sorts), and the final
-  * correlation is a one-pass co-moment aggregate — no global window,
-  * no per-group buffering beyond the sort.
+  * Scale shape: a naive `rank().over(partitionBy(group))` sorts each
+  * group in ONE task — useless when the group count is small (3 return
+  * flags at 100 TB = 3 tasks). Instead ranks come from
+  * PrefixSum.globalRank over the composite (group, value) order —
+  * range-partitioned, so every task sorts only its slice — and the
+  * per-(group, value) min-rank + tie count gives the averaged rank.
+  * The global composite rank differs from the within-group rank by a
+  * constant per group, and Pearson correlation is shift-invariant, so
+  * the group offset never needs to be subtracted. Rows re-acquire
+  * their rank by an equi-join on (group, value) — high-cardinality
+  * shuffle keys, no few-partition window anywhere (globalRank itself
+  * falls back to a single window only below its cost threshold).
   */
 object Stats {
 
@@ -23,13 +29,15 @@ object Stats {
       groupCol: String,
       xCol: String,
       yCol: String): DataFrame = {
-    val wx = Window.partitionBy(groupCol).orderBy(xCol)
-    val wy = Window.partitionBy(groupCol).orderBy(yCol)
-    val cx = Window.partitionBy(groupCol, xCol)
-    val cy = Window.partitionBy(groupCol, yCol)
-    df.select(groupCol, xCol, yCol)
-      .withColumn("__rx", rank().over(wx) + (count(lit(1)).over(cx) - 1) / 2.0)
-      .withColumn("__ry", rank().over(wy) + (count(lit(1)).over(cy) - 1) / 2.0)
+    val base = df.select(col(groupCol), col(xCol).as("__x"), col(yCol).as("__y"))
+    def avgRanks(valueCol: String, out: String): DataFrame =
+      PrefixSum.globalRank(
+        base.select(col(groupCol), col(valueCol)), Seq(groupCol, valueCol), "__rn")
+        .groupBy(col(groupCol), col(valueCol))
+        .agg((min("__rn") + (count(lit(1)) - 1) / 2.0).as(out))
+    base
+      .join(avgRanks("__x", "__rx"), Seq(groupCol, "__x"))
+      .join(avgRanks("__y", "__ry"), Seq(groupCol, "__y"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), round(corr("__rx", "__ry"), 4).as("spearman"))
   }
