@@ -66,7 +66,10 @@ class PlanSpec extends SparkSpec {
       // q58/q66/q82/q101: 1-row broadcast aggregates (corpus size,
       // min/max envelope, avgdl, grand total)
       "q58_doc_freq", "q66_value_histogram", "q82_bm25",
-      "q101_share_of_total")
+      "q101_share_of_total",
+      // q110: the probe set (~1% of vectors) is broadcast over the base
+      // corpus by design — the base side never shuffles
+      "q110_knn_classify")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
