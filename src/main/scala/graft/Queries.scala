@@ -1248,22 +1248,26 @@ object Queries {
       .orderBy("doc_id")
 
   /** Term co-occurrence counts — the PMI / embedding-training prep
-    * pass: distinct (doc, word) pairs self-joined per doc with w_a <
-    * w_b. Shuffles on doc_id (both sides co-partitioned — one shuffle
-    * each, local pair expansion), then a partial+final count on the
-    * pair key. Pair blowup is |doc|·v² with v = per-doc DISTINCT
-    * vocabulary, which quality-gated corpora keep small; the top-k tail
-    * is TakeOrderedAndProject, never a global sort.
+    * pass. Pairs are generated MAP-SIDE from each doc's sorted distinct
+    * word array (w_a < w_b falls out of the sort), so the only
+    * shuffle in the job is the partial+final count on the pair key —
+    * the self-join formulation pays three more (a distinct on
+    * (doc, word) plus re-keying both join sides on doc_id) to build
+    * the same pairs. Pair blowup is |doc|·v²/2 with v = per-doc
+    * DISTINCT vocabulary either way, which quality-gated corpora keep
+    * small; it is generated-then-aggregated inside one codegen stage
+    * here, never materialized through an exchange. Top-k tail is
+    * TakeOrderedAndProject, never a global sort.
     */
   def q75_cooccurrence(s: SparkSession, dir: String): DataFrame = {
-    val words = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct()
-    val a = words.select(col("doc_id"), col("w").as("w_a"))
-    val b = words.select(col("doc_id").as("doc_b"), col("w").as("w_b"))
-    a.join(b, col("doc_id") === col("doc_b") && col("w_a") < col("w_b"))
-      .groupBy("w_a", "w_b")
+    val ws = sort_array(array_distinct(
+      filter(split(col("text"), " "), w => length(w) > 0)))
+    tWide(s, dir, "documents")
+      .select(ws.as("ws"))
+      .select(explode(flatten(transform(col("ws"), (x, i) =>
+        transform(slice(col("ws"), i + lit(2), size(col("ws"))),
+          y => struct(x.as("w_a"), y.as("w_b")))))).as("p"))
+      .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(desc("n_docs"), col("w_a"), col("w_b"))
       .limit(25)
@@ -1278,10 +1282,20 @@ object Queries {
     * `words` via a separate count agg, joined back on the term.
     */
   def q76_posting_lists(s: SparkSession, dir: String): DataFrame = {
+    // Per-doc word dedup is array_distinct — a map, not the shuffle a
+    // global distinct() over (doc_id, w) would cost (they are the same
+    // set: distinct-per-key IS per-row distinct here).
     val words = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(col("text"), " "),
+          w => length(w) > 0))).as("w"))
+    // df stays a SEPARATE aggregate (map-side combine shrinks it to
+    // |vocab| rows per partition) rather than a count window fused
+    // into the ranking pass: an exact count window would need every
+    // row and so would forfeit WindowGroupLimit's partition-local
+    // prune, which is what keeps the ranking shuffle at ≤10 rows per
+    // term per partition — the property that matters for a stopword
+    // at 100 TB.
     val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
     val rankW = Window.partitionBy("w").orderBy("doc_id")
     val top = words

@@ -36,14 +36,25 @@ import org.apache.spark.sql.functions._
   * same accepted trade as the q49 shingle-hash join, and one the
   * string-exact oracle would immediately expose.
   *
-  * Shuffle shape at 100 TB: one element-frequency aggregation, one
-  * groupBy per doc (set build, then localCheckpoint — the "build the
-  * index once" persistence point feeding all four downstream legs),
-  * one equi-join keyed on prefix-element hashes, one verify join keyed
-  * on pair ids — every stage hash-partitioned on a real key; no global
-  * window, no driver state, no cartesian product. The global element
-  * order needs NO global sort: each row sorts its own array by the
-  * (df, hash) tuple, a total order computable locally once df joins in.
+  * The global total order is the HASH VALUE itself, not the classic
+  * rarest-first document-frequency order. The theorem needs only SOME
+  * total order, and df-ordering costs a frequency aggregation plus an
+  * element-keyed join of every (id, element) pair — two shuffles of
+  * the widest data in the job — before any filtering happens. Hash
+  * order is free (each row sorts its own array locally, zero
+  * shuffles), and for high-cardinality elements like word shingles
+  * (df≈1 for almost all) it is statistically indistinguishable from
+  * rarest-first: a prefix element is "frequent" only by hash luck, at
+  * rate |hot elements|/|vocab|. The trade to revisit for LOW-
+  * cardinality element universes (e.g. small tag sets), where
+  * rarest-first pays for itself.
+  *
+  * Shuffle shape at 100 TB: a map-only set build (tokenize → hash →
+  * per-row sort, then localCheckpoint — the "build the index once"
+  * persistence point feeding all four downstream legs), one equi-join
+  * keyed on prefix-element hashes, one verify join keyed on pair ids —
+  * every stage hash-partitioned on a real key; no global window, no
+  * driver state, no cartesian product.
   */
 object SetSimJoin {
 
@@ -58,22 +69,16 @@ object SetSimJoin {
       setCol: String,
       theta: Double): DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
-    // Set-ify PER ROW (array_distinct — a map, not the shuffle a
-    // global distinct() would cost), then explode to (id, hash) pairs.
-    val pairs = docs
-      .select(col(idCol).as("id"), explode(array_distinct(col(setCol))).as("elS"))
-      .select(col("id"), xxhash64(col("elS")).as("el"))
-    val freq = pairs.groupBy("el").agg(count(lit(1)).as("df"))
-    // Per doc: element hashes sorted rarest-first under the (df, el)
-    // total order. sort_array on the struct gives the order locally —
-    // the "global ordering" costs one equi-join, not a global sort.
-    val sorted = pairs.join(freq, "el")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("el")))).as("se"))
+    // Map-only index build: set-ify PER ROW (array_distinct — a map,
+    // not the shuffle a global distinct() would cost), hash every
+    // element, sort the hash array locally — that sort IS the global
+    // total order (see doc header). No shuffle until the candidate
+    // join.
+    val sorted = docs
       .select(
-        col("id"),
-        transform(col("se"), x => x("el")).as("els"),
-        size(col("se")).as("n"))
+        col(idCol).as("id"),
+        sort_array(array_distinct(transform(col(setCol), e => xxhash64(e)))).as("els"))
+      .withColumn("n", size(col("els")))
     val withPre = sorted.withColumn(
       "plen", (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))
       .localCheckpoint(true)
