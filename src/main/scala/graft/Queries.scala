@@ -2081,6 +2081,321 @@ object Queries {
       t(s, dir, "events"), "event_type", "ts", 300L)
       .orderBy("event_type")
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next=B | cur=A) from lead() pairs. One shuffle for the user
+    * window, one partial+final count on the (cur, next) key; the
+    * per-cur totals table is |event types|² rows at most — broadcast
+    * back. p is a single exact-integer division, rounded identically
+    * on both engines.
+    */
+  def q112_transition_matrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val c = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur_type"))
+      .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("cur_type", "next_type").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("cur_type").agg(sum("n").as("tot"))
+    c.join(broadcast(tot), "cur_type")
+      .select(col("cur_type"), col("next_type"), col("n"),
+        round(col("n") / col("tot"), 4).as("p"))
+      .orderBy("cur_type", "next_type")
+  }
+
+  /** Bigram-LM document scoring (perplexity-proxy quality filter):
+    * train a conditional-probability table on 90% of docs (q91's LM
+    * shape), score the held-out 10% as the sum of per-bigram scaled
+    * probabilities. The score is INTEGER end-to-end — each bigram
+    * contributes floor(n·10⁴/tot), summed as longs — so no float
+    * reduction order can flip the hash compare. Unseen bigrams (OOV)
+    * contribute 0 and are counted separately. Scale: bigram explode is
+    * map-side; the LM build and the score join shuffle on the bigram
+    * key (high cardinality, partial-agg combined).
+    */
+  def q113_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = bigrams.filter(col("doc_id") % 10 =!= 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val tot = lm.groupBy("w1").agg(sum("n").as("tot"))
+    val probs = lm.join(tot, "w1")
+      .select(col("w1"), col("w2"),
+        floor(col("n") * lit(10000) / col("tot")).as("pscaled"))
+    bigrams.filter(col("doc_id") % 10 === 0)
+      .join(probs, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("pscaled").isNull, 1).otherwise(0)).as("n_oov"),
+        coalesce(sum("pscaled"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Winsorized (clipped) robust mean per group: p05/p95 picked by the
+    * q40 discrete-rank method (value AT rank ceil(p·n) — a raw data
+    * value, immune to interpolation-rounding skew), broadcast back as
+    * a 3-row stats table, mean over values clipped into [lo, hi].
+    * The outlier-robust complement to q109's median/MAD flags: this
+    * REPAIRS the aggregate instead of flagging rows.
+    */
+  def q114_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    val stats = li
+      .withColumn("rn", row_number().over(Window.partitionBy("flag").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      .groupBy("flag").agg(
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.05) * col("n"))),
+          col("v"))).as("lo"),
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.95) * col("n"))),
+          col("v"))).as("hi"))
+    li.join(broadcast(stats), "flag")
+      .groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        round(avg(greatest(least(col("v"), col("hi")), col("lo"))), 2).as("wins_mean"),
+        round(avg("v"), 2).as("raw_mean"))
+      .select(col("flag").as("l_returnflag"), col("n"), col("wins_mean"),
+        col("raw_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  /** RAG-style overlapping chunking: 64-token windows at stride 32
+    * (chunk i covers tokens [32i, 32i+64)), the retrieval-index
+    * complement of q55's disjoint packing. Pure codegen row
+    * generation — sequence/explode/slice — no shuffle at all until
+    * the final presentation sort.
+    */
+  def q115_chunk_overlap(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), floor((size(col("ws")) - 1) / 32))).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        slice(col("ws"), (col("chunk_no") * 32 + 1).cast("int"), lit(64)).as("chunk"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"))
+      .orderBy("doc_id", "chunk_no")
+
+  /** Dataset content fingerprint for snapshot integrity audits: an
+    * md5 per row over the natural key columns, bucketed by the hash's
+    * first hex digit into a 16-row signature (count + min + max per
+    * bucket). Order-independent (pure partial+final agg, no sort), so
+    * two pipelines can compare signatures without canonicalizing row
+    * order — the cheap first check before a q98-style full diff.
+    */
+  def q116_hash_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(md5(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber")).cast("binary")).as("h"))
+      .groupBy(substring(col("h"), 1, 1).as("bucket"))
+      .agg(count(lit(1)).as("n"), min("h").as("min_hash"), max("h").as("max_hash"))
+      .orderBy("bucket")
+
+  /** Linear interpolation of gaps in a per-user daily series — the
+    * numeric upgrade of q51's carry-forward fill: missing days get
+    * pv + (nv−pv)·(day−pd)/(nd−pd) between the bracketing observed
+    * days. Four IGNORE NULLS window passes over ONE user-keyed
+    * shuffle (same partition spec, the sort is reused). Arithmetic is
+    * INTEGER-CENT fixed point: the float form lands on exact
+    * half-cent boundaries (e.g. midpoint of two 2-decimal values)
+    * where Spark's BigDecimal HALF_UP and DuckDB's float-path
+    * rounding legally disagree, while floor((nv−pv)·dd / dn) over
+    * longs < 2⁵³ is IEEE-EXACT in both engines (the quotient is
+    * correctly rounded, so its floor can only be wrong if the true
+    * quotient were within one ulp of an integer — impossible for
+    * exact-integer operands unless it IS that integer).
+    */
+  def q117_interp_linear(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events").filter(col("user_id") < 100)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(round(sum("value") * 100, 0).cast("long").as("cents"))
+    val cal = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val j = cal.join(daily, Seq("user_id", "day"), "left")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    j.withColumn("pv", last("cents", ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first("cents", ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + floor((col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))))
+          .as("est_cents"),
+        when(col("cents").isNull, 1).otherwise(0).as("interpolated"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Entry-path analysis: the first 3 event types per user (ordered by
+    * ts, event_id) as a ">"-joined path string, counted across users —
+    * the onboarding-flow query. Per-user state is ONE sorted struct
+    * array bounded by the user's history (collect_list + sort_array —
+    * at 100 TB, cap with a WindowGroupLimit rank≤3 pre-filter per
+    * user); the path count is a partial+final agg; top-15 plans
+    * TakeOrderedAndProject.
+    */
+  def q118_path_analysis(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, 3), e => e.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(15)
+
+  /** JSON-lines file source/sink round-trip — the third wire format
+    * after CSV (q79) and ORC (q96): events dumped as JSON-lines,
+    * re-read with an explicit schema (no sampling-based inference
+    * pass — at 100 TB schema inference is a full extra scan), then
+    * checksum-aggregated against the ORIGINAL parquet values. Doubles
+    * survive because Spark writes shortest round-trip representations.
+    */
+  def q119_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    t(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    s.read.schema(schema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
+        round(sum("value"), 2).as("sum_value"), max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
+  /** Explicit GROUPING SETS (the general form behind q12's rollup and
+    * q31's cube — per-nation and per-priority marginals plus the grand
+    * total in ONE aggregation pass over an Expand, no self-union
+    * rescan). ONE SQL string runs on BOTH engines (q61's pattern), so
+    * the oracle is definitionally the same query; grouping() flags
+    * disambiguate the all-label from a real value.
+    */
+  val q121Sql: String =
+    """SELECT coalesce(n_name, '(all)') AS n_name,
+      |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+      |  grouping(n_name) AS g_nation, grouping(o_orderpriority) AS g_prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+      |ORDER BY g_nation, g_prio, n_name, o_orderpriority""".stripMargin
+
+  def q121_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(q121Sql)
+  }
+
+  /** Period-over-period (month-over-month) revenue deltas per order
+    * priority — the lag() growth report every revenue dashboard runs.
+    * Delta is INTEGER basis points over integer cents (floor of an
+    * exact-long division — engine-exact, q117's argument), computed
+    * after the monthly pre-aggregation so the window sees only
+    * |priorities|·|months| rows, partitioned by priority (never a
+    * global window).
+    */
+  def q122_period_over_period(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val w = Window.partitionBy("prio").orderBy("month")
+    monthly.withColumn("prev_cents", lag("cents", 1).over(w))
+      .select(col("prio").as("o_orderpriority"), col("month"), col("cents"),
+        coalesce(floor((col("cents") - col("prev_cents")) * 10000
+          / col("prev_cents")), lit(0L)).as("delta_bp"))
+      .orderBy("o_orderpriority", "month")
+  }
+
+  /** Join-key skew diagnostics — the pre-flight check before choosing
+    * q37's salting factor: per-key count distribution collapsed to a
+    * one-row signature (key count, total, max, mean×100, skew×100 =
+    * max/mean — all exact-integer arithmetic). Two partial+final
+    * aggs; nothing wide ever leaves the executors.
+    */
+  def q123_skew_diagnostics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("total_rows"),
+        max("n").as("max_n"), min("n").as("min_n"))
+      .select(col("n_keys"), col("total_rows"), col("max_n"), col("min_n"),
+        floor(col("total_rows") * 100 / col("n_keys")).as("mean_x100"),
+        floor(col("max_n") * 100 * col("n_keys") / col("total_rows"))
+          .as("skew_x100"))
+
+  /** Referential-integrity audit (FK orphan scan): for each fact→dim
+    * edge, how many distinct fact keys have no parent. One left join
+    * per edge on the distinct fact keys (dims' key columns only —
+    * pruned scans), unmatched rows counted by null flag, unioned into
+    * a per-edge report. The data-quality gate a warehouse runs after
+    * every load; zero orphans is the healthy result, and n_keys
+    * proves the check actually scanned.
+    */
+  def q124_fk_audit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def audit(fk: String, dim: DataFrame, pk: String, label: String) =
+      li.select(col(fk).as("k")).distinct()
+        .join(dim.select(col(pk).as("k"), lit(1).as("hit")), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("hit").isNull, 1).otherwise(0)).as("n_orphans"))
+        .select(lit(label).as("fk"), col("n_keys"), col("n_orphans"))
+    audit("l_orderkey", t(s, dir, "orders"), "o_orderkey", "lineitem.orderkey")
+      .unionByName(audit("l_partkey", t(s, dir, "part"), "p_partkey", "lineitem.partkey"))
+      .unionByName(audit("l_suppkey", t(s, dir, "supplier"), "s_suppkey", "lineitem.suppkey"))
+      .orderBy("fk")
+  }
+
+  /** Entity resolution: blocked fuzzy best-match. Probe parts match
+    * against all same-brand parts (equi-join on the blocking key — a
+    * hash join, never all-pairs), scored by edit distance, best match
+    * kept by (dist, partkey) rank. The blocking key bounds candidate
+    * fan-out; at 100 TB the block would be (brand, container) or a
+    * q84-style locality bucket.
+    */
+  def q120_entity_resolution(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val probes = p.filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").as("qk"), col("p_brand").as("qb"),
+        col("p_name").as("qn"))
+    val cands = p.select(col("p_partkey").as("ck"), col("p_brand").as("cb"),
+      col("p_name").as("cn"))
+    probes.join(cands, col("qb") === col("cb") && col("qk") =!= col("ck"))
+      .select(col("qk"), col("qn"), col("ck"), col("cn"),
+        levenshtein(col("qn"), col("cn")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qk").orderBy(col("dist"), col("ck"))))
+      .filter(col("rn") === 1)
+      .select(col("qk").as("p_partkey"), col("qn").as("p_name"),
+        col("ck").as("match_partkey"), col("cn").as("match_name"), col("dist"))
+      .orderBy("p_partkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -2193,6 +2508,19 @@ object Queries {
     "q109_mad_outliers" -> (q109_mad_outliers _),
     "q110_knn_classify" -> (q110_knn_classify _),
     "q111_max_concurrency" -> (q111_max_concurrency _),
+    "q112_transition_matrix" -> (q112_transition_matrix _),
+    "q113_lm_score"     -> (q113_lm_score _),
+    "q114_winsorize"    -> (q114_winsorize _),
+    "q115_chunk_overlap" -> (q115_chunk_overlap _),
+    "q116_hash_fingerprint" -> (q116_hash_fingerprint _),
+    "q117_interp_linear" -> (q117_interp_linear _),
+    "q118_path_analysis" -> (q118_path_analysis _),
+    "q119_json_roundtrip" -> (q119_json_roundtrip _),
+    "q120_entity_resolution" -> (q120_entity_resolution _),
+    "q121_grouping_sets" -> (q121_grouping_sets _),
+    "q122_period_over_period" -> (q122_period_over_period _),
+    "q123_skew_diagnostics" -> (q123_skew_diagnostics _),
+    "q124_fk_audit"     -> (q124_fk_audit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3280,5 +3608,171 @@ object Queries {
         |SELECT event_type, max(run)::BIGINT AS peak_concurrent,
         |  count(*) FILTER (delta = 1) AS n_sessions
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q112_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT event_type AS cur_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT cur_type, next_type, count(*) AS n FROM s
+        |      WHERE next_type IS NOT NULL GROUP BY cur_type, next_type),
+        |tt AS (SELECT cur_type, sum(n)::BIGINT AS tot FROM c GROUP BY cur_type)
+        |SELECT c.cur_type, c.next_type, c.n,
+        |  round(c.n::DOUBLE / tt.tot, 4) AS p
+        |FROM c JOIN tt ON c.cur_type = tt.cur_type
+        |ORDER BY c.cur_type, c.next_type""".stripMargin,
+    "q113_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM (
+        |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w
+        |    WHERE len(ws) >= 2) t),
+        |lm AS (SELECT w1, w2, count(*) AS n FROM b
+        |       WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+        |tt AS (SELECT w1, sum(n)::BIGINT AS tot FROM lm GROUP BY w1),
+        |p AS (SELECT lm.w1, lm.w2,
+        |        floor(lm.n * 10000 / tt.tot)::BIGINT AS pscaled
+        |      FROM lm JOIN tt ON lm.w1 = tt.w1),
+        |tst AS (SELECT b.doc_id, p.pscaled FROM b
+        |        LEFT JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |        WHERE b.doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(CASE WHEN pscaled IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  coalesce(sum(pscaled), 0)::BIGINT AS score
+        |FROM tst GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q114_winsorize" ->
+      """WITH v AS (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT flag, v,
+        |        row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY flag) AS n FROM v),
+        |s AS (SELECT flag,
+        |        max(CASE WHEN rn = greatest(1, ceil(0.05 * n)) THEN v END) AS lo,
+        |        max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN v END) AS hi
+        |      FROM r GROUP BY flag)
+        |SELECT v.flag AS l_returnflag, count(*) AS n,
+        |  round(avg(greatest(least(v.v, s.hi), s.lo)), 2) AS wins_mean,
+        |  round(avg(v.v), 2) AS raw_mean
+        |FROM v JOIN s ON v.flag = s.flag
+        |GROUP BY v.flag ORDER BY l_returnflag""".stripMargin,
+    "q115_chunk_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        unnest(range(0, ((len(ws) - 1) // 32) + 1)) AS chunk_no, ws
+        |      FROM w WHERE len(ws) > 0),
+        |s AS (SELECT doc_id, chunk_no,
+        |        ws[chunk_no * 32 + 1 : least(chunk_no * 32 + 64, len(ws))] AS chunk
+        |      FROM c)
+        |SELECT doc_id, chunk_no, len(chunk) AS n_toks,
+        |  chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
+    "q116_hash_fingerprint" ->
+      """WITH h AS (
+        |  SELECT md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+        |                       l_linenumber)) AS h
+        |  FROM lineitem)
+        |SELECT substr(h, 1, 1) AS bucket, count(*) AS n,
+        |  min(h) AS min_hash, max(h) AS max_hash
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q117_interp_linear" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    round(sum(value) * 100, 0)::BIGINT AS cents
+        |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (SELECT c.user_id, c.day, d.cents
+        |      FROM cal c LEFT JOIN daily d
+        |        ON d.user_id = c.user_id AND d.day = c.day),
+        |f AS (SELECT user_id, day, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, day,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + floor((nv - pv) * (day - pd) / (nd - pd))::BIGINT
+        |       END AS est_cents,
+        |  CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS interpolated
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    "q118_path_analysis" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 15""".stripMargin,
+    "q119_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
+        |  round(sum(value), 2) AS sum_value, max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q120_entity_resolution" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS qk, p_brand AS qb, p_name AS qn
+        |  FROM part WHERE p_partkey % 97 = 0),
+        |sc AS (SELECT qk, qn, p.p_partkey AS ck, p.p_name AS cn,
+        |         levenshtein(qn, p.p_name) AS dist,
+        |         row_number() OVER (PARTITION BY qk
+        |           ORDER BY levenshtein(qn, p.p_name), p.p_partkey) AS rn
+        |       FROM probes JOIN part p
+        |         ON p.p_brand = probes.qb AND p.p_partkey <> probes.qk)
+        |SELECT qk AS p_partkey, qn AS p_name, ck AS match_partkey,
+        |  cn AS match_name, dist
+        |FROM sc WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q121_grouping_sets" -> Queries.q121Sql,
+    "q122_period_over_period" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, date_trunc('month', o_orderdate)::DATE AS month,
+        |    round(sum(o_totalprice) * 100, 0)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |d AS (SELECT o_orderpriority, month, cents,
+        |        lag(cents) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY month) AS prev_cents
+        |      FROM m)
+        |SELECT o_orderpriority, month, cents,
+        |  coalesce(floor((cents - prev_cents) * 10000 / prev_cents)::BIGINT, 0)
+        |    AS delta_bp
+        |FROM d ORDER BY o_orderpriority, month""".stripMargin,
+    "q123_skew_diagnostics" ->
+      """WITH k AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, sum(n)::BIGINT AS total_rows,
+        |  max(n)::BIGINT AS max_n, min(n)::BIGINT AS min_n,
+        |  floor(sum(n) * 100 / count(*))::BIGINT AS mean_x100,
+        |  floor(max(n) * 100 * count(*) / sum(n))::BIGINT AS skew_x100
+        |FROM k""".stripMargin,
+    "q124_fk_audit" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.orderkey' AS fk, count(*) AS n_keys,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_orphans
+        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+        |  LEFT JOIN orders o ON k.l_orderkey = o.o_orderkey),
+        |e2 AS (
+        |  SELECT 'lineitem.partkey' AS fk, count(*) AS n_keys,
+        |    sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_orphans
+        |  FROM (SELECT DISTINCT l_partkey FROM lineitem) k
+        |  LEFT JOIN part p ON k.l_partkey = p.p_partkey),
+        |e3 AS (
+        |  SELECT 'lineitem.suppkey' AS fk, count(*) AS n_keys,
+        |    sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_orphans
+        |  FROM (SELECT DISTINCT l_suppkey FROM lineitem) k
+        |  LEFT JOIN supplier s ON k.l_suppkey = s.s_suppkey)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |ORDER BY fk""".stripMargin,
   )
 }
