@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotProduct, MinHashSignature}
+import graft.expr.{DotProduct, JaroWinkler, MinHashSignature}
 
 /** SparkSessionExtensions injector: registers graft's native
   * expressions as SQL functions, so they're usable from `spark.sql`
@@ -14,6 +14,7 @@ import graft.expr.{DotProduct, MinHashSignature}
   *
   *   - `graft_dot_product(array<double>, array<double>) -> double`
   *   - `graft_minhash(array<string>, numHashes) -> array<bigint>`
+  *   - `graft_jaro_winkler(string, string) -> double`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -46,6 +47,14 @@ object GraftExtensions {
             s"graft_minhash numHashes must be an integer literal, got $other")
         }
         MinHashSignature(children(0), n)
+      }),
+    (
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_jaro_winkler takes (string, string)")
+        JaroWinkler(children(0), children(1))
       }))
 
   /** Register on an already-built session (tests, shells). Sessions

@@ -2396,6 +2396,224 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  /** Jaro-Winkler fuzzy matching — q120's blocked entity resolution
+    * re-scored with the prefix-weighted similarity the record-linkage
+    * literature prefers for short names, via the native codegen
+    * expression `graft.expr.JaroWinkler` (Spark has levenshtein but no
+    * Jaro-Winkler builtin; semantics pinned to DuckDB's
+    * `jaro_winkler_similarity` so the oracle is definitional). Rank
+    * orders by the ROUNDED score so a 1-ulp cross-engine FP difference
+    * cannot flip the winner; brand blocking keeps the candidate
+    * fan-out bounded exactly as in q120.
+    */
+  def q125_jaro_winkler(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val probes = p.filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").as("qk"), col("p_brand").as("qb"),
+        col("p_name").as("qn"))
+    val cands = p.select(col("p_partkey").as("ck"), col("p_brand").as("cb"),
+      col("p_name").as("cn"))
+    probes.join(cands, col("qb") === col("cb") && col("qk") =!= col("ck"))
+      .select(col("qk"), col("qn"), col("ck"), col("cn"),
+        round(graft.expr.StringSimilarity.jaroWinkler(col("qn"), col("cn")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qk").orderBy(desc("sim"), col("ck"))))
+      .filter(col("rn") === 1)
+      .select(col("qk").as("p_partkey"), col("qn").as("p_name"),
+        col("ck").as("match_partkey"), col("cn").as("match_name"), col("sim"))
+      .orderBy("p_partkey")
+  }
+
+  /** Chi-squared independence test (event_type × user cohort) — the
+    * statistical gate behind "is this feature correlated with that
+    * segment". Emits the full contingency table with expected counts
+    * and per-cell χ² contributions rather than one summed statistic:
+    * the cell division is a single IEEE op identical on both engines,
+    * while a 15-term float SUM would depend on reduction order. Three
+    * tiny aggregates (cells, row totals, column totals) broadcast back
+    * onto the cells — the fact table is scanned once.
+    */
+  def q126_chisq(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"), (col("user_id") % 3).as("cohort"))
+      .agg(count(lit(1)).as("n"))
+    val rt = cells.groupBy("event_type").agg(sum("n").as("r"))
+    val ct = cells.groupBy("cohort").agg(sum("n").as("c"))
+    val tot = cells.agg(sum("n").as("t"))
+    val e = (col("r") * col("c")) / col("t")
+    cells.join(rt, "event_type").join(ct, "cohort").crossJoin(tot)
+      .select(col("event_type"), col("cohort"), col("n"),
+        round(e, 4).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 4).as("chi2_contrib"))
+      .orderBy("event_type", "cohort")
+  }
+
+  /** Pairwise label-centroid cosine matrix — the cluster-separation
+    * report after q64's centroid build (are label groups distinguishable
+    * in embedding space?). Centroids come from ONE posexplode
+    * partial+final agg over the corpus (|labels|·dims rows out); the
+    * 45-pair upper triangle is a self-join of that tiny table — at
+    * 100 TB the corpus pass dominates and the pair stage is free.
+    */
+  def q127_centroid_sim(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).as("i"))
+      .agg(avg(col("col").cast("double")).as("v"))
+    val n = c.groupBy("label").agg(sum(col("v") * col("v")).as("nn"))
+    val a = c.select(col("label").as("label_a"), col("i"), col("v").as("va"))
+    val b = c.select(col("label").as("label_b"), col("i"), col("v").as("vb"))
+    a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b").agg(sum(col("va") * col("vb")).as("dot"))
+      .join(n.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
+      .join(n.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4).as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Partition-pruned layout round-trip: events written
+    * date-partitioned (the layout a 100 TB event store actually has),
+    * re-read with a date predicate that must prune to 7 of 30
+    * directories via PartitionFilters — never touching the other 23
+    * files' bytes — then aggregated. The oracle aggregates the ORIGINAL
+    * parquet under the equivalent timestamp predicate, so pruning
+    * correctness (no lost or phantom rows at the day boundaries) is
+    * what's being hash-checked.
+    */
+  def q128_partitioned_prune(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_prune"
+    t(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_date") >= lit("2024-01-05")
+        && col("event_date") <= lit("2024-01-11"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Min-cost supplier (TPC-H Q2 shape on our star schema): per part,
+    * the supplier with the lowest observed unit price. The per-(part,
+    * supplier) cost is MIN(extendedprice/quantity) — min/max of doubles
+    * are reduction-order-independent, so the ranking key is engine-exact
+    * where an averaged cost would carry summation noise. Argmin via
+    * rank-1 window over the pre-aggregated (part,supplier) table (2
+    * shuffles on the fact); part/supplier dims broadcast onto the
+    * 1-row-per-part result.
+    */
+  def q129_min_cost_supplier(s: SparkSession, dir: String): DataFrame = {
+    val cost = t(s, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = cost.withColumn("rn", row_number().over(
+      Window.partitionBy("l_partkey").orderBy(col("unit_cost"), col("l_suppkey"))))
+      .filter(col("rn") === 1)
+    val part = t(s, dir, "part").filter(col("p_size") >= 48)
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+    best.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("s_suppkey"), col("s_name"), round(col("unit_cost"), 4).as("unit_cost"))
+      .orderBy("p_partkey")
+  }
+
+  /** Lexical diversity (type-token ratio + hapax fraction) — the
+    * per-document vocabulary-richness signal quality filters use to
+    * catch keyword-stuffed or template text. One explode → (doc, word)
+    * count agg, then a per-doc re-agg; all-integer outputs (basis
+    * points via exact long division), so no float ever crosses the
+    * oracle boundary.
+    */
+  def q130_lexical_diversity(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))
+          .as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+        expr("n_hapax * 10000 div n_types").as("hapax_bp"))
+      .orderBy("doc_id")
+
+  /** PageRank over the word co-occurrence graph (top-30 document
+    * terms) — iterative distributed graph compute in exact fixed-point
+    * arithmetic via `operators/PageRank.scala`: 3 power-iteration
+    * rounds, each ONE ranks⋈edges hash join plus ONE groupBy(dst)
+    * shuffle (the irreducible communication of power iteration).
+    * Integer ranks make the result bit-identical to the oracle's
+    * unrolled-CTE evaluation — float PageRank cannot be
+    * oracle-checked at all. Companion iterative operator to
+    * q53's connected components.
+    */
+  def q131_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          w => length(w) >= 4)).as("w"))
+      .distinct()
+    val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(30).select("w")
+    val kept = toks.join(broadcast(top), "w")
+    val edges = kept.select(col("doc_id"), col("w").as("src"))
+      .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    operators.PageRank.run(edges, iterations = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy(desc("pr"), col("node"))
+  }
+
+  /** Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+    * builtins): per-day distinct-user sketches union-merged into a
+    * per-type estimate next to the exact count. THE 100 TB pattern for
+    * distinct-counting — daily partials are built once at ingest
+    * (bounded bytes/day), and any date range is answered by merging
+    * sketches instead of rescanning raw events. Estimate is
+    * engine-specific → rows-only gate; Round5OpsSpec pins the estimate
+    * to within 5% of exact and proves merge-associativity.
+    */
+  def q132_hll_merge(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        collect_set(col("user_id")).as("users"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        size(array_distinct(flatten(collect_list(col("users"))))).as("exact_users"))
+      .orderBy("event_type")
+  }
+
+  /** XML source/sink round-trip — the fourth wire format after CSV
+    * (q79), ORC (q96), and JSON-lines (q119), using Spark 4's built-in
+    * XML data source. Read back with an explicit schema (inference
+    * would be an extra full scan at 100 TB) and checksum-aggregated
+    * against the ORIGINAL parquet values; timestamps travel as integer
+    * microseconds so no text datetime format is load-bearing.
+    */
+  def q133_xml_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    t(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").format("xml").option("rowTag", "event").save(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    s.read.format("xml").option("rowTag", "event").schema(schema).load(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
+        round(sum("value"), 2).as("sum_value"), min("ts_us").as("min_ts_us"),
+        max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -2521,6 +2739,15 @@ object Queries {
     "q122_period_over_period" -> (q122_period_over_period _),
     "q123_skew_diagnostics" -> (q123_skew_diagnostics _),
     "q124_fk_audit"     -> (q124_fk_audit _),
+    "q125_jaro_winkler" -> (q125_jaro_winkler _),
+    "q126_chisq"        -> (q126_chisq _),
+    "q127_centroid_sim" -> (q127_centroid_sim _),
+    "q128_partitioned_prune" -> (q128_partitioned_prune _),
+    "q129_min_cost_supplier" -> (q129_min_cost_supplier _),
+    "q130_lexical_diversity" -> (q130_lexical_diversity _),
+    "q131_pagerank"     -> (q131_pagerank _),
+    "q132_hll_merge"    -> (q132_hll_merge _),
+    "q133_xml_roundtrip" -> (q133_xml_roundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3774,5 +4001,118 @@ object Queries {
         |  LEFT JOIN supplier s ON k.l_suppkey = s.s_suppkey)
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
         |ORDER BY fk""".stripMargin,
+    "q125_jaro_winkler" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS qk, p_brand AS qb, p_name AS qn
+        |  FROM part WHERE p_partkey % 97 = 0),
+        |scored AS (
+        |  SELECT qk, qn, c.p_partkey AS ck, c.p_name AS cn,
+        |    round(jaro_winkler_similarity(qn, c.p_name), 4) AS sim
+        |  FROM probes JOIN part c ON qb = c.p_brand AND qk <> c.p_partkey)
+        |SELECT qk AS p_partkey, qn AS p_name, ck AS match_partkey,
+        |  cn AS match_name, sim
+        |FROM (SELECT *, row_number()
+        |        OVER (PARTITION BY qk ORDER BY sim DESC, ck) AS rn
+        |      FROM scored)
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q126_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 3 AS cohort, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(n)::BIGINT AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT cohort, sum(n)::BIGINT AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS t FROM cells)
+        |SELECT event_type, cohort, n,
+        |  round((r * c) / t, 4) AS expected,
+        |  round((n - (r * c) / t) * (n - (r * c) / t) / ((r * c) / t), 4)
+        |    AS chi2_contrib
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort), tot
+        |ORDER BY event_type, cohort""".stripMargin,
+    "q127_centroid_sim" ->
+      """WITH c AS (
+        |  SELECT label, r.i AS i, avg(embedding[r.i]::DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2),
+        |n AS (SELECT label, sum(v * v) AS nn FROM c GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(sum(a.v * b.v) / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cos_sim
+        |FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+        |JOIN n na ON na.label = a.label
+        |JOIN n nb ON nb.label = b.label
+        |GROUP BY a.label, b.label, na.nn, nb.nn
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q128_partitioned_prune" ->
+      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
+        |  round(sum("value"), 2) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05'
+        |  AND ts < TIMESTAMP '2024-01-12'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q129_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT * FROM (SELECT *, row_number()
+        |      OVER (PARTITION BY l_partkey
+        |            ORDER BY unit_cost, l_suppkey) AS rn
+        |    FROM cost) WHERE rn = 1)
+        |SELECT p_partkey, p_name, p_size, s_suppkey, s_name,
+        |  round(unit_cost, 4) AS unit_cost
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey AND p_size >= 48
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q130_lexical_diversity" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         t -> t <> '')) AS w
+        |    FROM documents) GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+        |  ((count(*) * 10000) // sum(c))::BIGINT AS ttr_bp,
+        |  ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT
+        |    AS hapax_bp
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q131_pagerank" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         t -> len(t) >= 4)) AS w
+        |    FROM documents)),
+        |top AS (SELECT w, count(*) AS n FROM toks GROUP BY w
+        |        ORDER BY n DESC, w LIMIT 30),
+        |e AS (SELECT DISTINCT a.w AS src, b.w AS dst
+        |      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w <> b.w
+        |      JOIN top ta ON ta.w = a.w JOIN top tb ON tb.w = b.w),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT w AS node, CAST(1000000 AS BIGINT) AS r FROM top),
+        |r1 AS (SELECT t.w AS node,
+        |    CAST(150000 + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM top t LEFT JOIN (
+        |    SELECT e.dst AS dst, sum(r0.r // deg.d) AS m
+        |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.dst = t.w),
+        |r2 AS (SELECT t.w AS node,
+        |    CAST(150000 + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM top t LEFT JOIN (
+        |    SELECT e.dst AS dst, sum(r1.r // deg.d) AS m
+        |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.dst = t.w),
+        |r3 AS (SELECT t.w AS node,
+        |    CAST(150000 + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM top t LEFT JOIN (
+        |    SELECT e.dst AS dst, sum(r2.r // deg.d) AS m
+        |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.dst = t.w)
+        |SELECT node, r AS pr FROM r3 ORDER BY pr DESC, node""".stripMargin,
+    "q133_xml_roundtrip" ->
+      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
+        |  round(sum("value"), 2) AS sum_value,
+        |  epoch_us(min(ts))::BIGINT AS min_ts_us,
+        |  epoch_us(max(ts))::BIGINT AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

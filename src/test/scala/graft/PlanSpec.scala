@@ -69,7 +69,9 @@ class PlanSpec extends SparkSpec {
       "q101_share_of_total",
       // q110: the probe set (~1% of vectors) is broadcast over the base
       // corpus by design — the base side never shuffles
-      "q110_knn_classify")
+      "q110_knn_classify",
+      // q126: 1-row broadcast grand total (q101's pattern)
+      "q126_chisq")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
