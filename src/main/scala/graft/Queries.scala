@@ -754,12 +754,12 @@ object Queries {
     * strings (oracle joins the strings; identical absent a collision).
     */
   def q49_contamination(s: SparkSession, dir: String): DataFrame = {
+    // explode(fused shingle-hash set) — one codegen pass per doc; the
+    // exploded values are exactly xxhash64(shingle string), so the
+    // join/groupBy below (order-insensitive) are unchanged.
     val sh = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 5)
       .select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("toks"), 5)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        explode(graft.expr.ShingleExpression.shingleHashes(col("text"), 5)).as("h"))
     val evalSide = sh.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val trainSide = sh.filter(col("doc_id") % 97 =!= 0)
@@ -1950,12 +1950,11 @@ object Queries {
     * the prefix theorem and the shuffle story.
     */
   def q106_setsim_prefix(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
     val docs = tWide(s, dir, "documents")
       .select(col("doc_id"),
-        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+        graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) >= 1)
-    graft.operators.SetSimJoin.prefixJaccardSelfJoin(docs, "doc_id", "sh", 0.5)
+    graft.operators.SetSimJoin.prefixJaccardSelfJoinHashed(docs, "doc_id", "sh", 0.5)
       .select(col("id_a").as("id_a"), col("id_b").as("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")
   }

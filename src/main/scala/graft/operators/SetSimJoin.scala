@@ -67,17 +67,33 @@ object SetSimJoin {
       docs: DataFrame,
       idCol: String,
       setCol: String,
-      theta: Double): DataFrame = {
-    require(theta > 0 && theta <= 1, "theta in (0, 1]")
+      theta: Double): DataFrame =
     // Map-only index build: set-ify PER ROW (array_distinct — a map,
     // not the shuffle a global distinct() would cost), hash every
     // element, sort the hash array locally — that sort IS the global
     // total order (see doc header). No shuffle until the candidate
     // join.
-    val sorted = docs
-      .select(
+    prefixJaccardSelfJoinHashed(
+      docs.select(
         col(idCol).as("id"),
-        sort_array(array_distinct(transform(col(setCol), e => xxhash64(e)))).as("els"))
+        sort_array(array_distinct(transform(col(setCol), e => xxhash64(e)))).as("els")),
+      "id", "els", theta)
+
+  /** Same join over PRE-hashed sets: `hashedCol` must already be a
+    * sorted, duplicate-free array<long> of element hashes (e.g. from
+    * the fused codegen `expr/ShingleExpression.shingleHashes`, which
+    * produces the index-build projection in one pass instead of the
+    * interpreted 4-HOF tower — that tower, not the joins, dominated
+    * q106's profile at sf0.1).
+    */
+  def prefixJaccardSelfJoinHashed(
+      docs: DataFrame,
+      idCol: String,
+      hashedCol: String,
+      theta: Double): DataFrame = {
+    require(theta > 0 && theta <= 1, "theta in (0, 1]")
+    val sorted = docs
+      .select(col(idCol).as("id"), col(hashedCol).as("els"))
       .withColumn("n", size(col("els")))
     val withPre = sorted.withColumn(
       "plen", (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))

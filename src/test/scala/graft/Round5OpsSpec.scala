@@ -103,6 +103,26 @@ class Round5OpsSpec extends SparkSpec {
       s"merged $merged vs direct $direct drifted >2%")
   }
 
+  test("fused shingle-hash expression == the composable 4-HOF tower, whole corpus") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val both = docs.select(
+      graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("fused"),
+      sort_array(array_distinct(transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        e => xxhash64(e)))).as("tower"))
+    assert(both.filter(not(col("fused") === col("tower"))).count() == 0)
+    // Edge cases: empty, whitespace-only, fewer tokens than n, dups.
+    val edge = Seq("", "   \t\n ", "one two", "a b a b a b", "A  B\tC")
+      .toDF("text")
+      .select(
+        graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("fused"),
+        sort_array(array_distinct(transform(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+          e => xxhash64(e)))).as("tower"))
+    assert(edge.filter(not(col("fused") === col("tower"))).count() == 0)
+  }
+
   test("q127 centroid cosine: brute-force re-derivation for the first pair") {
     val out = Queries.q127_centroid_sim(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty && out.forall(r =>
