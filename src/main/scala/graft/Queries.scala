@@ -2553,11 +2553,13 @@ object Queries {
     * q53's connected components.
     */
   def q131_pagerank(s: SparkSession, dir: String): DataFrame = {
+    // Per-doc dedup happens ROW-LOCALLY (array_distinct before the
+    // explode) — the (doc, word) stream is already distinct, so no
+    // global distinct() shuffle of the exploded rows is needed.
     val toks = tWide(s, dir, "documents")
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "[^a-z]+"),
-          w => length(w) >= 4)).as("w"))
-      .distinct()
+        explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
+          w => length(w) >= 4))).as("w"))
     val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("w")).limit(30).select("w")
     val kept = toks.join(broadcast(top), "w")
@@ -2611,6 +2613,100 @@ object Queries {
         round(sum("value"), 2).as("sum_value"), min("ts_us").as("min_ts_us"),
         max("ts_us").as("max_ts_us"))
       .orderBy("event_type")
+  }
+
+  /** Bitmap-index distinct rollup (ClickHouse groupBitmap / roaring
+    * pattern): user ids pack into 64-bit words (word = id div 64, one
+    * bit per id), per-(segment, word) bitmaps OR-merge in a hash agg,
+    * and EXACT distinct counts fall out of popcount — 8 bytes per 64
+    * users per segment, no per-user rows past the first shuffle. The
+    * '(all)' row re-merges the per-type bitmaps WITHOUT rescanning
+    * events — the same partials answer any segment combination, the
+    * bitmap analogue of q132's HLL merge but exact.
+    */
+  def q134_bitmap_distinct(s: SparkSession, dir: String): DataFrame = {
+    val masks = t(s, dir, "events").select(
+      col("event_type"),
+      // 32-bit words inside BIGINT lanes: bit 63 is unreachable, so
+      // neither engine can hit signed-shift overflow (DuckDB errors on
+      // 1<<63 where Java wraps — 32-bit packing sidesteps the
+      // divergence at the cost of 2× the words, still 8 bytes/32 users).
+      expr("user_id div 32").as("word"),
+      expr("shiftleft(1L, cast(user_id % 32 AS int))").as("m"))
+    val perTypeWord = masks.groupBy("event_type", "word")
+      .agg(bit_or(col("m")).as("bm"))
+    val perType = perTypeWord.groupBy("event_type")
+      .agg(sum(bit_count(col("bm"))).as("n_users"))
+    val overall = perTypeWord.groupBy("word").agg(bit_or(col("bm")).as("bm"))
+      .agg(sum(bit_count(col("bm"))).as("n_users"))
+      .select(lit("(all)").as("event_type"), col("n_users"))
+    perType.unionByName(overall).orderBy("event_type")
+  }
+
+  /** Funnel conversion lag: per user, first 'view' → first subsequent
+    * 'purchase', lag in whole seconds (exact integer µs arithmetic),
+    * then per-cohort discrete (type-1) quantiles via q40's
+    * rank-equality pattern — never an interpolated percentile, whose
+    * (n−1)·q float product can land on either side of an integer on
+    * different engines. Two keyed min-aggs + one cohort-partitioned
+    * rank window over |converting users| rows.
+    */
+  def q135_funnel_lag(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val lag = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id", "v_us").agg(min("us").as("p_us"))
+      .select(col("user_id"),
+        expr("(p_us - v_us) div 1000000").as("lag_sec"))
+      .withColumn("cohort", col("user_id") % 4)
+    val ranked = lag
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cohort").orderBy(col("lag_sec"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort")))
+    ranked.groupBy("cohort")
+      .agg(count(lit(1)).as("n_converted"),
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))),
+          col("lag_sec"))).as("p50_sec"),
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.9) * col("n"))),
+          col("lag_sec"))).as("p90_sec"),
+        max(col("lag_sec")).as("max_sec"))
+      .orderBy("cohort")
+  }
+
+  /** Watermark-lateness audit — the telemetry that CHOOSES a streaming
+    * watermark delay: treating event_id as arrival order, how far
+    * behind the running max event-time does each event arrive?
+    * Running max over a day-partitioned window (at 100 TB the
+    * partition key is (day, ingest shard) — arrival order only exists
+    * per shard anyway), then per-day discrete p50/p95/max lateness in
+    * exact integer seconds.
+    */
+  def q137_lateness_audit(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(
+      to_date(col("ts")).as("day"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("day").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = base
+      .withColumn("runmax", max("us").over(w))
+      .select(col("day"), col("event_id"),
+        expr("(runmax - us) div 1000000").as("late_sec"))
+    val ranked = late
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("day").orderBy(col("late_sec"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
+    ranked.groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))),
+          col("late_sec"))).as("p50_late_sec"),
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.95) * col("n"))),
+          col("late_sec"))).as("p95_late_sec"),
+        max(col("late_sec")).as("max_late_sec"))
+      .orderBy("day")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2747,6 +2843,9 @@ object Queries {
     "q131_pagerank"     -> (q131_pagerank _),
     "q132_hll_merge"    -> (q132_hll_merge _),
     "q133_xml_roundtrip" -> (q133_xml_roundtrip _),
+    "q134_bitmap_distinct" -> (q134_bitmap_distinct _),
+    "q135_funnel_lag"   -> (q135_funnel_lag _),
+    "q137_lateness_audit" -> (q137_lateness_audit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4113,5 +4212,64 @@ object Queries {
         |  epoch_us(min(ts))::BIGINT AS min_ts_us,
         |  epoch_us(max(ts))::BIGINT AS max_ts_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q134_bitmap_distinct" ->
+      """WITH masks AS (
+        |  SELECT event_type, user_id // 32 AS word,
+        |    (1::BIGINT << (user_id % 32)::INT) AS m
+        |  FROM events),
+        |ptw AS (SELECT event_type, word, bit_or(m) AS bm
+        |        FROM masks GROUP BY 1, 2),
+        |pt AS (SELECT event_type, sum(bit_count(bm))::BIGINT AS n_users
+        |       FROM ptw GROUP BY 1),
+        |ov AS (SELECT '(all)' AS event_type, sum(bit_count(bm))::BIGINT AS n_users
+        |       FROM (SELECT word, bit_or(bm) AS bm FROM ptw GROUP BY word))
+        |SELECT * FROM pt UNION ALL SELECT * FROM ov
+        |ORDER BY event_type""".stripMargin,
+    "q135_funnel_lag" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |lag AS (
+        |  SELECT ev.user_id, (min(us) - v_us) // 1000000 AS lag_sec,
+        |    ev.user_id % 4 AS cohort
+        |  FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE event_type = 'purchase' AND us > v_us
+        |  GROUP BY ev.user_id, v_us),
+        |r AS (
+        |  SELECT cohort, lag_sec,
+        |    row_number() OVER (PARTITION BY cohort
+        |      ORDER BY lag_sec, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY cohort) AS n
+        |  FROM lag)
+        |SELECT cohort, count(*) AS n_converted,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN lag_sec END)
+        |    AS p50_sec,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.9 * n)) THEN lag_sec END)
+        |    AS p90_sec,
+        |  max(lag_sec) AS max_sec
+        |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "q137_lateness_audit" ->
+      """WITH base AS (
+        |  SELECT ts::DATE AS day, event_id, epoch_us(ts) AS us FROM events),
+        |late AS (
+        |  SELECT day, event_id,
+        |    (max(us) OVER (PARTITION BY day ORDER BY event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
+        |      // 1000000 AS late_sec
+        |  FROM base),
+        |r AS (
+        |  SELECT day, late_sec,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY late_sec, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS n
+        |  FROM late)
+        |SELECT day, count(*) AS n_events,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN late_sec END)
+        |    AS p50_late_sec,
+        |  max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN late_sec END)
+        |    AS p95_late_sec,
+        |  max(late_sec) AS max_late_sec
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -123,6 +123,16 @@ class Round5OpsSpec extends SparkSpec {
     assert(edge.filter(not(col("fused") === col("tower"))).count() == 0)
   }
 
+  test("q134 bitmap popcounts equal countDistinct exactly, per type and overall") {
+    val got = Queries.q134_bitmap_distinct(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = sources.Tables.events(spark, sf("sf0.01"))
+    val want = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("(all)" -> ev.select(countDistinct("user_id")).collect().head.getLong(0))
+    assert(got == want)
+  }
+
   test("q127 centroid cosine: brute-force re-derivation for the first pair") {
     val out = Queries.q127_centroid_sim(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty && out.forall(r =>
