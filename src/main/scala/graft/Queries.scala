@@ -2709,6 +2709,84 @@ object Queries {
       .orderBy("day")
   }
 
+  /** Schema-evolution union (the ingest reality the reference's drift
+    * retry hints at, S10): a v1 batch lacking columns later added
+    * unions with a v2 batch via unionByName(allowMissingColumns) —
+    * absent columns null-fill and default-coalesce, exactly how a
+    * 100 TB lake reads a table whose schema grew mid-history. No
+    * shuffle beyond the final agg; the union is a zero-cost plan node.
+    */
+  def q136_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val v2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("event_id"), col("user_id"), col("value"),
+        coalesce(col("event_type"), lit("unknown")).as("event_type"),
+        coalesce(col("ts_us"), lit(0L)).as("ts_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
+        round(sum("value"), 2).as("sum_value"), max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
+  /** Decile lift / gains table: customers ranked by total spend into
+    * equi-depth deciles (q93's exact ntile arithmetic over
+    * PrefixSum.globalRank — distributed, no single-partition ntile over
+    * the customer universe), then per-decile spend and CUMULATIVE share
+    * in integer basis points. The top-decile concentration report
+    * behind every "whales" analysis. The cumulative window runs over
+    * the 10 AGGREGATED rows only.
+    */
+  def q138_decile_lift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val spend = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val n = spend.count()
+    val k = 10L
+    val q = lit(n / k); val rem = lit(n % k)
+    val ranked = PrefixSum.globalRank(spend, Seq("cents", "o_custkey"), "r")
+    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
+      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
+      .cast("long") + 1
+    val deciles = ranked.withColumn("decile", bin)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+    val wCum = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    deciles
+      .withColumn("cum_cents", sum("cents").over(wCum))
+      .withColumn("total_cents", sum("cents").over(wAll))
+      .select(col("decile"), col("n_customers"), col("cents"),
+        expr("cum_cents * 10000 div total_cents").as("cum_share_bp"))
+      .orderBy("decile")
+  }
+
+  /** Gap/island detection over the event_id sequence (missing-data
+    * audit after a lossy transfer): drop every 7th id, then find
+    * maximal runs of consecutive ids with the classic id−rank trick —
+    * the rank coming from PrefixSum.globalRank, so no single-partition
+    * row_number over the full fact. Output is the island-length
+    * histogram; all-integer arithmetic end to end.
+    */
+  def q139_gap_islands(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val ids = t(s, dir, "events")
+      .filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id"))
+    val ranked = PrefixSum.globalRank(ids, Seq("event_id"), "r")
+    ranked
+      .groupBy((col("event_id") - col("r")).as("island_key"))
+      .agg(count(lit(1)).as("island_len"))
+      .groupBy("island_len").agg(count(lit(1)).as("n_islands"))
+      .orderBy("island_len")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -2846,6 +2924,9 @@ object Queries {
     "q134_bitmap_distinct" -> (q134_bitmap_distinct _),
     "q135_funnel_lag"   -> (q135_funnel_lag _),
     "q137_lateness_audit" -> (q137_lateness_audit _),
+    "q136_schema_evolution" -> (q136_schema_evolution _),
+    "q138_decile_lift"  -> (q138_decile_lift _),
+    "q139_gap_islands"  -> (q139_gap_islands _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4271,5 +4352,47 @@ object Queries {
         |    AS p95_late_sec,
         |  max(late_sec) AS max_late_sec
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q136_schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, "value" FROM events
+        |  WHERE event_id % 2 = 0),
+        |v2 AS (
+        |  SELECT event_id, user_id, "value", event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_id % 2 = 1),
+        |u AS (
+        |  SELECT event_id, user_id, "value",
+        |    'unknown' AS event_type, 0::BIGINT AS ts_us FROM v1
+        |  UNION ALL
+        |  SELECT event_id, user_id, "value",
+        |    event_type, ts_us::BIGINT FROM v2)
+        |SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
+        |  round(sum("value"), 2) AS sum_value, max(ts_us) AS max_ts_us
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q138_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice) * 100, 0)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT cents,
+        |    ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        |  FROM spend),
+        |agg AS (
+        |  SELECT decile, count(*) AS n_customers, sum(cents)::BIGINT AS cents
+        |  FROM d GROUP BY decile)
+        |SELECT decile, n_customers, cents,
+        |  (sum(cents) OVER (ORDER BY decile DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+        |   // sum(cents) OVER ())::BIGINT AS cum_share_bp
+        |FROM agg ORDER BY decile""".stripMargin,
+    "q139_gap_islands" ->
+      """WITH ids AS (
+        |  SELECT event_id FROM events WHERE event_id % 7 <> 0),
+        |r AS (
+        |  SELECT event_id,
+        |    event_id - row_number() OVER (ORDER BY event_id) AS island_key
+        |  FROM ids),
+        |i AS (SELECT island_key, count(*) AS island_len FROM r GROUP BY 1)
+        |SELECT island_len, count(*) AS n_islands FROM i
+        |GROUP BY island_len ORDER BY island_len""".stripMargin,
   )
 }

@@ -99,6 +99,49 @@ class StreamingWindowSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows once the watermark expires their state") {
+    // The outer side can only emit a null-extended row when the
+    // watermark proves no future match can arrive — exercising state
+    // EVICTION, which the inner-join test never forces.
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    purchases.addData(
+      Ev(1, ts("2024-01-01 10:30:00"), 1, 0.0), // will match click 10
+      Ev(2, ts("2024-01-01 10:40:00"), 2, 0.0)) // never matches
+    clicks.addData(
+      Ev(10, ts("2024-01-01 10:05:00"), 1, 1.0))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes").alias("p")
+    val c = clicks.toDF().withWatermark("ts", "10 minutes").alias("c")
+    val joined = p.join(c,
+      expr("""p.user_id = c.user_id AND
+              c.ts BETWEEN p.ts - INTERVAL 30 MINUTES AND p.ts"""),
+      "left_outer")
+      .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    // Batch 1: only the matched pair can emit; purchase 2's null row is
+    // withheld while a future click could still match it.
+    val afterFirst = spark.table("ssleft").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(afterFirst == Set((1L, 10L)),
+      s"unmatched row must be withheld until watermark passes, got $afterFirst")
+    // Advance event time far past purchase 2 + join window + delay →
+    // watermark expires its state and the null-extended row emits.
+    purchases.addData(Ev(3, ts("2024-01-01 13:00:00"), 7, 0.0))
+    clicks.addData(Ev(11, ts("2024-01-01 13:00:00"), 8, 0.0))
+    q.processAllAvailable()
+    purchases.addData(Ev(4, ts("2024-01-01 14:00:00"), 7, 0.0))
+    clicks.addData(Ev(12, ts("2024-01-01 14:00:00"), 8, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssleft").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, -1L)),
+      s"expected matched pair AND watermark-expired null row, got $pairs")
+  }
+
   test("stateful sessions streaming: gap closes sessions, watermark timeout flushes the open one") {
     import graft.streaming.StatefulSessions
     implicit val sqlCtx = spark.sqlContext
