@@ -95,7 +95,80 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over PRE-hashed elements (array<long> of
+  * xxhash64 codes, e.g. from [[ShingleHashes]]): computes exactly
+  * [[MinHashSignature]]'s result — that expression's first step is
+  * xxhash64 of each string, which the fused shingle pipeline has
+  * already produced — without materializing the shingle-string array
+  * at all. Same mul-add inner loop, same sentinel semantics.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val Stride = 982451653L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_hashed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(P)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h0 = arr.getLong(i) % P
+      val h = if (h0 < 0) h0 + P else h0
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * (2L * j + 1L) + j * Stride) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |final long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, ${P}L);
+         |final int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i) % ${P}L;
+         |  if ($h < 0) $h += ${P}L;
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    final long $v = ($h * (2L * $j + 1L) + $j * ${Stride}L) % ${P}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new $gad($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashExpression {
   def minhash(shingles: Column, numHashes: Int): Column =
     bridge.column(MinHashSignature(bridge.expression(shingles), numHashes))
+
+  def minhashHashed(hashes: Column, numHashes: Int): Column =
+    bridge.column(MinHashFromHashes(bridge.expression(hashes), numHashes))
 }

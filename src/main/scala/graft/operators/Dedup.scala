@@ -61,14 +61,19 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
-    // Token-count guard BEFORE shingle construction (the filter would
-    // otherwise recompute the whole shingle expression); the two-step
-    // select keeps shingles built once per row.
-    val sigs = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleSize)
-      .select(col("id"), wordShingles(col("toks"), shingleSize).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    // Fused index build: text → sorted distinct shingle HASHES in one
+    // codegen expression (graft.expr.ShingleHashes), then the signature
+    // from the hashes directly — MinHashSignature's own first step is
+    // xxhash64 of each shingle string, so MinHashFromHashes computes
+    // the identical signature without ever materializing the string
+    // array (the interpreted HOF tower it replaces dominated q23's
+    // profile). Empty hash set ⟺ fewer than shingleSize tokens.
+    val hashed = df
+      .select(col(idCol).as("id"),
+        graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val sigs = hashed
+      .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
 
     // Candidates-first: the band self-join carries ONLY (band_key, id)
@@ -88,13 +93,13 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val shingles = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleSize)
-      .select(col("id"), wordShingles(col("toks"), shingleSize).as("shingles"))
+    // Exact re-rank over the hashed sets: Jaccard of distinct-hash
+    // arrays equals Jaccard of the shingle strings absent a 64-bit
+    // collision (~|vocab|²/2⁶⁵ — the same accepted trade as q49/q106,
+    // and one the string-exact oracle would expose immediately).
     cand
-      .join(shingles.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(shingles.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -123,6 +123,18 @@ class Round5OpsSpec extends SparkSpec {
     assert(edge.filter(not(col("fused") === col("tower"))).count() == 0)
   }
 
+  test("minhash-from-hashes == minhash-from-strings across the corpus") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val both = docs.select(
+      graft.expr.MinHashExpression.minhashHashed(
+        graft.expr.ShingleExpression.shingleHashes(col("text"), 3), 32).as("fused"),
+      TextFunctions.minhashSignature(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3), 32)
+        .as("stringly"))
+    assert(both.filter(not(col("fused") === col("stringly"))).count() == 0)
+  }
+
   test("q134 bitmap popcounts equal countDistinct exactly, per type and overall") {
     val got = Queries.q134_bitmap_distinct(spark, sf("sf0.01")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
