@@ -2787,6 +2787,50 @@ object Queries {
       .orderBy("island_len")
   }
 
+  /** Bitmap set algebra across segments: the per-(type, word) bitmap
+    * partials q134 builds answer ANY audience-overlap question with
+    * bit ops — here the full pairwise overlap matrix (users doing both
+    * A and B) via popcount(bm_a AND bm_b), without ever rescanning
+    * events. This is why warehouses store bitmap partials: one scan,
+    * every combination. Join fan-out is |types|² · |words| tiny rows.
+    */
+  def q140_bitmap_intersect(s: SparkSession, dir: String): DataFrame = {
+    val ptw = t(s, dir, "events").select(
+      col("event_type"),
+      expr("user_id div 32").as("word"),
+      expr("shiftleft(1L, cast(user_id % 32 AS int))").as("m"))
+      .groupBy("event_type", "word")
+      .agg(bit_or(col("m")).as("bm"))
+    val a = ptw.select(col("event_type").as("type_a"), col("word"), col("bm").as("bma"))
+    val b = ptw.select(col("event_type").as("type_b"), col("word"), col("bm").as("bmb"))
+    a.join(b, Seq("word"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(bit_count(col("bma").bitwiseAND(col("bmb")))).as("n_both"),
+        sum(bit_count(col("bma").bitwiseOR(col("bmb")))).as("n_either"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Hierarchical ratio-to-parent rollup: nation revenue as basis
+    * points of its REGION's total (the drill-down share column every
+    * hierarchy report carries). Region totals re-aggregate from the
+    * nation rows (25 rows — never a second fact scan) and broadcast
+    * back; exact integer cents end to end.
+    */
+  def q141_parent_share(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val regionTot = rev.groupBy("r_name").agg(sum("cents").as("r_cents"))
+    rev.join(broadcast(regionTot), "r_name")
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("cents * 10000 div r_cents").as("share_of_region_bp"))
+      .orderBy("r_name", "n_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -2927,6 +2971,8 @@ object Queries {
     "q136_schema_evolution" -> (q136_schema_evolution _),
     "q138_decile_lift"  -> (q138_decile_lift _),
     "q139_gap_islands"  -> (q139_gap_islands _),
+    "q140_bitmap_intersect" -> (q140_bitmap_intersect _),
+    "q141_parent_share" -> (q141_parent_share _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4394,5 +4440,31 @@ object Queries {
         |i AS (SELECT island_key, count(*) AS island_len FROM r GROUP BY 1)
         |SELECT island_len, count(*) AS n_islands FROM i
         |GROUP BY island_len ORDER BY island_len""".stripMargin,
+    "q140_bitmap_intersect" ->
+      """WITH ptw AS (
+        |  SELECT event_type, user_id // 32 AS word,
+        |    bit_or(1::BIGINT << (user_id % 32)::INT) AS bm
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  sum(bit_count(a.bm & b.bm))::BIGINT AS n_both,
+        |  sum(bit_count(a.bm | b.bm))::BIGINT AS n_either
+        |FROM ptw a JOIN ptw b
+        |  ON a.word = b.word AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+    "q141_parent_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    round(sum(o_totalprice) * 100, 0)::BIGINT AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT r_name, sum(cents)::BIGINT AS r_cents
+        |       FROM rev GROUP BY 1)
+        |SELECT rev.r_name, n_name, cents,
+        |  (cents * 10000) // r_cents AS share_of_region_bp
+        |FROM rev JOIN rt ON rev.r_name = rt.r_name
+        |ORDER BY rev.r_name, n_name""".stripMargin,
   )
 }
