@@ -2582,14 +2582,21 @@ object Queries {
     * to within 5% of exact and proves merge-associativity.
     */
   def q132_hll_merge(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
+    // The exact comparison column comes from q134's bitmap partials
+    // (popcount of OR-merged 32-id words) — bounded bytes per group at
+    // any scale, unlike a collect_set of raw ids.
+    val ev = t(s, dir, "events")
+    val approx = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
-        collect_set(col("user_id")).as("users"))
-    daily.groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
-        size(array_distinct(flatten(collect_list(col("users"))))).as("exact_users"))
-      .orderBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = ev
+      .groupBy(col("event_type"), expr("user_id div 32").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 AS int))")).as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bm"))).as("exact_users"))
+    approx.join(exact, "event_type").orderBy("event_type")
   }
 
   /** XML source/sink round-trip — the fourth wire format after CSV

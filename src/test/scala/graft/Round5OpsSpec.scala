@@ -84,7 +84,7 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.length == 5)
     for (r <- rows) {
       val approx = r.getLong(1).toDouble
-      val exact = r.getInt(2).toDouble
+      val exact = r.getLong(2).toDouble
       assert(exact > 0 && math.abs(approx - exact) / exact < 0.05,
         s"${r.getString(0)}: approx $approx vs exact $exact drifted >5%")
     }
@@ -143,6 +143,41 @@ class Round5OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
       ("(all)" -> ev.select(countDistinct("user_id")).collect().head.getLong(0))
     assert(got == want)
+  }
+
+  test("q138 decile lift: shares are monotone, end at exactly 10000 bp, cover all customers") {
+    val rows = Queries.q138_decile_lift(spark, sf("sf0.01")).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    // Cumulation runs top-decile-down, so share DECREASES with decile
+    // number and decile 1's cumulative share covers everything.
+    val shares = rows.map(_.getLong(3))
+    assert(shares.head == 10000L, s"decile 1 must close at 10000 bp, got ${shares.head}")
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    val nCust = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+      .select(countDistinct("o_custkey")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nCust)
+  }
+
+  test("q139 islands: dropping every 7th id leaves runs of exactly six (plus edge runs)") {
+    val rows = Queries.q139_gap_islands(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = rows.map { case (len, n) => len * n }.sum
+    val want = sources.Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_id") % 7 =!= 0).count()
+    assert(total == want, "island lengths must partition the surviving ids")
+    // Interior islands are the 6 ids between consecutive multiples of 7.
+    assert(rows.keySet.contains(6L) && rows(6L) >= rows.values.max - 1)
+  }
+
+  test("q135 funnel lag: every cohort satisfies p50 <= p90 <= max and counts converters") {
+    val rows = Queries.q135_funnel_lag(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        s"cohort ${r.getLong(0)}: quantiles out of order")
+    }
   }
 
   test("q127 centroid cosine: brute-force re-derivation for the first pair") {
