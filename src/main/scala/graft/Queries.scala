@@ -23,6 +23,17 @@ object Queries {
     if (name == "events") Tables.events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM scratch root for the source/sink round-trip queries
+    * (q96/q119/q128/q133): a FIXED path under java.io.tmpdir would be
+    * shared by concurrent processes (e.g. a Bench and a Verify on the
+    * same host), letting one JVM overwrite part files the other is
+    * mid-read — nondeterministic failures or, worse, a silently wrong
+    * aggregate. Lazy so non-roundtrip-only runs never create it.
+    */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_rt_").toString
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** The test tables are single-row-group files, so they scan as ONE
     * partition and parquet cannot split them — any CPU-heavy map stage
     * (tokenize/shingle/hash) would run on one core. This spreads the
@@ -1414,14 +1425,20 @@ object Queries {
     // df derives from tf — one row per (doc, word) already — so the
     // corpus is exploded ONCE, not re-scanned for a distinct pass.
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = t(s, dir, "documents").count()
+    // Corpus size as a 1-row broadcast aggregate (q58/q66/q101's
+    // pattern) — an eager docs.count() here would run a real Spark job
+    // at query-CONSTRUCTION time (even for plan-only inspections) and
+    // scan documents twice inside the timed body.
+    val nDocs = t(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("word").asc)
     tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(nDocs))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 3).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 3).as("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 
@@ -1435,8 +1452,10 @@ object Queries {
   def q82_bm25(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
     val k1 = 1.2; val b = 0.75
-    val docs = t(s, dir, "documents")
-    val n = docs.count()
+    // n as a 1-row broadcast next to avgdl (see q81's note — no eager
+    // count() job at construction time, no second documents scan).
+    val nDocs = t(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val words = tWide(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -1445,10 +1464,11 @@ object Queries {
     val tf = words.filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     tf.join(broadcast(df), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(nDocs))
       .withColumn("s", idf * col("tf") * (lit(k1) + 1) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
@@ -1732,7 +1752,7 @@ object Queries {
     * pruning properties as parquet.
     */
   def q96_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    val out = scratch("graft_orc_roundtrip")
     t(s, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
       .write.mode("overwrite").orc(out)
@@ -2272,7 +2292,7 @@ object Queries {
     * survive because Spark writes shortest round-trip representations.
     */
   def q119_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    val out = scratch("graft_json_roundtrip")
     t(s, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
@@ -2482,7 +2502,7 @@ object Queries {
     * what's being hash-checked.
     */
   def q128_partitioned_prune(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_prune"
+    val out = scratch("graft_part_prune")
     t(s, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
@@ -2607,7 +2627,7 @@ object Queries {
     * microseconds so no text datetime format is load-bearing.
     */
   def q133_xml_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    val out = scratch("graft_xml_roundtrip")
     t(s, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
@@ -2623,10 +2643,11 @@ object Queries {
   }
 
   /** Bitmap-index distinct rollup (ClickHouse groupBitmap / roaring
-    * pattern): user ids pack into 64-bit words (word = id div 64, one
-    * bit per id), per-(segment, word) bitmaps OR-merge in a hash agg,
-    * and EXACT distinct counts fall out of popcount — 8 bytes per 64
-    * users per segment, no per-user rows past the first shuffle. The
+    * pattern): user ids pack 32 per BIGINT word (word = id div 32, one
+    * bit per id — see the inline note for why not 64), per-(segment,
+    * word) bitmaps OR-merge in a hash agg, and EXACT distinct counts
+    * fall out of popcount — 8 bytes per 32 users per segment, no
+    * per-user rows past the first shuffle. The
     * '(all)' row re-merges the per-type bitmaps WITHOUT rescanning
     * events — the same partials answer any segment combination, the
     * bitmap analogue of q132's HLL merge but exact.

@@ -54,9 +54,12 @@ object BloomDedup {
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
 
     // A null key can never equal a corpus key (SQL equality), so the
-    // row is new by definition. Without the explicit isNull branch it
-    // would be LOST: the primitive-long UDF returns null for a null
-    // hash, and a null predicate fails BOTH complementary filters.
+    // row is new by definition. The explicit isNull branch is a
+    // ROUTING choice, not a correctness guard: xxhash64(NULL) is the
+    // seed (non-null), so without the branch a null-key row would take
+    // the maybe-dupe detour and still survive the anti-join (NULL
+    // never equals __ck) — this just sends it down the free path and
+    // keeps null semantics independent of the hash function.
     val hashed = incoming.withColumn("__h", xxhash64(col(keyCol)))
     val definitelyNew = hashed.filter(
       col(keyCol).isNull || !mightContain(col("__h")))

@@ -56,10 +56,28 @@ object HeavyHitters {
     val cms: CountMinSketch =
       nonNull.stat.countMinSketch(keyCol, eps, confidence, seed)
     val cmsB = spark.sparkContext.broadcast(cms)
-    val estimate = udf((k: String) => cmsB.value.estimateCount(k))
-
+    // The probe MUST hash through the same code path the sketch-build
+    // used for this column type: stat.countMinSketch adds strings as
+    // UTF-8 bytes but integral columns via addLong, and
+    // estimateCount(Object) dispatches on the runtime class — probing
+    // a long-built sketch with a stringified key would hash "123"
+    // instead of 123L, estimate ~0 for every true heavy key, and the
+    // candidate filter would silently drop them (breaking the
+    // no-undercount proof step 2 rests on). Unsupported key types fail
+    // loudly instead.
+    import org.apache.spark.sql.types._
+    val probe = df.schema(keyCol).dataType match {
+      case StringType =>
+        udf((k: String) => cmsB.value.estimateCount(k)).apply(col(keyCol))
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => cmsB.value.estimateCount(k))
+          .apply(col(keyCol).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"HeavyHitters.atLeast: unsupported key type ${other.catalogString} " +
+          "(countMinSketch supports string and integral keys)")
+    }
     val candidates = nonNull.select(col(keyCol)).distinct()
-      .filter(estimate(col(keyCol)) >= threshold)
+      .filter(probe >= threshold)
     val hot = nonNull.join(broadcast(candidates), Seq(keyCol), "left_semi")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n"))

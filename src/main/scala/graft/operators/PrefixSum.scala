@@ -83,13 +83,22 @@ object PrefixSum {
   }
 
   /** Adds `rankCol` = 1-based global rank over the ascending composite
-    * order `orderCols` (the tuple must be unique) — distributed
-    * zipWithIndex. Same two-pass shape as [[runningTotal]]: range-
-    * repartition on the full tuple, O(#partitions) row counts to the
-    * driver as exclusive offsets, then a PARTITIONED row_number window
-    * plus offset. Below `smallInputBytes` the single-partition window
-    * is strictly better and is used (documented at call sites —
-    * PlanAudit flags it otherwise).
+    * order `orderCols` — distributed zipWithIndex. Same two-pass shape
+    * as [[runningTotal]]: range-repartition on the full tuple,
+    * O(#partitions) row counts to the driver as exclusive offsets,
+    * then a PARTITIONED row_number window plus offset. Below
+    * `smallInputBytes` the single-partition window is strictly better
+    * and is used (documented at call sites — PlanAudit flags it
+    * otherwise).
+    *
+    * Tie contract: when the order tuple is UNIQUE, every rank is fully
+    * deterministic (q93/q138/q139 rely on this). DUPLICATE tuples are
+    * permitted — the result is still a bijection onto 1..n, and any
+    * per-tie-class aggregate of the ranks (min, max, count, sum — what
+    * Stats.spearmanByGroup consumes for tie-averaged ranks) is
+    * deterministic, but WHICH duplicate gets which rank within the
+    * class is partition-order dependent. Don't project individual
+    * ranks of duplicated tuples into a judged result.
     */
   def globalRank(
       df: DataFrame,

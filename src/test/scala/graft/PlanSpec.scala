@@ -63,9 +63,9 @@ class PlanSpec extends SparkSpec {
     // baseline. Anything else planning a nested loop is a regression.
     val allowed = Set("q08_cosine_topk", "q10_join_range", "q11_distinct",
       "q24_simhash_hamming", "q25_embed_neardup", "q34_ann_ivf", "q48_vocab",
-      // q58/q66/q82/q101: 1-row broadcast aggregates (corpus size,
+      // q58/q66/q81/q82/q101: 1-row broadcast aggregates (corpus size,
       // min/max envelope, avgdl, grand total)
-      "q58_doc_freq", "q66_value_histogram", "q82_bm25",
+      "q58_doc_freq", "q66_value_histogram", "q81_tfidf", "q82_bm25",
       "q101_share_of_total",
       // q110: the probe set (~1% of vectors) is broadcast over the base
       // corpus by design — the base side never shuffles

@@ -135,6 +135,20 @@ class Round5OpsSpec extends SparkSpec {
     assert(both.filter(not(col("fused") === col("stringly"))).count() == 0)
   }
 
+  test("heavy hitters with an integral key column probes the sketch through the long path") {
+    // user_id is BIGINT: the sketch is built via addLong, so a
+    // stringified probe would estimate ~0 and silently drop every true
+    // heavy key — this pins the typed probe to GROUP BY HAVING.
+    val ev = sources.Tables.events(spark, sf("sf0.01"))
+    val got = operators.HeavyHitters.atLeast(ev, "user_id", threshold = 25L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty, "fixture must contain heavy keys for the test to bite")
+    assert(got == want)
+  }
+
   test("q134 bitmap popcounts equal countDistinct exactly, per type and overall") {
     val got = Queries.q134_bitmap_distinct(spark, sf("sf0.01")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
