@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Components, PrefixSum}
+import graft.operators.{AsOfJoin, Components, PageRank, PrefixSum}
 
 /** Beyond-toy-size checks: the scale-sensitive operators run on
   * generated inputs a few orders of magnitude past the driver
@@ -75,5 +75,38 @@ class ScaleSpec extends SparkSpec {
     // every left row must match the right row at t-1 of the same key
     val bad = joined.filter(col("m_t") =!= col("t") - 1).count()
     assert(bad == 0, s"$bad rows matched the wrong as-of time")
+  }
+
+  test("pagerank on a 100k-node ring matches the closed-form fixed point") {
+    // Directed ring i → (i+1) % n: perfectly symmetric, so every node's
+    // rank is invariant under iteration: outdeg=1, incoming sum =
+    // rank, and r' = 150000 + (r·85) div 100 converges per the exact
+    // integer recurrence r_{t+1} = 150000 + floor(0.85·r_t) from
+    // r_0 = 1e6: r_1 = 1000000, so EVERY iteration is a fixed point —
+    // any deviation on any node means a join/aggregation bug at real
+    // partition counts.
+    val n = 100000L
+    val edges = spark.range(n).select(
+      col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+    val ranks = PageRank.run(edges.toDF(), iterations = 3)
+    assert(ranks.count() == n)
+    val off = ranks.filter(col("rank") =!= 1000000L).count()
+    assert(off == 0, s"$off ring nodes drifted from the fixed point")
+  }
+
+  test("shingle hashes over wide synthetic docs match the HOF tower at 200k rows") {
+    import graft.functions.TextFunctions
+    // Deterministic ~30-token docs with whitespace variety.
+    val docs = spark.range(200000).select(
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(lit("w"), ((col("id") + i * 37) % 211).cast("string"))): _*)
+        .as("text"))
+    val bad = docs.select(
+      graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("fused"),
+      sort_array(array_distinct(transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        e => xxhash64(e)))).as("tower"))
+      .filter(not(col("fused") === col("tower"))).count()
+    assert(bad == 0)
   }
 }
