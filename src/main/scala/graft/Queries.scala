@@ -2859,6 +2859,82 @@ object Queries {
       .orderBy("r_name", "n_name")
   }
 
+  /** Multimodal decode through the BATCHED featurize path (q33 covers
+    * metadata; this one actually runs `Multimodal.featurizeBatched`'s
+    * mapPartitions + chunked `decodeBatch` over every payload —
+    * payload bytes never leave the partition, only fixed-shape
+    * features). Judged columns are the INTEGER byte statistics the
+    * decode emits, which the oracle reproduces as text byte lengths
+    * (payload = UTF-8 of the text by construction); the float features
+    * stay spec-verified (LlmOpsSpec) where rint-vs-round tie semantics
+    * can't leak into a hash compare.
+    */
+  def q142_media_features(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(s, s"$dir/documents.parquet")
+    Multimodal.featurizeBatched(media, Multimodal.FakeCodec, batchSize = 64)
+      .toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+        min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"))
+      .orderBy("kind")
+  }
+
+  /** Interval-union coverage (how much wall-clock was each user
+    * active, counting ±15 min around each event ONCE even when they
+    * overlap): the sorted-sweep island merge — a new island opens when
+    * an interval starts past the running max end — with all
+    * timestamps in exact integer µs. Window is per user (the natural
+    * shard key); output aggregates to one row per user bucket.
+    */
+  def q143_interval_coverage(s: SparkSession, dir: String): DataFrame = {
+    val half = 15L * 60L * 1000000L
+    val iv = t(s, dir, "events").select(
+      col("user_id"),
+      (unix_micros(col("ts")) - half).as("s"),
+      (unix_micros(col("ts")) + half).as("e"))
+    val w = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val runEnd = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val islands = iv
+      .withColumn("prev_max_e", max("e").over(runEnd))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("is"), max("e").as("ie"))
+    islands
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is")).as("covered_us"))
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum("n_islands").as("n_islands"),
+        expr("sum(covered_us) div 1000000").as("covered_sec"))
+      .orderBy("user_bucket")
+  }
+
+  /** Per-group trend + next-period forecast: OLS slope/intercept of
+    * daily event counts against the day index, per event type, plus
+    * the day-31 projection — q102's one-pass co-moment machinery put
+    * to work. The regression runs over 30 pre-aggregated points per
+    * group; rounding (2dp) happens only at the output boundary.
+    */
+  def q144_trend_forecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(regr_slope(col("n"), col("day")), 2).as("slope"),
+        round(regr_intercept(col("n"), col("day")), 2).as("intercept"),
+        round(regr_intercept(col("n"), col("day"))
+          + regr_slope(col("n"), col("day")) * 30.0, 2).as("forecast_day30"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3001,6 +3077,9 @@ object Queries {
     "q139_gap_islands"  -> (q139_gap_islands _),
     "q140_bitmap_intersect" -> (q140_bitmap_intersect _),
     "q141_parent_share" -> (q141_parent_share _),
+    "q142_media_features" -> (q142_media_features _),
+    "q143_interval_coverage" -> (q143_interval_coverage _),
+    "q144_trend_forecast" -> (q144_trend_forecast _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4494,5 +4573,51 @@ object Queries {
         |  (cents * 10000) // r_cents AS share_of_region_bp
         |FROM rev JOIN rt ON rev.r_name = rt.r_name
         |ORDER BY rev.r_name, n_name""".stripMargin,
+    "q142_media_features" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS kind,
+        |  count(*) AS n, sum(strlen(text))::BIGINT AS total_bytes,
+        |  min(strlen(text))::BIGINT AS min_bytes,
+        |  max(strlen(text))::BIGINT AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q143_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) - 900000000 AS s,
+        |    epoch_us(ts) + 900000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT user_id, count(*) AS n_islands,
+        |    sum(i_e - i_s) AS covered_us
+        |  FROM per GROUP BY 1)
+        |SELECT user_id % 10 AS user_bucket, count(*) AS n_users,
+        |  sum(n_islands)::BIGINT AS n_islands,
+        |  (sum(covered_us) // 1000000)::BIGINT AS covered_sec
+        |FROM pu GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q144_trend_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(regr_slope(n, day), 2) AS slope,
+        |  round(regr_intercept(n, day), 2) AS intercept,
+        |  round(regr_intercept(n, day) + regr_slope(n, day) * 30.0, 2)
+        |    AS forecast_day30
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
