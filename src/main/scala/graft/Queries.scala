@@ -2935,6 +2935,36 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Join-cardinality audit (optimizer telemetry before a big join):
+    * EXACT per-side distinct key counts and key overlap from q134's
+    * bitmap partials — popcount(AND) over OR-merged words — next to
+    * the actual join row count. At 100 TB you run the bitmap half for
+    * pennies to predict the join's blow-up factor before committing
+    * the shuffle; the actual-join column here doubles as the
+    * proof-of-estimate (overlap keys ≤ join rows always).
+    */
+  def q145_join_cardinality(s: SparkSession, dir: String): DataFrame = {
+    def bm(df: DataFrame, key: String) = df.select(
+      expr(s"$key div 32").as("word"),
+      expr(s"shiftleft(1L, cast($key % 32 AS int))").as("m"))
+      .groupBy("word").agg(bit_or(col("m")).as("bm"))
+    val l = bm(t(s, dir, "lineitem").filter(col("l_quantity") >= 45), "l_orderkey")
+    val o = bm(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+      "o_orderkey")
+    val sides = l.toDF("word", "bml").join(o.toDF("word", "bmo"), Seq("word"), "full")
+      .agg(
+        sum(bit_count(coalesce(col("bml"), lit(0L)))).as("distinct_l"),
+        sum(bit_count(coalesce(col("bmo"), lit(0L)))).as("distinct_o"),
+        sum(bit_count(coalesce(col("bml"), lit(0L))
+          .bitwiseAND(coalesce(col("bmo"), lit(0L))))).as("key_overlap"))
+    val actual = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("k"))
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k")), Seq("k"))
+      .agg(count(lit(1)).as("join_rows"))
+    sides.crossJoin(actual)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3080,6 +3110,7 @@ object Queries {
     "q142_media_features" -> (q142_media_features _),
     "q143_interval_coverage" -> (q143_interval_coverage _),
     "q144_trend_forecast" -> (q144_trend_forecast _),
+    "q145_join_cardinality" -> (q145_join_cardinality _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4619,5 +4650,27 @@ object Queries {
         |  round(regr_intercept(n, day) + regr_slope(n, day) * 30.0, 2)
         |    AS forecast_day30
         |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q145_join_cardinality" ->
+      """WITH l AS (
+        |  SELECT l_orderkey // 32 AS word,
+        |    bit_or(1::BIGINT << (l_orderkey % 32)::INT) AS bml
+        |  FROM lineitem WHERE l_quantity >= 45 GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey // 32 AS word,
+        |    bit_or(1::BIGINT << (o_orderkey % 32)::INT) AS bmo
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |sides AS (
+        |  SELECT
+        |    sum(bit_count(coalesce(bml, 0)))::BIGINT AS distinct_l,
+        |    sum(bit_count(coalesce(bmo, 0)))::BIGINT AS distinct_o,
+        |    sum(bit_count(coalesce(bml, 0) & coalesce(bmo, 0)))::BIGINT
+        |      AS key_overlap
+        |  FROM l FULL JOIN o USING (word)),
+        |actual AS (
+        |  SELECT count(*) AS join_rows
+        |  FROM (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 45) a
+        |  JOIN (SELECT o_orderkey AS k FROM orders
+        |        WHERE o_orderpriority = '1-URGENT') b USING (k))
+        |SELECT * FROM sides, actual""".stripMargin,
   )
 }

@@ -71,7 +71,9 @@ class PlanSpec extends SparkSpec {
       // corpus by design — the base side never shuffles
       "q110_knn_classify",
       // q126: 1-row broadcast grand total (q101's pattern)
-      "q126_chisq")
+      "q126_chisq",
+      // q145: cross join of two 1-row aggregates (estimate ∥ actual)
+      "q145_join_cardinality")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
