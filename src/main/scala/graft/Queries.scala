@@ -521,10 +521,12 @@ object Queries {
     * MinHash re-rank uses, here with a direct SQL oracle.
     */
   def q36_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    // Fused hashed shingle sets (see q106): Jaccard over distinct
+    // hashes == Jaccard over shingle strings absent a 64-bit collision.
     val sh = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), TextFunctions.wordShingles(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) >= 1)
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .filter(col("id_a") % 5 === 0)
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -933,11 +935,15 @@ object Queries {
     * float round).
     */
   def q57_repetition(s: SparkSession, dir: String): DataFrame =
+    // Distinct-bigram count from the fused hashed shingle set (q106's
+    // expression) — same count as the string form modulo a within-doc
+    // 64-bit collision (≤ ~300 bigrams/doc → P ≈ 300²/2⁶⁵).
     tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"),
+        graft.expr.ShingleExpression.shingleHashes(col("text"), 2).as("bh"))
       .select(col("doc_id"),
         greatest(size(col("toks")) - 1, lit(0)).as("n_bigrams"),
-        size(TextFunctions.wordShingles(col("toks"), 2)).as("n_distinct"))
+        size(col("bh")).as("n_distinct"))
       .withColumn("n_repeated", col("n_bigrams") - col("n_distinct"))
       .withColumn("dup_bp", when(col("n_bigrams") > 0,
         expr("((n_bigrams - n_distinct) * 10000) div n_bigrams")).otherwise(lit(0L)))
