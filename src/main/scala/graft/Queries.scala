@@ -2971,6 +2971,31 @@ object Queries {
     sides.crossJoin(actual)
   }
 
+  /** Per-group top-k via the typed `TopKByScore` Aggregator (UDAF) —
+    * functionally q63/q76's WindowGroupLimit rank, but as an AGGREGATE
+    * with O(k) state per group at every stage: partials trim to k
+    * before they shuffle, no sort of the group ever happens, and it
+    * composes with other aggregates in the same pass (count here).
+    * Exact integer cents + id tiebreak keep it engine-deterministic.
+    */
+  def q146_topk_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(graft.operators.TopKByScore(3))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(topk(col("cents"), col("o_orderkey")).as("top"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("t._1").as("cents"), col("t._2").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3117,6 +3142,7 @@ object Queries {
     "q143_interval_coverage" -> (q143_interval_coverage _),
     "q144_trend_forecast" -> (q144_trend_forecast _),
     "q145_join_cardinality" -> (q145_join_cardinality _),
+    "q146_topk_agg"     -> (q146_topk_agg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4678,5 +4704,18 @@ object Queries {
         |  JOIN (SELECT o_orderkey AS k FROM orders
         |        WHERE o_orderpriority = '1-URGENT') b USING (k))
         |SELECT * FROM sides, actual""".stripMargin,
+    "q146_topk_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    round(o_totalprice * 100, 0)::BIGINT AS cents, o_orderkey,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n_orders,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY round(o_totalprice * 100, 0)::BIGINT DESC,
+        |               o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, n_orders::BIGINT AS n_orders, rnk::BIGINT AS rnk,
+        |  cents, o_orderkey
+        |FROM o WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
   )
 }
