@@ -17,8 +17,12 @@ import graft.expr.{DotProduct, JaroWinkler, MinHashSignature}
   *   - `graft_jaro_winkler(string, string) -> double`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Physical planning for graft's native logical operators
+    // (plans/AsOfJoinPlan.scala).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -2996,6 +2996,33 @@ object Queries {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** q38's backward as-of join through the NATIVE physical operator
+    * (plans/AsOfJoinPlan.scala: custom LogicalPlan → Strategy →
+    * SparkPlan with clustered+sorted child contracts — §7.4's deepest
+    * extension rung): one forward merge per partition, O(1) state, no
+    * tagged union, no window buffer. Same oracle semantics as q38
+    * (timestamps travel as exact integer µs; unmatched rows take the
+    * same sentinels); NativePlanSpec pins it to the composed form and
+    * to constructions.
+    */
+  def q147_asof_native(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    graft.plans.NativeAsOfJoin.backward(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
+      rightTieCol = "event_id", rightPrefix = "click_")
+      .select(
+        col("event_id"), col("user_id"), col("us").as("ts_us"),
+        coalesce(col("click_us"), lit(0L)).as("click_ts_us"),
+        coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+        round(coalesce(col("click_value"), lit(0.0)), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3143,6 +3170,7 @@ object Queries {
     "q144_trend_forecast" -> (q144_trend_forecast _),
     "q145_join_cardinality" -> (q145_join_cardinality _),
     "q146_topk_agg"     -> (q146_topk_agg _),
+    "q147_asof_native"  -> (q147_asof_native _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4717,5 +4745,18 @@ object Queries {
         |  cents, o_orderkey
         |FROM o WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q147_asof_native" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us,
+        |  coalesce(epoch_us(r.ts), 0)::BIGINT AS click_ts_us,
+        |  coalesce(r.event_id, -1)::BIGINT AS click_event_id,
+        |  round(coalesce(r."value", 0.0), 2) AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |LEFT JOIN LATERAL (
+        |  SELECT ts, event_id, "value" FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

@@ -1,0 +1,232 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.bridge
+
+/** Native backward as-of join as a first-class operator — the deepest
+  * rung of SURVEY §7.4's extension ladder (custom `LogicalPlan` +
+  * `Strategy` + physical `SparkPlan`, injected through
+  * `SparkSessionExtensions`), complementing the composed union+window
+  * form in `operators/AsOfJoin.scala`.
+  *
+  * Why a physical operator at all: the union+window form materializes
+  * a tagged union of both sides and runs `last(ignoreNulls)` over it —
+  * two wide projections and a window buffer per key. This exec instead
+  * asks the planner for exactly what the algorithm needs — both sides
+  * hash-CLUSTERED on the key and sorted by (key, ts[, tie]) — and then
+  * streams the two sorted partitions through a single forward-only
+  * merge: O(1) state (the last eligible right row), zero buffering,
+  * no union, no window. EnsureRequirements inserts the shuffles/sorts
+  * only when the children aren't already partitioned that way — on a
+  * bucketed table the join runs with NO exchange at all, which the
+  * composed form can never express.
+  *
+  * Semantics (pinned by the differential suite to AsOfJoin.backward):
+  * for each left row the single latest right row of the same key with
+  * `r.ts <= l.ts` (inclusive); ties on ts resolve to the greatest tie
+  * column; unmatched left rows null-extend. Null left ts or key
+  * matches nothing; null right ts/key rows are ignored. Keys, event
+  * times and the tie column are 64-bit integers (project timestamps
+  * to `unix_micros` first — exact), the common shape for event
+  * streams; widening to generic orderable types is a binding change,
+  * not an algorithm change.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTs: Expression,
+    rightKey: Expression,
+    rightTs: Expression,
+    rightTie: Expression) extends BinaryNode {
+  // Right payload null-extends on unmatched left rows.
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    leftTs: Expression,
+    rightKey: Expression,
+    rightTs: Expression,
+    rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // The planner contract that makes the merge correct AND cheap:
+  // both sides clustered on the key (co-partitioned by
+  // EnsureRequirements, or satisfied for free by bucketed children)…
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // …and sorted by (key, ts[, tie]) inside each partition, so one
+  // forward pass suffices and the greatest-tie row is the last seen.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // Left rows stream through in their sorted order.
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val rightSchema = right.schema
+    val out = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightSchema.length)
+      val project = UnsafeProjection.create(out, out)
+
+      // One-row lookahead over the right side; rows with null key/ts
+      // can never match and are skipped at the source.
+      var cur: InternalRow = null
+      var curKey = 0L
+      var curTs = 0L
+      def advance(): Unit = {
+        cur = null
+        while (cur == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKeyB.eval(r)
+          val t = rTsB.eval(r)
+          if (k != null && t != null) {
+            curKey = k.asInstanceOf[Long]
+            curTs = t.asInstanceOf[Long]
+            cur = r
+          }
+        }
+      }
+      advance()
+
+      // O(1) held state: the latest eligible right row for the
+      // current left key (copied — iterators reuse row buffers).
+      var held: InternalRow = null
+      var heldKey = 0L
+
+      lIter.map { l =>
+        val lkRef = lKeyB.eval(l)
+        val ltRef = lTsB.eval(l)
+        if (lkRef == null) {
+          project(joiner(l, nullRight))
+        } else {
+          val lk = lkRef.asInstanceOf[Long]
+          if (held != null && heldKey != lk) held = null
+          if (ltRef == null) {
+            // Null event time matches nothing, but the right cursor
+            // must NOT advance past rows later left rows still need.
+            project(joiner(l, nullRight))
+          } else {
+            val lt = ltRef.asInstanceOf[Long]
+            // Consume every right row at or before (lk, lt): rows of
+            // smaller keys are dead (left keys only grow), rows of
+            // this key become the held match (last one wins = the
+            // greatest (ts, tie) within bound, thanks to the order).
+            while (cur != null &&
+              (curKey < lk || (curKey == lk && curTs <= lt))) {
+              if (curKey == lk) { held = cur.copy(); heldKey = lk }
+              advance()
+            }
+            project(joiner(l, if (held != null) held else nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point. */
+object NativeAsOfJoin {
+
+  /** Backward as-of join of `left` to `right` on an equality key and
+    * µs event times (see class doc for semantics). All five columns
+    * must be LongType on their side; right payload columns come back
+    * `r_`-prefixed like `AsOfJoin.backward`.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lPlan = bridge.analyzed(left)
+    // Re-alias the right side with FRESH attribute ids: both inputs
+    // may share lineage (self-join on the same table), and duplicate
+    // exprIds across the two children would make column pruning /
+    // binding resolve the right side's key to the left's attribute
+    // and prune it away. Join gets this from the analyzer's
+    // dedupRight; a custom node must do it itself.
+    val rAnalyzed = bridge.analyzed(right)
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan: LogicalPlan = Project(rAliases, rAnalyzed)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    // The exec's merge requires 64-bit key/ts/tie on both sides.
+    Seq(attr(lPlan, keyCol), attr(lPlan, leftTsCol), attr(rPlan, keyCol),
+      attr(rPlan, rightTsCol), attr(rPlan, rightTieCol)).foreach { a =>
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"NativeAsOfJoin: ${a.name} must be BIGINT (project timestamps " +
+          "to unix_micros first)")
+    }
+    // The strategy rides on the session's experimental list so any
+    // session can run the node (GraftExtensions also injects it for
+    // sessions built with spark.sql.extensions).
+    val ss = left.sparkSession
+    if (!ss.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      ss.experimental.extraStrategies =
+        ss.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, keyCol), attr(lPlan, leftTsCol),
+      attr(rPlan, keyCol), attr(rPlan, rightTsCol), attr(rPlan, rightTieCol))
+    val joined = bridge.ofRows(ss, node)
+    // Left and right may share column names — rename positionally to
+    // unique temporaries before the final projection.
+    import org.apache.spark.sql.functions.col
+    val nL = left.columns.length
+    val tmp = joined.columns.indices.map(i => s"__c$i")
+    val renamed = joined.toDF(tmp: _*)
+    val leftCols = left.columns.zipWithIndex.map {
+      case (c, i) => col(s"__c$i").as(c)
+    }
+    val rightCols = right.columns.zipWithIndex.collect {
+      case (c, j) if c != keyCol => col(s"__c${nL + j}").as(s"$rightPrefix$c")
+    }
+    renamed.select(leftCols ++ rightCols: _*)
+  }
+}

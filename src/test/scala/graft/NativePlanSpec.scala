@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.NativeAsOfJoin
+
+/** The custom physical operator (plans/AsOfJoinPlan.scala) pinned to
+  * the composed union+window as-of join it replaces: same results on
+  * the real events table, on adversarial tie/no-match constructions,
+  * and at forced multi-partition layouts; plus plan-shape assertions
+  * that the exec actually plans with its clustered+sorted contract.
+  */
+class NativePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sides(dir: String) = {
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id"))
+    (l, r)
+  }
+
+  test("native as-of exec == composed union+window form on the events table") {
+    val (l, r) = sides(sf("sf0.01"))
+    val native = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+    val composed = AsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    val n = native.collect().map(_.toString).sorted
+    val c = composed.collect().map(_.toString).sorted
+    assert(n.length == c.length && n.sameElements(c),
+      s"native vs composed diverged (${n.length} vs ${c.length} rows)")
+  }
+
+  test("native as-of exec handles ties, no-match, equal-ts and null-ts rows") {
+    val l = Seq(
+      (1L, 100L, 10L), // matches r at ts=100 (inclusive), tie → rid 3
+      (1L, 50L, 11L),  // no right row at or before 50 → nulls
+      (2L, 10L, 12L),  // key with no right rows at all
+      (1L, 200L, 13L)) // latest right at 150
+      .toDF("user_id", "us", "event_id")
+    val lNull = Seq((1L, Option.empty[Long], 14L))
+      .toDF("user_id", "us", "event_id")
+    val r = Seq(
+      (1L, 100L, 2L), (1L, 100L, 3L), // tie on ts: greatest id wins
+      (1L, 150L, 4L),
+      (3L, 5L, 5L))
+      .toDF("user_id", "us", "event_id")
+    val got = NativeAsOfJoin.backward(
+      l.unionByName(lNull), r, "user_id", "us", "us", "event_id")
+      .collect()
+      .map(row => (row.getLong(2),
+        if (row.isNullAt(4)) -1L else row.getLong(4))).toMap
+    assert(got == Map(10L -> 3L, 11L -> -1L, 12L -> -1L, 13L -> 4L, 14L -> -1L))
+    val composed = AsOfJoin.backward(
+      l.unionByName(lNull), r, "user_id", "us", "us", "event_id")
+      .collect()
+      .map(row => (row.getLong(2),
+        if (row.isNullAt(4)) -1L else row.getLong(4))).toMap
+    assert(composed == got, "construction case diverged from composed form")
+  }
+
+  test("native as-of exec survives adversarial partitioning (keys split across input partitions)") {
+    val l = spark.range(100000).select(
+      (col("id") % 7).as("user_id"), (col("id") * 2 + 1).as("us"),
+      col("id").as("event_id")).repartition(13)
+    val r = spark.range(100000).select(
+      (col("id") % 7).as("user_id"), (col("id") * 2).as("us"),
+      col("id").as("event_id")).repartition(17)
+    val native = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+    val composed = AsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+    assert(native.count() == 100000)
+    val diff = native.toDF("k", "t", "e", "rt", "re")
+      .exceptAll(composed.toDF("k", "t", "e", "rt", "re")).count()
+    assert(diff == 0, s"$diff rows diverged at forced partition layouts")
+  }
+
+  test("the exec plans with its clustered distribution + (key, ts) sort contract") {
+    val (l, r) = sides(sf("sf0.001"))
+    val native = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+    val plan = native.queryExecution.executedPlan.toString
+    // The exec prints with the Exec suffix stripped (TreeNode.nodeName).
+    assert(plan.contains("AsOfJoin "), s"expected the native exec:\n$plan")
+    assert(plan.contains("Sort ["), s"expected planner-inserted sorts:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"expected key-clustered exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"native path must not window:\n$plan")
+  }
+}
