@@ -19,9 +19,10 @@ import graft.expr.{DotProduct, JaroWinkler, MinHashSignature}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // Physical planning for graft's native logical operators
-    // (plans/AsOfJoinPlan.scala).
+    // Physical planning + optimizer rules for graft's native logical
+    // operators (plans/AsOfJoinPlan.scala, plans/AsOfJoinRules.scala).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    graft.plans.AsOfJoinRules.all.foreach(r => ext.injectOptimizerRule(_ => r))
   }
 }
 

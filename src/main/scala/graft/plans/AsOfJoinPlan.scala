@@ -203,13 +203,20 @@ object NativeAsOfJoin {
         s"NativeAsOfJoin: ${a.name} must be BIGINT (project timestamps " +
           "to unix_micros first)")
     }
-    // The strategy rides on the session's experimental list so any
-    // session can run the node (GraftExtensions also injects it for
-    // sessions built with spark.sql.extensions).
+    // The strategy + optimizer rules ride on the session's
+    // experimental lists so any session can run the node
+    // (GraftExtensions also injects them for sessions built with
+    // spark.sql.extensions).
     val ss = left.sparkSession
     if (!ss.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       ss.experimental.extraStrategies =
         ss.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    AsOfJoinRules.all.foreach { r =>
+      if (!ss.experimental.extraOptimizations.contains(r)) {
+        ss.experimental.extraOptimizations =
+          ss.experimental.extraOptimizations :+ r
+      }
     }
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, keyCol), attr(lPlan, leftTsCol),

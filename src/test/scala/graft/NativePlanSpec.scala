@@ -79,6 +79,40 @@ class NativePlanSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverged at forced partition layouts")
   }
 
+  test("PushFilterThroughAsOf: left-only filters sink below the join, right-side filters stay") {
+    val (l, r) = sides(sf("sf0.001"))
+    val joined = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+    val filtered = joined.filter(col("user_id") < 5 && col("r_event_id").isNotNull)
+    val opt = filtered.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val node = opt.collectFirst { case j: graft.plans.AsOfJoinNode => j }.get
+    // The left-only conjunct must now live UNDER the join…
+    assert(node.left.collectFirst { case f: LFilter => f }.isDefined,
+      s"left filter not pushed:\n$opt")
+    // …while the right-payload conjunct (null-extension semantics)
+    // must NOT reach the right child.
+    assert(node.right.collectFirst {
+      case f: LFilter if f.condition.references.exists(_.name == "event_id") => f
+    }.isEmpty, s"right-side filter wrongly pushed:\n$opt")
+    // And the rewrite preserves results vs the composed form.
+    val composed = AsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+      .filter(col("user_id") < 5 && col("r_event_id").isNotNull)
+    assert(filtered.collect().map(_.toString).sorted
+      .sameElements(composed.collect().map(_.toString).sorted))
+  }
+
+  test("PruneAsOfColumns: unused right payload never enters the exchange") {
+    val (l, r0) = sides(sf("sf0.001"))
+    val r = r0.withColumn("payload", lit("x" * 10)) // droppable ballast
+    val slim = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+      .select(col("event_id"), col("r_us"))
+    val node = slim.queryExecution.optimizedPlan
+      .collectFirst { case j: graft.plans.AsOfJoinNode => j }.get
+    assert(!node.right.output.exists(_.name == "payload"),
+      s"payload column survived pruning: ${node.right.output}")
+    assert(node.right.output.map(_.name).toSet == Set("user_id", "us", "event_id"))
+  }
+
   test("the exec plans with its clustered distribution + (key, ts) sort contract") {
     val (l, r) = sides(sf("sf0.001"))
     val native = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
