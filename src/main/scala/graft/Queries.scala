@@ -3023,6 +3023,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** The custom DataSource V2 (sources/SeqSource.scala) driven through
+    * its whole read path: the `id` range predicate is PUSHED into the
+    * source (ScanBuilder narrows the planned bounds to [50000,150000)
+    * before partitions exist — explain shows `bounds=` + `pushed=`),
+    * and only the generated columns the query needs are materialized
+    * (`pruneColumns`). The table is a deterministic integer sequence
+    * with arithmetic-derived columns, so DuckDB `range()` reproduces
+    * it exactly — the oracle checks generation, pushdown, pruning and
+    * the aggregation in one go. `dir` is unused: the source generates.
+    */
+  def q148_dsv2_source(s: SparkSession, dir: String): DataFrame = {
+    val seq = s.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 200000L).option("slices", 32)
+      .load()
+    seq.filter(col("id") >= 50000L && col("id") < 150000L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        countDistinct(col("word")).as("words"))
+      .filter(col("bucket") < 10)
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3171,6 +3193,7 @@ object Queries {
     "q145_join_cardinality" -> (q145_join_cardinality _),
     "q146_topk_agg"     -> (q146_topk_agg _),
     "q147_asof_native"  -> (q147_asof_native _),
+    "q148_dsv2_source"  -> (q148_dsv2_source _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4758,5 +4781,12 @@ object Queries {
         |    AND r.ts <= l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
         |ORDER BY l.event_id""".stripMargin,
+    "q148_dsv2_source" ->
+      """SELECT id % 97 AS bucket, count(*) AS n,
+        |  (sum((id * 2654435761) % 1000003))::BIGINT AS sum_cents,
+        |  count(DISTINCT 'w' || (id % 13)::VARCHAR) AS words
+        |FROM range(50000, 150000) t(id)
+        |WHERE id % 97 < 10
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }
