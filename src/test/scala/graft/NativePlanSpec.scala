@@ -113,6 +113,33 @@ class NativePlanSpec extends SparkSpec {
     assert(node.right.output.map(_.name).toSet == Set("user_id", "us", "event_id"))
   }
 
+  test("bucketed inputs satisfy the distribution contract: ZERO exchanges planned") {
+    val (l, r) = sides(sf("sf0.001"))
+    l.write.mode("overwrite").bucketBy(4, "user_id")
+      .sortBy("user_id", "us", "event_id").saveAsTable("asof_l_b")
+    r.write.mode("overwrite").bucketBy(4, "user_id")
+      .sortBy("user_id", "us", "event_id").saveAsTable("asof_r_b")
+    try {
+      val native = NativeAsOfJoin.backward(
+        spark.table("asof_l_b"), spark.table("asof_r_b"),
+        "user_id", "us", "us", "event_id")
+      val plan = native.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin "), s"expected the native exec:\n$plan")
+      // The whole point of expressing the requirement as a
+      // Distribution: bucket layout satisfies it, so the planner
+      // inserts NO shuffle on either side (the composed union+window
+      // form always re-shuffles the union).
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of join must plan shuffle-free:\n$plan")
+      val composed = AsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
+      assert(native.collect().map(_.toString).sorted
+        .sameElements(composed.collect().map(_.toString).sorted))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l_b")
+      spark.sql("DROP TABLE IF EXISTS asof_r_b")
+    }
+  }
+
   test("the exec plans with its clustered distribution + (key, ts) sort contract") {
     val (l, r) = sides(sf("sf0.001"))
     val native = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
