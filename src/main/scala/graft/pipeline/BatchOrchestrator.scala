@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.expr.PipelineConfig
@@ -29,12 +29,20 @@ final class BatchOrchestrator(
     provider: SchemaProvider,
     cfg: PipelineConfig,
     validSink: RecordSink,
-    dlqSink: RecordSink) extends Serializable {
+    dlqSink: RecordSink,
+    onBatchComplete: BatchStats => Unit = BatchStats.logLine) extends Serializable {
 
   @volatile private var cachedMetas: Option[Seq[ColumnMeta]] = None
   /** Visible for tests: schema resolutions + insert attempts. */
   @volatile var schemaFetches: Int = 0
   @volatile var insertAttempts: Int = 0
+  /** Telemetry of the most recent batch (reference main.py:420, 466:
+    * "Processed {n} packets in {t:.2f} sec"). Counts ride the sink
+    * writes via `Dataset.observe` — collected DURING the existing
+    * action, never a second pass over the batch (`df.count()` here
+    * would re-run decode→validate→coerce for every batch).
+    */
+  @volatile var lastStats: Option[BatchStats] = None
 
   private def metas(): Seq[ColumnMeta] = cachedMetas.getOrElse {
     schemaFetches += 1
@@ -49,31 +57,87 @@ final class BatchOrchestrator(
   }
 
   def processBatch(raw: DataFrame, batchId: Long): Unit = {
+    val t0 = System.nanoTime()
     // The valid-row path is epoch-keyed (exactly-once under an
     // idempotent sink); DLQ writes stay at-least-once — duplicate
     // diagnostic envelopes on a redelivered batch are acceptable, as
     // in the reference (a retried batch re-produces to the DLQ topic).
     val res = Pipeline.process(raw, metas(), cfg)
+    val (validObs, validDf) = observed(res.valid)
     val firstFailure: Option[Exception] =
-      try { insertAttempts += 1; validSink.write(res.valid, batchId); None }
+      try { insertAttempts += 1; validSink.write(validDf, batchId); None }
       catch { case e: Exception => Some(e) }
     firstFailure match {
       case None =>
-        dlqSink.write(res.dlq) // invalid → DLQ (main.py:452-456)
+        val (dlqObs, dlqDf) = observed(res.dlq)
+        dlqSink.write(dlqDf) // invalid → DLQ (main.py:452-456)
         res.release()
+        finish(batchId, validObs, dlqObs, retried = false, t0)
       case Some(_) =>
         // Schema drift path: rebuild schema, re-validate the ORIGINAL
         // payloads (not the already-coerced rows), retry the insert
         // once (main.py:434-445).
         val res2 = Pipeline.process(raw, refreshMetas(), cfg)
-        try { insertAttempts += 1; validSink.write(res2.valid, batchId) }
+        val (validObs2, validDf2) = observed(res2.valid)
+        try { insertAttempts += 1; validSink.write(validDf2, batchId) }
         catch {
           case e2: Exception => // still-valid rows → DLQ (main.py:446-450)
             dlqSink.write(res2.validRaw.withColumn("error", lit(e2.getMessage)))
         }
-        dlqSink.write(res2.dlq) // invalid → DLQ (main.py:459-463)
+        val (dlqObs2, dlqDf2) = observed(res2.dlq)
+        dlqSink.write(dlqDf2) // invalid → DLQ (main.py:459-463)
         res2.release()
         res.release()
+        finish(batchId, validObs2, dlqObs2, retried = true, t0)
     }
   }
+
+  // One Observation per write: the count aggregates map-side inside
+  // the sink's own job (an AggregatingAccumulator on the existing
+  // scan), so telemetry costs zero extra passes.
+  private def observed(df: DataFrame): (Observation, DataFrame) = {
+    val obs = Observation()
+    (obs, df.observe(obs, count(lit(1)).as("rows")))
+  }
+
+  private def finish(
+      batchId: Long,
+      valid: Observation,
+      dlq: Observation,
+      retried: Boolean,
+      t0: Long): Unit = {
+    // Non-blocking read: if a sink deliberately skipped its action
+    // (e.g. IdempotentParquetSink on a redelivered epoch) no job ran,
+    // no metrics exist, and the count is honestly None — never block
+    // waiting for a job that will not come.
+    def n(o: Observation): Option[Long] =
+      org.apache.spark.sql.graft.bridge.observationGetOrEmpty(o)
+        .get("rows").map(_.asInstanceOf[Long])
+    val stats = BatchStats(batchId, n(valid), n(dlq), retried,
+      (System.nanoTime() - t0) / 1000000L)
+    lastStats = Some(stats)
+    onBatchComplete(stats)
+  }
+}
+
+/** Per-batch processing telemetry (the reference's per-batch log:
+  * "Processed {n} packets in {t:.2f} sec", main.py:420, 466 — plus
+  * the valid/DLQ split and the drift-retry flag it doesn't surface).
+  * A count is None when its sink skipped the write (idempotent
+  * redelivery), distinguishing "wrote 0 rows" from "did not write".
+  */
+final case class BatchStats(
+    batchId: Long,
+    validRows: Option[Long],
+    dlqRows: Option[Long],
+    retried: Boolean,
+    wallMs: Long)
+
+object BatchStats {
+  /** Default `onBatchComplete`: the reference's log line, on stderr. */
+  val logLine: BatchStats => Unit = s =>
+    System.err.println(
+      f"[graft] batch ${s.batchId}: valid=${s.validRows.getOrElse(-1L)} " +
+        f"dlq=${s.dlqRows.getOrElse(-1L)} retried=${s.retried} " +
+        f"in ${s.wallMs / 1000.0}%.2f sec")
 }

@@ -24,4 +24,13 @@ object bridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Non-blocking Observation read (`getOrEmpty` is private[sql]):
+    * empty when the observed action never ran — `get` would block
+    * forever on a deliberately-skipped write. Spark's getOrEmpty
+    * itself NPEs in that never-ran case (it reads `row.schema` off an
+    * unset metrics row), so the guard maps that to empty too.
+    */
+  def observationGetOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    try o.getOrEmpty catch { case _: NullPointerException => Map.empty }
 }

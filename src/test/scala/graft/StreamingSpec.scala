@@ -127,6 +127,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getString(1) == "fresh")
   }
 
+  test("observe telemetry: per-batch valid/DLQ counts ride the sink writes (no extra pass)") {
+    import spark.implicits._
+    val validDir = tmp(); val dlqDir = tmp()
+    var seen = List.empty[graft.pipeline.BatchStats]
+    val orch = new BatchOrchestrator(provider, cfg,
+      new ParquetSink(validDir), new ParquetDlqSink(dlqDir),
+      onBatchComplete = s => seen ::= s)
+    val raw = Seq(
+      """{"device_id": 7, "note": "a"}""",
+      """{"device_id": 8, "note": "b"}""",
+      """{"note": "missing required"}""",
+      "{broken").toDF(graft.pipeline.Pipeline.ValueCol)
+    orch.processBatch(raw, 5L)
+    val s = orch.lastStats.get
+    assert(seen == List(s))
+    assert(s.batchId == 5L && !s.retried)
+    assert(s.validRows.contains(2L), s"valid count: ${s.validRows}")
+    assert(s.dlqRows.contains(2L), s"dlq count: ${s.dlqRows}")
+    // the observed counts agree with what actually landed on disk
+    assert(spark.read.parquet(validDir).count() == 2)
+    assert(spark.read.parquet(dlqDir).count() == 2)
+  }
+
+  test("observe telemetry: drift retry is flagged; a skipped idempotent rewrite reports None") {
+    import spark.implicits._
+    val validDir = tmp(); val dlqDir = tmp()
+    val flaky = new FlakySink(new ParquetSink(validDir), failures = 1)
+    val orchRetry = new BatchOrchestrator(provider, cfg, flaky,
+      new ParquetDlqSink(dlqDir), onBatchComplete = _ => ())
+    val raw = Seq("""{"device_id": 7, "note": "a"}""")
+      .toDF(graft.pipeline.Pipeline.ValueCol)
+    orchRetry.processBatch(raw, 0L)
+    assert(orchRetry.lastStats.get.retried)
+    assert(orchRetry.lastStats.get.validRows.contains(1L))
+
+    // Redelivered epoch under the idempotent sink: the write is a
+    // no-op, no job runs, and the count must be None — NOT zero.
+    val idemDir = tmp()
+    val orchIdem = new BatchOrchestrator(provider, cfg,
+      new graft.io.IdempotentParquetSink(idemDir),
+      new ParquetDlqSink(tmp()), onBatchComplete = _ => ())
+    orchIdem.processBatch(raw, 3L)
+    assert(orchIdem.lastStats.get.validRows.contains(1L))
+    orchIdem.processBatch(raw, 3L)
+    assert(orchIdem.lastStats.get.validRows.isEmpty,
+      s"skipped write must report None: ${orchIdem.lastStats}")
+  }
+
   test("idempotent sink through the orchestrator: reprocessed batch does not duplicate") {
     import spark.implicits._
     val validDir = tmp(); val dlqDir = tmp()
