@@ -15,27 +15,40 @@ object Bench {
     // one-time cost and misrepresent per-query numbers.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes the FULL plan (count() would let the
-      // optimizer elide final sorts and unreferenced columns).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
+        val t0 = System.nanoTime()
+        // noop sink materializes the FULL plan (count() would let the
+        // optimizer elide final sorts and unreferenced columns).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Inter-query hygiene, OUTSIDE the timed region: queries that
+        // persist/localCheckpoint intermediates (q23/q53 LSH cache, CC
+        // per-round checkpoints, IVF index) would otherwise leave
+        // blocks pinned in the block manager for the remaining ~100
+        // queries — accumulated pressure shows up as phantom
+        // regressions in whichever queries run late. A periodic GC
+        // nudges the ContextCleaner to reap dropped broadcasts too.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        if ((idx + 1) % 25 == 0) System.gc()
+        name -> dt
     }
     // The harness that captures this output keeps only a bounded tail of
-    // the log, so the JSON line must stay well under 2000 chars even as
-    // the query count grows: keys are compacted to the unambiguous qNN
-    // prefix and values rounded to centiseconds. Full names + precise
-    // times go to stderr for humans.
+    // the log (last ~2000 chars, with sbt's [success] line eating ~61),
+    // so the JSON line must stay well under that even as the query count
+    // grows: keys are compacted to the unambiguous qNN prefix and values
+    // are INTEGER CENTISECONDS ("qunit":"cs" declares this). Full names +
+    // precise times go to stderr for humans.
     val qs = results.map { case (k, v) =>
       val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
-      f""""$short":$v%.2f"""
+      s""""$short":${math.round(v * 100)}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     results.foreach { case (k, v) => System.err.println(f"BENCH_DETAIL $k $v%.3f") }
     System.err.flush()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -122,14 +122,14 @@ object Queries {
       .select("doc_id", "dupes")
       .orderBy("doc_id")
 
-  /** E21: tokenize + word count, top 20 — split/explode keeps the
+  /** E21: tokenize + word count, top 20 — the fused native tokenizer
+    * (graft.expr.Tokens: one scan, no regex, no empties) feeds the
     * explode inside one codegen stage; the agg shuffles only distinct
-    * words (map-side combine).
+    * words (map-side combine), top-k is TakeOrderedAndProject.
     */
   def q07_text_wordcount(s: SparkSession, dir: String): DataFrame =
     tWide(s, dir, "documents")
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)

@@ -24,8 +24,18 @@ object TextFunctions {
     when(count >= 1, sequence(lit(1), count))
       .otherwise(array().cast("array<int>"))
 
-  /** Lower-cased whitespace tokens, empties dropped. */
+  /** Lower-cased whitespace tokens, empties dropped. Fused native
+    * codegen expression (graft.expr.Tokens) — one scan, no regex
+    * engine, no interpreted HOF filter; semantics identical to
+    * [[tokensHof]] (differential-tested in TokensSpec).
+    */
   def tokens(text: Column): Column =
+    graft.expr.TokenizeExpression.tokens(text)
+
+  /** The composable-expression form of [[tokens]] (kept as the
+    * differential-test reference for the native codegen version).
+    */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Distinct word n-grams (shingles) of size n over the token array.

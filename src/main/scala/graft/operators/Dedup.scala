@@ -68,10 +68,18 @@ object Dedup {
     // the identical signature without ever materializing the string
     // array (the interpreted HOF tower it replaces dominated q23's
     // profile). Empty hash set ⟺ fewer than shingleSize tokens.
+    // Persisted because it is consumed THREE times (signature build +
+    // both re-rank joins) — without the cache each consumer re-scans
+    // the source and re-tokenizes the full corpus (the r3 q53 bench
+    // regression). Lazy persist (not an eager checkpoint) so callers
+    // that only inspect plans never run a job; MEMORY_AND_DISK spills
+    // rather than OOMs at scale. Cleaned up by the caller's session
+    // hygiene (Bench/Verify unpersist between queries).
     val hashed = df
       .select(col(idCol).as("id"),
         graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = hashed
       .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))

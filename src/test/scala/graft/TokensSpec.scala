@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Differential ground truth for the fused native tokenizer
+  * (graft.expr.Tokens): it must be row-for-row identical to the
+  * composable `filter(split(lower(text), "\\s+"), _ =!= "")` form it
+  * replaced — over the full documents fixture AND the whitespace /
+  * case / null edge cases a fixture corpus may never hit.
+  */
+class TokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native tokens == HOF tokens over the full documents table") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val diff = docs.select(
+        TextFunctions.tokens(col("text")).as("a"),
+        TextFunctions.tokensHof(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+  }
+
+  test("edge cases: empties, pure whitespace, mixed separators, unicode, null") {
+    val rows = Seq(
+      "",                       // empty → empty array
+      "   ",                    // pure spaces → empty array
+      "\t\n\r\f\u000B",         // every \s class char → empty array
+      "  leading",              // leading-empty artifact of split
+      "trailing  ",
+      "a\tb\nc\rd\fe\u000Bf",   // each separator kind splits
+      "Mixed CASE Text",        // lowercasing
+      "un break",          // NBSP is NOT \s → stays inside token
+      "cafÉ  Über",   // unicode lowercase É→é Ü→ü
+      "a  b   c",               // separator runs collapse
+      "single")
+    val df = rows.toDF("text")
+      .union(Seq.empty[String].toDF("text"))
+      .union(spark.sql("SELECT CAST(NULL AS STRING) AS text"))
+    val diff = df.select(
+        TextFunctions.tokens(col("text")).as("a"),
+        TextFunctions.tokensHof(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+    // And pin a couple of absolute expectations, not just equivalence.
+    val got = df.filter(col("text") === "a\tb\nc\rd\fe\u000Bf")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].head()
+    assert(got === Seq("a", "b", "c", "d", "e", "f"))
+    val nbsp = df.filter(col("text") === "un break")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].head()
+    assert(nbsp === Seq("un break"))
+    val nul = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(TextFunctions.tokens(col("text")).as("t")).filter(col("t").isNull)
+    assert(nul.count() === 1L)
+  }
+}
