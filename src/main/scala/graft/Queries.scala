@@ -373,11 +373,15 @@ object Queries {
   }
 
   /** North-star embedding near-dup, exact threshold join (the
-    * verification baseline; quadratic, oracle-able). Vectors are
-    * pre-normalized so the pair stage is one fused dot product.
+    * verification baseline; quadratic COMPUTE by definition, but the
+    * benched form is the triangle-BLOCKED equi-join — bounded cells a
+    * cluster can schedule, no CartesianProduct in the plan. Vectors
+    * are pre-normalized so the pair stage is one fused dot product.
+    * The naive crossJoin form survives as the LlmOpsSpec differential
+    * only.
     */
   def q25_embed_neardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsExact(tWide(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    Dedup.embeddingPairsExactBlocked(tWide(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
 
   /** LSH-bucketed embedding near-dup (random hyperplanes) — the scale
@@ -2594,7 +2598,12 @@ object Queries {
       .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    operators.PageRank.run(edges, iterations = 3)
+    // The node universe is the top-k list itself, passed explicitly so
+    // a top word with NO co-occurrence edge still gets its base rank —
+    // the oracle seeds r0..r3 from `top`, so deriving nodes from the
+    // edge list would silently drop such a word on this side only.
+    operators.PageRank.run(edges, iterations = 3,
+        nodeUniverse = Some(top.select(col("w").as("node"))))
       .select(col("node"), col("rank").as("pr"))
       .orderBy(desc("pr"), col("node"))
   }
@@ -2781,10 +2790,16 @@ object Queries {
     val spend = t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
-    val n = spend.count()
+    // The customer count feeds the bin boundaries as a LAZY 1-row
+    // broadcast (q81's pattern) — an eager spend.count() here would run
+    // a real job at query-CONSTRUCTION time, during plan-only
+    // inspections too, and scan orders an extra time.
     val k = 10L
-    val q = lit(n / k); val rem = lit(n % k)
+    val totals = spend.agg(count(lit(1)).as("__n"))
+      .select(expr(s"__n div $k").as("__q"), expr(s"__n % $k").as("__rem"))
+    val q = col("__q"); val rem = col("__rem")
     val ranked = PrefixSum.globalRank(spend, Seq("cents", "o_custkey"), "r")
+      .crossJoin(broadcast(totals))
     val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
       .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
       .cast("long") + 1

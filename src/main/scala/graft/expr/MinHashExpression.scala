@@ -123,13 +123,17 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h0 = arr.getLong(i) % P
-      val h = if (h0 < 0) h0 + P else h0
-      var j = 0
-      while (j < numHashes) {
-        val v = (h * (2L * j + 1L) + j * Stride) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // Null slots are skipped, matching MinHashSignature (reading a
+      // null slot via getLong would yield an undefined value silently).
+      if (!arr.isNullAt(i)) {
+        val h0 = arr.getLong(i) % P
+        val h = if (h0 < 0) h0 + P else h0
+        var j = 0
+        while (j < numHashes) {
+          val v = (h * (2L * j + 1L) + j * Stride) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -150,11 +154,13 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
          |java.util.Arrays.fill($mins, ${P}L);
          |final int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $arr.getLong($i) % ${P}L;
-         |  if ($h < 0) $h += ${P}L;
-         |  for (int $j = 0; $j < $numHashes; $j++) {
-         |    final long $v = ($h * (2L * $j + 1L) + $j * ${Stride}L) % ${P}L;
-         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $arr.getLong($i) % ${P}L;
+         |    if ($h < 0) $h += ${P}L;
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      final long $v = ($h * (2L * $j + 1L) + $j * ${Stride}L) % ${P}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
          |  }
          |}
          |${ev.value} = new $gad($mins);

@@ -178,6 +178,54 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Exact all-pairs cosine via TRIANGLE BLOCKING: same O(n²) compute
+    * as [[embeddingPairsExact]] (exact all-pairs is inherently
+    * quadratic — LSH/IVF are the sub-quadratic scale paths), but
+    * restructured from one `CartesianProduct` into an EQUI-join over
+    * upper-triangle block cells, which is how the job actually
+    * survives a cluster:
+    *
+    *  - each row lands in block `pmod(hash(id), B)`; the left
+    *    replica fans out to cells (blk, blk..B-1), the right replica
+    *    to cells (0..blk, blk), so every unordered pair of blocks
+    *    meets in exactly ONE cell (p ≤ q) — the replication factor is
+    *    (B+1)/2 per side, half the naive B×B grid;
+    *  - the cell key (bi, bj) is an equi-join key, so the pair stage
+    *    is a ShuffledHashJoin/SortMergeJoin with B(B+1)/2 bounded
+    *    cells (~ (2n/B)² pairs each) instead of a single nested-loop
+    *    whose per-task size Spark can neither bound nor AQE-replan;
+    *  - cross-block cells (p < q) produce each pair once in arbitrary
+    *    id order; diagonal cells (p = q) produce both orders — the
+    *    `bi < bj || id_a < id_b` filter plus least/greatest
+    *    normalization keep exactly one row per pair either way.
+    *
+    * B should scale with n so a cell's pair count stays ~constant
+    * (B ∝ n / rows-per-task); 16 cells/side at bench scale.
+    */
+  def embeddingPairsExactBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val withBlk = normalized(df, idCol, vecCol)
+      .select(col("id"), col("nv"), pmod(xxhash64(col("id")), lit(blocks)).as("blk"))
+    val left = withBlk.select(
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"),
+      col("id").as("id_a"), col("nv").as("nv_a"))
+    val right = withBlk.select(
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+      col("id").as("id_b"), col("nv").as("nv_b"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("nv_a"), col("nv_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cosine"))
+  }
+
   /** Random-hyperplane LSH buckets for embeddings (Charikar): sign bits
     * of `numPlanes` fixed pseudo-random hyperplanes, packed into one
     * long bucket id. Pr[same bit] = 1 - angle/π. Deterministic planes

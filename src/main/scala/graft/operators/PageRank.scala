@@ -39,13 +39,22 @@ object PageRank {
     * @param iterations power-iteration rounds (≥ 0 → returns rank_0)
     * @param scale      fixed-point scale of the initial rank
     * @param dampingX100 damping factor ×100 (85 = the classic 0.85)
+    * @param nodeUniverse optional one-column `node` frame seeding
+    *                    rank_0. Defaults to src∪dst of the edge list;
+    *                    pass it explicitly when the caller's universe
+    *                    is defined independently of the edges (e.g.
+    *                    q131's top-k word list) — an isolated node
+    *                    would otherwise be silently dropped here while
+    *                    an external oracle seeded from the same
+    *                    universe still ranks it.
     * @return columns `node`, `rank` (Long, fixed-point)
     */
   def run(
       edges: DataFrame,
       iterations: Int,
       scale: Long = 1000000L,
-      dampingX100: Long = 85L): DataFrame = {
+      dampingX100: Long = 85L,
+      nodeUniverse: Option[DataFrame] = None): DataFrame = {
     // Materialize the iteration-invariant tables ONCE: Spark has no
     // common-subexpression reuse across the unrolled loop, so without
     // this every iteration would re-run the caller's whole edge-build
@@ -53,8 +62,9 @@ object PageRank {
     // the dominant cost at 3 iterations. localCheckpoint is the
     // in-cluster analogue of the "build the index once" persistence
     // point; at deep iteration counts it also truncates lineage.
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val nodes = nodeUniverse
+      .getOrElse(edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
       .localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val withDeg = edges.join(outdeg, "src").localCheckpoint(true)

@@ -91,10 +91,12 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int)
   private var required: StructType = SeqSource.schema
 
   // Accept only id-range predicates; everything else is returned for
-  // Spark to evaluate above the scan. Accepted ones tighten [lo, hi)
-  // and are ALSO re-evaluated by Spark (returning them from
-  // pushedFilters only documents them — bounds-narrowing is sound even
-  // if Spark re-checks).
+  // Spark to evaluate above the scan. DSv2 TRUSTS accepted filters as
+  // fully applied — filters absent from the returned array are NOT
+  // re-checked above the scan — so anything accepted here MUST be
+  // exactly enforced by the source (the [lo, hi) bounds narrowing
+  // implements each accepted predicate completely; accepting a
+  // partially-applied filter would silently return wrong rows).
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true

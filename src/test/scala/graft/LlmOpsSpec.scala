@@ -101,6 +101,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact, "near-identical vectors share all hyperplane signs → full recall")
   }
 
+  test("blocked exact pairs ≡ naive crossJoin exact pairs (the q25 bench form)") {
+    // Real fixture data so the differential exercises arbitrary block
+    // assignments, cross-block AND diagonal-cell pairs, at a threshold
+    // low enough to produce many pairs. Several block counts, including
+    // B larger than some blocks' population.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = pairSet(Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.3))
+    assert(naive.nonEmpty, "fixture must produce pairs or the differential is vacuous")
+    for (b <- Seq(1, 4, 16, 64)) {
+      val blocked = pairSet(
+        Dedup.embeddingPairsExactBlocked(emb, "vec_id", "embedding", 0.3, blocks = b))
+      assert(blocked == naive, s"blocked(B=$b) diverged from naive all-pairs")
+    }
+  }
+
   test("multimodal: featurize runs partition-parallel with deterministic fake codec") {
     val media = Multimodal.syntheticMedia(spark, s"${sf()}/documents.parquet")
     val feats = Multimodal.featurize(media.repartition(4), Multimodal.FakeCodec)

@@ -58,11 +58,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("nested-loop joins appear ONLY in the documented bounded/broadcast cases") {
-    // Each allowed entry is a 1-row broadcast aggregate, a <=5-row
-    // banded dimension, or the documented quadratic verification
-    // baseline. Anything else planning a nested loop is a regression.
+    // Each allowed entry is a 1-row broadcast aggregate or a <=5-row
+    // banded dimension. Anything else planning a nested loop is a
+    // regression. (q25 left this list when its exact all-pairs moved
+    // to the triangle-blocked equi-join.)
     val allowed = Set("q08_cosine_topk", "q10_join_range", "q11_distinct",
-      "q24_simhash_hamming", "q25_embed_neardup", "q34_ann_ivf", "q48_vocab",
+      "q24_simhash_hamming", "q34_ann_ivf", "q48_vocab",
       // q58/q66/q81/q82/q101: 1-row broadcast aggregates (corpus size,
       // min/max envelope, avgdl, grand total)
       "q58_doc_freq", "q66_value_histogram", "q81_tfidf", "q82_bm25",
@@ -72,6 +73,9 @@ class PlanSpec extends SparkSpec {
       "q110_knn_classify",
       // q126: 1-row broadcast grand total (q101's pattern)
       "q126_chisq",
+      // q138: 1-row broadcast decile boundaries (was an eager count()
+      // at construction time)
+      "q138_decile_lift",
       // q145: cross join of two 1-row aggregates (estimate ∥ actual)
       "q145_join_cardinality")
     for ((name, fn) <- Queries.all) {
@@ -85,6 +89,12 @@ class PlanSpec extends SparkSpec {
   test("q84 z-order layout is join-free: projection + one agg shuffle only") {
     val p = plan("q84_zorder_layout")
     assert(!p.contains("Join"), s"z-value must be pure column arithmetic:\n$p")
+  }
+
+  test("q25 blocked exact pairs: equi-join on block cells, no CartesianProduct") {
+    val p = plan("q25_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked all-pairs must plan an equi-join:\n$p")
   }
 
   test("q80 bloom dedup confirms via hash joins, never a nested loop") {
