@@ -34,6 +34,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.size == 30 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: non-strict mode returns partial labels past maxIter") {
+    // A 30-node path cannot converge in 1 round; strict=false must
+    // return the partial labels instead of aborting, and those labels
+    // are a monotone upper bound: every node's label is a node id of
+    // the SAME component (here all one component), never below the
+    // true min (0), and re-running CC on the induced (id→label) edges
+    // would converge — the documented "iterate again" contract.
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges, "a", "b", maxIter = 1)
+    }
+    val partial = Components.connectedComponents(edges, "a", "b",
+        maxIter = 1, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.size == 30)
+    assert(partial.forall { case (id, label) => label >= 0L && label <= id },
+      "labels are node ids, monotone toward the component min")
+    assert(partial.exists { case (id, label) => label != 0L && id != 0L },
+      "1 round must NOT have fully converged on a 30-node path (else the test is vacuous)")
+    // One more pass over the label graph reaches the true fixpoint.
+    val again = Components.connectedComponents(
+      edges.select(col("a"), col("b"))
+        .union(partial.toSeq.toDF("a", "b")), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again.values.forall(_ == 0L))
+  }
+
   test("connected components match a BFS ground truth on a random graph (seeded)") {
     val rnd = new scala.util.Random(7)
     val n = 200

@@ -60,6 +60,21 @@ class ScaleSpec extends SparkSpec {
     assert(wrong == 0, s"$wrong nodes got a wrong component")
   }
 
+  test("connected components close a 1M-edge, 1M-diameter path (worst case for propagation)") {
+    // A single path 0-1-2-…-1000000: the maximum-diameter graph on
+    // 1M+1 nodes. Plain min propagation needs 1M rounds; path halving
+    // must close it in ~log2(1M) ≈ 20 — inside the default maxIter=25.
+    // This is the adversarial opposite of near-dup graphs (tiny
+    // cliques) and the shape where an iterative operator without
+    // lineage truncation or with a broken pointer jump falls over.
+    val n = 1000000L
+    val edges = spark.range(n).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = Components.connectedComponents(edges.toDF(), "a", "b")
+    assert(labels.count() == n + 1)
+    val wrong = labels.filter(col("component") =!= 0L).count()
+    assert(wrong == 0, s"$wrong nodes failed to reach the path's min label")
+  }
+
   test("as-of join over 1M events keeps exactly one match per left row") {
     // right rows at even times t=0,2,4,..., left rows at odd times;
     // backward match of left t is always right t-1... (t odd → t-1 even).
