@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** IVF-style approximate nearest neighbor (inverted-file index, the
   * FAISS coarse-quantizer pattern) in pure DataFrame ops:
   *
-  *  - BUILD: pick `nCentroids` deterministic seed vectors (lowest ids —
-  *    at scale, a k-means|| pass or a hash-sample; deterministic here
-  *    so results are reproducible), assign every vector to its nearest
-  *    centroid. One broadcast of the centroid set + one narrow pass.
+  *  - BUILD: seed `nCentroids` centroids from a deterministic hash
+  *    sample of the corpus and refine them with a few distributed
+  *    Lloyd rounds (the k-means|| shape: cheap sample, then
+  *    assignment+mean passes that never shuffle vectors), then assign
+  *    every vector to its nearest centroid. One broadcast of the
+  *    centroid set + one narrow pass.
   *  - SEARCH: assign the probe to its `nProbe` nearest centroids, scan
   *    ONLY those inverted lists (a partition-pruned fraction ~
   *    nProbe/nCentroids of the data), exact re-rank inside.
@@ -36,13 +38,61 @@ object AnnIvf {
       .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("norm"))
       .select(col("id"), transform(col("v"), x => x / col("norm")).as("nv"))
 
-  /** The centroid table: `nCentroids` deterministic seeds (lowest ids),
-    * unit-normalized. Tiny → always broadcast.
+  /** Scores a normalized vector column `nv` against literal centroids;
+    * returns the argmax centroid id (ties break toward the higher id
+    * via struct ordering). Shared by assign() and the Lloyd rounds.
     */
-  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
-    normalize(
-      df.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol)
-      .select(col("id").as("centroid_id"), col("nv").as("cv"))
+  private def bestCell(cvs: Seq[(Long, Seq[Double])]): Column = {
+    require(cvs.nonEmpty, "empty centroid set")
+    val scored = cvs.map { case (cid, cv) =>
+      struct(dot(col("nv"), typedlit(cv)).as("sim"), lit(cid).as("cid"))
+    }
+    (if (scored.length == 1) scored.head else greatest(scored: _*)).getField("cid")
+  }
+
+  /** The centroid table: `nCentroids` seeds drawn as the lowest
+    * `xxhash64(id)` rows — a DETERMINISTIC uniform sample of the
+    * corpus, independent of id order (lowest-ID seeding degenerates
+    * whenever ids correlate with content: a sorted/clustered corpus
+    * puts every seed inside one cluster and the index stops
+    * separating the data) — then refined with `refineIters` Lloyd
+    * (k-means) rounds. Each round is the same narrow literal-inlined
+    * assignment as assign() plus ONE tiny aggregation keyed by
+    * (cell, dimension) — nCentroids×dim partial-aggregated rows to the
+    * driver, no vector shuffle — i.e. the k-means|| shape: sample,
+    * then cheap distributed refinement. Empty cells keep their seed.
+    * Cell ids stay the seed vector ids (stable labels for
+    * partitioning). Tiny → always broadcast.
+    */
+  def centroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      refineIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = normalize(df, idCol, vecCol)
+    var cvs: Seq[(Long, Seq[Double])] = normed
+      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    for (_ <- 0 until refineIters) {
+      val byCell = normed
+        .select(bestCell(cvs).as("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("mx"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cvs = cvs.map { case (cid, old) =>
+        byCell.get(cid).fold((cid, old)) { rows =>
+          val mean = new Array[Double](old.length)
+          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm == 0.0) (cid, old) else (cid, mean.map(_ / norm).toSeq)
+        }
+      }
+    }
+    cvs.toDF("centroid_id", "cv")
+  }
 
   /** BUILD: assign every vector to its nearest centroid (max cosine =
     * max dot of unit vectors). The centroid set is tiny by
@@ -57,15 +107,8 @@ object AnnIvf {
   def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
     val cvs: Seq[(Long, Seq[Double])] = cents.collect().toSeq.map(r =>
       (r.getLong(0), r.getSeq[Double](1)))
-    require(cvs.nonEmpty, "empty centroid set")
-    val scored = cvs.map { case (cid, cv) =>
-      struct(
-        dot(col("nv"), typedlit(cv)).as("sim"),
-        lit(cid).as("cid"))
-    }
-    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
     normalize(df, idCol, vecCol)
-      .select(col("id"), col("nv"), best.getField("cid").as("centroid_id"))
+      .select(col("id"), col("nv"), bestCell(cvs).as("centroid_id"))
   }
 
   /** Persist the inverted file partitioned by cell: each centroid's
