@@ -3084,6 +3084,31 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** q147's forward mirror through the native exec: for each click,
+    * the next purchase at-or-after it (earliest ts, smallest event_id
+    * on ties) — q59's semantics, but planned as the custom
+    * AsOfJoinExec merge instead of the composed union+window. Same
+    * LATERAL oracle shape and sentinels as q59/q147; µs-long event
+    * times for the exec's 64-bit contract.
+    */
+  def q150_asof_native_fwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    graft.plans.NativeAsOfJoin.forward(clicks, purchases,
+      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
+      rightTieCol = "event_id", rightPrefix = "next_")
+      .select(
+        col("event_id"), col("user_id"), col("us").as("ts_us"),
+        coalesce(col("next_us"), lit(0L)).as("next_ts_us"),
+        coalesce(col("next_event_id"), lit(-1L)).as("next_event_id"),
+        round(coalesce(col("next_value"), lit(0.0)), 2).as("next_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3234,6 +3259,7 @@ object Queries {
     "q147_asof_native"  -> (q147_asof_native _),
     "q148_dsv2_source"  -> (q148_dsv2_source _),
     "q149_compaction"   -> (q149_compaction _),
+    "q150_asof_native_fwd" -> (q150_asof_native_fwd _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4835,5 +4861,18 @@ object Queries {
         |  max(datediff('day', DATE '1970-01-01', o_orderdate))::BIGINT AS max_day
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q150_asof_native_fwd" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us,
+        |  coalesce(epoch_us(r.ts), 0)::BIGINT AS next_ts_us,
+        |  coalesce(r.event_id, -1)::BIGINT AS next_event_id,
+        |  round(coalesce(r."value", 0.0), 2) AS next_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |LEFT JOIN LATERAL (
+        |  SELECT ts, event_id, "value" FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |    AND r.ts >= l.ts
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) r ON true
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

@@ -27,15 +27,24 @@ import org.apache.spark.sql.graft.bridge
   * bucketed table the join runs with NO exchange at all, which the
   * composed form can never express.
   *
-  * Semantics (pinned by the differential suite to AsOfJoin.backward):
-  * for each left row the single latest right row of the same key with
-  * `r.ts <= l.ts` (inclusive); ties on ts resolve to the greatest tie
-  * column; unmatched left rows null-extend. Null left ts or key
-  * matches nothing; null right ts/key rows are ignored. Keys, event
-  * times and the tie column are 64-bit integers (project timestamps
-  * to `unix_micros` first — exact), the common shape for event
-  * streams; widening to generic orderable types is a binding change,
-  * not an algorithm change.
+  * Semantics (pinned by the differential suite to
+  * AsOfJoin.backward/forward): for each left row the single latest
+  * right row of the same key with `r.ts <= l.ts` (backward,
+  * inclusive; ties on ts resolve to the GREATEST tie column) or the
+  * single earliest right row with `r.ts >= l.ts` (forward, inclusive;
+  * ties to the SMALLEST tie column); unmatched left rows null-extend.
+  * Null left ts or key matches nothing; null right ts/key rows are
+  * ignored. Keys, event times and the tie column are 64-bit integers
+  * (project timestamps to `unix_micros` first — exact), the common
+  * shape for event streams; widening to generic orderable types is a
+  * binding change, not an algorithm change.
+  *
+  * Both directions run the SAME physical contract — clustered on key,
+  * sorted (key, ts[, tie]) ascending on both sides — and one forward
+  * scan: backward holds the last eligible right row behind the
+  * cursor; forward's match IS the cursor after skipping dead rows
+  * (`r.ts < l.ts` rows can never match this or any later left row of
+  * the key, since left ts only grows). Either way O(1) state.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -44,7 +53,8 @@ case class AsOfJoinNode(
     leftTs: Expression,
     rightKey: Expression,
     rightTs: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression,
+    forward: Boolean = false) extends BinaryNode {
   // Right payload null-extends on unmatched left rows.
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -55,8 +65,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -68,7 +78,8 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightKey: Expression,
     rightTs: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -125,35 +136,63 @@ case class AsOfJoinExec(
       }
       advance()
 
-      // O(1) held state: the latest eligible right row for the
-      // current left key (copied — iterators reuse row buffers).
-      var held: InternalRow = null
-      var heldKey = 0L
-
-      lIter.map { l =>
-        val lkRef = lKeyB.eval(l)
-        val ltRef = lTsB.eval(l)
-        if (lkRef == null) {
-          project(joiner(l, nullRight))
-        } else {
-          val lk = lkRef.asInstanceOf[Long]
-          if (held != null && heldKey != lk) held = null
-          if (ltRef == null) {
-            // Null event time matches nothing, but the right cursor
-            // must NOT advance past rows later left rows still need.
+      if (forward) {
+        // Forward: after skipping dead rows (keys below lk, or this
+        // key's rows strictly before lt — useless to every later left
+        // row too, since left (key, ts) only grows), the cursor ITSELF
+        // is the match: the first remaining row of key lk has the
+        // smallest (ts, tie) with ts >= lt, thanks to the ascending
+        // order. No held state, no copy — the cursor only moves on a
+        // later left row's skip loop.
+        lIter.map { l =>
+          val lkRef = lKeyB.eval(l)
+          val ltRef = lTsB.eval(l)
+          if (lkRef == null || ltRef == null) {
+            // Null key/event time matches nothing; the cursor must NOT
+            // advance past rows later left rows still need.
             project(joiner(l, nullRight))
           } else {
+            val lk = lkRef.asInstanceOf[Long]
             val lt = ltRef.asInstanceOf[Long]
-            // Consume every right row at or before (lk, lt): rows of
-            // smaller keys are dead (left keys only grow), rows of
-            // this key become the held match (last one wins = the
-            // greatest (ts, tie) within bound, thanks to the order).
             while (cur != null &&
-              (curKey < lk || (curKey == lk && curTs <= lt))) {
-              if (curKey == lk) { held = cur.copy(); heldKey = lk }
+              (curKey < lk || (curKey == lk && curTs < lt))) {
               advance()
             }
-            project(joiner(l, if (held != null) held else nullRight))
+            project(joiner(l,
+              if (cur != null && curKey == lk) cur else nullRight))
+          }
+        }
+      } else {
+        // O(1) held state: the latest eligible right row for the
+        // current left key (copied — iterators reuse row buffers).
+        var held: InternalRow = null
+        var heldKey = 0L
+
+        lIter.map { l =>
+          val lkRef = lKeyB.eval(l)
+          val ltRef = lTsB.eval(l)
+          if (lkRef == null) {
+            project(joiner(l, nullRight))
+          } else {
+            val lk = lkRef.asInstanceOf[Long]
+            if (held != null && heldKey != lk) held = null
+            if (ltRef == null) {
+              // Null event time matches nothing, but the right cursor
+              // must NOT advance past rows later left rows still need.
+              project(joiner(l, nullRight))
+            } else {
+              val lt = ltRef.asInstanceOf[Long]
+              // Consume every right row at or before (lk, lt): rows of
+              // smaller keys are dead (left keys only grow), rows of
+              // this key become the held match (last one wins = the
+              // greatest (ts, tie) within bound, thanks to the order).
+              while (cur != null &&
+                (curKey < lk || (curKey == lk && curTs <= lt))) {
+                if (curKey == lk) { held = cur.copy(); heldKey = lk }
+                advance()
+              }
+              project(joiner(l, if (held != null) held else nullRight))
+            }
           }
         }
       }
@@ -180,7 +219,35 @@ object NativeAsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       rightTieCol: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_"): DataFrame =
+    joinImpl(left, right, keyCol, leftTsCol, rightTsCol, rightTieCol,
+      rightPrefix, fwd = false)
+
+  /** Forward as-of join: the single earliest right row with
+    * `r.ts >= l.ts` (inclusive), ties to the smallest tie column —
+    * the native mirror of `AsOfJoin.forward`, same physical contract
+    * as `backward` (one merge pass, zero exchanges on bucketed input).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String,
+      rightPrefix: String = "r_"): DataFrame =
+    joinImpl(left, right, keyCol, leftTsCol, rightTsCol, rightTieCol,
+      rightPrefix, fwd = true)
+
+  private def joinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String,
+      rightPrefix: String,
+      fwd: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val lPlan = bridge.analyzed(left)
@@ -220,7 +287,8 @@ object NativeAsOfJoin {
     }
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, keyCol), attr(lPlan, leftTsCol),
-      attr(rPlan, keyCol), attr(rPlan, rightTsCol), attr(rPlan, rightTieCol))
+      attr(rPlan, keyCol), attr(rPlan, rightTsCol), attr(rPlan, rightTieCol),
+      forward = fwd)
     val joined = bridge.ofRows(ss, node)
     // Left and right may share column names — rename positionally to
     // unique temporaries before the final projection.

@@ -79,6 +79,68 @@ class NativePlanSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverged at forced partition layouts")
   }
 
+  test("native FORWARD as-of == composed forward form on the events table") {
+    val (l, r) = sides(sf("sf0.01"))
+    val native = NativeAsOfJoin.forward(l, r, "user_id", "us", "us", "event_id")
+    val composed = AsOfJoin.forward(l, r, "user_id", "us", "us", "event_id")
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    val n = native.collect().map(_.toString).sorted
+    val c = composed.collect().map(_.toString).sorted
+    assert(n.length == c.length && n.sameElements(c),
+      s"native vs composed forward diverged (${n.length} vs ${c.length} rows)")
+  }
+
+  test("native forward as-of handles ties, no-match, equal-ts and null-ts rows") {
+    val l = Seq(
+      (1L, 100L, 10L), // matches r at ts=100 (inclusive), tie → SMALLEST rid 2
+      (1L, 160L, 11L), // no right row at or after 160 → nulls
+      (2L, 10L, 12L),  // key with no right rows at all
+      (1L, 120L, 13L)) // earliest right at 150
+      .toDF("user_id", "us", "event_id")
+    val lNull = Seq((1L, Option.empty[Long], 14L))
+      .toDF("user_id", "us", "event_id")
+    val r = Seq(
+      (1L, 100L, 2L), (1L, 100L, 3L), // tie on ts: smallest id wins
+      (1L, 150L, 4L),
+      (3L, 500L, 5L))
+      .toDF("user_id", "us", "event_id")
+    val got = NativeAsOfJoin.forward(
+      l.unionByName(lNull), r, "user_id", "us", "us", "event_id")
+      .collect()
+      .map(row => (row.getLong(2),
+        if (row.isNullAt(4)) -1L else row.getLong(4))).toMap
+    assert(got == Map(10L -> 2L, 11L -> -1L, 12L -> -1L, 13L -> 4L, 14L -> -1L))
+    val composed = AsOfJoin.forward(
+      l.unionByName(lNull), r, "user_id", "us", "us", "event_id")
+      .collect()
+      .map(row => (row.getLong(2),
+        if (row.isNullAt(4)) -1L else row.getLong(4))).toMap
+    assert(composed == got, "forward construction case diverged from composed form")
+  }
+
+  test("bucketed inputs satisfy the FORWARD contract too: zero exchanges planned") {
+    val (l, r) = sides(sf("sf0.001"))
+    l.write.mode("overwrite").bucketBy(4, "user_id")
+      .sortBy("user_id", "us", "event_id").saveAsTable("asof_l_fb")
+    r.write.mode("overwrite").bucketBy(4, "user_id")
+      .sortBy("user_id", "us", "event_id").saveAsTable("asof_r_fb")
+    try {
+      val native = NativeAsOfJoin.forward(
+        spark.table("asof_l_fb"), spark.table("asof_r_fb"),
+        "user_id", "us", "us", "event_id")
+      val plan = native.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin "), s"expected the native exec:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed forward as-of join must plan shuffle-free:\n$plan")
+      val composed = AsOfJoin.forward(l, r, "user_id", "us", "us", "event_id")
+      assert(native.collect().map(_.toString).sorted
+        .sameElements(composed.collect().map(_.toString).sorted))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l_fb")
+      spark.sql("DROP TABLE IF EXISTS asof_r_fb")
+    }
+  }
+
   test("PushFilterThroughAsOf: left-only filters sink below the join, right-side filters stay") {
     val (l, r) = sides(sf("sf0.001"))
     val joined = NativeAsOfJoin.backward(l, r, "user_id", "us", "us", "event_id")
