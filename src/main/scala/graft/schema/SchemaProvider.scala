@@ -57,4 +57,53 @@ object SchemaProvider {
 
   /** Fixed provider (already-built metas), for tests. */
   def fixed(metas: Seq[ColumnMeta]): SchemaProvider = () => metas
+
+  /** LIVE provider against a real store over JDBC: reads the table's
+    * columns through `DatabaseMetaData.getColumns` — the JDBC-portable
+    * `DESCRIBE TABLE` (the reference runs the ClickHouse statement,
+    * main.py:51-60; the metadata call returns the same
+    * name/type/ordinal rows, ordered by ORDINAL_POSITION per the JDBC
+    * spec). Resolution happens at `resolve()` time, a fresh connection
+    * per call, so the orchestrator's drift re-resolve observes
+    * server-side ALTERs — exercised in-process against embedded Derby
+    * (the JDBC engine Spark already ships for its Hive metastore); a
+    * ClickHouse JDBC URL plugs in unchanged.
+    */
+  def fromJdbc(url: String, table: String): SchemaProvider = { () =>
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // JDBC metadata stores case-normalized identifiers; Derby (like
+      // most stores) folds unquoted DDL names to upper case.
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnMeta]
+      while (rs.next()) {
+        cols += CHType.columnMeta(
+          rs.getString("COLUMN_NAME").toLowerCase,
+          chTypeOfJdbc(rs.getInt("DATA_TYPE")))
+      }
+      require(cols.nonEmpty, s"JDBC DESCRIBE: table $table not found or has no columns")
+      cols.toSeq
+    } finally conn.close()
+  }
+
+  /** java.sql.Types → the CH type vocabulary CHType already compiles
+    * (same targets as CHType.fromSpark).
+    */
+  private def chTypeOfJdbc(jdbcType: Int): String = {
+    import java.sql.Types._
+    jdbcType match {
+      case BIGINT                            => "Int64"
+      case INTEGER                           => "Int32"
+      case SMALLINT                          => "Int16"
+      case TINYINT                           => "Int8"
+      case REAL                              => "Float32"
+      case FLOAT | DOUBLE                    => "Float64"
+      case DECIMAL | NUMERIC                 => "UInt64"
+      case DATE                              => "Date"
+      case TIMESTAMP                         => "DateTime"
+      case CHAR | VARCHAR | LONGVARCHAR | CLOB => "String"
+      case other =>
+        throw new IllegalArgumentException(s"no CH mapping for JDBC type $other")
+    }
+  }
 }

@@ -89,6 +89,65 @@ class StreamingSpec extends SparkSpec {
     assert(orch.schemaFetches == 2) // initial + drift re-resolve (main.py:434-437)
   }
 
+  test("live JDBC provider: drift retry re-DESCRIBEs a real ALTERed Derby table") {
+    // A real (embedded, in-memory) JDBC store plays the sink: the
+    // provider resolves the schema through DatabaseMetaData — the live
+    // DESCRIBE path (main.py:51-60) — and the drift scenario ALTERs
+    // the actual table mid-batch, so the re-resolve must see the new
+    // column from the DATABASE, not from any cached fixture.
+    val url = "jdbc:derby:memory:graftdrift;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().execute(
+      "CREATE TABLE sink_t (device_id BIGINT, note VARCHAR(64), " +
+        "event_time TIMESTAMP, db_insert_time TIMESTAMP)")
+    finally setup.close()
+
+    val live = SchemaProvider.fromJdbc(url, "sink_t")
+    // The server-side-filled column is excluded exactly like the
+    // reference's db_insert_time (main.py:168).
+    assert(live.structType().fieldNames.toSeq ==
+      Seq("device_id", "note", "event_time"))
+
+    // Sink that ALTERs the live table and THEN fails its first write —
+    // a server-side schema change landing mid-batch.
+    val validDir = tmp(); val dlqDir = tmp()
+    val inner = new ParquetSink(validDir)
+    val sink = new RecordSink {
+      private var altered = false
+      def write(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (!altered) {
+          altered = true
+          df.count() // real sinks fail mid-insert, after the plan ran
+          val c = java.sql.DriverManager.getConnection(url)
+          try c.createStatement().execute(
+            "ALTER TABLE sink_t ADD COLUMN region VARCHAR(32)")
+          finally c.close()
+          throw new RuntimeException("simulated drift: sink DDL changed")
+        }
+        inner.write(df)
+      }
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val orch = new BatchOrchestrator(live, cfg, sink, new ParquetDlqSink(dlqDir))
+    mem.addData("""{"device_id": 9, "note": "n", "region": "eu"}""")
+    val q = StreamJob.start(
+      mem.toDF().withColumnRenamed("value", graft.pipeline.Pipeline.ValueCol),
+      orch, tmp(), Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+
+    // The retry ran against the re-DESCRIBEd LIVE schema: the ALTERed
+    // column materialized in the output, filled from the payload.
+    val valid = spark.read.parquet(validDir)
+    assert(valid.columns.toSeq == Seq("device_id", "note", "event_time", "region"))
+    val row = valid.collect().head
+    assert(row.getLong(0) == 9L && row.getString(3) == "eu")
+    assert(orch.schemaFetches == 2 && orch.insertAttempts == 2)
+  }
+
   test("second failure: still-valid rows land in DLQ as {row, error} envelopes") {
     val validDir = tmp(); val dlqDir = tmp()
     val alwaysFails = new FlakySink(new ParquetSink(validDir), failures = 99)
