@@ -15,8 +15,8 @@ object Bench {
     // one-time cost and misrepresent per-query numbers.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), idx) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink materializes the FULL plan (count() would let the
         // optimizer elide final sorts and unreferenced columns).
@@ -30,9 +30,11 @@ object Bench {
         // queries — accumulated pressure shows up as phantom
         // regressions in whichever queries run late. A periodic GC
         // nudges the ContextCleaner to reap dropped broadcasts too.
+        // hygiene is IDENTICAL for every query (a periodic-only GC gave
+        // whichever query followed it a privileged just-collected heap).
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        if ((idx + 1) % 25 == 0) System.gc()
+        System.gc()
         name -> dt
     }
     // The harness that captures this output keeps only a bounded tail of

@@ -474,8 +474,14 @@ object Queries {
   def q34_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AnnIvf
     val emb = t(s, dir, "embeddings")
-    val cents = AnnIvf.centroids(emb, "vec_id", "embedding", nCentroids = 16)
-    val index = AnnIvf.assign(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
+    // Normalize ONCE and share: the seed sample, both Lloyd rounds, and
+    // the final assignment all read this cached frame (the compose-by-
+    // name form re-ran the per-row sqrt+divide corpus scan 4×). Lazy
+    // persist — released by Bench/Verify session hygiene.
+    val normed = AnnIvf.normalized(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = AnnIvf.centroidsNormed(normed, nCentroids = 16)
+    val index = AnnIvf.assignNormed(normed.filter(col("id") =!= 0), cents)
     AnnIvf.search(index, cents,
       probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
   }
@@ -1699,11 +1705,14 @@ object Queries {
     import graft.operators.PrefixSum
     val li = t(s, dir, "lineitem")
       .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val n = li.count()
     val k = 10L
-    val q = lit(n / k); val rem = lit(n % k)
+    // n rides in as a broadcast 1-row aggregate (q81's pattern), not an
+    // eager count(): plan-only inspections must not run a lineitem scan.
+    val nDf = li.agg(count(lit(1)).as("__n"))
+    val q = floor(col("__n") / k); val rem = col("__n") % k
     val ranked = PrefixSum.globalRank(li,
       Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "r")
+      .crossJoin(broadcast(nDf))
     val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
       .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
       .cast("long") + 1
@@ -3109,6 +3118,55 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** The native as-of join on a STRING key: for each open order, the
+    * latest finished order of the same priority at-or-before its date
+    * (ties → greatest orderkey). Exercises the generic-orderable key
+    * binding of AsOfJoinExec (keys compare through the type's
+    * interpreted ordering — UTF8String here — instead of the 64-bit
+    * fast path q147/q150 use); day-granularity dates travel as exact
+    * integer day numbers for the 64-bit ts contract. Same LATERAL
+    * oracle shape as q147.
+    */
+  def q151_asof_string_key(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val dayN = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderpriority"), dayN.as("day_n"))
+    val finished = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), dayN.as("day_n"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.plans.NativeAsOfJoin.backward(open, finished,
+      keyCol = "o_orderpriority", leftTsCol = "day_n", rightTsCol = "day_n",
+      rightTieCol = "o_orderkey", rightPrefix = "f_")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("day_n"),
+        coalesce(col("f_day_n"), lit(0L)).as("f_day"),
+        coalesce(col("f_o_orderkey"), lit(-1L)).as("f_orderkey"),
+        round(coalesce(col("f_o_totalprice"), lit(0.0)), 2).as("f_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The IVF index's ON-DISK pruned search path as a judged query (the
+    * 100 TB read shape, previously spec-only): the inverted file is
+    * PERSISTED partitioned by cell (`writeIndex` — one directory per
+    * centroid), and the search prunes non-probed cells at the FILE
+    * LISTING (PartitionFilters on `centroid_id`), so only
+    * ~nProbe/nCentroids of the stored corpus is ever opened. Same
+    * probe/k/nProbe as q34 (whose in-memory index it mirrors);
+    * approximate by design → rows-only check; recall + pruning
+    * assertions in AnnIvfSpec.
+    */
+  def q152_ann_ivf_disk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIvf
+    val emb = t(s, dir, "embeddings")
+    val normed = AnnIvf.normalized(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = AnnIvf.centroidsNormed(normed, nCentroids = 16)
+    val idxPath = scratch("graft_ivf_index")
+    AnnIvf.writeIndex(AnnIvf.assignNormed(normed.filter(col("id") =!= 0), cents), idxPath)
+    AnnIvf.search(AnnIvf.readIndex(s, idxPath), cents,
+      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3260,6 +3318,8 @@ object Queries {
     "q148_dsv2_source"  -> (q148_dsv2_source _),
     "q149_compaction"   -> (q149_compaction _),
     "q150_asof_native_fwd" -> (q150_asof_native_fwd _),
+    "q151_asof_string_key" -> (q151_asof_string_key _),
+    "q152_ann_ivf_disk" -> (q152_ann_ivf_disk _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4861,6 +4921,21 @@ object Queries {
         |  max(datediff('day', DATE '1970-01-01', o_orderdate))::BIGINT AS max_day
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q151_asof_string_key" ->
+      """SELECT l.o_orderkey, l.o_orderpriority,
+        |  datediff('day', DATE '1970-01-01', l.o_orderdate)::BIGINT AS day_n,
+        |  coalesce(datediff('day', DATE '1970-01-01', r.o_orderdate), 0)::BIGINT AS f_day,
+        |  coalesce(r.o_orderkey, -1)::BIGINT AS f_orderkey,
+        |  round(coalesce(r.o_totalprice, 0.0), 2) AS f_total
+        |FROM (SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        |      WHERE o_orderstatus = 'O') l
+        |LEFT JOIN LATERAL (
+        |  SELECT o_orderdate, o_orderkey, o_totalprice FROM orders r
+        |  WHERE r.o_orderstatus = 'F'
+        |    AND r.o_orderpriority = l.o_orderpriority
+        |    AND r.o_orderdate <= l.o_orderdate
+        |  ORDER BY r.o_orderdate DESC, r.o_orderkey DESC LIMIT 1) r ON true
+        |ORDER BY l.o_orderkey""".stripMargin,
     "q150_asof_native_fwd" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us,
         |  coalesce(epoch_us(r.ts), 0)::BIGINT AS next_ts_us,

@@ -71,6 +71,12 @@ case class Tokens(child: Expression) extends UnaryExpression {
       s"$prettyName requires string, got ${other.catalogString}")
   }
 
+  // containsNull = false matches the composable filter(split(lower(...)))
+  // form EXACTLY: Spark's StringSplit itself declares
+  // ArrayType(StringType, containsNull = false) and ArrayFilter
+  // preserves it, so schema-sensitive consumers (unionByName of the two
+  // forms, strict writers, schema-equality asserts) see the same type
+  // from either. Pinned by TokensSpec's schema-parity test.
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"
 

@@ -72,6 +72,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmax-dot cell assignment of a unit vector against a FIXED
+  * centroid matrix (the IVF coarse quantizer's inner loop).
+  *
+  * Why not `greatest(struct(dot(nv, lit(c1)), cid1), ...)`: that form
+  * UNROLLS k×d literal doubles into the generated source — at k=16,
+  * d=64 that is >1k inline constants, recompiled for every distinct
+  * centroid set (each Lloyd round and the final assign carry different
+  * literals), and janino compile time dominated q34's profile. Here the
+  * matrix rides along as a codegen REFERENCE OBJECT: the generated code
+  * is one constant-size static call whatever k×d is, and the scan is a
+  * tight primitive loop with no per-centroid struct allocation.
+  *
+  * Tie/NaN contract matches the struct-ordering form it replaced: max
+  * over (sim, cid) lexicographic with Spark's double ordering
+  * (java.lang.Double.compare — NaN greater than all), so ties and
+  * degenerate zero-norm vectors break toward the HIGHER centroid id.
+  */
+case class NearestCentroid(
+    child: Expression,
+    cids: Array[Long],
+    mat: Array[Array[Double]]) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cids.length == mat.length && cids.nonEmpty, "cids/mat must align, non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroidImpl.eval(input.asInstanceOf[ArrayData], cids, mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.NearestCentroidImpl.eval($v, $cidsRef, $matRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidImpl {
+  def eval(nv: ArrayData, cids: Array[Long], mat: Array[Array[Double]]): Long = {
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MinValue
+    var i = 0
+    while (i < mat.length) {
+      val c = mat(i)
+      val n = math.min(nv.numElements(), c.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += nv.getDouble(j) * c(j); j += 1 }
+      val cmp = java.lang.Double.compare(s, bestSim)
+      if (cmp > 0 || (cmp == 0 && cids(i) > bestCid)) { bestSim = s; bestCid = cids(i) }
+      i += 1
+    }
+    bestCid
+  }
+}
+
 object VectorExpressions {
   /** Column-level entry point: `dot(a, b)` with both sides
     * array<double> (cast upstream — float arrays must be transformed
@@ -79,4 +144,8 @@ object VectorExpressions {
     */
   def dot(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** `nearestCentroid(nv, cids, mat)`: id of the max-dot centroid. */
+  def nearestCentroid(nv: Column, cids: Array[Long], mat: Array[Array[Double]]): Column =
+    bridge.column(NearestCentroid(bridge.expression(nv), cids, mat))
 }

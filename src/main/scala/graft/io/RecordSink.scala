@@ -99,6 +99,59 @@ object IdempotentParquetSink {
   }
 }
 
+/** LIVE JDBC insert sink — S8's executable form (main.py:305-356): the
+  * reference pushes each batch into ClickHouse with `insert_arrow` in
+  * 25k-row batches; here the same contract runs as per-partition
+  * batched `PreparedStatement` inserts over plain JDBC, exercised
+  * end-to-end against embedded Derby (the engine already in-process
+  * for schema discovery) — a ClickHouse JDBC URL plugs in unchanged,
+  * with the async-insert session settings riding the URL
+  * (ServiceConfig.clickhouseSinkOptions).
+  *
+  * Scale/semantics notes:
+  *   - executors write in parallel, one connection per partition, rows
+  *     batched every `batchSize` (the reference's NUM_MESSAGES cap);
+  *     nothing is collected to the driver;
+  *   - the column LIST is named explicitly, so a server-side `ALTER`
+  *     that drops/renames a projected column fails the insert at
+  *     statement compile — exactly the drift signal the orchestrator's
+  *     re-resolve path consumes (main.py:434-445; StreamingSpec);
+  *   - per-partition transactions make redelivery at-least-once, like
+  *     the reference's `wait_for_async_insert=1` contract; pair with
+  *     server-side insert dedup or the epoch-keyed sink pattern
+  *     (IdempotentParquetSink) where exactly-once is required.
+  */
+final class JdbcRowSink(url: String, table: String, batchSize: Int = 25000)
+    extends RecordSink {
+  def write(df: DataFrame): Unit = {
+    // locals only: the task closure must not drag `this` across
+    // serialization.
+    val (u, t, bs) = (url, table, batchSize)
+    val cols = df.columns.toSeq
+    val insertSql = s"INSERT INTO $t (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(u)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(insertSql)
+          var pending = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < cols.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+            st.addBatch()
+            pending += 1
+            if (pending >= bs) { st.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+}
+
 /** Test double: fails the first `failures` writes (simulating schema
   * drift / sink unavailability, main.py:431-434), then delegates.
   */

@@ -32,22 +32,32 @@ object AnnIvf {
   private def dot(a: Column, b: Column): Column =
     graft.expr.VectorExpressions.dot(a, b)
 
-  /** Normalize with the norm in its own projection (computed once). */
-  private def normalize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** Unit-normalized corpus: (id, nv), the norm in its own projection
+    * (computed once per row). PUBLIC so a caller running BOTH the
+    * centroid build and the assignment (the standard index build, q34)
+    * can normalize ONCE, persist, and hand the same frame to
+    * [[centroidsNormed]] and [[assignNormed]] — the per-row sqrt+divide
+    * over the full corpus is the dominant map cost, and the naive
+    * compose-by-name form re-ran it four times (seed sample, each Lloyd
+    * round, final assign).
+    */
+  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("norm"))
       .select(col("id"), transform(col("v"), x => x / col("norm")).as("nv"))
 
-  /** Scores a normalized vector column `nv` against literal centroids;
-    * returns the argmax centroid id (ties break toward the higher id
-    * via struct ordering). Shared by assign() and the Lloyd rounds.
+  /** Scores a normalized vector column `nv` against the centroid set;
+    * returns the argmax centroid id (ties break toward the higher id).
+    * Shared by assign() and the Lloyd rounds. One native expression
+    * with the matrix as a codegen reference object — the earlier
+    * greatest-of-structs form inlined k×d literal doubles into the
+    * generated source and janino recompiled it for every Lloyd round's
+    * fresh literals (the compile time, not the scan, dominated q34).
     */
   private def bestCell(cvs: Seq[(Long, Seq[Double])]): Column = {
     require(cvs.nonEmpty, "empty centroid set")
-    val scored = cvs.map { case (cid, cv) =>
-      struct(dot(col("nv"), typedlit(cv)).as("sim"), lit(cid).as("cid"))
-    }
-    (if (scored.length == 1) scored.head else greatest(scored: _*)).getField("cid")
+    graft.expr.VectorExpressions.nearestCentroid(
+      col("nv"), cvs.map(_._1).toArray, cvs.map(_._2.toArray).toArray)
   }
 
   /** The centroid table: `nCentroids` seeds drawn as the lowest
@@ -70,9 +80,24 @@ object AnnIvf {
       vecCol: String,
       nCentroids: Int,
       refineIters: Int = 2): DataFrame = {
-    val spark = df.sparkSession
+    // Every consumer below is an eager collect, so the normalized
+    // corpus can be cached for the duration of this call and released
+    // before returning — the sample + refineIters rounds normalize once.
+    val normed = normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try centroidsNormed(normed, nCentroids, refineIters)
+    finally normed.unpersist(blocking = false)
+  }
+
+  /** [[centroids]] over an already-normalized (id, nv) frame — persist
+    * it if you also feed [[assignNormed]] (q34's shape).
+    */
+  def centroidsNormed(
+      normed: DataFrame,
+      nCentroids: Int,
+      refineIters: Int = 2): DataFrame = {
+    val spark = normed.sparkSession
     import spark.implicits._
-    val normed = normalize(df, idCol, vecCol)
     var cvs: Seq[(Long, Seq[Double])] = normed
       .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -104,11 +129,14 @@ object AnnIvf {
     * break toward the higher centroid id (struct ordering).
     * Output: (id, nv, centroid_id) — the inverted file.
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    assignNormed(normalized(df, idCol, vecCol), cents)
+
+  /** [[assign]] over an already-normalized (id, nv) frame. */
+  def assignNormed(normed: DataFrame, cents: DataFrame): DataFrame = {
     val cvs: Seq[(Long, Seq[Double])] = cents.collect().toSeq.map(r =>
       (r.getLong(0), r.getSeq[Double](1)))
-    normalize(df, idCol, vecCol)
-      .select(col("id"), col("nv"), bestCell(cvs).as("centroid_id"))
+    normed.select(col("id"), col("nv"), bestCell(cvs).as("centroid_id"))
   }
 
   /** Persist the inverted file partitioned by cell: each centroid's
@@ -133,7 +161,7 @@ object AnnIvf {
       vecCol: String,
       k: Int,
       nProbe: Int): DataFrame = {
-    val qn = normalize(probe.select(lit(0L).as("pid"), col(vecCol)), "pid", vecCol)
+    val qn = normalized(probe.select(lit(0L).as("pid"), col(vecCol)), "pid", vecCol)
       .select(col("nv").as("qnv"))
     val probeCells = cents.crossJoin(broadcast(qn))
       .select(col("centroid_id"), dot(col("cv"), col("qnv")).as("csim"))

@@ -49,6 +49,15 @@ object Dedup {
     *                  1 - (1 - s^rowsPerBand)^bands
     * @param threshold keep pairs with exact shingle-Jaccard >= threshold
     * @return (id_a, id_b, jaccard) one row per near-dup pair
+    *
+    * CALLER RELEASES THE CACHE: the hashed-shingle corpus is lazily
+    * persisted inside (it feeds the signature build plus both re-rank
+    * joins). After materializing the result, drop it with
+    * `spark.catalog.clearCache()` or
+    * `df.sparkSession.sharedState.cacheManager.clearCache()` — long
+    * sessions (notebooks, services) that call this repeatedly without
+    * releasing accumulate cached corpora in the block manager.
+    * Bench/Verify do this between queries.
     */
   def minhashLshPairs(
       df: DataFrame,

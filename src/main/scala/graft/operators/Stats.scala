@@ -23,14 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** @return one row per group: groupCol, n, spearman (rounded to 4) */
+  /** @return one row per group: groupCol, n, spearman (rounded to 4)
+    *
+    * Physical selection is cost-based, the PrefixSum pattern: below
+    * `smallInputBytes` (Catalyst's size estimate of the projected
+    * input) the per-group window form is strictly better — two
+    * group-partitioned sorts, no union, no checkpoint, no re-acquire
+    * joins — and both forms compute the identical tie-averaged ranks,
+    * so the result is the same (pinned by SetSimStatsSpec's
+    * differential). Above it, the distributed two-pass rank (the
+    * group-partitioned window degenerates to one task per group —
+    * 3 tasks at 100 TB — and then OOMs). Pass 0 to force distributed.
+    */
   def spearmanByGroup(
       df: DataFrame,
       groupCol: String,
       xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String,
+      smallInputBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol),
       col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    if (base.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)) {
+      // rank() (min rank of the tie class) + (ties-1)/2 = the averaged
+      // rank — the same tie-corrected definition as the distributed
+      // path, per group directly.
+      val rx = rank().over(Window.partitionBy(groupCol).orderBy("__x")) +
+        (count(lit(1)).over(Window.partitionBy(col(groupCol), col("__x"))) - 1) / 2.0
+      val ry = rank().over(Window.partitionBy(groupCol).orderBy("__y")) +
+        (count(lit(1)).over(Window.partitionBy(col(groupCol), col("__y"))) - 1) / 2.0
+      return base
+        .withColumn("__rx", rx).withColumn("__ry", ry)
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n"), round(corr("__rx", "__ry"), 4).as("spearman"))
+    }
     // ONE rank pass instead of two: x and y stack into a tagged union
     // and rank together under the (tag, group, value) composite order.
     // Within each tag block the ranks differ from the per-column ranks

@@ -34,10 +34,13 @@ import org.apache.spark.sql.graft.bridge
   * single earliest right row with `r.ts >= l.ts` (forward, inclusive;
   * ties to the SMALLEST tie column); unmatched left rows null-extend.
   * Null left ts or key matches nothing; null right ts/key rows are
-  * ignored. Keys, event times and the tie column are 64-bit integers
+  * ignored. Event times and the tie column are 64-bit integers
   * (project timestamps to `unix_micros` first — exact), the common
-  * shape for event streams; widening to generic orderable types is a
-  * binding change, not an algorithm change.
+  * shape for event streams; the KEY is any orderable type — key
+  * comparisons run through the type's interpreted ordering (the
+  * promised binding change), so string/decimal/date keys use the
+  * identical merge (q151 runs a string-keyed join against a LATERAL
+  * oracle; NativePlanSpec differentials cover it).
   *
   * Both directions run the SAME physical contract — clustered on key,
   * sorted (key, ts[, tie]) ascending on both sides — and one forward
@@ -110,6 +113,15 @@ case class AsOfJoinExec(
     val rTsB = BindReferences.bindReference(rightTs, right.output)
     val rightSchema = right.schema
     val out = output
+    // The promised "binding change, not an algorithm change": key
+    // comparisons go through the type's interpreted ordering, so ANY
+    // orderable key type (string, decimal, date, struct) runs the same
+    // merge. Event time / tie stay primitive 64-bit. The eval() boundary
+    // boxes either way, so the Long fast path this generalizes from
+    // paid the same allocation; the ordering adds one virtual call per
+    // comparison — unmeasurable next to the row copy (ledger: q147).
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
@@ -117,10 +129,17 @@ case class AsOfJoinExec(
       val project = UnsafeProjection.create(out, out)
 
       // One-row lookahead over the right side; rows with null key/ts
-      // can never match and are skipped at the source.
+      // can never match and are skipped at the source. The key is held
+      // as a COPY-safe value: primitive/UTF8String evals from a reused
+      // row buffer must not be retained across advance() — UTF8String
+      // clones below.
       var cur: InternalRow = null
-      var curKey = 0L
+      var curKey: Any = null
       var curTs = 0L
+      def copyKey(k: Any): Any = k match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case other => other
+      }
       def advance(): Unit = {
         cur = null
         while (cur == null && rIter.hasNext) {
@@ -128,7 +147,7 @@ case class AsOfJoinExec(
           val k = rKeyB.eval(r)
           val t = rTsB.eval(r)
           if (k != null && t != null) {
-            curKey = k.asInstanceOf[Long]
+            curKey = copyKey(k)
             curTs = t.asInstanceOf[Long]
             cur = r
           }
@@ -152,21 +171,22 @@ case class AsOfJoinExec(
             // advance past rows later left rows still need.
             project(joiner(l, nullRight))
           } else {
-            val lk = lkRef.asInstanceOf[Long]
+            val lk = lkRef
             val lt = ltRef.asInstanceOf[Long]
-            while (cur != null &&
-              (curKey < lk || (curKey == lk && curTs < lt))) {
+            var cmp = if (cur == null) 1 else keyOrd.compare(curKey, lk)
+            while (cur != null && (cmp < 0 || (cmp == 0 && curTs < lt))) {
               advance()
+              if (cur != null) cmp = keyOrd.compare(curKey, lk)
             }
             project(joiner(l,
-              if (cur != null && curKey == lk) cur else nullRight))
+              if (cur != null && cmp == 0) cur else nullRight))
           }
         }
       } else {
         // O(1) held state: the latest eligible right row for the
         // current left key (copied — iterators reuse row buffers).
         var held: InternalRow = null
-        var heldKey = 0L
+        var heldKey: Any = null
 
         lIter.map { l =>
           val lkRef = lKeyB.eval(l)
@@ -174,8 +194,8 @@ case class AsOfJoinExec(
           if (lkRef == null) {
             project(joiner(l, nullRight))
           } else {
-            val lk = lkRef.asInstanceOf[Long]
-            if (held != null && heldKey != lk) held = null
+            val lk = lkRef
+            if (held != null && keyOrd.compare(heldKey, lk) != 0) held = null
             if (ltRef == null) {
               // Null event time matches nothing, but the right cursor
               // must NOT advance past rows later left rows still need.
@@ -186,10 +206,11 @@ case class AsOfJoinExec(
               // smaller keys are dead (left keys only grow), rows of
               // this key become the held match (last one wins = the
               // greatest (ts, tie) within bound, thanks to the order).
-              while (cur != null &&
-                (curKey < lk || (curKey == lk && curTs <= lt))) {
-                if (curKey == lk) { held = cur.copy(); heldKey = lk }
+              var cmp = if (cur == null) 1 else keyOrd.compare(curKey, lk)
+              while (cur != null && (cmp < 0 || (cmp == 0 && curTs <= lt))) {
+                if (cmp == 0) { held = cur.copy(); heldKey = copyKey(curKey) }
                 advance()
+                if (cur != null) cmp = keyOrd.compare(curKey, lk)
               }
               project(joiner(l, if (held != null) held else nullRight))
             }
@@ -263,13 +284,22 @@ object NativeAsOfJoin {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    // The exec's merge requires 64-bit key/ts/tie on both sides.
-    Seq(attr(lPlan, keyCol), attr(lPlan, leftTsCol), attr(rPlan, keyCol),
-      attr(rPlan, rightTsCol), attr(rPlan, rightTieCol)).foreach { a =>
+    // The exec's merge requires 64-bit ts/tie; the KEY may be any
+    // orderable type (compared through its interpreted ordering), and
+    // must agree across the sides.
+    Seq(attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
+      attr(rPlan, rightTieCol)).foreach { a =>
       require(a.dataType == org.apache.spark.sql.types.LongType,
         s"NativeAsOfJoin: ${a.name} must be BIGINT (project timestamps " +
           "to unix_micros first)")
     }
+    val (lKeyAttr, rKeyAttr) = (attr(lPlan, keyCol), attr(rPlan, keyCol))
+    require(lKeyAttr.dataType == rKeyAttr.dataType,
+      s"NativeAsOfJoin: key $keyCol differs in type across sides " +
+        s"(${lKeyAttr.dataType.catalogString} vs ${rKeyAttr.dataType.catalogString})")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(lKeyAttr.dataType),
+      s"NativeAsOfJoin: key type ${lKeyAttr.dataType.catalogString} is not orderable")
     // The strategy + optimizer rules ride on the session's
     // experimental lists so any session can run the node
     // (GraftExtensions also injects them for sessions built with

@@ -69,22 +69,51 @@ object SchemaProvider {
     * (the JDBC engine Spark already ships for its Hive metastore); a
     * ClickHouse JDBC URL plugs in unchanged.
     */
-  def fromJdbc(url: String, table: String): SchemaProvider = { () =>
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      // JDBC metadata stores case-normalized identifiers; Derby (like
-      // most stores) folds unquoted DDL names to upper case.
-      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
-      val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnMeta]
-      while (rs.next()) {
-        cols += CHType.columnMeta(
-          rs.getString("COLUMN_NAME").toLowerCase,
-          chTypeOfJdbc(rs.getInt("DATA_TYPE")))
-      }
-      require(cols.nonEmpty, s"JDBC DESCRIBE: table $table not found or has no columns")
-      cols.toSeq
-    } finally conn.close()
-  }
+  def fromJdbc(url: String, table: String, schema: Option[String] = None): SchemaProvider =
+    { () =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val md = conn.getMetaData
+        // getColumns takes LIKE patterns: a literal '_' in a table name
+        // like sink_t would otherwise match ANY character (and a null
+        // schema pattern spans every schema), silently concatenating
+        // columns of unrelated tables into one "schema". Escape the
+        // metacharacters with the driver's own escape string.
+        val esc = md.getSearchStringEscape
+        def quote(name: String): String = name.flatMap {
+          case c @ ('_' | '%') => s"$esc$c"
+          case c if esc.length == 1 && c == esc.head => s"$esc$c"
+          case c => c.toString
+        }
+        val schemaPat = schema.map(quote).orNull
+        // Identifier case is store-specific: Derby/most SQL stores fold
+        // unquoted DDL names UPPER, ClickHouse/Postgres keep or fold
+        // lower. Try the exact name first, then the folded variants.
+        def lookup(name: String): Seq[((String, String), Seq[ColumnMeta])] = {
+          val rs = md.getColumns(null, schemaPat, quote(name), null)
+          val byTable = scala.collection.mutable.LinkedHashMap
+            .empty[(String, String), scala.collection.mutable.ArrayBuffer[ColumnMeta]]
+          while (rs.next()) {
+            val key = (Option(rs.getString("TABLE_SCHEM")).getOrElse(""),
+              rs.getString("TABLE_NAME"))
+            byTable.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) +=
+              CHType.columnMeta(
+                rs.getString("COLUMN_NAME").toLowerCase,
+                chTypeOfJdbc(rs.getInt("DATA_TYPE")))
+          }
+          byTable.toSeq.map { case (k, v) => (k, v.toSeq) }
+        }
+        val hits = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+          .iterator.map(lookup).find(_.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            s"JDBC DESCRIBE: table $table not found or has no columns"))
+        require(hits.size == 1,
+          s"JDBC DESCRIBE: table $table is ambiguous, matches " +
+            hits.map { case ((s, t), _) => s"$s.$t" }.mkString(", ") +
+            " — pass the schema name to disambiguate")
+        hits.head._2
+      } finally conn.close()
+    }
 
   /** java.sql.Types → the CH type vocabulary CHType already compiles
     * (same targets as CHType.fromSpark).

@@ -48,6 +48,25 @@ class ConfigSpec extends AnyFunSuite {
     assert(o("subscribe") == "t")
   }
 
+  test("kafka option-map PARITY: the full map equals the reference's literal consumer config") {
+    // Not just spot values: the ENTIRE option map, so a dropped or
+    // renamed option (or a stray extra one) fails. Literals from
+    // main.py — fetch.max.bytes 52428800 (:496), 25000 msgs/trigger
+    // (:509, 569), group/offset-reset from env (:492-503).
+    val o = ServiceConfig.kafkaSourceOptions(ServiceConfig.fromEnv(full))
+    assert(o == Map(
+      "kafka.bootstrap.servers" -> "k:9092",
+      "subscribe" -> "t",
+      "kafka.group.id" -> "g",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "25000",
+      "kafka.fetch.max.bytes" -> "52428800"))
+    // the only non-earliest reset value maps to latest
+    val latest = ServiceConfig.kafkaSourceOptions(
+      ServiceConfig.fromEnv(full + ("AUTO_OFFSET_RESET" -> "latest")))
+    assert(latest("startingOffsets") == "latest")
+  }
+
   test("CHType unwraps Nullable/LowCardinality; unknown types fail at analysis time") {
     import graft.types.CHType
     import org.apache.spark.sql.types._

@@ -118,6 +118,41 @@ class NativePlanSpec extends SparkSpec {
     assert(composed == got, "forward construction case diverged from composed form")
   }
 
+  test("STRING-keyed native as-of == composed form on orders (generic-orderable binding)") {
+    // The key comparisons run through the interpreted ordering instead
+    // of the 64-bit fast path; both directions must agree with the
+    // composed union+window form on a real string key.
+    val o = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+    val dayN = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+    val l = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), dayN.as("day_n"), col("o_orderkey"))
+    val r = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), dayN.as("day_n"), col("o_orderkey"))
+    for (fwd <- Seq(false, true)) {
+      val (nat, comp) =
+        if (fwd) (NativeAsOfJoin.forward(l, r, "o_orderpriority", "day_n", "day_n", "o_orderkey"),
+          AsOfJoin.forward(l, r, "o_orderpriority", "day_n", "day_n", "o_orderkey"))
+        else (NativeAsOfJoin.backward(l, r, "o_orderpriority", "day_n", "day_n", "o_orderkey"),
+          AsOfJoin.backward(l, r, "o_orderpriority", "day_n", "day_n", "o_orderkey"))
+      val n = nat.collect().map(_.toString).sorted
+      val c = comp.collect().map(_.toString).sorted
+      assert(n.length == c.length && n.sameElements(c),
+        s"string-keyed native (fwd=$fwd) diverged: ${n.length} vs ${c.length} rows")
+    }
+  }
+
+  test("string-keyed native as-of: ties, no-match and cross-key cursor discipline") {
+    val l = Seq(("b", 100L, 10L), ("a", 50L, 11L), ("c", 10L, 12L), ("b", 200L, 13L))
+      .toDF("k", "ts", "lid")
+    val r = Seq(("b", 100L, 2L), ("b", 100L, 3L), ("b", 150L, 4L), ("a", 5L, 5L))
+      .toDF("k", "ts", "rid")
+    val got = NativeAsOfJoin.backward(l, r, "k", "ts", "ts", "rid")
+      .collect()
+      .map(row => (row.getLong(2), if (row.isNullAt(4)) -1L else row.getLong(4))).toMap
+    // b@100 → tie, greatest rid 3; a@50 → rid 5; c@10 → none; b@200 → rid 4
+    assert(got == Map(10L -> 3L, 11L -> 5L, 12L -> -1L, 13L -> 4L))
+  }
+
   test("bucketed inputs satisfy the FORWARD contract too: zero exchanges planned") {
     val (l, r) = sides(sf("sf0.001"))
     l.write.mode("overwrite").bucketBy(4, "user_id")

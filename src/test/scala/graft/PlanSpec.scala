@@ -64,6 +64,8 @@ class PlanSpec extends SparkSpec {
     // to the triangle-blocked equi-join.)
     val allowed = Set("q08_cosine_topk", "q10_join_range", "q11_distinct",
       "q24_simhash_hamming", "q34_ann_ivf", "q48_vocab",
+      // q152: q34's disk-layout mirror (same 1-row probe broadcast)
+      "q152_ann_ivf_disk",
       // q58/q66/q81/q82/q101: 1-row broadcast aggregates (corpus size,
       // min/max envelope, avgdl, grand total)
       "q58_doc_freq", "q66_value_histogram", "q81_tfidf", "q82_bm25",
@@ -76,6 +78,8 @@ class PlanSpec extends SparkSpec {
       // q138: 1-row broadcast decile boundaries (was an eager count()
       // at construction time)
       "q138_decile_lift",
+      // q93: 1-row broadcast row count (was an eager count(), same fix)
+      "q93_equidepth_bins",
       // q145: cross join of two 1-row aggregates (estimate ∥ actual)
       "q145_join_cardinality")
     for ((name, fn) <- Queries.all) {

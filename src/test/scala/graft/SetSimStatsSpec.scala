@@ -79,6 +79,21 @@ class SetSimStatsSpec extends SparkSpec {
     assert(rho == 0.866)
   }
 
+  test("spearman: forced distributed path == per-group window fallback (incl. ties)") {
+    // The cost-based fallback (small inputs → per-group windows) and
+    // the scale path (distributed two-pass composite rank) must agree
+    // exactly; lineitem quantities are heavily tied, so this exercises
+    // the tie-averaging of both forms.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val viaWindow = Stats.spearmanByGroup(
+        li, "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag").collect().toSeq
+    val viaDistributed = Stats.spearmanByGroup(
+        li, "l_returnflag", "l_quantity", "l_extendedprice", smallInputBytes = 0L)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(viaWindow.nonEmpty && viaWindow == viaDistributed)
+  }
+
   test("peak concurrency matches brute-force sweep incl. midnight crossing") {
     val base = Timestamp.valueOf("2024-03-01 23:50:00").getTime
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)

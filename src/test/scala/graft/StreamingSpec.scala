@@ -95,12 +95,17 @@ class StreamingSpec extends SparkSpec {
     // DESCRIBE path (main.py:51-60) — and the drift scenario ALTERs
     // the actual table mid-batch, so the re-resolve must see the new
     // column from the DATABASE, not from any cached fixture.
-    val url = "jdbc:derby:memory:graftdrift;create=true"
+    // Unique db name per invocation + drop on exit: in-memory Derby
+    // databases live for the JVM, so a fixed name would fail CREATE
+    // TABLE on any re-run of the suite in the same JVM.
+    val db = s"graftdrift${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
     val setup = java.sql.DriverManager.getConnection(url)
     try setup.createStatement().execute(
       "CREATE TABLE sink_t (device_id BIGINT, note VARCHAR(64), " +
         "event_time TIMESTAMP, db_insert_time TIMESTAMP)")
     finally setup.close()
+    try {
 
     val live = SchemaProvider.fromJdbc(url, "sink_t")
     // The server-side-filled column is excluded exactly like the
@@ -146,6 +151,79 @@ class StreamingSpec extends SparkSpec {
     val row = valid.collect().head
     assert(row.getLong(0) == 9L && row.getString(3) == "eu")
     assert(orch.schemaFetches == 2 && orch.insertAttempts == 2)
+    } finally {
+      // A successful in-memory drop "fails" with connection-state 08006.
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("live JDBC SINK: batched inserts land in Derby; drift retry survives a server-side DROP COLUMN") {
+    // The full S8+S10 loop against a real store: schema discovered over
+    // JDBC, rows INSERTed over JDBC in batches, and the drift signal is
+    // a REAL statement-compile failure (the projected `region` column
+    // is dropped server-side before the first insert), so the
+    // orchestrator's re-resolve must read the post-ALTER schema from
+    // the database and the retry insert must succeed against it.
+    val db = s"graftsink${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().execute(
+      "CREATE TABLE sink_live (device_id BIGINT, note VARCHAR(64), " +
+        "event_time TIMESTAMP, region VARCHAR(32), db_insert_time TIMESTAMP)")
+    finally setup.close()
+    try {
+      val live = SchemaProvider.fromJdbc(url, "sink_live")
+      assert(live.structType().fieldNames.toSeq ==
+        Seq("device_id", "note", "event_time", "region"))
+
+      // batchSize 3 over 10 rows → multiple executeBatch flushes per
+      // partition path, plus the tail flush.
+      val jdbc = new graft.io.JdbcRowSink(url, "sink_live", batchSize = 3)
+      val sink = new RecordSink {
+        private var dropped = false
+        def write(df: org.apache.spark.sql.DataFrame): Unit = {
+          if (!dropped) {
+            dropped = true
+            val c = java.sql.DriverManager.getConnection(url)
+            try c.createStatement().execute(
+              "ALTER TABLE sink_live DROP COLUMN region RESTRICT")
+            finally c.close()
+          }
+          jdbc.write(df) // 1st call: df still projects region → real SQLException
+        }
+      }
+
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[String]
+      val dlqDir = tmp()
+      val orch = new BatchOrchestrator(live, cfg, sink, new ParquetDlqSink(dlqDir))
+      val payloads = (1 to 10).map(i =>
+        s"""{"device_id": $i, "note": "n$i", "region": "eu", "event_time": "2024-05-01 10:00:0$i"}""") :+
+        """{"note": "missing required"}"""
+      mem.addData(payloads: _*)
+      val q = StreamJob.start(
+        mem.toDF().withColumnRenamed("value", graft.pipeline.Pipeline.ValueCol),
+        orch, tmp(), Trigger.AvailableNow())
+      q.processAllAvailable()
+      q.stop()
+
+      assert(orch.schemaFetches == 2 && orch.insertAttempts == 2)
+      // the retry wrote through the post-ALTER 3-column schema
+      val check = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = check.createStatement().executeQuery(
+          "SELECT device_id, note FROM sink_live ORDER BY device_id")
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toSeq
+        assert(got == (1 to 10).map(i => (i.toLong, s"n$i")))
+      } finally check.close()
+      assert(spark.read.parquet(dlqDir).count() == 1) // the invalid row
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 
   test("second failure: still-valid rows land in DLQ as {row, error} envelopes") {

@@ -22,6 +22,15 @@ class TokensSpec extends SparkSpec {
     assert(diff.count() === 0L)
   }
 
+  test("schema parity: native tokens declares the SAME array type as the HOF form") {
+    // Not just value equality: unionByName of the two forms, strict
+    // writers, and schema asserts see dataType (incl. containsNull).
+    val df = Seq("a b").toDF("text").select(
+      TextFunctions.tokens(col("text")).as("a"),
+      TextFunctions.tokensHof(col("text")).as("b"))
+    assert(df.schema("a").dataType === df.schema("b").dataType)
+  }
+
   test("edge cases: empties, pure whitespace, mixed separators, unicode, null") {
     val rows = Seq(
       "",                       // empty → empty array

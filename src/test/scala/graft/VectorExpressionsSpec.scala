@@ -50,6 +50,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(empty == Seq.fill(4)(2147483647L))
   }
 
+  test("nearestCentroid: argmax dot, ties and NaN break toward the HIGHER cid") {
+    import graft.expr.VectorExpressions.nearestCentroid
+    val cids = Array(10L, 20L, 30L)
+    val mat = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 1.0))
+    val rows = Seq(
+      Seq(0.9, 0.1),            // nearest = (1,0) → 10
+      Seq(0.1, 0.9),            // (0,1) twice, tie → higher cid 30
+      Seq(Double.NaN, 1.0))     // NaN sims: Spark double order puts NaN
+                                // greatest → all three NaN → cid 30
+      .toDF("nv")
+    val got = rows.select(nearestCentroid(col("nv"), cids, mat)).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(10L, 30L, 30L))
+    // interpreted eval agrees with codegen (the differential the
+    // greatest-of-structs form it replaced got for free)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    assert(graft.expr.NearestCentroidImpl.eval(
+      new GenericArrayData(Array(0.1, 0.9)), cids, mat) == 30L)
+  }
+
   test("non-double arrays are rejected at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     val e = intercept[Exception] {
