@@ -3167,6 +3167,116 @@ object Queries {
       probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
   }
 
+  /** Graph analytics third pillar (after PageRank q131 and connected
+    * components q53): exact triangle counting over the part
+    * co-occurrence graph (parts appearing in the same order), via the
+    * degree-ordered orientation in `operators.Triangles` — wedges are
+    * enumerated only from each triangle's unique out-degree-2 pivot
+    * (max out-degree O(sqrt(m)), so no hub-node d^2 blow-up) and each
+    * triangle counts exactly once. Output is the global census +
+    * clustering coefficient; construction ground truth (cliques,
+    * paths, known censuses) in GraphOpsSpec.
+    */
+  def q153_triangle_count(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // per-order pair fan-out is bounded (TPC-H: <=7 items/order), so
+    // the self-join explodes each order into <=21 pairs — never the
+    // corpus-wide quadratic
+    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    operators.Triangles.census(pairs, "u", "v")
+  }
+
+  /** Interval attribution join (the batch twin of the STREAM-STREAM
+    * interval join — StreamingWindowSpec runs this exact join shape
+    * under readStream with watermarks on both sides and proves the
+    * results match this batch form): every purchase within 1 hour
+    * after a click by the same user, rolled up per click-day. The
+    * equi-key (user_id) makes it a sort-merge join with a range
+    * residual — state in the streaming form is bounded by the
+    * watermark delay, never the stream length.
+    */
+  def q154_interval_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"), col("value"))
+    clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(to_date(col("click_ts")).as("day"))
+      .agg(count(lit(1)).as("n_attrib"), round(sum("value"), 2).as("attrib_value"))
+      .orderBy("day")
+  }
+
+  /** The BucketingSpec zero-exchange join as a JUDGED query: both
+    * sides are written bucketed+sorted by the join key (8 buckets,
+    * external tables under the per-JVM scratch dir), then sort-merge
+    * joined with broadcast disabled via the merge hint — the join
+    * plans NO exchange on the key because the bucket layout already
+    * co-locates it (PlanSpec asserts this). At 100 TB this is the
+    * canonical co-location strategy: pay the shuffle ONCE at layout
+    * time, join shuffle-free forever after.
+    */
+  def q155_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", scratch("b_orders")).mode("overwrite")
+      .saveAsTable("graft_b_orders")
+    t(s, dir, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", scratch("b_cust")).mode("overwrite")
+      .saveAsTable("graft_b_cust")
+    s.table("graft_b_orders").hint("merge")
+      .join(s.table("graft_b_cust"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Time-series seasonal profile: hour-of-day seasonality index per
+    * event type (hourly mean value / the type's overall mean), plus
+    * the hour's traffic share. One narrow scan → 120-group agg; the
+    * window reads the agg output (5x24 rows), not the events.
+    */
+  def q156_seasonality(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .withColumn("type_n", sum("n").over(w))
+      .withColumn("type_sv", sum("sv").over(w))
+      .select(col("event_type"), col("hod"), col("n"),
+        round(col("sv") / col("n"), 4).as("avg_value"),
+        round((col("sv") / col("n")) / (col("type_sv") / col("type_n")), 4)
+          .as("season_idx"),
+        round(col("n") * 24.0 / col("type_n"), 4).as("traffic_share"))
+      .orderBy("event_type", "hod")
+  }
+
+  /** Privacy audit, l-diversity (q92's k-anonymity complement, on the
+    * customer table): for each quasi-identifier class (nation x
+    * segment), the class size k AND the number of DISTINCT sensitive
+    * values (acctbal bucket) — a class can be large (k-anonymous) yet
+    * still leak if every member shares one sensitive value. Output is
+    * the 5 most at-risk classes (lowest diversity, smallest first).
+    */
+  def q157_l_diversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(col("bal_bucket")).as("l_div"))
+      .orderBy(col("l_div"), col("k_size"), col("c_nationkey"), col("c_mktsegment"))
+      .limit(5)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3320,6 +3430,11 @@ object Queries {
     "q150_asof_native_fwd" -> (q150_asof_native_fwd _),
     "q151_asof_string_key" -> (q151_asof_string_key _),
     "q152_ann_ivf_disk" -> (q152_ann_ivf_disk _),
+    "q153_triangle_count" -> (q153_triangle_count _),
+    "q154_interval_attribution" -> (q154_interval_attribution _),
+    "q155_bucketed_join" -> (q155_bucketed_join _),
+    "q156_seasonality"  -> (q156_seasonality _),
+    "q157_l_diversity"  -> (q157_l_diversity _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4949,5 +5064,61 @@ object Queries {
         |    AND r.ts >= l.ts
         |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) r ON true
         |ORDER BY l.event_id""".stripMargin,
+    "q153_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT u AS node FROM pairs
+        |          UNION ALL SELECT v AS node FROM pairs) GROUP BY node),
+        |orient AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+        |         THEN p.u ELSE p.v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+        |         THEN p.v ELSE p.u END AS t
+        |  FROM pairs p JOIN deg du ON du.node = p.u
+        |               JOIN deg dv ON dv.node = p.v),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM orient e1
+        |        JOIN orient e2 ON e1.s = e2.s AND e1.t < e2.t
+        |        JOIN pairs c ON c.u = e1.t AND c.v = e2.t),
+        |wtot AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+        |nodes AS (SELECT count(*) AS n_nodes FROM deg),
+        |edges AS (SELECT count(*) AS n_edges FROM pairs)
+        |SELECT n_triangles, n_wedges, n_nodes, n_edges,
+        |  round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
+        |FROM tri, wtot, nodes, edges""".stripMargin,
+    "q154_interval_attribution" ->
+      """SELECT CAST(c.ts AS DATE) AS day, count(*) AS n_attrib,
+        |  round(sum(p."value"), 2) AS attrib_value
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts, "value" FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q155_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q156_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+        |    count(*) AS n, sum("value") AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hod, n,
+        |  round(sv / n, 4) AS avg_value,
+        |  round((sv / n) / (sum(sv) OVER (PARTITION BY event_type) /
+        |                    sum(n) OVER (PARTITION BY event_type)), 4) AS season_idx,
+        |  round(n * 24.0 / sum(n) OVER (PARTITION BY event_type), 4) AS traffic_share
+        |FROM h ORDER BY event_type, hod""".stripMargin,
+    "q157_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS k_size,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_div
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY l_div, k_size, c_nationkey, c_mktsegment
+        |LIMIT 5""".stripMargin,
   )
 }

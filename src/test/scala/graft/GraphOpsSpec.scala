@@ -134,4 +134,41 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(globalWins == 0, "prefix sum must not plan a single-partition window")
   }
+
+  private def censusOf(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+    val r = graft.operators.Triangles.census(edges.toDF("a", "b"), "a", "b")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("triangle census: K4, shared-edge pair, path, star") {
+    // K4: 4 triangles, wedges sum C(3,2)=12, coeff 1.0 — edges fed
+    // unordered/duplicated to prove canonicalization
+    assert(censusOf(Seq((2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L), (4L, 3L), (1L, 2L)))
+      == ((4L, 12L, 4L, 6L, 1.0)))
+    // two triangles sharing edge 2-3: degrees (2,3,3,2) -> wedges 8
+    assert(censusOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      == ((2L, 8L, 4L, 5L, 0.75)))
+    // 5-node path: all wedges open
+    assert(censusOf((0L until 4L).map(i => (i, i + 1)))
+      == ((0L, 3L, 5L, 4L, 0.0)))
+    // star hub: the degree orientation points every edge AT the hub,
+    // so the hub enumerates zero wedges (the d^2 blow-up the naive
+    // neighbor-pair join would pay)
+    assert(censusOf((1L to 20L).map(i => (0L, i)))
+      == ((0L, 190L, 21L, 20L, 0.0)))
+  }
+
+  test("triangle census matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (for (u <- 0L until 40L; v <- (u + 1) until 40L
+                      if rnd.nextDouble() < 0.15) yield (u, v)).toSeq
+    val adj = edges.toSet
+    var brute = 0L
+    for (u <- 0L until 40L; v <- (u + 1) until 40L; w <- (v + 1) until 40L)
+      if (adj((u, v)) && adj((v, w)) && adj((u, w))) brute += 1
+    val (tri, _, _, nEdges, _) = censusOf(edges)
+    assert(tri == brute && nEdges == edges.size,
+      s"census $tri vs brute $brute over ${edges.size} edges")
+  }
 }

@@ -81,7 +81,10 @@ class PlanSpec extends SparkSpec {
       // q93: 1-row broadcast row count (was an eager count(), same fix)
       "q93_equidepth_bins",
       // q145: cross join of two 1-row aggregates (estimate ∥ actual)
-      "q145_join_cardinality")
+      "q145_join_cardinality",
+      // q153: cross join of four 1-row census aggregates (tri/wedges/
+      // nodes/edges) — the triangle enumeration itself is equi-joins
+      "q153_triangle_count")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
@@ -105,6 +108,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("q80_bloom_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"bloom confirm path must stay a hash join:\n$p")
+  }
+
+  test("q155 bucketed join: sort-merge join with NO exchange on the join key") {
+    val p = plan("q155_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint must force SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_custkey")
+      && !p.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucket layout must satisfy the join keys shuffle-free:\n$p")
+  }
+
+  test("q153 triangle count: wedge close is an equi-join (degree orientation bounds fan-out)") {
+    val p = plan("q153_triangle_count")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"triangle enumeration must plan hash/merge equi-joins:\n$p")
   }
 
   test("q89 global sort plans a range-partitioning exchange, not a single-partition sort") {

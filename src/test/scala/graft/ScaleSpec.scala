@@ -124,4 +124,38 @@ class ScaleSpec extends SparkSpec {
       .filter(not(col("fused") === col("tower"))).count()
     assert(bad == 0)
   }
+
+  test("AQE splits a skewed join partition at runtime (the planner-side answer to q37's manual salting)") {
+    // One hot key owns ~83% of the left side. With skew-join thresholds
+    // scaled to the test data, AQE must mark the SMJ skew=true and split
+    // the hot partition into multiple tasks — the runtime complement to
+    // q37's explicit salting (which remains the portable fallback and
+    // the right tool when the skew is known at write time).
+    val keep = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keep.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keep.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(300000).select(
+        when(col("id") < 250000, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // collect() runs joined's OWN QueryExecution (count() would build
+      // a fresh one, leaving this plan un-executed and never re-planned)
+      assert(joined.collect().length == 300000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -226,6 +226,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("exactly-once JDBC sink: the ledger transaction makes redelivered epochs no-ops in the database") {
+    // JdbcRowSink's at-least-once contract upgraded transactionally:
+    // the (batch, partition) ledger claim commits atomically WITH the
+    // data rows, so the at-least-once redelivery window (crash between
+    // sink write and checkpoint commit) cannot double-land a partition.
+    val db = s"graftexact${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().execute(
+      "CREATE TABLE sink_x (device_id BIGINT, note VARCHAR(64), event_time TIMESTAMP)")
+    finally setup.close()
+    try {
+      graft.io.IdempotentJdbcSink.ensureLedger(url, "sink_ledger")
+      graft.io.IdempotentJdbcSink.ensureLedger(url, "sink_ledger") // idempotent
+      val sink = new graft.io.IdempotentJdbcSink(url, "sink_x", "sink_ledger", batchSize = 3)
+      val orch = new BatchOrchestrator(provider, cfg, sink, new ParquetDlqSink(tmp()))
+      import spark.implicits._
+      val raw = (1 to 8).map(i =>
+          s"""{"device_id": $i, "note": "n$i", "event_time": "2024-05-01 10:00:0$i"}""")
+        .toDF(graft.pipeline.Pipeline.ValueCol)
+        .repartition(3) // multiple partitions → multiple ledger claims per epoch
+      orch.processBatch(raw, 0L)
+      orch.processBatch(raw, 0L) // at-least-once redelivery of epoch 0
+      orch.processBatch(raw, 1L) // a genuinely new epoch must append
+      val check = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = check.createStatement().executeQuery(
+          "SELECT device_id, count(*) FROM sink_x GROUP BY device_id ORDER BY device_id")
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toSeq
+        // every device exactly twice: epochs 0 and 1, never the redelivery
+        assert(got == (1 to 8).map(i => (i.toLong, 2L)),
+          s"redelivered epoch must not duplicate: $got")
+        val lr = check.createStatement().executeQuery(
+          "SELECT batch_id, count(*) FROM sink_ledger GROUP BY batch_id ORDER BY batch_id")
+        val ledger = Iterator.continually(lr)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toMap
+        assert(ledger.keySet == Set(0L, 1L) && ledger.values.forall(_ >= 1),
+          s"one claim set per epoch: $ledger")
+      } finally check.close()
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("second failure: still-valid rows land in DLQ as {row, error} envelopes") {
     val validDir = tmp(); val dlqDir = tmp()
     val alwaysFails = new FlakySink(new ParquetSink(validDir), failures = 99)
