@@ -3178,16 +3178,18 @@ object Queries {
     * paths, known censuses) in GraphOpsSpec.
     */
   def q153_triangle_count(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
     // per-order pair fan-out is bounded (TPC-H: <=7 items/order), so
-    // the self-join explodes each order into <=21 pairs — never the
-    // corpus-wide quadratic
-    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // collect_set + double explode generates <=21 pairs per order in
+    // ONE map-side-combined shuffle — cheaper than the equivalent
+    // distinct -> self-join -> distinct (3 shuffles + 2 sorts), and
+    // the explode Generate is codegen'd end to end
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
     operators.Triangles.census(pairs, "u", "v")
   }
 

@@ -27,33 +27,94 @@ object Triangles {
     * closed), node and edge counts, and the global clustering
     * coefficient 3*tri/wedges. `edges` must be canonical (u<v,
     * distinct); compute guards cheaply rather than trusting callers.
+    *
+    * Cache contract: the canonical edge set and the oriented DAG are
+    * `persist()`-marked here (lazily — no job runs at plan time)
+    * because the census consumes each 3+ times (degree agg, wedge
+    * self-join branches, closing join, edge count); without the marks
+    * the upstream edge-derivation lineage re-executes per consumer.
+    * Callers that keep the session long-lived should release them via
+    * `spark.catalog.clearCache()` (or unpersist the handles) after
+    * materializing the result, as Bench/Verify hygiene does.
+    *
+    * `broadcastClose` (default true): the closing probe checks each
+    * wedge (x,y) against the canonical EDGE list — the small side of
+    * this algorithm by construction (wedges ~ sum C(outdeg,2) dwarf
+    * edges m; at sf0.1's part graph 41M wedges vs 1.2M edges).
+    * Broadcasting the edge list closes wedges in the SAME stage that
+    * enumerates them — the 41M-row wedge set is never serialized
+    * through a shuffle (12.9 s → ~2 s at sf0.1). Edges are the
+    * broadcast-bounded axis: a graph whose edge list outgrows executor
+    * memory (multi-TB) flips this to false and pays the wedge shuffle
+    * into a sort-merge close instead — same plan shape the
+    * GraphOpsSpec differential pins to identical counts.
     */
-  def census(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+  def census(edges: DataFrame, uCol: String, vCol: String,
+      broadcastClose: Boolean = true): DataFrame = {
     val pairs = edges
       .filter(col(uCol) =!= col(vCol))
       .select(
         least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"))
       .distinct()
+      .persist()
+    // n-row degree table, consumed 4x (two orientation joins, wedge
+    // total, node count) — persisted, and broadcast into the
+    // orientation joins under the same small-side assumption as the
+    // close (nodes n <= edges m, so edge-broadcast implies this; the
+    // shuffle form remains for beyond-memory graphs). Without the hint
+    // the union's pre-agg shuffle stats (2m rows) overshoot AQE's
+    // threshold and the orientation pays two avoidable SMJ shuffles
+    // of the full edge set.
     val deg = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+      .persist()
+    def degAs(k: String, d: String) = {
+      val t = deg.select(col("node").as(k), col("d").as(d))
+      if (broadcastClose) broadcast(t) else t
+    }
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = pairs
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .join(degAs("u", "du"), "u")
+      .join(degAs("v", "dv"), "v")
       .select(
         when(lowFirst, col("u")).otherwise(col("v")).as("s"),
         when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+      .persist() // consumed twice by the wedge self-join branches
     // unordered out-neighbor pairs of each pivot; x<y aligns with the
-    // canonical edge set so the closing join needs no least/greatest
-    val wedges = oriented.select(col("s"), col("t").as("x"))
-      .join(oriented.select(col("s"), col("t").as("y")), "s")
+    // canonical edge set so the closing join needs no least/greatest.
+    // The self-join's INPUT is tiny (m rows) but its OUTPUT is the
+    // wedge set (sum C(outdeg,2) — 34x bigger at sf0.1), so AQE's
+    // input-byte-sized coalescing would run the whole enumeration in
+    // ONE task; an explicit-count repartition on the pivot key is
+    // honored by AQE and keeps the fan-out stage at full parallelism.
+    val nPart = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val byPivot = oriented.repartition(nPart, col("s"))
+    val wedges = byPivot.select(col("s"), col("t").as("x"))
+      .join(byPivot.select(col("s"), col("t").as("y")), "s")
       .filter(col("x") < col("y"))
-    val tri = wedges
-      .join(pairs, wedges("x") === pairs("u") && wedges("y") === pairs("v"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Broadcast close probes on ONE long key — xxhash64(u,v) — instead
+    // of the (u,v) composite: a single LongType key takes Spark's
+    // LongHashedRelation primitive-map fast path (no per-probe
+    // UnsafeRow allocation or 16-byte murmur), 2.4x faster over the
+    // 41M-probe wedge stream at sf0.1. Hash collisions are made exact
+    // by the (cu,cv) residual; it is spelled `between(cu, cu)` rather
+    // than `=== cu` deliberately — an equality would be re-extracted
+    // by the planner into the join key, silently restoring the
+    // composite-key slow path, while the range form stays a residual
+    // filter on the probe hit.
+    val tri = (if (broadcastClose) {
+      val cl = broadcast(pairs.select(xxhash64(col("u"), col("v")).as("hk"),
+        col("u").as("cu"), col("v").as("cv")))
+      wedges.join(cl, xxhash64(col("x"), col("y")) === col("hk") &&
+        col("x").between(col("cu"), col("cu")) &&
+        col("y").between(col("cv"), col("cv")))
+    } else {
+      wedges.join(pairs.select(col("u").as("cu"), col("v").as("cv")),
+        col("x") === col("cu") && col("y") === col("cv"))
+    }).agg(count(lit(1)).as("n_triangles"))
     // d*(d-1) is even, so the /2 is exact in double well past any real
     // degree sum; oracle side casts the same way (/2 then ::BIGINT)
     val wtot = deg.agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))

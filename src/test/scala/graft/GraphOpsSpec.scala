@@ -170,5 +170,12 @@ class GraphOpsSpec extends SparkSpec {
     val (tri, _, _, nEdges, _) = censusOf(edges)
     assert(tri == brute && nEdges == edges.size,
       s"census $tri vs brute $brute over ${edges.size} edges")
+    // the shuffle-close path (edge list beyond broadcast range at real
+    // scale) must count identically to the broadcast-close default
+    val shuffled = graft.operators.Triangles
+      .census(edges.toDF("a", "b"), "a", "b", broadcastClose = false)
+      .collect().head
+    assert(shuffled.getLong(0) == brute && shuffled.getLong(3) == edges.size,
+      s"shuffle-close census ${shuffled.getLong(0)} vs brute $brute")
   }
 }
