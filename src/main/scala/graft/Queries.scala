@@ -1933,17 +1933,26 @@ object Queries {
     */
   def q104_profile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // Non-distinct stats in ONE scan; each exact distinct count as its
+    // own narrow sub-agg (column-pruned scan -> partial-deduped
+    // shuffle of distinct values only), crossJoined as 1-row frames.
+    // Four countDistinct in a single agg would trigger
+    // RewriteDistinctAggregates' Expand — every row duplicated 5x
+    // through the shuffle (2.7 s vs 1.8 s cold at sf0.1). At 100 TB
+    // the same profile would swap exact distinct for the HLL sketch
+    // (q20/q132) — exactness here is the oracle contract.
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
         round(min(col(c)), 2).as(s"min_$c"),
         round(max(col(c)), 2).as(s"max_$c"),
         round(avg(col(c)), 4).as(s"avg_$c"))
     }
-    t(s, dir, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
+    val li = t(s, dir, "lineitem")
+    cols.foldLeft(li.agg(aggs.head, aggs.tail: _*)) { (acc, c) =>
+      acc.crossJoin(li.select(col(c)).distinct().agg(count(lit(1)).as(s"nd_$c")))
+    }
       .select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
         col(s"n_$c").as("n_nonnull"),

@@ -82,6 +82,9 @@ class PlanSpec extends SparkSpec {
       "q93_equidepth_bins",
       // q145: cross join of two 1-row aggregates (estimate ∥ actual)
       "q145_join_cardinality",
+      // q104: 1-row narrow distinct-count sub-aggs crossJoined onto the
+      // base profile agg (replaces the RewriteDistinctAggregates Expand)
+      "q104_profile",
       // q153: cross join of four 1-row census aggregates (tri/wedges/
       // nodes/edges) — the triangle enumeration itself is equi-joins
       "q153_triangle_count")
