@@ -3288,6 +3288,45 @@ object Queries {
       .orderBy(col("l_div"), col("k_size"), col("c_nationkey"), col("c_mktsegment"))
       .limit(5)
 
+  /** Flagship END-TO-END near-dup dedup pipeline — the composition a
+    * training-data curation run actually executes, as ONE judged
+    * query: MinHash+LSH candidate pairs (q23's machinery) → exact
+    * Jaccard verify → connected components (q53's pointer-jumping) →
+    * canonical-representative selection per cluster (longest doc,
+    * ties to lowest id) → full-corpus accounting INCLUDING singleton
+    * docs (left join + coalesce to own id — q53 only labels docs that
+    * appear in an edge). Output: one row per surviving cluster with
+    * its canonical doc, member count, kept and dropped token mass.
+    * At 100 TB every stage is the scale-safe form: the LSH shuffle
+    * carries (band_key, id, shingles) never bodies, CC checkpoints
+    * per round, and the argmax window partitions by component (many
+    * small groups, no global window).
+    */
+  def q158_dedup_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val docs = tWide(s, dir, "documents")
+    val words = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("n_words"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("cid"), col("component"))
+    val labeled = words
+      .join(comp, col("doc_id") === col("cid"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
+        col("n_words"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_words").desc, col("doc_id").asc)
+    labeled.withColumn("rn", row_number().over(w))
+      .groupBy("component")
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("n_words"))).as("kept_words"),
+        sum(when(col("rn") > 1, col("n_words")).otherwise(0)).as("dropped_words"))
+      .orderBy("component")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3446,6 +3485,7 @@ object Queries {
     "q155_bucketed_join" -> (q155_bucketed_join _),
     "q156_seasonality"  -> (q156_seasonality _),
     "q157_l_diversity"  -> (q157_l_diversity _),
+    "q158_dedup_pipeline" -> (q158_dedup_pipeline _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5131,5 +5171,44 @@ object Queries {
         |GROUP BY c_nationkey, c_mktsegment
         |ORDER BY l_div, k_size, c_nationkey, c_mktsegment
         |LIMIT 5""".stripMargin,
+    "q158_dedup_pipeline" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, len(toks) AS n_words FROM tok),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT w.doc_id, coalesce(c.component, w.doc_id) AS component, w.n_words
+        |  FROM words w LEFT JOIN comp c ON c.id = w.doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY component ORDER BY n_words DESC, doc_id ASC) AS rn
+        |  FROM labeled)
+        |SELECT component,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+        |  count(*) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN n_words END) AS kept_words,
+        |  sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END)::BIGINT AS dropped_words
+        |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
   )
 }
