@@ -3327,6 +3327,38 @@ object Queries {
       .orderBy("component")
   }
 
+  /** Distributed covariance matrix over the embedding corpus — the
+    * linear-algebra primitive under PCA / whitening / feature
+    * decorrelation in a training pipeline. Upper triangle of the
+    * d x d matrix (d=64 → 2080 rows) via E[xy] − E[x]E[y]: posexplode
+    * to (vec_id, dim, x), self-join on vec_id with i <= j, then ONE
+    * hash aggregation whose map-side combine collapses the 42M
+    * product rows to d(d+1)/2 groups per partition before the
+    * shuffle — the shuffle carries ~2080 rows per partition no matter
+    * the corpus size, which is the whole 100 TB story. The join's
+    * input is small but its fan-out is d^2 per vector, so both sides
+    * are explicitly repartitioned (the q153 lesson: AQE's input-byte
+    * coalescing would run the fan-out stage nearly single-threaded).
+    */
+  def q159_embed_covariance(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ex = tWide(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).as("i"), col("xf").cast("double").as("x"))
+      .repartition(nPart, col("vec_id"))
+    val b = ex.select(col("vec_id").as("vid2"), col("i").as("j"), col("x").as("y"))
+    ex.join(b, col("vec_id") === col("vid2") && col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("sxy"),
+        sum("x").as("sx"), sum("y").as("sy"))
+      .select(col("i"), col("j"),
+        // + 0.0 collapses IEEE negative zero (a tiny negative cov that
+        // rounds to zero stringifies as "-0.0" vs the oracle's "0.0")
+        (round(col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")), 4)
+          + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3486,6 +3518,7 @@ object Queries {
     "q156_seasonality"  -> (q156_seasonality _),
     "q157_l_diversity"  -> (q157_l_diversity _),
     "q158_dedup_pipeline" -> (q158_dedup_pipeline _),
+    "q159_embed_covariance" -> (q159_embed_covariance _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5210,5 +5243,14 @@ object Queries {
         |  max(CASE WHEN rn = 1 THEN n_words END) AS kept_words,
         |  sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END)::BIGINT AS dropped_words
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+    "q159_embed_covariance" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, range(1, 65) t(i))
+        |SELECT a.i AS i, b.i AS j,
+        |  round(sum(a.x * b.x) / count(*) -
+        |        (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 4) + 0.0 AS cov
+        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
   )
 }
