@@ -3359,6 +3359,49 @@ object Queries {
       .orderBy("i", "j")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard fusion
+    * of lexical (BM25, q82's scoring) and dense (cosine vs the
+    * vec_id=0 probe, q08's scoring) rankings: rrf = Σ 1/(60+rank),
+    * absent-from-a-list contributes 0 (full outer join). Ranks are
+    * taken over ROUNDED scores with id tie-breaks (the cross-engine
+    * determinism contract), and computed with the distributed
+    * `PrefixSum.globalRank` — NOT a single-partition window — so the
+    * ranking step holds at corpus scale; cosine sims are normalized
+    * `+ 0.0` so a negative sim that rounds to zero cannot order
+    * differently than the oracle (Spark's Double.compare puts -0.0
+    * before 0.0; SQL engines treat them equal).
+    */
+  def q160_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val bm = q82_bm25(s, dir)
+      .select(col("doc_id"), (-col("bm25")).as("neg_s"))
+    val bmRank = PrefixSum.globalRank(bm, Seq("neg_s", "doc_id"), "r_bm")
+      .select(col("doc_id").as("b_id"), col("r_bm"))
+    val emb = tWide(s, dir, "embeddings")
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val e = col("embedding").cast("array<double>")
+    val qv = col("qv").cast("array<double>")
+    val cos = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        (round(dot(e, qv) / (sqrt(dot(e, e)) * sqrt(dot(qv, qv))), 4) + lit(0.0))
+          .as("sim"))
+      .select(col("vec_id"), (-col("sim")).as("neg_s"))
+    val cosRank = PrefixSum.globalRank(cos, Seq("neg_s", "vec_id"), "r_cos")
+      .select(col("vec_id").as("c_id"), col("r_cos"))
+    bmRank.join(cosRank, col("b_id") === col("c_id"), "full")
+      .select(
+        coalesce(col("b_id"), col("c_id")).as("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6).as("rrf"),
+        coalesce(col("r_bm"), lit(-1L)).as("r_bm"),
+        coalesce(col("r_cos"), lit(-1L)).as("r_cos"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3519,6 +3562,7 @@ object Queries {
     "q157_l_diversity"  -> (q157_l_diversity _),
     "q158_dedup_pipeline" -> (q158_dedup_pipeline _),
     "q159_embed_covariance" -> (q159_embed_covariance _),
+    "q160_hybrid_rrf"   -> (q160_hybrid_rrf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5252,5 +5296,40 @@ object Queries {
         |        (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 4) + 0.0 AS cov
         |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q160_hybrid_rrf" ->
+      """WITH words AS (
+        |  SELECT doc_id, w AS word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |avgdl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark', 'join', 'window') GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5))
+        |              * tf * (1.2 + 1)
+        |              / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 3) AS bm25
+        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN avgdl
+        |  GROUP BY tf.doc_id),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+        |        FROM bm),
+        |probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(embedding::DOUBLE[], qv) /
+        |          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(qv, qv))), 4) + 0.0 AS sim
+        |  FROM embeddings, probe WHERE vec_id <> 0),
+        |cr AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cos
+        |       FROM cos)
+        |SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
+        |  round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6)
+        |    AS rrf,
+        |  coalesce(r_bm, -1) AS r_bm, coalesce(r_cos, -1) AS r_cos
+        |FROM bmr b FULL JOIN cr c ON b.doc_id = c.vec_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -87,7 +87,10 @@ class PlanSpec extends SparkSpec {
       "q104_profile",
       // q153: cross join of four 1-row census aggregates (tri/wedges/
       // nodes/edges) — the triangle enumeration itself is equi-joins
-      "q153_triangle_count")
+      "q153_triangle_count",
+      // q160: 1-row probe-vector broadcast cross join (q08's pattern)
+      // plus q82's 1-row avgdl/n_docs broadcasts
+      "q160_hybrid_rrf")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
