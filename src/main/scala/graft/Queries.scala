@@ -3402,6 +3402,43 @@ object Queries {
       .limit(20)
   }
 
+  /** Quality-percentile corpus filtering — the canonical "keep the top
+    * 75% by quality, per language" curation pass: score each doc
+    * (mean word length, q21's metric, rounded — the determinism
+    * contract), take the per-language 25th-percentile threshold via
+    * q40's type-1 rank-equality pattern (never interpolated), keep
+    * docs at-or-above it, and account for the surviving token mass.
+    * The per-group window is exact and fine while groups fit a
+    * reducer; the 100 TB form swaps the threshold computation for the
+    * GK sketch (operators/Quantiles) with identical downstream
+    * plumbing.
+    */
+  def q161_quality_filter(s: SparkSession, dir: String): DataFrame = {
+    val scored = tWide(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        TextFunctions.qualityColumns(col("text"), col("toks")): _*)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("mean_word_len").as("score"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("score").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val thr = ranked.groupBy("lang")
+      .agg(max(when(col("rn") === greatest(lit(1L), ceil(lit(0.25) * col("n"))),
+        col("score"))).as("p25"))
+    scored.join(broadcast(thr), "lang")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum((col("score") >= col("p25")).cast("long")).as("n_kept"),
+        round(min(col("p25")), 4).as("p25_threshold"),
+        round(sum(when(col("score") >= col("p25"), col("n_tokens")).otherwise(0))
+          .cast("double") / sum(col("n_tokens")), 4).as("kept_token_share"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3563,6 +3600,7 @@ object Queries {
     "q158_dedup_pipeline" -> (q158_dedup_pipeline _),
     "q159_embed_covariance" -> (q159_embed_covariance _),
     "q160_hybrid_rrf"   -> (q160_hybrid_rrf _),
+    "q161_quality_filter" -> (q161_quality_filter _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5331,5 +5369,31 @@ object Queries {
         |  coalesce(r_bm, -1) AS r_bm, coalesce(r_cos, -1) AS r_cos
         |FROM bmr b FULL JOIN cr c ON b.doc_id = c.vec_id
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q161_quality_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, len(toks) AS n_tokens,
+        |    round(CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+        |      ELSE 0.0 END, 4) AS score
+        |  FROM tok),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc),
+        |thr AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.25 * n)) THEN score END) AS p25
+        |  FROM r GROUP BY lang)
+        |SELECT sc.lang, count(*) AS n_total,
+        |  sum(CASE WHEN score >= p25 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(min(p25), 4) AS p25_threshold,
+        |  round(sum(CASE WHEN score >= p25 THEN n_tokens ELSE 0 END)::DOUBLE /
+        |        sum(n_tokens), 4) AS kept_token_share
+        |FROM sc JOIN thr USING (lang)
+        |GROUP BY sc.lang ORDER BY lang""".stripMargin,
   )
 }
