@@ -3439,6 +3439,29 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Graph pillar #4: the 3-core of the REPEAT part co-occurrence
+    * graph (parts that shared >= 2 orders — thresholding prunes the
+    * near-regular single-co-occurrence noise so the peeling has real
+    * structure: 10 rounds deep at sf0.01). Like the other iterative
+    * operators (q53, q131) this runs driver-side fixpoint rounds at
+    * construction time — the documented exception to the plan-only
+    * rule. The DuckDB oracle unrolls 12 peel rounds; peeling is
+    * idempotent once converged, so the two spare rounds are no-ops,
+    * never a divergence.
+    */
+  def q162_kcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    operators.KCore.kCore(pairs, "u", "v", k = 3).orderBy("node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3601,6 +3624,7 @@ object Queries {
     "q159_embed_covariance" -> (q159_embed_covariance _),
     "q160_hybrid_rrf"   -> (q160_hybrid_rrf _),
     "q161_quality_filter" -> (q161_quality_filter _),
+    "q162_kcore"        -> (q162_kcore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5395,5 +5419,87 @@ object Queries {
         |        sum(n_tokens), 4) AS kept_token_share
         |FROM sc JOIN thr USING (lang)
         |GROUP BY sc.lang ORDER BY lang""".stripMargin,
+    "q162_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s1 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e1 AS MATERIALIZED (
+        |  SELECT u, v FROM e0
+        |  JOIN s1 a ON a.node = e0.u JOIN s1 b ON b.node = e0.v),
+        |s2 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e2 AS MATERIALIZED (
+        |  SELECT u, v FROM e1
+        |  JOIN s2 a ON a.node = e1.u JOIN s2 b ON b.node = e1.v),
+        |s3 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e3 AS MATERIALIZED (
+        |  SELECT u, v FROM e2
+        |  JOIN s3 a ON a.node = e2.u JOIN s3 b ON b.node = e2.v),
+        |s4 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e4 AS MATERIALIZED (
+        |  SELECT u, v FROM e3
+        |  JOIN s4 a ON a.node = e3.u JOIN s4 b ON b.node = e3.v),
+        |s5 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e5 AS MATERIALIZED (
+        |  SELECT u, v FROM e4
+        |  JOIN s5 a ON a.node = e4.u JOIN s5 b ON b.node = e4.v),
+        |s6 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e6 AS MATERIALIZED (
+        |  SELECT u, v FROM e5
+        |  JOIN s6 a ON a.node = e5.u JOIN s6 b ON b.node = e5.v),
+        |s7 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e7 AS MATERIALIZED (
+        |  SELECT u, v FROM e6
+        |  JOIN s7 a ON a.node = e6.u JOIN s7 b ON b.node = e6.v),
+        |s8 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e7 UNION ALL SELECT v FROM e7)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e8 AS MATERIALIZED (
+        |  SELECT u, v FROM e7
+        |  JOIN s8 a ON a.node = e7.u JOIN s8 b ON b.node = e7.v),
+        |s9 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e9 AS MATERIALIZED (
+        |  SELECT u, v FROM e8
+        |  JOIN s9 a ON a.node = e8.u JOIN s9 b ON b.node = e8.v),
+        |s10 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e9 UNION ALL SELECT v FROM e9)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e10 AS MATERIALIZED (
+        |  SELECT u, v FROM e9
+        |  JOIN s10 a ON a.node = e9.u JOIN s10 b ON b.node = e9.v),
+        |s11 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e11 AS MATERIALIZED (
+        |  SELECT u, v FROM e10
+        |  JOIN s11 a ON a.node = e10.u JOIN s11 b ON b.node = e10.v),
+        |s12 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e11 UNION ALL SELECT v FROM e11)
+        |  GROUP BY node HAVING count(*) >= 3),
+        |e12 AS MATERIALIZED (
+        |  SELECT u, v FROM e11
+        |  JOIN s12 a ON a.node = e11.u JOIN s12 b ON b.node = e11.v),
+        |fin AS (SELECT u, v FROM e12)
+        |SELECT node, count(*) AS core_deg
+        |FROM (SELECT u AS node FROM fin UNION ALL SELECT v FROM fin)
+        |GROUP BY node ORDER BY node""".stripMargin,
   )
 }

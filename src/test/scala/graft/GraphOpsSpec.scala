@@ -178,4 +178,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(shuffled.getLong(0) == brute && shuffled.getLong(3) == edges.size,
       s"shuffle-close census ${shuffled.getLong(0)} vs brute $brute")
   }
+
+  private def coreOf(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    graft.operators.KCore.kCore(edges.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("k-core: K4 with a pendant path, star, two triangles") {
+    // K4 on 1-4 plus path 4-5-6: the path peels in two rounds; the
+    // 2-core AND 3-core are both exactly K4 (induced degree 3)
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    assert(coreOf(k4tail, 2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(coreOf(k4tail, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(coreOf(k4tail, 4) == Map.empty)
+    // star: every leaf has degree 1 → 2-core empty (hub peels after leaves)
+    assert(coreOf((1L to 10L).map(i => (0L, i)), 2) == Map.empty)
+    // two triangles sharing node 3: 2-core keeps everything
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    assert(coreOf(twoTri, 2) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("k-core matches brute-force peeling on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for (u <- 0L until 60L; v <- (u + 1) until 60L
+                      if rnd.nextDouble() < 0.08) yield (u, v)).toSeq
+    for (k <- Seq(2, 3, 4)) {
+      var adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      var done = false
+      while (!done) {
+        val drop = adj.collect { case (n, vs) if vs.size < k => n }.toSet
+        if (drop.isEmpty) done = true
+        else adj = adj.collect {
+          case (n, vs) if !drop(n) => n -> (vs -- drop)
+        }.filter(_._2.nonEmpty)
+      }
+      val expect = adj.map { case (n, vs) => n -> vs.size.toLong }
+      assert(coreOf(edges, k) == expect, s"k=$k core mismatch")
+    }
+  }
 }
