@@ -3462,6 +3462,25 @@ object Queries {
     operators.KCore.kCore(pairs, "u", "v", k = 3).orderBy("node")
   }
 
+  /** DSv2 COMPLETE aggregate pushdown (SupportsPushDownAggregates on
+    * the custom source): COUNT/MIN/MAX/SUM over the sequence's id are
+    * answered by the source in CLOSED FORM over its (already
+    * filter-narrowed) bounds — the executed plan is a bare BatchScan +
+    * Project, NO aggregate exec, zero rows generated. A filtered
+    * count over a billion-row range is O(1); Dsv2SourceSpec proves
+    * the same shape at a trillion rows. This is the DSv2 contract
+    * real warehouses (JDBC pushdown) use — either answer COMPLETELY
+    * or refuse and let Spark keep the whole aggregate (partial
+    * buffers are deliberately not offered).
+    */
+  def q163_dsv2_agg_pushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 1000000000L).option("slices", 32)
+      .load()
+      .filter(col("id") >= 250000000L && col("id") < 750000000L)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3625,6 +3644,7 @@ object Queries {
     "q160_hybrid_rrf"   -> (q160_hybrid_rrf _),
     "q161_quality_filter" -> (q161_quality_filter _),
     "q162_kcore"        -> (q162_kcore _),
+    "q163_dsv2_agg_pushdown" -> (q163_dsv2_agg_pushdown _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5501,5 +5521,9 @@ object Queries {
         |SELECT node, count(*) AS core_deg
         |FROM (SELECT u AS node FROM fin UNION ALL SELECT v FROM fin)
         |GROUP BY node ORDER BY node""".stripMargin,
+    "q163_dsv2_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id,
+        |  sum(id)::BIGINT AS sum_id
+        |FROM range(250000000, 750000000) t(id)""".stripMargin,
   )
 }

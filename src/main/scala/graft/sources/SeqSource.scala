@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,6 +70,34 @@ object SeqSource {
   def bucketOf(id: Long): Long = id % 97
   def centsOf(id: Long): Long = (id * 2654435761L) % 1000003L
   def wordOf(id: Long): String = "w" + (id % 13)
+
+  /** Aggregates the source can answer in CLOSED FORM over [lo, hi) —
+    * no row generation at all. `id` is the sequence value itself, so
+    * COUNT/MIN/MAX/SUM over it are arithmetic on the (already
+    * filter-narrowed) bounds.
+    */
+  sealed trait SeqAgg {
+    def nullable: Boolean = true
+    /** Closed-form value over [lo, hi); null for empty-input min/max/sum. */
+    def eval(lo: Long, hi: Long): Any
+  }
+  case object CountAll extends SeqAgg {
+    override def nullable: Boolean = false
+    def eval(lo: Long, hi: Long): Any = math.max(hi - lo, 0L)
+  }
+  case object MinId extends SeqAgg {
+    def eval(lo: Long, hi: Long): Any = if (hi <= lo) null else lo
+  }
+  case object MaxId extends SeqAgg {
+    def eval(lo: Long, hi: Long): Any = if (hi <= lo) null else hi - 1
+  }
+  case object SumId extends SeqAgg {
+    // Gauss sum, exact in BigInt; .toLong wraps like Spark's non-ANSI
+    // integral sum would on overflow.
+    def eval(lo: Long, hi: Long): Any =
+      if (hi <= lo) null
+      else ((BigInt(lo) + BigInt(hi - 1)) * BigInt(hi - lo) / 2).toLong
+  }
 }
 
 case class SeqTable(start: Long, end: Long, slices: Int)
@@ -83,12 +113,46 @@ case class SeqTable(start: Long, end: Long, slices: Int)
 case class SeqScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
+  private var pushedAgg: Option[Seq[SeqSource.SeqAgg]] = None
+
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+  private def translate(f: AggregateFunc): Option[SeqSource.SeqAgg] = f match {
+    case _: CountStar => Some(SeqSource.CountAll)
+    // id is generated non-null, so COUNT(id) == COUNT(*)
+    case c: Count if !c.isDistinct && isIdRef(c.column) => Some(SeqSource.CountAll)
+    case m: Min if isIdRef(m.column) => Some(SeqSource.MinId)
+    case m: Max if isIdRef(m.column) => Some(SeqSource.MaxId)
+    case s: Sum if !s.isDistinct && isIdRef(s.column) => Some(SeqSource.SumId)
+    case _ => None
+  }
+
+  // COMPLETE pushdown only: the source answers the whole aggregation
+  // in closed form (Spark plans no aggregate exec above the scan — a
+  // filtered COUNT over a trillion-row range is O(1), zero rows
+  // generated). Partial pushdown (per-partition agg buffers) is
+  // deliberately not offered: either we can answer exactly, or Spark
+  // keeps the whole aggregate. Runs AFTER pushFilters, so the closed
+  // forms see the narrowed bounds.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(translate(_).isDefined)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      pushedAgg = Some(agg.aggregateExpressions.map(translate(_).get).toSeq)
+      true
+    }
 
   // Accept only id-range predicates; everything else is returned for
   // Spark to evaluate above the scan. DSv2 TRUSTS accepted filters as
@@ -115,7 +179,40 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = SeqScan(lo, hi, slices, required, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some(aggs) => SeqAggScan(lo, hi, aggs)
+    case None       => SeqScan(lo, hi, slices, required, pushed)
+  }
+}
+
+/** Closed-form scan for a completely-pushed aggregation: ONE planned
+  * partition emitting ONE row of arithmetic over the narrowed bounds.
+  */
+case class SeqAggScan(lo: Long, hi: Long, aggs: Seq[SeqSource.SeqAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"agg_$i", LongType, nullable = a.nullable)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq bounds=[$lo,$hi) pushedAgg=${aggs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqAggReaderFactory(lo, hi, aggs)
+}
+
+case class SeqAggReaderFactory(lo: Long, hi: Long, aggs: Seq[SeqSource.SeqAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(aggs.map(_.eval(lo, hi)).toArray[Any])
+      override def close(): Unit = ()
+    }
 }
 
 case class SeqScan(

@@ -55,6 +55,52 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(df.head.getLong(0) == want)
   }
 
+  test("complete aggregate pushdown: closed-form answer, no aggregate exec, O(1) at a trillion rows") {
+    // A TRILLION-row range: only answerable at all because the source
+    // answers COUNT/MIN/MAX/SUM over its (filter-narrowed) bounds in
+    // closed form — zero rows are generated.
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 1000000000000L).option("slices", 32)
+      .load()
+      .filter(col("id") >= 100L && col("id") < 1000000000100L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("id")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg="), s"aggregation not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate exec should be elided on complete pushdown:\n$plan")
+    val r = df.head
+    val n = 1000000000000L - 100L // bounds clamp at end=1e12
+    assert(r.getLong(0) == n && r.getLong(1) == 100L && r.getLong(2) == 1000000000000L - 1)
+    // Gauss sum mod 2^64 (Spark's non-ANSI integral sum wraps the same way)
+    val want = ((BigInt(100L) + BigInt(1000000000000L - 1)) * BigInt(n) / 2).toLong
+    assert(r.getLong(3) == want)
+  }
+
+  test("untranslatable aggregates refuse pushdown (sum over a derived column)") {
+    val df = seq(10000).agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAgg="), s"mixed agg must NOT be pushed:\n$plan")
+    assert(plan.contains("HashAggregate"), s"Spark must keep the aggregate:\n$plan")
+    val r = df.head
+    assert(r.getLong(1) == 10000L &&
+      r.getLong(0) == expected(10000).agg(sum("cents")).head.getLong(0))
+  }
+
+  test("group-by aggregates refuse pushdown and stay correct") {
+    val df = seq(10000).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAgg="), s"grouped agg must NOT be pushed:\n$plan")
+    assert(df.agg(sum("n")).head.getLong(0) == 10000L && df.count() == 97)
+  }
+
+  test("pushed aggregation over an empty (unsatisfiable) range yields SQL empty-input semantics") {
+    val r = seq(1000).filter(col("id") < 0L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), sum(col("id")).as("s"))
+      .head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("result is slice-count invariant (partitioning is pure planning)") {
     val a = seq(30000, slices = 1).agg(sum("cents"), count(lit(1))).head
     val b = seq(30000, slices = 17).agg(sum("cents"), count(lit(1))).head
