@@ -30,4 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+// Ad-hoc experiment hook: SPARK_EXTRA_OPTS="-Dspark.x=y -Dspark.a=b"
+// reaches the forked run/test JVMs (set at sbt LAUNCH, not per-task).
+) ++ sys.env.get("SPARK_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -3481,6 +3481,69 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
 
+  /** Boilerplate n-gram detection — the C4/RefinedWeb-style corpus
+    * cleanup step: per `source` (the domain analogue), find word
+    * bigrams that recur across >= 5 of the source's documents
+    * (navigation chrome, footers, templates) and report the blast
+    * radius (distinct n-grams, total doc hits, affected docs).
+    *
+    * Scale shape: the n-gram relation (corpus tokens exploded, the
+    * big axis) is shuffled ONCE on (source, ng) with map-side
+    * combine; the boilerplate set that survives the threshold is
+    * orders smaller and BROADCAST back for the affected-doc pass, so
+    * the corpus is scanned twice but never cached — at 100 TB a
+    * persisted exploded-n-gram frame would be several times corpus
+    * size, while a re-scan through the fused codegen tokenizer is a
+    * cheap streaming pass.
+    */
+  def q164_boilerplate_ngrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = tWide(s, dir, "documents")
+      .select(col("source"), col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val ngrams = docs.select(col("source"), col("doc_id"),
+      explode(TextFunctions.wordShingles(col("toks"), 2)).as("ng"))
+    val byNg = ngrams.groupBy("source", "ng").agg(count(lit(1)).as("nd"))
+    val boiler = byNg.filter(col("nd") >= 5)
+    val perSrc = boiler.groupBy("source")
+      .agg(count(lit(1)).as("n_boiler"), sum("nd").as("boiler_doc_hits"))
+    val docsHit = ngrams
+      .join(broadcast(boiler.select("source", "ng")), Seq("source", "ng"))
+      .select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("docs_hit"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(perSrc, Seq("source"), "left")
+      .join(docsHit, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("boiler_doc_hits"), lit(0L)).as("boiler_doc_hits"),
+        coalesce(col("docs_hit"), lit(0L)).as("docs_hit"))
+      .orderBy("source")
+  }
+
+  /** Multi-source BFS hop distance over the repeat co-occurrence
+    * graph (same graph as q162): distance from every part to the
+    * nearest "hub" part (ids divisible by 50) — the fifth graph
+    * pillar. Synchronous frontier expansion with a fixed hop cap;
+    * the cap (10) exceeds the graph's seed eccentricity at every SF,
+    * and extra rounds past the fixpoint are no-ops, so the unrolled
+    * 10-round relaxation oracle reproduces the result exactly.
+    */
+  def q165_bfs_hops(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    val seeds = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node")))
+      .distinct().filter(col("node") % 50 === 0)
+    operators.Bfs.hops(pairs, "u", "v", seeds, maxRounds = 10).orderBy("node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3645,6 +3708,8 @@ object Queries {
     "q161_quality_filter" -> (q161_quality_filter _),
     "q162_kcore"        -> (q162_kcore _),
     "q163_dsv2_agg_pushdown" -> (q163_dsv2_agg_pushdown _),
+    "q164_boilerplate_ngrams" -> (q164_boilerplate_ngrams _),
+    "q165_bfs_hops"     -> (q165_bfs_hops _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5525,5 +5590,55 @@ object Queries {
       """SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id,
         |  sum(id)::BIGINT AS sum_id
         |FROM range(250000000, 750000000) t(id)""".stripMargin,
+    "q164_boilerplate_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |docs AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 2),
+        |s AS (
+        |  SELECT source, doc_id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+        |                          for i in range(1, len(toks))])) AS ng
+        |  FROM docs),
+        |c AS (SELECT source, ng, count(*) AS nd FROM s GROUP BY source, ng),
+        |b AS (SELECT source, ng, nd FROM c WHERE nd >= 5),
+        |ps AS (SELECT source, count(*) AS n_boiler, sum(nd) AS hits FROM b GROUP BY source),
+        |dh AS (SELECT source, count(DISTINCT doc_id) AS docs_hit
+        |       FROM s JOIN b USING (source, ng) GROUP BY source),
+        |nd2 AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source)
+        |SELECT nd2.source, n_docs,
+        |  coalesce(n_boiler, 0) AS n_boiler,
+        |  coalesce(hits, 0)::BIGINT AS boiler_doc_hits,
+        |  coalesce(docs_hit, 0) AS docs_hit
+        |FROM nd2 LEFT JOIN ps USING (source) LEFT JOIN dh USING (source)
+        |ORDER BY nd2.source""".stripMargin,
+    "q165_bfs_hops" -> {
+      // 10 unrolled min-relaxation rounds (MATERIALIZED, as in q162's
+      // peel oracle): d_i(n) = shortest distance using <= i hops, and
+      // the seed eccentricity is < 10 at every SF, so d10 is the BFS
+      // fixpoint. Rounds are generated, not hand-written.
+      val rounds = (1 to 10).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT g.b AS node, d${i - 1}.dist + 1 AS dist
+           |    FROM d${i - 1} JOIN g ON g.a = d${i - 1}.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |g AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT x AS node, 0 AS dist
+         |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+         |  WHERE x % 50 = 0),
+         |$rounds
+         |SELECT node, dist::BIGINT AS dist FROM d10 ORDER BY node""".stripMargin
+    },
   )
 }

@@ -47,6 +47,12 @@ object Components {
     *                  is a reachable node id). At 100 TB a partial
     *                  result a caller can iterate again beats an abort
     *                  that throws away maxIter rounds of work.
+    * @param maxLocalEdges cost-based gate (see [[LocalGraph]]): at or
+    *                  below this many DISTINCT symmetrized edge rows
+    *                  the already-materialized edges are collected and
+    *                  solved by driver union-find — exact, identical
+    *                  labels, no per-round job overhead. 0 forces the
+    *                  distributed path (scale tests do).
     * @return (id, component) for every node appearing in any edge;
     *         component = min node id of the connected component.
     *         Isolated nodes (no edges) are the caller's to union in —
@@ -57,12 +63,28 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      maxLocalEdges: Long = LocalGraph.DefaultMaxLocalEdges): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     // Symmetrize once so one join direction propagates both ways.
     val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .localCheckpoint(true)
+
+    // sym is materialized (eager checkpoint), so this count is a cheap
+    // cached-block scan, and it doubles as the cost-based gate: tiny
+    // graphs (near-dup clusters are overwhelmingly small) skip the
+    // per-round shuffle+checkpoint tax entirely.
+    if (maxLocalEdges > 0 && sym.count() <= 2 * maxLocalEdges) {
+      // s<=d keeps one canonical row per undirected edge AND keeps
+      // self-loops, whose nodes the distributed path labels too
+      val local = LocalGraph.components(
+        sym.filter(col("s") <= col("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return local.toSeq.toDF("id", "component")
+    }
 
     var labels = sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("component"))

@@ -32,7 +32,8 @@ object KCore {
     *         degree; empty when the k-core is empty.
     */
   def kCore(edges: DataFrame, uCol: String, vCol: String, k: Int,
-      maxIter: Int = 50, strict: Boolean = true): DataFrame = {
+      maxIter: Int = 50, strict: Boolean = true,
+      maxLocalEdges: Long = LocalGraph.DefaultMaxLocalEdges): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edges
       .filter(col(uCol) =!= col(vCol))
@@ -42,6 +43,17 @@ object KCore {
       .distinct()
       .localCheckpoint(true)
     var prevCount = e.count()
+    // Cost-based gate (see LocalGraph): the canonical edge set is
+    // already materialized and counted, so deciding is free. A peel
+    // that would run 10 rounds × (1 agg + 2 joins + checkpoint) on a
+    // few thousand edges instead runs a worklist in microseconds.
+    if (maxLocalEdges > 0 && prevCount <= maxLocalEdges) {
+      val local = LocalGraph.kCore(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))), k)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return local.toSeq.toDF("node", "core_deg")
+    }
     var iter = 0
     var converged = prevCount == 0L
     while (iter < maxIter && !converged) {

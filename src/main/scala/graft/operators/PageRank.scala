@@ -54,7 +54,8 @@ object PageRank {
       iterations: Int,
       scale: Long = 1000000L,
       dampingX100: Long = 85L,
-      nodeUniverse: Option[DataFrame] = None): DataFrame = {
+      nodeUniverse: Option[DataFrame] = None,
+      maxLocalEdges: Long = LocalGraph.DefaultMaxLocalEdges): DataFrame = {
     // Materialize the iteration-invariant tables ONCE: Spark has no
     // common-subexpression reuse across the unrolled loop, so without
     // this every iteration would re-run the caller's whole edge-build
@@ -68,6 +69,21 @@ object PageRank {
       .localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val withDeg = edges.join(outdeg, "src").localCheckpoint(true)
+
+    // Cost-based gate (see LocalGraph): both iteration-invariant
+    // tables are just materialized, so counting is a cached-block
+    // scan. Integer ranks are order-free sums — the local loop is
+    // bit-identical to the distributed reduction.
+    if (maxLocalEdges > 0 && withDeg.count() <= maxLocalEdges) {
+      val localEdges = withDeg.select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val localNodes = nodes.collect().map(_.getLong(0))
+      val local = LocalGraph.pageRank(
+        localEdges, localNodes, iterations, scale, dampingX100)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return local.toSeq.toDF("node", "rank")
+    }
 
     val base = scale * (100L - dampingX100) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))

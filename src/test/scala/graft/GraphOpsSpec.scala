@@ -29,7 +29,8 @@ class GraphOpsSpec extends SparkSpec {
     // plain min propagation would need ~30 rounds; path halving must
     // land well inside 8 (observed: 5)
     val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(edges, "a", "b", maxIter = 8)
+    val got = Components.connectedComponents(edges, "a", "b", maxIter = 8,
+        maxLocalEdges = 0) // force the distributed path: this test pins pointer jumping
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 30 && got.values.forall(_ == 0L))
   }
@@ -42,11 +43,13 @@ class GraphOpsSpec extends SparkSpec {
     // true min (0), and re-running CC on the induced (id→label) edges
     // would converge — the documented "iterate again" contract.
     val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    // maxLocalEdges = 0 throughout: the local solver always converges,
+    // so partial-result semantics only exist on the distributed path
     intercept[IllegalArgumentException] {
-      Components.connectedComponents(edges, "a", "b", maxIter = 1)
+      Components.connectedComponents(edges, "a", "b", maxIter = 1, maxLocalEdges = 0)
     }
     val partial = Components.connectedComponents(edges, "a", "b",
-        maxIter = 1, strict = false)
+        maxIter = 1, strict = false, maxLocalEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(partial.size == 30)
     assert(partial.forall { case (id, label) => label >= 0L && label <= id },
@@ -217,5 +220,42 @@ class GraphOpsSpec extends SparkSpec {
       val expect = adj.map { case (n, vs) => n -> vs.size.toLong }
       assert(coreOf(edges, k) == expect, s"k=$k core mismatch")
     }
+  }
+
+  test("cost-based local fallback equals the distributed path (CC, k-core, PageRank, BFS)") {
+    // The LocalGraph gate must be INVISIBLE: same seeded random graph,
+    // maxLocalEdges=0 (forced distributed) vs default (local here) —
+    // bit-identical outputs for all four operators. This is the
+    // contract that lets the fallback run under the DuckDB oracles.
+    val rnd = new scala.util.Random(23)
+    val edges = (for (u <- 0L until 80L; v <- (u + 1) until 80L
+                      if rnd.nextDouble() < 0.05) yield (u, v)).toSeq
+    val df = edges.toDF("a", "b")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.toString).toSet
+
+    val ccD = Components.connectedComponents(df, "a", "b", maxLocalEdges = 0)
+    val ccL = Components.connectedComponents(df, "a", "b")
+    assert(rows(ccD) == rows(ccL), "CC local != distributed")
+
+    val kcD = graft.operators.KCore.kCore(df, "a", "b", k = 2, maxLocalEdges = 0)
+    val kcL = graft.operators.KCore.kCore(df, "a", "b", k = 2)
+    assert(rows(kcD) == rows(kcL), "k-core local != distributed")
+
+    val dir = df.select(col("a").as("src"), col("b").as("dst"))
+      .union(df.select(col("b").as("src"), col("a").as("dst")))
+    val prD = graft.operators.PageRank.run(dir, iterations = 3, maxLocalEdges = 0)
+    val prL = graft.operators.PageRank.run(dir, iterations = 3)
+    assert(rows(prD) == rows(prL), "pagerank local != distributed")
+
+    val seeds = Seq(0L, 17L, 40L).toDF("node")
+    val bfD = graft.operators.Bfs.hops(df, "a", "b", seeds, maxRounds = 12,
+      maxLocalEdges = 0)
+    val bfL = graft.operators.Bfs.hops(df, "a", "b", seeds, maxRounds = 12)
+    assert(rows(bfD) == rows(bfL), "bfs local != distributed")
+    // sanity: seeds settle at 0, everything else strictly positive
+    val m = bfL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 0L && m(17L) == 0L && m(40L) == 0L)
+    assert(m.count(_._2 > 0L) > 0)
   }
 }

@@ -54,7 +54,8 @@ class ScaleSpec extends SparkSpec {
     val edges = spark.range(100000).select(
       col("id").as("a"),
       (col("id") - (col("id") % 10) + (col("id") + 1) % 10).as("b"))
-    val labels = Components.connectedComponents(edges.toDF(), "a", "b")
+    val labels = Components.connectedComponents(edges.toDF(), "a", "b",
+      maxLocalEdges = 0) // stress test pins the DISTRIBUTED path
     assert(labels.count() == 100000)
     val wrong = labels.filter(col("component") =!= col("id") - (col("id") % 10)).count()
     assert(wrong == 0, s"$wrong nodes got a wrong component")
@@ -69,7 +70,8 @@ class ScaleSpec extends SparkSpec {
     // lineage truncation or with a broken pointer jump falls over.
     val n = 1000000L
     val edges = spark.range(n).select(col("id").as("a"), (col("id") + 1).as("b"))
-    val labels = Components.connectedComponents(edges.toDF(), "a", "b")
+    val labels = Components.connectedComponents(edges.toDF(), "a", "b",
+      maxLocalEdges = 0) // stress test pins the DISTRIBUTED path
     assert(labels.count() == n + 1)
     val wrong = labels.filter(col("component") =!= 0L).count()
     assert(wrong == 0, s"$wrong nodes failed to reach the path's min label")
@@ -103,7 +105,8 @@ class ScaleSpec extends SparkSpec {
     val n = 100000L
     val edges = spark.range(n).select(
       col("id").as("src"), ((col("id") + 1) % n).as("dst"))
-    val ranks = PageRank.run(edges.toDF(), iterations = 3)
+    val ranks = PageRank.run(edges.toDF(), iterations = 3,
+      maxLocalEdges = 0) // stress test pins the DISTRIBUTED path
     assert(ranks.count() == n)
     val off = ranks.filter(col("rank") =!= 1000000L).count()
     assert(off == 0, s"$off ring nodes drifted from the fixed point")
