@@ -73,11 +73,23 @@ object PageRank {
     // Cost-based gate (see LocalGraph): both iteration-invariant
     // tables are just materialized, so counting is a cached-block
     // scan. Integer ranks are order-free sums — the local loop is
-    // bit-identical to the distributed reduction.
-    if (maxLocalEdges > 0 && withDeg.count() <= maxLocalEdges) {
-      val localEdges = withDeg.select(col("src"), col("dst"))
+    // bit-identical to the distributed reduction. LocalGraph keys on
+    // Long, so the gate only opens for integral node ids (q131 ranks
+    // STRING word nodes — those stay on the distributed path rather
+    // than paying a driver-side id-dictionary build).
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      def ok(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+      ok(withDeg.schema("src").dataType) && ok(withDeg.schema("dst").dataType) &&
+        ok(nodes.schema("node").dataType)
+    }
+    if (integralIds && maxLocalEdges > 0 && withDeg.count() <= maxLocalEdges) {
+      val localEdges = withDeg
+        .select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val localNodes = nodes.collect().map(_.getLong(0))
+      val localNodes = nodes.select(col("node").cast("long"))
+        .collect().map(_.getLong(0))
       val local = LocalGraph.pageRank(
         localEdges, localNodes, iterations, scale, dampingX100)
       val spark = edges.sparkSession
