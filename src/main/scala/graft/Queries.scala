@@ -3544,6 +3544,75 @@ object Queries {
     operators.Bfs.hops(pairs, "u", "v", seeds, maxRounds = 10).orderBy("node")
   }
 
+  /** Community sizes by deterministic synchronous label propagation
+    * (operators/LabelProp) over the part co-occurrence graph — the
+    * sixth graph pillar. 4 rounds: labels flood dense co-purchase
+    * neighborhoods but not the sparse bridges between them, so the
+    * histogram separates communities that connected components (q53)
+    * would merge. Fixed rounds + plurality-then-smallest-label
+    * tie-break make the 4-round unrolled SQL oracle exact.
+    */
+  def q166_label_prop(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    operators.LabelProp.run(pairs, "u", "v", rounds = 4)
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("label")
+  }
+
+  /** Cluster-scoped embedding dedup (operators/SemanticDedup — the
+    * SemDeDup pattern): k-means cells via the IVF centroid build,
+    * near-dup pairs searched ONLY within cells, drop the higher id of
+    * each pair. Per-cell summary rows. The synthetic embeddings are
+    * near-orthogonal (max off-diagonal cosine ~0.6), so tau=0.3 is
+    * deliberately aggressive to exercise the drop path; the planted
+    * -duplicate ground truth lives in Round5OpsSpec. Rows-only: the
+    * cluster assignment is not SQL-expressible.
+    */
+  def q167_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    operators.SemanticDedup.summary(
+      tWide(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 16, tau = 0.3)
+
+  /** Top-principal-component histogram (operators/Pca): distributed
+    * covariance (q159's map-side-combined shape) → driver power
+    * iteration on the 64x64 matrix → distributed projection, scores
+    * cut into 10 equal-width bins. Rows-only: the eigenvector is not
+    * SQL-expressible; the direction-recovery ground truth (planted
+    * dominant axis) lives in Round5OpsSpec.
+    */
+  def q168_pca_power(s: SparkSession, dir: String): DataFrame =
+    operators.Pca.projectionHistogram(
+      tWide(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, nBins = 10)
+
+  /** Bloom-pruned fact⋈dim join (operators/BloomJoin): lineitem rows
+    * are pre-filtered by a bloom over URGENT orders' keys BEFORE the
+    * join shuffle — ~80% of the fact table never rides the exchange.
+    * The join removes the bloom's false positives, so the result (and
+    * the oracle) is exactly the plain join: monthly line counts and
+    * revenue for urgent orders.
+    */
+  def q169_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    operators.BloomJoin.prunedJoin(li, "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 1000000L)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("mon")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3710,6 +3779,10 @@ object Queries {
     "q163_dsv2_agg_pushdown" -> (q163_dsv2_agg_pushdown _),
     "q164_boilerplate_ngrams" -> (q164_boilerplate_ngrams _),
     "q165_bfs_hops"     -> (q165_bfs_hops _),
+    "q166_label_prop"   -> (q166_label_prop _),
+    "q167_semantic_dedup" -> (q167_semantic_dedup _),
+    "q168_pca_power"    -> (q168_pca_power _),
+    "q169_bloom_join"   -> (q169_bloom_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5640,5 +5713,37 @@ object Queries {
          |$rounds
          |SELECT node, dist::BIGINT AS dist FROM d10 ORDER BY node""".stripMargin
     },
+    "q166_label_prop" -> {
+      // 4 unrolled synchronous LPA rounds. Each round is the exact
+      // deterministic recurrence: plurality neighbor label, ties to
+      // the smallest label, every node updating from the previous
+      // round (QUALIFY row_number ORDER BY c DESC, label ASC = Spark's
+      // max_by over the (count, -label) struct).
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT g.b AS node, l.label, count(*) AS c
+           |    FROM g JOIN l${i - 1} l ON g.a = l.node
+           |    GROUP BY 1, 2)
+           |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |g AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM g),
+         |$rounds
+         |SELECT label, count(*)::BIGINT AS n_nodes FROM l4
+         |GROUP BY label ORDER BY label""".stripMargin
+    },
+    "q169_bloom_join" ->
+      """SELECT date_trunc('month', o.o_orderdate)::DATE AS mon,
+        |  count(*)::BIGINT AS n_items,
+        |  round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -138,6 +138,40 @@ object LocalGraph {
     nodes.map(n => (n, ranks(n))).sortBy(_._1)
   }
 
+  /** Synchronous deterministic label propagation — the identical
+    * recurrence as [[LabelProp.run]]: every node simultaneously adopts
+    * its neighbors' plurality label from the PREVIOUS round, plurality
+    * ties toward the smallest label. Argmax over (count, -label) is
+    * order-free, so this matches the distributed reduction exactly.
+    */
+  def labelProp(edges: Array[(Long, Long)], rounds: Int): Array[(Long, Long)] = {
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
+    edges.foreach { case (u, v) => if (u != v) { add(u, v); add(v, u) } }
+    var labels = mutable.LongMap.empty[Long]
+    adj.keys.foreach(n => labels.update(n, n))
+    var i = 0
+    while (i < rounds) {
+      val next = mutable.LongMap.empty[Long]
+      adj.foreach { case (n, ns) =>
+        val counts = mutable.LongMap.empty[Long]
+        ns.foreach { m =>
+          val l = labels(m)
+          counts.update(l, counts.getOrElse(l, 0L) + 1L)
+        }
+        var bestL = Long.MaxValue; var bestC = 0L
+        counts.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next.update(n, bestL)
+      }
+      labels = next
+      i += 1
+    }
+    adj.keys.toArray.map(n => (n, labels(n))).sortBy(_._1)
+  }
+
   /** Multi-source BFS hop distances, capped at `maxRounds` hops —
     * the same frontier recurrence as the distributed form: dist 0 at
     * every seed, each round extends the frontier one hop, first
