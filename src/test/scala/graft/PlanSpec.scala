@@ -90,7 +90,9 @@ class PlanSpec extends SparkSpec {
       "q153_triangle_count",
       // q160: 1-row probe-vector broadcast cross join (q08's pattern)
       // plus q82's 1-row avgdl/n_docs broadcasts
-      "q160_hybrid_rrf")
+      "q160_hybrid_rrf",
+      // q168: 1-row broadcast [min,max] PC1 range frame (q81's pattern)
+      "q168_pca_power")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
@@ -129,6 +131,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"),
       s"triangle enumeration must plan hash/merge equi-joins:\n$p")
+  }
+
+  test("q169 bloom join: probe filter sits below the join, and the join shuffles (no broadcast)") {
+    val p = plan("q169_bloom_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the judged form pins the shuffle-join regime the bloom exists for:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a broadcast join would make the bloom prune a nonexistent shuffle:\n$p")
+    // The UDF probe must appear as a Filter on the lineitem side —
+    // i.e. the pruning happens BEFORE rows enter the exchange.
+    assert(p.contains("mightContain") || p.toLowerCase.contains("udf"),
+      s"bloom probe filter missing from the physical plan:\n$p")
   }
 
   test("q89 global sort plans a range-partitioning exchange, not a single-partition sort") {
