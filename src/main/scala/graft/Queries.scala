@@ -3619,6 +3619,65 @@ object Queries {
       .orderBy("mon")
   }
 
+  /** Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    * ln(freq) on ln(rank) for the top-1000 words — the corpus-health
+    * diagnostic (natural language sits near slope −1; template/spam
+    * corpora flatten it). Rank comes from PrefixSum.globalRank on
+    * (−count, word) — distributed, deterministic tie-break — and the
+    * fit is the single-pass co-moment `regr_slope`/`regr_intercept`
+    * (q102's shape), so the whole query is two aggregations however
+    * large the vocabulary.
+    */
+  def q170_zipf_slope(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val counts = tWide(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = PrefixSum.globalRank(
+      counts.select(col("w"), col("c"), (-col("c")).as("negc")), Seq("negc", "w"), "r")
+    val vocab = counts.agg(count(lit(1)).as("n_vocab"))
+    ranked.filter(col("r") <= 1000)
+      .agg(count(lit(1)).as("n_top"),
+        round(regr_slope(log(col("c")), log(col("r"))), 4).as("zipf_slope"),
+        round(regr_intercept(log(col("c")), log(col("r"))), 4).as("zipf_intercept"))
+      .crossJoin(broadcast(vocab)) // 1-row frame (q145's pattern)
+      .select(col("n_vocab"), col("n_top"), col("zipf_slope"), col("zipf_intercept"))
+  }
+
+  /** Directional containment join (SetSimJoin.containmentJoin):
+    * pairs where >= 70% of a's discriminative 3-shingles occur in b —
+    * the quote/excerpt/subset-duplication detector Jaccard joins miss
+    * by construction. df-capped inverted index (cap 50) bounds the
+    * fan-out AND defines the score's vocabulary (stop-shingles
+    * excluded from numerator and denominator alike — part of the
+    * operator contract, reproduced by the oracle).
+    */
+  def q171_containment_join(s: SparkSession, dir: String): DataFrame = {
+    val docs = tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    operators.SetSimJoin.containmentJoin(
+        docs, "doc_id", "toks", shingleSize = 3, maxDf = 50L, minContainment = 0.7)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Compression-ratio quality audit (functions/CompressionScore):
+    * per source, the deflate-ratio distribution and the count of
+    * suspiciously-compressible documents (ratio < 0.4 — template/
+    * near-duplicate content). Rows-only: DEFLATE output length is
+    * engine-internal (no SQL equivalent); the ordering ground truth
+    * (repetitive text compresses below prose) lives in Round6OpsSpec.
+    */
+  def q172_compress_ratio(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("source"),
+        graft.functions.CompressionScore.ratio(col("text")).as("ratio"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("ratio"), 4).as("mean_ratio"),
+        round(min("ratio"), 4).as("min_ratio"),
+        sum((col("ratio") < 0.4).cast("long")).as("n_suspicious"))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3789,6 +3848,9 @@ object Queries {
     "q167_semantic_dedup" -> (q167_semantic_dedup _),
     "q168_pca_power"    -> (q168_pca_power _),
     "q169_bloom_join"   -> (q169_bloom_join _),
+    "q170_zipf_slope"   -> (q170_zipf_slope _),
+    "q171_containment_join" -> (q171_containment_join _),
+    "q172_compress_ratio" -> (q172_compress_ratio _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5751,5 +5813,39 @@ object Queries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q170_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM c),
+        |t AS (SELECT * FROM r WHERE r <= 1000)
+        |SELECT (SELECT count(*) FROM c)::BIGINT AS n_vocab,
+        |  count(*)::BIGINT AS n_top,
+        |  round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+        |  round(regr_intercept(ln(c), ln(r)), 4) AS zipf_intercept
+        |FROM t""".stripMargin,
+    "q171_containment_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |docs AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks)-1)])) AS sh
+        |  FROM docs),
+        |f AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 50),
+        |idx AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS n_common
+        |  FROM idx a JOIN idx b USING (sh)
+        |  WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        |  round(n_common * 1.0 / sz, 4) AS containment
+        |FROM pairs JOIN sizes ON a_id = doc_id
+        |WHERE n_common * 1.0 / sz >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -129,4 +129,69 @@ object SetSimJoin {
       .filter(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Directional CONTAINMENT join: pairs (a, b) where at least
+    * `minContainment` of a's shingle set also occurs in b —
+    * |A∩B| / |A|, the ASYMMETRIC complement of the Jaccard join
+    * above. Jaccard misses subset duplication by construction (a
+    * quote embedded in a 10x longer document has J ≈ 0.1 however
+    * verbatim the quote), and containment is the measure corpus
+    * curation actually wants for quote/excerpt/boilerplate-inclusion
+    * detection.
+    *
+    * Machinery: a document-frequency-capped INVERTED INDEX join.
+    * Shingles occurring in more than `maxDf` documents are excluded
+    * from the index — and, deliberately, from BOTH the numerator and
+    * the denominator, so the reported score is containment over the
+    * discriminative shingle vocabulary (stop-shingles like "of the
+    * and" can neither create nor dilute a match; this is the same
+    * df-side cut every production prefix-filter system applies, made
+    * part of the operator's contract so an external oracle can
+    * reproduce it exactly). The cap also bounds the join fan-out: one
+    * shingle contributes at most maxDf² candidate pairs, so the skew
+    * of natural language ("the the the") cannot melt a reducer.
+    *
+    * Shuffle shape at 100 TB: one map-side explode to (id, shingle
+    * hash), one df aggregation + equi-join to apply the cap, the
+    * index self-join on the 8-byte hash, then a count aggregation on
+    * pair ids — every stage hash-partitioned on a real key, fan-out
+    * bounded by maxDf, no cartesian product. The index is consumed
+    * three times (sizes + both join sides) and so is persisted;
+    * released by the caller's session hygiene (Bench/Verify unpersist
+    * between queries), as with Dedup.minhashLshPairs.
+    *
+    * @param docs        input with an id column and an array<string>
+    *                    TOKEN column (already tokenized)
+    * @param shingleSize word-shingle width (3 = classic)
+    * @param maxDf       inverted-index document-frequency cap
+    * @param minContainment emit threshold in (0, 1]
+    * @return (a_id, b_id, n_common, containment) — directional, both
+    *         orientations of a pair may appear
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shingleSize: Int,
+      maxDf: Long,
+      minContainment: Double): DataFrame = {
+    val idx0 = docs
+      .select(col(idCol).as("a_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles(col(tokensCol), shingleSize))).as("shs"))
+      .select(col("a_id"), xxhash64(col("shs")).as("sh"))
+    val keep = idx0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val idx = idx0.join(keep, "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.groupBy("a_id").agg(count(lit(1)).as("sz"))
+    idx.join(idx.select(col("sh"), col("a_id").as("b_id")), "sh")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      .join(sizes, "a_id")
+      .withColumn("containment", col("n_common").cast("double") / col("sz"))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        round(col("containment"), 4).as("containment"))
+  }
 }

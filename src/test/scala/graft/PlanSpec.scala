@@ -92,7 +92,9 @@ class PlanSpec extends SparkSpec {
       // plus q82's 1-row avgdl/n_docs broadcasts
       "q160_hybrid_rrf",
       // q168: 1-row broadcast [min,max] PC1 range frame (q81's pattern)
-      "q168_pca_power")
+      "q168_pca_power",
+      // q170: 1-row broadcast vocab count (q145's pattern)
+      "q170_zipf_slope")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -146,4 +146,72 @@ class Round6OpsSpec extends SparkSpec {
       .select("k").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(1L, 2L))
   }
+
+  test("containment join: embedded quote scores 1.0 toward its host, host stays below threshold") {
+    import graft.operators.SetSimJoin
+    val quote = "alpha beta gamma delta epsilon"
+    val host = s"intro words before the excerpt $quote and a long tail of unrelated prose " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, quote), (2L, host), (3L, "entirely different content here today"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val got = SetSimJoin.containmentJoin(docs, "doc_id", "toks",
+      shingleSize = 3, maxDf = 50L, minContainment = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // Every 3-shingle of the quote occurs verbatim in the host → 1.0;
+    // the host's containment in the quote is tiny; doc 3 matches nothing.
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("containment join: shingles over the df cap can neither create nor dilute a match") {
+    import graft.operators.SetSimJoin
+    // "common common common" appears in every doc; with maxDf below
+    // the corpus size it is excluded from numerator AND denominator,
+    // so docs sharing ONLY boilerplate never pair.
+    val docs = (1L to 10L).map(i => (i, s"common common common unique$i word$i tail$i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val got = SetSimJoin.containmentJoin(docs, "doc_id", "toks",
+      shingleSize = 3, maxDf = 5L, minContainment = 0.1)
+    assert(got.count() == 0L, "boilerplate-only overlap must not pair documents")
+  }
+
+  test("zipf fit: an exact power-law corpus recovers its planted slope") {
+    // freq(rank r) = round(1000 * r^-0.8): regressing ln(freq) on
+    // ln(rank) must recover ~-0.8 (rounding of small counts bends the
+    // tail slightly; 30 ranks keeps counts >= 66 where rounding is
+    // sub-1%).
+    val words = (1 to 30).flatMap { r =>
+      val c = math.round(1000.0 * math.pow(r.toDouble, -0.8)).toInt
+      Seq.fill(c)(s"w$r")
+    }
+    val counts = words.toDF("w").groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.PrefixSum.globalRank(
+      counts.select(col("w"), col("c"), (-col("c")).as("negc")), Seq("negc", "w"), "r")
+    val slope = ranked
+      .agg(regr_slope(log(col("c")), log(col("r"))).as("s"))
+      .collect().head.getDouble(0)
+    assert(math.abs(slope - (-0.8)) < 0.01, s"planted slope -0.8, got $slope")
+  }
+
+  test("compression ratio: repetitive text compresses below prose, and edge cases hold") {
+    import graft.functions.CompressionScore
+    val df = Seq(
+      (1L, "spam " * 400),
+      (2L, "the quick brown fox jumps over the lazy dog while seventeen " +
+        "violinists argue about parquet footers and shuffle partitions in " +
+        "a crowded amsterdam cafe during an unseasonably warm october evening"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), CompressionScore.ratio(col("text")).as("r"))
+    val rows = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).get < 0.1, s"400x-repeated token must compress hard, got ${rows(1L)}")
+    assert(rows(2L).get > rows(1L).get + 0.3, "prose must compress far worse than spam")
+    assert(rows(3L).contains(1.0) && rows(4L).isEmpty)
+    // Determinism: a second evaluation yields identical doubles.
+    val again = Seq((1L, "spam " * 400)).toDF("id", "text")
+      .select(CompressionScore.ratio(col("text"))).collect().head.getDouble(0)
+    assert(again == rows(1L).get)
+  }
 }
