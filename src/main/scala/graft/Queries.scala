@@ -3678,6 +3678,156 @@ object Queries {
         sum((col("ratio") < 0.4).cast("long")).as("n_suspicious"))
       .orderBy("source")
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event_type | event_type). `lead` over a window
+    * partitioned by user — state is one row per user per partition, so
+    * the shuffle is the only cost and it scales with users, never with
+    * a global sort. (event_id breaks ts ties deterministically; the
+    * regenerated events table has µs timestamps but same-µs pairs
+    * would otherwise make `lead` nondeterministic.) The transition
+    * matrix is the input to session simulation / anomaly scoring.
+    */
+  def q173_markov_transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** RAG-style sliding-window chunking: each document split into
+    * 64-token chunks with stride 48 (16-token overlap), one output row
+    * per chunk with its token count and content hash. Pure per-row
+    * array arithmetic (`sequence` → `explode` → `slice`) — no shuffle
+    * at all until the final orderBy, so at 100 TB this is a map-only
+    * pass whose output can stream straight into an embedding UDF. The
+    * chunk hash is what a vector-store upsert would key on (re-chunking
+    * an updated corpus only re-embeds changed hashes).
+    */
+  def q174_chunk_sliding(s: SparkSession, dir: String): DataFrame = {
+    val C = 64
+    val S = 48
+    val toks = tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_chunks",
+        (ceil(greatest(size(col("toks")) - C, lit(0)).cast("double") / S) + 1).cast("int"))
+    toks
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * S + 1, lit(C)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ch")).as("n_toks"),
+        md5(concat_ws(" ", col("ch"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Benford first-digit audit over extended prices — the fabricated-
+    * data / ingestion-bug detector. Digit extraction goes through
+    * exact integer arithmetic (`round(x*100)::BIGINT` → first char),
+    * NOT floor(log10): prices have 2 decimals, so the integer route is
+    * bit-exact in both engines while log10 can straddle a power-of-ten
+    * boundary differently per libm. One narrow scan + a ≤9-row
+    * aggregate; the total for shares comes from re-aggregating the
+    * 9-row frame (q101's 1-row broadcast pattern — ReuseExchange makes
+    * the second scan free), and the expected share is the closed form
+    * log10(1+1/d).
+    */
+  def q175_benford(s: SparkSession, dir: String): DataFrame = {
+    val byDigit = t(s, dir, "lineitem")
+      .select(substring(round(col("l_extendedprice") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val total = byDigit.agg(sum("n").as("tot"))
+    byDigit.crossJoin(broadcast(total))
+      .withColumn("obs_share", round(col("n") / col("tot"), 4))
+      .withColumn("benford_share", round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 4))
+      .withColumn("abs_dev", round(abs(col("obs_share") - col("benford_share")), 4))
+      .select("digit", "n", "obs_share", "benford_share", "abs_dev")
+      .orderBy("digit")
+  }
+
+  /** Product-quantized ANN (operators/Pq): codebooks trained on a
+    * hash-deterministic sample, the corpus encoded to m=8 byte-codes
+    * per vector (64 float32 → 8 small ints ⇒ 32× compression), then
+    * for three probes an ADC top-10 scan that reads ONLY the code
+    * column — followed by the standard exact re-rank of the 10
+    * survivors. m=8 (8-dim subspaces) rather than 4: the driver
+    * embeddings are i.i.d.-random (PQ's worst case), and halving the
+    * subspace dim roughly doubles measured top-50 containment of the
+    * exact top-10. Rows-only: driver-side Lloyd + a codegen lookup
+    * table have no SQL equivalent; recall-vs-exact (planted clusters),
+    * the ADC/exact correlation on this corpus, and the argmin⟺argmax
+    * augmentation identity are pinned in PqSpec.
+    */
+  def q176_pq_adc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, sampleN = 2048, rounds = 5)
+    // Consumed once per probe — persist so the 3 ADC scans re-read
+    // codes, not the float corpus. Released by session hygiene.
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeIds = Seq(0L, 1L, 2L)
+    val pvs = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    probeIds.map { p =>
+      val q = pvs(p)
+      val qq = q.map(x => x * x).sum
+      val topk = Pq.searchTopK(codes.filter(col("id") =!= p), cb, q, 10)
+      raw.join(broadcast(topk), "id")
+        .select(lit(p).as("probe_id"), col("id").as("vec_id"),
+          round(col("adc_dist"), 4).as("adc_dist"),
+          round(graft.expr.VectorExpressions.dot(col("v"), col("v"))
+            - lit(2.0) * graft.expr.VectorExpressions.dot(col("v"),
+                lit(q).cast("array<double>"))
+            + lit(qq), 4).as("exact_dist"))
+    }.reduce(_ unionByName _)
+      .orderBy("probe_id", "adc_dist", "vec_id")
+  }
+
+  /** MMR diversity re-rank (operators/Mmr): cosine top-50 retrieval
+    * (distributed, TakeOrderedAndProject) → greedy λ=0.7 maximal-
+    * marginal-relevance selection of 10 on the driver (bounded 50×64).
+    * Rows-only: the greedy argmax is inherently sequential; the
+    * diversity property (MMR's picks are less mutually similar than
+    * the plain top-10) is pinned in MmrSpec.
+    */
+  def q177_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnIvf, Mmr}
+    val normed = AnnIvf.normalized(t(s, dir, "embeddings"), "vec_id", "embedding")
+    val probe = normed.filter(col("id") === 0)
+      .select("nv").collect()(0).getSeq[Double](0).toArray
+    Mmr.rerank(s, normed.filter(col("id") =!= 0), probe,
+        k = 10, nCandidates = 50, lambda = 0.7)
+      .orderBy("rank")
+  }
+
+  /** Cross-document duplicated-span detection (operators/DupSpans) —
+    * the n-gram-granular ExactSubstr dedup: WHERE and HOW LONG two
+    * documents share verbatim passages, not just that they overlap.
+    * Positional window hashes (fused codegen) → df-capped self-join →
+    * gaps-and-islands per diagonal. The oracle reproduces the whole
+    * contract including the df cap, joining on the window STRING
+    * (Spark joins on its xxhash64 — q106's collision trade).
+    */
+  def q178_dup_spans(s: SparkSession, dir: String): DataFrame =
+    operators.DupSpans.spans(
+        tWide(s, dir, "documents"), "doc_id", "text",
+        n = 8, maxDf = 20L, minSpanTokens = 20)
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -3851,6 +4001,12 @@ object Queries {
     "q170_zipf_slope"   -> (q170_zipf_slope _),
     "q171_containment_join" -> (q171_containment_join _),
     "q172_compress_ratio" -> (q172_compress_ratio _),
+    "q173_markov_transitions" -> (q173_markov_transitions _),
+    "q174_chunk_sliding" -> (q174_chunk_sliding _),
+    "q175_benford"      -> (q175_benford _),
+    "q176_pq_adc"       -> (q176_pq_adc _),
+    "q177_mmr_rerank"   -> (q177_mmr_rerank _),
+    "q178_dup_spans"    -> (q178_dup_spans _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -5847,5 +6003,60 @@ object Queries {
         |FROM pairs JOIN sizes ON a_id = doc_id
         |WHERE n_common * 1.0 / sz >= 0.7
         |ORDER BY a_id, b_id""".stripMargin,
+    "q173_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q174_chunk_sliding" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |nz AS (
+        |  SELECT doc_id, toks,
+        |    (CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) + 1) AS n_chunks
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks
+        |  FROM nz)
+        |SELECT doc_id, chunk_idx,
+        |  len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS n_toks,
+        |  md5(array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q175_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit)
+        |SELECT digit, n,
+        |  round(n * 1.0 / (SELECT sum(n) FROM c), 4) AS obs_share,
+        |  round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+        |  round(abs(round(n * 1.0 / (SELECT sum(n) FROM c), 4)
+        |            - round(log10(1.0 + 1.0 / digit), 4)), 4) AS abs_dev
+        |FROM c ORDER BY digit""".stripMargin,
+    "q178_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([{'pos': i-1, 'w': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks)-6)]) AS pw
+        |  FROM d WHERE len(toks) >= 8),
+        |s AS (SELECT doc_id, pw.pos AS pos, pw.w AS w FROM g),
+        |f AS (SELECT w FROM s GROUP BY w HAVING count(*) <= 20),
+        |i2 AS (SELECT s.doc_id, s.pos, s.w FROM s JOIN f USING (w)),
+        |m AS (SELECT a.doc_id a_id, b.doc_id b_id, a.pos pa, b.pos pb
+        |      FROM i2 a JOIN i2 b USING (w) WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT *, pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS rk FROM m)
+        |SELECT a_id, b_id, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+        |  (count(*) + 7)::BIGINT AS span_tokens
+        |FROM r GROUP BY a_id, b_id, pa - pb, rk
+        |HAVING count(*) + 7 >= 20
+        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
   )
 }

@@ -45,7 +45,37 @@ object ShingleHashesImpl {
   @inline private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Positional form: hash of the n-token window STARTING AT EACH
+    * TOKEN POSITION, in order, duplicates kept — element index IS the
+    * window's token offset, which is what span-level duplicate
+    * detection needs (DupSpans merges runs of consecutive matching
+    * positions; a set would erase the geometry).
+    */
+  def evalPositional(text: UTF8String, n: Int): GenericArrayData = {
+    val hashed = rawWindowHashes(text, n)
+    new GenericArrayData(hashed)
+  }
+
   def eval(text: UTF8String, n: Int): GenericArrayData = {
+    val out = rawWindowHashes(text, n)
+    if (out.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    java.util.Arrays.sort(out)
+    // In-place dedup of the sorted longs.
+    var uniq = 1
+    var k = 1
+    while (k < out.length) {
+      if (out(k) != out(uniq - 1)) { out(uniq) = out(k); uniq += 1 }
+      k += 1
+    }
+    new GenericArrayData(
+      if (uniq == out.length) out else java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** One fused pass: tokenize + roll the n-window + hash, positional
+    * order, duplicates kept. Shared by the set form (which sorts and
+    * dedups after) and the positional form (which returns it as-is).
+    */
+  private def rawWindowHashes(text: UTF8String, n: Int): Array[Long] = {
     val s = text.toLowerCase.toString
     val len = s.length
     // Token boundaries (start/end char offsets), empties dropped.
@@ -65,7 +95,7 @@ object ShingleHashesImpl {
         starts(nTok) = st; ends(nTok) = i; nTok += 1
       }
     }
-    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    if (nTok < n) return Array.emptyLongArray
     val out = new Array[Long](nTok - n + 1)
     val sb = new java.lang.StringBuilder
     var w = 0
@@ -81,16 +111,7 @@ object ShingleHashesImpl {
         UTF8String.fromString(sb.toString), 42L)
       w += 1
     }
-    java.util.Arrays.sort(out)
-    // In-place dedup of the sorted longs.
-    var uniq = 1
-    var k = 1
-    while (k < out.length) {
-      if (out(k) != out(uniq - 1)) { out(uniq) = out(k); uniq += 1 }
-      k += 1
-    }
-    new GenericArrayData(
-      if (uniq == out.length) out else java.util.Arrays.copyOf(out, uniq))
+    out
   }
 }
 
@@ -118,10 +139,40 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class PositionalShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_positional_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashesImpl.evalPositional(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.expr.ShingleHashesImpl.evalPositional($text, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpression {
   /** Column entry point: text → sorted distinct xxhash64 codes of its
     * word n-shingles.
     */
   def shingleHashes(text: Column, n: Int): Column =
     bridge.column(ShingleHashes(bridge.expression(text), n))
+
+  /** text → xxhash64 codes of its word n-shingles IN POSITION ORDER
+    * (index = starting token offset, duplicates kept).
+    */
+  def positionalShingleHashes(text: Column, n: Int): Column =
+    bridge.column(PositionalShingleHashes(bridge.expression(text), n))
 }

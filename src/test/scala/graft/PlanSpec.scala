@@ -94,7 +94,9 @@ class PlanSpec extends SparkSpec {
       // q168: 1-row broadcast [min,max] PC1 range frame (q81's pattern)
       "q168_pca_power",
       // q170: 1-row broadcast vocab count (q145's pattern)
-      "q170_zipf_slope")
+      "q170_zipf_slope",
+      // q175: 1-row broadcast digit-count total (q101's pattern)
+      "q175_benford")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
