@@ -3828,6 +3828,151 @@ object Queries {
         n = 8, maxDf = 20L, minSpanTokens = 20)
       .orderBy("a_id", "b_id", "a_start", "b_start")
 
+  /** IVF-PQ composite index (operators/IvfPq — the FAISS IVFADC
+    * architecture): inverted-file coarse cells + product quantization
+    * of the RESIDUALS, searched via nProbe per-cell ADC scans that
+    * never touch float vectors. The billion-vector configuration:
+    * cell pruning cuts the scan to nProbe/nCells of the corpus AND
+    * each scanned row is m bytes, not d floats. Output is the ADC
+    * top-10 for probe vec 0 with exact re-ranked distances (q176's
+    * shape). Rows-only; recall and the residual-beats-raw property
+    * are pinned in IvfPqSpec.
+    */
+  def q179_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfPq
+    val emb = t(s, dir, "embeddings")
+    val idx = IvfPq.build(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      nCells = 16, m = 8, k = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect()(0).getSeq[Double](0).toArray
+    val topk = IvfPq.search(idx, q, kTop = 10, nProbe = 4)
+    // Exact re-rank of the survivors in the same normalized space the
+    // index measures (cosine distance = 2 − 2·dot of unit vectors).
+    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
+    graft.operators.AnnIvf.normalized(emb, "vec_id", "embedding")
+      .join(broadcast(topk), "id")
+      .select(col("id").as("vec_id"), round(col("adc_dist"), 4).as("adc_dist"),
+        round(lit(2.0) - lit(2.0) * graft.expr.VectorExpressions.dot(col("nv"),
+          lit(qn).cast("array<double>")), 4).as("exact_dist"))
+      .orderBy("adc_dist", "vec_id")
+  }
+
+  /** One exploded (doc_id, source, w1, w2) bigram pass, shared by the
+    * perplexity and collocation queries. Persisted by the caller when
+    * consumed more than once.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+
+  /** Per-document bigram-LM perplexity — the perplexity-filtering /
+    * curriculum-binning signal every pretraining pipeline computes:
+    * exp(mean −ln p̂(w2|w1)) under the corpus's own add-k-smoothed
+    * bigram model (k=0.5, vocab = distinct successor tokens). Shape:
+    * ONE bigram explode persisted and consumed three times (c(w1,w2),
+    * c(w1), and the per-doc join); the model joins are equi-joins on
+    * Zipf-skewed keys (AQE skew-split handles the head word), partial
+    * aggs are map-side. Self-scored: no external LM needed — template
+    * docs score low, lexical soup scores high.
+    */
+  def q180_doc_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val bi = docBigrams(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cu = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bi.agg(countDistinct("w2").as("v")) // 1-row broadcast
+    bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).crossJoin(broadcast(v))
+      .withColumn("nll", -log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v"))))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), round(exp(avg("nll")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocations: adjacent word pairs with pointwise mutual
+    * information ln(p(ab)/(p(a)p(b))) well above chance — the phrase/
+    * multiword-expression miner (and the scoring step ahead of q76's
+    * co-occurrence counts). Unigram probabilities use ALL token
+    * occurrences, bigram probability the adjacent-pair count; a min
+    * count floor (5) kills the noise PMI is notorious for at c=1.
+    * Top-50 by (pmi, pair) plans TakeOrderedAndProject.
+    */
+  def q181_pmi_collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val nu = toks.agg(count(lit(1)).as("nu")) // 1-row broadcast
+    val bi = docBigrams(s, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nb = bi.agg(sum("c12").as("nb")) // 1-row broadcast
+    bi.filter(col("c12") >= 5)
+      .join(uni.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cb")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("nu")) * (col("cb").cast("double") / col("nu")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Logistic linear probe (operators/LinearProbe): train a binary
+    * quality-classifier-style probe (label==0 vs rest) on the
+    * embedding column by full-batch distributed gradient descent —
+    * driver holds d+1 weights, each step is ONE scan + a d-row
+    * shuffle. Output: 1-row training summary (final loss, accuracy,
+    * weight norm). Rows-only: iterative GD has no SQL form; loss
+    * decrease + separable-data accuracy are pinned in LinearProbeSpec.
+    */
+  def q182_linear_probe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinearProbe
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), (col("label") === 0).cast("int").as("y"))
+    val fit = LinearProbe.train(emb, "embedding", "y", iters = 12, lr = 0.5)
+    LinearProbe.predict(s, emb, "embedding", fit)
+      .agg(count(lit(1)).as("n"),
+        round(avg((col("yhat") === col("y")).cast("double")), 4).as("train_acc"),
+        round(lit(fit.lossPerIter.last), 4).as("final_loss"),
+        round(lit(math.sqrt(fit.weights.map(x => x * x).sum)), 4).as("w_norm"))
+  }
+
+  /** Exact ROC-AUC via the Mann-Whitney rank statistic, computed
+    * DISTRIBUTED: scores are ranked with PrefixSum.globalRank (two-
+    * pass, no single-partition window), then
+    * AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻). Scores = dot(embedding,
+    * probe vec 0) in double precision — bit-identical sequential sums
+    * in both engines, so ranks (ties broken by id; scores continuous)
+    * and the AUC match the oracle exactly. The in-engine eval metric
+    * every retrieval/classifier pipeline needs.
+    */
+  def q183_auc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
+      .collect()(0)
+    val pv = probe.getSeq[Double](0).toArray
+    val plab = probe.getInt(1)
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (col("label") === plab).cast("long").as("y"),
+        graft.expr.VectorExpressions.dot(
+          transform(col("embedding"), x => x.cast("double")),
+          lit(pv).cast("array<double>")).as("score"))
+    PrefixSum.globalRank(scored, Seq("score", "vec_id"), "rnk")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        round((sum(when(col("y") === 1, col("rnk"))) -
+          sum("y") * (sum("y") + 1) / lit(2.0)) /
+          (sum("y") * (count(lit(1)) - sum("y"))), 4).as("auc"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4007,6 +4152,11 @@ object Queries {
     "q176_pq_adc"       -> (q176_pq_adc _),
     "q177_mmr_rerank"   -> (q177_mmr_rerank _),
     "q178_dup_spans"    -> (q178_dup_spans _),
+    "q179_ivfpq"        -> (q179_ivfpq _),
+    "q180_doc_perplexity" -> (q180_doc_perplexity _),
+    "q181_pmi_collocations" -> (q181_pmi_collocations _),
+    "q182_linear_probe" -> (q182_linear_probe _),
+    "q183_auc"          -> (q183_auc _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6058,5 +6208,54 @@ object Queries {
         |FROM r GROUP BY a_id, b_id, pa - pb, rk
         |HAVING count(*) + 7 >= 20
         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    "q180_doc_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |dd AS (SELECT doc_id, source, ws FROM d WHERE len(ws) >= 2),
+        |bi AS (
+        |  SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2
+        |  FROM (SELECT doc_id, source,
+        |          unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |        FROM dd)),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bi)
+        |SELECT b.doc_id, b.source, count(*)::BIGINT AS n_bigrams,
+        |  round(exp(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v)))), 4) AS ppl
+        |FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "q181_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |toks AS (SELECT unnest(ws) AS w FROM d),
+        |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        |nu AS (SELECT count(*) AS nu FROM toks),
+        |dd AS (SELECT ws FROM d WHERE len(ws) >= 2),
+        |bi AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+        |  FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |        FROM dd)
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT sum(c12) AS nb FROM bi)
+        |SELECT w1, w2, c12::BIGINT AS c12,
+        |  round(ln((c12 * 1.0 / nb) / ((ca * 1.0 / nu) * (cb * 1.0 / nu))), 4) AS pmi
+        |FROM (SELECT bi.w1, bi.w2, bi.c12, a.cw AS ca, b.cw AS cb
+        |      FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w
+        |      WHERE bi.c12 >= 5)
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q183_auc" ->
+      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
+        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
+        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score, vec_id) AS rnk FROM s)
+        |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |  round((sum(CASE WHEN y = 1 THEN rnk END) - sum(y) * (sum(y) + 1) / 2.0)
+        |        / (sum(y) * (count(*) - sum(y))), 4) AS auc
+        |FROM r""".stripMargin,
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composite ANN index — the FAISS IVFADC architecture, i.e.
+  * the configuration that actually ships for billion-vector corpora:
+  *
+  *  - COARSE: [[AnnIvf]]'s inverted file (hash-sample + Lloyd
+  *    centroids, argmax-dot assignment) splits the corpus into cells;
+  *    a search touches only `nProbe` of them.
+  *  - FINE: [[Pq]] codebooks trained on the RESIDUALS (nv − cell
+  *    centroid), not the raw vectors. Residuals concentrate near the
+  *    origin, so the same m×k code budget quantizes them much finer
+  *    than raw vectors — that's the entire reason IVFADC beats
+  *    IVF+flat-PQ (asserted comparatively in IvfPqSpec).
+  *  - SEARCH: probe → nProbe nearest cells ON THE DRIVER (the
+  *    centroid set is bounded); per probed cell, ONE distance table
+  *    for the probe's residual against that cell, then an ADC scan of
+  *    just that cell's codes. Because x and q share the cell's
+  *    centroid, ‖r_x − r_q‖ = ‖x − q‖ — the residual trick changes
+  *    the quantization grid, not the measured distance.
+  *
+  * 100 TB: codes are m small ints/row (32× smaller than float32 at
+  * d=64, m=8); written `partitionBy("centroid_id")` the per-cell ADC
+  * scans prune at the file listing exactly like AnnIvf.writeIndex.
+  * The residual subtraction is a one-off index-build cost (an
+  * interpreted zip_with over a driver-broadcast centroid map — fine
+  * for a build pass; searches never touch float vectors at all).
+  */
+object IvfPq {
+
+  /** Driver-held index metadata + the distributed code table. */
+  final case class Index(
+      cents: Seq[(Long, Array[Double])],
+      cb: Pq.Codebooks,
+      codes: DataFrame) // (id, centroid_id, codes array<int>)
+
+  /** Residual column: nv − cents[centroid_id], via a broadcast literal
+    * map keyed by cell id (cell ids are sample row ids, not 0..k-1).
+    */
+  private def residual(nv: Column, cellId: Column,
+      cents: Seq[(Long, Array[Double])]): Column = {
+    val cmap = typedLit(cents.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
+    zip_with(nv, element_at(cmap, cellId), (a, b) => a - b)
+  }
+
+  /** Build over a raw (id, vec) frame. One normalization pass shared
+    * by the coarse build and assignment (q34's persist-once shape).
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, k: Int): Index = {
+    val normed = AnnIvf.normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centsDf = AnnIvf.centroidsNormed(normed, nCells)
+      val cents = centsDf.collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray))
+      val assigned = AnnIvf.assignNormed(normed, centsDf)
+      val res = assigned.select(col("id"), col("centroid_id"),
+        residual(col("nv"), col("centroid_id"), cents).as("res"))
+      val cb = Pq.train(res, "id", "res", m, k)
+      // Same narrow pass carries centroid_id — no join-back scan.
+      val codes = res.select(col("id"), col("centroid_id"),
+        Pq.codesColumn(col("res"), cb).as("codes"))
+      Index(cents, cb, codes)
+    } finally normed.unpersist(blocking = false)
+  }
+
+  /** ADC top-k through the probed cells. `probeVec` is RAW (un-
+    * normalized); normalization mirrors the index side on the driver.
+    */
+  def search(index: Index, probeVec: Array[Double], kTop: Int, nProbe: Int): DataFrame = {
+    val norm = math.sqrt(probeVec.map(x => x * x).sum)
+    val qn = if (norm == 0.0) probeVec else probeVec.map(_ / norm)
+    // nProbe nearest cells by dot, ties toward higher cell id —
+    // matches NearestCentroid's contract.
+    val probed = index.cents
+      .map { case (cid, cv) => (cid, cv.zip(qn).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (cid, sim) => (-sim, -cid) }
+      .take(nProbe)
+    probed.map { case (cid, _) =>
+      val rq = qn.zip(index.cents.find(_._1 == cid).get._2).map { case (a, b) => a - b }
+      index.codes.filter(col("centroid_id") === cid)
+        .select(col("id"),
+          graft.expr.VectorExpressions.adcLookup(col("codes"),
+            Pq.distanceTable(index.cb, rq)).as("adc_dist"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(kTop)
+  }
+}

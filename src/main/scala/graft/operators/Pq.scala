@@ -134,17 +134,24 @@ object Pq {
       c :+ (-norm2 / 2.0)
     }
 
-  /** One narrow pass: (id, codes array<int> of length m). */
-  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
-    val v = asDouble(col(vecCol))
+  /** The m-code array as a composable Column, so callers carrying
+    * extra columns (e.g. IvfPq's centroid_id) encode in the same
+    * narrow pass instead of joining a second scan back on.
+    */
+  def codesColumn(vec: Column, cb: Codebooks): Column = {
+    val v = asDouble(vec)
     val codeCols = (0 until cb.m).map { j =>
       val sub = concat(slice(v, j * cb.subDim + 1, cb.subDim), array(lit(1.0)))
       graft.expr.VectorExpressions
         .nearestCentroid(sub, Array.tabulate(cb.cells(j).length)(_.toLong), augmented(cb, j))
         .cast("int")
     }
-    df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
+
+  /** One narrow pass: (id, codes array<int> of length m). */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
+    df.select(col(idCol).as("id"), codesColumn(col(vecCol), cb).as("codes"))
 
   /** Probe-side distance table: dtab(j)(c) = ‖q_j − cell(j,c)‖². */
   def distanceTable(cb: Codebooks, probe: Array[Double]): Array[Array[Double]] = {

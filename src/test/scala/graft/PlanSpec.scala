@@ -96,7 +96,9 @@ class PlanSpec extends SparkSpec {
       // q170: 1-row broadcast vocab count (q145's pattern)
       "q170_zipf_slope",
       // q175: 1-row broadcast digit-count total (q101's pattern)
-      "q175_benford")
+      "q175_benford",
+      // q180/q181: 1-row broadcast vocab size / unigram+bigram totals
+      "q180_doc_perplexity", "q181_pmi_collocations")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
