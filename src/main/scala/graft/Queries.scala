@@ -3973,6 +3973,63 @@ object Queries {
           (sum("y") * (count(lit(1)) - sum("y"))), 4).as("auc"))
   }
 
+  /** Calibration bins for a scorer (q183's companion eval metric):
+    * cosine-to-probe scores split into 10 equal-width bins over the
+    * observed [min,max] (1-row broadcast, q81's envelope pattern),
+    * per-bin count / mean score / positive fraction — the reliability-
+    * diagram table. Scores are double-precision dots (bit-identical
+    * across engines, q183's guarantee), so bin edges and memberships
+    * match the oracle exactly.
+    */
+  def q184_calibration_bins(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
+      .collect()(0)
+    val pv = probe.getSeq[Double](0).toArray
+    val plab = probe.getInt(1)
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (col("label") === plab).cast("long").as("y"),
+        graft.expr.VectorExpressions.dot(
+          transform(col("embedding"), x => x.cast("double")),
+          lit(pv).cast("array<double>")).as("score"))
+    val env = scored.agg(min("score").as("lo"), max("score").as("hi")) // 1-row broadcast
+    scored.crossJoin(broadcast(env))
+      .withColumn("bin",
+        least(floor((col("score") - col("lo")) / (col("hi") - col("lo")) * 10), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("score"), 4).as("mean_score"),
+        round(avg(col("y").cast("double")), 4).as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  /** Token-budget corpus selection (corpus assembly's greedy step):
+    * rank documents by a quality score (lexical diversity — distinct/
+    * total token ratio), take in descending order while the running
+    * token total stays within budget. The cumulative sum routes
+    * through PrefixSum.runningTotal on a (−score, id) struct key —
+    * distributed two-pass above the cost threshold, never a global
+    * single-partition sort at scale.
+    */
+  def q185_budget_select(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val budget = 20000L
+    val sc = tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("score"),
+        size(col("toks")).cast("long").as("cost"))
+      .withColumn("ord", struct((-col("score")).as("negs"), col("doc_id")))
+    PrefixSum.runningTotal(sc, "ord", "cost", "cum")
+      .filter(col("cum") <= budget)
+      .agg(count(lit(1)).as("n_selected"),
+        sum("cost").as("total_tokens"),
+        round(min("score"), 4).as("min_score"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4157,6 +4214,8 @@ object Queries {
     "q181_pmi_collocations" -> (q181_pmi_collocations _),
     "q182_linear_probe" -> (q182_linear_probe _),
     "q183_auc"          -> (q183_auc _),
+    "q184_calibration_bins" -> (q184_calibration_bins _),
+    "q185_budget_select" -> (q185_budget_select _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6257,5 +6316,32 @@ object Queries {
         |  round((sum(CASE WHEN y = 1 THEN rnk END) - sum(y) * (sum(y) + 1) / 2.0)
         |        / (sum(y) * (count(*) - sum(y))), 4) AS auc
         |FROM r""".stripMargin,
+    "q184_calibration_bins" ->
+      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
+        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
+        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
+        |env AS (SELECT min(score) AS lo, max(score) AS hi FROM s)
+        |SELECT least(floor((score - lo) / (hi - lo) * 10), 9)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n,
+        |  round(avg(score), 4) AS mean_score,
+        |  round(avg(y * 1.0), 4) AS frac_pos
+        |FROM s CROSS JOIN env
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q185_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(toks)) * 1.0 / len(toks) AS score,
+        |    len(toks)::BIGINT AS cost
+        |  FROM d WHERE len(toks) > 0),
+        |r AS (SELECT *, sum(cost) OVER (ORDER BY score DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM sc)
+        |SELECT count(*)::BIGINT AS n_selected, sum(cost)::BIGINT AS total_tokens,
+        |  round(min(score), 4) AS min_score
+        |FROM r WHERE cum <= 20000""".stripMargin,
   )
 }

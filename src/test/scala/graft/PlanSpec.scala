@@ -98,7 +98,9 @@ class PlanSpec extends SparkSpec {
       // q175: 1-row broadcast digit-count total (q101's pattern)
       "q175_benford",
       // q180/q181: 1-row broadcast vocab size / unigram+bigram totals
-      "q180_doc_perplexity", "q181_pmi_collocations")
+      "q180_doc_perplexity", "q181_pmi_collocations",
+      // q184: 1-row broadcast [min,max] score envelope (q81's pattern)
+      "q184_calibration_bins")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
