@@ -4030,6 +4030,52 @@ object Queries {
         round(min("score"), 4).as("min_score"))
   }
 
+  /** Exact phrase search over the positional window index: every
+    * (doc, token-offset) occurrence of a 3-token phrase (the opening
+    * phrase of doc 0 — taken from the corpus so the query always has
+    * hits). The phrase's window hash is computed by the SAME fused
+    * expression on a 1-row frame and broadcast; the scan then filters
+    * the positional-hash explosion — at 100 TB this is the
+    * inverted-positional-index probe (hash → postings), with the df
+    * of one phrase bounding the result, not the corpus.
+    */
+  def q186_phrase_search(s: SparkSession, dir: String): DataFrame = {
+    val docs = tWide(s, dir, "documents")
+    val phrase = docs.filter(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("ph"))
+      .select(graft.expr.ShingleExpression.positionalShingleHashes(col("ph"), 3)(0).as("ph_h"))
+    docs
+      .select(col("doc_id"),
+        posexplode(graft.expr.ShingleExpression.positionalShingleHashes(col("text"), 3))
+          .as(Seq("pos", "h")))
+      .join(broadcast(phrase), col("h") === col("ph_h"))
+      .select("doc_id", "pos")
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Per-document n-gram novelty — the redundancy/memorization curve:
+    * the fraction of a doc's 8-token windows whose FIRST corpus
+    * occurrence (by ascending doc_id — ingestion order) is this doc.
+    * Crawl-style corpora decay in novelty over time; a flat 1.0 means
+    * no cross-document repetition at all. min-by-key + join-back on
+    * the window hash: the Zipf-headed join is AQE skew territory, the
+    * aggregates are map-side partial. Within-doc repeats count as
+    * novel by contract (this measures CROSS-doc redundancy; q164/q178
+    * cover within-doc and span-level).
+    */
+  def q187_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
+    val pos = tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.expr.ShingleExpression.positionalShingleHashes(col("text"), 8))
+          .as("h"))
+    val first = pos.groupBy("h").agg(min("doc_id").as("first_doc"))
+    pos.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        round(avg((col("first_doc") === col("doc_id")).cast("double")), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4216,6 +4262,8 @@ object Queries {
     "q183_auc"          -> (q183_auc _),
     "q184_calibration_bins" -> (q184_calibration_bins _),
     "q185_budget_select" -> (q185_budget_select _),
+    "q186_phrase_search" -> (q186_phrase_search _),
+    "q187_ngram_novelty" -> (q187_ngram_novelty _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6343,5 +6391,27 @@ object Queries {
         |SELECT count(*)::BIGINT AS n_selected, sum(cost)::BIGINT AS total_tokens,
         |  round(min(score), 4) AS min_score
         |FROM r WHERE cum <= 20000""".stripMargin,
+    "q186_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT array_to_string(toks[1:3], ' ') AS ph FROM d WHERE doc_id = 0),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([i-1 for i in range(1, len(toks)-1) if array_to_string(toks[i:i+2], ' ') = ph]) AS pos
+        |  FROM d CROSS JOIN p WHERE len(toks) >= 3)
+        |SELECT doc_id, pos FROM occ ORDER BY doc_id, pos""".stripMargin,
+    "q187_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS w
+        |  FROM d WHERE len(toks) >= 8),
+        |f AS (SELECT w, min(doc_id) AS first_doc FROM g GROUP BY w)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_windows,
+        |  round(avg(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END), 4) AS novelty
+        |FROM g JOIN f USING (w)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }
