@@ -4076,6 +4076,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (CDC — the storage-dedup / incremental-
+    * sync boundary scheme, here at token grain): a chunk boundary
+    * falls BEFORE token p wherever the 4-token window starting at p
+    * hashes into 1/16 of the space (md5 first hex nibble = 0). Unlike
+    * fixed-stride chunking (q174), an insertion early in a document
+    * only reshuffles chunk boundaries LOCALLY — downstream chunks
+    * re-align and their hashes (the dedup keys) still match, which is
+    * the whole point of CDC. md5 is used for the boundary predicate
+    * and chunk keys because both engines compute identical hex —
+    * boundary decisions are oracle-reproducible. Shape: window-hash
+    * explode → boundary filter → per-doc lead() for chunk extents →
+    * slice+hash; the per-doc window partitions by doc_id, never
+    * global.
+    */
+  def q188_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+    val bounds = toks.filter(size(col("ws")) >= 4)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - 4),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(4)))))).as(Seq("pos", "h")))
+      .filter(col("pos") > 0 && substring(col("h"), 1, 1) === "0")
+      .select("doc_id", "pos")
+    val starts = toks.select(col("doc_id"), lit(0).as("pos")).unionByName(bounds)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    starts
+      .withColumn("nxt", lead("pos", 1).over(w))
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("pos").as("start"),
+        (coalesce(col("nxt"), size(col("ws"))) - col("pos")).as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("pos") + 1,
+            coalesce(col("nxt"), size(col("ws"))) - col("pos")))).as("chunk_md5"))
+      .orderBy("doc_id", "start")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4264,6 +4301,7 @@ object Queries {
     "q185_budget_select" -> (q185_budget_select _),
     "q186_phrase_search" -> (q186_phrase_search _),
     "q187_ngram_novelty" -> (q187_ngram_novelty _),
+    "q188_cdc_chunks"   -> (q188_cdc_chunks _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6413,5 +6451,24 @@ object Queries {
         |  round(avg(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END), 4) AS novelty
         |FROM g JOIN f USING (w)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q188_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest([i-1 for i in range(2, len(toks)-2) if md5(array_to_string(toks[i:i+3], ' ')) LIKE '0%']) AS pos
+        |  FROM dd WHERE len(toks) >= 4),
+        |s AS (SELECT doc_id, 0 AS pos FROM dd
+        |      UNION ALL SELECT doc_id, pos FROM b),
+        |c AS (SELECT doc_id, pos AS start,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s),
+        |j AS (SELECT c.doc_id, start,
+        |        coalesce(nxt, len(toks)) - start AS n_toks,
+        |        md5(array_to_string(toks[start+1 : coalesce(nxt, len(toks))], ' ')) AS chunk_md5
+        |      FROM c JOIN dd USING (doc_id))
+        |SELECT doc_id, start, n_toks::BIGINT AS n_toks, chunk_md5
+        |FROM j ORDER BY doc_id, start""".stripMargin,
   )
 }
