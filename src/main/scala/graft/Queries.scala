@@ -4113,6 +4113,69 @@ object Queries {
       .orderBy("doc_id", "start")
   }
 
+  /** Retrieval-eval metrics in one pass — nDCG@10, MRR, recall@10 —
+    * for the cosine-to-probe ranking with same-label relevance
+    * (q183's companion; together they are the eval harness a
+    * retrieval pipeline runs in-engine instead of exporting to
+    * python). Ranks come from PrefixSum.globalRank on (−score, id)
+    * (distributed two-pass); every metric is then conditional
+    * aggregation over ONE ranked frame, and IDCG is a closed-form
+    * HOF sum over min(10, n_pos) on the 1-row result.
+    */
+  def q189_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
+      .collect()(0)
+    val pv = probe.getSeq[Double](0).toArray
+    val plab = probe.getInt(1)
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (col("label") === plab).cast("long").as("y"),
+        (-graft.expr.VectorExpressions.dot(
+          transform(col("embedding"), x => x.cast("double")),
+          lit(pv).cast("array<double>"))).as("negs"))
+    PrefixSum.globalRank(scored, Seq("negs", "vec_id"), "rnk")
+      .agg(
+        sum("y").as("n_pos"),
+        sum(when(col("rnk") <= 10, col("y"))).as("hits10"),
+        sum(when(col("rnk") <= 10,
+          col("y") / log(2.0, col("rnk") + 1))).as("dcg"),
+        max(when(col("y") === 1, lit(1.0) / col("rnk"))).as("mrr"))
+      .select(col("n_pos"), col("hits10"),
+        round(col("hits10").cast("double") / col("n_pos"), 4).as("recall10"),
+        round(col("mrr"), 4).as("mrr"),
+        round(col("dcg") / aggregate(
+          sequence(lit(1L), least(lit(10L), col("n_pos"))),
+          lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1)), 4)
+          .as("ndcg10"))
+  }
+
+  /** Cross-split n-gram leakage audit: after the q90 hash split
+    * (train/val/test via the Knuth multiplicative hash — pure integer
+    * arithmetic, oracle-reproducible), count DISTINCT 8-token windows
+    * present in BOTH splits of each pair — the leakage a benchmark
+    * decontamination pass (q49's cross-corpus form) must catch within
+    * one corpus. Per-split distinct windows first (set semantics from
+    * the fused sorted-distinct shingle expression), then a self-join
+    * on the window hash with split_a < split_b.
+    */
+  def q190_split_leakage(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val ws = tWide(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .select(col("split"),
+        explode(graft.expr.ShingleExpression.shingleHashes(col("text"), 8)).as("h"))
+      .distinct()
+    ws.as("a").join(ws.as("b"),
+        col("a.h") === col("b.h") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("split_a", "split_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4302,6 +4365,8 @@ object Queries {
     "q186_phrase_search" -> (q186_phrase_search _),
     "q187_ngram_novelty" -> (q187_ngram_novelty _),
     "q188_cdc_chunks"   -> (q188_cdc_chunks _),
+    "q189_retrieval_metrics" -> (q189_retrieval_metrics _),
+    "q190_split_leakage" -> (q190_split_leakage _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6470,5 +6535,37 @@ object Queries {
         |      FROM c JOIN dd USING (doc_id))
         |SELECT doc_id, start, n_toks::BIGINT AS n_toks, chunk_md5
         |FROM j ORDER BY doc_id, start""".stripMargin,
+    "q189_retrieval_metrics" ->
+      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
+        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
+        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rnk FROM s),
+        |a AS (SELECT sum(y)::BIGINT AS n_pos,
+        |        sum(CASE WHEN rnk <= 10 THEN y ELSE 0 END)::BIGINT AS hits10,
+        |        sum(CASE WHEN rnk <= 10 THEN y / log2(rnk + 1) ELSE 0 END) AS dcg,
+        |        max(CASE WHEN y = 1 THEN 1.0 / rnk END) AS mrr
+        |      FROM r)
+        |SELECT n_pos, hits10,
+        |  round(hits10 * 1.0 / n_pos, 4) AS recall10,
+        |  round(mrr, 4) AS mrr,
+        |  round(dcg / list_sum([1.0 / log2(i + 1) for i in range(1, least(10, n_pos) + 1)]), 4) AS ndcg10
+        |FROM a""".stripMargin,
+    "q190_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |ws AS (
+        |  SELECT DISTINCT split, w FROM (
+        |    SELECT CASE WHEN bucket < 90 THEN 'train'
+        |                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |      unnest([array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS w
+        |    FROM d WHERE len(toks) >= 8))
+        |SELECT a.split AS split_a, b.split AS split_b, count(*)::BIGINT AS n_shared
+        |FROM ws a JOIN ws b ON a.w = b.w AND a.split < b.split
+        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
   )
 }
