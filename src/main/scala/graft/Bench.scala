@@ -38,19 +38,22 @@ object Bench {
         name -> dt
     }
     // The harness that captures this output keeps only a bounded tail of
-    // the log (last ~2000 chars, with sbt's [success] line eating ~61),
-    // so the JSON line must stay well under that even as the query count
-    // grows: keys are compacted to the unambiguous qNN prefix and values
-    // are INTEGER CENTISECONDS ("qunit":"cs" declares this). Full names +
-    // precise times go to stderr for humans.
-    val qs = results.map { case (k, v) =>
-      val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
-      s""""$short":${math.round(v * 100)}"""
-    }.mkString("{", ",", "}")
+    // the log (last ~2000 chars, with sbt's [success] line eating ~61).
+    // A {"qNN":cs} dict crossed that budget at ~185 queries (r4's format
+    // measured 1854 chars at 178), so per-query times are now a VALUES
+    // ARRAY in integer centiseconds ("qunit":"cs"), aligned with the
+    // ASCII-sorted qNN short names ("qkeys" documents this; ASCII sort
+    // of qNN prefixes is identical in Scala and python sorted()). ~4.3
+    // chars/query keeps the line parseable past 350 queries. Full names
+    // + precise seconds still go to stderr for humans (BENCH_DETAIL).
+    val short = (k: String) => if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    val qv = results.map { case (k, v) => short(k) -> math.round(v * 100) }
+      .sortBy(_._1)
+      .map(_._2).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     results.foreach { case (k, v) => System.err.println(f"BENCH_DETAIL $k $v%.3f") }
     System.err.flush()
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"cs","nq":${results.size},"qkeys":"ASCII-sorted qNN prefixes of SparkEntry.queries keys","qv":$qv,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
