@@ -4176,6 +4176,36 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  /** Personalized PageRank over q131's word co-occurrence graph,
+    * teleporting to ONE seed (the most frequent word): mass radiates
+    * from the seed through the link structure — the related-items /
+    * "more like this" ranking, where classic PageRank would return
+    * global importance regardless of the seed. Same exact fixed-point
+    * integer arithmetic as q131 (bit-identical across engines and
+    * reduction orders), so the unrolled 3-round SQL oracle is exact;
+    * the seed mask is one broadcast left-join multiplier.
+    */
+  def q191_ppr_related(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
+          w => length(w) >= 4))).as("w"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(30).select("w")
+    val kept = toks.join(broadcast(top), "w")
+    val edges = kept.select(col("doc_id"), col("w").as("src"))
+      .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val seed = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(1).select(col("w").as("node"))
+    operators.PageRank.run(edges, iterations = 3,
+        nodeUniverse = Some(top.select(col("w").as("node"))),
+        teleportSeeds = Some(seed))
+      .select(col("node"), col("rank").as("ppr"))
+      .orderBy(desc("ppr"), col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4367,6 +4397,7 @@ object Queries {
     "q188_cdc_chunks"   -> (q188_cdc_chunks _),
     "q189_retrieval_metrics" -> (q189_retrieval_metrics _),
     "q190_split_leakage" -> (q190_split_leakage _),
+    "q191_ppr_related"  -> (q191_ppr_related _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6567,5 +6598,44 @@ object Queries {
         |SELECT a.split AS split_a, b.split AS split_b, count(*)::BIGINT AS n_shared
         |FROM ws a JOIN ws b ON a.w = b.w AND a.split < b.split
         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+    "q191_ppr_related" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         t -> len(t) >= 4)) AS w
+        |    FROM documents)),
+        |top AS (SELECT w, count(*) AS n FROM toks GROUP BY w
+        |        ORDER BY n DESC, w LIMIT 30),
+        |seed AS (SELECT w FROM top ORDER BY n DESC, w LIMIT 1),
+        |e AS (SELECT DISTINCT a.w AS src, b.w AS dst
+        |      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w <> b.w
+        |      JOIN top ta ON ta.w = a.w JOIN top tb ON tb.w = b.w),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT t.w AS node,
+        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 1000000 ELSE 0 END AS BIGINT) AS r
+        |  FROM top t),
+        |r1 AS (SELECT t.w AS node,
+        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 150000 ELSE 0 END
+        |         + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM top t LEFT JOIN (
+        |    SELECT e.dst AS dst, sum(r0.r // deg.d) AS m
+        |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.dst = t.w),
+        |r2 AS (SELECT t.w AS node,
+        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 150000 ELSE 0 END
+        |         + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM top t LEFT JOIN (
+        |    SELECT e.dst AS dst, sum(r1.r // deg.d) AS m
+        |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.dst = t.w),
+        |r3 AS (SELECT t.w AS node,
+        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 150000 ELSE 0 END
+        |         + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM top t LEFT JOIN (
+        |    SELECT e.dst AS dst, sum(r2.r // deg.d) AS m
+        |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.dst = t.w)
+        |SELECT node, r AS ppr FROM r3 ORDER BY ppr DESC, node""".stripMargin,
   )
 }

@@ -112,12 +112,17 @@ object LocalGraph {
       nodes: Array[Long],
       iterations: Int,
       scale: Long,
-      dampingX100: Long): Array[(Long, Long)] = {
+      dampingX100: Long,
+      seeds: Option[scala.collection.Set[Long]] = None): Array[(Long, Long)] = {
     val outdeg = mutable.LongMap.empty[Long]
     edges.foreach { case (s, _) => outdeg.update(s, outdeg.getOrElse(s, 0L) + 1L) }
+    // Personalized form (PageRank.run teleportSeeds): rank_0 and the
+    // base term are masked to the seed set — same integer arithmetic
+    // as the distributed path's __s multiplier.
+    @inline def seeded(n: Long): Boolean = seeds.forall(_.contains(n))
     val base = scale * (100L - dampingX100) / 100L
     var ranks = mutable.LongMap.empty[Long]
-    nodes.foreach(n => ranks.update(n, scale))
+    nodes.foreach(n => ranks.update(n, if (seeded(n)) scale else 0L))
     var i = 0
     while (i < iterations) {
       val in = mutable.LongMap.empty[Long]
@@ -130,7 +135,8 @@ object LocalGraph {
       }
       val next = mutable.LongMap.empty[Long]
       nodes.foreach { n =>
-        next.update(n, base + in.getOrElse(n, 0L) * dampingX100 / 100L)
+        next.update(n, (if (seeded(n)) base else 0L) +
+          in.getOrElse(n, 0L) * dampingX100 / 100L)
       }
       ranks = next
       i += 1

@@ -47,6 +47,13 @@ object PageRank {
     *                    would otherwise be silently dropped here while
     *                    an external oracle seeded from the same
     *                    universe still ranks it.
+    * @param teleportSeeds optional one-column `node` frame making this
+    *                    PERSONALIZED PageRank: rank_0 and the teleport
+    *                    (base) term are nonzero ONLY on the seed set,
+    *                    so mass radiates from the seeds through the
+    *                    link structure — the related-items/
+    *                    recommendation form. None = classic uniform
+    *                    teleport (identical arithmetic to before).
     * @return columns `node`, `rank` (Long, fixed-point)
     */
   def run(
@@ -55,7 +62,8 @@ object PageRank {
       scale: Long = 1000000L,
       dampingX100: Long = 85L,
       nodeUniverse: Option[DataFrame] = None,
-      maxLocalEdges: Long = LocalGraph.DefaultMaxLocalEdges): DataFrame = {
+      maxLocalEdges: Long = LocalGraph.DefaultMaxLocalEdges,
+      teleportSeeds: Option[DataFrame] = None): DataFrame = {
     // Materialize the iteration-invariant tables ONCE: Spark has no
     // common-subexpression reuse across the unrolled loop, so without
     // this every iteration would re-run the caller's whole edge-build
@@ -63,10 +71,20 @@ object PageRank {
     // the dominant cost at 3 iterations. localCheckpoint is the
     // in-cluster analogue of the "build the index once" persistence
     // point; at deep iteration counts it also truncates lineage.
-    val nodes = nodeUniverse
+    val nodes0 = nodeUniverse
       .getOrElse(edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct())
-      .localCheckpoint(true)
+    // Seed mask rides WITH the node table (one broadcast left-join,
+    // materialized once): __s ∈ {0,1} multiplies rank_0 and the base
+    // term, so the uniform case (__s ≡ 1) compiles to the identical
+    // arithmetic as before.
+    val nodes = (teleportSeeds match {
+      case Some(sd) => nodes0.join(
+          broadcast(sd.select(col("node")).distinct().withColumn("__s", lit(1L))),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      case None => nodes0.withColumn("__s", lit(1L))
+    }).localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val withDeg = edges.join(outdeg, "src").localCheckpoint(true)
 
@@ -90,15 +108,18 @@ object PageRank {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val localNodes = nodes.select(col("node").cast("long"))
         .collect().map(_.getLong(0))
+      val localSeeds = teleportSeeds.map(_ =>
+        nodes.filter(col("__s") === 1L).select(col("node").cast("long"))
+          .collect().map(_.getLong(0)).toSet)
       val local = LocalGraph.pageRank(
-        localEdges, localNodes, iterations, scale, dampingX100)
+        localEdges, localNodes, iterations, scale, dampingX100, localSeeds)
       val spark = edges.sparkSession
       import spark.implicits._
       return local.toSeq.toDF("node", "rank")
     }
 
     val base = scale * (100L - dampingX100) / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
+    var ranks = nodes.select(col("node"), (lit(scale) * col("__s")).as("rank"))
     var i = 0
     while (i < iterations) {
       val contribs = withDeg
@@ -108,7 +129,7 @@ object PageRank {
         .groupBy("node").agg(sum("__c").as("__in"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"coalesce(__in, 0L) * $dampingX100 div 100"))
+          (lit(base) * col("__s") + expr(s"coalesce(__in, 0L) * $dampingX100 div 100"))
             .as("rank"))
       i += 1
     }

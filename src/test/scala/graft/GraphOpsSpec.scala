@@ -248,6 +248,19 @@ class GraphOpsSpec extends SparkSpec {
     val prL = graft.operators.PageRank.run(dir, iterations = 3)
     assert(rows(prD) == rows(prL), "pagerank local != distributed")
 
+    // Personalized form: same parity contract, and mass must stay
+    // concentrated around the seed (seed outranks every node, nodes
+    // never touched by 3 hops sit at exactly 0).
+    val pprSeed = Seq(0L).toDF("node")
+    val pprD = graft.operators.PageRank.run(dir, iterations = 3,
+      maxLocalEdges = 0, teleportSeeds = Some(pprSeed))
+    val pprL = graft.operators.PageRank.run(dir, iterations = 3,
+      teleportSeeds = Some(pprSeed))
+    assert(rows(pprD) == rows(pprL), "personalized pagerank local != distributed")
+    val pprMap = pprL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pprMap(0L) == pprMap.values.max, "seed must hold the max PPR mass")
+    assert(pprMap.values.exists(_ == 0L), "unreached nodes must sit at exactly 0")
+
     val seeds = Seq(0L, 17L, 40L).toDF("node")
     val bfD = graft.operators.Bfs.hops(df, "a", "b", seeds, maxRounds = 12,
       maxLocalEdges = 0)
