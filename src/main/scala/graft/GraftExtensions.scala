@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotProduct, JaroWinkler, MinHashSignature}
+import graft.expr.{DotProduct, JaroWinkler, MinHashSignature, PositionalShingleHashes, ShingleHashes, Tokens}
 
 /** SparkSessionExtensions injector: registers graft's native
   * expressions as SQL functions, so they're usable from `spark.sql`
@@ -15,6 +15,9 @@ import graft.expr.{DotProduct, JaroWinkler, MinHashSignature}
   *   - `graft_dot_product(array<double>, array<double>) -> double`
   *   - `graft_minhash(array<string>, numHashes) -> array<bigint>`
   *   - `graft_jaro_winkler(string, string) -> double`
+  *   - `graft_tokens(string) -> array<string>`
+  *   - `graft_shingle_hashes(string, n) -> array<bigint>` (sorted set)
+  *   - `graft_positional_shingle_hashes(string, n) -> array<bigint>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -60,7 +63,37 @@ object GraftExtensions {
         require(children.length == 2,
           "graft_jaro_winkler takes (string, string)")
         JaroWinkler(children(0), children(1))
+      }),
+    (
+      new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tokens takes (string)")
+        Tokens(children(0))
+      }),
+    (
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_hashes takes (string, n)")
+        ShingleHashes(children(0), intLit(children(1), "graft_shingle_hashes n"))
+      }),
+    (
+      new FunctionIdentifier("graft_positional_shingle_hashes"),
+      new ExpressionInfo(classOf[PositionalShingleHashes].getName,
+        "graft_positional_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_positional_shingle_hashes takes (string, n)")
+        PositionalShingleHashes(children(0),
+          intLit(children(1), "graft_positional_shingle_hashes n"))
       }))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register on an already-built session (tests, shells). Sessions
     * built with `spark.sql.extensions=graft.GraftExtensions` get this

@@ -3936,7 +3936,7 @@ object Queries {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), (col("label") === 0).cast("int").as("y"))
     val fit = LinearProbe.train(emb, "embedding", "y", iters = 12, lr = 0.5)
-    LinearProbe.predict(s, emb, "embedding", fit)
+    LinearProbe.predict(emb, "embedding", fit)
       .agg(count(lit(1)).as("n"),
         round(avg((col("yhat") === col("y")).cast("double")), 4).as("train_acc"),
         round(lit(fit.lossPerIter.last), 4).as("final_loss"),

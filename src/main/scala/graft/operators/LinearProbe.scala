@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed logistic-regression probe over an embedding column —
@@ -69,7 +69,7 @@ object LinearProbe {
   }
 
   /** Score + binarize at 0.5; returns (…original cols…, p, yhat). */
-  def predict(spark: SparkSession, df: DataFrame, vecCol: String, fit: Fit): DataFrame = {
+  def predict(df: DataFrame, vecCol: String, fit: Fit): DataFrame = {
     val p = lit(1.0) / (lit(1.0) + exp(-graft.expr.VectorExpressions.dot(
       concat(transform(col(vecCol), x => x.cast("double")), array(lit(1.0))),
       lit(fit.weights).cast("array<double>"))))

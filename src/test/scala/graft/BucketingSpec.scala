@@ -72,6 +72,15 @@ class BucketingSpec extends SparkSpec {
       "SELECT graft_minhash(array('a b c', 'b c d'), 4) AS sig")
       .collect()(0).getSeq[Long](0)
     assert(mh.length == 4 && mh.forall(v => v >= 0 && v < 2147483647L))
+    val tk = spark.sql("SELECT graft_tokens('  Foo  BAR ') AS t")
+      .collect()(0).getSeq[String](0)
+    assert(tk == Seq("foo", "bar"))
+    val sh = spark.sql("SELECT graft_shingle_hashes('a b c d', 2) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(sh.length == 3 && sh == sh.sorted)
+    val ph = spark.sql("SELECT graft_positional_shingle_hashes('a b a b', 2) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(ph.length == 3 && ph(0) == ph(2), "positional keeps order and dups")
     // the injector itself wires the same list
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw

@@ -29,7 +29,7 @@ class LinearProbeSpec extends SparkSpec {
     // blow the loss up by more than a hair
     fit.lossPerIter.sliding(2).foreach { case Seq(a, b) =>
       assert(b < a + 0.05, s"loss jumped: $a -> $b") }
-    val acc = LinearProbe.predict(spark, df, "embedding", fit)
+    val acc = LinearProbe.predict(df, "embedding", fit)
       .agg(avg((col("yhat") === col("y")).cast("double"))).first().getDouble(0)
     assert(acc == 1.0, s"separable data not separated: acc=$acc")
   }
