@@ -3909,7 +3909,11 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
     val nu = toks.agg(count(lit(1)).as("nu")) // 1-row broadcast
+    // Persist the AGGREGATED counts (|vocab²| rows, small), not the
+    // explode: bi feeds both the PMI branch and the nb total — without
+    // this the corpus-wide bigram explode runs twice.
     val bi = docBigrams(s, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = bi.agg(sum("c12").as("nb")) // 1-row broadcast
     bi.filter(col("c12") >= 5)
       .join(uni.select(col("w").as("w1"), col("cw").as("ca")), "w1")
