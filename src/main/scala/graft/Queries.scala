@@ -3956,21 +3956,30 @@ object Queries {
     * and the AUC match the oracle exactly. The in-engine eval metric
     * every retrieval/classifier pipeline needs.
     */
-  def q183_auc(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
+  /** Shared eval-harness input (q183 AUC, q184 calibration, q189
+    * ranking metrics): (vec_id, y, score) with score = double-
+    * precision dot to probe vec 0 (bit-identical sequential sums in
+    * both engines) and y = same-label relevance. Factored so the
+    * three metrics can never silently diverge on probe handling.
+    */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
       .collect()(0)
     val pv = probe.getSeq[Double](0).toArray
     val plab = probe.getInt(1)
-    val scored = emb.filter(col("vec_id") =!= 0)
+    emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         (col("label") === plab).cast("long").as("y"),
         graft.expr.VectorExpressions.dot(
           transform(col("embedding"), x => x.cast("double")),
           lit(pv).cast("array<double>")).as("score"))
-    PrefixSum.globalRank(scored, Seq("score", "vec_id"), "rnk")
+  }
+
+  def q183_auc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    PrefixSum.globalRank(probeScored(s, dir), Seq("score", "vec_id"), "rnk")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         round((sum(when(col("y") === 1, col("rnk"))) -
           sum("y") * (sum("y") + 1) / lit(2.0)) /
@@ -3986,18 +3995,7 @@ object Queries {
     * match the oracle exactly.
     */
   def q184_calibration_bins(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val probe = emb.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
-      .collect()(0)
-    val pv = probe.getSeq[Double](0).toArray
-    val plab = probe.getInt(1)
-    val scored = emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        (col("label") === plab).cast("long").as("y"),
-        graft.expr.VectorExpressions.dot(
-          transform(col("embedding"), x => x.cast("double")),
-          lit(pv).cast("array<double>")).as("score"))
+    val scored = probeScored(s, dir)
     val env = scored.agg(min("score").as("lo"), max("score").as("hi")) // 1-row broadcast
     scored.crossJoin(broadcast(env))
       .withColumn("bin",
@@ -4128,18 +4126,7 @@ object Queries {
     */
   def q189_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.PrefixSum
-    val emb = t(s, dir, "embeddings")
-    val probe = emb.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
-      .collect()(0)
-    val pv = probe.getSeq[Double](0).toArray
-    val plab = probe.getInt(1)
-    val scored = emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        (col("label") === plab).cast("long").as("y"),
-        (-graft.expr.VectorExpressions.dot(
-          transform(col("embedding"), x => x.cast("double")),
-          lit(pv).cast("array<double>"))).as("negs"))
+    val scored = probeScored(s, dir).withColumn("negs", -col("score"))
     PrefixSum.globalRank(scored, Seq("negs", "vec_id"), "rnk")
       .agg(
         sum("y").as("n_pos"),

@@ -43,10 +43,17 @@ object DupSpans {
   def spans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, maxDf: Long = 20L, minSpanTokens: Int = 20): DataFrame = {
     require(minSpanTokens >= n, "a span is at least one window")
+    // Persisted: the corpus-wide tokenize+window+hash explode feeds
+    // the df-cap aggregate AND (through the join) both sides of the
+    // self-join — the exchanges differ (partial-agg vs raw rows), so
+    // ReuseExchange cannot collapse them and without the cache the
+    // dominant per-row work runs 3×. Same multi-consumer shape (and
+    // session-hygiene release contract) as SetSimJoin's inverted index.
     val pos = df
       .select(col(idCol).as("id"),
         posexplode(graft.expr.ShingleExpression.positionalShingleHashes(col(textCol), n))
           .as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df cap: corpus-wide occurrence count (doc,pos granularity — a
     // doc repeating its own boilerplate counts each occurrence, same
     // as the oracle).

@@ -61,8 +61,17 @@ object IvfPq {
         residual(col("nv"), col("centroid_id"), cents).as("res"))
       val cb = Pq.train(res, "id", "res", m, k)
       // Same narrow pass carries centroid_id — no join-back scan.
+      // Persisted AND materialized here, inside the build (while
+      // `normed` is still cached): the code table is the index —
+      // every search scans it once per probed cell, and without this
+      // each scan would re-run read→normalize→assign→residual→encode
+      // over the float corpus, voiding the 'searches never touch
+      // float vectors' contract. Released by session hygiene
+      // (Bench/Verify clear caches between queries).
       val codes = res.select(col("id"), col("centroid_id"),
         Pq.codesColumn(col("res"), cb).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
       Index(cents, cb, codes)
     } finally normed.unpersist(blocking = false)
   }
