@@ -4197,6 +4197,66 @@ object Queries {
       .orderBy(desc("ppr"), col("node"))
   }
 
+  /** DSIR-style data selection (importance resampling, Xie et al.
+    * 2023): score every pool document by how target-like its hashed
+    * n-gram features are — here target = the English subset, pool =
+    * everything else, features = bigrams hashed into 4096 buckets
+    * (first 3 hex chars of md5, identical hex in both engines). The
+    * weight is the mean per-feature log-ratio
+    * ln p̂_target(f) − ln p̂_pool(f) under add-0.5-smoothed bucket
+    * models. Scale shape: the feature space is FIXED at 4096 buckets
+    * regardless of corpus size, so both LM count tables broadcast; the
+    * corpus is exploded once (persisted, consumed by target counts,
+    * pool counts, and the scoring join); totals derive from the tiny
+    * aggregated tables, never a re-scan; top-k plans
+    * TakeOrderedAndProject.
+    */
+  def q192_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val feats = tWide(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => substring(md5(concat_ws(" ",
+            element_at(col("ws"), i), element_at(col("ws"), i + 1))), 1, 3))).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rc = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tc = feats.filter(col("lang") === "en").groupBy("f").agg(count(lit(1)).as("ct"))
+    val nr = rc.agg(sum("cr").as("nr")) // totals from the 4096-row aggs,
+    val nt = tc.agg(sum("ct").as("nt")) // not corpus re-scans
+    val lr = rc.join(tc, Seq("f"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + 0.5) / (col("nt") + lit(0.5) * B)) -
+          log((col("cr") + 0.5) / (col("nr") + lit(0.5) * B))).as("lr"))
+    feats.filter(col("lang") =!= "en")
+      .join(broadcast(lr), "f")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"), round(avg("lr"), 4).as("dsir_w"))
+      .orderBy(desc("dsir_w"), col("doc_id"))
+      .limit(25)
+  }
+
+  /** BPE merge learning (operators/Bpe): the first 5 byte-pair merges
+    * of a tokenizer trained on this corpus, with their weighted
+    * frequencies. The corpus is scanned ONCE into the word-frequency
+    * table; each merge round runs over that vocabulary-sized frame
+    * only (see Bpe.scala for the 100 TB argument). Rows-only:
+    * the argmax-then-rewrite iteration has no SQL form; BpeSpec pins a
+    * differential against the driver-local reference implementation
+    * plus hand-computed merges on a crafted corpus.
+    */
+  def q193_bpe_merges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = tWide(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    operators.Bpe.learnMerges(wc, k = 5)
+      .toDF("step", "left", "right", "freq")
+      .orderBy("step")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4389,6 +4449,8 @@ object Queries {
     "q189_retrieval_metrics" -> (q189_retrieval_metrics _),
     "q190_split_leakage" -> (q190_split_leakage _),
     "q191_ppr_related"  -> (q191_ppr_related _),
+    "q192_dsir_select"  -> (q192_dsir_select _),
+    "q193_bpe_merges"   -> (q193_bpe_merges _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6628,5 +6690,29 @@ object Queries {
         |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src
         |    GROUP BY e.dst) s ON s.dst = t.w)
         |SELECT node, r AS ppr FROM r3 ORDER BY ppr DESC, node""".stripMargin,
+    "q192_dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |dd AS (SELECT doc_id, lang, ws FROM d WHERE len(ws) >= 2),
+        |feats AS (
+        |  SELECT doc_id, lang, substr(md5(b.w1 || ' ' || b.w2), 1, 3) AS f
+        |  FROM (SELECT doc_id, lang,
+        |          unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |        FROM dd)),
+        |rc AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+        |tc AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
+        |nr AS (SELECT sum(cr) AS nr FROM rc),
+        |nt AS (SELECT sum(ct) AS nt FROM tc),
+        |lr AS (SELECT rc.f AS f,
+        |         ln((coalesce(tc.ct, 0) + 0.5) / (nt.nt + 0.5 * 4096))
+        |       - ln((rc.cr + 0.5) / (nr.nr + 0.5 * 4096)) AS lr
+        |       FROM rc LEFT JOIN tc ON rc.f = tc.f CROSS JOIN nt CROSS JOIN nr)
+        |SELECT doc_id, lang, count(*)::BIGINT AS n_feats, round(avg(lr.lr), 4) AS dsir_w
+        |FROM feats JOIN lr ON feats.f = lr.f
+        |WHERE lang <> 'en'
+        |GROUP BY doc_id, lang
+        |ORDER BY dsir_w DESC, doc_id LIMIT 25""".stripMargin,
   )
 }
