@@ -4225,7 +4225,7 @@ object Queries {
     val tc = feats.filter(col("lang") === "en").groupBy("f").agg(count(lit(1)).as("ct"))
     val nr = rc.agg(sum("cr").as("nr")) // totals from the 4096-row aggs,
     val nt = tc.agg(sum("ct").as("nt")) // not corpus re-scans
-    val lr = rc.join(tc, Seq("f"), "left")
+    val lr = rc.join(broadcast(tc), Seq("f"), "left") // tc <= 4096 rows
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("f"),
         (log((coalesce(col("ct"), lit(0L)) + 0.5) / (col("nt") + lit(0.5) * B)) -

@@ -100,13 +100,24 @@ class PlanSpec extends SparkSpec {
       // q180/q181: 1-row broadcast vocab size / unigram+bigram totals
       "q180_doc_perplexity", "q181_pmi_collocations",
       // q184: 1-row broadcast [min,max] score envelope (q81's pattern)
-      "q184_calibration_bins")
+      "q184_calibration_bins",
+      // q192: 1-row broadcast LM totals nt/nr (q181's pattern)
+      "q192_dsir_select")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
       assert(!nested || allowed(name),
         s"$name grew an undocumented nested-loop join")
     }
+  }
+
+  test("q192 DSIR: scoring join broadcasts the 4096-bucket LM table; top-k is TakeOrdered") {
+    val p = plan("q192_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded feature-LM table must broadcast into the scoring join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no join in q192 may shuffle the corpus side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
   test("q84 z-order layout is join-free: projection + one agg shuffle only") {
