@@ -4,12 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch timing harness: runs one named query N times under
   * collect/noop to separate plan cost from sink cost.
-  * Usage: sbt "runMain graft.DebugBench q07_text_wordcount 3"
+  * Usage: sbt "runMain graft.DebugBench q07_text_wordcount 3 [cold]"
+  *
+  * Default (warm) reps do NOT clear the cache between reps, so a query
+  * that persist()s intermediates reuses rep 1's cached blocks via the
+  * CacheManager's plan matching — that measures steady-state cost, but
+  * UNDERSTATES the bench, which runs every query exactly once after
+  * clearCache. Pass `cold` as the 3rd arg to apply Bench-identical
+  * hygiene (clearCache + unpersist + GC) before EVERY rep: cold-mode
+  * noop times are the bench-comparable numbers for persisting queries.
   */
 object DebugBench {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q07_text_wordcount")
     val reps = if (args.length > 1) args(1).toInt else 3
+    val cold = args.length > 2 && args(2) == "cold"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -19,17 +28,34 @@ object DebugBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to reps) {
-      var t0 = System.nanoTime()
-      fn(spark, sfDir).collect()
-      val tCollect = (System.nanoTime() - t0) / 1e9
-      t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val tNoop = (System.nanoTime() - t0) / 1e9
-      println(f"[debug] $name rep$i collect=$tCollect%.2fs noop=$tNoop%.2fs")
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
-    fn(spark, sfDir).explain("formatted")
+    // Comma-separated names share one JVM (amortizes the ~15s sbt/Spark
+    // startup when refreshing the ledger's cold medians).
+    for (n <- name.split(",")) {
+      val fn = SparkEntry.queries(n)
+      for (i <- 1 to reps) {
+        if (cold) {
+          hygiene()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val tNoop = (System.nanoTime() - t0) / 1e9
+          println(f"[debug] $n rep$i(cold) noop=$tNoop%.2fs")
+        } else {
+          var t0 = System.nanoTime()
+          fn(spark, sfDir).collect()
+          val tCollect = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val tNoop = (System.nanoTime() - t0) / 1e9
+          println(f"[debug] $n rep$i collect=$tCollect%.2fs noop=$tNoop%.2fs")
+        }
+      }
+      if (!name.contains(",")) fn(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }
