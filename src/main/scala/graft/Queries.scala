@@ -1473,23 +1473,33 @@ object Queries {
     // count() job at construction time, no second documents scan).
     val nDocs = t(s, dir, "documents")
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val words = tWide(s, dir, "documents")
+    // The query's term list is FIXED, so per-term tf pivots into
+    // columns of ONE per-doc aggregation: the corpus is tokenized and
+    // exploded exactly once, and dl + all tf_t land in the same
+    // map-side-combined groupBy — where the former shape exploded the
+    // corpus twice (dl branch + tf branch) and shuffled a tf⋈dl join.
+    // df/avgdl then derive from the n_docs-row frame (a second pass
+    // over PER-DOC rows, not the corpus) as a 1-row broadcast.
+    val perDoc = tWide(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg((sum("dl") / count(lit(1))).as("avgdl"))
-    val tf = words.filter(col("word").isin(terms: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    tf.join(broadcast(df), "word")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(avgdl))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("s", idf * col("tf") * (lit(k1) + 1) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
-      .agg(round(sum("s"), 3).as("bm25"), count(lit(1)).as("n_terms"))
+      .agg(count(lit(1)).as("dl"),
+        terms.map(t0 => sum(when(col("word") === t0, 1L).otherwise(0L)).as(s"tf_$t0")): _*)
+    val stats = perDoc.agg(
+      (sum("dl") / count(lit(1))).as("avgdl"),
+      terms.map(t0 => sum((col(s"tf_$t0") > 0).cast("long")).as(s"df_$t0")): _*)
+    val norm = col("dl") / col("avgdl")
+    val score = terms.map { t0 =>
+      val tf = col(s"tf_$t0"); val dfc = col(s"df_$t0")
+      val idf = log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      when(tf > 0, idf * tf * (lit(k1) + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * norm))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val nTerms = terms.map(t0 => (col(s"tf_$t0") > 0).cast("long")).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(nDocs))
+      .filter(nTerms > 0)
+      .select(col("doc_id"), round(score, 3).as("bm25"), nTerms.as("n_terms"))
       .orderBy("doc_id")
   }
 
