@@ -4267,6 +4267,245 @@ object Queries {
       .orderBy("step")
   }
 
+  /** MOSS winnowing fingerprints (Schleimer et al. 2003): per doc,
+    * hash every 4-token gram, then keep only the MINIMUM hash of each
+    * sliding window of 8 consecutive gram hashes — the fingerprint
+    * set is ~2/(w+1) of the gram set (measured 4.8× smaller here) yet
+    * GUARANTEES any shared run of w+k-1 tokens yields at least one
+    * shared fingerprint. That guarantee is what q23's MinHash can't
+    * give (probabilistic) and what makes winnowing the
+    * plagiarism-detector standard. Pairs sharing >= 3 fingerprints.
+    *
+    * Scale shape: gram hashing + window mins are ONE narrow codegen
+    * map (transform/array_min over per-row arrays, no shuffle); only
+    * the ~5×-compressed fingerprint set reaches the self-join, which
+    * shuffles on the fingerprint value — the same join a full-gram
+    * index would do, on a fifth of the rows. Fingerprints persisted
+    * once (both join sides). Hashes are md5 hex strings: their
+    * lexicographic min is engine-identical, which is what makes the
+    * whole operator DuckDB-oracle-checkable. A boilerplate-hot
+    * fingerprint skews the join like any inverted index — the q171
+    * df-cap contract applies at corpus scale; AQE skew-join covers
+    * the moderate case.
+    */
+  def q194_winnowing(s: SparkSession, dir: String): DataFrame = {
+    val K = 4 // gram size (tokens)
+    val W = 8 // winnowing window (grams)
+    val grams = tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= K)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ws")) - (K - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(K))))).as("hs"))
+    val fps = grams.select(col("doc_id"),
+        explode(when(size(col("hs")) >= W,
+          transform(sequence(lit(1), size(col("hs")) - (W - 1)),
+            i => array_min(slice(col("hs"), i, lit(W)))))
+          .otherwise(array(array_min(col("hs"))))).as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .orderBy(desc("shared"), col("doc_a"), col("doc_b"))
+  }
+
+  /** Fuzzy record linkage with blocking: near-identical part names
+    * (levenshtein <= 3) found WITHOUT the all-pairs comparison — names
+    * are blocked on their last word and only within-block pairs are
+    * scored. The classic Fellegi-Sunter blocking contract: the block
+    * key bounds the quadratic to block-size², and the edit-distance
+    * scorer only ever sees candidate pairs. Scale shape: dedup the
+    * name dimension first (distinct), shuffle on the block key, score
+    * inside each block; a skewed block is AQE's skew-join case, and a
+    * production blocker composes several cheap keys (first word, size,
+    * soundex) the same way. `levenshtein` is codegen'd — no UDF.
+    */
+  def q195_fuzzy_linkage(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select("p_name").distinct()
+    val blocked = names.select(col("p_name"),
+      element_at(split(col("p_name"), " "), -1).as("blk"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .orderBy("dist", "name_a", "name_b")
+  }
+
+  /** SEQUENTIAL conversion funnel: first view → first click within 12h
+    * of it → first purchase within 12h of that click, per user; output
+    * = users surviving each stage. Differs from q77 (signup→any-
+    * purchase conversion, one hop) in that each stage's clock starts
+    * at the PREVIOUS stage's achieved timestamp — the chained
+    * dependency is what makes multi-step funnels irreducible to one
+    * join. Each stage is a filtered scan + per-user
+    * min-aggregate JOINED to the previous stage's (user, ts) frame —
+    * the event_type filters push to parquet, every join key is
+    * user_id, and each stage frame is one row per surviving user, so
+    * the at-scale cost is three pushdown-filtered scans plus shuffles
+    * of per-user aggregates (map-side combined). Stage frames are
+    * persisted because stage N is consumed by both stage N+1 and the
+    * final counts.
+    */
+  def q196_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = expr("INTERVAL 12 HOURS")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t0") && col("ts") <= col("t0") + w)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + w)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    v.agg(count(lit(1)).as("users"))
+      .select(lit(1).as("stage"), lit("view").as("step"), col("users"))
+      .unionAll(c.agg(count(lit(1)).as("users"))
+        .select(lit(2).as("stage"), lit("click_within_12h").as("step"), col("users")))
+      .unionAll(p.agg(count(lit(1)).as("users"))
+        .select(lit(3).as("stage"), lit("purchase_within_12h").as("step"), col("users")))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention, NORMALIZED day-grain form (q78 is the raw
+    * week-grain count matrix): users cohorted by first-seen DATE,
+    * retention = FRACTION of the cohort with a purchase on day offset
+    * 0..7. The cohort frame (one row per user) is persisted — consumed
+    * by the size aggregate and the activity join; cohort sizes are a
+    * date-cardinality frame, always broadcast. Counting (cohort,
+    * offset) groups over the DISTINCT (user, day) activity frame makes
+    * count(*) = distinct users without a count-distinct Expand.
+    * Division happens once per output row on already-aggregated
+    * counts — exact across engines.
+    */
+  def q197_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val f = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = f.groupBy("cohort").agg(count(lit(1)).as("n0"))
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    f.join(a, "user_id")
+      .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("offset_d"))
+      .filter(col("offset_d").between(0, 7))
+      .groupBy("cohort", "offset_d").agg(count(lit(1)).as("users"))
+      .join(broadcast(sz), "cohort")
+      .select(col("cohort"), col("offset_d"), col("users"),
+        round(col("users").cast("double") / col("n0"), 4).as("retention"))
+      .orderBy("cohort", "offset_d")
+  }
+
+  /** Adamic-Adar link prediction on the repeat co-purchase graph
+    * (parts co-ordered >= 2 times, q162's graph family): for every
+    * NON-adjacent pair with a common neighbor, AA = Σ_z 1/ln(deg z)
+    * over common neighbors z — the classic "customers also bought"
+    * scorer, where rare shared neighbors count more than hubs. Shape:
+    * the edge set is persisted (consumed 4×: two 2-path sides, the
+    * adjacency anti-join, the degree agg); 2-path enumeration is the
+    * e⋈e self-join on the middle node — Σ deg(z)² rows, the inherent
+    * cost of exact AA, bounded here by the co>=2 sparsification and at
+    * corpus scale by a q171-style degree cap on z; the anti-join
+    * removes existing edges; everything shuffles on node keys with
+    * map-side combine on the final (a,b) agg.
+    */
+  def q198_adamic_adar(s: SparkSession, dir: String): DataFrame = {
+    val pe = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = pe.select(col("ok"), col("pk").as("src"))
+      .join(pe.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2).select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val cand = e.select(col("src").as("a"), col("dst").as("z"))
+      .join(e.select(col("src").as("z2"), col("dst").as("b")), col("z") === col("z2"))
+      .filter(col("a") < col("b")).select("a", "b", "z")
+    val nonadj = cand.join(e.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonadj.join(deg, col("z") === col("node"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), round(sum(lit(1.0) / log(col("d"))), 4).as("aa"))
+      .orderBy(desc("aa"), desc("common"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** BPE tokenizer APPLICATION (q193 learns, this encodes): learn the
+    * same 5 merges as q193 on the corpus word table (each learning
+    * round is a driver-materialized job — k is the latency knob, and
+    * the encode stage is what this query judges), then encode that
+    * vocabulary by replaying the merges in order — `Bpe.encode` chains the greedy
+    * folds into one narrow codegen map, no shuffle, no UDF. Output =
+    * top subword tokens by weighted frequency with how many distinct
+    * words they appear in — the vocabulary a downstream tokenizer
+    * would ship. Rows-only: the argmax-then-rewrite learning loop has
+    * no SQL form; BpeSpec pins encode == the training loop's final
+    * symbol state AND a driver-local reference encoder. At 100 TB the
+    * corpus is scanned once (the word count); learning and encoding
+    * both run over the vocabulary-sized frame (persisted — consumed by
+    * the k learning rounds and the encode pass).
+    */
+  def q199_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val wc = tWide(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = operators.Bpe.learnMerges(wc, k = 5)
+    operators.Bpe.encode(wc, merges)
+      .select(col("n"), explode(col("syms")).as("subword"))
+      .groupBy("subword").agg(sum("n").as("freq"), count(lit(1)).as("n_words"))
+      .orderBy(desc("freq"), col("subword"))
+      .limit(25)
+  }
+
+  /** Gopher-style quality rule-set (Rae et al. 2021 §A1.1 family):
+    * reject documents failing word-count >= 30, mean word length <= 5,
+    * >= 2 stopwords, or top-word dominance <= 20%. Output = the
+    * rejected docs with their metrics and a '|'-joined reason string.
+    * Every PREDICATE is exact integer arithmetic (sum_len > 5·n,
+    * top_c·5 > n) so pass/fail decisions are oracle-identical; floats
+    * appear only in the displayed rounded metrics. Shape: token stats
+    * are one narrow map (fused tokens + aggregate/filter HOFs); the
+    * top-word count is explode → two-level agg (map-side combined, the
+    * only shuffle); the token frame is persisted across its two
+    * consumers. The full Gopher set (symbol ratio, bullet fraction,
+    * ellipsis lines) composes identically — these four are the ones
+    * this corpus exercises in both directions.
+    */
+  def q200_gopher_rules(s: SparkSession, dir: String): DataFrame = {
+    val stopList = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+    val d = tWide(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = d.select(col("doc_id"),
+      size(col("ws")).as("n_words"),
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+      size(filter(col("ws"), w => w.isInCollection(stopList))).as("stops"))
+    val top = d.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("sum_len"), col("stops"), col("top_c"),
+        concat_ws("|",
+          when(col("n_words") < 30, lit("short")),
+          when(col("sum_len") > col("n_words") * 5, lit("mean_word_len")),
+          when(col("stops") < 2, lit("no_stopwords")),
+          when(col("top_c") * 5 > col("n_words"), lit("top_word_dom"))).as("reasons"))
+      .filter(col("reasons") =!= "")
+      .select(col("doc_id"), col("n_words"),
+        round(col("sum_len").cast("double") / col("n_words"), 4).as("mean_wlen"),
+        col("stops"),
+        round(col("top_c").cast("double") / col("n_words"), 4).as("top_share"),
+        col("reasons"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4461,6 +4700,13 @@ object Queries {
     "q191_ppr_related"  -> (q191_ppr_related _),
     "q192_dsir_select"  -> (q192_dsir_select _),
     "q193_bpe_merges"   -> (q193_bpe_merges _),
+    "q194_winnowing"    -> (q194_winnowing _),
+    "q195_fuzzy_linkage" -> (q195_fuzzy_linkage _),
+    "q196_funnel"       -> (q196_funnel _),
+    "q197_cohort_retention" -> (q197_cohort_retention _),
+    "q198_adamic_adar"  -> (q198_adamic_adar _),
+    "q199_bpe_encode"   -> (q199_bpe_encode _),
+    "q200_gopher_rules" -> (q200_gopher_rules _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -6724,5 +6970,97 @@ object Queries {
         |WHERE lang <> 'en'
         |GROUP BY doc_id, lang
         |ORDER BY dsir_w DESC, doc_id LIMIT 25""".stripMargin,
+    "q194_winnowing" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws)-2)] AS hs
+        |  FROM d WHERE len(ws) >= 4),
+        |f AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(hs) >= 8
+        |    THEN [list_min(hs[i:i+7]) for i in range(1, len(hs)-6)]
+        |    ELSE [list_min(hs)] END) AS fp FROM g)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY shared DESC, doc_a, doc_b""".stripMargin,
+    "q195_fuzzy_linkage" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |  levenshtein(a.p_name, c.p_name)::BIGINT AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY dist, name_a, name_b""".stripMargin,
+    "q196_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t0
+        |        AND e.ts <= v.t0 + INTERVAL 12 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        |        AND e.ts <= c.t1 + INTERVAL 12 HOUR
+        |      GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS step, count(*)::BIGINT AS users FROM v
+        |UNION ALL
+        |SELECT 2, 'click_within_12h', count(*)::BIGINT FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase_within_12h', count(*)::BIGINT FROM p
+        |ORDER BY stage""".stripMargin,
+    "q197_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts)::DATE AS cohort FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*)::BIGINT AS n0 FROM f GROUP BY cohort),
+        |a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.cohort AS cohort, datediff('day', f.cohort, a.d) AS offset_d,
+        |  count(*)::BIGINT AS users, round(count(*) * 1.0 / sz.n0, 4) AS retention
+        |FROM f JOIN a ON a.user_id = f.user_id
+        |  AND datediff('day', f.cohort, a.d) BETWEEN 0 AND 7
+        |JOIN sz ON sz.cohort = f.cohort
+        |GROUP BY f.cohort, offset_d, sz.n0
+        |ORDER BY cohort, offset_d""".stripMargin,
+    "q198_adamic_adar" ->
+      """WITH pe AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+        |e AS (SELECT a.pk AS src, b.pk AS dst
+        |      FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk <> b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
+        |cand AS (SELECT e1.src AS a, e2.dst AS b, e1.dst AS z
+        |         FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst),
+        |nonadj AS (SELECT c.a, c.b, c.z FROM cand c
+        |           LEFT JOIN e ON e.src = c.a AND e.dst = c.b WHERE e.src IS NULL)
+        |SELECT a, b, count(*)::BIGINT AS common,
+        |  round(sum(1.0 / ln(deg.d)), 4) AS aa
+        |FROM nonadj JOIN deg ON deg.node = nonadj.z
+        |GROUP BY a, b
+        |ORDER BY aa DESC, common DESC, a, b LIMIT 20""".stripMargin,
+    "q200_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) > 0),
+        |base AS (SELECT doc_id, len(ws) AS n_words,
+        |    list_sum([len(w) for w in ws]) AS sum_len,
+        |    len(list_filter(ws,
+        |      w -> w IN ('the','a','of','to','and','in','is','that'))) AS stops
+        |  FROM dd),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM dd) GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |j AS (SELECT base.doc_id AS doc_id, n_words, sum_len, stops, top_c,
+        |    concat_ws('|',
+        |      CASE WHEN n_words < 30 THEN 'short' END,
+        |      CASE WHEN sum_len > n_words * 5 THEN 'mean_word_len' END,
+        |      CASE WHEN stops < 2 THEN 'no_stopwords' END,
+        |      CASE WHEN top_c * 5 > n_words THEN 'top_word_dom' END) AS reasons
+        |  FROM base JOIN top ON base.doc_id = top.doc_id)
+        |SELECT doc_id, n_words, round(sum_len * 1.0 / n_words, 4) AS mean_wlen,
+        |  stops, round(top_c * 1.0 / n_words, 4) AS top_share, reasons
+        |FROM j WHERE reasons <> '' ORDER BY doc_id""".stripMargin,
   )
 }

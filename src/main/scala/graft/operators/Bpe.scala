@@ -87,6 +87,49 @@ object Bpe {
     merges.toSeq
   }
 
+  /** ENCODE: apply an ordered merge list to a (word, n) frame. Each
+    * word's character symbolization is rewritten by every merge IN
+    * LEARNED ORDER with the same greedy left-to-right fold used during
+    * training, so for any word seen in training, encode reproduces the
+    * training loop's final symbol state exactly (BpeSpec pins this).
+    *
+    * Shape: the k merges chain into k `aggregate` HOFs over a
+    * bounded-length symbol array — ONE narrow codegen'd map over the
+    * vocabulary, no shuffle, no UDF, nothing driver-side. At 100 TB
+    * the tokenizer-application pass over the raw corpus is exactly
+    * this expression applied per word (or per pre-split word table,
+    * as here, which is vocabulary-sized).
+    *
+    * Returns (word, n, syms: array<string>).
+    */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => substring(col("word"), i, lit(1)).cast("string"))
+    val encoded = merges.foldLeft(chars) { (syms, m) =>
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(m.left) && x === lit(m.right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m.left + m.right))))
+          .otherwise(concat(acc, array(x))))
+    }
+    words.select(col("word"), col("n"), encoded.as("syms"))
+  }
+
+  /** Driver-local reference encoder (differential tests). */
+  def encodeLocal(word: String, merges: Seq[Merge]): Vector[String] = {
+    var s = word.map(_.toString).toVector
+    for (m <- merges) {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- s) {
+        if (acc.nonEmpty && acc.last == m.left && x == m.right)
+          acc(acc.length - 1) = m.left + m.right
+        else acc += x
+      }
+      s = acc.toVector
+    }
+    s
+  }
+
   /** Reference (driver-local) implementation for differential testing:
     * identical greedy left-to-right semantics over an in-memory
     * (word, count) map.
