@@ -4506,6 +4506,160 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) on the customer→part
+    * purchase BIPARTITE graph: hubs = customers whose baskets
+    * concentrate on widely-bought parts, authorities = parts bought by
+    * strong hubs. Two unrolled rounds in UNNORMALIZED integer
+    * arithmetic — like q131's PageRank, dropping the float
+    * normalization (which only rescales, never reorders) is what makes
+    * the fixpoint EXACTLY reproducible in SQL: h0=1, a1 = in-degree,
+    * h1 = Σ a1, a2 = Σ h1; magnitudes stay well inside int64 for any
+    * bounded round count. Shape: the distinct edge list is persisted
+    * (consumed by all four round-aggregates), every round is one
+    * equi-join + map-side-combined sum shuffled on a node key, and the
+    * two top-8 heads plan TakeOrderedAndProject.
+    */
+  def q201_hits(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p")),
+        "o_orderkey")
+      .select("c", "p").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("a")) // h0 = 1
+    val h1 = e.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
+    val a2 = e.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
+    val h2 = e.join(a2, "p").groupBy("c").agg(sum("a").as("h"))
+    val hubs = h2.select(lit("hub").as("kind"), col("c").as("node"), col("h").as("score"))
+      .orderBy(desc("score"), col("node")).limit(8)
+    val auths = a2.select(lit("authority").as("kind"), col("p").as("node"), col("a").as("score"))
+      .orderBy(desc("score"), col("node")).limit(8)
+    hubs.unionAll(auths).orderBy(col("kind"), desc("score"), col("node"))
+  }
+
+  /** Association rules (market-basket): for part pairs co-ordered >= 3
+    * times, confidence(a→b) = supp(ab)/supp(a) and lift =
+    * supp(ab)·N/(supp(a)·supp(b)) — q75 counts co-occurrence, this
+    * turns it into the directed rule-mining output with the
+    * interestingness normalization. Shape: one distinct (order, part)
+    * frame persisted across the pair self-join and the two
+    * single-item supports; the pair join shuffles on the order key
+    * with per-order-basket² fan-out (the Apriori level-2 cost,
+    * bounded by basket size); supports broadcast back onto the
+    * surviving pairs; N is a 1-row broadcast.
+    */
+  def q202_assoc_rules(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = op.agg(countDistinct("ok").as("total"))
+    val supp1 = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val supp2 = op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("both_cnt"))
+      .filter(col("both_cnt") >= 3)
+    supp2
+      .join(broadcast(supp1.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+      .join(broadcast(supp1.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("both_cnt"),
+        round(col("both_cnt").cast("double") / col("ca"), 4).as("conf_a_to_b"),
+        round(col("both_cnt").cast("double") * col("total") / (col("ca") * col("cb")), 4).as("lift"))
+      .orderBy(desc("lift"), col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** Domain-shift audit: KL(P_lang ‖ P_en) over add-0.5-smoothed token
+    * unigram distributions on the UNION vocabulary — the drift number
+    * a mixture-balancing pass (q62) reads before reweighting sources.
+    * Shape: one tokenize+count pass per (lang, word); the vocab×lang
+    * grid (vocab is lexicon-sized, langs a handful) is built by
+    * cross-joining the broadcast lang list, so every distribution is
+    * over the SAME support — absent words get the smoothing floor,
+    * which is what makes KL finite and the two engines agree term by
+    * term; per-lang totals and the vocab size are broadcast 1-row
+    * aggregates of already-aggregated frames, never corpus re-scans.
+    */
+  def q203_kl_divergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+    val c = toks.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = c.select("w").distinct()
+    val nv = vocab.agg(count(lit(1)).as("v"))
+    val tot = c.groupBy("lang").agg(sum("n").as("t"))
+    val en = c.filter(col("lang") === "en").select(col("w"), col("n").as("en_n"))
+    val ent = tot.filter(col("lang") === "en").select(col("t").as("en_t"))
+    val langs = tot.filter(col("lang") =!= "en").select("lang")
+    val grid = vocab.crossJoin(broadcast(langs))
+      .join(c, Seq("lang", "w"), "left")
+      .join(broadcast(en), Seq("w"), "left")
+      .join(broadcast(tot), "lang")
+      .crossJoin(broadcast(ent)).crossJoin(broadcast(nv))
+    val p = (coalesce(col("n"), lit(0L)) + 0.5) / (col("t") + lit(0.5) * col("v"))
+    val q = (coalesce(col("en_n"), lit(0L)) + 0.5) / (col("en_t") + lit(0.5) * col("v"))
+    grid.groupBy("lang")
+      .agg(round(sum(p * log(p / q)), 4).as("kl"))
+      .orderBy("lang")
+  }
+
+  /** Johnson-Lindenstrauss random projection: 64-dim embeddings down
+    * to 4 dims through a ±1 sign matrix derived from md5 parity —
+    * hash-derived, so the "random" matrix needs no storage, no
+    * broadcast, and both engines rebuild it bit-identically (the JL
+    * guarantee only needs sign randomness, Achlioptas 2001). The
+    * projection is a zip_with + left-fold `aggregate` per output dim —
+    * a narrow codegen map, k·d multiply-adds per row, NO shuffle: at
+    * 100 TB this is the cheap pre-pass that shrinks vectors 16× before
+    * ANN indexing or clustering ever shuffles them. Fold order is the
+    * array order in both engines, so the double sums match exactly
+    * (q183's dot-product precedent).
+    */
+  def q204_jl_projection(s: SparkSession, dir: String): DataFrame = {
+    def proj(j: Int): Column = round(
+      aggregate(
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (x, i) => when(
+            substring(md5(concat_ws("_", lit(j.toString), i.cast("string"))), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+            x.cast("double")).otherwise(-x.cast("double"))),
+        lit(0.0), (acc, v) => acc + v), 4)
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 15)
+      .select(col("vec_id"), proj(0).as("p0"), proj(1).as("p1"),
+        proj(2).as("p2"), proj(3).as("p3"))
+      .orderBy("vec_id")
+  }
+
+  /** Last-touch attribution: every purchase credits the most recent
+    * click STRICTLY BEFORE it (by (ts, event_id) order) within 7 days
+    * by the same user; credit rolls up to the click's campaign key
+    * (the props JSON `k`). ONE window pass does the matching —
+    * `last(click-struct, ignoreNulls)` over rows unbounded..1
+    * PRECEDING on the unioned click/purchase stream — the q38
+    * union-window as-of trick: no range join, no per-purchase scan;
+    * state per partition is one struct. At 100 TB this shuffles each
+    * user's clicks+purchases once on user_id; the window never spans
+    * users. The frame ending at 1 PRECEDING is what encodes
+    * "strictly before" without a tie predicate.
+    */
+  def q205_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("lastc",
+        last(when(col("event_type") === "click", struct(col("ts").as("cts"), col("k").as("ck"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("lastc").isNotNull &&
+        col("lastc.cts") >= col("ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("lastc.ck").as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("credited_value"))
+      .orderBy("campaign")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4707,6 +4861,11 @@ object Queries {
     "q198_adamic_adar"  -> (q198_adamic_adar _),
     "q199_bpe_encode"   -> (q199_bpe_encode _),
     "q200_gopher_rules" -> (q200_gopher_rules _),
+    "q201_hits"         -> (q201_hits _),
+    "q202_assoc_rules"  -> (q202_assoc_rules _),
+    "q203_kl_divergence" -> (q203_kl_divergence _),
+    "q204_jl_projection" -> (q204_jl_projection _),
+    "q205_attribution"  -> (q205_attribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -7062,5 +7221,91 @@ object Queries {
         |SELECT doc_id, n_words, round(sum_len * 1.0 / n_words, 4) AS mean_wlen,
         |  stops, round(top_c * 1.0 / n_words, 4) AS top_share, reasons
         |FROM j WHERE reasons <> '' ORDER BY doc_id""".stripMargin,
+    "q201_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT p, count(*)::BIGINT AS a FROM e GROUP BY p),
+        |h1 AS (SELECT e.c, sum(a1.a)::BIGINT AS h FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c),
+        |a2 AS (SELECT e.p, sum(h1.h)::BIGINT AS a FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p),
+        |h2 AS (SELECT e.c, sum(a2.a)::BIGINT AS h FROM e JOIN a2 ON a2.p = e.p GROUP BY e.c),
+        |hubs AS (SELECT 'hub' AS kind, c AS node, h AS score FROM h2
+        |         ORDER BY score DESC, node LIMIT 8),
+        |auths AS (SELECT 'authority' AS kind, p AS node, a AS score FROM a2
+        |          ORDER BY score DESC, node LIMIT 8)
+        |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+        |ORDER BY kind, score DESC, node""".stripMargin,
+    "q202_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS total FROM op),
+        |supp1 AS (SELECT pk, count(*)::BIGINT AS cnt FROM op GROUP BY pk),
+        |supp2 AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS both_cnt
+        |          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT s2.pa, s2.pb, s2.both_cnt,
+        |  round(s2.both_cnt * 1.0 / sa.cnt, 4) AS conf_a_to_b,
+        |  round((s2.both_cnt * 1.0 * n.total) / (sa.cnt * sb.cnt), 4) AS lift
+        |FROM supp2 s2
+        |JOIN supp1 sa ON sa.pk = s2.pa
+        |JOIN supp1 sb ON sb.pk = s2.pb
+        |CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q203_kl_divergence" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT w FROM c),
+        |nv AS (SELECT count(*) AS v FROM vocab),
+        |tot AS (SELECT lang, sum(n) AS t FROM c GROUP BY lang),
+        |en AS (SELECT w, n AS en_n FROM c WHERE lang = 'en'),
+        |ent AS (SELECT t AS en_t FROM tot WHERE lang = 'en'),
+        |grid AS (SELECT v.w, l.lang, c.n FROM vocab v
+        |  CROSS JOIN (SELECT lang FROM tot WHERE lang <> 'en') l
+        |  LEFT JOIN c ON c.w = v.w AND c.lang = l.lang)
+        |SELECT g.lang AS lang,
+        |  round(sum( ((coalesce(g.n, 0) + 0.5) / (tot.t + 0.5 * nv.v)) *
+        |    ln( ((coalesce(g.n, 0) + 0.5) / (tot.t + 0.5 * nv.v)) /
+        |        ((coalesce(en.en_n, 0) + 0.5) / (ent.en_t + 0.5 * nv.v)) ) ), 4) AS kl
+        |FROM grid g
+        |JOIN tot ON tot.lang = g.lang
+        |LEFT JOIN en ON en.w = g.w
+        |CROSS JOIN ent CROSS JOIN nv
+        |GROUP BY g.lang ORDER BY g.lang""".stripMargin,
+    "q204_jl_projection" ->
+      """SELECT vec_id,
+        |  round(list_sum([CASE WHEN substr(md5('0_' || (i-1)::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7')
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, len(embedding)+1)]), 4) AS p0,
+        |  round(list_sum([CASE WHEN substr(md5('1_' || (i-1)::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7')
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, len(embedding)+1)]), 4) AS p1,
+        |  round(list_sum([CASE WHEN substr(md5('2_' || (i-1)::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7')
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, len(embedding)+1)]), 4) AS p2,
+        |  round(list_sum([CASE WHEN substr(md5('3_' || (i-1)::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7')
+        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+        |      for i in range(1, len(embedding)+1)]), 4) AS p3
+        |FROM embeddings WHERE vec_id < 15 ORDER BY vec_id""".stripMargin,
+    "q205_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    json_extract(props, '$.k')::BIGINT AS k, value
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click'
+        |        THEN struct_pack(cts := ts, ck := k) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastc
+        |  FROM ev)
+        |SELECT lastc.ck AS campaign, count(*)::BIGINT AS n_purchases,
+        |  round(sum(value), 2) AS credited_value
+        |FROM w
+        |WHERE event_type = 'purchase' AND lastc IS NOT NULL
+        |  AND lastc.cts >= ts - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -102,7 +102,12 @@ class PlanSpec extends SparkSpec {
       // q184: 1-row broadcast [min,max] score envelope (q81's pattern)
       "q184_calibration_bins",
       // q192: 1-row broadcast LM totals nt/nr (q181's pattern)
-      "q192_dsir_select")
+      "q192_dsir_select",
+      // q202: 1-row broadcast basket total N (q145's pattern)
+      "q202_assoc_rules",
+      // q203: 1-row broadcast en-total/vocab-size + the broadcast
+      // lang-list grid cross join (bounded by #languages)
+      "q203_kl_divergence")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

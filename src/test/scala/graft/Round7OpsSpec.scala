@@ -188,4 +188,102 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(4L) == "no_stopwords")
     assert(got(5L) == "top_word_dom")
   }
+
+  // ---- q201 HITS ------------------------------------------------------
+
+  test("hits: hand-computed bipartite rounds on a 2-customer, 3-part graph") {
+    val dir = tmp("graft_hits_")
+    // customer 1 buys parts {10, 11}; customer 2 buys {11, 12}.
+    Seq((100L, 1L), (101L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((100L, 10L), (100L, 11L), (101L, 11L), (101L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("q201_hits")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a1 = in-degree: p10=1, p11=2, p12=1.
+    // h1: c1 = a1(10)+a1(11) = 3; c2 = a1(11)+a1(12) = 3.
+    // a2: p10 = 3, p11 = 6, p12 = 3.  h2: c1 = 9, c2 = 9.
+    val auth = got.filter(_._1 == "authority").map(r => r._2 -> r._3).toMap
+    val hub = got.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    assert(auth == Map(10L -> 3L, 11L -> 6L, 12L -> 3L), s"got $auth")
+    assert(hub == Map(1L -> 9L, 2L -> 9L), s"got $hub")
+  }
+
+  // ---- q202 association rules -----------------------------------------
+
+  test("assoc rules: hand-computed confidence and lift on crafted baskets") {
+    val dir = tmp("graft_assoc_")
+    // 4 orders; parts 1,2 together in 3 of them; part 3 alone in one.
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("q202_assoc_rules")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // supp(1)=3, supp(2)=3, supp(12)=3, N=4:
+    // conf(1→2) = 3/3 = 1.0; lift = 3·4/(3·3) = 1.3333.
+    assert(got.toSeq == Seq((1L, 2L, 3L, 1.0, 1.3333)), s"got ${got.toSeq}")
+  }
+
+  // ---- q203 KL divergence ---------------------------------------------
+
+  test("kl divergence: identical distribution scores 0; a shifted one scores > 0") {
+    val dir = tmp("graft_kl_")
+    Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma", "same"),   // token-identical to en
+      (3L, "alpha alpha alpha", "skew"))  // mass concentrated
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q203_kl_divergence")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("same") == 0.0, s"identical dists must give KL 0, got $got")
+    assert(got("skew") > 0.1, s"shifted dist must give KL > 0, got $got")
+  }
+
+  // ---- q204 JL projection ---------------------------------------------
+
+  test("jl projection: linearity — a negated vector projects to the exact negation") {
+    val dir = tmp("graft_jl_")
+    val v = (0 until 64).map(i => 0.01f * ((i % 13) - 6)).toArray
+    Seq((0L, v.toSeq), (1L, v.map(-_).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Queries.all("q204_jl_projection")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 2)
+    val (_, a0, a1, a2, a3) = got(0)
+    val (_, b0, b1, b2, b3) = got(1)
+    // The sign matrix is fixed by md5, so projection is linear:
+    // proj(−x) = −proj(x) in exact double arithmetic (± rounding at 4dp).
+    assert((a0 + b0).abs < 1e-9 && (a1 + b1).abs < 1e-9 &&
+      (a2 + b2).abs < 1e-9 && (a3 + b3).abs < 1e-9, s"got $got")
+    // And the hash signs are non-trivial: not all four dims collapse to
+    // the same magnitude (the sign patterns differ across j).
+    assert(Set(a0.abs, a1.abs, a2.abs, a3.abs).size > 1)
+  }
+
+  // ---- q205 attribution -----------------------------------------------
+
+  test("attribution: purchases credit the last strictly-prior click within 7 days, else nothing") {
+    val dir = tmp("graft_attr_")
+    def ev(id: Long, t: String, u: Long, typ: String, k: Long, v: Double) =
+      (id, ts(t), u, typ, s"""{"k": $k}""", v)
+    Seq(
+      // user 1: click(k=7) → click(k=9) → purchase: credits k=9 (last wins)
+      ev(1, "2024-01-01 08:00:00", 1, "click", 7, 0.0),
+      ev(2, "2024-01-01 09:00:00", 1, "click", 9, 0.0),
+      ev(3, "2024-01-01 10:00:00", 1, "purchase", 0, 50.0),
+      // user 2: purchase BEFORE any click → uncredited
+      ev(4, "2024-01-02 08:00:00", 2, "purchase", 0, 30.0),
+      ev(5, "2024-01-02 09:00:00", 2, "click", 5, 0.0),
+      // user 3: click 8 days before purchase → outside window, uncredited
+      ev(6, "2024-01-01 08:00:00", 3, "click", 4, 0.0),
+      ev(7, "2024-01-09 09:00:00", 3, "purchase", 0, 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q205_attribution")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((9L, 1L, 50.0)), s"got ${got.toSeq}")
+  }
 }
