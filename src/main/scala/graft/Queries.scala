@@ -4660,6 +4660,130 @@ object Queries {
       .orderBy("campaign")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test: is the `value` distribution of
+    * clicks the same as purchases? D = max |F_a(v) − F_b(v)| over the
+    * pooled support — the canonical distribution-drift gate a feature
+    * pipeline runs between snapshots (q203's KL needs binning; KS is
+    * binless). Shape: one corpus pass groups values into the DISTINCT-
+    * value frame (map-side combined), both empirical CDFs ride the same
+    * cost-based PrefixSum.runningTotal (single window at test scale,
+    * two-pass distributed zipWithIndex above the threshold — the support
+    * of a continuous measure at 100 TB is corpus-sized). Every float is
+    * an exact-integer division so the argmax row is engine-identical;
+    * the result is the TakeOrdered-1 row (max D, min value on ties).
+    */
+  def q206_ks_test(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val g = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb_v"))
+    val ca = PrefixSum.runningTotal(g, "value", "na_v", "ca")
+    val cb = PrefixSum.runningTotal(ca, "value", "nb_v", "cb")
+    val tot = g.agg(sum("na_v").as("na"), sum("nb_v").as("nb"))
+    cb.crossJoin(broadcast(tot))
+      .withColumn("d", abs(col("ca") / col("na") - col("cb") / col("nb")))
+      .orderBy(col("d").desc, col("value").asc)
+      .limit(1)
+      .select(col("value"), col("na"), col("nb"), round(col("d"), 6).as("ks_d"))
+  }
+
+  /** Chi-square token selection: the 15 tokens whose document-level
+    * presence most separates lang='en' from the rest — the feature-
+    * selection step before training a lightweight classifier (q126 is
+    * the contingency-table form over fixed cells; this ranks an OPEN
+    * vocabulary). Presence set = fused-tokenizer explode + distinct
+    * (vocabulary×docs bounded, map-side combined); class totals ride in
+    * as a broadcast 1-row aggregate, never an eager count. The chi2
+    * numerator/denominator stay in EXACT 64-bit integers (max ~N⁴ ≪
+    * 2^63 at any judged SF) with ONE final division, so the ranking is
+    * engine-identical; df≥5 is the textbook applicability floor and the
+    * all-docs guard drops the degenerate zero-denominator token.
+    */
+  def q207_chi2_select(s: SparkSession, dir: String): DataFrame = {
+    val pres = tWide(s, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("is_en"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .distinct()
+    val tot = t(s, dir, "documents")
+      .agg(sum((col("lang") === "en").cast("long")).as("n_en"),
+        sum((col("lang") =!= "en").cast("long")).as("n_oth"))
+    val adbc = col("a") * (col("n_oth") - col("b")) - col("b") * (col("n_en") - col("a"))
+    pres.groupBy("word")
+      .agg(sum("is_en").as("a"), sum(lit(1L) - col("is_en")).as("b"))
+      .filter(col("a") + col("b") >= 5)
+      .crossJoin(broadcast(tot))
+      .filter(col("a") + col("b") < col("n_en") + col("n_oth"))
+      .withColumn("chi2", round(
+        ((col("n_en") + col("n_oth")) * adbc * adbc) /
+          ((col("a") + col("b")) * (col("n_en") + col("n_oth") - col("a") - col("b")) *
+            col("n_en") * col("n_oth")), 4))
+      .orderBy(col("chi2").desc, col("word").asc)
+      .limit(15)
+      .select("word", "a", "b", "chi2")
+  }
+
+  /** Gini coefficient of the per-language token-frequency distribution
+    * — the inequality number behind "a few head words dominate this
+    * slice" (q170's Zipf slope is the power-law FIT; Gini is the
+    * distribution-free summary). Ranks are per-language windows over
+    * the VOCABULARY-sized frequency frame (never corpus rows); the
+    * numerator 2·Σr·x − (n+1)·Σx and denominator n·Σx stay in exact
+    * 64-bit integers (Σr·x ≤ n·Σx ≪ 2^63 for any real vocabulary),
+    * one final division.
+    */
+  def q208_gini_tokens(s: SparkSession, dir: String): DataFrame = {
+    val wc = tWide(s, dir, "documents")
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").asc, col("word").asc)
+    wc.withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab"), sum("cnt").as("total"),
+        sum(col("r") * col("cnt")).as("rx"))
+      .withColumn("gini", round(
+        (lit(2L) * col("rx") - (col("vocab") + 1L) * col("total")) /
+          (col("vocab") * col("total")), 4))
+      .select("lang", "vocab", "total", "gini")
+      .orderBy("lang")
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two document
+    * rankings — "did the reranker change what the top of the list looks
+    * like", the list-similarity eval q189's nDCG (one ranking vs
+    * graded labels) cannot answer. Rankings: by raw length vs by
+    * distinct-token count; prefix RBO at depth 20 with p=1/2 so every
+    * p^d weight is an EXACT dyadic double in both engines (arbitrary p
+    * would put `pow` in the hash-compared path). Both top-20s plan
+    * TakeOrderedAndProject; the depth×overlap join is 20×20-bounded,
+    * so the only corpus-scale work is the distinct-count aggregation.
+    */
+  def q209_rbo(s: SparkSession, dir: String): DataFrame = {
+    val depth = 20
+    // row_number over an already-TakeOrdered 20-row frame: the global
+    // window is bounded by `depth`, never corpus-sized.
+    def ranked(df: DataFrame, score: Column, rank: String): DataFrame =
+      df.orderBy(score.desc, col("doc_id").asc).limit(depth)
+        .withColumn(rank,
+          row_number().over(Window.orderBy(score.desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col(rank))
+    val a = ranked(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      col("n_chars"), "ra")
+    val b = ranked(
+      tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("doc_id").agg(countDistinct("w").as("nd")),
+      col("nd"), "rb")
+    val ov = a.join(b, "doc_id").select(greatest(col("ra"), col("rb")).as("md"))
+    val depths = s.range(1, depth + 1).toDF("d")
+    depths.join(ov, col("md") <= col("d"), "left")
+      .groupBy("d").agg(count(col("md")).as("ov"))
+      .agg(
+        round(sum(pow(lit(0.5), col("d")) * col("ov") / col("d")), 4).as("rbo"),
+        max(when(col("d") === depth, col("ov"))).as("ov20"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4866,6 +4990,10 @@ object Queries {
     "q203_kl_divergence" -> (q203_kl_divergence _),
     "q204_jl_projection" -> (q204_jl_projection _),
     "q205_attribution"  -> (q205_attribution _),
+    "q206_ks_test"      -> (q206_ks_test _),
+    "q207_chi2_select"  -> (q207_chi2_select _),
+    "q208_gini_tokens"  -> (q208_gini_tokens _),
+    "q209_rbo"          -> (q209_rbo _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -7307,5 +7435,65 @@ object Queries {
         |WHERE event_type = 'purchase' AND lastc IS NOT NULL
         |  AND lastc.cts >= ts - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q206_ks_test" ->
+      """WITH g AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb_v
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+        |c AS (SELECT value,
+        |    sum(na_v) OVER (ORDER BY value)::BIGINT AS ca,
+        |    sum(nb_v) OVER (ORDER BY value)::BIGINT AS cb FROM g),
+        |tot AS (SELECT sum(na_v)::BIGINT AS na, sum(nb_v)::BIGINT AS nb FROM g)
+        |SELECT value, na, nb,
+        |  round(abs(ca::DOUBLE / na - cb::DOUBLE / nb), 6) AS ks_d
+        |FROM c, tot
+        |ORDER BY abs(ca::DOUBLE / na - cb::DOUBLE / nb) DESC, value ASC
+        |LIMIT 1""".stripMargin,
+    "q207_chi2_select" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, is_en, word FROM (
+        |    SELECT doc_id, (lang = 'en')::BIGINT AS is_en,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |tot AS (SELECT sum((lang = 'en')::BIGINT)::BIGINT AS n_en,
+        |               sum((lang <> 'en')::BIGINT)::BIGINT AS n_oth FROM documents),
+        |g AS (SELECT word, sum(is_en)::BIGINT AS a, sum(1 - is_en)::BIGINT AS b
+        |      FROM pres GROUP BY word HAVING sum(is_en) + sum(1 - is_en) >= 5)
+        |SELECT word, a, b,
+        |  round(((n_en + n_oth) * (a * (n_oth - b) - b * (n_en - a))
+        |           * (a * (n_oth - b) - b * (n_en - a)))::DOUBLE /
+        |        ((a + b) * (n_en + n_oth - a - b) * n_en * n_oth), 4) AS chi2
+        |FROM g, tot
+        |WHERE a + b < n_en + n_oth
+        |ORDER BY chi2 DESC, word ASC LIMIT 15""".stripMargin,
+    "q208_gini_tokens" ->
+      """WITH wc AS (
+        |  SELECT lang, word, count(*)::BIGINT AS cnt FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> '' GROUP BY lang, word),
+        |r AS (SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt ASC, word ASC)::BIGINT AS r
+        |  FROM wc)
+        |SELECT lang, count(*)::BIGINT AS vocab, sum(cnt)::BIGINT AS total,
+        |  round((2 * sum(r * cnt) - (count(*) + 1) * sum(cnt))::DOUBLE /
+        |        (count(*) * sum(cnt)), 4) AS gini
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q209_rbo" ->
+      """WITH a AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS ra
+        |  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20),
+        |wd AS (SELECT doc_id, count(DISTINCT word)::BIGINT AS nd FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> '' GROUP BY doc_id),
+        |b AS (SELECT doc_id, row_number() OVER (ORDER BY nd DESC, doc_id ASC)::BIGINT AS rb
+        |  FROM wd ORDER BY nd DESC, doc_id ASC LIMIT 20),
+        |ov AS (SELECT greatest(a.ra, b.rb) AS md FROM a JOIN b USING (doc_id)),
+        |ds AS (SELECT d::BIGINT AS d FROM generate_series(1, 20) AS t(d)),
+        |o AS (SELECT d, count(md)::BIGINT AS ov
+        |      FROM ds LEFT JOIN ov ON md <= d GROUP BY d)
+        |SELECT round(sum(pow(0.5, d) * ov / d), 4) AS rbo,
+        |  max(CASE WHEN d = 20 THEN ov END)::BIGINT AS ov20
+        |FROM o""".stripMargin,
   )
 }
