@@ -4784,6 +4784,101 @@ object Queries {
         max(when(col("d") === depth, col("ov"))).as("ov20"))
   }
 
+  /** Tokenizer-vocabulary coverage: build the top-500 corpus vocabulary
+    * and report each language's out-of-vocabulary token rate — the
+    * coverage audit run before committing to a fixed vocab (an OOV rate
+    * that differs 10× across languages means the tokenizer starves
+    * them). The token stream is persisted because it feeds BOTH the
+    * vocabulary build and the coverage join; the vocabulary itself is a
+    * TakeOrdered-500 frame that BROADCASTS into the presence join, so
+    * the corpus-scale side never shuffles. Exact integer counts, one
+    * final division.
+    */
+  def q210_oov_rate(s: SparkSession, dir: String): DataFrame = {
+    val tok = tWide(s, dir, "documents")
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .persist()
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(500)
+      .select(col("word"), lit(1L).as("in_v"))
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
+      .orderBy("lang")
+  }
+
+  /** Temperature-scaled mixture weights (α = 1/2, the mT5/XLM-R
+    * up-sampling rule): per-language sampling weight n_l^α / Σ n_l^α
+    * and the implied up-sampling factor vs natural proportions — the
+    * mixture table a multilingual pre-training run feeds its sampler.
+    * All corpus-scale work is one map-side-combined count; the 5-row
+    * language frame carries every float (sqrt is correctly rounded
+    * IEEE, the Σ over languages is rounded per the determinism
+    * contract).
+    */
+  def q211_temperature_mix(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(sqrt(col("n_docs"))).as("z"), sum("n_docs").as("n"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(sqrt(col("n_docs")) / col("z"), 6).as("weight"),
+        round((sqrt(col("n_docs")) / col("z")) / (col("n_docs") / col("n")), 4)
+          .as("upsample"))
+      .orderBy("lang")
+  }
+
+  /** Per-node local clustering coefficient on the co-purchase graph —
+    * the node-grain community-density report behind q153's one global
+    * number (which nodes sit in tight clusters vs radiate as hubs).
+    * Same degree-ordered oriented enumeration (max out-degree O(√m)
+    * regardless of hub skew), different final aggregation: each closed
+    * triangle credits its three corners, and a node-sized left join
+    * back onto the degree table keeps triangle-free nodes at exactly
+    * 0. Floats: 2·tri exact, d(d−1) integer, one correctly-rounded
+    * division → the ranking is engine-identical.
+    */
+  def q212_local_clustering(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+    operators.Triangles.perNode(pairs, "u", "v", minDeg = 5)
+      .orderBy(col("lcc").desc, col("node").asc)
+      .limit(20)
+  }
+
+  /** Click→purchase conversion pairs within 30 minutes, credited to the
+    * click's campaign — the BATCH form of a stream-stream interval
+    * join (the streaming execution — two MemoryStreams, watermarks on
+    * both sides, state expiry from the interval bound — runs in
+    * StreamingWindowSpec; this frame is its batch oracle, the q28/q32
+    * pattern). The join is an EQUI-join on user_id with the time bound
+    * as residual, so both sides co-partition at 100 TB and the range
+    * never degenerates to a cross product; unlike q205 (latest-click
+    * attribution) every qualifying pair counts.
+    */
+  def q213_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    c.join(p, Seq("user_id"))
+      .filter(col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 2).as("total_value"))
+      .orderBy("campaign")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -4994,6 +5089,10 @@ object Queries {
     "q207_chi2_select"  -> (q207_chi2_select _),
     "q208_gini_tokens"  -> (q208_gini_tokens _),
     "q209_rbo"          -> (q209_rbo _),
+    "q210_oov_rate"     -> (q210_oov_rate _),
+    "q211_temperature_mix" -> (q211_temperature_mix _),
+    "q212_local_clustering" -> (q212_local_clustering _),
+    "q213_stream_stream_join" -> (q213_stream_stream_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -7495,5 +7594,63 @@ object Queries {
         |SELECT round(sum(pow(0.5, d) * ov / d), 4) AS rbo,
         |  max(CASE WHEN d = 20 THEN ov END)::BIGINT AS ov20
         |FROM o""".stripMargin,
+    "q210_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT lang, word FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |vocab AS (SELECT word FROM (
+        |    SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+        |  ORDER BY cnt DESC, word ASC LIMIT 500)
+        |SELECT lang, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |    AS oov_rate
+        |FROM tok t LEFT JOIN vocab v ON t.word = v.word
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q211_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs)::BIGINT AS n FROM c)
+        |SELECT lang, n_docs,
+        |  round(sqrt(n_docs) / z, 6) AS weight,
+        |  round((sqrt(n_docs) / z) / (n_docs::DOUBLE / n), 4) AS upsample
+        |FROM c, tot ORDER BY lang""".stripMargin,
+    "q212_local_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
+        |          SELECT u AS node FROM pairs
+        |          UNION ALL SELECT v AS node FROM pairs) GROUP BY node),
+        |orient AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+        |         THEN p.u ELSE p.v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+        |         THEN p.v ELSE p.u END AS t
+        |  FROM pairs p JOIN deg du ON du.node = p.u
+        |               JOIN deg dv ON dv.node = p.v),
+        |tri3 AS (SELECT e1.s AS a, e1.t AS x, e2.t AS y
+        |        FROM orient e1
+        |        JOIN orient e2 ON e1.s = e2.s AND e1.t < e2.t
+        |        JOIN pairs c ON c.u = e1.t AND c.v = e2.t),
+        |pn AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
+        |         SELECT a AS node FROM tri3
+        |         UNION ALL SELECT x FROM tri3
+        |         UNION ALL SELECT y FROM tri3) GROUP BY node)
+        |SELECT d.node, d.d, coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+        |  round(2.0 * coalesce(pn.n_tri, 0) / (d.d * (d.d - 1)), 4) AS lcc
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node
+        |WHERE d.d >= 5
+        |ORDER BY lcc DESC, d.node ASC LIMIT 20""".stripMargin,
+    "q213_stream_stream_join" ->
+      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
+        |             ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT campaign, count(*)::BIGINT AS n_pairs,
+        |  round(sum(value), 2) AS total_value
+        |FROM c JOIN p USING (user_id)
+        |WHERE pts >= cts AND pts < cts + INTERVAL 30 MINUTE
+        |GROUP BY campaign ORDER BY campaign""".stripMargin,
   )
 }

@@ -51,6 +51,48 @@ object Triangles {
     */
   def census(edges: DataFrame, uCol: String, vCol: String,
       broadcastClose: Boolean = true): DataFrame = {
+    val (pairs, deg, closed) = closedTriangles(edges, uCol, vCol, broadcastClose)
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    // d*(d-1) is even, so the /2 is exact in double well past any real
+    // degree sum; oracle side casts the same way (/2 then ::BIGINT)
+    val wtot = deg.agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(wtot).crossJoin(nodes).crossJoin(nEdges)
+      .select(col("n_triangles"), col("n_wedges"), col("n_nodes"), col("n_edges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("clustering_coeff"))
+  }
+
+  /** Per-node local clustering coefficient: lcc(v) = 2·tri(v)/(d(d−1)),
+    * the node-grain refinement of census's single global number. Every
+    * closed triangle (s,x,y) credits all three corners — one explode
+    * over the (much smaller than wedges) triangle set, then a
+    * node-sized left join back onto the degree table so triangle-free
+    * nodes report exactly 0. Cost is identical to census (the same
+    * oriented enumeration); only the final aggregation differs.
+    * `minDeg` drops the degenerate d<2 nodes (lcc undefined) and the
+    * noise floor callers don't want ranked.
+    */
+  def perNode(edges: DataFrame, uCol: String, vCol: String,
+      minDeg: Int = 2, broadcastClose: Boolean = true): DataFrame = {
+    val (_, deg, closed) = closedTriangles(edges, uCol, vCol, broadcastClose)
+    val perCorner = closed
+      .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= minDeg)
+      .join(perCorner, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) / (col("d") * (col("d") - 1)), 4)
+          .as("lcc"))
+  }
+
+  /** Shared enumeration core: canonicalized edge set, degree table, and
+    * the closed-triangle frame (s, x, y) with s the unique DAG source
+    * and x < y the closing edge. See census's scaladoc for the
+    * orientation bound and cache contract.
+    */
+  private def closedTriangles(edges: DataFrame, uCol: String, vCol: String,
+      broadcastClose: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val pairs = edges
       .filter(col(uCol) =!= col(vCol))
       .select(
@@ -105,7 +147,7 @@ object Triangles {
     // by the planner into the join key, silently restoring the
     // composite-key slow path, while the range form stays a residual
     // filter on the probe hit.
-    val tri = (if (broadcastClose) {
+    val closed = (if (broadcastClose) {
       val cl = broadcast(pairs.select(xxhash64(col("u"), col("v")).as("hk"),
         col("u").as("cu"), col("v").as("cv")))
       wedges.join(cl, xxhash64(col("x"), col("y")) === col("hk") &&
@@ -114,14 +156,7 @@ object Triangles {
     } else {
       wedges.join(pairs.select(col("u").as("cu"), col("v").as("cv")),
         col("x") === col("cu") && col("y") === col("cv"))
-    }).agg(count(lit(1)).as("n_triangles"))
-    // d*(d-1) is even, so the /2 is exact in double well past any real
-    // degree sum; oracle side casts the same way (/2 then ::BIGINT)
-    val wtot = deg.agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
-    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
-    tri.crossJoin(wtot).crossJoin(nodes).crossJoin(nEdges)
-      .select(col("n_triangles"), col("n_wedges"), col("n_nodes"), col("n_edges"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("clustering_coeff"))
+    }).select(col("s"), col("x"), col("y"))
+    (pairs, deg, closed)
   }
 }

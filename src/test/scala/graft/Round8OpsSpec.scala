@@ -98,6 +98,83 @@ class Round8OpsSpec extends SparkSpec {
       s"got ${got.getDouble(0)} want ~$expected")
   }
 
+  // ---- q212 local clustering ------------------------------------------
+
+  test("local clustering: hand-computed lcc on triangle-plus-tail; triangle-free node reports 0") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3–4 + isolated edge 5–6:
+    //   deg: 1→2, 2→2, 3→3, 4→1, 5→1, 6→1
+    //   lcc(1)=lcc(2)=1.0, lcc(3)=2·1/(3·2)=0.3333, others below minDeg=2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L)).toDF("u", "v")
+    val got = graft.operators.Triangles.perNode(edges, "u", "v", minDeg = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (3L, 3L, 1L, 0.3333)),
+      s"got ${got.toSeq}")
+    // 2-regular square (4-cycle): every node degree 2, no triangles → all lcc 0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val sq = graft.operators.Triangles.perNode(square, "u", "v", minDeg = 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(sq == Set((0L, 0.0)), s"got $sq")
+  }
+
+  // ---- q213 stream-stream join ----------------------------------------
+
+  test("stream-stream join: streaming execution with watermarks matches the q213 batch frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft_ssj_")
+    def ev(id: Long, t: String, u: Long, typ: String, k: Long, v: Double) =
+      (id, ts(t), u, typ, s"""{"k": $k}""", v)
+    val rows = Seq(
+      // user 1: click k=3 then purchase 10 min later → pair
+      ev(1, "2024-01-01 08:00:00", 1, "click", 3, 0.0),
+      ev(2, "2024-01-01 08:10:00", 1, "purchase", 0, 40.0),
+      // user 2: purchase 45 min after the click → outside the bound
+      ev(3, "2024-01-01 09:00:00", 2, "click", 5, 0.0),
+      ev(4, "2024-01-01 09:45:00", 2, "purchase", 0, 10.0),
+      // user 3: two clicks both within 30 min of one purchase → TWO pairs
+      ev(5, "2024-01-01 10:00:00", 3, "click", 3, 0.0),
+      ev(6, "2024-01-01 10:05:00", 3, "click", 7, 0.0),
+      ev(7, "2024-01-01 10:20:00", 3, "purchase", 0, 12.5))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = Queries.all("q213_stream_stream_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == Set((3L, 2L, 52.5), (7L, 1L, 12.5)), s"batch got $batch")
+
+    // Same semantics under the streaming engine: inner interval join,
+    // watermarks on both sides bound the state.
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // Ev(event_id, ts, user_id, value): value carries campaign on the
+    // click side, purchase value on the purchase side.
+    clicks.addData(Ev(1, ts("2024-01-01 08:00:00"), 1, 3.0),
+      Ev(3, ts("2024-01-01 09:00:00"), 2, 5.0),
+      Ev(5, ts("2024-01-01 10:00:00"), 3, 3.0),
+      Ev(6, ts("2024-01-01 10:05:00"), 3, 7.0))
+    purchases.addData(Ev(2, ts("2024-01-01 08:10:00"), 1, 40.0),
+      Ev(4, ts("2024-01-01 09:45:00"), 2, 10.0),
+      Ev(7, ts("2024-01-01 10:20:00"), 3, 12.5))
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("value").cast("long").as("campaign"), col("ts").as("cts"))
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val joined = c.join(p, col("user_id") === col("p_user") &&
+      col("pts") >= col("cts") && col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_parity")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_parity")
+        .groupBy("campaign")
+        .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 2).as("total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
