@@ -4879,6 +4879,83 @@ object Queries {
       .orderBy("campaign")
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the
+    * entity names, compare each record only to its w=5 successors in
+    * sort order, keep levenshtein ≤ 3 — the OTHER classic bounded-
+    * comparison record-linkage method next to q195's key blocking
+    * (blocking misses cross-block typos in the block key itself;
+    * SNM misses only pairs > w apart in sort order — production ER
+    * runs both and unions). The global sort position comes from the
+    * cost-based PrefixSum.globalRank (never a single-partition window);
+    * the "±w neighbors" join is an EQUI-join on rank after a 5-way
+    * offset explode — w× replication of a name-sized frame instead of
+    * a range join, so it co-partitions at any scale.
+    */
+  def q214_sorted_neighborhood(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val w = 5
+    val names = t(s, dir, "part").select("p_name").distinct()
+    val ranked = PrefixSum.globalRank(names, Seq("p_name"), "r")
+    val probes = ranked.select(col("p_name").as("name_a"),
+        explode(sequence(lit(1), lit(w))).as("off"), col("r"))
+      .withColumn("r", col("r") + col("off"))
+    probes.join(ranked.select(col("p_name").as("name_b"), col("r")), "r")
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("dist", "name_a", "name_b")
+  }
+
+  /** Half-life-decayed engagement score (the feature-store "decayed
+    * counter"): each purchase contributes value · 0.5^(whole weeks
+    * before the corpus frontier) — recency-weighted spend without a
+    * mutable state store, recomputable from the log at any time. The
+    * frontier rides in as a broadcast 1-row aggregate; the exponent is
+    * an INTEGER week count so every weight is an exact dyadic double
+    * in both engines (a fractional-decay exponent would put libm `pow`
+    * in the hash path). One shuffle on user_id, top-20 plans
+    * TakeOrderedAndProject.
+    */
+  def q215_decayed_engagement(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+    val frontier = p.agg(max(to_date(col("ts"))).as("now"))
+    p.crossJoin(broadcast(frontier))
+      .withColumn("wk", floor(datediff(col("now"), to_date(col("ts"))) / 7))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value") * pow(lit(0.5), col("wk"))), 2).as("decayed_spend"))
+      .orderBy(col("decayed_spend").desc, col("user_id").asc)
+      .limit(20)
+  }
+
+  /** Quantile normalization of the embedding matrix (the microarray /
+    * feature-preprocessing standard): every dimension's values are
+    * replaced by the MEAN value at that rank across all 64 dimensions,
+    * forcing identical marginal distributions — the cross-feature
+    * calibration step before distance-based ops (q08/q34) when dims
+    * have incomparable scales. Ranks are windows PARTITIONED BY dim
+    * (64-way parallel distributed sorts, never one global window);
+    * the rank-profile is a 1-per-rank aggregate joined back on rank.
+    * Output is the per-dim envelope of the normalized matrix: every
+    * dim must now share min/max (the defining invariant, asserted in
+    * the spec) — reported for the first 8 dims.
+    */
+  def q216_quantile_normalize(s: SparkSession, dir: String): DataFrame = {
+    val cells = tWide(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+    val ranked = cells.withColumn("rk",
+      row_number().over(Window.partitionBy("dim").orderBy(col("x").asc, col("vec_id").asc)))
+    val profile = ranked.groupBy("rk")
+      .agg(round(avg("x"), 6).as("q"))
+    ranked.join(profile, "rk")
+      .filter(col("dim") < 8)
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), round(min("q"), 6).as("min_norm"),
+        round(max("q"), 6).as("max_norm"), round(avg("q"), 4).as("mean_norm"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5093,6 +5170,9 @@ object Queries {
     "q211_temperature_mix" -> (q211_temperature_mix _),
     "q212_local_clustering" -> (q212_local_clustering _),
     "q213_stream_stream_join" -> (q213_stream_stream_join _),
+    "q214_sorted_neighborhood" -> (q214_sorted_neighborhood _),
+    "q215_decayed_engagement" -> (q215_decayed_engagement _),
+    "q216_quantile_normalize" -> (q216_quantile_normalize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -7652,5 +7732,37 @@ object Queries {
         |FROM c JOIN p USING (user_id)
         |WHERE pts >= cts AND pts < cts + INTERVAL 30 MINUTE
         |GROUP BY campaign ORDER BY campaign""".stripMargin,
+    "q214_sorted_neighborhood" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |ranked AS (SELECT p_name,
+        |    row_number() OVER (ORDER BY p_name)::BIGINT AS r FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+        |FROM ranked a JOIN ranked b
+        |  ON b.r BETWEEN a.r + 1 AND a.r + 5
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY dist, name_a, name_b""".stripMargin,
+    "q215_decayed_engagement" ->
+      """WITH p AS (SELECT user_id, value, ts::DATE AS d FROM events
+        |           WHERE event_type = 'purchase'),
+        |f AS (SELECT max(d) AS now FROM p)
+        |SELECT user_id, count(*)::BIGINT AS n_purchases,
+        |  round(sum(value * pow(0.5, ((now - d) // 7)::BIGINT)), 2) AS decayed_spend
+        |FROM p, f
+        |GROUP BY user_id
+        |ORDER BY decayed_spend DESC, user_id ASC LIMIT 20""".stripMargin,
+    "q216_quantile_normalize" ->
+      """WITH cells AS (
+        |  SELECT vec_id, (i - 1)::INTEGER AS dim, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |ranked AS (SELECT vec_id, dim, x,
+        |    row_number() OVER (PARTITION BY dim ORDER BY x ASC, vec_id ASC) AS rk
+        |  FROM cells),
+        |profile AS (SELECT rk, round(avg(x), 6) AS q FROM ranked GROUP BY rk)
+        |SELECT dim, count(*)::BIGINT AS n, round(min(q), 6) AS min_norm,
+        |  round(max(q), 6) AS max_norm, round(avg(q), 4) AS mean_norm
+        |FROM ranked r JOIN profile p ON r.rk = p.rk
+        |WHERE dim < 8
+        |GROUP BY dim ORDER BY dim""".stripMargin,
   )
 }

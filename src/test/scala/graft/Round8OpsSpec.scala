@@ -175,6 +175,64 @@ class Round8OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- q214 sorted-neighborhood ---------------------------------------
+
+  test("sorted neighborhood: near-names within the window pair; a near pair >w apart in sort order is the documented miss") {
+    val dir = tmp("graft_snm_")
+    // sort order: aa, mmmm1..mmmm6, za. lev(aa,za)=1 but they sit 7
+    // apart (> w=5) — the SNM contract misses them (q195's blocking
+    // would catch them iff they share a block key; the two methods'
+    // misses are disjoint, which is why ER stacks both).
+    val names = Seq("aa", "za") ++ (1 to 6).map(i => s"mmmm$i")
+    names.map(n => (n, 1L)).toDF("p_name", "p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q214_sorted_neighborhood")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // all 15 mmmm_i<mmmm_j pairs (max offset 5, lev 1); nothing touching aa/za
+    assert(got.length == 15, s"got ${got.length}: ${got.toSeq}")
+    assert(got.forall { case (a, b, d) => a.startsWith("mmmm") && b.startsWith("mmmm") && d == 1L })
+  }
+
+  // ---- q215 decayed engagement ----------------------------------------
+
+  test("decayed engagement: whole-week half-life weights are exact dyadics") {
+    val dir = tmp("graft_decay_")
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      (id, ts(t), u, "purchase", "{}", v)
+    Seq(
+      ev(1, "2024-03-01 12:00:00", 1, 100.0), // frontier day → ×1
+      ev(2, "2024-02-16 12:00:00", 2, 100.0), // 14 days → 2 weeks → ×0.25
+      ev(3, "2024-02-20 12:00:00", 3, 100.0), // 10 days → 1 week  → ×0.5
+      (4L, ts("2024-03-01 13:00:00"), 9L, "click", "{}", 999.0)) // ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q215_decayed_engagement")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 100.0), (3L, 1L, 50.0), (2L, 1L, 25.0)),
+      s"got ${got.toSeq}")
+  }
+
+  // ---- q216 quantile normalization ------------------------------------
+
+  test("quantile normalize: hand example, and the every-dim-shares-the-envelope invariant") {
+    val dir = tmp("graft_qnorm_")
+    Seq((1L, Array(1.0f, 10.0f)), (2L, Array(3.0f, 20.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // rank profile: rk1 = avg(1,10) = 5.5, rk2 = avg(3,20) = 11.5 →
+    // both dims report the same normalized envelope.
+    val got = Queries.all("q216_quantile_normalize")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0, 2L, 5.5, 11.5, 8.5), (1, 2L, 5.5, 11.5, 8.5)),
+      s"got ${got.toSeq}")
+    // defining invariant on the real corpus: all reported dims share
+    // min_norm and max_norm exactly
+    val real = Queries.all("q216_quantile_normalize")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(real.length == 8 && real.toSet.size == 1,
+      s"every dim must share the envelope, got ${real.toSet}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
