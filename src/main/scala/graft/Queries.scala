@@ -4956,6 +4956,86 @@ object Queries {
       .orderBy("dim")
   }
 
+  /** RFM (recency / frequency / monetary) quintile segmentation — the
+    * classic CRM cube over purchase behavior. One fact-table shuffle
+    * builds the user-grain frame; quintiles are `ntile(5)` over the
+    * DIMENSION-sized user frame (the single ordering is a user-dim
+    * sort; swapping in PrefixSum.globalRank is mechanical if the user
+    * dimension outgrows one task's sort budget). Monetary is summed in
+    * CENTS (exact 64-bit integers) so every ntile ordering key is an
+    * integer with a user_id tiebreak — summation order can never move
+    * a user across a quintile boundary between engines.
+    */
+  def q217_rfm_segments(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+    val frontier = p.agg(max(to_date(col("ts"))).as("now"))
+    val userG = p.crossJoin(broadcast(frontier))
+      .groupBy("user_id")
+      .agg(min(datediff(col("now"), to_date(col("ts")))).as("recency_days"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val seg = userG
+      .withColumn("r_q", ntile(5).over(Window.orderBy(col("recency_days").asc, col("user_id").asc)))
+      .withColumn("f_q", ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
+      .withColumn("m_q", ntile(5).over(Window.orderBy(col("cents").desc, col("user_id").asc)))
+    seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("cents") / lit(100.0), 2).as("segment_value"))
+      .filter(col("n_users") >= 2)
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** Golden-record construction (survivorship): after q195/q214 decide
+    * which records co-refer, FUSE each block into one canonical row —
+    * modal brand (most frequent, ties lexicographic), max price, min
+    * key as the surviving id. The mode is a two-level aggregate (count
+    * per (block, value) → rank-1 per block), never a collect; all
+    * per-block frames are block-cardinality-sized. The survivorship
+    * policy is the deterministic part of ER that SQL CAN express —
+    * which is exactly why it is the judged half (q195's match scoring
+    * already covers the fuzzy half).
+    */
+  def q218_golden_record(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val brandCounts = parts.groupBy("blk", "p_brand").agg(count(lit(1)).as("bc"))
+    val modal = brandCounts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("blk").orderBy(col("bc").desc, col("p_brand").asc)))
+      .filter(col("rk") === 1)
+      .select(col("blk"), col("p_brand").as("modal_brand"), col("bc").as("brand_support"))
+    parts.groupBy("blk")
+      .agg(count(lit(1)).as("n_records"),
+        min("p_partkey").as("surviving_key"),
+        round(max("p_retailprice"), 2).as("max_price"))
+      .join(modal, "blk")
+      .select("blk", "n_records", "surviving_key", "modal_brand", "brand_support", "max_price")
+      .orderBy("blk")
+  }
+
+  /** Class-balanced downsampling: every language keeps exactly
+    * min-class-size docs, chosen by deterministic content-free hash
+    * order (md5 of the id — both engines reproduce the SAME sample, no
+    * RNG state to ship) — the rebalancing step before training on a
+    * skewed multilingual corpus (q211 reweights the sampler; this
+    * materializes a balanced subset). The quota is a broadcast 1-row
+    * aggregate-of-aggregates; ranking is a window over each language
+    * partition of the doc-id frame.
+    */
+  def q219_class_balance(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val quota = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("quota"))
+    d.withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("quota"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5173,6 +5253,9 @@ object Queries {
     "q214_sorted_neighborhood" -> (q214_sorted_neighborhood _),
     "q215_decayed_engagement" -> (q215_decayed_engagement _),
     "q216_quantile_normalize" -> (q216_quantile_normalize _),
+    "q217_rfm_segments" -> (q217_rfm_segments _),
+    "q218_golden_record" -> (q218_golden_record _),
+    "q219_class_balance" -> (q219_class_balance _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -7764,5 +7847,49 @@ object Queries {
         |FROM ranked r JOIN profile p ON r.rk = p.rk
         |WHERE dim < 8
         |GROUP BY dim ORDER BY dim""".stripMargin,
+    "q217_rfm_segments" ->
+      """WITH p AS (SELECT user_id, value, ts::DATE AS d FROM events
+        |           WHERE event_type = 'purchase'),
+        |f AS (SELECT max(d) AS now FROM p),
+        |u AS (SELECT user_id,
+        |    min(now - d)::BIGINT AS recency_days,
+        |    count(*)::BIGINT AS freq,
+        |    sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM p, f GROUP BY user_id, now),
+        |seg AS (SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_q,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_q,
+        |    ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS m_q
+        |  FROM u)
+        |SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users,
+        |  round(sum(cents) / 100.0, 2) AS segment_value
+        |FROM seg GROUP BY r_q, f_q, m_q
+        |HAVING count(*) >= 2
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
+    "q218_golden_record" ->
+      """WITH parts AS (SELECT *, string_split(p_name, ' ')[-1] AS blk FROM part),
+        |bc AS (SELECT blk, p_brand, count(*)::BIGINT AS bc
+        |       FROM parts GROUP BY blk, p_brand),
+        |modal AS (SELECT blk, p_brand AS modal_brand, bc AS brand_support
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY blk
+        |          ORDER BY bc DESC, p_brand ASC) AS rk FROM bc)
+        |  WHERE rk = 1)
+        |SELECT p.blk, count(*)::BIGINT AS n_records,
+        |  min(p_partkey)::BIGINT AS surviving_key,
+        |  any_value(modal_brand) AS modal_brand,
+        |  any_value(brand_support)::BIGINT AS brand_support,
+        |  round(max(p_retailprice), 2) AS max_price
+        |FROM parts p JOIN modal m ON p.blk = m.blk
+        |GROUP BY p.blk ORDER BY p.blk""".stripMargin,
+    "q219_class_balance" ->
+      """WITH q AS (SELECT min(n)::BIGINT AS quota FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)::BIGINT AS rk
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
+        |FROM r, q WHERE rk <= quota
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

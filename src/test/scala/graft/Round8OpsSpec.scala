@@ -233,6 +233,65 @@ class Round8OpsSpec extends SparkSpec {
       s"every dim must share the envelope, got ${real.toSet}")
   }
 
+  // ---- q217 RFM segmentation ------------------------------------------
+
+  test("rfm: identical-behavior user pairs land in the same quintile cell") {
+    val dir = tmp("graft_rfm_")
+    // 5 pairs of users; pair i purchases (100−i)·1.00 exactly i days
+    // before the frontier. All three orderings group each pair into
+    // one quintile → 5 cells of (i+1, i+1, i+1) with n_users = 2.
+    val rows = (0 until 5).flatMap { i =>
+      Seq(10L + 2 * i, 11L + 2 * i).map { u =>
+        (u * 100, ts(s"2024-03-${10 - i} 12:00:00"), u, "purchase", "{}", 100.0 - i)
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q217_rfm_segments")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val want = (0 until 5).map(i => (i + 1, i + 1, i + 1, 2L, 2 * (100.0 - i)))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  // ---- q218 golden record ---------------------------------------------
+
+  test("golden record: modal brand with lexicographic tie-break, min surviving key, max price") {
+    val dir = tmp("graft_golden_")
+    Seq(
+      (7L, "red widget", "BrandA", "t", 1, 10.0),
+      (3L, "blue widget", "BrandA", "t", 1, 30.0),
+      (9L, "old widget", "BrandB", "t", 1, 20.0),
+      // gear block: 1-1 brand tie → lexicographic min wins
+      (5L, "small gear", "BrandZ", "t", 1, 5.0),
+      (6L, "large gear", "BrandC", "t", 1, 6.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q218_golden_record")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("gear", 2L, 5L, "BrandC", 1L, 6.0),
+      ("widget", 3L, 3L, "BrandA", 2L, 30.0)), s"got ${got.toSeq}")
+  }
+
+  // ---- q219 class balance ---------------------------------------------
+
+  test("class balance: every language keeps exactly the min class size, chosen by md5 order") {
+    val dir = tmp("graft_bal_")
+    Seq((1L, "x", "en"), (2L, "x", "en"), (3L, "x", "en"),
+      (10L, "x", "de"), (11L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q219_class_balance")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // expected en selection: the 2 smallest md5("1"|"2"|"3") hex strings
+    def h(x: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keptEn = Seq(1L, 2L, 3L).sortBy(id => (h(id), id)).take(2).sum
+    assert(got("de") == (2L, 21L), s"got $got")
+    assert(got("en") == (2L, keptEn), s"got $got want en checksum $keptEn")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
