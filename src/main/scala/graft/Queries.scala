@@ -5036,6 +5036,92 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** A/B test readout: a deterministic user_id-parity arm split, user-
+    * grain conversion (≥1 purchase), and the two-proportion pooled
+    * z-statistic — the experiment-analysis primitive next to q126's
+    * contingency chi² (z is SIGNED: it says which arm wins, and its
+    * square is the 2×2 chi²). Everything until the final z is exact
+    * integer arithmetic on two broadcast-mergeable partial aggregates
+    * (one fact pass, map-side combined); p₀/p₁/p̂ are exact-integer
+    * divisions and sqrt is correctly-rounded IEEE, so the rounded z is
+    * engine-identical.
+    */
+  def q220_ab_test(s: SparkSession, dir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase (>180): at the gate SFs every
+    // user has some purchase, so plain any-purchase is degenerate
+    // (p̂=1 → zero pooled variance); the thresholded form discriminates
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    // both arms in ONE conditional aggregate — no branch-and-rejoin,
+    // the user frame is scanned once
+    val cells = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val p0 = col("c0") / col("n0"); val p1 = col("c1") / col("n1")
+    val phat = (col("c0") + col("c1")) / (col("n0") + col("n1"))
+    cells
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(p0, 4).as("p0"), round(p1, 4).as("p1"),
+        round((p0 - p1) /
+          sqrt(phat * (lit(1) - phat) * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)
+          .as("z"))
+  }
+
+  /** Schema-evolution read: two parquet snapshots written at different
+    * schema versions (v2 adds a column) read back as ONE frame via
+    * `mergeSchema` — the every-day reality of a 100 TB estate where
+    * old partitions predate new columns. v1 rows surface the added
+    * column as NULL (never a read error, never a backfill); the
+    * aggregate proves both the union typing and the null semantics.
+    * Columnar pruning still applies per file — v1 files simply have no
+    * pages for the new column.
+    */
+  def q221_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_schema_evo")
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("status")
+  }
+
+  /** The plain-SQL surface: the engine's tables registered as views and
+    * a multi-CTE window query run through `spark.sql` — proof that a
+    * reference user can bring raw ANSI SQL (CTEs, joins, windows,
+    * aggregates) and Catalyst plans it like the DataFrame forms (same
+    * optimizer, same codegen; E1-E16 all reachable from SQL). View
+    * names are query-scoped to keep the shared session clean.
+    */
+  def q222_sql_interface(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q222_customer")
+    t(s, dir, "orders").createOrReplaceTempView("q222_orders")
+    t(s, dir, "nation").createOrReplaceTempView("q222_nation")
+    s.sql("""
+      WITH rev AS (
+        SELECT c.c_nationkey, c.c_custkey, round(sum(o.o_totalprice), 2) AS revenue
+        FROM q222_customer c JOIN q222_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey),
+      ranked AS (
+        SELECT n.n_name, r.c_custkey, r.revenue,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY r.revenue DESC, r.c_custkey ASC) AS rk
+        FROM rev r JOIN q222_nation n ON n.n_nationkey = r.c_nationkey)
+      SELECT n_name, c_custkey, revenue
+      FROM ranked WHERE rk = 1
+      ORDER BY n_name""")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5256,6 +5342,9 @@ object Queries {
     "q217_rfm_segments" -> (q217_rfm_segments _),
     "q218_golden_record" -> (q218_golden_record _),
     "q219_class_balance" -> (q219_class_balance _),
+    "q220_ab_test"      -> (q220_ab_test _),
+    "q221_schema_evolution" -> (q221_schema_evolution _),
+    "q222_sql_interface" -> (q222_sql_interface _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -7891,5 +7980,44 @@ object Queries {
         |SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
         |FROM r, q WHERE rk <= quota
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q220_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180
+        |             THEN 1 ELSE 0 END)::BIGINT AS conv,
+        |    (user_id % 2)::INTEGER AS arm
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c1
+        |  FROM u)
+        |SELECT n0, c0, n1, c1,
+        |  round(c0::DOUBLE / n0, 4) AS p0,
+        |  round(c1::DOUBLE / n1, 4) AS p1,
+        |  round((c0::DOUBLE / n0 - c1::DOUBLE / n1) /
+        |    sqrt(((c0 + c1)::DOUBLE / (n0 + n1)) * (1 - (c0 + c1)::DOUBLE / (n0 + n1))
+        |         * (1.0 / n0 + 1.0 / n1)), 4) AS z
+        |FROM cells""".stripMargin,
+    "q221_schema_evolution" ->
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END,
+        |         '<pre-schema>') AS status,
+        |  count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    "q222_sql_interface" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey, c.c_custkey, round(sum(o.o_totalprice), 2) AS revenue
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey, c.c_custkey),
+        |ranked AS (
+        |  SELECT n.n_name, r.c_custkey, r.revenue,
+        |         row_number() OVER (PARTITION BY n.n_name
+        |                            ORDER BY r.revenue DESC, r.c_custkey ASC) AS rk
+        |  FROM rev r JOIN nation n ON n.n_nationkey = r.c_nationkey)
+        |SELECT n_name, c_custkey, revenue
+        |FROM ranked WHERE rk = 1
+        |ORDER BY n_name""".stripMargin,
   )
 }

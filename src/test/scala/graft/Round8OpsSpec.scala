@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Construction-based ground truth for the q206-q209 additions: a
@@ -290,6 +291,62 @@ class Round8OpsSpec extends SparkSpec {
     val keptEn = Seq(1L, 2L, 3L).sortBy(id => (h(id), id)).take(2).sum
     assert(got("de") == (2L, 21L), s"got $got")
     assert(got("en") == (2L, keptEn), s"got $got want en checksum $keptEn")
+  }
+
+  // ---- q220 A/B test --------------------------------------------------
+
+  test("ab test: hand-computed pooled two-proportion z") {
+    val dir = tmp("graft_ab_")
+    def ev(id: Long, u: Long, typ: String, v: Double) =
+      (id, ts("2024-01-01 08:00:00"), u, typ, "{}", v)
+    // conversion = purchase with value > 180. arm1 (odd users): 1, 3
+    // both convert; arm0 (even): 2 converts, 4 only a low-value purchase
+    Seq(ev(1, 1, "purchase", 200.0), ev(2, 3, "purchase", 190.0),
+      ev(3, 2, "purchase", 185.0), ev(4, 4, "purchase", 50.0),
+      ev(5, 2, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q220_ab_test")(spark, dir).collect()(0)
+    // p0 = 1/2, p1 = 1, phat = 3/4 → z = -.5/sqrt(.1875) = -1.1547
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)), s"got $got")
+    assert(got.getDouble(4) == 0.5 && got.getDouble(5) == 1.0)
+    assert(got.getDouble(6) == -1.1547, s"z got ${got.getDouble(6)}")
+  }
+
+  // ---- q221 schema evolution ------------------------------------------
+
+  test("schema evolution: pre-schema rows surface the added column as null, never an error") {
+    val got = Queries.all("q221_schema_evolution")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val orders = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+    val nEven = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val pre = got.filter(_._1 == "<pre-schema>")
+    assert(pre.length == 1 && pre(0)._2 == nEven,
+      s"all v1 (even-key) rows must fold into <pre-schema>: $pre vs $nEven")
+    assert(got.map(_._2).sum == orders.count())
+  }
+
+  // ---- q222 SQL interface ---------------------------------------------
+
+  test("sql interface: spark.sql plan matches the equivalent DataFrame construction") {
+    val dir = sf("sf0.001")
+    val viaSql = Queries.all("q222_sql_interface")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rev = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val viaDf = rev.join(spark.read.parquet(s"$dir/nation.parquet"),
+        col("n_nationkey") === col("c_nationkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("n_name").orderBy(col("revenue").desc, col("c_custkey").asc)))
+      .filter(col("rk") === 1)
+      .select("n_name", "c_custkey", "revenue")
+      .orderBy("n_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(viaSql.toSeq == viaDf.toSeq, s"sql ${viaSql.toSeq} != df ${viaDf.toSeq}")
   }
 
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
