@@ -107,7 +107,17 @@ class PlanSpec extends SparkSpec {
       "q202_assoc_rules",
       // q203: 1-row broadcast en-total/vocab-size + the broadcast
       // lang-list grid cross join (bounded by #languages)
-      "q203_kl_divergence")
+      "q203_kl_divergence",
+      // q206/q211/q215/q217/q219: 1-row broadcast aggregates (CDF
+      // totals, Σ√n normalizer, purchase frontier, balance quota —
+      // q101's pattern)
+      "q206_ks_test", "q211_temperature_mix", "q215_decayed_engagement",
+      "q217_rfm_segments", "q219_class_balance",
+      // q207: 1-row broadcast class totals (n_en/n_oth)
+      "q207_chi2_select",
+      // q209: the depth×overlap membership join is ≤20×20 by
+      // construction (both sides are TakeOrdered-20 derivatives)
+      "q209_rbo")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
