@@ -5122,6 +5122,71 @@ object Queries {
       ORDER BY n_name""")
   }
 
+  /** Wide pivot: the long event stream turned into one row per user
+    * with a column per event type — the `.pivot()` API surface (the
+    * feature-matrix shape ML joins expect). The value list is PINNED
+    * (the 5 known types): an unpinned pivot runs an extra distinct
+    * scan to discover columns and makes the schema data-dependent —
+    * never acceptable on a 100 TB stream. Pivot compiles to ONE
+    * map-side-combined aggregate with 5 conditional counts, same plan
+    * as the CASE-WHEN oracle spells by hand.
+    */
+  def q223_pivot_events(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pv = t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pv)((df, ty) => df.withColumn(ty, coalesce(col(ty), lit(0L))))
+      .withColumn("total", types.map(col).reduce(_ + _))
+      .filter(col("total") >= 50)
+      .orderBy("user_id")
+  }
+
+  /** Long unpivot (melt): part's numeric metrics stacked into
+    * (metric, value) rows — the dual of q223 and the shape feature
+    * stores and plotting layers want. Uses the native `unpivot`
+    * operator (codegen'd Expand, one scan, NO shuffle until the
+    * summary agg); ids stay typed, both metrics cast to the common
+    * double before stacking, exactly as the UNION-ALL oracle does.
+    */
+  def q224_melt_metrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        round(min("value"), 2).as("lo"), round(max("value"), 2).as("hi"))
+      .orderBy("metric")
+
+  /** Point-in-time (AS OF) temporal query over the q73 SCD2 dimension:
+    * reconstruct every user's active version at an instant T and
+    * profile the snapshot by event type — the time-travel read that
+    * versioned dimensions exist for (audit "what did we believe on
+    * Feb 15"). Built BY COMPOSITION on q73's interval frame (one
+    * interval-containment filter selects exactly one version per user
+    * alive at T), then an event-type join back for the profile;
+    * at 100 TB the containment filter prunes on valid_from/valid_to
+    * min/max parquet stats before any shuffle.
+    */
+  def q225_time_travel(s: SparkSession, dir: String): DataFrame = {
+    // 2024-02-15T00:00:00Z in epoch µs, spelled as the literal so the
+    // constant can never shift with the JVM's default timezone (q73's
+    // unix_micros and the oracle's epoch_us both read the naive
+    // timestamps as UTC)
+    val tUs = lit(1707955200000000L)
+    val active = q73_scd2(s, dir)
+      .filter(col("valid_from_us") <= tUs && col("valid_to_us") > tUs)
+      .select("user_id", "event_id")
+    active.join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users_in_state"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5345,6 +5410,9 @@ object Queries {
     "q220_ab_test"      -> (q220_ab_test _),
     "q221_schema_evolution" -> (q221_schema_evolution _),
     "q222_sql_interface" -> (q222_sql_interface _),
+    "q223_pivot_events" -> (q223_pivot_events _),
+    "q224_melt_metrics" -> (q224_melt_metrics _),
+    "q225_time_travel"  -> (q225_time_travel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8019,5 +8087,36 @@ object Queries {
         |SELECT n_name, c_custkey, revenue
         |FROM ranked WHERE rk = 1
         |ORDER BY n_name""".stripMargin,
+    "q223_pivot_events" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  count(*)::BIGINT AS total
+        |FROM events
+        |GROUP BY user_id HAVING count(*) >= 50
+        |ORDER BY user_id""".stripMargin,
+    "q224_melt_metrics" ->
+      """WITH long AS (
+        |  SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', p_retailprice::DOUBLE FROM part)
+        |SELECT metric, count(*)::BIGINT AS n, round(sum(value), 2) AS total,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
+    "q225_time_travel" ->
+      """WITH scd AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |    coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807) AS valid_to_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |active AS (SELECT user_id, event_id FROM scd
+        |  WHERE valid_from_us <= epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+        |    AND valid_to_us > epoch_us(TIMESTAMP '2024-02-15 00:00:00'))
+        |SELECT e.event_type, count(*)::BIGINT AS n_users_in_state
+        |FROM active a JOIN events e ON a.event_id = e.event_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   )
 }

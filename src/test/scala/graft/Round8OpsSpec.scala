@@ -349,6 +349,58 @@ class Round8OpsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaDf.toSeq, s"sql ${viaSql.toSeq} != df ${viaDf.toSeq}")
   }
 
+  // ---- q223 pivot / q224 melt -----------------------------------------
+
+  test("pivot: absent event types coalesce to 0 and the pinned column order holds") {
+    val dir = tmp("graft_pivot_")
+    val rows = (1 to 30).flatMap(i => Seq(
+      (i.toLong, ts("2024-01-01 08:00:00"), 1L, "click", "{}", 0.0),
+      (100L + i, ts("2024-01-01 09:00:00"), 1L, "view", "{}", 0.0))) ++
+      Seq((777L, ts("2024-01-02 08:00:00"), 2L, "purchase", "{}", 5.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q223_pivot_events")(spark, dir)
+    assert(got.columns.toSeq ==
+      Seq("user_id", "click", "error", "purchase", "signup", "view", "total"))
+    val r = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // user 2 (1 event) is under the >=50 activity floor
+    assert(r.toSeq == Seq((1L, 30L, 0L, 0L, 0L, 30L, 60L)), s"got ${r.toSeq}")
+  }
+
+  test("melt: stacked metrics aggregate exactly") {
+    val dir = tmp("graft_melt_")
+    Seq((1L, "a", "B", "t", 1, 10.5), (2L, "b", "B", "t", 3, 20.25))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q224_melt_metrics")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("retailprice", 2L, 30.75, 10.5, 20.25),
+      ("size", 2L, 4.0, 1.0, 3.0)), s"got ${got.toSeq}")
+  }
+
+  // ---- q225 time travel -----------------------------------------------
+
+  test("time travel: exactly one active version per user alive at T; unborn users absent") {
+    val dir = tmp("graft_tt_")
+    Seq(
+      // user 1: version at Feb 10 (view) superseded Feb 20 (click) →
+      // the Feb 10 view is the active state at Feb 15
+      (1L, ts("2024-02-10 00:00:00"), 1L, "view", "{}", 0.0),
+      (2L, ts("2024-02-20 00:00:00"), 1L, "click", "{}", 0.0),
+      // user 2: first version AFTER T → no state at T
+      (3L, ts("2024-03-01 00:00:00"), 2L, "signup", "{}", 0.0),
+      // user 3: single open-ended version from Jan 1
+      (4L, ts("2024-01-01 00:00:00"), 3L, "view", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q225_time_travel")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("view", 2L)), s"got ${got.toSeq}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
