@@ -5187,6 +5187,87 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Kendall τ-b between order count and total spend over the top-100
+    * customers — the concordance-based rank correlation whose tie
+    * handling q103's Spearman doesn't model (τ-b corrects both axes).
+    * The O(n²) pair enumeration is BOUNDED BY CONSTRUCTION to the
+    * TakeOrdered-100 frame (4 950 pairs — the statistic any analyst
+    * computes on a leaderboard, not the corpus); concordant/discordant/
+    * tie cells are exact integer sign tests, τ-b is one division over
+    * one IEEE sqrt of integer products.
+    */
+  def q226_kendall_tau(s: SparkSession, dir: String): DataFrame = {
+    val topc = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+      .limit(100)
+    val a = topc.select(col("o_custkey").as("ka"), col("n_orders").as("xa"), col("cents").as("ya"))
+    val b = topc.select(col("o_custkey").as("kb"), col("n_orders").as("xb"), col("cents").as("yb"))
+    val sx = signum(col("xa") - col("xb")); val sy = signum(col("ya") - col("yb"))
+    a.join(b, col("ka") < col("kb"))
+      .agg(
+        sum(when(sx * sy > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sx * sy < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).as("ties_y"),
+        sum(when(sx === 0 && sy === 0, 1L).otherwise(0L)).as("ties_both"))
+      .select(col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
+        round((col("concordant") - col("discordant")) /
+          sqrt((col("concordant") + col("discordant") + col("ties_x")) *
+               (col("concordant") + col("discordant") + col("ties_y"))), 4).as("tau_b"))
+  }
+
+  /** CUSUM drift detection (Page 1954) over the daily purchase series:
+    * S_t = running sum of (countₜ − mean), drift D_t = S_t − min_{s≤t} S_s,
+    * alarm at max drift — the sequential change-point monitor a
+    * pipeline runs on ingest volumes (q206's KS asks "are two samples
+    * different"; CUSUM asks WHEN the level shifted). Both cumulative
+    * windows are SEQUENTIAL frames over the day-grain series (bounded
+    * by calendar days, not corpus rows), so their double arithmetic is
+    * bit-identical across engines (q183's precedent); the mean is a
+    * broadcast 1-row aggregate.
+    */
+  def q227_cusum_drift(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mean = daily.agg((sum("n") / count(lit(1))).as("mu"))
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(mean))
+      .withColumn("s", sum(col("n") - col("mu")).over(wCum))
+      .withColumn("drift", col("s") - min("s").over(wCum))
+      .orderBy(col("drift").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("alarm_day"), col("n").as("day_count"),
+        round(col("drift"), 4).as("max_drift"))
+  }
+
+  /** McNemar's paired test on the SAME users' conversion before vs
+    * after the mid-month boundary — the within-subject companion to
+    * q220's between-arm z (did individuals CHANGE, not do groups
+    * differ): only the discordant cells b (early-only) and c
+    * (late-only) carry signal, χ² = (b−c)²/(b+c). One user-grain
+    * conditional aggregate → one row; exact integers with a single
+    * final division.
+    */
+  def q228_mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val conv = col("event_type") === "purchase" && col("value") > 180
+    val u = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(conv && col("ts") < cut, 1L).otherwise(0L)).as("early"),
+        max(when(conv && col("ts") >= cut, 1L).otherwise(0L)).as("late"))
+    u.agg(
+        sum(when(col("early") === 1 && col("late") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("early") === 0 && col("late") === 1, 1L).otherwise(0L)).as("c"))
+      .select(col("b"), col("c"),
+        round((col("b") - col("c")) * (col("b") - col("c")) / (col("b") + col("c")), 4)
+          .as("chi2"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5413,6 +5494,9 @@ object Queries {
     "q223_pivot_events" -> (q223_pivot_events _),
     "q224_melt_metrics" -> (q224_melt_metrics _),
     "q225_time_travel"  -> (q225_time_travel _),
+    "q226_kendall_tau"  -> (q226_kendall_tau _),
+    "q227_cusum_drift"  -> (q227_cusum_drift _),
+    "q228_mcnemar"      -> (q228_mcnemar _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8118,5 +8202,56 @@ object Queries {
         |SELECT e.event_type, count(*)::BIGINT AS n_users_in_state
         |FROM active a JOIN events e ON a.event_id = e.event_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q226_kendall_tau" ->
+      """WITH topc AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY o_custkey
+        |  ORDER BY cents DESC, o_custkey ASC LIMIT 100),
+        |pairs AS (
+        |  SELECT sign(a.n_orders - b.n_orders) AS sx, sign(a.cents - b.cents) AS sy
+        |  FROM topc a JOIN topc b ON a.o_custkey < b.o_custkey),
+        |cells AS (SELECT
+        |    sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+        |    sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+        |    sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)::BIGINT AS ties_x,
+        |    sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)::BIGINT AS ties_y
+        |  FROM pairs)
+        |SELECT concordant, discordant, ties_x, ties_y,
+        |  round((concordant - discordant)::DOUBLE /
+        |    sqrt((concordant + discordant + ties_x)
+        |         * (concordant + discordant + ties_y)), 4) AS tau_b
+        |FROM cells""".stripMargin,
+    "q227_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT sum(n)::DOUBLE / count(*) AS mu FROM daily),
+        |s AS (SELECT day, n,
+        |    sum(n - mu) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM daily, m),
+        |d AS (SELECT day, n,
+        |    s - min(s) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drift
+        |  FROM s)
+        |SELECT day AS alarm_day, n AS day_count, round(drift, 4) AS max_drift
+        |FROM d ORDER BY drift DESC, day ASC LIMIT 1""".stripMargin,
+    "q228_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180
+        |             AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END)::BIGINT AS early,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180
+        |             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END)::BIGINT AS late
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT
+        |    sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM u)
+        |SELECT b, c, round((b - c) * (b - c)::DOUBLE / (b + c), 4) AS chi2
+        |FROM cells""".stripMargin,
   )
 }

@@ -117,7 +117,12 @@ class PlanSpec extends SparkSpec {
       "q207_chi2_select",
       // q209: the depth×overlap membership join is ≤20×20 by
       // construction (both sides are TakeOrdered-20 derivatives)
-      "q209_rbo")
+      "q209_rbo",
+      // q226: the τ-b pair enumeration is ≤100×100 by construction
+      // (both sides the same TakeOrdered-100 leaderboard)
+      "q226_kendall_tau",
+      // q227: 1-row broadcast series mean (q101's pattern)
+      "q227_cusum_drift")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -401,6 +401,74 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("view", 2L)), s"got ${got.toSeq}")
   }
 
+  // ---- q226 Kendall tau-b ---------------------------------------------
+
+  test("kendall tau-b: perfect concordance is 1.0; a tie on one axis applies the tie correction") {
+    val dir = tmp("graft_tau_")
+    // customers 1..4 with orders/spend perfectly concordant except a
+    // tie in n_orders between custkeys 3 and 4:
+    //   c1: 1 order  of 100;  c2: 2 orders of 100 each;
+    //   c3: 3 orders of 100;  c4: 3 orders of 200.
+    // pairs: (1,2)C (1,3)C (1,4)C (2,3)C (2,4)C (3,4) tie_x →
+    //   C=5, D=0, tx=1, ty=0 → tau = 5 / sqrt(6*5) = 0.9129
+    val orders = Seq(
+      (1L, 1L, 100.0), (2L, 2L, 100.0), (3L, 2L, 100.0),
+      (4L, 3L, 100.0), (5L, 3L, 100.0), (6L, 3L, 100.0),
+      (7L, 4L, 200.0), (8L, 4L, 200.0), (9L, 4L, 200.0))
+      .map { case (ok, ck, v) => (ok, ck, "O", v, java.sql.Date.valueOf("2024-01-01"), "P") }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q226_kendall_tau")(spark, dir).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((5L, 0L, 1L, 0L)), s"got $got")
+    assert(got.getDouble(4) == 0.9129, s"tau got ${got.getDouble(4)}")
+  }
+
+  // ---- q227 CUSUM drift -----------------------------------------------
+
+  test("cusum: a level shift alarms at the shifted plateau's end, not at a lone spike") {
+    val dir = tmp("graft_cusum_")
+    // 6 days at 10/day then 3 days at 20/day: mean = 40/3;
+    // drift accumulates over the raised plateau → alarm on the LAST
+    // raised day with drift = 3·(20 − 40/3) = 20.
+    var id = 0L
+    val rows = (1 to 9).flatMap { d =>
+      val n = if (d <= 6) 10 else 20
+      (1 to n).map { _ =>
+        id += 1
+        (id, ts(f"2024-01-$d%02d 08:00:00"), id % 7, "purchase", "{}", 1.0)
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q227_cusum_drift")(spark, dir).collect()(0)
+    assert(got.getDate(0).toString == "2024-01-09" && got.getLong(1) == 20L,
+      s"got $got")
+    assert(got.getDouble(2) == 20.0, s"drift got ${got.getDouble(2)}")
+  }
+
+  // ---- q228 McNemar ---------------------------------------------------
+
+  test("mcnemar: only discordant users carry signal") {
+    val dir = tmp("graft_mcn_")
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      (id, ts(t), u, "purchase", "{}", v)
+    Seq(
+      ev(1, "2024-01-05 08:00:00", 1, 200.0), // early-only → b
+      ev(2, "2024-01-05 08:00:00", 2, 200.0), // both → concordant, no signal
+      ev(3, "2024-01-20 08:00:00", 2, 200.0),
+      ev(4, "2024-01-20 08:00:00", 3, 200.0), // late-only → c
+      ev(5, "2024-01-20 08:00:00", 4, 190.0), // late-only → c
+      ev(6, "2024-01-05 08:00:00", 5, 50.0))  // low-value: never converts
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q228_mcnemar")(spark, dir).collect()(0)
+    // b=1, c=2 → chi2 = 1/3
+    assert((got.getLong(0), got.getLong(1)) == ((1L, 2L)), s"got $got")
+    assert(got.getDouble(2) == 0.3333, s"chi2 got ${got.getDouble(2)}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
