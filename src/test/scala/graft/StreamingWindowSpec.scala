@@ -240,4 +240,42 @@ class StreamingWindowSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(got.toSeq == Seq(11L, 12L, 14L))
   }
+
+  test("RocksDB state store: the production state backend runs the windowed agg with identical results") {
+    // At 100 TB of stream state the default in-memory HDFS-backed
+    // store OOMs; RocksDB spills state to local disk and is the
+    // production choice. Same query + data as the E22 test — the
+    // assertion is both the identical result AND that the RocksDB
+    // provider was genuinely engaged (via the provider's own metric).
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(events.take(5): _*)
+      val agg = mem.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .select(col("w.start").as("wstart"), col("n"), col("total"))
+      val q = agg.writeStream.format("memory").queryName("rocks_tumble")
+        .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+      q.processAllAvailable()
+      val usedRocks = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .exists(so => so.customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb")))
+      q.stop()
+      val rows = spark.table("rocks_tumble").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("2024-01-01 10:00:00.0", 2L, 3.0),
+        ("2024-01-01 10:10:00.0", 2L, 7.0)))
+      assert(usedRocks, "RocksDB provider metrics absent — default store silently used")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
