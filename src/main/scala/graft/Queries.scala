@@ -5268,6 +5268,60 @@ object Queries {
           .as("chi2"))
   }
 
+  /** Regex pre-tokenizer profile — the BPE-style pretokenization pass
+    * (runs of letters | runs of digits | single other-non-space, over
+    * lowercased text) that q07's whitespace tokenizer deliberately
+    * isn't: "don't!" counts 3 tokens here (don, ', t + !), digits
+    * split from words, CJK falls to per-character — the token-count
+    * accounting a budgeted pretraining corpus is costed with. The
+    * ASCII-explicit character classes keep Java regex and RE2
+    * semantics identical (no unicode-class divergence in the hash
+    * path); one codegen'd regexp_extract_all + explode, all counts
+    * map-side combined.
+    */
+  def q229_regex_tokens(s: SparkSession, dir: String): DataFrame = {
+    // function-API regex literal (not SQL-string) — no double-escaping
+    // ambiguity between Scala, Spark SQL literals, and RE2
+    val pat = lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    tWide(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), pat, lit(0))).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").rlike("^[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        sum(when(col("tok").rlike("^[0-9]"), 1L).otherwise(0L)).as("n_num"),
+        sum(when(col("tok").rlike("^[a-z0-9]"), 0L).otherwise(1L)).as("n_other"))
+      .orderBy("lang")
+  }
+
+  /** Weighted single-source shortest distances (Bellman-Ford, the
+    * sixth graph pillar after PageRank / CC / triangles / k-core /
+    * BFS): distance from the anchor part over the co-purchase graph
+    * with affinity weights w = 1000 ⌊/⌋ co-count — strong ties are
+    * short hops, so "distance" reads as relatedness depth, the
+    * recommender's graph-radius feature. Four min-plus rounds give
+    * EXACTLY the min weight over ≤4-edge paths (the closed form the
+    * bounded recursive-CTE oracle reproduces integer-for-integer);
+    * each round is one equi-join + one map-side-combined min-agg with
+    * per-round lineage truncation.
+    */
+  def q230_sssp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bfs
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .withColumn("w", (lit(1000) / col("c")).cast("long"))
+    val seed = pairs.agg(min(least(col("u"), col("v"))).as("n"))
+    Bfs.weightedDistances(pairs, "u", "v", "w", seed, rounds = 4)
+      .orderBy(col("dist").asc, col("node").asc)
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5497,6 +5551,8 @@ object Queries {
     "q226_kendall_tau"  -> (q226_kendall_tau _),
     "q227_cusum_drift"  -> (q227_cusum_drift _),
     "q228_mcnemar"      -> (q228_mcnemar _),
+    "q229_regex_tokens" -> (q229_regex_tokens _),
+    "q230_sssp"         -> (q230_sssp _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8253,5 +8309,32 @@ object Queries {
         |  FROM u)
         |SELECT b, c, round((b - c) * (b - c)::DOUBLE / (b + c), 4) AS chi2
         |FROM cells""".stripMargin,
+    "q229_regex_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_tokens,
+        |  count(DISTINCT tok)::BIGINT AS n_distinct,
+        |  sum(CASE WHEN regexp_matches(tok, '^[a-z]') THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+        |  sum(CASE WHEN regexp_matches(tok, '^[0-9]') THEN 1 ELSE 0 END)::BIGINT AS n_num,
+        |  sum(CASE WHEN regexp_matches(tok, '^[a-z0-9]') THEN 0 ELSE 1 END)::BIGINT AS n_other
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    "q230_sssp" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT a.pk AS u, b.pk AS v, count(*) AS c
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS s, v AS d, 1000 // c AS w FROM pairs
+        |      UNION ALL SELECT v, u, 1000 // c FROM pairs),
+        |seed AS (SELECT min(s) AS n FROM e),
+        |walk(node, dist, depth) AS (
+        |  SELECT n, 0, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.d, walk.dist + e.w, depth + 1
+        |  FROM walk JOIN e ON e.s = walk.node WHERE depth < 4)
+        |SELECT node, min(dist)::BIGINT AS dist FROM walk
+        |GROUP BY node ORDER BY dist ASC, node ASC LIMIT 20""".stripMargin,
   )
 }

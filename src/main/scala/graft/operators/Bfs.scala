@@ -81,4 +81,41 @@ object Bfs {
     }
     dist
   }
+
+  /** Weighted single/multi-source shortest distances: `rounds` rounds
+    * of synchronous Bellman-Ford relaxation (min-plus). After k rounds
+    * the frame holds EXACTLY min path weight over all ≤k-edge paths —
+    * that closed form is what lets a bounded-depth recursive-CTE
+    * oracle reproduce the result to the integer, and it is the honest
+    * semantics for hub-distance features (cap the hop horizon, not the
+    * graph). Unlike unit-weight BFS, settled nodes may improve in
+    * later rounds, so every round re-minimizes the full (node, dist)
+    * frame: one equi-join + one map-side-combined min-agg per round,
+    * lineage truncated per round exactly as [[hops]] does. Parallel
+    * edges collapse to their min weight up front.
+    */
+  def weightedDistances(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      wCol: String,
+      seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col(uCol).cast("long").as("s"), col(vCol).cast("long").as("d"),
+      col(wCol).cast("long").as("w"))
+    val sym = e.union(e.select(col("d").as("s"), col("s").as("d"), col("w")))
+      .filter(col("s") =!= col("d"))
+      .groupBy("s", "d").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("node"),
+      lit(0L).as("dist")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = sym.join(dist.select(col("node").as("s"), col("dist")), "s")
+        .select(col("d").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

@@ -469,6 +469,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.getDouble(2) == 0.3333, s"chi2 got ${got.getDouble(2)}")
   }
 
+  // ---- q229 regex pretokenizer ----------------------------------------
+
+  test("regex tokens: contractions split, digits split from words, punctuation per char") {
+    val dir = tmp("graft_rtok_")
+    Seq((1L, "Don't x2!!", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // lower("Don't x2!!") → don | ' | t | x | 2 | ! | ! = 7 tokens,
+    // 6 distinct, alpha {don,t,x}=3, num {2}=1, other {',!,!}=3
+    val got = Queries.all("q229_regex_tokens")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("en", 7L, 6L, 3L, 1L, 3L)), s"got ${got.toSeq}")
+  }
+
+  // ---- q230 weighted SSSP ---------------------------------------------
+
+  test("weighted sssp: min-plus relaxation prefers the cheaper 2-hop route over the direct edge") {
+    import spark.implicits._
+    // 1→2 w=10 direct, but 1→3 w=2, 3→2 w=3: dist(2) = 5, not 10.
+    // node 4 dangles 1 hop past 2; node 9 is unreachable.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L),
+      (8L, 9L, 1L)).toDF("u", "v", "w")
+    val seeds = Seq(1L).toDF("n")
+    val got = graft.operators.Bfs.weightedDistances(edges, "u", "v", "w", seeds, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L), s"got $got")
+    // round-bounded contract: with 1 round only direct edges resolve
+    val oneRound = graft.operators.Bfs.weightedDistances(edges, "u", "v", "w", seeds, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(oneRound == Map(1L -> 0L, 2L -> 10L, 3L -> 2L), s"got $oneRound")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
