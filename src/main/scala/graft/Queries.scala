@@ -5274,18 +5274,21 @@ object Queries {
     * isn't: "don't!" counts 3 tokens here (don, ', t + !), digits
     * split from words, CJK falls to per-character — the token-count
     * accounting a budgeted pretraining corpus is costed with. The
-    * ASCII-explicit character classes keep Java regex and RE2
-    * semantics identical (no unicode-class divergence in the hash
-    * path); one codegen'd regexp_extract_all + explode, all counts
+    * ASCII-explicit character classes keep the scanner, Java regex,
+    * and RE2 semantics identical (no unicode-class divergence in the
+    * hash path); one fused-scanner scan + explode, all counts
     * map-side combined.
     */
   def q229_regex_tokens(s: SparkSession, dir: String): DataFrame = {
-    // function-API regex literal (not SQL-string) — no double-escaping
-    // ambiguity between Scala, Spark SQL literals, and RE2
-    val pat = lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    // fused scanner ≡ regexp_extract_all(lower(text),
+    // '[a-z]+|[0-9]+|[^a-z0-9\s]', 0) — TokensSpec differential. The
+    // regex form measured ~100 s PRE-JIT cold at sf0.1 (1.3 s warm):
+    // a bench that runs each plan once pays that every time, and a
+    // 100 TB corpus pays the regex-engine constant forever (q07's
+    // fused-tokenizer argument, repeated).
     tWide(s, dir, "documents")
       .select(col("lang"),
-        explode(regexp_extract_all(lower(col("text")), pat, lit(0))).as("tok"))
+        explode(graft.expr.PretokenizeExpression.pretokens(col("text"))).as("tok"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("tok")).as("n_distinct"),
@@ -5308,12 +5311,16 @@ object Queries {
     */
   def q230_sssp(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bfs
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("c"))
+    // q153's bounded pair generation: collect_set + double explode
+    // emits ≤C(items/order, 2) pairs per order in ONE map-side-combined
+    // shuffle — cheaper than the distinct→self-join→count chain
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .withColumn("w", (lit(1000) / col("c")).cast("long"))
     val seed = pairs.agg(min(least(col("u"), col("v"))).as("n"))

@@ -100,13 +100,26 @@ object Bfs {
       vCol: String,
       wCol: String,
       seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      maxLocalEdges: Long = LocalGraph.DefaultMaxLocalEdges): DataFrame = {
     val e = edges.select(col(uCol).cast("long").as("s"), col(vCol).cast("long").as("d"),
       col(wCol).cast("long").as("w"))
     val sym = e.union(e.select(col("d").as("s"), col("s").as("d"), col("w")))
       .filter(col("s") =!= col("d"))
       .groupBy("s", "d").agg(min("w").as("w"))
       .localCheckpoint(true)
+
+    if (maxLocalEdges > 0 && sym.count() <= 2 * maxLocalEdges) {
+      val local = LocalGraph.bellmanFord(
+        sym.filter(col("s") < col("d")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        seeds.select(col(seeds.columns.head).cast("long")).distinct()
+          .collect().map(_.getLong(0)),
+        rounds)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return local.toSeq.toDF("node", "dist")
+    }
     var dist = seeds.select(col(seeds.columns.head).cast("long").as("node"),
       lit(0L).as("dist")).distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {

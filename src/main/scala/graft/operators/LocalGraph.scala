@@ -207,4 +207,40 @@ object LocalGraph {
     }
     dist.toArray.sortBy(_._1)
   }
+
+  /** Driver-local k-round synchronous Bellman-Ford over weighted
+    * undirected edges (parallel edges collapse to min weight, as the
+    * distributed form does). SYNCHRONOUS is load-bearing: each round
+    * relaxes from the PREVIOUS round's distances (double-buffered),
+    * so after k rounds the map holds exactly min weight over ≤k-edge
+    * paths — in-place relaxation would converge faster and diverge
+    * from [[Bfs.weightedDistances]]'s round-bounded contract.
+    */
+  def bellmanFord(
+      edges: Array[(Long, Long, Long)],
+      seeds: Array[Long],
+      rounds: Int): Array[(Long, Long)] = {
+    val w = mutable.HashMap.empty[(Long, Long), Long]
+    edges.foreach { case (u, v, c) =>
+      if (u != v) {
+        val ka = (u, v); val kb = (v, u)
+        w.update(ka, math.min(c, w.getOrElse(ka, Long.MaxValue)))
+        w.update(kb, math.min(c, w.getOrElse(kb, Long.MaxValue)))
+      }
+    }
+    var dist = mutable.LongMap.empty[Long]
+    seeds.distinct.foreach(s => dist.update(s, 0L))
+    var r = 0
+    while (r < rounds) {
+      val next = dist.clone()
+      w.foreach { case ((s, d), c) =>
+        dist.get(s).foreach { ds =>
+          if (next.getOrElse(d, Long.MaxValue) > ds + c) next.update(d, ds + c)
+        }
+      }
+      dist = next
+      r += 1
+    }
+    dist.toArray.sortBy(_._1)
+  }
 }

@@ -500,6 +500,11 @@ class Round8OpsSpec extends SparkSpec {
     val oneRound = graft.operators.Bfs.weightedDistances(edges, "u", "v", "w", seeds, rounds = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(oneRound == Map(1L -> 0L, 2L -> 10L, 3L -> 2L), s"got $oneRound")
+    // cost-gate parity: the forced-distributed path equals the local one
+    val dist = graft.operators.Bfs.weightedDistances(edges, "u", "v", "w", seeds,
+      rounds = 4, maxLocalEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == got, s"distributed $dist != local $got")
   }
 
   test("rbo: a permuted ranking scores strictly lower than the identical one") {

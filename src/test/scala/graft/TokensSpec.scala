@@ -63,4 +63,42 @@ class TokensSpec extends SparkSpec {
       .select(TextFunctions.tokens(col("text")).as("t")).filter(col("t").isNull)
     assert(nul.count() === 1L)
   }
+
+  test("fused pretokens == regexp_extract_all form over the full documents table") {
+    import graft.expr.PretokenizeExpression.pretokens
+    val regexForm = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+    val diff = df
+      .select(pretokens(col("text")).as("a"), regexForm.as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+  }
+
+  test("pretokens edge cases: contractions, digit splits, unicode singles, surrogate pairs, null") {
+    import spark.implicits._
+    import graft.expr.PretokenizeExpression.pretokens
+    val regexForm = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val cases = Seq(
+      "Don't x2!!",
+      "",                 // empty → empty array
+      "   \t\n ",         // pure separators → empty array
+      "ab12cd",           // digit run splits letter runs
+      "héllo wörld",      // accented letters are per-char "other"
+      "中文 分词",          // CJK per character
+      "un break",    // NBSP is NOT \s → an "other" token
+      "a😀b",   // emoji surrogate pair stays one token
+      "MiXeD CaSe")
+    val df = cases.toDF("text")
+    val diff = df.select(pretokens(col("text")).as("a"), regexForm.as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L, diff.collect().mkString("; "))
+    val got = df.filter(col("text") === "a😀b")
+      .select(pretokens(col("text"))).as[Seq[String]].head()
+    assert(got === Seq("a", "😀", "b"))
+    val nul = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(pretokens(col("text")).as("t")).filter(col("t").isNull)
+    assert(nul.count() === 1L)
+  }
 }
