@@ -5329,6 +5329,77 @@ object Queries {
       .limit(20)
   }
 
+  /** Log-odds-ratio with informative Dirichlet prior (Monroe, Colaresi
+    * & Quinn 2008, "Fightin' Words"): which tokens distinguish the
+    * 'web' source from the rest, scored by the prior-smoothed log-odds
+    * z — the corpus-comparison statistic that fixes both χ²'s
+    * overweighting of rare words (the prior shrinks them) and plain
+    * log-odds' variance blindness (the z normalizes); on the SAME
+    * en-vs-rest split as q207, the two rankings differ exactly where
+    * the prior matters. Pooled corpus counts ARE the prior
+    * (α_w = pooled count · α₀/N). Counts
+    * are exact integers from one tokenize pass consumed twice
+    * (persisted); ln/sqrt of exact rationals follow q198/q203's
+    * engine-agreement precedent, rounded.
+    */
+  def q231_log_odds_terms(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select((col("lang") === "en").cast("long").as("is_web"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .persist()
+    val counts = toks.groupBy("word")
+      .agg(sum("is_web").as("a"), sum(lit(1L) - col("is_web")).as("b"))
+      .filter(col("a") + col("b") >= 10)
+    val tot = toks.agg(sum("is_web").as("na"), sum(lit(1L) - col("is_web")).as("nb"))
+    // α_w proportional to the pooled corpus: alpha = (a+b) * a0 / (na+nb),
+    // a0 = 1000 pseudo-tokens. All in exact rationals via doubles.
+    val a0 = lit(1000.0)
+    val alpha = (col("a") + col("b")) * a0 / (col("na") + col("nb"))
+    val lw = log((col("a") + alpha) / (col("na") + a0 - col("a") - alpha))
+    val lb = log((col("b") + alpha) / (col("nb") + a0 - col("b") - alpha))
+    val varz = lit(1.0) / (col("a") + alpha) + lit(1.0) / (col("b") + alpha)
+    counts.crossJoin(broadcast(tot))
+      // + 0.0 folds IEEE −0.0 to 0.0 (stringified-hash parity; DuckDB
+      // prints 0.0 where Java would print −0.0)
+      .withColumn("z", round((lw - lb) / sqrt(varz), 4) + lit(0.0))
+      .orderBy(col("z").desc, col("word").asc)
+      .limit(15)
+      .select("word", "a", "b", "z")
+  }
+
+  /** Data-contract check suite (the dbt-test / Great-Expectations
+    * genre): each row one named assertion over the orders feed with
+    * its violation count — null keys, duplicate primary keys,
+    * referential integrity into customer, value-range and
+    * enum-membership checks. ALL checks ride one orders pass + one
+    * broadcast-free anti-join for the FK probe (customer keys shuffle
+    * once); a 0-violation row is evidence, not absence, so every check
+    * reports. The governance gate a 100 TB feed runs before publish.
+    */
+  def q232_data_contract(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val base = o.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_pk"),
+      // count(pk) not count(*): null keys are their own check, they
+      // must not inflate the duplicate count
+      (count(col("o_orderkey")) - count_distinct(col("o_orderkey"))).as("dup_pk"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status_enum"),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast("date") ||
+        col("o_orderdate") > lit("2026-01-01").cast("date"), 1L).otherwise(0L))
+        .as("date_out_of_range"))
+    val orphans = o.select(col("o_custkey")).join(c,
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    base.crossJoin(orphans)
+      .select(
+        lit("orders").as("table_name"),
+        col("null_pk"), col("dup_pk"), col("fk_orphans"),
+        col("nonpositive_price"), col("bad_status_enum"), col("date_out_of_range"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5560,6 +5631,8 @@ object Queries {
     "q228_mcnemar"      -> (q228_mcnemar _),
     "q229_regex_tokens" -> (q229_regex_tokens _),
     "q230_sssp"         -> (q230_sssp _),
+    "q231_log_odds_terms" -> (q231_log_odds_terms _),
+    "q232_data_contract" -> (q232_data_contract _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8343,5 +8416,41 @@ object Queries {
         |  FROM walk JOIN e ON e.s = walk.node WHERE depth < 4)
         |SELECT node, min(dist)::BIGINT AS dist FROM walk
         |GROUP BY node ORDER BY dist ASC, node ASC LIMIT 20""".stripMargin,
+    "q231_log_odds_terms" ->
+      """WITH toks AS (
+        |  SELECT (lang = 'en')::BIGINT AS is_web,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE word <> ''),
+        |counts AS (SELECT word, sum(is_web)::BIGINT AS a,
+        |    sum(1 - is_web)::BIGINT AS b
+        |  FROM t2 GROUP BY word HAVING sum(is_web) + sum(1 - is_web) >= 10),
+        |tot AS (SELECT sum(is_web)::BIGINT AS na, sum(1 - is_web)::BIGINT AS nb FROM t2)
+        |SELECT word, a, b,
+        |  round((ln((a + (a + b) * 1000.0 / (na + nb)) /
+        |            (na + 1000.0 - a - (a + b) * 1000.0 / (na + nb))) -
+        |         ln((b + (a + b) * 1000.0 / (na + nb)) /
+        |            (nb + 1000.0 - b - (a + b) * 1000.0 / (na + nb)))) /
+        |        sqrt(1.0 / (a + (a + b) * 1000.0 / (na + nb)) +
+        |             1.0 / (b + (a + b) * 1000.0 / (na + nb))), 4) AS z
+        |FROM counts, tot
+        |ORDER BY z DESC, word ASC LIMIT 15""".stripMargin,
+    "q232_data_contract" ->
+      """WITH base AS (SELECT
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_pk,
+        |    (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS dup_pk,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS nonpositive_price,
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT
+        |      AS bad_status_enum,
+        |    sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |             OR o_orderdate > DATE '2026-01-01' THEN 1 ELSE 0 END)::BIGINT
+        |      AS date_out_of_range
+        |  FROM orders),
+        |orph AS (SELECT count(*)::BIGINT AS fk_orphans FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'orders' AS table_name, null_pk, dup_pk, fk_orphans,
+        |  nonpositive_price, bad_status_enum, date_out_of_range
+        |FROM base, orph""".stripMargin,
   )
 }

@@ -122,7 +122,11 @@ class PlanSpec extends SparkSpec {
       // (both sides the same TakeOrdered-100 leaderboard)
       "q226_kendall_tau",
       // q227: 1-row broadcast series mean (q101's pattern)
-      "q227_cusum_drift")
+      "q227_cusum_drift",
+      // q231: 1-row broadcast class totals (q207's pattern)
+      "q231_log_odds_terms",
+      // q232: cross join of two 1-row check aggregates (q145's pattern)
+      "q232_data_contract")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

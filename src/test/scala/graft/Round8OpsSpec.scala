@@ -507,6 +507,52 @@ class Round8OpsSpec extends SparkSpec {
     assert(dist == got, s"distributed $dist != local $got")
   }
 
+  // ---- q231 log-odds --------------------------------------------------
+
+  test("log odds: balanced words score exactly 0; the one-sided word tops the ranking") {
+    val dir = tmp("graft_lodds_")
+    val common = Array.fill(10)("x").mkString(" ")
+    val skewed = Array.fill(10)("zed").mkString(" ")
+    Seq(
+      (1L, s"$common $skewed", "en"),
+      (2L, common, "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q231_log_odds_terms")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 2, s"got ${got.toSeq}")
+    assert(got(0)._1 == "zed" && got(0)._2 == 10L && got(0)._3 == 0L && got(0)._4 > 0,
+      s"got ${got.toSeq}")
+    // x: a = b = 10 but na=20 nb=10 → NOT zero (corpus sizes differ);
+    // just assert it ranks strictly below the one-sided word
+    assert(got(1)._1 == "x" && got(1)._4 < got(0)._4)
+  }
+
+  // ---- q232 data contract ---------------------------------------------
+
+  test("data contract: each violation class counts exactly its planted rows") {
+    val dir = tmp("graft_contract_")
+    val d = java.sql.Date.valueOf("2024-01-01")
+    Seq(
+      (Some(1L), 10L, "O", 100.0, d, "P"),                               // clean
+      (Some(2L), 10L, "F", 50.0, d, "P"),                                // clean
+      (Some(2L), 10L, "P", 60.0, d, "P"),                                // dup pk
+      (None: Option[Long], 10L, "O", 70.0, d, "P"),                      // null pk
+      (Some(4L), 99L, "O", 80.0, d, "P"),                                // fk orphan
+      (Some(5L), 10L, "O", -5.0, d, "P"),                                // nonpositive price
+      (Some(6L), 10L, "X", 90.0, d, "P"),                                // bad enum
+      (Some(7L), 10L, "O", 95.0, java.sql.Date.valueOf("1980-01-01"), "P")) // date range
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "c")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Queries.all("q232_data_contract")(spark, dir).collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6)) ==
+      (("orders", 1L, 1L, 1L, 1L, 1L, 1L)), s"got $got")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
