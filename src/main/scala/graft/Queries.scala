@@ -5400,6 +5400,99 @@ object Queries {
         col("nonpositive_price"), col("bad_status_enum"), col("date_out_of_range"))
   }
 
+  /** Deterministic bootstrap CI for mean user spend: 100 resampling
+    * replicas whose per-(user, replica) multiplicities come from a
+    * hash-inverted Poisson(1) (the multinomial limit the bootstrap
+    * converges to) — no RNG state, both engines rebuild the SAME
+    * replicas from md5 arithmetic, so the interval is oracle-exact.
+    * The user-grain frame is built once (one fact shuffle), the
+    * replica dimension is a 100-way broadcast explode of the USER
+    * frame only (never the fact table — at 100 TB that is the "bag of
+    * little bootstraps" shape), and the CI is an exact rank pick over
+    * the 100 replica means.
+    */
+  def q233_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
+    val b = 100
+    val perUser = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    // Poisson(1) CDF inversion on u = first-8-hex of md5(user|replica):
+    // P(0)=.3679, P(≤1)=.7358, P(≤2)=.9197, P(≤3)=.9810
+    val u = conv(substring(md5(concat_ws("|", col("user_id"), col("rep"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.3679, 0L).when(u < 0.7358, 1L)
+      .when(u < 0.9197, 2L).when(u < 0.9810, 3L).otherwise(4L)
+    val reps = perUser
+      .crossJoin(broadcast(s.range(0, b).toDF("rep")))
+      .withColumn("w", w)
+      .groupBy("rep")
+      .agg((sum(col("w") * col("cents")) / (sum("w") * lit(100.0))).as("mean_spend"))
+    val ranked = reps.withColumn("rk",
+      row_number().over(Window.orderBy(col("mean_spend").asc, col("rep").asc)))
+    ranked.agg(
+        count(lit(1)).as("n_reps"),
+        round(avg("mean_spend"), 2).as("boot_mean"),
+        round(max(when(col("rk") === 3, col("mean_spend"))), 2).as("ci_lo"),
+        round(max(when(col("rk") === 98, col("mean_spend"))), 2).as("ci_hi"))
+  }
+
+  /** Autocorrelation function of the daily purchase-count series at
+    * lags 1..7 — the "is there weekly structure" diagnostic feeding
+    * q156's seasonal profile (ACF measures it; the profile assumes
+    * it). ACF_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², lag alignment by
+    * window `lag` over the DAY-grain frame; the mean and the
+    * denominator ride in as one broadcast 1-row aggregate. Exact
+    * integer counts; the float products follow the same
+    * sequential-frame determinism as q227.
+    */
+  def q234_acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg((sum("n") / count(lit(1))).as("mu"))
+    val centered = daily.crossJoin(broadcast(stats))
+      .withColumn("d", col("n") - col("mu"))
+    val wDay = Window.orderBy("day")
+    val lagged = (1 to 7).foldLeft(centered)((df, k) =>
+      df.withColumn(s"d_$k", lag(col("d"), k).over(wDay)))
+    val denom = lagged.agg(sum(col("d") * col("d")).as("ss"))
+    val accs = (1 to 7).map(k =>
+      round(sum(col("d") * col(s"d_$k")) / first(col("ss")), 4).as(s"acf_$k"))
+    lagged.crossJoin(broadcast(denom))
+      .agg(count(col("d")).as("n_days"), accs: _*)
+  }
+
+  /** Linear (equal-split) multi-touch attribution: every click within
+    * the 7 days before a purchase shares the purchase's value equally
+    * — the fractional complement to q205's last-touch winner-take-all
+    * (same window, opposite credit philosophy; a marketing stack runs
+    * both and diffs them). One user-co-partitioned equi-join bounds
+    * candidates, a per-purchase window count sets each click's share
+    * (value/n — exact integer-by-integer division), campaign rollup
+    * rounds once.
+    */
+  def q235_linear_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"), col("value"))
+    val touches = p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
+    val nTouch = Window.partitionBy("pid")
+    touches
+      .withColumn("share", col("value") / count(lit(1)).over(nTouch))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum("share"), 2).as("credited_value"))
+      .orderBy("campaign")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5633,6 +5726,9 @@ object Queries {
     "q230_sssp"         -> (q230_sssp _),
     "q231_log_odds_terms" -> (q231_log_odds_terms _),
     "q232_data_contract" -> (q232_data_contract _),
+    "q233_bootstrap_ci" -> (q233_bootstrap_ci _),
+    "q234_acf"          -> (q234_acf _),
+    "q235_linear_attribution" -> (q235_linear_attribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8452,5 +8548,61 @@ object Queries {
         |SELECT 'orders' AS table_name, null_pk, dup_pk, fk_orphans,
         |  nonpositive_price, bad_status_enum, date_out_of_range
         |FROM base, orph""".stripMargin,
+    "q233_bootstrap_ci" ->
+      """WITH pu AS (
+        |  SELECT user_id, sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |reps AS (SELECT r AS rep FROM generate_series(0, 99) AS t(r)),
+        |wts AS (SELECT rep, cents,
+        |    CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+        |         WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3 ELSE 4 END::BIGINT AS w
+        |  FROM (SELECT rep, cents,
+        |      ('0x' || substr(md5(user_id::VARCHAR || '|' || rep::VARCHAR), 1, 8))::BIGINT
+        |        / 4294967296.0 AS u
+        |    FROM pu, reps)),
+        |means AS (SELECT rep,
+        |    sum(w * cents)::DOUBLE / (sum(w) * 100.0) AS mean_spend
+        |  FROM wts GROUP BY rep),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (ORDER BY mean_spend ASC, rep ASC) AS rk FROM means)
+        |SELECT count(*)::BIGINT AS n_reps,
+        |  round(avg(mean_spend), 2) AS boot_mean,
+        |  round(max(CASE WHEN rk = 3 THEN mean_spend END), 2) AS ci_lo,
+        |  round(max(CASE WHEN rk = 98 THEN mean_spend END), 2) AS ci_hi
+        |FROM ranked""".stripMargin,
+    "q234_acf" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT sum(n)::DOUBLE / count(*) AS mu FROM daily),
+        |c AS (SELECT day, n - mu AS d FROM daily, m),
+        |lagged AS (SELECT day, d,
+        |    lag(d, 1) OVER w AS d_1, lag(d, 2) OVER w AS d_2,
+        |    lag(d, 3) OVER w AS d_3, lag(d, 4) OVER w AS d_4,
+        |    lag(d, 5) OVER w AS d_5, lag(d, 6) OVER w AS d_6,
+        |    lag(d, 7) OVER w AS d_7
+        |  FROM c WINDOW w AS (ORDER BY day)),
+        |ss AS (SELECT sum(d * d) AS ss FROM lagged)
+        |SELECT count(d)::BIGINT AS n_days,
+        |  round(sum(d * d_1) / any_value(ss), 4) AS acf_1,
+        |  round(sum(d * d_2) / any_value(ss), 4) AS acf_2,
+        |  round(sum(d * d_3) / any_value(ss), 4) AS acf_3,
+        |  round(sum(d * d_4) / any_value(ss), 4) AS acf_4,
+        |  round(sum(d * d_5) / any_value(ss), 4) AS acf_5,
+        |  round(sum(d * d_6) / any_value(ss), 4) AS acf_6,
+        |  round(sum(d * d_7) / any_value(ss), 4) AS acf_7
+        |FROM lagged, ss""".stripMargin,
+    "q235_linear_attribution" ->
+      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
+        |             ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |touches AS (SELECT campaign, pid, value,
+        |    count(*) OVER (PARTITION BY pid) AS nt
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY)
+        |SELECT campaign, count(*)::BIGINT AS n_touches,
+        |  round(sum(value / nt), 2) AS credited_value
+        |FROM touches GROUP BY campaign ORDER BY campaign""".stripMargin,
   )
 }

@@ -126,7 +126,12 @@ class PlanSpec extends SparkSpec {
       // q231: 1-row broadcast class totals (q207's pattern)
       "q231_log_odds_terms",
       // q232: cross join of two 1-row check aggregates (q145's pattern)
-      "q232_data_contract")
+      "q232_data_contract",
+      // q233: 100-row broadcast replica dimension over the USER frame
+      // (bounded by B=100 by construction)
+      "q233_bootstrap_ci",
+      // q234: 1-row broadcast mean + denominator (q101's pattern)
+      "q234_acf")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

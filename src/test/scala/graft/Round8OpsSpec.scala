@@ -553,6 +553,65 @@ class Round8OpsSpec extends SparkSpec {
       (("orders", 1L, 1L, 1L, 1L, 1L, 1L)), s"got $got")
   }
 
+  // ---- q233 bootstrap CI ----------------------------------------------
+
+  test("bootstrap ci: interval brackets the point estimate and is deterministic across runs") {
+    val dir = tmp("graft_boot_")
+    val rows = (1 to 40).map(u =>
+      (u.toLong, ts("2024-01-05 08:00:00"), u.toLong, "purchase", "{}", 10.0 + u))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val a = Queries.all("q233_bootstrap_ci")(spark, dir).collect()(0)
+    val b = Queries.all("q233_bootstrap_ci")(spark, dir).collect()(0)
+    assert(a == b, "hash-derived resampling must be run-deterministic")
+    val (n, mean, lo, hi) = (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    assert(n == 100L)
+    assert(lo < mean && mean < hi, s"CI [$lo,$hi] must bracket $mean")
+    // population mean of 10+u for u=1..40 is 30.5; resampled CI should
+    // sit in that neighbourhood, not at the data extremes
+    assert(lo > 10.0 && hi < 50.0, s"got [$lo,$hi]")
+  }
+
+  // ---- q234 ACF -------------------------------------------------------
+
+  test("acf: an alternating series has acf_1 near -1 and acf_2 near +1") {
+    val dir = tmp("graft_acf_")
+    var id = 0L
+    val rows = (1 to 14).flatMap { d =>
+      val n = if (d % 2 == 0) 9 else 3
+      (1 to n).map { _ => id += 1
+        (id, ts(f"2024-01-$d%02d 08:00:00"), id % 5, "purchase", "{}", 1.0)
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q234_acf")(spark, dir).collect()(0)
+    assert(got.getLong(0) == 14L)
+    val acf1 = got.getDouble(1); val acf2 = got.getDouble(2)
+    assert(acf1 < -0.8 && acf2 > 0.8, s"alternating series: acf1=$acf1 acf2=$acf2")
+  }
+
+  // ---- q235 linear attribution ----------------------------------------
+
+  test("linear attribution: equal split across in-window clicks; credit conserves the purchase value") {
+    val dir = tmp("graft_linattr_")
+    def ev(id: Long, t: String, u: Long, typ: String, k: Long, v: Double) =
+      (id, ts(t), u, typ, s"""{"k": $k}""", v)
+    Seq(
+      // user 1: clicks on campaigns 3 and 9, purchase 60 → 30 each
+      ev(1, "2024-01-01 08:00:00", 1, "click", 3, 0.0),
+      ev(2, "2024-01-01 09:00:00", 1, "click", 9, 0.0),
+      ev(3, "2024-01-01 10:00:00", 1, "purchase", 0, 60.0),
+      // user 2: out-of-window click (8 days) → uncredited
+      ev(4, "2024-01-01 08:00:00", 2, "click", 5, 0.0),
+      ev(5, "2024-01-09 09:00:00", 2, "purchase", 0, 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q235_linear_attribution")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((3L, 1L, 30.0), (9L, 1L, 30.0)), s"got ${got.toSeq}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
