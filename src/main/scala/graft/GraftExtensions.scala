@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotProduct, JaroWinkler, MinHashSignature, PositionalShingleHashes, ShingleHashes, Tokens}
+import graft.expr.{DotProduct, JaroWinkler, MinHashSignature, PositionalShingleHashes, Pretokens, ShingleHashes, Tokens}
 
 /** SparkSessionExtensions injector: registers graft's native
   * expressions as SQL functions, so they're usable from `spark.sql`
@@ -77,6 +77,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_shingle_hashes takes (string, n)")
         ShingleHashes(children(0), intLit(children(1), "graft_shingle_hashes n"))
+      }),
+    (
+      new FunctionIdentifier("graft_pretokens"),
+      new ExpressionInfo(classOf[Pretokens].getName, "graft_pretokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_pretokens takes (string)")
+        Pretokens(children(0))
       }),
     (
       new FunctionIdentifier("graft_positional_shingle_hashes"),

@@ -81,6 +81,9 @@ class BucketingSpec extends SparkSpec {
     val ph = spark.sql("SELECT graft_positional_shingle_hashes('a b a b', 2) AS h")
       .collect()(0).getSeq[Long](0)
     assert(ph.length == 3 && ph(0) == ph(2), "positional keeps order and dups")
+    val pt = spark.sql("SELECT graft_pretokens(\"Don't x2!\") AS t")
+      .collect()(0).getSeq[String](0)
+    assert(pt == Seq("don", "'", "t", "x", "2", "!"))
     // the injector itself wires the same list
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
