@@ -5493,6 +5493,90 @@ object Queries {
       .orderBy("campaign")
   }
 
+  /** Pairwise corpus-similarity matrix: exact vocabulary Jaccard
+    * between every language pair — the corpus-level relatedness signal
+    * (shared loanwords/named entities) that q203's KL reads
+    * distributionally; Jaccard reads it set-wise. One tokenize pass →
+    * distinct (lang, word); the pair frame joins vocabularies on the
+    * word (vocabulary-sized, never corpus-sized) and |A∪B| comes from
+    * |A|+|B|−|A∩B| — intersection is the only join, union is
+    * arithmetic. Exact integers, one final division.
+    */
+  def q236_vocab_overlap(s: SparkSession, dir: String): DataFrame = {
+    val vocab = tWide(s, dir, "documents")
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .distinct()
+      .persist()
+    val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"), col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("na"))), "lang_a")
+      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("nb"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("na"), col("nb"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** Dictionary-encoding advisor: per string column of `part`, the
+    * cardinality/width numbers a columnar layout planner reads before
+    * choosing an encoding — distinct count, raw vs dictionary-encoded
+    * byte estimates (8-bit/16-bit/32-bit index by cardinality), and
+    * the compression ratio. One pass per column union'd into a long
+    * report (each leg is an independent map-side-combined aggregate;
+    * at 100 TB each leg reads ONLY its column from parquet). Exact
+    * integer byte arithmetic.
+    */
+  def q237_dict_advisor(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    def leg(c: String): DataFrame =
+      p.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(c)).as("n_distinct"),
+        sum(length(col(c))).as("raw_bytes"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          col("raw_bytes"),
+          // dict page = distinct values' bytes; index stream = n_rows ×
+          // index width picked from cardinality
+          (when(col("n_distinct") <= 256, 1L)
+            .when(col("n_distinct") <= 65536, 2L).otherwise(4L)).as("idx_bytes"))
+    val legs = Seq("p_name", "p_brand", "p_type").map(leg).reduce(_ unionByName _)
+    val dicts = Seq("p_name", "p_brand", "p_type").map { c =>
+      p.select(col(c)).distinct()
+        .agg(sum(length(col(c))).as("dict_bytes"))
+        .select(lit(c).as("column_name"), col("dict_bytes"))
+    }.reduce(_ unionByName _)
+    legs.join(dicts, "column_name")
+      .withColumn("dict_total", col("dict_bytes") + col("n_rows") * col("idx_bytes"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"), col("raw_bytes"),
+        col("dict_total"),
+        round(col("raw_bytes") / col("dict_total"), 4).as("ratio"))
+      .orderBy("column_name")
+  }
+
+  /** Partition-skew report for a date-partitioned write: per
+    * order-month row counts with the skew diagnostics a layout planner
+    * reads — share of total, ratio to the mean partition size, and a
+    * hot flag at 2× mean. THE pre-write audit that decides whether a
+    * partitioned publish needs salting or re-bucketing (writing first
+    * and discovering a 40× partition later costs a rewrite at 100 TB).
+    * One map-side-combined count; mean/total broadcast back.
+    */
+  def q238_partition_skew(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = parts.agg(sum("n").as("total"), (sum("n") / count(lit(1))).as("mean_n"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("part_key"), col("n"),
+        round(col("n") / col("total"), 4).as("share"),
+        round(col("n") / col("mean_n"), 4).as("x_mean"),
+        (col("n") > lit(2.0) * col("mean_n")).cast("int").as("hot"))
+      .orderBy("part_key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5729,6 +5813,9 @@ object Queries {
     "q233_bootstrap_ci" -> (q233_bootstrap_ci _),
     "q234_acf"          -> (q234_acf _),
     "q235_linear_attribution" -> (q235_linear_attribution _),
+    "q236_vocab_overlap" -> (q236_vocab_overlap _),
+    "q237_dict_advisor" -> (q237_dict_advisor _),
+    "q238_partition_skew" -> (q238_partition_skew _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8604,5 +8691,60 @@ object Queries {
         |SELECT campaign, count(*)::BIGINT AS n_touches,
         |  round(sum(value / nt), 2) AS credited_value
         |FROM touches GROUP BY campaign ORDER BY campaign""".stripMargin,
+    "q236_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT lang, word FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |sizes AS (SELECT lang, count(*)::BIGINT AS n FROM vocab GROUP BY lang),
+        |inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS inter
+        |  FROM vocab a JOIN vocab b ON a.word = b.word AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, sa.n AS na, sb.n AS nb, inter,
+        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.lang = lang_a
+        |           JOIN sizes sb ON sb.lang = lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
+    "q237_dict_advisor" ->
+      """WITH legs AS (
+        |  SELECT 'p_name' AS column_name, count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT p_name)::BIGINT AS n_distinct,
+        |    sum(length(p_name))::BIGINT AS raw_bytes FROM part
+        |  UNION ALL
+        |  SELECT 'p_brand', count(*), count(DISTINCT p_brand),
+        |    sum(length(p_brand)) FROM part
+        |  UNION ALL
+        |  SELECT 'p_type', count(*), count(DISTINCT p_type),
+        |    sum(length(p_type)) FROM part),
+        |dicts AS (
+        |  SELECT 'p_name' AS column_name,
+        |    sum(length(p_name))::BIGINT AS dict_bytes
+        |  FROM (SELECT DISTINCT p_name FROM part)
+        |  UNION ALL
+        |  SELECT 'p_brand', sum(length(p_brand))
+        |  FROM (SELECT DISTINCT p_brand FROM part)
+        |  UNION ALL
+        |  SELECT 'p_type', sum(length(p_type))
+        |  FROM (SELECT DISTINCT p_type FROM part))
+        |SELECT l.column_name, n_rows::BIGINT AS n_rows,
+        |  n_distinct::BIGINT AS n_distinct, raw_bytes::BIGINT AS raw_bytes,
+        |  (dict_bytes + n_rows * (CASE WHEN n_distinct <= 256 THEN 1
+        |     WHEN n_distinct <= 65536 THEN 2 ELSE 4 END))::BIGINT AS dict_total,
+        |  round(raw_bytes::DOUBLE /
+        |    (dict_bytes + n_rows * (CASE WHEN n_distinct <= 256 THEN 1
+        |       WHEN n_distinct <= 65536 THEN 2 ELSE 4 END)), 4) AS ratio
+        |FROM legs l JOIN dicts d ON l.column_name = d.column_name
+        |ORDER BY l.column_name""".stripMargin,
+    "q238_partition_skew" ->
+      """WITH parts AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS part_key, count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS total,
+        |    sum(n)::DOUBLE / count(*) AS mean_n FROM parts)
+        |SELECT part_key, n,
+        |  round(n::DOUBLE / total, 4) AS share,
+        |  round(n / mean_n, 4) AS x_mean,
+        |  (n > 2.0 * mean_n)::INTEGER AS hot
+        |FROM parts, tot ORDER BY part_key""".stripMargin,
   )
 }

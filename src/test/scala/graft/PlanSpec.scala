@@ -131,7 +131,9 @@ class PlanSpec extends SparkSpec {
       // (bounded by B=100 by construction)
       "q233_bootstrap_ci",
       // q234: 1-row broadcast mean + denominator (q101's pattern)
-      "q234_acf")
+      "q234_acf",
+      // q238: 1-row broadcast total/mean (q101's pattern)
+      "q238_partition_skew")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

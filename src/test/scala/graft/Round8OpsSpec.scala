@@ -612,6 +612,59 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 1L, 30.0), (9L, 1L, 30.0)), s"got ${got.toSeq}")
   }
 
+  // ---- q236 vocab overlap ---------------------------------------------
+
+  test("vocab overlap: hand-computed Jaccard; word frequency never inflates the set measure") {
+    val dir = tmp("graft_vocab_")
+    Seq(
+      (1L, "a b c a a a", "en"),   // en vocab {a,b,c} — repeats don't count
+      (2L, "b c d", "de"),         // de vocab {b,c,d} → inter {b,c}, union 4
+      (3L, "x", "fr"))             // fr vocab {x} → zero overlap rows
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q236_vocab_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // only the pair with a nonempty intersection appears (inner join)
+    assert(got.toSeq == Seq(("de", "en", 3L, 3L, 2L, 0.5)), s"got ${got.toSeq}")
+  }
+
+  // ---- q237 dictionary advisor ----------------------------------------
+
+  test("dict advisor: byte arithmetic matches the hand-computed layout") {
+    val dir = tmp("graft_dict_")
+    // 4 rows, 2 distinct names of 4 chars → raw=16, dict=8+4·1=12
+    Seq((1L, "aaaa", "BB", "tt", 1, 1.0), (2L, "aaaa", "BB", "tt", 1, 1.0),
+      (3L, "bbbb", "BB", "tt", 1, 1.0), (4L, "bbbb", "BB", "tt", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q237_dict_advisor")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("p_brand", 4L, 1L, 8L, 6L),
+      ("p_name", 4L, 2L, 16L, 12L),
+      ("p_type", 4L, 1L, 8L, 6L)), s"got ${got.toSeq}")
+  }
+
+  // ---- q238 partition skew --------------------------------------------
+
+  test("partition skew: the hot partition flags at 2x mean; shares sum to 1") {
+    val dir = tmp("graft_skew_")
+    val d = (m: Int, k: Long) => (k, 10L, "O", 1.0,
+      java.sql.Date.valueOf(f"2024-$m%02d-01"), "P")
+    // month 1: 8 rows, months 2..5: 1 row each → mean 2.4, hot = month 1
+    val rows = (1 to 8).map(i => d(1, i.toLong)) ++ (2 to 5).map(m => d(m, 100L + m))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q238_partition_skew")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(4)))
+    assert(got.length == 5)
+    assert(got(0) == (("2024-01", 8L, 0.6667, 1)), s"got ${got(0)}")
+    assert(got.drop(1).forall(_._4 == 0))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 0.001)
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
