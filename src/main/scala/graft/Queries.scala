@@ -5577,6 +5577,60 @@ object Queries {
       .orderBy("part_key")
   }
 
+  /** Difference-in-differences readout: treatment = odd user_id (q220's
+    * split), pre/post = the mid-month boundary (q228's), outcome =
+    * mean purchase cents per user-period — DiD = (T_post − T_pre) −
+    * (C_post − C_pre), the causal-inference workhorse when only the
+    * treated arm changed between periods. All four cell means are
+    * exact integer-cent sums over one conditional aggregate; the
+    * estimate is arithmetic on four exact quotients. The parallel-
+    * trends assumption is the ANALYST's burden; the engine's burden is
+    * cells that cannot disagree between engines — and they can't.
+    */
+  def q239_diff_in_diff(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2 === 1).cast("int").as("treated"),
+        (col("ts") >= cut).cast("int").as("post"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val cells = p.agg(
+      sum(when(col("treated") === 1 && col("post") === 0, 1L).otherwise(0L)).as("nt0"),
+      sum(when(col("treated") === 1 && col("post") === 0, col("cents")).otherwise(0L)).as("st0"),
+      sum(when(col("treated") === 1 && col("post") === 1, 1L).otherwise(0L)).as("nt1"),
+      sum(when(col("treated") === 1 && col("post") === 1, col("cents")).otherwise(0L)).as("st1"),
+      sum(when(col("treated") === 0 && col("post") === 0, 1L).otherwise(0L)).as("nc0"),
+      sum(when(col("treated") === 0 && col("post") === 0, col("cents")).otherwise(0L)).as("sc0"),
+      sum(when(col("treated") === 0 && col("post") === 1, 1L).otherwise(0L)).as("nc1"),
+      sum(when(col("treated") === 0 && col("post") === 1, col("cents")).otherwise(0L)).as("sc1"))
+    def mean(sm: String, n: String) = col(sm) / col(n) / lit(100.0)
+    cells.select(
+      round(mean("st0", "nt0"), 4).as("treat_pre"),
+      round(mean("st1", "nt1"), 4).as("treat_post"),
+      round(mean("sc0", "nc0"), 4).as("ctrl_pre"),
+      round(mean("sc1", "nc1"), 4).as("ctrl_post"),
+      round((mean("st1", "nt1") - mean("st0", "nt0")) -
+        (mean("sc1", "nc1") - mean("sc0", "nc0")), 4).as("did"))
+  }
+
+  /** Exponential (log2-bucketed) value histogram — the DDSketch-shaped
+    * observability summary: bucket = ⌊log2(cents)⌋, covering 5 orders
+    * of magnitude in ~17 buckets with fixed relative error, the way
+    * latency/value telemetry is actually stored. Bucketing is on exact
+    * integer cents, and log2 of an exact power of two is exactly that
+    * integer in IEEE (no boundary flicker) — so the bucket assignment
+    * is engine-identical. One map-side-combined aggregate.
+    */
+  def q240_exp_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") >= 1)
+      .withColumn("bucket", floor(log2(col("cents"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      .orderBy("bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5816,6 +5870,8 @@ object Queries {
     "q236_vocab_overlap" -> (q236_vocab_overlap _),
     "q237_dict_advisor" -> (q237_dict_advisor _),
     "q238_partition_skew" -> (q238_partition_skew _),
+    "q239_diff_in_diff" -> (q239_diff_in_diff _),
+    "q240_exp_histogram" -> (q240_exp_histogram _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8746,5 +8802,37 @@ object Queries {
         |  round(n / mean_n, 4) AS x_mean,
         |  (n > 2.0 * mean_n)::INTEGER AS hot
         |FROM parts, tot ORDER BY part_key""".stripMargin,
+    "q239_diff_in_diff" ->
+      """WITH p AS (
+        |  SELECT (user_id % 2 = 1)::INTEGER AS treated,
+        |    (ts >= TIMESTAMP '2024-01-16 00:00:00')::INTEGER AS post,
+        |    round(value * 100, 0)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cells AS (SELECT
+        |    sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS nt0,
+        |    sum(CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END)::BIGINT AS st0,
+        |    sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS nt1,
+        |    sum(CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END)::BIGINT AS st1,
+        |    sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS nc0,
+        |    sum(CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END)::BIGINT AS sc0,
+        |    sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS nc1,
+        |    sum(CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END)::BIGINT AS sc1
+        |  FROM p)
+        |SELECT
+        |  round(st0::DOUBLE / nt0 / 100.0, 4) AS treat_pre,
+        |  round(st1::DOUBLE / nt1 / 100.0, 4) AS treat_post,
+        |  round(sc0::DOUBLE / nc0 / 100.0, 4) AS ctrl_pre,
+        |  round(sc1::DOUBLE / nc1 / 100.0, 4) AS ctrl_post,
+        |  round((st1::DOUBLE / nt1 / 100.0 - st0::DOUBLE / nt0 / 100.0)
+        |      - (sc1::DOUBLE / nc1 / 100.0 - sc0::DOUBLE / nc0 / 100.0), 4) AS did
+        |FROM cells""".stripMargin,
+    "q240_exp_histogram" ->
+      """WITH c AS (
+        |  SELECT round(value * 100, 0)::BIGINT AS cents FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT floor(log2(cents))::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |  min(cents)::BIGINT AS lo_cents, max(cents)::BIGINT AS hi_cents
+        |FROM c WHERE cents >= 1
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -665,6 +665,42 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(got.map(_._3).sum - 1.0) < 0.001)
   }
 
+  // ---- q239 diff-in-diff ----------------------------------------------
+
+  test("diff-in-diff: a planted treatment lift is recovered exactly; parallel trends cancel") {
+    val dir = tmp("graft_did_")
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      (id, ts(t), u, "purchase", "{}", v)
+    // both arms drift +10 between periods (parallel trend); treated
+    // (odd users) gains an EXTRA +5 post → DiD = 5.0 exactly
+    Seq(
+      ev(1, "2024-01-05 08:00:00", 1, 100.0), // treat pre
+      ev(2, "2024-01-20 08:00:00", 1, 115.0), // treat post = pre+10+5
+      ev(3, "2024-01-05 08:00:00", 2, 50.0),  // ctrl pre
+      ev(4, "2024-01-20 08:00:00", 2, 60.0))  // ctrl post = pre+10
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q239_diff_in_diff")(spark, dir).collect()(0)
+    assert((got.getDouble(0), got.getDouble(1), got.getDouble(2), got.getDouble(3),
+      got.getDouble(4)) == ((100.0, 115.0, 50.0, 60.0, 5.0)), s"got $got")
+  }
+
+  // ---- q240 exponential histogram -------------------------------------
+
+  test("exp histogram: power-of-two boundaries land in the upper bucket, no flicker") {
+    val dir = tmp("graft_exph_")
+    def ev(id: Long, v: Double) =
+      (id, ts("2024-01-05 08:00:00"), 1L, "purchase", "{}", v)
+    // cents: 1→b0, 2,3→b1, 4→b2, 1024 cents (=10.24) → exactly b10
+    Seq(ev(1, 0.01), ev(2, 0.02), ev(3, 0.03), ev(4, 0.04), ev(5, 10.24))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q240_exp_histogram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 1L, 1L), (1L, 2L, 2L, 3L),
+      (2L, 1L, 4L, 4L), (10L, 1L, 1024L, 1024L)), s"got ${got.toSeq}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
