@@ -5631,6 +5631,64 @@ object Queries {
         min("cents").as("lo_cents"), max("cents").as("hi_cents"))
       .orderBy("bucket")
 
+  /** Embedding-table contract audit — q232's genre applied to the
+    * vector column, where the failure modes are numeric, not
+    * relational: NaN/Inf cells, zero vectors (cosine-undefined),
+    * dimension drift (ragged arrays), duplicate ids, and the norm
+    * envelope (a silently unnormalized batch shifts it). One pass;
+    * the per-cell predicates are codegen'd HOF `exists`/`aggregate`
+    * folds, never a posexplode shuffle. The gate an embedding publish
+    * runs before ANN indexes build on garbage.
+    */
+  def q241_embedding_contract(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val x = col("embedding")
+    val norm2 = aggregate(x, lit(0.0d), (a, v) => a + v.cast("double") * v.cast("double"))
+    // the norm envelope is over HEALTHY vectors only — a NaN cell would
+    // otherwise poison max() (NaN sorts above every double) and report
+    // the corruption twice
+    val healthy = x.isNotNull && !exists(x, v => v.cast("double").isNaN ||
+      abs(v.cast("double")) === lit(Double.PositiveInfinity))
+    e.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count_distinct(col("vec_id"))).as("dup_ids"),
+        sum(when(x.isNull, 1L).otherwise(0L)).as("null_vectors"),
+        sum(when(exists(x, v => v.cast("double").isNaN ||
+          abs(v.cast("double")) === lit(Double.PositiveInfinity)), 1L).otherwise(0L))
+          .as("nonfinite_vectors"),
+        count_distinct(size(x)).as("n_dims_seen"),
+        sum(when(norm2 === 0.0, 1L).otherwise(0L)).as("zero_vectors"),
+        round(min(when(healthy, sqrt(norm2))), 4).as("min_norm"),
+        round(max(when(healthy, sqrt(norm2))), 4).as("max_norm"))
+  }
+
+  /** Feature-store materialization: the per-user churn-model feature
+    * row — activity counts over trailing 7/14/28-day windows from the
+    * corpus frontier, recency, distinct event types, spend — built in
+    * ONE conditional aggregate over one fact shuffle (the multi-window
+    * trailing counts are predicates, not three scans). Sampled to
+    * user_id % 10 = 0 for a bounded judged result; integer-exact
+    * everything.
+    */
+  def q242_feature_matrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val frontier = ev.agg(max(to_date(col("ts"))).as("now"))
+    ev.crossJoin(broadcast(frontier))
+      .withColumn("age_d", datediff(col("now"), to_date(col("ts"))))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("age_d") < 7, 1L).otherwise(0L)).as("events_7d"),
+        sum(when(col("age_d") < 14, 1L).otherwise(0L)).as("events_14d"),
+        sum(when(col("age_d") < 28, 1L).otherwise(0L)).as("events_28d"),
+        min("age_d").cast("long").as("recency_d"),
+        count_distinct(col("event_type")).as("n_event_types"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("spend_cents"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .filter(col("user_id") % 10 === 0)
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5872,6 +5930,8 @@ object Queries {
     "q238_partition_skew" -> (q238_partition_skew _),
     "q239_diff_in_diff" -> (q239_diff_in_diff _),
     "q240_exp_histogram" -> (q240_exp_histogram _),
+    "q241_embedding_contract" -> (q241_embedding_contract _),
+    "q242_feature_matrix" -> (q242_feature_matrix _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8834,5 +8894,37 @@ object Queries {
         |  min(cents)::BIGINT AS lo_cents, max(cents)::BIGINT AS hi_cents
         |FROM c WHERE cents >= 1
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q241_embedding_contract" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  (count(*) - count(DISTINCT vec_id))::BIGINT AS dup_ids,
+        |  sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_vectors,
+        |  sum(CASE WHEN len(list_filter(embedding,
+        |        v -> isnan(v::DOUBLE) OR abs(v::DOUBLE) = 'infinity'::DOUBLE)) > 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS nonfinite_vectors,
+        |  count(DISTINCT len(embedding))::BIGINT AS n_dims_seen,
+        |  sum(CASE WHEN list_sum([v::DOUBLE * v::DOUBLE for v in embedding]) = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS zero_vectors,
+        |  round(min(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+        |      v -> isnan(v::DOUBLE) OR abs(v::DOUBLE) = 'infinity'::DOUBLE)) = 0
+        |    THEN sqrt(list_sum([v::DOUBLE * v::DOUBLE for v in embedding])) END), 4)
+        |    AS min_norm,
+        |  round(max(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+        |      v -> isnan(v::DOUBLE) OR abs(v::DOUBLE) = 'infinity'::DOUBLE)) = 0
+        |    THEN sqrt(list_sum([v::DOUBLE * v::DOUBLE for v in embedding])) END), 4)
+        |    AS max_norm
+        |FROM embeddings""".stripMargin,
+    "q242_feature_matrix" ->
+      """WITH f AS (SELECT max(ts::DATE) AS now FROM events),
+        |u AS (SELECT user_id,
+        |    sum(CASE WHEN now - ts::DATE < 7 THEN 1 ELSE 0 END)::BIGINT AS events_7d,
+        |    sum(CASE WHEN now - ts::DATE < 14 THEN 1 ELSE 0 END)::BIGINT AS events_14d,
+        |    sum(CASE WHEN now - ts::DATE < 28 THEN 1 ELSE 0 END)::BIGINT AS events_28d,
+        |    min(now - ts::DATE)::BIGINT AS recency_d,
+        |    count(DISTINCT event_type)::BIGINT AS n_event_types,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN round(value * 100, 0)::BIGINT ELSE 0 END)::BIGINT AS spend_cents,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
+        |  FROM events, f GROUP BY user_id)
+        |SELECT * FROM u WHERE user_id % 10 = 0 ORDER BY user_id""".stripMargin,
   )
 }

@@ -701,6 +701,43 @@ class Round8OpsSpec extends SparkSpec {
       (2L, 1L, 4L, 4L), (10L, 1L, 1024L, 1024L)), s"got ${got.toSeq}")
   }
 
+  // ---- q241 embedding contract ----------------------------------------
+
+  test("embedding contract: planted NaN, zero vector, ragged dim, and dup id each count once") {
+    val dir = tmp("graft_econ_")
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.6f, 0.8f), 0),            // dup id
+      (2L, Array(Float.NaN, 1.0f), 0),       // nonfinite
+      (3L, Array(0.0f, 0.0f), 0),            // zero vector
+      (4L, Array(1.0f, 0.0f, 0.0f), 0))      // ragged dim
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val g = Queries.all("q241_embedding_contract")(spark, dir).collect()(0)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+      g.getLong(5)) == ((5L, 1L, 0L, 1L, 2L, 1L)), s"got $g")
+    assert(g.getDouble(6) == 0.0 && g.getDouble(7) > 0.99)
+  }
+
+  // ---- q242 feature matrix --------------------------------------------
+
+  test("feature matrix: trailing windows nest and spend accumulates in exact cents") {
+    val dir = tmp("graft_feat_")
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      (id, ts(t), u, typ, "{}", v)
+    Seq(
+      ev(1, "2024-01-28 08:00:00", 10, "purchase", 10.5),  // age 0 → all windows
+      ev(2, "2024-01-20 08:00:00", 10, "view", 0.0),       // age 8 → 14d+28d
+      ev(3, "2024-01-05 08:00:00", 10, "error", 0.0),      // age 23 → 28d only
+      ev(4, "2024-01-28 09:00:00", 11, "view", 0.0))       // non-sampled user
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q242_feature_matrix")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq((10L, 1L, 2L, 3L, 0L, 3L, 1050L, 1L)), s"got ${got.toSeq}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
