@@ -5689,6 +5689,63 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Multimodal frame-sampling schedule: one row per sampled video
+    * frame (every 700 ms of duration) from the synthetic media table,
+    * rolled up per asset — the seek-plan a distributed video featurizer
+    * executes (the decode itself sits behind Multimodal's codec seam;
+    * the SCHEDULE is the Spark-side contract and it is exactly
+    * oracle-able because the synthetic duration is arithmetic on
+    * doc_id). Row explosion happens executor-side in the typed
+    * Dataset path; payload bytes never enter the frame frame.
+    */
+  def q243_frame_sampling(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(s, s"$dir/documents.parquet"), everyMs = 700L)
+      .filter(col("media_id") < 60)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("offset_ms")).cast("long").as("last_offset_ms"))
+      .orderBy("media_id")
+  }
+
+  /** Degree assortativity (Newman 2002) of the co-purchase graph: the
+    * Pearson correlation of endpoint degrees over directed edge ends —
+    * POSITIVE means hubs connect to hubs (social-graph shape),
+    * NEGATIVE means hubs fan out to leaves (catalog shape), and which
+    * one you have decides whether degree-based partitioning skews.
+    * Every moment (M, Σx, Σxy, Σx²) is an exact 64-bit integer over
+    * the degree-joined edge list; r is one division over IEEE sqrts —
+    * engine-identical. The symmetric edge list makes Σx = Σy, so one
+    * moment set suffices.
+    */
+  def q244_assortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ends = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+    val m = ends.agg(
+      count(lit(1)).as("mm"),
+      sum("du").as("sx"), sum(col("du") * col("du")).as("sxx"),
+      sum(col("du") * col("dv")).as("sxy"))
+    // symmetry collapses the usual sqrt(..)·sqrt(..) denominator to the
+    // SAME integer as the variance term — r is one exact-integer ratio,
+    // no sqrt in the hash path at all
+    m.select(
+      (col("mm") / 2).cast("long").as("n_edges"),
+      round((col("mm") * col("sxy") - col("sx") * col("sx")) /
+        (col("mm") * col("sxx") - col("sx") * col("sx")), 4).as("assortativity"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5932,6 +5989,8 @@ object Queries {
     "q240_exp_histogram" -> (q240_exp_histogram _),
     "q241_embedding_contract" -> (q241_embedding_contract _),
     "q242_feature_matrix" -> (q242_feature_matrix _),
+    "q243_frame_sampling" -> (q243_frame_sampling _),
+    "q244_assortativity" -> (q244_assortativity _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -8926,5 +8985,31 @@ object Queries {
         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
         |  FROM events, f GROUP BY user_id)
         |SELECT * FROM u WHERE user_id % 10 = 0 ORDER BY user_id""".stripMargin,
+    "q243_frame_sampling" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, (doc_id % 10) * 1000 + 1000 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id,
+        |    unnest(range(0, (dur // 700)::BIGINT + 1)) AS i
+        |  FROM v)
+        |SELECT media_id, count(*)::BIGINT AS n_frames,
+        |  max(i * 700)::BIGINT AS last_offset_ms
+        |FROM f WHERE media_id < 60
+        |GROUP BY media_id ORDER BY media_id""".stripMargin,
+    "q244_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+        |          SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY n),
+        |ends AS (SELECT du.d AS du, dv.d AS dv
+        |  FROM (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) e
+        |  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |m AS (SELECT count(*)::BIGINT AS mm, sum(du)::BIGINT AS sx,
+        |    sum(du * du)::BIGINT AS sxx, sum(du * dv)::BIGINT AS sxy FROM ends)
+        |SELECT (mm // 2)::BIGINT AS n_edges,
+        |  round((mm * sxy - sx * sx)::DOUBLE / (mm * sxx - sx * sx), 4)
+        |    AS assortativity
+        |FROM m""".stripMargin,
   )
 }

@@ -738,6 +738,43 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 2L, 3L, 0L, 3L, 1050L, 1L)), s"got ${got.toSeq}")
   }
 
+  // ---- q243 frame sampling --------------------------------------------
+
+  test("frame sampling: schedule arithmetic — frames at 0..⌊dur/700⌋, videos only") {
+    val dir = tmp("graft_frames_")
+    // doc 2 (video, dur 3000ms): frames at 0,700,1400,2100,2800 → 5
+    // doc 5 (video, dur 6000ms): 0..5600 step 700 → 9 frames
+    // docs 1,3 (audio/image) never appear
+    Seq((1L, "x", "en"), (2L, "x", "en"), (3L, "x", "en"), (5L, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q243_frame_sampling")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 5L, 2800L), (5L, 9L, 5600L)), s"got ${got.toSeq}")
+  }
+
+  // ---- q244 assortativity ---------------------------------------------
+
+  test("assortativity: a star is perfectly disassortative (-1); adding a symmetric edge raises it") {
+    // star K1,3 reduced form: all edges hub(deg3)–leaf(deg1) → r = −1
+    val dir = tmp("graft_assort_")
+    def rows(pairs: Seq[(Long, Long)]) = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      // one order per edge → collect_set pair generation yields exactly that edge
+      Seq((i.toLong * 2, a), (i.toLong * 2, b))
+    }
+    rows(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val star = Queries.all("q244_assortativity")(spark, dir).collect()(0)
+    assert(star.getLong(0) == 3L && star.getDouble(1) == -1.0, s"got $star")
+    val dir2 = tmp("graft_assort2_")
+    rows(Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val plus = Queries.all("q244_assortativity")(spark, dir2).collect()(0)
+    assert(plus.getDouble(1) > -1.0, s"got $plus")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
