@@ -5746,6 +5746,44 @@ object Queries {
         (col("mm") * col("sxx") - col("sx") * col("sx")), 4).as("assortativity"))
   }
 
+  /** On-disk inverted index with bucket-pruned search — q152's
+    * disk-layout discipline applied to TEXT: posting lists (term, doc,
+    * tf) are written `partitionBy` a 64-way term-hash bucket, and a
+    * term lookup reads ONLY its bucket directory (1/64 of the index,
+    * enforced by partition pruning on the hash value — PlanSpec-style
+    * assert lives in the spec). At 100 TB the index is the thing that
+    * makes phrase/term analytics not re-tokenize the corpus; DuckDB
+    * can't see the layout, so the oracle recomputes the postings —
+    * equality proves the index is LOSSLESS, the spec proves it is
+    * PRUNED.
+    */
+  def q245_inverted_index_disk(s: SparkSession, dir: String): DataFrame = {
+    val idx = scratch("graft_inv_index")
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(64)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(idx)
+    val probe = "data"
+    s.read.parquet(idx)
+      .filter(col("bucket") === lit(xxhashBucket(probe)) && col("term") === probe)
+      .select(col("doc_id"), col("tf"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  /** The writer-side bucket arithmetic (pmod(xxhash64(term), 64)) run
+    * driver-side for one probe term, so the reader can place the
+    * literal in the filter and Catalyst can PRUNE partitions before
+    * listing files. xxhash64's seed-42 value is reproduced through a
+    * 1-row local DataFrame rather than reimplementing the hash.
+    */
+  private def xxhashBucket(term: String): Int = {
+    val spark = SparkSession.active
+    spark.range(1).select(pmod(xxhash64(lit(term)), lit(64)).cast("int"))
+      .head().getInt(0)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -5991,6 +6029,7 @@ object Queries {
     "q242_feature_matrix" -> (q242_feature_matrix _),
     "q243_frame_sampling" -> (q243_frame_sampling _),
     "q244_assortativity" -> (q244_assortativity _),
+    "q245_inverted_index_disk" -> (q245_inverted_index_disk _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9011,5 +9050,13 @@ object Queries {
         |  round((mm * sxy - sx * sx)::DOUBLE / (mm * sxx - sx * sx), 4)
         |    AS assortativity
         |FROM m""".stripMargin,
+    "q245_inverted_index_disk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |post AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM toks WHERE term <> '' GROUP BY term, doc_id)
+        |SELECT doc_id, tf FROM post WHERE term = 'data'
+        |ORDER BY tf DESC, doc_id ASC LIMIT 15""".stripMargin,
   )
 }

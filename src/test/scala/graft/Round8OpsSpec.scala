@@ -775,6 +775,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(plus.getDouble(1) > -1.0, s"got $plus")
   }
 
+  // ---- q245 inverted index on disk ------------------------------------
+
+  test("inverted index: the term lookup scans ONLY its hash bucket's partition directory") {
+    // run the query once (builds the index in scratch), then re-plan
+    // the read side and assert partition pruning kept one bucket
+    val got = Queries.all("q245_inverted_index_disk")(spark, sf()).collect()
+    assert(got.nonEmpty)
+    // independently verify the postings against a recomputed frame
+    val recomputed = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") === "data")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("doc_id").asc).limit(15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == recomputed.toSeq)
+    // pruning proof: the file scan must carry a PartitionFilter pinning
+    // the probe term's bucket — reading 1/64 of the index directories
+    val probeBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("data")), lit(64)).cast("int")).head().getInt(0)
+    val scan = Queries.all("q245_inverted_index_disk")(spark, sf())
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains(s"= $probeBucket)"),
+      s"scan shows no bucket partition pruning (want = $probeBucket):\n${scan.take(1000)}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
