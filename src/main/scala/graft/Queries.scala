@@ -5784,6 +5784,38 @@ object Queries {
       .head().getInt(0)
   }
 
+  /** Heaps-law vocabulary-growth fit: β from ln V(n) ~ β·ln n over the
+    * cumulative (tokens-seen, vocab-seen) curve in ingestion (doc_id)
+    * order — q170's Zipf slope describes the FREQUENCY distribution,
+    * Heaps' β predicts how much NEW vocabulary the next TB brings
+    * (the number that sizes a growing tokenizer vocab). New-word
+    * credit = min-doc_id first occurrence (one vocabulary-sized agg);
+    * both cumulatives ride the cost-based PrefixSum.runningTotal; the
+    * least-squares slope is one aggregate over the doc-grain curve
+    * (ln per q170's engine-agreement precedent, rounded).
+    */
+  def q246_heaps_law(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val toks = tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .persist()
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val firstOcc = toks.groupBy("w").agg(min("doc_id").as("fo"))
+      .groupBy("fo").agg(count(lit(1)).as("new_words"))
+    val curve0 = perDoc
+      .join(firstOcc, col("doc_id") === col("fo"), "left")
+      .select(col("doc_id"), col("n_toks"), coalesce(col("new_words"), lit(0L)).as("nw"))
+    val curve = PrefixSum.runningTotal(
+      PrefixSum.runningTotal(curve0, "doc_id", "nw", "vv"),
+      "doc_id", "n_toks", "nn")
+    val x = log(col("nn")); val y = log(col("vv"))
+    curve.filter(col("vv") > 0)
+      .agg(count(lit(1)).as("n_docs"), max("vv").as("vocab_final"),
+        max("nn").as("tokens_final"),
+        round((count(lit(1)) * sum(x * y) - sum(x) * sum(y)) /
+          (count(lit(1)) * sum(x * x) - sum(x) * sum(x)), 4).as("heaps_beta"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6030,6 +6062,7 @@ object Queries {
     "q243_frame_sampling" -> (q243_frame_sampling _),
     "q244_assortativity" -> (q244_assortativity _),
     "q245_inverted_index_disk" -> (q245_inverted_index_disk _),
+    "q246_heaps_law"    -> (q246_heaps_law _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9058,5 +9091,27 @@ object Queries {
         |  FROM toks WHERE term <> '' GROUP BY term, doc_id)
         |SELECT doc_id, tf FROM post WHERE term = 'data'
         |ORDER BY tf DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "q246_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE w <> ''),
+        |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM t2 GROUP BY doc_id),
+        |fo AS (SELECT fo, count(*)::BIGINT AS new_words FROM (
+        |    SELECT w, min(doc_id) AS fo FROM t2 GROUP BY w) GROUP BY fo),
+        |curve0 AS (SELECT p.doc_id, p.n_toks,
+        |    coalesce(f.new_words, 0)::BIGINT AS nw
+        |  FROM perdoc p LEFT JOIN fo f ON f.fo = p.doc_id),
+        |curve AS (SELECT doc_id,
+        |    sum(nw) OVER w AS vv, sum(n_toks) OVER w AS nn
+        |  FROM curve0
+        |  WINDOW w AS (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pts AS (SELECT ln(nn) AS x, ln(vv) AS y, vv, nn FROM curve WHERE vv > 0)
+        |SELECT count(*)::BIGINT AS n_docs, max(vv)::BIGINT AS vocab_final,
+        |  max(nn)::BIGINT AS tokens_final,
+        |  round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |        (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS heaps_beta
+        |FROM pts""".stripMargin,
   )
 }

@@ -133,7 +133,9 @@ class PlanSpec extends SparkSpec {
       // q234: 1-row broadcast mean + denominator (q101's pattern)
       "q234_acf",
       // q238: 1-row broadcast total/mean (q101's pattern)
-      "q238_partition_skew")
+      "q238_partition_skew",
+      // q239/q242: 1-row broadcast frontier/boundary (q215's pattern)
+      "q239_diff_in_diff", "q242_feature_matrix")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -801,6 +801,29 @@ class Round8OpsSpec extends SparkSpec {
       s"scan shows no bucket partition pruning (want = $probeBucket):\n${scan.take(1000)}")
   }
 
+  // ---- q246 Heaps' law ------------------------------------------------
+
+  test("heaps law: all-new vocabulary fits beta = 1; heavy repetition pushes beta toward 0") {
+    val dir = tmp("graft_heaps_")
+    // every doc introduces only new words, equal sizes → V(n) = n exactly
+    // → ln V = ln n → slope 1.0
+    val fresh = (1 to 8).map(d =>
+      (d.toLong, (1 to 5).map(i => s"w${d}_$i").mkString(" "), "en"))
+    fresh.toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val g1 = Queries.all("q246_heaps_law")(spark, dir).collect()(0)
+    assert(g1.getLong(0) == 8L && g1.getLong(1) == 40L && g1.getLong(2) == 40L)
+    assert(g1.getDouble(3) == 1.0, s"beta got ${g1.getDouble(3)}")
+    // same vocabulary repeated → vocabulary saturates after doc 1
+    val dir2 = tmp("graft_heaps2_")
+    (1 to 8).map(d => (d.toLong, "a b c d e", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$dir2/documents.parquet")
+    val g2 = Queries.all("q246_heaps_law")(spark, dir2).collect()(0)
+    assert(g2.getLong(1) == 5L)
+    assert(g2.getDouble(3) < 0.1 && g2.getDouble(3) >= 0.0, s"got ${g2.getDouble(3)}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):

@@ -128,6 +128,25 @@ class ScaleSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("weighted SSSP (forced distributed) on a 200k-edge weighted ring matches the closed form") {
+    // ring of n nodes, edge i—(i+1)%n with weight (i%5)+1; from seed 0,
+    // after k rounds dist(j) for j<=k is the prefix sum of weights
+    // 0..j-1 (the one-directional geodesic — the other way is longer
+    // than k hops for j <= k << n).
+    val n = 200000L
+    val edges = spark.range(n).select(
+      col("id").as("u"), ((col("id") + 1) % n).as("v"),
+      ((col("id") % 5) + 1).as("w"))
+    val seeds = Seq(0L).toDF("n")
+    val got = graft.operators.Bfs.weightedDistances(
+        edges, "u", "v", "w", seeds, rounds = 6, maxLocalEdges = 0)
+      .filter(col("node") <= 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights from node 0: 1,2,3,4,5,1 → prefix sums 0,1,3,6,10,15,16
+    val want = Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 6L, 4L -> 10L, 5L -> 15L, 6L -> 16L)
+    assert(got == want, s"got $got")
+  }
+
   test("AQE splits a skewed join partition at runtime (the planner-side answer to q37's manual salting)") {
     // One hot key owns ~83% of the left side. With skew-join thresholds
     // scaled to the test data, AQE must mark the SMJ skew=true and split
