@@ -5816,6 +5816,58 @@ object Queries {
           (count(lit(1)) * sum(x * x) - sum(x) * sum(x)), 4).as("heaps_beta"))
   }
 
+  /** Per-column Shannon entropy over `orders` — the profiling number
+    * that finds key candidates (H ≈ ln n → unique), constants (H = 0),
+    * and encoding opportunities (low H → dictionary/RLE, feeding
+    * q237's advisor). Each column is one value-histogram aggregate
+    * (map-side combined) + one vocabulary-sized entropy fold; columns
+    * union into a long report, each leg reading ONLY its column.
+    * ln per the engine-agreement precedent, rounded; n and distinct
+    * exact.
+    */
+  def q247_column_entropy(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def leg(c: String): DataFrame = {
+      val hist = o.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hist.agg(sum("cnt").as("n"), count(lit(1)).as("k"))
+      hist.crossJoin(broadcast(tot))
+        .agg(
+          first(col("n")).as("n_rows"),
+          first(col("k")).as("n_distinct"),
+          round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 4)
+            .as("entropy_nats"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          col("entropy_nats"),
+          round(col("entropy_nats") / log(col("n_rows")), 4).as("key_score"))
+    }
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(leg).reduce(_ unionByName _)
+      .orderBy("column_name")
+  }
+
+  /** Functional-dependency audit: does p_brand functionally depend on
+    * p_name (every name maps to ONE brand)? — the profiling question
+    * behind normalization and golden-record keys (q218 ASSUMED block →
+    * modal brand was lossy; this MEASURES how lossy). Violations =
+    * determinant values with >1 distinct dependent; the report carries
+    * the violating count, the worst offender, and the FD's held/total
+    * ratio. Two vocabulary-sized aggregates, exact integers.
+    */
+  def q248_fd_check(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "part")
+      .groupBy("p_name")
+      .agg(count_distinct(col("p_brand")).as("n_brands"),
+        count(lit(1)).as("n_rows"))
+    m.agg(
+        count(lit(1)).as("n_determinants"),
+        sum(when(col("n_brands") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max("n_brands").as("worst_fanout"),
+        sum(when(col("n_brands") === 1, col("n_rows")).otherwise(0L)).as("rows_fd_holds"),
+        sum("n_rows").as("rows_total"))
+      .withColumn("fd_strength", round(col("rows_fd_holds") / col("rows_total"), 4))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6063,6 +6115,8 @@ object Queries {
     "q244_assortativity" -> (q244_assortativity _),
     "q245_inverted_index_disk" -> (q245_inverted_index_disk _),
     "q246_heaps_law"    -> (q246_heaps_law _),
+    "q247_column_entropy" -> (q247_column_entropy _),
+    "q248_fd_check"     -> (q248_fd_check _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9113,5 +9167,49 @@ object Queries {
         |  round((count(*) * sum(x * y) - sum(x) * sum(y)) /
         |        (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS heaps_beta
         |FROM pts""".stripMargin,
+    "q247_column_entropy" ->
+      """WITH e AS (
+        |  SELECT column_name, n_rows, n_distinct, entropy_nats FROM (
+        |    SELECT 'o_orderkey' AS column_name, sum(cnt)::BIGINT AS n_rows,
+        |      count(*)::BIGINT AS n_distinct,
+        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4) AS entropy_nats
+        |    FROM (SELECT o_orderkey::VARCHAR AS v, count(*)::BIGINT AS cnt
+        |          FROM orders GROUP BY 1),
+        |         (SELECT count(*)::BIGINT AS n FROM orders)
+        |    UNION ALL
+        |    SELECT 'o_custkey', sum(cnt), count(*),
+        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4)
+        |    FROM (SELECT o_custkey::VARCHAR AS v, count(*)::BIGINT AS cnt
+        |          FROM orders GROUP BY 1),
+        |         (SELECT count(*)::BIGINT AS n FROM orders)
+        |    UNION ALL
+        |    SELECT 'o_orderstatus', sum(cnt), count(*),
+        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4)
+        |    FROM (SELECT o_orderstatus AS v, count(*)::BIGINT AS cnt
+        |          FROM orders GROUP BY 1),
+        |         (SELECT count(*)::BIGINT AS n FROM orders)
+        |    UNION ALL
+        |    SELECT 'o_orderpriority', sum(cnt), count(*),
+        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4)
+        |    FROM (SELECT o_orderpriority AS v, count(*)::BIGINT AS cnt
+        |          FROM orders GROUP BY 1),
+        |         (SELECT count(*)::BIGINT AS n FROM orders)))
+        |SELECT column_name, n_rows::BIGINT AS n_rows,
+        |  n_distinct::BIGINT AS n_distinct, entropy_nats,
+        |  round(entropy_nats / ln(n_rows), 4) AS key_score
+        |FROM e ORDER BY column_name""".stripMargin,
+    "q248_fd_check" ->
+      """WITH m AS (
+        |  SELECT p_name, count(DISTINCT p_brand)::BIGINT AS n_brands,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM part GROUP BY p_name)
+        |SELECT count(*)::BIGINT AS n_determinants,
+        |  sum(CASE WHEN n_brands > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        |  max(n_brands)::BIGINT AS worst_fanout,
+        |  sum(CASE WHEN n_brands = 1 THEN n_rows ELSE 0 END)::BIGINT AS rows_fd_holds,
+        |  sum(n_rows)::BIGINT AS rows_total,
+        |  round(sum(CASE WHEN n_brands = 1 THEN n_rows ELSE 0 END)::DOUBLE
+        |        / sum(n_rows), 4) AS fd_strength
+        |FROM m""".stripMargin,
   )
 }

@@ -135,7 +135,9 @@ class PlanSpec extends SparkSpec {
       // q238: 1-row broadcast total/mean (q101's pattern)
       "q238_partition_skew",
       // q239/q242: 1-row broadcast frontier/boundary (q215's pattern)
-      "q239_diff_in_diff", "q242_feature_matrix")
+      "q239_diff_in_diff", "q242_feature_matrix",
+      // q247: per-column 1-row broadcast totals (q101's pattern, ×4 legs)
+      "q247_column_entropy")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

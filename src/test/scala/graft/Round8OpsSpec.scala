@@ -824,6 +824,41 @@ class Round8OpsSpec extends SparkSpec {
     assert(g2.getDouble(3) < 0.1 && g2.getDouble(3) >= 0.0, s"got ${g2.getDouble(3)}")
   }
 
+  // ---- q247 column entropy / q248 FD check ----------------------------
+
+  test("column entropy: a key column scores 1.0, a constant scores 0") {
+    val dir = tmp("graft_entropy_")
+    val d = java.sql.Date.valueOf("2024-01-01")
+    (1 to 8).map(i => (i.toLong, (i % 2).toLong, "O", 1.0, d, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q247_column_entropy")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("o_orderkey") == ((8L, BigDecimal(math.log(8.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1.0)), s"got $got")
+    assert(got("o_orderstatus")._1 == 1L && got("o_orderstatus")._2 == 0.0 &&
+      got("o_orderstatus")._3 == 0.0)
+    // binary 50/50 column: H = ln 2
+    assert(got("o_custkey")._2 == BigDecimal(math.log(2.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("fd check: a clean FD scores 1.0; one violating determinant is counted with its fanout") {
+    val dir = tmp("graft_fd_")
+    Seq(
+      (1L, "alpha", "B1", "t", 1, 1.0), (2L, "alpha", "B1", "t", 1, 1.0),
+      (3L, "beta", "B2", "t", 1, 1.0),
+      // gamma maps to TWO brands over 3 rows → violating, fanout 2
+      (4L, "gamma", "B3", "t", 1, 1.0), (5L, "gamma", "B4", "t", 1, 1.0),
+      (6L, "gamma", "B4", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val g = Queries.all("q248_fd_check")(spark, dir).collect()(0)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+      g.getDouble(5)) == ((3L, 1L, 2L, 3L, 6L, 0.5)), s"got $g")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
