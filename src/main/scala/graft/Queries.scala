@@ -5868,6 +5868,68 @@ object Queries {
       .withColumn("fd_strength", round(col("rows_fd_holds") / col("rows_total"), 4))
   }
 
+  /** Leave-one-out target encoding: each part's brand encoded as the
+    * mean retail price of the OTHER parts of that brand — the
+    * leakage-controlled categorical encoding (plain mean encoding
+    * leaks each row's own target; LOO (Σ−x)/(n−1) is the standard
+    * fix). One brand-grain aggregate broadcast back onto the rows;
+    * all arithmetic in exact integer cents until one final division
+    * per row. Singleton brands (n=1) have no LOO value → NULL, the
+    * honest answer (imputing the global mean is the caller's policy).
+    */
+  def q249_target_encoding(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"))
+    val g = p.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    p.join(broadcast(g), "p_brand")
+      .withColumn("loo_mean", when(col("n") > 1,
+        round((col("s") - col("cents")) / ((col("n") - 1) * lit(100.0)), 4)))
+      .filter(col("p_partkey") <= 40)
+      .select("p_partkey", "p_brand", "n", "loo_mean")
+      .orderBy("p_partkey")
+  }
+
+  /** Prediction-interval coverage backtest: per event type, an [p10,
+    * p90] interval fitted on the FIRST half-month by exact rank
+    * arithmetic (q93's ntile integers — no interpolation, both engines
+    * pick the same order statistic), then the EMPIRICAL coverage of
+    * that frozen interval on the second half — the calibration
+    * question behind any quantile forecast ("did 80% intervals cover
+    * 80%?"). Coverage counts are exact integers; train quantiles are
+    * exact value picks via per-type rank windows (type-partitioned,
+    * never global).
+    */
+  def q250_interval_coverage(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val train = ev.filter(col("ts") < cut)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value").asc, col("ts").asc)))
+    val sizes = train.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // order statistic at ceil(q·n) — integer arithmetic both engines share
+    val bounds = train.join(broadcast(sizes), "event_type")
+      // ceil(q·n) spelled in integers: (n·10q + 9) ⌊/⌋ 10 — the double
+      // quotient is exact at any realistic n, truncation = floor
+      .withColumn("lo_pick", ((col("n") + 9) / 10).cast("long"))
+      .withColumn("hi_pick", ((col("n") * 9 + 9) / 10).cast("long"))
+      .groupBy("event_type")
+      .agg(max(when(col("rk").cast("long") === col("lo_pick"), col("value"))).as("p10"),
+        max(when(col("rk").cast("long") === col("hi_pick"), col("value"))).as("p90"))
+    ev.filter(col("ts") >= cut)
+      .join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        round(first(col("p10")), 2).as("p10"),
+        round(first(col("p90")), 2).as("p90"),
+        sum(when(col("value") >= col("p10") && col("value") <= col("p90"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage", round(col("n_covered") / col("n_test"), 4))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6117,6 +6179,8 @@ object Queries {
     "q246_heaps_law"    -> (q246_heaps_law _),
     "q247_column_entropy" -> (q247_column_entropy _),
     "q248_fd_check"     -> (q248_fd_check _),
+    "q249_target_encoding" -> (q249_target_encoding _),
+    "q250_interval_coverage" -> (q250_interval_coverage _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9211,5 +9275,38 @@ object Queries {
         |  round(sum(CASE WHEN n_brands = 1 THEN n_rows ELSE 0 END)::DOUBLE
         |        / sum(n_rows), 4) AS fd_strength
         |FROM m""".stripMargin,
+    "q249_target_encoding" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |    round(p_retailprice * 100, 0)::BIGINT AS cents FROM part),
+        |g AS (SELECT p_brand, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+        |      FROM p GROUP BY p_brand)
+        |SELECT p_partkey, p.p_brand, n,
+        |  CASE WHEN n > 1
+        |    THEN round((s - cents)::DOUBLE / ((n - 1) * 100.0), 4) END AS loo_mean
+        |FROM p JOIN g ON p.p_brand = g.p_brand
+        |WHERE p_partkey <= 40
+        |ORDER BY p_partkey""".stripMargin,
+    "q250_interval_coverage" ->
+      """WITH train AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, ts ASC) AS rk
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM train
+        |          GROUP BY event_type),
+        |bounds AS (SELECT t.event_type,
+        |    max(CASE WHEN rk = (n + 9) // 10 THEN value END) AS p10,
+        |    max(CASE WHEN rk = (n * 9 + 9) // 10 THEN value END) AS p90
+        |  FROM train t JOIN sizes s ON s.event_type = t.event_type
+        |  GROUP BY t.event_type)
+        |SELECT e.event_type, count(*)::BIGINT AS n_test,
+        |  round(any_value(p10), 2) AS p10, round(any_value(p90), 2) AS p90,
+        |  sum(CASE WHEN value >= p10 AND value <= p90 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_covered,
+        |  round(sum(CASE WHEN value >= p10 AND value <= p90 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 4) AS coverage
+        |FROM events e JOIN bounds b ON b.event_type = e.event_type
+        |WHERE e.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   )
 }

@@ -859,6 +859,43 @@ class Round8OpsSpec extends SparkSpec {
       g.getDouble(5)) == ((3L, 1L, 2L, 3L, 6L, 0.5)), s"got $g")
   }
 
+  // ---- q249 target encoding / q250 interval coverage ------------------
+
+  test("target encoding: LOO excludes the row's own target; singleton brands yield NULL") {
+    val dir = tmp("graft_te_")
+    Seq(
+      (1L, "n", "B1", "t", 1, 10.0), (2L, "n", "B1", "t", 1, 20.0),
+      (3L, "n", "B1", "t", 1, 30.0),
+      (4L, "n", "B2", "t", 1, 99.0)) // singleton
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q249_target_encoding")(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // part 1 (price 10): LOO = (20+30)/2 = 25; part 4: NULL
+    assert(got.toSeq == Seq((1L, Some(25.0)), (2L, Some(20.0)), (3L, Some(15.0)),
+      (4L, None)), s"got ${got.toSeq}")
+  }
+
+  test("interval coverage: frozen train quantiles cover exactly the in-bounds test rows") {
+    val dir = tmp("graft_cov_")
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      (id, ts(t), 1L, typ, "{}", v)
+    // train (pre-cut): values 1..10 → p10 = 1 (rank ceil(1)=1),
+    // p90 = 9 (rank ceil(9)=9). test: 0.5 (below), 5 (in), 9 (edge in),
+    // 9.5 (above) → coverage 2/4
+    val rows = (1 to 10).map(i =>
+      ev(i, "2024-01-05 08:00:00", "click", i.toDouble)) ++ Seq(
+      ev(21, "2024-01-20 08:00:00", "click", 0.5),
+      ev(22, "2024-01-20 09:00:00", "click", 5.0),
+      ev(23, "2024-01-20 10:00:00", "click", 9.0),
+      ev(24, "2024-01-20 11:00:00", "click", 9.5))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val g = Queries.all("q250_interval_coverage")(spark, dir).collect()(0)
+    assert((g.getString(0), g.getLong(1), g.getDouble(2), g.getDouble(3),
+      g.getLong(4), g.getDouble(5)) == (("click", 4L, 1.0, 9.0, 2L, 0.5)), s"got $g")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
