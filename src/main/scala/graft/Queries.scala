@@ -5930,6 +5930,58 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Exact-duplicate rate by source — the per-provider curation
+    * dashboard number that decides which feed gets the dedup budget
+    * (a 30% dup-rate crawl and a clean API feed should not share a
+    * pipeline config). Content identity = md5 of the body (the q06
+    * key), counted DISTINCT per source in one aggregate; rate is one
+    * exact-integer division.
+    */
+  def q251_dup_rate_by_source(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text"))).as("n_unique"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_unique")) / col("n_docs"), 4))
+      .orderBy("source")
+
+  /** Bigram conditional entropy rate per language: H(w₂|w₁) =
+    * H(bigrams) − H(unigrams) — the information-theoretic redundancy
+    * number behind compression-based quality scores (q172 measures
+    * zlib's OPINION of redundancy; this is the model-free quantity,
+    * and a language whose rate collapses is template spam). Both
+    * entropies are vocabulary-sized histogram folds off ONE persisted
+    * token pass; ln per the engine-agreement precedent, counts exact.
+    */
+  def q252_entropy_rate(s: SparkSession, dir: String): DataFrame = {
+    val toks = tWide(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .persist()
+    val uni = toks.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(col("lang"), explode(
+        zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    def entropy(hist: DataFrame, name: String): DataFrame = {
+      val tot = hist.groupBy("lang").agg(sum("c").as("n"))
+      hist.join(broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg((-sum((col("c") / col("n")) * log(col("c") / col("n")))).as(name),
+          first(col("n")).as(s"${name}_n"))
+    }
+    entropy(uni, "h_uni").join(entropy(bi, "h_bi"), "lang")
+      .select(col("lang"), col("h_uni_n").as("n_tokens"),
+        round(col("h_uni"), 4).as("h_unigram"),
+        round(col("h_bi"), 4).as("h_bigram"),
+        round(col("h_bi") - col("h_uni"), 4).as("entropy_rate"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6181,6 +6233,8 @@ object Queries {
     "q248_fd_check"     -> (q248_fd_check _),
     "q249_target_encoding" -> (q249_target_encoding _),
     "q250_interval_coverage" -> (q250_interval_coverage _),
+    "q251_dup_rate_by_source" -> (q251_dup_rate_by_source _),
+    "q252_entropy_rate" -> (q252_entropy_rate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9308,5 +9362,36 @@ object Queries {
         |FROM events e JOIN bounds b ON b.event_type = e.event_type
         |WHERE e.ts >= TIMESTAMP '2024-01-16 00:00:00'
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q251_dup_rate_by_source" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT md5(text))::BIGINT AS n_unique,
+        |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 4)
+        |    AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q252_entropy_rate" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |dd AS (SELECT lang, ws FROM d WHERE len(ws) >= 2),
+        |uni AS (SELECT lang, w, count(*)::BIGINT AS c FROM (
+        |    SELECT lang, unnest(ws) AS w FROM dd) GROUP BY lang, w),
+        |bi AS (SELECT lang, w, count(*)::BIGINT AS c FROM (
+        |    SELECT lang, unnest([ws[i] || ' ' || ws[i+1]
+        |      for i in range(1, len(ws))]) AS w FROM dd) GROUP BY lang, w),
+        |un AS (SELECT lang, sum(c)::BIGINT AS n FROM uni GROUP BY lang),
+        |bn AS (SELECT lang, sum(c)::BIGINT AS n FROM bi GROUP BY lang),
+        |hu AS (SELECT uni.lang,
+        |    -sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h_uni,
+        |    any_value(n)::BIGINT AS n_tokens
+        |  FROM uni JOIN un ON un.lang = uni.lang GROUP BY uni.lang),
+        |hb AS (SELECT bi.lang,
+        |    -sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h_bi
+        |  FROM bi JOIN bn ON bn.lang = bi.lang GROUP BY bi.lang)
+        |SELECT hu.lang, n_tokens,
+        |  round(h_uni, 4) AS h_unigram, round(h_bi, 4) AS h_bigram,
+        |  round(h_bi - h_uni, 4) AS entropy_rate
+        |FROM hu JOIN hb ON hb.lang = hu.lang
+        |ORDER BY hu.lang""".stripMargin,
   )
 }

@@ -896,6 +896,47 @@ class Round8OpsSpec extends SparkSpec {
       g.getLong(4), g.getDouble(5)) == (("click", 4L, 1.0, 9.0, 2L, 0.5)), s"got $g")
   }
 
+  // ---- q251 dup rate / q252 entropy rate ------------------------------
+
+  test("dup rate by source: identical bodies collapse per source, cross-source dups don't mix") {
+    val dir = tmp("graft_dup_")
+    Seq(
+      (1L, "same text", "en", "srcA"), (2L, "same text", "en", "srcA"),
+      (3L, "other", "en", "srcA"),
+      (4L, "same text", "en", "srcB")) // same body, different source → srcB clean
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q251_dup_rate_by_source")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("srcA", 3L, 2L, 0.3333), ("srcB", 1L, 1L, 0.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("entropy rate: deterministic text has rate 0; uniform random-ish text approaches H(uni)") {
+    val dir = tmp("graft_erate_")
+    Seq(
+      // en: "a b a b a b" — bigrams {a b}×3, {b a}×2, unigrams a×3 b×3.
+      // H(uni)=ln2, H(bi)=-(3/5 ln 3/5 + 2/5 ln 2/5) < 2·H(uni) and
+      // rate = H(bi)−H(uni) is small; the stronger structural check:
+      // de's fully deterministic cycle "x y x y" has every w2 fixed by
+      // w1 in the SINGLE observed continuation sense only when each
+      // bigram type is unique per predecessor — craft that:
+      (1L, "x y z x y z x y z", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q252_entropy_rate")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // unigrams: x3 y3 z2 over 8 → H(uni); bigrams: "x y"×3,"y z"×2,
+    // "z x"×2... wait: tokens x y z x y z x y z → 9 tokens, bigrams 8:
+    // xy×3, yz×3, zx×2 — deterministic continuation: H(bi) has 3 types
+    // with SAME successor structure as unigram predecessors minus the
+    // final token; assert rate ≈ 0 (|rate| < 0.05) — each w1 has ONE
+    // possible w2, so conditional entropy is exactly the count-edge
+    // effect of the truncated last token.
+    assert(got.length == 1 && got(0)._1 == "de" && got(0)._2 == 9L)
+    assert(math.abs(got(0)._5) < 0.05, s"deterministic cycle: rate ${got(0)._5}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
