@@ -5986,6 +5986,60 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Weighted median per group: the retail price at which half the
+    * BRAND'S TOTAL SIZE UNITS sit below — inventory-weighted central
+    * price, the robust location estimate when rows carry unequal mass
+    * (plain median treats a size-1 and size-50 part alike). First
+    * value whose cumulative weight reaches ⌈W/2⌉, in exact integers:
+    * per-brand sort windows over the DIMENSION-sized part table (at
+    * any corpus scale parts stay dimension-sized; fact-grain weighted
+    * medians would route through Quantiles' two-pass buckets instead).
+    */
+  def q253_weighted_median(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
+        col("p_size").cast("long").as("w"))
+    val win = Window.partitionBy("p_brand").orderBy(col("cents").asc, col("p_partkey").asc)
+    val tot = p.groupBy("p_brand").agg(sum("w").as("tw"), count(lit(1)).as("n_parts"))
+    p.withColumn("cw", sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), "p_brand")
+      .filter(col("cw") * 2 >= col("tw")) // first row reaching ⌈W/2⌉ …
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("p_brand").orderBy(col("cents").asc, col("p_partkey").asc)))
+      .filter(col("rk") === 1)
+      .select(col("p_brand"), col("n_parts"), col("tw").as("total_weight"),
+        round(col("cents") / lit(100.0), 2).as("weighted_median_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Theil-Sen robust trend: the MEDIAN of all pairwise day-slopes of
+    * the daily purchase series — one outlier day corrupts an OLS
+    * slope but moves a median of C(n,2) slopes almost nothing (the
+    * robust companion to q234's ACF and q227's CUSUM). The pair
+    * enumeration is DAY-grain bounded (C(days,2), never corpus rows);
+    * each slope is one exact-integer-over-integer division, the median
+    * an exact rank pick with a (i,j) tiebreak.
+    */
+  def q254_theil_sen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+    val a = daily.select(col("d").as("da"), col("n").as("na"))
+    val b = daily.select(col("d").as("db"), col("n").as("nb"))
+    val slopes = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        ((col("nb") - col("na")) / (col("db") - col("da"))).as("slope"))
+    val m = slopes.agg(count(lit(1)).as("np"))
+    slopes.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope").asc, col("da").asc, col("db").asc)))
+      .filter(col("rk").cast("long") === ((col("np") + 1) / 2).cast("long"))
+      .select(col("np").as("n_pairs"), round(col("slope"), 4).as("theil_sen_slope"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6239,6 +6293,8 @@ object Queries {
     "q250_interval_coverage" -> (q250_interval_coverage _),
     "q251_dup_rate_by_source" -> (q251_dup_rate_by_source _),
     "q252_entropy_rate" -> (q252_entropy_rate _),
+    "q253_weighted_median" -> (q253_weighted_median _),
+    "q254_theil_sen"    -> (q254_theil_sen _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9397,5 +9453,36 @@ object Queries {
         |  round(h_bi - h_uni, 4) AS entropy_rate
         |FROM hu JOIN hb ON hb.lang = hu.lang
         |ORDER BY hu.lang""".stripMargin,
+    "q253_weighted_median" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+        |    round(p_retailprice * 100, 0)::BIGINT AS cents,
+        |    p_size::BIGINT AS w FROM part),
+        |tot AS (SELECT p_brand, sum(w)::BIGINT AS tw, count(*)::BIGINT AS n_parts
+        |        FROM p GROUP BY p_brand),
+        |c AS (SELECT p.p_brand, cents, tw, n_parts,
+        |    sum(w) OVER (PARTITION BY p.p_brand ORDER BY cents, p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    p_partkey
+        |  FROM p JOIN tot ON tot.p_brand = p.p_brand),
+        |hit AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY cents, p_partkey) AS rk
+        |  FROM c WHERE cw * 2 >= tw)
+        |SELECT p_brand, n_parts, tw AS total_weight,
+        |  round(cents / 100.0, 2) AS weighted_median_price
+        |FROM hit WHERE rk = 1 ORDER BY p_brand""".stripMargin,
+    "q254_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS d
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |slopes AS (SELECT a.d AS da, b.d AS db,
+        |    (b.n - a.n)::DOUBLE / (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |m AS (SELECT count(*)::BIGINT AS np FROM slopes),
+        |r AS (SELECT slope, np,
+        |    row_number() OVER (ORDER BY slope ASC, da ASC, db ASC) AS rk
+        |  FROM slopes, m)
+        |SELECT np AS n_pairs, round(slope, 4) AS theil_sen_slope
+        |FROM r WHERE rk = (np + 1) // 2""".stripMargin,
   )
 }

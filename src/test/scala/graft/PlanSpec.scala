@@ -137,7 +137,10 @@ class PlanSpec extends SparkSpec {
       // q239/q242: 1-row broadcast frontier/boundary (q215's pattern)
       "q239_diff_in_diff", "q242_feature_matrix",
       // q247: per-column 1-row broadcast totals (q101's pattern, ×4 legs)
-      "q247_column_entropy")
+      "q247_column_entropy",
+      // q254: day-grain C(n,2) pair self-join (bounded by calendar days)
+      // + 1-row broadcast pair count
+      "q254_theil_sen")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

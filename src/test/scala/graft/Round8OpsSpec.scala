@@ -937,6 +937,42 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(got(0)._5) < 0.05, s"deterministic cycle: rate ${got(0)._5}")
   }
 
+  // ---- q253 weighted median / q254 Theil-Sen --------------------------
+
+  test("weighted median: mass, not row count, picks the median; ceil(W/2) boundary hit") {
+    val dir = tmp("graft_wmed_")
+    Seq(
+      // brand B: prices 10(w1), 20(w1), 30(w8) → W=10, cum 1,2,10 →
+      // first cw·2 ≥ 10 is price 30 (plain median would say 20)
+      (1L, "a", "B", "t", 1, 10.0), (2L, "b", "B", "t", 1, 20.0),
+      (3L, "c", "B", "t", 8, 30.0),
+      // brand C: 5(w2), 9(w2) → W=4, cum 2,4; cw·2 ≥ 4 at the FIRST row
+      (4L, "d", "C", "t", 2, 5.0), (5L, "e", "C", "t", 2, 9.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q253_weighted_median")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("B", 3L, 10L, 30.0), ("C", 2L, 4L, 5.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("theil-sen: an outlier day barely moves the median slope") {
+    val dir = tmp("graft_ts_")
+    var id = 0L
+    // days 1..9: counts 10,12,...,26 (slope 2/day) except day 5 spikes to 90
+    val rows = (1 to 9).flatMap { d =>
+      val n = if (d == 5) 90 else 8 + 2 * d
+      (1 to n).map { _ => id += 1
+        (id, ts(f"2024-01-0$d 08:00:00"), id % 7, "purchase", "{}", 1.0)
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val g = Queries.all("q254_theil_sen")(spark, dir).collect()(0)
+    assert(g.getLong(0) == 36L)
+    assert(g.getDouble(1) == 2.0, s"robust slope got ${g.getDouble(1)}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
