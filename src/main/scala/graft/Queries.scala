@@ -6040,6 +6040,69 @@ object Queries {
       .select(col("np").as("n_pairs"), round(col("slope"), 4).as("theil_sen_slope"))
   }
 
+  /** Rich-club coefficient φ(k): edge density among nodes with degree
+    * > k — do the hubs of the co-purchase graph form their own dense
+    * club (hierarchical backbone) or avoid each other? The third
+    * hub-wiring lens after q212 (local density) and q244 (pairwise
+    * correlation): assortativity can be ~0 while a rich club still
+    * exists. Exact integers end to end — |S|, edges-within via a
+    * broadcast semi-join of the canonical edge list against the club,
+    * φ = one division by C(|S|,2).
+    */
+  def q255_rich_club(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .persist()
+    val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val club = deg.filter(col("d") > k).select("n")
+    val clubSize = club.agg(count(lit(1)).as("s"))
+    val within = pairs
+      .join(broadcast(club.select(col("n").as("u"))), Seq("u"), "left_semi")
+      .join(broadcast(club.select(col("n").as("v"))), Seq("v"), "left_semi")
+      .agg(count(lit(1)).as("e_within"))
+    within.crossJoin(broadcast(clubSize))
+      .select(lit(k).as("k"), col("s").as("club_size"), col("e_within"),
+        round(col("e_within") / (col("s") * (col("s") - 1) / 2), 4).as("phi"))
+  }
+
+  /** Rolling 7-day OLS slope of the daily purchase series — the local
+    * trend detector between q227's global change-point and q254's
+    * global robust slope. Every rolling moment (Σx, Σy, Σxy, Σx², n)
+    * is an INTEGER window sum, so frame-internal summation order can
+    * never matter (the usual sliding-window float hazard is designed
+    * out); the slope is one integer-ratio division per day. Day-grain
+    * frame, trailing ROWS frame of 7.
+    */
+  def q256_rolling_slope(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum("d").over(w))
+      .withColumn("sy", sum("n").over(w))
+      .withColumn("sxy", sum(col("d") * col("n")).over(w))
+      .withColumn("sxx", sum(col("d") * col("d")).over(w))
+      .filter(col("cnt") === 7)
+      .withColumn("slope", round(
+        (col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")), 4))
+      .orderBy(col("day").desc)
+      .limit(10)
+      .select(col("day"), col("n"), col("slope"))
+      .orderBy("day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6295,6 +6358,8 @@ object Queries {
     "q252_entropy_rate" -> (q252_entropy_rate _),
     "q253_weighted_median" -> (q253_weighted_median _),
     "q254_theil_sen"    -> (q254_theil_sen _),
+    "q255_rich_club"    -> (q255_rich_club _),
+    "q256_rolling_slope" -> (q256_rolling_slope _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9484,5 +9549,33 @@ object Queries {
         |  FROM slopes, m)
         |SELECT np AS n_pairs, round(slope, 4) AS theil_sen_slope
         |FROM r WHERE rk = (np + 1) // 2""".stripMargin,
+    "q255_rich_club" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+        |          SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY n),
+        |club AS (SELECT n FROM deg WHERE d > 10),
+        |cs AS (SELECT count(*)::BIGINT AS s FROM club),
+        |wi AS (SELECT count(*)::BIGINT AS e_within FROM pairs
+        |  WHERE u IN (SELECT n FROM club) AND v IN (SELECT n FROM club))
+        |SELECT 10 AS k, s AS club_size, e_within,
+        |  round(e_within::DOUBLE / (s * (s - 1) / 2), 4) AS phi
+        |FROM wi, cs""".stripMargin,
+    "q256_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS d
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT day, n,
+        |    count(*) OVER w AS cnt, sum(d) OVER w AS sx, sum(n) OVER w AS sy,
+        |    sum(d * n) OVER w AS sxy, sum(d * d) OVER w AS sxx
+        |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW)),
+        |s AS (SELECT day, n,
+        |    round((cnt * sxy - sx * sy)::DOUBLE / (cnt * sxx - sx * sx), 4) AS slope
+        |  FROM r WHERE cnt = 7
+        |  ORDER BY day DESC LIMIT 10)
+        |SELECT day, n, slope FROM s ORDER BY day""".stripMargin,
   )
 }

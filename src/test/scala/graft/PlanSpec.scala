@@ -140,7 +140,10 @@ class PlanSpec extends SparkSpec {
       "q247_column_entropy",
       // q254: day-grain C(n,2) pair self-join (bounded by calendar days)
       // + 1-row broadcast pair count
-      "q254_theil_sen")
+      "q254_theil_sen",
+      // q255: cross join of two 1-row aggregates (within-club edges ∥
+      // club size — q145's pattern)
+      "q255_rich_club")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

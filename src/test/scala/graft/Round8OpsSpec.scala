@@ -973,6 +973,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(g.getDouble(1) == 2.0, s"robust slope got ${g.getDouble(1)}")
   }
 
+  // ---- q255 rich club / q256 rolling slope ----------------------------
+
+  test("rolling slope: a linear ramp reports its exact slope every day; a level shift spikes it") {
+    val dir = tmp("graft_rslope_")
+    var id = 0L
+    // 14 days: counts 10 + 3d (exact slope 3), except day 12 +20 spike
+    val rows = (1 to 14).flatMap { d =>
+      val n = 10 + 3 * d + (if (d == 12) 20 else 0)
+      (1 to n).map { _ => id += 1
+        (id, ts(f"2024-01-$d%02d 08:00:00"), id % 7, "purchase", "{}", 1.0)
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q256_rolling_slope")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(2))).toMap
+    // windows fully before the spike: exact 3.0
+    assert(got("2024-01-11") == 3.0, s"got $got")
+    // window containing the spike: strictly above 3
+    assert(got("2024-01-12") > 3.0)
+  }
+
+  test("rich club: hubs-only clique scores phi = 1; spread edges score below") {
+    val dir = tmp("graft_rc_")
+    // 3 hub nodes {1,2,3} pairwise connected, each also connected to
+    // 10 distinct leaves → hub degrees 12 (> 10), leaf degrees 1.
+    // club = {1,2,3}, edges within = 3 = C(3,2) → phi = 1.0
+    var ok = 0L
+    def edge(a: Long, b: Long): Seq[(Long, Long)] = { ok += 1; Seq((ok, a), (ok, b)) }
+    val edges = edge(1, 2) ++ edge(1, 3) ++ edge(2, 3) ++
+      (1 to 10).flatMap(i => edge(1, 100 + i) ++ edge(2, 200 + i) ++ edge(3, 300 + i))
+    edges.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val g = Queries.all("q255_rich_club")(spark, dir).collect()(0)
+    assert((g.getInt(0), g.getLong(1), g.getLong(2), g.getDouble(3)) ==
+      ((10, 3L, 3L, 1.0)), s"got $g")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
