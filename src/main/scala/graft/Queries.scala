@@ -6103,6 +6103,54 @@ object Queries {
       .orderBy("day")
   }
 
+  /** Multivariate text-shape outliers: documents ranked by the sum of
+    * squared per-feature z-scores over (token count, char count,
+    * mean-word-length numerator) — the diagonal-covariance Mahalanobis
+    * screen that catches docs no SINGLE feature flags (long AND
+    * weirdly-punctuated), where q86/q109 are univariate. The z² terms
+    * are spelled as (x·n − S)²/(n·Σx² − S²): every component an exact
+    * 64-bit integer from one corpus aggregate, each term one exact
+    * division, the 3-term sum a fixed-shape expression — so the
+    * ranking is engine-identical with no float-variance hazard.
+    */
+  def q257_multivariate_outliers(s: SparkSession, dir: String): DataFrame = {
+    val base = tWide(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("f1"),
+        length(col("text")).cast("long").as("f2"),
+        size(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("long").as("f3"))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum("f1").as("s1"), sum(col("f1") * col("f1")).as("q1"),
+      sum("f2").as("s2"), sum(col("f2") * col("f2")).as("q2"),
+      sum("f3").as("s3"), sum(col("f3") * col("f3")).as("q3"))
+    def z2(x: Column, sm: Column, q: Column, n: Column): Column =
+      ((x * n - sm) * (x * n - sm)) / (n * q - sm * sm)
+    base.crossJoin(broadcast(m))
+      .withColumn("score", round(
+        z2(col("f1"), col("s1"), col("q1"), col("n")) +
+          z2(col("f2"), col("s2"), col("q2"), col("n")) +
+          z2(col("f3"), col("s3"), col("q3"), col("n")), 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(15)
+      .select("doc_id", "f1", "f2", "f3", "score")
+  }
+
+  /** Join fan-out profile: the histogram of orders-per-customer — the
+    * cardinality SHAPE behind q145's single expected-fanout number
+    * (two joins with the same average fan-out behave entirely
+    * differently if one hides a 10 000-row key; this is the
+    * skew-or-not diagnostic read before choosing q37's salting).
+    * Two map-side-combined aggregates, exact integers.
+    */
+  def q258_fanout_profile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("fanout"))
+      .groupBy("fanout").agg(count(lit(1)).as("n_keys"))
+      .withColumn("rows_contributed", col("fanout") * col("n_keys"))
+      .orderBy("fanout")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6360,6 +6408,8 @@ object Queries {
     "q254_theil_sen"    -> (q254_theil_sen _),
     "q255_rich_club"    -> (q255_rich_club _),
     "q256_rolling_slope" -> (q256_rolling_slope _),
+    "q257_multivariate_outliers" -> (q257_multivariate_outliers _),
+    "q258_fanout_profile" -> (q258_fanout_profile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9577,5 +9627,32 @@ object Queries {
         |  FROM r WHERE cnt = 7
         |  ORDER BY day DESC LIMIT 10)
         |SELECT day, n, slope FROM s ORDER BY day""".stripMargin,
+    "q257_multivariate_outliers" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> ''))::BIGINT AS f1,
+        |    length(text)::BIGINT AS f2,
+        |    len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')))::BIGINT AS f3
+        |  FROM documents),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(f1)::BIGINT AS s1, sum(f1 * f1)::BIGINT AS q1,
+        |    sum(f2)::BIGINT AS s2, sum(f2 * f2)::BIGINT AS q2,
+        |    sum(f3)::BIGINT AS s3, sum(f3 * f3)::BIGINT AS q3
+        |  FROM base)
+        |SELECT doc_id, f1, f2, f3,
+        |  round(((f1 * n - s1) * (f1 * n - s1))::DOUBLE / (n * q1 - s1 * s1) +
+        |        ((f2 * n - s2) * (f2 * n - s2))::DOUBLE / (n * q2 - s2 * s2) +
+        |        ((f3 * n - s3) * (f3 * n - s3))::DOUBLE / (n * q3 - s3 * s3), 6)
+        |    AS score
+        |FROM base, m
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "q258_fanout_profile" ->
+      """WITH f AS (SELECT o_custkey, count(*)::BIGINT AS fanout
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT fanout, count(*)::BIGINT AS n_keys,
+        |  (fanout * count(*))::BIGINT AS rows_contributed
+        |FROM f GROUP BY fanout ORDER BY fanout""".stripMargin,
   )
 }

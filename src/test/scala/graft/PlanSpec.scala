@@ -143,7 +143,9 @@ class PlanSpec extends SparkSpec {
       "q254_theil_sen",
       // q255: cross join of two 1-row aggregates (within-club edges ∥
       // club size — q145's pattern)
-      "q255_rich_club")
+      "q255_rich_club",
+      // q257: 1-row broadcast moment vector (q101's pattern)
+      "q257_multivariate_outliers")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

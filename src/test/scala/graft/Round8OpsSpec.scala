@@ -1011,6 +1011,40 @@ class Round8OpsSpec extends SparkSpec {
       ((10, 3L, 3L, 1.0)), s"got $g")
   }
 
+  // ---- q257 multivariate outliers / q258 fan-out profile --------------
+
+  test("multivariate outliers: the doc no single feature flags tops the combined score") {
+    val dir = tmp("graft_mvo_")
+    // 8 clone docs; doc 9 is moderately off on EVERY axis (more tokens,
+    // more chars, more distinct), doc 10 extreme on one axis only.
+    val base = "aa bb cc dd"
+    val docs = (1 to 8).map(d => (d.toLong, base, "en")) ++ Seq(
+      (9L, "aa bb cc dd ee ff gg hh ii", "en"),
+      (10L, ("aa " * 40).trim, "en"))
+      .toSeq
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q257_multivariate_outliers")(spark, dir).collect()
+      .map(r => r.getLong(0))
+    // both unusual docs must rank above every clone
+    assert(got.take(2).toSet == Set(9L, 10L), s"got ${got.toSeq}")
+  }
+
+  test("fanout profile: histogram mass equals the fact rows; hot key visible in its bucket") {
+    val dir = tmp("graft_fan_")
+    val d = java.sql.Date.valueOf("2024-01-01")
+    // customer 1: 5 orders; customers 2,3: 1 each
+    val rows = (1 to 5).map(i => (i.toLong, 1L, "O", 1.0, d, "P")) ++
+      Seq((6L, 2L, "O", 1.0, d, "P"), (7L, 3L, "O", 1.0, d, "P"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q258_fanout_profile")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L), (5L, 1L, 5L)), s"got ${got.toSeq}")
+    assert(got.map(_._3).sum == 7L)
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
