@@ -6151,6 +6151,76 @@ object Queries {
       .withColumn("rows_contributed", col("fanout") * col("n_keys"))
       .orderBy("fanout")
 
+  /** One-way ANOVA across weekdays: does the day-of-week MEAN purchase
+    * count differ significantly — the F-statistic that upgrades q156's
+    * descriptive seasonal profile to a test (and tells q234's ACF
+    * whether its lag-7 bump is signal). Between/within sums of squares
+    * from exact integer moments per weekday group — F is arithmetic on
+    * exact rationals, engine-identical; the day-grain frame keeps the
+    * whole computation calendar-sized.
+    */
+  def q259_anova_weekday(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val g = daily.groupBy("wd")
+      .agg(count(lit(1)).as("ng"), sum("n").as("sg"), sum(col("n") * col("n")).as("qg"))
+    val tot = g.agg(sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
+      count(lit(1)).as("k"))
+    // SSB = Σ sg²/ng − s²/n ; SSW = q − Σ sg²/ng — exact-rational parts
+    val parts = g.agg(sum(col("sg") * col("sg") / col("ng")).as("ssb_part"))
+    tot.crossJoin(broadcast(parts))
+      .select(
+        col("k"), col("n").as("n_days"),
+        round((col("ssb_part") - col("s") * col("s") / col("n")) / (col("k") - 1), 4)
+          .as("ms_between"),
+        round((col("q") - col("ssb_part")) / (col("n") - col("k")), 4).as("ms_within"),
+        // zero within-variance (a perfectly deterministic schedule) has
+        // no defined F — report NULL rather than divide by zero
+        when(col("q") - col("ssb_part") > 0,
+          round(((col("ssb_part") - col("s") * col("s") / col("n")) / (col("k") - 1)) /
+            ((col("q") - col("ssb_part")) / (col("n") - col("k"))), 4)).as("f_stat"))
+  }
+
+  /** Revenue whale curve: cumulative share of total spend by customer
+    * decile (biggest spenders first) — the concentration TABLE behind
+    * q208's single Gini number ("the top 10% carry 40% of revenue").
+    * Deciles by q93's exact ntile integer arithmetic over
+    * PrefixSum.globalRank (cost-based, never a mandatory global
+    * window); spend in exact integer cents; shares are cumulative
+    * integer sums with one division per decile row.
+    */
+  def q260_whale_curve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val spend = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      // rank by (−cents, user): biggest first, deterministic
+      .withColumn("neg", -col("cents"))
+    val k = 10L
+    val nDf = spend.agg(count(lit(1)).as("__n"), sum("cents").as("__tot"))
+    val ranked = PrefixSum.globalRank(spend, Seq("neg", "user_id"), "r")
+      .crossJoin(broadcast(nDf))
+    val q = floor(col("__n") / k); val rem = col("__n") % k
+    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
+      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
+      .cast("long") + 1
+    val byDecile = ranked.withColumn("decile", bin)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("dc"))
+    byDecile
+      .withColumn("cum_cents", sum("dc").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(nDf.select(col("__tot"))))
+      .select(col("decile"), col("n_users"),
+        round(col("dc") / lit(100.0), 2).as("decile_spend"),
+        round(col("cum_cents") / col("__tot"), 4).as("cum_share"))
+      .orderBy("decile")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6410,6 +6480,8 @@ object Queries {
     "q256_rolling_slope" -> (q256_rolling_slope _),
     "q257_multivariate_outliers" -> (q257_multivariate_outliers _),
     "q258_fanout_profile" -> (q258_fanout_profile _),
+    "q259_anova_weekday" -> (q259_anova_weekday _),
+    "q260_whale_curve"  -> (q260_whale_curve _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9654,5 +9726,44 @@ object Queries {
         |SELECT fanout, count(*)::BIGINT AS n_keys,
         |  (fanout * count(*))::BIGINT AS rows_contributed
         |FROM f GROUP BY fanout ORDER BY fanout""".stripMargin,
+    "q259_anova_weekday" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (SELECT n, dayofweek(day)::BIGINT AS wd FROM daily),
+        |g AS (SELECT wd, count(*)::BIGINT AS ng, sum(n)::BIGINT AS sg,
+        |    sum(n * n)::BIGINT AS qg FROM dd GROUP BY wd),
+        |tot AS (SELECT sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS s,
+        |    sum(qg)::BIGINT AS q, count(*)::BIGINT AS k FROM g),
+        |parts AS (SELECT sum(sg * sg / ng) AS ssb_part FROM g)
+        |SELECT k, n AS n_days,
+        |  round((ssb_part - s * s / n) / (k - 1), 4) AS ms_between,
+        |  round((q - ssb_part) / (n - k), 4) AS ms_within,
+        |  CASE WHEN q - ssb_part > 0 THEN
+        |    round(((ssb_part - s * s / n) / (k - 1)) /
+        |          ((q - ssb_part) / (n - k)), 4) END AS f_stat
+        |FROM tot, parts""".stripMargin,
+    "q260_whale_curve" ->
+      """WITH spend AS (
+        |  SELECT user_id, sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |t AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS tot FROM spend),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY -cents ASC, user_id ASC)::BIGINT AS r
+        |  FROM spend),
+        |b AS (SELECT cents,
+        |    CASE WHEN r <= (n % 10) * (n // 10 + 1)
+        |         THEN (r - 1) // (n // 10 + 1)
+        |         ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
+        |    END + 1 AS decile
+        |  FROM r, t),
+        |d AS (SELECT decile, count(*)::BIGINT AS n_users, sum(cents)::BIGINT AS dc
+        |  FROM b GROUP BY decile),
+        |c AS (SELECT *, sum(dc) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents
+        |  FROM d)
+        |SELECT decile, n_users, round(dc / 100.0, 2) AS decile_spend,
+        |  round(cum_cents::DOUBLE / tot, 4) AS cum_share
+        |FROM c, t ORDER BY decile""".stripMargin,
   )
 }

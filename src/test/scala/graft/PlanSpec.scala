@@ -145,7 +145,9 @@ class PlanSpec extends SparkSpec {
       // club size — q145's pattern)
       "q255_rich_club",
       // q257: 1-row broadcast moment vector (q101's pattern)
-      "q257_multivariate_outliers")
+      "q257_multivariate_outliers",
+      // q259/q260: 1-row broadcast totals (q145/q93's patterns)
+      "q259_anova_weekday", "q260_whale_curve")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -1045,6 +1045,51 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == 7L)
   }
 
+  // ---- q259 ANOVA / q260 whale curve ----------------------------------
+
+  test("anova: identical weekday means give F = 0; a shifted weekday gives F > 0") {
+    val dir = tmp("graft_anova_")
+    var id = 0L
+    def day(dom: Int, n: Int) = (1 to n).map { _ => id += 1
+      (id, ts(f"2024-01-$dom%02d 08:00:00"), id % 5, "purchase", "{}", 1.0)
+    }
+    // weekday means all equal (9 then 11 across the two weeks) but
+    // nonzero within-variance → F = exactly 0
+    val flat = (1 to 14).flatMap(d => day(d, if (d <= 7) 9 else 11))
+    flat.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val g1 = Queries.all("q259_anova_weekday")(spark, dir).collect()(0)
+    assert(g1.getLong(0) == 7L && g1.getLong(1) == 14L)
+    assert(g1.getDouble(4) == 0.0, s"flat series F got ${g1.getDouble(4)}")
+    // same but Mondays doubled → between-group variance appears
+    val dir2 = tmp("graft_anova2_")
+    id = 0L
+    val season = (1 to 14).flatMap { d =>
+      val dow = java.time.LocalDate.of(2024, 1, d).getDayOfWeek
+      day(d, (if (dow == java.time.DayOfWeek.MONDAY) 20 else 10) + (d % 2))
+    }
+    season.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val g2 = Queries.all("q259_anova_weekday")(spark, dir2).collect()(0)
+    assert(g2.getDouble(4) > 1.0, s"seasonal series F got ${g2.getDouble(4)}")
+  }
+
+  test("whale curve: top decile carries its exact share; cumulative share ends at 1") {
+    val dir = tmp("graft_whale_")
+    // 10 users: user i spends i·1.00 → total 55.00; deciles are single
+    // users ranked 10,9,...,1 → decile 1 share = 10/55
+    val rows = (1 to 10).map(u =>
+      (u.toLong, ts("2024-01-05 08:00:00"), u.toLong, "purchase", "{}", u.toDouble))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q260_whale_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 10 && got.forall(_._2 == 1L))
+    assert(got(0) == ((1L, 1L, 10.0, BigDecimal(10.0 / 55).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)), s"got ${got(0)}")
+    assert(got(9)._4 == 1.0, s"cumulative must end at 1, got ${got(9)._4}")
+  }
+
   test("rbo: a permuted ranking scores strictly lower than the identical one") {
     val dir = tmp("graft_rbo2_")
     // length ranking (3,2,1) vs distinct-count ranking (1,2,3):
