@@ -6221,6 +6221,159 @@ object Queries {
       .orderBy("decile")
   }
 
+  /** Mann-Whitney U rank-sum test: do weekend purchases draw from a
+    * different value DISTRIBUTION than weekday ones — the
+    * nonparametric complement to q259's mean-based ANOVA (no
+    * normality assumption; sensitive to shift anywhere in the
+    * distribution, not just the mean). The pooled ranking needs a
+    * GLOBAL cumulative count over the distinct-value frame — q206's
+    * cost-based PrefixSum scan, never a mandatory single-partition
+    * window over raw rows — and ties take the textbook average rank,
+    * kept EXACT by working in doubled ranks (2·avgrank =
+    * 2·cum − cnt + 1, an integer): the rank sum, U, and the tie
+    * correction Σ(t³−t) are exact 64-bit integers on both engines;
+    * the only floating point is the final normal-approximation z,
+    * rounded once.
+    */
+  def q261_mann_whitney(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val g = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      // Spark dayofweek: 1=Sunday..7=Saturday (oracle uses DuckDB's
+      // 0=Sunday..6=Saturday — both select Sat+Sun)
+      .withColumn("wk", dayofweek(col("ts")).isin(1, 7))
+      .groupBy("value")
+      .agg(sum(when(col("wk"), 0L).otherwise(1L)).as("na_v"),
+        sum(when(col("wk"), 1L).otherwise(0L)).as("nb_v"))
+      .withColumn("cnt", col("na_v") + col("nb_v"))
+    val c = PrefixSum.runningTotal(g, "value", "cnt", "cum")
+    // observations tied at this value hold ranks cum−cnt+1..cum; their
+    // average rank doubled is the INTEGER 2·cum − cnt + 1
+    val r2 = col("cum") * 2 - col("cnt") + 1
+    val a = c.agg(
+      sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+      sum(col("na_v") * r2).as("r2a"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    val n = col("n_a") + col("n_b")
+    val u2 = col("r2a") - col("n_a") * (col("n_a") + 1) // 2·U_a, exact
+    a.select(
+      col("n_a"), col("n_b"),
+      (u2 / 2.0).as("u_a"),
+      round((u2 / 2.0 - col("n_a") * col("n_b") / 2.0) /
+        sqrt(col("n_a") * col("n_b") / 12.0 *
+          ((n + 1) - col("tie3") / (n * (n - lit(1.0))))), 4).as("z"))
+  }
+
+  /** Kaplan-Meier time-to-conversion curve: S(t) = Π(1 − dᵢ/nᵢ) =
+    * probability a user is still UNCONVERTED t days after first touch,
+    * with users who don't purchase inside the 5-day attribution window
+    * right-CENSORED at day 5 (they exit the risk set without counting
+    * as a conversion — the estimator's entire point; a naive
+    * conversion-rate curve over-counts the denominator). Lifetimes
+    * aggregate to a DAY-GRAIN duration frame (bounded by the
+    * attribution window, never corpus rows), so the sequential windows
+    * — at-risk countdown and the cumulative log-survival — are global
+    * windows over a calendar-sized frame by design, the q234/q227
+    * pattern. dᵢ and nᵢ are exact integers; the one floating-point
+    * step (exp∘Σln for the product) is rounded once. Standard tie
+    * rule: deaths at t precede censorings at t, so both stay in the
+    * t-risk set (the n_risk arithmetic below encodes exactly that).
+    */
+  def q262_kaplan_meier(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("conv_d"))
+    val lag = datediff(col("conv_d"), col("first_d"))
+    val conv = col("conv_d").isNotNull && lag <= 5
+    val byDur = users
+      .select(when(conv, lag).otherwise(5).cast("long").as("dur"),
+        conv.as("converted"))
+      .groupBy("dur")
+      .agg(count(lit(1)).as("ended"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"))
+    val tot = byDur.agg(sum("ended").as("n_users"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("ended").over(w))
+      .withColumn("n_risk", col("n_users") - col("cum") + col("ended"))
+      .withColumn("surv", round(exp(sum(
+        when(col("d") > 0, log(lit(1.0) - col("d") / col("n_risk")))
+          .otherwise(lit(0.0))).over(w)), 4))
+      .filter(col("d") > 0)
+      .select(col("dur").as("t_days"), col("n_risk"), col("d").as("deaths"),
+        col("surv"))
+      .orderBy("t_days")
+  }
+
+  /** Population stability index of the purchase-value distribution,
+    * first half of the date range vs second — the standard drift gate
+    * before re-using a trained model/feature on fresh data (PSI < 0.1
+    * stable, > 0.25 drifted). Ten equal-width bins over the GLOBAL
+    * value envelope; envelope and period split ride in as 1-row
+    * broadcast aggregates (q81's pattern — no eager action at
+    * construction). Counts are exact; the ±0.5 Laplace smoothing
+    * keeps empty bins finite without dropping them; bin edges use one
+    * identically-ordered float expression on both engines so bin
+    * assignment is bit-identical.
+    */
+  def q263_psi_drift(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("value"))
+    val env = p.agg(min("day").as("d0"), max("day").as("d1"),
+      min("value").as("v0"), max("value").as("v1"))
+    val g = p.crossJoin(broadcast(env))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) * 2 > datediff(col("d1"), col("d0")))
+      .withColumn("bin",
+        least(floor((col("value") - col("v0")) * 10.0 / (col("v1") - col("v0"))),
+          lit(9.0)).cast("long"))
+      .groupBy("bin")
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("nb"))
+    val tot = g.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val pa = (col("na") + 0.5) / (col("ta") + 5.0)
+    val pb = (col("nb") + 0.5) / (col("tb") + 5.0)
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 6).as("psi"))
+      .orderBy("bin")
+  }
+
+  /** 2-D Pareto skyline of orders — cheapest-for-freshest: an order
+    * survives iff NO other order is both ≤ its price and ≥ its date
+    * (one strictly) — the classic skyline operator, O(n²) as written
+    * in SQL but O(n log n) as a strict prefix-maximum scan: group to
+    * the distinct-price frame, take max(date) per price, and keep the
+    * prices whose max-date strictly exceeds the running max over all
+    * cheaper prices. The scan is [[PrefixSum.runningMaxExclusive]] —
+    * cost-based two-pass distributed prefix max, the same shape as
+    * q93's ranks — and the survivors join back by (price, date)
+    * equality, a broadcast-able equi-join. Dates compare as exact
+    * unix_micros longs; ties on both dimensions all survive
+    * (dominance requires one strict inequality).
+    */
+  def q264_skyline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    // cast("timestamp") first: the testdata files carry TIMESTAMP_NTZ,
+    // which unix_micros rejects; the cast is monotone and injective, so
+    // ordering and equality — all the skyline uses — are unchanged
+    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
+    val g = o.groupBy("o_totalprice")
+      .agg(max(micros(col("o_orderdate"))).as("maxd"))
+    val sky = PrefixSum.runningMaxExclusive(g, "o_totalprice", "maxd", "prevmax")
+      .filter(col("maxd") > col("prevmax"))
+      .select(col("o_totalprice").as("sk_price"), col("maxd"))
+    o.join(sky, o("o_totalprice") === col("sk_price") &&
+        micros(o("o_orderdate")) === col("maxd"))
+      .select(o("o_orderkey"), o("o_totalprice"), o("o_orderdate"))
+      .orderBy("o_totalprice", "o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6482,6 +6635,10 @@ object Queries {
     "q258_fanout_profile" -> (q258_fanout_profile _),
     "q259_anova_weekday" -> (q259_anova_weekday _),
     "q260_whale_curve"  -> (q260_whale_curve _),
+    "q261_mann_whitney" -> (q261_mann_whitney _),
+    "q262_kaplan_meier" -> (q262_kaplan_meier _),
+    "q263_psi_drift"    -> (q263_psi_drift _),
+    "q264_skyline"      -> (q264_skyline _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9765,5 +9922,72 @@ object Queries {
         |SELECT decile, n_users, round(dc / 100.0, 2) AS decile_spend,
         |  round(cum_cents::DOUBLE / tot, 4) AS cum_share
         |FROM c, t ORDER BY decile""".stripMargin,
+    "q261_mann_whitney" ->
+      """WITH g AS (
+        |  SELECT value,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)::BIGINT AS na_v,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::BIGINT AS nb_v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY value),
+        |c AS (SELECT *, na_v + nb_v AS cnt,
+        |    sum(na_v + nb_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM g),
+        |a AS (SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b,
+        |    sum(na_v * (2 * cum - cnt + 1))::BIGINT AS r2a,
+        |    sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3 FROM c)
+        |SELECT n_a, n_b,
+        |  (r2a - n_a * (n_a + 1)) / 2.0 AS u_a,
+        |  round(((r2a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0) /
+        |    sqrt(n_a * n_b / 12.0 *
+        |      ((n_a + n_b + 1) - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0)))), 4) AS z
+        |FROM a""".stripMargin,
+    "q262_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, min(ts::DATE) AS fd,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) AS cd
+        |  FROM events GROUP BY user_id),
+        |l AS (SELECT
+        |    CASE WHEN cd IS NOT NULL AND cd - fd <= 5 THEN cd - fd
+        |         ELSE 5 END::BIGINT AS dur,
+        |    (cd IS NOT NULL AND cd - fd <= 5) AS conv FROM u),
+        |b AS (SELECT dur, count(*)::BIGINT AS ended,
+        |    sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM l GROUP BY dur),
+        |t AS (SELECT sum(ended)::BIGINT AS n_users FROM b),
+        |c AS (SELECT *, sum(ended) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM b),
+        |r AS (SELECT dur, d, n_users - cum + ended AS n_risk,
+        |    CASE WHEN d > 0 THEN ln(1 - d::DOUBLE / (n_users - cum + ended))
+        |         ELSE 0 END AS lns FROM c, t),
+        |s AS (SELECT *, sum(lns) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl FROM r)
+        |SELECT dur AS t_days, n_risk, d AS deaths, round(exp(cl), 4) AS surv
+        |FROM s WHERE d > 0 ORDER BY t_days""".stripMargin,
+    "q263_psi_drift" ->
+      """WITH p AS (SELECT ts::DATE AS day, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |env AS (SELECT min(day) AS d0, max(day) AS d1,
+        |    min(value) AS v0, max(value) AS v1 FROM p),
+        |g AS (SELECT
+        |    least(floor((value - v0) * 10.0 / (v1 - v0)), 9)::BIGINT AS bin,
+        |    sum(CASE WHEN (day - d0) * 2 > (d1 - d0) THEN 0 ELSE 1 END)::BIGINT AS na,
+        |    sum(CASE WHEN (day - d0) * 2 > (d1 - d0) THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM p, env GROUP BY 1),
+        |tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM g)
+        |SELECT bin, na, nb,
+        |  round(((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0)) *
+        |    ln(((na + 0.5) / (ta + 5.0)) / ((nb + 0.5) / (tb + 5.0))), 6) AS psi
+        |FROM g, tot ORDER BY bin""".stripMargin,
+    "q264_skyline" ->
+      """WITH g AS (SELECT o_totalprice, max(o_orderdate) AS maxd
+        |           FROM orders GROUP BY o_totalprice),
+        |p AS (SELECT *, max(maxd) OVER (ORDER BY o_totalprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM g),
+        |s AS (SELECT o_totalprice, maxd FROM p
+        |      WHERE prevmax IS NULL OR maxd > prevmax)
+        |SELECT o_orderkey, o.o_totalprice, o_orderdate
+        |FROM orders o JOIN s ON o.o_totalprice = s.o_totalprice
+        |  AND o.o_orderdate = s.maxd
+        |ORDER BY o.o_totalprice, o_orderkey""".stripMargin,
   )
 }

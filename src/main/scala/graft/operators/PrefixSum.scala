@@ -82,6 +82,66 @@ object PrefixSum {
       .drop("__pid", "__offset")
   }
 
+  /** Adds `cumCol` = EXCLUSIVE running maximum of long `valueCol` over
+    * ascending `orderCol` (the max over all STRICTLY-preceding rows;
+    * the first row gets `Long.MinValue` — a sentinel every real value
+    * exceeds, so `valueCol > cumCol` is the "strict prefix-maximum"
+    * predicate without a null branch). This is the scan under 2-D
+    * skyline/Pareto queries: a point survives iff its second
+    * dimension strictly exceeds everything that beats it on the
+    * first.
+    *
+    * Same two-pass shape and cost contract as [[runningTotal]]:
+    * range-repartition, O(#partitions) per-partition maxima to the
+    * driver folded into exclusive prefix maxima, then a PARTITIONED
+    * exclusive-frame window plus `greatest(local, offset)`. Below
+    * `smallInputBytes` the single-partition window is used (same
+    * cost-based rule; max is associative so both paths agree
+    * exactly). `orderCol` must be globally unique (call it on a
+    * per-key aggregated frame, as the skyline does).
+    */
+  def runningMaxExclusive(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      cumCol: String,
+      numPartitions: Int = 0,
+      smallInputBytes: Long = 64L << 20): DataFrame = {
+    val spark = df.sparkSession
+    val excl = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)) {
+      val w = excl(org.apache.spark.sql.expressions.Window.orderBy(col(orderCol).asc))
+      return df.withColumn(cumCol,
+        coalesce(max(col(valueCol).cast("long")).over(w), lit(Long.MinValue)))
+    }
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val checkpointed = parted.localCheckpoint(true)
+    val maxima = checkpointed.groupBy("__pid")
+      .agg(max(col(valueCol).cast("long")).as("__m"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive prefix maxima: partition i's offset = max of all
+    // earlier partitions' maxima (MinValue for the first)
+    val prefix = maxima.scanLeft(Long.MinValue) {
+      case (acc, (_, m)) => math.max(acc, m)
+    }.init
+    val offsets = maxima.map(_._1).zip(prefix)
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+    val w = excl(org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col(orderCol).asc))
+    checkpointed
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(cumCol, greatest(
+        coalesce(max(col(valueCol).cast("long")).over(w), lit(Long.MinValue)),
+        col("__offset")))
+      .drop("__pid", "__offset")
+  }
+
   /** Adds `rankCol` = 1-based global rank over the ascending composite
     * order `orderCols` — distributed zipWithIndex. Same two-pass shape
     * as [[runningTotal]]: range-repartition on the full tuple,

@@ -147,7 +147,10 @@ class PlanSpec extends SparkSpec {
       // q257: 1-row broadcast moment vector (q101's pattern)
       "q257_multivariate_outliers",
       // q259/q260: 1-row broadcast totals (q145/q93's patterns)
-      "q259_anova_weekday", "q260_whale_curve")
+      "q259_anova_weekday", "q260_whale_curve",
+      // q262/q263: 1-row broadcast frontier / envelope+totals
+      // (q215/q81's patterns)
+      "q262_kaplan_meier", "q263_psi_drift")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

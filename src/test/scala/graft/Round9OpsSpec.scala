@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Construction-based ground truth for the q261-q264 additions: a
+  * hand-computed Mann-Whitney U with tie-averaged ranks, a
+  * hand-computed Kaplan-Meier curve with a right-censored user, a
+  * mirrored-arithmetic PSI check, the 2-D skyline with dominance ties
+  * on both axes, and both physical paths of the new
+  * PrefixSum.runningMaxExclusive scan.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+  private def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, String, Double)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  // ---- PrefixSum.runningMaxExclusive ----------------------------------
+
+  test("runningMaxExclusive: hand values, and both physical paths agree") {
+    import graft.operators.PrefixSum
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 7L), (4L, 7L)).toDF("k", "v")
+    val want = Map(1L -> Long.MinValue, 2L -> 5L, 3L -> 5L, 4L -> 7L)
+    for (smallBytes <- Seq(64L << 20, 0L)) { // window path, distributed path
+      val got = PrefixSum.runningMaxExclusive(df, "k", "v", "pm",
+        numPartitions = 2, smallInputBytes = smallBytes)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"smallBytes=$smallBytes got $got")
+    }
+  }
+
+  // ---- q261 Mann-Whitney ----------------------------------------------
+
+  test("mann-whitney: hand-computed U and tie-corrected z") {
+    val dir = tmp("graft_mw_")
+    // 2024-01-01 is a Monday (weekday), 2024-01-06 a Saturday (weekend).
+    // Weekday values {1,2,3}, weekend {2,3,4}: pooled ranks 1, 2.5/2.5,
+    // 4.5/4.5, 6 → R_a = 1+2.5+4.5 = 8, U_a = 8 − 3·4/2 = 2.
+    // tie3 = 6+6 = 12; σ² = (9/12)·(7 − 12/30) = 4.95;
+    // z = (2 − 4.5)/√4.95 = −1.1237 (round 4).
+    val wkday = ts("2024-01-01 09:00:00"); val wkend = ts("2024-01-06 09:00:00")
+    writeEvents(dir,
+      Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, wkday, 1L, "purchase", "{}", v) } ++
+      Seq(2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, wkend, 2L, "purchase", "{}", v) } ++
+      Seq((99L, wkday, 3L, "view", "{}", 100.0))) // non-purchase excluded
+    val r = Queries.all("q261_mann_whitney")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, s"got $r")
+    assert(r.getDouble(2) == 2.0, s"U_a: got $r")
+    assert(r.getDouble(3) == BigDecimal(-2.5 / math.sqrt(4.95))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"z: got $r")
+  }
+
+  // ---- q262 Kaplan-Meier ----------------------------------------------
+
+  test("kaplan-meier: hand-computed curve with censored non-converters") {
+    val dir = tmp("graft_km_")
+    // u1 converts same-day (death t=0), u2 at lag 2 (death t=2), u3
+    // never purchases (CENSORED at 5), u4 purchases at lag 9 — outside
+    // the 5-day attribution window (CENSORED at 5).
+    // t=0: n=4, d=1 → S=0.75 ; t=2: n=3, d=1 → S=0.75·(2/3)=0.5 ;
+    // t=5: d=0 (no output row — censorings only).
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "view", "{}", 1.0),
+      (2L, ts("2024-01-01 09:00:00"), 1L, "purchase", "{}", 1.0),
+      (3L, ts("2024-01-01 08:00:00"), 2L, "view", "{}", 1.0),
+      (4L, ts("2024-01-03 08:00:00"), 2L, "purchase", "{}", 1.0),
+      (5L, ts("2024-01-01 08:00:00"), 3L, "view", "{}", 1.0),
+      (6L, ts("2024-01-20 08:00:00"), 3L, "view", "{}", 1.0),
+      (7L, ts("2024-01-01 08:00:00"), 4L, "view", "{}", 1.0),
+      (8L, ts("2024-01-10 08:00:00"), 4L, "purchase", "{}", 1.0)))
+    val got = Queries.all("q262_kaplan_meier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5)), s"got ${got.toSeq}")
+  }
+
+  // ---- q263 PSI drift -------------------------------------------------
+
+  test("psi drift: mirrored-arithmetic check on a two-bin shift") {
+    val dir = tmp("graft_psi_")
+    // Range Jan-01..Jan-31; late ⟺ offset·2 > 30 ⟺ after Jan-16.
+    // Early values {0, 10} → bins {0, 9}; late {10, 10} → bin 9 twice.
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "purchase", "{}", 0.0),
+      (2L, ts("2024-01-02 08:00:00"), 1L, "purchase", "{}", 10.0),
+      (3L, ts("2024-01-30 08:00:00"), 2L, "purchase", "{}", 10.0),
+      (4L, ts("2024-01-31 08:00:00"), 2L, "purchase", "{}", 10.0)))
+    def psi(na: Long, nb: Long, ta: Long, tb: Long): Double = {
+      val pa = (na + 0.5) / (ta + 5.0); val pb = (nb + 0.5) / (tb + 5.0)
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Queries.all("q263_psi_drift")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, psi(1, 0, 2, 2)),
+      (9L, 1L, 2L, psi(1, 2, 2, 2))), s"got ${got.toSeq}")
+  }
+
+  // ---- q264 skyline ---------------------------------------------------
+
+  test("skyline: dominance with ties on both axes") {
+    val dir = tmp("graft_sky_")
+    // (key, price, date): o3 dominated same-price by o1/o2's later
+    // date; o5 dominated by the cheaper-and-fresher o4; the o1/o2
+    // duplicate point both survive (dominance needs a strict edge).
+    Seq(
+      (1L, 10.0, ts("2024-01-05 00:00:00")),
+      (2L, 10.0, ts("2024-01-05 00:00:00")),
+      (3L, 10.0, ts("2024-01-04 00:00:00")),
+      (4L, 12.0, ts("2024-01-10 00:00:00")),
+      (5L, 15.0, ts("2024-01-08 00:00:00")),
+      (6L, 8.0, ts("2024-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q264_skyline")(spark, dir).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(6L, 1L, 2L, 4L), s"got ${got.toSeq}")
+
+    // Cross-check against the O(n²) dominance definition on the same
+    // input (the SQL-oracle formulation, evaluated independently).
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2)))
+    val brute = o.filter { case (_, p, dt) =>
+      !o.exists { case (_, p2, dt2) =>
+        p2 <= p && !dt2.before(dt) && (p2 < p || dt2.after(dt)) }
+    }.map(_._1).sorted
+    assert(got.toSeq.sorted == brute.toSeq, s"brute=$brute")
+  }
+}
