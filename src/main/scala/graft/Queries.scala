@@ -6374,6 +6374,158 @@ object Queries {
       .orderBy("o_totalprice", "o_orderkey")
   }
 
+  /** Tukey-HSD-style post-hoc pairwise comparisons after q259's
+    * one-way ANOVA: WHICH weekday pairs differ, via the studentized
+    * statistic (mean_a − mean_b)/√(MSW/2·(1/n_a + 1/n_b)) over the
+    * same exact integer moments (per-weekday count/sum/sum-of-squares
+    * of daily purchase counts). The pair frame is C(7,2) = 21 rows by
+    * construction — the inequality self-join is a bounded broadcast,
+    * q254's pattern — and MSW rides in as a 1-row broadcast aggregate.
+    * Means and MSW are single divisions of exact integers; the only
+    * compounding float is the final statistic, rounded once. Weekday
+    * ids use Spark's 1=Sunday..7=Saturday convention (the oracle maps
+    * DuckDB's 0-based convention onto it).
+    */
+  def q265_tukey_hsd(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val g = daily.groupBy("wd")
+      .agg(count(lit(1)).as("ng"), sum("n").as("sg"),
+        sum(col("n") * col("n")).as("qg"))
+    val msw = g.agg(
+      ((sum("qg") - sum(col("sg") * col("sg") / col("ng"))) /
+        (sum("ng") - count(lit(1)))).as("msw"))
+    val a = g.select(col("wd").as("wd_a"), (col("sg") / col("ng")).as("ma"),
+      col("ng").as("na"))
+    val b = g.select(col("wd").as("wd_b"), (col("sg") / col("ng")).as("mb"),
+      col("ng").as("nb"))
+    a.join(b, col("wd_a") < col("wd_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("wd_a"), col("wd_b"),
+        round(col("ma") - col("mb"), 4).as("mean_diff"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("msw") / 2.0 *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("q_stat"))
+      .orderBy("wd_a", "wd_b")
+  }
+
+  /** Classical seasonal decomposition of daily revenue: trend =
+    * centered 7-day moving average, seasonal = per-weekday mean of the
+    * detrended series, residual = what's left — the additive
+    * decompose that explains q156's seasonality profile and feeds
+    * anomaly thresholds (a spike is only a spike relative to
+    * trend+season). The whole computation runs on the DAY-GRAIN
+    * revenue frame (calendar-bounded, never corpus rows), so the
+    * sequential moving-average window is a global window by design —
+    * the q234/q227 pattern. Daily revenue is rounded ONCE before any
+    * window so every downstream difference starts from
+    * engine-identical inputs; edge days without a full 7-day window
+    * are dropped (n7 = 7), the textbook centered-MA rule.
+    */
+  def q266_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val win = Window.orderBy("day").rowsBetween(-3, 3)
+    val d = daily
+      .withColumn("n7", count(lit(1)).over(win))
+      .withColumn("trend", sum("rev").over(win) / 7.0)
+      .filter(col("n7") === 7)
+      .withColumn("detr", col("rev") - col("trend"))
+      .withColumn("wd", dayofweek(col("day")))
+    // wd is only a join key WITHIN this engine (never output), so the
+    // engines' differing dayofweek conventions group identically
+    val seas = d.groupBy("wd")
+      .agg((sum("detr") / count(lit(1))).as("seasonal"))
+    d.join(seas, "wd")
+      .select(col("day"), col("rev"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("detr") - col("seasonal"), 4).as("resid"))
+      .orderBy("day")
+  }
+
+  /** Covariate balance audit of the q90 deterministic hash split:
+    * standardized mean difference (SMD) of per-user behavioral
+    * covariates between the train (hash bucket < 80) and holdout
+    * sides — the pre-modeling check that a split didn't accidentally
+    * concentrate heavy users on one side (|SMD| < 0.1 is the usual
+    * "balanced" bar). One pass builds the per-user covariate frame;
+    * stack() melts it to (feature, x) rows so ONE grouped aggregate
+    * computes every feature's exact count/sum/sum-of-squares per side
+    * — adding a covariate is a new stack slot, not a new scan. SMD
+    * uses the pooled-variance form (var_t + var_c)/2 with sample
+    * variances from exact moments; one rounded output per feature.
+    */
+  def q267_covariate_balance(s: SparkSession, dir: String): DataFrame = {
+    val inTrain =
+      pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80
+    val u = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("f_events"),
+        sum("value").as("f_value"),
+        countDistinct(to_date(col("ts"))).cast("double").as("f_days"),
+        countDistinct("event_type").cast("double").as("f_types"))
+      .withColumn("t", when(inTrain, 1L).otherwise(0L))
+    val m = u.select(col("t"), expr(
+      "stack(4, 'active_days', f_days, 'n_events', f_events, " +
+        "'n_types', f_types, 'total_value', f_value) AS (feature, x)"))
+    val g = m.groupBy("feature").agg(
+      sum(col("t")).as("nt"),
+      sum(when(col("t") === 1, col("x"))).as("st"),
+      sum(when(col("t") === 1, col("x") * col("x"))).as("qt"),
+      sum(lit(1L) - col("t")).as("nc"),
+      sum(when(col("t") === 0, col("x"))).as("sc"),
+      sum(when(col("t") === 0, col("x") * col("x"))).as("qc"))
+    // a zero-variance covariate on both sides (e.g. every user holds
+    // every event type) has no defined SMD — report NULL, q259's rule
+    val pooled =
+      ((col("qt") - col("st") * col("st") / col("nt")) / (col("nt") - 1) +
+        (col("qc") - col("sc") * col("sc") / col("nc")) / (col("nc") - 1)) / 2.0
+    g.select(col("feature"), col("nt"), col("nc"),
+      round(col("st") / col("nt"), 4).as("mean_t"),
+      round(col("sc") / col("nc"), 4).as("mean_c"),
+      when(pooled > 0, round(
+        (col("st") / col("nt") - col("sc") / col("nc")) / sqrt(pooled), 4))
+        .as("smd"))
+      .orderBy("feature")
+  }
+
+  /** Hard-negative mining for retrieval training: for each of the
+    * first 5 probe vectors, the top-1 corpus neighbor (the positive)
+    * plus ranks 11-13 (hard negatives — close enough to be
+    * informative, far enough to be wrong; the band every contrastive
+    * training recipe samples from). Probes broadcast over the corpus
+    * (q110's pattern — the corpus side never shuffles); cosine is the
+    * fused codegen dot product rounded to 4 dp BEFORE ranking with a
+    * vec_id tie-break, q08's determinism rule, so the rank order is
+    * engine-identical. The rank ≤ 13 filter lets Spark's
+    * WindowGroupLimit keep per-partition top-k heaps instead of fully
+    * sorting each probe's scores.
+    */
+  def q268_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = tWide(s, dir, "embeddings")
+    val asD = (c: Column) => transform(c, x => x.cast("double"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), asD(col("embedding")).as("qv"))
+    val scored = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+        round(graft.operators.Dedup.cosine(col("v"), col("qv")), 4).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") === 1 || (col("rnk") >= 11 && col("rnk") <= 13))
+      .select(col("qid"), col("rnk"),
+        when(col("rnk") === 1, "positive").otherwise("hard_negative").as("role"),
+        col("vec_id"), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6639,6 +6791,10 @@ object Queries {
     "q262_kaplan_meier" -> (q262_kaplan_meier _),
     "q263_psi_drift"    -> (q263_psi_drift _),
     "q264_skyline"      -> (q264_skyline _),
+    "q265_tukey_hsd"    -> (q265_tukey_hsd _),
+    "q266_seasonal_decompose" -> (q266_seasonal_decompose _),
+    "q267_covariate_balance" -> (q267_covariate_balance _),
+    "q268_hard_negatives" -> (q268_hard_negatives _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -9989,5 +10145,79 @@ object Queries {
         |FROM orders o JOIN s ON o.o_totalprice = s.o_totalprice
         |  AND o.o_orderdate = s.maxd
         |ORDER BY o.o_totalprice, o_orderkey""".stripMargin,
+    "q265_tukey_hsd" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (SELECT n, (dayofweek(day) + 1)::BIGINT AS wd FROM daily),
+        |g AS (SELECT wd, count(*)::BIGINT AS ng, sum(n)::BIGINT AS sg,
+        |    sum(n * n)::BIGINT AS qg FROM dd GROUP BY wd),
+        |m AS (SELECT (sum(qg) - sum(sg * sg / ng)) /
+        |    (sum(ng) - count(*)) AS msw FROM g)
+        |SELECT a.wd AS wd_a, b.wd AS wd_b,
+        |  round(a.sg / a.ng - b.sg / b.ng, 4) AS mean_diff,
+        |  round((a.sg / a.ng - b.sg / b.ng) /
+        |    sqrt(msw / 2.0 * (1.0 / a.ng + 1.0 / b.ng)), 4) AS q_stat
+        |FROM g a, g b, m WHERE a.wd < b.wd ORDER BY wd_a, wd_b""".stripMargin,
+    "q266_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT *, count(*) OVER win AS n7,
+        |    sum(rev) OVER win / 7.0 AS trend
+        |  FROM daily WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT day, rev, trend, rev - trend AS detr,
+        |    dayofweek(day) AS wd FROM w WHERE n7 = 7),
+        |s AS (SELECT wd, sum(detr) / count(*) AS seasonal FROM d GROUP BY wd)
+        |SELECT day, rev, round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal,
+        |  round(detr - seasonal, 4) AS resid
+        |FROM d JOIN s USING (wd) ORDER BY day""".stripMargin,
+    "q267_covariate_balance" ->
+      """WITH u AS (SELECT user_id,
+        |    count(*)::DOUBLE AS f_events, sum(value) AS f_value,
+        |    count(DISTINCT ts::DATE)::DOUBLE AS f_days,
+        |    count(DISTINCT event_type)::DOUBLE AS f_types
+        |  FROM events GROUP BY user_id),
+        |ut AS (SELECT *, CASE WHEN ((user_id * 2654435761) % 4294967296)
+        |    % 100 < 80 THEN 1 ELSE 0 END AS t FROM u),
+        |m AS (
+        |  SELECT t, 'active_days' AS feature, f_days AS x FROM ut UNION ALL
+        |  SELECT t, 'n_events', f_events FROM ut UNION ALL
+        |  SELECT t, 'n_types', f_types FROM ut UNION ALL
+        |  SELECT t, 'total_value', f_value FROM ut),
+        |g AS (SELECT feature,
+        |    sum(t)::BIGINT AS nt,
+        |    sum(CASE WHEN t = 1 THEN x END) AS st,
+        |    sum(CASE WHEN t = 1 THEN x * x END) AS qt,
+        |    sum(1 - t)::BIGINT AS nc,
+        |    sum(CASE WHEN t = 0 THEN x END) AS sc,
+        |    sum(CASE WHEN t = 0 THEN x * x END) AS qc
+        |  FROM m GROUP BY feature)
+        |SELECT feature, nt, nc,
+        |  round(st / nt, 4) AS mean_t, round(sc / nc, 4) AS mean_c,
+        |  CASE WHEN ((qt - st * st / nt) / (nt - 1) +
+        |             (qc - sc * sc / nc) / (nc - 1)) / 2.0 > 0 THEN
+        |    round((st / nt - sc / nc) /
+        |      sqrt(((qt - st * st / nt) / (nt - 1) +
+        |            (qc - sc * sc / nc) / (nc - 1)) / 2.0), 4) END AS smd
+        |FROM g ORDER BY feature""".stripMargin,
+    "q268_hard_negatives" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT qid, vec_id,
+        |    round(list_dot_product(embedding::DOUBLE[], qv) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(qv, qv))), 4) AS sim
+        |  FROM embeddings, probes WHERE vec_id >= 5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, vec_id ASC)::BIGINT AS rnk FROM scored)
+        |SELECT qid, rnk,
+        |  CASE WHEN rnk = 1 THEN 'positive' ELSE 'hard_negative' END AS role,
+        |  vec_id, sim
+        |FROM r WHERE rnk = 1 OR rnk BETWEEN 11 AND 13
+        |ORDER BY qid, rnk""".stripMargin,
   )
 }

@@ -150,7 +150,12 @@ class PlanSpec extends SparkSpec {
       "q259_anova_weekday", "q260_whale_curve",
       // q262/q263: 1-row broadcast frontier / envelope+totals
       // (q215/q81's patterns)
-      "q262_kaplan_meier", "q263_psi_drift")
+      "q262_kaplan_meier", "q263_psi_drift",
+      // q265: C(7,2)-bounded weekday pair self-join (q254's pattern)
+      // + 1-row broadcast MSW
+      "q265_tukey_hsd",
+      // q268: 5-row probe broadcast over the corpus (q110's pattern)
+      "q268_hard_negatives")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -106,6 +106,102 @@ class Round9OpsSpec extends SparkSpec {
       (9L, 1L, 2L, psi(1, 2, 2, 2))), s"got ${got.toSeq}")
   }
 
+  // ---- q265 Tukey HSD -------------------------------------------------
+
+  test("tukey hsd: hand-computed pairwise q statistic") {
+    val dir = tmp("graft_hsd_")
+    // Sundays (Jan 7/14) see 2 and 4 purchases, Mondays (Jan 1/8) 1
+    // and 3: group moments give MSW = (2+2)/2 = 2, means 3 vs 2 →
+    // q = (3−2)/√(2/2·(1/2+1/2)) = 1.0 for the single pair (1,2).
+    def burst(day: String, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, ts(s"$day 10:0$i:00"), 1L, "purchase", "{}", 1.0))
+    writeEvents(dir,
+      burst("2024-01-07", 2, 100) ++ burst("2024-01-14", 4, 200) ++
+        burst("2024-01-01", 1, 300) ++ burst("2024-01-08", 3, 400))
+    val got = Queries.all("q265_tukey_hsd")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0, s"got $r")
+  }
+
+  // ---- q266 seasonal decompose ----------------------------------------
+
+  test("seasonal decompose: hand-computed trend/seasonal/resid") {
+    val dir = tmp("graft_seas_")
+    // 9 consecutive days of revenue 7 except day 8 = 14. Full 7-day
+    // windows exist for days 4-6: trend 7, 8, 8 → detrended 0, −1, −1;
+    // each lands on a distinct weekday so seasonal ≡ detrended and the
+    // residual is exactly 0.
+    val revs = Seq(7.0, 7.0, 7.0, 7.0, 7.0, 7.0, 7.0, 14.0, 7.0)
+    writeEvents(dir, revs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-${i + 1}%02d 12:00:00"), 1L, "purchase", "{}", v) })
+    val got = Queries.all("q266_seasonal_decompose")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-04", 7.0, 7.0, 0.0, 0.0),
+      ("2024-01-05", 7.0, 8.0, -1.0, 0.0),
+      ("2024-01-06", 7.0, 8.0, -1.0, 0.0)), s"got ${got.toSeq}")
+  }
+
+  // ---- q267 covariate balance -----------------------------------------
+
+  test("covariate balance: hand SMD plus the zero-variance NULL rule") {
+    val dir = tmp("graft_smd_")
+    // Pick two train-side and two holdout-side user ids with the q90
+    // hash, give them 2/4 and 1/3 single-day view events: n_events and
+    // total_value get mean_t=3, mean_c=2, var=2 both sides →
+    // SMD = 1/√2 = 0.7071; active_days and n_types are constant 1 →
+    // zero pooled variance → NULL (the q259 guard).
+    def side(id: Long): Long =
+      if (((id * 2654435761L) % 4294967296L) % 100 < 80) 1L else 0L
+    val ids = (1L to 100L)
+    val train = ids.filter(side(_) == 1L).take(2)
+    val hold = ids.filter(side(_) == 0L).take(2)
+    val day = ts("2024-01-01 10:00:00")
+    def evs(uid: Long, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, day, uid, "view", "{}", 1.0))
+    writeEvents(dir,
+      evs(train(0), 2, 100) ++ evs(train(1), 4, 200) ++
+        evs(hold(0), 1, 300) ++ evs(hold(1), 3, 400))
+    val got = Queries.all("q267_covariate_balance")(spark, dir).collect()
+    val byFeat = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    val smd = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byFeat("n_events") == ((2L, 2L, 3.0, 2.0, Some(smd))), s"got $byFeat")
+    assert(byFeat("total_value") == ((2L, 2L, 3.0, 2.0, Some(smd))))
+    assert(byFeat("active_days") == ((2L, 2L, 1.0, 1.0, None)))
+    assert(byFeat("n_types") == ((2L, 2L, 1.0, 1.0, None)))
+  }
+
+  // ---- q268 hard negatives --------------------------------------------
+
+  test("hard negatives: rank-1 positive and the 11-13 band by angle") {
+    val dir = tmp("graft_neg_")
+    // Probes 0-4 all point along [1,0]; corpus vectors 5..24 sit at
+    // increasing angles so cosine strictly decreases with vec_id:
+    // rank r holds vec_id 4+r for every probe → positive = 5,
+    // hard negatives = {15, 16, 17}.
+    val rows = (0L to 4L).map(i => (i, Array(1.0f, 0.0f), 0)) ++
+      (5L to 24L).map { i =>
+        val th = (i - 4) * math.Pi / 60
+        (i, Array(math.cos(th).toFloat, math.sin(th).toFloat), 1)
+      }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Queries.all("q268_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.length == 20)
+    for (q <- 0L to 4L) {
+      val mine = got.filter(_._1 == q).map(t => (t._2, t._3, t._4)).toSeq
+      assert(mine == Seq((1L, "positive", 5L), (11L, "hard_negative", 15L),
+        (12L, "hard_negative", 16L), (13L, "hard_negative", 17L)), s"q=$q got $mine")
+    }
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
