@@ -6526,6 +6526,112 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Wald-Wolfowitz runs test on daily revenue vs its median: is the
+    * above/below-median sequence RANDOM, or does it trend/oscillate
+    * (too few runs = regime persistence, too many = overcorrection) —
+    * the independence check q234's ACF assumes away. Day-grain frame
+    * throughout (calendar-bounded sequential windows, the q234/q227
+    * pattern); daily revenue is rounded once so the median pick and
+    * every comparison are engine-identical; the lower median is an
+    * actual data value selected by exact rank arithmetic, never an
+    * interpolated float. Runs/n1/n0 are exact integers; z is the one
+    * float, rounded, NULL when the variance degenerates (all days on
+    * one side).
+    */
+  def q269_runs_test(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val ranked = daily.withColumn("r",
+      row_number().over(Window.orderBy("rev", "day")).cast("long"))
+    val medDf = ranked
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
+      .filter(col("r") === floor((col("nn") + 1) / 2.0))
+      .select(col("rev").as("med"))
+    val seq = daily.crossJoin(broadcast(medDf))
+      .withColumn("s", (col("rev") > col("med")).cast("long"))
+      .withColumn("prev", lag("s", 1).over(Window.orderBy("day")))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("prev") =!= col("s"), 1L).otherwise(0L))
+    val a = seq.agg(sum("is_new").as("runs"), sum("s").as("n1"),
+      sum(lit(1L) - col("s")).as("n0"))
+    val n = col("n1") + col("n0")
+    val mu = lit(2.0) * col("n1") * col("n0") / n + 1
+    val va = lit(2.0) * col("n1") * col("n0") *
+      (lit(2.0) * col("n1") * col("n0") - n) / (n * n * (n - lit(1.0)))
+    a.select(col("runs"), col("n1"), col("n0"),
+      when(va > 0, round((col("runs") - mu) / sqrt(va), 4)).as("z"))
+  }
+
+  /** Decile QQ table, weekday vs weekend purchase values: where the
+    * two distributions diverge — the location readout behind q261's
+    * single Mann-Whitney number ("the gap opens in the top deciles").
+    * Each side independently gets q93/q260's EXACT equi-depth decile
+    * arithmetic over [[PrefixSum.globalRank]] (cost-based, never a
+    * mandatory single-partition window over raw rows); each decile
+    * reports its max — an actual data value, so the whole table is
+    * exact except the one rounded gap column.
+    */
+  def q270_qq_deciles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    def deciles(df: DataFrame, outCol: String): DataFrame = {
+      val k = 10L
+      val nDf = df.agg(count(lit(1)).as("__n"))
+      val ranked = PrefixSum.globalRank(df, Seq("value", "event_id"), "r")
+        .crossJoin(broadcast(nDf))
+      val q = floor(col("__n") / k); val rem = col("__n") % k
+      val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
+        .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
+        .cast("long") + 1
+      ranked.withColumn("decile", bin)
+        .groupBy("decile").agg(max(col("value")).as(outCol))
+    }
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("wk", dayofweek(col("ts")).isin(1, 7))
+      .select(col("event_id"), col("value"), col("wk"))
+    deciles(p.filter(!col("wk")), "q_weekday")
+      .join(deciles(p.filter(col("wk")), "q_weekend"), "decile")
+      .select(col("decile"), col("q_weekday"), col("q_weekend"),
+        round(col("q_weekend") - col("q_weekday"), 2).as("gap"))
+      .orderBy("decile")
+  }
+
+  /** Pairwise Jensen-Shannon divergence between every two sources'
+    * token distributions — the symmetric, bounded drift matrix behind
+    * q203's one-vs-rest KL (JSD is what you threshold when deciding
+    * whether two crawls can share a training mixture weight). One
+    * fused-tokenizer pass builds per-source word counts; the dense
+    * vocab×source grid (sources are a bounded dimension — broadcast)
+    * fills the zero cells both KL halves need, and the pair frame is
+    * an equi-join ON WORD (shuffle keyed by the unbounded dimension,
+    * filtered to ordered source pairs — never a pair×vocab nested
+    * loop). Zero-probability terms contribute 0 by the standard
+    * convention; guards keep every log argument positive under ANSI.
+    */
+  def q271_js_divergence(s: SparkSession, dir: String): DataFrame = {
+    val counts = tWide(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("source").agg(sum("n").as("tot"))
+    val dense = counts.select("word").distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "word"), "left")
+      .select(col("source"), col("word"),
+        (coalesce(col("n"), lit(0L)) / col("tot")).as("p"))
+    val a = dense.select(col("source").as("sa"), col("word"), col("p").as("pa"))
+    val b = dense.select(col("source").as("sb"), col("word"), col("p").as("pb"))
+    val m = (col("pa") + col("pb")) / 2.0
+    a.join(b, Seq("word")).filter(col("sa") < col("sb"))
+      .withColumn("c",
+        when(col("pa") > 0, col("pa") / 2.0 * log(col("pa") / m)).otherwise(0.0) +
+          when(col("pb") > 0, col("pb") / 2.0 * log(col("pb") / m)).otherwise(0.0))
+      .groupBy("sa", "sb").agg(round(sum("c"), 6).as("jsd"))
+      .orderBy("sa", "sb")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6795,6 +6901,9 @@ object Queries {
     "q266_seasonal_decompose" -> (q266_seasonal_decompose _),
     "q267_covariate_balance" -> (q267_covariate_balance _),
     "q268_hard_negatives" -> (q268_hard_negatives _),
+    "q269_runs_test"    -> (q269_runs_test _),
+    "q270_qq_deciles"   -> (q270_qq_deciles _),
+    "q271_js_divergence" -> (q271_js_divergence _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10219,5 +10328,68 @@ object Queries {
         |  vec_id, sim
         |FROM r WHERE rnk = 1 OR rnk BETWEEN 11 AND 13
         |ORDER BY qid, rnk""".stripMargin,
+    "q269_runs_test" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY rev, day)::BIGINT AS r
+        |  FROM daily),
+        |nn AS (SELECT count(*)::BIGINT AS nn FROM daily),
+        |med AS (SELECT rev AS med FROM ranked, nn
+        |        WHERE r = floor((nn + 1) / 2.0)),
+        |sq AS (SELECT day, (rev > med)::BIGINT AS s FROM daily, med),
+        |sq2 AS (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM sq),
+        |a AS (SELECT
+        |    sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)::BIGINT AS runs,
+        |    sum(s)::BIGINT AS n1, sum(1 - s)::BIGINT AS n0 FROM sq2)
+        |SELECT runs, n1, n0,
+        |  CASE WHEN 2.0 * n1 * n0 * (2.0 * n1 * n0 - (n1 + n0)) /
+        |      ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0)) > 0 THEN
+        |    round((runs - (2.0 * n1 * n0 / (n1 + n0) + 1)) /
+        |      sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - (n1 + n0)) /
+        |        ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))), 4) END AS z
+        |FROM a""".stripMargin,
+    "q270_qq_deciles" ->
+      """WITH p AS (SELECT event_id, value, dayofweek(ts) IN (0, 6) AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |ra AS (SELECT value, row_number() OVER (ORDER BY value, event_id)::BIGINT AS r
+        |  FROM p WHERE NOT wk),
+        |na AS (SELECT count(*)::BIGINT AS n FROM ra),
+        |da AS (SELECT CASE WHEN r <= (n % 10) * (n // 10 + 1)
+        |      THEN (r - 1) // (n // 10 + 1)
+        |      ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
+        |    END + 1 AS decile, max(value) AS q_weekday
+        |  FROM ra, na GROUP BY 1),
+        |rb AS (SELECT value, row_number() OVER (ORDER BY value, event_id)::BIGINT AS r
+        |  FROM p WHERE wk),
+        |nb AS (SELECT count(*)::BIGINT AS n FROM rb),
+        |db AS (SELECT CASE WHEN r <= (n % 10) * (n // 10 + 1)
+        |      THEN (r - 1) // (n // 10 + 1)
+        |      ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
+        |    END + 1 AS decile, max(value) AS q_weekend
+        |  FROM rb, nb GROUP BY 1)
+        |SELECT decile, q_weekday, q_weekend,
+        |  round(q_weekend - q_weekday, 2) AS gap
+        |FROM da JOIN db USING (decile) ORDER BY decile""".stripMargin,
+    "q271_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |counts AS (SELECT source, word, count(*)::BIGINT AS n FROM toks
+        |  WHERE word <> '' GROUP BY source, word),
+        |totals AS (SELECT source, sum(n)::BIGINT AS tot FROM counts GROUP BY source),
+        |vocab AS (SELECT DISTINCT word FROM counts),
+        |dense AS (SELECT t.source, v.word,
+        |    coalesce(c.n, 0) / t.tot AS p
+        |  FROM vocab v CROSS JOIN totals t
+        |  LEFT JOIN counts c ON c.source = t.source AND c.word = v.word)
+        |SELECT a.source AS sa, b.source AS sb,
+        |  round(sum(
+        |    CASE WHEN a.p > 0 THEN a.p / 2.0 * ln(a.p / ((a.p + b.p) / 2.0))
+        |         ELSE 0 END +
+        |    CASE WHEN b.p > 0 THEN b.p / 2.0 * ln(b.p / ((a.p + b.p) / 2.0))
+        |         ELSE 0 END), 6) AS jsd
+        |FROM dense a JOIN dense b ON a.word = b.word AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY sa, sb""".stripMargin,
   )
 }

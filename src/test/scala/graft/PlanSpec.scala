@@ -155,7 +155,13 @@ class PlanSpec extends SparkSpec {
       // + 1-row broadcast MSW
       "q265_tukey_hsd",
       // q268: 5-row probe broadcast over the corpus (q110's pattern)
-      "q268_hard_negatives")
+      "q268_hard_negatives",
+      // q269/q270: 1-row broadcast count/median aggregates (q93's
+      // pattern, per side for q270)
+      "q269_runs_test", "q270_qq_deciles",
+      // q271: bounded source-dimension totals broadcast over the vocab
+      // (the dense-grid fill; the pair frame itself is a word equi-join)
+      "q271_js_divergence")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

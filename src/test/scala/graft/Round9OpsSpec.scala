@@ -202,6 +202,58 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q269 runs test -------------------------------------------------
+
+  test("runs test: hand-computed runs and z on a trending series") {
+    val dir = tmp("graft_runs_")
+    // Six days of strictly rising revenue 1..6: lower median = 3,
+    // above-median signs 0,0,0,1,1,1 → runs = 2, n1 = n0 = 3.
+    // μ = 2·9/6 + 1 = 4; σ² = 2·3·3·(18−6)/(36·5) = 1.2;
+    // z = (2 − 4)/√1.2 = −1.8257.
+    writeEvents(dir, (1 to 6).map(i =>
+      (i.toLong, ts(f"2024-01-$i%02d 12:00:00"), 1L, "purchase", "{}", i.toDouble)))
+    val r = Queries.all("q269_runs_test")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 3L, s"got $r")
+    assert(r.getDouble(3) == BigDecimal(-2.0 / math.sqrt(1.2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $r")
+  }
+
+  // ---- q270 QQ deciles ------------------------------------------------
+
+  test("qq deciles: shifted uniform gives a constant gap") {
+    val dir = tmp("graft_qq_")
+    // 20 weekday purchases valued 1..20 (Mon Jan 1), 20 weekend valued
+    // 101..120 (Sat Jan 6): each decile holds 2 values, decile max is
+    // 2d on one side and 100 + 2d on the other → gap ≡ 100.
+    writeEvents(dir,
+      (1 to 20).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 1L,
+        "purchase", "{}", i.toDouble)) ++
+      (1 to 20).map(i => (100L + i, ts("2024-01-06 10:00:00"), 2L,
+        "purchase", "{}", 100.0 + i)))
+    val got = Queries.all("q270_qq_deciles")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == (1 to 10).map(d =>
+      (d.toLong, 2.0 * d, 100.0 + 2 * d, 100.0)), s"got ${got.toSeq}")
+  }
+
+  // ---- q271 JS divergence ---------------------------------------------
+
+  test("js divergence: mirrored arithmetic on a two-source corpus") {
+    val dir = tmp("graft_jsd_")
+    // srcA = "a a b" (a:2/3, b:1/3), srcB = "a c" (a:1/2, c:1/2):
+    // JSD = (1/3)ln(8/7) + (1/4)ln(6/7) + (1/6)ln 2 + (1/4)ln 2.
+    Seq((1L, "a a b", "en", "srcA", 5L), (2L, "a c", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val want = BigDecimal(
+      (1.0 / 3) * math.log(8.0 / 7) + (1.0 / 4) * math.log(6.0 / 7) +
+        (1.0 / 6) * math.log(2) + (1.0 / 4) * math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Queries.all("q271_js_divergence")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("srcA", "srcB", want)), s"got ${got.toSeq} want $want")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
