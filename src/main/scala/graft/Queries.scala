@@ -6632,6 +6632,107 @@ object Queries {
       .orderBy("sa", "sb")
   }
 
+  /** Cohen's d effect size (with the Hedges' g small-sample
+    * correction) for weekend vs weekday purchase values — the
+    * magnitude readout q261's Mann-Whitney significance omits: a tiny
+    * shift turns "significant" at scale, so pipelines gate on d, not
+    * p. One conditional aggregate computes both groups' exact
+    * count/sum/sum-of-squares in a single pass; pooled SD and both
+    * statistics are arithmetic on those moments, rounded once each.
+    */
+  def q272_cohens_d(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("wk", dayofweek(col("ts")).isin(1, 7))
+      .agg(
+        sum(when(!col("wk"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("wk"), col("value"))).as("s1"),
+        sum(when(!col("wk"), col("value") * col("value"))).as("q1"),
+        sum(when(col("wk"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("wk"), col("value"))).as("s2"),
+        sum(when(col("wk"), col("value") * col("value"))).as("q2"))
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val sp = sqrt(((col("n1") - 1) * v1 + (col("n2") - 1) * v2) /
+      (col("n1") + col("n2") - 2))
+    val d = (col("s1") / col("n1") - col("s2") / col("n2")) / sp
+    a.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
+      round(col("s1") / col("n1"), 4).as("mean_weekday"),
+      round(col("s2") / col("n2"), 4).as("mean_weekend"),
+      round(d, 4).as("cohens_d"),
+      round(d * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("n1") + col("n2")) - 9)), 4).as("hedges_g"))
+  }
+
+  /** Mann-Kendall trend test on daily revenue — the significance
+    * companion to q254's Theil-Sen slope (Theil-Sen says HOW steep,
+    * MK says WHETHER the monotone trend is distinguishable from
+    * noise; together they're the standard nonparametric trend kit).
+    * S = Σ sign(rev_j − rev_i) over ordered day pairs — the C(days,2)
+    * pair frame is calendar-bounded, q254's pattern — and the
+    * tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    * stays in exact integers; daily revenue is rounded once so sign
+    * and tie classes are engine-identical. z applies the standard
+    * ±1 continuity correction, NULL when the variance degenerates.
+    */
+  def q273_mann_kendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val a = daily.select(col("day").as("da"), col("rev").as("ra"))
+    val b = daily.select(col("day").as("db"), col("rev").as("rb"))
+    val sS = a.join(b, col("da") < col("db"))
+      .agg(sum(signum(col("rb") - col("ra")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("rev").agg(count(lit(1)).as("tg"))
+      .agg(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5)).as("tie18"),
+        sum(col("tg")).as("n"))
+    val var18 = col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie18")
+    sS.crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s_stat"),
+        when(var18 > 0, round(
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(var18 / 18.0))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(var18 / 18.0))
+            .otherwise(lit(0.0)), 4)).as("z"))
+  }
+
+  /** TOST equivalence test between the q90 hash split's sides: are
+    * train and holdout purchase values EQUIVALENT within a ±5%-of-
+    * holdout-mean margin — the positive claim q267's SMD audit only
+    * hints at (failing to find a difference is not evidence of
+    * equivalence; two one-sided tests are). Both one-sided z
+    * statistics come from the same single-pass conditional moments
+    * (Welch SE); equivalence holds when z_lower > 1.645 AND z_upper <
+    * −1.645, both tails at α = 0.05. All floats derive from exact
+    * moments with one rounding each.
+    */
+  def q274_tost_equivalence(s: SparkSession, dir: String): DataFrame = {
+    val inTrain =
+      pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80
+    val a = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("t", when(inTrain, 1L).otherwise(0L))
+      .agg(
+        sum(col("t")).as("nt"),
+        sum(when(col("t") === 1, col("value"))).as("st"),
+        sum(when(col("t") === 1, col("value") * col("value"))).as("qt"),
+        sum(lit(1L) - col("t")).as("nc"),
+        sum(when(col("t") === 0, col("value"))).as("sc"),
+        sum(when(col("t") === 0, col("value") * col("value"))).as("qc"))
+    val mt = col("st") / col("nt"); val mc = col("sc") / col("nc")
+    val vt = (col("qt") - col("st") * col("st") / col("nt")) / (col("nt") - 1)
+    val vc = (col("qc") - col("sc") * col("sc") / col("nc")) / (col("nc") - 1)
+    val se = sqrt(vt / col("nt") + vc / col("nc"))
+    val margin = mc * 0.05
+    a.select(col("nt"), col("nc"),
+      round(mt, 4).as("mean_train"), round(mc, 4).as("mean_holdout"),
+      round(margin, 4).as("margin"),
+      round((mt - mc + margin) / se, 4).as("z_lower"),
+      round((mt - mc - margin) / se, 4).as("z_upper"),
+      ((mt - mc + margin) / se > 1.645 &&
+        (mt - mc - margin) / se < -1.645).as("equivalent"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -6904,6 +7005,9 @@ object Queries {
     "q269_runs_test"    -> (q269_runs_test _),
     "q270_qq_deciles"   -> (q270_qq_deciles _),
     "q271_js_divergence" -> (q271_js_divergence _),
+    "q272_cohens_d"     -> (q272_cohens_d _),
+    "q273_mann_kendall" -> (q273_mann_kendall _),
+    "q274_tost_equivalence" -> (q274_tost_equivalence _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10391,5 +10495,76 @@ object Queries {
         |         ELSE 0 END), 6) AS jsd
         |FROM dense a JOIN dense b ON a.word = b.word AND a.source < b.source
         |GROUP BY a.source, b.source ORDER BY sa, sb""".stripMargin,
+    "q272_cohens_d" ->
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)::BIGINT AS n1,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN NULL ELSE value END) AS s1,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN NULL
+        |        ELSE value * value END) AS q1,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN value END) AS s2,
+        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN value * value END) AS q2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT n1 AS n_weekday, n2 AS n_weekend,
+        |  round(s1 / n1, 4) AS mean_weekday,
+        |  round(s2 / n2, 4) AS mean_weekend,
+        |  round((s1 / n1 - s2 / n2) /
+        |    sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1)) +
+        |          (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1))) /
+        |         (n1 + n2 - 2)), 4) AS cohens_d,
+        |  round((s1 / n1 - s2 / n2) /
+        |    sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1)) +
+        |          (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1))) /
+        |         (n1 + n2 - 2)) *
+        |    (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)), 4) AS hedges_g
+        |FROM a""".stripMargin,
+    "q273_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |ss AS (SELECT sum(sign(b.rev - a.rev))::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |ties AS (SELECT sum(tg * (tg - 1) * (2 * tg + 5))::BIGINT AS tie18,
+        |    sum(tg)::BIGINT AS n
+        |  FROM (SELECT count(*)::BIGINT AS tg FROM daily GROUP BY rev))
+        |SELECT n AS n_days, s_stat,
+        |  CASE WHEN n * (n - 1) * (2 * n + 5) - tie18 > 0 THEN
+        |    round(CASE WHEN s_stat > 0 THEN (s_stat - 1) /
+        |        sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0)
+        |      WHEN s_stat < 0 THEN (s_stat + 1) /
+        |        sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0)
+        |      ELSE 0.0 END, 4) END AS z
+        |FROM ss, ties""".stripMargin,
+    "q274_tost_equivalence" ->
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN value END) AS st,
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN value * value END) AS qt,
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN 0 ELSE 1 END)::BIGINT AS nc,
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN NULL ELSE value END) AS sc,
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN NULL ELSE value * value END) AS qc
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT nt, nc,
+        |  round(st / nt, 4) AS mean_train, round(sc / nc, 4) AS mean_holdout,
+        |  round(sc / nc * 0.05, 4) AS margin,
+        |  round((st / nt - sc / nc + sc / nc * 0.05) /
+        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
+        |         (qc - sc * sc / nc) / (nc - 1) / nc), 4) AS z_lower,
+        |  round((st / nt - sc / nc - sc / nc * 0.05) /
+        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
+        |         (qc - sc * sc / nc) / (nc - 1) / nc), 4) AS z_upper,
+        |  ((st / nt - sc / nc + sc / nc * 0.05) /
+        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
+        |         (qc - sc * sc / nc) / (nc - 1) / nc) > 1.645 AND
+        |   (st / nt - sc / nc - sc / nc * 0.05) /
+        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
+        |         (qc - sc * sc / nc) / (nc - 1) / nc) < -1.645) AS equivalent
+        |FROM a""".stripMargin,
   )
 }

@@ -161,7 +161,10 @@ class PlanSpec extends SparkSpec {
       "q269_runs_test", "q270_qq_deciles",
       // q271: bounded source-dimension totals broadcast over the vocab
       // (the dense-grid fill; the pair frame itself is a word equi-join)
-      "q271_js_divergence")
+      "q271_js_divergence",
+      // q273: day-grain C(n,2) pair self-join (q254's pattern) + 1-row
+      // broadcast tie-variance aggregate
+      "q273_mann_kendall")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

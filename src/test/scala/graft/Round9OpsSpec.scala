@@ -254,6 +254,65 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("srcA", "srcB", want)), s"got ${got.toSeq} want $want")
   }
 
+  // ---- q272 Cohen's d -------------------------------------------------
+
+  test("cohens d: hand-computed effect size with Hedges correction") {
+    val dir = tmp("graft_cd_")
+    // Weekday {1,2,3} vs weekend {2,3,4}: both variances 1, pooled
+    // SD 1 → d = (2−3)/1 = −1; g = d·(1 − 3/(4·6−9)) = −0.8.
+    val wkday = ts("2024-01-01 09:00:00"); val wkend = ts("2024-01-06 09:00:00")
+    writeEvents(dir,
+      Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, wkday, 1L, "purchase", "{}", v) } ++
+      Seq(2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, wkend, 2L, "purchase", "{}", v) })
+    val r = Queries.all("q272_cohens_d")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0 &&
+      r.getDouble(4) == -1.0 && r.getDouble(5) == -0.8, s"got $r")
+  }
+
+  // ---- q273 Mann-Kendall ----------------------------------------------
+
+  test("mann-kendall: strictly rising series gives S = C(n,2)") {
+    val dir = tmp("graft_mk_")
+    // Revs 1,2,3 over 3 days: S = 3, no ties → 18·Var = 3·2·11 = 66,
+    // z = (3−1)/√(66/18) = 1.0445.
+    writeEvents(dir, (1 to 3).map(i =>
+      (i.toLong, ts(f"2024-01-0$i 12:00:00"), 1L, "purchase", "{}", i.toDouble)))
+    val r = Queries.all("q273_mann_kendall")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, s"got $r")
+    assert(r.getDouble(2) == BigDecimal(2.0 / math.sqrt(66.0 / 18))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $r")
+  }
+
+  // ---- q274 TOST equivalence ------------------------------------------
+
+  test("tost: identical tiny sides compute symmetric z, not equivalent") {
+    val dir = tmp("graft_tost_")
+    // Both sides hold values {10,12}: diff 0, margin 0.55, Welch SE √2
+    // → z = ±0.3889 — inside ±1.645, so equivalence is NOT claimed
+    // (underpowered, the whole point of TOST vs "p > 0.05 means same").
+    def side(id: Long): Long =
+      if (((id * 2654435761L) % 4294967296L) % 100 < 80) 1L else 0L
+    val ids = (1L to 100L)
+    val train = ids.filter(side(_) == 1L).take(2)
+    val hold = ids.filter(side(_) == 0L).take(2)
+    val day = ts("2024-01-01 10:00:00")
+    writeEvents(dir, Seq(
+      (1L, day, train(0), "purchase", "{}", 10.0),
+      (2L, day, train(1), "purchase", "{}", 12.0),
+      (3L, day, hold(0), "purchase", "{}", 10.0),
+      (4L, day, hold(1), "purchase", "{}", 12.0)))
+    val r = Queries.all("q274_tost_equivalence")(spark, dir).collect()(0)
+    val z = BigDecimal(0.55 / math.sqrt(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 11.0 && r.getDouble(3) == 11.0 &&
+      r.getDouble(4) == 0.55 && r.getDouble(5) == z &&
+      r.getDouble(6) == -z && !r.getBoolean(7), s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
