@@ -6298,9 +6298,16 @@ object Queries {
     byDur.crossJoin(broadcast(tot))
       .withColumn("cum", sum("ended").over(w))
       .withColumn("n_risk", col("n_users") - col("cum") + col("ended"))
-      .withColumn("surv", round(exp(sum(
-        when(col("d") > 0, log(lit(1.0) - col("d") / col("n_risk")))
-          .otherwise(lit(0.0))).over(w)), 4))
+      // d = n_risk (the whole remaining risk set converts at t) sends
+      // the product to EXACTLY 0 — handled as a sticky flag, never as
+      // ln(0) (Spark nulls it, DuckDB raises; both wrong)
+      .withColumn("hit0",
+        max((col("d") === col("n_risk")).cast("long")).over(w))
+      .withColumn("surv", when(col("hit0") === 1, lit(0.0))
+        .otherwise(round(exp(sum(
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            log(lit(1.0) - col("d") / col("n_risk")))
+            .otherwise(lit(0.0))).over(w)), 4)))
       .filter(col("d") > 0)
       .select(col("dur").as("t_days"), col("n_risk"), col("d").as("deaths"),
         col("surv"))
@@ -10326,11 +10333,15 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
         |  FROM b),
         |r AS (SELECT dur, d, n_users - cum + ended AS n_risk,
-        |    CASE WHEN d > 0 THEN ln(1 - d::DOUBLE / (n_users - cum + ended))
+        |    CASE WHEN d > 0 AND d < n_users - cum + ended
+        |         THEN ln(1 - d::DOUBLE / (n_users - cum + ended))
         |         ELSE 0 END AS lns FROM c, t),
         |s AS (SELECT *, sum(lns) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl FROM r)
-        |SELECT dur AS t_days, n_risk, d AS deaths, round(exp(cl), 4) AS surv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+        |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit0 FROM r)
+        |SELECT dur AS t_days, n_risk, d AS deaths,
+        |  CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(cl), 4) END AS surv
         |FROM s WHERE d > 0 ORDER BY t_days""".stripMargin,
     "q263_psi_drift" ->
       """WITH p AS (SELECT ts::DATE AS day, value FROM events

@@ -83,6 +83,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5)), s"got ${got.toSeq}")
   }
 
+  test("kaplan-meier: full conversion drives survival to exactly 0") {
+    val dir = tmp("graft_km0_")
+    // u1 converts at t=0, u2 at t=2 — the last death exhausts the risk
+    // set (d = n_risk), which must yield surv = 0.0 exactly, never a
+    // ln(0) (Spark nulls it, DuckDB raises — the sf0.001 edge).
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "purchase", "{}", 1.0),
+      (2L, ts("2024-01-01 08:00:00"), 2L, "view", "{}", 1.0),
+      (3L, ts("2024-01-03 08:00:00"), 2L, "purchase", "{}", 1.0)))
+    val got = Queries.all("q262_kaplan_meier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 1L, 0.5), (2L, 1L, 1L, 0.0)), s"got ${got.toSeq}")
+  }
+
   // ---- q263 PSI drift -------------------------------------------------
 
   test("psi drift: mirrored-arithmetic check on a two-bin shift") {
