@@ -6740,6 +6740,68 @@ object Queries {
         (mt - mc - margin) / se < -1.645).as("equivalent"))
   }
 
+  /** Herfindahl-Hirschman concentration of order revenue across the
+    * nations of each region — the antitrust-style "is this market a
+    * monopoly" index (HHI > 2500 = highly concentrated), and the
+    * supplier-risk readout for a region's order book. Fact rows join
+    * the BROADCAST customer→nation→region dimension path (q02's
+    * shape — the orders side never shuffles for the dims), revenue is
+    * exact integer cents (q260's rule), and HHI = 10000·Σ share² is
+    * one division per nation row then an exact-ordered sum over a
+    * bounded (≤ nations-per-region) frame.
+    */
+  def q275_hhi_concentration(s: SparkSession, dir: String): DataFrame = {
+    val byNation = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val byRegion = byNation.groupBy("r_name")
+      .agg(sum("cents").as("tot"), count(lit(1)).as("n_nations"))
+    byNation.join(byRegion, "r_name")
+      .groupBy("r_name", "n_nations")
+      .agg(round(sum(
+        (col("cents") / col("tot")) * (col("cents") / col("tot")) * 10000
+      ), 2).as("hhi"))
+      .select(col("r_name"), col("n_nations"), col("hhi"))
+      .orderBy("r_name")
+  }
+
+  /** Jarque-Bera normality test on the daily-revenue series: JB =
+    * n/6·(S² + (K−3)²/4) from skewness and excess kurtosis — the
+    * cheap gate before any analysis that assumes Gaussian daily
+    * aggregates (q86's z-scores, q144's forecast intervals). One
+    * day-grain aggregate collects the raw power sums (day counts keep
+    * every magnitude inside double's exact-integer range); central
+    * moments, S, K, and JB are one fixed-order arithmetic expression
+    * each, mirrored verbatim in the oracle, rounded once.
+    */
+  def q276_jarque_bera(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val a = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"),
+      sum(col("rev") * col("rev") * col("rev")).as("s3"),
+      sum(col("rev") * col("rev") * col("rev") * col("rev")).as("s4"))
+    val m = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - m * m
+    val m3 = col("s3") / col("n") - m * (col("s2") / col("n")) * 3 + m * m * m * 2
+    val m4 = col("s4") / col("n") - m * (col("s3") / col("n")) * 4 +
+      m * m * (col("s2") / col("n")) * 6 - m * m * m * m * 3
+    val sk = m3 / sqrt(m2 * m2 * m2)
+    val ku = m4 / (m2 * m2)
+    a.select(col("n").cast("long").as("n_days"),
+      round(sk, 4).as("skewness"),
+      round(ku - 3, 4).as("excess_kurtosis"),
+      round(col("n") / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0), 4).as("jb"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7015,6 +7077,8 @@ object Queries {
     "q272_cohens_d"     -> (q272_cohens_d _),
     "q273_mann_kendall" -> (q273_mann_kendall _),
     "q274_tost_equivalence" -> (q274_tost_equivalence _),
+    "q275_hhi_concentration" -> (q275_hhi_concentration _),
+    "q276_jarque_bera"  -> (q276_jarque_bera _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10577,5 +10641,38 @@ object Queries {
         |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
         |         (qc - sc * sc / nc) / (nc - 1) / nc) < -1.645) AS equivalent
         |FROM a""".stripMargin,
+    "q275_hhi_concentration" ->
+      """WITH bn AS (SELECT r_name, n_name,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |br AS (SELECT r_name, sum(cents)::BIGINT AS tot,
+        |    count(*)::BIGINT AS n_nations FROM bn GROUP BY r_name)
+        |SELECT r_name, n_nations,
+        |  round(sum((cents / tot) * (cents / tot) * 10000), 2) AS hhi
+        |FROM bn JOIN br USING (r_name)
+        |GROUP BY r_name, n_nations ORDER BY r_name""".stripMargin,
+    "q276_jarque_bera" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
+        |    sum(rev * rev) AS s2, sum(rev * rev * rev) AS s3,
+        |    sum(rev * rev * rev * rev) AS s4 FROM daily),
+        |b AS (SELECT n, s1 / n AS m, s2, s3, s4 FROM a),
+        |c AS (SELECT n,
+        |    s2 / n - m * m AS m2,
+        |    s3 / n - m * (s2 / n) * 3 + m * m * m * 2 AS m3,
+        |    s4 / n - m * (s3 / n) * 4 + m * m * (s2 / n) * 6
+        |      - m * m * m * m * 3 AS m4 FROM b),
+        |d AS (SELECT n, m3 / sqrt(m2 * m2 * m2) AS sk,
+        |    m4 / (m2 * m2) AS ku FROM c)
+        |SELECT n::BIGINT AS n_days, round(sk, 4) AS skewness,
+        |  round(ku - 3, 4) AS excess_kurtosis,
+        |  round(n / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0), 4) AS jb
+        |FROM d""".stripMargin,
   )
 }

@@ -327,6 +327,50 @@ class Round9OpsSpec extends SparkSpec {
       r.getDouble(6) == -z && !r.getBoolean(7), s"got $r")
   }
 
+  // ---- q275 HHI concentration -----------------------------------------
+
+  test("hhi: 60/40 two-nation region gives 5200") {
+    val dir = tmp("graft_hhi_")
+    Seq((1L, "R1")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1L, "NA", 1L), (2L, "NB", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 60.0), (2L, 2L, 40.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q275_hhi_concentration")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // shares 0.6/0.4 → 10000·(0.36 + 0.16) = 5200
+    assert(got.toSeq == Seq(("R1", 2L, 5200.0)), s"got ${got.toSeq}")
+  }
+
+  // ---- q276 Jarque-Bera -----------------------------------------------
+
+  test("jarque-bera: symmetric three-day series, mirrored arithmetic") {
+    val dir = tmp("graft_jb_")
+    // Daily revs {1,2,3}: symmetric → skewness exactly 0; kurtosis and
+    // JB recomputed here with the query's own expression order so the
+    // assertion is bit-faithful.
+    writeEvents(dir, (1 to 3).map(i =>
+      (i.toLong, ts(f"2024-01-0$i 12:00:00"), 1L, "purchase", "{}", i.toDouble)))
+    val n = 3.0; val s1 = 6.0; val s2 = 14.0; val s3 = 36.0; val s4 = 98.0
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - m * (s2 / n) * 3 + m * m * m * 2
+    val m4 = s4 / n - m * (s3 / n) * 4 + m * m * (s2 / n) * 6 - m * m * m * m * 3
+    val sk = m3 / math.sqrt(m2 * m2 * m2); val ku = m4 / (m2 * m2)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Queries.all("q276_jarque_bera")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == r4(sk) &&
+      r.getDouble(2) == r4(ku - 3) &&
+      r.getDouble(3) == r4(n / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0)),
+      s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
