@@ -6802,6 +6802,66 @@ object Queries {
       round(col("n") / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0), 4).as("jb"))
   }
 
+  /** Grubbs' maximum-studentized-deviate test on daily revenue: the
+    * single most extreme day and how many sample SDs it sits from the
+    * mean — the formal "is this one day an outlier" complement to
+    * q86's per-row z-flags (Grubbs is the statistic its critical
+    * tables are built for). Moments ride in as a 1-row broadcast
+    * aggregate; G is one fixed-order float expression; the argmax is
+    * integer/na-safe TakeOrdered with a day tie-break, so the
+    * selected row is engine-identical.
+    */
+  def q277_grubbs(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val mom = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"))
+    val mean = col("s1") / col("n")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    daily.crossJoin(broadcast(mom))
+      .withColumn("g", abs(col("rev") - mean) / sd)
+      .orderBy(col("g").desc, col("day").asc)
+      .limit(1)
+      .select(col("n").cast("long").as("n_days"), col("day"), col("rev"),
+        round(col("g"), 4).as("g_stat"))
+  }
+
+  /** Levene's test (mean-centered form) for variance homogeneity of
+    * daily purchase counts across weekdays — the assumption check
+    * BEHIND q259's ANOVA (its F is only calibrated when group
+    * variances match; Levene is how you find out). Group means join
+    * back as a bounded broadcast (≤7 rows); the absolute deviations
+    * then run the same one-way F machinery as q259, here on the
+    * day-grain z frame. All counts/sums exact; the F statistic is the
+    * one rounded float, NULL when the within-group spread degenerates.
+    */
+  def q278_levene(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val gm = daily.groupBy("wd")
+      .agg((sum("x") / count(lit(1))).as("gmean"))
+    val z = daily.join(broadcast(gm), "wd")
+      .select(col("wd"), abs(col("x") - col("gmean")).as("z"))
+    val g = z.groupBy("wd")
+      .agg(count(lit(1)).as("ng"), sum("z").as("sg"),
+        sum(col("z") * col("z")).as("qg"))
+    val tot = g.agg(sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
+      count(lit(1)).as("k"),
+      sum(col("sg") * col("sg") / col("ng")).as("ssb_part"))
+    val ssb = col("ssb_part") - col("s") * col("s") / col("n")
+    val ssw = col("q") - col("ssb_part")
+    tot.select(col("k"), col("n").as("n_days"),
+      round(ssb / (col("k") - 1), 4).as("ms_between"),
+      round(ssw / (col("n") - col("k")), 4).as("ms_within"),
+      when(ssw > 0, round((ssb / (col("k") - 1)) /
+        (ssw / (col("n") - col("k"))), 4)).as("w_stat"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7079,6 +7139,8 @@ object Queries {
     "q274_tost_equivalence" -> (q274_tost_equivalence _),
     "q275_hhi_concentration" -> (q275_hhi_concentration _),
     "q276_jarque_bera"  -> (q276_jarque_bera _),
+    "q277_grubbs"       -> (q277_grubbs _),
+    "q278_levene"       -> (q278_levene _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10674,5 +10736,35 @@ object Queries {
         |  round(ku - 3, 4) AS excess_kurtosis,
         |  round(n / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0), 4) AS jb
         |FROM d""".stripMargin,
+    "q277_grubbs" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |mom AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
+        |    sum(rev * rev) AS s2 FROM daily)
+        |SELECT n::BIGINT AS n_days, day, rev,
+        |  round(abs(rev - s1 / n) /
+        |    sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS g_stat
+        |FROM daily, mom
+        |ORDER BY abs(rev - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) DESC,
+        |  day ASC LIMIT 1""".stripMargin,
+    "q278_levene" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (SELECT x, (dayofweek(day) + 1)::BIGINT AS wd FROM daily),
+        |gm AS (SELECT wd, sum(x) / count(*) AS gmean FROM dd GROUP BY wd),
+        |z AS (SELECT dd.wd, abs(x - gmean) AS z FROM dd JOIN gm USING (wd)),
+        |g AS (SELECT wd, count(*)::BIGINT AS ng, sum(z) AS sg,
+        |    sum(z * z) AS qg FROM z GROUP BY wd),
+        |tot AS (SELECT sum(ng)::BIGINT AS n, sum(sg) AS s, sum(qg) AS q,
+        |    count(*)::BIGINT AS k, sum(sg * sg / ng) AS ssb_part FROM g)
+        |SELECT k, n AS n_days,
+        |  round((ssb_part - s * s / n) / (k - 1), 4) AS ms_between,
+        |  round((q - ssb_part) / (n - k), 4) AS ms_within,
+        |  CASE WHEN q - ssb_part > 0 THEN
+        |    round(((ssb_part - s * s / n) / (k - 1)) /
+        |          ((q - ssb_part) / (n - k)), 4) END AS w_stat
+        |FROM tot""".stripMargin,
   )
 }

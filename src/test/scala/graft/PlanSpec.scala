@@ -164,7 +164,9 @@ class PlanSpec extends SparkSpec {
       "q271_js_divergence",
       // q273: day-grain C(n,2) pair self-join (q254's pattern) + 1-row
       // broadcast tie-variance aggregate
-      "q273_mann_kendall")
+      "q273_mann_kendall",
+      // q277: 1-row broadcast moment aggregate (q101's pattern)
+      "q277_grubbs")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -371,6 +371,43 @@ class Round9OpsSpec extends SparkSpec {
       s"got $r")
   }
 
+  // ---- q277 Grubbs ----------------------------------------------------
+
+  test("grubbs: the extreme day is selected with its studentized deviate") {
+    val dir = tmp("graft_grubbs_")
+    // Daily revs {1,2,3,10}: mean 4, sample var 50/3 → the Jan-4 spike
+    // wins with G = 6/√(50/3).
+    writeEvents(dir, Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-0${i + 1} 12:00:00"), 1L, "purchase", "{}", v) })
+    val r = Queries.all("q277_grubbs")(spark, dir).collect()(0)
+    val g = BigDecimal(6.0 / math.sqrt((114.0 - 16.0 * 16.0 / 4.0) / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 4L && r.getDate(1).toString == "2024-01-04" &&
+      r.getDouble(2) == 10.0 && r.getDouble(3) == g, s"got $r")
+  }
+
+  // ---- q278 Levene ----------------------------------------------------
+
+  test("levene: hand-computed W for unequal weekday spreads") {
+    val dir = tmp("graft_levene_")
+    // Sundays (Jan 7/14/21) see 1/5/3 purchases (z = 2,2,0), Mondays
+    // (Jan 1/8) 3/3 (z = 0,0): ssb_part = 16/3, SSB = 16/3 − 16/5,
+    // SSW = 8 − 16/3 → W = (SSB/1)/(SSW/3) = 2.4.
+    def burst(day: String, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, ts(s"$day 10:0$i:00"), 1L, "purchase", "{}", 1.0))
+    writeEvents(dir,
+      burst("2024-01-07", 1, 100) ++ burst("2024-01-14", 5, 200) ++
+        burst("2024-01-21", 3, 300) ++
+        burst("2024-01-01", 3, 400) ++ burst("2024-01-08", 3, 500))
+    val r = Queries.all("q278_levene")(spark, dir).collect()(0)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ssb = 16.0 / 3 - 16.0 / 5; val ssw = 8.0 - 16.0 / 3
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L &&
+      r.getDouble(2) == r4(ssb) && r.getDouble(3) == r4(ssw / 3) &&
+      r.getDouble(4) == r4(ssb / (ssw / 3)), s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
