@@ -6862,6 +6862,68 @@ object Queries {
         (ssw / (col("n") - col("k"))), 4)).as("w_stat"))
   }
 
+  /** Cronbach's alpha over the five per-user engagement "items" (one
+    * count per event type): do the activity channels move together
+    * enough to justify q242-style composite engagement scores (alpha
+    * ≥ 0.7 is the conventional bar for summing items into one
+    * feature). One conditional aggregate builds the user×item count
+    * frame; every item and total variance comes from EXACT integer
+    * sums/sums-of-squares (counts), so alpha is a single fixed-order
+    * float expression — engine-identical before its one rounding.
+    */
+  def q279_cronbach_alpha(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val u = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(types.map(tp =>
+        sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp")).head,
+        types.tail.map(tp =>
+          sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp")): _*)
+      .withColumn("tot", types.map(tp => col(s"c_$tp")).reduce(_ + _))
+    val moments = Seq(sum("tot").as("st"), sum(col("tot") * col("tot")).as("qt")) ++
+      types.flatMap(tp => Seq(
+        sum(col(s"c_$tp")).as(s"s_$tp"),
+        sum(col(s"c_$tp") * col(s"c_$tp")).as(s"q_$tp")))
+    val a = u.agg(count(lit(1)).as("n"), moments: _*)
+    def sv(sc: Column, qc: Column) =
+      (qc - sc * sc / col("n")) / (col("n") - 1)
+    val itemVarSum = types.map(tp => sv(col(s"s_$tp"), col(s"q_$tp"))).reduce(_ + _)
+    val totVar = sv(col("st"), col("qt"))
+    a.select(col("n").as("n_users"), lit(5L).as("k"),
+      round(lit(5.0) / 4.0 * (lit(1.0) - itemVarSum / totVar), 4).as("alpha"))
+  }
+
+  /** Tukey-fence outlier census on daily revenue: Q1/Q3 picked by
+    * EXACT rank (type-1 quantiles — actual data values, never
+    * interpolated floats), fences at 1.5·IQR, and the count of days
+    * beyond each fence — the box-plot numbers behind q109's
+    * MAD-based flags, over the calendar-bounded day frame. Quartile
+    * rows ride in as 1-row broadcast selections; the fence
+    * comparisons and counts are exact.
+    */
+  def q280_tukey_fences(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val ranked = daily
+      .withColumn("r", row_number().over(Window.orderBy("rev", "day")).cast("long"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
+    val q1 = ranked.filter(col("r") === ceil(col("nn") / 4.0))
+      .select(col("rev").as("q1"))
+    val q3 = ranked.filter(col("r") === ceil(col("nn") * 3 / 4.0))
+      .select(col("rev").as("q3"))
+    daily.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+      .agg(count(lit(1)).as("n_days"), first(col("q1")).as("q1x"),
+        first(col("q3")).as("q3x"),
+        sum(when(col("rev") < col("q1") - (col("q3") - col("q1")) * 1.5, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("rev") > col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
+          .otherwise(0L)).as("n_high"))
+      .select(col("n_days"), col("q1x").as("q1"), col("q3x").as("q3"),
+        col("n_low"), col("n_high"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7141,6 +7203,8 @@ object Queries {
     "q276_jarque_bera"  -> (q276_jarque_bera _),
     "q277_grubbs"       -> (q277_grubbs _),
     "q278_levene"       -> (q278_levene _),
+    "q279_cronbach_alpha" -> (q279_cronbach_alpha _),
+    "q280_tukey_fences" -> (q280_tukey_fences _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10766,5 +10830,44 @@ object Queries {
         |    round(((ssb_part - s * s / n) / (k - 1)) /
         |          ((q - ssb_part) / (n - k)), 4) END AS w_stat
         |FROM tot""".stripMargin,
+    "q279_cronbach_alpha" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c3,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS c4,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c5,
+        |    count(*)::BIGINT AS tot
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(tot)::BIGINT AS st, sum(tot * tot)::BIGINT AS qt,
+        |    sum(c1)::BIGINT AS s1, sum(c1 * c1)::BIGINT AS q1,
+        |    sum(c2)::BIGINT AS s2, sum(c2 * c2)::BIGINT AS q2,
+        |    sum(c3)::BIGINT AS s3, sum(c3 * c3)::BIGINT AS q3,
+        |    sum(c4)::BIGINT AS s4, sum(c4 * c4)::BIGINT AS q4,
+        |    sum(c5)::BIGINT AS s5, sum(c5 * c5)::BIGINT AS q5
+        |  FROM u)
+        |SELECT n AS n_users, 5::BIGINT AS k,
+        |  round(5.0 / 4.0 * (1.0 -
+        |    ((q1 - s1 * s1 / n) / (n - 1) + (q2 - s2 * s2 / n) / (n - 1) +
+        |     (q3 - s3 * s3 / n) / (n - 1) + (q4 - s4 * s4 / n) / (n - 1) +
+        |     (q5 - s5 * s5 / n) / (n - 1)) /
+        |    ((qt - st * st / n) / (n - 1))), 4) AS alpha
+        |FROM a""".stripMargin,
+    "q280_tukey_fences" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY rev, day)::BIGINT AS r
+        |  FROM daily),
+        |nn AS (SELECT count(*)::BIGINT AS nn FROM daily),
+        |q1 AS (SELECT rev AS q1 FROM ranked, nn WHERE r = ceil(nn / 4.0)),
+        |q3 AS (SELECT rev AS q3 FROM ranked, nn WHERE r = ceil(nn * 3 / 4.0))
+        |SELECT count(*)::BIGINT AS n_days, first(q1) AS q1, first(q3) AS q3,
+        |  sum(CASE WHEN rev < q1 - (q3 - q1) * 1.5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_low,
+        |  sum(CASE WHEN rev > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_high
+        |FROM daily, q1, q3""".stripMargin,
   )
 }

@@ -166,7 +166,9 @@ class PlanSpec extends SparkSpec {
       // broadcast tie-variance aggregate
       "q273_mann_kendall",
       // q277: 1-row broadcast moment aggregate (q101's pattern)
-      "q277_grubbs")
+      "q277_grubbs",
+      // q280: 1-row broadcast count + quartile picks (q269's pattern)
+      "q280_tukey_fences")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -408,6 +408,39 @@ class Round9OpsSpec extends SparkSpec {
       r.getDouble(4) == r4(ssb / (ssw / 3)), s"got $r")
   }
 
+  // ---- q279 Cronbach's alpha ------------------------------------------
+
+  test("cronbach alpha: hand-computed from integer item moments") {
+    val dir = tmp("graft_alpha_")
+    // u1: click+purchase (tot 2); u2: error+purchase+2 views (tot 4).
+    // Item variances 0.5+0.5+0+0+2 = 3, total variance 2 →
+    // alpha = 5/4·(1 − 3/2) = −0.625 (negative is legal: the items
+    // anti-covary in this tiny fixture).
+    val day = ts("2024-01-01 10:00:00")
+    writeEvents(dir, Seq(
+      (1L, day, 1L, "click", "{}", 1.0), (2L, day, 1L, "purchase", "{}", 1.0),
+      (3L, day, 2L, "error", "{}", 1.0), (4L, day, 2L, "purchase", "{}", 1.0),
+      (5L, day, 2L, "view", "{}", 1.0), (6L, day, 2L, "view", "{}", 1.0)))
+    val r = Queries.all("q279_cronbach_alpha")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L &&
+      r.getDouble(2) == -0.625, s"got $r")
+  }
+
+  // ---- q280 Tukey fences ----------------------------------------------
+
+  test("tukey fences: rank-picked quartiles and the spike census") {
+    val dir = tmp("graft_fence_")
+    // Revs 1..7 plus a 100 spike: Q1 = rank ⌈8/4⌉ = 2 → 2, Q3 = rank 6
+    // → 6, fences [−4, 12] → exactly the spike sits above.
+    writeEvents(dir, (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0))
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, ts(f"2024-01-0${i + 1}%01d 12:00:00".take(19)), 1L,
+          "purchase", "{}", v) })
+    val r = Queries.all("q280_tukey_fences")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 8L && r.getDouble(1) == 2.0 && r.getDouble(2) == 6.0 &&
+      r.getLong(3) == 0L && r.getLong(4) == 1L, s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
