@@ -6924,6 +6924,72 @@ object Queries {
         col("n_low"), col("n_high"))
   }
 
+  /** Token-coverage curve: what fraction of all corpus tokens the top
+    * 10 / 100 / 1000 most-frequent words cover — the number that
+    * sizes a vocabulary (q48) or a stopword list, and the empirical
+    * face of q170's Zipf fit. One fused-tokenizer count pass; ranking
+    * is [[PrefixSum.globalRank]] on (−count, word) (integer-keyed —
+    * float noise cannot reorder it) and the cumulative token mass is
+    * the distributed runningTotal over that rank, so no step is a
+    * mandatory single-partition window over the vocabulary. Counts
+    * exact; one division per checkpoint row.
+    */
+  def q281_token_coverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val counts = tWide(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("neg", -col("n"))
+    val ranked = PrefixSum.globalRank(counts, Seq("neg", "word"), "r")
+    val cum = PrefixSum.runningTotal(ranked, "r", "n", "cum")
+    val tot = counts.agg(sum("n").as("total"), count(lit(1)).as("vocab"))
+    cum.filter(col("r").isin(10L, 25L, 50L, 100L, 1000L))
+      .crossJoin(broadcast(tot))
+      .select(col("r").as("top_k"), col("cum").as("tokens_covered"),
+        col("total").as("total_tokens"), col("vocab").as("vocab_size"),
+        round(col("cum") / col("total"), 6).as("coverage"))
+      .orderBy("top_k")
+  }
+
+  /** Per-user inter-event burstiness B = (σ−μ)/(σ+μ) over gap times —
+    * the Goh-Barabási parameter separating Poisson-like activity
+    * (B ≈ 0) from bursty sessions (B → 1) and metronomes (B → −1);
+    * the shape number behind q87's raw gap telemetry that decides
+    * session-window widths. Gaps are EXACT integer microseconds from
+    * one per-user lag window (user-partitioned — embarrassingly
+    * parallel); each user's μ/σ come from exact integer moments, and
+    * only users with ≥ 5 gaps enter the corpus summary (B is
+    * meaningless below that). The summary reports mean B and the
+    * bursty/regular split.
+    */
+  def q282_burstiness(s: SparkSession, dir: String): DataFrame = {
+    // SECOND-grain exact integers: gap² in microseconds overflows
+    // int64 (10-day gap ⇒ ~1e30); seconds keep every moment exact.
+    // floor(µs/1e6) is the same IEEE double op on both engines.
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(1e6))
+          .cast("long").as("t"))
+    // event_id tie-break: equal timestamps within a user must order
+    // identically on both engines or the gap sequence diverges
+    val gaps = ev
+      .withColumn("gap",
+        col("t") - lag("t", 1).over(
+          Window.partitionBy("user_id").orderBy("t", "event_id")))
+      .filter(col("gap").isNotNull)
+    val perUser = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("ng"), sum("gap").as("sg"),
+        sum(col("gap") * col("gap")).as("qg"))
+      .filter(col("ng") >= 5)
+    val mu = col("sg") / col("ng")
+    val sd = sqrt(col("qg") / col("ng") - mu * mu)
+    val b = (sd - mu) / (sd + mu)
+    perUser.agg(count(lit(1)).as("n_users"),
+      round(sum(b) / count(lit(1)), 4).as("mean_b"),
+      sum(when(b > 0, 1L).otherwise(0L)).as("n_bursty"),
+      sum(when(b <= 0, 1L).otherwise(0L)).as("n_regular"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7205,6 +7271,8 @@ object Queries {
     "q278_levene"       -> (q278_levene _),
     "q279_cronbach_alpha" -> (q279_cronbach_alpha _),
     "q280_tukey_fences" -> (q280_tukey_fences _),
+    "q281_token_coverage" -> (q281_token_coverage _),
+    "q282_burstiness"   -> (q282_burstiness _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10869,5 +10937,38 @@ object Queries {
         |  sum(CASE WHEN rev > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_high
         |FROM daily, q1, q3""".stripMargin,
+    "q281_token_coverage" ->
+      """WITH counts AS (
+        |  SELECT word, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> '' GROUP BY word),
+        |ranked AS (SELECT n,
+        |    row_number() OVER (ORDER BY -n ASC, word ASC)::BIGINT AS r
+        |  FROM counts),
+        |cum AS (SELECT r, sum(n) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM ranked),
+        |tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vocab
+        |  FROM counts)
+        |SELECT r AS top_k, cum AS tokens_covered, total AS total_tokens,
+        |  vocab AS vocab_size, round(cum::DOUBLE / total, 6) AS coverage
+        |FROM cum, tot WHERE r IN (10, 25, 50, 100, 1000) ORDER BY top_k""".stripMargin,
+    "q282_burstiness" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    floor(epoch_us(ts) / 1000000.0)::BIGINT AS t FROM events),
+        |gaps AS (SELECT user_id,
+        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |  FROM ev),
+        |pu AS (SELECT user_id, count(*)::BIGINT AS ng, sum(gap)::BIGINT AS sg,
+        |    sum(gap * gap)::BIGINT AS qg
+        |  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+        |  HAVING count(*) >= 5),
+        |b AS (SELECT (sqrt(qg / ng - (sg / ng) * (sg / ng)) - sg / ng) /
+        |    (sqrt(qg / ng - (sg / ng) * (sg / ng)) + sg / ng) AS b FROM pu)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  round(sum(b) / count(*), 4) AS mean_b,
+        |  sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bursty,
+        |  sum(CASE WHEN b <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_regular
+        |FROM b""".stripMargin,
   )
 }

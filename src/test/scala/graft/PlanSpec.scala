@@ -168,7 +168,9 @@ class PlanSpec extends SparkSpec {
       // q277: 1-row broadcast moment aggregate (q101's pattern)
       "q277_grubbs",
       // q280: 1-row broadcast count + quartile picks (q269's pattern)
-      "q280_tukey_fences")
+      "q280_tukey_fences",
+      // q281: 1-row broadcast corpus totals (q170's pattern)
+      "q281_token_coverage")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

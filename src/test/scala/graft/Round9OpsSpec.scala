@@ -441,6 +441,44 @@ class Round9OpsSpec extends SparkSpec {
       r.getLong(3) == 0L && r.getLong(4) == 1L, s"got $r")
   }
 
+  // ---- q281 token coverage --------------------------------------------
+
+  test("token coverage: top-10 mass over a 12-word Zipf-ish corpus") {
+    val dir = tmp("graft_cov_")
+    // Word wNN appears 14−NN times (counts 13..2, total 90); the top
+    // 10 cover 13+12+...+4 = 85 → coverage 85/90.
+    val text = (1 to 12).flatMap(i => Seq.fill(14 - i)(f"w$i%02d")).mkString(" ")
+    Seq((1L, text, "en", "srcA", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q281_token_coverage")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val cov = BigDecimal(85.0 / 90.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((10L, 85L, 90L, 12L, cov)), s"got ${got.toSeq}")
+  }
+
+  // ---- q282 burstiness ------------------------------------------------
+
+  test("burstiness: metronome B = −1, bursty user B = 1/3") {
+    val dir = tmp("graft_burst_")
+    // u1: 6 events one second apart → gaps all 1 → σ = 0, B = −1.
+    // u2: 5 simultaneous events then one 10 s later → gaps 0,0,0,0,10
+    // → μ = 2, σ = 4, B = (4−2)/(4+2) = 1/3. mean_b = −1/3.
+    val u1 = (0 to 5).map(i =>
+      (i.toLong, ts(s"2024-01-01 10:00:0$i"), 1L, "view", "{}", 1.0))
+    val u2 = (0 to 4).map(i =>
+      (10L + i, ts("2024-01-01 10:00:00"), 2L, "view", "{}", 1.0)) :+
+      (15L, ts("2024-01-01 10:00:10"), 2L, "view", "{}", 1.0)
+    writeEvents(dir, u1 ++ u2)
+    val r = Queries.all("q282_burstiness")(spark, dir).collect()(0)
+    val want = BigDecimal((-1.0 + 1.0 / 3) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 2L && r.getDouble(1) == want &&
+      r.getLong(2) == 1L && r.getLong(3) == 1L, s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
