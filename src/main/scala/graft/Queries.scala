@@ -6990,6 +6990,87 @@ object Queries {
       sum(when(b <= 0, 1L).otherwise(0L)).as("n_regular"))
   }
 
+  /** Watermark-impact what-if: for candidate watermark delays (0 s,
+    * 1 min, 10 min, 1 h), how many events a streaming job would DROP
+    * and how much purchase revenue goes with them — the decision
+    * table q137's lateness percentiles feed (q137 describes lateness;
+    * this prices each watermark choice). Lateness = run-max event
+    * time over ARRIVAL order (event_id), q137's model, in exact
+    * integer seconds; the 4-row delay dimension broadcasts over the
+    * lateness frame and each (delay, day-independent) drop census is
+    * one conditional aggregate.
+    */
+  def q283_watermark_impact(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(
+      to_date(col("ts")).as("day"), col("event_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("day").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = base
+      .withColumn("runmax", max("us").over(w))
+      .withColumn("late_sec", expr("(runmax - us) div 1000000"))
+    val wms = s.createDataFrame(
+      Seq(Tuple1(0L), Tuple1(60L), Tuple1(600L), Tuple1(3600L))).toDF("wm_sec")
+    late.crossJoin(broadcast(wms))
+      .groupBy("wm_sec")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_sec") > col("wm_sec"), 1L).otherwise(0L)).as("n_dropped"),
+        round(sum(when(col("late_sec") > col("wm_sec"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("drop_share"),
+        round(sum(when(col("late_sec") > col("wm_sec") &&
+          col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2)
+          .as("revenue_dropped"))
+      .orderBy("wm_sec")
+  }
+
+  /** Sort-order advisor: for each candidate file sort key, how
+    * prunable every other column's min/max footer stats would be —
+    * the measurement behind choosing a table's layout (q84's Z-order
+    * is the 2-D answer; this scores the 1-D candidates). Orders are
+    * range-bucketed into 32 "files" by (key, o_orderkey) — the exact
+    * equi-depth integer arithmetic of q93, never a single-partition
+    * ntile — and each probe column reports the average per-bucket
+    * span as a share of its global span: ~1/32 means a point filter
+    * prunes ~97% of files, ~1 means the layout is useless for that
+    * column. Spans are exact value arithmetic; one rounding per cell.
+    */
+  def q284_sort_advisor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("k_date"),
+      col("o_custkey").as("k_cust"), col("o_totalprice").as("k_price"))
+    val keys = Seq("k_date", "k_cust", "k_price")
+    val frames = keys.map { key =>
+      val k = 32L
+      val nDf = o.agg(count(lit(1)).as("__n"),
+        (max("k_date") - min("k_date")).cast("double").as("span_date"),
+        (max("k_cust") - min("k_cust")).cast("double").as("span_cust"),
+        (max("k_price") - min("k_price")).as("span_price"))
+      val ranked = PrefixSum.globalRank(o, Seq(key, "o_orderkey"), "r")
+        .crossJoin(broadcast(nDf))
+      val q = floor(col("__n") / k); val rem = col("__n") % k
+      val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
+        .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
+        .cast("long") + 1
+      ranked.withColumn("bucket", bin)
+        .groupBy("bucket")
+        .agg(first(col("span_date")).as("sd"), first(col("span_cust")).as("sc"),
+          first(col("span_price")).as("sp"),
+          (max("k_date") - min("k_date")).cast("double").as("bd"),
+          (max("k_cust") - min("k_cust")).cast("double").as("bc"),
+          (max("k_price") - min("k_price")).as("bp"))
+        .agg(round(avg(col("bd") / col("sd")), 4).as("probe_date"),
+          round(avg(col("bc") / col("sc")), 4).as("probe_cust"),
+          round(avg(col("bp") / col("sp")), 4).as("probe_price"))
+        .withColumn("sort_key", lit(key))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("sort_key"), col("probe_date"), col("probe_cust"),
+        col("probe_price"))
+      .orderBy("sort_key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7273,6 +7354,8 @@ object Queries {
     "q280_tukey_fences" -> (q280_tukey_fences _),
     "q281_token_coverage" -> (q281_token_coverage _),
     "q282_burstiness"   -> (q282_burstiness _),
+    "q283_watermark_impact" -> (q283_watermark_impact _),
+    "q284_sort_advisor" -> (q284_sort_advisor _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10970,5 +11053,68 @@ object Queries {
         |  sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bursty,
         |  sum(CASE WHEN b <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_regular
         |FROM b""".stripMargin,
+    "q283_watermark_impact" ->
+      """WITH base AS (SELECT ts::DATE AS day, event_id, event_type, value,
+        |    epoch_us(ts) AS us FROM events),
+        |late AS (SELECT *,
+        |    (max(us) OVER (PARTITION BY day ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) // 1000000
+        |      AS late_sec FROM base),
+        |wms AS (SELECT unnest([0, 60, 600, 3600])::BIGINT AS wm_sec)
+        |SELECT wm_sec, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN late_sec > wm_sec THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  round(sum(CASE WHEN late_sec > wm_sec THEN 1 ELSE 0 END) /
+        |    count(*)::DOUBLE, 6) AS drop_share,
+        |  round(sum(CASE WHEN late_sec > wm_sec AND event_type = 'purchase'
+        |    THEN value ELSE 0.0 END), 2) AS revenue_dropped
+        |FROM late, wms GROUP BY wm_sec ORDER BY wm_sec""".stripMargin,
+    "q284_sort_advisor" ->
+      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS k_date,
+        |    o_custkey AS k_cust, o_totalprice AS k_price FROM orders),
+        |nn AS (SELECT count(*)::BIGINT AS n,
+        |    (max(k_date) - min(k_date))::DOUBLE AS sd,
+        |    (max(k_cust) - min(k_cust))::DOUBLE AS sc,
+        |    max(k_price) - min(k_price) AS sp FROM o),
+        |rd AS (SELECT *, row_number() OVER (ORDER BY k_date, o_orderkey)::BIGINT AS r FROM o),
+        |bd AS (SELECT CASE WHEN r <= (n % 32) * (n // 32 + 1)
+        |      THEN (r - 1) // (n // 32 + 1)
+        |      ELSE (n % 32) + (r - (n % 32) * (n // 32 + 1) - 1) // (n // 32)
+        |    END + 1 AS bucket,
+        |    k_date, k_cust, k_price, sd, sc, sp FROM rd, nn),
+        |gd AS (SELECT bucket, first(sd) AS sd, first(sc) AS sc, first(sp) AS sp,
+        |    (max(k_date) - min(k_date))::DOUBLE AS wd,
+        |    (max(k_cust) - min(k_cust))::DOUBLE AS wc,
+        |    max(k_price) - min(k_price) AS wp FROM bd GROUP BY bucket),
+        |fd AS (SELECT 'k_date' AS sort_key, round(avg(wd / sd), 4) AS probe_date,
+        |    round(avg(wc / sc), 4) AS probe_cust,
+        |    round(avg(wp / sp), 4) AS probe_price FROM gd),
+        |rc AS (SELECT *, row_number() OVER (ORDER BY k_cust, o_orderkey)::BIGINT AS r FROM o),
+        |bc AS (SELECT CASE WHEN r <= (n % 32) * (n // 32 + 1)
+        |      THEN (r - 1) // (n // 32 + 1)
+        |      ELSE (n % 32) + (r - (n % 32) * (n // 32 + 1) - 1) // (n // 32)
+        |    END + 1 AS bucket,
+        |    k_date, k_cust, k_price, sd, sc, sp FROM rc, nn),
+        |gc AS (SELECT bucket, first(sd) AS sd, first(sc) AS sc, first(sp) AS sp,
+        |    (max(k_date) - min(k_date))::DOUBLE AS wd,
+        |    (max(k_cust) - min(k_cust))::DOUBLE AS wc,
+        |    max(k_price) - min(k_price) AS wp FROM bc GROUP BY bucket),
+        |fc AS (SELECT 'k_cust' AS sort_key, round(avg(wd / sd), 4) AS probe_date,
+        |    round(avg(wc / sc), 4) AS probe_cust,
+        |    round(avg(wp / sp), 4) AS probe_price FROM gc),
+        |rp AS (SELECT *, row_number() OVER (ORDER BY k_price, o_orderkey)::BIGINT AS r FROM o),
+        |bp AS (SELECT CASE WHEN r <= (n % 32) * (n // 32 + 1)
+        |      THEN (r - 1) // (n // 32 + 1)
+        |      ELSE (n % 32) + (r - (n % 32) * (n // 32 + 1) - 1) // (n // 32)
+        |    END + 1 AS bucket,
+        |    k_date, k_cust, k_price, sd, sc, sp FROM rp, nn),
+        |gp AS (SELECT bucket, first(sd) AS sd, first(sc) AS sc, first(sp) AS sp,
+        |    (max(k_date) - min(k_date))::DOUBLE AS wd,
+        |    (max(k_cust) - min(k_cust))::DOUBLE AS wc,
+        |    max(k_price) - min(k_price) AS wp FROM bp GROUP BY bucket),
+        |fp AS (SELECT 'k_price' AS sort_key, round(avg(wd / sd), 4) AS probe_date,
+        |    round(avg(wc / sc), 4) AS probe_cust,
+        |    round(avg(wp / sp), 4) AS probe_price FROM gp)
+        |SELECT * FROM fd UNION ALL SELECT * FROM fc UNION ALL SELECT * FROM fp
+        |ORDER BY sort_key""".stripMargin,
   )
 }

@@ -170,7 +170,11 @@ class PlanSpec extends SparkSpec {
       // q280: 1-row broadcast count + quartile picks (q269's pattern)
       "q280_tukey_fences",
       // q281: 1-row broadcast corpus totals (q170's pattern)
-      "q281_token_coverage")
+      "q281_token_coverage",
+      // q283: 4-row watermark dimension broadcast (q10's banded pattern)
+      "q283_watermark_impact",
+      // q284: 1-row broadcast count/span aggregates per candidate key
+      "q284_sort_advisor")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -479,6 +479,52 @@ class Round9OpsSpec extends SparkSpec {
       r.getLong(2) == 1L && r.getLong(3) == 1L, s"got $r")
   }
 
+  // ---- q283 watermark impact ------------------------------------------
+
+  test("watermark impact: one 70s-late purchase prices the 0/60s rows") {
+    val dir = tmp("graft_wm_")
+    // Arrival order = event_id; id3's event time sits 70 s behind the
+    // running max, so it drops at watermarks 0 and 60 but survives
+    // 600/3600; it is a 5.00 purchase, so that is the revenue at risk.
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", "{}", 1.0),
+      (2L, ts("2024-01-01 10:01:40"), 1L, "view", "{}", 1.0),
+      (3L, ts("2024-01-01 10:00:30"), 1L, "purchase", "{}", 5.0),
+      (4L, ts("2024-01-01 10:03:20"), 1L, "view", "{}", 1.0)))
+    val got = Queries.all("q283_watermark_impact")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 0.25, 5.0), (60L, 4L, 1L, 0.25, 5.0),
+      (600L, 4L, 0L, 0.0, 0.0), (3600L, 4L, 0L, 0.0, 0.0)), s"got ${got.toSeq}")
+  }
+
+  // ---- q284 sort advisor ----------------------------------------------
+
+  test("sort advisor: correlated keys cluster, interleaved price does not") {
+    val dir = tmp("graft_sort_")
+    // 64 orders: date = day i, cust = 63−i (perfectly anti-correlated
+    // — still perfectly CLUSTERED), price interleaves two far-apart
+    // ramps (even i → i, odd i → 630+i). Sorting by date or cust gives
+    // per-bucket spans of 1 day / 1 cust / ~631 price; sorting by
+    // price gives spans 2/2/2.
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 64).map { i =>
+      (i.toLong, (63 - i).toLong, (i % 2) * 630.0 + i,
+        java.sql.Timestamp.valueOf(base.plusDays(i).atStartOfDay()))
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q284_sort_advisor")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("k_cust", r4(1.0 / 63), r4(1.0 / 63), r4(631.0 / 693)),
+      ("k_date", r4(1.0 / 63), r4(1.0 / 63), r4(631.0 / 693)),
+      ("k_price", r4(2.0 / 63), r4(2.0 / 63), r4(2.0 / 693))), s"got ${got.toSeq}")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
