@@ -7071,6 +7071,77 @@ object Queries {
       .orderBy("sort_key")
   }
 
+  /** Mutual information (nats) between event type and weekday, with
+    * both marginal entropies — the magnitude readout behind q126's
+    * chi-square yes/no ("DO they depend" vs "how many bits does one
+    * tell you about the other"); MI/min(H) is the standard normalized
+    * association for feature-redundancy pruning. The contingency
+    * frame is ≤ types×7 cells; marginals and the grand total ride in
+    * as bounded broadcasts; every probability is a single division of
+    * exact counts and the three entropy sums are rounded once each.
+    */
+  def q285_mutual_information(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_type").as("et"), dayofweek(col("ts")).cast("long").as("wd"))
+    val cells = base.groupBy("et", "wd").agg(count(lit(1)).as("nxy"))
+    val mx = cells.groupBy("et").agg(sum("nxy").as("nx"))
+    val my = cells.groupBy("wd").agg(sum("nxy").as("ny"))
+    val tot = cells.agg(sum("nxy").as("n"))
+    val pxy = col("nxy") / col("n")
+    val mi = cells
+      .join(broadcast(mx), "et").join(broadcast(my), "wd")
+      .crossJoin(broadcast(tot))
+      .agg(round(sum(pxy *
+        log(pxy / ((col("nx") / col("n")) * (col("ny") / col("n"))))), 6)
+        .as("mi_nats"))
+    val hType = mx.crossJoin(broadcast(tot))
+      .agg(round(-sum((col("nx") / col("n")) * log(col("nx") / col("n"))), 6)
+        .as("h_type"))
+    val hWd = my.crossJoin(broadcast(tot))
+      .agg(round(-sum((col("ny") / col("n")) * log(col("ny") / col("n"))), 6)
+        .as("h_weekday"))
+    mi.crossJoin(broadcast(hType)).crossJoin(broadcast(hWd))
+  }
+
+  /** Delta-encoding width advisor: for each integer-ish order column,
+    * the raw bit width of its value span vs the width of the LARGEST
+    * GAP between globally-sorted neighbors — the worst-case per-value
+    * width a delta encoding needs, i.e. the compression headroom the
+    * writer would get from sorting on that column (q237 answers the
+    * same question for dictionaries, q284 for pruning). Adjacency at
+    * scale is the rank equi-join r ↔ r+1 over [[PrefixSum.globalRank]]
+    * (shuffle keyed by rank — never a single-partition lag window);
+    * bit widths come from length(bin(x)) — EXACT integer arithmetic,
+    * immune to the log2-at-power-of-two float flip.
+    */
+  def q286_delta_bitwidth(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("v_date"),
+      col("o_custkey").as("v_cust"))
+    def widths(valCol: String, label: String): DataFrame = {
+      val ranked = PrefixSum.globalRank(
+        o.select(col(valCol).as("v"), col("o_orderkey")), Seq("v", "o_orderkey"), "r")
+      val a = ranked.select(col("r").as("ra"), col("v").as("va"))
+      val b = ranked.select((col("r") - 1).as("ra"), col("v").as("vb"))
+      val gaps = a.join(b, "ra").agg(max(col("vb") - col("va")).as("max_gap"))
+      val span = o.agg((max(col(valCol)) - min(col(valCol))).as("span"),
+        count(lit(1)).as("n"))
+      span.crossJoin(broadcast(gaps))
+        .select(lit(label).as("col_name"), col("n"),
+          length(bin(col("span"))).cast("long").as("raw_bits"),
+          col("max_gap"),
+          length(bin(col("max_gap"))).cast("long").as("delta_bits"))
+        .withColumn("savings_pct",
+          round((lit(1.0) - col("delta_bits") / col("raw_bits")) * 100, 2))
+    }
+    widths("o_orderkey", "orderkey")
+      .unionByName(widths("v_date", "orderdate"))
+      .unionByName(widths("v_cust", "custkey"))
+      .orderBy("col_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7356,6 +7427,8 @@ object Queries {
     "q282_burstiness"   -> (q282_burstiness _),
     "q283_watermark_impact" -> (q283_watermark_impact _),
     "q284_sort_advisor" -> (q284_sort_advisor _),
+    "q285_mutual_information" -> (q285_mutual_information _),
+    "q286_delta_bitwidth" -> (q286_delta_bitwidth _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11068,6 +11141,53 @@ object Queries {
         |  round(sum(CASE WHEN late_sec > wm_sec AND event_type = 'purchase'
         |    THEN value ELSE 0.0 END), 2) AS revenue_dropped
         |FROM late, wms GROUP BY wm_sec ORDER BY wm_sec""".stripMargin,
+    "q285_mutual_information" ->
+      """WITH base AS (SELECT event_type AS et, dayofweek(ts)::BIGINT AS wd
+        |  FROM events),
+        |cells AS (SELECT et, wd, count(*)::BIGINT AS nxy FROM base
+        |  GROUP BY et, wd),
+        |mx AS (SELECT et, sum(nxy)::BIGINT AS nx FROM cells GROUP BY et),
+        |my AS (SELECT wd, sum(nxy)::BIGINT AS ny FROM cells GROUP BY wd),
+        |tot AS (SELECT sum(nxy)::BIGINT AS n FROM cells),
+        |mi AS (SELECT round(sum((nxy / n) *
+        |    ln((nxy / n) / ((nx / n) * (ny / n)))), 6) AS mi_nats
+        |  FROM cells JOIN mx USING (et) JOIN my USING (wd), tot),
+        |ht AS (SELECT round(-sum((nx / n) * ln(nx / n)), 6) AS h_type
+        |  FROM mx, tot),
+        |hw AS (SELECT round(-sum((ny / n) * ln(ny / n)), 6) AS h_weekday
+        |  FROM my, tot)
+        |SELECT mi_nats, h_type, h_weekday FROM mi, ht, hw""".stripMargin,
+    "q286_delta_bitwidth" ->
+      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS v_date,
+        |    o_custkey AS v_cust FROM orders),
+        |c1 AS (SELECT o_orderkey AS v, o_orderkey AS k FROM o),
+        |w1 AS (SELECT v - lag(v) OVER (ORDER BY v, k) AS gap FROM c1),
+        |g1 AS (SELECT max(gap)::BIGINT AS max_gap FROM w1 WHERE gap IS NOT NULL),
+        |s1 AS (SELECT (max(v) - min(v))::BIGINT AS span, count(*)::BIGINT AS n
+        |  FROM c1),
+        |f1 AS (SELECT 'orderkey' AS col_name, n,
+        |    length(bin(span))::BIGINT AS raw_bits, max_gap,
+        |    length(bin(max_gap))::BIGINT AS delta_bits FROM s1, g1),
+        |c2 AS (SELECT v_date AS v, o_orderkey AS k FROM o),
+        |w2 AS (SELECT v - lag(v) OVER (ORDER BY v, k) AS gap FROM c2),
+        |g2 AS (SELECT max(gap)::BIGINT AS max_gap FROM w2 WHERE gap IS NOT NULL),
+        |s2 AS (SELECT (max(v) - min(v))::BIGINT AS span, count(*)::BIGINT AS n
+        |  FROM c2),
+        |f2 AS (SELECT 'orderdate' AS col_name, n,
+        |    length(bin(span))::BIGINT AS raw_bits, max_gap,
+        |    length(bin(max_gap))::BIGINT AS delta_bits FROM s2, g2),
+        |c3 AS (SELECT v_cust AS v, o_orderkey AS k FROM o),
+        |w3 AS (SELECT v - lag(v) OVER (ORDER BY v, k) AS gap FROM c3),
+        |g3 AS (SELECT max(gap)::BIGINT AS max_gap FROM w3 WHERE gap IS NOT NULL),
+        |s3 AS (SELECT (max(v) - min(v))::BIGINT AS span, count(*)::BIGINT AS n
+        |  FROM c3),
+        |f3 AS (SELECT 'custkey' AS col_name, n,
+        |    length(bin(span))::BIGINT AS raw_bits, max_gap,
+        |    length(bin(max_gap))::BIGINT AS delta_bits FROM s3, g3)
+        |SELECT *, round((1.0 - delta_bits / raw_bits) * 100, 2) AS savings_pct
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3)
+        |ORDER BY col_name""".stripMargin,
     "q284_sort_advisor" ->
       """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS k_date,
         |    o_custkey AS k_cust, o_totalprice AS k_price FROM orders),

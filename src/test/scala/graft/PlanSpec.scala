@@ -174,7 +174,9 @@ class PlanSpec extends SparkSpec {
       // q283: 4-row watermark dimension broadcast (q10's banded pattern)
       "q283_watermark_impact",
       // q284: 1-row broadcast count/span aggregates per candidate key
-      "q284_sort_advisor")
+      "q284_sort_advisor",
+      // q285/q286: 1-row broadcast totals / span+gap aggregates
+      "q285_mutual_information", "q286_delta_bitwidth")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -525,6 +525,52 @@ class Round9OpsSpec extends SparkSpec {
       ("k_price", r4(2.0 / 63), r4(2.0 / 63), r4(2.0 / 693))), s"got ${got.toSeq}")
   }
 
+  // ---- q285 mutual information ----------------------------------------
+
+  test("mutual information: perfectly dependent 2x2 gives MI = H = ln 2") {
+    val dir = tmp("graft_mi_")
+    // clicks only on Monday, views only on Saturday, two each:
+    // MI = H(type) = H(weekday) = ln 2.
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", "{}", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", "{}", 1.0),
+      (3L, ts("2024-01-06 10:00:00"), 2L, "view", "{}", 1.0),
+      (4L, ts("2024-01-06 11:00:00"), 2L, "view", "{}", 1.0)))
+    val r = Queries.all("q285_mutual_information")(spark, dir).collect()(0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(0) == ln2 && r.getDouble(1) == ln2 &&
+      r.getDouble(2) == ln2, s"got $r")
+  }
+
+  // ---- q286 delta bitwidth --------------------------------------------
+
+  test("delta bitwidth: exact bin-length widths per column") {
+    val dir = tmp("graft_bits_")
+    // orderkeys {0,1,2,10}: span 10 (4 bits), max gap 8 (4 bits) → 0%
+    // saved; custkeys {0,2,4,6}: span 6 (3 bits), gap 2 (2 bits);
+    // 4 consecutive days: span 3 d (38 bits µs), gap 1 d (37 bits).
+    val base = java.time.LocalDate.parse("2024-01-01")
+    Seq(0L, 1L, 2L, 10L).zip(Seq(0L, 2L, 4L, 6L)).zipWithIndex.map {
+      case ((ok, ck), i) =>
+        (ok, ck, java.sql.Timestamp.valueOf(base.plusDays(i).atStartOfDay()))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    def pct(d: Long, r: Long) = BigDecimal((1.0 - d.toDouble / r) * 100)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dayUs = 86400000000L
+    val got = Queries.all("q286_delta_bitwidth")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("custkey", 4L, bits(6), 2L, bits(2), pct(bits(2), bits(6))),
+      ("orderdate", 4L, bits(3 * dayUs), dayUs, bits(dayUs),
+        pct(bits(dayUs), bits(3 * dayUs))),
+      ("orderkey", 4L, bits(10), 8L, bits(8), pct(bits(8), bits(10)))),
+      s"got ${got.toSeq}")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
