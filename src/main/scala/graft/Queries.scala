@@ -7142,6 +7142,73 @@ object Queries {
       .orderBy("col_name")
   }
 
+  /** SAX symbolization of the daily-revenue series: z-normalize
+    * against the series moments (1-row broadcast), map each day onto
+    * the standard 4-symbol Gaussian breakpoints (±0.6745, 0), and
+    * fold each ISO week into one SAX word — the representation
+    * time-series indexes and motif/anomaly miners work on (two weeks
+    * with the same word are shape-equal at this resolution; q227/q86
+    * flag points, SAX compares SHAPES). The word is an order-pinned
+    * fold (array_sort over (day, symbol) structs — collect_list alone
+    * is partition-order nondeterministic); weeks truncate to ISO
+    * Monday on both engines.
+    */
+  def q287_sax_words(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val mom = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"))
+    val mean = col("s1") / col("n")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    val z = (col("rev") - mean) / sd
+    val sym = when(z < -0.6745, "a").when(z < 0, "b")
+      .when(z < 0.6745, "c").otherwise("d")
+    daily.crossJoin(broadcast(mom))
+      .select(date_trunc("week", col("day")).cast("date").as("week"),
+        col("day"), sym.as("sym"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("day"), col("sym")))),
+          x => x.getField("sym")), "").as("sax_word"))
+      .orderBy("week")
+  }
+
+  /** Session-timeout advisor: the inter-event gap mass by power-of-two
+    * bucket, with the cumulative share that picks the knee — "a 2^b
+    * second timeout keeps X% of consecutive-event pairs in one
+    * session", the number that justifies q29/q39's session gap instead
+    * of folklore. Gap seconds are q282's exact integers; the bucket is
+    * length(bin(gap)) (exact — q286's rule); the cumulative runs over
+    * the ≤ 64-row bucket frame. The `keeps_95` flag marks the first
+    * bucket whose cumulative share reaches 0.95.
+    */
+  def q288_session_timeout(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(1e6))
+          .cast("long").as("t"))
+    val gaps = ev
+      .withColumn("gap",
+        col("t") - lag("t", 1).over(
+          Window.partitionBy("user_id").orderBy("t", "event_id")))
+      .filter(col("gap").isNotNull)
+      .select(length(bin(col("gap"))).cast("long").as("gap_bits"))
+    val buckets = gaps.groupBy("gap_bits").agg(count(lit(1)).as("n_gaps"))
+    val tot = buckets.agg(sum("n_gaps").as("total"))
+    val w = Window.orderBy("gap_bits")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("n_gaps").over(w))
+      .select(col("gap_bits"), col("n_gaps"),
+        round(col("cum") / col("total"), 6).as("cum_share"),
+        (col("cum") * 100 >= col("total") * 95 &&
+          (col("cum") - col("n_gaps")) * 100 < col("total") * 95).as("keeps_95"))
+      .orderBy("gap_bits")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7429,6 +7496,8 @@ object Queries {
     "q284_sort_advisor" -> (q284_sort_advisor _),
     "q285_mutual_information" -> (q285_mutual_information _),
     "q286_delta_bitwidth" -> (q286_delta_bitwidth _),
+    "q287_sax_words"    -> (q287_sax_words _),
+    "q288_session_timeout" -> (q288_session_timeout _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11188,6 +11257,41 @@ object Queries {
         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
         |      UNION ALL SELECT * FROM f3)
         |ORDER BY col_name""".stripMargin,
+    "q287_sax_words" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |mom AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
+        |    sum(rev * rev) AS s2 FROM daily),
+        |sy AS (SELECT date_trunc('week', day)::DATE AS week, day,
+        |    CASE WHEN (rev - s1 / n) /
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) < -0.6745 THEN 'a'
+        |      WHEN (rev - s1 / n) /
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) < 0 THEN 'b'
+        |      WHEN (rev - s1 / n) /
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) < 0.6745 THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM daily, mom)
+        |SELECT week, count(*)::BIGINT AS n_days,
+        |  string_agg(sym, '' ORDER BY day) AS sax_word
+        |FROM sy GROUP BY week ORDER BY week""".stripMargin,
+    "q288_session_timeout" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    floor(epoch_us(ts) / 1000000.0)::BIGINT AS t FROM events),
+        |gaps AS (SELECT length(bin(t - lag(t) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id)))::BIGINT AS gap_bits
+        |  FROM ev QUALIFY t - lag(t) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) IS NOT NULL),
+        |b AS (SELECT gap_bits, count(*)::BIGINT AS n_gaps FROM gaps
+        |  GROUP BY gap_bits),
+        |tot AS (SELECT sum(n_gaps)::BIGINT AS total FROM b),
+        |c AS (SELECT *, sum(n_gaps) OVER (ORDER BY gap_bits
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM b, tot)
+        |SELECT gap_bits, n_gaps, round(cum::DOUBLE / total, 6) AS cum_share,
+        |  (cum * 100 >= total * 95 AND (cum - n_gaps) * 100 < total * 95)
+        |    AS keeps_95
+        |FROM c ORDER BY gap_bits""".stripMargin,
     "q284_sort_advisor" ->
       """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS k_date,
         |    o_custkey AS k_cust, o_totalprice AS k_price FROM orders),

@@ -176,7 +176,9 @@ class PlanSpec extends SparkSpec {
       // q284: 1-row broadcast count/span aggregates per candidate key
       "q284_sort_advisor",
       // q285/q286: 1-row broadcast totals / span+gap aggregates
-      "q285_mutual_information", "q286_delta_bitwidth")
+      "q285_mutual_information", "q286_delta_bitwidth",
+      // q287/q288: 1-row broadcast moments / gap totals
+      "q287_sax_words", "q288_session_timeout")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -571,6 +571,44 @@ class Round9OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  // ---- q287 SAX words -------------------------------------------------
+
+  test("sax words: flat week reads 'bbbbbbb', the spike week 'd'") {
+    val dir = tmp("graft_sax_")
+    // Revs 10×7 then 18: mean 11, sample sd √8 → z(10) = −0.354 ('b'),
+    // z(18) = 2.47 ('d'). Jan 1 2024 is a Monday, so days 1-7 are one
+    // ISO week and day 8 starts the next.
+    writeEvents(dir, (0 until 8).map { i =>
+      val base = java.time.LocalDate.parse("2024-01-01").plusDays(i)
+      (i.toLong, java.sql.Timestamp.valueOf(base.atTime(12, 0)), 1L,
+        "purchase", "{}", if (i == 7) 18.0 else 10.0)
+    })
+    val got = Queries.all("q287_sax_words")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 7L, "bbbbbbb"), ("2024-01-08", 1L, "d")), s"got ${got.toSeq}")
+  }
+
+  // ---- q288 session timeout advisor -----------------------------------
+
+  test("session timeout: bucket shares and the keeps_95 knee flag") {
+    val dir = tmp("graft_sess_")
+    // u1 contributes three 1 s gaps (bucket 1 bit), u2 one 8 s gap
+    // (bucket 4 bits): cumulative shares 0.75 then 1.0 — the 95% knee
+    // lands on the 4-bit bucket (timeout 2^4 s).
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", "{}", 1.0),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "view", "{}", 1.0),
+      (3L, ts("2024-01-01 10:00:02"), 1L, "view", "{}", 1.0),
+      (4L, ts("2024-01-01 10:00:03"), 1L, "view", "{}", 1.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view", "{}", 1.0),
+      (6L, ts("2024-01-01 10:00:08"), 2L, "view", "{}", 1.0)))
+    val got = Queries.all("q288_session_timeout")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, 3L, 0.75, false), (4L, 1L, 1.0, true)),
+      s"got ${got.toSeq}")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
