@@ -7209,6 +7209,97 @@ object Queries {
       .orderBy("gap_bits")
   }
 
+  /** Information-gain split scoring — the decision-stump step: for
+    * each purchase-value decile boundary, how many nats of event-type
+    * entropy a "value < boundary" split removes, flagging the best
+    * split (the inner loop of tree learning and MDL discretization;
+    * q285 says the columns are associated, this finds WHERE to cut).
+    * One pass bins rows into (type, decile) cells via q93's exact
+    * rank arithmetic; every split's below/above tallies are then
+    * cumulative sums over the ≤ types×10 cell frame — 9 candidate
+    * splits share one scan. Entropies are exact-count divisions with
+    * the standard 0·ln0 = 0 guard, one rounding per row.
+    */
+  def q289_info_gain_split(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val p = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), col("event_type").as("et"), col("value"))
+    val k = 10L
+    val nDf = p.agg(count(lit(1)).as("__n"))
+    val ranked = PrefixSum.globalRank(p, Seq("value", "event_id"), "r")
+      .crossJoin(broadcast(nDf))
+    val q = floor(col("__n") / k); val rem = col("__n") % k
+    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
+      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
+      .cast("long") + 1
+    val cells = ranked.withColumn("decile", bin)
+      .groupBy("et", "decile").agg(count(lit(1)).as("c"))
+    // DENSE type×decile grid: a type absent from a decile must still
+    // carry its running below-count forward (a cum over the sparse
+    // cell frame would skip those splits)
+    val typesDf = s.createDataFrame(
+      Seq("click", "purchase", "view").map(Tuple1(_))).toDF("et")
+    val decilesDf = s.createDataFrame((1L to 10L).map(Tuple1(_))).toDF("decile")
+    val wcum = Window.partitionBy("et").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = typesDf.crossJoin(decilesDf)
+      .join(cells, Seq("et", "decile"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("nb", sum("c0").over(wcum))
+      .filter(col("decile") <= 9)
+      .select(col("et"), col("decile").as("split"), col("nb"))
+    val typeTot = cells.groupBy("et").agg(sum("c").as("nt"))
+    val grand = cells.agg(sum("c").as("n"))
+    val bs = below.groupBy("split").agg(sum("nb").as("bb"))
+    def plogp(num: Column, den: Column): Column =
+      when(num > 0, (num / den) * log(num / den)).otherwise(lit(0.0))
+    val joined = below
+      .join(broadcast(typeTot), "et").crossJoin(broadcast(grand))
+      .join(broadcast(bs), "split")
+      .withColumn("na", col("nt") - col("nb"))
+      .withColumn("aa", col("n") - col("bb"))
+    // IG = H(type) − weighted child entropies; with plogp = Σ p·ln p
+    // (the NEGATIVE entropy) that is (bb/n)·hbn + (aa/n)·han − htn
+    val ig = joined.groupBy("split")
+      .agg(first(col("bb")).as("n_below"),
+        round((first(col("bb")) / first(col("n"))) *
+          sum(plogp(col("nb"), col("bb"))) +
+          (first(col("aa")) / first(col("n"))) *
+            sum(plogp(col("na"), col("aa"))) -
+          sum(plogp(col("nt"), col("n"))), 6).as("info_gain"))
+    val best = ig.agg(max("info_gain").as("best_ig"))
+    ig.crossJoin(broadcast(best))
+      .select(col("split"), col("n_below"), col("info_gain"),
+        (col("info_gain") === col("best_ig")).as("is_best"))
+      .orderBy("split")
+  }
+
+  /** Sample-ratio-mismatch check for the q90 hash split: does the
+    * observed train/holdout user allocation match the designed 80/20
+    * within chi-square tolerance — the FIRST health check any A/B or
+    * split pipeline runs (a mismatched ratio invalidates every
+    * downstream readout before effect sizes are even looked at).
+    * One distinct-user aggregate; chi² = Σ(obs−exp)²/exp over the two
+    * cells in exact arithmetic until the final division.
+    */
+  def q290_srm_check(s: SparkSession, dir: String): DataFrame = {
+    val inTrain =
+      pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80
+    val u = t(s, dir, "events").select(col("user_id")).distinct()
+      .agg(sum(when(inTrain, 1L).otherwise(0L)).as("nt"),
+        sum(when(inTrain, 0L).otherwise(1L)).as("nc"))
+    val n = col("nt") + col("nc")
+    val et = n * 0.8; val ec = n * 0.2
+    u.select(col("nt"), col("nc"),
+      round(et, 2).as("expected_t"), round(ec, 2).as("expected_c"),
+      round((col("nt") - et) * (col("nt") - et) / et +
+        (col("nc") - ec) * (col("nc") - ec) / ec, 4).as("chi2"),
+      // 3.841 = chi-square(1 df) at alpha 0.05 — the standard SRM gate
+      ((col("nt") - et) * (col("nt") - et) / et +
+        (col("nc") - ec) * (col("nc") - ec) / ec > 3.841).as("srm_detected"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7498,6 +7589,8 @@ object Queries {
     "q286_delta_bitwidth" -> (q286_delta_bitwidth _),
     "q287_sax_words"    -> (q287_sax_words _),
     "q288_session_timeout" -> (q288_session_timeout _),
+    "q289_info_gain_split" -> (q289_info_gain_split _),
+    "q290_srm_check"    -> (q290_srm_check _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11292,6 +11385,64 @@ object Queries {
         |  (cum * 100 >= total * 95 AND (cum - n_gaps) * 100 < total * 95)
         |    AS keeps_95
         |FROM c ORDER BY gap_bits""".stripMargin,
+    "q289_info_gain_split" ->
+      """WITH p AS (SELECT event_id, event_type AS et, value FROM events
+        |  WHERE event_type IN ('purchase', 'click', 'view')),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM p),
+        |rk AS (SELECT et,
+        |    row_number() OVER (ORDER BY value, event_id)::BIGINT AS r FROM p),
+        |cells AS (SELECT et,
+        |    CASE WHEN r <= (n % 10) * (n // 10 + 1)
+        |      THEN (r - 1) // (n // 10 + 1)
+        |      ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
+        |    END + 1 AS decile, count(*)::BIGINT AS c
+        |  FROM rk, nn GROUP BY 1, 2),
+        |grid AS (SELECT t.et, d.decile, coalesce(c.c, 0)::BIGINT AS c0
+        |  FROM (VALUES ('click'), ('purchase'), ('view')) t(et)
+        |  CROSS JOIN (SELECT unnest(range(1, 11))::BIGINT AS decile) d
+        |  LEFT JOIN cells c ON c.et = t.et AND c.decile = d.decile),
+        |below AS (SELECT et, decile AS split,
+        |    sum(c0) OVER (PARTITION BY et ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS nb
+        |  FROM grid WHERE decile <= 9),
+        |tt AS (SELECT et, sum(c)::BIGINT AS nt FROM cells GROUP BY et),
+        |g AS (SELECT sum(c)::BIGINT AS n FROM cells),
+        |bs AS (SELECT split, sum(nb)::BIGINT AS bb FROM below GROUP BY split),
+        |j AS (SELECT b.split, b.nb, tt.nt, g.n, bs.bb,
+        |    tt.nt - b.nb AS na, g.n - bs.bb AS aa
+        |  FROM below b JOIN tt USING (et) CROSS JOIN g
+        |  JOIN bs ON b.split = bs.split),
+        |ig AS (SELECT split, first(bb) AS n_below,
+        |    round((first(bb) / first(n)) *
+        |      sum(CASE WHEN nb > 0 THEN (nb / bb) * ln(nb / bb) ELSE 0 END) +
+        |      (first(aa) / first(n)) *
+        |      sum(CASE WHEN na > 0 THEN (na / aa) * ln(na / aa) ELSE 0 END) -
+        |      sum(CASE WHEN nt > 0 THEN (nt / n) * ln(nt / n) ELSE 0 END), 6)
+        |      AS info_gain
+        |  FROM j GROUP BY split),
+        |best AS (SELECT max(info_gain) AS big FROM ig)
+        |SELECT split, n_below, info_gain, info_gain = big AS is_best
+        |FROM ig, best ORDER BY split""".stripMargin,
+    "q290_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+        |        THEN 0 ELSE 1 END)::BIGINT AS nc
+        |  FROM u)
+        |SELECT nt, nc,
+        |  round((nt + nc) * 0.8, 2) AS expected_t,
+        |  round((nt + nc) * 0.2, 2) AS expected_c,
+        |  round((nt - (nt + nc) * 0.8) * (nt - (nt + nc) * 0.8) /
+        |      ((nt + nc) * 0.8) +
+        |    (nc - (nt + nc) * 0.2) * (nc - (nt + nc) * 0.2) /
+        |      ((nt + nc) * 0.2), 4) AS chi2,
+        |  ((nt - (nt + nc) * 0.8) * (nt - (nt + nc) * 0.8) /
+        |      ((nt + nc) * 0.8) +
+        |    (nc - (nt + nc) * 0.2) * (nc - (nt + nc) * 0.2) /
+        |      ((nt + nc) * 0.2) > 3.841) AS srm_detected
+        |FROM a""".stripMargin,
     "q284_sort_advisor" ->
       """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS k_date,
         |    o_custkey AS k_cust, o_totalprice AS k_price FROM orders),

@@ -178,7 +178,9 @@ class PlanSpec extends SparkSpec {
       // q285/q286: 1-row broadcast totals / span+gap aggregates
       "q285_mutual_information", "q286_delta_bitwidth",
       // q287/q288: 1-row broadcast moments / gap totals
-      "q287_sax_words", "q288_session_timeout")
+      "q287_sax_words", "q288_session_timeout",
+      // q289: 3×10 bounded type×decile grid + 1-row total/best
+      "q289_info_gain_split")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

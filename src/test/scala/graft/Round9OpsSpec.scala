@@ -609,6 +609,52 @@ class Round9OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  // ---- q289 information-gain split ------------------------------------
+
+  test("info gain: the clean class boundary wins with IG = ln 2") {
+    val dir = tmp("graft_ig_")
+    // 10 clicks valued 1..10, 10 views valued 11..20: decile d holds
+    // values {2d−1, 2d}, so split 5 separates the classes exactly
+    // (IG = H(type) = ln 2); every other split is strictly worse.
+    writeEvents(dir,
+      (1 to 10).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 1L,
+        "click", "{}", i.toDouble)) ++
+      (11 to 20).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 1L,
+        "view", "{}", i.toDouble)))
+    def plogp(num: Double, den: Double) =
+      if (num > 0) (num / den) * math.log(num / den) else 0.0
+    def ig(s: Int): Double = {
+      val cb = math.min(2 * s, 10).toDouble; val vb = math.max(0, 2 * s - 10).toDouble
+      val bb = cb + vb; val aa = 20 - bb
+      BigDecimal((bb / 20) * (plogp(cb, bb) + plogp(vb, bb)) +
+        (aa / 20) * (plogp(10 - cb, aa) + plogp(10 - vb, aa)) -
+        (plogp(10, 20) + plogp(10, 20)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Queries.all("q289_info_gain_split")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == (1 to 9).map(sp =>
+      (sp.toLong, (2 * sp).toLong, ig(sp), sp == 5)), s"got ${got.toSeq}")
+  }
+
+  // ---- q290 SRM check -------------------------------------------------
+
+  test("srm check: an exactly-80/20 allocation scores chi2 = 0") {
+    val dir = tmp("graft_srm_")
+    def side(id: Long): Long =
+      if (((id * 2654435761L) % 4294967296L) % 100 < 80) 1L else 0L
+    val ids = (1L to 200L)
+    val train = ids.filter(side(_) == 1L).take(8)
+    val hold = ids.filter(side(_) == 0L).take(2)
+    val day = ts("2024-01-01 10:00:00")
+    writeEvents(dir, (train ++ hold).zipWithIndex.map { case (uid, i) =>
+      (i.toLong, day, uid, "view", "{}", 1.0) })
+    val r = Queries.all("q290_srm_check")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 8.0 && r.getDouble(3) == 2.0 &&
+      r.getDouble(4) == 0.0 && !r.getBoolean(5), s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
