@@ -7300,6 +7300,86 @@ object Queries {
         (col("nc") - ec) * (col("nc") - ec) / ec > 3.841).as("srm_detected"))
   }
 
+  /** Join-order advisor by MEASURED intermediates: for the filtered
+    * 3-way customer⋈orders⋈lineitem join, the row count each join
+    * order materializes before its final join — the ground truth
+    * q145's estimate-vs-actual audit calibrates against, and the
+    * number a cost-based optimizer is trying to guess (here: measure
+    * it, rank the orders, flag the winner). Each leg is one exact
+    * count over an equi-join; the final cardinality is shared by both
+    * orders, so selectivity = final/intermediate says how much of the
+    * intermediate was wasted work.
+    */
+  def q291_join_order_advisor(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey"))
+    val co = c.join(o, col("c_custkey") === col("o_custkey"))
+    val ol = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val interA = co.agg(count(lit(1)).as("ia"))
+    val interB = ol.agg(count(lit(1)).as("ib"))
+    val fin = co.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("f"))
+    val plans = interA.crossJoin(broadcast(interB)).crossJoin(broadcast(fin))
+      .select(explode(array(
+        struct(lit("customer_first").as("plan"), col("ia").as("intermediate_rows"),
+          col("f").as("final_rows")),
+        struct(lit("lineitem_first").as("plan"), col("ib").as("intermediate_rows"),
+          col("f").as("final_rows")))).as("p"))
+      .select(col("p.plan"), col("p.intermediate_rows"), col("p.final_rows"))
+    val best = plans.agg(min("intermediate_rows").as("mi"))
+    plans.crossJoin(broadcast(best))
+      .select(col("plan"), col("intermediate_rows"), col("final_rows"),
+        round(col("final_rows") / col("intermediate_rows"), 6).as("selectivity"),
+        (col("intermediate_rows") === col("mi")).as("is_best"))
+      .orderBy("plan")
+  }
+
+  /** Encoding/codec advisor: per order column, the exact cardinality,
+    * dictionary index width (bits to address the distinct set), and
+    * the RUN count in storage order (adjacent-equal collapse — what
+    * RLE would keep) — then the rule-based pick a parquet writer
+    * would make (few runs → RLE, narrow dictionary → DICT, else
+    * PLAIN). q237 scores dictionaries alone; this decides BETWEEN
+    * encodings, and q286's rank-adjacency equi-join supplies the
+    * at-scale run counting (storage order = orderkey rank, never a
+    * single-partition lag). Values compare as strings so one code
+    * path serves every column type; all counts exact.
+    */
+  def q292_codec_advisor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val o = t(s, dir, "orders")
+    def audit(valCol: String, label: String): DataFrame = {
+      val vals = o.select(col("o_orderkey"), col(valCol).cast("string").as("v"))
+      val ranked = PrefixSum.globalRank(vals, Seq("o_orderkey"), "r")
+      val a = ranked.select(col("r").as("ra"), col("v").as("va"))
+      val b = ranked.select((col("r") - 1).as("ra"), col("v").as("vb"))
+      val runs = a.join(b, "ra")
+        .agg((sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)) + 1).as("n_runs"))
+      val stats = vals.agg(count(lit(1)).as("n"),
+        countDistinct("v").as("n_distinct"))
+      stats.crossJoin(broadcast(runs))
+        .select(lit(label).as("col_name"), col("n"), col("n_distinct"),
+          length(bin(col("n_distinct") - 1)).cast("long").as("dict_bits"),
+          col("n_runs"),
+          round(col("n_runs") / col("n"), 6).as("run_ratio"))
+        .withColumn("advice",
+          when(col("n_runs") * 10 < col("n"), "rle")
+            .when(col("dict_bits") <= 8, "dict")
+            .otherwise("plain"))
+    }
+    audit("o_orderstatus", "orderstatus")
+      .unionByName(audit("o_orderpriority", "orderpriority"))
+      .unionByName(audit("o_custkey", "custkey"))
+      .orderBy("col_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7591,6 +7671,8 @@ object Queries {
     "q288_session_timeout" -> (q288_session_timeout _),
     "q289_info_gain_split" -> (q289_info_gain_split _),
     "q290_srm_check"    -> (q290_srm_check _),
+    "q291_join_order_advisor" -> (q291_join_order_advisor _),
+    "q292_codec_advisor" -> (q292_codec_advisor _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11491,5 +11573,59 @@ object Queries {
         |    round(avg(wp / sp), 4) AS probe_price FROM gp)
         |SELECT * FROM fd UNION ALL SELECT * FROM fc UNION ALL SELECT * FROM fp
         |ORDER BY sort_key""".stripMargin,
+    "q291_join_order_advisor" ->
+      """WITH c AS (SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |l AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),
+        |ia AS (SELECT count(*)::BIGINT AS ia FROM c
+        |  JOIN orders ON c_custkey = o_custkey),
+        |ib AS (SELECT count(*)::BIGINT AS ib FROM orders
+        |  JOIN l ON o_orderkey = l_orderkey),
+        |f AS (SELECT count(*)::BIGINT AS f FROM c
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN l ON o_orderkey = l_orderkey),
+        |plans AS (
+        |  SELECT 'customer_first' AS plan, ia AS intermediate_rows,
+        |    f AS final_rows FROM ia, f
+        |  UNION ALL
+        |  SELECT 'lineitem_first', ib, f FROM ib, f),
+        |best AS (SELECT min(intermediate_rows) AS mi FROM plans)
+        |SELECT plan, intermediate_rows, final_rows,
+        |  round(final_rows / intermediate_rows, 6) AS selectivity,
+        |  intermediate_rows = mi AS is_best
+        |FROM plans, best ORDER BY plan""".stripMargin,
+    "q292_codec_advisor" ->
+      """WITH o1 AS (SELECT o_orderkey, o_orderstatus::VARCHAR AS v FROM orders),
+        |r1 AS (SELECT v, lag(v) OVER (ORDER BY o_orderkey) AS pv FROM o1),
+        |a1 AS (SELECT count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS nd
+        |  FROM o1),
+        |x1 AS (SELECT (sum(CASE WHEN pv IS NOT NULL AND v <> pv
+        |    THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs FROM r1),
+        |f1 AS (SELECT 'orderstatus' AS col_name, n, nd AS n_distinct,
+        |    length(bin(nd - 1))::BIGINT AS dict_bits, n_runs FROM a1, x1),
+        |o2 AS (SELECT o_orderkey, o_orderpriority::VARCHAR AS v FROM orders),
+        |r2 AS (SELECT v, lag(v) OVER (ORDER BY o_orderkey) AS pv FROM o2),
+        |a2 AS (SELECT count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS nd
+        |  FROM o2),
+        |x2 AS (SELECT (sum(CASE WHEN pv IS NOT NULL AND v <> pv
+        |    THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs FROM r2),
+        |f2 AS (SELECT 'orderpriority' AS col_name, n, nd AS n_distinct,
+        |    length(bin(nd - 1))::BIGINT AS dict_bits, n_runs FROM a2, x2),
+        |o3 AS (SELECT o_orderkey, o_custkey::VARCHAR AS v FROM orders),
+        |r3 AS (SELECT v, lag(v) OVER (ORDER BY o_orderkey) AS pv FROM o3),
+        |a3 AS (SELECT count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS nd
+        |  FROM o3),
+        |x3 AS (SELECT (sum(CASE WHEN pv IS NOT NULL AND v <> pv
+        |    THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs FROM r3),
+        |f3 AS (SELECT 'custkey' AS col_name, n, nd AS n_distinct,
+        |    length(bin(nd - 1))::BIGINT AS dict_bits, n_runs FROM a3, x3)
+        |SELECT col_name, n, n_distinct, dict_bits, n_runs,
+        |  round(n_runs / n, 6) AS run_ratio,
+        |  CASE WHEN n_runs * 10 < n THEN 'rle'
+        |       WHEN dict_bits <= 8 THEN 'dict' ELSE 'plain' END AS advice
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3)
+        |ORDER BY col_name""".stripMargin,
   )
 }

@@ -180,7 +180,10 @@ class PlanSpec extends SparkSpec {
       // q287/q288: 1-row broadcast moments / gap totals
       "q287_sax_words", "q288_session_timeout",
       // q289: 3×10 bounded type×decile grid + 1-row total/best
-      "q289_info_gain_split")
+      "q289_info_gain_split",
+      // q291/q292: 1-row count/run aggregates crossJoined into the
+      // advisor rows (q145's pattern)
+      "q291_join_order_advisor", "q292_codec_advisor")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -655,6 +655,57 @@ class Round9OpsSpec extends SparkSpec {
       r.getDouble(4) == 0.0 && !r.getBoolean(5), s"got $r")
   }
 
+  // ---- q291 join-order advisor ----------------------------------------
+
+  test("join order: measured intermediates pick customer_first") {
+    val dir = tmp("graft_jo_")
+    Seq((1L, "ASIA"), (2L, "EUROPE")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // c1 (ASIA) owns o1/o2; c2 owns o3/o4. Heavy lineitems hit o1 once
+    // and o3 twice → customer_first materializes 2 rows, lineitem_first
+    // 3; the final join keeps only o1's match.
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 30.0), (1L, 10.0), (3L, 30.0), (3L, 40.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("q291_join_order_advisor")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("customer_first", 2L, 1L, 0.5, true),
+      ("lineitem_first", 3L, 1L, BigDecimal(1.0 / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, false)),
+      s"got ${got.toSeq}")
+  }
+
+  // ---- q292 codec advisor ---------------------------------------------
+
+  test("codec advisor: run counts, dictionary widths, and the rules") {
+    val dir = tmp("graft_codec_")
+    // 12 orders: status in 2-blocks (6 runs, 2 distinct → dict),
+    // priority constant (1 run → rle), custkey all-distinct (dict, 4
+    // index bits).
+    val status = Seq("O", "O", "F", "F", "O", "O", "F", "F", "O", "O", "F", "F")
+    (1 to 12).map(i => (i.toLong, status(i - 1), "HIGH", i.toLong))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("q292_codec_advisor")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getString(6)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("custkey", 12L, 12L, 4L, 12L, 1.0, "dict"),
+      ("orderpriority", 12L, 1L, 1L, 1L, r6(1.0 / 12), "rle"),
+      ("orderstatus", 12L, 2L, 1L, 6L, 0.5, "dict")), s"got ${got.toSeq}")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
