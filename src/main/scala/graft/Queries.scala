@@ -7380,6 +7380,59 @@ object Queries {
       .orderBy("col_name")
   }
 
+  /** Power-law tail exponent of the part-popularity distribution via
+    * the Hill MLE: α = 1 + n/Σ ln(dᵢ/d_min) over parts ordered at
+    * least d_min = 25 times (the upper half of the synthetic demand
+    * range) — the number that says whether demand is
+    * heavy-tailed enough for q94/q37-style hot-key treatment to
+    * matter (α ≲ 2.5: a few parts dominate; α large: near-uniform).
+    * Degrees are exact distinct-order counts per part (one grouped
+    * aggregate); the tail filter and count are exact; the single ln
+    * sum is the only float, rounded once with the α arithmetic.
+    */
+  def q293_powerlaw_alpha(s: SparkSession, dir: String): DataFrame = {
+    val dmin = 25L
+    val deg = t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_orderkey").as("d"))
+    val all = deg.agg(count(lit(1)).as("n_parts"))
+    deg.filter(col("d") >= dmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("d") / lit(dmin.toDouble))).as("lsum"))
+      .crossJoin(broadcast(all))
+      .select(col("n_parts"), lit(dmin).as("d_min"), col("n_tail"),
+        round(lit(1.0) + col("n_tail") / col("lsum"), 4).as("hill_alpha"))
+  }
+
+  /** Catalog cold-start census: parts banded by how often they were
+    * ever ordered (relative to the demand range: cold < 25
+    * distinct orders, warm 25-34, hot ≥ 35) with each band's
+    * share of the catalog and of revenue — the recommender/search
+    * health table ("X% of the catalog is cold and carries Y% of
+    * revenue decides whether a popularity prior is even usable").
+    * One pass aggregates per-part order counts and exact-cent
+    * revenue; banding is integer CASE arithmetic; shares are one
+    * division per band against 1-row broadcast totals.
+    */
+  def q294_catalog_coldstart(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_orderkey").as("d"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("band",
+        when(col("d") < 25, "1_cold").when(col("d") < 35, "2_warm")
+          .otherwise("3_hot"))
+    val g = parts.groupBy("band")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("band_cents"))
+    val tot = g.agg(sum("n_parts").as("tp"), sum("band_cents").as("tc"))
+    g.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_parts"),
+        round(col("n_parts") / col("tp").cast("double"), 6).as("catalog_share"),
+        round(col("band_cents") / lit(100.0), 2).as("revenue"),
+        round(col("band_cents") / col("tc").cast("double"), 6).as("revenue_share"))
+      .orderBy("band")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7673,6 +7726,8 @@ object Queries {
     "q290_srm_check"    -> (q290_srm_check _),
     "q291_join_order_advisor" -> (q291_join_order_advisor _),
     "q292_codec_advisor" -> (q292_codec_advisor _),
+    "q293_powerlaw_alpha" -> (q293_powerlaw_alpha _),
+    "q294_catalog_coldstart" -> (q294_catalog_coldstart _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11627,5 +11682,31 @@ object Queries {
         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
         |      UNION ALL SELECT * FROM f3)
         |ORDER BY col_name""".stripMargin,
+    "q293_powerlaw_alpha" ->
+      """WITH deg AS (SELECT l_partkey, count(DISTINCT l_orderkey)::BIGINT AS d
+        |  FROM lineitem GROUP BY l_partkey),
+        |allp AS (SELECT count(*)::BIGINT AS n_parts FROM deg),
+        |tail AS (SELECT count(*)::BIGINT AS n_tail,
+        |    sum(ln(d / 25.0)) AS lsum FROM deg WHERE d >= 25)
+        |SELECT n_parts, 25::BIGINT AS d_min, n_tail,
+        |  round(1.0 + n_tail / lsum, 4) AS hill_alpha
+        |FROM tail, allp""".stripMargin,
+    "q294_catalog_coldstart" ->
+      """WITH parts AS (SELECT l_partkey,
+        |    count(DISTINCT l_orderkey)::BIGINT AS d,
+        |    sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |b AS (SELECT CASE WHEN d < 25 THEN '1_cold'
+        |    WHEN d < 35 THEN '2_warm' ELSE '3_hot' END AS band,
+        |    d, cents FROM parts),
+        |g AS (SELECT band, count(*)::BIGINT AS n_parts,
+        |    sum(cents)::BIGINT AS band_cents FROM b GROUP BY band),
+        |tot AS (SELECT sum(n_parts)::BIGINT AS tp,
+        |    sum(band_cents)::BIGINT AS tc FROM g)
+        |SELECT band, n_parts,
+        |  round(n_parts / tp::DOUBLE, 6) AS catalog_share,
+        |  round(band_cents / 100.0, 2) AS revenue,
+        |  round(band_cents / tc::DOUBLE, 6) AS revenue_share
+        |FROM g, tot ORDER BY band""".stripMargin,
   )
 }

@@ -183,7 +183,9 @@ class PlanSpec extends SparkSpec {
       "q289_info_gain_split",
       // q291/q292: 1-row count/run aggregates crossJoined into the
       // advisor rows (q145's pattern)
-      "q291_join_order_advisor", "q292_codec_advisor")
+      "q291_join_order_advisor", "q292_codec_advisor",
+      // q293/q294: 1-row broadcast catalog/revenue totals
+      "q293_powerlaw_alpha", "q294_catalog_coldstart")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

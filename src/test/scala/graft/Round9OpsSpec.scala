@@ -706,6 +706,35 @@ class Round9OpsSpec extends SparkSpec {
       ("orderstatus", 12L, 2L, 1L, 6L, 0.5, "dict")), s"got ${got.toSeq}")
   }
 
+  // ---- q293 power-law alpha / q294 cold-start -------------------------
+
+  test("hill alpha and cold-start bands on a three-part catalog") {
+    val dir = tmp("graft_hill_")
+    // p1 in 25 orders (warm, at d_min), p2 in 50 (hot), p3 in 10
+    // (cold, below the tail): Hill α = 1 + 2/(ln 1 + ln 2); every row
+    // is a 1.00 lineitem so revenue tracks the counts exactly.
+    val rows =
+      (1 to 25).map(o => (1L, o.toLong, 1.0)) ++
+      (101 to 150).map(o => (2L, o.toLong, 1.0)) ++
+      (201 to 210).map(o => (3L, o.toLong, 1.0))
+    rows.toDF("l_partkey", "l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val h = Queries.all("q293_powerlaw_alpha")(spark, dir).collect()(0)
+    val alpha = BigDecimal(1.0 + 2.0 / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h.getLong(0) == 3L && h.getLong(1) == 25L && h.getLong(2) == 2L &&
+      h.getDouble(3) == alpha, s"got $h")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Queries.all("q294_catalog_coldstart")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("1_cold", 1L, r6(1.0 / 3), 10.0, r6(1000.0 / 8500)),
+      ("2_warm", 1L, r6(1.0 / 3), 25.0, r6(2500.0 / 8500)),
+      ("3_hot", 1L, r6(1.0 / 3), 50.0, r6(5000.0 / 8500))), s"got ${got.toSeq}")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
