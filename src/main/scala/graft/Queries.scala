@@ -7433,6 +7433,69 @@ object Queries {
       .orderBy("band")
   }
 
+  /** Mood's median test: do weekday and weekend purchase values
+    * straddle the POOLED median differently — the coarsest, most
+    * outlier-proof two-sample test (only the side of the median
+    * matters), closing the nonparametric kit next to q261's
+    * rank-sum and q206's KS. The median is an actual data value
+    * picked by exact rank (q269's rule, 1-row broadcast); the 2×2
+    * above/below table is exact integers and the chi-square is
+    * q126's single-division N(ad−bc)²/(row·col products) form —
+    * engine-identical until one rounding. Ties at the median count
+    * as "not above" (the standard convention, documented here
+    * because it changes the table).
+    */
+  def q295_mood_median(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"),
+        dayofweek(col("ts")).isin(1, 7).as("wk"))
+    val ranked = p.withColumn("r",
+      row_number().over(Window.orderBy("value", "event_id")).cast("long"))
+    val med = ranked
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("nn"))))
+      .filter(col("r") === floor((col("nn") + 1) / 2.0))
+      .select(col("value").as("med"))
+    val cells = p.crossJoin(broadcast(med))
+      .agg(
+        sum(when(!col("wk") && col("value") > col("med"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("wk") && col("value") <= col("med"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("wk") && col("value") > col("med"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("wk") && col("value") <= col("med"), 1L).otherwise(0L)).as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val det = col("a") * col("d") - col("b") * col("c")
+    cells.select(col("a").as("wd_above"), col("b").as("wd_below"),
+      col("c").as("we_above"), col("d").as("we_below"),
+      round(n * det * det /
+        ((col("a") + col("b")) * (col("c") + col("d")) *
+          (col("a") + col("c")) * (col("b") + col("d"))).cast("double"), 4)
+        .as("chi2"))
+  }
+
+  /** Partition sizing planner: per event day, the EXACT serialized
+    * payload estimate (fixed 8-byte columns plus the measured string
+    * byte lengths) and the file count a 1 MiB-target writer should
+    * emit — the numbers behind `repartition(n)` before a
+    * date-partitioned write, and the at-scale input to q149's
+    * compaction (estimate first, rewrite never). One pass, integer
+    * sums; ceil division in exact integer arithmetic — no float
+    * rounding can off-by-one a file count.
+    */
+  def q296_partition_planner(s: SparkSession, dir: String): DataFrame = {
+    val target = 1048576L // 1 MiB
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(lit(32L) + length(col("event_type")) + length(col("props")))
+          .as("est_bytes"))
+      // ceil-divide via floor((x + t − 1)/t): the divisor is a power
+      // of two, so the double division is exact — no boundary flips
+      .select(col("day"), col("n_rows"), col("est_bytes"),
+        floor((col("est_bytes") + lit(target) - 1) / lit(target.toDouble))
+          .cast("long").as("n_files"))
+      .orderBy("day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7728,6 +7791,8 @@ object Queries {
     "q292_codec_advisor" -> (q292_codec_advisor _),
     "q293_powerlaw_alpha" -> (q293_powerlaw_alpha _),
     "q294_catalog_coldstart" -> (q294_catalog_coldstart _),
+    "q295_mood_median"  -> (q295_mood_median _),
+    "q296_partition_planner" -> (q296_partition_planner _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11708,5 +11773,30 @@ object Queries {
         |  round(band_cents / 100.0, 2) AS revenue,
         |  round(band_cents / tc::DOUBLE, 6) AS revenue_share
         |FROM g, tot ORDER BY band""".stripMargin,
+    "q295_mood_median" ->
+      """WITH p AS (SELECT event_id, value,
+        |    dayofweek(ts) IN (0, 6) AS wk FROM events
+        |  WHERE event_type = 'purchase'),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY value, event_id)::BIGINT
+        |    AS r FROM p),
+        |nn AS (SELECT count(*)::BIGINT AS nn FROM p),
+        |med AS (SELECT value AS med FROM ranked, nn
+        |  WHERE r = floor((nn + 1) / 2.0)),
+        |cells AS (SELECT
+        |    sum(CASE WHEN NOT wk AND value > med THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN NOT wk AND value <= med THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN wk AND value > med THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN wk AND value <= med THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM p, med)
+        |SELECT a AS wd_above, b AS wd_below, c AS we_above, d AS we_below,
+        |  round((a + b + c + d) * (a * d - b * c) * (a * d - b * c) /
+        |    ((a + b) * (c + d) * (a + c) * (b + d))::DOUBLE, 4) AS chi2
+        |FROM cells""".stripMargin,
+    "q296_partition_planner" ->
+      """SELECT ts::DATE AS day, count(*)::BIGINT AS n_rows,
+        |  sum(32 + length(event_type) + length(props))::BIGINT AS est_bytes,
+        |  floor((sum(32 + length(event_type) + length(props)) + 1048575) /
+        |    1048576.0)::BIGINT AS n_files
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }

@@ -185,7 +185,9 @@ class PlanSpec extends SparkSpec {
       // advisor rows (q145's pattern)
       "q291_join_order_advisor", "q292_codec_advisor",
       // q293/q294: 1-row broadcast catalog/revenue totals
-      "q293_powerlaw_alpha", "q294_catalog_coldstart")
+      "q293_powerlaw_alpha", "q294_catalog_coldstart",
+      // q295: 1-row broadcast count + median pick (q269's pattern)
+      "q295_mood_median")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -735,6 +735,33 @@ class Round9OpsSpec extends SparkSpec {
       ("3_hot", 1L, r6(1.0 / 3), 50.0, r6(5000.0 / 8500))), s"got ${got.toSeq}")
   }
 
+  // ---- q295 Mood's median / q296 partition planner --------------------
+
+  test("mood median: disjoint halves give the maximal 2x2 chi2") {
+    val dir = tmp("graft_mood_")
+    // Weekday {1,2,3,4}, weekend {5,6,7,8}: pooled lower median = 4
+    // (ties count as not-above) → table (0,4 | 4,0) → chi2 = 8.
+    val wkday = ts("2024-01-01 09:00:00"); val wkend = ts("2024-01-06 09:00:00")
+    writeEvents(dir,
+      (1 to 4).map(i => (i.toLong, wkday, 1L, "purchase", "{}", i.toDouble)) ++
+        (5 to 8).map(i => (i.toLong, wkend, 2L, "purchase", "{}", i.toDouble)))
+    val r = Queries.all("q295_mood_median")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 4L && r.getLong(2) == 4L &&
+      r.getLong(3) == 0L && r.getDouble(4) == 8.0, s"got $r")
+  }
+
+  test("partition planner: exact byte estimate and ceil file count") {
+    val dir = tmp("graft_part_")
+    // Two events, each 32 fixed + 4 ('view') + 2 ('{}') = 38 bytes →
+    // 76 bytes, one 1 MiB file.
+    writeEvents(dir, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", "{}", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", "{}", 1.0)))
+    val r = Queries.all("q296_partition_planner")(spark, dir).collect()(0)
+    assert(r.getDate(0).toString == "2024-01-01" && r.getLong(1) == 2L &&
+      r.getLong(2) == 76L && r.getLong(3) == 1L, s"got $r")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
