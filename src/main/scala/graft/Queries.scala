@@ -7496,6 +7496,77 @@ object Queries {
       .orderBy("day")
   }
 
+  /** Binary-segmentation changepoint: the single day boundary that
+    * removes the most squared error when the daily-revenue series is
+    * split into two constant-mean segments — the exact LOCATION
+    * readout behind q227's CUSUM alarm (CUSUM says "drifted", this
+    * says "on this day, by this much"). Every candidate boundary is
+    * scored from ONE pass of prefix moments (cumulative Σrev, Σrev²
+    * over the calendar-bounded day frame — the q234/q227 global-window
+    * pattern) against 1-row broadcast totals; gain = SSE_total −
+    * SSE_left − SSE_right in fixed-order float arithmetic, argmax by
+    * (gain, day) so the winner is engine-identical.
+    */
+  def q297_changepoint_sse(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"))
+    val pre = daily
+      .withColumn("k", count(lit(1)).over(w).cast("double"))
+      .withColumn("c1", sum("rev").over(w))
+      .withColumn("c2", sum(col("rev") * col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("k") < col("n")) // a split needs a non-empty right side
+    val sseT = col("s2") - col("s1") * col("s1") / col("n")
+    val sseL = col("c2") - col("c1") * col("c1") / col("k")
+    val sseR = (col("s2") - col("c2")) -
+      (col("s1") - col("c1")) * (col("s1") - col("c1")) / (col("n") - col("k"))
+    pre.withColumn("gain", sseT - sseL - sseR)
+      .orderBy(col("gain").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("boundary_after"), col("k").cast("long").as("n_left"),
+        round(col("c1") / col("k"), 4).as("mean_left"),
+        round((col("s1") - col("c1")) / (col("n") - col("k")), 4).as("mean_right"),
+        round(col("gain"), 4).as("sse_gain"))
+  }
+
+  /** Effective sample size of the daily purchase-count series: ESS =
+    * n/(1 + 2Σρ₁..₇) — how many INDEPENDENT observations the
+    * autocorrelated series is worth, the correction every
+    * daily-metric confidence interval silently needs (q233's
+    * bootstrap and q220's z both assume independence; this measures
+    * how wrong that is). The seven lag covariances come from q234's
+    * one-pass day-grain lag windows against a 1-row broadcast mean;
+    * each ρ is one division and ESS one fixed-order expression,
+    * rounded once each.
+    */
+  def q298_effective_n(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val mDf = daily.agg(count(lit(1)).as("n"),
+      (sum("x") / count(lit(1))).as("mu"))
+    val wo = Window.orderBy("day")
+    val dev = daily.crossJoin(broadcast(mDf))
+      .withColumn("d0", col("x") - col("mu"))
+    val withLags = (1 to 7).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"d$k", lag("d0", k).over(wo))
+    }
+    val aggs = Seq(sum(col("d0") * col("d0")).as("den")) ++
+      (1 to 7).map(k => sum(col("d0") * col(s"d$k")).as(s"num$k"))
+    val agg = withLags.agg(first(col("n")).as("n"), aggs: _*)
+    val rhoSum = (1 to 7).map(k => col(s"num$k") / col("den")).reduce(_ + _)
+    agg.select(col("n").as("n_days"),
+      round(rhoSum, 6).as("rho_sum_1_7"),
+      round(col("n") / (lit(1.0) + lit(2.0) * rhoSum), 2).as("ess"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7793,6 +7864,8 @@ object Queries {
     "q294_catalog_coldstart" -> (q294_catalog_coldstart _),
     "q295_mood_median"  -> (q295_mood_median _),
     "q296_partition_planner" -> (q296_partition_planner _),
+    "q297_changepoint_sse" -> (q297_changepoint_sse _),
+    "q298_effective_n"  -> (q298_effective_n _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11798,5 +11871,48 @@ object Queries {
         |  floor((sum(32 + length(event_type) + length(props)) + 1048575) /
         |    1048576.0)::BIGINT AS n_files
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q297_changepoint_sse" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
+        |    sum(rev * rev) AS s2 FROM daily),
+        |pre AS (SELECT day,
+        |    count(*) OVER win::DOUBLE AS k,
+        |    sum(rev) OVER win AS c1,
+        |    sum(rev * rev) OVER win AS c2
+        |  FROM daily WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT day, k, c1,
+        |    (s2 - s1 * s1 / n) - (c2 - c1 * c1 / k) -
+        |    ((s2 - c2) - (s1 - c1) * (s1 - c1) / (n - k)) AS gain,
+        |    s1, n FROM pre, tot WHERE k < n)
+        |SELECT day AS boundary_after, k::BIGINT AS n_left,
+        |  round(c1 / k, 4) AS mean_left,
+        |  round((s1 - c1) / (n - k), 4) AS mean_right,
+        |  round(gain, 4) AS sse_gain
+        |FROM g ORDER BY gain DESC, day ASC LIMIT 1""".stripMargin,
+    "q298_effective_n" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x) / count(*) AS mu FROM daily),
+        |dv AS (SELECT day, x - mu AS d0 FROM daily, m),
+        |lg AS (SELECT d0,
+        |    lag(d0, 1) OVER w AS d1, lag(d0, 2) OVER w AS d2,
+        |    lag(d0, 3) OVER w AS d3, lag(d0, 4) OVER w AS d4,
+        |    lag(d0, 5) OVER w AS d5, lag(d0, 6) OVER w AS d6,
+        |    lag(d0, 7) OVER w AS d7
+        |  FROM dv WINDOW w AS (ORDER BY day)),
+        |a AS (SELECT sum(d0 * d0) AS den,
+        |    sum(d0 * d1) AS num1, sum(d0 * d2) AS num2, sum(d0 * d3) AS num3,
+        |    sum(d0 * d4) AS num4, sum(d0 * d5) AS num5, sum(d0 * d6) AS num6,
+        |    sum(d0 * d7) AS num7 FROM lg)
+        |SELECT n AS n_days,
+        |  round(num1 / den + num2 / den + num3 / den + num4 / den +
+        |    num5 / den + num6 / den + num7 / den, 6) AS rho_sum_1_7,
+        |  round(n / (1.0 + 2.0 * (num1 / den + num2 / den + num3 / den +
+        |    num4 / den + num5 / den + num6 / den + num7 / den)), 2) AS ess
+        |FROM a, m""".stripMargin,
   )
 }

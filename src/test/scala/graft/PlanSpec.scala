@@ -187,7 +187,9 @@ class PlanSpec extends SparkSpec {
       // q293/q294: 1-row broadcast catalog/revenue totals
       "q293_powerlaw_alpha", "q294_catalog_coldstart",
       // q295: 1-row broadcast count + median pick (q269's pattern)
-      "q295_mood_median")
+      "q295_mood_median",
+      // q297/q298: 1-row broadcast totals/mean (q227/q234's patterns)
+      "q297_changepoint_sse", "q298_effective_n")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

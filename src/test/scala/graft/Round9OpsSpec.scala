@@ -762,6 +762,43 @@ class Round9OpsSpec extends SparkSpec {
       r.getLong(2) == 76L && r.getLong(3) == 1L, s"got $r")
   }
 
+  // ---- q297 changepoint / q298 effective n ----------------------------
+
+  test("changepoint: a clean level shift is found with full SSE gain") {
+    val dir = tmp("graft_cp_")
+    // Revs 1,1,1,5,5,5: total SSE 24, both segments constant → the
+    // day-3 boundary removes all of it.
+    writeEvents(dir, Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, ts(f"2024-01-0${i + 1} 12:00:00"), 1L,
+        "purchase", "{}", v) })
+    val r = Queries.all("q297_changepoint_sse")(spark, dir).collect()(0)
+    assert(r.getDate(0).toString == "2024-01-03" && r.getLong(1) == 3L &&
+      r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0 &&
+      r.getDouble(4) == 24.0, s"got $r")
+  }
+
+  test("effective n: mirrored lag-covariance arithmetic on a square wave") {
+    val dir = tmp("graft_ess_")
+    // 12 days of 1,1,3,3 repeating — one purchase count per day is
+    // forced by writing that many events per day.
+    val xs = Seq(1, 1, 3, 3, 1, 1, 3, 3, 1, 1, 3, 3)
+    writeEvents(dir, xs.zipWithIndex.flatMap { case (cnt, i) =>
+      (0 until cnt).map(j => ((i * 10 + j).toLong,
+        ts(f"2024-01-${i + 1}%02d 1$j:00:00"), 1L, "purchase", "{}", 1.0))
+    })
+    val n = xs.length; val mu = xs.sum.toDouble / n
+    val d = xs.map(_ - mu)
+    val den = d.map(v => v * v).sum
+    val rho = (1 to 7).map(k =>
+      (k until n).map(t => d(t) * d(t - k)).sum / den)
+    def r(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Queries.all("q298_effective_n")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n.toLong &&
+      got.getDouble(1) == r(rho.sum, 6) &&
+      got.getDouble(2) == r(n / (1.0 + 2.0 * rho.sum), 2), s"got $got")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
