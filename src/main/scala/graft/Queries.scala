@@ -7567,6 +7567,67 @@ object Queries {
       round(col("n") / (lit(1.0) + lit(2.0) * rhoSum), 2).as("ess"))
   }
 
+  /** Cohen's kappa for the q21 language-ID heuristic against the
+    * tagged labels: chance-corrected agreement — raw accuracy flatters
+    * any classifier on a skewed label mix, kappa subtracts the
+    * marginal-product agreement a label-blind guesser gets for free
+    * (the standard single-number classifier audit next to q207's
+    * per-feature view). Confusion cells, both marginals, and the
+    * diagonal are exact counts (languages are a bounded dimension);
+    * p_o, p_e, and kappa are fixed-order divisions rounded once each.
+    */
+  def q299_cohen_kappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val preds = tWide(s, dir, "documents")
+      .select(col("lang").as("y"),
+        TextFunctions.languageId(TextFunctions.tokens(col("text"))).as("p"))
+    val cells = preds.groupBy("y", "p").agg(count(lit(1)).as("c"))
+    val ry = cells.groupBy("y").agg(sum("c").as("ny"))
+    val cp = cells.groupBy("p").agg(sum("c").as("np"))
+    val tot = cells.agg(sum("c").as("n"),
+      sum(when(col("y") === col("p"), col("c")).otherwise(0L)).as("na"))
+    val pe = ry.join(cp, ry("y") === cp("p"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("ny") * col("np") / (col("n") * col("n"))).as("pe"))
+    val po = col("na") / col("n")
+    tot.crossJoin(broadcast(pe))
+      .select(col("n").as("n_docs"),
+        round(po, 6).as("accuracy"),
+        round(col("pe"), 6).as("chance_agreement"),
+        when(col("pe") < 1,
+          round((po - col("pe")) / (lit(1.0) - col("pe")), 4)).as("kappa"))
+  }
+
+  /** Corpus health scorecard — the one-row summary a training-data
+    * pipeline prints before anything else runs: document and exact
+    * token counts, vocabulary size, the exact-duplicate share
+    * (content-hash distinct vs rows, q06's measure as a RATE), mean
+    * document length, and the language mix's top share. Two scans
+    * (one fused-tokenizer pass for tokens, one explode for the
+    * vocabulary) folded by 1-row broadcasts; every number is an exact
+    * count until its single output division.
+    */
+  def q300_corpus_scorecard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = tWide(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum("ntok").as("n_tokens"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      sum("n_chars").as("chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val vocab = tWide(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("vocab_size"))
+    base.crossJoin(broadcast(vocab))
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        round((col("n_docs") - col("n_unique")) / col("n_docs").cast("double"), 6)
+          .as("exact_dup_rate"),
+        round(col("chars") / col("n_docs").cast("double"), 2).as("avg_chars"),
+        round(col("n_en") / col("n_docs").cast("double"), 6).as("en_share"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7866,6 +7927,8 @@ object Queries {
     "q296_partition_planner" -> (q296_partition_planner _),
     "q297_changepoint_sse" -> (q297_changepoint_sse _),
     "q298_effective_n"  -> (q298_effective_n _),
+    "q299_cohen_kappa"  -> (q299_cohen_kappa _),
+    "q300_corpus_scorecard" -> (q300_corpus_scorecard _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11914,5 +11977,52 @@ object Queries {
         |  round(n / (1.0 + 2.0 * (num1 / den + num2 / den + num3 / den +
         |    num4 / den + num5 / den + num6 / den + num7 / den)), 2) AS ess
         |FROM a, m""".stripMargin,
+    "q299_cohen_kappa" -> {
+      val profiles = graft.functions.TextFunctions.stopwordProfiles
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hits = profiles.map { case (l, ws) =>
+        s"len(list_distinct(list_intersect(toks, ${lst(ws)}))) AS h_$l"
+      }.mkString(",\n        ")
+      val bestExpr = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+      val caseArms = profiles.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH tok AS (
+        |  SELECT lang AS y,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT y, $hits FROM tok),
+        |pr AS (SELECT y, CASE $caseArms ELSE 'und' END AS p
+        |  FROM (SELECT *, $bestExpr AS best FROM sc)),
+        |cells AS (SELECT y, p, count(*)::BIGINT AS c FROM pr GROUP BY y, p),
+        |ry AS (SELECT y, sum(c)::BIGINT AS ny FROM cells GROUP BY y),
+        |cp AS (SELECT p, sum(c)::BIGINT AS np FROM cells GROUP BY p),
+        |tot AS (SELECT sum(c)::BIGINT AS n,
+        |    sum(CASE WHEN y = p THEN c ELSE 0 END)::BIGINT AS na FROM cells),
+        |pe AS (SELECT sum(ny * np / (n * n)) AS pe
+        |  FROM ry JOIN cp ON ry.y = cp.p, tot)
+        |SELECT n AS n_docs, round(na / n, 6) AS accuracy,
+        |  round(pe, 6) AS chance_agreement,
+        |  CASE WHEN pe < 1 THEN round((na / n - pe) / (1.0 - pe), 4) END AS kappa
+        |FROM tot, pe""".stripMargin
+    },
+    "q300_corpus_scorecard" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, text,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> ''))::BIGINT AS ntok
+        |  FROM documents),
+        |base AS (SELECT count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |    count(DISTINCT md5(text))::BIGINT AS n_unique,
+        |    sum(n_chars)::BIGINT AS chars,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+        |  FROM d),
+        |v AS (SELECT count(DISTINCT word)::BIGINT AS vocab_size FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents) WHERE word <> '')
+        |SELECT n_docs, n_tokens, vocab_size,
+        |  round((n_docs - n_unique) / n_docs::DOUBLE, 6) AS exact_dup_rate,
+        |  round(chars / n_docs::DOUBLE, 2) AS avg_chars,
+        |  round(n_en / n_docs::DOUBLE, 6) AS en_share
+        |FROM base, v""".stripMargin,
   )
 }

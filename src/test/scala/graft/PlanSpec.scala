@@ -189,7 +189,9 @@ class PlanSpec extends SparkSpec {
       // q295: 1-row broadcast count + median pick (q269's pattern)
       "q295_mood_median",
       // q297/q298: 1-row broadcast totals/mean (q227/q234's patterns)
-      "q297_changepoint_sse", "q298_effective_n")
+      "q297_changepoint_sse", "q298_effective_n",
+      // q299/q300: 1-row broadcast confusion totals / vocab leg
+      "q299_cohen_kappa", "q300_corpus_scorecard")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

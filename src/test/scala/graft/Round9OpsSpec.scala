@@ -799,6 +799,44 @@ class Round9OpsSpec extends SparkSpec {
       got.getDouble(2) == r(n / (1.0 + 2.0 * rho.sum), 2), s"got $got")
   }
 
+  // ---- q299 Cohen's kappa / q300 scorecard ----------------------------
+
+  test("cohen kappa: hand-computed chance-corrected agreement") {
+    val dir = tmp("graft_kappa_")
+    // Stopword texts force the q21 heuristic: two en-labeled docs
+    // predict en, one en-labeled doc reads German (miss), one
+    // de-labeled doc predicts de → p_o = 3/4, marginals give
+    // p_e = (3·2 + 1·2)/16 = 1/2 → kappa = 0.5.
+    Seq(
+      (1L, "the and of", "en", "s", 10L),
+      (2L, "the and of", "en", "s", 10L),
+      (3L, "der die das", "en", "s", 11L),
+      (4L, "der die das", "de", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.all("q299_cohen_kappa")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.75 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5, s"got $r")
+  }
+
+  test("corpus scorecard: counts, dup rate, and shares on a tiny corpus") {
+    val dir = tmp("graft_score_")
+    // Two identical docs (one exact dup) plus a third: 7 tokens,
+    // 5 distinct words, dup rate 1/3, avg chars 11/3, en share 1/3.
+    Seq(
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a b", "de", "s", 3L),
+      (3L, "c d e", "de", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g = Queries.all("q300_corpus_scorecard")(spark, dir).collect()(0)
+    assert(g.getLong(0) == 3L && g.getLong(1) == 7L && g.getLong(2) == 5L &&
+      g.getDouble(3) == r(1.0 / 3, 6) && g.getDouble(4) == r(11.0 / 3, 2) &&
+      g.getDouble(5) == r(1.0 / 3, 6), s"got $g")
+  }
+
   // ---- q264 skyline ---------------------------------------------------
 
   test("skyline: dominance with ties on both axes") {
