@@ -7628,6 +7628,200 @@ object Queries {
         round(col("n_en") / col("n_docs").cast("double"), 6).as("en_share"))
   }
 
+  /** Newman modularity of the part co-occurrence graph (parts in the
+    * same order, q153's pair build) under the BRAND partition —
+    * "is this community assignment better than chance", the quality
+    * number q166's label propagation optimizes for but never reports.
+    * Q = Σ_c [m_c/m − (D_c/2m)²] over the distinct-edge graph; the
+    * community map rides in as a broadcast (part is a dimension), the
+    * per-community frame is 25 rows, and the only corpus-scale work is
+    * the bounded ≤21-pairs-per-order fan-out. Contributions are
+    * rounded before the final 5-term sum, then the sum re-rounded, so
+    * engine addition order cannot leak into the hash.
+    */
+  def q301_modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val comm = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val e = edges
+      .join(broadcast(comm.select(col("p_partkey").as("u"), col("p_brand").as("cu"))), "u")
+      .join(broadcast(comm.select(col("p_partkey").as("v"), col("p_brand").as("cv"))), "v")
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = deg
+      .join(broadcast(comm.select(col("p_partkey").as("node"), col("p_brand").as("community"))), "node")
+      .groupBy("community").agg(sum("d").as("degree_sum"))
+    val mc = e.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val rows = dc.join(mc, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("contribution", round(
+        col("intra_edges").cast("double") / col("m") -
+          (col("degree_sum").cast("double") / (lit(2L) * col("m"))) *
+          (col("degree_sum").cast("double") / (lit(2L) * col("m"))), 6))
+    val q = rows.agg(round(sum("contribution"), 6).as("q_modularity"))
+    rows.crossJoin(broadcast(q))
+      .select("community", "intra_edges", "degree_sum", "contribution", "q_modularity")
+      .orderBy("community")
+  }
+
+  /** Benjamini-Hochberg FDR control over q207's per-token chi-square
+    * screen — the multiple-testing correction a few-thousand-token
+    * selection NEEDS (at α=0.05, 5% of a null vocabulary passes the
+    * raw test by chance). The step-up boundary is evaluated on the
+    * LOG scale (chi2_r ≥ −2·ln(r·α/m) ⟺ p_r ≤ r·α/m for the 1-df
+    * upper-tail surrogate p = exp(−χ²/2)) so no cross-engine exp() of
+    * tiny p-values enters the compare; ranks come from a vocab-sized
+    * window (never corpus rows) and chi2 is computed in DOUBLE from
+    * the start — the all-integer numerator overflows int64 once doc
+    * counts reach ~50k. Output is the one-row audit: tokens tested,
+    * BH rejections vs the (always ≤) Bonferroni count, and the
+    * realized chi-square cutoff.
+    */
+  def q302_fdr_bh(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.05
+    val pres = tWide(s, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("is_en"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .distinct()
+    val tot = t(s, dir, "documents")
+      .agg(sum((col("lang") === "en").cast("long")).as("n_en"),
+        sum((col("lang") =!= "en").cast("long")).as("n_oth"))
+    val adbc = col("a") * (col("n_oth") - col("b")) - col("b") * (col("n_en") - col("a"))
+    val scored = pres.groupBy("word")
+      .agg(sum("is_en").cast("double").as("a"), sum(lit(1L) - col("is_en")).cast("double").as("b"))
+      .filter(col("a") + col("b") >= 5)
+      .crossJoin(broadcast(tot.select(col("n_en").cast("double").as("n_en"),
+        col("n_oth").cast("double").as("n_oth"))))
+      .filter(col("a") + col("b") < col("n_en") + col("n_oth"))
+      .withColumn("chi2",
+        ((col("n_en") + col("n_oth")) * adbc * adbc) /
+          ((col("a") + col("b")) * (col("n_en") + col("n_oth") - col("a") - col("b")) *
+            col("n_en") * col("n_oth")))
+      .select(col("word"), col("chi2"))
+    val w = Window.orderBy(col("chi2").desc, col("word").asc)
+    val ranked = scored.withColumn("r", row_number().over(w).cast("long"))
+    val mrow = scored.agg(count(lit(1)).as("m_tested"))
+    ranked.crossJoin(broadcast(mrow))
+      .withColumn("bh_pass",
+        (col("chi2") >= lit(-2.0) * log(col("r") * lit(alpha) / col("m_tested"))).cast("long"))
+      .withColumn("bonf_pass",
+        (col("chi2") >= lit(-2.0) * log(lit(alpha) / col("m_tested"))).cast("long"))
+      .agg(first("m_tested").as("m_tested"),
+        coalesce(max(when(col("bh_pass") === 1L, col("r"))), lit(0L)).as("n_bh"),
+        sum("bonf_pass").as("n_bonferroni"),
+        round(coalesce(min(when(col("bh_pass") === 1L, col("chi2"))), lit(0.0)), 4)
+          .as("chi2_cutoff"))
+  }
+
+  /** EWMA control chart over daily purchase revenue — the
+    * small-persistent-shift monitor next to q227's CUSUM (CUSUM is the
+    * sequential-decision form; the EWMA chart is what ops dashboards
+    * actually plot). The smoother is the NORMALIZED trailing form
+    * ewma_t = Σ λ̄^(t−k)·x_k / Σ λ̄^(t−k) over a 60-day RANGE frame with
+    * λ̄ = 1/2, computed as a ratio of two window sums weighted by
+    * pow(2, day_idx) — the scale factors cancel in the ratio, every
+    * weight is an EXACT power of two in both engines, and the trailing
+    * truncation bounds the weights at 2^59 relative (the tail it drops
+    * is < 2^-59 of the estimate, far under the 4-dp rounding). Control
+    * limits use the exact finite-window variance factor Σw²/(Σw)², so
+    * early days get the correct WIDER limits; the in-control (μ₀, σ₀)
+    * come from the first-30-day BURN-IN only — estimating them over
+    * the whole series would let a later shift inflate its own control
+    * limits and mask itself. The window is a day-grain single
+    * partition — bounded by the calendar, never by row count.
+    */
+  def q303_ewma_chart(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val d0 = daily.agg(min("day").as("day0"))
+    val withIdx = daily.crossJoin(broadcast(d0))
+      .withColumn("day_idx", datediff(col("day"), col("day0")).cast("long"))
+    val base = withIdx.filter(col("day_idx") < 30)
+      .agg(avg("rev").as("mu0"), stddev_samp(col("rev")).as("sd0"))
+    val idx = withIdx.crossJoin(broadcast(base))
+    val w = Window.orderBy("day_idx").rangeBetween(-59, 0)
+    idx
+      .withColumn("wsum", sum(col("rev") * pow(lit(2.0), col("day_idx"))).over(w))
+      .withColumn("wden", sum(pow(lit(2.0), col("day_idx"))).over(w))
+      .withColumn("wsq", sum(pow(lit(4.0), col("day_idx"))).over(w))
+      .withColumn("ewma", col("wsum") / col("wden"))
+      .withColumn("half_width",
+        lit(3.0) * col("sd0") * sqrt(col("wsq") / (col("wden") * col("wden"))))
+      .select(col("day"), col("rev"), round(col("ewma"), 4).as("ewma"),
+        round(col("mu0") + col("half_width"), 4).as("ucl"),
+        round(col("mu0") - col("half_width"), 4).as("lcl"),
+        (col("ewma") > col("mu0") + col("half_width") ||
+          col("ewma") < col("mu0") - col("half_width")).as("out_of_control"))
+      .orderBy("day")
+  }
+
+  /** Edit-distance similarity self-join (Ed-Join, Xiao et al. 2008)
+    * over part names at threshold d=2 — the string-similarity join
+    * q70's adjacent-pair probe and q195's blocking-key linkage cannot
+    * express (those miss pairs outside the block; this one is EXACT).
+    * Candidates come from the positional-q-gram prefix filter: tokens
+    * are (bigram, occurrence) pairs so multiset intersection is plain
+    * set intersection, every string keeps only its q·d+1 = 5 GLOBALLY
+    * RAREST tokens, and any pair within distance d must share one of
+    * them (each edit destroys ≤ q grams ⇒ overlap ≥ max|G|−q·d; the
+    * standard prefix pigeonhole does the rest). The join runs at the
+    * DISTINCT-NAME grain: row-grain pair counts are recovered
+    * combinatorially (C(m,2) within a name group, m_a·m_b across),
+    * which turned a 3-million-row-pair verify at sf0.1 (the column
+    * holds 64 distinct values over 20k rows) into a 64-name join —
+    * the dictionary-grain rewrite that makes string-similarity joins
+    * survive heavy value duplication at 100 TB. The length filter and
+    * the exact levenshtein verify keep the chain LOSSLESS, so the
+    * judged per-distance counts are exactly the brute-force oracle's
+    * row-grain numbers.
+    */
+  def q304_edit_join(s: SparkSession, dir: String): DataFrame = {
+    val d = 2
+    val groups = t(s, dir, "part")
+      .select(col("p_name").as("name"))
+      .groupBy("name").agg(count(lit(1)).as("cnt"))
+    val toks = groups
+      .select(col("name"),
+        explode(expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"))
+          .as("g"))
+      .groupBy("name", "g").agg(count(lit(1)).as("c"))
+      .select(col("name"), col("g"), explode(expr("sequence(1L, c)")).as("occ"))
+    val freq = toks.groupBy("g", "occ").agg(count(lit(1)).as("f"))
+    val ranked = toks.join(freq, Seq("g", "occ"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("name").orderBy(col("f").asc, col("g").asc, col("occ").asc)))
+    val prefix = ranked.filter(col("r") <= d * 2 + 1).select("name", "g", "occ")
+    val cand = prefix.select(col("name").as("na"), col("g"), col("occ"))
+      .join(prefix.select(col("name").as("nb"), col("g"), col("occ")), Seq("g", "occ"))
+      .filter(col("na") < col("nb"))
+      .select("na", "nb")
+      .distinct()
+    val cross = cand
+      .join(groups.select(col("name").as("na"), col("cnt").as("ma")), "na")
+      .join(groups.select(col("name").as("nb"), col("cnt").as("mb")), "nb")
+      .filter(abs(length(col("na")) - length(col("nb"))) <= d)
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") >= 1 && col("dist") <= d)
+      .select(col("dist"), (col("ma") * col("mb")).as("pairs"))
+    val within = groups
+      .select(lit(0L).as("dist"), expr("(cnt * (cnt - 1)) div 2").as("pairs"))
+    cross.unionAll(within)
+      .groupBy("dist").agg(sum("pairs").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy("dist")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -7929,6 +8123,10 @@ object Queries {
     "q298_effective_n"  -> (q298_effective_n _),
     "q299_cohen_kappa"  -> (q299_cohen_kappa _),
     "q300_corpus_scorecard" -> (q300_corpus_scorecard _),
+    "q301_modularity"   -> (q301_modularity _),
+    "q302_fdr_bh"       -> (q302_fdr_bh _),
+    "q303_ewma_chart"   -> (q303_ewma_chart _),
+    "q304_edit_join"    -> (q304_edit_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12024,5 +12222,87 @@ object Queries {
         |  round(chars / n_docs::DOUBLE, 2) AS avg_chars,
         |  round(n_en / n_docs::DOUBLE, 6) AS en_share
         |FROM base, v""".stripMargin,
+    "q301_modularity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v, pu.p_brand AS cu, pv.p_brand AS cv
+        |  FROM pairs JOIN part pu ON u = pu.p_partkey
+        |             JOIN part pv ON v = pv.p_partkey),
+        |m AS (SELECT count(*)::BIGINT AS m FROM e),
+        |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+        |  GROUP BY node),
+        |dc AS (SELECT p_brand AS community, sum(d)::BIGINT AS degree_sum
+        |  FROM deg JOIN part ON node = p_partkey GROUP BY 1),
+        |mc AS (SELECT cu AS community, count(*)::BIGINT AS intra_edges
+        |  FROM e WHERE cu = cv GROUP BY 1),
+        |rows_ AS (SELECT community, coalesce(intra_edges, 0)::BIGINT AS intra_edges,
+        |    degree_sum,
+        |    round(coalesce(intra_edges, 0) / m::DOUBLE -
+        |      (degree_sum / (2.0 * m)) * (degree_sum / (2.0 * m)), 6) AS contribution
+        |  FROM dc LEFT JOIN mc USING (community), m),
+        |q AS (SELECT round(sum(contribution), 6) AS q_modularity FROM rows_)
+        |SELECT community, intra_edges, degree_sum, contribution, q_modularity
+        |FROM rows_, q ORDER BY community""".stripMargin,
+    "q302_fdr_bh" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, is_en, word FROM (
+        |    SELECT doc_id, (lang = 'en')::BIGINT AS is_en,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |tot AS (SELECT sum((lang = 'en')::BIGINT)::DOUBLE AS n_en,
+        |               sum((lang <> 'en')::BIGINT)::DOUBLE AS n_oth FROM documents),
+        |scored AS (SELECT word,
+        |    ((n_en + n_oth) * (a * (n_oth - b) - b * (n_en - a))
+        |       * (a * (n_oth - b) - b * (n_en - a))) /
+        |      ((a + b) * (n_en + n_oth - a - b) * n_en * n_oth) AS chi2
+        |  FROM (SELECT word, sum(is_en)::DOUBLE AS a, sum(1 - is_en)::DOUBLE AS b
+        |        FROM pres GROUP BY word HAVING sum(is_en) + sum(1 - is_en) >= 5) g,
+        |       tot
+        |  WHERE a + b < n_en + n_oth),
+        |mr AS (SELECT count(*)::BIGINT AS m_tested FROM scored),
+        |ranked AS (SELECT chi2,
+        |    row_number() OVER (ORDER BY chi2 DESC, word ASC)::BIGINT AS r
+        |  FROM scored)
+        |SELECT m_tested,
+        |  coalesce(max(CASE WHEN chi2 >= -2.0 * ln(r * 0.05 / m_tested)
+        |    THEN r END), 0)::BIGINT AS n_bh,
+        |  sum(CASE WHEN chi2 >= -2.0 * ln(0.05 / m_tested)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_bonferroni,
+        |  round(coalesce(min(CASE WHEN chi2 >= -2.0 * ln(r * 0.05 / m_tested)
+        |    THEN chi2 END), 0.0), 4) AS chi2_cutoff
+        |FROM ranked, mr GROUP BY m_tested""".stripMargin,
+    "q303_ewma_chart" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |d0 AS (SELECT min(day) AS day0 FROM daily),
+        |wi AS (SELECT day, rev,
+        |    date_diff('day', day0, day)::BIGINT AS day_idx FROM daily, d0),
+        |base AS (SELECT avg(rev) AS mu0, stddev_samp(rev) AS sd0
+        |  FROM wi WHERE day_idx < 30),
+        |idx AS (SELECT day, rev, mu0, sd0, day_idx FROM wi, base),
+        |win AS (SELECT day, rev, mu0, sd0,
+        |    sum(rev * pow(2.0, day_idx)) OVER w AS wsum,
+        |    sum(pow(2.0, day_idx)) OVER w AS wden,
+        |    sum(pow(4.0, day_idx)) OVER w AS wsq
+        |  FROM idx WINDOW w AS (ORDER BY day_idx
+        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW))
+        |SELECT day, rev, round(wsum / wden, 4) AS ewma,
+        |  round(mu0 + 3.0 * sd0 * sqrt(wsq / (wden * wden)), 4) AS ucl,
+        |  round(mu0 - 3.0 * sd0 * sqrt(wsq / (wden * wden)), 4) AS lcl,
+        |  (wsum / wden > mu0 + 3.0 * sd0 * sqrt(wsq / (wden * wden)) OR
+        |   wsum / wden < mu0 - 3.0 * sd0 * sqrt(wsq / (wden * wden)))
+        |    AS out_of_control
+        |FROM win ORDER BY day""".stripMargin,
+    "q304_edit_join" ->
+      """WITH n AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |pr AS (SELECT levenshtein(a.name, b.name)::BIGINT AS dist
+        |  FROM n a JOIN n b ON a.id < b.id
+        |    AND abs(len(a.name) - len(b.name)) <= 2)
+        |SELECT dist, count(*)::BIGINT AS n_pairs FROM pr
+        |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
   )
 }

@@ -191,7 +191,14 @@ class PlanSpec extends SparkSpec {
       // q297/q298: 1-row broadcast totals/mean (q227/q234's patterns)
       "q297_changepoint_sse", "q298_effective_n",
       // q299/q300: 1-row broadcast confusion totals / vocab leg
-      "q299_cohen_kappa", "q300_corpus_scorecard")
+      "q299_cohen_kappa", "q300_corpus_scorecard",
+      // q301: 1-row broadcast edge total m + Q sum (25-row community frame)
+      "q301_modularity",
+      // q302: 1-row broadcast class totals + tested-token count m
+      "q302_fdr_bh",
+      // q303: 1-row broadcast day0 + burn-in (mu0, sd0) onto the
+      // day-grain frame
+      "q303_ewma_chart")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Construction-based ground truth for the q301-q304 additions: a
+  * hand-computed two-clique modularity with duplicate edge evidence, a
+  * hand-computed Benjamini-Hochberg readout over an engineered 10-doc
+  * corpus, the EWMA chart mirrored in driver-side recursive arithmetic
+  * (including the 60-day truncation), and the edit-distance join
+  * checked both on a hand multiset corpus and against a brute-force
+  * crossJoin differential (the losslessness claim of the prefix
+  * filter).
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  // ---- q301 modularity -------------------------------------------------
+
+  test("modularity: two 3-cliques bridged by one edge, duplicate co-occurrence counted once") {
+    val dir = tmp("graft_mod_")
+    // Orders encode edges; order 100 repeats a lineitem row and order
+    // 107 repeats the whole {1,2} pair — the DISTINCT edge set must be
+    // unaffected by either form of duplication.
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 1L),
+      (101L, 1L), (101L, 3L),
+      (102L, 2L), (102L, 3L),
+      (103L, 4L), (103L, 5L),
+      (104L, 4L), (104L, 6L),
+      (105L, 5L), (105L, 6L),
+      (106L, 3L), (106L, 4L),
+      (107L, 1L), (107L, 2L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"), (6L, "B"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q301_modularity")(spark, dir).collect()
+    // m = 7 edges; each clique: m_c = 3, D_c = 7.
+    // contribution = 3/7 - (7/14)^2 = 0.178571...; Q = 0.357142 after
+    // the round-then-sum-then-round contract.
+    assert(got.length == 2)
+    val byComm = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byComm("A") == ((3L, 7L, 0.178571, 0.357142)), s"got ${byComm("A")}")
+    assert(byComm("B") == ((3L, 7L, 0.178571, 0.357142)), s"got ${byComm("B")}")
+  }
+
+  // ---- q302 BH / FDR ---------------------------------------------------
+
+  test("fdr bh: engineered 10-doc corpus — 2 BH = 2 Bonferroni rejections at cutoff chi2=10") {
+    val dir = tmp("graft_bh_")
+    // 5 en / 5 de docs. 'the' en-only (chi2=10), 'ein' de-only
+    // (chi2=10), 'common' 3en/2de (chi2=0.4); u*/v* singletons fall
+    // under the >=5-doc floor; no token spans all 10 docs.
+    val docs = Seq(
+      (1L, "the common u1", "en"), (2L, "the common u2", "en"),
+      (3L, "the common u3", "en"), (4L, "the u4", "en"), (5L, "the u5", "en"),
+      (6L, "ein common v1", "de"), (7L, "ein common v2", "de"),
+      (8L, "ein v3", "de"), (9L, "ein v4", "de"), (10L, "ein v5", "de"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q302_fdr_bh")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // m=3 tested; ranks: ein(10), the(10), common(0.4). BH thresholds
+    // -2 ln(r*0.05/3): 8.19, 6.80, 5.99 -> k=2. Bonferroni 8.19 -> 2.
+    assert(r.getLong(0) == 3L, s"m_tested ${r.getLong(0)}")
+    assert(r.getLong(1) == 2L, s"n_bh ${r.getLong(1)}")
+    assert(r.getLong(2) == 2L, s"n_bonferroni ${r.getLong(2)}")
+    assert(r.getDouble(3) == 10.0, s"chi2_cutoff ${r.getDouble(3)}")
+  }
+
+  // ---- q303 EWMA chart -------------------------------------------------
+
+  test("ewma chart: matches the driver-side recursive reference over 70 days (window truncation live)") {
+    val dir = tmp("graft_ewma_")
+    // 70 daily purchases (exercises the 60-day trailing truncation)
+    // with a deterministic sawtooth plus one level shift.
+    val xs = (0 until 70).map(i =>
+      100.0 + 7.0 * (i % 5) + (if (i >= 50) 25.0 else 0.0))
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong)
+      (i.toLong + 1, ts(s"$day 12:00:00"), 1L, "purchase", "{}", v)
+    }
+    (rows :+ ((999L, ts("2024-03-05 13:00:00"), 2L, "click", "{}", 1e6)))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = Queries.all("q303_ewma_chart")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got.length == 70)
+
+    // Driver-side reference: normalized trailing-60 EWMA with
+    // lambda-bar = 1/2; in-control mu0/sd0 from the 30-day burn-in.
+    val revs = xs // one purchase per day, round(sum,2) = value
+    val burn = revs.take(30)
+    val mu0 = burn.sum / burn.length
+    val sd0 = math.sqrt(burn.map(v => (v - mu0) * (v - mu0)).sum / (burn.length - 1))
+    got.zipWithIndex.foreach { case ((_, rev, ewma, ucl, lcl, flag), t) =>
+      assert(rev == revs(t))
+      val lo = math.max(0, t - 59)
+      val ws = (lo to t).map(k => math.pow(0.5, t - k))
+      val num = (lo to t).map(k => revs(k) * math.pow(0.5, t - k)).sum
+      val den = ws.sum
+      val varf = ws.map(w => w * w).sum / (den * den)
+      val expEwma = num / den
+      val hw = 3.0 * sd0 * math.sqrt(varf)
+      assert(math.abs(ewma - expEwma) < 5e-4, s"day $t ewma $ewma vs $expEwma")
+      assert(math.abs(ucl - (mu0 + hw)) < 5e-4, s"day $t ucl")
+      assert(math.abs(lcl - (mu0 - hw)) < 5e-4, s"day $t lcl")
+      assert(flag == (expEwma > mu0 + hw || expEwma < mu0 - hw), s"day $t flag")
+    }
+    // The level shift at day 50 must eventually trip the upper limit.
+    assert(got.drop(50).exists(_._6), "expected an out-of-control day after the level shift")
+  }
+
+  // ---- q304 edit join --------------------------------------------------
+
+  test("edit join: hand multiset corpus — within-group C(m,2) and cross-group m_a*m_b counts") {
+    val dir = tmp("graft_ed_")
+    val names =
+      Seq.fill(3)("aaaa bolt") ++ Seq.fill(2)("aaab bolt") ++
+        Seq("aabb bolt", "cccc ring")
+    names.toDF("p_name").write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q304_edit_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dist 0: C(3,2) + C(2,2-ish)=1 -> 4. dist 1: aaaa~aaab 3*2 plus
+    // aaab~aabb 2*1 -> 8. dist 2: aaaa~aabb 3*1 -> 3. 'cccc ring' is
+    // beyond d=2 from everything.
+    assert(got == Map(0L -> 4L, 1L -> 8L, 2L -> 3L), s"got $got")
+  }
+
+  test("edit join: lossless vs brute force on a varied corpus") {
+    val dir = tmp("graft_ed2_")
+    // Mixed-length names engineered so some within-distance pairs share
+    // only RARE grams (the prefix filter's burden) and some share none
+    // of the frequent head grams.
+    val base = Seq(
+      "alpha beam", "alpha beams", "alpho beam", "alpha bean",
+      "gamma coil", "gamma coils", "gamno coil",
+      "delta ring", "delta rung", "delte ring",
+      "omega bolt", "omega bolts", "omegas bolt",
+      "zeta pump", "zeta pumps", "zeto pump", "unique widget")
+    val names = base ++ base.take(5) // duplicates to exercise multiplicity
+    names.toDF("p_name").write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Queries.all("q304_edit_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Brute force over ROW pairs (ids = positions).
+    val idx = names.zipWithIndex
+    val brute = (for {
+      (a, i) <- idx; (b, j) <- idx if i < j
+      d = levDist(a, b) if d <= 2
+    } yield d).groupBy(identity).map { case (k, v) => k.toLong -> v.size.toLong }
+    assert(got == brute, s"got $got want $brute")
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+}
