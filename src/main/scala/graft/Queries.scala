@@ -7822,6 +7822,35 @@ object Queries {
       .orderBy("dist")
   }
 
+  /** Storage-partitioned join (SPJ) over the custom DSv2 source: both
+    * sides declare their physical layout — one planned partition per
+    * id%97 residue class — through `SupportsReportPartitioning` +
+    * `KeyGroupedPartitioning`, each `InputPartition` carrying its key
+    * (`HasPartitionKey`), and with `spark.sql.sources.v2.bucketing
+    * .enabled` Spark satisfies the join's clustered distribution
+    * straight from the CONNECTOR-declared layout: the bucket
+    * equi-join AND the downstream per-bucket aggregate plan ZERO
+    * exchanges (Dsv2SourceSpec asserts the executed plan is
+    * exchange-free). This is q155's Hive-bucketing co-location
+    * generalized to the V2 connector world — the mechanism behind
+    * shuffle-free joins on Iceberg/Delta partition layouts at 100 TB,
+    * where the shuffle being avoided is the dominant cost. Join keys
+    * must cover the partition keys for SPJ to engage (a (id,bucket)
+    * join keeps its exchanges — the probe that pinned this down).
+    */
+  def q305_spj_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def tbl(st: Long, en: Long) = s.read.format("graft.sources.SeqSource")
+      .option("start", st).option("end", en).option("layout", "bucketed").load()
+    val a = tbl(0, 9700).select(col("bucket"), col("cents").as("ca"))
+    val b = tbl(4850, 14550).select(col("bucket"), col("cents").as("cb"))
+    a.hint("merge").join(b, "bucket")
+      .filter(col("bucket") < 10)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ca") + col("cb")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8127,6 +8156,7 @@ object Queries {
     "q302_fdr_bh"       -> (q302_fdr_bh _),
     "q303_ewma_chart"   -> (q303_ewma_chart _),
     "q304_edit_join"    -> (q304_edit_join _),
+    "q305_spj_join"     -> (q305_spj_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12304,5 +12334,14 @@ object Queries {
         |    AND abs(len(a.name) - len(b.name)) <= 2)
         |SELECT dist, count(*)::BIGINT AS n_pairs FROM pr
         |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+    "q305_spj_join" ->
+      """WITH a AS (SELECT id % 97 AS bucket,
+        |    (id * 2654435761) % 1000003 AS ca FROM range(0, 9700) t(id)),
+        |b AS (SELECT id % 97 AS bucket,
+        |    (id * 2654435761) % 1000003 AS cb FROM range(4850, 14550) t(id))
+        |SELECT bucket, count(*)::BIGINT AS n_pairs,
+        |  sum(ca + cb)::BIGINT AS sum_cents
+        |FROM a JOIN b USING (bucket) WHERE bucket < 10
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

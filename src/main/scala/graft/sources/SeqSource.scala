@@ -10,7 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,10 +58,14 @@ class SeqSource extends TableProvider {
     SeqTable(
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000000").toLong,
-      properties.getOrDefault("slices", "32").toInt)
+      properties.getOrDefault("slices", "32").toInt,
+      properties.getOrDefault("layout", "range") == "bucketed")
 }
 
 object SeqSource {
+  /** Residue-class count of the bucketed layout (id % 97). */
+  val NBuckets = 97
+
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("bucket", LongType, nullable = false),
@@ -100,17 +106,17 @@ object SeqSource {
   }
 }
 
-case class SeqTable(start: Long, end: Long, slices: Int)
+case class SeqTable(start: Long, end: Long, slices: Int, bucketed: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq[$start,$end)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    SeqScanBuilder(start, end, slices)
+    SeqScanBuilder(start, end, slices, bucketed)
 }
 
-case class SeqScanBuilder(start: Long, end: Long, slices: Int)
+case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -180,8 +186,73 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan = pushedAgg match {
-    case Some(aggs) => SeqAggScan(lo, hi, aggs)
-    case None       => SeqScan(lo, hi, slices, required, pushed)
+    case Some(aggs)        => SeqAggScan(lo, hi, aggs)
+    case None if bucketed  => SeqBucketedScan(lo, hi, required, pushed)
+    case None              => SeqScan(lo, hi, slices, required, pushed)
+  }
+}
+
+/** Storage-partitioned layout: the table is physically partitioned by
+  * `bucket` (one planned partition per residue class of id % 97, rows
+  * generated by a stride-97 walk), and the scan REPORTS that layout to
+  * Spark via [[SupportsReportPartitioning]] +
+  * [[KeyGroupedPartitioning]] with each [[InputPartition]] carrying
+  * its key ([[HasPartitionKey]]). With
+  * `spark.sql.sources.v2.bucketing.enabled=true`, Spark's
+  * storage-partitioned join machinery then satisfies bucket-clustered
+  * distributions straight from the layout — joins and aggregations on
+  * `bucket` plan ZERO exchanges, the DSv2 generalization of q155's
+  * Hive-bucketing demo (there the layout lives in the metastore; here
+  * the CONNECTOR declares it, which is how Iceberg/Delta co-located
+  * joins work at 100 TB).
+  */
+case class SeqBucketedScan(
+    lo: Long,
+    hi: Long,
+    required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch with SupportsReportPartitioning {
+  import SeqSource.NBuckets
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq BUCKETED($NBuckets) bounds=[$lo,$hi) " +
+      s"cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), NBuckets)
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(NBuckets)(b => SeqBucketPartition(b.toLong, lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqBucketReaderFactory(required.fieldNames)
+}
+
+case class SeqBucketPartition(bucket: Long, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+case class SeqBucketReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[SeqBucketPartition]
+    new PartitionReader[InternalRow] {
+      // First id >= lo in this bucket's residue class, then stride 97.
+      private val first =
+        bp.lo + (((bp.bucket - bp.lo % SeqSource.NBuckets) % SeqSource.NBuckets +
+          SeqSource.NBuckets) % SeqSource.NBuckets)
+      private var id = first - SeqSource.NBuckets
+      private val gen: Array[Long => Any] = cols.map {
+        case "id" => (i: Long) => i
+        case "bucket" => (i: Long) => SeqSource.bucketOf(i)
+        case "cents" => (i: Long) => SeqSource.centsOf(i)
+        case "word" => (i: Long) => UTF8String.fromString(SeqSource.wordOf(i))
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      override def next(): Boolean = { id += SeqSource.NBuckets; id < bp.hi }
+      override def get(): InternalRow =
+        new GenericInternalRow(gen.map(_(id)))
+      override def close(): Unit = ()
+    }
   }
 }
 

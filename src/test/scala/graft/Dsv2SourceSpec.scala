@@ -108,4 +108,43 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(a == b && b == c)
     assert(seq(30000, slices = 17).rdd.getNumPartitions == 17)
   }
+
+  // ---- bucketed layout / storage-partitioned join ----------------------
+
+  private def bucketed(start: Long, end: Long) =
+    spark.read.format("graft.sources.SeqSource")
+      .option("start", start).option("end", end)
+      .option("layout", "bucketed").load()
+
+  test("bucketed layout: same rows as the range layout, incl. a start not on a bucket boundary") {
+    // 4850 % 97 = 0 would hide stride-start bugs; 4851 % 97 = 1 doesn't.
+    val got = bucketed(4851L, 14551L).orderBy("id").collect()
+    val want = expected(14551L).filter(col("id") >= 4851L).orderBy("id").collect()
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
+    assert(bucketed(0L, 9700L).rdd.getNumPartitions == 97)
+  }
+
+  test("storage-partitioned join: bucket join and per-bucket agg plan ZERO exchanges") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val a = bucketed(0L, 9700L).select(col("bucket"), col("cents").as("ca"))
+    val b = bucketed(4850L, 14550L).select(col("bucket"), col("cents").as("cb"))
+    val j = a.hint("merge").join(b, "bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum(col("ca") + col("cb")).as("s"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"SPJ must satisfy the join AND the agg from the connector-declared layout:\n$plan")
+    // Correctness: 100 ids/bucket on each side → 10k pairs per bucket.
+    assert(j.count() == 97L)
+    assert(j.filter(col("n") =!= 10000L).count() == 0L)
+  }
+
+  test("bucketed scan without v2 bucketing conf still returns correct rows (layout is advisory)") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val n = bucketed(0L, 9700L).groupBy("bucket").count()
+      assert(n.count() == 97L && n.filter(col("count") =!= 100L).count() == 0L)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
 }
