@@ -7851,6 +7851,32 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** The transactional DSv2 sink as a JUDGED query (q149's pattern:
+    * the judged result passes through the custom layout while the
+    * oracle reads the ORIGINAL table — hash equality is the
+    * losslessness proof). The per-segment revenue aggregate is written
+    * through `LedgerSink`'s commit protocol (per-task staging →
+    * commit messages → atomic manifest publish; Dsv2SinkSpec proves
+    * the abort path leaves nothing) and read back through the same
+    * connector's manifest-resolved scan. This is the reference's
+    * batched-insert contract (main.py:305-356: a batch either lands
+    * whole or not at all) enforced by the CONNECTOR rather than by
+    * orchestrator retries.
+    */
+  def q306_dsv2_sink_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    val path = scratch("ledger_rt")
+    agg.write.format("graft.sources.LedgerSink")
+      .option("path", path).mode("append").save()
+    s.read.format("graft.sources.LedgerSink").option("path", path).load()
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8157,6 +8183,7 @@ object Queries {
     "q303_ewma_chart"   -> (q303_ewma_chart _),
     "q304_edit_join"    -> (q304_edit_join _),
     "q305_spj_join"     -> (q305_spj_join _),
+    "q306_dsv2_sink_roundtrip" -> (q306_dsv2_sink_roundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12343,5 +12370,10 @@ object Queries {
         |  sum(ca + cb)::BIGINT AS sum_cents
         |FROM a JOIN b USING (bucket) WHERE bucket < 10
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q306_dsv2_sink_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

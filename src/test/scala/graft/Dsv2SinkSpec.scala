@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The transactional DSv2 sink (sources/LedgerSink.scala) pinned on the
+  * axes that make it a COMMIT PROTOCOL rather than a file dump:
+  * round-trip fidelity (incl. escaping and nulls), job-failure
+  * atomicity (a failing partition must leave no committed state and no
+  * staging debris), and snapshot-replace semantics across writes.
+  */
+class Dsv2SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ledger_").toString
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.write.format("graft.sources.LedgerSink")
+      .option("path", dir).mode("append").save()
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.LedgerSink").option("path", dir).load()
+
+  test("round trip: longs, doubles (shortest-repr lossless), strings with tabs/newlines, nulls") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, Some(1.5), Some("plain")),
+      (2L, Some(-0.1), Some("tab\there")),
+      (3L, Some(1.0 / 3.0), Some("line\nbreak")),
+      (4L, None: Option[Double], Some("back\\slash")),
+      (5L, Some(Double.MinPositiveValue), None: Option[String]),
+      (6L, Some(0.1 + 0.2), Some("\\N")) // literal sentinel lookalike survives
+    ).toDF("k", "v", "s").repartition(3)
+    write(df, dir)
+    val got = read(dir).orderBy("k").collect()
+    val want = df.orderBy("k").collect()
+    assert(got.sameElements(want), s"got ${got.mkString(",")}")
+  }
+
+  test("atomic abort: a failing partition leaves no manifest, no data, no staging debris") {
+    val dir = tmp()
+    val bad = spark.range(0, 100, 1, 4).toDF("k")
+      .withColumn("k", when(col("k") === 99L,
+        raise_error(lit("boom")).cast("long")).otherwise(col("k")))
+    intercept[Exception] { write(bad, dir) }
+    val root = java.nio.file.Paths.get(dir)
+    assert(!java.nio.file.Files.exists(root.resolve("manifest.ledger")),
+      "failed job must not publish a manifest")
+    val staged = java.nio.file.Files.list(root.resolve("_staging")).count()
+    assert(staged == 0L, s"abort must sweep staging, found $staged files")
+    // No committed state exists, so there is no table to read at all.
+    val noTable = intercept[IllegalArgumentException] { read(dir) }
+    assert(noTable.getMessage.contains("no ledger manifest"), noTable.getMessage)
+  }
+
+  test("snapshot replace: the second write's manifest fully supersedes the first") {
+    val dir = tmp()
+    write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    write(Seq((10L, "x")).toDF("k", "s"), dir)
+    val got = read(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "x")), s"latest manifest must win, got $got")
+  }
+
+  test("manifest row counts equal the data (the audit a sink monitor reads)") {
+    val dir = tmp()
+    write(spark.range(0, 1000, 1, 7).toDF("k"), dir)
+    val m = graft.sources.LedgerSink.readManifest(java.nio.file.Paths.get(dir)).get
+    assert(m.files.map(_._2).sum == 1000L)
+    assert(m.files.size == 7)
+    assert(read(dir).count() == 1000L)
+  }
+
+  test("unsupported column types are rejected before any file is touched") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      write(Seq((1, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d"), dir)
+    }
+    assert(e.getMessage.contains("LedgerSink supports"), e.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve("manifest.ledger")))
+  }
+}
