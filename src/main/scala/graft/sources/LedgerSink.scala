@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -166,7 +167,8 @@ case class LedgerTable(pathStr: String, tableSchema: StructType)
   override def name(): String = s"graft_ledger[$pathStr]"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     LedgerSink.checkSchema(info.schema())
@@ -174,6 +176,8 @@ case class LedgerTable(pathStr: String, tableSchema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           LedgerBatchWrite(pathStr, info.schema(), info.queryId())
+        override def toStreaming: StreamingWrite =
+          LedgerStreamingWrite(pathStr, info.schema(), info.queryId())
       }
     }
   }
@@ -225,30 +229,114 @@ case class LedgerBatchWrite(pathStr: String, schema: StructType, queryId: String
 case class LedgerWriterFactory(pathStr: String, schema: StructType, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      // taskId is unique PER ATTEMPT — speculative or retried attempts
-      // of the same partition stage to different files.
-      private val name = s"$queryId-p$partitionId-t$taskId.tsv"
-      private val path = Paths.get(pathStr).resolve("_staging").resolve(name)
-      private val out = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
-      private var rows = 0L
-      private val types = schema.fields.map(_.dataType)
+    LedgerTaskWriter(pathStr, schema, s"$queryId-p$partitionId-t$taskId.tsv")
+}
 
-      override def write(row: InternalRow): Unit = {
-        val cells = new Array[String](types.length)
-        var i = 0
-        while (i < types.length) {
-          cells(i) = LedgerSink.cellOf(types(i), row, i); i += 1
-        }
-        out.write(cells.mkString("\t")); out.write("\n")
-        rows += 1
+/** Streaming twin: staging names carry the EPOCH, and the epoch-level
+  * commit below is idempotent, which is what turns micro-batch replay
+  * after a restart into exactly-once (the connector-grain form of
+  * RecordSink's idempotent-epoch contract, StreamingSpec).
+  */
+case class LedgerStreamWriterFactory(pathStr: String, schema: StructType, queryId: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    LedgerTaskWriter(pathStr, schema, s"$queryId-e$epochId-p$partitionId-t$taskId.tsv")
+}
+
+/** One task attempt's staging writer. The staged name embeds the task
+  * attempt (and, for streaming, the epoch), so speculative or retried
+  * attempts of the same partition never collide.
+  */
+case class LedgerTaskWriter(pathStr: String, schema: StructType, name: String)
+    extends DataWriter[InternalRow] {
+  private val path = Paths.get(pathStr).resolve("_staging").resolve(name)
+  private val out = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
+  private var rows = 0L
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    val cells = new Array[String](types.length)
+    var i = 0
+    while (i < types.length) {
+      cells(i) = LedgerSink.cellOf(types(i), row, i); i += 1
+    }
+    out.write(cells.mkString("\t")); out.write("\n")
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    LedgerCommitMessage(name, rows)
+  }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+  override def close(): Unit = ()
+}
+
+/** Epoch-idempotent streaming commit: each committed epoch publishes an
+  * epoch manifest (temp-then-rename) and the table manifest is rebuilt
+  * as the union of all committed epochs. A REPLAYED epoch (micro-batch
+  * re-run after restart from checkpoint) finds its epoch manifest
+  * already present, drops its staged duplicates, and changes nothing —
+  * exactly-once at the sink without any coordination beyond the
+  * filesystem rename.
+  */
+case class LedgerStreamingWrite(pathStr: String, schema: StructType, queryId: String)
+    extends StreamingWrite {
+  private def root = Paths.get(pathStr)
+  private def staging = root.resolve("_staging")
+  private def epochs = root.resolve("epochs")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(staging)
+    LedgerStreamWriterFactory(pathStr, schema, queryId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = epochs.resolve(s"epoch-$epochId.manifest")
+    if (Files.exists(marker)) { sweepEpoch(epochId); return } // replay: drop dupes
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.createDirectories(epochs)
+    val committed = messages.map { case LedgerCommitMessage(name, rows) =>
+      Files.move(staging.resolve(name), data.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      (s"data/$name", rows)
+    }
+    val body = committed.map { case (f, n) => s"$f\t$n" }.mkString("\n")
+    val tmp = epochs.resolve(s"epoch-$epochId.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, marker,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    republish()
+    sweepEpoch(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    sweepEpoch(epochId)
+
+  /** Table manifest := union of all committed epoch manifests (epoch
+    * order, so the view is deterministic).
+    */
+  private def republish(): Unit = {
+    val files = Files.list(epochs).iterator().asScala
+      .filter(_.getFileName.toString.matches("epoch-\\d+\\.manifest"))
+      .toSeq
+      .sortBy(p => p.getFileName.toString.stripPrefix("epoch-")
+        .stripSuffix(".manifest").toLong)
+      .flatMap { p =>
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n", -1).toSeq.filter(_.nonEmpty)
+          .map { l => val Array(f, n) = l.split("\t"); (f, n.toLong) }
       }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        LedgerCommitMessage(name, rows)
-      }
-      override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
-      override def close(): Unit = ()
+    LedgerSink.writeManifest(root, LedgerSink.Manifest(schema.toDDL, files))
+  }
+
+  private def sweepEpoch(epochId: Long): Unit =
+    if (Files.exists(staging)) {
+      val it = Files.list(staging).iterator().asScala
+      it.filter(_.getFileName.toString.startsWith(s"$queryId-e$epochId-"))
+        .foreach(Files.deleteIfExists(_))
     }
 }
 

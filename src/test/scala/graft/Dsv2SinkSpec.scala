@@ -70,6 +70,59 @@ class Dsv2SinkSpec extends SparkSpec {
     assert(read(dir).count() == 1000L)
   }
 
+  test("streaming write: epochs accumulate; restart from checkpoint keeps exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    val ckpt = tmp()
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Long]
+    def start() = mem.toDF().toDF("k")
+      .writeStream.format("graft.sources.LedgerSink")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+
+    mem.addData(1L, 2L, 3L)
+    val q1 = start(); q1.awaitTermination()
+    mem.addData(4L, 5L)
+    val q2 = start(); q2.awaitTermination()
+    val got = read(dir).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L, 3L, 4L, 5L)), got.mkString(","))
+    // Two committed epoch manifests, no staging debris.
+    val epochs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir).resolve("epochs")).count()
+    assert(epochs == 2L, s"expected 2 epoch manifests, found $epochs")
+    val staged = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir).resolve("_staging")).count()
+    assert(staged == 0L, s"staging must be swept, found $staged")
+  }
+
+  test("streaming replay of a committed epoch is a no-op (idempotent commit)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = tmp()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val w = graft.sources.LedgerStreamingWrite(dir, schema, "qid")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir).resolve("_staging"))
+    def stage(name: String, rows: Seq[Long]): graft.sources.LedgerCommitMessage = {
+      val p = java.nio.file.Paths.get(dir).resolve("_staging").resolve(name)
+      java.nio.file.Files.write(p,
+        rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+      graft.sources.LedgerCommitMessage(name, rows.size.toLong)
+    }
+    w.commit(0L, Array(stage("qid-e0-p0-t1.tsv", Seq(1L, 2L))))
+    val after1 = read(dir).collect().map(_.getLong(0)).sorted
+    // Replay of epoch 0 with a RETRY attempt's staged file: dropped.
+    w.commit(0L, Array(stage("qid-e0-p0-t9.tsv", Seq(1L, 2L))))
+    val after2 = read(dir).collect().map(_.getLong(0)).sorted
+    assert(after1.sameElements(Array(1L, 2L)) && after2.sameElements(after1))
+    // The duplicate staged file was swept, not published.
+    val staged = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir).resolve("_staging")).count()
+    assert(staged == 0L)
+  }
+
   test("unsupported column types are rejected before any file is touched") {
     val dir = tmp()
     val e = intercept[Exception] {
