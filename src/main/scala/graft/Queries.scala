@@ -7786,12 +7786,14 @@ object Queries {
     * judged per-distance counts are exactly the brute-force oracle's
     * row-grain numbers.
     */
-  def q304_edit_join(s: SparkSession, dir: String): DataFrame = {
-    val d = 2
-    val groups = t(s, dir, "part")
-      .select(col("p_name").as("name"))
-      .groupBy("name").agg(count(lit(1)).as("cnt"))
-    val toks = groups
+  /** Shared by q304/q307: all DISTINCT-name pairs (na < nb) within
+    * edit distance `d`, found via the positional-q-gram prefix filter
+    * (candidates share one of each side's q·d+1 globally rarest
+    * (bigram, occurrence) tokens) and verified exactly — LOSSLESS, so
+    * callers may treat the result as ground truth.
+    */
+  private def editPairsNameGrain(names: DataFrame, d: Int): DataFrame = {
+    val toks = names
       .select(col("name"),
         explode(expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"))
           .as("g"))
@@ -7802,17 +7804,25 @@ object Queries {
       .withColumn("r", row_number().over(
         Window.partitionBy("name").orderBy(col("f").asc, col("g").asc, col("occ").asc)))
     val prefix = ranked.filter(col("r") <= d * 2 + 1).select("name", "g", "occ")
-    val cand = prefix.select(col("name").as("na"), col("g"), col("occ"))
+    prefix.select(col("name").as("na"), col("g"), col("occ"))
       .join(prefix.select(col("name").as("nb"), col("g"), col("occ")), Seq("g", "occ"))
       .filter(col("na") < col("nb"))
       .select("na", "nb")
       .distinct()
-    val cross = cand
-      .join(groups.select(col("name").as("na"), col("cnt").as("ma")), "na")
-      .join(groups.select(col("name").as("nb"), col("cnt").as("mb")), "nb")
       .filter(abs(length(col("na")) - length(col("nb"))) <= d)
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("dist") >= 1 && col("dist") <= d)
+      .filter(col("dist") <= d)
+  }
+
+  def q304_edit_join(s: SparkSession, dir: String): DataFrame = {
+    val d = 2
+    val groups = t(s, dir, "part")
+      .select(col("p_name").as("name"))
+      .groupBy("name").agg(count(lit(1)).as("cnt"))
+    val cross = editPairsNameGrain(groups.select("name"), d)
+      .filter(col("dist") >= 1)
+      .join(groups.select(col("name").as("na"), col("cnt").as("ma")), "na")
+      .join(groups.select(col("name").as("nb"), col("cnt").as("mb")), "nb")
       .select(col("dist"), (col("ma") * col("mb")).as("pairs"))
     val within = groups
       .select(lit(0L).as("dist"), expr("(cnt * (cnt - 1)) div 2").as("pairs"))
@@ -7875,6 +7885,42 @@ object Queries {
       .option("path", path).mode("append").save()
     s.read.format("graft.sources.LedgerSink").option("path", path).load()
       .orderBy("c_mktsegment")
+  }
+
+  /** Blocking-quality audit: q214's window-5 sorted-neighborhood
+    * blocking scored against the EXACT edit-distance-≤2 truth (the
+    * lossless q304 machinery) — the reduction-ratio / pair-completeness
+    * readout every record-linkage pipeline needs before trusting a
+    * blocking key (RR says how much of the n² the block avoided; PC
+    * says how much recall it paid for that). Both pair sets live at
+    * the distinct-name grain: truth from the prefix-filtered verify,
+    * candidates from rank-adjacency (r+1..r+5 equi-joins over
+    * [[PrefixSum.globalRank]] — never a windowed self-cross), the
+    * intersection one more equi-join. All counts exact integers; the
+    * two ratios are single divisions rounded once.
+    */
+  def q307_blocking_quality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val w = 5
+    val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+    val truth = editPairsNameGrain(names, 2).select("na", "nb")
+    val ranked = PrefixSum.globalRank(names, Seq("name"), "r")
+    val cand = ranked.select(col("name").as("na"),
+        explode(sequence(lit(1), lit(w))).as("off"), col("r"))
+      .withColumn("r", col("r") + col("off"))
+      .join(ranked.select(col("name").as("nb"), col("r")), "r")
+      .select("na", "nb")
+    val caught = truth.join(cand, Seq("na", "nb"), "left_semi")
+    val nNames = names.agg(count(lit(1)).as("n_names"))
+    val counts = nNames
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+    counts.select(col("n_names"), col("n_truth"), col("n_cand"), col("n_caught"),
+      round(lit(1.0) - col("n_cand") /
+        (col("n_names") * (col("n_names") - 1L) / lit(2.0)), 6).as("reduction_ratio"),
+      when(col("n_truth") > 0,
+        round(col("n_caught") / col("n_truth").cast("double"), 6)).as("pair_completeness"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8184,6 +8230,7 @@ object Queries {
     "q304_edit_join"    -> (q304_edit_join _),
     "q305_spj_join"     -> (q305_spj_join _),
     "q306_dsv2_sink_roundtrip" -> (q306_dsv2_sink_roundtrip _),
+    "q307_blocking_quality" -> (q307_blocking_quality _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12375,5 +12422,30 @@ object Queries {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q307_blocking_quality" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |truth AS (SELECT a.name AS na, b.name AS nb
+        |  FROM names a JOIN names b ON a.name < b.name
+        |    AND abs(len(a.name) - len(b.name)) <= 2
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |ranked AS (SELECT name,
+        |    row_number() OVER (ORDER BY name)::BIGINT AS r FROM names),
+        |cand AS (SELECT a.name AS na, b.name AS nb
+        |  FROM ranked a JOIN ranked b
+        |    ON b.r > a.r AND b.r <= a.r + 5),
+        |caught AS (SELECT * FROM truth WHERE (na, nb) IN
+        |  (SELECT (na, nb) FROM cand)),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM names)::BIGINT AS n_names,
+        |  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        |  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+        |  (SELECT count(*) FROM caught)::BIGINT AS n_caught)
+        |SELECT n_names, n_truth, n_cand, n_caught,
+        |  round(1.0 - n_cand / (n_names * (n_names - 1) / 2.0), 6)
+        |    AS reduction_ratio,
+        |  CASE WHEN n_truth > 0
+        |    THEN round(n_caught / n_truth::DOUBLE, 6) END
+        |    AS pair_completeness
+        |FROM c""".stripMargin,
   )
 }

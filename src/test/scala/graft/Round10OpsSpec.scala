@@ -161,6 +161,44 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
   }
 
+  // ---- q307 blocking quality -------------------------------------------
+
+  test("blocking quality: matches a brute-force RR/PC reference; the far-apart near-dup is the miss") {
+    val dir = tmp("graft_bq_")
+    // 'zlpha beam' is 1 edit from 'alpha beam' but sorts 7 ranks away —
+    // engineered to FALL OUT of the window-5 block.
+    val names = Seq("alpha beam", "alpha bean",
+      "b0001", "b0002", "b0003", "b0004", "b0005", "b0006", "zlpha beam")
+    names.toDF("p_name").write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = Queries.all("q307_blocking_quality")(spark, dir).collect().head
+
+    // Brute-force reference at the same grain.
+    val sorted = names.sorted
+    val idx = sorted.zipWithIndex
+    val truth = for {
+      (a, i) <- idx; (b, j) <- idx if i < j && levDist(a, b) <= 2
+    } yield (a, b)
+    val cand = for {
+      (a, i) <- idx; (b, j) <- idx if j > i && j <= i + 5
+    } yield (a, b)
+    val caught = truth.toSet.intersect(cand.toSet)
+    assert(r.getLong(0) == names.length.toLong)
+    assert(r.getLong(1) == truth.size.toLong, s"truth ${r.getLong(1)} want ${truth.size}")
+    assert(r.getLong(2) == cand.size.toLong)
+    assert(r.getLong(3) == caught.size.toLong)
+    val n = names.length
+    assert(r.getDouble(4) ==
+      BigDecimal(1.0 - cand.size / (n * (n - 1) / 2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) ==
+      BigDecimal(caught.size.toDouble / truth.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // The engineered long-range pairs are exactly the misses.
+    val missed = truth.toSet -- caught
+    assert(missed == Set(("alpha beam", "zlpha beam"), ("alpha bean", "zlpha beam")),
+      s"missed $missed")
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
