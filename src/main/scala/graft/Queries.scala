@@ -7923,6 +7923,48 @@ object Queries {
         round(col("n_caught") / col("n_truth").cast("double"), 6)).as("pair_completeness"))
   }
 
+  /** Kruskal-Wallis H across the seven weekdays — the k-group
+    * extension of q261's Mann-Whitney (rank-based one-way ANOVA: does
+    * ANY weekday's purchase-value distribution differ, without
+    * q259's normality assumption). Reuses the doubled-tie-averaged
+    * rank trick: observations tied at a value hold ranks
+    * cum−cnt+1..cum, so twice their average rank is the exact integer
+    * 2·cum−cnt+1, and every per-group rank sum stays in int64 until
+    * the one final H evaluation. Tie correction 1 − Σ(t³−t)/(N³−N)
+    * applied as in Conover. Ranks ride on [[PrefixSum.runningTotal]]
+    * over the DISTINCT-value frame — never a corpus-sized window.
+    */
+  def q308_kruskal_wallis(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val byVw = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("wd", dayofweek(col("ts")).cast("long"))
+      .groupBy("value", "wd").agg(count(lit(1)).as("nv"))
+    val byV = byVw.groupBy("value").agg(sum("nv").as("cnt"))
+    val c = PrefixSum.runningTotal(byV, "value", "cnt", "cum")
+    val r2 = col("cum") * 2 - col("cnt") + 1
+    val ranked = byVw.join(c.select(col("value"), col("cnt"), r2.as("r2")), "value")
+    val perG = ranked.groupBy("wd")
+      .agg(sum("nv").as("n_g"), sum(col("nv") * col("r2")).as("r2g"))
+    val tot = c.agg(sum("cnt").as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    val h = perG.crossJoin(broadcast(tot))
+      .agg(first("n").as("n"), first("tie3").as("tie3"),
+        sum((col("r2g") / 2.0) * (col("r2g") / 2.0) / col("n_g")).as("sr"))
+      .select(col("n"), col("tie3"),
+        (lit(12.0) / (col("n") * (col("n") + 1)) * col("sr") -
+          lit(3.0) * (col("n") + 1)).as("h_raw"))
+      .select(col("n").as("n_total"), round(col("h_raw"), 4).as("h"),
+        round(col("h_raw") /
+          (lit(1.0) - col("tie3") / (col("n") * col("n") * col("n") - col("n"))), 4)
+          .as("h_tie_corrected"))
+    perG.crossJoin(broadcast(tot))
+      .select(col("wd"), col("n_g"),
+        round(col("r2g") / (lit(2.0) * col("n_g")), 4).as("mean_rank"))
+      .crossJoin(broadcast(h))
+      .orderBy("wd")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8231,6 +8273,7 @@ object Queries {
     "q305_spj_join"     -> (q305_spj_join _),
     "q306_dsv2_sink_roundtrip" -> (q306_dsv2_sink_roundtrip _),
     "q307_blocking_quality" -> (q307_blocking_quality _),
+    "q308_kruskal_wallis" -> (q308_kruskal_wallis _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12447,5 +12490,29 @@ object Queries {
         |    THEN round(n_caught / n_truth::DOUBLE, 6) END
         |    AS pair_completeness
         |FROM c""".stripMargin,
+    "q308_kruskal_wallis" ->
+      """WITH p AS (SELECT value, dayofweek(ts)::BIGINT + 1 AS wd FROM events
+        |  WHERE event_type = 'purchase'),
+        |byvw AS (SELECT value, wd, count(*)::BIGINT AS nv FROM p GROUP BY 1, 2),
+        |byv AS (SELECT value, sum(nv)::BIGINT AS cnt FROM byvw GROUP BY 1),
+        |c AS (SELECT value, cnt,
+        |    sum(cnt) OVER (ORDER BY value)::BIGINT AS cum FROM byv),
+        |ranked AS (SELECT byvw.value, wd, nv, cnt,
+        |    (cum * 2 - cnt + 1)::BIGINT AS r2
+        |  FROM byvw JOIN c ON byvw.value = c.value),
+        |perg AS (SELECT wd, sum(nv)::BIGINT AS n_g,
+        |    sum(nv * r2)::BIGINT AS r2g FROM ranked GROUP BY wd),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n,
+        |    sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3 FROM c),
+        |h AS (SELECT n AS n_total, round(h_raw, 4) AS h,
+        |    round(h_raw / (1.0 - tie3 / (n * n * n - n)::DOUBLE), 4)
+        |      AS h_tie_corrected
+        |  FROM (SELECT n, tie3,
+        |      12.0 / (n * (n + 1)) *
+        |        sum((r2g / 2.0) * (r2g / 2.0) / n_g) - 3.0 * (n + 1) AS h_raw
+        |    FROM perg, tot GROUP BY n, tie3))
+        |SELECT wd, n_g, round(r2g / (2.0 * n_g), 4) AS mean_rank,
+        |  n_total, h, h_tie_corrected
+        |FROM perg, h ORDER BY wd""".stripMargin,
   )
 }

@@ -161,6 +161,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
   }
 
+  // ---- q308 Kruskal-Wallis ---------------------------------------------
+
+  test("kruskal-wallis: hand-computed H with a cross-group tie and tie correction") {
+    val dir = tmp("graft_kw_")
+    // Monday (2024-03-04) values [1,1,2]; Saturday (2024-03-09) [2,3].
+    // Tied avg ranks: 1.5,1.5,3.5 | 3.5,5 -> R_A=6.5, R_B=8.5, N=5.
+    // H = 12/30*(6.5^2/3 + 8.5^2/2) - 18 = 2.083333;
+    // tie3 = 6+6 -> correction 1 - 12/120 = 0.9 -> H' = 2.314815.
+    val rows = Seq(
+      (1L, ts("2024-03-04 10:00:00"), 1L, "purchase", "{}", 1.0),
+      (2L, ts("2024-03-04 11:00:00"), 1L, "purchase", "{}", 1.0),
+      (3L, ts("2024-03-04 12:00:00"), 1L, "purchase", "{}", 2.0),
+      (4L, ts("2024-03-09 10:00:00"), 2L, "purchase", "{}", 2.0),
+      (5L, ts("2024-03-09 11:00:00"), 2L, "purchase", "{}", 3.0),
+      (6L, ts("2024-03-09 12:00:00"), 2L, "click", "{}", 99.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q308_kruskal_wallis")(spark, dir).collect()
+    assert(got.length == 2)
+    val mon = got.find(_.getLong(0) == 2L).get // Spark dayofweek: Monday=2
+    val sat = got.find(_.getLong(0) == 7L).get
+    assert(mon.getLong(1) == 3L && mon.getDouble(2) == 2.1667, mon.toString)
+    assert(sat.getLong(1) == 2L && sat.getDouble(2) == 4.25, sat.toString)
+    assert(mon.getLong(3) == 5L)
+    assert(mon.getDouble(4) == 2.0833, s"h ${mon.getDouble(4)}")
+    assert(mon.getDouble(5) == 2.3148, s"h' ${mon.getDouble(5)}")
+  }
+
   // ---- q307 blocking quality -------------------------------------------
 
   test("blocking quality: matches a brute-force RR/PC reference; the far-apart near-dup is the miss") {
