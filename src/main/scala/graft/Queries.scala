@@ -7965,6 +7965,33 @@ object Queries {
       .orderBy("wd")
   }
 
+  /** Near-dup cluster SIZE histogram — the dedup-endgame readout over
+    * q53's machinery ("how much of the corpus sits in how-big
+    * clusters"; a long tail of pairs vs one giant component demand
+    * different dedup strategies, and the giant component is THE
+    * failure mode of over-loose LSH thresholds at scale). Docs in no
+    * near-dup pair enter as singleton components computed from the
+    * corpus total — no scan of the non-duplicated majority beyond the
+    * count. Oracle replays the exact-Jaccard pair graph + recursive CC
+    * in DuckDB (q53's oracle) and aggregates the same histogram.
+    */
+  def q309_component_sizes(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Components, Dedup}
+    val pairs = Dedup.minhashLshPairs(tWide(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+    val sizes = Components.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy("sz").agg(count(lit(1)).as("n_components"))
+    val tot = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val inGraph = sizes.agg(coalesce(sum("sz"), lit(0L)).as("n_in"))
+    val singles = tot.crossJoin(broadcast(inGraph))
+      .select(lit(1L).as("sz"), (col("n_docs") - col("n_in")).as("n_components"))
+    hist.unionAll(singles)
+      .groupBy("sz").agg(sum("n_components").as("n_components"))
+      .filter(col("n_components") > 0)
+      .orderBy("sz")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8274,6 +8301,7 @@ object Queries {
     "q306_dsv2_sink_roundtrip" -> (q306_dsv2_sink_roundtrip _),
     "q307_blocking_quality" -> (q307_blocking_quality _),
     "q308_kruskal_wallis" -> (q308_kruskal_wallis _),
+    "q309_component_sizes" -> (q309_component_sizes _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12514,5 +12542,38 @@ object Queries {
         |SELECT wd, n_g, round(r2g / (2.0 * n_g), 4) AS mean_rank,
         |  n_total, h, h_tie_corrected
         |FROM perg, h ORDER BY wd""".stripMargin,
+    "q309_component_sizes" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*)::BIGINT AS sz FROM comp GROUP BY 1),
+        |hist AS (SELECT sz, count(*)::BIGINT AS n_components FROM sizes GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |ing AS (SELECT coalesce(sum(sz), 0)::BIGINT AS n_in FROM sizes)
+        |SELECT sz, sum(n_components)::BIGINT AS n_components FROM (
+        |  SELECT sz, n_components FROM hist
+        |  UNION ALL SELECT 1::BIGINT, n_docs - n_in FROM tot, ing)
+        |GROUP BY sz HAVING sum(n_components) > 0 ORDER BY sz""".stripMargin,
   )
 }

@@ -161,6 +161,25 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
   }
 
+  // ---- q309 component sizes --------------------------------------------
+
+  test("component sizes: triple cluster, pair cluster, and singletons land in the right bins") {
+    val dir = tmp("graft_cs_")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon", "en"),
+      (3L, "alpha beta gamma delta epsilon", "en"),
+      (4L, "one two three four five six", "en"),
+      (5L, "one two three four five seven", "en"), // Jaccard 3/5 with doc 4
+      (6L, "xx yy zz aa bb", "en"),
+      (7L, "mm nn oo pp qq", "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q309_component_sizes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   // ---- q308 Kruskal-Wallis ---------------------------------------------
 
   test("kruskal-wallis: hand-computed H with a cross-group tie and tie correction") {
