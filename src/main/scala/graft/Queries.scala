@@ -7992,6 +7992,64 @@ object Queries {
       .orderBy("sz")
   }
 
+  /** Simpson's-paradox audit: the OLS slope of quantity ~ discount
+    * pooled over all lineitems vs within each return-flag stratum —
+    * the aggregation-bias check behind every "metric moved" readout
+    * (a pooled trend whose sign flips inside every stratum is a
+    * composition effect, not a behavior change; q267 audits split
+    * BALANCE, this audits split CONFOUNDING). Slopes are the exact
+    * closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from one
+    * map-side-combined moment aggregate per grain; the pooled moment
+    * row rides in as a 1-row broadcast.
+    */
+  def q310_simpson_audit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_discount").as("x"), col("l_quantity").as("y"))
+    def slope(nc: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column =
+      (nc * sxy - sx * sy) / (nc * sxx - sx * sx)
+    val moments = li.groupBy("grp").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val pooled = moments.agg(
+      sum("n").as("pn"), sum("sx").as("psx"), sum("sy").as("psy"),
+      sum("sxy").as("psxy"), sum("sxx").as("psxx"))
+    moments.crossJoin(broadcast(pooled))
+      .select(col("grp"), col("n").cast("long").as("n_rows"),
+        round(slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6)
+          .as("slope_group"),
+        round(slope(col("pn"), col("psx"), col("psy"), col("psxy"), col("psxx")), 6)
+          .as("slope_pooled"),
+        (slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")) *
+          slope(col("pn"), col("psx"), col("psy"), col("psxy"), col("psxx")) < 0)
+          .as("sign_flip"))
+      .orderBy("grp")
+  }
+
+  /** A/B sample-size planner: per event type, the observations PER ARM
+    * needed to detect a 5% relative lift of the mean at α=0.05
+    * two-sided, 80% power — the design-time companion to q220's
+    * after-the-fact z readout (and the number q290's SRM gate assumes
+    * someone computed). n = ⌈(z_α/2 + z_β)² · 2σ²/Δ²⌉ with the two z
+    * constants pinned as literals (1.96, 0.84) so no inverse-normal
+    * enters the hash-compared path; σ² and μ come from one
+    * moment aggregate over the historical stream.
+    */
+  def q311_abtest_power(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"), avg("value").as("mu"),
+        var_samp(col("value")).as("s2"))
+    m.select(col("event_type"), col("n_obs"),
+        round(col("mu"), 4).as("mean_value"),
+        round(sqrt(col("s2")), 4).as("sd_value"),
+        ceil((lit(1.96) + lit(0.84)) * (lit(1.96) + lit(0.84)) * lit(2.0) * col("s2") /
+          ((lit(0.05) * col("mu")) * (lit(0.05) * col("mu")))).cast("long")
+          .as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8302,6 +8360,8 @@ object Queries {
     "q307_blocking_quality" -> (q307_blocking_quality _),
     "q308_kruskal_wallis" -> (q308_kruskal_wallis _),
     "q309_component_sizes" -> (q309_component_sizes _),
+    "q310_simpson_audit" -> (q310_simpson_audit _),
+    "q311_abtest_power" -> (q311_abtest_power _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12575,5 +12635,27 @@ object Queries {
         |  SELECT sz, n_components FROM hist
         |  UNION ALL SELECT 1::BIGINT, n_docs - n_in FROM tot, ing)
         |GROUP BY sz HAVING sum(n_components) > 0 ORDER BY sz""".stripMargin,
+    "q310_simpson_audit" ->
+      """WITH m AS (SELECT l_returnflag AS grp, count(*)::DOUBLE AS n,
+        |    sum(l_discount) AS sx, sum(l_quantity) AS sy,
+        |    sum(l_discount * l_quantity) AS sxy,
+        |    sum(l_discount * l_discount) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+        |    sum(sxy) AS psxy, sum(sxx) AS psxx FROM m)
+        |SELECT grp, n::BIGINT AS n_rows,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_group,
+        |  round((pn * psxy - psx * psy) / (pn * psxx - psx * psx), 6)
+        |    AS slope_pooled,
+        |  ((n * sxy - sx * sy) / (n * sxx - sx * sx) *
+        |   ((pn * psxy - psx * psy) / (pn * psxx - psx * psx)) < 0) AS sign_flip
+        |FROM m, p ORDER BY grp""".stripMargin,
+    "q311_abtest_power" ->
+      """SELECT event_type, count(*)::BIGINT AS n_obs,
+        |  round(avg(value), 4) AS mean_value,
+        |  round(sqrt(var_samp(value)), 4) AS sd_value,
+        |  ceil((1.96 + 0.84) * (1.96 + 0.84) * 2.0 * var_samp(value) /
+        |    ((0.05 * avg(value)) * (0.05 * avg(value))))::BIGINT AS n_per_arm
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -161,6 +161,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
   }
 
+  // ---- q310 Simpson audit / q311 power planner -------------------------
+
+  test("simpson audit: engineered composition effect — both strata slope -1, pooled +0.980198") {
+    val dir = tmp("graft_sa_")
+    val li = Seq(
+      ("A", 0.0, 10.0), ("A", 1.0, 9.0),
+      ("B", 10.0, 20.0), ("B", 11.0, 19.0))
+    li.toDF("l_returnflag", "l_discount", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("q310_simpson_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got("A") == ((-1.0, 0.980198, true)), s"A ${got("A")}")
+    assert(got("B") == ((-1.0, 0.980198, true)), s"B ${got("B")}")
+  }
+
+  test("abtest power: hand moments — values 1..5 need 1743 per arm at 5% lift") {
+    val dir = tmp("graft_pw_")
+    val rows = (1 to 5).map(i =>
+      (i.toLong, ts(s"2024-03-0$i 10:00:00"), 1L, "purchase", "{}", i.toDouble))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.all("q311_abtest_power")(spark, dir).collect().head
+    // mu=3, s2=2.5: n = ceil(2.8^2 * 2 * 2.5 / 0.15^2) = ceil(1742.22) = 1743
+    assert(r.getString(0) == "purchase" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 1.5811)
+    assert(r.getLong(4) == 1743L, s"n_per_arm ${r.getLong(4)}")
+  }
+
   // ---- q309 component sizes --------------------------------------------
 
   test("component sizes: triple cluster, pair cluster, and singletons land in the right bins") {
