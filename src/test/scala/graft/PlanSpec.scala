@@ -198,7 +198,15 @@ class PlanSpec extends SparkSpec {
       "q302_fdr_bh",
       // q303: 1-row broadcast day0 + burn-in (mu0, sd0) onto the
       // day-grain frame
-      "q303_ewma_chart")
+      "q303_ewma_chart",
+      // q307: four 1-row count aggregates crossJoined into the audit row
+      "q307_blocking_quality",
+      // q308: 1-row broadcast (N, tie3) totals onto the weekday frame
+      "q308_kruskal_wallis",
+      // q309: 1-row broadcast corpus total + in-graph sum (singleton fill)
+      "q309_component_sizes",
+      // q310: 1-row broadcast pooled-moment row onto the 3-stratum frame
+      "q310_simpson_audit")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
