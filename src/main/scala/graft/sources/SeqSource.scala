@@ -59,7 +59,8 @@ class SeqSource extends TableProvider {
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000000").toLong,
       properties.getOrDefault("slices", "32").toInt,
-      properties.getOrDefault("layout", "range") == "bucketed")
+      properties.getOrDefault("layout", "range") == "bucketed",
+      properties.getOrDefault("vectorized", "false").toBoolean)
 }
 
 object SeqSource {
@@ -106,17 +107,19 @@ object SeqSource {
   }
 }
 
-case class SeqTable(start: Long, end: Long, slices: Int, bucketed: Boolean = false)
+case class SeqTable(start: Long, end: Long, slices: Int, bucketed: Boolean = false,
+    vectorized: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq[$start,$end)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    SeqScanBuilder(start, end, slices, bucketed)
+    SeqScanBuilder(start, end, slices, bucketed, vectorized)
 }
 
-case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean = false)
+case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean = false,
+    vectorized: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -188,7 +191,7 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean
   override def build(): Scan = pushedAgg match {
     case Some(aggs)        => SeqAggScan(lo, hi, aggs)
     case None if bucketed  => SeqBucketedScan(lo, hi, required, pushed)
-    case None              => SeqScan(lo, hi, slices, required, pushed)
+    case None              => SeqScan(lo, hi, slices, required, pushed, vectorized)
   }
 }
 
@@ -291,14 +294,16 @@ case class SeqScan(
     hi: Long,
     slices: Int,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    vectorized: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // Surfaced in explain() — the assertions in Dsv2SourceSpec read this.
   override def description(): String =
     s"graft_seq bounds=[$lo,$hi) slices=$slices " +
       s"cols=${required.fieldNames.mkString(",")} " +
-      s"pushed=${pushed.mkString(",")}"
+      s"pushed=${pushed.mkString(",")}" +
+      (if (vectorized) " vectorized=true" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
@@ -310,10 +315,73 @@ case class SeqScan(
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    SeqReaderFactory(required.fieldNames)
+    if (vectorized) SeqColumnarReaderFactory(required) else SeqReaderFactory(required.fieldNames)
 }
 
 case class SeqPartition(lo: Long, hi: Long) extends InputPartition
+
+/** Vectorized read path: batches of 4096 rows materialize straight
+  * into `OnHeapColumnVector`s and hand Spark a [[ColumnarBatch]] —
+  * the same contract the parquet vectorized reader uses
+  * (`supportColumnarReads` flips the physical plan to
+  * `ColumnarToRow` above the scan, and downstream whole-stage codegen
+  * consumes the vectors without per-row boxing). The row-based
+  * factory stays the default; this is the option a CPU-bound scan
+  * turns on.
+  */
+case class SeqColumnarReaderFactory(required: StructType) extends PartitionReaderFactory {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  // Spark never calls the row reader when supportColumnarReads is
+  // true, but the interface requires an implementation; delegate so
+  // behavior stays correct even if a future Spark version mixes modes.
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    SeqReaderFactory(required.fieldNames).createReader(p)
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val capacity = 4096
+      private var cursor = sp.lo
+      private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+      private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+
+      override def next(): Boolean = {
+        if (cursor >= sp.hi) return false
+        val n = math.min(capacity.toLong, sp.hi - cursor).toInt
+        var c = 0
+        while (c < vectors.length) {
+          val v = vectors(c)
+          v.reset()
+          required.fields(c).name match {
+            case "id" =>
+              var i = 0; while (i < n) { v.putLong(i, cursor + i); i += 1 }
+            case "bucket" =>
+              var i = 0; while (i < n) { v.putLong(i, SeqSource.bucketOf(cursor + i)); i += 1 }
+            case "cents" =>
+              var i = 0; while (i < n) { v.putLong(i, SeqSource.centsOf(cursor + i)); i += 1 }
+            case "word" =>
+              var i = 0
+              while (i < n) {
+                val b = SeqSource.wordOf(cursor + i).getBytes("UTF-8")
+                v.putByteArray(i, b, 0, b.length); i += 1
+              }
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          }
+          c += 1
+        }
+        batch.setNumRows(n)
+        cursor += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+}
 
 case class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

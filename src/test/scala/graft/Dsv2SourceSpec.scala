@@ -140,6 +140,34 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(j.filter(col("n") =!= 10000L).count() == 0L)
   }
 
+  // ---- vectorized (columnar) read path ---------------------------------
+
+  private def vec(end: Long) =
+    spark.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", end)
+      .option("vectorized", "true").load()
+
+  test("vectorized scan: ColumnarToRow in the plan, bitwise row parity with the row reader") {
+    val df = vec(50000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorized scan must surface ColumnarToRow:\n$plan")
+    assert(plan.contains("vectorized=true"), s"scan description must flag it:\n$plan")
+    val got = df.orderBy("id").collect()
+    val want = seq(50000L).orderBy("id").collect()
+    assert(got.sameElements(want))
+    // Partial trailing batch (50000 % 4096 != 0) must not repeat rows.
+    assert(df.count() == 50000L && df.select("id").distinct().count() == 50000L)
+  }
+
+  test("vectorized scan composes with pushdown and pruning") {
+    val df = vec(100000L).filter(col("id") >= 90000L).select("word")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("bounds=[90000,100000)"), scan)
+    assert(scan.contains("cols=word"), scan)
+    assert(df.count() == 10000L)
+  }
+
   test("bucketed scan without v2 bucketing conf still returns correct rows (layout is advisory)") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     try {
