@@ -8070,6 +8070,43 @@ object Queries {
         min("id").as("min_id"), max("bucket").as("max_bucket"))
       .orderBy("word")
 
+  /** Cramér's V (with the Bergsma bias correction) for event type ×
+    * weekday — the bounded [0,1] association STRENGTH completing the
+    * contingency kit: q126 says whether the dependence is significant,
+    * q285 says how many nats it carries, V says how strong it is on a
+    * scale comparable across tables of different size and shape (raw
+    * φ² inflates on small n / large tables — the correction subtracts
+    * its expectation under independence). Bounded contingency cells,
+    * marginals as broadcasts, one final row of arithmetic.
+    */
+  def q313_cramers_v(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_type").as("et"), dayofweek(col("ts")).cast("long").as("wd"))
+    val cells = base.groupBy("et", "wd").agg(count(lit(1)).cast("double").as("o"))
+    val mx = cells.groupBy("et").agg(sum("o").as("nx"))
+    val my = cells.groupBy("wd").agg(sum("o").as("ny"))
+    val dims = cells.agg(countDistinct("et").cast("double").as("r"),
+      countDistinct("wd").cast("double").as("c"), sum("o").as("n"))
+    val chi2 = cells
+      .join(broadcast(mx), "et").join(broadcast(my), "wd")
+      .crossJoin(broadcast(dims))
+      .agg(first("r").as("r"), first("c").as("c"), first("n").as("n"),
+        sum(((col("o") - col("nx") * col("ny") / col("n")) *
+          (col("o") - col("nx") * col("ny") / col("n"))) /
+          (col("nx") * col("ny") / col("n"))).as("chi2"))
+    val phi2 = col("chi2") / col("n")
+    val phi2c = greatest(lit(0.0),
+      phi2 - (col("r") - 1) * (col("c") - 1) / (col("n") - 1))
+    val rc = col("r") - (col("r") - 1) * (col("r") - 1) / (col("n") - 1)
+    val cc = col("c") - (col("c") - 1) * (col("c") - 1) / (col("n") - 1)
+    chi2.select(
+      col("n").cast("long").as("n"), col("r").cast("long").as("n_types"),
+      col("c").cast("long").as("n_weekdays"),
+      round(col("chi2"), 4).as("chi2"),
+      round(sqrt(phi2 / least(col("r") - 1, col("c") - 1)), 6).as("cramers_v"),
+      round(sqrt(phi2c / least(rc - 1, cc - 1)), 6).as("v_bias_corrected"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8383,6 +8420,7 @@ object Queries {
     "q310_simpson_audit" -> (q310_simpson_audit _),
     "q311_abtest_power" -> (q311_abtest_power _),
     "q312_columnar_scan" -> (q312_columnar_scan _),
+    "q313_cramers_v" -> (q313_cramers_v _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12684,5 +12722,24 @@ object Queries {
         |  min(id)::BIGINT AS min_id, max(id % 97)::BIGINT AS max_bucket
         |FROM range(0, 2000000) t(id)
         |GROUP BY 1 ORDER BY word""".stripMargin,
+    "q313_cramers_v" ->
+      """WITH base AS (SELECT event_type AS et, dayofweek(ts)::BIGINT AS wd
+        |  FROM events),
+        |cells AS (SELECT et, wd, count(*)::DOUBLE AS o FROM base GROUP BY 1, 2),
+        |mx AS (SELECT et, sum(o) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT wd, sum(o) AS ny FROM cells GROUP BY 1),
+        |dims AS (SELECT count(DISTINCT et)::DOUBLE AS r,
+        |    count(DISTINCT wd)::DOUBLE AS c, sum(o) AS n FROM cells),
+        |x AS (SELECT r, c, n,
+        |    sum((o - nx * ny / n) * (o - nx * ny / n) / (nx * ny / n)) AS chi2
+        |  FROM cells JOIN mx USING (et) JOIN my USING (wd), dims
+        |  GROUP BY r, c, n)
+        |SELECT n::BIGINT AS n, r::BIGINT AS n_types, c::BIGINT AS n_weekdays,
+        |  round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / n / least(r - 1, c - 1)), 6) AS cramers_v,
+        |  round(sqrt(greatest(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1)) /
+        |    least(r - (r - 1) * (r - 1) / (n - 1) - 1,
+        |          c - (c - 1) * (c - 1) / (n - 1) - 1)), 6) AS v_bias_corrected
+        |FROM x""".stripMargin,
   )
 }

@@ -161,6 +161,33 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
   }
 
+  // ---- q313 Cramér's V -------------------------------------------------
+
+  test("cramers v: perfect 2x2 association gives V = 1 (raw and bias-corrected); independence gives 0") {
+    def write(dir: String, cells: Seq[(String, String, Int)]): Unit = {
+      val rows = cells.zipWithIndex.flatMap { case ((et, day, n), ci) =>
+        (0 until n).map(i =>
+          ((ci * 100 + i).toLong, ts(s"$day 10:00:00"), 1L, et, "{}", 1.0))
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val d1 = tmp("graft_cv1_")
+    // A only on Monday, B only on Saturday — perfect association.
+    write(d1, Seq(("A", "2024-03-04", 10), ("B", "2024-03-09", 10)))
+    val r1 = Queries.all("q313_cramers_v")(spark, d1).collect().head
+    assert(r1.getLong(0) == 20L && r1.getDouble(3) == 20.0)
+    assert(r1.getDouble(4) == 1.0 && r1.getDouble(5) == 1.0, r1.toString)
+
+    val d2 = tmp("graft_cv2_")
+    // Identical 5/5 split on both days — exact independence.
+    write(d2, Seq(("A", "2024-03-04", 5), ("A", "2024-03-09", 5),
+      ("B", "2024-03-04", 5), ("B", "2024-03-09", 5)))
+    val r2 = Queries.all("q313_cramers_v")(spark, d2).collect().head
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0,
+      r2.toString)
+  }
+
   // ---- q310 Simpson audit / q311 power planner -------------------------
 
   test("simpson audit: engineered composition effect — both strata slope -1, pooled +0.980198") {
