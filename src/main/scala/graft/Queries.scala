@@ -7727,11 +7727,15 @@ object Queries {
     * sequential-decision form; the EWMA chart is what ops dashboards
     * actually plot). The smoother is the NORMALIZED trailing form
     * ewma_t = Σ λ̄^(t−k)·x_k / Σ λ̄^(t−k) over a 60-day RANGE frame with
-    * λ̄ = 1/2, computed as a ratio of two window sums weighted by
-    * pow(2, day_idx) — the scale factors cancel in the ratio, every
-    * weight is an EXACT power of two in both engines, and the trailing
-    * truncation bounds the weights at 2^59 relative (the tail it drops
-    * is < 2^-59 of the estimate, far under the 4-dp rounding). Control
+    * λ̄ = 1/2. The exponents are WINDOW-RELATIVE — each frame row is
+    * weighted pow(0.5, t−k) with t−k ∈ [0, 59], via a collect_list of
+    * the (day_idx, rev) frame and a bounded higher-order aggregate
+    * that can see the current row's t (absolute pow(2, day_idx)
+    * weights overflow double to Infinity at day_idx ≥ 1024 — and the
+    * Σ4^k variance sum at ≥ 512 — silently NaN-ing every series that
+    * spans ~1.4+ years). Every weight is an EXACT power of two in
+    * both engines and the trailing truncation drops < 2^-59 of the
+    * estimate, far under the 4-dp rounding. Control
     * limits use the exact finite-window variance factor Σw²/(Σw)², so
     * early days get the correct WIDER limits; the in-control (μ₀, σ₀)
     * come from the first-30-day BURN-IN only — estimating them over
@@ -7752,9 +7756,14 @@ object Queries {
     val idx = withIdx.crossJoin(broadcast(base))
     val w = Window.orderBy("day_idx").rangeBetween(-59, 0)
     idx
-      .withColumn("wsum", sum(col("rev") * pow(lit(2.0), col("day_idx"))).over(w))
-      .withColumn("wden", sum(pow(lit(2.0), col("day_idx"))).over(w))
-      .withColumn("wsq", sum(pow(lit(4.0), col("day_idx"))).over(w))
+      .withColumn("fr",
+        collect_list(struct(col("day_idx").as("k"), col("rev").as("x"))).over(w))
+      .withColumn("wsum",
+        expr("aggregate(fr, 0.0d, (a, e) -> a + e.x * pow(0.5, day_idx - e.k))"))
+      .withColumn("wden",
+        expr("aggregate(fr, 0.0d, (a, e) -> a + pow(0.5, day_idx - e.k))"))
+      .withColumn("wsq",
+        expr("aggregate(fr, 0.0d, (a, e) -> a + pow(0.25, day_idx - e.k))"))
       .withColumn("ewma", col("wsum") / col("wden"))
       .withColumn("half_width",
         lit(3.0) * col("sd0") * sqrt(col("wsq") / (col("wden") * col("wden"))))
@@ -7880,9 +7889,12 @@ object Queries {
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    // Overwrite (SupportsTruncate): the sink's append mode ACCUMULATES
+    // (the AppendData contract), so a fixed scratch path must replace
+    // its snapshot per run or repeat runs double the rows.
     val path = scratch("ledger_rt")
     agg.write.format("graft.sources.LedgerSink")
-      .option("path", path).mode("append").save()
+      .option("path", path).mode("overwrite").save()
     s.read.format("graft.sources.LedgerSink").option("path", path).load()
       .orderBy("c_mktsegment")
   }
@@ -8078,11 +8090,22 @@ object Queries {
     * φ² inflates on small n / large tables — the correction subtracts
     * its expectation under independence). Bounded contingency cells,
     * marginals as broadcasts, one final row of arithmetic.
+    *
+    * The chi-square sum runs over the COMPLETED r x c grid (distinct
+    * event types crossed with distinct weekdays, observed cells
+    * left-joined in, absent cells coalesced to 0): an empty cell still
+    * contributes (0 - E)^2 / E = E, which observed-cells-only
+    * enumeration would silently drop, understating the statistic
+    * whenever the table is sparse (the q203 broadcast-grid pattern).
     */
   def q313_cramers_v(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "events")
       .select(col("event_type").as("et"), dayofweek(col("ts")).cast("long").as("wd"))
-    val cells = base.groupBy("et", "wd").agg(count(lit(1)).cast("double").as("o"))
+    val obs = base.groupBy("et", "wd").agg(count(lit(1)).cast("double").as("o"))
+    // Bounded r x c frame (#event_types x 7) — safe to cross however big `events` is.
+    val grid = obs.select("et").distinct().crossJoin(broadcast(obs.select("wd").distinct()))
+    val cells = grid.join(obs, Seq("et", "wd"), "left")
+      .select(col("et"), col("wd"), coalesce(col("o"), lit(0.0)).as("o"))
     val mx = cells.groupBy("et").agg(sum("o").as("nx"))
     val my = cells.groupBy("wd").agg(sum("o").as("ny"))
     val dims = cells.agg(countDistinct("et").cast("double").as("r"),
@@ -12578,12 +12601,13 @@ object Queries {
         |base AS (SELECT avg(rev) AS mu0, stddev_samp(rev) AS sd0
         |  FROM wi WHERE day_idx < 30),
         |idx AS (SELECT day, rev, mu0, sd0, day_idx FROM wi, base),
-        |win AS (SELECT day, rev, mu0, sd0,
-        |    sum(rev * pow(2.0, day_idx)) OVER w AS wsum,
-        |    sum(pow(2.0, day_idx)) OVER w AS wden,
-        |    sum(pow(4.0, day_idx)) OVER w AS wsq
-        |  FROM idx WINDOW w AS (ORDER BY day_idx
-        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW))
+        |win AS (SELECT t.day, t.rev, t.mu0, t.sd0,
+        |    sum(k.rev * pow(0.5, t.day_idx - k.day_idx)) AS wsum,
+        |    sum(pow(0.5, t.day_idx - k.day_idx)) AS wden,
+        |    sum(pow(0.25, t.day_idx - k.day_idx)) AS wsq
+        |  FROM idx t JOIN idx k
+        |    ON k.day_idx BETWEEN t.day_idx - 59 AND t.day_idx
+        |  GROUP BY t.day, t.rev, t.mu0, t.sd0)
         |SELECT day, rev, round(wsum / wden, 4) AS ewma,
         |  round(mu0 + 3.0 * sd0 * sqrt(wsq / (wden * wden)), 4) AS ucl,
         |  round(mu0 - 3.0 * sd0 * sqrt(wsq / (wden * wden)), 4) AS lcl,
@@ -12725,7 +12749,11 @@ object Queries {
     "q313_cramers_v" ->
       """WITH base AS (SELECT event_type AS et, dayofweek(ts)::BIGINT AS wd
         |  FROM events),
-        |cells AS (SELECT et, wd, count(*)::DOUBLE AS o FROM base GROUP BY 1, 2),
+        |obs AS (SELECT et, wd, count(*)::DOUBLE AS o FROM base GROUP BY 1, 2),
+        |cells AS (SELECT g.et, g.wd, coalesce(o.o, 0.0) AS o
+        |  FROM (SELECT et, wd FROM (SELECT DISTINCT et FROM obs),
+        |        (SELECT DISTINCT wd FROM obs)) g
+        |  LEFT JOIN obs o ON g.et = o.et AND g.wd = o.wd),
         |mx AS (SELECT et, sum(o) AS nx FROM cells GROUP BY 1),
         |my AS (SELECT wd, sum(o) AS ny FROM cells GROUP BY 1),
         |dims AS (SELECT count(DISTINCT et)::DOUBLE AS r,

@@ -101,7 +101,11 @@ object SchemaProvider {
                 rs.getString("COLUMN_NAME").toLowerCase,
                 chTypeOfJdbc(rs.getInt("DATA_TYPE")))
           }
-          byTable.toSeq.map { case (k, v) => (k, v.toSeq) }
+          // The escaped pattern is only a pre-filter: some drivers
+          // (Derby among them) ignore the escape character in metadata
+          // patterns, so SINK\_T still LIKE-matches SINKXT. Exact
+          // TABLE_NAME equality is the authoritative check.
+          byTable.toSeq.collect { case (k @ (_, tn), v) if tn == name => (k, v.toSeq) }
         }
         val hits = Seq(table, table.toUpperCase, table.toLowerCase).distinct
           .iterator.map(lookup).find(_.nonEmpty)

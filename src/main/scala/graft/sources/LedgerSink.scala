@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,10 +38,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `BatchWrite.abort(messages)` deletes every staged file of the
   *     write UUID — a failed job leaves no trace.
   *
-  * Each write's manifest lists exactly its own files and the LATEST
-  * manifest wins (snapshot-replace semantics — the idempotent-epoch
-  * contract RecordSink implements at the foreachBatch grain, here
-  * enforced by the connector itself). Encoding is escaped TSV over
+  * Every committed write (batch append or streaming epoch) appends one
+  * commit manifest to the `commits/` log and the published table
+  * manifest is rebuilt as the union of the log — so `mode("append")`
+  * ACCUMULATES (Spark's AppendData contract and the reference's
+  * accumulate-on-insert semantics, main.py:305), batch and streaming
+  * writes interleave on one path without clobbering each other, and
+  * `mode("overwrite")` (SupportsTruncate) is the one operation that
+  * clears the log and replaces the snapshot. Single-writer per path:
+  * commit manifests are named from a scan of the log, so two drivers
+  * committing concurrently to the same directory race — the same
+  * contract as Spark's own file-source commit protocol without a
+  * catalog. Encoding is escaped TSV over
   * Long/Double/String columns (Double via Java's shortest round-trip
   * toString — lossless); a production twin would write parquet through
   * the Hadoop FileSystem API instead of java.nio, but the COMMIT
@@ -159,6 +167,58 @@ object LedgerSink {
       Some(Manifest(lines.head, files))
     }
   }
+
+  // ---- commit log -------------------------------------------------------
+  // One manifest per committed write under commits/: "epoch-<id>.manifest"
+  // (streaming; the id makes replay idempotent) or "batch-<seq>.manifest"
+  // (batch append; seq from a scan of the log — single-writer per path).
+  // The published table manifest is the union of the log in (epochs by
+  // id, then batches by seq) order, so the view is deterministic.
+
+  private[sources] def commitsDir(root: Path): Path = root.resolve("commits")
+
+  /** List the commit-log manifests in deterministic publish order,
+    * CLOSING the directory stream (a leaked `Files.list` handle per
+    * commit accumulates across a long-running streaming query).
+    */
+  private[sources] def listCommits(root: Path): Seq[Path] = {
+    val dir = commitsDir(root)
+    if (!Files.exists(dir)) Seq.empty
+    else scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.toSeq
+    }.filter(_.getFileName.toString.endsWith(".manifest"))
+      .sortBy { p =>
+        val n = p.getFileName.toString.stripSuffix(".manifest")
+        if (n.startsWith("epoch-")) (0, n.stripPrefix("epoch-").toLong)
+        else (1, n.stripPrefix("batch-").toLong)
+      }
+  }
+
+  /** Atomically write one commit manifest (temp-then-rename). */
+  private[sources] def writeCommit(
+      root: Path, name: String, files: Seq[(String, Long)]): Unit = {
+    val dir = commitsDir(root)
+    Files.createDirectories(dir)
+    val body = files.map { case (f, n) => s"$f\t$n" }.mkString("\n")
+    val tmp = dir.resolve(s"$name.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"$name.manifest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Rebuild the published table manifest as the union of the commit
+    * log. Crash-safe for appends: a crash between commit-manifest write
+    * and republish leaves a stale (previous-snapshot) view that the
+    * NEXT commit's republish repairs — readers never see a torn state.
+    */
+  private[sources] def republish(root: Path, schemaDdl: String): Unit = {
+    val files = listCommits(root).flatMap { p =>
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq.filter(_.nonEmpty)
+        .map { l => val Array(f, n) = l.split("\t"); (f, n.toLong) }
+    }
+    writeManifest(root, Manifest(schemaDdl, files))
+  }
 }
 
 case class LedgerTable(pathStr: String, tableSchema: StructType)
@@ -168,16 +228,21 @@ case class LedgerTable(pathStr: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     LedgerSink.checkSchema(info.schema())
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          LedgerBatchWrite(pathStr, info.schema(), info.queryId())
-        override def toStreaming: StreamingWrite =
-          LedgerStreamingWrite(pathStr, info.schema(), info.queryId())
+    new WriteBuilder with SupportsTruncate {
+      private var truncateRequested = false
+      override def truncate(): WriteBuilder = { truncateRequested = true; this }
+      override def build(): Write = {
+        val trunc = truncateRequested
+        new Write {
+          override def toBatch: BatchWrite =
+            LedgerBatchWrite(pathStr, info.schema(), info.queryId(), trunc)
+          override def toStreaming: StreamingWrite =
+            LedgerStreamingWrite(pathStr, info.schema(), info.queryId())
+        }
       }
     }
   }
@@ -191,7 +256,8 @@ case class LedgerTable(pathStr: String, tableSchema: StructType)
 case class LedgerCommitMessage(stagedName: String, rows: Long)
     extends WriterCommitMessage
 
-case class LedgerBatchWrite(pathStr: String, schema: StructType, queryId: String)
+case class LedgerBatchWrite(
+    pathStr: String, schema: StructType, queryId: String, truncate: Boolean)
     extends BatchWrite {
   private def root = Paths.get(pathStr)
   private def staging = root.resolve("_staging")
@@ -208,8 +274,28 @@ case class LedgerBatchWrite(pathStr: String, schema: StructType, queryId: String
       Files.move(staging.resolve(name), data.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
       (s"data/$name", rows)
+    }.toSeq
+    if (truncate) {
+      // Overwrite: clear the commit log (and the published files it
+      // referenced) so the new snapshot fully replaces the old. The
+      // multi-file delete is the one non-atomic window; readers still
+      // resolve through manifest.ledger, which flips atomically below.
+      val old = LedgerSink.readManifest(root).map(_.files.map(_._1)).getOrElse(Nil)
+      LedgerSink.listCommits(root).foreach(Files.deleteIfExists(_))
+      LedgerSink.writeCommit(root, "batch-0", committed)
+      LedgerSink.republish(root, schema.toDDL)
+      val keep = committed.map(_._1).toSet
+      old.filterNot(keep).foreach(f => Files.deleteIfExists(root.resolve(f)))
+    } else {
+      // Append: this write's manifest joins the log; the published view
+      // is the union of every committed write (AppendData contract).
+      val seq = LedgerSink.listCommits(root).map(_.getFileName.toString)
+        .filter(_.startsWith("batch-"))
+        .map(_.stripPrefix("batch-").stripSuffix(".manifest").toLong)
+        .reduceOption(_ max _).map(_ + 1).getOrElse(0L)
+      LedgerSink.writeCommit(root, s"batch-$seq", committed)
+      LedgerSink.republish(root, schema.toDDL)
     }
-    LedgerSink.writeManifest(root, LedgerSink.Manifest(schema.toDDL, committed.toSeq))
     sweepStaging()
   }
 
@@ -220,9 +306,11 @@ case class LedgerBatchWrite(pathStr: String, schema: StructType, queryId: String
   // and any partials a dying attempt left behind.
   private def sweepStaging(): Unit =
     if (Files.exists(staging)) {
-      val it = Files.list(staging).iterator().asScala
-      it.filter(_.getFileName.toString.startsWith(queryId))
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.list(staging)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(queryId))
+          .foreach(Files.deleteIfExists(_))
+      }
     }
 }
 
@@ -272,19 +360,19 @@ case class LedgerTaskWriter(pathStr: String, schema: StructType, name: String)
   override def close(): Unit = ()
 }
 
-/** Epoch-idempotent streaming commit: each committed epoch publishes an
-  * epoch manifest (temp-then-rename) and the table manifest is rebuilt
-  * as the union of all committed epochs. A REPLAYED epoch (micro-batch
-  * re-run after restart from checkpoint) finds its epoch manifest
-  * already present, drops its staged duplicates, and changes nothing —
-  * exactly-once at the sink without any coordination beyond the
-  * filesystem rename.
+/** Epoch-idempotent streaming commit: each committed epoch appends an
+  * epoch manifest to the shared `commits/` log (temp-then-rename) and
+  * the table manifest is rebuilt as the union of the LOG — so streaming
+  * epochs and batch appends interleave on one path without clobbering
+  * each other. A REPLAYED epoch (micro-batch re-run after restart from
+  * checkpoint) finds its epoch manifest already present, drops its
+  * staged duplicates, and changes nothing — exactly-once at the sink
+  * without any coordination beyond the filesystem rename.
   */
 case class LedgerStreamingWrite(pathStr: String, schema: StructType, queryId: String)
     extends StreamingWrite {
   private def root = Paths.get(pathStr)
   private def staging = root.resolve("_staging")
-  private def epochs = root.resolve("epochs")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -293,50 +381,30 @@ case class LedgerStreamingWrite(pathStr: String, schema: StructType, queryId: St
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val marker = epochs.resolve(s"epoch-$epochId.manifest")
+    val marker = LedgerSink.commitsDir(root).resolve(s"epoch-$epochId.manifest")
     if (Files.exists(marker)) { sweepEpoch(epochId); return } // replay: drop dupes
     val data = root.resolve("data")
     Files.createDirectories(data)
-    Files.createDirectories(epochs)
     val committed = messages.map { case LedgerCommitMessage(name, rows) =>
       Files.move(staging.resolve(name), data.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
       (s"data/$name", rows)
-    }
-    val body = committed.map { case (f, n) => s"$f\t$n" }.mkString("\n")
-    val tmp = epochs.resolve(s"epoch-$epochId.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, marker,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    republish()
+    }.toSeq
+    LedgerSink.writeCommit(root, s"epoch-$epochId", committed)
+    LedgerSink.republish(root, schema.toDDL)
     sweepEpoch(epochId)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     sweepEpoch(epochId)
 
-  /** Table manifest := union of all committed epoch manifests (epoch
-    * order, so the view is deterministic).
-    */
-  private def republish(): Unit = {
-    val files = Files.list(epochs).iterator().asScala
-      .filter(_.getFileName.toString.matches("epoch-\\d+\\.manifest"))
-      .toSeq
-      .sortBy(p => p.getFileName.toString.stripPrefix("epoch-")
-        .stripSuffix(".manifest").toLong)
-      .flatMap { p =>
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          .split("\n", -1).toSeq.filter(_.nonEmpty)
-          .map { l => val Array(f, n) = l.split("\t"); (f, n.toLong) }
-      }
-    LedgerSink.writeManifest(root, LedgerSink.Manifest(schema.toDDL, files))
-  }
-
   private def sweepEpoch(epochId: Long): Unit =
     if (Files.exists(staging)) {
-      val it = Files.list(staging).iterator().asScala
-      it.filter(_.getFileName.toString.startsWith(s"$queryId-e$epochId-"))
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.list(staging)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"$queryId-e$epochId-"))
+          .foreach(Files.deleteIfExists(_))
+      }
     }
 }
 

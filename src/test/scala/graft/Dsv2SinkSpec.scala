@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
   * axes that make it a COMMIT PROTOCOL rather than a file dump:
   * round-trip fidelity (incl. escaping and nulls), job-failure
   * atomicity (a failing partition must leave no committed state and no
-  * staging debris), and snapshot-replace semantics across writes.
+  * staging debris), append-accumulates / overwrite-replaces semantics,
+  * and batch/streaming writes interleaving on one commit log.
   */
 class Dsv2SinkSpec extends SparkSpec {
   import spark.implicits._
@@ -53,12 +54,52 @@ class Dsv2SinkSpec extends SparkSpec {
     assert(noTable.getMessage.contains("no ledger manifest"), noTable.getMessage)
   }
 
-  test("snapshot replace: the second write's manifest fully supersedes the first") {
+  test("append accumulates: the second append's rows join the first (AppendData contract)") {
     val dir = tmp()
     write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
     write(Seq((10L, "x")).toDF("k", "s"), dir)
     val got = read(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got == Set((10L, "x")), s"latest manifest must win, got $got")
+    assert(got == Set((1L, "a"), (2L, "b"), (10L, "x")), s"append must accumulate, got $got")
+  }
+
+  test("overwrite truncates: the snapshot fully replaces prior appends, and old data files are GC'd") {
+    val dir = tmp()
+    write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    Seq((10L, "x")).toDF("k", "s").write.format("graft.sources.LedgerSink")
+      .option("path", dir).mode("overwrite").save()
+    val got = read(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "x")), s"overwrite must replace, got $got")
+    // Exactly one commit manifest survives, and orphaned data files are gone.
+    val commits = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir).resolve("commits")).count()
+    assert(commits == 1L, s"expected 1 commit manifest after overwrite, found $commits")
+    val m = graft.sources.LedgerSink.readManifest(java.nio.file.Paths.get(dir)).get
+    val onDisk = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir).resolve("data")).count()
+    assert(onDisk == m.files.size.toLong,
+      s"overwrite must GC unreferenced data files: $onDisk on disk vs ${m.files.size} referenced")
+    // A subsequent append extends the new snapshot, not the old one.
+    write(Seq((11L, "y")).toDF("k", "s"), dir)
+    val got2 = read(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((10L, "x"), (11L, "y")), got2.toString)
+  }
+
+  test("batch append and streaming epochs interleave on one commit log without clobbering") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    write(spark.range(0, 3).toDF("k"), dir) // batch rows 0,1,2
+    val mem = MemoryStream[Long]
+    mem.addData(100L, 101L)
+    val q = mem.toDF().toDF("k")
+      .writeStream.format("graft.sources.LedgerSink")
+      .option("path", dir).option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    write(spark.range(200, 202).toDF("k"), dir) // batch rows 200,201
+    val got = read(dir).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(0L, 1L, 2L, 100L, 101L, 200L, 201L)), got.mkString(","))
   }
 
   test("manifest row counts equal the data (the audit a sink monitor reads)") {
@@ -91,7 +132,7 @@ class Dsv2SinkSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 2L, 3L, 4L, 5L)), got.mkString(","))
     // Two committed epoch manifests, no staging debris.
     val epochs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(dir).resolve("epochs")).count()
+      java.nio.file.Paths.get(dir).resolve("commits")).count()
     assert(epochs == 2L, s"expected 2 epoch manifests, found $epochs")
     val staged = java.nio.file.Files.list(
       java.nio.file.Paths.get(dir).resolve("_staging")).count()

@@ -206,7 +206,10 @@ class PlanSpec extends SparkSpec {
       // q309: 1-row broadcast corpus total + in-graph sum (singleton fill)
       "q309_component_sizes",
       // q310: 1-row broadcast pooled-moment row onto the 3-stratum frame
-      "q310_simpson_audit")
+      "q310_simpson_audit",
+      // q313: bounded r×c grid completion (distinct et × distinct wd,
+      // ≤ #event_types×7 rows) + 1-row broadcast dims onto the cell frame
+      "q313_cramers_v")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

@@ -121,6 +121,32 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.drop(50).exists(_._6), "expected an out-of-control day after the level shift")
   }
 
+  test("ewma chart: a multi-year series stays finite (absolute 2^day_idx weights would NaN past day 1024)") {
+    val dir = tmp("graft_ewma_long_")
+    // 31 daily points for the burn-in, then isolated purchases every
+    // 100 days out to day 3000: day_idx reaches 3000, where absolute
+    // pow(2, day_idx)/pow(4, day_idx) weighting overflows to Infinity
+    // and turns every late ewma/ucl/lcl into NaN/null. Window-relative
+    // exponents keep all weights in [2^-59, 1].
+    val days = (0 until 31) ++ (1 to 30).map(_ * 100)
+    val rows = days.zipWithIndex.map { case (d, i) =>
+      val day = java.time.LocalDate.of(2021, 1, 1).plusDays(d.toLong)
+      (i.toLong + 1, ts(s"$day 12:00:00"), 1L, "purchase", "{}", 100.0 + (d % 7))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q303_ewma_chart")(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == days.length)
+    got.foreach { case (rev, ewma, ucl, lcl) =>
+      assert(!ewma.isNaN && !ucl.isNaN && !lcl.isNaN, s"NaN control stats at rev $rev")
+    }
+    // An isolated day (gap > 59) is its own whole frame: ewma == rev.
+    got.drop(31).foreach { case (rev, ewma, _, _) =>
+      assert(ewma == rev, s"isolated day must have ewma == rev, got $ewma vs $rev")
+    }
+  }
+
   // ---- q304 edit join --------------------------------------------------
 
   test("edit join: hand multiset corpus — within-group C(m,2) and cross-group m_a*m_b counts") {

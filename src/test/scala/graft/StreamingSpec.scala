@@ -89,6 +89,29 @@ class StreamingSpec extends SparkSpec {
     assert(orch.schemaFetches == 2) // initial + drift re-resolve (main.py:434-437)
   }
 
+  test("live JDBC provider: '_' in the table name is escaped, not a LIKE wildcard (decoy table ignored)") {
+    // getColumns takes LIKE patterns: unescaped, sink_t matches the
+    // decoy SINKXT too and the two tables' columns would silently
+    // concatenate into one "schema". The provider escapes the pattern
+    // and tries exact case first, then the upper/lower foldings.
+    val db = s"graftdecoy${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = setup.createStatement()
+      st.execute("CREATE TABLE sink_t (device_id BIGINT, note VARCHAR(64))")
+      st.execute("CREATE TABLE sinkXt (bogus_a BIGINT, bogus_b BIGINT, bogus_c BIGINT)")
+    } finally setup.close()
+    try {
+      val cols = SchemaProvider.fromJdbc(url, "sink_t").resolve().map(_.name)
+      assert(cols == Seq("device_id", "note"),
+        s"decoy columns leaked into the schema: $cols")
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("live JDBC provider: drift retry re-DESCRIBEs a real ALTERed Derby table") {
     // A real (embedded, in-memory) JDBC store plays the sink: the
     // provider resolves the schema through DatabaseMetaData — the live
