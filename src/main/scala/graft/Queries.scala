@@ -2488,14 +2488,23 @@ object Queries {
     * segment". Emits the full contingency table with expected counts
     * and per-cell χ² contributions rather than one summed statistic:
     * the cell division is a single IEEE op identical on both engines,
-    * while a 15-term float SUM would depend on reduction order. Three
-    * tiny aggregates (cells, row totals, column totals) broadcast back
-    * onto the cells — the fact table is scanned once.
+    * while a 15-term float SUM would depend on reduction order. The
+    * table is the COMPLETED r × c grid (q313's pattern): an
+    * (event_type, cohort) pair with zero observations still has
+    * expected count E and contribution (0−E)²/E = E — dropping it
+    * would understate any statistic a consumer sums from this report.
+    * Three tiny aggregates (cells, row totals, column totals)
+    * broadcast back onto the bounded grid — the fact table is scanned
+    * once.
     */
   def q126_chisq(s: SparkSession, dir: String): DataFrame = {
-    val cells = t(s, dir, "events")
+    val obs = t(s, dir, "events")
       .groupBy(col("event_type"), (col("user_id") % 3).as("cohort"))
       .agg(count(lit(1)).as("n"))
+    val grid = obs.select("event_type").distinct()
+      .crossJoin(broadcast(obs.select("cohort").distinct()))
+    val cells = grid.join(obs, Seq("event_type", "cohort"), "left")
+      .select(col("event_type"), col("cohort"), coalesce(col("n"), lit(0L)).as("n"))
     val rt = cells.groupBy("event_type").agg(sum("n").as("r"))
     val ct = cells.groupBy("cohort").agg(sum("n").as("c"))
     val tot = cells.agg(sum("n").as("t"))
@@ -7079,6 +7088,14 @@ object Queries {
     * frame is ≤ types×7 cells; marginals and the grand total ride in
     * as bounded broadcasts; every probability is a single division of
     * exact counts and the three entropy sums are rounded once each.
+    *
+    * Unlike the chi-square family (q126/q313, which must COMPLETE the
+    * grid because an empty cell still contributes (0−E)²/E = E), the
+    * observed-cells enumeration here is exact by the 0·log 0 = 0
+    * limit convention: an empty cell's p·log(p/(px·py)) term is
+    * identically zero, so dropping it changes nothing
+    * (ContingencyAuditSpec pins this on a perfect-association table
+    * whose off-diagonal cells are empty).
     */
   def q285_mutual_information(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "events")
@@ -9712,9 +9729,15 @@ object Queries {
         |      FROM scored)
         |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
     "q126_chisq" ->
-      """WITH cells AS (
+      """WITH obs AS (
         |  SELECT event_type, user_id % 3 AS cohort, count(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT g.event_type, g.cohort, coalesce(o.n, 0) AS n
+        |  FROM (SELECT event_type, cohort
+        |        FROM (SELECT DISTINCT event_type FROM obs),
+        |             (SELECT DISTINCT cohort FROM obs)) g
+        |  LEFT JOIN obs o
+        |    ON g.event_type = o.event_type AND g.cohort = o.cohort),
         |rt AS (SELECT event_type, sum(n)::BIGINT AS r FROM cells GROUP BY 1),
         |ct AS (SELECT cohort, sum(n)::BIGINT AS c FROM cells GROUP BY 1),
         |tot AS (SELECT sum(n)::BIGINT AS t FROM cells)

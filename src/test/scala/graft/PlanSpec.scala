@@ -73,7 +73,8 @@ class PlanSpec extends SparkSpec {
       // q110: the probe set (~1% of vectors) is broadcast over the base
       // corpus by design — the base side never shuffles
       "q110_knn_classify",
-      // q126: 1-row broadcast grand total (q101's pattern)
+      // q126: 1-row broadcast grand total (q101's pattern) + the
+      // bounded event_type×cohort grid completion (q313's pattern)
       "q126_chisq",
       // q138: 1-row broadcast decile boundaries (was an eager count()
       // at construction time)
