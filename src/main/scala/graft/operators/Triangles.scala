@@ -3,23 +3,56 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Exact triangle counting via degree-ordered orientation.
+import graft.expr.SortedIntersectExpression.sortedIntersect
+
+/** Exact triangle counting via degree-ordered orientation and the
+  * EDGE-ITERATOR enumeration.
   *
-  * Input: an undirected edge set in canonical form (u < v, distinct).
-  * Each edge is oriented from its lower-degree endpoint (ties: lower
-  * id), producing a DAG whose max out-degree is O(sqrt(m)) regardless
-  * of how skewed the raw degree distribution is — a hub of degree d
-  * keeps its d incident edges, but at most O(sqrt(m)) point AWAY from
-  * it, so the wedge enumeration below never materializes a hub's d^2
-  * neighbor pairs. That bound is what makes this the standard
-  * cluster-scale triangle algorithm (three hash-shuffles, no state
-  * beyond the edge list).
+  * Input: an undirected edge set over integer node ids in canonical
+  * form (u < v, distinct). Each edge is oriented from its lower-degree
+  * endpoint (ties: lower id), producing a DAG whose max out-degree is
+  * O(sqrt(m)) regardless of how skewed the raw degree distribution is
+  * — a hub of degree d keeps its d incident edges, but at most
+  * O(sqrt(m)) point AWAY from it. Triangles are then found per
+  * ORIENTED EDGE: the DAG orientation of a 3-cycle is acyclic, so
+  * every triangle {s,x,y} has a unique source s (out-degree 2 inside
+  * the triangle) and a unique middle x (the out-neighbor of s whose
+  * own out-edge closes it), which makes
   *
-  * Every triangle has exactly one vertex with out-degree 2 inside it
-  * (the DAG orientation of a 3-cycle is acyclic, hence has a unique
-  * source), so enumerating unordered out-neighbor pairs (wedges) and
-  * closing them against the canonical edge set counts each triangle
-  * exactly once — no /3 correction, no double counting.
+  *   triangles closed through edge (s,x)  =  N+(s) ∩ N+(x)
+  *
+  * an exactly-once enumeration — no /3 correction, no double count.
+  *
+  * The intersection runs over per-node SORTED out-neighbor arrays
+  * ([[graft.expr.SortedIntersect]] — a two-pointer primitive-long
+  * merge inside whole-stage codegen), so the wedge set (Σ C(d⁺,2),
+  * 41M rows at sf0.1's basket graph vs its 1.2M edges) is NEVER
+  * materialized as rows: earlier revisions enumerated wedges through a
+  * self-join and closed them against a broadcast edge list, paying a
+  * 41M-row stream through join machinery; the edge-iterator does the
+  * same Σ(d⁺(s)+d⁺(x)) element compares in tight array loops and its
+  * biggest frame is the m-row edge list itself. Per-corner triangle
+  * credits are emitted AT the intersection (the round-5 review's
+  * count-at-the-join pushdown): s and x take |N+(s) ∩ N+(x)|, each
+  * closing vertex y takes 1 — one generate + map-side-combined
+  * aggregation, shuffling O(nodes) partials rather than a
+  * 3·#triangles corner frame.
+  *
+  * `broadcastGraph` (default true): the degree table (n rows) and the
+  * out-adjacency table (n rows, m total entries — the edge list in
+  * array form) are broadcast into the orientation and probe joins, so
+  * the only shuffles are the canonical distinct, the two node-grain
+  * aggregations, and the tiny credit partials. A graph whose edge
+  * list outgrows executor memory (multi-TB) flips this to false and
+  * every broadcast becomes the corresponding m-row hash shuffle —
+  * same results (Round8OpsSpec pins hand-computed LCCs; GraphOpsSpec
+  * pins the census).
+  *
+  * Cache contract: the canonical edge set, degree table, and
+  * adjacency table are `persist()`-marked here (lazily — no job runs
+  * at plan time) because each is consumed 2-4×; callers with
+  * long-lived sessions release them via `spark.catalog.clearCache()`
+  * after materializing, as Bench/Verify hygiene does.
   */
 object Triangles {
 
@@ -27,32 +60,12 @@ object Triangles {
     * closed), node and edge counts, and the global clustering
     * coefficient 3*tri/wedges. `edges` must be canonical (u<v,
     * distinct); compute guards cheaply rather than trusting callers.
-    *
-    * Cache contract: the canonical edge set and the oriented DAG are
-    * `persist()`-marked here (lazily — no job runs at plan time)
-    * because the census consumes each 3+ times (degree agg, wedge
-    * self-join branches, closing join, edge count); without the marks
-    * the upstream edge-derivation lineage re-executes per consumer.
-    * Callers that keep the session long-lived should release them via
-    * `spark.catalog.clearCache()` (or unpersist the handles) after
-    * materializing the result, as Bench/Verify hygiene does.
-    *
-    * `broadcastClose` (default true): the closing probe checks each
-    * wedge (x,y) against the canonical EDGE list — the small side of
-    * this algorithm by construction (wedges ~ sum C(outdeg,2) dwarf
-    * edges m; at sf0.1's part graph 41M wedges vs 1.2M edges).
-    * Broadcasting the edge list closes wedges in the SAME stage that
-    * enumerates them — the 41M-row wedge set is never serialized
-    * through a shuffle (12.9 s → ~2 s at sf0.1). Edges are the
-    * broadcast-bounded axis: a graph whose edge list outgrows executor
-    * memory (multi-TB) flips this to false and pays the wedge shuffle
-    * into a sort-merge close instead — same plan shape the
-    * GraphOpsSpec differential pins to identical counts.
     */
   def census(edges: DataFrame, uCol: String, vCol: String,
-      broadcastClose: Boolean = true): DataFrame = {
-    val (pairs, deg, closed) = closedTriangles(edges, uCol, vCol, broadcastClose)
-    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+      broadcastGraph: Boolean = true): DataFrame = {
+    val (pairs, deg, eTri) = edgeTriangles(edges, uCol, vCol, broadcastGraph)
+    val tri = eTri.agg(
+      coalesce(sum(size(col("ys")).cast("long")), lit(0L)).as("n_triangles"))
     // d*(d-1) is even, so the /2 is exact in double well past any real
     // degree sum; oracle side casts the same way (/2 then ::BIGINT)
     val wtot = deg.agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
@@ -65,56 +78,53 @@ object Triangles {
 
   /** Per-node local clustering coefficient: lcc(v) = 2·tri(v)/(d(d−1)),
     * the node-grain refinement of census's single global number. Every
-    * closed triangle (s,x,y) credits all three corners — one explode
-    * over the (much smaller than wedges) triangle set, then a
-    * node-sized left join back onto the degree table so triangle-free
-    * nodes report exactly 0. Cost is identical to census (the same
-    * oriented enumeration); only the final aggregation differs.
-    * `minDeg` drops the degenerate d<2 nodes (lcc undefined) and the
-    * noise floor callers don't want ranked.
+    * triangle credits all three corners at the intersection that finds
+    * it (see the class doc's pushdown note), then a node-sized left
+    * join back onto the degree table so triangle-free nodes report
+    * exactly 0. `minDeg` drops the degenerate d<2 nodes (lcc
+    * undefined) and the noise floor callers don't want ranked.
     */
   def perNode(edges: DataFrame, uCol: String, vCol: String,
-      minDeg: Int = 2, broadcastClose: Boolean = true): DataFrame = {
-    val (_, deg, closed) = closedTriangles(edges, uCol, vCol, broadcastClose)
-    val perCorner = closed
-      .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      minDeg: Int = 2, broadcastGraph: Boolean = true): DataFrame = {
+    val (_, deg, eTri) = edgeTriangles(edges, uCol, vCol, broadcastGraph)
+    val credits = eTri.select(explode(concat(
+        array(
+          struct(col("s").as("node"), size(col("ys")).cast("long").as("c")),
+          struct(col("t").as("node"), size(col("ys")).cast("long").as("c"))),
+        expr("transform(ys, y -> struct(y AS node, 1L AS c))"))).as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
     deg.filter(col("d") >= minDeg)
-      .join(perCorner, Seq("node"), "left")
+      .join(credits, Seq("node"), "left")
       .select(col("node"), col("d"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) / (col("d") * (col("d") - 1)), 4)
           .as("lcc"))
   }
 
-  /** Shared enumeration core: canonicalized edge set, degree table, and
-    * the closed-triangle frame (s, x, y) with s the unique DAG source
-    * and x < y the closing edge. See census's scaladoc for the
-    * orientation bound and cache contract.
+  /** Shared core: canonicalized edge set, degree table, and the
+    * per-oriented-edge triangle frame (s, t, ys) where ys =
+    * N+(s) ∩ N+(t) is the (sorted) closing-vertex array — each
+    * triangle appears in exactly one row's ys. See the class doc for
+    * the orientation bound, broadcast contract, and cache contract.
     */
-  private def closedTriangles(edges: DataFrame, uCol: String, vCol: String,
-      broadcastClose: Boolean): (DataFrame, DataFrame, DataFrame) = {
+  private def edgeTriangles(edges: DataFrame, uCol: String, vCol: String,
+      broadcastGraph: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val pairs = edges
       .filter(col(uCol) =!= col(vCol))
       .select(
-        least(col(uCol), col(vCol)).as("u"),
-        greatest(col(uCol), col(vCol)).as("v"))
+        least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .distinct()
       .persist()
-    // n-row degree table, consumed 4x (two orientation joins, wedge
-    // total, node count) — persisted, and broadcast into the
-    // orientation joins under the same small-side assumption as the
-    // close (nodes n <= edges m, so edge-broadcast implies this; the
-    // shuffle form remains for beyond-memory graphs). Without the hint
-    // the union's pre-agg shuffle stats (2m rows) overshoot AQE's
-    // threshold and the orientation pays two avoidable SMJ shuffles
-    // of the full edge set.
-    val deg = pairs.select(col("u").as("node"))
-      .union(pairs.select(col("v").as("node")))
+    // n-row degree table from ONE pass over the cached edges (both
+    // endpoints via a 2-element generate — the union form read the
+    // cache twice), consumed 3x (two orientation joins + the caller's
+    // census/report leg).
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
       .persist()
     def degAs(k: String, d: String) = {
       val t = deg.select(col("node").as(k), col("d").as(d))
-      if (broadcastClose) broadcast(t) else t
+      if (broadcastGraph) broadcast(t) else t
     }
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
@@ -124,39 +134,24 @@ object Triangles {
       .select(
         when(lowFirst, col("u")).otherwise(col("v")).as("s"),
         when(lowFirst, col("v")).otherwise(col("u")).as("t"))
-      .persist() // consumed twice by the wedge self-join branches
-    // unordered out-neighbor pairs of each pivot; x<y aligns with the
-    // canonical edge set so the closing join needs no least/greatest.
-    // The self-join's INPUT is tiny (m rows) but its OUTPUT is the
-    // wedge set (sum C(outdeg,2) — 34x bigger at sf0.1), so AQE's
-    // input-byte-sized coalescing would run the whole enumeration in
-    // ONE task; an explicit-count repartition on the pivot key is
-    // honored by AQE and keeps the fan-out stage at full parallelism.
-    val nPart = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val byPivot = oriented.repartition(nPart, col("s"))
-    val wedges = byPivot.select(col("s"), col("t").as("x"))
-      .join(byPivot.select(col("s"), col("t").as("y")), "s")
-      .filter(col("x") < col("y"))
-    // Broadcast close probes on ONE long key — xxhash64(u,v) — instead
-    // of the (u,v) composite: a single LongType key takes Spark's
-    // LongHashedRelation primitive-map fast path (no per-probe
-    // UnsafeRow allocation or 16-byte murmur), 2.4x faster over the
-    // 41M-probe wedge stream at sf0.1. Hash collisions are made exact
-    // by the (cu,cv) residual; it is spelled `between(cu, cu)` rather
-    // than `=== cu` deliberately — an equality would be re-extracted
-    // by the planner into the join key, silently restoring the
-    // composite-key slow path, while the range form stays a residual
-    // filter on the probe hit.
-    val closed = (if (broadcastClose) {
-      val cl = broadcast(pairs.select(xxhash64(col("u"), col("v")).as("hk"),
-        col("u").as("cu"), col("v").as("cv")))
-      wedges.join(cl, xxhash64(col("x"), col("y")) === col("hk") &&
-        col("x").between(col("cu"), col("cu")) &&
-        col("y").between(col("cv"), col("cv")))
-    } else {
-      wedges.join(pairs.select(col("u").as("cu"), col("v").as("cv")),
-        col("x") === col("cu") && col("y") === col("cv"))
-    }).select(col("s"), col("x"), col("y"))
-    (pairs, deg, closed)
+    // Sorted out-adjacency (n rows, m entries total — the oriented
+    // edge list in array form). Consumed twice: re-exploded as the
+    // probe stream and joined back as the t-side arrays.
+    val adj = oriented.groupBy(col("s").as("node"))
+      .agg(sort_array(collect_list(col("t"))).as("nbr"))
+      .persist()
+    val adjT = {
+      val t = adj.select(col("node").as("t"), col("nbr").as("nt"))
+      if (broadcastGraph) broadcast(t) else t
+    }
+    // Left join: a t with out-degree 0 (every edge points at it) has
+    // no adjacency row; its intersection is empty, not null.
+    val eTri = adj
+      .select(col("node").as("s"), col("nbr").as("ns"), explode(col("nbr")).as("t"))
+      .join(adjT, Seq("t"), "left")
+      .select(col("s"), col("t"),
+        sortedIntersect(col("ns"),
+          coalesce(col("nt"), array().cast("array<long>"))).as("ys"))
+    (pairs, deg, eTri)
   }
 }

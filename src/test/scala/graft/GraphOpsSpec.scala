@@ -176,7 +176,7 @@ class GraphOpsSpec extends SparkSpec {
     // the shuffle-close path (edge list beyond broadcast range at real
     // scale) must count identically to the broadcast-close default
     val shuffled = graft.operators.Triangles
-      .census(edges.toDF("a", "b"), "a", "b", broadcastClose = false)
+      .census(edges.toDF("a", "b"), "a", "b", broadcastGraph = false)
       .collect().head
     assert(shuffled.getLong(0) == brute && shuffled.getLong(3) == edges.size,
       s"shuffle-close census ${shuffled.getLong(0)} vs brute $brute")
