@@ -8147,6 +8147,31 @@ object Queries {
       round(sqrt(phi2c / least(rc - 1, cc - 1)), 6).as("v_bias_corrected"))
   }
 
+  /** Dynamic partition pruning through the DSv2 runtime-filter
+    * contract ([[graft.sources.SeqBucketedScan]] implements
+    * `SupportsRuntimeFiltering`): the dimension side's selective
+    * filter runs first (broadcast build), Spark hands the surviving
+    * join keys to the scan as an IN filter AT EXECUTION TIME, and the
+    * scan re-plans to only the matching residue-class partitions — 5
+    * of 97 here, asserted in Dsv2SourceSpec. This is the last rung of
+    * the DSv2 ladder next to static pushdown (q148), complete
+    * aggregate pushdown (q163), storage-partitioned joins (q305) and
+    * the columnar path (q312): at 100 TB it is the difference between
+    * scanning every date/bucket directory and scanning the handful the
+    * dimension filter actually touches — pruning decided by DATA, not
+    * by a static predicate.
+    */
+  def q314_runtime_pruned_join(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 2000000L)
+      .option("layout", "bucketed").load()
+    val dim = s.range(0, 97).toDF("bucket").filter(col("bucket") % 19 === 3)
+    fact.join(broadcast(dim), Seq("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8461,6 +8486,7 @@ object Queries {
     "q311_abtest_power" -> (q311_abtest_power _),
     "q312_columnar_scan" -> (q312_columnar_scan _),
     "q313_cramers_v" -> (q313_cramers_v _),
+    "q314_runtime_pruned_join" -> (q314_runtime_pruned_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12792,5 +12818,11 @@ object Queries {
         |    least(r - (r - 1) * (r - 1) / (n - 1) - 1,
         |          c - (c - 1) * (c - 1) / (n - 1) - 1)), 6) AS v_bias_corrected
         |FROM x""".stripMargin,
+    "q314_runtime_pruned_join" ->
+      """SELECT id % 97 AS bucket, count(*) AS n,
+        |  sum((id * 2654435761) % 1000003)::BIGINT AS sum_cents
+        |FROM range(0, 2000000) t(id)
+        |WHERE (id % 97) % 19 = 3
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -10,10 +10,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -213,18 +213,47 @@ case class SeqBucketedScan(
     lo: Long,
     hi: Long,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch with SupportsReportPartitioning {
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
   import SeqSource.NBuckets
+
+  // Runtime (dynamic-partition-pruning) filter state: Spark calls
+  // `filter` at EXECUTION time — after the join's build side has run
+  // and produced the live set of join keys — and then re-plans this
+  // scan's partitions. Residue classes outside the set are never
+  // planned, let alone read: the DSv2 form of dynamic partition
+  // pruning, which at 100 TB is the difference between scanning 97
+  // date/bucket directories and the 5 the dimension filter actually
+  // touches. A var on the Scan is the upstream-intended shape —
+  // BatchScanExec keeps the instance and re-invokes
+  // planInputPartitions after filtering.
+  private var keptBuckets: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("bucket"))
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case In("bucket", vs) => vs.collect { case l: Long => l }.toSet
+      case EqualTo("bucket", v: Long) => Set(v)
+    }
+    if (sets.nonEmpty) keptBuckets = Some(sets.reduce(_ intersect _))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_seq BUCKETED($NBuckets) bounds=[$lo,$hi) " +
       s"cols=${required.fieldNames.mkString(",")} " +
-      s"pushed=${pushed.mkString(",")}"
+      s"pushed=${pushed.mkString(",")}" +
+      keptBuckets.map(k => s" runtimeKept=${k.size}").getOrElse("")
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), NBuckets)
+    new KeyGroupedPartitioning(Array(Expressions.identity("bucket")),
+      planInputPartitions().length)
   override def planInputPartitions(): Array[InputPartition] =
-    Array.tabulate(NBuckets)(b => SeqBucketPartition(b.toLong, lo, hi))
+    (0L until NBuckets.toLong).iterator
+      .filter(b => keptBuckets.forall(_.contains(b)))
+      .map(b => SeqBucketPartition(b, lo, hi): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     SeqBucketReaderFactory(required.fieldNames)
 }

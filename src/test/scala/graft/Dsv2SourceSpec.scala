@@ -168,6 +168,46 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(df.count() == 10000L)
   }
 
+  test("runtime filtering: the dimension's live keys prune the bucketed scan to 5 of 97 partitions") {
+    // Dynamic partition pruning through SupportsRuntimeFiltering: the
+    // broadcast dim side runs first, its surviving bucket keys reach
+    // SeqBucketedScan.filter as an IN filter, and the re-planned scan
+    // must touch ONLY those residue classes.
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val fact = spark.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 97000L)
+      .option("layout", "bucketed").load()
+    val dim = spark.range(0, 97).toDF("bucket").filter(col("bucket") % 19 === 3)
+    val j = fact.join(broadcast(dim), Seq("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val got = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // buckets {3, 22, 41, 60, 79}: 97000 ids cover each residue 1000x.
+    assert(got == Map(3L -> 1000L, 22L -> 1000L, 41L -> 1000L,
+      60L -> 1000L, 79L -> 1000L), s"got $got")
+    // The executed scan instance was runtime-filtered: re-planning it
+    // yields exactly the 5 surviving partitions (and the plan carries
+    // the runtime-filter subquery).
+    // AQE hides subplans behind leaf wrappers (AdaptiveSparkPlanExec,
+    // QueryStageExec) that plain collect() does not descend into.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => Seq.empty
+      }))
+    val scans = flatten(j.queryExecution.executedPlan).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SeqBucketedScan] => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec over SeqBucketedScan")
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "expected a dynamic-pruning runtime filter on the scan")
+    val planned = scans.head.scan.asInstanceOf[graft.sources.SeqBucketedScan]
+      .planInputPartitions().length
+    assert(planned == 5, s"runtime filter must prune to 5 partitions, planned $planned")
+  }
+
   test("bucketed scan without v2 bucketing conf still returns correct rows (layout is advisory)") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     try {
