@@ -8172,6 +8172,75 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** NEAREST-event join: for each click, the purchase by the same user
+    * closest in time in EITHER direction — the bidirectional refinement
+    * of as-of (backward q147 / forward q150 return the nearest on one
+    * side only; "nearest sensor reading to this observation" is the
+    * time-series join every alignment pipeline actually wants).
+    * Composed from the custom native as-of plan run once per
+    * direction — each is one merge pass over key-bucketed sorted
+    * runs, zero extra shuffles on co-partitioned input — then an
+    * arithmetic pick of the smaller |Δt| (ties to the backward match,
+    * the as-of convention). Sentinels (-1/none) keep users with no
+    * purchases visible.
+    */
+  def q315_nearest_event_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val back = graft.plans.NativeAsOfJoin.backward(clicks, purchases,
+      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
+      rightTieCol = "event_id", rightPrefix = "b_")
+    val both = graft.plans.NativeAsOfJoin.forward(back, purchases,
+      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
+      rightTieCol = "event_id", rightPrefix = "f_")
+    val db = col("us") - col("b_us")
+    val df = col("f_us") - col("us")
+    val pickBack = col("f_us").isNull || (col("b_us").isNotNull && db <= df)
+    both.select(
+        col("event_id"), col("user_id"), col("us").as("ts_us"),
+        when(col("b_us").isNull && col("f_us").isNull, lit(-1L))
+          .when(pickBack, col("b_event_id")).otherwise(col("f_event_id"))
+          .as("near_event_id"),
+        when(col("b_us").isNull && col("f_us").isNull, lit(-1L))
+          .when(pickBack, db).otherwise(df).as("near_dt_us"),
+        when(col("b_us").isNull && col("f_us").isNull, lit("none"))
+          .when(pickBack, lit("back")).otherwise(lit("fwd")).as("direction"))
+      .orderBy("event_id")
+  }
+
+  /** Isotonic calibration of q184's reliability bins — the monotone
+    * fit every production calibrator (Zadrozny-Elkan isotonic
+    * regression) lays over the raw bin rates before serving
+    * probabilities. Solved by the minimax characterization of PAVA:
+    * ŷ_i = max_{j≤i} min_{k≥i} wavg(y over bins j..k) — three
+    * bounded self-joins of the ≤10-row bin frame (≤10³ combinations),
+    * never an iterative pool loop, and every interval average is one
+    * division of exact integer sums so both engines agree bit-for-bit.
+    * The corpus is touched once (the binning aggregate); everything
+    * monotone happens on the bounded frame — the 100 TB shape.
+    */
+  def q316_isotonic_calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = probeScored(s, dir)
+    val env = scored.agg(min("score").as("lo"), max("score").as("hi"))
+    val bins = scored.crossJoin(broadcast(env))
+      .withColumn("bin",
+        least(floor((col("score") - col("lo")) / (col("hi") - col("lo")) * 10), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        round(avg("score"), 4).as("mean_score"),
+        round(avg(col("y").cast("double")), 4).as("frac_pos"))
+      .persist() // ≤10 rows, consumed by three bounded joins
+    val fit = operators.Isotonic.fit(bins, "bin", "n", "sy")
+      .withColumnRenamed("bin", "i")
+    bins.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
+        round(col("iso"), 6).as("iso_fit"))
+      .orderBy("bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8487,6 +8556,8 @@ object Queries {
     "q312_columnar_scan" -> (q312_columnar_scan _),
     "q313_cramers_v" -> (q313_cramers_v _),
     "q314_runtime_pruned_join" -> (q314_runtime_pruned_join _),
+    "q315_nearest_event_join" -> (q315_nearest_event_join _),
+    "q316_isotonic_calibration" -> (q316_isotonic_calibration _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12824,5 +12895,63 @@ object Queries {
         |FROM range(0, 2000000) t(id)
         |WHERE (id % 97) % 19 = 3
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q315_nearest_event_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS ts_us,
+        |  (CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN -1
+        |       WHEN f.event_id IS NULL THEN b.event_id
+        |       WHEN b.event_id IS NULL THEN f.event_id
+        |       WHEN epoch_us(c.ts) - epoch_us(b.ts)
+        |            <= epoch_us(f.ts) - epoch_us(c.ts) THEN b.event_id
+        |       ELSE f.event_id END)::BIGINT AS near_event_id,
+        |  (CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN -1
+        |       WHEN f.event_id IS NULL THEN epoch_us(c.ts) - epoch_us(b.ts)
+        |       WHEN b.event_id IS NULL THEN epoch_us(f.ts) - epoch_us(c.ts)
+        |       WHEN epoch_us(c.ts) - epoch_us(b.ts)
+        |            <= epoch_us(f.ts) - epoch_us(c.ts)
+        |         THEN epoch_us(c.ts) - epoch_us(b.ts)
+        |       ELSE epoch_us(f.ts) - epoch_us(c.ts) END)::BIGINT AS near_dt_us,
+        |  CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN 'none'
+        |       WHEN f.event_id IS NULL THEN 'back'
+        |       WHEN b.event_id IS NULL THEN 'fwd'
+        |       WHEN epoch_us(c.ts) - epoch_us(b.ts)
+        |            <= epoch_us(f.ts) - epoch_us(c.ts) THEN 'back'
+        |       ELSE 'fwd' END AS direction
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN LATERAL (
+        |  SELECT ts, event_id FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = c.user_id
+        |    AND r.ts <= c.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) b ON true
+        |LEFT JOIN LATERAL (
+        |  SELECT ts, event_id FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = c.user_id
+        |    AND r.ts >= c.ts
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) f ON true
+        |ORDER BY c.event_id""".stripMargin,
+    "q316_isotonic_calibration" ->
+      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
+        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
+        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
+        |env AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+        |b AS (SELECT least(floor((score - lo) / (hi - lo) * 10), 9)::BIGINT AS bin,
+        |        count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |        round(avg(score), 4) AS mean_score,
+        |        round(avg(y * 1.0), 4) AS frac_pos
+        |      FROM s CROSS JOIN env GROUP BY 1),
+        |iv AS (SELECT j.bin AS j, k.bin AS k,
+        |        sum(x.sy) * 1.0 / sum(x.n) AS avg_jk
+        |      FROM b j, b k, b x
+        |      WHERE j.bin <= k.bin AND x.bin BETWEEN j.bin AND k.bin
+        |      GROUP BY 1, 2),
+        |m AS (SELECT i.bin AS bin, iv.j AS j, min(iv.avg_jk) AS mn
+        |      FROM b i, iv WHERE iv.j <= i.bin AND iv.k >= i.bin
+        |      GROUP BY 1, 2),
+        |f AS (SELECT bin, max(mn) AS iso FROM m GROUP BY 1)
+        |SELECT b.bin, b.n, b.mean_score, b.frac_pos,
+        |  round(f.iso, 6) AS iso_fit
+        |FROM b JOIN f USING (bin) ORDER BY b.bin""".stripMargin,
   )
 }

@@ -210,7 +210,11 @@ class PlanSpec extends SparkSpec {
       "q310_simpson_audit",
       // q313: bounded r×c grid completion (distinct et × distinct wd,
       // ≤ #event_types×7 rows) + 1-row broadcast dims onto the cell frame
-      "q313_cramers_v")
+      "q313_cramers_v",
+      // q316: PAVA minimax over the ≤10-row calibration-bin frame —
+      // three bounded non-equi self-joins (≤10³ combinations) + the
+      // 1-row broadcast score envelope (q184's pattern)
+      "q316_isotonic_calibration")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
