@@ -72,6 +72,37 @@ class StreamingWindowSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("E23 streaming: dropDuplicatesWithinWatermark evicts dedup state past the delay (unbounded-retention dual)") {
+    // dropDuplicates keeps every key's state forever (exact dedup);
+    // dropDuplicatesWithinWatermark keeps state only while the key
+    // could still collide under the watermark delay — the bounded-
+    // state contract a 100 TB ingest needs. A duplicate ARRIVING
+    // within the delay is dropped; the same event id re-sent after
+    // the watermark has passed its expiry is treated as NEW (state
+    // evicted) — both directions asserted.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+      Ev(1, ts("2024-01-01 10:02:00"), 1, 1.0), // dup within delay → dropped
+      Ev(2, ts("2024-01-01 10:05:00"), 1, 2.0))
+    val dedup = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    q.processAllAvailable()
+    // Advance the watermark far past id 1's expiry, then re-send it.
+    mem.addData(Ev(3, ts("2024-01-01 12:00:00"), 1, 3.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts("2024-01-01 11:55:00"), 1, 9.0)) // state evicted → emits again
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 1L, 2L, 3L),
+      s"expected the re-sent id after expiry to emit again, got ${ids.toSeq}")
+  }
+
   test("stream-stream interval join: purchases match clicks within the time bound; state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
