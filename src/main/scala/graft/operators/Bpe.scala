@@ -47,8 +47,14 @@ object Bpe {
         i => substring(col("word"), i, lit(1)).cast("string")).as("syms"))
       .filter(size(col("syms")) >= 2)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    syms.count() // materialize before the loop so round 1 reads cache
 
+    // One Spark job per round: the argmax action BOTH answers the round
+    // and materializes the current round's persist (an explicit count()
+    // per round doubled the driver-round latency — the dominant cost of
+    // a k-round loop over a vocabulary-sized frame). The previous
+    // round's cache is released only AFTER the argmax has run, so the
+    // new frame never recomputes through an unpersisted parent.
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     while (step <= k) {
@@ -61,6 +67,8 @@ object Bpe {
         .orderBy(desc("freq"), col("l"), col("r"))
         .limit(1)
         .collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       if (best.isEmpty) {
         step = k + 1 // no pairs left anywhere
       } else {
@@ -77,13 +85,13 @@ object Bpe {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))).as("syms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        syms.unpersist()
+        prev = Some(syms)
         syms = next
         step += 1
       }
     }
-    syms.unpersist()
+    syms.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
     merges.toSeq
   }
 
