@@ -3207,17 +3207,18 @@ object Queries {
     */
   def q153_triangle_count(s: SparkSession, dir: String): DataFrame = {
     // per-order pair fan-out is bounded (TPC-H: <=7 items/order), so
-    // collect_set + double explode generates <=21 pairs per order in
-    // ONE map-side-combined shuffle — cheaper than the equivalent
-    // distinct -> self-join -> distinct (3 shuffles + 2 sorts), and
-    // the explode Generate is codegen'd end to end
+    // collect_set + generate yields <=21 pairs per order in ONE
+    // map-side-combined shuffle — cheaper than the equivalent
+    // distinct -> self-join -> distinct (3 shuffles + 2 sorts). The
+    // SORTED basket + posexplode + tail-slice emits exactly the
+    // C(k,2) u<v pairs (half the rows of double-explode + filter),
+    // and both Generates are codegen'd end to end.
     val pairs = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("u"),
+        explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("v"))
     operators.Triangles.census(pairs, "u", "v")
   }
 
@@ -4850,13 +4851,15 @@ object Queries {
     * division → the ranking is engine-identical.
     */
   def q212_local_clustering(s: SparkSession, dir: String): DataFrame = {
+    // Ordered-pair generation from the SORTED basket: posexplode +
+    // tail-slice emits exactly the C(k,2) u<v pairs — half the rows of
+    // the double-explode + filter form, no post-filter.
     val pairs = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("u"),
+        explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("v"))
     operators.Triangles.perNode(pairs, "u", "v", minDeg = 5)
       .orderBy(col("lcc").desc, col("node").asc)
       .limit(20)
