@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state via `flatMapGroupsWithState` — the escape
   * hatch for session semantics that `session_window` cannot express
@@ -98,6 +98,58 @@ object StatefulSessions {
         val (closed, open) = fold(None, events, gapUs)
         toRows(key, closed ++ open.toSeq)
     }
+  }
+
+  /** The SAME session contract on the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4): typed `ValueState` through the
+    * `StatefulProcessorHandle` instead of a single `GroupState` blob,
+    * and explicit event-time TIMERS instead of the one implicit
+    * timeout slot — the API that composes (a processor can hold many
+    * named states/timers where flatMapGroupsWithState holds one of
+    * each). Requires the RocksDB state store provider; semantics are
+    * identical to [[sessionizeStream]] and StreamingWindowSpec pins
+    * the three-way parity (tws == flatMapGroupsWithState == batch
+    * oracle).
+    */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SEvent, SessionRow] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[SEvent], tv: TimerValues): Iterator[SessionRow] = {
+      val prior = if (open.exists()) Some(open.get()) else None
+      val (closed, cur) = fold(prior, rows, gapUs)
+      // Re-arm the key's single horizon timer: delete any stale one,
+      // register at the new session horizon (same ms round-UP as
+      // sessionizeStream — truncating could fire ~1ms early).
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      cur match {
+        case Some(s) =>
+          open.update(s)
+          getHandle.registerTimer(math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
+        case None => open.clear()
+      }
+      toRows(key, closed)
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[SessionRow] = {
+      val out = if (open.exists()) Seq(open.get()) else Seq.empty
+      open.clear()
+      toRows(key, out)
+    }
+  }
+
+  /** [[sessionizeStream]]'s contract through [[SessionProcessor]]. */
+  def sessionizeStreamTws(ds: Dataset[SEvent], gapUs: Long): Dataset[SessionRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key).transformWithState(
+      new SessionProcessor(gapUs), TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming mode: closed sessions emit immediately; the open session

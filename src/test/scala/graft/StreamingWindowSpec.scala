@@ -210,6 +210,56 @@ class StreamingWindowSpec extends SparkSpec {
       s"open session not flushed by timeout: $all")
   }
 
+  test("transformWithState sessions: modern arbitrary-state API matches flatMapGroupsWithState exactly") {
+    // Same scenario as the flatMapGroupsWithState test above, run
+    // through StatefulSessions.SessionProcessor (typed ValueState +
+    // explicit event-time timers). transformWithState requires the
+    // RocksDB state store provider.
+    import graft.streaming.StatefulSessions
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 10L * 60 * 1000000
+      val mem = MemoryStream[Ev]
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, 2.0),
+        Ev(3, ts("2024-01-01 10:30:00"), 1, 4.0)) // >= gap after 10:05 → closes session 1
+      val ev = StatefulSessions.project(
+        mem.toDF().select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "event_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+      val q = StatefulSessions.sessionizeStreamTws(ev, gapUs)
+        .writeStream.format("memory").queryName("twssess")
+        .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+      q.processAllAvailable()
+      def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+      val afterBatch1 = spark.table("twssess").collect()
+        .map(s => (s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3))).toSet
+      // Only the gap-closed session is out; 10:30 is still open in state.
+      assert(afterBatch1 == Set((1L, us("2024-01-01 10:00:00"), 2L, 3.0)),
+        afterBatch1.toString)
+      // Advance the watermark past lastTs+gap: the registered
+      // event-time TIMER fires and flushes the open session.
+      mem.addData(Ev(9, ts("2024-01-01 12:00:00"), 2, 9.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, ts("2024-01-01 12:00:01"), 2, 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("twssess").collect()
+        .map(s => (s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3))).toSet
+      assert(all.contains((1L, us("2024-01-01 10:30:00"), 1L, 4.0)),
+        s"open session not flushed by the event-time timer: $all")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("E24 streaming: session_window merges within gap, splits across it; parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
