@@ -46,6 +46,25 @@ object Queries {
   private def tWide(spark: SparkSession, dir: String, name: String): DataFrame =
     t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
+  /** Per-order ordered co-occurrence pairs (u < v) of the lineitem
+    * basket graph — one row per (order, pair), shared by the graph
+    * pillar queries (q153/q162/q165/q166/q212/q230/q244/q255/q301).
+    * The SORTED basket + posexplode + tail-slice emits exactly C(k,2)
+    * pairs per order in ONE map-side-combined shuffle — half the rows
+    * of the double-explode + u<v filter form, no post-filter, and
+    * cheaper than the distinct→self-join→count chain (3 shuffles + 2
+    * sorts); per-order fan-out bounded by basket size (≤21 at TPC-H's
+    * ≤7 items/order). Callers apply their own distinct /
+    * co-occurrence-weight aggregation.
+    */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("u"),
+        explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("v"))
+
   /** E6: TPC-H Q1-shaped hash aggregation — partial+final agg, no join.
     * At 100 TB: map-side combine reduces the shuffle to
     * |groups|·|partitions| rows; grouping keys are low-cardinality.
@@ -3205,22 +3224,8 @@ object Queries {
     * clustering coefficient; construction ground truth (cliques,
     * paths, known censuses) in GraphOpsSpec.
     */
-  def q153_triangle_count(s: SparkSession, dir: String): DataFrame = {
-    // per-order pair fan-out is bounded (TPC-H: <=7 items/order), so
-    // collect_set + generate yields <=21 pairs per order in ONE
-    // map-side-combined shuffle — cheaper than the equivalent
-    // distinct -> self-join -> distinct (3 shuffles + 2 sorts). The
-    // SORTED basket + posexplode + tail-slice emits exactly the
-    // C(k,2) u<v pairs (half the rows of double-explode + filter),
-    // and both Generates are codegen'd end to end.
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .select(col("ps"), posexplode(col("ps")))
-      .select(col("col").as("u"),
-        explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("v"))
-    operators.Triangles.census(pairs, "u", "v")
-  }
+  def q153_triangle_count(s: SparkSession, dir: String): DataFrame =
+    operators.Triangles.census(basketPairs(s, dir), "u", "v")
 
   /** Interval attribution join (the batch twin of the STREAM-STREAM
     * interval join — StreamingWindowSpec runs this exact join shape
@@ -3470,12 +3475,7 @@ object Queries {
     * never a divergence.
     */
   def q162_kcore(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val pairs = basketPairs(s, dir)
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("u"), col("v"))
@@ -3549,12 +3549,7 @@ object Queries {
     * 10-round relaxation oracle reproduces the result exactly.
     */
   def q165_bfs_hops(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val pairs = basketPairs(s, dir)
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("u"), col("v"))
@@ -3573,12 +3568,7 @@ object Queries {
     * tie-break make the 4-round unrolled SQL oracle exact.
     */
   def q166_label_prop(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val pairs = basketPairs(s, dir)
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("u"), col("v"))
@@ -4850,20 +4840,10 @@ object Queries {
     * 0. Floats: 2·tri exact, d(d−1) integer, one correctly-rounded
     * division → the ranking is engine-identical.
     */
-  def q212_local_clustering(s: SparkSession, dir: String): DataFrame = {
-    // Ordered-pair generation from the SORTED basket: posexplode +
-    // tail-slice emits exactly the C(k,2) u<v pairs — half the rows of
-    // the double-explode + filter form, no post-filter.
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .select(col("ps"), posexplode(col("ps")))
-      .select(col("col").as("u"),
-        explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("v"))
-    operators.Triangles.perNode(pairs, "u", "v", minDeg = 5)
+  def q212_local_clustering(s: SparkSession, dir: String): DataFrame =
+    operators.Triangles.perNode(basketPairs(s, dir), "u", "v", minDeg = 5)
       .orderBy(col("lcc").desc, col("node").asc)
       .limit(20)
-  }
 
   /** Click→purchase conversion pairs within 30 minutes, credited to the
     * click's campaign — the BATCH form of a stream-stream interval
@@ -5323,15 +5303,7 @@ object Queries {
     */
   def q230_sssp(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bfs
-    // q153's bounded pair generation: collect_set + double explode
-    // emits ≤C(items/order, 2) pairs per order in ONE map-side-combined
-    // shuffle — cheaper than the distinct→self-join→count chain
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val pairs = basketPairs(s, dir)
       .groupBy("u", "v").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .withColumn("w", (lit(1000) / col("c")).cast("long"))
@@ -5732,12 +5704,7 @@ object Queries {
     * moment set suffices.
     */
   def q244_assortativity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val pairs = basketPairs(s, dir)
       .distinct()
     val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -6063,12 +6030,7 @@ object Queries {
     */
   def q255_rich_club(s: SparkSession, dir: String): DataFrame = {
     val k = 10
-    val pairs = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val pairs = basketPairs(s, dir)
       .distinct()
       .persist()
     val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
@@ -7660,12 +7622,7 @@ object Queries {
     * engine addition order cannot leak into the hash.
     */
   def q301_modularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
+    val edges = basketPairs(s, dir)
       .distinct()
     val comm = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     val e = edges
