@@ -4540,22 +4540,30 @@ object Queries {
     * times, confidence(a→b) = supp(ab)/supp(a) and lift =
     * supp(ab)·N/(supp(a)·supp(b)) — q75 counts co-occurrence, this
     * turns it into the directed rule-mining output with the
-    * interestingness normalization. Shape: one distinct (order, part)
-    * frame persisted across the pair self-join and the two
-    * single-item supports; the pair join shuffles on the order key
-    * with per-order-basket² fan-out (the Apriori level-2 cost,
-    * bounded by basket size); supports broadcast back onto the
-    * surviving pairs; N is a 1-row broadcast.
+    * interestingness normalization. Shape: ONE persisted basket-array
+    * frame feeds all three supports — ordered pairs from the sorted
+    * basket generate (the Apriori level-2 C(k,2) cost, bounded by
+    * basket size, never routed through a self-join), singles from a
+    * re-explode, the basket total from a count; supports broadcast
+    * back onto the surviving pairs; N is a 1-row broadcast.
     */
   def q202_assoc_rules(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // One basket shuffle feeds all three support counts: pairs from
+    // the sorted-array generate (basketPairs' shape — the self-join on
+    // ok it replaces shuffled the (ok, pk) frame twice and fanned out
+    // basket² rows through join machinery), singles from a re-explode,
+    // baskets by a count of the array frame.
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = op.agg(countDistinct("ok").as("total"))
-    val supp1 = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
-    val supp2 = op.select(col("ok"), col("pk").as("pa"))
-      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
-      .filter(col("pa") < col("pb"))
+    val total = baskets.agg(count(lit(1)).as("total"))
+    val supp1 = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val supp2 = baskets
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("pa"),
+        explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("both_cnt"))
       .filter(col("both_cnt") >= 3)
     supp2
