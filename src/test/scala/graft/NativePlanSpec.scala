@@ -248,4 +248,13 @@ class NativePlanSpec extends SparkSpec {
       s"expected key-clustered exchanges:\n$plan")
     assert(!plan.contains("Window"), s"native path must not window:\n$plan")
   }
+
+  test("q315 nearest join: BOTH directions run the native exec; no window, no SMJ on the event side") {
+    val df = Queries.all("q315_nearest_event_join")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val nAsOf = "AsOfJoin ".r.findAllIn(plan).length
+    assert(nAsOf == 2, s"expected two native as-of execs (backward + forward), found $nAsOf:\n$plan")
+    assert(!plan.contains("Window"), s"nearest join must not fall back to the window form:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no generic join may appear:\n$plan")
+  }
 }
