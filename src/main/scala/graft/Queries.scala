@@ -8209,6 +8209,37 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** REAL audio DSP through opaque binary columns — the multimodal
+    * path that needs no external codec and so is NOT stubbed (q33/
+    * q142/q243 exercise the stubbed image/video decode seam): 16-bit
+    * PCM tones are synthesized from per-id arithmetic, PACKED into
+    * little-endian int16 payload bytes (`PcmPack`), and per-frame RMS
+    * energy plus silence detection is computed back FROM THE BYTES
+    * (`PcmFrameRms`, a codegen byte loop) — the voice-activity /
+    * silence-trim primitive of audio curation. The oracle reproduces
+    * the same sample arithmetic in SQL without any binary, so hash
+    * equality proves the pack→bytes→RMS path lossless. Payloads never
+    * shuffle; only the 10-double energy arrays move.
+    */
+  def q317_audio_energy(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.PcmExpressions._
+    val amp = when(col("media_id") % 5 === 0, lit(0.0))
+      .otherwise(lit(2000.0) + col("media_id") * 100)
+    val w = ((col("media_id") % 7) + 1) * lit(0.01)
+    val samples = transform(sequence(lit(0), lit(2399)),
+      t => floor(amp * sin(t.cast("double") * w)).cast("long"))
+    val rms = s.range(1, 21).toDF("media_id")
+      .withColumn("payload", pcmPack(samples))
+      .withColumn("rms", pcmFrameRms(col("payload"), 240))
+    rms.select(col("media_id"),
+        size(col("rms")).cast("long").as("n_frames"),
+        round(aggregate(col("rms"), lit(0.0), (a, x) => a + x) / size(col("rms")), 4)
+          .as("mean_rms"),
+        round(array_max(col("rms")), 4).as("peak_rms"),
+        size(filter(col("rms"), x => x < 1.0)).cast("long").as("silence_frames"))
+      .orderBy("media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8526,6 +8557,7 @@ object Queries {
     "q314_runtime_pruned_join" -> (q314_runtime_pruned_join _),
     "q315_nearest_event_join" -> (q315_nearest_event_join _),
     "q316_isotonic_calibration" -> (q316_isotonic_calibration _),
+    "q317_audio_energy" -> (q317_audio_energy _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12921,5 +12953,20 @@ object Queries {
         |SELECT b.bin, b.n, b.mean_score, b.frac_pos,
         |  round(f.iso, 6) AS iso_fit
         |FROM b JOIN f USING (bin) ORDER BY b.bin""".stripMargin,
+    "q317_audio_energy" ->
+      """WITH m AS (SELECT id AS media_id,
+        |    CASE WHEN id % 5 = 0 THEN 0.0 ELSE 2000.0 + id * 100 END AS amp,
+        |    ((id % 7) + 1) * 0.01 AS w
+        |  FROM range(1, 21) t(id)),
+        |s AS (SELECT media_id, (t.t // 240)::BIGINT AS f,
+        |    floor(amp * sin(t.t * w)) AS v
+        |  FROM m, range(0, 2400) t(t)),
+        |fr AS (SELECT media_id, f, sqrt(avg(v * v)) AS rms
+        |  FROM s GROUP BY 1, 2)
+        |SELECT media_id, count(*)::BIGINT AS n_frames,
+        |  round(avg(rms), 4) AS mean_rms,
+        |  round(max(rms), 4) AS peak_rms,
+        |  sum(CASE WHEN rms < 1.0 THEN 1 ELSE 0 END)::BIGINT AS silence_frames
+        |FROM fr GROUP BY 1 ORDER BY media_id""".stripMargin,
   )
 }
