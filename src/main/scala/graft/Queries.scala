@@ -8240,6 +8240,32 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** q317's image twin: REAL raw-bitmap ops over binary columns —
+    * RGB888 buffers synthesized from per-id arithmetic, then integer
+    * BT.601 luma histogram ((77r+150g+29b)>>8, 8 bins) and a 4×4
+    * nearest-neighbor thumbnail computed FROM THE BYTES by codegen
+    * loops (`RgbLumaHist`/`RgbResizeNearest`/`RgbLumaSum`). Every
+    * output is exact integer arithmetic, so the binary-free DuckDB
+    * oracle matches bit-for-bit — the brightness-profile / thumbnail
+    * primitives of image curation, minus only the compressed-format
+    * decode this container cannot host (that seam stays stubbed in
+    * operators/Multimodal.scala).
+    */
+  def q318_image_stats(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.RgbExpressions._
+    val bytes = transform(sequence(lit(0), lit(575)),
+      i => (col("media_id") * 31 + i.cast("long") * 7) % 256)
+    val df = s.range(1, 13).toDF("media_id")
+      .withColumn("payload", bytesPack(bytes))
+      .withColumn("hist", rgbLumaHist(col("payload"), 8))
+      .withColumn("thumb", rgbResizeNearest(col("payload"), 16, 12, 4, 4))
+    val histCols = (0 until 8).map(b =>
+      element_at(col("hist"), b + 1).as(s"h$b"))
+    df.select(col("media_id") +: histCols :+
+        round(rgbLumaSum(col("thumb")) / lit(16.0), 4).as("thumb_mean_luma"): _*)
+      .orderBy("media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8558,6 +8584,7 @@ object Queries {
     "q315_nearest_event_join" -> (q315_nearest_event_join _),
     "q316_isotonic_calibration" -> (q316_isotonic_calibration _),
     "q317_audio_energy" -> (q317_audio_energy _),
+    "q318_image_stats" -> (q318_image_stats _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -12968,5 +12995,29 @@ object Queries {
         |  round(max(rms), 4) AS peak_rms,
         |  sum(CASE WHEN rms < 1.0 THEN 1 ELSE 0 END)::BIGINT AS silence_frames
         |FROM fr GROUP BY 1 ORDER BY media_id""".stripMargin,
+    "q318_image_stats" ->
+      """WITH im AS (SELECT id AS media_id FROM range(1, 13) t(id)),
+        |px AS (SELECT media_id, p.p AS p,
+        |    ((77 * ((media_id*31 + (3*p.p)*7) % 256)
+        |    + 150 * ((media_id*31 + (3*p.p+1)*7) % 256)
+        |    + 29 * ((media_id*31 + (3*p.p+2)*7) % 256)) // 256) AS y
+        |  FROM im, range(0, 192) p(p)),
+        |h AS (SELECT media_id,
+        |    sum(CASE WHEN y // 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
+        |    sum(CASE WHEN y // 32 = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
+        |    sum(CASE WHEN y // 32 = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
+        |    sum(CASE WHEN y // 32 = 3 THEN 1 ELSE 0 END)::BIGINT AS h3,
+        |    sum(CASE WHEN y // 32 = 4 THEN 1 ELSE 0 END)::BIGINT AS h4,
+        |    sum(CASE WHEN y // 32 = 5 THEN 1 ELSE 0 END)::BIGINT AS h5,
+        |    sum(CASE WHEN y // 32 = 6 THEN 1 ELSE 0 END)::BIGINT AS h6,
+        |    sum(CASE WHEN y // 32 = 7 THEN 1 ELSE 0 END)::BIGINT AS h7
+        |  FROM px GROUP BY 1),
+        |tp AS (SELECT (y2.y * 3 * 16 + x2.x * 4) AS p
+        |  FROM range(0, 4) y2(y), range(0, 4) x2(x)),
+        |th AS (SELECT media_id, round(sum(y) / 16.0, 4) AS thumb_mean_luma
+        |  FROM px JOIN tp USING (p) GROUP BY 1)
+        |SELECT h.media_id, h0, h1, h2, h3, h4, h5, h6, h7, th.thumb_mean_luma
+        |FROM h JOIN th ON h.media_id = th.media_id
+        |ORDER BY h.media_id""".stripMargin,
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** expr/RgbExpressions pinned on hand-computed bitmap ground truth:
+  * integer BT.601 luma, histogram binning at the boundaries,
+  * nearest-neighbor source-index mapping, and the malformed-buffer
+  * rejections.
+  */
+class RgbSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.expr.RgbExpressions._
+
+  private def pack(vals: Seq[Long]) =
+    Seq(Tuple1(vals)).toDF("v").select(bytesPack(col("v")).as("b"))
+
+  test("luma: pure white 255, pure black 0, pure red floor(77*255/256) = 76") {
+    val img = pack(Seq( // 3 pixels: white, black, red
+      255L, 255L, 255L, 0L, 0L, 0L, 255L, 0L, 0L))
+    val hist = img.select(rgbLumaHist(col("b"), 256).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(hist(255) == 1L && hist(0) == 1L && hist(76) == 1L,
+      s"nonzero bins: ${hist.zipWithIndex.filter(_._1 > 0)}")
+    val sum = img.select(rgbLumaSum(col("b"))).collect().head.getLong(0)
+    assert(sum == 255L + 0L + 76L)
+  }
+
+  test("histogram binning: luma 31 -> bin 0, luma 32 -> bin 1 (8 bins over 256)") {
+    // gray (v,v,v) has luma exactly v (weights sum to 256).
+    val img = pack(Seq(31L, 31L, 31L, 32L, 32L, 32L))
+    val hist = img.select(rgbLumaHist(col("b"), 8).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(hist.toSeq == Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L), hist.toString)
+  }
+
+  test("nearest-neighbor 2x2 -> 1x1 keeps the TOP-LEFT pixel (floor mapping)") {
+    val img = pack(Seq( // 2x2: TL=10, TR=20, BL=30, BR=40 (grays)
+      10L, 10L, 10L, 20L, 20L, 20L, 30L, 30L, 30L, 40L, 40L, 40L))
+    val thumb = img.select(rgbResizeNearest(col("b"), 2, 2, 1, 1).as("t"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(thumb.toSeq == Seq[Byte](10, 10, 10), thumb.toSeq.toString)
+  }
+
+  test("4x2 -> 2x1 resize samples columns 0 and 2 of row 0") {
+    val grays = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L) // row0: 1,2,3,4; row1: 5,6,7,8
+    val img = pack(grays.flatMap(v => Seq(v, v, v)))
+    val thumb = img.select(rgbResizeNearest(col("b"), 4, 2, 2, 1).as("t"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(thumb.toSeq == Seq[Byte](1, 1, 1, 3, 3, 3), thumb.toSeq.toString)
+  }
+
+  test("malformed buffers are rejected: non-multiple-of-3 and wrong resize length") {
+    def root(e: Throwable): Throwable =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
+    val e1 = intercept[Exception] {
+      Seq(Tuple1(Array[Byte](1, 2))).toDF("b")
+        .select(rgbLumaHist(col("b"), 8)).collect()
+    }
+    assert(root(e1).getMessage.contains("multiple of 3"), e1.toString)
+    val e2 = intercept[Exception] {
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
+        .select(rgbResizeNearest(col("b"), 2, 2, 1, 1)).collect()
+    }
+    assert(root(e2).getMessage.contains("bytes for 2x2"), e2.toString)
+    val e3 = intercept[Exception] {
+      Seq(Tuple1(Seq(300L))).toDF("v").select(bytesPack(col("v"))).collect()
+    }
+    assert(root(e3).getMessage.contains("out of range"), e3.toString)
+  }
+}
