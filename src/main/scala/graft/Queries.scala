@@ -8266,6 +8266,37 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** The video leg of the codec-free multimodal trio (q317 audio,
+    * q318 image): raw concatenated RGB frames synthesized with a
+    * scene cut at frame 3, per-boundary motion energy Σ|Δbyte|
+    * computed FROM THE BYTES by the codegen `RgbMotion` loop — the
+    * scene-cut / static-clip detector video curation runs before
+    * sampling frames for a vision model. Exact integers end to end;
+    * the binary-free oracle reproduces the arithmetic, proving the
+    * byte path. Every in-scene boundary drifts by exactly 1/byte
+    * (motion 864/6=144 per frame pair) while the cut jumps two
+    * orders — the threshold flags exactly one cut per clip.
+    */
+  def q319_video_motion(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.RgbExpressions._
+    val frameBytes = 144
+    val bytes = transform(sequence(lit(0), lit(863)), i => {
+      val il = i.cast("long")
+      val f = floor(i.cast("double") / frameBytes).cast("long")
+      val j = il % frameBytes
+      (col("media_id") * 13 + j * 5 + f +
+        when(f >= 3, (j % 3 + 1) * 100).otherwise(0)) % 256
+    })
+    val m = s.range(1, 9).toDF("media_id")
+      .withColumn("motion", rgbMotion(bytesPack(bytes), frameBytes))
+    m.select(col("media_id"),
+        size(col("motion")).cast("long").as("n_boundaries"),
+        aggregate(col("motion"), lit(0L), (a, x) => a + x).as("total_motion"),
+        array_max(col("motion")).as("max_motion"),
+        size(filter(col("motion"), x => x > 1000L)).cast("long").as("n_cuts"))
+      .orderBy("media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8585,6 +8616,7 @@ object Queries {
     "q316_isotonic_calibration" -> (q316_isotonic_calibration _),
     "q317_audio_energy" -> (q317_audio_energy _),
     "q318_image_stats" -> (q318_image_stats _),
+    "q319_video_motion" -> (q319_video_motion _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13019,5 +13051,21 @@ object Queries {
         |SELECT h.media_id, h0, h1, h2, h3, h4, h5, h6, h7, th.thumb_mean_luma
         |FROM h JOIN th ON h.media_id = th.media_id
         |ORDER BY h.media_id""".stripMargin,
+    "q319_video_motion" ->
+      """WITH v AS (SELECT id AS media_id, i.i AS i,
+        |    (id*13 + (i.i % 144)*5 + (i.i // 144)
+        |     + CASE WHEN i.i // 144 >= 3
+        |            THEN ((i.i % 144) % 3 + 1) * 100 ELSE 0 END) % 256 AS v
+        |  FROM range(1, 9) t(id), range(0, 864) i(i)),
+        |d AS (SELECT a.media_id, (a.i // 144) AS b,
+        |    sum(abs(a.v - bb.v))::BIGINT AS motion
+        |  FROM v a JOIN v bb
+        |    ON a.media_id = bb.media_id AND bb.i = a.i + 144
+        |  GROUP BY 1, 2)
+        |SELECT media_id, count(*)::BIGINT AS n_boundaries,
+        |  sum(motion)::BIGINT AS total_motion,
+        |  max(motion)::BIGINT AS max_motion,
+        |  sum(CASE WHEN motion > 1000 THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+        |FROM d GROUP BY 1 ORDER BY media_id""".stripMargin,
   )
 }

@@ -65,6 +65,32 @@ object RgbImpl {
     acc
   }
 
+  /** Per-boundary motion energy of a raw video buffer (concatenated
+    * fixed-size frames): Σ |Δbyte| between each consecutive frame
+    * pair — the scene-cut / static-clip detector of video curation,
+    * exact integer so a SQL oracle reproduces it bit-for-bit.
+    */
+  def motion(buf: Array[Byte], frameBytes: Int): ArrayData = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(buf.length % frameBytes == 0,
+      s"payload length ${buf.length} is not a multiple of frame size $frameBytes")
+    val nf = buf.length / frameBytes
+    val out = new Array[Long](math.max(nf - 1, 0))
+    var b = 0
+    while (b < nf - 1) {
+      var acc = 0L
+      var i = 0
+      val o = b * frameBytes
+      while (i < frameBytes) {
+        acc += math.abs((buf(o + i) & 0xff) - (buf(o + frameBytes + i) & 0xff)).toLong
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def resizeNearest(buf: Array[Byte], w1: Int, h1: Int, w2: Int, h2: Int): Array[Byte] = {
     require(buf.length == w1 * h1 * 3,
       s"RGB888 payload must be ${w1 * h1 * 3} bytes for ${w1}x$h1, got ${buf.length}")
@@ -156,6 +182,24 @@ case class RgbResizeNearest(child: Expression, w1: Int, h1: Int, w2: Int, h2: In
     copy(child = newChild)
 }
 
+/** Concatenated-frame binary → array<bigint> per-boundary Σ|Δbyte|. */
+case class RgbMotion(child: Expression, frameBytes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rgb_motion"
+  override protected def nullSafeEval(input: Any): Any =
+    RgbImpl.motion(input.asInstanceOf[Array[Byte]], frameBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.RgbImpl.motion($a, $frameBytes);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RgbExpressions {
   def bytesPack(vals: Column): Column =
     bridge.column(BytesPack(bridge.expression(vals)))
@@ -165,4 +209,6 @@ object RgbExpressions {
     bridge.column(RgbLumaSum(bridge.expression(payload)))
   def rgbResizeNearest(payload: Column, w1: Int, h1: Int, w2: Int, h2: Int): Column =
     bridge.column(RgbResizeNearest(bridge.expression(payload), w1, h1, w2, h2))
+  def rgbMotion(payload: Column, frameBytes: Int): Column =
+    bridge.column(RgbMotion(bridge.expression(payload), frameBytes))
 }

@@ -49,6 +49,18 @@ class RgbSpec extends SparkSpec {
     assert(thumb.toSeq == Seq[Byte](1, 1, 1, 3, 3, 3), thumb.toSeq.toString)
   }
 
+  test("motion: hand-computed per-boundary sums; identical frames give exactly 0") {
+    // Frames of 2 bytes: [10, 20] [10, 20] [0, 50] → motions 0, 40.
+    val clip = pack(Seq(10L, 20L, 10L, 20L, 0L, 50L))
+    val got = clip.select(rgbMotion(col("b"), 2).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(got.toSeq == Seq(0L, 40L), got.toString)
+    // A single frame has no boundaries.
+    val one = pack(Seq(1L, 2L)).select(rgbMotion(col("b"), 2).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(one.isEmpty)
+  }
+
   test("malformed buffers are rejected: non-multiple-of-3 and wrong resize length") {
     def root(e: Throwable): Throwable =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
