@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotProduct, JaroWinkler, MinHashSignature, PositionalShingleHashes, Pretokens, ShingleHashes, Tokens}
+import graft.expr.{BytesPack, DotProduct, JaroWinkler, MinHashSignature, PcmFrameRms, PcmPack, PositionalShingleHashes, Pretokens, RgbLumaHist, RgbLumaSum, RgbMotion, RgbResizeNearest, ShingleHashes, SortedIntersect, Tokens}
 
 /** SparkSessionExtensions injector: registers graft's native
   * expressions as SQL functions, so they're usable from `spark.sql`
@@ -94,6 +94,69 @@ object GraftExtensions {
           "graft_positional_shingle_hashes takes (string, n)")
         PositionalShingleHashes(children(0),
           intLit(children(1), "graft_positional_shingle_hashes n"))
+      }),
+    (
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "graft_sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_intersect takes (array<bigint>, array<bigint>)")
+        SortedIntersect(children(0), children(1))
+      }),
+    (
+      new FunctionIdentifier("graft_pcm_pack"),
+      new ExpressionInfo(classOf[PcmPack].getName, "graft_pcm_pack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_pcm_pack takes (array<bigint>)")
+        PcmPack(children(0))
+      }),
+    (
+      new FunctionIdentifier("graft_pcm_frame_rms"),
+      new ExpressionInfo(classOf[PcmFrameRms].getName, "graft_pcm_frame_rms"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_pcm_frame_rms takes (binary, frameSize)")
+        PcmFrameRms(children(0), intLit(children(1), "graft_pcm_frame_rms frameSize"))
+      }),
+    (
+      new FunctionIdentifier("graft_bytes_pack"),
+      new ExpressionInfo(classOf[BytesPack].getName, "graft_bytes_pack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bytes_pack takes (array<bigint>)")
+        BytesPack(children(0))
+      }),
+    (
+      new FunctionIdentifier("graft_rgb_luma_hist"),
+      new ExpressionInfo(classOf[RgbLumaHist].getName, "graft_rgb_luma_hist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_rgb_luma_hist takes (binary, bins)")
+        RgbLumaHist(children(0), intLit(children(1), "graft_rgb_luma_hist bins"))
+      }),
+    (
+      new FunctionIdentifier("graft_rgb_luma_sum"),
+      new ExpressionInfo(classOf[RgbLumaSum].getName, "graft_rgb_luma_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_rgb_luma_sum takes (binary)")
+        RgbLumaSum(children(0))
+      }),
+    (
+      new FunctionIdentifier("graft_rgb_resize"),
+      new ExpressionInfo(classOf[RgbResizeNearest].getName, "graft_rgb_resize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_rgb_resize takes (binary, w1, h1, w2, h2)")
+        RgbResizeNearest(children(0),
+          intLit(children(1), "graft_rgb_resize w1"),
+          intLit(children(2), "graft_rgb_resize h1"),
+          intLit(children(3), "graft_rgb_resize w2"),
+          intLit(children(4), "graft_rgb_resize h2"))
+      }),
+    (
+      new FunctionIdentifier("graft_rgb_motion"),
+      new ExpressionInfo(classOf[RgbMotion].getName, "graft_rgb_motion"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_rgb_motion takes (binary, frameBytes)")
+        RgbMotion(children(0), intLit(children(1), "graft_rgb_motion frameBytes"))
       }))
 
   private def intLit(e: Expression, what: String): Int = e match {

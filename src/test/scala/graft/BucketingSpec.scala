@@ -84,6 +84,31 @@ class BucketingSpec extends SparkSpec {
     val pt = spark.sql("SELECT graft_pretokens(\"Don't x2!\") AS t")
       .collect()(0).getSeq[String](0)
     assert(pt == Seq("don", "'", "t", "x", "2", "!"))
+    val si = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(si == Seq(3L, 5L))
+    val rms = spark.sql(
+      "SELECT graft_pcm_frame_rms(graft_pcm_pack(array(100L, 100L)), 2) AS r")
+      .collect()(0).getSeq[Double](0)
+    assert(rms == Seq(100.0))
+    val lum = spark.sql(
+      "SELECT graft_rgb_luma_sum(graft_bytes_pack(array(255L, 255L, 255L))) AS y")
+      .collect()(0).getLong(0)
+    assert(lum == 255L)
+    val hist = spark.sql(
+      "SELECT graft_rgb_luma_hist(graft_bytes_pack(array(0L, 0L, 0L)), 8) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(hist.toSeq == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val thumb = spark.sql(
+      "SELECT graft_rgb_resize(graft_bytes_pack(array(" +
+        "10L,10L,10L, 20L,20L,20L, 30L,30L,30L, 40L,40L,40L)), 2, 2, 1, 1) AS t")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(thumb.toSeq == Seq[Byte](10, 10, 10))
+    val mot = spark.sql(
+      "SELECT graft_rgb_motion(graft_bytes_pack(array(1L, 2L, 5L, 2L)), 2) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(mot == Seq(4L))
     // the injector itself wires the same list
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
