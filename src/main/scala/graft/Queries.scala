@@ -8297,6 +8297,23 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** ORDER-BY-id top-N pushed into the DSv2 scan
+    * (`SupportsPushDownTopN`): the last-5 probe over a BILLION-row
+    * declared range plans a scan of exactly 5 rows — the source
+    * narrows its bounds to the top slice and Spark's retained sort
+    * runs over those 5 (partial pushdown, so correctness never
+    * depends on cross-partition order). Next to q163's closed-form
+    * aggregate pushdown this is the other "don't read what the query
+    * can't return" rung: at 100 TB, tail probes (latest ids, most
+    * recent partition) become metadata-sized reads.
+    */
+  def q320_dsv2_topn(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 1000000000L).option("slices", 32).load()
+      .orderBy(desc("id"))
+      .limit(5)
+      .select(col("id"), col("bucket"), col("cents"), col("word"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8617,6 +8634,7 @@ object Queries {
     "q317_audio_energy" -> (q317_audio_energy _),
     "q318_image_stats" -> (q318_image_stats _),
     "q319_video_motion" -> (q319_video_motion _),
+    "q320_dsv2_topn" -> (q320_dsv2_topn _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13067,5 +13085,11 @@ object Queries {
         |  max(motion)::BIGINT AS max_motion,
         |  sum(CASE WHEN motion > 1000 THEN 1 ELSE 0 END)::BIGINT AS n_cuts
         |FROM d GROUP BY 1 ORDER BY media_id""".stripMargin,
+    "q320_dsv2_topn" ->
+      """SELECT id, id % 97 AS bucket,
+        |  (id * 2654435761) % 1000003 AS cents,
+        |  'w' || (id % 13)::VARCHAR AS word
+        |FROM range(999999995, 1000000000) t(id)
+        |ORDER BY id DESC""".stripMargin,
   )
 }

@@ -10,7 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.SortDirection
+import org.apache.spark.sql.connector.expressions.SortOrder
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -123,7 +125,9 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var lo = start
   private var hi = end
@@ -187,6 +191,30 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // LIMIT / ORDER-BY-id-LIMIT pushdown: both narrow the planned
+  // bounds — an unordered LIMIT keeps the first n of the (already
+  // filter-narrowed) range (any n rows satisfy it); a top-N on `id`
+  // keeps the first n (ASC) or last n (DESC). Declared PARTIALLY
+  // pushed, so Spark keeps its own Limit/Sort above the scan and
+  // correctness never depends on cross-partition row order — the
+  // win is the scan itself: a trillion-row range reads n rows.
+  // Runs after pushFilters and never under a pushed aggregate
+  // (Spark would not ask, but the guard keeps the contract local).
+  override def pushLimit(n: Int): Boolean =
+    pushedAgg.isEmpty && {
+      hi = math.min(hi, lo + n.toLong)
+      true
+    }
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
+    pushedAgg.isEmpty && (orders match {
+      case Array(so) if isIdRef(so.expression()) =>
+        if (so.direction() == SortDirection.ASCENDING) hi = math.min(hi, lo + n.toLong)
+        else lo = math.max(lo, hi - n.toLong)
+        true
+      case _ => false
+    })
+  override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = pushedAgg match {
     case Some(aggs)        => SeqAggScan(lo, hi, aggs)

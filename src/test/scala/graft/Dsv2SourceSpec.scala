@@ -208,6 +208,39 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(planned == 5, s"runtime filter must prune to 5 partitions, planned $planned")
   }
 
+  test("limit pushdown narrows the planned bounds; Spark's own limit stays above (partial)") {
+    val df = seq(1000000L).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[0,7)"), s"limit must narrow the scan bounds:\n$plan")
+    assert(df.count() == 7)
+  }
+
+  test("top-N on id DESC keeps only the top slice of a billion-row range; rows exact") {
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 1000000000L).option("slices", 32).load()
+      .orderBy(col("id").desc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[999999995,1000000000)"),
+      s"top-N must narrow to the LAST n of the range:\n$plan")
+    val got = df.collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(999999999L, 999999998L, 999999997L, 999999996L, 999999995L))
+  }
+
+  test("top-N on id ASC keeps the first slice; top-N on a derived column refuses pushdown") {
+    val asc = seq(1000000L).orderBy(col("id")).limit(3)
+    assert(asc.queryExecution.executedPlan.toString.contains("bounds=[0,3)"))
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // cents ordering is not monotone in id — the builder must refuse,
+    // and the full range stays planned.
+    val byCents = seq(1000L).orderBy(col("cents")).limit(3)
+    val plan = byCents.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[0,1000)"),
+      s"non-id top-N must not narrow the scan:\n$plan")
+    val expect = (0L until 1000L).sortBy(i => (graft.sources.SeqSource.centsOf(i), i)).take(3)
+      .map(i => graft.sources.SeqSource.centsOf(i)).toSeq
+    assert(byCents.collect().map(_.getAs[Long]("cents")).toSeq == expect)
+  }
+
   test("bucketed scan without v2 bucketing conf still returns correct rows (layout is advisory)") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     try {
