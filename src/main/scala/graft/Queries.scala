@@ -8314,6 +8314,26 @@ object Queries {
       .limit(5)
       .select(col("id"), col("bucket"), col("cents"), col("word"))
 
+  /** GROUPED complete aggregate pushdown (q163's single-row closed
+    * form extended to GROUP BY): each `bucket` residue class of the
+    * filter-narrowed id range is an arithmetic progression of stride
+    * 97, so the connector answers grouped COUNT/MIN/MAX/SUM(id) as 97
+    * rows of arithmetic — Spark plans NO aggregate exec and generates
+    * ZERO input rows (Dsv2SourceSpec asserts both, and that non-
+    * residue groupings still refuse). At 100 TB this is the
+    * partition-level-statistics answer path: per-partition counts and
+    * id spans served from metadata, never from data.
+    */
+  def q321_dsv2_grouped_pushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("start", 0L).option("end", 100000000L).option("slices", 32)
+      .load()
+      .filter(col("id") >= 25000000L && col("id") < 75000000L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+      .orderBy("bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8635,6 +8655,7 @@ object Queries {
     "q318_image_stats" -> (q318_image_stats _),
     "q319_video_motion" -> (q319_video_motion _),
     "q320_dsv2_topn" -> (q320_dsv2_topn _),
+    "q321_dsv2_grouped_pushdown" -> (q321_dsv2_grouped_pushdown _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13091,5 +13112,10 @@ object Queries {
         |  'w' || (id % 13)::VARCHAR AS word
         |FROM range(999999995, 1000000000) t(id)
         |ORDER BY id DESC""".stripMargin,
+    "q321_dsv2_grouped_pushdown" ->
+      """SELECT id % 97 AS bucket, count(*) AS n_rows,
+        |  min(id) AS min_id, max(id) AS max_id, sum(id)::BIGINT AS sum_id
+        |FROM range(25000000, 75000000) t(id)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

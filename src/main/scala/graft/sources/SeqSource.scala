@@ -80,32 +80,45 @@ object SeqSource {
   def centsOf(id: Long): Long = (id * 2654435761L) % 1000003L
   def wordOf(id: Long): String = "w" + (id % 13)
 
-  /** Aggregates the source can answer in CLOSED FORM over [lo, hi) —
-    * no row generation at all. `id` is the sequence value itself, so
-    * COUNT/MIN/MAX/SUM over it are arithmetic on the (already
-    * filter-narrowed) bounds.
+  /** Aggregates the source can answer in CLOSED FORM — no row
+    * generation at all. `id` is the sequence value itself, so
+    * COUNT/MIN/MAX/SUM over it are arithmetic on an ARITHMETIC
+    * PROGRESSION: the whole (filter-narrowed) range is the
+    * progression (lo, hi−1, stride 1), and each GROUP BY bucket
+    * residue class is (first≡b, last≡b, stride 97) — which is what
+    * lets even grouped aggregates collapse to 97 rows of arithmetic.
     */
   sealed trait SeqAgg {
     def nullable: Boolean = true
-    /** Closed-form value over [lo, hi); null for empty-input min/max/sum. */
-    def eval(lo: Long, hi: Long): Any
+    /** Closed-form value over {first, first+stride, …, last}; an
+      * empty progression (last < first) yields null for min/max/sum.
+      */
+    def eval(first: Long, last: Long, stride: Long): Any
+    /** Range form: [lo, hi) with stride 1. */
+    final def eval(lo: Long, hi: Long): Any = eval(lo, hi - 1, 1L)
   }
   case object CountAll extends SeqAgg {
     override def nullable: Boolean = false
-    def eval(lo: Long, hi: Long): Any = math.max(hi - lo, 0L)
+    def eval(first: Long, last: Long, stride: Long): Any =
+      if (last < first) 0L else (last - first) / stride + 1
   }
   case object MinId extends SeqAgg {
-    def eval(lo: Long, hi: Long): Any = if (hi <= lo) null else lo
+    def eval(first: Long, last: Long, stride: Long): Any =
+      if (last < first) null else first
   }
   case object MaxId extends SeqAgg {
-    def eval(lo: Long, hi: Long): Any = if (hi <= lo) null else hi - 1
+    def eval(first: Long, last: Long, stride: Long): Any =
+      if (last < first) null else last
   }
   case object SumId extends SeqAgg {
-    // Gauss sum, exact in BigInt; .toLong wraps like Spark's non-ANSI
-    // integral sum would on overflow.
-    def eval(lo: Long, hi: Long): Any =
-      if (hi <= lo) null
-      else ((BigInt(lo) + BigInt(hi - 1)) * BigInt(hi - lo) / 2).toLong
+    // Exact in BigInt; .toLong wraps like Spark's non-ANSI integral
+    // sum would on overflow.
+    def eval(first: Long, last: Long, stride: Long): Any =
+      if (last < first) null
+      else {
+        val n = (last - first) / stride + 1
+        ((BigInt(first) + BigInt(last)) * BigInt(n) / 2).toLong
+      }
   }
 }
 
@@ -134,10 +147,16 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
   private var pushedAgg: Option[Seq[SeqSource.SeqAgg]] = None
+  private var pushedGroupByBucket = false
 
   private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
       case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+  private def isBucketRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("bucket"))
       case _ => false
     }
   private def translate(f: AggregateFunc): Option[SeqSource.SeqAgg] = f match {
@@ -153,17 +172,23 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean
   // COMPLETE pushdown only: the source answers the whole aggregation
   // in closed form (Spark plans no aggregate exec above the scan — a
   // filtered COUNT over a trillion-row range is O(1), zero rows
-  // generated). Partial pushdown (per-partition agg buffers) is
-  // deliberately not offered: either we can answer exactly, or Spark
-  // keeps the whole aggregate. Runs AFTER pushFilters, so the closed
-  // forms see the narrowed bounds.
+  // generated). GROUP BY is accepted exactly for the `bucket` residue
+  // classes: each class is an arithmetic progression of stride 97, so
+  // grouped COUNT/MIN/MAX/SUM over id collapse to 97 rows of
+  // arithmetic (empty classes emit no row, the GROUP BY contract).
+  // Partial pushdown (per-partition agg buffers) is deliberately not
+  // offered: either we can answer exactly, or Spark keeps the whole
+  // aggregate. Runs AFTER pushFilters, so the closed forms see the
+  // narrowed bounds.
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
+    (agg.groupByExpressions.isEmpty ||
+      (agg.groupByExpressions.length == 1 && isBucketRef(agg.groupByExpressions.head))) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(translate(_).isDefined)
   override def pushAggregation(agg: Aggregation): Boolean =
     supportCompletePushDown(agg) && {
       pushedAgg = Some(agg.aggregateExpressions.map(translate(_).get).toSeq)
+      pushedGroupByBucket = agg.groupByExpressions.nonEmpty
       true
     }
 
@@ -217,7 +242,7 @@ case class SeqScanBuilder(start: Long, end: Long, slices: Int, bucketed: Boolean
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = pushedAgg match {
-    case Some(aggs)        => SeqAggScan(lo, hi, aggs)
+    case Some(aggs)        => SeqAggScan(lo, hi, aggs, pushedGroupByBucket)
     case None if bucketed  => SeqBucketedScan(lo, hi, required, pushed)
     case None              => SeqScan(lo, hi, slices, required, pushed, vectorized)
   }
@@ -317,31 +342,57 @@ case class SeqBucketReaderFactory(cols: Array[String]) extends PartitionReaderFa
 }
 
 /** Closed-form scan for a completely-pushed aggregation: ONE planned
-  * partition emitting ONE row of arithmetic over the narrowed bounds.
+  * partition emitting ONE row of arithmetic over the narrowed bounds
+  * — or, for `GROUP BY bucket`, one row per NON-EMPTY residue class
+  * (≤97), each evaluated over its stride-97 arithmetic progression.
   */
-case class SeqAggScan(lo: Long, hi: Long, aggs: Seq[SeqSource.SeqAgg])
+case class SeqAggScan(lo: Long, hi: Long, aggs: Seq[SeqSource.SeqAgg],
+    groupByBucket: Boolean = false)
     extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(aggs.zipWithIndex.map { case (a, i) =>
+  override def readSchema(): StructType = {
+    val aggFields = aggs.zipWithIndex.map { case (a, i) =>
       StructField(s"agg_$i", LongType, nullable = a.nullable)
-    })
+    }
+    if (groupByBucket)
+      StructType(StructField("bucket", LongType, nullable = false) +: aggFields)
+    else StructType(aggFields)
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_seq bounds=[$lo,$hi) pushedAgg=${aggs.mkString(",")}"
+    s"graft_seq bounds=[$lo,$hi) pushedAgg=${aggs.mkString(",")}" +
+      (if (groupByBucket) " groupBy=bucket" else "")
   override def planInputPartitions(): Array[InputPartition] =
     Array(SeqPartition(0L, 1L))
   override def createReaderFactory(): PartitionReaderFactory =
-    SeqAggReaderFactory(lo, hi, aggs)
+    SeqAggReaderFactory(lo, hi, aggs, groupByBucket)
 }
 
-case class SeqAggReaderFactory(lo: Long, hi: Long, aggs: Seq[SeqSource.SeqAgg])
+case class SeqAggReaderFactory(lo: Long, hi: Long, aggs: Seq[SeqSource.SeqAgg],
+    groupByBucket: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
+    if (!groupByBucket) new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
       override def get(): InternalRow =
         new GenericInternalRow(aggs.map(_.eval(lo, hi)).toArray[Any])
+      override def close(): Unit = ()
+    } else new PartitionReader[InternalRow] {
+      import SeqSource.NBuckets
+      // Non-empty residue classes of [lo, hi): first id >= lo with
+      // id % 97 == b, then stride 97 up to the last id < hi.
+      private val rows: Iterator[InternalRow] =
+        (0L until NBuckets.toLong).iterator.flatMap { b =>
+          val first = lo + (((b - lo % NBuckets) % NBuckets + NBuckets) % NBuckets)
+          val last = first + (hi - 1 - first) / NBuckets * NBuckets
+          if (first >= hi) None
+          else Some(new GenericInternalRow(
+            (b +: aggs.map(_.eval(first, last, NBuckets.toLong))).toArray[Any]))
+        }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        rows.hasNext && { current = rows.next(); true }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
 }

@@ -87,11 +87,33 @@ class Dsv2SourceSpec extends SparkSpec {
       r.getLong(0) == expected(10000).agg(sum("cents")).head.getLong(0))
   }
 
-  test("group-by aggregates refuse pushdown and stay correct") {
-    val df = seq(10000).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  test("GROUP BY bucket pushes COMPLETELY: 97 rows of closed-form arithmetic, no aggregate exec") {
+    val df = seq(10000).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("id")).as("s"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("pushedAgg="), s"grouped agg must NOT be pushed:\n$plan")
-    assert(df.agg(sum("n")).head.getLong(0) == 10000L && df.count() == 97)
+    assert(plan.contains("pushedAgg=") && plan.contains("groupBy=bucket"),
+      s"grouped agg over bucket must push completely:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate exec should be elided on complete grouped pushdown:\n$plan")
+    val got = df.orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = expected(10000).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("id")).as("s"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sameElements(want))
+    // A range shorter than 97 ids yields only the populated classes.
+    val short = seq(10L).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(short.count() == 10L)
+  }
+
+  test("group-by on a non-bucket column refuses pushdown and stays correct") {
+    val df = seq(10000).groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAgg="), s"word grouping must NOT be pushed:\n$plan")
+    assert(df.agg(sum("n")).head.getLong(0) == 10000L && df.count() == 13)
   }
 
   test("pushed aggregation over an empty (unsatisfiable) range yields SQL empty-input semantics") {
