@@ -8334,6 +8334,73 @@ object Queries {
         max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
       .orderBy("bucket")
 
+  /** End-to-end MEDIA curation pipeline (the multimodal q158): 40
+    * synthetic clips each carry an audio payload, a raw video payload,
+    * and a keyframe bitmap — all real bytes — and the pipeline drops
+    * silent clips (q317's frame-RMS gate: the silent generator emits
+    * exact zeros), drops static clips (q319's motion gate: identical
+    * frames give motion exactly 0), then exact-dedups the SURVIVORS on
+    * a composite perceptual key — keyframe-thumbnail luma sum PLUS the
+    * full-frame 8-bin luma histogram packed base-193 into one long
+    * (q318's resize/sum/hist; the thumbnail sum alone collides across
+    * distinct content — vids 3 and 19 here — exactly why real
+    * perceptual fingerprints combine a global profile with a
+    * downsample) — clips share visual content per id%20, so cross-id
+    * duplicates exist by construction; the smallest id is kept. Every stage is
+    * byte-level arithmetic the binary-free oracle reproduces, so the
+    * full verdict column is hash-exact. A partner dropped as
+    * silent/static does NOT shadow its duplicate — dedup runs over
+    * survivors only, the order every real pipeline uses (cheap gates
+    * before the keyed shuffle). The dedup shuffle carries an 8-byte
+    * key; payloads never leave their map side.
+    */
+  def q322_media_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.PcmExpressions._
+    import graft.expr.RgbExpressions._
+    val vid = col("media_id") % 20
+    // Audio: 1200 samples; ids ≡ 0 (mod 4) are digital silence.
+    val amp = when(col("media_id") % 4 === 0, lit(0.0))
+      .otherwise(lit(2100.0) + col("media_id") * 50)
+    val w = ((col("media_id") % 7) + 1) * lit(0.01)
+    val audio = transform(sequence(lit(0), lit(1199)),
+      t => floor(amp * sin(t.cast("double") * w)).cast("long"))
+    // Video: 4 frames x 48 bytes; ids ≡ 0 (mod 5) freeze the frame.
+    val video = transform(sequence(lit(0), lit(191)), i => {
+      val f = floor(i.cast("double") / 48).cast("long")
+      val j = i.cast("long") % 48
+      (vid * 9 + j * 3 +
+        when(col("media_id") % 5 === 0, lit(0L)).otherwise(f * 7)) % 256
+    })
+    // Keyframe: 16x12 RGB888 seeded by id % 20 (the duplicate axis).
+    val keyframe = transform(sequence(lit(0), lit(575)),
+      i => (vid * 31 + i.cast("long") * 7) % 256)
+    // 193 > max bin count (192), so the packed histogram is injective;
+    // 193^7 * 192 fits a long.
+    val p193 = Array.iterate(1L, 8)(_ * 193L)
+    val base = s.range(1, 41).toDF("media_id")
+      .withColumn("silent",
+        array_max(pcmFrameRms(pcmPack(audio), 240)) < 1.0)
+      .withColumn("static",
+        array_max(rgbMotion(bytesPack(video), 48)) < 10L)
+      .withColumn("kf", bytesPack(keyframe))
+      .withColumn("thumb_key",
+        rgbLumaSum(rgbResizeNearest(col("kf"), 16, 12, 4, 4)))
+      .withColumn("hist", rgbLumaHist(col("kf"), 8))
+      .withColumn("hist_key",
+        (0 until 8).map(b => element_at(col("hist"), b + 1) * lit(p193(b)))
+          .reduce(_ + _))
+      .drop("kf", "hist")
+    val keepers = base.filter(!col("silent") && !col("static"))
+      .groupBy("thumb_key", "hist_key").agg(min("media_id").as("keeper"))
+    base.join(broadcast(keepers), Seq("thumb_key", "hist_key"), "left")
+      .select(col("media_id"), col("thumb_key"), col("hist_key"),
+        when(col("silent"), "silent")
+          .when(col("static"), "static")
+          .when(col("media_id") === col("keeper"), "kept")
+          .otherwise("duplicate").as("status"))
+      .orderBy("media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8656,6 +8723,7 @@ object Queries {
     "q319_video_motion" -> (q319_video_motion _),
     "q320_dsv2_topn" -> (q320_dsv2_topn _),
     "q321_dsv2_grouped_pushdown" -> (q321_dsv2_grouped_pushdown _),
+    "q322_media_pipeline" -> (q322_media_pipeline _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13117,5 +13185,55 @@ object Queries {
         |  min(id) AS min_id, max(id) AS max_id, sum(id)::BIGINT AS sum_id
         |FROM range(25000000, 75000000) t(id)
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q322_media_pipeline" ->
+      """WITH m AS (SELECT id AS media_id, id % 20 AS vid FROM range(1, 41) t(id)),
+        |asamp AS (SELECT media_id, t.t AS t,
+        |    floor((CASE WHEN media_id % 4 = 0 THEN 0.0
+        |                ELSE 2100.0 + media_id * 50 END)
+        |          * sin(t.t * ((media_id % 7) + 1) * 0.01)) AS v
+        |  FROM m, range(0, 1200) t(t)),
+        |arms AS (SELECT media_id, (t // 240) AS f, sqrt(avg(v * v)) AS r
+        |  FROM asamp GROUP BY 1, 2),
+        |au AS (SELECT media_id, max(r) AS max_rms FROM arms GROUP BY 1),
+        |vbyte AS (SELECT media_id, (i.i // 48) AS f, (i.i % 48) AS j,
+        |    (vid * 9 + (i.i % 48) * 3 +
+        |     CASE WHEN media_id % 5 = 0 THEN 0 ELSE (i.i // 48) * 7 END) % 256 AS v
+        |  FROM m, range(0, 192) i(i)),
+        |mot AS (SELECT a.media_id, a.f AS b, sum(abs(b2.v - a.v)) AS motion
+        |  FROM vbyte a JOIN vbyte b2
+        |    ON a.media_id = b2.media_id AND b2.f = a.f + 1 AND b2.j = a.j
+        |  GROUP BY 1, 2),
+        |vi AS (SELECT media_id, max(motion) AS max_motion FROM mot GROUP BY 1),
+        |tp AS (SELECT (y2.y * 3 * 16 + x2.x * 4) AS p
+        |  FROM range(0, 4) y2(y), range(0, 4) x2(x)),
+        |ky AS (SELECT m.media_id,
+        |    sum((77 * ((vid*31 + (3*tp.p)*7) % 256)
+        |       + 150 * ((vid*31 + (3*tp.p+1)*7) % 256)
+        |       + 29 * ((vid*31 + (3*tp.p+2)*7) % 256)) // 256)::BIGINT AS thumb_key
+        |  FROM m, tp GROUP BY 1),
+        |lum AS (SELECT media_id,
+        |    ((77 * ((vid*31 + (3*i.i)*7) % 256)
+        |     + 150 * ((vid*31 + (3*i.i+1)*7) % 256)
+        |     + 29 * ((vid*31 + (3*i.i+2)*7) % 256)) // 256) // 32 AS b
+        |  FROM m, range(0, 192) i(i)),
+        |hk AS (SELECT media_id,
+        |    sum(CASE b WHEN 0 THEN 1 WHEN 1 THEN 193 WHEN 2 THEN 37249
+        |        WHEN 3 THEN 7189057 WHEN 4 THEN 1387488001
+        |        WHEN 5 THEN 267785184193 WHEN 6 THEN 51682540549249
+        |        ELSE 9974730326005057 END)::BIGINT AS hist_key
+        |  FROM lum GROUP BY 1),
+        |fl AS (SELECT m.media_id, ky.thumb_key, hk.hist_key,
+        |    (au.max_rms < 1.0) AS silent, (vi.max_motion < 10) AS is_static
+        |  FROM m JOIN au USING (media_id) JOIN vi USING (media_id)
+        |    JOIN ky USING (media_id) JOIN hk USING (media_id)),
+        |kp AS (SELECT thumb_key, hist_key, min(media_id) AS keeper FROM fl
+        |  WHERE NOT silent AND NOT is_static GROUP BY 1, 2)
+        |SELECT fl.media_id, fl.thumb_key, fl.hist_key,
+        |  CASE WHEN fl.silent THEN 'silent'
+        |       WHEN fl.is_static THEN 'static'
+        |       WHEN fl.media_id = kp.keeper THEN 'kept'
+        |       ELSE 'duplicate' END AS status
+        |FROM fl LEFT JOIN kp USING (thumb_key, hist_key)
+        |ORDER BY fl.media_id""".stripMargin,
   )
 }

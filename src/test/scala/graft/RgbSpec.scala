@@ -61,6 +61,25 @@ class RgbSpec extends SparkSpec {
     assert(one.isEmpty)
   }
 
+  test("q322 media pipeline: every verdict class appears and the gates fire exactly on the engineered ids") {
+    val got = Queries.all("q322_media_pipeline")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // Silence (id % 4 == 0) outranks static; static = id % 5 == 0.
+    (1L to 40L).foreach { id =>
+      if (id % 4 == 0) assert(got(id) == "silent", s"id $id: ${got(id)}")
+      else if (id % 5 == 0) assert(got(id) == "static", s"id $id: ${got(id)}")
+    }
+    // Visual twins (i, i+20): where both survive, the younger is the dup.
+    (1L to 20L).foreach { i =>
+      val surv = Seq(i, i + 20).filter(id => id % 4 != 0 && id % 5 != 0)
+      if (surv.length == 2) {
+        assert(got(surv.head) == "kept" && got(surv.last) == "duplicate",
+          s"pair $surv: ${surv.map(got)}")
+      } else surv.foreach(id => assert(got(id) == "kept", s"solo $id: ${got(id)}"))
+    }
+    assert(got.values.toSet == Set("silent", "static", "kept", "duplicate"))
+  }
+
   test("malformed buffers are rejected: non-multiple-of-3 and wrong resize length") {
     def root(e: Throwable): Throwable =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
