@@ -214,6 +214,40 @@ class Round10OpsSpec extends SparkSpec {
       r2.toString)
   }
 
+  // ---- q315 nearest-event join -----------------------------------------
+
+  test("nearest join: equidistant ties go backward; one-sided and matchless users are exact") {
+    val dir = tmp("graft_nj_")
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, "{}", 1.0)
+    Seq(
+      // user 1: purchases 10:00 and 10:20, click 10:10 — EQUIDISTANT → backward (id 100).
+      ev(100, "2024-01-01 10:00:00", 1, "purchase"),
+      ev(1, "2024-01-01 10:10:00", 1, "click"),
+      ev(101, "2024-01-01 10:20:00", 1, "purchase"),
+      // user 2: only a LATER purchase → forward.
+      ev(2, "2024-01-01 09:00:00", 2, "click"),
+      ev(200, "2024-01-01 11:00:00", 2, "purchase"),
+      // user 3: only an EARLIER purchase → backward.
+      ev(300, "2024-01-01 08:00:00", 3, "purchase"),
+      ev(3, "2024-01-01 09:30:00", 3, "click"),
+      // user 4: no purchases → none sentinel.
+      ev(4, "2024-01-01 12:00:00", 4, "click"),
+      // user 5: CLOSER forward than backward → forward wins.
+      ev(500, "2024-01-01 10:00:00", 5, "purchase"),
+      ev(5, "2024-01-01 10:30:00", 5, "click"),
+      ev(501, "2024-01-01 10:40:00", 5, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("q315_nearest_event_join")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got(1L) == ((100L, 600000000L, "back")), s"tie must go backward: ${got(1L)}")
+    assert(got(2L) == ((200L, 7200000000L, "fwd")), got(2L).toString)
+    assert(got(3L) == ((300L, 5400000000L, "back")), got(3L).toString)
+    assert(got(4L) == ((-1L, -1L, "none")), got(4L).toString)
+    assert(got(5L) == ((501L, 600000000L, "fwd")), got(5L).toString)
+  }
+
   // ---- q310 Simpson audit / q311 power planner -------------------------
 
   test("simpson audit: engineered composition effect — both strata slope -1, pooled +0.980198") {
