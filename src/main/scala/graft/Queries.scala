@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Compaction
+import graft.operators.{Compaction, PrefixSum}
 import graft.sources.Tables
 
 /** SURVEY §2.4 extension operators (E1–E24), each as a named query over
@@ -4958,13 +4958,19 @@ object Queries {
 
   /** RFM (recency / frequency / monetary) quintile segmentation — the
     * classic CRM cube over purchase behavior. One fact-table shuffle
-    * builds the user-grain frame; quintiles are `ntile(5)` over the
-    * DIMENSION-sized user frame (the single ordering is a user-dim
-    * sort; swapping in PrefixSum.globalRank is mechanical if the user
-    * dimension outgrows one task's sort budget). Monetary is summed in
-    * CENTS (exact 64-bit integers) so every ntile ordering key is an
-    * integer with a user_id tiebreak — summation order can never move
-    * a user across a quintile boundary between engines.
+    * builds the user-grain frame; each axis's quintile is q138's
+    * exact-ntile integer arithmetic over PrefixSum.globalRank — the
+    * user dimension is a 100 TB pipeline's LARGEST dimension, so
+    * three sequential single-partition `ntile(5)` sorts of it (the
+    * naive form) would be a driver-adjacent bottleneck; the two-pass
+    * distributed rank keeps every axis partition-parallel. Descending
+    * axes rank on the NEGATED key (freq, cents are exact longs, no
+    * overflow at any realistic grain). Monetary is summed in CENTS
+    * (exact 64-bit integers) so every ordering key is an integer with
+    * a user_id tiebreak — summation order can never move a user
+    * across a quintile boundary between engines, and the bin formula
+    * (first n%5 quintiles get ⌈n/5⌉ users) reproduces `ntile(5)`
+    * exactly (hash-verified against DuckDB's ntile oracle).
     */
   def q217_rfm_segments(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "events").filter(col("event_type") === "purchase")
@@ -4974,10 +4980,28 @@ object Queries {
       .agg(min(datediff(col("now"), to_date(col("ts")))).as("recency_days"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-    val seg = userG
-      .withColumn("r_q", ntile(5).over(Window.orderBy(col("recency_days").asc, col("user_id").asc)))
-      .withColumn("f_q", ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
-      .withColumn("m_q", ntile(5).over(Window.orderBy(col("cents").desc, col("user_id").asc)))
+    // Lazy 1-row quintile boundaries (q138's pattern): n div 5 / n % 5
+    // broadcast back; bin(r) is exact integer CASE arithmetic equal to
+    // ntile(5) by definition (first `rem` bins hold q+1 rows).
+    val totals = userG.agg(count(lit(1)).as("__n"))
+      .select(expr("__n div 5").as("__q"), expr("__n % 5").as("__rem"))
+    def quintile(r: Column): Column = {
+      val q = col("__q"); val rem = col("__rem")
+      (when(r <= rem * (q + 1), (r - 1) / (q + 1))
+        .otherwise(rem + (r - rem * (q + 1) - 1) / q)
+        .cast("long") + 1).cast("int")
+    }
+    val ranked = PrefixSum.globalRank(
+      PrefixSum.globalRank(
+        PrefixSum.globalRank(
+          userG.withColumn("__nf", -col("freq")).withColumn("__nm", -col("cents")),
+          Seq("recency_days", "user_id"), "__rr"),
+        Seq("__nf", "user_id"), "__rf"),
+      Seq("__nm", "user_id"), "__rm")
+    val seg = ranked.crossJoin(broadcast(totals))
+      .withColumn("r_q", quintile(col("__rr")))
+      .withColumn("f_q", quintile(col("__rf")))
+      .withColumn("m_q", quintile(col("__rm")))
     seg.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_users"),
         round(sum("cents") / lit(100.0), 2).as("segment_value"))
@@ -7434,14 +7458,19 @@ object Queries {
     * engine-identical until one rounding. Ties at the median count
     * as "not above" (the standard convention, documented here
     * because it changes the table).
+    *
+    * The pooled rank is PrefixSum.globalRank on (value, event_id) —
+    * the FACT-grain ordering must never plan a single-partition
+    * window (it would move every purchase event to one task); the
+    * cost-based two-pass rank keeps it partition-parallel at scale
+    * while the (unique) tuple keeps the median pick deterministic.
     */
   def q295_mood_median(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("value"),
         dayofweek(col("ts")).isin(1, 7).as("wk"))
-    val ranked = p.withColumn("r",
-      row_number().over(Window.orderBy("value", "event_id")).cast("long"))
+    val ranked = PrefixSum.globalRank(p, Seq("value", "event_id"), "r")
     val med = ranked
       .crossJoin(broadcast(p.agg(count(lit(1)).as("nn"))))
       .filter(col("r") === floor((col("nn") + 1) / 2.0))
@@ -7664,8 +7693,9 @@ object Queries {
     * raw test by chance). The step-up boundary is evaluated on the
     * LOG scale (chi2_r ≥ −2·ln(r·α/m) ⟺ p_r ≤ r·α/m for the 1-df
     * upper-tail surrogate p = exp(−χ²/2)) so no cross-engine exp() of
-    * tiny p-values enters the compare; ranks come from a vocab-sized
-    * window (never corpus rows) and chi2 is computed in DOUBLE from
+    * tiny p-values enters the compare; ranks come from the cost-based
+    * PrefixSum.globalRank over the vocab frame (never corpus rows,
+    * never a mandatory single-partition sort) and chi2 is in DOUBLE from
     * the start — the all-integer numerator overflows int64 once doc
     * counts reach ~50k. Output is the one-row audit: tokens tested,
     * BH rejections vs the (always ≤) Bonferroni count, and the
@@ -7692,8 +7722,12 @@ object Queries {
           ((col("a") + col("b")) * (col("n_en") + col("n_oth") - col("a") - col("b")) *
             col("n_en") * col("n_oth")))
       .select(col("word"), col("chi2"))
-    val w = Window.orderBy(col("chi2").desc, col("word").asc)
-    val ranked = scored.withColumn("r", row_number().over(w).cast("long"))
+    // Rank by descending chi2 via PrefixSum.globalRank on (−chi2, word)
+    // — the tested vocabulary is df≥5-floored but still corpus-derived,
+    // so the rank must not mandate a single-partition sort of it.
+    val ranked = PrefixSum
+      .globalRank(scored.withColumn("__nc", -col("chi2")), Seq("__nc", "word"), "r")
+      .drop("__nc")
     val mrow = scored.agg(count(lit(1)).as("m_tested"))
     ranked.crossJoin(broadcast(mrow))
       .withColumn("bh_pass",
@@ -8273,9 +8307,12 @@ object Queries {
     * scene-cut / static-clip detector video curation runs before
     * sampling frames for a vision model. Exact integers end to end;
     * the binary-free oracle reproduces the arithmetic, proving the
-    * byte path. Every in-scene boundary drifts by exactly 1/byte
-    * (motion 864/6=144 per frame pair) while the cut jumps two
-    * orders — the threshold flags exactly one cut per clip.
+    * byte path. In-scene boundaries drift by 1/byte (motion ~144 per
+    * 144-byte frame pair — though the mod-256 arithmetic can WRAP a
+    * byte across a frame step, |Δ| = 255 instead of 1, so an in-scene
+    * boundary is bounded by 143 + 255, still well under the 1000 cut
+    * threshold) while the cut jumps two orders — the threshold flags
+    * exactly one cut per clip.
     */
   def q319_video_motion(s: SparkSession, dir: String): DataFrame = {
     import graft.expr.RgbExpressions._

@@ -43,6 +43,7 @@ object RgbImpl {
   }
 
   def lumaHist(buf: Array[Byte], bins: Int): ArrayData = {
+    require(bins > 0, s"bins must be positive, got $bins")
     require(buf.length % 3 == 0,
       s"RGB888 payload length must be a multiple of 3, got ${buf.length}")
     val out = new Array[Long](bins)
@@ -92,6 +93,15 @@ object RgbImpl {
   }
 
   def resizeNearest(buf: Array[Byte], w1: Int, h1: Int, w2: Int, h2: Int): Array[Byte] = {
+    require(w1 > 0 && h1 > 0 && w2 > 0 && h2 > 0,
+      s"dimensions must be positive, got ${w1}x$h1 -> ${w2}x$h2")
+    // long-math size checks: w*h*3 silently overflows Int for large
+    // SQL-literal dimensions, turning into a wrong-size or negative
+    // allocation (the PCM expressions' validation style).
+    require(w1.toLong * h1 * 3 <= Int.MaxValue,
+      s"source ${w1}x$h1 exceeds the 2 GiB buffer limit")
+    require(w2.toLong * h2 * 3 <= Int.MaxValue,
+      s"target ${w2}x$h2 exceeds the 2 GiB buffer limit")
     require(buf.length == w1 * h1 * 3,
       s"RGB888 payload must be ${w1 * h1 * 3} bytes for ${w1}x$h1, got ${buf.length}")
     val out = new Array[Byte](w2 * h2 * 3)

@@ -196,14 +196,50 @@ object LedgerSink {
 
   /** Atomically write one commit manifest (temp-then-rename). */
   private[sources] def writeCommit(
-      root: Path, name: String, files: Seq[(String, Long)]): Unit = {
-    val dir = commitsDir(root)
+      root: Path, name: String, files: Seq[(String, Long)]): Unit =
+    writeCommitInto(commitsDir(root), name, files)
+
+  private[sources] def writeCommitInto(
+      dir: Path, name: String, files: Seq[(String, Long)]): Unit = {
     Files.createDirectories(dir)
     val body = files.map { case (f, n) => s"$f\t$n" }.mkString("\n")
     val tmp = dir.resolve(s"$name.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"$name.manifest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      scala.util.Using.resource(Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+
+  /** Roll an interrupted truncate swap forward or back (idempotent;
+    * called at the head of every commit). Truncate stages its new
+    * single-manifest log under `commits.next`, retires the old log to
+    * `commits.retired`, and promotes the staged one — three steps
+    * whose every crash window this repairs:
+    *   - `commits.next` beside a live `commits/`: the swap never
+    *     began its renames → roll BACK (delete the staged log; the
+    *     interrupted overwrite's data files are orphaned but
+    *     unreferenced — readers never saw it);
+    *   - `commits.next` with `commits/` missing: crashed between the
+    *     two renames → roll FORWARD (promote; the staged manifest was
+    *     complete before the first rename, so the overwrite is
+    *     durable and the next republish exposes it);
+    *   - a leftover `commits.retired`: finish its deletion.
+    */
+  private[sources] def recoverLog(root: Path): Unit = {
+    val commits = commitsDir(root)
+    val next = root.resolve("commits.next")
+    if (Files.exists(next)) {
+      if (Files.exists(commits)) deleteTree(next)
+      else Files.move(next, commits)
+    }
+    deleteTree(root.resolve("commits.retired"))
   }
 
   /** Rebuild the published table manifest as the union of the commit
@@ -268,6 +304,7 @@ case class LedgerBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    LedgerSink.recoverLog(root)
     val data = root.resolve("data")
     Files.createDirectories(data)
     val committed = messages.map { case LedgerCommitMessage(name, rows) =>
@@ -276,16 +313,29 @@ case class LedgerBatchWrite(
       (s"data/$name", rows)
     }.toSeq
     if (truncate) {
-      // Overwrite: clear the commit log (and the published files it
-      // referenced) so the new snapshot fully replaces the old. The
-      // multi-file delete is the one non-atomic window; readers still
-      // resolve through manifest.ledger, which flips atomically below.
+      // Overwrite = STAGED SWAP of the commit log: the new
+      // single-manifest log is fully written under commits.next FIRST,
+      // then promoted with two atomic renames (old log → retired,
+      // staged → live). An interrupted swap is rolled forward or back
+      // by recoverLog at the next commit — no crash window leaves an
+      // EMPTY log behind a live manifest, which a later append would
+      // republish as a silent drop of the prior snapshot. Readers
+      // resolve only through manifest.ledger, which flips atomically
+      // in republish below; the old snapshot's data files are GC'd
+      // last (a crash before GC leaks orphans, never rows).
       val old = LedgerSink.readManifest(root).map(_.files.map(_._1)).getOrElse(Nil)
-      LedgerSink.listCommits(root).foreach(Files.deleteIfExists(_))
-      LedgerSink.writeCommit(root, "batch-0", committed)
+      val commits = LedgerSink.commitsDir(root)
+      val next = root.resolve("commits.next")
+      val retired = root.resolve("commits.retired")
+      LedgerSink.deleteTree(next)
+      LedgerSink.writeCommitInto(next, "batch-0", committed)
+      LedgerSink.deleteTree(retired)
+      if (Files.exists(commits)) Files.move(commits, retired)
+      Files.move(next, commits)
       LedgerSink.republish(root, schema.toDDL)
       val keep = committed.map(_._1).toSet
       old.filterNot(keep).foreach(f => Files.deleteIfExists(root.resolve(f)))
+      LedgerSink.deleteTree(retired)
     } else {
       // Append: this write's manifest joins the log; the published view
       // is the union of every committed write (AppendData contract).
@@ -381,8 +431,18 @@ case class LedgerStreamingWrite(pathStr: String, schema: StructType, queryId: St
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    LedgerSink.recoverLog(root)
     val marker = LedgerSink.commitsDir(root).resolve(s"epoch-$epochId.manifest")
-    if (Files.exists(marker)) { sweepEpoch(epochId); return } // replay: drop dupes
+    if (Files.exists(marker)) {
+      // Replay after restart: drop the duplicate staged files AND
+      // republish — the original attempt may have died between
+      // writeCommit and republish, leaving this epoch's files
+      // committed to the log but missing from manifest.ledger; for a
+      // terminating (AvailableNow) stream no later commit would ever
+      // repair that view. Republish is idempotent and log-union cheap.
+      LedgerSink.republish(root, schema.toDDL)
+      sweepEpoch(epochId); return
+    }
     val data = root.resolve("data")
     Files.createDirectories(data)
     val committed = messages.map { case LedgerCommitMessage(name, rows) =>

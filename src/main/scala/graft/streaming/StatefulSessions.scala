@@ -126,7 +126,10 @@ object StatefulSessions {
       // Re-arm the key's single horizon timer: delete any stale one,
       // register at the new session horizon (same ms round-UP as
       // sessionizeStream — truncating could fire ~1ms early).
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // Materialized first: listTimers is backed by a LIVE state-store
+      // iterator, and deleting while iterating is provider-dependent
+      // behavior (can skip or break on non-RocksDB providers).
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
       cur match {
         case Some(s) =>
           open.update(s)

@@ -164,6 +164,81 @@ class Dsv2SinkSpec extends SparkSpec {
     assert(staged == 0L)
   }
 
+  test("epoch replay repairs a crash between writeCommit and republish") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = tmp()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val w = graft.sources.LedgerStreamingWrite(dir, schema, "qid")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir).resolve("_staging"))
+    def stage(name: String, rows: Seq[Long]): graft.sources.LedgerCommitMessage = {
+      val p = java.nio.file.Paths.get(dir).resolve("_staging").resolve(name)
+      java.nio.file.Files.write(p,
+        rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+      graft.sources.LedgerCommitMessage(name, rows.size.toLong)
+    }
+    w.commit(0L, Array(stage("qid-e0-p0-t1.tsv", Seq(1L, 2L))))
+    // Simulate the crash window: the epoch manifest is durable in the
+    // commit log but the published view was lost before republish.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir).resolve("manifest.ledger"))
+    // Restart replays epoch 0 — the replay branch must REPUBLISH, not
+    // just drop duplicates, or a terminating stream's rows stay
+    // invisible forever.
+    w.commit(0L, Array(stage("qid-e0-p0-t9.tsv", Seq(1L, 2L))))
+    val got = read(dir).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L)),
+      s"replay must repair the published manifest, got ${got.mkString(",")}")
+  }
+
+  test("interrupted overwrite: staged-but-unswapped log rolls BACK at the next commit") {
+    val dir = tmp()
+    write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val root = java.nio.file.Paths.get(dir)
+    // Simulate a truncate that crashed after fully staging commits.next
+    // but before its first rename: the live log must win.
+    val next = root.resolve("commits.next")
+    java.nio.file.Files.createDirectories(next)
+    java.nio.file.Files.write(next.resolve("batch-0.manifest"),
+      "data/ghost.tsv\t1".getBytes("UTF-8"))
+    write(Seq((3L, "c")).toDF("k", "s"), dir)
+    assert(!java.nio.file.Files.exists(next),
+      "recoverLog must discard the staged log of an overwrite that never swapped")
+    val got = read(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"old snapshot must survive an unswapped overwrite, got $got")
+  }
+
+  test("interrupted overwrite: mid-swap (old log retired, new staged) rolls FORWARD") {
+    val dir = tmp()
+    write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val root = java.nio.file.Paths.get(dir)
+    val commits = root.resolve("commits")
+    // Simulate a truncate that crashed between its two renames: the old
+    // log is retired, the (complete) staged log has not been promoted.
+    java.nio.file.Files.move(commits, root.resolve("commits.retired"))
+    val next = root.resolve("commits.next")
+    java.nio.file.Files.createDirectories(next)
+    // The "new snapshot" references a real data file so the promoted
+    // view is readable.
+    val dataFile = scala.util.Using.resource(
+      java.nio.file.Files.list(root.resolve("data")))(s =>
+      s.iterator().next().getFileName.toString)
+    java.nio.file.Files.write(next.resolve("batch-0.manifest"),
+      s"data/$dataFile\t2".getBytes("UTF-8"))
+    write(Seq((3L, "c")).toDF("k", "s"), dir)
+    assert(!java.nio.file.Files.exists(next) &&
+      !java.nio.file.Files.exists(root.resolve("commits.retired")),
+      "recoverLog must promote the staged log and drop the retired one")
+    val manifests = scala.util.Using.resource(
+      java.nio.file.Files.list(commits)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    assert(manifests.exists(_.startsWith("batch-0")) && manifests.size == 2,
+      s"promoted log must hold the new snapshot + the append, got $manifests")
+  }
+
   test("unsupported column types are rejected before any file is touched") {
     val dir = tmp()
     val e = intercept[Exception] {

@@ -223,6 +223,83 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("global (empty-partitioning) WindowExec appears ONLY in cost-gated PrefixSum " +
+    "or bounded-grain frames") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // A WindowExec with an empty partitionSpec moves ALL input rows to
+    // one task — the single-partition sort that is correct at sf0.1 and
+    // a scale-killer at 100 TB. Every surviving site must be one of:
+    //
+    // (a) COST-GATED: the global order rides PrefixSum.globalRank /
+    //     runningTotal / runningMaxExclusive, whose documented contract
+    //     plans the single window ONLY below the 64 MB stats threshold
+    //     (where one task is strictly better) and the distributed
+    //     two-pass rank above it. The distributed path's partitioned
+    //     window + correctness are pinned by ScaleSpec (1M-row
+    //     bijection), GraphOpsSpec:125 (plan shape) and Round3OpsSpec.
+    //     At this suite's sf0.001 the gate always picks the single
+    //     window, which is why these queries surface here at all.
+    val costGated = Set(
+      "q42_corpus_filter", "q55_pack_chunks", "q93_equidepth_bins",
+      "q139_gap_islands", "q160_hybrid_rrf", "q170_zipf_slope",
+      "q183_auc", "q185_budget_select", "q189_retrieval_metrics",
+      "q206_ks_test", "q214_sorted_neighborhood", "q217_rfm_segments",
+      "q246_heaps_law", "q261_mann_whitney", "q264_skyline",
+      "q270_qq_deciles", "q281_token_coverage", "q284_sort_advisor",
+      "q286_delta_bitwidth", "q289_info_gain_split", "q292_codec_advisor",
+      "q295_mood_median", "q302_fdr_bh", "q307_blocking_quality",
+      "q308_kruskal_wallis")
+    // (b) BOUNDED-GRAIN: the window input is aggregated to a frame
+    //     whose cardinality is fixed by construction — day-grain series
+    //     (bounded by the calendar span, ~365 rows/yr at ANY corpus
+    //     size), decile/replica/top-k frames, ≤64-row bit-width
+    //     buckets. One task over a bounded frame is the efficient plan.
+    val bounded = Map(
+      // 10-row decile frame cumulative (the fact rank itself is
+      // cost-gated PrefixSum in the same query)
+      "q138_decile_lift" -> "cum share over the 10-row decile frame",
+      "q260_whale_curve" -> "cum cents over the 10-row decile frame",
+      // both rank legs are TakeOrdered-20 derivatives (.limit(depth))
+      "q209_rbo" -> "depth-20 leaderboard ranks (limit before window)",
+      // day-grain daily series — bounded by calendar span
+      "q227_cusum_drift" -> "day-grain CUSUM scan",
+      "q234_acf" -> "day-grain lag frames",
+      "q256_rolling_slope" -> "day-grain 7-day regression frames",
+      "q266_seasonal_decompose" -> "day-grain 7-day centered MA",
+      "q269_runs_test" -> "day-grain median rank + lag (2 windows)",
+      "q280_tukey_fences" -> "day-grain quartile ranks",
+      "q297_changepoint_sse" -> "day-grain prefix moments",
+      "q298_effective_n" -> "day-grain lag-1 autocorrelation",
+      "q303_ewma_chart" -> "day-grain 60-day EWMA range frame",
+      // B=100 bootstrap replica frame (fixed by construction)
+      "q233_bootstrap_ci" -> "100-row replicate percentile rank",
+      // session-gap bit-width buckets: ≤64 rows by construction
+      "q288_session_timeout" -> "≤64-row gap-bit-width cumulative",
+      // distinct session durations in days — calendar-bounded
+      "q262_kaplan_meier" -> "duration-grain survival cumulative",
+      // day-pair slope frame: C(days,2), calendar-bounded
+      "q254_theil_sen" -> "day-pair slope median rank")
+    def nodes(sp: SparkPlan): Seq[SparkPlan] =
+      sp.collect { case x => x }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.inputPlan)
+        case x => Seq(x)
+      }
+    val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = nodes(fn(spark, sf()).queryExecution.executedPlan).count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      if (n > 0 && !costGated(name) && !bounded.contains(name)) Some(s"$name($n)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"undocumented empty-partitioning WindowExec in: ${offenders.mkString(", ")} — " +
+        "either route the order through PrefixSum (cost-gated) or add a bounded-grain " +
+        "justification to the allowlist above")
+  }
+
   test("q192 DSIR: scoring join broadcasts the 4096-bucket LM table; top-k is TakeOrdered") {
     val p = plan("q192_dsir_select")
     assert(p.contains("BroadcastHashJoin"),
