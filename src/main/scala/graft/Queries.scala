@@ -8438,6 +8438,39 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** The REAL compressed-image decode the multimodal trio still
+    * stubbed: q318's synthetic 16×12 RGB888 bitmaps are encoded to
+    * actual PNG bytes and decoded back through the JDK's
+    * `javax.imageio` ([[graft.operators.ImageCodec]]), and the BT.601
+    * luma histogram is re-derived FROM THE DECODED PIXELS by the same
+    * codegen `RgbLumaHist` loop. PNG is lossless, so the binary-free
+    * DuckDB oracle (identical arithmetic to q318's) hash-matches bit
+    * for bit — if the codec fabricated or shifted even one byte, the
+    * histogram (and the projected `lossless` flag comparing decoded
+    * to source bytes) would break. Encode/decode are deliberate UDFs
+    * (a JDK library-call boundary with nothing to codegen —
+    * CompressionScore's documented pattern); payloads decode
+    * partition-locally and never shuffle.
+    */
+  def q323_png_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.RgbExpressions._
+    import graft.operators.ImageCodec
+    val encodeUdf = udf((rgb: Array[Byte]) => ImageCodec.encodePng(rgb, 16, 12))
+    val decodeUdf = udf((png: Array[Byte]) => ImageCodec.decodeToRgb(png))
+    val bytes = transform(sequence(lit(0), lit(575)),
+      i => (col("media_id") * 31 + i.cast("long") * 7) % 256)
+    val df = s.range(1, 13).toDF("media_id")
+      .withColumn("rgb", bytesPack(bytes))
+      .withColumn("png", encodeUdf(col("rgb")))
+      .withColumn("decoded", decodeUdf(col("png")))
+      .withColumn("hist", rgbLumaHist(col("decoded"), 8))
+    val histCols = (0 until 8).map(b =>
+      element_at(col("hist"), b + 1).as(s"h$b"))
+    df.select(col("media_id") +: histCols :+
+        (col("decoded") === col("rgb")).as("lossless"): _*)
+      .orderBy("media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8761,6 +8794,7 @@ object Queries {
     "q320_dsv2_topn" -> (q320_dsv2_topn _),
     "q321_dsv2_grouped_pushdown" -> (q321_dsv2_grouped_pushdown _),
     "q322_media_pipeline" -> (q322_media_pipeline _),
+    "q323_png_decode" -> (q323_png_decode _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13272,5 +13306,27 @@ object Queries {
         |       ELSE 'duplicate' END AS status
         |FROM fl LEFT JOIN kp USING (thumb_key, hist_key)
         |ORDER BY fl.media_id""".stripMargin,
+    // q318's histogram arithmetic verbatim — the engine side computes it
+    // from PNG-DECODED pixels, so a hash match proves the JDK codec
+    // round-trips losslessly; `lossless` additionally pins the byte-level
+    // equality of decoded vs source buffers.
+    "q323_png_decode" ->
+      """WITH im AS (SELECT id AS media_id FROM range(1, 13) t(id)),
+        |px AS (SELECT media_id,
+        |    ((77 * ((media_id*31 + (3*p.p)*7) % 256)
+        |    + 150 * ((media_id*31 + (3*p.p+1)*7) % 256)
+        |    + 29 * ((media_id*31 + (3*p.p+2)*7) % 256)) // 256) AS y
+        |  FROM im, range(0, 192) p(p))
+        |SELECT media_id,
+        |  sum(CASE WHEN y // 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
+        |  sum(CASE WHEN y // 32 = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
+        |  sum(CASE WHEN y // 32 = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
+        |  sum(CASE WHEN y // 32 = 3 THEN 1 ELSE 0 END)::BIGINT AS h3,
+        |  sum(CASE WHEN y // 32 = 4 THEN 1 ELSE 0 END)::BIGINT AS h4,
+        |  sum(CASE WHEN y // 32 = 5 THEN 1 ELSE 0 END)::BIGINT AS h5,
+        |  sum(CASE WHEN y // 32 = 6 THEN 1 ELSE 0 END)::BIGINT AS h6,
+        |  sum(CASE WHEN y // 32 = 7 THEN 1 ELSE 0 END)::BIGINT AS h7,
+        |  TRUE AS lossless
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
   )
 }

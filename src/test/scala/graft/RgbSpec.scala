@@ -98,4 +98,42 @@ class RgbSpec extends SparkSpec {
     }
     assert(root(e3).getMessage.contains("out of range"), e3.toString)
   }
+
+  test("PNG codec: encode->decode round-trips RGB888 bit-for-bit (lossless contract)") {
+    import graft.operators.ImageCodec
+    // q318's synthetic bitmap for media_id=5 (16x12, byte i = (5*31+7i)%256)
+    val rgb = Array.tabulate(576)(i => ((5 * 31 + i * 7) % 256).toByte)
+    val png = ImageCodec.encodePng(rgb, 16, 12)
+    // Real PNG container: magic bytes present, compression actually ran.
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte,
+      s"not a PNG header: ${png.take(4).map(_ & 0xff).mkString(",")}")
+    val back = ImageCodec.decodeToRgb(png)
+    assert(back.sameElements(rgb),
+      "PNG round trip must be lossless for 8-bit RGB")
+  }
+
+  test("PngCodec decodes through the MediaCodec seam: features match FakeCodec on raw pixels") {
+    import graft.operators.{ImageCodec, Multimodal}
+    val rgb = Array.tabulate(576)(i => ((7 * 31 + i * 7) % 256).toByte)
+    val rec = Multimodal.MediaRecord(7L, "image", "image/png", 16, 12, 0L,
+      ImageCodec.encodePng(rgb, 16, 12))
+    val viaPng = ImageCodec.PngCodec.decode(rec)
+    val viaRaw = Multimodal.FakeCodec.decode(rec.copy(payload = rgb))
+    assert(viaPng == viaRaw.copy(feature = viaPng.feature) &&
+      viaPng.feature.sameElements(viaRaw.feature),
+      s"decoded-pixel features must equal raw-pixel features: $viaPng vs $viaRaw")
+  }
+
+  test("PNG codec rejects garbage payloads and mismatched dimensions") {
+    import graft.operators.ImageCodec
+    val e1 = intercept[Exception] {
+      ImageCodec.decodeToRgb(Array[Byte](1, 2, 3, 4))
+    }
+    assert(e1.getMessage.contains("not a decodable image"), e1.toString)
+    val e2 = intercept[Exception] {
+      ImageCodec.encodePng(Array[Byte](1, 2, 3), 2, 2)
+    }
+    assert(e2.getMessage.contains("bytes for 2x2"), e2.toString)
+  }
 }
