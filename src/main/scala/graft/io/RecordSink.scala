@@ -16,8 +16,18 @@ trait RecordSink {
   /** Append one micro-batch. Must be idempotent-friendly: Structured
     * Streaming redelivers the whole batch on retry (at-least-once,
     * main.py:525-526 commit-after-process contract).
+    *
+    * Returns whether a Spark ACTION ran over `df` — the telemetry
+    * contract: the orchestrator attaches `Dataset.observe` metrics to
+    * `df`, and the Observation latches onto the FIRST action's counts.
+    * A sink must therefore (a) never run a probing Dataset action
+    * (like `df.isEmpty`, whose limit-1 scan would latch the
+    * observation at 1 row — use [[RecordSink.probeEmpty]], which runs
+    * at the RDD level below the listener's sight) and (b) report
+    * honestly whether its real action ran, so a skipped write reads as
+    * None, never a blocking wait for metrics that will not come.
     */
-  def write(df: DataFrame): Unit
+  def write(df: DataFrame): Boolean
 
   /** Batch-aware overload: sinks that key their writes on the epoch id
     * (see [[IdempotentParquetSink]]) override this to make redelivered
@@ -25,7 +35,20 @@ trait RecordSink {
     * redelivery to effective exactly-once output. Default ignores the
     * id (plain append, the reference's own contract).
     */
-  def write(df: DataFrame, batchId: Long): Unit = write(df)
+  def write(df: DataFrame, batchId: Long): Boolean = write(df)
+}
+
+object RecordSink {
+  /** Emptiness probe that is INVISIBLE to `Dataset.observe`: runs the
+    * physical plan as an RDD take(1) (no SQL-execution listener event,
+    * so a pending Observation still latches the real write's counts —
+    * `df.isEmpty` here silently capped every observed batch count at
+    * the probe's 1 row). The probe's own CollectMetrics accumulators
+    * belong to this QueryExecution instance and never mix with the
+    * write's.
+    */
+  private[io] def probeEmpty(df: DataFrame): Boolean =
+    df.queryExecution.toRdd.isEmpty()
 }
 
 /** Parquet append sink — the harness stand-in for ClickHouse (S8).
@@ -33,14 +56,16 @@ trait RecordSink {
   * empty-batch no-op (main.py:337-339).
   */
 final class ParquetSink(path: String) extends RecordSink {
-  def write(df: DataFrame): Unit =
-    if (!df.isEmpty) df.write.mode("append").parquet(path)
+  def write(df: DataFrame): Boolean =
+    if (RecordSink.probeEmpty(df)) false
+    else { df.write.mode("append").parquet(path); true }
 }
 
 /** DLQ sink (S9): persists `{row, error}` envelopes (main.py:358-384). */
 final class ParquetDlqSink(path: String) extends RecordSink {
-  def write(df: DataFrame): Unit =
-    if (!df.isEmpty) df.write.mode("append").parquet(path)
+  def write(df: DataFrame): Boolean =
+    if (RecordSink.probeEmpty(df)) false
+    else { df.write.mode("append").parquet(path); true }
 }
 
 /** Exactly-once parquet sink: each micro-batch lands in its own
@@ -68,16 +93,20 @@ final class IdempotentParquetSink(path: String) extends RecordSink {
   /** Batches already made durable (visible for tests). */
   def isCommitted(fs: FileSystem, batchId: Long): Boolean = fs.exists(marker(batchId))
 
-  def write(df: DataFrame): Unit = write(df, -1L)
+  def write(df: DataFrame): Boolean = write(df, -1L)
 
-  override def write(df: DataFrame, batchId: Long): Unit = {
+  override def write(df: DataFrame, batchId: Long): Boolean = {
     val fs = new Path(path).getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
-    if (isCommitted(fs, batchId)) return // redelivered → no-op
+    if (isCommitted(fs, batchId)) return false // redelivered → no-op
     // Overwrite clears any uncommitted partial attempt.
-    if (!df.isEmpty) df.write.mode("overwrite").parquet(batchDir(batchId).toString)
-    else fs.mkdirs(batchDir(batchId))
+    val ran =
+      if (RecordSink.probeEmpty(df)) { fs.mkdirs(batchDir(batchId)); false }
+      else {
+        df.write.mode("overwrite").parquet(batchDir(batchId).toString); true
+      }
     fs.create(marker(batchId), true).close() // commit point
+    ran
   }
 }
 
@@ -123,7 +152,7 @@ object IdempotentParquetSink {
   */
 final class JdbcRowSink(url: String, table: String, batchSize: Int = 25000)
     extends RecordSink {
-  def write(df: DataFrame): Unit = {
+  def write(df: DataFrame): Boolean = {
     // locals only: the task closure must not drag `this` across
     // serialization.
     val (u, t, bs) = (url, table, batchSize)
@@ -149,6 +178,7 @@ final class JdbcRowSink(url: String, table: String, batchSize: Int = 25000)
         } finally conn.close()
       }
     }
+    true // foreachPartition is a Dataset action — metrics rode it
   }
 }
 
@@ -176,9 +206,9 @@ final class JdbcRowSink(url: String, table: String, batchSize: Int = 25000)
 final class IdempotentJdbcSink(url: String, table: String,
     ledgerTable: String, batchSize: Int = 25000) extends RecordSink {
 
-  def write(df: DataFrame): Unit = write(df, -1L)
+  def write(df: DataFrame): Boolean = write(df, -1L)
 
-  override def write(df: DataFrame, batchId: Long): Unit = {
+  override def write(df: DataFrame, batchId: Long): Boolean = {
     val (u, t, lt, bs, bid) = (url, table, ledgerTable, batchSize, batchId)
     val cols = df.columns.toSeq
     val insertSql = s"INSERT INTO $t (${cols.mkString(", ")}) " +
@@ -219,6 +249,7 @@ final class IdempotentJdbcSink(url: String, table: String,
         } finally conn.close() // uncommitted work rolls back
       }
     }
+    true // foreachPartition is a Dataset action — metrics rode it
   }
 }
 
@@ -247,7 +278,7 @@ object IdempotentJdbcSink {
 final class FlakySink(inner: RecordSink, failures: Int) extends RecordSink {
   private var remaining = failures
   var attempts: Int = 0
-  def write(df: DataFrame): Unit = {
+  def write(df: DataFrame): Boolean = {
     attempts += 1
     if (remaining > 0) {
       remaining -= 1

@@ -64,31 +64,35 @@ final class BatchOrchestrator(
     // in the reference (a retried batch re-produces to the DLQ topic).
     val res = Pipeline.process(raw, metas(), cfg)
     val (validObs, validDf) = observed(res.valid)
-    val firstFailure: Option[Exception] =
-      try { insertAttempts += 1; validSink.write(validDf, batchId); None }
-      catch { case e: Exception => Some(e) }
-    firstFailure match {
-      case None =>
+    val firstAttempt: Either[Exception, Boolean] =
+      try { insertAttempts += 1; Right(validSink.write(validDf, batchId)) }
+      catch { case e: Exception => Left(e) }
+    firstAttempt match {
+      case Right(wroteValid) =>
         val (dlqObs, dlqDf) = observed(res.dlq)
-        dlqSink.write(dlqDf) // invalid → DLQ (main.py:452-456)
+        val wroteDlq = dlqSink.write(dlqDf) // invalid → DLQ (main.py:452-456)
         res.release()
-        finish(batchId, validObs, dlqObs, retried = false, t0)
-      case Some(_) =>
+        finish(batchId, validObs, wroteValid, dlqObs, wroteDlq,
+          retried = false, t0)
+      case Left(_) =>
         // Schema drift path: rebuild schema, re-validate the ORIGINAL
         // payloads (not the already-coerced rows), retry the insert
         // once (main.py:434-445).
         val res2 = Pipeline.process(raw, refreshMetas(), cfg)
         val (validObs2, validDf2) = observed(res2.valid)
-        try { insertAttempts += 1; validSink.write(validDf2, batchId) }
-        catch {
-          case e2: Exception => // still-valid rows → DLQ (main.py:446-450)
-            dlqSink.write(res2.validRaw.withColumn("error", lit(e2.getMessage)))
-        }
+        val wroteValid2 =
+          try { insertAttempts += 1; validSink.write(validDf2, batchId) }
+          catch {
+            case e2: Exception => // still-valid rows → DLQ (main.py:446-450)
+              dlqSink.write(res2.validRaw.withColumn("error", lit(e2.getMessage)))
+              false // the valid write died mid-action; its metrics may never arrive
+          }
         val (dlqObs2, dlqDf2) = observed(res2.dlq)
-        dlqSink.write(dlqDf2) // invalid → DLQ (main.py:459-463)
+        val wroteDlq2 = dlqSink.write(dlqDf2) // invalid → DLQ (main.py:459-463)
         res2.release()
         res.release()
-        finish(batchId, validObs2, dlqObs2, retried = true, t0)
+        finish(batchId, validObs2, wroteValid2, dlqObs2, wroteDlq2,
+          retried = true, t0)
     }
   }
 
@@ -103,18 +107,31 @@ final class BatchOrchestrator(
   private def finish(
       batchId: Long,
       valid: Observation,
+      wroteValid: Boolean,
       dlq: Observation,
+      wroteDlq: Boolean,
       retried: Boolean,
       t0: Long): Unit = {
-    // Non-blocking read: if a sink deliberately skipped its action
-    // (e.g. IdempotentParquetSink on a redelivered epoch) no job ran,
-    // no metrics exist, and the count is honestly None — never block
-    // waiting for a job that will not come.
-    def n(o: Observation): Option[Long] =
-      org.apache.spark.sql.graft.bridge.observationGetOrEmpty(o)
-        .get("rows").map(_.asInstanceOf[Long])
-    val stats = BatchStats(batchId, n(valid), n(dlq), retried,
-      (System.nanoTime() - t0) / 1000000L)
+    // Metric read keyed on the sink's own report (RecordSink.write's
+    // Boolean): if the sink skipped its action (redelivered idempotent
+    // epoch, empty batch) no job ran, no metrics exist, and the count
+    // is honestly None — never wait for an event that will not come.
+    // When the write DID run, the completed action's metrics travel an
+    // ASYNC listener bus, so a bare non-blocking read here raced it
+    // and silently dropped real counts — bounded poll instead
+    // (`Observation.get` would block forever on a lost event).
+    def n(o: Observation, wrote: Boolean): Option[Long] = {
+      if (!wrote) return None
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var m = org.apache.spark.sql.graft.bridge.observationGetOrEmpty(o)
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(2)
+        m = org.apache.spark.sql.graft.bridge.observationGetOrEmpty(o)
+      }
+      m.get("rows").map(_.asInstanceOf[Long])
+    }
+    val stats = BatchStats(batchId, n(valid, wroteValid), n(dlq, wroteDlq),
+      retried, (System.nanoTime() - t0) / 1000000L)
     lastStats = Some(stats)
     onBatchComplete(stats)
   }
@@ -124,7 +141,8 @@ final class BatchOrchestrator(
   * "Processed {n} packets in {t:.2f} sec", main.py:420, 466 — plus
   * the valid/DLQ split and the drift-retry flag it doesn't surface).
   * A count is None when its sink skipped the write (idempotent
-  * redelivery), distinguishing "wrote 0 rows" from "did not write".
+  * redelivery, or an empty batch the sink elided), distinguishing
+  * "rows rode a write" from "did not write".
   */
 final case class BatchStats(
     batchId: Long,

@@ -142,7 +142,7 @@ class StreamingSpec extends SparkSpec {
     val inner = new ParquetSink(validDir)
     val sink = new RecordSink {
       private var altered = false
-      def write(df: org.apache.spark.sql.DataFrame): Unit = {
+      def write(df: org.apache.spark.sql.DataFrame): Boolean = {
         if (!altered) {
           altered = true
           df.count() // real sinks fail mid-insert, after the plan ran
@@ -205,7 +205,7 @@ class StreamingSpec extends SparkSpec {
       val jdbc = new graft.io.JdbcRowSink(url, "sink_live", batchSize = 3)
       val sink = new RecordSink {
         private var dropped = false
-        def write(df: org.apache.spark.sql.DataFrame): Unit = {
+        def write(df: org.apache.spark.sql.DataFrame): Boolean = {
           if (!dropped) {
             dropped = true
             val c = java.sql.DriverManager.getConnection(url)
@@ -354,6 +354,28 @@ class StreamingSpec extends SparkSpec {
     // the observed counts agree with what actually landed on disk
     assert(spark.read.parquet(validDir).count() == 2)
     assert(spark.read.parquet(dlqDir).count() == 2)
+  }
+
+  test("observe telemetry: a multi-partition 5k-row batch reports the FULL count") {
+    // Regression: sinks used to probe emptiness with df.isEmpty — a
+    // Dataset action whose limit-1 scan LATCHED the Observation first,
+    // capping every reported batch count at 1 row (invisible to the
+    // tiny-batch tests above; found by IngestBench's 25k batches).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val validDir = tmp(); val dlqDir = tmp()
+    val orch = new BatchOrchestrator(provider, cfg,
+      new ParquetSink(validDir), new ParquetDlqSink(dlqDir),
+      onBatchComplete = _ => ())
+    val raw = spark.range(0, 5000, 1, 8)
+      .select(concat(lit("""{"device_id": """), col("id"), lit(""", "note": "x"}"""))
+        .as(graft.pipeline.Pipeline.ValueCol))
+    orch.processBatch(raw, 0L)
+    val s = orch.lastStats.get
+    assert(s.validRows.contains(5000L),
+      s"observed count must be the written rows, not an emptiness probe's: ${s.validRows}")
+    assert(s.dlqRows.isEmpty, s"empty DLQ batch skips its write -> None: ${s.dlqRows}")
+    assert(spark.read.parquet(validDir).count() == 5000L)
   }
 
   test("observe telemetry: drift retry is flagged; a skipped idempotent rewrite reports None") {
