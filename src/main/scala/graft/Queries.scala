@@ -8471,6 +8471,69 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** The Spark-4 arbitrary-state surface, ORACLE-JUDGED (it was
+    * parity-tested only): full sessionization through
+    * `StatefulSessions.SessionProcessor` (`transformWithState`, typed
+    * ValueState + explicit event-time timers, RocksDB-backed) running
+    * as a REAL streaming query — file-source micro-batch over the
+    * events table, memory sink — and hash-matched against q29's
+    * gaps-and-islands SQL oracle. A per-user far-future sentinel event
+    * (global max ts + gap + 1h, value 0) rides the stream so every
+    * REAL session closes through the event path and emits in Append
+    * mode before the query drains; the sentinels' own sessions stay
+    * open in state and are never emitted, so the output is exactly
+    * the batch oracle's session set. Scale shape is the processor's
+    * contract: one shuffle on the key, O(active keys) fixed-size
+    * state, per-key timers.
+    */
+  def q324_sessions_tws_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessions
+    import org.apache.spark.sql.streaming.Trigger
+    val gapUs = 6L * 3600 * 1000000
+    val ev = StatefulSessions.project(
+      t(s, dir, "events"), "user_id", "event_id", "ts", "value")
+    val sentinels = ev.groupBy("key").agg(count(lit(1)))
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("gmx"))))
+      .select(col("key"),
+        lit(Long.MaxValue / 2).as("seq"),
+        (col("gmx") + expr("INTERVAL 7 HOURS")).cast("timestamp").as("ts"),
+        lit(0.0).as("value"))
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft_tws_stage_").toString
+    ev.toDF().unionByName(sentinels).write.mode("overwrite").parquet(stageDir)
+    val n = Queries.twsRuns.incrementAndGet()
+    val table = s"graft_tws_sessions_$n"
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = s.readStream.schema(ev.schema).parquet(stageDir)
+        .as[StatefulSessions.SEvent](org.apache.spark.sql.Encoders
+          .product[StatefulSessions.SEvent])
+        .withWatermark("ts", "0 seconds")
+      val q = StatefulSessions.sessionizeStreamTws(stream, gapUs)
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_tws_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table(table)
+      .select(col("key").as("user_id"),
+        timestamp_micros(col("startUs")).as("s_start"),
+        col("n_events"), round(col("total"), 2).as("total"))
+      .orderBy("user_id", "s_start")
+  }
+
+  private val twsRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8795,6 +8858,7 @@ object Queries {
     "q321_dsv2_grouped_pushdown" -> (q321_dsv2_grouped_pushdown _),
     "q322_media_pipeline" -> (q322_media_pipeline _),
     "q323_png_decode" -> (q323_png_decode _),
+    "q324_sessions_tws_stream" -> (q324_sessions_tws_stream _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13328,5 +13392,24 @@ object Queries {
         |  sum(CASE WHEN y // 32 = 7 THEN 1 ELSE 0 END)::BIGINT AS h7,
         |  TRUE AS lossless
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q29's gaps-and-islands oracle verbatim: the engine side computes
+    // the same sessions through a REAL transformWithState streaming
+    // query (RocksDB state, event-time timers), so a hash match judges
+    // the Spark-4 arbitrary-state surface against SQL semantics.
+    "q324_sessions_tws_stream" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS total
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
   )
 }

@@ -359,4 +359,14 @@ class StreamingWindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("q324: transformWithState streaming sessionization equals the batch q39 form at sf0.001") {
+    // The judged query runs a REAL streaming query (file source,
+    // RocksDB state, memory sink); its session set must equal the
+    // batch flatMapGroupsWithState form row-for-row.
+    val tws = Queries.all("q324_sessions_tws_stream")(spark, sf()).collect().toSeq
+    val batch = Queries.all("q39_sessions_stateful")(spark, sf()).collect().toSeq
+    assert(tws == batch,
+      s"streaming tws (${tws.size} rows) != batch (${batch.size} rows)")
+  }
 }
