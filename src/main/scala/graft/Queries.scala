@@ -8547,6 +8547,58 @@ object Queries {
 
   private val twsRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** N-gram LM perplexity scoring with STUPID BACKOFF — the
+    * CCNet/KenLM-style quality filter that ranks documents by how
+    * "language-like" they read, the workhorse between q192's DSIR and
+    * q203's corpus-level KL. A bigram model is trained on the
+    * even-doc_id half of the corpus (hash-deterministic split, no RNG)
+    * and the odd half is scored HELD-OUT, so the backoff path (unseen
+    * bigram → 0.4 × add-half-smoothed unigram) really fires. Per-doc
+    * score is the mean negative log-probability over its bigrams —
+    * ppl = exp(nll) is monotone in it, and staying on the log scale
+    * keeps cross-engine exp() out of the hash (q302's rule).
+    *
+    * Scale: bigrams come from a codegen `zip_with` over the token
+    * array (no per-doc window); count frames are corpus-derived and
+    * therefore SHUFFLE on their token keys, never broadcast (only the
+    * 1-row (N, V) normalizer broadcasts); scoring is three equi-joins
+    * — (w1,w2), w1, w2 — with AQE handling the stopword-head skew,
+    * then one doc_id shuffle for the per-doc mean. Single-token docs
+    * have no bigrams and drop out in both engines.
+    */
+  def q325_ngram_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val toksAll = tWide(s, dir, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokens(col("text")).as("l"))
+    // greatest(…, 0): a 0/1-token doc must yield an empty bigram array,
+    // not a negative slice length (which throws).
+    val bg = zip_with(
+      slice(col("l"), lit(1), greatest(size(col("l")) - 1, lit(0))),
+      slice(col("l"), lit(2), greatest(size(col("l")) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = toksAll
+      .select(col("doc_id"), col("lang"), explode(bg).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    val train = bi.filter(col("doc_id") % 2 === 0)
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = toksAll.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val nv = c1.agg(sum("n1").as("nn"), count(lit(1)).as("v"))
+    val scored = bi.filter(col("doc_id") % 2 === 1)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("n1").as("n1w1")), Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("n1").as("n1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("logp",
+        when(col("n2").isNotNull, log(col("n2") / col("n1w1")))
+          .otherwise(log(lit(0.4)) +
+            log((coalesce(col("n1w2"), lit(0L)) + lit(0.5)) /
+              (col("nn") + lit(0.5) * col("v")))))
+    scored.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("logp")), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8872,6 +8924,7 @@ object Queries {
     "q322_media_pipeline" -> (q322_media_pipeline _),
     "q323_png_decode" -> (q323_png_decode _),
     "q324_sessions_tws_stream" -> (q324_sessions_tws_stream _),
+    "q325_ngram_perplexity" -> (q325_ngram_perplexity _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13424,5 +13477,32 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q325_ngram_perplexity" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lang, i, l[i] AS w
+        |  FROM d, unnest(range(1, len(l) + 1)) AS t(i)),
+        |bi AS (SELECT doc_id, lang, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM toks),
+        |tr AS (SELECT w1, w2, count(*)::BIGINT AS n2 FROM bi
+        |  WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2),
+        |u AS (SELECT w, count(*)::BIGINT AS n1 FROM toks
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nv AS (SELECT sum(n1)::BIGINT AS nn, count(*)::BIGINT AS v FROM u),
+        |sc AS (SELECT b.doc_id, b.lang,
+        |    CASE WHEN tr.n2 IS NOT NULL THEN ln(tr.n2 / u1.n1::DOUBLE)
+        |         ELSE ln(0.4) + ln((coalesce(u2.n1, 0) + 0.5) /
+        |                           (nv.nn + 0.5 * nv.v)) END AS logp
+        |  FROM bi b
+        |  LEFT JOIN tr ON tr.w1 = b.w1 AND tr.w2 = b.w2
+        |  LEFT JOIN u u1 ON u1.w = b.w1
+        |  LEFT JOIN u u2 ON u2.w = b.w2
+        |  CROSS JOIN nv
+        |  WHERE b.doc_id % 2 = 1 AND b.w2 IS NOT NULL)
+        |SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+        |  round(-avg(logp), 4) AS nll
+        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
   )
 }

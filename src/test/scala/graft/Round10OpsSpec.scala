@@ -370,4 +370,27 @@ class Round10OpsSpec extends SparkSpec {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  // ---- q325 n-gram perplexity -----------------------------------------
+
+  test("ngram perplexity: hand-computed stupid backoff over a 4-doc corpus") {
+    val dir = tmp("graft_ppl_")
+    // Train (even ids): doc0 "a b a b" -> (a,b):2 (b,a):1; doc2 "a b c"
+    // -> (a,b):1 (b,c):1. Bigrams: (a,b)=3 (b,a)=1 (b,c)=1; unigrams
+    // a=3 b=3 c=1, N=7, V=3. Held-out doc1 "a b z": (a,b) seen ->
+    // ln(3/3)=0; (b,z) unseen, z OOV -> ln(0.4)+ln(0.5/8.5)
+    // = -3.749504075930...; nll = 3.7495.../2 = 1.8748 (4 dp).
+    // doc3 is single-token: zero bigrams, must drop out (and must not
+    // blow up the slice arithmetic).
+    val docs = Seq(
+      (0L, "a b a b", "en"), (1L, "a b z", "en"),
+      (2L, "a b c", "en"), (3L, "x", "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.all("q325_ngram_perplexity")(spark, dir).collect()
+    assert(got.length == 1, s"only doc 1 is scoreable: ${got.mkString(";")}")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(2) == 2L, r.toString)
+    assert(r.getDouble(3) == 1.8748, s"nll ${r.getDouble(3)}")
+  }
 }
