@@ -8599,6 +8599,50 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing over q325's held-out scores: each
+    * language's scored docs split into head/middle/tail by exact nll
+    * terciles — the partition CCNet uses to keep the well-modeled
+    * "head" slice of a crawl and drop the tail. A language-PARTITIONED
+    * `ntile(3)` would put each language in one task — and one language
+    * is most of any real crawl, so that is a global sort in disguise.
+    * Instead: ONE cost-based PrefixSum.globalRank over the composite
+    * (lang, nll, doc_id) order, within-language rank recovered by
+    * subtracting per-language exclusive offsets (a ≤#languages-row
+    * frame), and the tercile from q138's exact-ntile integer
+    * arithmetic — every stage partition-parallel. Ranking on the
+    * ALREADY-ROUNDED nll with a doc_id tiebreak keeps the order
+    * engine-stable. Output is the per-(lang, bucket) audit a curation
+    * run reads: doc count, nll envelope, mean.
+    */
+  def q326_perplexity_buckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = q325_ngram_perplexity(s, dir)
+    val ranked = PrefixSum.globalRank(scored, Seq("lang", "nll", "doc_id"), "gr")
+    // Per-language counts + exclusive offsets: bounded by the language
+    // label space (≤ ~200 rows at ANY corpus size) — the window is over
+    // that frame, never doc rows.
+    val offsets = scored.groupBy("lang").agg(count(lit(1)).as("nl"))
+      .withColumn("off", coalesce(
+        sum("nl").over(Window.orderBy("lang")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val q3 = expr("nl div 3")
+    val rem = col("nl") % 3
+    val r = col("gr") - col("off")
+    val bin = (when(r <= rem * (q3 + 1), (r - 1) / (q3 + 1))
+      .otherwise(rem + (r - rem * (q3 + 1) - 1) / q3)
+      .cast("long") + 1)
+    val bucketed = ranked.join(broadcast(offsets), "lang")
+      .withColumn("b", bin)
+      .withColumn("bucket",
+        when(col("b") === 1, "1_head").when(col("b") === 2, "2_middle")
+          .otherwise("3_tail"))
+    bucketed.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("nll"), 4).as("min_nll"),
+        round(max("nll"), 4).as("max_nll"),
+        round(avg("nll"), 4).as("mean_nll"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -8925,6 +8969,7 @@ object Queries {
     "q323_png_decode" -> (q323_png_decode _),
     "q324_sessions_tws_stream" -> (q324_sessions_tws_stream _),
     "q325_ngram_perplexity" -> (q325_ngram_perplexity _),
+    "q326_perplexity_buckets" -> (q326_perplexity_buckets _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13504,5 +13549,42 @@ object Queries {
         |SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
         |  round(-avg(logp), 4) AS nll
         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q326_perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lang, i, l[i] AS w
+        |  FROM d, unnest(range(1, len(l) + 1)) AS t(i)),
+        |bi AS (SELECT doc_id, lang, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM toks),
+        |tr AS (SELECT w1, w2, count(*)::BIGINT AS n2 FROM bi
+        |  WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2),
+        |u AS (SELECT w, count(*)::BIGINT AS n1 FROM toks
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nv AS (SELECT sum(n1)::BIGINT AS nn, count(*)::BIGINT AS v FROM u),
+        |sc AS (SELECT b.doc_id, b.lang,
+        |    CASE WHEN tr.n2 IS NOT NULL THEN ln(tr.n2 / u1.n1::DOUBLE)
+        |         ELSE ln(0.4) + ln((coalesce(u2.n1, 0) + 0.5) /
+        |                           (nv.nn + 0.5 * nv.v)) END AS logp
+        |  FROM bi b
+        |  LEFT JOIN tr ON tr.w1 = b.w1 AND tr.w2 = b.w2
+        |  LEFT JOIN u u1 ON u1.w = b.w1
+        |  LEFT JOIN u u2 ON u2.w = b.w2
+        |  CROSS JOIN nv
+        |  WHERE b.doc_id % 2 = 1 AND b.w2 IS NOT NULL),
+        |docs AS (SELECT doc_id, lang, round(-avg(logp), 4) AS nll
+        |  FROM sc GROUP BY doc_id, lang),
+        |bk AS (SELECT lang, nll,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS b
+        |  FROM docs)
+        |SELECT lang,
+        |  CASE b WHEN 1 THEN '1_head' WHEN 2 THEN '2_middle'
+        |    ELSE '3_tail' END AS bucket,
+        |  count(*)::BIGINT AS n_docs,
+        |  round(min(nll), 4) AS min_nll,
+        |  round(max(nll), 4) AS max_nll,
+        |  round(avg(nll), 4) AS mean_nll
+        |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
   )
 }

@@ -214,7 +214,10 @@ class PlanSpec extends SparkSpec {
       // q316: PAVA minimax over the ≤10-row calibration-bin frame —
       // three bounded non-equi self-joins (≤10³ combinations) + the
       // 1-row broadcast score envelope (q184's pattern)
-      "q316_isotonic_calibration")
+      "q316_isotonic_calibration",
+      // q325/q326: 1-row broadcast (N, V) LM normalizer onto the
+      // scoring frame (q145's pattern; q326 composes q325)
+      "q325_ngram_perplexity", "q326_perplexity_buckets")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
@@ -280,7 +283,10 @@ class PlanSpec extends SparkSpec {
       // distinct session durations in days — calendar-bounded
       "q262_kaplan_meier" -> "duration-grain survival cumulative",
       // day-pair slope frame: C(days,2), calendar-bounded
-      "q254_theil_sen" -> "day-pair slope median rank")
+      "q254_theil_sen" -> "day-pair slope median rank",
+      // doc rank is cost-gated PrefixSum; the only other global window
+      // is the per-language offset scan over the ≤#languages-row frame
+      "q326_perplexity_buckets" -> "language-count offsets (≤~200 rows) + cost-gated rank")
     def nodes(sp: SparkPlan): Seq[SparkPlan] =
       sp.collect { case x => x }.flatMap {
         case a: AdaptiveSparkPlanExec => a +: nodes(a.inputPlan)

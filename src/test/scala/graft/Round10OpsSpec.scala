@@ -393,4 +393,25 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(2) == 2L, r.toString)
     assert(r.getDouble(3) == 1.8748, s"nll ${r.getDouble(3)}")
   }
+
+  test("perplexity buckets: per-language terciles are balanced and ordered") {
+    val rows = Queries.all("q326_perplexity_buckets")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val byB = bs.sortBy(_._2)
+      // exact ntile: bucket sizes differ by at most 1
+      val ns = byB.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$lang unbalanced: ${ns.mkString(",")}")
+      // nll envelopes are non-overlapping in bucket order (ties allowed)
+      byB.sliding(2).foreach {
+        case Array(a, b) =>
+          // a tie spanning the boundary makes them equal, never inverted
+          assert(a._5 <= b._4,
+            s"$lang: ${a._2} max ${a._5} vs ${b._2} min ${b._4}")
+        case _ => ()
+      }
+    }
+  }
 }
