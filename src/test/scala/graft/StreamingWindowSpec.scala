@@ -369,4 +369,19 @@ class StreamingWindowSpec extends SparkSpec {
     assert(tws == batch,
       s"streaming tws (${tws.size} rows) != batch (${batch.size} rows)")
   }
+
+  test("q327: stream-static broadcast enrichment converges to the batch join at sf0.001") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, round, sum}
+    val streamed = Queries.all("q327_stream_static_enrich")(spark, sf()).collect().toSeq
+    val dir = sf()
+    val batch = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("n_name").collect().toSeq
+    assert(streamed == batch, s"streamed=${streamed.take(3)} batch=${batch.take(3)}")
+  }
 }
