@@ -8696,6 +8696,185 @@ object Queries {
     s.table(table).orderBy("n_name")
   }
 
+  /** Stream-stream LEFT OUTER interval join, ORACLE-JUDGED as a real
+    * streaming query — the missing rung of the stream-join matrix
+    * (q213 is the batch form + the INNER streaming execution;
+    * StreamingWindowSpec pins outer-row eviction on MemoryStreams;
+    * this promotes the outer surface to the DuckDB gate). Clicks and
+    * purchases stream from two staged topics; each click left-joins
+    * purchases by the same user within [cts, cts+30min). A null-
+    * extended row may only emit once the watermark PROVES no matching
+    * purchase can still arrive — the state-eviction path an inner join
+    * never exercises. A far-future sentinel row on BOTH topics (global
+    * max ts + 2h; the q324 pattern, and both topics need one because
+    * the query watermark is the MIN across inputs) drives the final
+    * watermark past every real click's expiry so AvailableNow's
+    * closing no-data micro-batch flushes every unmatched click; the
+    * sentinels' own rows (user_id < 0, and the sentinel click's expiry
+    * sits past the final watermark) never emit and are filtered from
+    * the aggregation regardless. Scale shape: the join is an EQUI-join
+    * on user_id with the time bound as residual (co-partitioned state
+    * on both sides, never a cross product), per-key state bounded by
+    * the 30-minute interval + watermark eviction; the post-drain
+    * rollup is one bounded campaign-grain aggregate.
+    */
+  def q328_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val gmx = ev.agg(max(col("ts")).as("gmx"))
+    val cSchema = clicks.schema
+    val pSchema = purchases.schema
+    val cDir = stagedParquet(s"sojc|$dir") { d =>
+      clicks.unionByName(gmx.select(lit(-1L).as("user_id"),
+          lit(null).cast("long").as("campaign"),
+          (col("gmx") + expr("INTERVAL 2 HOURS")).as("cts")))
+        .write.mode("overwrite").parquet(d)
+    }
+    val pDir = stagedParquet(s"sojp|$dir") { d =>
+      purchases.unionByName(gmx.select(lit(-2L).as("p_user"),
+          (col("gmx") + expr("INTERVAL 2 HOURS")).as("pts"),
+          lit(0.0).as("value")))
+        .write.mode("overwrite").parquet(d)
+    }
+    val n = Queries.twsRuns.incrementAndGet()
+    val table = s"graft_soj_$n"
+    val cs = s.readStream.schema(cSchema).parquet(cDir)
+      .withWatermark("cts", "0 seconds")
+    val ps = s.readStream.schema(pSchema).parquet(pDir)
+      .withWatermark("pts", "0 seconds")
+    val joined = cs.join(ps,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_soj_ckpt_").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(table).filter(col("user_id") >= 0)
+      .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
+      .agg(count(col("pts")).as("n_pairs"),
+        count(when(col("pts").isNull, lit(1))).as("n_unmatched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .orderBy("campaign")
+  }
+
+  /** Length-grouped batching for training (the padding-waste
+    * minimizer every LLM data loader runs): pack docs into fixed-size
+    * batches of B=32 in TOKEN-LENGTH order vs naive arrival order, and
+    * report the padded-token bill for each — a batch pads every member
+    * to its longest doc, so grouping similar lengths is the classic
+    * free lunch (length-sorted waste is provably ≤ any other grouping
+    * into equal batches of the same order type). Both global orders
+    * ride the cost-based PrefixSum.globalRank (never a raw
+    * single-partition window); batch membership is pure integer
+    * arithmetic on the rank, and the per-batch max/sum aggregate
+    * shuffles on the n/B-cardinality batch key. Complements
+    * q55_pack_chunks (greedy token packing into a fixed context) —
+    * this is the padded-batch regime, that one the packed-sequence
+    * regime.
+    */
+  def q329_length_batching(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val b = 32
+    val docs = tWide(s, dir, "documents").select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n_tok"))
+    def packCost(ordered: DataFrame, strategy: String): DataFrame =
+      ordered.withColumn("batch", expr(s"(r - 1) div $b"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nb"), max("n_tok").as("mx"),
+          sum("n_tok").as("tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("nb") * col("mx")).as("padded_tokens"),
+          sum(col("tok")).as("real_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("padded_tokens"), col("real_tokens"),
+          round((col("padded_tokens") - col("real_tokens")) * lit(100.0) /
+            col("padded_tokens"), 2).as("waste_pct"))
+    packCost(PrefixSum.globalRank(docs, Seq("n_tok", "doc_id"), "r"),
+        "1_length_sorted")
+      .unionByName(
+        packCost(PrefixSum.globalRank(docs, Seq("doc_id"), "r"), "2_arrival"))
+      .orderBy("strategy")
+  }
+
+  /** Temperature-based epoch mixing, MATERIALIZED (q211 computes the
+    * α=0.5 sampling weights; this actually builds the epoch-expanded
+    * training list those weights imply): each language's integer
+    * repeat factor is ceil(upsample) capped to [1,4] — low-resource
+    * languages repeat across epochs, the head language runs once —
+    * and every (doc, epoch) copy gets a deterministic interleave key
+    * from modular arithmetic (doc_id·1000003 + epoch·7919 mod 1e9+7:
+    * hash-free so both engines agree bit-for-bit, uniform enough to
+    * shard the training order without a global shuffle). Expansion is
+    * a codegen explode(sequence(1, rep)) against a BROADCAST
+    * ≤#languages-row factor table — the fact never shuffles to
+    * expand; the audit rollup is one language-grain aggregate.
+    * key_checksum sums keys mod 1e9+7 (exact here; a 100 TB run
+    * would fold the mod into a custom Aggregator's update — the
+    * repo's TopKAgg pattern — before the sum overflows).
+    */
+  def q330_epoch_mix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tWide(s, dir, "documents").select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"),
+      sum(col("n_docs")).as("n"))
+    val reps = counts.crossJoin(broadcast(z))
+      .withColumn("rep", least(lit(4L), greatest(lit(1L),
+        ceil((sqrt(col("n_docs")) / col("z")) /
+          (col("n_docs") / col("n"))))))
+      .select("lang", "n_docs", "rep")
+    docs.join(broadcast(reps), "lang")
+      .select(col("lang"), col("n_docs"), col("rep"), col("doc_id"),
+        explode(sequence(lit(1L), col("rep"))).as("epoch"))
+      .withColumn("k",
+        (col("doc_id") * lit(1000003L) + col("epoch") * lit(7919L))
+          % lit(1000000007L))
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"), max("rep").as("repeat_factor"),
+        count(lit(1)).as("n_expanded"),
+        min("k").as("min_key"), max("k").as("max_key"),
+        (sum("k") % lit(1000000007L)).as("key_checksum"))
+      .orderBy("lang")
+  }
+
+  /** Deep-hierarchy subtree rollup WITHOUT iteration or recursion:
+    * the decimal-digit tree over custkeys (parent = key div 10 — a
+    * contiguous key range makes every ancestor a real node) is rolled
+    * up by PATH ENUMERATION — each row explodes its own ≤7-element
+    * ancestor chain from pure arithmetic (key div 10^i, codegen'd,
+    * no join at all), so one explode + one groupBy computes every
+    * node's full subtree sum in a single shuffle where the textbook
+    * recursive-CTE / iterative-join plan needs depth rounds. This is
+    * the org-chart / category-tree rollup shape; the fixed fan-out is
+    * what licenses the closed-form chain (arbitrary graphs take the
+    * q165/q230 iterative route). Balances stay exact integer cents
+    * (q141's rule). Output is the depth-grain profile: node count,
+    * total descendant slots, max and total subtree cents per level —
+    * bounded at 7 rows however large the key space grows.
+    */
+  def q331_hierarchy_rollup(s: SparkSession, dir: String): DataFrame = {
+    val contrib = t(s, dir, "customer").selectExpr(
+        "cast(round(c_acctbal * 100, 0) as bigint) AS cents",
+        "explode(filter(transform(array(1, 10, 100, 1000, 10000, 100000, " +
+          "1000000), d -> c_custkey div d), a -> a >= 1)) AS node")
+    val sub = contrib.groupBy("node")
+      .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
+    sub.groupBy(length(col("node").cast("string")).cast("long").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"), sum("n_desc").as("n_desc_total"),
+        max("subtree_cents").as("max_subtree_cents"),
+        sum("subtree_cents").as("total_cents"))
+      .orderBy("depth")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing"   -> (q01_agg_pricing _),
     "q02_join_broadcast" -> (q02_join_broadcast _),
@@ -9024,6 +9203,10 @@ object Queries {
     "q325_ngram_perplexity" -> (q325_ngram_perplexity _),
     "q326_perplexity_buckets" -> (q326_perplexity_buckets _),
     "q327_stream_static_enrich" -> (q327_stream_static_enrich _),
+    "q328_stream_outer_join" -> (q328_stream_outer_join _),
+    "q329_length_batching" -> (q329_length_batching _),
+    "q330_epoch_mix"    -> (q330_epoch_mix _),
+    "q331_hierarchy_rollup" -> (q331_hierarchy_rollup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13651,5 +13834,75 @@ object Queries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q328_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
+        |             ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT coalesce(campaign, -1) AS campaign,
+        |  count(pts)::BIGINT AS n_pairs,
+        |  count(CASE WHEN pts IS NULL THEN 1 END)::BIGINT AS n_unmatched,
+        |  round(sum(coalesce(value, 0)), 2) AS total_value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q329_length_batching" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> ''))::BIGINT AS n_tok
+        |  FROM documents),
+        |r1 AS (SELECT n_tok,
+        |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch
+        |  FROM d),
+        |r2 AS (SELECT n_tok,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+        |  FROM d),
+        |b1 AS (SELECT batch, count(*)::BIGINT AS nb, max(n_tok) AS mx,
+        |    sum(n_tok)::BIGINT AS tok FROM r1 GROUP BY 1),
+        |b2 AS (SELECT batch, count(*)::BIGINT AS nb, max(n_tok) AS mx,
+        |    sum(n_tok)::BIGINT AS tok FROM r2 GROUP BY 1),
+        |s1 AS (SELECT '1_length_sorted' AS strategy,
+        |    count(*)::BIGINT AS n_batches, sum(nb * mx)::BIGINT AS padded_tokens,
+        |    sum(tok)::BIGINT AS real_tokens FROM b1),
+        |s2 AS (SELECT '2_arrival' AS strategy,
+        |    count(*)::BIGINT AS n_batches, sum(nb * mx)::BIGINT AS padded_tokens,
+        |    sum(tok)::BIGINT AS real_tokens FROM b2)
+        |SELECT strategy, n_batches, padded_tokens, real_tokens,
+        |  round((padded_tokens - real_tokens) * 100.0 / padded_tokens, 2)
+        |    AS waste_pct
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY strategy""".stripMargin,
+    "q330_epoch_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs)::BIGINT AS n FROM c),
+        |r AS (SELECT lang, n_docs,
+        |    least(4, greatest(1, ceil((sqrt(n_docs) / z.z) /
+        |      (n_docs::DOUBLE / z.n))::BIGINT)) AS rep
+        |  FROM c CROSS JOIN z),
+        |e AS (SELECT d.lang, r.n_docs, r.rep, d.doc_id,
+        |    unnest(range(1, r.rep + 1)) AS epoch
+        |  FROM documents d JOIN r USING (lang)),
+        |k AS (SELECT lang, n_docs, rep,
+        |    (doc_id * 1000003 + epoch * 7919) % 1000000007 AS k FROM e)
+        |SELECT lang, max(n_docs) AS n_docs, max(rep) AS repeat_factor,
+        |  count(*)::BIGINT AS n_expanded, min(k) AS min_key, max(k) AS max_key,
+        |  (sum(k) % 1000000007)::BIGINT AS key_checksum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q331_hierarchy_rollup" ->
+      """WITH a AS (SELECT round(c_acctbal * 100, 0)::BIGINT AS cents,
+        |    unnest(list_filter([c_custkey // 1, c_custkey // 10,
+        |      c_custkey // 100, c_custkey // 1000, c_custkey // 10000,
+        |      c_custkey // 100000, c_custkey // 1000000],
+        |      x -> x >= 1)) AS node
+        |  FROM customer),
+        |n AS (SELECT node, count(*)::BIGINT AS n_desc,
+        |    sum(cents)::BIGINT AS subtree_cents
+        |  FROM a GROUP BY 1)
+        |SELECT length(node::VARCHAR)::BIGINT AS depth,
+        |  count(*)::BIGINT AS n_nodes, sum(n_desc)::BIGINT AS n_desc_total,
+        |  max(subtree_cents) AS max_subtree_cents,
+        |  sum(subtree_cents)::BIGINT AS total_cents
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

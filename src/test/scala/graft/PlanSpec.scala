@@ -217,7 +217,10 @@ class PlanSpec extends SparkSpec {
       "q316_isotonic_calibration",
       // q325/q326: 1-row broadcast (N, V) LM normalizer onto the
       // scoring frame (q145's pattern; q326 composes q325)
-      "q325_ngram_perplexity", "q326_perplexity_buckets")
+      "q325_ngram_perplexity", "q326_perplexity_buckets",
+      // q330: 1-row broadcast (Z, N) temperature normalizer onto the
+      // ≤#languages-row factor frame (q211's pattern)
+      "q330_epoch_mix")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
@@ -253,7 +256,7 @@ class PlanSpec extends SparkSpec {
       "q270_qq_deciles", "q281_token_coverage", "q284_sort_advisor",
       "q286_delta_bitwidth", "q289_info_gain_split", "q292_codec_advisor",
       "q295_mood_median", "q302_fdr_bh", "q307_blocking_quality",
-      "q308_kruskal_wallis")
+      "q308_kruskal_wallis", "q329_length_batching")
     // (b) BOUNDED-GRAIN: the window input is aggregated to a frame
     //     whose cardinality is fixed by construction — day-grain series
     //     (bounded by the calendar span, ~365 rows/yr at ANY corpus

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground truth for the q328-q331 additions: the streaming LEFT OUTER
+  * join checked against its own batch form (the eviction-completeness
+  * claim — every unmatched click must flush before AvailableNow
+  * drains), batching/mixing invariants that hold by construction at
+  * any SF, and the hierarchy rollup hand-computed on an engineered
+  * 25-key decimal tree.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- q328 stream outer join -----------------------------------------
+
+  test("stream outer join: streaming result equals the batch left join (all outer rows flushed)") {
+    val dir = sf()
+    val streamed = Queries.all("q328_stream_outer_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") && col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
+      .agg(count(col("pts")).as("n_pairs"),
+        count(when(col("pts").isNull, lit(1))).as("n_unmatched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"streaming vs batch outer join diverged:\n missing=${batch -- streamed}\n extra=${streamed -- batch}")
+    // the outer path actually fired: at least one campaign has
+    // unmatched clicks in this data
+    assert(streamed.exists(_._3 > 0), "no unmatched click emitted — " +
+      "the watermark-eviction path was not exercised")
+  }
+
+  // ---- q329 length batching -------------------------------------------
+
+  test("length batching: sorted order never pads more than arrival order; batch counts agree") {
+    val rows = Queries.all("q329_length_batching")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (nbS, padS, realS, wasteS) = rows("1_length_sorted")
+    val (nbA, padA, realA, wasteA) = rows("2_arrival")
+    assert(nbS == nbA, "same corpus, same B => same batch count")
+    assert(realS == realA, "real token mass is order-invariant")
+    assert(padS >= realS && padA >= realA, "padding can only add")
+    // the defining guarantee: grouping similar lengths cannot lose
+    assert(padS <= padA,
+      s"length-sorted padded $padS > arrival padded $padA")
+    assert(wasteS >= 0.0 && wasteS <= wasteA && wasteA < 100.0)
+  }
+
+  // ---- q330 epoch mix --------------------------------------------------
+
+  test("epoch mix: expansion = n_docs * repeat, factors in [1,4] and monotone in corpus size") {
+    val rows = Queries.all("q330_epoch_mix")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, rep, nExp, mn, mx, ck) =>
+      assert(rep >= 1 && rep <= 4, s"$lang repeat $rep out of [1,4]")
+      assert(nExp == nDocs * rep, s"$lang expansion $nExp != $nDocs*$rep")
+      assert(mn >= 0 && mx < 1000000007L && ck >= 0 && ck < 1000000007L,
+        s"$lang interleave keys escaped the modulus")
+    }
+    // upsample = N / (Z * sqrt(n)) is strictly decreasing in n, so the
+    // capped ceil is non-increasing as corpora grow
+    val byN = rows.sortBy(_._2)
+    byN.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3,
+        s"repeat factor must not grow with corpus size: $a then $b")
+      case _ => ()
+    }
+  }
+
+  // ---- q331 hierarchy rollup ------------------------------------------
+
+  test("hierarchy rollup: hand-computed 25-key decimal tree") {
+    val dir = tmp("graft_tree_")
+    // custkeys 1..25, acctbal = key. Depth-1 nodes 1..9; depth-2 nodes
+    // 10..25. Subtrees: node 1 = {1, 10..19} (sum 146), node 2 =
+    // {2, 20..25} (sum 137), nodes 3..9 = singletons.
+    (1 to 25).map(k => (k.toLong, k.toDouble)).toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = Queries.all("q331_hierarchy_rollup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      // depth, n_nodes, n_desc_total, max_subtree_cents, total_cents
+      (1L, 9L, 25L, 14600L, 32500L),
+      (2L, 16L, 16L, 2500L, 28000L)),
+      s"got ${rows.toSeq}")
+  }
+}

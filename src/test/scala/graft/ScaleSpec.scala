@@ -180,4 +180,31 @@ class ScaleSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("hierarchy rollup over 1M contiguous keys matches the closed-form depth profile") {
+    // Contiguous keys 1..N make the decimal tree's profile pure
+    // combinatorics: depth-d node count = #d-digit numbers ≤ N,
+    // descendant slots = #keys with ≥ d digits = N - (10^(d-1) - 1),
+    // and the max subtree at depth d ≤ 6 belongs to node 10^(d-1)
+    // (repunit-sized prefix range, +1 for the 7-digit key 10^6).
+    // cents = 1/row turns subtree sums into subtree sizes, so every
+    // output cell is closed-form — at 7M exploded path rows the
+    // single-shuffle path-enumeration claim is exercised for real.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tree1m_").toString
+    spark.range(1, 1000001)
+      .select(col("id").as("c_custkey"), lit(0.01).as("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = Queries.all("q331_hierarchy_rollup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 9L, 1000000L, 111112L, 1000000L),
+      (2L, 90L, 999991L, 11112L, 999991L),
+      (3L, 900L, 999901L, 1112L, 999901L),
+      (4L, 9000L, 999001L, 112L, 999001L),
+      (5L, 90000L, 990001L, 12L, 990001L),
+      (6L, 900000L, 900001L, 2L, 900001L),
+      (7L, 1L, 1L, 1L, 1L)),
+      s"got ${rows.toSeq}")
+  }
 }
