@@ -8696,30 +8696,17 @@ object Queries {
     s.table(table).orderBy("n_name")
   }
 
-  /** Stream-stream LEFT OUTER interval join, ORACLE-JUDGED as a real
-    * streaming query — the missing rung of the stream-join matrix
-    * (q213 is the batch form + the INNER streaming execution;
-    * StreamingWindowSpec pins outer-row eviction on MemoryStreams;
-    * this promotes the outer surface to the DuckDB gate). Clicks and
-    * purchases stream from two staged topics; each click left-joins
-    * purchases by the same user within [cts, cts+30min). A null-
-    * extended row may only emit once the watermark PROVES no matching
-    * purchase can still arrive — the state-eviction path an inner join
-    * never exercises. A far-future sentinel row on BOTH topics (global
-    * max ts + 2h; the q324 pattern, and both topics need one because
-    * the query watermark is the MIN across inputs) drives the final
-    * watermark past every real click's expiry so AvailableNow's
-    * closing no-data micro-batch flushes every unmatched click; the
-    * sentinels' own rows (user_id < 0, and the sentinel click's expiry
-    * sits past the final watermark) never emit and are filtered from
-    * the aggregation regardless. Scale shape: the join is an EQUI-join
-    * on user_id with the time bound as residual (co-partitioned state
-    * on both sides, never a cross product), per-key state bounded by
-    * the 30-minute interval + watermark eviction; the post-drain
-    * rollup is one bounded campaign-grain aggregate.
+  /** The click/purchase topic pair behind q328/q333: clicks and
+    * purchases re-serialized to two staged parquet topics, each
+    * carrying one far-future sentinel row (global max ts + 50 HOURS —
+    * far enough that even a 1-day tumbling window containing the last
+    * real event ends before it; both topics need one because the query
+    * watermark is the MIN across inputs), read back as 0-second-
+    * watermark file-source streams. Sentinel user_ids are negative and
+    * distinct (-1 click / -2 purchase), so sentinels never join and
+    * are trivially filtered from any downstream rollup.
     */
-  def q328_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def sojStreams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"),
@@ -8733,21 +8720,48 @@ object Queries {
     val cDir = stagedParquet(s"sojc|$dir") { d =>
       clicks.unionByName(gmx.select(lit(-1L).as("user_id"),
           lit(null).cast("long").as("campaign"),
-          (col("gmx") + expr("INTERVAL 2 HOURS")).as("cts")))
+          (col("gmx") + expr("INTERVAL 50 HOURS")).as("cts")))
         .write.mode("overwrite").parquet(d)
     }
     val pDir = stagedParquet(s"sojp|$dir") { d =>
       purchases.unionByName(gmx.select(lit(-2L).as("p_user"),
-          (col("gmx") + expr("INTERVAL 2 HOURS")).as("pts"),
+          (col("gmx") + expr("INTERVAL 50 HOURS")).as("pts"),
           lit(0.0).as("value")))
         .write.mode("overwrite").parquet(d)
     }
+    (s.readStream.schema(cSchema).parquet(cDir)
+        .withWatermark("cts", "0 seconds"),
+      s.readStream.schema(pSchema).parquet(pDir)
+        .withWatermark("pts", "0 seconds"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join, ORACLE-JUDGED as a real
+    * streaming query — the missing rung of the stream-join matrix
+    * (q213 is the batch form + the INNER streaming execution;
+    * StreamingWindowSpec pins outer-row eviction on MemoryStreams;
+    * this promotes the outer surface to the DuckDB gate). Clicks and
+    * purchases stream from two staged topics; each click left-joins
+    * purchases by the same user within [cts, cts+30min). A null-
+    * extended row may only emit once the watermark PROVES no matching
+    * purchase can still arrive — the state-eviction path an inner join
+    * never exercises. A far-future sentinel row on BOTH topics (the
+    * q324 pattern, via [[sojStreams]]) drives the final
+    * watermark past every real click's expiry so AvailableNow's
+    * closing no-data micro-batch flushes every unmatched click; the
+    * sentinels' own rows (user_id < 0, and the sentinel click's expiry
+    * sits past the final watermark) never emit and are filtered from
+    * the aggregation regardless. Scale shape: the join is an EQUI-join
+    * on user_id with the time bound as residual (co-partitioned state
+    * on both sides, never a cross product), per-key state bounded by
+    * the 30-minute interval + watermark eviction; the post-drain
+    * rollup is one bounded campaign-grain aggregate.
+    */
+  def q328_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = t(s, dir, "events")
+    val (cs, ps) = sojStreams(s, dir)
     val n = Queries.twsRuns.incrementAndGet()
     val table = s"graft_soj_$n"
-    val cs = s.readStream.schema(cSchema).parquet(cDir)
-      .withWatermark("cts", "0 seconds")
-    val ps = s.readStream.schema(pSchema).parquet(pDir)
-      .withWatermark("pts", "0 seconds")
     val joined = cs.join(ps,
       col("user_id") === col("p_user") &&
         col("pts") >= col("cts") &&
@@ -8873,6 +8887,85 @@ object Queries {
         max("subtree_cents").as("max_subtree_cents"),
         sum("subtree_cents").as("total_cents"))
       .orderBy("depth")
+  }
+
+  /** The SAME SQL text [[q331_hierarchy_rollup]] answers by arithmetic
+    * path enumeration, run through Spark 4's `WITH RECURSIVE` (the
+    * UnionLoop engine surface, new in Spark 4.x) — seed every POSITIVE
+    * key as its own descendant (q331's `a >= 1` tree domain), climb
+    * parent = floor(node/10) per level until the root. The identical
+    * text runs in DuckDB as the oracle, so one
+    * query judges BOTH the recursive-CTE surface itself and (because
+    * its output equals q331's) cross-validates recursion against the
+    * closed form. Each recursion level plans one distributed
+    * map+filter over the previous level's frame; depth is bounded by
+    * the key width (≤7 levels), never data-dependent — the shape that
+    * stays safe when the 100 TB corpus has a billion keys. (Arbitrary-
+    * fan-out graphs still take the q165/q230 iterative route; the CTE
+    * here is the SQL-user's door to the same engine.)
+    */
+  def q332_sql_recursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q332_customer")
+    s.sql(recursiveRollupSql("q332_customer"))
+  }
+
+  private[graft] def recursiveRollupSql(tbl: String): String =
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT c_custkey AS node,
+       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+       |  FROM $tbl WHERE c_custkey >= 1
+       |  UNION ALL
+       |  SELECT CAST(floor(node / 10) AS BIGINT) AS node, cents
+       |  FROM chain WHERE node >= 10),
+       |n AS (
+       |  SELECT node, count(*) AS n_desc,
+       |         CAST(sum(cents) AS BIGINT) AS subtree_cents
+       |  FROM chain GROUP BY node)
+       |SELECT CAST(length(CAST(node AS STRING)) AS BIGINT) AS depth,
+       |       count(*) AS n_nodes,
+       |       CAST(sum(n_desc) AS BIGINT) AS n_desc_total,
+       |       max(subtree_cents) AS max_subtree_cents,
+       |       CAST(sum(subtree_cents) AS BIGINT) AS total_cents
+       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CHAINED stateful streaming — stream-stream interval join feeding
+    * a windowed aggregation in ONE streaming query (the multi-stateful
+    * pipeline Spark allowed from 3.4: per-operator watermark
+    * propagation lets the join's append output be re-keyed into a
+    * 1-day tumbling event-time window downstream). Clicks⋈purchases
+    * within [cts, cts+30m) as in q328, then revenue per (day,
+    * campaign) with day = the purchase's tumbling window. In Append
+    * mode a window only emits once the watermark passes its END;
+    * [[sojStreams]]' +50h sentinels push the final watermark past even
+    * the last partial day, so AvailableNow drains every real window —
+    * and the sentinels themselves never join (distinct negative
+    * user_ids), so they influence time, never data. Hash-matched
+    * against the batch join + date_trunc oracle. State is join-bounded
+    * by the interval and agg-bounded by open windows — both
+    * watermark-evicted, both co-partitioned on their keys.
+    */
+  def q333_stream_join_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cs, ps) = sojStreams(s, dir)
+    val n = Queries.twsRuns.incrementAndGet()
+    val table = s"graft_sjw_$n"
+    val joined = cs.join(ps,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined
+      .groupBy(window(col("pts"), "1 day").as("w"),
+        coalesce(col("campaign"), lit(-1L)).as("campaign"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("day"), col("campaign"),
+        col("n_pairs"), col("total_value"))
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_sjw_ckpt_").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(table).orderBy("day", "campaign")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9207,6 +9300,8 @@ object Queries {
     "q329_length_batching" -> (q329_length_batching _),
     "q330_epoch_mix"    -> (q330_epoch_mix _),
     "q331_hierarchy_rollup" -> (q331_hierarchy_rollup _),
+    "q332_sql_recursive" -> (q332_sql_recursive _),
+    "q333_stream_join_window" -> (q333_stream_join_window _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -13904,5 +13999,18 @@ object Queries {
         |  max(subtree_cents) AS max_subtree_cents,
         |  sum(subtree_cents)::BIGINT AS total_cents
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q332_sql_recursive" -> recursiveRollupSql("customer"),
+    "q333_stream_join_window" ->
+      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
+        |             ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT date_trunc('day', pts) AS day,
+        |  coalesce(campaign, -1) AS campaign,
+        |  count(*)::BIGINT AS n_pairs,
+        |  round(sum(value), 2) AS total_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

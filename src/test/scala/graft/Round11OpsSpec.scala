@@ -87,6 +87,47 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q332 recursive CTE ---------------------------------------------
+
+  test("recursive CTE rollup equals the closed-form path enumeration, and really plans UnionLoop") {
+    val rec = Queries.all("q332_sql_recursive")(spark, sf())
+    val closed = Queries.all("q331_hierarchy_rollup")(spark, sf())
+    assert(rec.collect().toSeq == closed.collect().toSeq,
+      "recursion and arithmetic path enumeration must agree")
+    val plan = rec.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      s"expected the recursive-CTE UnionLoop surface in the plan:\n$plan")
+  }
+
+  // ---- q333 chained stateful streaming --------------------------------
+
+  test("stream join + windowed agg: chained stateful streaming equals the batch rollup") {
+    val dir = sf()
+    val streamed = Queries.all("q333_stream_join_window")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") && col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(date_trunc("day", col("pts")).as("day"),
+        coalesce(col("campaign"), lit(-1L)).as("campaign"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("value"), 2).as("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"chained stateful streaming diverged:\n missing=${batch -- streamed}\n extra=${streamed -- batch}")
+    assert(streamed.map(_._1).size > 1,
+      "expected multiple day windows — the window state path was not exercised")
+  }
+
   // ---- q331 hierarchy rollup ------------------------------------------
 
   test("hierarchy rollup: hand-computed 25-key decimal tree") {
