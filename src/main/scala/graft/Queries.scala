@@ -8760,19 +8760,23 @@ object Queries {
     import org.apache.spark.sql.streaming.Trigger
     val ev = t(s, dir, "events")
     val (cs, ps) = sojStreams(s, dir)
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_soj_$n"
     val joined = cs.join(ps,
       col("user_id") === col("p_user") &&
         col("pts") >= col("cts") &&
         col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
-    val q = joined.writeStream.format("memory").queryName(table)
+    // The join output is FACT-grain (every click row) — it goes to a
+    // distributed file sink, never a driver-side memory table; only
+    // the bounded campaign rollup below is ever collected.
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_soj_out_").toString
+    val q = joined.writeStream.format("parquet")
+      .option("path", outDir)
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("graft_soj_ckpt_").toString)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(table).filter(col("user_id") >= 0)
+    s.read.parquet(outDir).filter(col("user_id") >= 0)
       .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
       .agg(count(col("pts")).as("n_pairs"),
         count(when(col("pts").isNull, lit(1))).as("n_unmatched"),
