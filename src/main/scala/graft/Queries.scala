@@ -8489,7 +8489,9 @@ object Queries {
     * `StatefulSessions.SessionProcessor` (`transformWithState`, typed
     * ValueState + explicit event-time timers, RocksDB-backed) running
     * as a REAL streaming query — file-source micro-batch over the
-    * events table, memory sink — and hash-matched against q29's
+    * events table, distributed parquet sink (session rows are
+    * user-grain — q328's no-driver-materialization rule) — and
+    * hash-matched against q29's
     * gaps-and-islands SQL oracle. A per-user far-future sentinel event
     * (global max ts + gap + 1h, value 0) rides the stream so every
     * REAL session closes through the event path and emits in Append
@@ -8514,8 +8516,11 @@ object Queries {
     val stageDir = stagedParquet(s"tws|$dir") { d =>
       ev.toDF().unionByName(sentinels).write.mode("overwrite").parquet(d)
     }
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_tws_sessions_$n"
+    // Session rows are USER-grain (unbounded at corpus scale) — they
+    // land in a distributed file sink, never a driver-side memory
+    // table (q328's rule); the judged frame reads back from parquet.
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_tws_out_").toString
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -8525,7 +8530,8 @@ object Queries {
           .product[StatefulSessions.SEvent])
         .withWatermark("ts", "0 seconds")
       val q = StatefulSessions.sessionizeStreamTws(stream, gapUs)
-        .writeStream.format("memory").queryName(table)
+        .writeStream.format("parquet")
+        .option("path", outDir)
         .option("checkpointLocation", java.nio.file.Files
           .createTempDirectory("graft_tws_ckpt_").toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -8538,7 +8544,7 @@ object Queries {
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    s.table(table)
+    s.read.parquet(outDir)
       .select(col("key").as("user_id"),
         timestamp_micros(col("startUs")).as("s_start"),
         col("n_events"), round(col("total"), 2).as("total"))
@@ -8835,10 +8841,9 @@ object Queries {
     * shard the training order without a global shuffle). Expansion is
     * a codegen explode(sequence(1, rep)) against a BROADCAST
     * ≤#languages-row factor table — the fact never shuffles to
-    * expand; the audit rollup is one language-grain aggregate.
-    * key_checksum sums keys mod 1e9+7 (exact here; a 100 TB run
-    * would fold the mod into a custom Aggregator's update — the
-    * repo's TopKAgg pattern — before the sum overflows).
+    * expand; the audit rollup is a two-level language-grain aggregate
+    * whose checksum folds the modulus at both levels (overflow-proof
+    * at any corpus size — see the inline note).
     */
   def q330_epoch_mix(s: SparkSession, dir: String): DataFrame = {
     val docs = tWide(s, dir, "documents").select("doc_id", "lang")
@@ -8850,17 +8855,26 @@ object Queries {
         ceil((sqrt(col("n_docs")) / col("z")) /
           (col("n_docs") / col("n"))))))
       .select("lang", "n_docs", "rep")
+    // Two-LEVEL mod reduction for the checksum: a single sum(k) % M
+    // overflows Long once a group exceeds ~9.2e9 copies (real at
+    // 100 TB). Level 1 folds the mod inside 1024 shards per language
+    // (map-side combined; each partial < M), level 2 sums ≤1024
+    // partials (< 1024·M ≪ 2^63) — exact at any scale, pure built-ins.
+    val m = lit(1000000007L)
     docs.join(broadcast(reps), "lang")
       .select(col("lang"), col("n_docs"), col("rep"), col("doc_id"),
         explode(sequence(lit(1L), col("rep"))).as("epoch"))
       .withColumn("k",
-        (col("doc_id") * lit(1000003L) + col("epoch") * lit(7919L))
-          % lit(1000000007L))
+        (col("doc_id") * lit(1000003L) + col("epoch") * lit(7919L)) % m)
+      .groupBy(col("lang"), (col("doc_id") % 1024).as("shard"))
+      .agg(max("n_docs").as("n_docs"), max("rep").as("rep"),
+        count(lit(1)).as("cnt"), min("k").as("mn"), max("k").as("mx"),
+        (sum("k") % m).as("psum"))
       .groupBy("lang")
       .agg(max("n_docs").as("n_docs"), max("rep").as("repeat_factor"),
-        count(lit(1)).as("n_expanded"),
-        min("k").as("min_key"), max("k").as("max_key"),
-        (sum("k") % lit(1000000007L)).as("key_checksum"))
+        sum("cnt").as("n_expanded"),
+        min("mn").as("min_key"), max("mx").as("max_key"),
+        (sum("psum") % m).as("key_checksum"))
       .orderBy("lang")
   }
 
@@ -8931,6 +8945,34 @@ object Queries {
        |       max(subtree_cents) AS max_subtree_cents,
        |       CAST(sum(subtree_cents) AS BIGINT) AS total_cents
        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Correlated LATERAL subquery through the SQL surface (the other
+    * Spark-4 SQL door next to q332's recursion): top-3 customers by
+    * balance PER NATION written as `FROM nation, LATERAL (SELECT …
+    * WHERE correlated ORDER BY … LIMIT 3)` — the form every
+    * SQL-first user reaches for before learning window functions.
+    * The IDENTICAL text runs in DuckDB as the oracle. Catalyst
+    * DECORRELATES the per-row subquery into a set-based plan (rank
+    * under the hood) rather than executing it per outer row — which
+    * is exactly why the surface is safe to expose; with a
+    * low-cardinality outer like nation the composed per-group top-k
+    * (q146's TopKAgg) remains the hand-tuned alternative. No
+    * arithmetic in the output, so raw parquet doubles compare
+    * bit-for-bit with ties broken by key.
+    */
+  def q334_lateral_topk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("q334_nation")
+    t(s, dir, "customer").createOrReplaceTempView("q334_customer")
+    s.sql(lateralTopkSql("q334_nation", "q334_customer"))
+  }
+
+  private[graft] def lateralTopkSql(nation: String, customer: String): String =
+    s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+       |FROM $nation n, LATERAL (
+       |  SELECT c_custkey, c_acctbal FROM $customer c
+       |  WHERE c.c_nationkey = n.n_nationkey
+       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
   /** CHAINED stateful streaming — stream-stream interval join feeding
     * a windowed aggregation in ONE streaming query (the multi-stateful
@@ -9306,6 +9348,7 @@ object Queries {
     "q331_hierarchy_rollup" -> (q331_hierarchy_rollup _),
     "q332_sql_recursive" -> (q332_sql_recursive _),
     "q333_stream_join_window" -> (q333_stream_join_window _),
+    "q334_lateral_topk" -> (q334_lateral_topk _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14016,5 +14059,6 @@ object Queries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q334_lateral_topk" -> lateralTopkSql("nation", "customer"),
   )
 }

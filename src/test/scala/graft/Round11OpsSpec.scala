@@ -99,6 +99,37 @@ class Round11OpsSpec extends SparkSpec {
       s"expected the recursive-CTE UnionLoop surface in the plan:\n$plan")
   }
 
+  // ---- q334 lateral top-k ---------------------------------------------
+
+  test("lateral top-k: Catalyst decorrelates to a partitioned rank, never a per-row loop") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = Queries.all("q334_lateral_topk")(spark, sf())
+    val p = df.queryExecution.executedPlan
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"lateral subquery executed as a per-row loop:\n$s")
+    def nodes(sp: SparkPlan): Seq[SparkPlan] =
+      sp.collect { case x => x }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.inputPlan)
+        case x => Seq(x)
+      }
+    // The LIMIT-3-per-nation shape must surface as a rank computation
+    // partitioned on the correlation key (WindowGroupLimit is Spark's
+    // optimized form; a partitioned WindowExec is the general one).
+    val ranked = nodes(p).exists {
+      case _: WindowGroupLimitExec => true
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.nonEmpty
+      case _ => false
+    }
+    assert(ranked, s"expected a partitioned rank/group-limit in:\n$s")
+    // and the result is really top-3 per nation
+    val rows = df.collect()
+    assert(rows.groupBy(_.getString(0)).forall(_._2.length <= 3))
+  }
+
   // ---- q333 chained stateful streaming --------------------------------
 
   test("stream join + windowed agg: chained stateful streaming equals the batch rollup") {
