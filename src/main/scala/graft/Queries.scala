@@ -8974,6 +8974,39 @@ object Queries {
        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
+  /** Cross-corpus NEAR-DUP decontamination (the Dolma/RefinedWeb step
+    * q49's exact n-gram overlap can't do): training docs that
+    * near-duplicate any benchmark doc at shingle-Jaccard ≥ 0.5, found
+    * by the ASYMMETRIC LSH band join ([[Dedup.minhashLshPairsCross]]) —
+    * benchmark bands probe training bands only, so candidates scale
+    * with |benchmark|·collisions instead of |train|² (a paraphrased or
+    * lightly-edited test document sails through exact-match decon;
+    * MinHash catches it). The benchmark set is the deterministic
+    * doc_id % 10 == 5 slice — a 10% eval holdout that the planted
+    * near-dup pairs actually straddle at every SF (q49's %97 slice
+    * misses all of them, which would judge an empty frame). Output is
+    * the curation report:
+    * per-source contaminated-doc and pair counts. The exact all-pairs
+    * SQL oracle is safe for the same reason as q23: planted near-dups
+    * sit at jaccard ≥ 0.9 with nothing in (0.1, 0.9), so LSH recall
+    * here is 1 − ~1e-11.
+    */
+  def q336_lsh_decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = tWide(s, dir, "documents")
+    val pairs = operators.Dedup.minhashLshPairsCross(
+      docs.filter(col("doc_id") % 10 === 5),
+      docs.filter(col("doc_id") % 10 =!= 5),
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+      threshold = 0.5)
+    pairs
+      .join(t(s, dir, "documents").select(col("doc_id").as("id_r"), col("source")),
+        Seq("id_r"))
+      .groupBy("source")
+      .agg(countDistinct(col("id_r")).as("n_contaminated"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("source")
+  }
+
   /** SQL pipe-operator syntax (`|>`, new in Spark 4.0 — SPARK-49555):
     * the linear FROM → WHERE → AGGREGATE → ORDER BY form that reads
     * in dataflow order instead of inside-out SQL. Semantically
@@ -9370,6 +9403,7 @@ object Queries {
     "q333_stream_join_window" -> (q333_stream_join_window _),
     "q334_lateral_topk" -> (q334_lateral_topk _),
     "q335_sql_pipe"     -> (q335_sql_pipe _),
+    "q336_lsh_decontamination" -> (q336_lsh_decontamination _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14086,5 +14120,24 @@ object Queries {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q336_lsh_decontamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM d WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT b.doc_id AS bench_id, t.doc_id AS train_id, t.source
+        |  FROM s b, s t
+        |  WHERE b.doc_id % 10 = 5 AND t.doc_id % 10 <> 5
+        |    AND len(list_intersect(b.sh, t.sh))::DOUBLE /
+        |        (len(b.sh) + len(t.sh) - len(list_intersect(b.sh, t.sh))) >= 0.5)
+        |SELECT source, count(DISTINCT train_id)::BIGINT AS n_contaminated,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM pairs GROUP BY source ORDER BY source""".stripMargin,
   )
 }

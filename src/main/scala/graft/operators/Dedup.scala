@@ -122,6 +122,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus MinHash-LSH pairs: LEFT (e.g. a benchmark/eval set)
+    * against RIGHT (the training corpus) — the decontamination join
+    * (Dolma/RefinedWeb-style): which right-side docs near-duplicate
+    * ANY left-side doc. Identical banding/candidates-first discipline
+    * to [[minhashLshPairs]], but the band join is ASYMMETRIC — left
+    * bands join right bands only, so candidate count scales with
+    * |left|·collisions, never |right|² (the self-join would spend
+    * almost all its work on right×right pairs this caller discards).
+    * Both sides' hashed-shingle frames persist for the re-rank joins;
+    * CALLER RELEASES THE CACHE (the [[minhashLshPairs]] contract).
+    *
+    * @return (id_l, id_r, jaccard) — one row per cross pair at or
+    *         above the threshold
+    */
+  def minhashLshPairsCross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val hashed = df
+        .select(col(idCol).as("id"),
+          graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
+        .filter(size(col("hs")) >= 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = hashed
+        .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
+        .select(col("id"),
+          explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      (hashed, banded)
+    }
+    val (hashedL, bandedL) = prep(left)
+    val (hashedR, bandedR) = prep(right)
+    val cand = bandedL.select(col("band_key"), col("id").as("id_l"))
+      .join(bandedR.select(col("band_key"), col("id").as("id_r")), Seq("band_key"))
+      .select("id_l", "id_r")
+      .dropDuplicates("id_l", "id_r")
+    cand
+      .join(hashedL.select(col("id").as("id_l"), col("hs").as("sh_l")), Seq("id_l"))
+      .join(hashedR.select(col("id").as("id_r"), col("hs").as("sh_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        round(jaccard(col("sh_l"), col("sh_r")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: candidates share one of four 16-bit
     * fingerprint quadrants (any pair within Hamming distance <= 3 must
     * agree on at least one quadrant — pigeonhole), verified by exact

@@ -169,6 +169,26 @@ class Round11OpsSpec extends SparkSpec {
       "expected multiple day windows — the window state path was not exercised")
   }
 
+  // ---- q336 cross-corpus LSH decontamination ---------------------------
+
+  test("lsh decontamination: planted cross-split near-dups flagged, clean doc untouched") {
+    val dir = tmp("graft_decon_")
+    // doc 5 is the benchmark slice (5 % 10 == 5). doc 2 copies it
+    // exactly (j=1), doc 3 shares 5 of 7 distinct 3-shingles
+    // (j = 5/7 ≈ 0.71 ≥ 0.5), doc 1 is unrelated (j = 0).
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (5L, a, "en", "bench", a.length.toLong),
+      (1L, "one two three four five six seven eight", "en", "web", 40L),
+      (2L, a, "en", "books", a.length.toLong),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota", "en", "web", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Queries.all("q336_lsh_decontamination")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("books", 1L, 1L), ("web", 1L, 1L)), s"got $rows")
+  }
+
   // ---- q331 hierarchy rollup ------------------------------------------
 
   test("hierarchy rollup: hand-computed 25-key decimal tree") {
