@@ -9007,6 +9007,54 @@ object Queries {
       .orderBy("source")
   }
 
+  /** ENGINE-NATIVE runtime bloom-filter join injection (Catalyst's
+    * InjectRuntimeFilter — the planner-side answer to q169's manual
+    * BloomJoin, the row-level sibling of q314's partition-level DPP):
+    * with a selective predicate on the small creation side of a
+    * shuffle join, the optimizer plants a bloom_filter_agg subquery on
+    * that side and a BloomFilterMightContain probe BELOW the fact
+    * scan's shuffle, so most non-matching fact rows exit before the
+    * exchange. Threshold confs are lowered to make the 10 GB-scale
+    * rule fire at test SF (conf-wrapped and restored, q324's pattern);
+    * the plan really carrying the probe is pinned in Round11OpsSpec.
+    * The ≤3-row flag aggregate is collected INSIDE the wrap so the
+    * judged run executes the bloom plan (bounded collect — the
+    * advisor-query pattern), then rehydrated as the result frame.
+    * Bloom injection is semantics-preserving, which the plain-join
+    * DuckDB oracle proves.
+    */
+  def q337_runtime_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keep.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keep.foreach { case (k, v) => s.conf.set(k, v) }
+      val agg = runtimeBloomAgg(s, dir)
+      val rows = agg.collect() // ≤3 return flags — bounded by construction
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The join q337 wraps (shared with its plan-assertion spec). */
+  private[graft] def runtimeBloomAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** SQL pipe-operator syntax (`|>`, new in Spark 4.0 — SPARK-49555):
     * the linear FROM → WHERE → AGGREGATE → ORDER BY form that reads
     * in dataflow order instead of inside-out SQL. Semantically
@@ -9404,6 +9452,7 @@ object Queries {
     "q334_lateral_topk" -> (q334_lateral_topk _),
     "q335_sql_pipe"     -> (q335_sql_pipe _),
     "q336_lsh_decontamination" -> (q336_lsh_decontamination _),
+    "q337_runtime_bloom_join" -> (q337_runtime_bloom_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14139,5 +14188,11 @@ object Queries {
         |SELECT source, count(DISTINCT train_id)::BIGINT AS n_contaminated,
         |  count(*)::BIGINT AS n_pairs
         |FROM pairs GROUP BY source ORDER BY source""".stripMargin,
+    "q337_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

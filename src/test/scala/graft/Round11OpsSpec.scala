@@ -189,6 +189,31 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows == Seq(("books", 1L, 1L), ("web", 1L, 1L)), s"got $rows")
   }
 
+  // ---- q337 runtime bloom join ------------------------------------------
+
+  test("runtime bloom join: InjectRuntimeFilter plants a might-contain probe below the fact shuffle") {
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keep.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keep.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = Queries.runtimeBloomAgg(spark, sf())
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$p")
+      // and the judged wrapper returns the same (bounded) rows
+      val wrapped = Queries.all("q337_runtime_bloom_join")(spark, sf())
+        .collect().map(_.toString).sorted.toSeq
+      assert(wrapped == agg.collect().map(_.toString).sorted.toSeq)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // ---- q331 hierarchy rollup ------------------------------------------
 
   test("hierarchy rollup: hand-computed 25-key decimal tree") {
