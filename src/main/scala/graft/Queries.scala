@@ -8529,12 +8529,14 @@ object Queries {
         .as[StatefulSessions.SEvent](org.apache.spark.sql.Encoders
           .product[StatefulSessions.SEvent])
         .withWatermark("ts", "0 seconds")
-      val q = StatefulSessions.sessionizeStreamTws(stream, gapUs)
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_tws_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = withStreamPartitions(s) {
+        StatefulSessions.sessionizeStreamTws(stream, gapUs)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_tws_ckpt_").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
       q.awaitTermination()
     } finally {
       prev match {
@@ -8689,15 +8691,17 @@ object Queries {
       .select(col("c_custkey"), col("n_name"))
     val n = Queries.twsRuns.incrementAndGet()
     val table = s"graft_stream_static_$n"
-    val q = s.readStream.schema(orders.schema).parquet(stageDir)
-      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
-      .groupBy("n_name")
-      .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"))
-      .writeStream.format("memory").queryName(table)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_ss_ckpt_").toString)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamPartitions(s) {
+      s.readStream.schema(orders.schema).parquet(stageDir)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_ss_ckpt_").toString)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(table).orderBy("n_name")
   }
@@ -8741,6 +8745,23 @@ object Queries {
         .withWatermark("pts", "0 seconds"))
   }
 
+  /** Runs `body` (a streaming-query `start()`) with
+    * `spark.sql.shuffle.partitions` sized to the STAGED TOPIC rather
+    * than the session's batch default: state-store partition count is
+    * a checkpoint-pinned property of the stream, and every extra
+    * partition is an extra per-batch state commit (file + fsync), so a
+    * production job sizes it to the topic at startup — exactly what
+    * this does for the test topics (the conf snapshot rides the
+    * cloned session `start()` creates, so restoring immediately after
+    * is safe). At 100 TB the same knob is set HIGHER than the batch
+    * default; the point is it is set per-stream, not inherited.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stream-stream LEFT OUTER interval join, ORACLE-JUDGED as a real
     * streaming query — the missing rung of the stream-join matrix
     * (q213 is the batch form + the INNER streaming execution;
@@ -8764,7 +8785,6 @@ object Queries {
     */
   def q328_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val ev = t(s, dir, "events")
     val (cs, ps) = sojStreams(s, dir)
     val joined = cs.join(ps,
       col("user_id") === col("p_user") &&
@@ -8776,11 +8796,13 @@ object Queries {
     // the bounded campaign rollup below is ever collected.
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_soj_out_").toString
-    val q = joined.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_soj_ckpt_").toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamPartitions(s) {
+      joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_soj_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.read.parquet(outDir).filter(col("user_id") >= 0)
       .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
@@ -9100,17 +9122,19 @@ object Queries {
       col("user_id") === col("p_user") &&
         col("pts") >= col("cts") &&
         col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
-    val q = joined
-      .groupBy(window(col("pts"), "1 day").as("w"),
-        coalesce(col("campaign"), lit(-1L)).as("campaign"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(sum("value"), 2).as("total_value"))
-      .select(col("w.start").as("day"), col("campaign"),
-        col("n_pairs"), col("total_value"))
-      .writeStream.format("memory").queryName(table)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_sjw_ckpt_").toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamPartitions(s) {
+      joined
+        .groupBy(window(col("pts"), "1 day").as("w"),
+          coalesce(col("campaign"), lit(-1L)).as("campaign"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("w.start").as("day"), col("campaign"),
+          col("n_pairs"), col("total_value"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_sjw_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(table).orderBy("day", "campaign")
   }
