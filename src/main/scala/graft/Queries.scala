@@ -9029,6 +9029,32 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Deterministic per-stratum eval-holdout picker: the fixed
+    * k-per-language eval sample every training run re-derives (and
+    * must re-derive IDENTICALLY). Sample position is hash-free
+    * mod-arithmetic ((doc_id mod M)·1000003 mod M — overflow-safe at
+    * any id, identical in both engines), selection is top-k by
+    * position through the typed TopKByScore Aggregator — per-group
+    * state O(k) with map-side trim, so the head language of a crawl
+    * costs one k-row buffer per partition where a lang-PARTITIONED
+    * window would sort it in one task (q326's argument, solved with
+    * the aggregate instead of the rank). Output is the eval manifest
+    * itself: (lang, doc_id), ≤ k·#languages rows.
+    */
+  def q338_eval_holdout(s: SparkSession, dir: String): DataFrame = {
+    val m = 1000000007L
+    val k = 20
+    val topk = udaf(operators.TopKByScore(k))
+    t(s, dir, "documents")
+      .select(col("lang"),
+        ((col("doc_id") % m) * lit(1000003L) % m).as("score"), col("doc_id"))
+      .groupBy("lang")
+      .agg(topk(col("score"), col("doc_id")).as("sel"))
+      .select(col("lang"), explode(col("sel")).as("t"))
+      .select(col("lang"), col("t._2").as("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** ENGINE-NATIVE runtime bloom-filter join injection (Catalyst's
     * InjectRuntimeFilter — the planner-side answer to q169's manual
     * BloomJoin, the row-level sibling of q314's partition-level DPP):
@@ -9477,6 +9503,7 @@ object Queries {
     "q335_sql_pipe"     -> (q335_sql_pipe _),
     "q336_lsh_decontamination" -> (q336_lsh_decontamination _),
     "q337_runtime_bloom_join" -> (q337_runtime_bloom_join _),
+    "q338_eval_holdout" -> (q338_eval_holdout _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14218,5 +14245,17 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q338_eval_holdout" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    (doc_id % 1000000007) * 1000003 % 1000000007 AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY score DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT lang, doc_id FROM r WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
   )
 }

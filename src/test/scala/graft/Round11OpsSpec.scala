@@ -214,6 +214,25 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q338 eval holdout ------------------------------------------------
+
+  test("eval holdout: exactly min(k, n) per language, stable across re-derivation") {
+    val dir = tmp("graft_hold_")
+    // lang "aa": 3 docs (all selected); lang "bb": 25 docs (exactly 20)
+    val rows = (1 to 3).map(i => (i.toLong, s"t$i", "aa", "s", 2L)) ++
+      (100 to 124).map(i => (i.toLong, s"t$i", "bb", "s", 2L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sel1 = Queries.all("q338_eval_holdout")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = sel1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts == Map("aa" -> 3, "bb" -> 20), s"got $counts")
+    // re-derivation is bit-stable (the property the picker exists for)
+    val sel2 = Queries.all("q338_eval_holdout")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sel1 == sel2)
+  }
+
   // ---- q331 hierarchy rollup ------------------------------------------
 
   test("hierarchy rollup: hand-computed 25-key decimal tree") {
