@@ -9055,6 +9055,30 @@ object Queries {
       .orderBy("lang", "doc_id")
   }
 
+  /** The Spark-4 VARIANT surface as a judged query (the binary
+    * semi-structured type the ingest pipeline itself parses into —
+    * Validation's S5 path; q18/q52 judge the classic JSON-string
+    * functions, this judges the typed-variant door): `parse_json` →
+    * `variant_get(v, path, type)` for the typed hit,
+    * `try_variant_get` for the missing-path null (counted per group to
+    * pin the null-safe contract). VARIANT decode is a per-row codegen
+    * op with no shuffle of its own; the rollup is one bounded
+    * event-type aggregate. Oracle reproduces the extraction with
+    * DuckDB's json_extract + cast.
+    */
+  def q339_variant_ops(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.zz", "bigint").as("zz"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        count(col("zz")).as("n_zz"))
+      .orderBy("event_type")
+  }
+
   /** ENGINE-NATIVE runtime bloom-filter join injection (Catalyst's
     * InjectRuntimeFilter — the planner-side answer to q169's manual
     * BloomJoin, the row-level sibling of q314's partition-level DPP):
@@ -9504,6 +9528,7 @@ object Queries {
     "q336_lsh_decontamination" -> (q336_lsh_decontamination _),
     "q337_runtime_bloom_join" -> (q337_runtime_bloom_join _),
     "q338_eval_holdout" -> (q338_eval_holdout _),
+    "q339_variant_ops"  -> (q339_variant_ops _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14257,5 +14282,12 @@ object Queries {
         |  FROM s)
         |SELECT lang, doc_id FROM r WHERE rk <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "q339_variant_ops" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
+        |  count(json_extract(props, '$.zz')::BIGINT)::BIGINT AS n_zz
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
