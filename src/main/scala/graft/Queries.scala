@@ -9055,6 +9055,47 @@ object Queries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Stream-stream FULL OUTER interval join — the last rung of the
+    * streaming join matrix (inner: q213's streaming form; left outer:
+    * q328; full outer completes it): BOTH sides' unmatched rows may
+    * only emit once the watermark proves no partner can arrive, so
+    * both state stores exercise eviction. Same dual-topic sentinels
+    * ([[sojStreams]]); the sentinels themselves sit exactly AT the
+    * final watermark, where emit-vs-hold is a boundary call — the
+    * rollup filters negative ids so the judged frame is identical
+    * either way. Output is the 1-row reconciliation report
+    * (matched / click-only / purchase-only / matched value); the
+    * fact-grain join output rides the distributed file sink (q328's
+    * rule).
+    */
+  def q340_stream_full_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cs, ps) = sojStreams(s, dir)
+    val joined = cs.join(ps,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sfj_out_").toString
+    val q = withStreamPartitions(s) {
+      joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_sfj_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val matched = col("user_id").isNotNull && col("p_user").isNotNull
+    s.read.parquet(outDir)
+      .filter(coalesce(col("user_id"), col("p_user")) >= 0)
+      .agg(count(when(matched, lit(1))).as("n_pairs"),
+        count(when(col("p_user").isNull, lit(1))).as("n_click_only"),
+        count(when(col("user_id").isNull, lit(1))).as("n_purchase_only"),
+        round(sum(when(matched, col("value")).otherwise(lit(0.0))), 2)
+          .as("matched_value"))
+  }
+
   /** The Spark-4 VARIANT surface as a judged query (the binary
     * semi-structured type the ingest pipeline itself parses into —
     * Validation's S5 path; q18/q52 judge the classic JSON-string
@@ -9529,6 +9570,7 @@ object Queries {
     "q337_runtime_bloom_join" -> (q337_runtime_bloom_join _),
     "q338_eval_holdout" -> (q338_eval_holdout _),
     "q339_variant_ops"  -> (q339_variant_ops _),
+    "q340_stream_full_join" -> (q340_stream_full_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14289,5 +14331,19 @@ object Queries {
         |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
         |  count(json_extract(props, '$.zz')::BIGINT)::BIGINT AS n_zz
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q340_stream_full_join" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT
+        |  count(CASE WHEN c.user_id IS NOT NULL AND p.p_user IS NOT NULL
+        |             THEN 1 END)::BIGINT AS n_pairs,
+        |  count(CASE WHEN p.p_user IS NULL THEN 1 END)::BIGINT AS n_click_only,
+        |  count(CASE WHEN c.user_id IS NULL THEN 1 END)::BIGINT AS n_purchase_only,
+        |  round(sum(CASE WHEN c.user_id IS NOT NULL AND p.p_user IS NOT NULL
+        |                 THEN value ELSE 0 END), 2) AS matched_value
+        |FROM c FULL JOIN p ON c.user_id = p.p_user
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE""".stripMargin,
   )
 }

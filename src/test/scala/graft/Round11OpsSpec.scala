@@ -99,6 +99,35 @@ class Round11OpsSpec extends SparkSpec {
       s"expected the recursive-CTE UnionLoop surface in the plan:\n$plan")
   }
 
+  // ---- q340 stream full outer join --------------------------------------
+
+  test("stream full outer join: both unmatched directions flush and equal the batch full join") {
+    val dir = sf()
+    val r = Queries.all("q340_stream_full_join")(spark, dir).collect()(0)
+    val streamed = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val matched = col("user_id").isNotNull && col("p_user").isNotNull
+    val b = c.join(p,
+        col("user_id") === col("p_user") && col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .agg(count(when(matched, lit(1))).as("n_pairs"),
+        count(when(col("p_user").isNull, lit(1))).as("n_click_only"),
+        count(when(col("user_id").isNull, lit(1))).as("n_purchase_only"),
+        round(sum(when(matched, col("value")).otherwise(lit(0.0))), 2)
+          .as("matched_value"))
+      .collect()(0)
+    val batch = (b.getLong(0), b.getLong(1), b.getLong(2), b.getDouble(3))
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // both outer directions really fired
+    assert(streamed._2 > 0 && streamed._3 > 0,
+      s"expected unmatched rows on BOTH sides, got $streamed")
+  }
+
   // ---- q334 lateral top-k ---------------------------------------------
 
   test("lateral top-k: Catalyst decorrelates to a partitioned rank, never a per-row loop") {
