@@ -8517,27 +8517,18 @@ object Queries {
       ev.toDF().unionByName(sentinels).write.mode("overwrite").parquet(d)
     }
     // Session rows are USER-grain (unbounded at corpus scale) — they
-    // land in a distributed file sink, never a driver-side memory
-    // table (q328's rule); the judged frame reads back from parquet.
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_tws_out_").toString
+    // ride the distributed file sink (runToParquetSink, q328's rule);
+    // the judged frame reads back from parquet.
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    try {
+    val sessions = try {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val stream = s.readStream.schema(ev.schema).parquet(stageDir)
         .as[StatefulSessions.SEvent](org.apache.spark.sql.Encoders
           .product[StatefulSessions.SEvent])
         .withWatermark("ts", "0 seconds")
-      val q = withStreamPartitions(s) {
-        StatefulSessions.sessionizeStreamTws(stream, gapUs)
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_tws_ckpt_").toString)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      }
-      q.awaitTermination()
+      runToParquetSink(s,
+        StatefulSessions.sessionizeStreamTws(stream, gapUs).toDF(), "tws")
     } finally {
       prev match {
         case Some(v) =>
@@ -8546,7 +8537,7 @@ object Queries {
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    s.read.parquet(outDir)
+    sessions
       .select(col("key").as("user_id"),
         timestamp_micros(col("startUs")).as("s_start"),
         col("n_events"), round(col("total"), 2).as("total"))
@@ -8762,6 +8753,37 @@ object Queries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The q328/q333/q340 interval-join condition, in ONE place so the
+    * window bound can never silently diverge between the three
+    * streaming forms and their shared oracle pattern: a purchase
+    * credits a click by the same user within [cts, cts+30m).
+    */
+  private def sojCondition: Column =
+    col("user_id") === col("p_user") &&
+      col("pts") >= col("cts") &&
+      col("pts") < col("cts") + expr("INTERVAL 30 MINUTES")
+
+  /** Drains a streaming frame through a topic-sized AvailableNow run
+    * into a DISTRIBUTED parquet sink and reads the result back — the
+    * fact-grain streaming-output path (q328's rule: unbounded-grain
+    * rows never land in a driver-side memory table).
+    */
+  private def runToParquetSink(s: SparkSession, df: DataFrame,
+      tag: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_out_").toString
+    val q = withStreamPartitions(s) {
+      df.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft_${tag}_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
   /** Stream-stream LEFT OUTER interval join, ORACLE-JUDGED as a real
     * streaming query — the missing rung of the stream-join matrix
     * (q213 is the batch form + the INNER streaming execution;
@@ -8784,27 +8806,9 @@ object Queries {
     * rollup is one bounded campaign-grain aggregate.
     */
   def q328_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val (cs, ps) = sojStreams(s, dir)
-    val joined = cs.join(ps,
-      col("user_id") === col("p_user") &&
-        col("pts") >= col("cts") &&
-        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
-      "left_outer")
-    // The join output is FACT-grain (every click row) — it goes to a
-    // distributed file sink, never a driver-side memory table; only
-    // the bounded campaign rollup below is ever collected.
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_soj_out_").toString
-    val q = withStreamPartitions(s) {
-      joined.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_soj_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    s.read.parquet(outDir).filter(col("user_id") >= 0)
+    runToParquetSink(s, cs.join(ps, sojCondition, "left_outer"), "soj")
+      .filter(col("user_id") >= 0)
       .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
       .agg(count(col("pts")).as("n_pairs"),
         count(when(col("pts").isNull, lit(1))).as("n_unmatched"),
@@ -8830,9 +8834,14 @@ object Queries {
   def q329_length_batching(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.PrefixSum
     val b = 32
+    // Persisted: BOTH rank passes consume this frame, and the
+    // tokenizer map over the corpus is the query's dominant cost —
+    // without the cache each globalRank re-scans and re-tokenizes
+    // (Dedup's contract: caller hygiene — Bench/Verify — releases it).
     val docs = tWide(s, dir, "documents").select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(col("text")))
         .cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def packCost(ordered: DataFrame, strategy: String): DataFrame =
       ordered.withColumn("batch", expr(s"(r - 1) div $b"))
         .groupBy("batch")
@@ -8858,7 +8867,8 @@ object Queries {
     * repeat factor is ceil(upsample) capped to [1,4] — low-resource
     * languages repeat across epochs, the head language runs once —
     * and every (doc, epoch) copy gets a deterministic interleave key
-    * from modular arithmetic (doc_id·1000003 + epoch·7919 mod 1e9+7:
+    * from modular arithmetic ((doc_id mod M)·1000003 + epoch·7919
+    * mod M, M = 1e9+7 — pre-modded so it is overflow-safe at any id:
     * hash-free so both engines agree bit-for-bit, uniform enough to
     * shard the training order without a global shuffle). Expansion is
     * a codegen explode(sequence(1, rep)) against a BROADCAST
@@ -8879,16 +8889,22 @@ object Queries {
       .select("lang", "n_docs", "rep")
     // Two-LEVEL mod reduction for the checksum: a single sum(k) % M
     // overflows Long once a group exceeds ~9.2e9 copies (real at
-    // 100 TB). Level 1 folds the mod inside 1024 shards per language
-    // (map-side combined; each partial < M), level 2 sums ≤1024
-    // partials (< 1024·M ≪ 2^63) — exact at any scale, pure built-ins.
+    // 100 TB). Level 1 folds the mod inside 65536 shards per language
+    // (map-side combined; each partial < M), level 2 sums ≤65536
+    // partials (< 65536·M ≪ 2^63). Each shard's raw sum stays exact
+    // up to ~9.2e9 copies, i.e. ~6e14 copies per LANGUAGE — orders of
+    // magnitude past a 100 TB corpus; grow the shard count with the
+    // corpus if that bound ever binds. The key itself pre-mods doc_id
+    // (q338's form) so the multiply never wraps at any id — the raw
+    // doc_id·1000003 form wraps negative in Spark and ERRORS in
+    // DuckDB past ~9.2e12, i.e. the engines would diverge.
     val m = lit(1000000007L)
     docs.join(broadcast(reps), "lang")
       .select(col("lang"), col("n_docs"), col("rep"), col("doc_id"),
         explode(sequence(lit(1L), col("rep"))).as("epoch"))
       .withColumn("k",
-        (col("doc_id") * lit(1000003L) + col("epoch") * lit(7919L)) % m)
-      .groupBy(col("lang"), (col("doc_id") % 1024).as("shard"))
+        ((col("doc_id") % m) * lit(1000003L) + col("epoch") * lit(7919L)) % m)
+      .groupBy(col("lang"), (col("doc_id") % 65536).as("shard"))
       .agg(max("n_docs").as("n_docs"), max("rep").as("rep"),
         count(lit(1)).as("cnt"), min("k").as("mn"), max("k").as("mx"),
         (sum("k") % m).as("psum"))
@@ -8903,23 +8919,29 @@ object Queries {
   /** Deep-hierarchy subtree rollup WITHOUT iteration or recursion:
     * the decimal-digit tree over custkeys (parent = key div 10 — a
     * contiguous key range makes every ancestor a real node) is rolled
-    * up by PATH ENUMERATION — each row explodes its own ≤7-element
-    * ancestor chain from pure arithmetic (key div 10^i, codegen'd,
-    * no join at all), so one explode + one groupBy computes every
-    * node's full subtree sum in a single shuffle where the textbook
-    * recursive-CTE / iterative-join plan needs depth rounds. This is
-    * the org-chart / category-tree rollup shape; the fixed fan-out is
-    * what licenses the closed-form chain (arbitrary graphs take the
-    * q165/q230 iterative route). Balances stay exact integer cents
-    * (q141's rule). Output is the depth-grain profile: node count,
-    * total descendant slots, max and total subtree cents per level —
-    * bounded at 7 rows however large the key space grows.
+    * up by PATH ENUMERATION — each row explodes its own ancestor
+    * chain from pure arithmetic (key div 10^i for every power a
+    * BIGINT can hold, ≤19 elements, codegen'd, no join at all), so
+    * one explode + one groupBy computes every node's full subtree sum
+    * in a single shuffle where the textbook recursive-CTE /
+    * iterative-join plan needs depth rounds. This is the org-chart /
+    * category-tree rollup shape; the fixed fan-out is what licenses
+    * the closed-form chain (arbitrary graphs take the q165/q230
+    * iterative route). Balances stay exact integer cents (q141's
+    * rule). Output is the depth-grain profile: node count, total
+    * descendant slots, max and total subtree cents per level —
+    * bounded at 19 rows (the BIGINT digit width) however large the
+    * key space grows.
     */
   def q331_hierarchy_rollup(s: SparkSession, dir: String): DataFrame = {
+    // 10^0..10^18: the full BIGINT decimal width, so no key's chain
+    // truncates (a 7-divisor cut would silently drop depth-1..(d-7)
+    // ancestors of 8+-digit keys and diverge from q332's recursion).
+    val divisors = (0 to 18).map(i => math.pow(10, i).toLong).mkString(", ")
     val contrib = t(s, dir, "customer").selectExpr(
         "cast(round(c_acctbal * 100, 0) as bigint) AS cents",
-        "explode(filter(transform(array(1, 10, 100, 1000, 10000, 100000, " +
-          "1000000), d -> c_custkey div d), a -> a >= 1)) AS node")
+        s"explode(filter(transform(array($divisors), " +
+          "d -> c_custkey div d), a -> a >= 1)) AS node")
     val sub = contrib.groupBy("node")
       .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
     sub.groupBy(length(col("node").cast("string")).cast("long").as("depth"))
@@ -9069,25 +9091,9 @@ object Queries {
     * rule).
     */
   def q340_stream_full_join(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val (cs, ps) = sojStreams(s, dir)
-    val joined = cs.join(ps,
-      col("user_id") === col("p_user") &&
-        col("pts") >= col("cts") &&
-        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"),
-      "full_outer")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_sfj_out_").toString
-    val q = withStreamPartitions(s) {
-      joined.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_sfj_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
     val matched = col("user_id").isNotNull && col("p_user").isNotNull
-    s.read.parquet(outDir)
+    runToParquetSink(s, cs.join(ps, sojCondition, "full_outer"), "sfj")
       .filter(coalesce(col("user_id"), col("p_user")) >= 0)
       .agg(count(when(matched, lit(1))).as("n_pairs"),
         count(when(col("p_user").isNull, lit(1))).as("n_click_only"),
@@ -9209,10 +9215,7 @@ object Queries {
     val (cs, ps) = sojStreams(s, dir)
     val n = Queries.twsRuns.incrementAndGet()
     val table = s"graft_sjw_$n"
-    val joined = cs.join(ps,
-      col("user_id") === col("p_user") &&
-        col("pts") >= col("cts") &&
-        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+    val joined = cs.join(ps, sojCondition)
     val q = withStreamPartitions(s) {
       joined
         .groupBy(window(col("pts"), "1 day").as("w"),
@@ -14248,7 +14251,8 @@ object Queries {
         |    unnest(range(1, r.rep + 1)) AS epoch
         |  FROM documents d JOIN r USING (lang)),
         |k AS (SELECT lang, n_docs, rep,
-        |    (doc_id * 1000003 + epoch * 7919) % 1000000007 AS k FROM e)
+        |    ((doc_id % 1000000007) * 1000003 + epoch * 7919)
+        |      % 1000000007 AS k FROM e)
         |SELECT lang, max(n_docs) AS n_docs, max(rep) AS repeat_factor,
         |  count(*)::BIGINT AS n_expanded, min(k) AS min_key, max(k) AS max_key,
         |  (sum(k) % 1000000007)::BIGINT AS key_checksum
@@ -14257,7 +14261,14 @@ object Queries {
       """WITH a AS (SELECT round(c_acctbal * 100, 0)::BIGINT AS cents,
         |    unnest(list_filter([c_custkey // 1, c_custkey // 10,
         |      c_custkey // 100, c_custkey // 1000, c_custkey // 10000,
-        |      c_custkey // 100000, c_custkey // 1000000],
+        |      c_custkey // 100000, c_custkey // 1000000,
+        |      c_custkey // 10000000, c_custkey // 100000000,
+        |      c_custkey // 1000000000, c_custkey // 10000000000,
+        |      c_custkey // 100000000000, c_custkey // 1000000000000,
+        |      c_custkey // 10000000000000, c_custkey // 100000000000000,
+        |      c_custkey // 1000000000000000, c_custkey // 10000000000000000,
+        |      c_custkey // 100000000000000000,
+        |      c_custkey // 1000000000000000000],
         |      x -> x >= 1)) AS node
         |  FROM customer),
         |n AS (SELECT node, count(*)::BIGINT AS n_desc,

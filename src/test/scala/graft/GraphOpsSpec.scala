@@ -124,14 +124,7 @@ class GraphOpsSpec extends SparkSpec {
     val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "v")
     val plan = PrefixSum.runningTotal(df, "id", "v", "cum", smallInputBytes = 0)
       .queryExecution.executedPlan
-    def nodes(sp: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      sp.collect { case x => x }.flatMap {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a +: nodes(a.inputPlan)
-        case x => Seq(x)
-      }
-    val globalWins = nodes(plan).count {
+    val globalWins = planNodes(plan).count {
       case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
       case _ => false
     }

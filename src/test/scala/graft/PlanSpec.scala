@@ -290,13 +290,8 @@ class PlanSpec extends SparkSpec {
       // doc rank is cost-gated PrefixSum; the only other global window
       // is the per-language offset scan over the ≤#languages-row frame
       "q326_perplexity_buckets" -> "language-count offsets (≤~200 rows) + cost-gated rank")
-    def nodes(sp: SparkPlan): Seq[SparkPlan] =
-      sp.collect { case x => x }.flatMap {
-        case a: AdaptiveSparkPlanExec => a +: nodes(a.inputPlan)
-        case x => Seq(x)
-      }
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val n = nodes(fn(spark, sf()).queryExecution.executedPlan).count {
+      val n = planNodes(fn(spark, sf()).queryExecution.executedPlan).count {
         case w: WindowExec => w.partitionSpec.isEmpty
         case _ => false
       }

@@ -132,22 +132,15 @@ class Round11OpsSpec extends SparkSpec {
 
   test("lateral top-k: Catalyst decorrelates to a partitioned rank, never a per-row loop") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.SparkPlan
     val df = Queries.all("q334_lateral_topk")(spark, sf())
     val p = df.queryExecution.executedPlan
     val s = p.toString
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"lateral subquery executed as a per-row loop:\n$s")
-    def nodes(sp: SparkPlan): Seq[SparkPlan] =
-      sp.collect { case x => x }.flatMap {
-        case a: AdaptiveSparkPlanExec => a +: nodes(a.inputPlan)
-        case x => Seq(x)
-      }
     // The LIMIT-3-per-nation shape must surface as a rank computation
     // partitioned on the correlation key (WindowGroupLimit is Spark's
     // optimized form; a partitioned WindowExec is the general one).
-    val ranked = nodes(p).exists {
+    val ranked = planNodes(p).exists {
       case _: WindowGroupLimitExec => true
       case w: org.apache.spark.sql.execution.window.WindowExec =>
         w.partitionSpec.nonEmpty

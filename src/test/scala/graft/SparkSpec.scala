@@ -18,4 +18,16 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Flattens a physical plan INCLUDING the plans nested inside
+    * AdaptiveSparkPlanExec (collect alone stops at the AQE boundary) —
+    * the shared walker for every plan-shape assertion.
+    */
+  def planNodes(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    sp.collect { case x => x }.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: planNodes(a.inputPlan)
+      case x => Seq(x)
+    }
 }
