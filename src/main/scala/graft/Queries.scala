@@ -9102,6 +9102,45 @@ object Queries {
           .as("matched_value"))
   }
 
+  /** Stream-static LEFT ANTI incremental dedup, ORACLE-JUDGED (it was
+    * spec-only on MemoryStreams): the arriving increment — the final
+    * 7 days of events (cutoff = exact max(ts) − 7d, engine-stable),
+    * salted with a replay of 500 ALREADY-INGESTED rows to give the
+    * anti-join something real to drop — streams from a staged topic
+    * and anti-joins the static corpus (everything before the cutoff)
+    * on event_id. This is the streaming
+    * analogue of q45's incremental dedup and the state-free cousin of
+    * BloomDedup: the static side broadcasts per micro-batch (at
+    * corpus scale: a bloom/bucketed variant — q80's route), the
+    * stream side never shuffles for the join and carries NO state, so
+    * there is no watermark to manage at all. Fresh rows land in the
+    * distributed file sink; the judged frame is the per-type arrival
+    * report, which must count exactly the truly-new rows (replays
+    * dropped) — the batch anti-join oracle.
+    */
+  def q341_stream_anti_dedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("c"))
+    val evC = ev.crossJoin(broadcast(cutoff))
+    val corpus = evC.filter(col("ts") < col("c"))
+      .select("event_id", "user_id", "event_type", "value")
+    val increment = evC.filter(col("ts") >= col("c"))
+      .unionByName(evC.filter(col("ts") < col("c") && col("event_id") % 97 === 0)
+        .limit(500))
+      .select("event_id", "user_id", "event_type", "value")
+    val incSchema = increment.schema
+    val stageDir = stagedParquet(s"sad|$dir") { d =>
+      increment.write.mode("overwrite").parquet(d)
+    }
+    val fresh = s.readStream.schema(incSchema).parquet(stageDir)
+      .join(broadcast(corpus.select("event_id")), Seq("event_id"), "left_anti")
+    runToParquetSink(s, fresh, "sad")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_new"),
+        round(sum("value"), 2).as("new_value"))
+      .orderBy("event_type")
+  }
+
   /** The Spark-4 VARIANT surface as a judged query (the binary
     * semi-structured type the ingest pipeline itself parses into —
     * Validation's S5 path; q18/q52 judge the classic JSON-string
@@ -9574,6 +9613,7 @@ object Queries {
     "q338_eval_holdout" -> (q338_eval_holdout _),
     "q339_variant_ops"  -> (q339_variant_ops _),
     "q340_stream_full_join" -> (q340_stream_full_join _),
+    "q341_stream_anti_dedup" -> (q341_stream_anti_dedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14356,5 +14396,11 @@ object Queries {
         |                 THEN value ELSE 0 END), 2) AS matched_value
         |FROM c FULL JOIN p ON c.user_id = p.p_user
         |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE""".stripMargin,
+    "q341_stream_anti_dedup" ->
+      """WITH c AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_new,
+        |  round(sum(value), 2) AS new_value
+        |FROM events, c WHERE ts >= c.c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

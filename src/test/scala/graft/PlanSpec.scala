@@ -220,7 +220,9 @@ class PlanSpec extends SparkSpec {
       "q325_ngram_perplexity", "q326_perplexity_buckets",
       // q330: 1-row broadcast (Z, N) temperature normalizer onto the
       // ≤#languages-row factor frame (q211's pattern)
-      "q330_epoch_mix")
+      "q330_epoch_mix",
+      // q341: 1-row broadcast max(ts)-7d cutoff onto the events scan
+      "q341_stream_anti_dedup")
     for ((name, fn) <- Queries.all) {
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
       val nested = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

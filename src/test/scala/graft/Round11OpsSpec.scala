@@ -128,6 +128,25 @@ class Round11OpsSpec extends SparkSpec {
       s"expected unmatched rows on BOTH sides, got $streamed")
   }
 
+  // ---- q341 stream-static anti dedup -------------------------------------
+
+  test("stream anti dedup: replayed rows are dropped, truly-new rows all arrive") {
+    val dir = sf()
+    val out = Queries.all("q341_stream_anti_dedup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("c"))
+    val expected = ev.crossJoin(broadcast(cutoff)).filter(col("ts") >= col("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_new"), round(sum("value"), 2).as("new_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == expected, s"missing=${expected -- out} extra=${out -- expected}")
+    // the topic really carried replays for the anti-join to drop
+    val replays = ev.crossJoin(broadcast(cutoff))
+      .filter(col("ts") < col("c") && col("event_id") % 97 === 0).count()
+    assert(replays > 0, "no replay rows staged — the dedup path was not exercised")
+  }
+
   // ---- q334 lateral top-k ---------------------------------------------
 
   test("lateral top-k: Catalyst decorrelates to a partitioned rank, never a per-row loop") {
