@@ -8503,7 +8503,6 @@ object Queries {
     */
   def q324_sessions_tws_stream(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StatefulSessions
-    import org.apache.spark.sql.streaming.Trigger
     val gapUs = 6L * 3600 * 1000000
     val ev = StatefulSessions.project(
       t(s, dir, "events"), "user_id", "event_id", "ts", "value")
@@ -8937,7 +8936,9 @@ object Queries {
     // 10^0..10^18: the full BIGINT decimal width, so no key's chain
     // truncates (a 7-divisor cut would silently drop depth-1..(d-7)
     // ancestors of 8+-digit keys and diverge from q332's recursion).
-    val divisors = (0 to 18).map(i => math.pow(10, i).toLong).mkString(", ")
+    // Integer iteration, not math.pow: pow is only 1-ulp-accurate and
+    // 1 ulp of 1e18 is 128 — the exactness claim must not ride libm.
+    val divisors = Seq.iterate(1L, 19)(_ * 10).mkString(", ")
     val contrib = t(s, dir, "customer").selectExpr(
         "cast(round(c_acctbal * 100, 0) as bigint) AS cents",
         s"explode(filter(transform(array($divisors), " +
@@ -8961,7 +8962,8 @@ object Queries {
     * its output equals q331's) cross-validates recursion against the
     * closed form. Each recursion level plans one distributed
     * map+filter over the previous level's frame; depth is bounded by
-    * the key width (≤7 levels), never data-dependent — the shape that
+    * the key width (≤19 levels for BIGINT), never data-dependent —
+    * the shape that
     * stays safe when the 100 TB corpus has a billion keys. (Arbitrary-
     * fan-out graphs still take the q165/q230 iterative route; the CTE
     * here is the SQL-user's door to the same engine.)
@@ -9181,12 +9183,19 @@ object Queries {
     * Bloom injection is semantics-preserving, which the plain-join
     * DuckDB oracle proves.
     */
+  /** The threshold overrides that make InjectRuntimeFilter fire at
+    * test SF — ONE definition shared by q337 and its plan-pin spec, so
+    * tuning them can never silently decouple the judged query from the
+    * asserted plan.
+    */
+  private[graft] val runtimeBloomConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
   def q337_runtime_bloom_join(s: SparkSession, dir: String): DataFrame = {
-    val keep = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val keep = runtimeBloomConfs
     val prev = keep.map { case (k, _) => k -> s.conf.getOption(k) }
     try {
       keep.foreach { case (k, v) => s.conf.set(k, v) }

@@ -233,11 +233,7 @@ class Round11OpsSpec extends SparkSpec {
   // ---- q337 runtime bloom join ------------------------------------------
 
   test("runtime bloom join: InjectRuntimeFilter plants a might-contain probe below the fact shuffle") {
-    val keep = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val keep = Queries.runtimeBloomConfs // the SAME confs the query wraps
     val prev = keep.map { case (k, _) => k -> spark.conf.getOption(k) }
     keep.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
