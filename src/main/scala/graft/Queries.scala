@@ -9104,6 +9104,65 @@ object Queries {
           .as("matched_value"))
   }
 
+  /** END-TO-END text-curation pipeline — the TEXT-modality flagship
+    * beside q322's media pipeline, composing the judged operators in
+    * the order a Dolma/RefinedWeb-class run executes them as ONE
+    * declarative plan:
+    *   (1) QUALITY GATE — exact-integer Gopher-style rules (≥30
+    *       tokens, mean word length ≤ 5 as sum_len ≤ 5·n — integer
+    *       predicates so pass/fail is engine-identical, q200's rule);
+    *   (2) NEAR-DUP DROP — MinHash-LSH pairs over the survivors
+    *       (q23's machinery), keep-first semantics: drop any doc with
+    *       a lower-id partner at jaccard ≥ 0.5 (pairwise, exactly
+    *       expressible in SQL; the exact all-pairs oracle is safe by
+    *       the planted-dup gap);
+    *   (3) PACKING AUDIT — inclusive token running-total over the
+    *       unique survivors (cost-based PrefixSum, q55's concat-then-
+    *       chunk semantics) counting docs that STRADDLE a 2048-token
+    *       context boundary.
+    * Output is the per-source curation funnel: docs in → past
+    * quality → past dedup, token mass kept, boundary straddlers —
+    * sources that lose every doc stay visible with zeros (left joins
+    * from the input grain). Every stage is a judged operator; the
+    * flagship judges their COMPOSITION.
+    */
+  def q342_text_curation(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, PrefixSum}
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    // Persisted: consumed by the per-source input counts, the quality
+    // gate, AND (via quality) the LSH build — one tokenize pass
+    // (caller hygiene releases it, Dedup's contract).
+    val docs = tWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), toks.as("l"))
+      .withColumn("n_tok", size(col("l")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("l"), t => length(t)), lit(0), _ + _)
+          .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val quality = docs.filter(col("n_tok") >= 30 &&
+      col("sum_len") <= lit(5L) * col("n_tok"))
+    val dropIds = Dedup.minhashLshPairs(quality, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val unique = quality.join(dropIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tok")
+    val packed = PrefixSum.runningTotal(unique, "doc_id", "n_tok", "cum")
+      .withColumn("straddles",
+        expr("(cum - n_tok) div 2048") =!= expr("(cum - 1) div 2048"))
+    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val qc = quality.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val uc = packed.groupBy("source").agg(count(lit(1)).as("n_unique"),
+      sum("n_tok").as("tokens_kept"),
+      count(when(col("straddles"), lit(1))).as("n_straddlers"))
+    base.join(qc, Seq("source"), "left").join(uc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        coalesce(col("n_straddlers"), lit(0L)).as("n_straddlers"))
+      .orderBy("source")
+  }
+
   /** Stream-static LEFT ANTI incremental dedup, ORACLE-JUDGED (it was
     * spec-only on MemoryStreams): the arriving increment — the final
     * 7 days of events (cutoff = exact max(ts) − 7d, engine-stable),
@@ -9623,6 +9682,7 @@ object Queries {
     "q339_variant_ops"  -> (q339_variant_ops _),
     "q340_stream_full_join" -> (q340_stream_full_join _),
     "q341_stream_anti_dedup" -> (q341_stream_anti_dedup _),
+    "q342_text_curation" -> (q342_text_curation _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14411,5 +14471,47 @@ object Queries {
         |  round(sum(value), 2) AS new_value
         |FROM events, c WHERE ts >= c.c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q342_text_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, l, len(l)::BIGINT AS n_tok,
+        |    coalesce(list_sum(list_transform(l, t -> len(t))), 0)::BIGINT AS sum_len
+        |  FROM d),
+        |q AS (SELECT * FROM m WHERE n_tok >= 30 AND sum_len <= 5 * n_tok),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(l[i:i+2], ' ')
+        |                   for i in range(1, len(l) - 1)]) AS sh
+        |  FROM q WHERE len(l) >= 3),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id AS drop_id
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |u AS (
+        |  SELECT doc_id, source, n_tok FROM q
+        |  WHERE doc_id NOT IN (SELECT drop_id FROM dup)),
+        |r AS (
+        |  SELECT source, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM u),
+        |base AS (SELECT source, count(*)::BIGINT AS n_docs FROM m GROUP BY 1),
+        |qc AS (SELECT source, count(*)::BIGINT AS n_quality FROM q GROUP BY 1),
+        |uc AS (
+        |  SELECT source, count(*)::BIGINT AS n_unique,
+        |    sum(n_tok)::BIGINT AS tokens_kept,
+        |    count(CASE WHEN (cum - n_tok) // 2048 <> (cum - 1) // 2048
+        |               THEN 1 END)::BIGINT AS n_straddlers
+        |  FROM r GROUP BY 1)
+        |SELECT base.source, base.n_docs,
+        |  coalesce(qc.n_quality, 0) AS n_quality,
+        |  coalesce(uc.n_unique, 0) AS n_unique,
+        |  coalesce(uc.tokens_kept, 0) AS tokens_kept,
+        |  coalesce(uc.n_straddlers, 0) AS n_straddlers
+        |FROM base LEFT JOIN qc USING (source) LEFT JOIN uc USING (source)
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -260,7 +260,7 @@ class PlanSpec extends SparkSpec {
       "q270_qq_deciles", "q281_token_coverage", "q284_sort_advisor",
       "q286_delta_bitwidth", "q289_info_gain_split", "q292_codec_advisor",
       "q295_mood_median", "q302_fdr_bh", "q307_blocking_quality",
-      "q308_kruskal_wallis", "q329_length_batching")
+      "q308_kruskal_wallis", "q329_length_batching", "q342_text_curation")
     // (b) BOUNDED-GRAIN: the window input is aggregated to a frame
     //     whose cardinality is fixed by construction — day-grain series
     //     (bounded by the calendar span, ~365 rows/yr at ANY corpus

@@ -270,6 +270,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(sel1 == sel2)
   }
 
+  // ---- q342 text curation pipeline ---------------------------------------
+
+  test("text curation: the funnel only narrows, and every stage really fires") {
+    val rows = Queries.all("q342_text_curation")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nQ, nU, toks, straddle) =>
+      assert(nDocs >= nQ && nQ >= nU, s"$src funnel widened: $nDocs/$nQ/$nU")
+      assert(straddle <= nU, s"$src more straddlers than docs")
+      assert(nU == 0 || toks >= 30 * nU,
+        s"$src kept docs below the quality floor: $toks tokens for $nU docs")
+    }
+    // the gates are not vacuous on real data: something passes AND
+    // something is dropped at each stage, and a boundary is straddled
+    assert(rows.map(_._4).sum > 0, "dedup emptied the corpus")
+    assert(rows.map(t => t._2 - t._3).sum > 0, "quality gate dropped nothing")
+    assert(rows.map(t => t._3 - t._4).sum > 0, "near-dup stage dropped nothing")
+    assert(rows.map(_._6).sum > 0, "no chunk-boundary straddler found")
+  }
+
   // ---- q331 hierarchy rollup ------------------------------------------
 
   test("hierarchy rollup: hand-computed 25-key decimal tree") {
