@@ -9104,6 +9104,74 @@ object Queries {
           .as("matched_value"))
   }
 
+  /** Multi-SOURCE streaming union under the min-watermark policy: the
+    * click and purchase topics (each carrying its OWN watermark) union
+    * into one stream and aggregate into 1-day tumbling windows per
+    * kind. The judged semantics is the coordination rule itself —
+    * Spark advances the QUERY watermark to the MINIMUM across sources
+    * (the default multipleWatermarkPolicy), so a window may only close
+    * once BOTH topics pass it; one lagging topic correctly holds every
+    * window open. The dual sentinels ([[sojStreams]]) push both
+    * sources past the last real day, so AvailableNow drains every
+    * REAL window in Append mode — while the sentinels' own far-future
+    * windows can never emit (their window END sits past the final
+    * watermark), so the output is exactly the real-day set with no
+    * filtering at all. Bounded (day, kind) output to the memory sink;
+    * batch union oracle.
+    */
+  def q343_stream_union_sources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cs, ps) = sojStreams(s, dir)
+    val unioned = cs.select(col("cts").as("ts"), lit("click").as("kind"))
+      .unionByName(ps.select(col("pts").as("ts"), lit("purchase").as("kind")))
+    val n = Queries.twsRuns.incrementAndGet()
+    val table = s"graft_usrc_$n"
+    val q = withStreamPartitions(s) {
+      unioned
+        .groupBy(window(col("ts"), "1 day").as("w"), col("kind"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("day"), col("kind"), col("n_events"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_usrc_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy("day", "kind")
+  }
+
+  /** Streaming DEDUP → WINDOWED-AGG chain (the other multi-stateful
+    * pipeline next to q333's join→agg): distinct purchasers per day,
+    * computed as exact dropDuplicates on (user, day-window) feeding a
+    * 1-day tumbling count in the SAME streaming query. The dedup key
+    * includes the `window(pts)` column, which carries the event-time
+    * watermark tag — so dedup state is watermark-EVICTED per day
+    * (unbounded-retention dedup would hold every user forever), and
+    * the downstream agg closes each window once the watermark passes
+    * it. The purchase topic's sentinel drives the final watermark;
+    * its own far-future window never emits. Bounded day-grain output;
+    * batch count(DISTINCT) oracle.
+    */
+  def q344_stream_dedup_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, ps) = sojStreams(s, dir)
+    val n = Queries.twsRuns.incrementAndGet()
+    val table = s"graft_ddw_$n"
+    val q = withStreamPartitions(s) {
+      ps.withColumn("w", window(col("pts"), "1 day"))
+        .dropDuplicates("p_user", "w")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("w.start").as("day"), col("n_users"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_ddw_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy("day")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -9683,6 +9751,8 @@ object Queries {
     "q340_stream_full_join" -> (q340_stream_full_join _),
     "q341_stream_anti_dedup" -> (q341_stream_anti_dedup _),
     "q342_text_curation" -> (q342_text_curation _),
+    "q343_stream_union_sources" -> (q343_stream_union_sources _),
+    "q344_stream_dedup_window" -> (q344_stream_dedup_window _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14513,5 +14583,19 @@ object Queries {
         |  coalesce(uc.n_straddlers, 0) AS n_straddlers
         |FROM base LEFT JOIN qc USING (source) LEFT JOIN uc USING (source)
         |ORDER BY source""".stripMargin,
+    "q343_stream_union_sources" ->
+      """WITH u AS (
+        |  SELECT ts, 'click' AS kind FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT ts, 'purchase' AS kind FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT date_trunc('day', ts) AS day, kind,
+        |  count(*)::BIGINT AS n_events
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q344_stream_dedup_window" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -147,6 +147,36 @@ class Round11OpsSpec extends SparkSpec {
     assert(replays > 0, "no replay rows staged — the dedup path was not exercised")
   }
 
+  // ---- q343/q344 multi-source union + dedup→agg chains --------------------
+
+  test("stream union sources: min-watermark policy drains every real day, sentinels never emit") {
+    val dir = sf()
+    val streamed = Queries.all("q343_stream_union_sources")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+    val batch = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type").as("kind"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(streamed.map(_._2) == Set("click", "purchase"))
+  }
+
+  test("stream dedup→window chain equals batch count(DISTINCT) per day") {
+    val dir = sf()
+    val streamed = Queries.all("q344_stream_dedup_window")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   // ---- q334 lateral top-k ---------------------------------------------
 
   test("lateral top-k: Catalyst decorrelates to a partitioned rank, never a per-row loop") {
