@@ -9172,6 +9172,40 @@ object Queries {
     s.table(table).orderBy("day")
   }
 
+  /** NATIVE `session_window` aggregation as a real STREAMING query —
+    * the built-in session operator end-to-end (q29 judges its batch
+    * form; q324 judges the hand-rolled transformWithState twin; this
+    * closes the triangle): per-user 6-hour purchase sessions through
+    * the purchase topic, state merged by Spark's session-window store
+    * and emitted in Append mode only when the watermark passes a
+    * session's END (last event + gap). The topic sentinel pushes the
+    * final watermark past every real session's end while its own
+    * session (end = sentinel + gap, past the watermark) can never
+    * emit — and is filtered by id regardless. Oracle is q29's
+    * gaps-and-islands SQL restricted to purchases (break at ≥ gap,
+    * Spark's half-open [start, last+gap) contract).
+    */
+  def q345_session_window_stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, ps) = sojStreams(s, dir)
+    val n = Queries.twsRuns.incrementAndGet()
+    val table = s"graft_swin_$n"
+    val q = withStreamPartitions(s) {
+      ps.groupBy(session_window(col("pts"), "6 hours").as("sw"),
+          col("p_user"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+        .select(col("p_user").as("user_id"), col("sw.start").as("s_start"),
+          col("n_events"), col("total"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_swin_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(table).filter(col("user_id") >= 0)
+      .orderBy("user_id", "s_start")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -9753,6 +9787,7 @@ object Queries {
     "q342_text_curation" -> (q342_text_curation _),
     "q343_stream_union_sources" -> (q343_stream_union_sources _),
     "q344_stream_dedup_window" -> (q344_stream_dedup_window _),
+    "q345_session_window_stream" -> (q345_session_window_stream _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14597,5 +14632,23 @@ object Queries {
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q345_session_window_stream" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS total
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
   )
 }

@@ -177,6 +177,30 @@ class Round11OpsSpec extends SparkSpec {
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  // ---- q345 native session_window streaming -------------------------------
+
+  test("native session_window streaming equals the batch session_window operator") {
+    val dir = sf()
+    val streamed = Queries.all("q345_session_window_stream")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // Tables.events, not a raw read: the raw parquet ts decodes as NTZ
+    // here and Row.getTimestamp would see LocalDateTime (the README
+    // gotcha); the judged query's topics come through the same loader.
+    val batch = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("n_events"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    // multi-event sessions exist (the merge path really ran)
+    assert(streamed.exists(_._3 > 1), "no merged session found")
+  }
+
   // ---- q334 lateral top-k ---------------------------------------------
 
   test("lateral top-k: Catalyst decorrelates to a partitioned rank, never a per-row loop") {
