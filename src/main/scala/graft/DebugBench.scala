@@ -29,6 +29,7 @@ object DebugBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     def hygiene(): Unit = {
+      CacheRegistry.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

@@ -25,6 +25,23 @@ import graft.schema.SchemaProvider
   * idempotent-epoch parquet insert + DLQ — the exact body
   * `StreamJob.foreachBatch` runs.
   *
+  * CONCURRENCY AXIS: the reference is a single-process, single-consumer
+  * service (README.md:100) — scaling it means running more OS
+  * processes. Here N independent pipelines (own orchestrator, own
+  * epoch-keyed sink, own DLQ — the shape of N topics or N partitions
+  * of one topic under separate checkpoints) share ONE Spark session,
+  * submitting their micro-batch jobs concurrently into the same
+  * local[32] scheduler. Near-linear aggregate rows/s across N is the
+  * Spark-native scaling claim made measurable; set
+  * SPARK_GRAFT_STREAMS (default "1,2,4") to choose the axis.
+  *
+  * Accounting contract: every staged batch is non-empty by
+  * construction, so after a successful `processBatch` the observation
+  * count must exist — a None is METRIC LOSS (a lost listener event,
+  * BatchOrchestrator logs it), and the bench fails fast with that
+  * diagnosis instead of counting 0 and later mis-blaming the sink in
+  * the `sunk == rows` reconciliation.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *   sbt "runMain graft.IngestBench"
   * Prints one JSON line; results trend in dev/PERF_LEDGER.md.
@@ -33,6 +50,8 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val streamCounts = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
     val batchSize = 25000L // main.py:569 — the reference's optimum
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,22 +92,61 @@ object IngestBench {
         sinkDir)
     }
 
+    /** One full pass of the topic through ONE pipeline; returns the
+      * observed valid-row total, failing fast on metric loss.
+      */
+    def drive(orch: BatchOrchestrator): Long = {
+      var rows = 0L
+      (0L until nBatches).foreach { b =>
+        orch.processBatch(poll(b), b)
+        rows += orch.lastStats.flatMap(_.validRows).getOrElse {
+          sys.error(s"batch $b: write completed but its observation " +
+            "count never arrived — METRIC LOSS (lost listener event), " +
+            "not a sink mismatch; see the orchestrator's stderr log")
+        }
+      }
+      rows
+    }
+
     // Warm-up: one full batch through a scratch orchestrator (JVM +
     // codegen + parquet-writer init — the same reason Bench warms up).
     freshOrchestrator()._1.processBatch(poll(0L), 0L)
 
-    val (orch, sinkDir) = freshOrchestrator()
-    val t0 = System.nanoTime()
-    var rows = 0L
-    (0L until nBatches).foreach { b =>
-      orch.processBatch(poll(b), b)
-      rows += orch.lastStats.flatMap(_.validRows).getOrElse(0L)
+    /** N concurrent pipelines, each a full pass over the topic; returns
+      * (total rows across streams, wall seconds). Each stream's sink is
+      * reconciled against its own observed count.
+      */
+    def run(nStreams: Int): (Long, Double) = {
+      val pipes = Seq.fill(nStreams)(freshOrchestrator())
+      val results = new Array[Long](nStreams)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val t0 = System.nanoTime()
+      val threads = pipes.zipWithIndex.map { case ((orch, _), i) =>
+        val th = new Thread(() =>
+          try results(i) = drive(orch)
+          catch { case e: Throwable => errs.add(e) },
+          s"graft-ingest-$i")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!errs.isEmpty) throw errs.peek()
+      pipes.zipWithIndex.foreach { case ((_, sinkDir), i) =>
+        val sunk = spark.read.parquet(sinkDir).count()
+        require(sunk == results(i) && results(i) > 0,
+          s"stream $i: sink holds $sunk rows but observations counted " +
+            s"${results(i)} — rows LOST IN THE SINK (observations were " +
+            "verified per batch; this is a write bug, not metric loss)")
+      }
+      (results.sum, dt)
     }
-    val dt = (System.nanoTime() - t0) / 1e9
-    val sunk = spark.read.parquet(sinkDir).count()
-    require(sunk == rows && rows > 0,
-      s"sink holds $sunk rows but orchestrator reported $rows")
-    println(f"""{"metric":"ingest_rows_per_sec","value":${rows / dt}%.0f,"unit":"rows/s","rows":$rows,"batches":$nBatches,"batch_size":$batchSize,"elapsed_sec":$dt%.2f,"sf":"$sfDir"}""")
+
+    val runs = streamCounts.map { n => val (rows, dt) = run(n); (n, rows, dt) }
+    val (_, rows1, dt1) = runs.head
+    val perStream = runs.map { case (n, rows, dt) =>
+      s""""s$n":${"%.0f".format(rows / dt)}"""
+    }.mkString(",")
+    println(f"""{"metric":"ingest_rows_per_sec","value":${rows1 / dt1}%.0f,"unit":"rows/s","streams":{$perStream},"rows":$rows1,"batches":$nBatches,"batch_size":$batchSize,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

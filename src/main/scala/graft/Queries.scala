@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry.TrackedPersist
 
 import graft.operators.{Compaction, PrefixSum}
 import graft.sources.Tables
@@ -326,15 +327,29 @@ object Queries {
           lit(0.0), (acc, x) => acc + x), 4).as("vsum"))
       .orderBy("vec_id")
 
-  /** E8: HLL approx distinct — no DuckDB oracle (approximation differs
-    * by engine); driver records a rows-only check. Exact counterpart is
-    * q11_distinct.
+  /** E8: HLL approx distinct, ORACLE-JUDGED via the tolerance-flag
+    * pattern (the raw HLL value is engine-specific, so it cannot be
+    * hash-compared — but its ACCURACY CONTRACT can): the judged frame
+    * carries the EXACT distinct counts (hash-checked against DuckDB)
+    * plus booleans asserting the HLL estimate landed within the
+    * documented 5% relative error (Spark's default relativeSD = 0.05),
+    * which the oracle pins to literal `true`. A drifting or broken
+    * sketch flips a flag and fails the hash. The estimate itself still
+    * rides the plan (partial-aggregated HLL buffers — the mergeable
+    * form q132 extends with DataSketches).
     */
   def q20_approx_distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
         approx_count_distinct(col("l_partkey")).as("apx_parts"),
         approx_count_distinct(col("l_suppkey")).as("apx_supps"))
+      .select(col("n_parts"), col("n_supps"),
+        (abs(col("apx_parts") - col("n_parts")).cast("double") / col("n_parts")
+          <= 0.05).as("parts_apx_ok"),
+        (abs(col("apx_supps") - col("n_supps")).cast("double") / col("n_supps")
+          <= 0.05).as("supps_apx_ok"))
 
   import graft.functions.TextFunctions
   import graft.operators.Dedup
@@ -485,10 +500,18 @@ object Queries {
       .orderBy("kind")
   }
 
-  /** North-star ANN, IVF scale path: 16-cell inverted file, probe the
-    * 4 nearest cells (~1/4 of the data scanned), exact re-rank inside.
-    * Approximate by design → rows-only driver check; recall-vs-exact
-    * ground truth in AnnIvfSpec.
+  /** North-star ANN, IVF scale path: 16-cell inverted file built by
+    * the full k-means machinery (deterministic hash-sample seeds + 2
+    * Lloyd rounds), searched at nProbe = nCentroids — the EXACT
+    * configuration of the IVF dial (FAISS's nprobe=nlist), which makes
+    * the output the true cosine top-k and therefore ORACLE-JUDGED
+    * against the same SQL as q08 (normalize-then-dot arithmetic
+    * mirrored on both sides). The judged surface is the whole
+    * build+search pipeline: a centroid bug that mis-assigned vectors
+    * or a search bug that dropped a cell breaks the hash. The PRUNED
+    * dial (nProbe=4, ~1/4 of the corpus scanned, recall<1 by design)
+    * stays judged by AnnIvfSpec's recall-vs-exact ground truth, and
+    * its on-disk PartitionFilters form by q152/AnnIvfSpec.
     */
   def q34_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AnnIvf
@@ -498,11 +521,12 @@ object Queries {
     // name form re-ran the per-row sqrt+divide corpus scan 4×). Lazy
     // persist — released by Bench/Verify session hygiene.
     val normed = AnnIvf.normalized(emb, "vec_id", "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val cents = AnnIvf.centroidsNormed(normed, nCentroids = 16)
     val index = AnnIvf.assignNormed(normed.filter(col("id") =!= 0), cents)
     AnnIvf.search(index, cents,
-      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
+      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding",
+      k = 10, nProbe = 16) // nProbe = nCentroids: the exact dial (oracle-judged)
   }
 
   /** The reference's computational core (S2→S6: JSON decode → validate
@@ -1871,17 +1895,31 @@ object Queries {
     * `percentile_approx`) — the bounded-memory, bounded-error
     * complement to operators/Quantiles' exact paths: state is
     * O(1/ε·log εn) per group regardless of group size, mergeable
-    * across partitions, one shuffle. No oracle: the sketch's picked
-    * values are engine-specific (rank error ≤ εn) — Round3OpsSpec
-    * bounds it against the exact builtin instead.
+    * across partitions, one shuffle. ORACLE-JUDGED via the
+    * tolerance-flag pattern (q20's): the sketch's picked values are
+    * engine-specific (rank error ≤ εn) so they cannot hash-compare,
+    * but the EXACT interpolated quantiles can (DuckDB quantile_cont —
+    * identical (1-d)·lo + d·hi definition, round-2 on both sides) and
+    * the sketch's accuracy contract becomes a judged boolean: approx
+    * within 1% of exact, pinned to literal `true` in the oracle —
+    * generous vs the εn=6 rank error at accuracy 10000, tight enough
+    * that a broken sketch fails the hash. Round3OpsSpec keeps the
+    * rank-error bound construction test.
     */
   def q99_approx_quantiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50e"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95e"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("p50e"), 2).as("p50_exact"),
+        round(col("p95e"), 2).as("p95_exact"),
+        (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.01).as("p50_apx_ok"),
+        (abs(col("p95a") - col("p95e")) / col("p95e") <= 0.01).as("p95_apx_ok"))
       .orderBy("l_returnflag")
 
   /** Trailing-7-day distinct users per day — windowed COUNT DISTINCT,
@@ -3201,21 +3239,26 @@ object Queries {
     * PERSISTED partitioned by cell (`writeIndex` — one directory per
     * centroid), and the search prunes non-probed cells at the FILE
     * LISTING (PartitionFilters on `centroid_id`), so only
-    * ~nProbe/nCentroids of the stored corpus is ever opened. Same
-    * probe/k/nProbe as q34 (whose in-memory index it mirrors);
-    * approximate by design → rows-only check; recall + pruning
-    * assertions in AnnIvfSpec.
+    * ~nProbe/nCentroids of the stored corpus is opened on the pruned
+    * dial. Judged at the EXACT dial (nProbe = nCentroids, q34's
+    * pattern): the output is the true cosine top-k THROUGH the
+    * write-index → read-index → search round trip, hash-matched
+    * against q08's SQL — a lost cell directory, a partition-column
+    * type mangle, or a search bug breaks the hash. The pruned
+    * nProbe=4 path (recall + PartitionFilters pruning assertions)
+    * stays judged by AnnIvfSpec.
     */
   def q152_ann_ivf_disk(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AnnIvf
     val emb = t(s, dir, "embeddings")
     val normed = AnnIvf.normalized(emb, "vec_id", "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val cents = AnnIvf.centroidsNormed(normed, nCentroids = 16)
     val idxPath = scratch("graft_ivf_index")
     AnnIvf.writeIndex(AnnIvf.assignNormed(normed.filter(col("id") =!= 0), cents), idxPath)
     AnnIvf.search(AnnIvf.readIndex(s, idxPath), cents,
-      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding", k = 10, nProbe = 4)
+      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding",
+      k = 10, nProbe = 16) // exact dial; pruned nProbe=4 judged in AnnIvfSpec
   }
 
   /** Graph analytics third pillar (after PageRank q131 and connected
@@ -3789,7 +3832,7 @@ object Queries {
     // Consumed once per probe — persist so the 3 ADC scans re-read
     // codes, not the float corpus. Released by session hygiene.
     val codes = Pq.encode(emb, "vec_id", "embedding", cb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val probeIds = Seq(0L, 1L, 2L)
     val pvs = emb.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -3898,7 +3941,7 @@ object Queries {
     */
   def q180_doc_perplexity(s: SparkSession, dir: String): DataFrame = {
     val bi = docBigrams(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val cu = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = bi.agg(countDistinct("w2").as("v")) // 1-row broadcast
@@ -3920,14 +3963,14 @@ object Queries {
   def q181_pmi_collocations(s: SparkSession, dir: String): DataFrame = {
     val toks = tWide(s, dir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
     val nu = toks.agg(count(lit(1)).as("nu")) // 1-row broadcast
     // Persist the AGGREGATED counts (|vocab²| rows, small), not the
     // explode: bi feeds both the PMI branch and the nb total — without
     // this the corpus-wide bigram explode runs twice.
     val bi = docBigrams(s, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nb = bi.agg(sum("c12").as("nb")) // 1-row broadcast
     bi.filter(col("c12") >= 5)
       .join(uni.select(col("w").as("w1"), col("cw").as("ca")), "w1")
@@ -4234,7 +4277,7 @@ object Queries {
         explode(transform(sequence(lit(1), size(col("ws")) - 1),
           i => substring(md5(concat_ws(" ",
             element_at(col("ws"), i), element_at(col("ws"), i + 1))), 1, 3))).as("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val rc = feats.groupBy("f").agg(count(lit(1)).as("cr"))
     val tc = feats.filter(col("lang") === "en").groupBy("f").agg(count(lit(1)).as("ct"))
     val nr = rc.agg(sum("cr").as("nr")) // totals from the 4096-row aggs,
@@ -4307,7 +4350,7 @@ object Queries {
             i => array_min(slice(col("hs"), i, lit(W)))))
           .otherwise(array(array_min(col("hs"))))).as("fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     fps.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .filter(col("doc_a") < col("doc_b"))
@@ -4359,11 +4402,11 @@ object Queries {
     val w = expr("INTERVAL 12 HOURS")
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("ts") > col("t0") && col("ts") <= col("t0") + w)
       .groupBy("user_id").agg(min("ts").as("t1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts") > col("t1") && col("ts") <= col("t1") + w)
       .groupBy("user_id").agg(min("ts").as("t2"))
@@ -4390,7 +4433,7 @@ object Queries {
   def q197_cohort_retention(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val f = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sz = f.groupBy("cohort").agg(count(lit(1)).as("n0"))
     val a = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
@@ -4425,7 +4468,7 @@ object Queries {
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("co"))
       .filter(col("co") >= 2).select("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val cand = e.select(col("src").as("a"), col("dst").as("z"))
       .join(e.select(col("src").as("z2"), col("dst").as("b")), col("z") === col("z2"))
@@ -4458,7 +4501,7 @@ object Queries {
     val wc = tWide(s, dir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val merges = operators.Bpe.learnMerges(wc, k = 5)
     operators.Bpe.encode(wc, merges)
       .select(col("n"), explode(col("syms")).as("subword"))
@@ -4486,7 +4529,7 @@ object Queries {
     val d = tWide(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val base = d.select(col("doc_id"),
       size(col("ws")).as("n_words"),
       aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
@@ -4528,7 +4571,7 @@ object Queries {
       .join(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p")),
         "o_orderkey")
       .select("c", "p").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val a1 = e.groupBy("p").agg(count(lit(1)).as("a")) // h0 = 1
     val h1 = e.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
     val a2 = e.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
@@ -4560,7 +4603,7 @@ object Queries {
     val baskets = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val total = baskets.agg(count(lit(1)).as("total"))
     val supp1 = baskets.select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("cnt"))
@@ -4596,7 +4639,7 @@ object Queries {
     val toks = tWide(s, dir, "documents")
       .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
     val c = toks.groupBy("lang", "w").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val vocab = c.select("w").distinct()
     val nv = vocab.agg(count(lit(1)).as("v"))
     val tot = c.groupBy("lang").agg(sum("n").as("t"))
@@ -4705,20 +4748,27 @@ object Queries {
     * presence most separates lang='en' from the rest — the feature-
     * selection step before training a lightweight classifier (q126 is
     * the contingency-table form over fixed cells; this ranks an OPEN
-    * vocabulary). Presence set = fused-tokenizer explode + distinct
-    * (vocabulary×docs bounded, map-side combined); class totals ride in
-    * as a broadcast 1-row aggregate, never an eager count. The chi2
+    * vocabulary). Presence set = per-doc array_distinct (map-side,
+    * inside the tokenize projection) + explode — NO global distinct
+    * shuffle exists; class totals ride in as a broadcast 1-row
+    * aggregate, never an eager count. The chi2
     * numerator/denominator stay in EXACT 64-bit integers (max ~N⁴ ≪
     * 2^63 at any judged SF) with ONE final division, so the ranking is
     * engine-identical; df≥5 is the textbook applicability floor and the
     * all-docs guard drops the degenerate zero-denominator token.
     */
   def q207_chi2_select(s: SparkSession, dir: String): DataFrame = {
-    val pres = tWide(s, dir, "documents")
-      .select(col("doc_id"), (col("lang") === "en").cast("long").as("is_en"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .distinct()
-    val tot = t(s, dir, "documents")
+    // Presence dedup happens WITHIN each doc map-side (array_distinct
+    // before the explode) — no global DISTINCT shuffle; the word agg
+    // partial-aggregates map-side (q302's one-pass shape).
+    val docs0 = tWide(s, dir, "documents")
+      .select(col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .persistTracked()
+    val pres = docs0
+      .select((col("lang") === "en").cast("long").as("is_en"),
+        explode(array_distinct(col("toks"))).as("word"))
+    val tot = docs0
       .agg(sum((col("lang") === "en").cast("long")).as("n_en"),
         sum((col("lang") =!= "en").cast("long")).as("n_oth"))
     val adbc = col("a") * (col("n_oth") - col("b")) - col("b") * (col("n_en") - col("a"))
@@ -4809,7 +4859,7 @@ object Queries {
   def q210_oov_rate(s: SparkSession, dir: String): DataFrame = {
     val tok = tWide(s, dir, "documents")
       .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .persist()
+      .persistTracked()
     val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc).limit(500)
       .select(col("word"), lit(1L).as("in_v"))
@@ -5371,7 +5421,7 @@ object Queries {
     val toks = tWide(s, dir, "documents")
       .select((col("lang") === "en").cast("long").as("is_web"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .persist()
+      .persistTracked()
     val counts = toks.groupBy("word")
       .agg(sum("is_web").as("a"), sum(lit(1L) - col("is_web")).as("b"))
       .filter(col("a") + col("b") >= 10)
@@ -5531,7 +5581,7 @@ object Queries {
     val vocab = tWide(s, dir, "documents")
       .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
       .distinct()
-      .persist()
+      .persistTracked()
     val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("n"))
     val inter = vocab.as("a")
       .join(vocab.as("b"), col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
@@ -5822,7 +5872,7 @@ object Queries {
     import graft.operators.PrefixSum
     val toks = tWide(s, dir, "documents")
       .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .persist()
+      .persistTracked()
     val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     val firstOcc = toks.groupBy("w").agg(min("doc_id").as("fo"))
       .groupBy("fo").agg(count(lit(1)).as("new_words"))
@@ -5983,7 +6033,7 @@ object Queries {
       .select(col("lang"), col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .persist()
+      .persistTracked()
     val uni = toks.select(col("lang"), explode(col("ws")).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("c"))
     val bi = toks.select(col("lang"), explode(
@@ -6073,7 +6123,7 @@ object Queries {
     val k = 10
     val pairs = basketPairs(s, dir)
       .distinct()
-      .persist()
+      .persistTracked()
     val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val club = deg.filter(col("d") > k).select("n")
@@ -7673,7 +7723,7 @@ object Queries {
     // run once, not twice (released by Bench/Verify session hygiene).
     val edges = basketPairs(s, dir)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val comm = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     val e = edges
       .join(broadcast(comm.select(col("p_partkey").as("u"), col("p_brand").as("cu"))), "u")
@@ -7716,11 +7766,21 @@ object Queries {
     */
   def q302_fdr_bh(s: SparkSession, dir: String): DataFrame = {
     val alpha = 0.05
-    val pres = tWide(s, dir, "documents")
-      .select(col("doc_id"), (col("lang") === "en").cast("long").as("is_en"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .distinct()
-    val tot = t(s, dir, "documents")
+    // ONE documents scan: the doc-grain (id, lang, tokens) frame is
+    // persisted and feeds BOTH the presence explode and the corpus
+    // totals (each previously re-scanned + re-tokenized the corpus).
+    val docs0 = tWide(s, dir, "documents")
+      .select(col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .persistTracked()
+    // Presence = "word appears in doc": dedup WITHIN each doc map-side
+    // (array_distinct before the explode) so no global DISTINCT
+    // shuffle exists at all — the only wide exchange left is the
+    // word-keyed aggregate, and it partial-aggregates map-side.
+    val pres = docs0
+      .select((col("lang") === "en").cast("long").as("is_en"),
+        explode(array_distinct(col("toks"))).as("word"))
+    val tot = docs0
       .agg(sum((col("lang") === "en").cast("long")).as("n_en"),
         sum((col("lang") =!= "en").cast("long")).as("n_oth"))
     val adbc = col("a") * (col("n_oth") - col("b")) - col("b") * (col("n_en") - col("a"))
@@ -7735,6 +7795,12 @@ object Queries {
           ((col("a") + col("b")) * (col("n_en") + col("n_oth") - col("a") - col("b")) *
             col("n_en") * col("n_oth")))
       .select(col("word"), col("chi2"))
+      // Persisted: consumed by BOTH the rank leg and the m_tested
+      // count — without the cache each leg re-runs the presence
+      // explode + vocab shuffle. Vocab-grain (df>=5-floored), so the
+      // cache is small; released (with docs0) via CacheRegistry after
+      // the caller's terminal action.
+      .persistTracked()
     // Rank by descending chi2 via PrefixSum.globalRank on (−chi2, word)
     // — the tested vocabulary is df≥5-floored but still corpus-derived,
     // so the rank must not mandate a single-partition sort of it.
@@ -8247,7 +8313,7 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum("y").as("sy"),
         round(avg("score"), 4).as("mean_score"),
         round(avg(col("y").cast("double")), 4).as("frac_pos"))
-      .persist() // ≤10 rows, consumed by three bounded joins
+      .persistTracked() // ≤10 rows, consumed by three bounded joins
     val fit = operators.Isotonic.fit(bins, "bin", "n", "sy")
       .withColumnRenamed("bin", "i")
     bins.join(fit, col("bin") === col("i"))
@@ -8840,7 +8906,7 @@ object Queries {
     val docs = tWide(s, dir, "documents").select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(col("text")))
         .cast("long").as("n_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     def packCost(ordered: DataFrame, strategy: String): DataFrame =
       ordered.withColumn("batch", expr(s"(r - 1) div $b"))
         .groupBy("batch")
@@ -8956,7 +9022,10 @@ object Queries {
     * path enumeration, run through Spark 4's `WITH RECURSIVE` (the
     * UnionLoop engine surface, new in Spark 4.x) — seed every POSITIVE
     * key as its own descendant (q331's `a >= 1` tree domain), climb
-    * parent = floor(node/10) per level until the root. The identical
+    * parent = drop-the-last-decimal-digit per level until the root
+    * (substr arithmetic, NOT floor(node/10): '/' is double division
+    * in both engines, unit-exact only below 2^53 — the string form
+    * keeps q331's full-BIGINT-width exactness claim). The identical
     * text runs in DuckDB as the oracle, so one
     * query judges BOTH the recursive-CTE surface itself and (because
     * its output equals q331's) cross-validates recursion against the
@@ -8979,7 +9048,14 @@ object Queries {
        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
        |  FROM $tbl WHERE c_custkey >= 1
        |  UNION ALL
-       |  SELECT CAST(floor(node / 10) AS BIGINT) AS node, cents
+       |  -- parent = drop the last decimal digit. Exact at FULL BIGINT
+       |  -- width in BOTH engines: floor(node/10) rides double division
+       |  -- (unit-exact only below 2^53) and DuckDB routes even
+       |  -- decimal-typed division through double — the string form is
+       |  -- the only portable exact integer divide-by-10 here.
+       |  SELECT CAST(substr(CAST(node AS STRING), 1,
+       |                     length(CAST(node AS STRING)) - 1) AS BIGINT) AS node,
+       |         cents
        |  FROM chain WHERE node >= 10),
        |n AS (
        |  SELECT node, count(*) AS n_desc,
@@ -9183,27 +9259,68 @@ object Queries {
     * session (end = sentinel + gap, past the watermark) can never
     * emit — and is filtered by id regardless. Oracle is q29's
     * gaps-and-islands SQL restricted to purchases (break at ≥ gap,
-    * Spark's half-open [start, last+gap) contract).
+    * Spark's half-open [start, last+gap) contract). Output is
+    * user×session grain — UNBOUNDED — so it rides the distributed
+    * parquet sink (q328's rule), never a driver-side memory table.
     */
   def q345_session_window_stream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val (_, ps) = sojStreams(s, dir)
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_swin_$n"
-    val q = withStreamPartitions(s) {
-      ps.groupBy(session_window(col("pts"), "6 hours").as("sw"),
-          col("p_user"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
-        .select(col("p_user").as("user_id"), col("sw.start").as("s_start"),
-          col("n_events"), col("total"))
-        .writeStream.format("memory").queryName(table)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_swin_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    s.table(table).filter(col("user_id") >= 0)
+    val sessions = ps
+      .groupBy(session_window(col("pts"), "6 hours").as("sw"),
+        col("p_user"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("p_user").as("user_id"), col("sw.start").as("s_start"),
+        col("n_events"), col("total"))
+    runToParquetSink(s, sessions, "swin")
+      .filter(col("user_id") >= 0)
       .orderBy("user_id", "s_start")
+  }
+
+  /** The WAV-CONTAINER leg of the multimodal codec seam — q323's PNG
+    * precedent applied to audio through the JDK's `javax.sound.sampled`
+    * ([[graft.operators.AudioCodec]]): q317's synthetic PCM16 tones are
+    * wrapped into REAL RIFF/WAVE bytes, parsed back (payload bytes PLUS
+    * the header's sample-rate/channel metadata), and the per-frame RMS
+    * battery is re-derived FROM THE DECODED bytes by the same codegen
+    * `PcmFrameRms` loop. WAV PCM is a lossless container, so the
+    * binary-free DuckDB oracle (q317's arithmetic + the header
+    * constants) hash-matches bit for bit — and the projected
+    * `lossless` flag compares decoded to source bytes directly, so a
+    * codec that shifted or fabricated even one byte breaks BOTH
+    * columns. Encode/decode are deliberate UDFs (a JDK library-call
+    * boundary with nothing to codegen — q323/CompressionScore's
+    * documented pattern); payloads decode partition-locally and never
+    * shuffle. Remaining multimodal stub: video containers only (no
+    * ffmpeg in the JDK or this environment).
+    */
+  def q346_wav_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.PcmExpressions._
+    import graft.operators.AudioCodec
+    val encodeUdf = udf((pcm: Array[Byte]) => AudioCodec.encodeWav(pcm, 16000, 1))
+    val decodeUdf = udf((wav: Array[Byte]) => {
+      val a = AudioCodec.decodeWav(wav)
+      (a.pcm, a.sampleRate, a.channels)
+    })
+    val amp = when(col("media_id") % 5 === 0, lit(0.0))
+      .otherwise(lit(2000.0) + col("media_id") * 100)
+    val w = ((col("media_id") % 7) + 1) * lit(0.01)
+    val samples = transform(sequence(lit(0), lit(2399)),
+      t => floor(amp * sin(t.cast("double") * w)).cast("long"))
+    val df = s.range(1, 21).toDF("media_id")
+      .withColumn("pcm", pcmPack(samples))
+      .withColumn("wav", encodeUdf(col("pcm")))
+      .withColumn("dec", decodeUdf(col("wav")))
+      .withColumn("rms", pcmFrameRms(col("dec._1"), 240))
+    df.select(col("media_id"),
+        col("dec._2").cast("long").as("sample_rate"),
+        col("dec._3").cast("long").as("channels"),
+        size(col("rms")).cast("long").as("n_frames"),
+        round(aggregate(col("rms"), lit(0.0), (a, x) => a + x) / size(col("rms")), 4)
+          .as("mean_rms"),
+        round(array_max(col("rms")), 4).as("peak_rms"),
+        size(filter(col("rms"), x => x < 1.0)).cast("long").as("silence_frames"),
+        (col("dec._1") === col("pcm")).as("lossless"))
+      .orderBy("media_id")
   }
 
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
@@ -9240,7 +9357,7 @@ object Queries {
       .withColumn("sum_len",
         aggregate(transform(col("l"), t => length(t)), lit(0), _ + _)
           .cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val quality = docs.filter(col("n_tok") >= 30 &&
       col("sum_len") <= lit(5L) * col("n_tok"))
     val dropIds = Dedup.minhashLshPairs(quality, "doc_id", "text",
@@ -9418,6 +9535,15 @@ object Queries {
     * against the batch join + date_trunc oracle. State is join-bounded
     * by the interval and agg-bounded by open windows — both
     * watermark-evicted, both co-partitioned on their keys.
+    *
+    * GRAIN CONTRACT (StreamSinkGateSpec): the output keys on (day,
+    * campaign). `campaign` is parsed from the click's JSON props, but
+    * it is a MARKETING-DIMENSION key — tens to low-thousands of live
+    * campaigns at any corpus size — not a fact-grain value; combined
+    * with the calendar-bounded day, open-window state and the
+    * driver-side memory table stay bounded. If campaign were ever
+    * fact-grain (e.g. a per-click id), this query would have to move
+    * to runToParquetSink like q328/q345.
     */
   def q333_stream_join_window(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -9788,6 +9914,7 @@ object Queries {
     "q343_stream_union_sources" -> (q343_stream_union_sources _),
     "q344_stream_dedup_window" -> (q344_stream_dedup_window _),
     "q345_session_window_stream" -> (q345_session_window_stream _),
+    "q346_wav_decode" -> (q346_wav_decode _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14650,5 +14777,55 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q20_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts,
+        |  count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+        |  true AS parts_apx_ok, true AS supps_apx_ok
+        |FROM lineitem""".stripMargin,
+    "q34_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                     embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |p AS (SELECT nv AS qnv FROM n WHERE id = 0)
+        |SELECT id, round(list_dot_product(nv, qnv), 4) AS sim
+        |FROM n, p WHERE id <> 0
+        |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
+    "q99_approx_quantiles" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+        |  true AS p50_apx_ok, true AS p95_apx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q152_ann_ivf_disk" ->
+      """WITH n AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                     embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |p AS (SELECT nv AS qnv FROM n WHERE id = 0)
+        |SELECT id, round(list_dot_product(nv, qnv), 4) AS sim
+        |FROM n, p WHERE id <> 0
+        |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
+    "q346_wav_decode" ->
+      """WITH m AS (SELECT id AS media_id,
+        |    CASE WHEN id % 5 = 0 THEN 0.0 ELSE 2000.0 + id * 100 END AS amp,
+        |    ((id % 7) + 1) * 0.01 AS w
+        |  FROM range(1, 21) t(id)),
+        |s AS (SELECT media_id, (t.t // 240)::BIGINT AS f,
+        |    floor(amp * sin(t.t * w)) AS v
+        |  FROM m, range(0, 2400) t(t)),
+        |fr AS (SELECT media_id, f, sqrt(avg(v * v)) AS rms
+        |  FROM s GROUP BY 1, 2)
+        |SELECT media_id, 16000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  count(*)::BIGINT AS n_frames,
+        |  round(avg(rms), 4) AS mean_rms,
+        |  round(max(rms), 4) AS peak_rms,
+        |  sum(CASE WHEN rms < 1.0 THEN 1 ELSE 0 END)::BIGINT AS silence_frames,
+        |  true AS lossless
+        |FROM fr GROUP BY 1 ORDER BY media_id""".stripMargin,
   )
 }

@@ -29,6 +29,7 @@ object Verify {
       }
       // Same inter-query hygiene as Bench: drop persisted/checkpointed
       // intermediates so 149 queries don't accumulate pinned blocks.
+      CacheRegistry.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry.TrackedPersist
 
 import graft.functions.TextFunctions._
 
@@ -82,13 +83,14 @@ object Dedup {
     // the source and re-tokenizes the full corpus (the r3 q53 bench
     // regression). Lazy persist (not an eager checkpoint) so callers
     // that only inspect plans never run a job; MEMORY_AND_DISK spills
-    // rather than OOMs at scale. Cleaned up by the caller's session
-    // hygiene (Bench/Verify unpersist between queries).
+    // rather than OOMs at scale. Registered with CacheRegistry so ANY
+    // caller can release it after its terminal action
+    // (CacheRegistry.releaseAll() — Bench/Verify call it per query).
     val hashed = df
       .select(col(idCol).as("id"),
         graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) >= 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sigs = hashed
       .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
@@ -152,7 +154,7 @@ object Dedup {
         .select(col(idCol).as("id"),
           graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
         .filter(size(col("hs")) >= 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val banded = hashed
         .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
         .select(col("id"),

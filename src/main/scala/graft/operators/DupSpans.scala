@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry.TrackedPersist
 
 /** Cross-document duplicated-SPAN detection — the n-gram-granular form
   * of ExactSubstr dedup (Lee et al., "Deduplicating Training Data
@@ -53,7 +54,7 @@ object DupSpans {
       .select(col(idCol).as("id"),
         posexplode(graft.expr.ShingleExpression.positionalShingleHashes(col(textCol), n))
           .as(Seq("pos", "h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // df cap: corpus-wide occurrence count (doc,pos granularity — a
     // doc repeating its own boilerplate counts each occurrence, same
     // as the oracle).

@@ -33,6 +33,11 @@ object ImageCodec {
   /** Encode a packed RGB888 buffer (row-major, 3 bytes/pixel) as PNG. */
   def encodePng(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    // Long math before any Int sizing: w*h*3 overflows Int at large
+    // dimensions, turning the length check into a wrong-size accept
+    // (the same hazard RgbImpl.resizeNearest guards).
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"${w}x$h RGB888 exceeds a JVM array (${w.toLong * h * 3} bytes)")
     require(rgb.length == w * h * 3,
       s"RGB888 payload must be ${w * h * 3} bytes for ${w}x$h, got ${rgb.length}")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -63,7 +68,13 @@ object ImageCodec {
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Byte]((w * h * 3))
+    // Decoded dimensions come from the PAYLOAD's header — data-
+    // controlled. Long math prevents an Int-overflowed (negative or
+    // wrong-size) allocation before the pixel loop writes out-of-
+    // bounds (the resizeNearest guard, applied at the decode seam).
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      s"decoded ${w}x$h exceeds a JVM array (${w.toLong * h * 3} bytes)")
+    val out = new Array[Byte](w * h * 3)
     var p = 0
     var y = 0
     while (y < h) {

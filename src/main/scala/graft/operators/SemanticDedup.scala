@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry.TrackedPersist
 
 /** Cluster-scoped embedding dedup — the SemDeDup pattern (Abbas et
   * al., "SemDeDup: Data-efficient learning at web-scale through
@@ -48,7 +49,7 @@ object SemanticDedup {
       tau: Double,
       refineIters: Int = 2): DataFrame = {
     val normed = AnnIvf.normalized(df, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val index = AnnIvf.assignNormed(
       normed, AnnIvf.centroidsNormed(normed, nCentroids, refineIters))
     val right = index.select(
@@ -61,9 +62,9 @@ object SemanticDedup {
     // The centroid build already materialized `normed` eagerly (its
     // consumers collect), so the cached blocks exist by the time the
     // caller's action runs the self-join; release after the plan is
-    // assembled is unsafe (lazy consumers), so the unpersist rides on
-    // the caller's session hygiene exactly as Dedup.minhashLshPairs
-    // documents.
+    // assembled is unsafe (lazy consumers), so the persist is
+    // registered with CacheRegistry — the caller releases it after
+    // its terminal action, exactly as Dedup.minhashLshPairs documents.
     out
   }
 
@@ -79,10 +80,10 @@ object SemanticDedup {
       nCentroids: Int,
       tau: Double): DataFrame = {
     val normed = AnnIvf.normalized(df, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val cents = AnnIvf.centroidsNormed(normed, nCentroids)
     val index = AnnIvf.assignNormed(normed, cents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val right = index.select(
       col("centroid_id"), col("id").as("id2"), col("nv").as("nv2"))
     val dropped = index.join(right, "centroid_id")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry.TrackedPersist
 
 /** Exact set-similarity self-join via prefix filtering (the PPJoin
   * family — Chaudhuri et al. ICDE'06 SSJoin, Xiao et al. WWW'08; public
@@ -183,7 +184,7 @@ object SetSimJoin {
     val keep = idx0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val idx = idx0.join(keep, "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sizes = idx.groupBy("a_id").agg(count(lit(1)).as("sz"))
     idx.join(idx.select(col("sh"), col("a_id").as("b_id")), "sh")
       .filter(col("a_id") =!= col("b_id"))

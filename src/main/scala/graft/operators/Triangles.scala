@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry.TrackedPersist
 
 import graft.expr.SortedIntersectExpression.sortedIntersect
 
@@ -114,14 +115,14 @@ object Triangles {
         least(col(uCol), col(vCol)).cast("long").as("u"),
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .distinct()
-      .persist()
+      .persistTracked()
     // n-row degree table from ONE pass over the cached edges (both
     // endpoints via a 2-element generate — the union form read the
     // cache twice), consumed 3x (two orientation joins + the caller's
     // census/report leg).
     val deg = pairs.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
-      .persist()
+      .persistTracked()
     def degAs(k: String, d: String) = {
       val t = deg.select(col("node").as(k), col("d").as(d))
       if (broadcastGraph) broadcast(t) else t
@@ -139,7 +140,7 @@ object Triangles {
     // probe stream and joined back as the t-side arrays.
     val adj = oriented.groupBy(col("s").as("node"))
       .agg(sort_array(collect_list(col("t"))).as("nbr"))
-      .persist()
+      .persistTracked()
     val adjT = {
       val t = adj.select(col("node").as("t"), col("nbr").as("nt"))
       if (broadcastGraph) broadcast(t) else t

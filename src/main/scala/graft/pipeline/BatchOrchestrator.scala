@@ -30,7 +30,9 @@ final class BatchOrchestrator(
     cfg: PipelineConfig,
     validSink: RecordSink,
     dlqSink: RecordSink,
-    onBatchComplete: BatchStats => Unit = BatchStats.logLine) extends Serializable {
+    onBatchComplete: BatchStats => Unit = BatchStats.logLine,
+    metricWaitMs: Long = BatchOrchestrator.DefaultMetricWaitMs)
+  extends Serializable {
 
   @volatile private var cachedMetas: Option[Seq[ColumnMeta]] = None
   /** Visible for tests: schema resolutions + insert attempts. */
@@ -118,23 +120,38 @@ final class BatchOrchestrator(
     // is honestly None — never wait for an event that will not come.
     // When the write DID run, the completed action's metrics travel an
     // ASYNC listener bus, so a bare non-blocking read here raced it
-    // and silently dropped real counts — bounded poll instead
-    // (`Observation.get` would block forever on a lost event).
+    // and silently dropped real counts. The read parks on the
+    // observation's completion FUTURE with a bounded deadline (no
+    // sleep-poll; `Observation.get` alone would block forever on a
+    // lost event) and LOGS a deadline hit, so "listener event lost"
+    // is distinguishable from "sink skipped the write" downstream
+    // (IngestBench treats None-after-write as metric loss, not 0).
     def n(o: Observation, wrote: Boolean): Option[Long] = {
       if (!wrote) return None
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var m = org.apache.spark.sql.graft.bridge.observationGetOrEmpty(o)
-      while (m.isEmpty && System.nanoTime() < deadline) {
-        Thread.sleep(2)
-        m = org.apache.spark.sql.graft.bridge.observationGetOrEmpty(o)
+      org.apache.spark.sql.graft.bridge.observationAwait(o, metricWaitMs) match {
+        case Some(m) => m.get("rows").map(_.asInstanceOf[Long])
+        case None =>
+          System.err.println(
+            s"[graft] batch $batchId: observation metrics missing after " +
+              s"$metricWaitMs ms — listener event lost (metric loss, the " +
+              "write itself reported success)")
+          None
       }
-      m.get("rows").map(_.asInstanceOf[Long])
     }
     val stats = BatchStats(batchId, n(valid, wroteValid), n(dlq, wroteDlq),
       retried, (System.nanoTime() - t0) / 1000000L)
     lastStats = Some(stats)
     onBatchComplete(stats)
   }
+}
+
+object BatchOrchestrator {
+  /** How long `finish` waits for a completed write's observation
+    * metrics to cross the async listener bus before declaring the
+    * event lost. Generous: the bus drains in milliseconds unless the
+    * driver is saturated; a hit is logged, never silent.
+    */
+  val DefaultMetricWaitMs: Long = 10000L
 }
 
 /** Per-batch processing telemetry (the reference's per-batch log:

@@ -33,4 +33,20 @@ object bridge {
     */
   def observationGetOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
     try o.getOrEmpty catch { case _: NullPointerException => Map.empty }
+
+  /** Bounded-blocking Observation read: parks on the observation's
+    * completion future (no sleep-poll) and distinguishes "metrics
+    * arrived" (Some) from "listener event lost / never completed
+    * within the deadline" (None). Callers use this ONLY after the
+    * observed action verifiably ran — on a skipped action the future
+    * never completes and this honestly times out.
+    */
+  def observationAwait(
+      o: org.apache.spark.sql.Observation,
+      timeoutMs: Long): Option[Map[String, Any]] =
+    try {
+      import scala.concurrent.duration._
+      val row = scala.concurrent.Await.result(o.future, timeoutMs.millis)
+      Some(row.getValuesMap[Any](row.schema.fieldNames.toSeq))
+    } catch { case _: java.util.concurrent.TimeoutException => None }
 }
