@@ -9276,6 +9276,53 @@ object Queries {
       .orderBy("user_id", "s_start")
   }
 
+  /** The Spark-4 STATE-STORE READER surface, oracle-judged — the ops
+    * door into a streaming query's checkpointed state (`spark.read
+    * .format("statestore")`), which is how a production pipeline
+    * debugs "what does the agg hold right now" without stopping the
+    * query. q327's complete-mode nation-revenue aggregation is drained
+    * through a NOOP sink (state is written by the stateful operator,
+    * not the sink), then the FINAL STATE SNAPSHOT is read back from
+    * the checkpoint as a batch frame — key struct (n_name), value
+    * struct (the agg buffer: count + raw sum) — and projected to the
+    * same three-table SQL oracle q327 answers from the sink side. A
+    * state codec bug, a lost store partition, or a buffer-schema
+    * mangle breaks the hash. Scale shape: the reader scans state
+    * partition-parallel (one task per store partition, no driver
+    * collect), and the judged state itself is nation-grain bounded.
+    */
+  def q347_state_reader(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val orders = t(s, dir, "orders").select("o_custkey", "o_totalprice")
+    val stageDir = stagedParquet(s"ss|$dir") { d =>
+      orders.write.mode("overwrite").parquet(d)
+    }
+    val dim = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stread_ckpt_").toString
+    val q = withStreamPartitions(s) {
+      s.readStream.schema(orders.schema).parquet(stageDir)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    // The agg buffer holds (count, RAW sum) — round() is an output
+    // projection, not buffer state — so the round happens here.
+    s.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.n_name").as("n_name"),
+        col("value.count").as("n_orders"),
+        round(col("value.sum"), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
   /** The WAV-CONTAINER leg of the multimodal codec seam — q323's PNG
     * precedent applied to audio through the JDK's `javax.sound.sampled`
     * ([[graft.operators.AudioCodec]]): q317's synthetic PCM16 tones are
@@ -9915,6 +9962,7 @@ object Queries {
     "q344_stream_dedup_window" -> (q344_stream_dedup_window _),
     "q345_session_window_stream" -> (q345_session_window_stream _),
     "q346_wav_decode" -> (q346_wav_decode _),
+    "q347_state_reader" -> (q347_state_reader _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14777,6 +14825,13 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q347_state_reader" ->
+      """SELECT n_name, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q20_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts,
         |  count(DISTINCT l_suppkey)::BIGINT AS n_supps,
