@@ -2718,19 +2718,36 @@ object Queries {
   def q132_hll_merge(s: SparkSession, dir: String): DataFrame = {
     // The exact comparison column comes from q134's bitmap partials
     // (popcount of OR-merged 32-id words) — bounded bytes per group at
-    // any scale, unlike a collect_set of raw ids.
+    // any scale, unlike a collect_set of raw ids. ORACLE-JUDGED via
+    // the tolerance-flag pattern (q20's): the exact counts hash-check
+    // against DuckDB; the two sketch CONTRACTS become judged booleans
+    // the oracle pins to true — (a) the merged per-day-partials
+    // estimate lands within 5% of exact (DataSketches' documented
+    // band at default lgK), (b) merge-of-partials agrees with the
+    // direct one-shot sketch within 2% (the mergeability claim — THE
+    // property that makes per-day sketches the 100 TB distinct
+    // pattern: range queries merge instead of rescanning).
     val ev = t(s, dir, "events")
-    val approx = ev
+    val merged = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+    val direct = ev
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"))
     val exact = ev
       .groupBy(col("event_type"), expr("user_id div 32").as("word"))
       .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 AS int))")).as("bm"))
       .groupBy("event_type")
       .agg(sum(bit_count(col("bm"))).as("exact_users"))
-    approx.join(exact, "event_type").orderBy("event_type")
+    merged.join(direct, "event_type").join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("merged_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("apx_ok"),
+        (abs(col("merged_users") - col("direct_users")).cast("double") /
+          col("direct_users") <= 0.02).as("merge_ok"))
+      .orderBy("event_type")
   }
 
   /** XML source/sink round-trip — the fourth wire format after CSV
@@ -9276,6 +9293,29 @@ object Queries {
       .orderBy("user_id", "s_start")
   }
 
+  /** Stream-stream LEFT SEMI interval join — the conversion-detection
+    * rung that completes the judged stream-join matrix (INNER
+    * q213/q333, LEFT OUTER q328, FULL OUTER q340, SEMI here): each
+    * click emits AT MOST ONCE, exactly when some purchase by the same
+    * user lands within [cts, cts+30min) — the "did this click
+    * convert" primitive, without the row-multiplication an inner join
+    * pays when one click matches several purchases. Same equi-key +
+    * interval-residual state shape as q328 (co-partitioned on
+    * user_id, watermark-evicted, never a cross product); the dual
+    * sentinels drive the final watermark so unmatched click state
+    * drains without emitting. Click-grain output rides the
+    * distributed parquet sink; the post-drain rollup is
+    * campaign-grain. Oracle: the EXISTS form in DuckDB.
+    */
+  def q348_stream_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val (cs, ps) = sojStreams(s, dir)
+    runToParquetSink(s, cs.join(ps, sojCondition, "left_semi"), "ssj")
+      .filter(col("user_id") >= 0)
+      .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
+      .agg(count(lit(1)).as("n_converted"))
+      .orderBy("campaign")
+  }
+
   /** The Spark-4 STATE-STORE READER surface, oracle-judged — the ops
     * door into a streaming query's checkpointed state (`spark.read
     * .format("statestore")`), which is how a production pipeline
@@ -9963,6 +10003,7 @@ object Queries {
     "q345_session_window_stream" -> (q345_session_window_stream _),
     "q346_wav_decode" -> (q346_wav_decode _),
     "q347_state_reader" -> (q347_state_reader _),
+    "q348_stream_semi_join" -> (q348_stream_semi_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14825,6 +14866,17 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q348_stream_semi_join" ->
+      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
+        |             ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT coalesce(campaign, -1) AS campaign,
+        |  count(*)::BIGINT AS n_converted
+        |FROM c WHERE EXISTS (
+        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q347_state_reader" ->
       """SELECT n_name, count(*)::BIGINT AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
@@ -14832,6 +14884,10 @@ object Queries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q132_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        |  true AS apx_ok, true AS merge_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts,
         |  count(DISTINCT l_suppkey)::BIGINT AS n_supps,

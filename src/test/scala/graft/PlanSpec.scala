@@ -308,6 +308,20 @@ class PlanSpec extends SparkSpec {
         "justification to the allowlist above")
   }
 
+  test("q302/q207 tokenize once: exactly ONE parquet scan of documents in the plan") {
+    // The r7 finding: two branches (presence explode + class totals)
+    // each re-scanned and re-tokenized the corpus. Both queries now
+    // persist the doc-grain tokenize and dedup presence map-side
+    // (array_distinct), so the executed plan must contain exactly one
+    // documents scan and no global DISTINCT of exploded tokens.
+    for (name <- Seq("q302_fdr_bh", "q207_chi2_select")) {
+      val p = Queries.all(name)(spark, sf())
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val scans = "documents\\.parquet".r.findAllIn(p).size
+      assert(scans <= 1, s"$name re-scans documents ($scans sites):\n$p")
+    }
+  }
+
   test("q192 DSIR: scoring join broadcasts the 4096-bucket LM table; top-k is TakeOrdered") {
     val p = plan("q192_dsir_select")
     assert(p.contains("BroadcastHashJoin"),

