@@ -1906,21 +1906,29 @@ object Queries {
     * that a broken sketch fails the hash. Round3OpsSpec keeps the
     * rank-error bound construction test.
     */
-  def q99_approx_quantiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+  def q99_approx_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50e"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95e"),
         count(lit(1)).as("n"))
+    // The exact reference rides Quantiles.exactByGroupHistogram (two
+    // fully-parallel passes; no stage ever sees more than one bucket
+    // of one group) — the right shape for FEW ENORMOUS groups: the
+    // builtin exact `percentile` buffers every group value in executor
+    // memory, and the sort path single-tasks each whole group.
+    val exact = operators.Quantiles.exactByGroupHistogram(
+      li.select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+    approx.join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n"),
-        round(col("p50e"), 2).as("p50_exact"),
-        round(col("p95e"), 2).as("p95_exact"),
-        (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.01).as("p50_apx_ok"),
-        (abs(col("p95a") - col("p95e")) / col("p95e") <= 0.01).as("p95_apx_ok"))
+        round(col("q_0"), 2).as("p50_exact"),
+        round(col("q_1"), 2).as("p95_exact"),
+        (abs(col("p50a") - col("q_0")) / col("q_0") <= 0.01).as("p50_apx_ok"),
+        (abs(col("p95a") - col("q_1")) / col("q_1") <= 0.01).as("p95_apx_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Trailing-7-day distinct users per day — windowed COUNT DISTINCT,
     * which neither windows (no distinct frames) nor plain aggs
