@@ -9371,6 +9371,59 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** The state-store CHANGE FEED surface (q347's snapshot twin): the
+    * same nation-revenue aggregation is drained across SEVERAL
+    * micro-batches (`maxFilesPerTrigger` splits the staged topic), so
+    * the checkpoint accumulates one state UPDATE per touched key per
+    * batch; `readChangeFeed` replays that history — (batch_id,
+    * change_type, key, value) — and the judged frame is the LATEST
+    * change per key, which must equal the batch aggregate regardless
+    * of how the file source happened to slice the topic. This is the
+    * CDC-shaped audit ("what did the agg state look like as it
+    * evolved") a production pipeline replays after an incident; the
+    * latest-per-key reduction runs on the feed's own grain (keys ×
+    * batches, bounded by nation × micro-batch count), never the fact
+    * table.
+    */
+  def q349_state_changefeed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val orders = t(s, dir, "orders").select("o_custkey", "o_totalprice")
+    val stageDir = stagedParquet(s"ss|$dir") { d =>
+      orders.write.mode("overwrite").parquet(d)
+    }
+    val dim = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stcf_ckpt_").toString
+    val q = withStreamPartitions(s) {
+      s.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 8) // force a multi-batch history
+        .parquet(stageDir)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val feed = s.read.format("statestore")
+      .option("path", ckpt)
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", 0)
+      .load()
+      .select(col("batch_id"), col("key.n_name").as("n_name"),
+        col("value.count").as("n_orders"),
+        round(col("value.sum"), 2).as("revenue"))
+    val latest = feed.groupBy("n_name").agg(max("batch_id").as("batch_id"))
+    feed.join(latest, Seq("n_name", "batch_id"))
+      .select("n_name", "n_orders", "revenue")
+      .orderBy("n_name")
+  }
+
   /** The WAV-CONTAINER leg of the multimodal codec seam — q323's PNG
     * precedent applied to audio through the JDK's `javax.sound.sampled`
     * ([[graft.operators.AudioCodec]]): q317's synthetic PCM16 tones are
@@ -10012,6 +10065,7 @@ object Queries {
     "q346_wav_decode" -> (q346_wav_decode _),
     "q347_state_reader" -> (q347_state_reader _),
     "q348_stream_semi_join" -> (q348_stream_semi_join _),
+    "q349_state_changefeed" -> (q349_state_changefeed _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14885,6 +14939,13 @@ object Queries {
         |  SELECT 1 FROM p WHERE p.user_id = c.user_id
         |    AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q349_state_changefeed" ->
+      """SELECT n_name, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q347_state_reader" ->
       """SELECT n_name, count(*)::BIGINT AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue

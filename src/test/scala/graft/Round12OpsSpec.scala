@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
 class Round12OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   // ---- q346 WAV decode --------------------------------------------------
 
   test("wav decode: every round trip lossless, header metadata intact, silent tones flagged") {
@@ -49,6 +52,38 @@ class Round12OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fromState == batch,
       s"missing=${batch -- fromState} extra=${fromState -- batch}")
+  }
+
+  // ---- q349 state change feed ----------------------------------------------
+
+  test("state change feed: multi-batch history replays; latest change equals batch agg") {
+    import org.apache.spark.sql.streaming.Trigger
+    val data = spark.range(0, 100).toDF("id")
+      .withColumn("k", col("id") % 4)
+    val stage = tmp("graft_cf_stage_")
+    // two files -> maxFilesPerTrigger=1 forces >= 2 micro-batches
+    data.filter(col("id") < 50).coalesce(1).write.mode("overwrite")
+      .parquet(s"$stage/a.parquet")
+    data.filter(col("id") >= 50).coalesce(1).write.mode("append")
+      .parquet(s"$stage/a.parquet")
+    val ckpt = tmp("graft_cf_ckpt_")
+    val q = spark.readStream
+      .schema(data.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$stage/a.parquet")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = spark.read.format("statestore").option("path", ckpt)
+      .option("readChangeFeed", "true").option("changeStartBatchId", 0).load()
+      // the agg buffer field is named `count`, not the output alias
+      .select(col("batch_id"), col("key.k").as("k"), col("value.count").as("n"))
+    assert(feed.agg(max("batch_id")).head().getLong(0) >= 1L,
+      "expected a multi-batch change history")
+    val latestBatch = feed.groupBy("k").agg(max("batch_id").as("batch_id"))
+    val latest = feed.join(latestBatch, Seq("k", "batch_id"))
+      .select("k", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
   }
 
   // ---- q34 exact-dial IVF --------------------------------------------------
