@@ -1913,20 +1913,28 @@ object Queries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
         count(lit(1)).as("n"))
-    // The exact reference rides Quantiles.exactByGroupHistogram (two
-    // fully-parallel passes; no stage ever sees more than one bucket
-    // of one group) — the right shape for FEW ENORMOUS groups: the
-    // builtin exact `percentile` buffers every group value in executor
-    // memory, and the sort path single-tasks each whole group.
-    val exact = operators.Quantiles.exactByGroupHistogram(
+    // The exact reference rides Quantiles.exactByGroupHistogramParts
+    // (two fully-parallel passes; no stage ever sees more than one
+    // bucket of one group) — the right shape for FEW ENORMOUS groups:
+    // the builtin exact `percentile` buffers every group value in
+    // executor memory, and the sort path single-tasks each group.
+    // The hash-judged VALUE columns are the DISCRETE quantiles (qlo:
+    // actual cent-valued prices, so no cross-engine rounding exists
+    // to disagree on — interpolated midpoints land on half-cents and
+    // Spark/DuckDB round() implementations split exactly there); the
+    // interpolating form stays judged by the bracketing invariant
+    // qlo ≤ q ≤ qhi, and the sketch by its 1%-of-interpolated flag.
+    val exact = operators.Quantiles.exactByGroupHistogramParts(
       li.select("l_returnflag", "l_extendedprice"),
       "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
     approx.join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n"),
-        round(col("q_0"), 2).as("p50_exact"),
-        round(col("q_1"), 2).as("p95_exact"),
+        col("qlo_0").as("p50_disc"),
+        col("qlo_1").as("p95_disc"),
         (abs(col("p50a") - col("q_0")) / col("q_0") <= 0.01).as("p50_apx_ok"),
-        (abs(col("p95a") - col("q_1")) / col("q_1") <= 0.01).as("p95_apx_ok"))
+        (abs(col("p95a") - col("q_1")) / col("q_1") <= 0.01).as("p95_apx_ok"),
+        (col("q_0") >= col("qlo_0") && col("q_0") <= col("qhi_0")).as("p50_interp_ok"),
+        (col("q_1") >= col("qlo_1") && col("q_1") <= col("qhi_1")).as("p95_interp_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -3354,17 +3362,33 @@ object Queries {
     * window reads the agg output (5x24 rows), not the events.
     */
   def q156_seasonality(s: SparkSession, dir: String): DataFrame = {
+    // Sums ride EXACT integer cents (q331's trick): summing raw
+    // doubles is partial-sum-order dependent, and at sf0.001 the
+    // last-ulp difference vs DuckDB's serial sum crossed a 4-dp
+    // rounding boundary. Integer sums are order-free; every division
+    // below starts from exact integers, so both engines compute
+    // identical doubles.
+    // avg_value and traffic_share round at 4 dp IN INTEGER ARITHMETIC
+    // (half-up: (2a+b) div 2b): cent-sums over small n land exactly on
+    // half-boundaries (e.g. 68.92875), where Spark's round (shortest
+    // decimal repr, HALF_UP) and DuckDB's (raw-double scaling) split.
+    // season_idx keeps the double round: its denominator n·type_sc
+    // makes an exact 4-dp half-boundary unconstructible in this data,
+    // and the exact-integer form would overflow int64 at corpus scale.
     val w = Window.partitionBy("event_type")
     t(s, dir, "events")
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("sc"))
       .withColumn("type_n", sum("n").over(w))
-      .withColumn("type_sv", sum("sv").over(w))
+      .withColumn("type_sc", sum("sc").over(w))
       .select(col("event_type"), col("hod"), col("n"),
-        round(col("sv") / col("n"), 4).as("avg_value"),
-        round((col("sv") / col("n")) / (col("type_sv") / col("type_n")), 4)
+        (expr("(2 * sc * 100 + n) div (2 * n)") / 10000.0).as("avg_value"),
+        round((col("sc").cast("double") / col("n")) /
+          (col("type_sc").cast("double") / col("type_n")), 4)
           .as("season_idx"),
-        round(col("n") * 24.0 / col("type_n"), 4).as("traffic_share"))
+        (expr("(2 * n * 240000 + type_n) div (2 * type_n)") / 10000.0)
+          .as("traffic_share"))
       .orderBy("event_type", "hod")
   }
 
@@ -11742,13 +11766,16 @@ object Queries {
     "q156_seasonality" ->
       """WITH h AS (
         |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
-        |    count(*) AS n, sum("value") AS sv
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS sc
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, hod, n,
-        |  round(sv / n, 4) AS avg_value,
-        |  round((sv / n) / (sum(sv) OVER (PARTITION BY event_type) /
-        |                    sum(n) OVER (PARTITION BY event_type)), 4) AS season_idx,
-        |  round(n * 24.0 / sum(n) OVER (PARTITION BY event_type), 4) AS traffic_share
+        |  ((2 * sc * 100 + n) // (2 * n)) / 10000.0 AS avg_value,
+        |  round((CAST(sc AS DOUBLE) / n) /
+        |        (CAST(sum(sc) OVER (PARTITION BY event_type) AS DOUBLE) /
+        |         sum(n) OVER (PARTITION BY event_type)), 4) AS season_idx,
+        |  ((2 * n * 240000 + sum(n) OVER (PARTITION BY event_type)) //
+        |   (2 * sum(n) OVER (PARTITION BY event_type))) / 10000.0 AS traffic_share
         |FROM h ORDER BY event_type, hod""".stripMargin,
     "q157_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS k_size,
@@ -14973,12 +15000,29 @@ object Queries {
         |SELECT id, round(list_dot_product(nv, qnv), 4) AS sim
         |FROM n, p WHERE id <> 0
         |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
+    // Discrete quantiles (actual price at the integer rank
+    // ⌊(n−1)·p⌋+1, computed with INTEGER arithmetic — no float h, no
+    // round()) so no cross-engine rounding boundary exists; the
+    // interpolated form and the sketch are judged via flags.
     "q99_approx_quantiles" ->
-      """SELECT l_returnflag, count(*)::BIGINT AS n,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
-        |  true AS p50_apx_ok, true AS p95_apx_ok
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH vals AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT DISTINCT k, n FROM vals),
+        |t AS (SELECT k, pi, ((n - 1) * pn) // 100 + 1 AS rlo
+        |      FROM g, (VALUES (0, 50), (1, 95)) AS ps(pi, pn)),
+        |d AS (SELECT t.k, t.pi, vals.v
+        |      FROM t JOIN vals ON vals.k = t.k AND vals.rn = t.rlo)
+        |SELECT g.k AS l_returnflag, g.n::BIGINT AS n,
+        |  max(CASE WHEN pi = 0 THEN v END) AS p50_disc,
+        |  max(CASE WHEN pi = 1 THEN v END) AS p95_disc,
+        |  true AS p50_apx_ok, true AS p95_apx_ok,
+        |  true AS p50_interp_ok, true AS p95_interp_ok
+        |FROM g JOIN d ON d.k = g.k
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q152_ann_ivf_disk" ->
       """WITH n AS (
         |  SELECT vec_id AS id,

@@ -111,6 +111,24 @@ object Quantiles {
       keyCol: String,
       valCol: String,
       ps: Seq[Double],
+      buckets: Int = 4096): DataFrame =
+    exactByGroupHistogramParts(df, keyCol, valCol, ps, buckets)
+      .select(col(keyCol) +: ps.indices.map(i => col(s"q_$i")): _*)
+
+  /** [[exactByGroupHistogram]] exposing the BRACKET values next to
+    * each interpolated quantile: per group, `q_i` (the type-7
+    * interpolation), `qlo_i` (the value at rank ⌊h⌋+1 — an ACTUAL
+    * data value, the type-1/discontinuous quantile) and `qhi_i` (the
+    * value at rank ⌊h⌋+2, = qlo when h is integral or the group ends).
+    * The disc values are exact data values — audits that must stay
+    * rounding-free across engines (cent-valued prices) judge those
+    * and keep the interpolation as a bracketing invariant.
+    */
+  def exactByGroupHistogramParts(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      ps: Seq[Double],
       buckets: Int = 4096): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "fractions in [0,1]")
     val base = df.select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
@@ -169,10 +187,12 @@ object Quantiles {
     // Same lo + (hi − lo)·frac form as exactByGroup (ulp parity with
     // DuckDB/builtin — the weighted-sum form rounds differently).
     val interp = targets.join(lower, Seq("__k", "__rlo")).join(upper, Seq("__k", "__rhi"))
-      .select(col("__k"), col("__pi"),
+      .select(col("__k"), col("__pi"), col("__vlo"), col("__vhi"),
         (col("__vlo") + (col("__vhi") - col("__vlo")) * col("__frac")).as("__q"))
-    val aggs = ps.indices.map(i =>
-      max(when(col("__pi") === i, col("__q"))).as(s"q_$i"))
+    val aggs = ps.indices.flatMap(i => Seq(
+      max(when(col("__pi") === i, col("__q"))).as(s"q_$i"),
+      max(when(col("__pi") === i, col("__vlo"))).as(s"qlo_$i"),
+      max(when(col("__pi") === i, col("__vhi"))).as(s"qhi_$i")))
     interp.groupBy(col("__k").as(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -52,4 +52,23 @@ class AudioCodecSpec extends AnyFunSuite {
   test("non-WAV bytes are rejected, not misparsed") {
     intercept[Exception] { AudioCodec.decodeWav("not audio at all".getBytes) }
   }
+
+  test("property: decode(encode(pcm)) == pcm for seeded random payloads") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nFrames <- Gen.choose(0, 2048)
+      ch <- Gen.oneOf(1, 2)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+      bytes <- Gen.listOfN(nFrames * 2 * ch, Gen.choose(-128, 127).map(_.toByte))
+    } yield (bytes.toArray, rate, ch)
+    // deterministic seeds — a CI failure must reproduce
+    (0 until 12).foreach { i =>
+      val (pcm, rate, ch) =
+        gen.apply(Gen.Parameters.default, Seed(0xA0D10L + i)).get
+      val a = AudioCodec.decodeWav(AudioCodec.encodeWav(pcm, rate, ch))
+      assert(a.pcm.toSeq == pcm.toSeq && a.sampleRate == rate && a.channels == ch,
+        s"case $i (${pcm.length} bytes, $rate Hz, $ch ch) mangled")
+    }
+  }
 }
