@@ -9325,6 +9325,31 @@ object Queries {
       .orderBy("user_id", "s_start")
   }
 
+  /** Stream-stream RIGHT OUTER interval join — q328's mirror, keeping
+    * the PURCHASE side: every purchase emits, null-extended once the
+    * click watermark proves no click within the preceding 30 minutes
+    * can still arrive — the "organic vs attributed revenue" split.
+    * Exercises the opposite state store's eviction path from q328
+    * (unmatched PURCHASES flush, not clicks); same co-partitioned
+    * equi-key + interval residual, dual sentinels drive the drain.
+    * The organic-revenue sum rides exact integer cents (q156's rule:
+    * the matched subset makes partial-sum order engine-visible at a
+    * 2-dp round). Purchase-grain output on the distributed parquet
+    * sink; day-grain rollup after.
+    */
+  def q350_stream_right_outer(s: SparkSession, dir: String): DataFrame = {
+    val (cs, ps) = sojStreams(s, dir)
+    runToParquetSink(s, cs.join(ps, sojCondition, "right_outer"), "sro")
+      .filter(col("p_user") >= 0)
+      .groupBy(date_trunc("day", col("pts")).as("day"))
+      .agg(count(col("cts")).as("n_attributed"),
+        count(when(col("cts").isNull, lit(1))).as("n_organic"),
+        (sum(when(col("cts").isNull,
+          expr("cast(round(value * 100, 0) as bigint)")).otherwise(lit(0L)))
+          / 100.0).as("organic_value"))
+      .orderBy("day")
+  }
+
   /** Stream-stream LEFT SEMI interval join — the conversion-detection
     * rung that completes the judged stream-join matrix (INNER
     * q213/q333, LEFT OUTER q328, FULL OUTER q340, SEMI here): each
@@ -10090,6 +10115,7 @@ object Queries {
     "q347_state_reader" -> (q347_state_reader _),
     "q348_stream_semi_join" -> (q348_stream_semi_join _),
     "q349_state_changefeed" -> (q349_state_changefeed _),
+    "q350_stream_right_outer" -> (q350_stream_right_outer _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14955,6 +14981,20 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q350_stream_right_outer" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, "value" FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT date_trunc('day', p.pts) AS day,
+        |  count(cts)::BIGINT AS n_attributed,
+        |  count(CASE WHEN cts IS NULL THEN 1 END)::BIGINT AS n_organic,
+        |  sum(CASE WHEN cts IS NULL
+        |        THEN CAST(round("value" * 100, 0) AS BIGINT)
+        |        ELSE 0 END) / 100.0 AS organic_value
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q348_stream_semi_join" ->
       """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
         |             ts AS cts FROM events WHERE event_type = 'click'),

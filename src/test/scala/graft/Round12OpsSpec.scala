@@ -54,6 +54,36 @@ class Round12OpsSpec extends SparkSpec {
       s"missing=${batch -- fromState} extra=${fromState -- batch}")
   }
 
+  // ---- q350 stream right outer join -----------------------------------------
+
+  test("stream right outer join: streaming result equals the batch right join") {
+    val dir = sf()
+    val streamed = Queries.all("q350_stream_right_outer")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ev = graft.sources.Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") && col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"), "right_outer")
+      .groupBy(date_trunc("day", col("pts")).as("day"))
+      .agg(count(col("cts")).as("n_attributed"),
+        count(when(col("cts").isNull, lit(1))).as("n_organic"),
+        (sum(when(col("cts").isNull,
+          expr("cast(round(value * 100, 0) as bigint)")).otherwise(lit(0L)))
+          / 100.0).as("organic_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    // both row classes must actually occur (organic AND attributed)
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0),
+      "expected both attributed and organic purchases in the data")
+  }
+
   // ---- q349 state change feed ----------------------------------------------
 
   test("state change feed: multi-batch history replays; latest change equals batch agg") {
