@@ -9325,6 +9325,63 @@ object Queries {
       .orderBy("user_id", "s_start")
   }
 
+  /** Arbitrary MAP state through `transformWithState`, oracle-judged —
+    * the multi-entry state surface next to q324's ValueState session
+    * processor: per-user `MapState[epochDay -> cents]` accumulates
+    * purchase revenue per day ([[graft.streaming.MapStateRevenue]]);
+    * a per-key timer armed just past the key's LAST REAL EVENT
+    * snapshots the whole map once the watermark (driven past every
+    * real timer by one global sentinel row) passes it. Snapshots are
+    * tagged with the timer's expiry time (strictly increasing per key
+    * across firings) and the judged frame keeps the LATEST snapshot
+    * per (user, day) — complete however the source sliced the topic
+    * (q349's robustness contract, for hand-rolled state). Revenue
+    * rides exact integer cents; user×day grain rides the distributed
+    * parquet sink. Oracle is the plain per-user-per-day SQL rollup.
+    */
+  def q351_mapstate_daily(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MapStateRevenue
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    // One GLOBAL watermark-driver sentinel (cents = -1, skipped by the
+    // processor): the per-key snapshot timers sit at lastEvent+1ms,
+    // and without a later event time in the topic the final watermark
+    // would never pass the latest key's timer (MapStateRevenue's doc).
+    val sentinel = purchases.agg(max(col("ts")).as("gmx"))
+      .select(lit(-1L).as("key"),
+        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
+        lit(-1L).as("cents"))
+    val stageDir = stagedParquet(s"msr|$dir") { d =>
+      purchases.unionByName(sentinel).write.mode("overwrite").parquet(d)
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val snaps = try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
+        .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+          .product[MapStateRevenue.REvent])
+        .withWatermark("ts", "0 seconds")
+      runToParquetSink(s, MapStateRevenue.dailyRevenue(stream).toDF(), "msr")
+    } finally {
+      prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    snaps.groupBy(col("key").as("user_id"), col("day"))
+      .agg(max_by(col("cents"), col("tagMs")).as("c"))
+      .select(col("user_id"),
+        expr("date_add(DATE'1970-01-01', cast(day as int))").as("day"),
+        (col("c") / 100.0).as("revenue"))
+      .orderBy("user_id", "day")
+  }
+
   /** Stream-stream RIGHT OUTER interval join — q328's mirror, keeping
     * the PURCHASE side: every purchase emits, null-extended once the
     * click watermark proves no click within the preceding 30 minutes
@@ -10116,6 +10173,7 @@ object Queries {
     "q348_stream_semi_join" -> (q348_stream_semi_join _),
     "q349_state_changefeed" -> (q349_state_changefeed _),
     "q350_stream_right_outer" -> (q350_stream_right_outer _),
+    "q351_mapstate_daily" -> (q351_mapstate_daily _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -14981,6 +15039,12 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q351_mapstate_daily" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS revenue
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q350_stream_right_outer" ->
       """WITH c AS (SELECT user_id, ts AS cts FROM events
         |           WHERE event_type = 'click'),

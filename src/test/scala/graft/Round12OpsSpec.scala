@@ -116,6 +116,71 @@ class Round12OpsSpec extends SparkSpec {
     assert(latest == Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
   }
 
+  // ---- q351 MapState daily revenue ------------------------------------------
+
+  test("mapstate snapshots: latest-per-key complete even when the topic is sliced into batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.MapStateRevenue
+    // two files + maxFilesPerTrigger=1 -> at least two micro-batches,
+    // so intermediate snapshots fire with PARTIAL maps; the latest-tag
+    // reduction must still equal the full batch rollup.
+    val ev = spark.range(0, 200).toDF("id")
+      .select((col("id") % 7).as("key"),
+        expr("timestamp_micros(cast(1704067200000000 + id * 3600000000 as long))").as("ts"),
+        (col("id") % 100 + 1).as("cents"))
+    val stage = tmp("graft_msr_stage_")
+    // distinct mtimes per file so the source's oldest-first ordering is
+    // deterministic; the last file is the global watermark-driver
+    // sentinel (cents = -1) whose far-future ts lets every real timer
+    // fire (MapStateRevenue's timer discipline).
+    ev.filter(col("key") < 4).coalesce(1).write.mode("overwrite")
+      .parquet(s"$stage/t.parquet")
+    Thread.sleep(1100)
+    ev.filter(col("key") >= 4).coalesce(1).write.mode("append")
+      .parquet(s"$stage/t.parquet")
+    Thread.sleep(1100)
+    ev.agg(max(col("ts")).as("gmx"))
+      .select(lit(-1L).as("key"),
+        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
+        lit(-1L).as("cents"))
+      .coalesce(1).write.mode("append").parquet(s"$stage/t.parquet")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val outDir = tmp("graft_msr_out_")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/t.parquet")
+        .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+          .product[MapStateRevenue.REvent])
+        .withWatermark("ts", "0 seconds")
+      val q = MapStateRevenue.dailyRevenue(stream).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp("graft_msr_ckpt_"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val snaps = spark.read.parquet(outDir)
+    assert(snaps.select("tagMs").distinct().count() >= 2,
+      "expected snapshots from at least two micro-batch watermarks")
+    val latest = snaps.groupBy("key", "day")
+      .agg(max_by(col("cents"), col("tagMs")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = ev
+      .select(col("key"), expr("cast(unix_micros(ts) div 86400000000 as long)").as("day"),
+        col("cents"))
+      .groupBy("key", "day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(latest == batch,
+      s"missing=${batch.keySet -- latest.keySet} diff=${
+        batch.filter { case (k, v) => latest.get(k).exists(_ != v) }}")
+  }
+
   // ---- q34 exact-dial IVF --------------------------------------------------
 
   test("exact-dial IVF (nProbe = nCentroids) equals brute-force cosine top-k") {
