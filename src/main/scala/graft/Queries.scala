@@ -9382,6 +9382,56 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** ListState through `transformWithState`, oracle-judged — the trio
+    * closer (ValueState q324, MapState q351, ListState here) with an
+    * aggregate that genuinely NEEDS the full per-key history: the
+    * exact per-user purchase MEDIAN
+    * ([[graft.streaming.ListStateMedian]]). Purchases append integer
+    * cents to per-user ListState; at snapshot (q351's timer + tag
+    * discipline, same global watermark sentinel) the LOWER median —
+    * the actual data value at integer rank ⌊(n−1)/2⌋+1, q99's
+    * rounding-free rule — emits with the count. Latest snapshot per
+    * user judged; user-grain output rides the distributed parquet
+    * sink. Oracle: the same integer-rank median in SQL.
+    */
+  def q352_liststate_median(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ListStateMedian
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val sentinel = purchases.agg(max(col("ts")).as("gmx"))
+      .select(lit(-1L).as("key"),
+        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
+        lit(-1L).as("cents"))
+    val stageDir = stagedParquet(s"lsm|$dir") { d =>
+      purchases.unionByName(sentinel).write.mode("overwrite").parquet(d)
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val snaps = try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
+        .as[ListStateMedian.MEvent](org.apache.spark.sql.Encoders
+          .product[ListStateMedian.MEvent])
+        .withWatermark("ts", "0 seconds")
+      runToParquetSink(s, ListStateMedian.medians(stream).toDF(), "lsm")
+    } finally {
+      prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    snaps.groupBy(col("key").as("user_id"))
+      .agg(max_by(struct(col("n"), col("medianCents")), col("tagMs")).as("m"))
+      .select(col("user_id"), col("m.n").as("n_purchases"),
+        (col("m.medianCents") / 100.0).as("median_value"))
+      .orderBy("user_id")
+  }
+
   /** Stream-stream RIGHT OUTER interval join — q328's mirror, keeping
     * the PURCHASE side: every purchase emits, null-extended once the
     * click watermark proves no click within the preceding 30 minutes
@@ -10174,6 +10224,7 @@ object Queries {
     "q349_state_changefeed" -> (q349_state_changefeed _),
     "q350_stream_right_outer" -> (q350_stream_right_outer _),
     "q351_mapstate_daily" -> (q351_mapstate_daily _),
+    "q352_liststate_median" -> (q352_liststate_median _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -15039,6 +15090,18 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q352_liststate_median" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM p)
+        |SELECT user_id, max(n)::BIGINT AS n_purchases,
+        |  max(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) / 100.0
+        |    AS median_value
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q351_mapstate_daily" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,
         |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
