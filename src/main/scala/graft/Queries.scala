@@ -9382,6 +9382,77 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** `transformWithState` WITH INITIAL STATE, oracle-judged — the
+    * warm-start surface (`StatefulProcessorWithInitialState`): the
+    * operational move every stateful migration needs, bootstrapping a
+    * NEW streaming job from a historical BATCH aggregate instead of
+    * replaying the full topic. Purchases split at the time midpoint:
+    * the older half is pre-aggregated to per-user (day → cents) maps
+    * + last-event times and seeded as initial state (the engine calls
+    * handleInitialState once per key before any input); the newer
+    * half streams on top through q351's processor semantics. Seeded
+    * keys arm their snapshot timer from the seed's last HISTORICAL
+    * event, so history-only users still emit. The judged frame (latest
+    * snapshot per user×day) must equal the FULL-corpus rollup — a lost
+    * seed, a double-applied seed, or a timer that never fired all
+    * break the hash. Same oracle as q351.
+    */
+  def q353_initial_state(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MapStateRevenue
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    // Deterministic midpoint cut (1-row driver read — the bounded
+    // envelope pattern): history seeds the state, the rest streams.
+    val cutUs = purchases
+      .agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"))
+      .head().getLong(0)
+    val hist = purchases.filter(expr(s"unix_micros(ts) < ${cutUs}L"))
+    val live = purchases.filter(expr(s"unix_micros(ts) >= ${cutUs}L"))
+    val init = hist
+      .select(col("key"), expr("unix_micros(ts)").as("us"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("cents"))
+      .groupBy("key", "day").agg(sum("cents").as("c"), max("us").as("mu"))
+      .groupBy("key").agg(max("mu").as("lastUs"),
+        map_from_entries(collect_list(struct(col("day"), col("c")))).as("days"))
+      .select("key", "lastUs", "days")
+      .as[MapStateRevenue.UserInit](org.apache.spark.sql.Encoders
+        .product[MapStateRevenue.UserInit])
+    val sentinel = purchases.agg(max(col("ts")).as("gmx"))
+      .select(lit(-1L).as("key"),
+        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
+        lit(-1L).as("cents"))
+    val stageDir = stagedParquet(s"ini|$dir") { d =>
+      live.unionByName(sentinel).write.mode("overwrite").parquet(d)
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val snaps = try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = s.readStream.schema(live.schema).parquet(stageDir)
+        .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+          .product[MapStateRevenue.REvent])
+        .withWatermark("ts", "0 seconds")
+      runToParquetSink(s,
+        MapStateRevenue.dailyRevenueWithInit(stream, init).toDF(), "ini")
+    } finally {
+      prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    snaps.groupBy(col("key").as("user_id"), col("day"))
+      .agg(max_by(col("cents"), col("tagMs")).as("c"))
+      .select(col("user_id"),
+        expr("date_add(DATE'1970-01-01', cast(day as int))").as("day"),
+        (col("c") / 100.0).as("revenue"))
+      .orderBy("user_id", "day")
+  }
+
   /** ListState through `transformWithState`, oracle-judged — the trio
     * closer (ValueState q324, MapState q351, ListState here) with an
     * aggregate that genuinely NEEDS the full per-key history: the
@@ -10225,6 +10296,7 @@ object Queries {
     "q350_stream_right_outer" -> (q350_stream_right_outer _),
     "q351_mapstate_daily" -> (q351_mapstate_daily _),
     "q352_liststate_median" -> (q352_liststate_median _),
+    "q353_initial_state" -> (q353_initial_state _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -15090,6 +15162,12 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q353_initial_state" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS revenue
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q352_liststate_median" ->
       """WITH p AS (
         |  SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS cents

@@ -93,4 +93,74 @@ object MapStateRevenue {
     ds.groupByKey(_.key).transformWithState(
       new RevenueProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Warm-start seed: one row per key — the key's historical per-day
+    * cents and its last historical event time (µs), which arms the
+    * snapshot timer so HISTORY-ONLY keys still emit (a key with no
+    * live events never reaches handleInputRows).
+    */
+  case class UserInit(key: Long, lastUs: Long, days: Map[Long, Long])
+
+  /** [[RevenueProcessor]] bootstrapped from batch state — the
+    * `StatefulProcessorWithInitialState` surface: the engine calls
+    * [[handleInitialState]] once per seeded key in the FIRST
+    * micro-batch, before any input rows; live rows then accumulate
+    * on top of the seeded map with identical semantics.
+    */
+  class InitRevenueProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, REvent, DayRow, UserInit] {
+    @transient private var days: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      days = getHandle.getMapState[Long, Long](
+        "days", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: Long, init: UserInit, tv: TimerValues): Unit = {
+      init.days.foreach { case (d, c) =>
+        val cur = if (days.containsKey(d)) days.getValue(d) else 0L
+        days.updateValue(d, cur + c)
+      }
+      // Same timer discipline as live rows: just past the key's last
+      // HISTORICAL event — later live rows re-arm past their own time.
+      getHandle.registerTimer(math.floorDiv(init.lastUs + 999L, 1000L) + 1L)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[REvent], tv: TimerValues): Iterator[DayRow] = {
+      var lastUs = -1L
+      rows.foreach { e =>
+        if (e.cents >= 0L) {
+          val day = math.floorDiv(usec(e.ts), 86400000000L)
+          val cur = if (days.containsKey(day)) days.getValue(day) else 0L
+          days.updateValue(day, cur + e.cents)
+          lastUs = math.max(lastUs, usec(e.ts))
+        }
+      }
+      if (lastUs >= 0L) {
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(math.floorDiv(lastUs + 999L, 1000L) + 1L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[DayRow] = {
+      val tag = info.getExpiryTimeInMs()
+      days.iterator().toSeq.iterator
+        .map { case (d, c) => DayRow(key, d, c, tag) }
+    }
+  }
+
+  /** [[dailyRevenue]] warm-started from a batch seed. */
+  def dailyRevenueWithInit(
+      ds: Dataset[REvent],
+      init: Dataset[UserInit]): Dataset[DayRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key).transformWithState(
+      new InitRevenueProcessor, TimeMode.EventTime(), OutputMode.Append(),
+      init.groupByKey(_.key))
+  }
 }

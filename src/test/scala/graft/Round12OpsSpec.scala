@@ -181,6 +181,55 @@ class Round12OpsSpec extends SparkSpec {
         batch.filter { case (k, v) => latest.get(k).exists(_ != v) }}")
   }
 
+  // ---- q353 initial state ----------------------------------------------------
+
+  test("initial state: history-only, live-only and mixed keys all land correctly") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.MapStateRevenue
+    // key 1: history only; key 2: live only; key 3: both halves on the
+    // same day (seed + live must ADD, not overwrite).
+    val init = Seq(
+      MapStateRevenue.UserInit(1L, 1704067200000000L, Map(12431L -> 100L)),
+      MapStateRevenue.UserInit(3L, 1704067200000000L, Map(12431L -> 40L)))
+      .toDS()
+    val live = Seq(
+      MapStateRevenue.REvent(2L, new java.sql.Timestamp(1704153600000L), 7L),
+      MapStateRevenue.REvent(3L, new java.sql.Timestamp(1704070800000L), 2L),
+      // global watermark driver
+      MapStateRevenue.REvent(-1L, new java.sql.Timestamp(1704240000000L), -1L))
+    val stage = tmp("graft_ini_stage_")
+    live.toDS().coalesce(1).write.mode("overwrite").parquet(s"$stage/t.parquet")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val outDir = tmp("graft_ini_out_")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = spark.readStream
+        .schema(live.toDS().schema).parquet(s"$stage/t.parquet")
+        .as[MapStateRevenue.REvent]
+        .withWatermark("ts", "0 seconds")
+      val q = MapStateRevenue.dailyRevenueWithInit(stream, init).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp("graft_ini_ckpt_"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val latest = spark.read.parquet(outDir)
+      .groupBy("key", "day").agg(max_by(col("cents"), col("tagMs")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1704067200s = 2024-01-01 = epoch day 19723; 1704153600s = day 19724
+    assert(latest == Map(
+      (1L, 12431L) -> 100L, // seeded only — its timer came from the seed
+      (2L, 19724L) -> 7L, // live only
+      (3L, 12431L) -> 40L, (3L, 19723L) -> 2L), // seed + live, distinct days
+      s"got $latest")
+  }
+
   // ---- q34 exact-dial IVF --------------------------------------------------
 
   test("exact-dial IVF (nProbe = nCentroids) equals brute-force cosine top-k") {
