@@ -9382,6 +9382,55 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** The Spark-4 PARAMETERIZED-SQL doors, oracle-judged in one
+    * composition: session VARIABLES (`DECLARE` / `SET VAR`),
+    * `EXECUTE IMMEDIATE` with a named `USING` binding, and the
+    * programmatic `spark.sql(text, args)` named-parameter API — the
+    * injection-safe ways a SQL-first user parameterizes a query
+    * instead of string-splicing. The threshold rides a session
+    * variable into EXECUTE IMMEDIATE; the outer refinement binds via
+    * the args map. Oracle: the same SQL with literals inlined.
+    */
+  def q354_sql_parameterized(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q354_orders")
+    s.sql("DECLARE OR REPLACE cut354 DOUBLE")
+    s.sql("SET VAR cut354 = 150000.0")
+    s.sql("""EXECUTE IMMEDIATE
+            |  'SELECT o_orderpriority, count(*) AS n,
+            |          round(sum(o_totalprice), 2) AS revenue
+            |   FROM q354_orders WHERE o_totalprice > :cut
+            |   GROUP BY o_orderpriority'
+            |  USING cut354 AS cut""".stripMargin)
+      .createOrReplaceTempView("q354_inner")
+    s.sql("SELECT * FROM q354_inner WHERE n > :minn ORDER BY o_orderpriority",
+      Map("minn" -> 0))
+  }
+
+  /** Spark-4 SQL-language UDFs (`CREATE FUNCTION ... RETURN expr`),
+    * oracle-judged — scalar UDFs (one nested inside another) and a
+    * parameterized TABLE function, the declarative reuse surface that
+    * keeps user logic inside Catalyst (SQL UDFs inline into the plan
+    * and stay codegen'd — unlike JVM UDFs they cost nothing): exact
+    * integer cents via `q355_cents`, a band CASE via `q355_band`
+    * (calling cents), and `q355_rich(k)` as a threshold-parameterized
+    * table function over customer. Oracle inlines all three bodies.
+    */
+  def q355_sql_udf(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q355_customer")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q355_cents(x DOUBLE)
+            |RETURNS BIGINT RETURN CAST(round(x * 100, 0) AS BIGINT)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q355_band(b BIGINT)
+            |RETURNS STRING RETURN CASE WHEN b < 0 THEN 'neg'
+            |  WHEN b < 500000 THEN 'mid' ELSE 'high' END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q355_rich(k BIGINT)
+            |RETURNS TABLE(c_custkey BIGINT, cents BIGINT)
+            |RETURN SELECT c_custkey, q355_cents(c_acctbal)
+            |       FROM q355_customer WHERE q355_cents(c_acctbal) >= k""".stripMargin)
+    s.sql("""SELECT q355_band(cents) AS band, count(*) AS n,
+            |  CAST(sum(cents) AS BIGINT) AS total_cents
+            |FROM q355_rich(-50000) GROUP BY band ORDER BY band""".stripMargin)
+  }
+
   /** `transformWithState` WITH INITIAL STATE, oracle-judged — the
     * warm-start surface (`StatefulProcessorWithInitialState`): the
     * operational move every stateful migration needs, bootstrapping a
@@ -10297,6 +10346,8 @@ object Queries {
     "q351_mapstate_daily" -> (q351_mapstate_daily _),
     "q352_liststate_median" -> (q352_liststate_median _),
     "q353_initial_state" -> (q353_initial_state _),
+    "q354_sql_parameterized" -> (q354_sql_parameterized _),
+    "q355_sql_udf" -> (q355_sql_udf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -15162,6 +15213,21 @@ object Queries {
         |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total
         |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q354_sql_parameterized" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin,
+    "q355_sql_udf" ->
+      """WITH r AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) >= -50000)
+        |SELECT CASE WHEN cents < 0 THEN 'neg'
+        |            WHEN cents < 500000 THEN 'mid' ELSE 'high' END AS band,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q353_initial_state" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,
         |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)

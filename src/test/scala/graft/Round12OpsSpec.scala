@@ -286,6 +286,21 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q355 SQL UDFs ---------------------------------------------------------
+
+  test("SQL UDFs inline into the plan: no black-box UDF nodes, filter pushed to the scan") {
+    val p = Queries.all("q355_sql_udf")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("UDF") && !p.contains("Invoke"),
+      s"SQL functions must inline, not call out:\n$p")
+    // the band CASE and the cents cast appear as plain Catalyst
+    // expressions — and the table function's threshold reached the
+    // scan as a data filter (impossible with a black-box JVM UDF)
+    assert(p.contains("CASE WHEN"), s"band UDF body must inline:\n$p")
+    assert(p.contains("DataFilters: [(cast(round((c_acctbal"),
+      s"cents-threshold must push into the scan:\n$p")
+  }
+
   // ---- q20 sketch tolerance flags -----------------------------------------
 
   test("approx-distinct tolerance flags hold and exact counts match countDistinct") {
