@@ -9732,8 +9732,8 @@ object Queries {
     * columns. Encode/decode are deliberate UDFs (a JDK library-call
     * boundary with nothing to codegen — q323/CompressionScore's
     * documented pattern); payloads decode partition-locally and never
-    * shuffle. Remaining multimodal stub: video containers only (no
-    * ffmpeg in the JDK or this environment).
+    * shuffle. The video container leg closes the same way in
+    * q356_avi_decode (hand-rolled RIFF/AVI, operators/VideoCodec).
     */
   def q346_wav_decode(s: SparkSession, dir: String): DataFrame = {
     import graft.expr.PcmExpressions._
@@ -9762,6 +9762,66 @@ object Queries {
         round(array_max(col("rms")), 4).as("peak_rms"),
         size(filter(col("rms"), x => x < 1.0)).cast("long").as("silence_frames"),
         (col("dec._1") === col("pcm")).as("lossless"))
+      .orderBy("media_id")
+  }
+
+  /** The VIDEO-CONTAINER leg of the multimodal codec seam — the last
+    * of the trio (q323 PNG via javax.imageio, q346 WAV via
+    * javax.sound.sampled): q319's synthetic scene-cut clips are
+    * wrapped into REAL RIFF/AVI bytes (uncompressed 24-bit `DIB `
+    * stream, standard hdrl/movi/idx1 layout — a hand-rolled JDK-only
+    * writer/parser, [[graft.operators.VideoCodec]]), parsed back
+    * (frame payloads PLUS the header's width/height/fps/frame-count
+    * metadata), and the motion-energy + luma batteries are re-derived
+    * FROM THE DECODED bytes by the same codegen `RgbMotion` /
+    * `RgbLumaSum` loops. Uncompressed DIB is a lossless byte
+    * permutation (bottom-up BGR padded rows), so the binary-free
+    * DuckDB oracle (q319's arithmetic + the header constants)
+    * hash-matches bit for bit — and the projected `lossless` flag
+    * compares decoded to source bytes directly, so a codec that
+    * shifted, re-padded, or fabricated even one byte breaks BOTH
+    * columns. Encode/decode are deliberate UDFs (byte-stream parsing,
+    * nothing to codegen — q323/q346's documented pattern); payloads
+    * decode partition-locally and never shuffle.
+    */
+  def q356_avi_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.RgbExpressions._
+    import graft.operators.VideoCodec
+    val w = 6; val h = 4; val frameBytes = w * h * 3 // 72
+    val encodeUdf = udf((frames: Seq[Array[Byte]], fps: Int) =>
+      VideoCodec.encodeAvi(frames, w, h, fps))
+    val decodeUdf = udf((avi: Array[Byte]) => {
+      val v = VideoCodec.decodeAvi(avi)
+      (v.frames.reduce(_ ++ _), v.width, v.height, v.fps, v.frames.length)
+    })
+    // q319's generator at 4 frames x 72 bytes with the scene cut at
+    // frame 2: in-scene boundaries drift by ~1/byte, the cut jumps two
+    // orders — same threshold argument as q319's module doc.
+    def frameBytesCol(f: Int) = bytesPack(
+      transform(sequence(lit(0), lit(frameBytes - 1)), j => {
+        val jl = j.cast("long")
+        (col("media_id") * 13 + jl * 5 + lit(f.toLong) +
+          (if (f >= 2) (jl % 3 + 1) * 100 else lit(0L))) % 256
+      }))
+    val df = s.range(1, 11).toDF("media_id")
+      .withColumn("fps", ((col("media_id") % 3 + 1) * 10).cast("int"))
+      .withColumn("fr", array((0 until 4).map(frameBytesCol): _*))
+      .withColumn("src", concat((0 until 4).map(i =>
+        element_at(col("fr"), i + 1)): _*))
+      .withColumn("avi", encodeUdf(col("fr"), col("fps")))
+      .withColumn("dec", decodeUdf(col("avi")))
+      .withColumn("motion", rgbMotion(col("dec._1"), frameBytes))
+    df.select(col("media_id"),
+        col("dec._2").cast("long").as("width"),
+        col("dec._3").cast("long").as("height"),
+        col("dec._4").cast("long").as("fps_hdr"),
+        col("dec._5").cast("long").as("n_frames"),
+        size(col("motion")).cast("long").as("n_boundaries"),
+        aggregate(col("motion"), lit(0L), (a, x) => a + x).as("total_motion"),
+        array_max(col("motion")).as("max_motion"),
+        size(filter(col("motion"), x => x > 1000L)).cast("long").as("n_cuts"),
+        rgbLumaSum(col("dec._1")).as("luma_sum"),
+        (col("dec._1") === col("src")).as("lossless"))
       .orderBy("media_id")
   }
 
@@ -10366,6 +10426,7 @@ object Queries {
     "q353_initial_state" -> (q353_initial_state _),
     "q354_sql_parameterized" -> (q354_sql_parameterized _),
     "q355_sql_udf" -> (q355_sql_udf _),
+    "q356_avi_decode" -> (q356_avi_decode _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -15380,5 +15441,36 @@ object Queries {
         |  sum(CASE WHEN rms < 1.0 THEN 1 ELSE 0 END)::BIGINT AS silence_frames,
         |  true AS lossless
         |FROM fr GROUP BY 1 ORDER BY media_id""".stripMargin,
+    "q356_avi_decode" ->
+      """WITH m AS (SELECT id AS media_id, ((id % 3) + 1) * 10 AS fps
+        |  FROM range(1, 11) t(id)),
+        |v AS (SELECT media_id, i.i AS i,
+        |    (media_id*13 + (i.i % 72)*5 + (i.i // 72)
+        |     + CASE WHEN i.i // 72 >= 2
+        |            THEN ((i.i % 72) % 3 + 1) * 100 ELSE 0 END) % 256 AS v
+        |  FROM m, range(0, 288) i(i)),
+        |d AS (SELECT a.media_id, (a.i // 72) AS b,
+        |    sum(abs(a.v - bb.v))::BIGINT AS motion
+        |  FROM v a JOIN v bb
+        |    ON a.media_id = bb.media_id AND bb.i = a.i + 72
+        |  GROUP BY 1, 2),
+        |mo AS (SELECT media_id, count(*)::BIGINT AS n_boundaries,
+        |    sum(motion)::BIGINT AS total_motion,
+        |    max(motion)::BIGINT AS max_motion,
+        |    sum(CASE WHEN motion > 1000 THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+        |  FROM d GROUP BY 1),
+        |px AS (SELECT media_id, (i // 3) AS p,
+        |    sum(CASE WHEN i % 3 = 0 THEN 77*v
+        |             WHEN i % 3 = 1 THEN 150*v ELSE 29*v END) AS wsum
+        |  FROM v GROUP BY 1, 2),
+        |ls AS (SELECT media_id, sum(wsum // 256)::BIGINT AS luma_sum
+        |  FROM px GROUP BY 1)
+        |SELECT m.media_id, 6::BIGINT AS width, 4::BIGINT AS height,
+        |  m.fps::BIGINT AS fps_hdr, 4::BIGINT AS n_frames,
+        |  mo.n_boundaries, mo.total_motion, mo.max_motion, mo.n_cuts,
+        |  ls.luma_sum, true AS lossless
+        |FROM m JOIN mo ON m.media_id = mo.media_id
+        |  JOIN ls ON m.media_id = ls.media_id
+        |ORDER BY m.media_id""".stripMargin,
   )
 }

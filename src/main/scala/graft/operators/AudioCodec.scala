@@ -17,8 +17,8 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   *
   * No audio HARDWARE is touched: `AudioSystem.write` /
   * `getAudioInputStream` are pure byte-stream format converters and
-  * run headless. Remaining stub in the multimodal trio: video
-  * containers only (no ffmpeg in the JDK or this environment).
+  * run headless. The video leg of the trio is [[VideoCodec]]'s
+  * hand-rolled RIFF/AVI parser (same RIFF chunk grammar as WAV).
   */
 object AudioCodec {
 

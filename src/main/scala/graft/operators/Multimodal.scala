@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (BASELINE.json north star): image/audio/
   * video payloads ride as opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract run as partition-parallel typed
-  * transforms. The audio/video decode is STUBBED (this container has
-  * no ffmpeg) behind [[MediaCodec]], with a deterministic fake so the
-  * Spark-side plumbing — schema, encoders, batch shape, partition
-  * parallelism — is real and testable. The IMAGE leg is no longer a
-  * stub: [[ImageCodec.PngCodec]] decodes real PNG payloads through the
-  * JDK's `javax.imageio` (proving the "swapping in a real codec
-  * changes one class" claim — q323 runs it oracle-judged); an ffmpeg
-  * JNI codec would slot into the same seam.
+  * transforms. The generic [[MediaCodec]] seam ships a deterministic
+  * fake so the Spark-side plumbing — schema, encoders, batch shape,
+  * partition parallelism — is testable independent of any format, and
+  * ALL THREE container legs are now REAL behind it: PNG images via
+  * the JDK's `javax.imageio` ([[ImageCodec.PngCodec]], oracle-judged
+  * in q323), WAV audio via `javax.sound.sampled` ([[AudioCodec]],
+  * q346), and uncompressed-DIB AVI video via a hand-rolled RIFF
+  * parser ([[VideoCodec]], q356) — proving the "swapping in a real
+  * codec changes one class" claim three times over; an ffmpeg JNI
+  * codec for compressed video would slot into the same seam.
   *
   * Scale design: payload bytes never shuffle — decode/featurize are
   * narrow `mapPartitions` transforms; only the small feature vectors
