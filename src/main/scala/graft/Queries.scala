@@ -443,23 +443,49 @@ object Queries {
     Dedup.embeddingPairsExactBlocked(tWide(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
 
-  /** LSH-bucketed embedding near-dup (random hyperplanes) — the scale
-    * path for very-near duplicates. Bucket recall for cosine ~0.4 pairs
-    * is probabilistic, so: rows-only driver check; recall ground truth
-    * in LlmOpsSpec on planted clusters.
+  /** BANDED hyperplane-LSH embedding near-dup (the scale path for
+    * very-near duplicates), ORACLE-JUDGED against the exact all-pairs
+    * SQL — q23's planted-gap structure applied to embeddings: every
+    * base vector gets a deterministic arithmetic TWIN (id+100000,
+    * each component nudged by ±0.03 from exact integer hashing — SQL-
+    * expressible, so DuckDB builds the identical corpus), planting one
+    * near-dup pair per vector at cosine 0.985–0.989 while the
+    * synthetic background tops out near 0.55 — nothing in between. At
+    * 8 planes × 24 tables a planted pair misses every table with
+    * probability ~2e-11 (and the planes are deterministic xxhash64
+    * functions, so recall on THIS corpus is a fixed fact the oracle
+    * compare pins at every SF), so the exact all-pairs oracle at
+    * threshold 0.95 is safe — the q34/q152 judged-at-the-exact-dial
+    * pattern. Candidates-first: bucket joins carry 16-byte rows, the
+    * exact re-rank runs once per deduped candidate
+    * ([[graft.operators.Dedup.embeddingPairsLshBanded]]).
     */
-  def q26_embed_neardup_lsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsLsh(tWide(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.95, numPlanes = 8)
-      .agg(count(lit(1)).as("n_pairs"), coalesce(round(max("cosine"), 4), lit(0.0)).as("max_cos"))
+  def q26_embed_neardup_lsh(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val twins = base.select((col("vec_id") + 100000).as("vec_id"),
+      zip_with(col("v"), sequence(lit(0), lit(63)), (x, j) =>
+        x + lit(0.015) *
+          ((col("vec_id") * 31 + j.cast("long") * 7) % 5 - 2).cast("double")).as("v"))
+    Dedup.embeddingPairsLshBanded(base.unionByName(twins), "vec_id", "v",
+      dim = 64, threshold = 0.95, numPlanes = 8, tables = 24)
+      .orderBy("id_a", "id_b")
+  }
 
-  /** Winnowing fingerprints (MOSS-style rolling-hash sketch): per-doc
-    * fingerprint cardinality for a bounded set. Hash-based — rows-only.
+  /** Winnowing fingerprints (MOSS-style sliding-min sketch): per-doc
+    * fingerprint cardinality for a bounded set — ORACLE-JUDGED on the
+    * md5 gram-hash dial (q194's precedent: DuckDB computes the same
+    * md5 hex strings, so the sliding-window min + distinct count is
+    * reproducible SQL; `least` on hex strings = the same lexicographic
+    * order both engines use). The production dial stays xxhash64
+    * (8-byte sketches — LlmOpsSpec pins its overlap behavior); the
+    * winnowing algebra is identical, only the gram hash is swapped.
     */
   def q27_fingerprints(s: SparkSession, dir: String): DataFrame =
     tWide(s, dir, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"),
-        size(TextFunctions.fingerprints(col("text"), k = 5, window = 4)).as("n_fp"))
+        size(TextFunctions.fingerprints(col("text"), k = 5, window = 4,
+          gramHash = md5(_))).cast("long").as("n_fp"))
       .orderBy("doc_id")
 
   /** E22: tumbling-window aggregation on event time (the batch
@@ -10631,6 +10657,38 @@ object Queries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_fingerprints" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id < 100),
+        |g AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 3, 1))) AS i, t
+        |  FROM d),
+        |g2 AS (SELECT doc_id, i, md5(substring(t, i::INT, 5)) AS h FROM g),
+        |w AS (SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g2),
+        |f AS (SELECT doc_id, count(DISTINCT mh) AS n_fp
+        |  FROM w WHERE i <= n - 3 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(f.n_fp, 0)::BIGINT AS n_fp
+        |FROM d LEFT JOIN f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q26_embed_neardup_lsh" ->
+      """WITH e0 AS (SELECT vec_id AS oid, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |tw AS (SELECT oid + 100000 AS vec_id,
+        |    list_transform(list_zip(v, range(0, len(v))),
+        |      z -> z[1] + 0.015 * ((oid*31 + z[2]*7) % 5 - 2)) AS v
+        |  FROM e0),
+        |e AS (SELECT oid AS vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM tw),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |      AS cosine
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p
+        |WHERE cosine >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
     "q28_window_tumble" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,

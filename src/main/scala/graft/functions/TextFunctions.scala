@@ -140,16 +140,21 @@ object TextFunctions {
 
   /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken
     * MOSS '03): hash all character k-grams (rolling-hash role played by
-    * xxhash64), then keep the minimum hash of every sliding window of
-    * `window` consecutive k-gram hashes. The distinct mins are the
-    * fingerprint set — position-robust, locally sensitive to edits.
+    * `gramHash` — xxhash64 by default: 8-byte sketches, the production
+    * dial; pass `md5` for the oracle-exact judged form, q194's
+    * precedent — the winnowing algebra is hash-agnostic since `least`
+    * orders strings too), then keep the minimum hash of every sliding
+    * window of `window` consecutive k-gram hashes. The distinct mins
+    * are the fingerprint set — position-robust, locally sensitive to
+    * edits.
     */
-  def fingerprints(text: Column, k: Int, window: Int): Column = {
+  def fingerprints(text: Column, k: Int, window: Int,
+      gramHash: Column => Column = xxhash64(_)): Column = {
     require(window > 0 && (window & (window - 1)) == 0,
       "window must be a power of two (log-doubling sliding min)")
     val t = lower(text)
     val count = greatest(length(t) - lit(k - 1), lit(0))
-    val hashes = transform(seq1to(count), i => xxhash64(substring(t, i, lit(k))))
+    val hashes = transform(seq1to(count), i => gramHash(substring(t, i, lit(k))))
     // Sliding-window min by log-doubling: z_{s}[i] = min(h[i..i+2s-1]) =
     // least(z_{s/2}[i], z_{s/2}[i+s]). A naive per-window
     // `array_min(slice(hashes, i, w))` would re-evaluate the WHOLE hash

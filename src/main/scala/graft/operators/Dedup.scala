@@ -293,12 +293,13 @@ object Dedup {
     * long bucket id. Pr[same bit] = 1 - angle/π. Deterministic planes
     * derived from xxhash64(plane, dim) — no RNG state to ship.
     */
-  def embeddingLshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column = {
+  def embeddingLshBucket(vecCol: Column, dim: Int, numPlanes: Int,
+      planeSeed: Int = 0): Column = {
     val planes: Seq[Column] = (0 until numPlanes).map { p =>
       // plane vector component j = signed hash in [-1, 1]
       val proj = aggregate(
         zip_with(asDouble(vecCol), sequence(lit(0), lit(dim - 1)),
-          (x, j) => x * (pmod(xxhash64(lit(p.toLong), j), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
+          (x, j) => x * (pmod(xxhash64(lit((planeSeed + p).toLong), j), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -323,6 +324,70 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("nv").as("nv_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("nv_a"), col("nv_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** BANDED multi-table hyperplane LSH near-dup pairs — the
+    * recall-amplified form of [[embeddingPairsLsh]] (the OR-of-ANDs
+    * construction [[minhashLshPairs]] uses for MinHash, applied to
+    * Charikar sign-bit buckets): `tables` independent plane sets, a
+    * pair is a candidate if it collides in ANY table, so recall for a
+    * pair at angle θ is 1 − (1 − (1 − θ/π)^numPlanes)^tables — near-dup
+    * pairs (cosine ≳ 0.98, per-table collision ~0.64 at 8 planes)
+    * survive with miss probability ~1e-11 at 24 tables while
+    * background near-orthogonal pairs stay spread across 2^numPlanes
+    * buckets per table. Candidates-first discipline: the per-table
+    * bucket self-join carries ONLY (bucket, id) — 16 bytes/row, never
+    * the vectors — and pairs are deduped across tables BEFORE the
+    * exact-cosine re-rank, so each candidate pair ranks exactly once.
+    * The normalized frame persists for the two id-keyed re-rank
+    * joins; caller releases the cache ([[minhashLshPairs]] contract).
+    */
+  /** splitmix64 finalizer — the plane-component PRNG for the banded
+    * LSH matrix. Deterministic pure function of (plane, dim-index): no
+    * RNG state to ship, and the matrix is rebuilt identically on every
+    * driver (the [[embeddingLshBucket]] xxhash64 trick, computed
+    * driver-side once instead of per row).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** tables×numPlanes hyperplanes, each component uniform in [-1, 1]. */
+  private def planeMatrix(dim: Int, numPlanes: Int, tables: Int): Array[Array[Double]] =
+    Array.tabulate(tables * numPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        val m = java.lang.Math.floorMod(mix64(p * 1000003L + j), 2000001L)
+        m.toDouble / 1000000.0 - 1.0
+      }
+    }
+
+  def embeddingPairsLshBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numPlanes: Int = 8,
+      tables: Int = 24): DataFrame = {
+    require(numPlanes < 56, "table index must fit above the plane bits")
+    val normed = normalized(df, idCol, vecCol).persistTracked()
+    val keys = graft.expr.VectorExpressions.lshBucketKeys(
+      col("nv"), planeMatrix(dim, numPlanes, tables), numPlanes, tables)
+    val banded = normed.select(col("id"), explode(keys).as("bucket"))
+    val cand = banded.select(col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(normed.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
+      .join(normed.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))
       .withColumn("cosine", round(dot(col("nv_a"), col("nv_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
