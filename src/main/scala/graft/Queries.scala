@@ -9556,7 +9556,10 @@ object Queries {
     * the actual data value at integer rank ⌊(n−1)/2⌋+1, q99's
     * rounding-free rule — emits with the count. Latest snapshot per
     * user judged; user-grain output rides the distributed parquet
-    * sink. Oracle: the same integer-rank median in SQL.
+    * sink. Oracle: the same integer-rank median in SQL. This query
+    * runs the UNBOUNDED exact dial; the processor's own 100 TB guard
+    * (the `maxKept` level-sampling cap — ListStateMedian's class doc)
+    * is pinned by Round13OpsSpec on an engineered hot key.
     */
   def q352_liststate_median(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ListStateMedian

@@ -66,8 +66,17 @@ object MapStateRevenue {
         // Materialize before deleting (listTimers is a live store
         // iterator — SessionProcessor's rule). A batch with no real
         // rows for this key leaves the armed timer untouched.
-        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(math.floorDiv(lastUs + 999L, 1000L) + 1L)
+        // MONOTONE re-arm: a later micro-batch can legally carry only
+        // EARLIER-timestamped rows for this key (out-of-order source
+        // slicing under a generous watermark delay); re-arming from
+        // that batch's max alone would REGRESS the timer and its
+        // snapshot tag. Take max(existing timers, this batch's expiry)
+        // so the per-key timer — and therefore the tag sequence — only
+        // moves forward.
+        val newExpiry = math.floorDiv(lastUs + 999L, 1000L) + 1L
+        val existing = getHandle.listTimers().toSeq
+        existing.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((existing :+ newExpiry).max)
       }
       Iterator.empty
     }
@@ -139,8 +148,11 @@ object MapStateRevenue {
         }
       }
       if (lastUs >= 0L) {
-        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(math.floorDiv(lastUs + 999L, 1000L) + 1L)
+        // Same monotone re-arm discipline as [[RevenueProcessor]].
+        val newExpiry = math.floorDiv(lastUs + 999L, 1000L) + 1L
+        val existing = getHandle.listTimers().toSeq
+        existing.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((existing :+ newExpiry).max)
       }
       Iterator.empty
     }

@@ -57,6 +57,182 @@ class Round13OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // ---- transformWithState checkpoint restart --------------------------------
+
+  /** The exactly-once-across-restarts claim for transformWithState
+    * STATE itself (Dsv2SinkSpec proves it for the sink): drain half
+    * the topic, "crash" (the query object goes away; only the
+    * checkpoint survives), append the rest of the topic, restart from
+    * the SAME checkpoint, and the judged frame must equal an unbroken
+    * run — RocksDB state, armed timers, and the event-time watermark
+    * all resume. The continuation slice is deliberately OUT-OF-ORDER
+    * (day 3 after day 4, admitted under a 10-day watermark delay), so
+    * the restart path also exercises the monotone timer re-arm.
+    */
+  test("transformWithState: restart from checkpoint equals the unbroken run") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.MapStateRevenue
+
+    def ev(key: Long, day: String, cents: Long) =
+      (key, Timestamp.valueOf(s"2024-01-$day 12:00:00"), cents)
+    val slice1 = Seq(ev(1, "01", 100), ev(2, "01", 200))
+    val slice2 = Seq(ev(1, "04", 400), ev(2, "02", 50))
+    val slice3 = Seq(ev(1, "03", 300), ev(3, "02", 700)) // out-of-order + new key
+    val slice4 = Seq((-1L, Timestamp.valueOf("2024-02-15 00:00:00"), -1L))
+    val schema = Seq(slice1.head).toDF("key", "ts", "cents").schema
+
+    def writeSlice(rows: Seq[(Long, Timestamp, Long)], topic: java.io.File,
+        name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("slice_").toFile
+      rows.toDF("key", "ts", "cents").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(topic, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime)) // FileStreamSource drains oldest-first
+    }
+
+    def drain(topic: String, ckpt: String, out: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(topic)
+        .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+          .product[MapStateRevenue.REvent])
+        .withWatermark("ts", "10 days")
+      val q = MapStateRevenue.dailyRevenue(stream).toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    def judged(out: String): Set[(Long, Long, Long)] = {
+      val snaps = spark.read.parquet(out)
+      val latest = snaps.groupBy("key").agg(max("tagMs").as("tagMs"))
+      snaps.join(latest, Seq("key", "tagMs"))
+        .select("key", "day", "cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t0 = System.currentTimeMillis() - 3600000L
+
+      // Interrupted run: slices 1-2, drain, APPEND 3-4, drain again
+      // from the same checkpoint.
+      val topicA = java.nio.file.Files.createTempDirectory("tws_rst_topic_").toFile
+      val ckptA = java.nio.file.Files.createTempDirectory("tws_rst_ckpt_").toString
+      val outA = java.nio.file.Files.createTempDirectory("tws_rst_out_").toString
+      writeSlice(slice1, topicA, "s1", t0)
+      writeSlice(slice2, topicA, "s2", t0 + 1000)
+      drain(topicA.toString, ckptA, outA)
+      writeSlice(slice3, topicA, "s3", t0 + 2000)
+      writeSlice(slice4, topicA, "s4", t0 + 3000)
+      drain(topicA.toString, ckptA, outA)
+
+      // Unbroken baseline: all four slices, fresh checkpoint, one drain.
+      val topicB = java.nio.file.Files.createTempDirectory("tws_unb_topic_").toFile
+      val ckptB = java.nio.file.Files.createTempDirectory("tws_unb_ckpt_").toString
+      val outB = java.nio.file.Files.createTempDirectory("tws_unb_out_").toString
+      Seq(("s1", slice1, 0L), ("s2", slice2, 1000L), ("s3", slice3, 2000L))
+        .foreach { case (n, rows, dt) => writeSlice(rows, topicB, n, t0 + dt) }
+      writeSlice(slice4, topicB, "s4", t0 + 3000)
+      drain(topicB.toString, ckptB, outB)
+
+      val restarted = judged(outA)
+      val unbroken = judged(outB)
+      def day(d: String): Long = math.floorDiv(
+        Timestamp.valueOf(s"2024-01-$d 12:00:00").getTime, 86400000L)
+      val expected = Set(
+        (1L, day("01"), 100L), (1L, day("03"), 300L), (1L, day("04"), 400L),
+        (2L, day("01"), 200L), (2L, day("02"), 50L),
+        (3L, day("02"), 700L))
+      assert(unbroken == expected, s"baseline drifted: $unbroken")
+      assert(restarted == unbroken,
+        s"restart diverged: ${restarted.diff(unbroken)} vs ${unbroken.diff(restarted)}")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  // ---- ListState cap contract -----------------------------------------------
+
+  /** The q352 operator's own 100 TB guard: an engineered hot key
+    * (3000 events against a 256-value cap) must trigger level-sampling
+    * compaction — retained state bounded by the cap, exact count
+    * preserved, sample median in the right neighborhood — while an
+    * under-cap key stays fully exact. The judged q352 runs the
+    * unbounded dial; this pins the bounded one.
+    */
+  test("ListState cap engages on a hot key: bounded state, exact count") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ListStateMedian
+
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // hot key 1: cents 7, 14, ..., spread over [7, 21000]
+    val hot = (1 to 3000).map(i => (1L, new Timestamp(t0 + i * 1000L), i * 7L))
+    // cold key 2: 9 values, exact lower median = 50
+    val cold = (1 to 9).map(i => (2L, new Timestamp(t0 + i * 1000L), i * 10L))
+    val sentinel = Seq((-1L, Timestamp.valueOf("2024-03-01 00:00:00"), -1L))
+    val topic = java.nio.file.Files.createTempDirectory("lsm_cap_topic_").toString
+    (hot ++ cold ++ sentinel).toDF("key", "ts", "cents")
+      .write.mode("overwrite").parquet(topic)
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = spark.readStream
+        .schema(hot.toDF("key", "ts", "cents").schema).parquet(topic)
+        .as[ListStateMedian.MEvent](org.apache.spark.sql.Encoders
+          .product[ListStateMedian.MEvent])
+        .withWatermark("ts", "0 seconds")
+      val out = java.nio.file.Files.createTempDirectory("lsm_cap_out_").toString
+      val q = ListStateMedian.medians(stream, maxKept = 256).toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("lsm_cap_ckpt_").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      val rows = spark.read.parquet(out)
+        .groupBy("key")
+        .agg(max_by(struct(col("n"), col("medianCents"), col("nKept")),
+          col("tagMs")).as("m"))
+        .select(col("key"), col("m.n"), col("m.medianCents"), col("m.nKept"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+      val (hotN, hotMed, hotKept) = rows(1L)
+      assert(hotN == 3000L, "exact count must survive the cap")
+      assert(hotKept <= 256L && hotKept >= 32L,
+        s"cap must engage and retain a usable sample, kept $hotKept")
+      // true lower median = 1500*7 = 10500; level-sample of >=180 of a
+      // uniform spread estimates it within a few percent — 30% is >4 sigma
+      assert(math.abs(hotMed - 10500L) <= 3150L,
+        s"sample median $hotMed too far from 10500")
+
+      val (coldN, coldMed, coldKept) = rows(2L)
+      assert(coldN == 9L && coldKept == 9L && coldMed == 50L,
+        s"under-cap key must stay exact, got ($coldN, $coldMed, $coldKept)")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("LshBucketKeys matches the hand-computed sign-bit construction") {
     import graft.expr.VectorExpressions
     val dim = 4
