@@ -63,19 +63,34 @@ object Bench {
     // total IN the artifact, so the trended number carries its own
     // de-noising instead of needing an out-of-band DebugBench session.
     val top10 = results.sortBy(-_._2).take(10)
-    val cold10 = top10.map { case (name, _) =>
+    // INTERLEAVED reps (rep r runs all 10 queries before any query's
+    // next rep): back-to-back reps 2-3 ran with that query's page
+    // cache and JIT fully warm, biasing the "cold" median low; with 9
+    // other heavy queries between a query's reps, each reading its own
+    // working set, the reps stay honestly cold. Failures are LOGGED
+    // and excluded — a query that fails fast must not contribute a
+    // near-zero time-to-failure to the median (it keeps its sweep time
+    // if every rep failed).
+    val repTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (r <- 1 to 3; (name, _) <- top10) {
       val fn = SparkEntry.queries(name)
-      val reps = (1 to 3).map { _ =>
-        CacheRegistry.releaseAll()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> reps(1) // median of 3
+      CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        repTimes(name) = dt :: repTimes.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable => System.err.println(
+          s"BENCH_COLD_FAIL $name rep$r: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    val cold10 = top10.map { case (name, sweep) =>
+      val ts = repTimes.getOrElse(name, Nil).sorted
+      name -> (if (ts.isEmpty) sweep else ts(ts.length / 2))
     }
     cold10.foreach { case (k, v) => System.err.println(f"BENCH_COLD $k $v%.3f") }
     System.err.flush()

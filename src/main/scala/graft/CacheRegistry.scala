@@ -23,22 +23,56 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
 
-  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val frames =
+    new java.util.concurrent.ConcurrentLinkedQueue[(java.lang.Long, DataFrame)]
+  private val nextScope = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val current = new ThreadLocal[java.lang.Long] // null = unscoped
 
-  /** Persist `df` and record it for a later [[releaseAll]]. */
+  /** Persist `df` and record it — under the current thread's scope if
+    * one is active ([[withScope]]), else globally — for a later
+    * release.
+    */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    frames.add(p)
+    frames.add((current.get(), p))
     p
   }
 
-  /** Unpersist every registered frame (idempotent, thread-safe). */
-  def releaseAll(): Unit = {
-    var f = frames.poll()
-    while (f != null) {
-      f.unpersist(blocking = false)
-      f = frames.poll()
+  /** Unpersist EVERY registered frame, scoped or not (idempotent,
+    * thread-safe) — the serial Bench/Verify per-query hygiene, where
+    * exactly one query's frames are outstanding. A CONCURRENT query
+    * runner must not call this (it would drop frames a sibling query
+    * still reads); wrap each query in [[withScope]] instead.
+    */
+  def releaseAll(): Unit = drain(_ => true)
+
+  /** Run `body` in its own registration scope: frames registered on
+    * THIS THREAD inside it are released when it completes (after the
+    * terminal action, which happens inside `body`), while other
+    * threads' — and enclosing scopes' — registrations stay cached.
+    * This is the isolation contract concurrent query runners need;
+    * scopes nest (the enclosing scope resumes on exit).
+    */
+  def withScope[T](body: => T): T = {
+    val prev = current.get()
+    val id = java.lang.Long.valueOf(nextScope.incrementAndGet())
+    current.set(id)
+    try body
+    finally {
+      current.set(prev)
+      drain(owner => owner != null && owner.longValue() == id.longValue())
+    }
+  }
+
+  private def drain(pred: java.lang.Long => Boolean): Unit = {
+    val it = frames.iterator()
+    while (it.hasNext) {
+      val (owner, f) = it.next()
+      if (pred(owner)) {
+        f.unpersist(blocking = false)
+        it.remove()
+      }
     }
   }
 

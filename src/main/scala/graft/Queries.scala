@@ -3426,6 +3426,13 @@ object Queries {
     // season_idx keeps the double round: its denominator n·type_sc
     // makes an exact 4-dp half-boundary unconstructible in this data,
     // and the exact-integer form would overflow int64 at corpus scale.
+    // NON-NEGATIVE ASSUMPTION: the half-up form (2a+b) div (2b) — and
+    // the DuckDB `//` mirror — is only half-up for a >= 0 (Spark `div`
+    // truncates, DuckDB `//` floors; they also diverge from each other
+    // on negatives). events.value is a price, min 0.03 by generation;
+    // a refund-style negative feed would need a sign-aware floorDiv
+    // rewrite ON BOTH SIDES. Guarded here so the assumption fails loud
+    // instead of silently mis-rounding.
     val w = Window.partitionBy("event_type")
     t(s, dir, "events")
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
@@ -3434,7 +3441,12 @@ object Queries {
       .withColumn("type_n", sum("n").over(w))
       .withColumn("type_sc", sum("sc").over(w))
       .select(col("event_type"), col("hod"), col("n"),
-        (expr("(2 * sc * 100 + n) div (2 * n)") / 10000.0).as("avg_value"),
+        when(col("sc") >= 0, expr("(2 * sc * 100 + n) div (2 * n)") / 10000.0)
+          .otherwise(raise_error(lit(
+            "q156: negative cent sum — the half-up (2a+b) div (2b) " +
+              "form needs a sign-aware floorDiv rewrite on both engines"))
+            .cast("double"))
+          .as("avg_value"),
         round((col("sc").cast("double") / col("n")) /
           (col("type_sc").cast("double") / col("type_n")), 4)
           .as("season_idx"),

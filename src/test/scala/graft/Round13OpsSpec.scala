@@ -233,6 +233,32 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- CacheRegistry scoping --------------------------------------------------
+
+  /** The concurrent-runner isolation contract: a scope's exit releases
+    * only ITS registrations — a sibling thread's (or the unscoped
+    * global pool's) cached frames survive until releaseAll.
+    */
+  test("CacheRegistry.withScope releases only its own registrations") {
+    import graft.CacheRegistry
+    CacheRegistry.releaseAll()
+    val outside = CacheRegistry.persist(spark.range(10).toDF("a"))
+    outside.count()
+    var insideFrame: org.apache.spark.sql.DataFrame = null
+    CacheRegistry.withScope {
+      insideFrame = CacheRegistry.persist(spark.range(20).toDF("b"))
+      insideFrame.count()
+      assert(insideFrame.storageLevel.useMemory, "scoped frame must be cached")
+    }
+    assert(!insideFrame.storageLevel.useMemory,
+      "scope exit must release the scoped frame")
+    assert(outside.storageLevel.useMemory,
+      "scope exit must NOT release other owners' frames")
+    assert(CacheRegistry.outstanding == 1)
+    CacheRegistry.releaseAll()
+    assert(!outside.storageLevel.useMemory && CacheRegistry.outstanding == 0)
+  }
+
   test("LshBucketKeys matches the hand-computed sign-bit construction") {
     import graft.expr.VectorExpressions
     val dim = 4
