@@ -9866,6 +9866,29 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** ORACLE-JUDGED SimHash (q24's md5 twin — the q27/q194 hash-swap
+    * pattern applied to the last hash-sketch family member): 32-bit
+    * SimHash fingerprints whose per-token hash is the first 8 hex
+    * chars of md5, so DuckDB rebuilds the identical fingerprints with
+    * positional hex arithmetic + integer bit ops and the pairwise
+    * Hamming histogram is hash-exact. Same bounded 50-doc probe frame
+    * as q24 (the documented crossJoin allowlist case — ≤C(50,2) pairs,
+    * never corpus-quadratic); empty-token docs fingerprint to 0 in
+    * both engines. xxhash64 (q24) stays the 64-bit production dial —
+    * this judges the ALGEBRA (counters, sign bits, Hamming) exactly.
+    */
+  def q357_simhash_md5(s: SparkSession, dir: String): DataFrame = {
+    val fps = t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        TextFunctions.simhashMd5_32(TextFunctions.tokens(col("text"))).as("fp"))
+    val a = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(TextFunctions.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10468,6 +10491,7 @@ object Queries {
     "q354_sql_parameterized" -> (q354_sql_parameterized _),
     "q355_sql_udf" -> (q355_sql_udf _),
     "q356_avi_decode" -> (q356_avi_decode _),
+    "q357_simhash_md5" -> (q357_simhash_md5 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10673,6 +10697,33 @@ object Queries {
         |  AND list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q357_simhash_md5" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM d),
+        |hv AS (SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 268435456
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16777216
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 1048576
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) * 65536
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substring(md5(tok), 8, 1)) - 1))::BIGINT AS h
+        |  FROM tk WHERE tok <> ''),
+        |bt AS (SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM hv, range(0, 32) b(b) GROUP BY 1, 2),
+        |fp0 AS (SELECT doc_id,
+        |    sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+        |  FROM bt GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(fp0.fp, 0) AS fp
+        |  FROM d LEFT JOIN fp0 USING (doc_id)),
+        |pr AS (SELECT bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        |  FROM fp a, fp b WHERE a.doc_id < b.doc_id)
+        |SELECT hamming, count(*)::BIGINT AS n_pairs
+        |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin,
     "q27_fingerprints" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
         |  WHERE doc_id < 100),

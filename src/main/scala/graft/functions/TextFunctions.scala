@@ -110,18 +110,33 @@ object TextFunctions {
     * the token hash) is positive. One aggregate pass accumulates all 64
     * counters as an array; a second fold packs the sign bits.
     */
-  def simhash64(toks: Column): Column = {
+  def simhash64(toks: Column): Column =
+    simhashGeneric(toks, bits = 64, tokHash = t => xxhash64(t))
+
+  /** The ORACLE-EXACT SimHash dial (the q27/q194 hash-swap pattern):
+    * per-token hash = the first 8 hex chars of md5 parsed as a 32-bit
+    * integer — a value DuckDB derives with plain positional hex
+    * arithmetic — so the whole counter/sign-bit pipeline is SQL-
+    * reproducible. Same algebra as [[simhash64]]; only the gram hash
+    * and width differ (xxhash64 stays the 64-bit production dial).
+    */
+  def simhashMd5_32(toks: Column): Column =
+    simhashGeneric(toks, bits = 32,
+      tokHash = t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  private def simhashGeneric(toks: Column, bits: Int,
+      tokHash: Column => Column): Column = {
     // Hash once per token FIRST — folding over raw tokens would
-    // re-evaluate xxhash64(t) inside all 64 per-bit counter updates.
-    val tokHashes = transform(toks, t => xxhash64(t))
+    // re-evaluate the hash inside all per-bit counter updates.
+    val tokHashes = transform(toks, tokHash)
     val counters = aggregate(
       tokHashes,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), bits),
       (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)),
+        zip_with(acc, sequence(lit(0), lit(bits - 1)),
           (c, j) => c + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
     aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
+      zip_with(counters, sequence(lit(0), lit(bits - 1)),
         (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
       lit(0L),
       (acc, bit) => acc.bitwiseOR(bit))

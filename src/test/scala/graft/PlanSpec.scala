@@ -64,6 +64,8 @@ class PlanSpec extends SparkSpec {
     // to the triangle-blocked equi-join.)
     val allowed = Set("q08_cosine_topk", "q10_join_range", "q11_distinct",
       "q24_simhash_hamming", "q34_ann_ivf", "q48_vocab",
+      // q357: q24's oracle-judged md5 dial — same bounded 50-doc frame
+      "q357_simhash_md5",
       // q152: q34's disk-layout mirror (same 1-row probe broadcast)
       "q152_ann_ivf_disk",
       // q58/q66/q81/q82/q101: 1-row broadcast aggregates (corpus size,
