@@ -15,8 +15,21 @@ import org.apache.spark.sql.SparkSession
   * noop times are the bench-comparable numbers for persisting queries.
   */
 object DebugBench {
+  /** The round-9 bench's cold-rep residents — `runMain graft.DebugBench
+    * c10 3 cold` refreshes the ledger's medians in one command.
+    * Update alongside BENCH_r{N}.json's c10 when the set shifts.
+    */
+  val C10: String = Seq(
+    "q212_local_clustering", "q333_stream_join_window", "q198_adamic_adar",
+    "q309_component_sizes", "q103_spearman", "q328_stream_outer_join",
+    "q342_text_curation", "q348_stream_semi_join", "q153_triangle_count",
+    "q324_sessions_tws_stream").mkString(",")
+
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q07_text_wordcount")
+    val name = args.headOption.getOrElse("q07_text_wordcount") match {
+      case "c10" => C10
+      case n => n
+    }
     val reps = if (args.length > 1) args(1).toInt else 3
     val cold = args.length > 2 && args(2) == "cold"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
