@@ -162,6 +162,116 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  /** STATE MIGRATION — upgrade a stateful streaming job WITHOUT
+    * replaying history: v1's RocksDB state is extracted through the
+    * state-store reader (the MapState rows via `stateVarName` + the
+    * armed timers via `readRegisteredTimers`, which reconstruct each
+    * key's lastUs EXACTLY since the processor arms at
+    * floorDiv(lastUs+999,1000)+1), converted to UserInit seeds, and a
+    * FRESH query (new checkpoint — not a restart) warm-starts from
+    * them via StatefulProcessorWithInitialState and consumes only the
+    * remaining topic. The judged frame must equal the unbroken run —
+    * including a history-only key that never appears in the v2 topic
+    * (it must emit purely from seeded state + its re-armed timer).
+    */
+  test("state migration: reader-extracted v1 state warm-starts a fresh v2 query") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.MapStateRevenue
+
+    def ev(key: Long, day: String, cents: Long) =
+      (key, Timestamp.valueOf(s"2024-01-$day 12:00:00"), cents)
+    val half1 = Seq(ev(1, "01", 100), ev(2, "01", 200), ev(1, "04", 400),
+      ev(2, "02", 50)) // key 2 is HISTORY-ONLY after migration
+    val half2 = Seq(ev(1, "03", 300), ev(3, "02", 700))
+    val sentinel = Seq((-1L, Timestamp.valueOf("2024-02-15 00:00:00"), -1L))
+    val schema = Seq(half1.head).toDF("key", "ts", "cents").schema
+
+    def stage(rows: Seq[(Long, Timestamp, Long)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("mig_topic_").toString
+      rows.toDF("key", "ts", "cents").write.mode("overwrite").parquet(d)
+      d
+    }
+    def stream(topic: String) = spark.readStream.schema(schema).parquet(topic)
+      .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+        .product[MapStateRevenue.REvent])
+      .withWatermark("ts", "10 days")
+    def drain(df: org.apache.spark.sql.DataFrame, ckpt: String,
+        out: Option[String]): Unit = {
+      val w = out match {
+        case Some(o) => df.writeStream.format("parquet").option("path", o)
+        case None => df.writeStream.format("noop")
+      }
+      val q = w.option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def judged(out: String): Set[(Long, Long, Long)] = {
+      val snaps = spark.read.parquet(out)
+      val latest = snaps.groupBy("key").agg(max("tagMs").as("tagMs"))
+      snaps.join(latest, Seq("key", "tagMs")).select("key", "day", "cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      // v1: first half only, no sentinel — nothing fires, state retained.
+      val ckptV1 = java.nio.file.Files.createTempDirectory("mig_v1_ckpt_").toString
+      drain(MapStateRevenue.dailyRevenue(stream(stage(half1))).toDF(),
+        ckptV1, None)
+
+      // Extract v1 state: the map entries + each key's armed timer.
+      val st = spark.read.format("statestore").option("path", ckptV1)
+        .option("stateVarName", "days").load()
+        .select(col("key.value").as("key"),
+          col("user_map_key.value").as("day"),
+          col("user_map_value.value").as("cents"))
+      val tm = spark.read.format("statestore").option("path", ckptV1)
+        .option("readRegisteredTimers", "true").load()
+        .select(col("key.value").as("key"),
+          ((col("expiration_timestamp_ms") - 1) * 1000).as("lastUs"))
+      val seeds = st
+        .groupBy("key")
+        .agg(map_from_entries(collect_list(struct(col("day"), col("cents"))))
+          .as("days"))
+        .join(tm, "key")
+        .select("key", "lastUs", "days")
+        .as[MapStateRevenue.UserInit](org.apache.spark.sql.Encoders
+          .product[MapStateRevenue.UserInit])
+
+      // v2: FRESH checkpoint, remaining topic only, warm-started.
+      val ckptV2 = java.nio.file.Files.createTempDirectory("mig_v2_ckpt_").toString
+      val outV2 = java.nio.file.Files.createTempDirectory("mig_v2_out_").toString
+      drain(MapStateRevenue.dailyRevenueWithInit(
+          stream(stage(half2 ++ sentinel)), seeds).toDF(),
+        ckptV2, Some(outV2))
+
+      // Unbroken baseline over the full topic.
+      val ckptB = java.nio.file.Files.createTempDirectory("mig_b_ckpt_").toString
+      val outB = java.nio.file.Files.createTempDirectory("mig_b_out_").toString
+      drain(MapStateRevenue.dailyRevenue(
+          stream(stage(half1 ++ half2 ++ sentinel))).toDF(),
+        ckptB, Some(outB))
+
+      val migrated = judged(outV2)
+      val unbroken = judged(outB)
+      assert(migrated.nonEmpty && migrated == unbroken,
+        s"migration diverged: ${migrated.diff(unbroken)} vs ${unbroken.diff(migrated)}")
+      assert(migrated.exists(_._1 == 2L),
+        "history-only key must emit from seeded state alone")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   // ---- ListState cap contract -----------------------------------------------
 
   /** The q352 operator's own 100 TB guard: an engineered hot key
