@@ -20,9 +20,9 @@ object DebugBench {
     * Update alongside BENCH_r{N}.json's c10 when the set shifts.
     */
   val C10: String = Seq(
-    "q212_local_clustering", "q333_stream_join_window", "q198_adamic_adar",
-    "q309_component_sizes", "q103_spearman", "q328_stream_outer_join",
-    "q342_text_curation", "q348_stream_semi_join", "q153_triangle_count",
+    "q212_local_clustering", "q333_stream_join_window", "q153_triangle_count",
+    "q201_hits", "q103_spearman", "q328_stream_outer_join",
+    "q131_pagerank", "q348_stream_semi_join", "q130_lexical_diversity",
     "q324_sessions_tws_stream").mkString(",")
 
   def main(args: Array[String]): Unit = {
