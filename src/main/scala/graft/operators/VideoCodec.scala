@@ -89,7 +89,11 @@ object VideoCodec {
     }
     val stride = rowStride(w)
     val dibLen = stride * h
-    require(dibLen.toLong * frames.length <= Int.MaxValue - (1 << 12),
+    // Whole-container bound in LONG math: per frame 8 (chunk header) +
+    // dibLen (pixels) + 16 (idx1 entry); a plain dibLen*n guard would
+    // let the per-frame overheads overflow the Int size fields for
+    // tiny-frame/huge-count clips, silently corrupting the header.
+    require((dibLen + 24L) * frames.length + 4096 <= Int.MaxValue,
       s"${frames.length} frames of $dibLen bytes exceed a JVM array")
     val n = frames.length
 
