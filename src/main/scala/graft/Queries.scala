@@ -3374,7 +3374,8 @@ object Queries {
     * paths, known censuses) in GraphOpsSpec.
     */
   def q153_triangle_count(s: SparkSession, dir: String): DataFrame =
-    operators.Triangles.census(basketPairs(s, dir), "u", "v")
+    operators.Triangles.census(basketPairs(s, dir), "u", "v",
+      assumeCanonical = true) // staged frame is (u < v, distinct) by construction
 
   /** Interval attribution join (the batch twin of the STREAM-STREAM
     * interval join — StreamingWindowSpec runs this exact join shape
@@ -5030,7 +5031,8 @@ object Queries {
     * division → the ranking is engine-identical.
     */
   def q212_local_clustering(s: SparkSession, dir: String): DataFrame =
-    operators.Triangles.perNode(basketPairs(s, dir), "u", "v", minDeg = 5)
+    operators.Triangles.perNode(basketPairs(s, dir), "u", "v", minDeg = 5,
+      assumeCanonical = true) // staged frame is (u < v, distinct) by construction
       .orderBy(col("lcc").desc, col("node").asc)
       .limit(20)
 

@@ -63,8 +63,10 @@ object Triangles {
     * distinct); compute guards cheaply rather than trusting callers.
     */
   def census(edges: DataFrame, uCol: String, vCol: String,
-      broadcastGraph: Boolean = true): DataFrame = {
-    val (pairs, deg, eTri) = edgeTriangles(edges, uCol, vCol, broadcastGraph)
+      broadcastGraph: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (pairs, deg, eTri) =
+      edgeTriangles(edges, uCol, vCol, broadcastGraph, assumeCanonical)
     val tri = eTri.agg(
       coalesce(sum(size(col("ys")).cast("long")), lit(0L)).as("n_triangles"))
     // d*(d-1) is even, so the /2 is exact in double well past any real
@@ -86,8 +88,10 @@ object Triangles {
     * undefined) and the noise floor callers don't want ranked.
     */
   def perNode(edges: DataFrame, uCol: String, vCol: String,
-      minDeg: Int = 2, broadcastGraph: Boolean = true): DataFrame = {
-    val (_, deg, eTri) = edgeTriangles(edges, uCol, vCol, broadcastGraph)
+      minDeg: Int = 2, broadcastGraph: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (_, deg, eTri) =
+      edgeTriangles(edges, uCol, vCol, broadcastGraph, assumeCanonical)
     val credits = eTri.select(explode(concat(
         array(
           struct(col("s").as("node"), size(col("ys")).cast("long").as("c")),
@@ -108,13 +112,21 @@ object Triangles {
     * the orientation bound, broadcast contract, and cache contract.
     */
   private def edgeTriangles(edges: DataFrame, uCol: String, vCol: String,
-      broadcastGraph: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    val pairs = edges
-      .filter(col(uCol) =!= col(vCol))
-      .select(
-        least(col(uCol), col(vCol)).cast("long").as("u"),
-        greatest(col(uCol), col(vCol)).cast("long").as("v"))
-      .distinct()
+      broadcastGraph: Boolean,
+      assumeCanonical: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    // assumeCanonical: the caller GUARANTEES (u < v, distinct) input —
+    // e.g. a staged canonical edge file — and the guard's distinct
+    // shuffle (the full m-row edge set) is skipped. Wrong input under
+    // this flag double-counts; callers opt in only for frames that are
+    // canonical by construction.
+    val pairs = (if (assumeCanonical)
+        edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      else edges
+        .filter(col(uCol) =!= col(vCol))
+        .select(
+          least(col(uCol), col(vCol)).cast("long").as("u"),
+          greatest(col(uCol), col(vCol)).cast("long").as("v"))
+        .distinct())
       .persistTracked()
     // n-row degree table from ONE pass over the cached edges (both
     // endpoints via a 2-element generate — the union form read the

@@ -343,6 +343,29 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- Triangles assumeCanonical ---------------------------------------------
+
+  /** The trusted-input fast path must be result-identical to the
+    * guarded path on genuinely canonical input (and the guard itself
+    * still canonicalizes messy input — the default stays safe).
+    */
+  test("Triangles assumeCanonical: identical census on canonical input") {
+    import graft.operators.Triangles
+    val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val guarded = Triangles.census(canon, "u", "v").collect()(0)
+    val trusted = Triangles.census(canon, "u", "v", assumeCanonical = true)
+      .collect()(0)
+    assert(guarded == trusted)
+    assert(trusted.getAs[Long]("n_triangles") == 2L) // {1,2,3}, {2,3,4}
+    // messy twin (dupes + reversed + self-loop) through the GUARDED path
+    val messy = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .unionAll(Seq((1L, 1L)).toDF("u", "v"))
+    val guardedMessy = Triangles.census(messy, "u", "v").collect()(0)
+    assert(guardedMessy == guarded)
+    spark.catalog.clearCache()
+  }
+
   // ---- CacheRegistry scoping --------------------------------------------------
 
   /** The concurrent-runner isolation contract: a scope's exit releases
