@@ -343,6 +343,40 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  /** Concurrent query runners sharing one session, each wrapped in
+    * CacheRegistry.withScope — the multi-tenant shape the registry's
+    * scoping exists for. Every chosen query persists intermediates
+    * through the registry (Triangles' graph frames, Adamic-Adar's
+    * edge set, the LSH stage build), so an unscoped releaseAll from
+    * any thread would have dropped blocks a sibling still reads.
+    * Results must equal the serial runs exactly.
+    */
+  test("concurrent query runners under withScope match serial results") {
+    val names = Seq("q01_agg_pricing", "q23_dedup_minhash",
+      "q198_adamic_adar", "q212_local_clustering")
+    CacheRegistry.releaseAll()
+    val dir = sf()
+    val serial = names.map(n =>
+      Queries.all(n)(spark, dir).collect().map(_.toString).toSeq)
+    CacheRegistry.releaseAll()
+    val results = new Array[Seq[String]](names.length)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = names.zipWithIndex.map { case (n, i) =>
+      val th = new Thread(() =>
+        try results(i) = CacheRegistry.withScope {
+          Queries.all(n)(spark, dir).collect().map(_.toString).toSeq
+        } catch { case e: Throwable => errs.add(e) }, s"graft-conc-$i")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent run failed: ${Option(errs.peek()).map(_.getMessage)}")
+    names.indices.foreach { i =>
+      assert(results(i) == serial(i), s"${names(i)} diverged under concurrency")
+    }
+    assert(CacheRegistry.outstanding == 0,
+      "every scope must have released its own registrations")
+  }
+
   // ---- Triangles assumeCanonical ---------------------------------------------
 
   /** The trusted-input fast path must be result-identical to the
