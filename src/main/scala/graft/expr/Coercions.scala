@@ -73,12 +73,31 @@ object Coercions {
     case _        => lit(CHType.EpochTs)
   }
 
+  /** Polars `strptime(strict=False)` format-inference breadth
+    * (main.py:271): beyond Spark's default ISO-8601 family (the bare
+    * `try_to_timestamp`, which already covers `T`/space separators
+    * and fractional seconds), the reference's Polars inference also
+    * accepts the common slash / dash / dot / compact layouts. Each
+    * candidate is tried in order, 4-digit-year-first layouts before
+    * day-first before US month-first so an unambiguous value parses
+    * under exactly one family. Divergence (documented, an
+    * improvement): Polars infers ONE format from the first non-null
+    * value and applies it column-wide (mixed-format columns lose all
+    * later-format values to null); this per-value chain parses each
+    * value independently, so a column mixing layouts coerces fully.
+    */
+  private val datetimeFormats: Seq[String] = Seq(
+    "yyyy/MM/dd[ HH:mm[:ss]]",
+    "yyyyMMdd[ HH:mm[:ss]]",
+    "dd-MM-yyyy[ HH:mm[:ss]]",
+    "dd.MM.yyyy[ HH:mm[:ss]]",
+    "MM/dd/yyyy[ HH:mm[:ss]]")
+
   /** Datetime branch (main.py:267-273): '' → epoch; else permissive
     * parse; then fill-null epoch — so unparseable strings, JSON nulls
     * and missing keys all land on 1970-01-01, never null (SURVEY §2.3
-    * note 1). `try_to_timestamp` is the Catalyst analogue of Polars
-    * `strptime(strict=False)` (format-inference breadth differs;
-    * fixtures pin ISO-8601).
+    * note 1). `try_to_timestamp` + the [[datetimeFormats]] chain is
+    * the Catalyst analogue of Polars `strptime(strict=False)`.
     *
     * Divergence (documented): when the sink column is a Date, the
     * result is cast to DateType; the reference emits Datetime even for
@@ -91,8 +110,11 @@ object Coercions {
       case DateType => DateType
       case _        => TimestampType
     }
+    val parsed = coalesce(
+      try_to_timestamp(s) +:
+        datetimeFormats.map(f => try_to_timestamp(s, lit(f))): _*)
     coalesce(
-      when(s === lit(""), lit(CHType.EpochTs)).otherwise(try_to_timestamp(s)),
+      when(s === lit(""), lit(CHType.EpochTs)).otherwise(parsed),
       lit(CHType.EpochTs)
     ).cast(target).alias(m.name)
   }

@@ -139,6 +139,37 @@ class PipelineSpec extends SparkSpec {
     assert(r.getTimestamp(5) == java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
   }
 
+  test("datetime inference breadth: slash/dash/dot/compact/US layouts all parse " +
+      "(Polars strptime(strict=False), main.py:271)") {
+    val want = java.sql.Timestamp.valueOf("2024-03-05 12:30:45")
+    val cases = Seq(
+      "k-1" -> "2024-03-05T12:30:45",   // ISO T separator (builtin)
+      "k-2" -> "2024/03/05 12:30:45",   // slash Y-M-D
+      "k-3" -> "20240305 12:30:45",     // compact date
+      "k-4" -> "05-03-2024 12:30:45",   // day-first dashes
+      "k-5" -> "05.03.2024 12:30:45",   // day-first dots
+      "k-6" -> "03/05/2024 12:30:45")   // US month-first slashes
+    val rows = cases.map { case (id, ts) =>
+      s"""{"device_id": 1, "trip_id": "$id", "event_time": "$ts"}"""
+    }
+    val (valid, dlq, _) = run(clean +: rows: _*)
+    assert(dlq.isEmpty)
+    cases.foreach { case (id, ts) =>
+      val r = valid.find(_.getString(1) == id).get
+      assert(r.getTimestamp(5) == want, s"layout '$ts' did not parse")
+    }
+    // date-only variants land on midnight
+    val dRows = Seq("m-1" -> "2024/03/05", "m-2" -> "05.03.2024").map {
+      case (id, d) => s"""{"device_id": 1, "trip_id": "$id", "event_time": "$d"}"""
+    }
+    val (valid2, dlq2, _) = run(clean +: dRows: _*)
+    assert(dlq2.isEmpty)
+    Seq("m-1", "m-2").foreach { id =>
+      val r = valid2.find(_.getString(1) == id).get
+      assert(r.getTimestamp(5) == java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
+    }
+  }
+
   test("missing datetime key → epoch (fill-null path)") {
     val row = """{"device_id": 1, "trip_id": "j-10"}"""
     val (valid, dlq, _) = run(clean, row)
