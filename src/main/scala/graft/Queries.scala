@@ -9908,6 +9908,46 @@ object Queries {
       .orderBy("hamming")
   }
 
+  /** SQL SCRIPTING (the Spark-4 procedural surface, completing the
+    * SQL-language rungs after q354's parameterized doors and q355's
+    * SQL UDFs): a `BEGIN … END` script with DECLAREd session
+    * variables and a WHILE loop runs the classic iterative
+    * threshold search — double a price cutoff until fewer than
+    * 10,000 orders clear it — then returns the per-priority rollup
+    * above the found cutoff. The loop is driven by the ENGINE's
+    * scripting interpreter (each probe one pushdown-filtered count;
+    * iteration count bounded by log2 of the price envelope, ~9 at any
+    * SF), not by driver-side Scala. Oracle: the identical search as a
+    * bounded recursive CTE (monotone counts make max(t) of the
+    * recursion exactly the loop's exit threshold).
+    */
+  def q358_sql_script(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q358_orders")
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
+    try {
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+          |  DECLARE t DOUBLE DEFAULT 1000.0;
+          |  DECLARE n BIGINT DEFAULT 10000;
+          |  WHILE n >= 10000 DO
+          |    SET t = t * 2;
+          |    SET n = (SELECT count(*) FROM q358_orders WHERE o_totalprice > t);
+          |  END WHILE;
+          |  SELECT o_orderpriority, t AS threshold,
+          |         count(*) AS n_orders,
+          |         round(sum(o_totalprice), 2) AS revenue
+          |  FROM q358_orders WHERE o_totalprice > t
+          |  GROUP BY o_orderpriority, t ORDER BY o_orderpriority;
+          |END""".stripMargin)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None => s.conf.unset("spark.sql.scripting.enabled")
+      }
+    }
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10511,6 +10551,7 @@ object Queries {
     "q355_sql_udf" -> (q355_sql_udf _),
     "q356_avi_decode" -> (q356_avi_decode _),
     "q357_simhash_md5" -> (q357_simhash_md5 _),
+    "q358_sql_script" -> (q358_sql_script _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10716,6 +10757,18 @@ object Queries {
         |  AND list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q358_sql_script" ->
+      """WITH RECURSIVE s(t) AS (
+        |  SELECT 2000.0::DOUBLE
+        |  UNION ALL
+        |  SELECT t * 2 FROM s
+        |  WHERE (SELECT count(*) FROM orders WHERE o_totalprice > s.t) >= 10000
+        |),
+        |f AS (SELECT max(t) AS t FROM s)
+        |SELECT o_orderpriority, f.t AS threshold, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders, f WHERE o_totalprice > f.t
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,
