@@ -78,20 +78,25 @@ object Coercions {
     * `try_to_timestamp`, which already covers `T`/space separators
     * and fractional seconds), the reference's Polars inference also
     * accepts the common slash / dash / dot / compact layouts. Each
-    * candidate is tried in order, 4-digit-year-first layouts before
-    * day-first before US month-first so an unambiguous value parses
-    * under exactly one family. Divergence (documented, an
-    * improvement): Polars infers ONE format from the first non-null
-    * value and applies it column-wide (mixed-format columns lose all
-    * later-format values to null); this per-value chain parses each
-    * value independently, so a column mixing layouts coerces fully.
+    * candidate is tried in order: 4-digit-year-first layouts, then
+    * day-first dash/dot, then slashed MM/dd before dd/MM — so a
+    * day>12 slash date ("25/03/2024", unambiguous) falls through the
+    * US family and still parses day-first rather than landing on
+    * epoch. The genuinely AMBIGUOUS slash case ("05/03/2024") resolves
+    * month-first by chain order — a documented fixed choice, where
+    * Polars instead infers one format from the column's first value
+    * (so its answer depends on which value arrives first). Divergence
+    * (documented, an improvement): the per-value chain parses each
+    * value independently, so a column mixing layouts coerces fully
+    * instead of losing every later-format value to null.
     */
   private val datetimeFormats: Seq[String] = Seq(
     "yyyy/MM/dd[ HH:mm[:ss]]",
     "yyyyMMdd[ HH:mm[:ss]]",
     "dd-MM-yyyy[ HH:mm[:ss]]",
     "dd.MM.yyyy[ HH:mm[:ss]]",
-    "MM/dd/yyyy[ HH:mm[:ss]]")
+    "MM/dd/yyyy[ HH:mm[:ss]]",
+    "dd/MM/yyyy[ HH:mm[:ss]]")
 
   /** Datetime branch (main.py:267-273): '' → epoch; else permissive
     * parse; then fill-null epoch — so unparseable strings, JSON nulls

@@ -329,6 +329,22 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** tables×numPlanes hyperplanes, each component uniform in [-1, 1]:
+    * a deterministic pure function of (plane, dim-index) through the
+    * shared splitmix64 finalizer ([[graft.expr.Splitmix]]) — no RNG
+    * state to ship, the matrix rebuilds identically on every driver
+    * (the [[embeddingLshBucket]] xxhash64 trick, computed driver-side
+    * once instead of per row).
+    */
+  private def planeMatrix(dim: Int, numPlanes: Int, tables: Int): Array[Array[Double]] =
+    Array.tabulate(tables * numPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        val m = java.lang.Math.floorMod(
+          graft.expr.Splitmix.mix64(p * 1000003L + j), 2000001L)
+        m.toDouble / 1000000.0 - 1.0
+      }
+    }
+
   /** BANDED multi-table hyperplane LSH near-dup pairs — the
     * recall-amplified form of [[embeddingPairsLsh]] (the OR-of-ANDs
     * construction [[minhashLshPairs]] uses for MinHash, applied to
@@ -345,28 +361,6 @@ object Dedup {
     * The normalized frame persists for the two id-keyed re-rank
     * joins; caller releases the cache ([[minhashLshPairs]] contract).
     */
-  /** splitmix64 finalizer — the plane-component PRNG for the banded
-    * LSH matrix. Deterministic pure function of (plane, dim-index): no
-    * RNG state to ship, and the matrix is rebuilt identically on every
-    * driver (the [[embeddingLshBucket]] xxhash64 trick, computed
-    * driver-side once instead of per row).
-    */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** tables×numPlanes hyperplanes, each component uniform in [-1, 1]. */
-  private def planeMatrix(dim: Int, numPlanes: Int, tables: Int): Array[Array[Double]] =
-    Array.tabulate(tables * numPlanes) { p =>
-      Array.tabulate(dim) { j =>
-        val m = java.lang.Math.floorMod(mix64(p * 1000003L + j), 2000001L)
-        m.toDouble / 1000000.0 - 1.0
-      }
-    }
-
   def embeddingPairsLshBanded(
       df: DataFrame,
       idCol: String,

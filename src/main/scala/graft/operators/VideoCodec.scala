@@ -88,13 +88,17 @@ object VideoCodec {
         s"frame $i must be $frameLen bytes for ${w}x$h, got ${f.length}")
     }
     val stride = rowStride(w)
-    val dibLen = stride * h
-    // Whole-container bound in LONG math: per frame 8 (chunk header) +
-    // dibLen (pixels) + 16 (idx1 entry); a plain dibLen*n guard would
-    // let the per-frame overheads overflow the Int size fields for
-    // tiny-frame/huge-count clips, silently corrupting the header.
-    require((dibLen + 24L) * frames.length + 4096 <= Int.MaxValue,
-      s"${frames.length} frames of $dibLen bytes exceed a JVM array")
+    // LONG math before any Int sizing, including dibLen itself:
+    // stride*h in Int can overflow NEGATIVE (w=1, huge h passes the
+    // w*h*3 pixel guard since stride pads 3→4 bytes/row) and a
+    // negative dibLen would sail through the container bound below.
+    // Whole-container bound: per frame 8 (chunk header) + dibLen
+    // (pixels) + 16 (idx1 entry) — per-frame overheads included so
+    // tiny-frame/huge-count clips can't overflow the Int size fields.
+    val dibLenL = stride.toLong * h
+    require((dibLenL + 24L) * frames.length + 4096 <= Int.MaxValue,
+      s"${frames.length} frames of $dibLenL bytes exceed a JVM array")
+    val dibLen = dibLenL.toInt
     val n = frames.length
 
     val out = new LeWriter

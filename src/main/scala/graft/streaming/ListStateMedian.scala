@@ -58,17 +58,18 @@ object ListStateMedian {
   private def usec(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** splitmix64 finalizer over (cents, event time, arrival sequence) —
-    * the sequence term makes duplicate (cents, ts) events sample
-    * independently. Deterministic: replays hash identically.
+  /** splitmix64 ([[graft.expr.Splitmix]] — the shared finalizer) over
+    * (cents, event time, sequence) — the sequence term makes duplicate
+    * (cents, ts) events sample independently. Replay-deterministic
+    * ONLY because the caller assigns `seq` over a canonically SORTED
+    * view of each batch's events: the raw iterator order out of the
+    * shuffle is not stable across task retries, so hashing the arrival
+    * index directly would let a retried micro-batch retain a different
+    * sample than the original attempt.
     */
-  private def sampleHash(cents: Long, us: Long, seq: Long): Long = {
-    var z = cents * 0x9E3779B97F4A7C15L + us * 0xC2B2AE3D27D4EB4FL + seq
-    z += 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def sampleHash(cents: Long, us: Long, seq: Long): Long =
+    graft.expr.Splitmix.mix64(
+      cents * 0x9E3779B97F4A7C15L + us * 0xC2B2AE3D27D4EB4FL + seq)
 
   private def keptAt(h: Long, level: Int): Boolean =
     (h & ((1L << level) - 1L)) == 0L
@@ -91,13 +92,19 @@ object ListStateMedian {
       var m = if (meta.exists()) meta.get() else Meta(0L, 0L, 0)
       var lastUs = -1L
       val buf = ArrayBuffer.empty[KV]
-      rows.foreach { e =>
-        if (e.cents >= 0L) {
-          m = m.copy(nTotal = m.nTotal + 1L)
-          val h = sampleHash(e.cents, usec(e.ts), m.nTotal)
-          if (keptAt(h, m.level)) buf += KV(e.cents, h)
-          lastUs = math.max(lastUs, usec(e.ts))
-        }
+      // Canonical (ts, cents) order BEFORE sequence assignment: the
+      // engine sorts micro-batch input by grouping key only, so the
+      // within-key row order can differ between a task attempt and its
+      // retry — hashing the raw arrival index would make the retained
+      // sample attempt-dependent. Sorting costs O(batch rows for this
+      // key) memory, the same class as the snapshot's own sort.
+      val evs = rows.filter(_.cents >= 0L).toArray
+        .sortBy(e => (usec(e.ts), e.cents))
+      evs.foreach { e =>
+        m = m.copy(nTotal = m.nTotal + 1L)
+        val h = sampleHash(e.cents, usec(e.ts), m.nTotal)
+        if (keptAt(h, m.level)) buf += KV(e.cents, h)
+        lastUs = math.max(lastUs, usec(e.ts))
       }
       if (buf.nonEmpty) vals.appendList(buf.toArray)
       m = m.copy(nKept = m.nKept + buf.length)

@@ -143,20 +143,24 @@ class PipelineSpec extends SparkSpec {
       "(Polars strptime(strict=False), main.py:271)") {
     val want = java.sql.Timestamp.valueOf("2024-03-05 12:30:45")
     val cases = Seq(
-      "k-1" -> "2024-03-05T12:30:45",   // ISO T separator (builtin)
-      "k-2" -> "2024/03/05 12:30:45",   // slash Y-M-D
-      "k-3" -> "20240305 12:30:45",     // compact date
-      "k-4" -> "05-03-2024 12:30:45",   // day-first dashes
-      "k-5" -> "05.03.2024 12:30:45",   // day-first dots
-      "k-6" -> "03/05/2024 12:30:45")   // US month-first slashes
-    val rows = cases.map { case (id, ts) =>
+      ("k-1", "2024-03-05T12:30:45", want), // ISO T separator (builtin)
+      ("k-2", "2024/03/05 12:30:45", want), // slash Y-M-D
+      ("k-3", "20240305 12:30:45", want),   // compact date
+      ("k-4", "05-03-2024 12:30:45", want), // day-first dashes
+      ("k-5", "05.03.2024 12:30:45", want), // day-first dots
+      // ambiguous slash resolves MONTH-first (documented chain order)
+      ("k-6", "03/05/2024 12:30:45", want),
+      // day>12 slash is unambiguous: falls through MM/dd to dd/MM
+      ("k-7", "25/03/2024 12:30:45",
+        java.sql.Timestamp.valueOf("2024-03-25 12:30:45")))
+    val rows = cases.map { case (id, ts, _) =>
       s"""{"device_id": 1, "trip_id": "$id", "event_time": "$ts"}"""
     }
     val (valid, dlq, _) = run(clean +: rows: _*)
     assert(dlq.isEmpty)
-    cases.foreach { case (id, ts) =>
+    cases.foreach { case (id, ts, w) =>
       val r = valid.find(_.getString(1) == id).get
-      assert(r.getTimestamp(5) == want, s"layout '$ts' did not parse")
+      assert(r.getTimestamp(5) == w, s"layout '$ts' did not parse as expected")
     }
     // date-only variants land on midnight
     val dRows = Seq("m-1" -> "2024/03/05", "m-2" -> "05.03.2024").map {
