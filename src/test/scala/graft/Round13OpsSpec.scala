@@ -377,6 +377,28 @@ class Round13OpsSpec extends SparkSpec {
       "every scope must have released its own registrations")
   }
 
+  /** Multimodal's scale claim, plan-asserted: a metadata-only query
+    * over a media table must NOT read the binary payload column —
+    * columnar pruning keeps the scan's ReadSchema to the metadata
+    * fields, so payload bytes never leave the parquet column chunks.
+    */
+  test("media metadata queries prune the binary payload from the scan") {
+    import graft.operators.Multimodal
+    val rows = (1L to 20L).map(i => Multimodal.MediaRecord(
+      i, "image", "image/png", 16, 12, 0L, Array.fill(256)((i % 251).toByte)))
+    val dir = java.nio.file.Files.createTempDirectory("media_prune_").toString
+    rows.toDS().write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("kind") === "image")
+      .groupBy("mime").agg(count(lit(1)).as("n"), avg("width").as("w"))
+    val p = q.queryExecution.executedPlan.toString
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && !read.contains("payload"),
+      s"payload must be pruned from the scan, got ReadSchema: $read")
+    assert(q.collect().map(_.getLong(1)).sum == 20L)
+  }
+
   // ---- Triangles assumeCanonical ---------------------------------------------
 
   /** The trusted-input fast path must be result-identical to the

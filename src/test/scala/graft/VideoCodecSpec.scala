@@ -92,6 +92,28 @@ class VideoCodecSpec extends AnyFunSuite {
     intercept[Exception] { VideoCodec.decodeAvi(rle) }
   }
 
+  test("JUNK padding chunks are tolerated (real-world AVI layout)") {
+    val fs = Seq(frame(6, 4, 1), frame(6, 4, 2))
+    val avi = VideoCodec.encodeAvi(fs, 6, 4, 25)
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >>> 8) & 0xff).toByte
+      b(o + 2) = ((v >>> 16) & 0xff).toByte; b(o + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    // splice a 16-byte JUNK chunk between LIST hdrl and LIST movi —
+    // the alignment padding most real muxers emit
+    val hdrlEnd = 12 + 8 + le32(avi, 16)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](16, 0, 0, 0) ++ new Array[Byte](16)
+    val spliced = avi.take(hdrlEnd) ++ junk ++ avi.drop(hdrlEnd)
+    putLe32(spliced, 4, le32(avi, 4) + junk.length) // patch riffSize
+    val v = VideoCodec.decodeAvi(spliced)
+    assert(v.width == 6 && v.height == 4 && v.fps == 25 && v.frames.length == 2)
+    fs.zip(v.frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
   test("property: decode(encode(frames)) == frames for seeded random clips") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
