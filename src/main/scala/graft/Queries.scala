@@ -2710,20 +2710,28 @@ object Queries {
   }
 
   /** Min-cost supplier (TPC-H Q2 shape on our star schema): per part,
-    * the supplier with the lowest observed unit price. The per-(part,
-    * supplier) cost is MIN(extendedprice/quantity) — min/max of doubles
-    * are reduction-order-independent, so the ranking key is engine-exact
-    * where an averaged cost would carry summation noise. Argmin via
-    * rank-1 window over the pre-aggregated (part,supplier) table (2
-    * shuffles on the fact); part/supplier dims broadcast onto the
-    * 1-row-per-part result.
+    * the supplier with the lowest observed unit price. Each LINE's
+    * unit cost is rounded to 4 dp IN EXACT INTEGER ARITHMETIC first
+    * (q156's half-up form over exact cents — sf0.1 exposed a raw
+    * double landing exactly on a half boundary, 92.40775, where
+    * Spark's shortest-repr HALF_UP and DuckDB's scaled-double round
+    * split), then MIN over those integers — min/max of exact integers
+    * are engine-identical by construction, where an averaged or
+    * raw-double cost would carry representation noise into the hash.
+    * Argmin via rank-1 window over the pre-aggregated (part,supplier)
+    * table (2 shuffles on the fact); part/supplier dims broadcast
+    * onto the 1-row-per-part result.
     */
   def q129_min_cost_supplier(s: SparkSession, dir: String): DataFrame = {
     val cost = t(s, dir, "lineitem")
       .groupBy("l_partkey", "l_suppkey")
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .agg(min(expr(
+        """(2 * cast(round(l_extendedprice * 100, 0) as bigint) * 100
+          |   + cast(l_quantity as bigint))
+          | div (2 * cast(l_quantity as bigint))""".stripMargin))
+        .as("uc4"))
     val best = cost.withColumn("rn", row_number().over(
-      Window.partitionBy("l_partkey").orderBy(col("unit_cost"), col("l_suppkey"))))
+      Window.partitionBy("l_partkey").orderBy(col("uc4"), col("l_suppkey"))))
       .filter(col("rn") === 1)
     val part = t(s, dir, "part").filter(col("p_size") >= 48)
       .select(col("p_partkey"), col("p_name"), col("p_size"))
@@ -2731,7 +2739,7 @@ object Queries {
       .join(broadcast(t(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("p_size"),
-        col("s_suppkey"), col("s_name"), round(col("unit_cost"), 4).as("unit_cost"))
+        col("s_suppkey"), col("s_name"), (col("uc4") / 10000.0).as("unit_cost"))
       .orderBy("p_partkey")
   }
 
@@ -11931,15 +11939,17 @@ object Queries {
     "q129_min_cost_supplier" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey,
-        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |    min((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+        |         + CAST(l_quantity AS BIGINT))
+        |        // (2 * CAST(l_quantity AS BIGINT))) AS uc4
         |  FROM lineitem GROUP BY 1, 2),
         |best AS (
         |  SELECT * FROM (SELECT *, row_number()
         |      OVER (PARTITION BY l_partkey
-        |            ORDER BY unit_cost, l_suppkey) AS rn
+        |            ORDER BY uc4, l_suppkey) AS rn
         |    FROM cost) WHERE rn = 1)
         |SELECT p_partkey, p_name, p_size, s_suppkey, s_name,
-        |  round(unit_cost, 4) AS unit_cost
+        |  uc4 / 10000.0 AS unit_cost
         |FROM best
         |JOIN part ON l_partkey = p_partkey AND p_size >= 48
         |JOIN supplier ON l_suppkey = s_suppkey
