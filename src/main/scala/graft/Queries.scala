@@ -5101,20 +5101,28 @@ object Queries {
     * counter"): each purchase contributes value · 0.5^(whole weeks
     * before the corpus frontier) — recency-weighted spend without a
     * mutable state store, recomputable from the log at any time. The
-    * frontier rides in as a broadcast 1-row aggregate; the exponent is
-    * an INTEGER week count so every weight is an exact dyadic double
-    * in both engines (a fractional-decay exponent would put libm `pow`
-    * in the hash path). One shuffle on user_id, top-20 plans
-    * TakeOrderedAndProject.
+    * frontier rides in as a broadcast 1-row aggregate. The decay is
+    * FLOORED at 20 half-lives (a 2^-20 ≈ 1e-6 weight — decayed to
+    * noise), which is what lets the whole sum run in EXACT INTEGER
+    * arithmetic: each term is cents · 2^(20−min(wk,20)), an int64
+    * (≤2^41 per term), so the per-user reduction is order-independent
+    * and engine-identical — the sf0.1 sweep caught the previous
+    * dyadic-double sum differing from DuckDB's by one ULP exactly on
+    * a 2-dp rounding boundary (805.955). The single division by
+    * 100·2^20 happens once per user on the exact integer. One shuffle
+    * on user_id, top-20 plans TakeOrderedAndProject.
     */
   def q215_decayed_engagement(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "events").filter(col("event_type") === "purchase")
     val frontier = p.agg(max(to_date(col("ts"))).as("now"))
     p.crossJoin(broadcast(frontier))
-      .withColumn("wk", floor(datediff(col("now"), to_date(col("ts"))) / 7))
+      .withColumn("wk", least(
+        floor(datediff(col("now"), to_date(col("ts"))) / 7), lit(20L)))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum(col("value") * pow(lit(0.5), col("wk"))), 2).as("decayed_spend"))
+        round(sum(expr("cast(round(value * 100, 0) as bigint)") *
+          call_function("shiftleft", lit(1L), (lit(20) - col("wk")).cast("int")))
+          / (100.0 * (1L << 20)), 2).as("decayed_spend"))
       .orderBy(col("decayed_spend").desc, col("user_id").asc)
       .limit(20)
   }
@@ -13216,7 +13224,9 @@ object Queries {
         |           WHERE event_type = 'purchase'),
         |f AS (SELECT max(d) AS now FROM p)
         |SELECT user_id, count(*)::BIGINT AS n_purchases,
-        |  round(sum(value * pow(0.5, ((now - d) // 7)::BIGINT)), 2) AS decayed_spend
+        |  round(sum(CAST(round(value * 100) AS BIGINT)
+        |            * (1::BIGINT << (20 - least((now - d) // 7, 20))::INTEGER))
+        |        / (100.0 * (1::BIGINT << 20)), 2) AS decayed_spend
         |FROM p, f
         |GROUP BY user_id
         |ORDER BY decayed_spend DESC, user_id ASC LIMIT 20""".stripMargin,
