@@ -90,7 +90,9 @@ object Bench {
     }
     val cold10 = top10.map { case (name, sweep) =>
       val ts = repTimes.getOrElse(name, Nil).sorted
-      name -> (if (ts.isEmpty) sweep else ts(ts.length / 2))
+      // Lower-middle median: with an even rep count (a rep failed and was
+      // dropped) ts(len/2) would pick the max and bias the trend high.
+      name -> (if (ts.isEmpty) sweep else ts((ts.length - 1) / 2))
     }
     cold10.foreach { case (k, v) => System.err.println(f"BENCH_COLD $k $v%.3f") }
     System.err.flush()

@@ -237,6 +237,10 @@ case class LshBucketKeys(child: Expression, mat: Array[Array[Double]],
 object LshBucketKeysImpl {
   def eval(nv: ArrayData, mat: Array[Array[Double]], numPlanes: Int,
       tables: Int): ArrayData = {
+    // Strict dim check: a vector shorter/longer than the plane dim would
+    // otherwise compute sign bits from a prefix — silent recall loss.
+    if (nv.numElements() != mat(0).length) throw new IllegalArgumentException(
+      s"graft_lsh_bucket_keys: vector dim ${nv.numElements()} != plane dim ${mat(0).length}")
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -244,7 +248,7 @@ object LshBucketKeysImpl {
       var p = 0
       while (p < numPlanes) {
         val row = mat(t * numPlanes + p)
-        val n = math.min(nv.numElements(), row.length)
+        val n = row.length
         var s = 0.0
         var j = 0
         while (j < n) { s += nv.getDouble(j) * row(j); j += 1 }

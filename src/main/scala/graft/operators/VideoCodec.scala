@@ -116,7 +116,7 @@ object VideoCodec {
     out.i32(LIST); out.i32(hdrlSize); out.i32(HDRL)
     out.i32(AVIH); out.i32(56)
     out.i32(1000000 / fps)      // dwMicroSecPerFrame
-    out.i32(dibLen * fps)       // dwMaxBytesPerSec
+    out.i32(math.min(dibLen.toLong * fps, Int.MaxValue.toLong).toInt) // dwMaxBytesPerSec (Long math: Int would overflow at ~36MB frames × 60fps)
     out.i32(0)                  // dwPaddingGranularity
     out.i32(0x10)               // dwFlags: AVIF_HASINDEX
     out.i32(n)                  // dwTotalFrames
