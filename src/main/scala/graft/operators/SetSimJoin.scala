@@ -175,7 +175,24 @@ object SetSimJoin {
       tokensCol: String,
       shingleSize: Int,
       maxDf: Long,
-      minContainment: Double): DataFrame = {
+      minContainment: Double): DataFrame =
+    containmentJoinFromIndex(
+      containmentIndex(docs, idCol, tokensCol, shingleSize, maxDf),
+      minContainment)
+
+  /** The df-capped inverted index (a_id, sh) the containment join
+    * runs on — exposed separately so callers can MATERIALIZE it once
+    * per corpus snapshot (it is corpus-derived and deterministic for a
+    * fixed (shingleSize, maxDf) dial) and feed repeated joins from the
+    * staged columnar frame instead of rebuilding the explode + df-cap
+    * per run.
+    */
+  def containmentIndex(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shingleSize: Int,
+      maxDf: Long): DataFrame = {
     val idx0 = docs
       .select(col(idCol).as("a_id"),
         explode(array_distinct(
@@ -183,8 +200,18 @@ object SetSimJoin {
       .select(col("a_id"), xxhash64(col("shs")).as("sh"))
     val keep = idx0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
-    val idx = idx0.join(keep, "sh")
-      .persistTracked()
+    idx0.join(keep, "sh")
+  }
+
+  /** Containment join over a prebuilt [[containmentIndex]] frame
+    * (columns a_id, sh). Same semantics as [[containmentJoin]]; the
+    * index is consumed three times (sizes + both join sides) and so
+    * is persisted here regardless of where it came from.
+    */
+  def containmentJoinFromIndex(
+      index: DataFrame,
+      minContainment: Double): DataFrame = {
+    val idx = index.persistTracked()
     val sizes = idx.groupBy("a_id").agg(count(lit(1)).as("sz"))
     idx.join(idx.select(col("sh"), col("a_id").as("b_id")), "sh")
       .filter(col("a_id") =!= col("b_id"))
