@@ -13,6 +13,10 @@ con = duckdb.connect()
 for tbl in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sfdir}/{tbl}.parquet'")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+# Optional 3rd arg: comma-list of query names to check (default: all).
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(','))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:

@@ -10003,6 +10003,34 @@ object Queries {
   }
   private val q358Lock = new Object
 
+  /** SemDeDup judged at the EXACT dial (k = 1 cell): with a single
+    * centroid the within-cell pair search degenerates to the exact
+    * all-pairs join, so the WHOLE SemanticDedup algebra — normalize,
+    * assign, within-cell pair filter at tau, drop-the-higher-id,
+    * per-cell rollup — becomes SQL-expressible and DuckDB-judged
+    * (q25's all-pairs precedent; q34/q152's judged-at-the-exact-dial
+    * pattern). The production dial (k = 16 cells, q167) stays
+    * rows-only because the k-means cell assignment is not
+    * SQL-expressible; THIS query pins every other stage of the
+    * operator against the oracle. Quadratic by definition and the
+    * single-cell join runs on one key — the verification baseline,
+    * deliberately NOT the scale path (that is q167's bounded cells /
+    * q26's banded LSH). Measured corpus margin min|cos−0.3| ≥ 5.8e-7
+    * at every SF — eight orders above the ~1e-15 relative rounding
+    * the two engines' different association orders can produce, so
+    * the float boundary cannot flip a pair. The cell LABEL is the
+    * hash-sampled seed's vec_id (engine-internal, like q167's
+    * assignment), so the judged projection rolls the cells up —
+    * at k = 1 that loses nothing: (n_cells, n_vecs, n_dropped) pins
+    * the whole drop set.
+    */
+  def q359_semdedup_exact(s: SparkSession, dir: String): DataFrame =
+    operators.SemanticDedup.summary(
+      tWide(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 1, tau = 0.3)
+      .agg(count(lit(1)).as("n_cells"), sum("n_vecs").as("n_vecs"),
+        sum("n_dropped").as("n_dropped"))
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10607,6 +10635,7 @@ object Queries {
     "q356_avi_decode" -> (q356_avi_decode _),
     "q357_simhash_md5" -> (q357_simhash_md5 _),
     "q358_sql_script" -> (q358_sql_script _),
+    "q359_semdedup_exact" -> (q359_semdedup_exact _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10824,6 +10853,16 @@ object Queries {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders, f WHERE o_totalprice > f.t
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q359_semdedup_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (
+        |  SELECT count(DISTINCT b.vec_id) AS n_dropped
+        |  FROM e a, e b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+        |SELECT 1::BIGINT AS n_cells, (SELECT count(*) FROM e) AS n_vecs, d.n_dropped
+        |FROM d ORDER BY n_cells""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,

@@ -174,6 +174,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("per-value datetime dispatch: a column MIXING layouts in one batch " +
+      "coerces every value (divergence from Polars pinned — main.py:271 " +
+      "infers ONE format from the first value column-wide, nulling the rest " +
+      "to epoch; the per-value coalesce chain parses each independently)") {
+    // First value ISO, second slashed Y-M-D, third day-first dots, fourth
+    // US month-first: under Polars' column-wide inference only the rows
+    // matching the FIRST value's format would survive; here all four must.
+    val want = java.sql.Timestamp.valueOf("2024-03-05 12:30:45")
+    val mixed = Seq(
+      "x-1" -> "2024-03-05T12:30:45",
+      "x-2" -> "2024/03/05 12:30:45",
+      "x-3" -> "05.03.2024 12:30:45",
+      "x-4" -> "03/05/2024 12:30:45")
+    val rows = mixed.map { case (id, ts) =>
+      s"""{"device_id": 1, "trip_id": "$id", "event_time": "$ts"}"""
+    }
+    val (valid, dlq, _) = run(clean +: rows: _*)
+    assert(dlq.isEmpty)
+    mixed.foreach { case (id, ts) =>
+      val r = valid.find(_.getString(1) == id).get
+      assert(r.getTimestamp(5) == want,
+        s"mixed-batch layout '$ts' must parse per-value, not by first-value inference")
+      assert(r.getTimestamp(5) != java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
+        s"'$ts' landed on epoch — column-wide inference regression")
+    }
+  }
+
   test("missing datetime key → epoch (fill-null path)") {
     val row = """{"device_id": 1, "trip_id": "j-10"}"""
     val (valid, dlq, _) = run(clean, row)
