@@ -8752,24 +8752,15 @@ object Queries {
     // Session rows are USER-grain (unbounded at corpus scale) — they
     // ride the distributed file sink (runToParquetSink, q328's rule);
     // the judged frame reads back from parquet.
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val sessions = try {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val stream = s.readStream.schema(ev.schema).parquet(stageDir)
-        .as[StatefulSessions.SEvent](org.apache.spark.sql.Encoders
-          .product[StatefulSessions.SEvent])
-        .withWatermark("ts", "0 seconds")
-      runToParquetSink(s,
-        StatefulSessions.sessionizeStreamTws(stream, gapUs).toDF(), "tws")
-    } finally {
-      prev match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val stream0 = s.readStream.schema(ev.schema).parquet(stageDir)
+      .as[StatefulSessions.SEvent](org.apache.spark.sql.Encoders
+        .product[StatefulSessions.SEvent])
+      .withWatermark("ts", "0 seconds")
+    // RocksDB provider rides runToParquetSink's locked conf window
+    // (set → start → restore under sessionConfLock) — concurrency-safe.
+    val sessions = runToParquetSink(s,
+      StatefulSessions.sessionizeStreamTws(stream0, gapUs).toDF(), "tws",
+      RocksProvider)
     sessions
       .select(col("key").as("user_id"),
         timestamp_micros(col("startUs")).as("s_start"),
@@ -8979,12 +8970,37 @@ object Queries {
     * cloned session `start()` creates, so restoring immediately after
     * is safe). At 100 TB the same knob is set HIGHER than the batch
     * default; the point is it is set per-stream, not inherited.
+    *
+    * The whole set→start→restore window runs under [[sessionConfLock]]
+    * (session confs are SESSION-wide mutable state): concurrent query
+    * runners — the CacheRegistry.withScope serving shape QueryBench
+    * measures — must not observe a sibling's mid-toggle conf or race
+    * the restore. The lock is held only while `start()` builds the
+    * stream's conf snapshot, never across the drain. `extraConf`
+    * carries additional per-stream confs (e.g. the RocksDB state-store
+    * provider) into the same window.
     */
-  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private[graft] val sessionConfLock = new Object
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8,
+      extraConf: Map[String, String] = Map.empty)(body: => T): T =
+    sessionConfLock.synchronized {
+      val keys = extraConf.keySet + "spark.sql.shuffle.partitions"
+      val prevs = keys.toSeq.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      extraConf.foreach { case (k, v) => s.conf.set(k, v) }
+      try body finally prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }
+
+  /** Session conf selecting the RocksDB state-store provider for a
+    * streaming run — rides [[withStreamPartitions]]'s conf window via
+    * runToParquetSink's `extraConf`.
+    */
+  private val RocksProvider = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** The q328/q333/q340 interval-join condition, in ONE place so the
     * window bound can never silently diverge between the three
@@ -9002,11 +9018,11 @@ object Queries {
     * rows never land in a driver-side memory table).
     */
   private def runToParquetSink(s: SparkSession, df: DataFrame,
-      tag: String): DataFrame = {
+      tag: String, extraConf: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val outDir = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_out_").toString
-    val q = withStreamPartitions(s) {
+    val q = withStreamPartitions(s, extraConf = extraConf) {
       df.writeStream.format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", java.nio.file.Files
@@ -9476,23 +9492,12 @@ object Queries {
     val stageDir = stagedParquet(s"msr|$dir") { d =>
       purchases.unionByName(sentinel).write.mode("overwrite").parquet(d)
     }
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val snaps = try {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
-        .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
-          .product[MapStateRevenue.REvent])
-        .withWatermark("ts", "0 seconds")
-      runToParquetSink(s, MapStateRevenue.dailyRevenue(stream).toDF(), "msr")
-    } finally {
-      prev match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
+      .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+        .product[MapStateRevenue.REvent])
+      .withWatermark("ts", "0 seconds")
+    val snaps = runToParquetSink(s,
+      MapStateRevenue.dailyRevenue(stream).toDF(), "msr", RocksProvider)
     snaps.groupBy(col("key").as("user_id"), col("day"))
       .agg(max_by(col("cents"), col("tagMs")).as("c"))
       .select(col("user_id"),
@@ -9595,24 +9600,13 @@ object Queries {
     val stageDir = stagedParquet(s"ini|$dir") { d =>
       live.unionByName(sentinel).write.mode("overwrite").parquet(d)
     }
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val snaps = try {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val stream = s.readStream.schema(live.schema).parquet(stageDir)
-        .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
-          .product[MapStateRevenue.REvent])
-        .withWatermark("ts", "0 seconds")
-      runToParquetSink(s,
-        MapStateRevenue.dailyRevenueWithInit(stream, init).toDF(), "ini")
-    } finally {
-      prev match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val stream = s.readStream.schema(live.schema).parquet(stageDir)
+      .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
+        .product[MapStateRevenue.REvent])
+      .withWatermark("ts", "0 seconds")
+    val snaps = runToParquetSink(s,
+      MapStateRevenue.dailyRevenueWithInit(stream, init).toDF(), "ini",
+      RocksProvider)
     snaps.groupBy(col("key").as("user_id"), col("day"))
       .agg(max_by(col("cents"), col("tagMs")).as("c"))
       .select(col("user_id"),
@@ -9650,23 +9644,12 @@ object Queries {
     val stageDir = stagedParquet(s"lsm|$dir") { d =>
       purchases.unionByName(sentinel).write.mode("overwrite").parquet(d)
     }
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val snaps = try {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
-        .as[ListStateMedian.MEvent](org.apache.spark.sql.Encoders
-          .product[ListStateMedian.MEvent])
-        .withWatermark("ts", "0 seconds")
-      runToParquetSink(s, ListStateMedian.medians(stream).toDF(), "lsm")
-    } finally {
-      prev match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
+      .as[ListStateMedian.MEvent](org.apache.spark.sql.Encoders
+        .product[ListStateMedian.MEvent])
+      .withWatermark("ts", "0 seconds")
+    val snaps = runToParquetSink(s,
+      ListStateMedian.medians(stream).toDF(), "lsm", RocksProvider)
     snaps.groupBy(col("key").as("user_id"))
       .agg(max_by(struct(col("n"), col("medianCents")), col("tagMs")).as("m"))
       .select(col("user_id"), col("m.n").as("n_purchases"),
@@ -9972,7 +9955,7 @@ object Queries {
     // view or race the set/restore pair (CacheRegistry.withScope contract).
     val view = s"q358_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     t(s, dir, "orders").createOrReplaceTempView(view)
-    try q358Lock.synchronized {
+    try sessionConfLock.synchronized {
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       try {
         s.conf.set("spark.sql.scripting.enabled", "true")
@@ -10001,7 +9984,6 @@ object Queries {
       }
     } finally s.catalog.dropTempView(view)
   }
-  private val q358Lock = new Object
 
   /** SemDeDup judged at the EXACT dial (k = 1 cell): with a single
     * centroid the within-cell pair search degenerates to the exact
@@ -10180,7 +10162,8 @@ object Queries {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
-  def q337_runtime_bloom_join(s: SparkSession, dir: String): DataFrame = {
+  def q337_runtime_bloom_join(s: SparkSession, dir: String): DataFrame =
+      sessionConfLock.synchronized {
     val keep = runtimeBloomConfs
     val prev = keep.map { case (k, _) => k -> s.conf.getOption(k) }
     try {

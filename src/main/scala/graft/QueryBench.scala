@@ -1,0 +1,149 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-query SERVING bench — the multi-tenant axis beside
+  * [[IngestBench]]'s ingest axis: N independent runners share ONE warm
+  * SparkSession (the serving shape of a long-lived analytics service —
+  * staged frames on disk, session caches scoped per query) and each
+  * drives a representative query MIX; the report is aggregate
+  * queries/sec at each runner count and where it stops scaling (the
+  * knee).
+  *
+  * Isolation is exactly the contract the engine was built for:
+  *   - every query executes inside [[CacheRegistry.withScope]], so its
+  *     tracked persists release on completion without touching a
+  *     sibling's cached frames (Round13OpsSpec pins the parity);
+  *   - session-conf windows (stream-start partitions + RocksDB
+  *     provider, q337's bloom dials, q358's scripting toggle) are
+  *     serialized under `Queries.sessionConfLock`, held only across
+  *     `start()`/plan, never across a drain;
+  *   - per-dataset staged frames (`stagedParquet`) build once behind
+  *     computeIfAbsent and are plain parquet reads afterwards.
+  *
+  * CORRECTNESS UNDER CONCURRENCY is asserted inline, not assumed: the
+  * warm-up pass records a canonical fingerprint (MD5 over the sorted
+  * stringified rows) for every mix query, and every concurrent
+  * execution re-fingerprints its result — any divergence (a scope leak,
+  * a conf race, a shared temp-view collision) fails the bench with the
+  * query name and runner id. A clean run IS the generalized parity
+  * proof over the full mix.
+  *
+  * The mix spans the engine's pillars so the knee reflects real tenant
+  * diversity, not one query's profile: scan-agg, shuffle join, window
+  * ranking, text tokenize, LSH-dedup consumer, two graph fixpoints, and
+  * a real RocksDB streaming drain. Runners rotate their starting offset
+  * so the mix never runs in lockstep.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.QueryBench"           # runners axis 1,4,8,16
+  * SPARK_GRAFT_RUNNERS=1,2,4,8,16,24 overrides the axis. Prints one
+  * JSON line; results trend in dev/PERF_LEDGER.md.
+  */
+object QueryBench {
+
+  /** The serving mix — one representative per engine pillar. */
+  val Mix: Seq[String] = Seq(
+    "q01_agg_pricing",          // scan + partial/final hash agg
+    "q03_join_fact",            // shuffle equi-join
+    "q04_window_rank",          // window ranking
+    "q07_text_wordcount",       // tokenize + wordcount
+    "q23_dedup_minhash",        // MinHash-LSH pair consumer (staged)
+    "q153_triangle_count",      // graph: triangle count (staged edges)
+    "q201_hits",                // graph fixpoint (staged bipartite)
+    "q324_sessions_tws_stream") // streaming drain (RocksDB tws)
+
+  private def md5(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runnerCounts = sys.env.getOrElse("SPARK_GRAFT_RUNNERS", "1,4,8,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // FAIR scheduling: the multi-tenant pool shape — a long graph
+      // fixpoint must not starve a sibling's point query, which is the
+      // first thing FIFO does under concurrent submitters.
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Execute one mix query in its own scope; returns the result
+      * fingerprint. collect() is safe: every mix member is a judged
+      * query whose output frame is bounded (the correctness gate dumps
+      * them whole).
+      */
+    def exec(name: String): String = CacheRegistry.withScope {
+      val rows = Queries.all(name)(spark, sfDir).collect()
+      md5(rows.map(_.toString).sorted.mkString("\n"))
+    }
+
+    // Warm-up + canonical fingerprints: one serial pass (pays JVM
+    // warm-up, codegen, and the per-dir staged-frame builds — exactly
+    // the warm-engine serving state the axis should measure).
+    val canonical: Map[String, String] =
+      Mix.map(n => n -> exec(n)).toMap
+    System.err.println(s"QUERYBENCH warmup done (${Mix.size} queries)")
+
+    /** N concurrent runners, each running the full mix once (rotated
+      * start offset); asserts every result against the canonical
+      * fingerprint. Returns wall seconds.
+      */
+    def run(n: Int): Double = {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { i =>
+        val th = new Thread(() =>
+          try {
+            Mix.indices.foreach { j =>
+              val name = Mix((i + j) % Mix.size)
+              val fp = exec(name)
+              require(fp == canonical(name),
+                s"runner $i: $name diverged under concurrency " +
+                  s"(got $fp, canonical ${canonical(name)}) — isolation bug")
+            }
+          } catch { case e: Throwable => errs.add(e) },
+          s"graft-serve-$i")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Per-N reps, best wall kept: a serving benchmark reports achievable
+    // throughput, and the first rep after a phase shift (fresh FAIR
+    // pools, first streaming drain of the axis) can carry one-off init
+    // that the steady state never pays. Each rep is still fully
+    // parity-checked.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QB_REPS", "2").toInt
+    val runs = runnerCounts.map { n =>
+      val walls = (1 to reps).map { r =>
+        val dt = run(n)
+        System.err.println(
+          f"QUERYBENCH r$n rep$r wall=$dt%.1fs qps=${n * Mix.size / dt}%.3f")
+        dt
+      }
+      val dt = walls.min
+      val qps = n * Mix.size / dt
+      System.err.println(f"QUERYBENCH r$n best wall=$dt%.1fs qps=$qps%.3f")
+      (n, dt, qps)
+    }
+    // Headline `value` is ALWAYS the 1-runner q/s (IngestBench's rule:
+    // the trended metric means the same thing whatever the axis says).
+    val qps1 = runs.find(_._1 == 1).map(_._3)
+      .getOrElse(Mix.size / run(1))
+    val axis = runs.map { case (n, _, qps) =>
+      s""""r$n":${"%.3f".format(qps)}""" }.mkString(",")
+    println(f"""{"metric":"query_serve_qps","value":$qps1%.3f,"value_runners":1,"unit":"q/s","runners":{$axis},"mix":${Mix.size},"parity":"ok","sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -377,6 +377,41 @@ class Round13OpsSpec extends SparkSpec {
       "every scope must have released its own registrations")
   }
 
+  /** The parity contract generalized to QueryBench's FULL serving mix
+    * (scan-agg, join, window, text, LSH consumer, both graph
+    * fixpoints, and the RocksDB streaming drain): three runners each
+    * execute the whole mix concurrently, rotated so no two are in
+    * lockstep, and every result must equal the serial canon — this is
+    * the spec-side twin of the inline fingerprint check QueryBench
+    * performs on every measured run.
+    */
+  test("QueryBench serving mix: concurrent full-mix runners match serial") {
+    val names = QueryBench.Mix
+    CacheRegistry.releaseAll()
+    val dir = sf()
+    val serial: Map[String, Seq[String]] = names.map(n =>
+      n -> Queries.all(n)(spark, dir).collect().map(_.toString).toSeq).toMap
+    CacheRegistry.releaseAll()
+    val nRunners = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until nRunners).map { i =>
+      val th = new Thread(() =>
+        try names.indices.foreach { j =>
+          val n = names((i + j) % names.size)
+          val got = CacheRegistry.withScope {
+            Queries.all(n)(spark, dir).collect().map(_.toString).toSeq
+          }
+          assert(got == serial(n), s"runner $i: $n diverged under concurrency")
+        } catch { case e: Throwable => errs.add(e) }, s"graft-mix-$i")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"concurrent mix failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(CacheRegistry.outstanding == 0,
+      "every scope must have released its own registrations")
+  }
+
   /** Multimodal's scale claim, plan-asserted: a metadata-only query
     * over a media table must NOT read the binary payload column —
     * columnar pruning keeps the scan's ReadSchema to the metadata
