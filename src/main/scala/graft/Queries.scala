@@ -9000,7 +9000,14 @@ object Queries {
     */
   private val RocksProvider = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // Changelog checkpointing: each commit ships the epoch's change
+    // set instead of a full SST snapshot — the production setting for
+    // short-epoch jobs (snapshot upload cost moves to a background
+    // cadence), and at 100 TB state it is the difference between
+    // per-epoch O(delta) and O(state).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 
   /** The q328/q333/q340 interval-join condition, in ONE place so the
     * window bound can never silently diverge between the three
