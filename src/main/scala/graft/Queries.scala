@@ -10035,6 +10035,58 @@ object Queries {
       .agg(count(lit(1)).as("n_cells"), sum("n_vecs").as("n_vecs"),
         sum("n_dropped").as("n_dropped"))
 
+  /** BPE judged at the FIRST-MERGE dial (k = 1): the single driver
+    * round of Bpe.learnMerges is exactly the operator's distributed
+    * core — corpus tokenize → (word, n) vocabulary → adjacent-symbol
+    * pair explode weighted by word count → argmax with the
+    * (freq desc, left, right) tie-break — and at k = 1 there is no
+    * iterative rewrite yet, so the WHOLE round is SQL-expressible and
+    * DuckDB-judged (the q357/q359 exact-dial pattern). All counts are
+    * integers: no float boundary exists at any SF. The k = 5
+    * production dial (q193) stays rows-only because merge rounds ≥ 2
+    * see a symbol state only the greedy left-to-right fold produces;
+    * BpeSpec's differential tests pin that fold against the local
+    * reference. Scale shape is q193's: the corpus scan happens once
+    * (the word count), the pair agg runs over the vocabulary-sized
+    * frame with map-side partials.
+    */
+  def q360_bpe_first_merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = tWide(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    operators.Bpe.learnMerges(wc, k = 1)
+      .toDF("step", "left", "right", "freq")
+      .orderBy("step")
+  }
+
+  /** MMR judged at the k = 2 EXACT dial: the first greedy pick is the
+    * relevance argmax (redundancy 0), the second maximizes
+    * λ·rel − (1−λ)·cos(·, pick₁) over the remaining candidates — both
+    * closed-form single argmaxes over per-row double arithmetic, so
+    * the dial is fully SQL-expressible and judges Mmr.rerank's whole
+    * algebra: candidate retrieval (top-50 by (rel desc, id)), the
+    * λ-blend, the redundancy term, tie-breaks, and the
+    * rint-half-even/1e4 output rounding (round_even in DuckDB). The
+    * k = 10 production dial (q177) stays rows-only: picks ≥ 3 need
+    * max-over-selected-set state only the greedy loop carries.
+    * Float safety is the q183 precedent — every number here is a
+    * per-row SEQUENTIAL double dot (bit-identical in both engines),
+    * never a cross-row float aggregate; measured decision margins
+    * (argmax gap ≥ 4.4e-3, candidate-cut gap ≥ 8.2e-4, half-boundary
+    * distance ≥ 1.8e-4 at every SF) sit ≥ 11 orders above 1e-15
+    * association noise anyway.
+    */
+  def q361_mmr_exact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnIvf, Mmr}
+    val normed = AnnIvf.normalized(t(s, dir, "embeddings"), "vec_id", "embedding")
+    val probe = normed.filter(col("id") === 0)
+      .select("nv").collect()(0).getSeq[Double](0).toArray
+    Mmr.rerank(s, normed.filter(col("id") =!= 0), probe,
+        k = 2, nCandidates = 50, lambda = 0.7)
+      .orderBy("rank")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10641,6 +10693,8 @@ object Queries {
     "q357_simhash_md5" -> (q357_simhash_md5 _),
     "q358_sql_script" -> (q358_sql_script _),
     "q359_semdedup_exact" -> (q359_semdedup_exact _),
+    "q360_bpe_first_merge" -> (q360_bpe_first_merge _),
+    "q361_mmr_exact"    -> (q361_mmr_exact _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10868,6 +10922,38 @@ object Queries {
         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
         |SELECT 1::BIGINT AS n_cells, (SELECT count(*) FROM e) AS n_vecs, d.n_dropped
         |FROM d ORDER BY n_cells""".stripMargin,
+    "q360_bpe_first_merge" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT unnest([{'l': word[i:i], 'r': word[i+1:i+1]}
+        |                 for i in range(1, length(word))]) AS pr, n
+        |  FROM w WHERE length(word) >= 2)
+        |SELECT 1 AS step, pr.l AS "left", pr.r AS "right", sum(n)::BIGINT AS freq
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY freq DESC, "left", "right" LIMIT 1""".stripMargin,
+    "q361_mmr_exact" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nrm AS (SELECT id,
+        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+        |p AS (SELECT nv AS pv FROM nrm WHERE id = 0),
+        |c AS (SELECT id, list_dot_product(nv, pv) AS rel, nv
+        |      FROM nrm, p WHERE id <> 0
+        |      ORDER BY rel DESC, id LIMIT 50),
+        |s1 AS (SELECT id, rel, nv, 0.7 * rel AS score FROM c
+        |       ORDER BY rel DESC, id LIMIT 1),
+        |s2 AS (SELECT c.id, c.rel,
+        |         0.7 * c.rel - 0.3 * list_dot_product(c.nv, s1.nv) AS score
+        |       FROM c, s1 WHERE c.id <> s1.id
+        |       ORDER BY score DESC, c.id LIMIT 1)
+        |SELECT 1 AS rank, id, round_even(rel * 10000, 0) / 10000 AS relevance,
+        |       round_even(score * 10000, 0) / 10000 AS mmr_score FROM s1
+        |UNION ALL
+        |SELECT 2, id, round_even(rel * 10000, 0) / 10000,
+        |       round_even(score * 10000, 0) / 10000 FROM s2
+        |ORDER BY rank""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,
