@@ -16,6 +16,9 @@ oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 # Optional 3rd arg: comma-list of query names to check (default: all).
 if len(sys.argv) > 3:
     only = set(sys.argv[3].split(','))
+    unknown = only - oracle.keys()
+    if unknown:  # a typo'd name must not pass as a silent green
+        sys.exit(f'ERR  unknown query name(s): {sorted(unknown)} — nothing checked')
     oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name, sql in sorted(oracle.items()):

@@ -28,6 +28,26 @@ object CacheRegistry {
   private val nextScope = new java.util.concurrent.atomic.AtomicLong(0L)
   private val current = new ThreadLocal[java.lang.Long] // null = unscoped
 
+  /** Spark's CacheManager lives in SharedState and dedupes cached
+    * plans by CANONICAL EQUALITY across the whole SparkContext — two
+    * concurrent runners executing the SAME query persist
+    * plan-identical frames that share ONE cache entry, so the first
+    * scope to release would unpersist blocks the sibling's in-flight
+    * job is still reading (BlockNotFoundException under QueryBench's
+    * rotated mix at N ≥ 16, where same-query overlap is guaranteed).
+    * This refcount over the same canonical-plan key CacheManager
+    * dedupes on makes release last-scope-out: drain() only unpersists
+    * a frame when no other live registration shares its plan.
+    * compute() gives atomic inc/dec; the residual window (B persists
+    * while A's count hits 0 mid-unpersist) re-caches from scratch —
+    * a recompute, never a wrong result.
+    */
+  private val planRefs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]
+
+  private def planKey(df: DataFrame) =
+    df.queryExecution.analyzed.canonicalized
+
   /** Persist `df` and record it — under the current thread's scope if
     * one is active ([[withScope]]), else globally — for a later
     * release.
@@ -35,6 +55,7 @@ object CacheRegistry {
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
+    planRefs.compute(planKey(p), (_, c) => if (c == null) 1 else c + 1)
     frames.add((current.get(), p))
     p
   }
@@ -70,7 +91,11 @@ object CacheRegistry {
     while (it.hasNext) {
       val (owner, f) = it.next()
       if (pred(owner)) {
-        f.unpersist(blocking = false)
+        // Last-scope-out: only unpersist when no sibling registration
+        // shares this canonical plan (see planRefs).
+        val remaining = planRefs.compute(planKey(f),
+          (_, c) => if (c == null || c <= 1) null else c - 1)
+        if (remaining == null) f.unpersist(blocking = false)
         it.remove()
       }
     }

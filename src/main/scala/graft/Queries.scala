@@ -8990,13 +8990,20 @@ object Queries {
     * is set per-stream, not inherited.
     *
     * The whole set→start→restore window runs under [[sessionConfLock]]
-    * (session confs are SESSION-wide mutable state): concurrent query
-    * runners — the CacheRegistry.withScope serving shape QueryBench
-    * measures — must not observe a sibling's mid-toggle conf or race
-    * the restore. The lock is held only while `start()` builds the
-    * stream's conf snapshot, never across the drain. `extraConf`
-    * carries additional per-stream confs (e.g. the RocksDB state-store
-    * provider) into the same window.
+    * (session confs are SESSION-wide mutable state): concurrent
+    * runners ON THE SAME SESSION must not race the set/restore pair.
+    * For the streaming windows here the lock is held only while
+    * `start()` builds the stream's conf snapshot, never across the
+    * drain; the two BATCH conf windows (q337's bloom dials, q358's
+    * scripting toggle) hold it across their bounded executions — so
+    * the lock alone is a belt, not the serving-shape isolation. Real
+    * multi-tenant isolation is one CLONED SESSION per tenant
+    * (`spark.newSession()`, the Thrift-server shape QueryBench runs):
+    * session confs and temp views become tenant-local, and a
+    * sibling's lock-free planning can never observe a mid-toggle
+    * conf because the toggle happens on a different SQLConf.
+    * `extraConf` carries additional per-stream confs (e.g. the
+    * RocksDB state-store provider) into the same window.
     */
   private[graft] val sessionConfLock = new Object
   private def withStreamPartitions[T](s: SparkSession, n: Int = 4,

@@ -13,13 +13,22 @@ import org.apache.spark.sql.SparkSession
   * knee).
   *
   * Isolation is exactly the contract the engine was built for:
+  *   - each runner gets its OWN `spark.newSession()` — the Thrift-
+  *     server shape: one cloned session per connection, so session
+  *     confs (stream-start partitions + RocksDB provider, q337's
+  *     bloom dials, q358's scripting toggle) and temp views are
+  *     tenant-local and one tenant's conf window can never skew a
+  *     sibling's plan; `Queries.sessionConfLock` stays as the
+  *     same-session belt (Round13OpsSpec's shared-session test);
+  *   - each runner submits its jobs into its OWN scheduler pool
+  *     (`spark.scheduler.pool = runner-i`) under FAIR mode — pools
+  *     share the cluster fairly, so a long graph fixpoint cannot
+  *     starve a sibling's point query (FAIR mode with every thread in
+  *     the single default pool would be de-facto FIFO: intra-pool
+  *     scheduling is FIFO unless an allocation file says otherwise);
   *   - every query executes inside [[CacheRegistry.withScope]], so its
   *     tracked persists release on completion without touching a
   *     sibling's cached frames (Round13OpsSpec pins the parity);
-  *   - session-conf windows (stream-start partitions + RocksDB
-  *     provider, q337's bloom dials, q358's scripting toggle) are
-  *     serialized under `Queries.sessionConfLock`, held only across
-  *     `start()`/plan, never across a drain;
   *   - per-dataset staged frames (`stagedParquet`) build once behind
   *     computeIfAbsent and are plain parquet reads afterwards.
   *
@@ -76,13 +85,13 @@ object QueryBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** Execute one mix query in its own scope; returns the result
-      * fingerprint. collect() is safe: every mix member is a judged
-      * query whose output frame is bounded (the correctness gate dumps
-      * them whole).
+    /** Execute one mix query on the given (per-tenant) session in its
+      * own cache scope; returns the result fingerprint. collect() is
+      * safe: every mix member is a judged query whose output frame is
+      * bounded (the correctness gate dumps them whole).
       */
-    def exec(name: String): String = CacheRegistry.withScope {
-      val rows = Queries.all(name)(spark, sfDir).collect()
+    def exec(sess: SparkSession, name: String): String = CacheRegistry.withScope {
+      val rows = Queries.all(name)(sess, sfDir).collect()
       md5(rows.map(_.toString).sorted.mkString("\n"))
     }
 
@@ -90,10 +99,11 @@ object QueryBench {
     // warm-up, codegen, and the per-dir staged-frame builds — exactly
     // the warm-engine serving state the axis should measure).
     val canonical: Map[String, String] =
-      Mix.map(n => n -> exec(n)).toMap
+      Mix.map(n => n -> exec(spark, n)).toMap
     System.err.println(s"QUERYBENCH warmup done (${Mix.size} queries)")
 
-    /** N concurrent runners, each running the full mix once (rotated
+    /** N concurrent runners — each on its own cloned session and its
+      * own FAIR scheduler pool — running the full mix once (rotated
       * start offset); asserts every result against the canonical
       * fingerprint. Returns wall seconds.
       */
@@ -103,9 +113,13 @@ object QueryBench {
       val threads = (0 until n).map { i =>
         val th = new Thread(() =>
           try {
+            // Per-tenant session; pool is a thread-local property, so
+            // it is set inside the runner thread itself.
+            val sess = spark.newSession()
+            sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"runner-$i")
             Mix.indices.foreach { j =>
               val name = Mix((i + j) % Mix.size)
-              val fp = exec(name)
+              val fp = exec(sess, name)
               require(fp == canonical(name),
                 s"runner $i: $name diverged under concurrency " +
                   s"(got $fp, canonical ${canonical(name)}) — isolation bug")

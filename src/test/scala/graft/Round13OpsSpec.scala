@@ -483,6 +483,38 @@ class Round13OpsSpec extends SparkSpec {
     assert(!outside.storageLevel.useMemory && CacheRegistry.outstanding == 0)
   }
 
+  /** Spark's CacheManager dedupes cached plans by canonical equality
+    * SparkContext-wide, so two scopes persisting plan-identical frames
+    * share ONE cache entry — release must be LAST-SCOPE-OUT or the
+    * first exit unpersists blocks the surviving scope still reads
+    * (the BlockNotFoundException QueryBench hit at N ≥ 16, where the
+    * rotated mix guarantees same-query overlap). Nested scopes give a
+    * deterministic single-threaded reproduction of the overlap.
+    */
+  test("CacheRegistry refcounts plan-identical frames across scopes " +
+      "(last scope out unpersists)") {
+    import graft.CacheRegistry
+    CacheRegistry.releaseAll()
+    def frame = spark.range(30).toDF("c").filter(col("c") % 3 === 0)
+    var outerF: org.apache.spark.sql.DataFrame = null
+    CacheRegistry.withScope {
+      outerF = CacheRegistry.persist(frame)
+      outerF.count()
+      CacheRegistry.withScope {
+        val innerF = CacheRegistry.persist(frame) // same canonical plan
+        innerF.count()
+      }
+      // Inner scope exited, but the OUTER registration shares the
+      // cache entry — it must still be cached and readable.
+      assert(outerF.storageLevel.useMemory,
+        "inner scope exit must not unpersist a plan the outer scope still tracks")
+      assert(outerF.count() == 10)
+    }
+    assert(!outerF.storageLevel.useMemory,
+      "last scope out must actually unpersist")
+    assert(CacheRegistry.outstanding == 0)
+  }
+
   test("LshBucketKeys matches the hand-computed sign-bit construction") {
     import graft.expr.VectorExpressions
     val dim = 4
