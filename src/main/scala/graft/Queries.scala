@@ -5732,9 +5732,17 @@ object Queries {
     * — the fractional complement to q205's last-touch winner-take-all
     * (same window, opposite credit philosophy; a marketing stack runs
     * both and diffs them). One user-co-partitioned equi-join bounds
-    * candidates, a per-purchase window count sets each click's share
-    * (value/n — exact integer-by-integer division), campaign rollup
-    * rounds once.
+    * candidates, a per-purchase window count sets each click's share.
+    *
+    * EXACT-INTEGER CONTRACT (dev/SWEEP.md patterns; the round-10
+    * sf0.001 sweep caught campaign 60 on a half-cent boundary where
+    * the float Σ(value/n) flipped 123.94/123.95 with the engines'
+    * association order): shares are integer MICRO-CENTS floored per
+    * touch — (cents·10⁶) div n, exact in both engines — summed as
+    * BIGINT (order-independent), and the campaign total re-rounds to
+    * cents with the half-up integer form (2a+b) div (2b). Per-touch
+    * floor error ≤ 10⁻⁸ dollars; values are non-negative by schema
+    * (q156's guard note applies to the half-up form).
     */
   def q235_linear_attribution(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -5749,10 +5757,13 @@ object Queries {
         col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
     val nTouch = Window.partitionBy("pid")
     touches
-      .withColumn("share", col("value") / count(lit(1)).over(nTouch))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("nt", count(lit(1)).over(nTouch))
+      .withColumn("share_u", expr("cents * 1000000 DIV nt"))
       .groupBy("campaign")
-      .agg(count(lit(1)).as("n_touches"),
-        round(sum("share"), 2).as("credited_value"))
+      .agg(count(lit(1)).as("n_touches"), sum("share_u").as("su"))
+      .select(col("campaign"), col("n_touches"),
+        (expr("(su * 2 + 1000000) DIV 2000000") / 100.0).as("credited_value"))
       .orderBy("campaign")
   }
 
@@ -13699,13 +13710,16 @@ object Queries {
         |             ts AS cts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id AS pid, ts AS pts, value FROM events
         |      WHERE event_type = 'purchase'),
-        |touches AS (SELECT campaign, pid, value,
+        |touches AS (SELECT campaign, round(value * 100)::BIGINT AS cents,
         |    count(*) OVER (PARTITION BY pid) AS nt
         |  FROM p JOIN c USING (user_id)
-        |  WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY)
-        |SELECT campaign, count(*)::BIGINT AS n_touches,
-        |  round(sum(value / nt), 2) AS credited_value
-        |FROM touches GROUP BY campaign ORDER BY campaign""".stripMargin,
+        |  WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY),
+        |g AS (SELECT campaign, count(*)::BIGINT AS n_touches,
+        |    sum(cents * 1000000 // nt)::BIGINT AS su
+        |  FROM touches GROUP BY campaign)
+        |SELECT campaign, n_touches,
+        |  ((su * 2 + 1000000) // 2000000) / 100.0 AS credited_value
+        |FROM g ORDER BY campaign""".stripMargin,
     "q236_vocab_overlap" ->
       """WITH vocab AS (
         |  SELECT DISTINCT lang, word FROM (
