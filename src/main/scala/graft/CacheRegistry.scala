@@ -37,10 +37,14 @@ object CacheRegistry {
     * rotated mix at N ≥ 16, where same-query overlap is guaranteed).
     * This refcount over the same canonical-plan key CacheManager
     * dedupes on makes release last-scope-out: drain() only unpersists
-    * a frame when no other live registration shares its plan.
-    * compute() gives atomic inc/dec; the residual window (B persists
-    * while A's count hits 0 mid-unpersist) re-caches from scratch —
-    * a recompute, never a wrong result.
+    * a frame when no other live registration shares its plan. BOTH
+    * the persist+increment and the decrement+unpersist run INSIDE the
+    * compute() remapping function, i.e. under the map's per-key lock:
+    * a concurrent persist of the same canonical plan cannot land
+    * between a sibling's decrement-to-zero and its unpersist (it
+    * either re-caches after the entry is gone, or increments first
+    * and the sibling never unpersists). Distinct plans use distinct
+    * keys and never contend.
     */
   private val planRefs = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]
@@ -54,10 +58,12 @@ object CacheRegistry {
     */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val p = df.persist(level)
-    planRefs.compute(planKey(p), (_, c) => if (c == null) 1 else c + 1)
-    frames.add((current.get(), p))
-    p
+    planRefs.compute(planKey(df), (_, c) => {
+      df.persist(level) // under the key lock — see planRefs doc
+      if (c == null) 1 else c + 1
+    })
+    frames.add((current.get(), df))
+    df
   }
 
   /** Unpersist EVERY registered frame, scoped or not (idempotent,
@@ -92,10 +98,11 @@ object CacheRegistry {
       val (owner, f) = it.next()
       if (pred(owner)) {
         // Last-scope-out: only unpersist when no sibling registration
-        // shares this canonical plan (see planRefs).
-        val remaining = planRefs.compute(planKey(f),
-          (_, c) => if (c == null || c <= 1) null else c - 1)
-        if (remaining == null) f.unpersist(blocking = false)
+        // shares this canonical plan; the unpersist runs under the
+        // same key lock as persist's increment (see planRefs).
+        planRefs.compute(planKey(f), (_, c) =>
+          if (c == null || c <= 1) { f.unpersist(blocking = false); null }
+          else c - 1)
         it.remove()
       }
     }

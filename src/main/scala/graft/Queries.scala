@@ -5757,7 +5757,16 @@ object Queries {
         col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
     val nTouch = Window.partitionBy("pid")
     touches
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+      // q156's fail-loud guard: DIV truncates (Spark) vs // floors
+      // (DuckDB) and the half-up form is only half-up for cents >= 0;
+      // a refund-style negative value must break loudly, not
+      // silently mis-round.
+      .withColumn("cents",
+        when(col("value") >= 0, round(col("value") * 100).cast("long"))
+          .otherwise(raise_error(lit(
+            "q235: negative purchase value — the micro-cent DIV form " +
+              "needs a sign-aware floorDiv rewrite on both engines"))
+            .cast("long")))
       .withColumn("nt", count(lit(1)).over(nTouch))
       .withColumn("share_u", expr("cents * 1000000 DIV nt"))
       .groupBy("campaign")
@@ -9003,23 +9012,29 @@ object Queries {
     * The whole set→start→restore window runs under [[sessionConfLock]]
     * (session confs are SESSION-wide mutable state): concurrent
     * runners ON THE SAME SESSION must not race the set/restore pair.
-    * For the streaming windows here the lock is held only while
-    * `start()` builds the stream's conf snapshot, never across the
-    * drain; the two BATCH conf windows (q337's bloom dials, q358's
-    * scripting toggle) hold it across their bounded executions — so
-    * the lock alone is a belt, not the serving-shape isolation. Real
-    * multi-tenant isolation is one CLONED SESSION per tenant
-    * (`spark.newSession()`, the Thrift-server shape QueryBench runs):
-    * session confs and temp views become tenant-local, and a
-    * sibling's lock-free planning can never observe a mid-toggle
-    * conf because the toggle happens on a different SQLConf.
-    * `extraConf` carries additional per-stream confs (e.g. the
-    * RocksDB state-store provider) into the same window.
+    * The lock is PER-SESSION (weak-keyed, so cloned tenant sessions
+    * are collectable): two tenants on different sessions mutate
+    * disjoint SQLConfs and never contend — only same-session runners
+    * serialize, which is exactly the hazard. For the streaming
+    * windows here the lock is held only while `start()` builds the
+    * stream's conf snapshot, never across the drain; the two BATCH
+    * conf windows (q337's bloom dials, q358's scripting toggle) hold
+    * it across their bounded executions — so the lock alone is a
+    * belt, not the serving-shape isolation. Real multi-tenant
+    * isolation is one CLONED SESSION per tenant (`spark.newSession()`,
+    * the Thrift-server shape QueryBench runs): session confs and temp
+    * views become tenant-local, and a sibling's lock-free planning
+    * can never observe a mid-toggle conf because the toggle happens
+    * on a different SQLConf. `extraConf` carries additional
+    * per-stream confs (e.g. the RocksDB state-store provider) into
+    * the same window.
     */
-  private[graft] val sessionConfLock = new Object
+  private val confLocks = new java.util.WeakHashMap[SparkSession, Object]
+  private[graft] def sessionConfLock(s: SparkSession): Object =
+    confLocks.synchronized(confLocks.computeIfAbsent(s, _ => new Object))
   private def withStreamPartitions[T](s: SparkSession, n: Int = 4,
       extraConf: Map[String, String] = Map.empty)(body: => T): T =
-    sessionConfLock.synchronized {
+    sessionConfLock(s).synchronized {
       val keys = extraConf.keySet + "spark.sql.shuffle.partitions"
       val prevs = keys.toSeq.map(k => k -> s.conf.getOption(k))
       s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -9998,7 +10013,7 @@ object Queries {
     // view or race the set/restore pair (CacheRegistry.withScope contract).
     val view = s"q358_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     t(s, dir, "orders").createOrReplaceTempView(view)
-    try sessionConfLock.synchronized {
+    try sessionConfLock(s).synchronized {
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       try {
         s.conf.set("spark.sql.scripting.enabled", "true")
@@ -10258,7 +10273,7 @@ object Queries {
     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
   def q337_runtime_bloom_join(s: SparkSession, dir: String): DataFrame =
-      sessionConfLock.synchronized {
+      sessionConfLock(s).synchronized {
     val keep = runtimeBloomConfs
     val prev = keep.map { case (k, _) => k -> s.conf.getOption(k) }
     try {

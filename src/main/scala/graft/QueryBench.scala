@@ -6,11 +6,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Concurrent-query SERVING bench — the multi-tenant axis beside
   * [[IngestBench]]'s ingest axis: N independent runners share ONE warm
-  * SparkSession (the serving shape of a long-lived analytics service —
-  * staged frames on disk, session caches scoped per query) and each
-  * drives a representative query MIX; the report is aggregate
-  * queries/sec at each runner count and where it stops scaling (the
-  * knee).
+  * SparkContext, each on its own cloned session (the serving shape of
+  * a long-lived analytics service — staged frames on disk, session
+  * caches scoped per query) and each drives a representative query
+  * MIX; the report is aggregate queries/sec at each runner count and
+  * where it stops scaling (the knee).
   *
   * Isolation is exactly the contract the engine was built for:
   *   - each runner gets its OWN `spark.newSession()` — the Thrift-
@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *     confs (stream-start partitions + RocksDB provider, q337's
   *     bloom dials, q358's scripting toggle) and temp views are
   *     tenant-local and one tenant's conf window can never skew a
-  *     sibling's plan; `Queries.sessionConfLock` stays as the
+  *     sibling's plan; per-session `Queries.sessionConfLock(s)` stays as the
   *     same-session belt (Round13OpsSpec's shared-session test);
   *   - each runner submits its jobs into its OWN scheduler pool
   *     (`spark.scheduler.pool = runner-i`) under FAIR mode — pools
