@@ -23,8 +23,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
 
+  /** One registration. `claimed` makes the drain-side claim atomic:
+    * ConcurrentLinkedQueue iterators are weakly consistent, so two
+    * overlapping drains (releaseAll racing a withScope exit) can both
+    * visit the same entry before either `it.remove()` lands — without
+    * the CAS they would BOTH decrement planRefs for one registration
+    * and prematurely unpersist a plan a third live scope still reads.
+    * compareAndSet guarantees at most one thread decrements per
+    * registration regardless of iterator overlap.
+    */
+  private final case class Reg(owner: java.lang.Long, df: DataFrame) {
+    val claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
+
   private val frames =
-    new java.util.concurrent.ConcurrentLinkedQueue[(java.lang.Long, DataFrame)]
+    new java.util.concurrent.ConcurrentLinkedQueue[Reg]
   private val nextScope = new java.util.concurrent.atomic.AtomicLong(0L)
   private val current = new ThreadLocal[java.lang.Long] // null = unscoped
 
@@ -62,7 +75,7 @@ object CacheRegistry {
       df.persist(level) // under the key lock — see planRefs doc
       if (c == null) 1 else c + 1
     })
-    frames.add((current.get(), df))
+    frames.add(Reg(current.get(), df))
     df
   }
 
@@ -95,16 +108,21 @@ object CacheRegistry {
   private def drain(pred: java.lang.Long => Boolean): Unit = {
     val it = frames.iterator()
     while (it.hasNext) {
-      val (owner, f) = it.next()
-      if (pred(owner)) {
+      val reg = it.next()
+      // CAS claim first: at most one draining thread processes this
+      // registration even if overlapping drains' weakly-consistent
+      // iterators both visit it before either remove() lands.
+      if (pred(reg.owner) && reg.claimed.compareAndSet(false, true)) {
         // Last-scope-out: only unpersist when no sibling registration
         // shares this canonical plan; the unpersist runs under the
         // same key lock as persist's increment (see planRefs).
-        planRefs.compute(planKey(f), (_, c) =>
-          if (c == null || c <= 1) { f.unpersist(blocking = false); null }
+        planRefs.compute(planKey(reg.df), (_, c) =>
+          if (c == null || c <= 1) { reg.df.unpersist(blocking = false); null }
           else c - 1)
-        it.remove()
       }
+      // Remove claimed entries regardless of which thread claimed them
+      // (remove() of an already-removed node is a no-op).
+      if (reg.claimed.get()) it.remove()
     }
   }
 

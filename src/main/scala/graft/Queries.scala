@@ -5760,9 +5760,17 @@ object Queries {
       // q156's fail-loud guard: DIV truncates (Spark) vs // floors
       // (DuckDB) and the half-up form is only half-up for cents >= 0;
       // a refund-style negative value must break loudly, not
-      // silently mis-round.
+      // silently mis-round. NULL gets its own branch + message: with
+      // only `value >= 0`, a NULL value falls into otherwise() (NULL
+      // >= 0 is NULL) and would raise the misleading "negative"
+      // error — while DuckDB's oracle SUM silently drops the NULL,
+      // so the engines would fail asymmetrically on dirty data.
       .withColumn("cents",
-        when(col("value") >= 0, round(col("value") * 100).cast("long"))
+        when(col("value").isNull, raise_error(lit(
+          "q235: NULL purchase value — oracle SUM drops NULLs while " +
+            "the share DIV propagates them; clean or impute upstream"))
+          .cast("long"))
+          .when(col("value") >= 0, round(col("value") * 100).cast("long"))
           .otherwise(raise_error(lit(
             "q235: negative purchase value — the micro-cent DIV form " +
               "needs a sign-aware floorDiv rewrite on both engines"))
@@ -10123,6 +10131,94 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** PCA judged at the ONE-POWER-STEP exact dial (q362 — the
+    * q357/q359/q360/q361 pattern, applied to q168): a single power
+    * iteration from the fixed all-ones start is one matvec
+    * v₁ = C·v₀ / ‖C·v₀‖ — and since v₀ is constant, v₁ is just the
+    * covariance ROW SUMS normalized, fully SQL-expressible via q159's
+    * already-oracle-matched d(d+1)/2 co-moment machinery. This judges
+    * every stage of operators/Pca EXCEPT iteration ≥ 2: covariance
+    * (distributed, map-side-combined), the matvec + normalize + sign
+    * fix (first |component| > 1e-12 positive), the distributed
+    * projection dot, and the clamped equal-width histogram. The
+    * 50-iteration production dial (q168) stays rows-only: repeated
+    * normalize steps have no SQL form. Float safety, measured at all
+    * three SFs (SWEEP.md pattern 4): bin-edge margin ≥ 4.2e-5 of a
+    * bin width and sign-component margins ≥ 3.4e-3 vs the ~1e-13
+    * cross-engine perturbation of the covariance sums — and the
+    * extreme rows (pc1 == lo/hi, where a one-ULP re-execution flip
+    * IS possible) are pinned by the operator's two-sided bin clamp.
+    */
+  def q362_pca_first_step(s: SparkSession, dir: String): DataFrame =
+    operators.Pca.projectionHistogram(
+      tWide(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, nBins = 10, powerIters = 1)
+
+  /** Logistic linear probe judged at the ONE-GD-STEP exact dial (q363,
+    * twin of q182): at w₀ = 0 every σ(w·x) is exactly 0.5, so the
+    * first full-batch gradient is the closed-form per-feature
+    * aggregate g_j = avg((0.5 − y)·x_j) and the first step's weights
+    * w₁ = −lr·g are SQL-expressible end-to-end. The judged frame runs
+    * the REAL operator (LinearProbe.train, iters = 1) and emits the
+    * 65 per-dimension weights (64 features + bias) PLUS the post-step
+    * metrics the production probe reports — accuracy at the 0.5
+    * decision threshold and mean log-loss under w₁ — which pins the
+    * whole predict/sigmoid/log-loss algebra too; only iteration ≥ 2
+    * (gradients at non-constant σ) stays rows-only in q182. Float
+    * margins, measured at all 3 SFs: decision scores min |w₁·x| ≥
+    * 0.19 (no accuracy flip possible), weight-rounding boundary
+    * distance ≥ 2.2e-9 and loss-rounding ≥ 0.29 of a 1e-4 step vs
+    * ~1e-17 association noise.
+    */
+  def q363_probe_first_step(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinearProbe
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), (col("label") === 0).cast("int").as("y"))
+    val fit = LinearProbe.train(emb, "embedding", "y", iters = 1, lr = 0.5)
+    val scored = LinearProbe.predict(emb, "embedding", fit)
+    val summary = scored.agg(
+      count(lit(1)).as("n"),
+      round(avg((col("yhat") === col("y")).cast("double")), 4).as("acc1"),
+      round(avg(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12))))), 4)
+        .as("loss1"))
+    import s.implicits._
+    val wdf = fit.weights.zipWithIndex
+      .map { case (w, i) => (i.toLong, BigDecimal(w).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0) }
+      .toSeq.toDF("pos", "w1")
+    wdf.crossJoin(broadcast(summary)) // 1-row metric frame (q145's pattern)
+      .orderBy("pos")
+  }
+
+  /** BPE tokenizer APPLICATION judged at the k = 1 exact dial (q364,
+    * twin of q199): ONE learned merge (q360's oracle-judged argmax)
+    * replayed by Bpe.encode's greedy left-to-right fold. For a
+    * single-character pair (l, r) — always the case at k = 1, symbols
+    * start as chars — the greedy fold is exactly leftmost-first
+    * non-overlapping substring replacement ("aaaa" → ["aa","aa"],
+    * "aaa" → ["aa","a"]; BpeSpec's fixture), which both engines'
+    * replace() implements identically, so the encode pass becomes
+    * SQL-expressible: replace l||r with a sentinel char (probed
+    * absent from the corpus at every SF), split to chars, map the
+    * sentinel back. Judged output = q199's shape (top subwords by
+    * weighted frequency). All counts integers — no float boundary at
+    * any SF. The k = 5 production dial (q199) stays rows-only: merges
+    * ≥ 2 act on multi-char symbol states only the fold carries.
+    */
+  def q364_bpe_encode_k1(s: SparkSession, dir: String): DataFrame = {
+    val wc = tWide(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .persistTracked()
+    val merges = operators.Bpe.learnMerges(wc, k = 1)
+    operators.Bpe.encode(wc, merges)
+      .select(col("n"), explode(col("syms")).as("subword"))
+      .groupBy("subword").agg(sum("n").as("freq"), count(lit(1)).as("n_words"))
+      .orderBy(desc("freq"), col("subword"))
+      .limit(25)
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10731,6 +10827,9 @@ object Queries {
     "q359_semdedup_exact" -> (q359_semdedup_exact _),
     "q360_bpe_first_merge" -> (q360_bpe_first_merge _),
     "q361_mmr_exact"    -> (q361_mmr_exact _),
+    "q362_pca_first_step" -> (q362_pca_first_step _),
+    "q363_probe_first_step" -> (q363_probe_first_step _),
+    "q364_bpe_encode_k1" -> (q364_bpe_encode_k1 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -10990,6 +11089,69 @@ object Queries {
         |SELECT 2, id, round_even(rel * 10000, 0) / 10000,
         |       round_even(score * 10000, 0) / 10000 FROM s2
         |ORDER BY rank""".stripMargin,
+    "q362_pca_first_step" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cov AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    sum(a.x * b.x) / count(*) -
+        |      (sum(a.x) / count(*)) * (sum(b.x) / count(*)) AS c
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |covf AS (SELECT i, j, c FROM cov
+        |         UNION ALL SELECT j, i, c FROM cov WHERE i <> j),
+        |w AS (SELECT i, sum(c) AS wi FROM covf GROUP BY i),
+        |nrm AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w),
+        |vs AS (SELECT i, wi / nrm AS v FROM w, nrm),
+        |sgn AS (SELECT CASE WHEN
+        |    (SELECT v FROM vs WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1) < 0
+        |  THEN -1.0 ELSE 1.0 END AS sg),
+        |v AS (SELECT i, v * sg AS v FROM vs, sgn),
+        |proj AS (SELECT e.vec_id, sum(e.x * v.v) AS pc1
+        |         FROM ex e JOIN v USING (i) GROUP BY e.vec_id),
+        |rng AS (SELECT min(pc1) AS lo, max(pc1) AS hi FROM proj),
+        |binned AS (
+        |  SELECT greatest(0, least(floor((pc1 - lo) / ((hi - lo) / 10)), 9))::BIGINT AS bin,
+        |    lo, hi
+        |  FROM proj, rng)
+        |SELECT bin, count(*) AS n,
+        |  round(min(lo + bin * (hi - lo) / 10), 4) + 0.0 AS bin_lo
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    "q363_probe_first_step" ->
+      """WITH x AS (
+        |  SELECT vec_id, (label = 0)::INT AS y, i,
+        |    CASE WHEN i <= 64 THEN embedding[i]::DOUBLE ELSE 1.0 END AS xj
+        |  FROM embeddings, range(1, 66) t(i)),
+        |g AS (SELECT i, avg((0.5 - y) * xj) AS gi FROM x GROUP BY i),
+        |w AS (SELECT i, -0.5 * gi AS wi FROM g),
+        |score AS (SELECT x.vec_id, any_value(x.y) AS y, sum(x.xj * w.wi) AS z
+        |          FROM x JOIN w USING (i) GROUP BY x.vec_id),
+        |p AS (SELECT vec_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM score),
+        |s AS (SELECT count(*) AS n,
+        |        round(avg((((p >= 0.5)::INT = y))::INT::DOUBLE), 4) AS acc1,
+        |        round(avg(-(y * ln(greatest(p, 1e-12)) +
+        |                    (1 - y) * ln(greatest(1.0 - p, 1e-12)))), 4) AS loss1
+        |      FROM p)
+        |SELECT w.i - 1 AS pos, round(wi, 6) + 0.0 AS w1, s.n, s.acc1, s.loss1
+        |FROM w, s ORDER BY pos""".stripMargin,
+    "q364_bpe_encode_k1" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |pr AS (
+        |  SELECT unnest([{'l': word[i:i], 'r': word[i+1:i+1]}
+        |                 for i in range(1, length(word))]) AS pr, n
+        |  FROM w WHERE length(word) >= 2),
+        |m AS (SELECT pr.l AS l, pr.r AS r FROM pr GROUP BY 1, 2
+        |      ORDER BY sum(n) DESC, l, r LIMIT 1),
+        |enc AS (SELECT w.n, replace(w.word, m.l || m.r, chr(1)) AS e FROM w, m),
+        |sym AS (SELECT n, CASE WHEN c = chr(1) THEN (SELECT l || r FROM m)
+        |                       ELSE c END AS subword
+        |        FROM enc, unnest(string_split(e, '')) t(c))
+        |SELECT subword, sum(n)::BIGINT AS freq, count(*)::BIGINT AS n_words
+        |FROM sym GROUP BY subword ORDER BY freq DESC, subword LIMIT 25""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,

@@ -113,9 +113,15 @@ object Pca {
     val range = scored.agg(min("pc1").as("lo"), max("pc1").as("hi"))
     scored.crossJoin(broadcast(range))
       .select(when(col("hi") === col("lo"), lit(0L)) // degenerate range
-        .otherwise(least(
+        // Clamped BOTH ends: lo/hi come from a separate aggregation
+        // over the same (unmaterialized) scored frame, so the min
+        // row's (pc1 - lo) can re-compute one ULP NEGATIVE (different
+        // partial-sum association order between the two scans) and
+        // floor() would emit bin -1. greatest/least pin the extreme
+        // rows to bins 0 and nBins-1 deterministically.
+        .otherwise(greatest(lit(0L), least(
           floor((col("pc1") - col("lo")) / ((col("hi") - col("lo")) / nBins)),
-          lit(nBins - 1L)).cast("long")).as("bin"),
+          lit(nBins - 1L))).cast("long")).as("bin"),
         col("pc1"), col("lo"), col("hi"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
