@@ -91,6 +91,25 @@ object Queries {
   private def basketPairs(s: SparkSession, dir: String): DataFrame =
     basketPairsW(s, dir).select("u", "v")
 
+  /** Degree-oriented adjacency (node, d, sorted out-nbr array) of the
+    * basket graph — [[basketPairsW]]'s staging applied one level up
+    * the triangle pipeline: q153 (census) and q212 (per-node LCC)
+    * both start from this identical frame, and each previously
+    * re-ran the degree aggregation and both orientation joins per
+    * run. n rows / m total entries — SMALLER than the edge list it
+    * derives from; per-dir keying isolates the SFs, and on a cluster
+    * this is "materialize the oriented adjacency per corpus
+    * snapshot", the layout triangle systems keep beside the edges.
+    */
+  private def basketAdjacency(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedParquet(s"adjO|$dir") { out =>
+      operators.Triangles.adjacency(basketPairs(s, dir), "u", "v",
+          assumeCanonical = true) // staged edge frame is (u < v, distinct)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(staged)
+  }
+
   /** MinHash-LSH near-dup pairs (id_a < id_b, exact jaccard ≥ 0.5) of
     * the FULL documents corpus at the standard dial (3-shingles, 32
     * hashes, 16 bands) — [[basketPairsW]]'s staging precedent applied
@@ -3395,11 +3414,12 @@ object Queries {
     * (max out-degree O(sqrt(m)), so no hub-node d^2 blow-up) and each
     * triangle counts exactly once. Output is the global census +
     * clustering coefficient; construction ground truth (cliques,
-    * paths, known censuses) in GraphOpsSpec.
+    * paths, known censuses) in GraphOpsSpec. Reads the STAGED
+    * degree-oriented adjacency ([[basketAdjacency]]) — the degree agg
+    * and orientation joins are paid once per dataset dir, not per run.
     */
   def q153_triangle_count(s: SparkSession, dir: String): DataFrame =
-    operators.Triangles.census(basketPairs(s, dir), "u", "v",
-      assumeCanonical = true) // staged frame is (u < v, distinct) by construction
+    operators.Triangles.censusFromAdjacency(basketAdjacency(s, dir))
 
   /** Interval attribution join (the batch twin of the STREAM-STREAM
     * interval join — StreamingWindowSpec runs this exact join shape
@@ -5079,11 +5099,13 @@ object Queries {
     * triangle credits its three corners, and a node-sized left join
     * back onto the degree table keeps triangle-free nodes at exactly
     * 0. Floats: 2·tri exact, d(d−1) integer, one correctly-rounded
-    * division → the ranking is engine-identical.
+    * division → the ranking is engine-identical. Reads the STAGED
+    * degree-oriented adjacency ([[basketAdjacency]], shared with
+    * q153) — per run only the broadcast, intersect, and credit
+    * aggregation remain.
     */
   def q212_local_clustering(s: SparkSession, dir: String): DataFrame =
-    operators.Triangles.perNode(basketPairs(s, dir), "u", "v", minDeg = 5,
-      assumeCanonical = true) // staged frame is (u < v, distinct) by construction
+    operators.Triangles.perNodeFromAdjacency(basketAdjacency(s, dir), minDeg = 5)
       .orderBy(col("lcc").desc, col("node").asc)
       .limit(20)
 

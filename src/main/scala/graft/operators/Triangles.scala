@@ -105,6 +105,86 @@ object Triangles {
           .as("lcc"))
   }
 
+  /** The degree-oriented adjacency TABLE of the graph — one row per
+    * node: (node, d = full undirected degree, nbr = SORTED out-
+    * neighbor array under the degree orientation; empty for sinks).
+    * This is the frame every triangle consumer starts from, and it is
+    * dataset-derived and deterministic — so callers can STAGE it per
+    * corpus snapshot (Queries.basketAdjacency) and every later
+    * census/perNode run skips the canonical scan, the degree
+    * aggregation, and BOTH orientation joins: n rows, m total array
+    * entries, strictly smaller than the edge list it replaces. On a
+    * cluster this is "materialize the oriented adjacency next to the
+    * edge list" — the layout triangle/clique systems keep anyway.
+    */
+  def adjacency(edges: DataFrame, uCol: String, vCol: String,
+      broadcastGraph: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (_, deg, _, adj) =
+      graphTables(edges, uCol, vCol, broadcastGraph, assumeCanonical)
+    deg.join(adj, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("nbr"), array().cast("array<long>")).as("nbr"))
+  }
+
+  /** [[census]] over a pre-built (node, d, nbr) adjacency frame (see
+    * [[adjacency]]) — same output, none of the build shuffles.
+    */
+  def censusFromAdjacency(adjDeg: DataFrame,
+      broadcastGraph: Boolean = true): DataFrame = {
+    // Consumed 4x (triangles + wedges + nodes + edges legs).
+    val a = adjDeg.persistTracked()
+    val tri = eTriFromAdjacency(a, broadcastGraph).agg(
+      coalesce(sum(size(col("ys")).cast("long")), lit(0L)).as("n_triangles"))
+    val wtot = a.agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val nodes = a.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = a.agg(sum(size(col("nbr"))).cast("long").as("n_edges"))
+    tri.crossJoin(wtot).crossJoin(nodes).crossJoin(nEdges)
+      .select(col("n_triangles"), col("n_wedges"), col("n_nodes"), col("n_edges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("clustering_coeff"))
+  }
+
+  /** [[perNode]] over a pre-built (node, d, nbr) adjacency frame (see
+    * [[adjacency]]) — same output, none of the build shuffles.
+    */
+  def perNodeFromAdjacency(adjDeg: DataFrame, minDeg: Int = 2,
+      broadcastGraph: Boolean = true): DataFrame = {
+    // Consumed 2x (credit leg + the node-grain report leg).
+    val a = adjDeg.persistTracked()
+    val credits = eTriFromAdjacency(a, broadcastGraph)
+      .select(explode(concat(
+        array(
+          struct(col("s").as("node"), size(col("ys")).cast("long").as("c")),
+          struct(col("t").as("node"), size(col("ys")).cast("long").as("c"))),
+        expr("transform(ys, y -> struct(y AS node, 1L AS c))"))).as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
+    a.filter(col("d") >= minDeg)
+      .select(col("node"), col("d"))
+      .join(credits, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) / (col("d") * (col("d") - 1)), 4)
+          .as("lcc"))
+  }
+
+  /** (s, t, ys) triangle frame from a (node, d, nbr) adjacency table —
+    * the mirror of the tail of [[edgeTriangles]], for staged-adjacency
+    * callers. Sinks (empty nbr) emit no probe rows; a t with no
+    * adjacency row intersects empty via the left join.
+    */
+  private def eTriFromAdjacency(adjDeg: DataFrame,
+      broadcastGraph: Boolean): DataFrame = {
+    val nz = adjDeg.filter(size(col("nbr")) > 0).select(col("node"), col("nbr"))
+    val adjT = {
+      val t = nz.select(col("node").as("t"), col("nbr").as("nt"))
+      if (broadcastGraph) broadcast(t) else t
+    }
+    nz.select(col("node").as("s"), col("nbr").as("ns"), explode(col("nbr")).as("t"))
+      .join(adjT, Seq("t"), "left")
+      .select(col("s"), col("t"),
+        sortedIntersect(col("ns"),
+          coalesce(col("nt"), array().cast("array<long>"))).as("ys"))
+  }
+
   /** Shared core: canonicalized edge set, degree table, and the
     * per-oriented-edge triangle frame (s, t, ys) where ys =
     * N+(s) ∩ N+(t) is the (sorted) closing-vertex array — each
@@ -114,6 +194,30 @@ object Triangles {
   private def edgeTriangles(edges: DataFrame, uCol: String, vCol: String,
       broadcastGraph: Boolean,
       assumeCanonical: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val (pairs, deg, _, adj) =
+      graphTables(edges, uCol, vCol, broadcastGraph, assumeCanonical)
+    val adjT = {
+      val t = adj.select(col("node").as("t"), col("nbr").as("nt"))
+      if (broadcastGraph) broadcast(t) else t
+    }
+    // Left join: a t with out-degree 0 (every edge points at it) has
+    // no adjacency row; its intersection is empty, not null.
+    val eTri = adj
+      .select(col("node").as("s"), col("nbr").as("ns"), explode(col("nbr")).as("t"))
+      .join(adjT, Seq("t"), "left")
+      .select(col("s"), col("t"),
+        sortedIntersect(col("ns"),
+          coalesce(col("nt"), array().cast("array<long>"))).as("ys"))
+    (pairs, deg, eTri)
+  }
+
+  /** Canonical pairs, degree table, oriented edges, and sorted
+    * out-adjacency — the build stages shared by [[edgeTriangles]] and
+    * [[adjacency]].
+    */
+  private def graphTables(edges: DataFrame, uCol: String, vCol: String,
+      broadcastGraph: Boolean, assumeCanonical: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // assumeCanonical: the caller GUARANTEES (u < v, distinct) input —
     // e.g. a staged canonical edge file — and the guard's distinct
     // shuffle (the full m-row edge set) is skipped. Wrong input under
@@ -153,18 +257,6 @@ object Triangles {
     val adj = oriented.groupBy(col("s").as("node"))
       .agg(sort_array(collect_list(col("t"))).as("nbr"))
       .persistTracked()
-    val adjT = {
-      val t = adj.select(col("node").as("t"), col("nbr").as("nt"))
-      if (broadcastGraph) broadcast(t) else t
-    }
-    // Left join: a t with out-degree 0 (every edge points at it) has
-    // no adjacency row; its intersection is empty, not null.
-    val eTri = adj
-      .select(col("node").as("s"), col("nbr").as("ns"), explode(col("nbr")).as("t"))
-      .join(adjT, Seq("t"), "left")
-      .select(col("s"), col("t"),
-        sortedIntersect(col("ns"),
-          coalesce(col("nt"), array().cast("array<long>"))).as("ys"))
-    (pairs, deg, eTri)
+    (pairs, deg, oriented, adj)
   }
 }

@@ -175,6 +175,31 @@ class GraphOpsSpec extends SparkSpec {
       s"shuffle-close census ${shuffled.getLong(0)} vs brute $brute")
   }
 
+  test("staged-adjacency census and perNode match the direct-edge path") {
+    val rnd = new scala.util.Random(13)
+    val edges = (for (u <- 0L until 40L; v <- (u + 1) until 40L
+                      if rnd.nextDouble() < 0.2) yield (u, v)).toSeq
+    val ef = edges.toDF("a", "b")
+    // adjacency() output round-trips through parquet in the staged
+    // path; exercise the same write/read to pin schema + array types.
+    val dir = java.nio.file.Files.createTempDirectory("adjspec_").toString
+    graft.operators.Triangles.adjacency(ef, "a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val adj = spark.read.parquet(dir)
+    val directC = graft.operators.Triangles.census(ef, "a", "b")
+      .collect().head.toSeq
+    val stagedC = graft.operators.Triangles.censusFromAdjacency(adj)
+      .collect().head.toSeq
+    assert(stagedC == directC, s"census staged $stagedC vs direct $directC")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+    val directP = graft.operators.Triangles.perNode(ef, "a", "b", minDeg = 2)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    val stagedP = graft.operators.Triangles.perNodeFromAdjacency(adj, minDeg = 2)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    assert(stagedP == directP, "perNode staged path diverges from direct path")
+    graft.CacheRegistry.releaseAll()
+  }
+
   private def coreOf(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
     graft.operators.KCore.kCore(edges.toDF("a", "b"), "a", "b", k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
