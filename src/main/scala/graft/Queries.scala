@@ -10241,6 +10241,77 @@ object Queries {
       .limit(25)
   }
 
+  /** COMPRESSED video without ffmpeg: MJPEG-in-AVI (q365), closing the
+    * last multimodal seam the environment left open. Smooth synthetic
+    * clips (triangle-wave gradients — continuous content, the class
+    * MJPEG's DCT compresses well with bounded error) are encoded as
+    * real RIFF/AVI `MJPG` streams — every frame an independent
+    * baseline JPEG from the JDK's own ImageIO writer
+    * ([[graft.operators.VideoCodec.encodeAviMjpeg]]) — then parsed and
+    * JPEG-decoded back. JPEG is LOSSY, so this is judged like the
+    * PQ/IVF family: header metadata (dims, fps, frame count, codec
+    * tag) is exact and oracle-checked per row; the decoded pixels are
+    * judged by BOUNDS the construction guarantees — lossy (error > 0),
+    * within tolerance (max |decoded−source| ≤ 48; measured 25-35 on
+    * this content class), and actually compressed (container under
+    * half the raw pixel bytes; measured ~4x) — with the byte-exact
+    * encode determinism and torn-stream rejection pinned in
+    * VideoCodecSpec. Encode/decode are the documented UDF boundary
+    * (q323/q346/q356's pattern); payloads stay partition-local. At
+    * 100 TB, MJPEG's every-frame-a-keyframe profile is what makes
+    * frame sampling chunk-local — no inter-frame state ever crosses
+    * rows.
+    */
+  def q365_mjpeg_avi(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.RgbExpressions._
+    import graft.operators.VideoCodec
+    val w = 48; val h = 32; val frameBytes = w * h * 3
+    val encodeUdf = udf((frames: Seq[Array[Byte]], fps: Int) =>
+      VideoCodec.encodeAviMjpeg(frames, w, h, fps))
+    val decodeUdf = udf((avi: Array[Byte], src: Array[Byte]) => {
+      val v = VideoCodec.decodeAvi(avi)
+      val dec = v.frames.reduce(_ ++ _)
+      require(dec.length == src.length,
+        s"decoded ${dec.length} bytes vs ${src.length} source")
+      var maxErr = 0
+      var i = 0
+      while (i < dec.length) {
+        val e = math.abs((dec(i) & 0xff) - (src(i) & 0xff))
+        if (e > maxErr) maxErr = e
+        i += 1
+      }
+      (v.width, v.height, v.fps, v.frames.length, v.codec, maxErr)
+    })
+    def frameCol(f: Int) = bytesPack(
+      transform(sequence(lit(0), lit(frameBytes - 1)), j => {
+        val jl = j.cast("long")
+        val p = ((jl - pmod(jl, lit(3))) / 3).cast("long")
+        val c = pmod(jl, lit(3))
+        val x = pmod(p, lit(w))
+        val y = ((p - x) / w).cast("long")
+        val t = pmod(x * 3 + y * 5 + lit(f.toLong * 7) + c * 11 + col("media_id"),
+          lit(510))
+        when(t > 255, lit(510L) - t).otherwise(t)
+      }))
+    val df = s.range(1, 11).toDF("media_id")
+      .withColumn("fps", ((col("media_id") % 3 + 1) * 10).cast("int"))
+      .withColumn("fr", array((0 until 4).map(frameCol): _*))
+      .withColumn("src", concat((0 until 4).map(i =>
+        element_at(col("fr"), i + 1)): _*))
+      .withColumn("avi", encodeUdf(col("fr"), col("fps")))
+      .withColumn("dec", decodeUdf(col("avi"), col("src")))
+    df.select(col("media_id"),
+        col("dec._1").cast("long").as("width"),
+        col("dec._2").cast("long").as("height"),
+        col("dec._3").cast("long").as("fps_hdr"),
+        col("dec._4").cast("long").as("n_frames"),
+        col("dec._5").as("codec"),
+        (col("dec._6") > 0).as("lossy"),
+        (col("dec._6") <= 48).as("within_tol"),
+        (octet_length(col("avi")) * 2 < lit(4 * frameBytes)).as("compressed"))
+      .orderBy("media_id")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10852,6 +10923,7 @@ object Queries {
     "q362_pca_first_step" -> (q362_pca_first_step _),
     "q363_probe_first_step" -> (q363_probe_first_step _),
     "q364_bpe_encode_k1" -> (q364_bpe_encode_k1 _),
+    "q365_mjpeg_avi"    -> (q365_mjpeg_avi _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11174,6 +11246,17 @@ object Queries {
         |        FROM enc, unnest(string_split(e, '')) t(c))
         |SELECT subword, sum(n)::BIGINT AS freq, count(*)::BIGINT AS n_words
         |FROM sym GROUP BY subword ORDER BY freq DESC, subword LIMIT 25""".stripMargin,
+    "q365_mjpeg_avi" ->
+      // The PQ-family grading: metadata columns recompute the exact
+      // construction (fps grid, dims, frame count); the codec-derived
+      // booleans are construction-guaranteed bounds the Spark side
+      // MEASURES (JPEG error ≤ 48, container < raw/2) — the oracle
+      // asserts they hold, VideoCodecSpec pins the determinism.
+      """SELECT id AS media_id, 48::BIGINT AS width, 32::BIGINT AS height,
+        |  ((id % 3) + 1) * 10 AS fps_hdr, 4::BIGINT AS n_frames,
+        |  'MJPG' AS codec, TRUE AS lossy, TRUE AS within_tol,
+        |  TRUE AS compressed
+        |FROM range(1, 11) t(id) ORDER BY media_id""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,

@@ -30,8 +30,10 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
-  /** Encode a packed RGB888 buffer (row-major, 3 bytes/pixel) as PNG. */
-  def encodePng(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** Packed RGB888 → TYPE_INT_RGB image (shared by the PNG and JPEG
+    * encoders); guards sizes in Long before any Int allocation.
+    */
+  private def toImage(rgb: Array[Byte], w: Int, h: Int): BufferedImage = {
     require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
     // Long math before any Int sizing: w*h*3 overflows Int at large
     // dimensions, turning the length check into a wrong-size accept
@@ -54,8 +56,36 @@ object ImageCodec {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode a packed RGB888 buffer (row-major, 3 bytes/pixel) as PNG. */
+  def encodePng(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "png", bos), "JDK PNG writer unavailable")
+    require(ImageIO.write(toImage(rgb, w, h), "png", bos),
+      "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Encode a packed RGB888 buffer as BASELINE JPEG at an explicit
+    * quality (the JDK's own writer — deterministic for a given JVM,
+    * which is what the MJPEG determinism spec pins). LOSSY: callers
+    * judge decoded pixels by tolerance, never equality — the PQ/IVF
+    * grading pattern, applied to the codec seam.
+    */
+  def encodeJpeg(rgb: Array[Byte], w: Int, h: Int,
+      quality: Float = 0.9f): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, s"quality in (0,1], got $quality")
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(toImage(rgb, w, h), null, null), params)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 

@@ -3,7 +3,10 @@ package graft.operators
 import java.io.ByteArrayOutputStream
 
 /** REAL video-container codec: a hand-rolled RIFF/AVI writer + strict
-  * parser for UNCOMPRESSED 24-bit DIB video streams — the third and
+  * parser for UNCOMPRESSED 24-bit DIB video streams AND (since round
+  * 11) MJPEG streams — per-frame baseline JPEG through the JDK's own
+  * ImageIO, the COMPRESSED-video leg the environment's missing ffmpeg
+  * previously left open — the third and
   * final container leg of the multimodal seam (PNG via javax.imageio
   * in [[ImageCodec]], WAV via javax.sound.sampled in [[AudioCodec]];
   * reference: the multimodal stub surface). The environment has no
@@ -35,9 +38,13 @@ import java.io.ByteArrayOutputStream
   */
 object VideoCodec {
 
-  /** Decoded AVI: packed top-down RGB888 frames + header metadata. */
+  /** Decoded AVI: packed top-down RGB888 frames + header metadata.
+    * `codec` is the stream handler the container declared ("DIB " or
+    * "MJPG") — callers branch tolerance on it (DIB is lossless, MJPEG
+    * is judged by error bound).
+    */
   final case class AviVideo(frames: Array[Array[Byte]], width: Int,
-      height: Int, fps: Int)
+      height: Int, fps: Int, codec: String = "DIB ")
 
   private def fourcc(s: String): Int = {
     require(s.length == 4, s"fourcc must be 4 chars: '$s'")
@@ -56,7 +63,9 @@ object VideoCodec {
   private val DIB_ = fourcc("DIB ")
   private val MOVI = fourcc("movi")
   private val DB00 = fourcc("00db")
+  private val DC00 = fourcc("00dc")
   private val IDX1 = fourcc("idx1")
+  private val MJPG = fourcc("MJPG")
 
   private final class LeWriter {
     val bos = new ByteArrayOutputStream()
@@ -179,6 +188,97 @@ object VideoCodec {
     out.bos.toByteArray
   }
 
+  /** Wrap packed top-down RGB888 frames in a RIFF/AVI container as an
+    * MJPEG stream — each frame is an independent BASELINE JPEG from
+    * the JDK's own writer ([[ImageCodec.encodeJpeg]]), stream handler
+    * and biCompression `MJPG`, frame chunks `00dc` (compressed).
+    * This closes the COMPRESSED-video leg of the codec seam without
+    * ffmpeg: the container walk is the same strict RIFF grammar as
+    * the DIB leg, and the per-frame codec is the same JDK decoder the
+    * PNG leg (q323) already proves. MJPEG-in-AVI is the standard
+    * no-interframe-compression profile (every frame a keyframe), so
+    * frame extraction / sampling stays chunk-local — exactly the
+    * access pattern a 100 TB frame-sampling pipeline wants.
+    *
+    * Chunk sizes vary per frame: odd-sized JPEGs pad to even per RIFF
+    * (pad byte excluded from the declared size and the idx1 entry);
+    * dwSuggestedBufferSize carries the LARGEST chunk.
+    */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int = 25, quality: Float = 0.9f): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0,
+      s"dimensions/fps must be positive, got ${w}x$h@$fps")
+    require(frames.nonEmpty, "need at least one frame")
+    val jpegs = frames.map(f => ImageCodec.encodeJpeg(f, w, h, quality))
+    val n = jpegs.length
+    val maxChunk = jpegs.map(_.length).max
+    val moviSizeL = 4L + jpegs.map(j => 8L + j.length + (j.length & 1)).sum
+    val idx1Size = 16 * n
+    require(moviSizeL + idx1Size + 4096 <= Int.MaxValue,
+      s"$n MJPEG frames (${moviSizeL} movi bytes) exceed a JVM array")
+    val moviSize = moviSizeL.toInt
+
+    val out = new LeWriter
+    val strlSize = 4 + 64 + 48
+    val hdrlSize = 4 + 64 + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+
+    out.i32(RIFF); out.i32(riffSize); out.i32(AVI_)
+
+    out.i32(LIST); out.i32(hdrlSize); out.i32(HDRL)
+    out.i32(AVIH); out.i32(56)
+    out.i32(1000000 / fps)      // dwMicroSecPerFrame
+    out.i32(math.min(maxChunk.toLong * fps, Int.MaxValue.toLong).toInt) // dwMaxBytesPerSec
+    out.i32(0)                  // dwPaddingGranularity
+    out.i32(0x10)               // dwFlags: AVIF_HASINDEX
+    out.i32(n)                  // dwTotalFrames
+    out.i32(0)                  // dwInitialFrames
+    out.i32(1)                  // dwStreams
+    out.i32(maxChunk + 8)       // dwSuggestedBufferSize
+    out.i32(w); out.i32(h)
+    out.zero(16)                // dwReserved[4]
+
+    out.i32(LIST); out.i32(strlSize); out.i32(STRL)
+    out.i32(STRH); out.i32(56)
+    out.i32(VIDS); out.i32(MJPG)
+    out.i32(0)                  // dwFlags
+    out.i16(0); out.i16(0)      // wPriority, wLanguage
+    out.i32(0)                  // dwInitialFrames
+    out.i32(1)                  // dwScale
+    out.i32(fps)                // dwRate
+    out.i32(0)                  // dwStart
+    out.i32(n)                  // dwLength (frames)
+    out.i32(maxChunk + 8)       // dwSuggestedBufferSize
+    out.i32(-1)                 // dwQuality (default)
+    out.i32(0)                  // dwSampleSize
+    out.i16(0); out.i16(0); out.i16(w); out.i16(h) // rcFrame
+
+    out.i32(STRF); out.i32(40)
+    out.i32(40)                 // biSize
+    out.i32(w); out.i32(h)
+    out.i16(1); out.i16(24)     // biPlanes, biBitCount
+    out.i32(MJPG)               // biCompression = 'MJPG'
+    out.i32(0)                  // biSizeImage (varies per frame)
+    out.i32(0); out.i32(0)      // biXPelsPerMeter, biYPelsPerMeter
+    out.i32(0); out.i32(0)      // biClrUsed, biClrImportant
+
+    out.i32(LIST); out.i32(moviSize); out.i32(MOVI)
+    jpegs.foreach { j =>
+      out.i32(DC00); out.i32(j.length)
+      out.bytes(j)
+      if ((j.length & 1) == 1) out.zero(1) // RIFF even padding
+    }
+
+    out.i32(IDX1); out.i32(idx1Size)
+    var off = 4
+    jpegs.foreach { j =>
+      out.i32(DC00); out.i32(0x10) // AVIIF_KEYFRAME (MJPEG: all frames)
+      out.i32(off); out.i32(j.length)
+      off += 8 + j.length + (j.length & 1)
+    }
+    out.bos.toByteArray
+  }
+
   private final class LeReader(buf: Array[Byte]) {
     def u32(off: Long): Long = {
       require(off >= 0 && off + 4 <= buf.length, s"read past end at $off")
@@ -195,9 +295,12 @@ object VideoCodec {
   }
 
   /** Parse AVI bytes back to packed top-down RGB888 frames + header
-    * metadata. Rejects anything but an uncompressed 24-bit BI_RGB
-    * `vids` stream rather than transcoding — a curation pipeline
-    * wants the mismatch surfaced.
+    * metadata. Accepts exactly the two stream shapes this engine
+    * writes — uncompressed 24-bit BI_RGB `DIB ` (`00db` chunks,
+    * lossless) and `MJPG` (`00dc` chunks, each an independent JPEG
+    * decoded through the JDK's ImageIO, dims checked against the
+    * header) — and rejects anything else rather than transcoding: a
+    * curation pipeline wants the mismatch surfaced.
     */
   def decodeAvi(payload: Array[Byte]): AviVideo = {
     val r = new LeReader(payload)
@@ -211,6 +314,7 @@ object VideoCodec {
 
     var w = -1; var h = -1; var fps = -1; var totalFrames = -1
     var sawVids = false
+    var mjpeg = false // handler + biCompression both say 'MJPG'
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
     // Walk the hdrl sub-chunks (avih + nested strl lists).
@@ -233,8 +337,9 @@ object VideoCodec {
               require(ssz >= 56, s"strh must be >=56 bytes, got $ssz")
               require(r.i32(so + 8) == VIDS, "expected a 'vids' stream")
               val handler = r.i32(so + 12)
-              require(handler == DIB_ || handler == 0,
-                "expected the uncompressed 'DIB ' handler")
+              require(handler == DIB_ || handler == 0 || handler == MJPG,
+                "expected the 'DIB ' (uncompressed) or 'MJPG' handler")
+              if (handler == MJPG) mjpeg = true
               val scale = r.u32(so + 8 + 20); val rate = r.u32(so + 8 + 24)
               require(scale > 0 && rate % scale == 0 &&
                 rate / scale <= Int.MaxValue, s"bad rate/scale $rate/$scale")
@@ -247,7 +352,14 @@ object VideoCodec {
               require(w.toLong * h * 3 <= Int.MaxValue,
                 s"${w}x$h RGB888 exceeds a JVM array")
               require(r.u16(so + 8 + 14) == 24, "expected 24-bit pixels")
-              require(r.u32(so + 8 + 16) == 0, "expected BI_RGB (uncompressed)")
+              val biComp = r.u32(so + 8 + 16)
+              require(biComp == 0 || biComp == (MJPG.toLong & 0xffffffffL),
+                "expected BI_RGB (uncompressed) or 'MJPG' compression")
+              // The strh handler and strf biCompression must AGREE —
+              // a container that says DIB in one and MJPG in the
+              // other is torn, not a dialect.
+              require((biComp != 0) == mjpeg,
+                "stream handler and biCompression disagree")
             }
             so += 8 + ssz + (ssz & 1) // RIFF chunks pad to even
           }
@@ -264,7 +376,32 @@ object VideoCodec {
       while (off + 8 <= to) {
         val id = r.i32(off); val sz = r.u32(off + 4)
         require(off + 8 + sz <= to, s"movi chunk overruns list at $off")
-        if (id == DB00) {
+        if (mjpeg && id == DC00) {
+          // Independent JPEG per chunk: the JDK decoder owns the
+          // bitstream; we own the container contract — decoded dims
+          // must match the header or the clip is torn/mislabeled.
+          val j = java.util.Arrays.copyOfRange(
+            payload, (off + 8).toInt, (off + 8 + sz).toInt)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+          require(img != null, s"movi chunk at $off is not a decodable JPEG")
+          require(img.getWidth == w && img.getHeight == h,
+            s"frame decodes ${img.getWidth}x${img.getHeight}, header says ${w}x$h")
+          val f = new Array[Byte](w * h * 3)
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              f(3 * p) = ((px >> 16) & 0xff).toByte
+              f(3 * p + 1) = ((px >> 8) & 0xff).toByte
+              f(3 * p + 2) = (px & 0xff).toByte
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          frames += f
+        } else if (!mjpeg && id == DB00) {
           require(sz == dibLen,
             s"frame chunk must be $dibLen bytes for ${w}x$h, got $sz")
           val f = new Array[Byte](w * h * 3)
@@ -304,6 +441,6 @@ object VideoCodec {
     require(frames.nonEmpty, "no video frames in movi list")
     require(totalFrames == frames.length,
       s"header declares $totalFrames frames, movi held ${frames.length}")
-    AviVideo(frames.toArray, w, h, fps)
+    AviVideo(frames.toArray, w, h, fps, if (mjpeg) "MJPG" else "DIB ")
   }
 }

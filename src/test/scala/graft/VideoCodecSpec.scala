@@ -114,6 +114,67 @@ class VideoCodecSpec extends AnyFunSuite {
     fs.zip(v.frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
   }
 
+  // Smooth triangle-wave frame (continuous, no wrap discontinuity) —
+  // the content class MJPEG's DCT handles with small, bounded error.
+  private def smoothFrame(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; val y = (i / 3) / w; val c = i % 3
+      val t = (x * 3 + y * 5 + seed * 7 + c * 11) % 510
+      (if (t > 255) 510 - t else t).toByte
+    }
+
+  test("MJPEG: standard layout, MJPG handler, 00dc chunks") {
+    val avi = VideoCodec.encodeAviMjpeg(
+      Seq(smoothFrame(48, 32, 1), smoothFrame(48, 32, 2)), 48, 32, 25)
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    val body = new String(avi, "ISO-8859-1")
+    for (tag <- Seq("hdrl", "avih", "strl", "strh", "vids", "MJPG",
+        "strf", "movi", "00dc", "idx1"))
+      assert(body.contains(tag), s"missing '$tag' chunk")
+    assert(!body.contains("00db"), "MJPEG stream must not emit DIB chunks")
+    val declared = (avi(4) & 0xff) | ((avi(5) & 0xff) << 8) |
+      ((avi(6) & 0xff) << 16) | ((avi(7) & 0xff) << 24)
+    assert(declared == avi.length - 8)
+  }
+
+  test("MJPEG: round trip is deterministic with bounded pixel error") {
+    val w = 48; val h = 32
+    val fs = (1 to 4).map(smoothFrame(w, h, _))
+    val avi1 = VideoCodec.encodeAviMjpeg(fs, w, h, 30)
+    val avi2 = VideoCodec.encodeAviMjpeg(fs, w, h, 30)
+    assert(avi1.toSeq == avi2.toSeq, "JDK JPEG encode must be deterministic")
+    val v = VideoCodec.decodeAvi(avi1)
+    assert(v.codec == "MJPG" && v.width == w && v.height == h &&
+      v.fps == 30 && v.frames.length == 4)
+    // Lossy: judged by tolerance, never equality (the PQ pattern).
+    val maxErr = fs.zip(v.frames).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)) }.max
+    }.max
+    assert(maxErr > 0, "MJPEG should be lossy on gradient content")
+    assert(maxErr <= 48, s"decoded pixel error $maxErr exceeds tolerance 48")
+    // And compression must actually compress vs the DIB container.
+    val dib = VideoCodec.encodeAvi(fs, w, h, 30)
+    assert(avi1.length < dib.length / 2,
+      s"MJPEG ${avi1.length}B should beat DIB ${dib.length}B by 2x+ on gradients")
+  }
+
+  test("MJPEG: disagreeing handler/biCompression and torn chunks rejected") {
+    val avi = VideoCodec.encodeAviMjpeg(Seq(smoothFrame(16, 16, 1)), 16, 16)
+    // strf biCompression lives at the same fixed offset as the DIB
+    // layout (identical header sizes): flip MJPG -> BI_RGB == torn.
+    val torn = avi.clone()
+    for (i <- 0 until 4) torn(172 + 16 + i) = 0
+    intercept[Exception] { VideoCodec.decodeAvi(torn) }
+    // Zeroing the first frame chunk's bytes makes it undecodable as
+    // JPEG — must surface as an error, not a silent skip.
+    val body = new String(avi, "ISO-8859-1")
+    val chunkOff = body.indexOf("00dc")
+    val blanked = avi.clone()
+    for (i <- chunkOff + 8 until math.min(chunkOff + 40, avi.length))
+      blanked(i) = 0
+    intercept[Exception] { VideoCodec.decodeAvi(blanked) }
+  }
+
   test("property: decode(encode(frames)) == frames for seeded random clips") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
