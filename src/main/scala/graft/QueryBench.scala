@@ -71,7 +71,8 @@ object QueryBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runnerCounts = sys.env.getOrElse("SPARK_GRAFT_RUNNERS", "1,4,8,16")
+    // Default axis brackets the measured knee (~16-24, PERF_LEDGER).
+    val runnerCounts = sys.env.getOrElse("SPARK_GRAFT_RUNNERS", "1,8,16,24")
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,13 +103,24 @@ object QueryBench {
       Mix.map(n => n -> exec(spark, n)).toMap
     System.err.println(s"QUERYBENCH warmup done (${Mix.size} queries)")
 
+    /** One axis point: wall seconds, every individual query latency
+      * (the per-tenant latency distribution), and each tenant's total
+      * wall (the fairness readout).
+      */
+    case class AxisRun(wall: Double, latencies: Vector[Double],
+        tenantWalls: Vector[Double])
+
     /** N concurrent runners — each on its own cloned session and its
       * own FAIR scheduler pool — running the full mix once (rotated
       * start offset); asserts every result against the canonical
-      * fingerprint. Returns wall seconds.
+      * fingerprint. Records per-query latencies and per-tenant walls:
+      * a serving story is not just aggregate q/s — a tenant cares
+      * about ITS p95 and whether a noisy sibling can starve it.
       */
-    def run(n: Int): Double = {
+    def run(n: Int): AxisRun = {
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+      val tWalls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
       val t0 = System.nanoTime()
       val threads = (0 until n).map { i =>
         val th = new Thread(() =>
@@ -117,20 +129,33 @@ object QueryBench {
             // it is set inside the runner thread itself.
             val sess = spark.newSession()
             sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"runner-$i")
+            val tt0 = System.nanoTime()
             Mix.indices.foreach { j =>
               val name = Mix((i + j) % Mix.size)
+              val q0 = System.nanoTime()
               val fp = exec(sess, name)
+              lats.add((System.nanoTime() - q0) / 1e9)
               require(fp == canonical(name),
                 s"runner $i: $name diverged under concurrency " +
                   s"(got $fp, canonical ${canonical(name)}) — isolation bug")
             }
+            tWalls.add((System.nanoTime() - tt0) / 1e9)
           } catch { case e: Throwable => errs.add(e) },
           s"graft-serve-$i")
         th.start(); th
       }
       threads.foreach(_.join())
       if (!errs.isEmpty) throw errs.peek()
-      (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      AxisRun((System.nanoTime() - t0) / 1e9,
+        lats.asScala.map(_.doubleValue).toVector,
+        tWalls.asScala.map(_.doubleValue).toVector)
+    }
+
+    /** Nearest-rank percentile over query latencies. */
+    def pct(xs: Vector[Double], q: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.max(0, math.ceil(q * s.length).toInt - 1)))
     }
 
     // Per-N reps, best wall kept: a serving benchmark reports achievable
@@ -140,24 +165,33 @@ object QueryBench {
     // parity-checked.
     val reps = sys.env.getOrElse("SPARK_GRAFT_QB_REPS", "2").toInt
     val runs = runnerCounts.map { n =>
-      val walls = (1 to reps).map { r =>
-        val dt = run(n)
+      val best = (1 to reps).map { r =>
+        val a = run(n)
         System.err.println(
-          f"QUERYBENCH r$n rep$r wall=$dt%.1fs qps=${n * Mix.size / dt}%.3f")
-        dt
-      }
-      val dt = walls.min
-      val qps = n * Mix.size / dt
-      System.err.println(f"QUERYBENCH r$n best wall=$dt%.1fs qps=$qps%.3f")
-      (n, dt, qps)
+          f"QUERYBENCH r$n rep$r wall=${a.wall}%.1fs qps=${n * Mix.size / a.wall}%.3f " +
+            f"p50=${pct(a.latencies, 0.5)}%.2fs p95=${pct(a.latencies, 0.95)}%.2fs " +
+            f"fair=${a.tenantWalls.max / a.tenantWalls.min}%.2f")
+        a
+      }.minBy(_.wall)
+      val qps = n * Mix.size / best.wall
+      System.err.println(f"QUERYBENCH r$n best wall=${best.wall}%.1fs qps=$qps%.3f")
+      (n, best, qps)
     }
     // Headline `value` is ALWAYS the 1-runner q/s (IngestBench's rule:
     // the trended metric means the same thing whatever the axis says).
     val qps1 = runs.find(_._1 == 1).map(_._3)
-      .getOrElse(Mix.size / run(1))
+      .getOrElse(Mix.size / run(1).wall)
     val axis = runs.map { case (n, _, qps) =>
       s""""r$n":${"%.3f".format(qps)}""" }.mkString(",")
-    println(f"""{"metric":"query_serve_qps","value":$qps1%.3f,"value_runners":1,"unit":"q/s","runners":{$axis},"mix":${Mix.size},"parity":"ok","sf":"$sfDir"}""")
+    // Per-tenant latency percentiles + fairness (max/min tenant wall)
+    // per axis point, from the best rep: the SLO numbers a tenant
+    // actually experiences at each concurrency.
+    val lat = runs.map { case (n, best, _) =>
+      s""""r$n":{"p50":${"%.2f".format(pct(best.latencies, 0.5))},""" +
+        s""""p95":${"%.2f".format(pct(best.latencies, 0.95))},""" +
+        s""""fairness":${"%.2f".format(best.tenantWalls.max / best.tenantWalls.min)}}"""
+    }.mkString(",")
+    println(f"""{"metric":"query_serve_qps","value":$qps1%.3f,"value_runners":1,"unit":"q/s","runners":{$axis},"latency":{$lat},"mix":${Mix.size},"parity":"ok","sf":"$sfDir"}""")
     spark.stop()
   }
 }
