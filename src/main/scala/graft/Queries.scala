@@ -10312,6 +10312,53 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Product quantization judged at the MEAN-CODEBOOK exact dial
+    * (q366, twin of q176 — the q362/q363/q364 pattern applied to the
+    * last twinnable rows-only family): with k = 1 cell per subspace
+    * and the training sample = the WHOLE corpus (sampleN ≥ n,
+    * fail-loud guarded), Lloyd's update degenerates to the per-
+    * subspace MEAN, so the codebook, the encode (all codes 0), the
+    * probe's ADC distance table, and the AdcLookup scan sum are ALL
+    * closed-form and DuckDB-judged: the 64 codebook values pin the
+    * subspace split + centroid update, and the search summary pins
+    * the ADC algebra — every row's distance is Σⱼ‖qⱼ−meanⱼ‖², so
+    * adc_min == adc_max (a lookup that read the wrong table cell
+    * breaks the equality) and top-1 is the id tie-break. The
+    * production dial (q176: m=8, k=16, 5 Lloyd rounds on a hash-
+    * deterministic sample) stays rows-only — multi-centroid Lloyd has
+    * no SQL form. Float margins at all 3 SFs: centroid-rounding
+    * boundary ≥ 1.3e-8 abs, ADC ≥ 0.085 of a 1e-4 step, vs ~1e-15
+    * association noise. With this, 9 of the 10 rows-only operators
+    * carry oracle-judged exact-dial twins; the 10th (q172) is
+    * engine-internal DEFLATE.
+    */
+  def q366_pq_mean_dial(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count() // bounded table; the dial's contract check
+    require(n <= 4096,
+      s"q366 exact dial needs sampleN(4096) >= corpus rows ($n): at that " +
+        "point the sample is no longer the whole corpus and the oracle breaks")
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 1,
+      sampleN = 4096, rounds = 1)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect()(0).getSeq[Double](0).toArray
+    val top = Pq.searchTopK(
+      Pq.encode(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb),
+      cb, probe, k = 3)
+    val summary = top.agg(count(lit(1)).as("n_top"), min("id").as("top1_id"),
+      (round(min("adc_dist"), 4) + 0.0).as("adc_min"),
+      (round(max("adc_dist"), 4) + 0.0).as("adc_max"))
+    import s.implicits._
+    val cells = (for (j <- 0 until cb.m; i <- 0 until cb.subDim) yield
+      (j.toLong, i.toLong, BigDecimal(cb.cells(j)(0)(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+      .toDF("subspace", "dim", "centroid")
+    cells.crossJoin(broadcast(summary)) // 1-row frame (q145's pattern)
+      .orderBy("subspace", "dim")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10924,6 +10971,7 @@ object Queries {
     "q363_probe_first_step" -> (q363_probe_first_step _),
     "q364_bpe_encode_k1" -> (q364_bpe_encode_k1 _),
     "q365_mjpeg_avi"    -> (q365_mjpeg_avi _),
+    "q366_pq_mean_dial" -> (q366_pq_mean_dial _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11257,6 +11305,19 @@ object Queries {
         |  'MJPG' AS codec, TRUE AS lossy, TRUE AS within_tol,
         |  TRUE AS compressed
         |FROM range(1, 11) t(id) ORDER BY media_id""".stripMargin,
+    "q366_pq_mean_dial" ->
+      """WITH e AS (SELECT vec_id, i - 1 AS i0, embedding[i]::DOUBLE AS x
+        |           FROM embeddings, range(1, 65) t(i)),
+        |mean AS (SELECT i0 // 16 AS subspace, i0 % 16 AS dim, avg(x) AS c
+        |         FROM e GROUP BY 1, 2),
+        |probe AS (SELECT i0, x FROM e WHERE vec_id = 0),
+        |d AS (SELECT sum((p.x - m.c) * (p.x - m.c)) AS d2
+        |      FROM probe p JOIN mean m
+        |        ON p.i0 // 16 = m.subspace AND p.i0 % 16 = m.dim)
+        |SELECT m.subspace, m.dim, round(m.c, 6) + 0.0 AS centroid,
+        |  3::BIGINT AS n_top, 1::BIGINT AS top1_id,
+        |  round(d.d2, 4) + 0.0 AS adc_min, round(d.d2, 4) + 0.0 AS adc_max
+        |FROM mean m, d ORDER BY subspace, dim""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,
