@@ -96,6 +96,11 @@ class PlanSpec extends SparkSpec {
       "q160_hybrid_rrf",
       // q168: 1-row broadcast [min,max] PC1 range frame (q81's pattern)
       "q168_pca_power",
+      // q362: q168's exact-dial twin — same 1-row range frame
+      "q362_pca_first_step",
+      // q363/q366: 1-row broadcast metric/search-summary frame onto
+      // the bounded per-dimension weight/codebook rows (q145's pattern)
+      "q363_probe_first_step", "q366_pq_mean_dial",
       // q170: 1-row broadcast vocab count (q145's pattern)
       "q170_zipf_slope",
       // q175: 1-row broadcast digit-count total (q101's pattern)
