@@ -10359,6 +10359,53 @@ object Queries {
       .orderBy("subspace", "dim")
   }
 
+  /** Residual IVF-PQ judged at the 1-CELL / MEAN-CODEBOOK exact dial
+    * (q367, twin of q179 — completing the twin set: every rows-only
+    * operator except engine-internal DEFLATE now has an oracle-judged
+    * dial): with one coarse cell, AnnIvf's Lloyd converges to the
+    * NORMALIZED MEAN of the unit vectors; the PQ codebook over
+    * residuals (k = 1, sample = whole corpus, fail-loud guarded)
+    * degenerates to the MEAN RESIDUAL μ − c ≠ 0; and the probe's ADC
+    * distance is Σ‖(qₙ−c)ⱼ − (μ−c)ⱼ‖² — identical for every row, so
+    * adc_min == adc_max pins the per-cell table + lookup, and the
+    * top-10 is pure id tie-break (ids 1..10). The judged rows are the
+    * 64 coarse-centroid values AND the 64 residual-codebook values —
+    * together they pin normalize→mean→normalize, the residual
+    * subtraction (the IVFADC trick), the residual-space PQ train, and
+    * the probed-cell ADC search; only multi-cell Lloyd (q179's
+    * production dial: 16 cells, m=8, k=16) stays rows-only. Float
+    * margins at 3 SFs: value-rounding ≥ 1.5e-9 abs, ADC ≥ 0.13 of a
+    * 1e-4 step.
+    */
+  def q367_ivfpq_mean_dial(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfPq
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count() // bounded table; the dial's contract check
+    require(n <= 2048,
+      s"q367 exact dial needs Pq.train's sample (2048) >= corpus rows ($n)")
+    val idx = IvfPq.build(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      nCells = 1, m = 4, k = 1)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect()(0).getSeq[Double](0).toArray
+    val top = IvfPq.search(idx, q, kTop = 10, nProbe = 1)
+    val summary = top.agg(count(lit(1)).as("n_top"),
+      min("id").as("top1_id"), max("id").as("top10_id"),
+      (round(min("adc_dist"), 4) + 0.0).as("adc_min"),
+      (round(max("adc_dist"), 4) + 0.0).as("adc_max"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val coarse = idx.cents.head._2
+    val pqRes = (0 until idx.cb.m).flatMap(j => idx.cb.cells(j)(0))
+    import s.implicits._
+    val rows =
+      (coarse.toSeq.zipWithIndex.map { case (v, d) => ("coarse", d.toLong, r6(v)) } ++
+        pqRes.zipWithIndex.map { case (v, d) => ("pq_res", d.toLong, r6(v)) })
+        .toDF("kind", "dim", "value")
+    rows.crossJoin(broadcast(summary)) // 1-row frame (q145's pattern)
+      .orderBy("kind", "dim")
+  }
+
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
     * beside q322's media pipeline, composing the judged operators in
     * the order a Dolma/RefinedWeb-class run executes them as ONE
@@ -10972,6 +11019,7 @@ object Queries {
     "q364_bpe_encode_k1" -> (q364_bpe_encode_k1 _),
     "q365_mjpeg_avi"    -> (q365_mjpeg_avi _),
     "q366_pq_mean_dial" -> (q366_pq_mean_dial _),
+    "q367_ivfpq_mean_dial" -> (q367_ivfpq_mean_dial _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11318,6 +11366,28 @@ object Queries {
         |  3::BIGINT AS n_top, 1::BIGINT AS top1_id,
         |  round(d.d2, 4) + 0.0 AS adc_min, round(d.d2, 4) + 0.0 AS adc_max
         |FROM mean m, d ORDER BY subspace, dim""".stripMargin,
+    "q367_ivfpq_mean_dial" ->
+      """WITH raw AS (SELECT vec_id, i - 1 AS i0, embedding[i]::DOUBLE AS x
+        |             FROM embeddings, range(1, 65) t(i)),
+        |nv AS (SELECT vec_id, i0,
+        |         x / sqrt(sum(x * x) OVER (PARTITION BY vec_id)) AS nv
+        |       FROM raw),
+        |mu AS (SELECT i0, avg(nv) AS m FROM nv WHERE vec_id <> 0 GROUP BY i0),
+        |mn AS (SELECT sqrt(sum(m * m)) AS mn FROM mu),
+        |c AS (SELECT i0, m / mn AS c FROM mu, mn),
+        |pq AS (SELECT mu.i0, mu.m - c.c AS p FROM mu JOIN c ON mu.i0 = c.i0),
+        |qn AS (SELECT i0, nv FROM nv WHERE vec_id = 0),
+        |rq AS (SELECT q.i0, q.nv - c.c AS r FROM qn q JOIN c ON q.i0 = c.i0),
+        |adc AS (SELECT sum((rq.r - pq.p) * (rq.r - pq.p)) AS d2
+        |        FROM rq JOIN pq ON rq.i0 = pq.i0),
+        |rows_ AS (
+        |  SELECT 'coarse' AS kind, i0 AS dim, round(c, 6) + 0.0 AS value FROM c
+        |  UNION ALL
+        |  SELECT 'pq_res', i0, round(p, 6) + 0.0 FROM pq)
+        |SELECT kind, dim, value, 10::BIGINT AS n_top, 1::BIGINT AS top1_id,
+        |  10::BIGINT AS top10_id, round(adc.d2, 4) + 0.0 AS adc_min,
+        |  round(adc.d2, 4) + 0.0 AS adc_max
+        |FROM rows_, adc ORDER BY kind, dim""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,

@@ -100,7 +100,7 @@ class PlanSpec extends SparkSpec {
       "q362_pca_first_step",
       // q363/q366: 1-row broadcast metric/search-summary frame onto
       // the bounded per-dimension weight/codebook rows (q145's pattern)
-      "q363_probe_first_step", "q366_pq_mean_dial",
+      "q363_probe_first_step", "q366_pq_mean_dial", "q367_ivfpq_mean_dial",
       // q170: 1-row broadcast vocab count (q145's pattern)
       "q170_zipf_slope",
       // q175: 1-row broadcast digit-count total (q101's pattern)
