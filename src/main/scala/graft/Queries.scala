@@ -3906,7 +3906,9 @@ object Queries {
     * suspiciously-compressible documents (ratio < 0.4 — template/
     * near-duplicate content). Rows-only: DEFLATE output length is
     * engine-internal (no SQL equivalent); the ordering ground truth
-    * (repetitive text compresses below prose) lives in Round6OpsSpec.
+    * (repetitive text compresses below prose) lives in Round6OpsSpec,
+    * and q368 is the oracle-judged twin (exact byte counts + integer
+    * contract flags DuckDB pins true).
     */
   def q172_compress_ratio(s: SparkSession, dir: String): DataFrame =
     tWide(s, dir, "documents")
@@ -9118,6 +9120,9 @@ object Queries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
     q.awaitTermination()
+    // Scale telemetry for ScaleRehearsal's streaming drains: the
+    // micro-batch plan shape + final state-store totals, keyed by tag.
+    PlanShape.captureStream(tag, q)
     s.read.parquet(outDir)
   }
 
@@ -10047,19 +10052,36 @@ object Queries {
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       try {
         s.conf.set("spark.sql.scripting.enabled", "true")
+        // A '~total' summary row (found threshold, probe-iteration
+        // count, rows-above-cutoff) rides ahead of the rollup so the
+        // judged frame is NON-EMPTY at every SF: at sf0.1 the search
+        // doubles past the price envelope and the rollup alone is 0
+        // rows — both engines agreed on the empty frame, but an empty
+        // judged frame pins only the agreement, not the WHILE loop's
+        // fixpoint. Now the threshold and iteration count themselves
+        // are hash-checked everywhere ('~' sorts after every real
+        // priority in both engines' binary collation).
         val out = s.sql(
           s"""BEGIN
              |  DECLARE t DOUBLE DEFAULT 1000.0;
              |  DECLARE n BIGINT DEFAULT 10000;
+             |  DECLARE iters BIGINT DEFAULT 0;
              |  WHILE n >= 10000 DO
              |    SET t = t * 2;
+             |    SET iters = iters + 1;
              |    SET n = (SELECT count(*) FROM $view WHERE o_totalprice > t);
              |  END WHILE;
-             |  SELECT o_orderpriority, t AS threshold,
+             |  SELECT o_orderpriority, t AS threshold, iters AS n_iters,
              |         count(*) AS n_orders,
              |         round(sum(o_totalprice), 2) AS revenue
              |  FROM $view WHERE o_totalprice > t
-             |  GROUP BY o_orderpriority, t ORDER BY o_orderpriority;
+             |  GROUP BY o_orderpriority, t, iters
+             |  UNION ALL
+             |  SELECT '~total' AS o_orderpriority, t AS threshold,
+             |         iters AS n_iters, n AS n_orders,
+             |         round(coalesce((SELECT sum(o_totalprice) FROM $view
+             |                         WHERE o_totalprice > t), 0.0), 2) AS revenue
+             |  ORDER BY o_orderpriority;
              |END""".stripMargin)
         // Materialize (the rollup is ~5 rows) before the view drops — the
         // returned plan must not lazily re-read the per-invocation view.
@@ -10329,8 +10351,10 @@ object Queries {
     * no SQL form. Float margins at all 3 SFs: centroid-rounding
     * boundary ≥ 1.3e-8 abs, ADC ≥ 0.085 of a 1e-4 step, vs ~1e-15
     * association noise. With this, 9 of the 10 rows-only operators
-    * carry oracle-judged exact-dial twins; the 10th (q172) is
-    * engine-internal DEFLATE.
+    * carry oracle-judged exact-dial twins; the 10th (q172,
+    * engine-internal DEFLATE) is twinned by q368's judged contract
+    * flags — every rows-only operator now has an oracle-checked
+    * component.
     */
   def q366_pq_mean_dial(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
@@ -10404,6 +10428,57 @@ object Queries {
         .toDF("kind", "dim", "value")
     rows.crossJoin(broadcast(summary)) // 1-row frame (q145's pattern)
       .orderBy("kind", "dim")
+  }
+
+  /** Compression-score CONTRACT audit (q368, twin of q172 — the LAST
+    * rows-only operator gains an oracle-judged component, via the
+    * q99/q132 tolerance-flag pattern: exact columns DuckDB hash-checks
+    * next to contract booleans the oracle pins to `true`). DEFLATE
+    * output lengths are engine-internal, but the operator's contract
+    * is not, and every flag here is an INTEGER comparison on
+    * [[graft.functions.CompressionScore.deflateLen]] — no float
+    * boundary exists for the hash to land on (SWEEP.md pattern 4):
+    *
+    *   - bounds_ok: 0 < z ≤ raw + 16 per doc — deflate never expands
+    *     past the stored-block worst case (~5 B/16 KiB block + 6 B
+    *     zlib wrapper; the corpus max doc is far below one block);
+    *   - det_ok: z from a second, structurally distinct evaluation
+    *     (concat(text, '') — a different expression tree, so neither
+    *     constant folding nor subexpression elimination can collapse
+    *     the two UDF calls) equals z — the determinism echo. The
+    *     cross-RUN determinism claim rides the sweep itself: the hash
+    *     must reproduce at three SFs on every rerun;
+    *   - rep_lt_ok: deflate(text ⧺ ' ' ⧺ text) < 2·deflate(text) per
+    *     doc — doubling a document must compress strictly better than
+    *     twice (the second copy is one back-reference, ≤ ~4 B per 258-B
+    *     match, vs z ≥ ~30 B for the ≥44-B corpus docs). This is
+    *     Round6OpsSpec's "repetitive compresses below prose" ordering
+    *     in per-doc differential form: ratio(text·2) < ratio(text)
+    *     ⟺ z2x < 2z + z/L, and the judged flag uses the stricter
+    *     z2x < 2z.
+    *
+    * The exact columns (n_docs, raw UTF-8 byte mass per source) are
+    * reproduced by DuckDB from the same parquet. Scale shape is
+    * q172's: a narrow embarrassingly-parallel map (three partition-
+    * local Deflater calls/row — the documented UDF codec boundary),
+    * one map-side-combined source-grain agg.
+    */
+  def q368_compress_contract(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CompressionScore.deflateLen
+    tWide(s, dir, "documents")
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("raw_bytes"),
+        deflateLen(col("text")).as("z"),
+        deflateLen(concat(col("text"), lit(""))).as("z_echo"),
+        deflateLen(concat(col("text"), lit(" "), col("text"))).as("z2x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("raw_bytes").as("raw_bytes"),
+        bool_and(col("z") > 0 && col("z") <= col("raw_bytes") + 16)
+          .as("bounds_ok"),
+        bool_and(col("z") === col("z_echo")).as("det_ok"),
+        bool_and(col("z2x") < col("z") * 2).as("rep_lt_ok"))
+      .orderBy("source")
   }
 
   /** END-TO-END text-curation pipeline — the TEXT-modality flagship
@@ -10649,6 +10724,7 @@ object Queries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
     q.awaitTermination()
+    PlanShape.captureStream("sjw", q)
     s.table(table).orderBy("day", "campaign")
   }
 
@@ -11020,6 +11096,7 @@ object Queries {
     "q365_mjpeg_avi"    -> (q365_mjpeg_avi _),
     "q366_pq_mean_dial" -> (q366_pq_mean_dial _),
     "q367_ivfpq_mean_dial" -> (q367_ivfpq_mean_dial _),
+    "q368_compress_contract" -> (q368_compress_contract _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -11226,17 +11303,29 @@ object Queries {
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q358_sql_script" ->
+      // |s| = the loop's doubling count: the anchor row is the first
+      // SET t = t*2 (always executed — n starts at the threshold), and
+      // each recursive row reproduces one more passed probe, so
+      // count(*) over s equals the script's iters at every SF.
       """WITH RECURSIVE s(t) AS (
         |  SELECT 2000.0::DOUBLE
         |  UNION ALL
         |  SELECT t * 2 FROM s
         |  WHERE (SELECT count(*) FROM orders WHERE o_totalprice > s.t) >= 10000
         |),
-        |f AS (SELECT max(t) AS t FROM s)
-        |SELECT o_orderpriority, f.t AS threshold, count(*) AS n_orders,
+        |f AS (SELECT max(t) AS t, count(*)::BIGINT AS n_iters FROM s)
+        |SELECT o_orderpriority, f.t AS threshold, f.n_iters,
+        |  count(*)::BIGINT AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders, f WHERE o_totalprice > f.t
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+        |GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT '~total', f.t, f.n_iters,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > f.t)::BIGINT,
+        |  round(coalesce((SELECT sum(o_totalprice) FROM orders
+        |                  WHERE o_totalprice > f.t), 0), 2)
+        |FROM f
+        |ORDER BY o_orderpriority""".stripMargin,
     "q359_semdedup_exact" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (
@@ -11388,6 +11477,16 @@ object Queries {
         |  10::BIGINT AS top10_id, round(adc.d2, 4) + 0.0 AS adc_min,
         |  round(adc.d2, 4) + 0.0 AS adc_max
         |FROM rows_, adc ORDER BY kind, dim""".stripMargin,
+    "q368_compress_contract" ->
+      // The q99/q132 tolerance-flag grading: n_docs + raw UTF-8 byte
+      // mass are recomputed exactly (DuckDB strlen(VARCHAR) counts
+      // BYTES, = Spark octet_length); the three DEFLATE contract
+      // booleans — integer bounds, determinism echo, doubling-
+      // compresses-strictly-better — are pinned true.
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(strlen(text))::BIGINT AS raw_bytes,
+        |  true AS bounds_ok, true AS det_ok, true AS rep_lt_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q357_simhash_md5" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tk AS (SELECT doc_id,

@@ -104,11 +104,26 @@ object QueryBench {
     System.err.println(s"QUERYBENCH warmup done (${Mix.size} queries)")
 
     /** One axis point: wall seconds, every individual query latency
-      * (the per-tenant latency distribution), and each tenant's total
-      * wall (the fairness readout).
+      * (end-to-end, INCLUDING any admission wait — the latency a
+      * tenant experiences), post-admission execution latencies, and
+      * each tenant's total wall (the fairness readout).
       */
     case class AxisRun(wall: Double, latencies: Vector[Double],
-        tenantWalls: Vector[Double])
+        execLats: Vector[Double], tenantWalls: Vector[Double])
+
+    // ADMISSION GATE (round-11 ledger follow-through: p95 tripled and
+    // fairness hit 1.49x at 24 ungated tenants; the ledger recommended
+    // capping admission near 8-16 but nothing ENFORCED it). A FAIR
+    // java Semaphore bounds how many queries EXECUTE simultaneously —
+    // arrivals past the cap queue in strict arrival order (the
+    // fairness mechanism: a burst cannot starve an earlier tenant),
+    // and each admitted query still runs in its tenant's own FAIR
+    // scheduler pool, so the gate composes with — never replaces —
+    // pool-level sharing. Conf-set via SPARK_GRAFT_ADMIT (queries
+    // admitted concurrently; 0 disables). On a real cluster this is
+    // the coordinator's admission-control slot count; here it bounds
+    // driver-side concurrent job submission into the shared context.
+    val admitCap = sys.env.getOrElse("SPARK_GRAFT_ADMIT", "12").toInt
 
     /** N concurrent runners — each on its own cloned session and its
       * own FAIR scheduler pool — running the full mix once (rotated
@@ -116,10 +131,14 @@ object QueryBench {
       * fingerprint. Records per-query latencies and per-tenant walls:
       * a serving story is not just aggregate q/s — a tenant cares
       * about ITS p95 and whether a noisy sibling can starve it.
+      * `gated` routes every execution through the admission semaphore.
       */
-    def run(n: Int): AxisRun = {
+    def run(n: Int, gated: Boolean = false): AxisRun = {
+      val admit = if (gated && admitCap > 0)
+        Some(new java.util.concurrent.Semaphore(admitCap, true)) else None
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+      val eLats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
       val tWalls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
       val t0 = System.nanoTime()
       val threads = (0 until n).map { i =>
@@ -133,8 +152,14 @@ object QueryBench {
             Mix.indices.foreach { j =>
               val name = Mix((i + j) % Mix.size)
               val q0 = System.nanoTime()
-              val fp = exec(sess, name)
-              lats.add((System.nanoTime() - q0) / 1e9)
+              admit.foreach(_.acquire())
+              val e0 = System.nanoTime()
+              val fp =
+                try exec(sess, name)
+                finally admit.foreach(_.release())
+              val q1 = System.nanoTime()
+              lats.add((q1 - q0) / 1e9)
+              eLats.add((q1 - e0) / 1e9)
               require(fp == canonical(name),
                 s"runner $i: $name diverged under concurrency " +
                   s"(got $fp, canonical ${canonical(name)}) — isolation bug")
@@ -149,6 +174,7 @@ object QueryBench {
       import scala.jdk.CollectionConverters._
       AxisRun((System.nanoTime() - t0) / 1e9,
         lats.asScala.map(_.doubleValue).toVector,
+        eLats.asScala.map(_.doubleValue).toVector,
         tWalls.asScala.map(_.doubleValue).toVector)
     }
 
@@ -164,19 +190,32 @@ object QueryBench {
     // that the steady state never pays. Each rep is still fully
     // parity-checked.
     val reps = sys.env.getOrElse("SPARK_GRAFT_QB_REPS", "2").toInt
-    val runs = runnerCounts.map { n =>
+    def axisPoint(n: Int, gated: Boolean): (AxisRun, Double) = {
+      val tag = if (gated) s"r$n/gate$admitCap" else s"r$n"
       val best = (1 to reps).map { r =>
-        val a = run(n)
+        val a = run(n, gated)
         System.err.println(
-          f"QUERYBENCH r$n rep$r wall=${a.wall}%.1fs qps=${n * Mix.size / a.wall}%.3f " +
+          f"QUERYBENCH $tag rep$r wall=${a.wall}%.1fs qps=${n * Mix.size / a.wall}%.3f " +
             f"p50=${pct(a.latencies, 0.5)}%.2fs p95=${pct(a.latencies, 0.95)}%.2fs " +
+            f"p95exec=${pct(a.execLats, 0.95)}%.2fs " +
             f"fair=${a.tenantWalls.max / a.tenantWalls.min}%.2f")
         a
       }.minBy(_.wall)
       val qps = n * Mix.size / best.wall
-      System.err.println(f"QUERYBENCH r$n best wall=${best.wall}%.1fs qps=$qps%.3f")
+      System.err.println(f"QUERYBENCH $tag best wall=${best.wall}%.1fs qps=$qps%.3f")
+      (best, qps)
+    }
+    val runs = runnerCounts.map { n =>
+      val (best, qps) = axisPoint(n, gated = false)
       (n, best, qps)
     }
+    // Gate on/off comparison where the gate can bind (n > cap): the
+    // axis point re-runs with admission capped, so the artifact
+    // carries the enforcement curve, not just the recommendation.
+    val gatedRuns = if (admitCap > 0) runnerCounts.filter(_ > admitCap).map { n =>
+      val (best, qps) = axisPoint(n, gated = true)
+      (n, best, qps)
+    } else Seq.empty
     // Headline `value` is ALWAYS the 1-runner q/s (IngestBench's rule:
     // the trended metric means the same thing whatever the axis says).
     val qps1 = runs.find(_._1 == 1).map(_._3)
@@ -186,12 +225,21 @@ object QueryBench {
     // Per-tenant latency percentiles + fairness (max/min tenant wall)
     // per axis point, from the best rep: the SLO numbers a tenant
     // actually experiences at each concurrency.
+    def latJson(entries: Seq[(Int, AxisRun, Double)]): String =
+      entries.map { case (n, best, qps) =>
+        s""""r$n":{"qps":${"%.3f".format(qps)},""" +
+          s""""p50":${"%.2f".format(pct(best.latencies, 0.5))},""" +
+          s""""p95":${"%.2f".format(pct(best.latencies, 0.95))},""" +
+          s""""p95_exec":${"%.2f".format(pct(best.execLats, 0.95))},""" +
+          s""""fairness":${"%.2f".format(best.tenantWalls.max / best.tenantWalls.min)}}"""
+      }.mkString(",")
     val lat = runs.map { case (n, best, _) =>
       s""""r$n":{"p50":${"%.2f".format(pct(best.latencies, 0.5))},""" +
         s""""p95":${"%.2f".format(pct(best.latencies, 0.95))},""" +
         s""""fairness":${"%.2f".format(best.tenantWalls.max / best.tenantWalls.min)}}"""
     }.mkString(",")
-    println(f"""{"metric":"query_serve_qps","value":$qps1%.3f,"value_runners":1,"unit":"q/s","runners":{$axis},"latency":{$lat},"mix":${Mix.size},"parity":"ok","sf":"$sfDir"}""")
+    val gated = latJson(gatedRuns)
+    println(f"""{"metric":"query_serve_qps","value":$qps1%.3f,"value_runners":1,"unit":"q/s","runners":{$axis},"latency":{$lat},"admit":$admitCap,"latency_gated":{$gated},"mix":${Mix.size},"parity":"ok","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,14 +61,43 @@ object ScaleRehearsal {
 
   private val Copies = 10
 
+  /** The 10x streaming drains (verdict ask, round 12): the batch Heavy
+    * set never rehearses the stateful half of the 100 TB story —
+    * RocksDB state growth, watermark eviction, changelog
+    * checkpointing. Each entry is (query, stream tag) where the tag is
+    * the [[PlanShape.captureStream]] key the query's drain records, so
+    * the rehearsal reads the MICRO-BATCH plan shape and the final
+    * state-store totals (rows + bytes) at both scales.
+    */
+  val StreamHeavy: Seq[(String, String)] = Seq(
+    "q324_sessions_tws_stream" -> "tws", // transformWithState sessions
+    "q328_stream_outer_join" -> "soj",   // stream-stream outer interval join
+    "q333_stream_join_window" -> "sjw")  // stream-stream join + windowed agg
+
   private def rotated(k: Int): String = {
-    val a = "abcdefghijklmnopqrstuvwxyz"
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789"
     a.drop(k) + a.take(k)
   }
 
-  /** Build the 10x tables if the scratch dir does not hold them yet. */
+  /** Copy k's text derivation: LOWERCASE, then rotate the letter AND
+    * digit alphabets by k. Lowercasing first is what makes the
+    * "copies share ZERO shingles" invariant hold for ANY corpus
+    * content — an uppercase letter or digit that passed through
+    * `translate` unrotated would re-create shared shingles across
+    * copies (tokens() lowercases downstream), silently turning the
+    * linear dedup scale-up quadratic. Exposed for the spec that pins
+    * exactly that invariant.
+    */
+  def rotateText(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    translate(lower(c), rotated(0), rotated(k))
+
+  /** Build the 10x tables if the scratch dir does not hold them yet.
+    * (_BUILT_v2: v1 corpora rotated only lowercase letters, so
+    * mixed-case/numeric content re-created shared shingles across
+    * copies — rebuilt with the lowercase+digit rotation below.)
+    */
   def buildCorpus(s: SparkSession, baseDir: String, outDir: String): Unit = {
-    val done = new java.io.File(s"$outDir/_BUILT")
+    val done = new java.io.File(s"$outDir/_BUILT_v2")
     if (done.exists()) { System.err.println(s"[scale] reusing $outDir"); return }
     new java.io.File(outDir).mkdirs()
     def shifted(df: DataFrame, idCols: Seq[String],
@@ -79,8 +108,7 @@ object ScaleRehearsal {
         val withIds = idCols.foldLeft(df)((d, c) =>
           d.withColumn(c, col(c) + lit(k * shifts(c))))
         textRotate match {
-          case Some(tc) => withIds.withColumn(tc,
-            translate(col(tc), rotated(0), rotated(k)))
+          case Some(tc) => withIds.withColumn(tc, rotateText(col(tc), k))
           case None => withIds
         }
       }.reduce(_ unionAll _)
@@ -104,16 +132,6 @@ object ScaleRehearsal {
     System.err.println(s"[scale] built ${Copies}x corpus at $outDir")
   }
 
-  /** Final-plan operator profile — the shape that must NOT change with
-    * scale. Regex over the post-execution plan string (AQE final).
-    */
-  private def shape(df: DataFrame): Map[String, Int] = {
-    val p = df.queryExecution.executedPlan.toString
-    Seq("Exchange", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct")
-      .map(op => op -> op.r.findAllIn(p).size).toMap
-  }
-
   /** Queries whose scaladoc DOCUMENTS that a planner-chosen broadcast
     * of a CORPUS-DERIVED side flips to a shuffle join at scale (the
     * design, not a regression — e.g. SetSimJoin's verify join: "AQE
@@ -128,8 +146,12 @@ object ScaleRehearsal {
   /** Shape verdict: Some(reason) if the 10x plan regressed, None if
     * acceptable. Nested-loop/cartesian joins must stay at zero, the
     * total join count must match, and broadcast→shuffle flips are
-    * allowed only for [[DocumentedFlips]] queries (with exchange
-    * growth bounded by what the flipped joins themselves add).
+    * allowed only for [[DocumentedFlips]] queries — each flip may add
+    * at most 2 SHUFFLE exchanges (one per flipped-join side) and
+    * remove at most its own broadcast exchange; broadcast exchanges
+    * may never INCREASE with scale. Counts are typed and AQE-final
+    * ([[PlanShape]]), so broadcast exchanges can no longer hide inside
+    * a substring-matched "Exchange" bound.
     */
   private def shapeVerdict(name: String, base: Map[String, Int],
       x10: Map[String, Int]): Option[String] = {
@@ -147,7 +169,9 @@ object ScaleRehearsal {
       val flips = base("BroadcastHashJoin") - x10("BroadcastHashJoin")
       if (flips == 0 && base == x10) None
       else if (flips > 0 && DocumentedFlips(name) &&
-          x10("Exchange") - base("Exchange") <= 2 * flips)
+          x10("ShuffleExchange") - base("ShuffleExchange") <= 2 * flips &&
+          base("BroadcastExchange") - x10("BroadcastExchange") <= flips &&
+          x10("BroadcastExchange") <= base("BroadcastExchange"))
         None // documented corpus-derived-side flip
       else Some(s"plan diverged: base=$base x10=$x10")
     }
@@ -172,33 +196,70 @@ object ScaleRehearsal {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    /** 3 cold reps; returns (min of reps 2-3, rep1) + final shape. */
-    def measure(name: String, dir: String): (Double, Double, Map[String, Int]) = {
-      var sh: Map[String, Int] = Map.empty
+    /** 3 cold reps (noop-sink writes, Bench-identical timing); returns
+      * (min of reps 2-3, rep1). Shape is NOT taken here: the noop write
+      * runs its own QueryExecution, so the df's plan string would be
+      * the UN-executed initial adaptive plan (the original bug) —
+      * [[PlanShape.executedCounts]] below executes the df through its
+      * own QE after timing and reads the AQE FINAL counts.
+      */
+    def measure(name: String, dir: String): (Double, Double) = {
       val ts = (1 to 3).map { _ =>
         hygiene()
         val t0 = System.nanoTime()
-        val df = SparkEntry.queries(name)(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
-        sh = shape(df)
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      (ts.drop(1).min, ts.head, sh)
+      (ts.drop(1).min, ts.head)
     }
+    def finalShape(name: String, dir: String): Map[String, Int] =
+      PlanShape.executedCounts(SparkEntry.queries(name)(spark, dir))
     spark.read.parquet(s"$baseDir/region.parquet").count() // JVM warm-up
 
     println(f"${"query"}%-26s ${"base_s"}%7s ${"x10_s"}%7s ${"ratio"}%6s  ${"build1"}%7s  shape")
     val rows = Heavy.map { name =>
-      val (b, _, shB) = measure(name, baseDir)
-      val (x, x1, shX) = measure(name, outDir)
+      val (b, _) = measure(name, baseDir)
+      val shB = finalShape(name, baseDir)
+      val (x, x1) = measure(name, outDir)
+      val shX = finalShape(name, outDir)
       val verdict = shapeVerdict(name, shB, shX)
       val flag = verdict.getOrElse(
         if (shB == shX) "same" else "documented-flip")
       println(f"$name%-26s $b%7.2f $x%7.2f ${x / b}%6.2f  $x1%7.2f  $flag")
       (name, b, x, verdict)
     }
-    val bad = rows.filter(_._4.isDefined)
-    println(f"""{"metric":"scale10x_ratio_median","value":${rows.map(r => r._3 / r._2).sorted.apply(rows.size / 2)}%.2f,"queries":${rows.size},"shape_regressions":${bad.size}}""")
+
+    // ---- Streaming drains: wall ratio + micro-batch plan shape +
+    // state-store totals at both scales. The streaming run happens
+    // while the query CONSTRUCTS (runToParquetSink blocks), so the
+    // timed reps already include it; the drain records its own
+    // IncrementalExecution shape + final state metrics under the tag
+    // (PlanShape.captureStream), read back after the reps. Verdict:
+    // the micro-batch plan must match EXACTLY across scales (no
+    // documented flips in the stateful path), and state rows are
+    // reported so growth is visible (expected ~10x keys, bounded per
+    // key by watermark eviction / fixed-size session state).
+    println(f"${"stream query"}%-26s ${"base_s"}%7s ${"x10_s"}%7s ${"ratio"}%6s  state rows (base->x10)  mem MiB  shape")
+    val sRows = StreamHeavy.map { case (name, tag) =>
+      val (b, _) = measure(name, baseDir)
+      val infoB = PlanShape.lastStreamRun(tag)
+        .getOrElse(sys.error(s"$name recorded no stream telemetry under '$tag'"))
+      val (x, _) = measure(name, outDir)
+      val infoX = PlanShape.lastStreamRun(tag)
+        .getOrElse(sys.error(s"$name recorded no stream telemetry under '$tag'"))
+      val verdict =
+        if (infoB.shape == infoX.shape) None
+        else Some(s"micro-batch plan diverged: base=${infoB.shape} x10=${infoX.shape}")
+      println(f"$name%-26s $b%7.2f $x%7.2f ${x / b}%6.2f  " +
+        f"${infoB.stateRows}%8d -> ${infoX.stateRows}%-8d " +
+        f"${infoX.stateBytes / 1048576.0}%7.1f  ${verdict.getOrElse("same")}")
+      (name, b, x, verdict)
+    }
+
+    val all = rows ++ sRows
+    val bad = all.filter(_._4.isDefined)
+    println(f"""{"metric":"scale10x_ratio_median","value":${all.map(r => r._3 / r._2).sorted.apply(all.size / 2)}%.2f,"queries":${all.size},"shape_regressions":${bad.size}}""")
     require(bad.isEmpty, s"plan shape REGRESSED at 10x: " +
       bad.map(r => s"${r._1} (${r._4.get})").mkString("; "))
     spark.stop()

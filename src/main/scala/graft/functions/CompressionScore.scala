@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object CompressionScore {
 
+  /** Compressed byte count of the UTF-8 encoding, Deflater level 6 —
+    * the shared core of [[deflateRatio]] and [[deflateLen]]. Pure
+    * function of the input within a JVM release (see header).
+    */
+  private def deflatedBytes(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes); d.finish()
+      // Worst-case deflate expansion is ~5 bytes per 16 KiB block
+      // + header; len/10 + 64 covers it for any input.
+      val buf = new Array[Byte](bytes.length + bytes.length / 10 + 64)
+      var n = 0
+      while (!d.finished() && n < buf.length)
+        n += d.deflate(buf, n, buf.length - n)
+      n
+    } finally d.end()
+  }
+
   /** deflate-compressed size / raw size of the UTF-8 bytes, level 6.
     * Empty/null-safe: null → null, "" → 1.0 (incompressible by
     * convention). Ratios can exceed 1 for tiny inputs (header
@@ -39,21 +57,24 @@ object CompressionScore {
     else {
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (bytes.isEmpty) java.lang.Double.valueOf(1.0)
-      else {
-        val d = new java.util.zip.Deflater(6)
-        try {
-          d.setInput(bytes); d.finish()
-          // Worst-case deflate expansion is ~5 bytes per 16 KiB block
-          // + header; len/10 + 64 covers it for any input.
-          val buf = new Array[Byte](bytes.length + bytes.length / 10 + 64)
-          var n = 0
-          while (!d.finished() && n < buf.length)
-            n += d.deflate(buf, n, buf.length - n)
-          java.lang.Double.valueOf(n.toDouble / bytes.length)
-        } finally d.end()
-      }
+      else java.lang.Double.valueOf(
+        deflatedBytes(bytes).toDouble / bytes.length)
     }
   })
 
+  /** The INTEGER compressed byte count itself (null → null, "" → the
+    * bare zlib wrapper size). q368's judged contract runs on this —
+    * integer flags (`z > 0`, `z <= raw + 16`, `z2x < 2z`) have no
+    * float boundary for the cross-engine hash to land on, unlike
+    * bounds phrased on the ratio (SWEEP.md pattern 4).
+    */
+  val deflateLenUdf: UserDefinedFunction = udf((s: String) => {
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(deflatedBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toLong)
+  })
+
   def ratio(text: Column): Column = deflateRatio(text)
+
+  def deflateLen(text: Column): Column = deflateLenUdf(text)
 }
