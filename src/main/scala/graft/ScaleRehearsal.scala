@@ -141,7 +141,13 @@ object ScaleRehearsal {
     * everything else must still match exactly.
     */
   private val DocumentedFlips: Set[String] =
-    Set("q106_setsim_prefix", "q171_containment_join")
+    Set("q106_setsim_prefix", "q171_containment_join",
+      // q159: the designed plan is the co-partitioned self-join on
+      // vec_id (both sides explicitly repartitioned); at base SF AQE
+      // shortcuts it to a broadcast, at 10x it reverts to the design
+      // with ZERO added exchanges — found by the round-12 AQE-final
+      // typed probe (the string probe never saw runtime conversions).
+      "q159_embed_covariance")
 
   /** Shape verdict: Some(reason) if the 10x plan regressed, None if
     * acceptable. Nested-loop/cartesian joins must stay at zero, the

@@ -92,20 +92,38 @@ object SetSimJoin {
       idCol: String,
       hashedCol: String,
       theta: Double): DataFrame = {
+    val withPre = prefixIndexed(docs, idCol, hashedCol, theta)
+    verifyCandidates(withPre, prefixCandidates(withPre, theta), theta)
+  }
+
+  /** Stage 1 of the PPJoin pipeline: normalize to (id, els, n, plen)
+    * and EAGERLY checkpoint (this frame feeds the prefix explode and
+    * both verify sides). Exposed so FlipProfile can time the join's
+    * three stages independently — same plan as the fused entry point.
+    */
+  def prefixIndexed(
+      docs: DataFrame,
+      idCol: String,
+      hashedCol: String,
+      theta: Double): DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
-    val sorted = docs
+    docs
       .select(col(idCol).as("id"), col(hashedCol).as("els"))
       .withColumn("n", size(col("els")))
-    val withPre = sorted.withColumn(
-      "plen", (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))
+      .withColumn(
+        "plen", (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))
       .localCheckpoint(true)
+  }
+
+  /** Stage 2: candidate pairs — shared prefix element + length filter,
+    * deduped by a groupBy that keeps the minimum matching positions,
+    * then the positional overlap bound.
+    */
+  def prefixCandidates(withPre: DataFrame, theta: Double): DataFrame = {
     val pre = withPre.select(col("id"), col("n"),
       posexplode(slice(col("els"), lit(1), col("plen"))).as(Seq("p", "el")))
-    // Candidate pairs: shared prefix element + length filter, deduped
-    // by a groupBy that keeps the minimum matching positions, then the
-    // positional overlap bound.
     val minOverlap = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
-    val cand = pre.as("a")
+    pre.as("a")
       .join(pre.as("b"),
         col("a.el") === col("b.el") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")) >= lit(theta) * greatest(col("a.n"), col("b.n")))
@@ -116,9 +134,14 @@ object SetSimJoin {
       .agg(min("pa").as("pa"), min("pb").as("pb"))
       .filter(lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)
         >= minOverlap)
-    // Verify: exact Jaccard on the full element-hash arrays (AQE
-    // broadcasts the checkpointed index when it is small; at scale it
-    // is an equi-join on the pair ids).
+  }
+
+  /** Stage 3: exact Jaccard on the full element-hash arrays (AQE
+    * broadcasts the checkpointed index when it is small; at scale it
+    * is an equi-join on the pair ids).
+    */
+  def verifyCandidates(withPre: DataFrame, cand: DataFrame,
+      theta: Double): DataFrame = {
     val sets = withPre.select(col("id"), col("els"))
     cand
       .join(sets.toDF("id_a", "ea"), "id_a")
