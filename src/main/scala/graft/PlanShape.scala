@@ -66,10 +66,14 @@ object PlanShape {
   }
 
   /** One finished streaming run's scale-relevant readout: the final
-    * micro-batch plan shape plus the last reported state-store totals.
+    * micro-batch plan shape plus the state-store totals — FINAL rows
+    * (what watermark eviction leaves behind: the end-state claim) and
+    * PEAK rows across every reported micro-batch (the in-flight bound:
+    * what an executor must actually hold while the stream runs).
     */
   final case class StreamRunInfo(
-      shape: Map[String, Int], stateRows: Long, stateBytes: Long)
+      shape: Map[String, Int], stateRows: Long, statePeakRows: Long,
+      stateBytes: Long)
 
   private val streamTelemetry =
     new java.util.concurrent.ConcurrentHashMap[String, StreamRunInfo]()
@@ -92,9 +96,13 @@ object PlanShape {
       if (exec == null) Map.empty[String, Int] else counts(exec.executedPlan)
     val sos = q.recentProgress.reverse
       .collectFirst { case p if p.stateOperators.nonEmpty => p.stateOperators }
+    val perBatch = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
     streamTelemetry.put(tag, StreamRunInfo(
       shape,
       sos.map(_.map(_.numRowsTotal).sum).getOrElse(-1L),
+      if (perBatch.nonEmpty) perBatch.max else -1L,
       sos.map(_.map(_.memoryUsedBytes).sum).getOrElse(-1L)))
   } catch { case scala.util.control.NonFatal(_) => () }
 

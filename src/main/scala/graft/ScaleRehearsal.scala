@@ -246,7 +246,7 @@ object ScaleRehearsal {
     // documented flips in the stateful path), and state rows are
     // reported so growth is visible (expected ~10x keys, bounded per
     // key by watermark eviction / fixed-size session state).
-    println(f"${"stream query"}%-26s ${"base_s"}%7s ${"x10_s"}%7s ${"ratio"}%6s  state rows (base->x10)  mem MiB  shape")
+    println(f"${"stream query"}%-26s ${"base_s"}%7s ${"x10_s"}%7s ${"ratio"}%6s  final rows (base->x10)  peak rows (base->x10)  mem MiB  shape")
     val sRows = StreamHeavy.map { case (name, tag) =>
       val (b, _) = measure(name, baseDir)
       val infoB = PlanShape.lastStreamRun(tag)
@@ -259,6 +259,7 @@ object ScaleRehearsal {
         else Some(s"micro-batch plan diverged: base=${infoB.shape} x10=${infoX.shape}")
       println(f"$name%-26s $b%7.2f $x%7.2f ${x / b}%6.2f  " +
         f"${infoB.stateRows}%8d -> ${infoX.stateRows}%-8d " +
+        f"${infoB.statePeakRows}%8d -> ${infoX.statePeakRows}%-8d " +
         f"${infoX.stateBytes / 1048576.0}%7.1f  ${verdict.getOrElse("same")}")
       (name, b, x, verdict)
     }
