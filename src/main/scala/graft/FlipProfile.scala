@@ -81,6 +81,13 @@ object FlipProfile {
       val (tPre, withPre) = timed {
         SetSimJoin.prefixIndexed(sig, "doc_id", "sh", 0.5)
       }
+      // NOTE: the candidates checkpoint exists only to time stages 3
+      // and 4 separately; the fused q106 pipeline never materializes
+      // this frame, so stage-4 attribution here runs the verify join
+      // over a checkpointed input rather than the fused plan. Stage
+      // RATIOS across scales remain comparable (both scales pay the
+      // same materialization); absolute stage-4 walls are not the
+      // production number — q106's own bench time is.
       val (tCand, candAndN) = timed {
         val c = SetSimJoin.prefixCandidates(withPre, 0.5)
           .localCheckpoint(true)
@@ -121,8 +128,13 @@ object FlipProfile {
     val x10 = profile(outDir)
     println(f"${"component"}%-20s ${"base_s"}%7s ${"x10_s"}%7s ${"t_ratio"}%7s ${"base_rows"}%10s ${"x10_rows"}%11s ${"r_ratio"}%7s")
     base.zip(x10).foreach { case (b, x) =>
-      println(f"${b.name}%-20s ${b.secs}%7.2f ${x.secs}%7.2f ${x.secs / b.secs}%7.2f " +
-        f"${b.rows}%10d ${x.rows}%11d ${x.rows.toDouble / b.rows}%7.2f")
+      // Zero-guard: a stage yielding 0 rows (or sub-ms wall) at base
+      // scale has no meaningful ratio — print "n/a" instead of
+      // NaN/Infinity.
+      def ratio(num: Double, den: Double): String =
+        if (den > 0) f"${num / den}%7.2f" else "    n/a"
+      println(f"${b.name}%-20s ${b.secs}%7.2f ${x.secs}%7.2f ${ratio(x.secs, b.secs)} " +
+        f"${b.rows}%10d ${x.rows}%11d ${ratio(x.rows.toDouble, b.rows.toDouble)}")
     }
     spark.stop()
   }

@@ -19,16447 +19,26 @@ import graft.sources.Tables
   * Scale notes are inline per query — broadcast hints on dimension
   * joins, partial aggregation shapes, TakeOrderedAndProject for top-k.
   */
-object Queries {
-
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") Tables.events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
-
-  /** Per-JVM scratch root for the source/sink round-trip queries
-    * (q96/q119/q128/q133): a FIXED path under java.io.tmpdir would be
-    * shared by concurrent processes (e.g. a Bench and a Verify on the
-    * same host), letting one JVM overwrite part files the other is
-    * mid-read — nondeterministic failures or, worse, a silently wrong
-    * aggregate. Lazy so non-roundtrip-only runs never create it.
-    */
-  private lazy val scratchRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_rt_").toString
-  private def scratch(name: String): String = s"$scratchRoot/$name"
-
-  /** The test tables are single-row-group files, so they scan as ONE
-    * partition and parquet cannot split them — any CPU-heavy map stage
-    * (tokenize/shingle/hash) would run on one core. This spreads the
-    * rows first; the tiny shuffle stands in for the multi-file layout
-    * a 100 TB corpus has naturally (where it would be a no-op and the
-    * repartition unnecessary). Used ONLY by text-pipeline queries
-    * whose per-row work dwarfs the row bytes.
-    */
-  private def tWide(spark: SparkSession, dir: String, name: String): DataFrame =
-    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
-
-  /** Weighted co-occurrence edges (u < v, DISTINCT, w = number of
-    * orders containing both parts) of the lineitem basket graph,
-    * shared by the graph pillar queries
-    * (q153/q162/q165/q166/q212/q230/q244/q255/q301). The SORTED
-    * basket + posexplode + tail-slice emits exactly C(k,2) pairs per
-    * order in ONE map-side-combined shuffle — half the rows of the
-    * double-explode + u<v filter form, no post-filter, and cheaper
-    * than the distinct→self-join→count chain (3 shuffles + 2 sorts);
-    * per-order fan-out bounded by basket size (≤21 at TPC-H's ≤7
-    * items/order); the (u,v) rollup is a second map-side-combined
-    * shuffle on the pair key.
-    *
-    * STAGED once per dataset dir (the `stagedParquet` pattern the
-    * streaming topics use): ~9 graph queries consume this same frame,
-    * and before staging each rebuilt the basket explode from lineitem
-    * on every run — the single biggest block of the bench's resident
-    * cost. Now the first consumer in a JVM pays the build + a small
-    * parquet write (edge grain, 3 int64 columns — ~1/40 of the pair
-    * stream it replaces) and every later run is a columnar scan. On a
-    * real cluster this is exactly "materialize the shared edge list
-    * per corpus snapshot" — the edge frame is dataset-derived, so
-    * per-dir keying keeps sf0.001/sf0.01/sf0.1 isolated.
-    */
-  private def basketPairsW(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedParquet(s"bp|$dir") { out =>
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-        .select(col("ps"), posexplode(col("ps")))
-        .select(col("col").as("u"),
-          explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .write.mode("overwrite").parquet(out)
-    }
-    s.read.parquet(staged)
-  }
-
-  /** The distinct canonical edge set (u < v) — basketPairsW minus the
-    * weight. Already distinct by construction, so consumers must NOT
-    * re-distinct (that would be a pure-overhead shuffle).
-    */
-  private def basketPairs(s: SparkSession, dir: String): DataFrame =
-    basketPairsW(s, dir).select("u", "v")
-
-  /** Degree-oriented adjacency (node, d, sorted out-nbr array) of the
-    * basket graph — [[basketPairsW]]'s staging applied one level up
-    * the triangle pipeline: q153 (census) and q212 (per-node LCC)
-    * both start from this identical frame, and each previously
-    * re-ran the degree aggregation and both orientation joins per
-    * run. n rows / m total entries — SMALLER than the edge list it
-    * derives from; per-dir keying isolates the SFs, and on a cluster
-    * this is "materialize the oriented adjacency per corpus
-    * snapshot", the layout triangle systems keep beside the edges.
-    */
-  private def basketAdjacency(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedParquet(s"adjO|$dir") { out =>
-      operators.Triangles.adjacency(basketPairs(s, dir), "u", "v",
-          assumeCanonical = true) // staged edge frame is (u < v, distinct)
-        .write.mode("overwrite").parquet(out)
-    }
-    s.read.parquet(staged)
-  }
-
-  /** MinHash-LSH near-dup pairs (id_a < id_b, exact jaccard ≥ 0.5) of
-    * the FULL documents corpus at the standard dial (3-shingles, 32
-    * hashes, 16 bands) — [[basketPairsW]]'s staging precedent applied
-    * to the DOC-graph pillar: q23/q53/q158/q309 all consume this
-    * identical frame and each previously re-ran the whole
-    * shingle→signature→band-join→re-rank build per run. Staged once
-    * per dataset dir; the pair frame is tiny (near-dup pairs only).
-    * q342 does NOT share it — its LSH runs over the quality-gated
-    * subset, a different input by design.
-    */
-  private def lshPairsStaged(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedParquet(s"lshp|$dir") { out =>
-      graft.operators.Dedup.minhashLshPairs(
-        tWide(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
-        .write.mode("overwrite").parquet(out)
-    }
-    s.read.parquet(staged)
-  }
-
-  /** The hashed word-trigram set per document — (doc_id,
-    * array<xxhash64(shingle)>) at the corpus-standard 3-shingle dial —
-    * STAGED once per dataset dir: q36 (pairwise Jaccard) and q106
-    * (PPJoin prefix self-join) both start from this identical frame,
-    * and the tokenize+shingle+hash pass over the full text column is
-    * their dominant map cost. On a cluster: "materialize the shingle
-    * signature table per corpus snapshot" — the representation every
-    * set-similarity pipeline keeps beside the raw text anyway.
-    */
-  private def shingle3Staged(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedParquet(s"sh3|$dir") { out =>
-      tWide(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.expr.ShingleExpression.shingleHashes(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) >= 1)
-        .write.mode("overwrite").parquet(out)
-    }
-    s.read.parquet(staged)
-  }
-
-  /** E6: TPC-H Q1-shaped hash aggregation — partial+final agg, no join.
-    * At 100 TB: map-side combine reduces the shuffle to
-    * |groups|·|partitions| rows; grouping keys are low-cardinality.
-    */
-  def q01_agg_pricing(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
-
-  /** E2: broadcast hash join through two tiny dims (region/nation are
-    * KB-sized at any SF — always broadcast; no shuffle of customer).
-    */
-  def q02_join_broadcast(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .groupBy("r_name")
-      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("acctbal"))
-      .orderBy("r_name")
-
-  /** E3: large-side equi-join (orders⋈lineitem) — shuffle join on the
-    * fact keys; AQE picks SMJ/SHJ. At 100 TB both sides co-partition on
-    * orderkey; bucketing either table would remove the shuffle.
-    */
-  def q03_join_fact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
-
-  /** E10: window ranking — top 3 orders per priority. Single shuffle on
-    * the partition key; rank pushdown (WindowGroupLimit) keeps only 3
-    * rows per key per partition before the sort at scale.
-    */
-  def q04_window_rank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    t(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
-      .orderBy("o_orderpriority", "rn")
-  }
-
-  /** E12: global top-k — plans as TakeOrderedAndProject (per-partition
-    * heap + driver merge of k·p rows, never a full sort) at any scale.
-    */
-  def q05_topk_orders(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select("o_orderkey", "o_totalprice")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(10)
-
-  /** E19: exact dedup on documents.text — expressed as keep-min-id per
-    * text group (deterministic, unlike dropDuplicates' arbitrary row).
-    * At 100 TB: pre-hash the text (`xxhash64`) so the shuffle key is 8
-    * bytes, not the document body — see q19 variants in later rounds.
-    */
-  def q06_dedup_exact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupBy("text")
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dupes"))
-      .select("doc_id", "dupes")
-      .orderBy("doc_id")
-
-  /** E21: tokenize + word count, top 20 — the fused native tokenizer
-    * (graft.expr.Tokens: one scan, no regex, no empties) feeds the
-    * explode inside one codegen stage; the agg shuffles only distinct
-    * words (map-side combine), top-k is TakeOrderedAndProject.
-    */
-  def q07_text_wordcount(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc)
-      .limit(20)
-
-  /** E20: brute-force cosine top-k against the vec_id=0 query vector.
-    * The probe vector broadcasts (single-row cross join); similarity is
-    * pure codegen'd array math (`zip_with`+`aggregate`, no UDF); top-k
-    * is TakeOrderedAndProject. At 100 TB this is the exact-scan
-    * baseline; LSH/IVF variants land in later rounds.
-    */
-  def q08_cosine_topk(s: SparkSession, dir: String): DataFrame = {
-    val emb = tWide(s, dir, "embeddings")
-    graft.operators.Dedup.cosineTopK(
-      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      probe = emb.filter(col("vec_id") === 0), k = 10)
-      .withColumnRenamed("id", "vec_id")
-  }
-
-  /** E4: left outer + left semi + left anti joins. Customers with/without
-    * orders. Semi/anti plan as broadcast/shuffled hash joins with
-    * early-out probes — no row expansion at scale.
-    */
-  def q09_join_left(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("n_orders"))
-    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), lit(1).as("has_orders"))
-    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), lit(0).as("has_orders"))
-    withO.join(semi.union(anti), "c_custkey")
-      .orderBy("c_custkey")
-  }
-
-  /** E5: range/banded join — lineitem quantity against a tiny literal
-    * band dimension (broadcast nested-loop; the band table is 5 rows at
-    * any scale, so the BNLJ is really a map-side lookup).
-    */
-  def q10_join_range(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bands = Seq(("b00_10", 0.0, 10.0), ("b10_20", 10.0, 20.0),
-      ("b20_30", 20.0, 30.0), ("b30_40", 30.0, 40.0), ("b40_50", 40.0, 50.0))
-      .toDF("band", "lo", "hi")
-    t(s, dir, "lineitem")
-      .join(broadcast(bands), col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
-      .groupBy("band")
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("price"))
-      .orderBy("band")
-  }
-
-  /** E7: distinct + count-distinct. The distinct pair listing shuffles
-    * only the (flag,status) pairs after map-side partial dedup.
-    */
-  def q11_distinct(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    li.select("l_returnflag", "l_linestatus").distinct()
-      .crossJoin(broadcast(
-        li.agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"))))
-      .orderBy("l_returnflag", "l_linestatus")
-  }
-
-  /** E9: rollup — subtotals + grand total. NULLS FIRST ordering matches
-    * Spark's asc default; DuckDB needs it spelled out.
-    */
-  def q12_rollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-
-  /** E11: analytic window — per-customer running order total (ROWS
-    * frame ⇒ summation order is frame-defined, so rounding is safe) and
-    * the previous order's price via lag.
-    */
-  def q13_window_running(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-    t(s, dir, "orders")
-      .select(
-        col("o_custkey"), col("o_orderkey"),
-        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-          .as("running_total"),
-        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
-        round(lead("o_totalprice", 1).over(w), 2).as("next_price"))
-      .orderBy("o_custkey", "o_orderkey")
-  }
-
-  /** E13: set operations — union all / intersect / except on key sets.
-    * Intersect/except plan as semi/anti joins after partial distinct.
-    */
-  def q14_setops(s: SparkSession, dir: String): DataFrame = {
-    val custWithOrders = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
-    val allCust = t(s, dir, "customer").select(col("c_custkey").as("k"))
-    val both = custWithOrders.intersect(allCust).select(col("k"), lit("both").as("src"))
-    val orphan = custWithOrders.except(allCust).select(col("k"), lit("orphan").as("src"))
-    val inactive = allCust.except(custWithOrders).select(col("k"), lit("inactive").as("src"))
-    both.union(orphan).union(inactive)
-      .groupBy("src").agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
-      .orderBy("src")
-  }
-
-  /** E14: string functions — lower/upper, substring, concat, length,
-    * LIKE, regexp_extract. All codegen'd builtins.
-    */
-  def q15_strings(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .filter(col("c_name").like("%1%"))
-      .select(
-        col("c_custkey"),
-        lower(col("c_name")).as("lname"),
-        upper(col("c_mktsegment")).as("useg"),
-        substring(col("c_name"), 1, 8).as("prefix"),
-        length(col("c_name")).as("len"),
-        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
-        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
-      .orderBy("c_custkey")
-
-  /** E15: date/time functions — year/month/day, date_trunc, datediff
-    * against a fixed anchor. All partition-prunable at scale when the
-    * table is date-partitioned.
-    */
-  def q16_dates(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(
-        col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
-        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
-      .orderBy("o_orderkey")
-
-  /** E16: math functions over lineitem measures. */
-  def q17_math(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_linenumber") === 1)
-      .select(
-        col("l_orderkey"),
-        round(abs(col("l_extendedprice") * lit(-1)), 2).as("abs_price"),
-        round(pow(col("l_discount") + lit(1), 2), 6).as("disc_sq"),
-        ceil(col("l_quantity")).as("qty_ceil"),
-        floor(col("l_tax") * lit(100)).as("tax_pct"),
-        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
-        (col("l_partkey") % lit(7)).as("pk_mod"))
-      .orderBy("l_orderkey")
-
-  /** E17: JSON extraction from the events.props string column —
-    * `get_json_object` stays inside codegen; at scale prefer parsing
-    * once (`from_json`) when multiple keys are pulled.
-    */
-  def q18_json(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .groupBy("k")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("k")
-
-  /** E18: array functions over embeddings — size, element_at, lambda
-    * filter/aggregate. All codegen'd; no UDFs.
-    */
-  def q19_arrays(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(
-        col("vec_id"),
-        size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 6).as("first"),
-        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
-        round(aggregate(transform(col("embedding"), _.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("vsum"))
-      .orderBy("vec_id")
-
-  /** E8: HLL approx distinct, ORACLE-JUDGED via the tolerance-flag
-    * pattern (the raw HLL value is engine-specific, so it cannot be
-    * hash-compared — but its ACCURACY CONTRACT can): the judged frame
-    * carries the EXACT distinct counts (hash-checked against DuckDB)
-    * plus booleans asserting the HLL estimate landed within the
-    * documented 5% relative error (Spark's default relativeSD = 0.05),
-    * which the oracle pins to literal `true`. A drifting or broken
-    * sketch flips a flag and fails the hash. The estimate itself still
-    * rides the plan (partial-aggregated HLL buffers — the mergeable
-    * form q132 extends with DataSketches).
-    */
-  def q20_approx_distinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        approx_count_distinct(col("l_partkey")).as("apx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("apx_supps"))
-      .select(col("n_parts"), col("n_supps"),
-        (abs(col("apx_parts") - col("n_parts")).cast("double") / col("n_parts")
-          <= 0.05).as("parts_apx_ok"),
-        (abs(col("apx_supps") - col("n_supps")).cast("double") / col("n_supps")
-          <= 0.05).as("supps_apx_ok"))
-
-  import graft.functions.TextFunctions
-  import graft.operators.Dedup
-
-  /** North-star text analysis: language-ID + quality scoring per doc
-    * (heuristic stopword profiles; Gopher/C4-style signals). One
-    * narrow projection — no shuffle until the final order.
-    */
-  def q21_lang_quality(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      // tokens in their own projection: every downstream expression
-      // references the attribute, so the (interpreted) split+filter
-      // runs once per row, not once per reference
-      .select(col("doc_id"), col("lang"), col("text"),
-        TextFunctions.tokens(col("text")).as("toks"))
-      .select(
-        Seq(col("doc_id"), col("lang").as("tagged_lang"),
-          TextFunctions.languageId(col("toks")).as("pred_lang")) ++
-          TextFunctions.qualityColumns(col("text"), col("toks")): _*)
-      .orderBy("doc_id")
-
-  /** North-star token counting: whitespace / BPE-ish / alnum / est. */
-  def q22_token_counts(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(Seq(col("doc_id")) ++ TextFunctions.tokenCounts(col("text")): _*)
-      .orderBy("doc_id")
-
-  /** North-star MinHash+LSH near-dup detection: shingle → 32-hash
-    * signature → 16 bands → bucket join → exact-Jaccard re-rank at
-    * threshold 0.5. The data's planted near-dups all sit at
-    * jaccard >= 0.9 with nothing in (0.1, 0.9), so LSH recall here is
-    * 1 - ~1e-11 and the exact all-pairs SQL oracle is safe. At scale
-    * the shuffle carries only (band_key, id, shingles) — never bodies.
-    */
-  def q23_dedup_minhash(s: SparkSession, dir: String): DataFrame =
-    lshPairsStaged(s, dir)
-      .orderBy("id_a", "id_b")
-
-  /** SimHash fingerprint pair-distance histogram over a bounded probe
-    * set (first 50 docs): demonstrates the 64-bit sketch + Hamming
-    * path. Hash-based — no SQL oracle (rows-only driver check);
-    * construction-based ground truth lives in LlmOpsSpec.
-    */
-  def q24_simhash_hamming(s: SparkSession, dir: String): DataFrame = {
-    val fps = t(s, dir, "documents").filter(col("doc_id") < 50)
-      .select(col("doc_id"),
-        TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("fp"))
-    val a = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(TextFunctions.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-      .orderBy("hamming")
-  }
-
-  /** North-star embedding near-dup, exact threshold join (the
-    * verification baseline; quadratic COMPUTE by definition, but the
-    * benched form is the triangle-BLOCKED equi-join — bounded cells a
-    * cluster can schedule, no CartesianProduct in the plan. Vectors
-    * are pre-normalized so the pair stage is one fused dot product.
-    * The naive crossJoin form survives as the LlmOpsSpec differential
-    * only.
-    */
-  def q25_embed_neardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsExactBlocked(tWide(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
-      .orderBy("id_a", "id_b")
-
-  /** BANDED hyperplane-LSH embedding near-dup (the scale path for
-    * very-near duplicates), ORACLE-JUDGED against the exact all-pairs
-    * SQL — q23's planted-gap structure applied to embeddings: every
-    * base vector gets a deterministic arithmetic TWIN (id+100000,
-    * each component nudged by ±0.03 from exact integer hashing — SQL-
-    * expressible, so DuckDB builds the identical corpus), planting one
-    * near-dup pair per vector at cosine 0.985–0.989 while the
-    * synthetic background tops out near 0.55 — nothing in between. At
-    * 8 planes × 24 tables a planted pair misses every table with
-    * probability ~2e-11 (and the plane matrix is derived from the
-    * deterministic splitmix64 finalizer — [[graft.expr.Splitmix]] via
-    * Dedup.planeMatrix — so recall on THIS corpus is a fixed fact the oracle
-    * compare pins at every SF), so the exact all-pairs oracle at
-    * threshold 0.95 is safe — the q34/q152 judged-at-the-exact-dial
-    * pattern. Candidates-first: bucket joins carry 16-byte rows, the
-    * exact re-rank runs once per deduped candidate
-    * ([[graft.operators.Dedup.embeddingPairsLshBanded]]).
-    */
-  def q26_embed_neardup_lsh(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val twins = base.select((col("vec_id") + 100000).as("vec_id"),
-      zip_with(col("v"), sequence(lit(0), lit(63)), (x, j) =>
-        x + lit(0.015) *
-          ((col("vec_id") * 31 + j.cast("long") * 7) % 5 - 2).cast("double")).as("v"))
-    Dedup.embeddingPairsLshBanded(base.unionByName(twins), "vec_id", "v",
-      dim = 64, threshold = 0.95, numPlanes = 8, tables = 24)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Winnowing fingerprints (MOSS-style sliding-min sketch): per-doc
-    * fingerprint cardinality for a bounded set — ORACLE-JUDGED on the
-    * md5 gram-hash dial (q194's precedent: DuckDB computes the same
-    * md5 hex strings, so the sliding-window min + distinct count is
-    * reproducible SQL; `least` on hex strings = the same lexicographic
-    * order both engines use). The production dial stays xxhash64
-    * (8-byte sketches — LlmOpsSpec pins its overlap behavior); the
-    * winnowing algebra is identical, only the gram hash is swapped.
-    */
-  def q27_fingerprints(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents").filter(col("doc_id") < 100)
-      .select(col("doc_id"),
-        size(TextFunctions.fingerprints(col("text"), k = 5, window = 4,
-          gramHash = md5(_))).cast("long").as("n_fp"))
-      .orderBy("doc_id")
-
-  /** E22: tumbling-window aggregation on event time (the batch
-    * equivalent of the streaming `window()` group — same expression
-    * runs under readStream+watermark; see StreamingSpec).
-    */
-  def q28_window_tumble(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
-      .orderBy("wstart", "event_type")
-
-  /** E24: session windows (6h inactivity gap) per user via
-    * `session_window` — DuckDB oracle is the gaps-and-islands rewrite.
-    */
-  def q29_sessions(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
-      .select(col("user_id"), col("w.start").as("s_start"), col("n_events"), col("total"))
-      .orderBy("user_id", "s_start")
-
-  /** E23: dedup-by-key with deterministic keeper (streaming
-    * `dropDuplicates` batch equivalent — keeps min event per key).
-    */
-  def q30_dedup_keyed(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("user_id", "event_type")
-      .agg(min("event_id").as("first_event"), count(lit(1)).as("n"))
-      .orderBy("user_id", "event_type")
-
-  /** E9 (cube half): full cross-tab subtotals. */
-  def q31_cube(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
-
-  /** E22 (sliding half): 2-day windows sliding by 1 day — every event
-    * lands in exactly two overlapping buckets.
-    */
-  def q32_window_slide(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
-      .orderBy("wstart", "event_type")
-
-  /** North-star multimodal: typed metadata over binary payload columns.
-    * Payload bytes stay executor-side; only per-kind metadata aggregates
-    * leave. The byte-size column is oracle-able (octet_length of the
-    * source text); decoded features are covered by LlmOpsSpec.
-    */
-  def q33_media_meta(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Multimodal
-    Multimodal.syntheticMedia(s, s"$dir/documents.parquet").toDF()
-      .groupBy("kind")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(length(col("payload"))).as("total_bytes"),
-        sum("duration_ms").as("total_ms"))
-      .orderBy("kind")
-  }
-
-  /** North-star ANN, IVF scale path: 16-cell inverted file built by
-    * the full k-means machinery (deterministic hash-sample seeds + 2
-    * Lloyd rounds), searched at nProbe = nCentroids — the EXACT
-    * configuration of the IVF dial (FAISS's nprobe=nlist), which makes
-    * the output the true cosine top-k and therefore ORACLE-JUDGED
-    * against the same SQL as q08 (normalize-then-dot arithmetic
-    * mirrored on both sides). The judged surface is the whole
-    * build+search pipeline: a centroid bug that mis-assigned vectors
-    * or a search bug that dropped a cell breaks the hash. The PRUNED
-    * dial (nProbe=4, ~1/4 of the corpus scanned, recall<1 by design)
-    * stays judged by AnnIvfSpec's recall-vs-exact ground truth, and
-    * its on-disk PartitionFilters form by q152/AnnIvfSpec.
-    */
-  def q34_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.AnnIvf
-    val emb = t(s, dir, "embeddings")
-    // Normalize ONCE and share: the seed sample, both Lloyd rounds, and
-    // the final assignment all read this cached frame (the compose-by-
-    // name form re-ran the per-row sqrt+divide corpus scan 4×). Lazy
-    // persist — released by Bench/Verify session hygiene.
-    val normed = AnnIvf.normalized(emb, "vec_id", "embedding")
-      .persistTracked()
-    val cents = AnnIvf.centroidsNormed(normed, nCentroids = 16)
-    val index = AnnIvf.assignNormed(normed.filter(col("id") =!= 0), cents)
-    AnnIvf.search(index, cents,
-      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding",
-      k = 10, nProbe = 16) // nProbe = nCentroids: the exact dial (oracle-judged)
-  }
-
-  /** The reference's computational core (S2→S6: JSON decode → validate
-    * → coerce) run at benchmark scale: events re-serialized to JSON
-    * payloads (simulating Kafka values; µs timestampFormat so the
-    * round-trip is lossless) and pushed through the full pipeline. All
-    * rows are clean → the oracle is the identity projection, verifying
-    * every coercion branch preserves values exactly. This is the
-    * throughput-comparable analogue of the reference's 25k-msg batches.
-    */
-  def q35_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.PipelineConfig
-    import graft.pipeline.Pipeline
-    import graft.types.CHType
-    val events = Tables.events(s, dir)
-    // The test parquet is one row group → a 1-partition scan; without
-    // this the whole decode→validate→coerce pipeline runs on ONE core
-    // (a Kafka source would arrive partitioned, so this shuffle stands
-    // in for the source's natural parallelism).
-    val asJson = events.repartition(s.sparkContext.defaultParallelism)
-      .select(
-        to_json(
-          struct(events.columns.map(col): _*),
-          java.util.Map.of("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .as(Pipeline.ValueCol))
-    val metas = events.schema.fields.toSeq.map(f =>
-      CHType.columnMeta(f.name, CHType.fromSpark(f.dataType)))
-    val cfg = PipelineConfig(
-      required = Seq("event_id", "ts"),
-      datetimeCols = Set("ts"),
-      stringEnumCols = Set.empty,
-      // per-row semantics; skips the batch-presence driver collect
-      compatBatchPresence = false)
-    // share=true is load-bearing: the persisted parse is an optimizer
-    // barrier. Without it, PushDownPredicate inlines the (30-reference)
-    // error expression into the Filter below the parse projection and
-    // FilterExec re-evaluates to_json+parse_json per reference — 10×
-    // slower, measured. This is also the orchestrator's real shape.
-    Pipeline.process(asJson, metas, cfg, share = true).valid
-      .orderBy("event_id")
-  }
-
-  /** North-star n-gram Jaccard as a standalone judged operator:
-    * word-trigram similarity over a deterministic pair set (every 5th
-    * doc against its successor) — the same `jaccard` primitive the
-    * MinHash re-rank uses, here with a direct SQL oracle.
-    */
-  def q36_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    // Fused hashed shingle sets (see q106): Jaccard over distinct
-    // hashes == Jaccard over shingle strings absent a 64-bit collision.
-    // Reads the per-dir staged signature table (shingle3Staged).
-    val sh = shingle3Staged(s, dir)
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      .filter(col("id_a") % 5 === 0)
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_b") === col("id_a") + 1)
-      .select(col("id_a"), col("id_b"),
-        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-      .orderBy("id_a")
-  }
-
-  /** Skew-mitigation salted join, verified against the plain-join
-    * oracle: hot o_custkey values spread across 8 salted reducers with
-    * row-identical results.
-    */
-  def q37_skew_salted(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Skew
-    val fact = t(s, dir, "orders").withColumnRenamed("o_custkey", "k")
-    val dim = t(s, dir, "customer").withColumnRenamed("c_custkey", "k")
-    Skew.saltedJoin(fact, dim, "k", factor = 8)
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .orderBy("c_mktsegment")
-  }
-
-  /** Backward as-of join (operators/AsOfJoin): each purchase event gets
-    * the user's most recent prior-or-simultaneous click. One shuffle on
-    * user_id — union+window, never a per-pair range join. Unmatched
-    * rows take sentinel defaults (epoch / -1 / 0.0) in BOTH engines so
-    * the hash compare never meets engine-specific null stringification.
-    */
-  def q38_asof_join(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.AsOfJoin
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("user_id", "ts", "event_id", "value")
-    AsOfJoin.backward(purchases, clicks,
-      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
-      rightTieCol = "event_id", rightPrefix = "click_")
-      .select(
-        col("event_id"), col("user_id"), col("ts"),
-        coalesce(col("click_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"),
-        coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
-        coalesce(col("click_value"), lit(0.0)).as("click_value"))
-      .orderBy("event_id")
-  }
-
-  /** Custom streaming state (flatMapGroupsWithState) run in batch mode:
-    * the same open-session state machine that powers the streaming
-    * path (StreamingWindowSpec) here folds full per-user histories —
-    * and must hash-match the q29 gaps-and-islands SQL oracle.
-    */
-  def q39_sessions_stateful(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.StatefulSessions
-    val ev = StatefulSessions.project(
-      t(s, dir, "events"), "user_id", "event_id", "ts", "value")
-    StatefulSessions.sessionizeBatch(ev, gapUs = 6L * 3600 * 1000000).toDF()
-      .select(col("key").as("user_id"),
-        timestamp_micros(col("startUs")).as("s_start"),
-        col("n_events"), round(col("total"), 2).as("total"))
-      .orderBy("user_id", "s_start")
-  }
-
-  /** Exact percentiles (continuous interpolation) per group — single
-    * partial+final agg pass; `percentile` keeps per-group value buffers
-    * so at 100 TB the approx sketch (q20's HLL cousin,
-    * `percentile_approx`) is the scale path; this is the exact
-    * verification baseline.
-    */
-  /** DISCRETE (type-1) quantiles for the cross-engine oracle: the
-    * picked values are raw data values — no interpolation — because
-    * interpolated doubles land on round-half boundaries where DuckDB's
-    * float-path `round` and Spark's BigDecimal `round` disagree by one
-    * cent (seen at sf0.001). The CONTINUOUS operators
-    * (`Quantiles.exactByGroup`/`exactByGroupHistogram`) are verified
-    * against Spark's builtin in AsOfJoinSpec instead, where both sides
-    * share one FP world. Same scale shape: rank via a spillable sort
-    * window, no per-group value buffer.
-    */
-  def q40_quantiles(s: SparkSession, dir: String): DataFrame = {
-    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
-    val li = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    val aggs = ps.map { case (name, p) =>
-      max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))),
-        col("l_extendedprice"))).as(name)
-    }
-    li.groupBy("l_returnflag")
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy("l_returnflag")
-  }
-
-  /** Deterministic stratified sampling: fixed-size per-stratum sample
-    * ordered by a multiplicative hash of the id — reproducible across
-    * engines AND across runs/cluster sizes (no RNG, no partition-order
-    * dependence), which is what a training-data pipeline needs for
-    * auditable corpus draws. One shuffle on the stratum key.
-    */
-  def q41_sample_stratified(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
-      .select("lang", "doc_id", "rn")
-      .orderBy("lang", "rn")
-  }
-
-  /** Training-corpus assembly — the end-to-end curation composition:
-    * tokenize → quality gate → exact dedup (keep min doc_id per text)
-    * → greedy token-budget cut (cumulative tokens by doc_id). Each
-    * stage is one declarative op; the only shuffles are the dedup
-    * window and the final global running sum. At 100 TB the budget cut
-    * runs per-shard (salted budget) or via a two-pass prefix-sum; the
-    * greedy-by-id form here is the auditable deterministic spec.
-    */
-  def q42_corpus_filter(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val toks = TextFunctions.tokens(col("text"))
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"), size(toks).as("n_tokens"))
-      .filter(col("n_tokens").between(5, 1000))
-    val dedupW = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
-    val deduped = docs
-      .withColumn("rn", row_number().over(dedupW))
-      .filter(col("rn") === 1)
-      .select("doc_id", "lang", "n_tokens")
-    // Budget cut via PrefixSum: cost-based — at test SFs Catalyst's
-    // size estimate picks the single-partition window (optimal small),
-    // past the threshold the two-pass distributed scan kicks in.
-    PrefixSum.runningTotal(deduped, "doc_id", "n_tokens", "cum_tokens")
-      .filter(col("cum_tokens") - col("n_tokens") < 10000)
-      .select("doc_id", "lang", "n_tokens", "cum_tokens")
-      .orderBy("doc_id")
-  }
-
-  /** Pivot with EXPLICIT value list — compiles to one partial+final
-    * aggregation (no values-discovery job, which an implicit pivot
-    * would add and which cannot run at 100 TB).
-    */
-  def q43_pivot(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_orderpriority")
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(count(lit(1)))
-      .select(col("o_orderpriority"), col("F").as("n_f"),
-        col("O").as("n_o"), col("P").as("n_p"))
-      .orderBy("o_orderpriority")
-
-  /** Interval join (operators/IntervalJoin): purchase–click pairs of
-    * the same user within 30 minutes, via time-binned equi-join —
-    * shuffle keys are (user, bin), never a BNLJ range condition.
-    */
-  def q44_interval_join(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.IntervalJoin
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("user_id", "ts", "event_id")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("user_id", "ts", "value")
-    IntervalJoin.within(purchases, clicks,
-      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
-      deltaUs = 30L * 60 * 1000000, rightPrefix = "click_")
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        round(sum("click_value"), 2).as("click_total"))
-      .orderBy("user_id")
-  }
-
-  /** Incremental dedup: drop new documents whose body already exists
-    * in the historical corpus — ONE left-anti join keyed on a 128-bit
-    * content hash, so the shuffle carries 24 bytes/row, never bodies.
-    * (The oracle anti-joins on the text itself — identical result
-    * absent a 2⁻¹²⁸ hash collision; q06's precedent.)
-    */
-  def q45_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    def hashed(df: DataFrame) = df.select(
-      col("doc_id"), col("lang"),
-      xxhash64(col("text")).as("__h1"), xxhash64(col("text"), lit(7)).as("__h2"))
-    val history = hashed(docs.filter(col("doc_id") < 250))
-    val fresh = hashed(docs.filter(col("doc_id") >= 250))
-    fresh.join(history, Seq("__h1", "__h2"), "left_anti")
-      .groupBy("lang").agg(count(lit(1)).as("n_new"))
-      .orderBy("lang")
-  }
-
-  /** Grouped array aggregation: distinct order statuses per priority,
-    * sorted then string-joined so row values are engine-stable (raw
-    * array stringification differs between engines).
-    */
-  def q46_collect(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
-        countDistinct(col("o_orderstatus")).as("n_statuses"))
-      .orderBy("o_orderpriority")
-
-  /** Blocklist redaction — the shape of PII scrubbing over a training
-    * corpus (same regexp machinery; the synthetic corpus carries no
-    * PII so the blocklist stands in): count and remove matches in one
-    * projection, all codegen'd, no UDF.
-    */
-  def q47_scrub(s: SparkSession, dir: String): DataFrame = {
-    val pat = "\\b(customer|spark)\\b"
-    tWide(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        regexp_count(col("text"), lit(pat)).as("n_redacted"),
-        length(regexp_replace(col("text"), pat, "[REDACTED]")).as("scrubbed_len"))
-      .filter(col("n_redacted") > 0)
-      .orderBy("doc_id")
-  }
-
-  /** Tokenizer-vocabulary build + coverage: top-V words by frequency
-    * (TakeOrderedAndProject — never a global rank window; vocab ≪
-    * corpus by Heaps' law so the top-k heap is the scale path), then
-    * corpus coverage of that vocab. One wordcount shuffle feeds both.
-    */
-  def q48_vocab(s: SparkSession, dir: String): DataFrame = {
-    val counts = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val vocab = counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
-    vocab.agg(count(lit(1)).as("n_vocab"), sum("cnt").as("covered_tokens"))
-      .crossJoin(counts.agg(sum("cnt").as("total_tokens")))
-      .select(col("n_vocab"), col("total_tokens"), col("covered_tokens"),
-        round(col("covered_tokens") / col("total_tokens"), 4).as("coverage"))
-  }
-
-  /** Benchmark decontamination: eval docs (deterministic id slice)
-    * versus the training split by shared 5-gram shingles. The join key
-    * is the 8-byte shingle hash — the shuffle never carries shingle
-    * strings (oracle joins the strings; identical absent a collision).
-    */
-  def q49_contamination(s: SparkSession, dir: String): DataFrame = {
-    // explode(fused shingle-hash set) — one codegen pass per doc; the
-    // exploded values are exactly xxhash64(shingle string), so the
-    // join/groupBy below (order-insensitive) are unchanged.
-    val sh = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(graft.expr.ShingleExpression.shingleHashes(col("text"), 5)).as("h"))
-    val evalSide = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_id"), col("h"))
-    val trainSide = sh.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id").as("train_id"), col("h"))
-    evalSide.join(trainSide, Seq("h"))
-      .groupBy("eval_id")
-      .agg(countDistinct(col("train_id")).as("n_contaminating"))
-      .orderBy("eval_id")
-  }
-
-  /** Time-series resampling to OHLC candles: per (user, day) the
-    * first/last (by event time, id-tiebroken) and min/max values.
-    * first/last via one ranking window each direction — deterministic
-    * where `first_value`/`min_by` tie-breaking is not; min/max ride the
-    * same aggregation. One shuffle on (user, day).
-    */
-  def q50_ohlc(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), to_date(col("ts")).as("day"),
-        col("ts"), col("event_id"), col("value"))
-    val asc = Window.partitionBy(col("user_id"), col("day"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val desc = Window.partitionBy(col("user_id"), col("day"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    ev.withColumn("rn_f", row_number().over(asc))
-      .withColumn("rn_l", row_number().over(desc))
-      .groupBy("user_id", "day")
-      .agg(
-        round(max(when(col("rn_f") === 1, col("value"))), 2).as("open"),
-        round(max(col("value")), 2).as("high"),
-        round(min(col("value")), 2).as("low"),
-        round(max(when(col("rn_l") === 1, col("value"))), 2).as("close"),
-        count(lit(1)).as("n_events"))
-      .orderBy("user_id", "day")
-  }
-
-  /** Calendar gap-fill with forward fill: generate each user's full
-    * daily span (`sequence`+`explode` — executor-side row generation,
-    * no driver loop), left-join the actual daily totals, carry the
-    * last seen value across gaps with `last(_, ignoreNulls)`. Shuffles:
-    * the daily agg and the per-user fill window — both on user_id, so
-    * AQE reuses one exchange.
-    */
-  def q51_gapfill(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("day_total"))
-    val calendar = daily.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val fillW = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    calendar.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
-        last(col("day_total"), ignoreNulls = true).over(fillW).as("filled_total"),
-        col("day_total").isNull.cast("int").as("is_gap"))
-      .orderBy("user_id", "day")
-  }
-
-  /** Map-typed JSON handling (the SURVEY §1.2 `from_json`/`MapType`
-    * path): props parsed ONCE into map<string,bigint>, entries exploded
-    * executor-side, aggregated per key — the schema-free counterpart to
-    * q18's path extraction (which re-parses per key pulled).
-    */
-  def q52_props_map(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, MapType, StringType}
-    t(s, dir, "events")
-      .select(from_json(col("props"), MapType(StringType, LongType)).as("m"))
-      .select(explode(col("m")).as(Seq("key", "value")))
-      .groupBy("key")
-      .agg(count(lit(1)).as("n"), sum("value").as("total"))
-      .orderBy("key")
-  }
-
-  /** Near-dup CLUSTERING — the dedup endgame: pair detection (q23)
-    * yields edges, but keep-one-per-group needs the transitive
-    * closure (A~B, B~C collapse together even when A~C never met an
-    * LSH band). Connected components via iterative min-label
-    * propagation (operators/Components); the oracle is DuckDB's
-    * recursive-CTE transitive closure over the exact-Jaccard pair
-    * graph (identical to the LSH pairs at this threshold — q23's
-    * proven separation).
-    */
-  def q53_dedup_components(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Components
-    val pairs = lshPairsStaged(s, dir)
-    Components.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component"),
-        (col("id") === col("component")).cast("int").as("is_canonical"))
-      .orderBy("doc_id")
-  }
-
-  /** E10/E11 long tail: distribution-analytic window functions —
-    * ntile quartiles, percent_rank, cume_dist, nth_value. pct_rank and
-    * cume are emitted UNROUNDED: each is one IEEE division of
-    * identical integers in both engines ((rank-1)/(n-1), k/n), so the
-    * doubles are bitwise equal — safer than rounding, which could
-    * straddle a half boundary (memory: the FP round-half trap).
-    */
-  def q54_window_analytics(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    val runFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "orders")
-      .select(
-        col("o_orderpriority"), col("o_orderkey"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"),
-        coalesce(nth_value(col("o_orderkey"), 2).over(runFrame), lit(-1L)).as("second_key"))
-      .orderBy("o_orderpriority", "o_orderkey")
-  }
-
-  /** Training-sequence packing (concat-then-chunk, how LLM pretraining
-    * actually packs): the corpus token stream in doc_id order is cut
-    * every 2048 tokens; a doc belongs to the chunk where it STARTS.
-    * The running total uses operators/PrefixSum — cost-based: a
-    * two-pass distributed scan (per-partition totals → broadcast
-    * offsets → partitioned window) above its size threshold, the
-    * single-partition window below it. Chunk stats aggregate per
-    * chunk.
-    */
-  def q55_pack_chunks(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("n_tokens"))
-    PrefixSum.runningTotal(docs, "doc_id", "n_tokens", "cum_tokens")
-      .withColumn("chunk", expr("(cum_tokens - n_tokens) div 2048"))
-      .groupBy("chunk")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("chunk")
-  }
-
-  /** Text normalization + normalized-form dedup grouping: lowercase,
-    * strip non-alphanumerics, collapse whitespace — then group docs by
-    * the normalized body. Spark groups on the 8-byte xxhash64 of the
-    * normalized form (the shuffle never carries bodies — q45's
-    * precedent); the oracle groups the string itself.
-    */
-  def q56_normalize(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
-    val w = Window.partitionBy("__h")
-    tWide(s, dir, "documents")
-      .select(col("doc_id"), norm.as("__norm"))
-      .select(col("doc_id"), xxhash64(col("__norm")).as("__h"),
-        length(col("__norm")).as("norm_len"))
-      .withColumn("n_same_norm", count(lit(1)).over(w))
-      .withColumn("canonical_id", min("doc_id").over(w))
-      .select("doc_id", "norm_len", "n_same_norm", "canonical_id")
-      .orderBy("doc_id")
-  }
-
-  /** Repetition detection (Gopher-style quality signal): per doc, the
-    * fraction of word bigrams that are repeats. Emitted as integer
-    * basis points via exact integer division (never a cross-engine
-    * float round).
-    */
-  def q57_repetition(s: SparkSession, dir: String): DataFrame =
-    // Distinct-bigram count from the fused hashed shingle set (q106's
-    // expression) — same count as the string form modulo a within-doc
-    // 64-bit collision (≤ ~300 bigrams/doc → P ≈ 300²/2⁶⁵).
-    tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"),
-        graft.expr.ShingleExpression.shingleHashes(col("text"), 2).as("bh"))
-      .select(col("doc_id"),
-        greatest(size(col("toks")) - 1, lit(0)).as("n_bigrams"),
-        size(col("bh")).as("n_distinct"))
-      .withColumn("n_repeated", col("n_bigrams") - col("n_distinct"))
-      .withColumn("dup_bp", when(col("n_bigrams") > 0,
-        expr("((n_bigrams - n_distinct) * 10000) div n_bigrams")).otherwise(lit(0L)))
-      .orderBy("doc_id")
-
-  /** Document frequency + IDF over the corpus vocabulary, top 25 terms
-    * by df: one distinct-(doc,word) explode, a count shuffle, and a
-    * TakeOrderedAndProject top-k (never a global sort). The corpus
-    * size rides in via a broadcast 1-row cross join (q48's shape).
-    */
-  def q58_doc_freq(s: SparkSession, dir: String): DataFrame = {
-    val docs = tWide(s, dir, "documents")
-    val words = docs.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.tokens(col("text")))).as("word"))
-    val dfCounts = words.groupBy("word").agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).as("n_docs"))
-    dfCounts.crossJoin(broadcast(total))
-      .orderBy(col("df").desc, col("word").asc)
-      .limit(25)
-      .select(col("word"), col("df"), col("n_docs"),
-        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4).as("idf"))
-      .orderBy(col("df").desc, col("word").asc)
-  }
-
-  /** Forward as-of join (the other time direction of q38): each click
-    * gets the user's NEXT purchase at-or-after it. Same union+window
-    * single-shuffle machinery; ties resolve to the smallest event id.
-    * Sentinel defaults keep nulls out of the hash compare (q38's
-    * precedent).
-    */
-  def q59_asof_forward(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.AsOfJoin
-    val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("user_id", "ts", "event_id", "value")
-    AsOfJoin.forward(clicks, purchases,
-      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
-      rightTieCol = "event_id", rightPrefix = "next_")
-      .select(
-        col("event_id"), col("user_id"), col("ts"),
-        coalesce(col("next_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("next_ts"),
-        coalesce(col("next_event_id"), lit(-1L)).as("next_event_id"),
-        coalesce(col("next_value"), lit(0.0)).as("next_value"))
-      .orderBy("event_id")
-  }
-
-  /** E4 completion: FULL OUTER join — daily shipment revenue vs daily
-    * order intake; unmatched days on either side surface with zero
-    * fills. Both sides pre-aggregate BEFORE the join (the join carries
-    * |days| rows, not fact rows — at 100 TB the only viable shape).
-    */
-  def q60_join_full(s: SparkSession, dir: String): DataFrame = {
-    val ship = t(s, dir, "lineitem")
-      .groupBy(to_date(col("l_shipdate")).as("day"))
-      .agg(round(sum("l_extendedprice"), 2).as("ship_rev"))
-    val intake = t(s, dir, "orders")
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 2).as("order_rev"))
-    ship.join(intake, Seq("day"), "full_outer")
-      .select(col("day"),
-        coalesce(col("ship_rev"), lit(0.0)).as("ship_rev"),
-        coalesce(col("order_rev"), lit(0.0)).as("order_rev"),
-        (col("ship_rev").isNull || col("order_rev").isNull).cast("int").as("one_sided"))
-      .orderBy("day")
-  }
-
-  /** The SQL surface: this query IS its oracle — one SQL string run by
-    * BOTH engines (Spark via temp views + spark.sql, DuckDB via the
-    * driver's parquet views). Exercises correlated scalar subqueries
-    * (Catalyst decorrelates to aggregates + joins) and correlated
-    * EXISTS (planned as a semi join).
-    */
-  val q61Sql: String =
-    """SELECT c_custkey, c_mktsegment,
-      |  (SELECT count(*) FROM orders o
-      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-      |  (SELECT coalesce(round(sum(o.o_totalprice), 2), 0.0) FROM orders o
-      |   WHERE o.o_custkey = c.c_custkey) AS total
-      |FROM customer c
-      |WHERE EXISTS (SELECT 1 FROM orders o
-      |              WHERE o.o_custkey = c.c_custkey
-      |                AND o.o_orderstatus = 'F')
-      |ORDER BY c_custkey""".stripMargin
-
-  def q61_sql_subquery(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("customer")
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(q61Sql)
-  }
-
-  /** Weighted mixture sampling — hit per-source quotas when composing
-    * a training mix (web-heavy, curated-light, …). Deterministic: each
-    * source's picks are its quota-first docs in multiplicative-hash
-    * order (q41's RNG-free machinery), quotas ride a broadcast
-    * dimension join. One shuffle on the stratum key. Broadcast bound
-    * at 100 TB: the quota table is one row per SOURCE — training
-    * mixtures name dozens to a few hundred sources regardless of
-    * corpus bytes, orders of magnitude under any broadcast threshold;
-    * corpus rows never enter the broadcast side.
-    */
-  def q62_source_mix(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val quotas = (0 until 20)
-      .map(i => (s"src$i", if (i < 5) 20 else if (i < 10) 10 else 5))
-      .toDF("source", "quota")
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
-    t(s, dir, "documents")
-      .select("doc_id", "source")
-      .join(broadcast(quotas), Seq("source"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("quota"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_picked"), min("doc_id").as("first_pick"))
-      .orderBy("source")
-  }
-
-  /** Corpus analysis: top-3 5-gram shingles per language by document
-    * frequency. Two-level aggregation (per-(lang,ngram) doc counts →
-    * per-lang rank ≤ 3); WindowGroupLimit prunes each partition to 3
-    * rows before the rank sort at scale.
-    */
-  def q63_top_ngrams(s: SparkSession, dir: String): DataFrame = {
-    val counts = tWide(s, dir, "documents")
-      .select(col("lang"), col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 5)
-      .select(col("lang"), explode(TextFunctions.wordShingles(col("toks"), 5)).as("ng"))
-      .groupBy("lang", "ng")
-      .agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("lang").orderBy(col("n_docs").desc, col("ng").asc)
-    counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("lang", "rn", "ng", "n_docs")
-      .orderBy("lang", "rn")
-  }
-
-  /** Embedding aggregation: per-label centroid coordinates (first 4
-    * dims) + mean squared norm. The per-vector fold (`transform` +
-    * `aggregate`) is left-to-right in both engines, so per-row sums
-    * are bit-identical; cross-row averages are order-free only under
-    * rounding (4 dp).
-    */
-  def q64_label_centroids(s: SparkSession, dir: String): DataFrame = {
-    val sq = aggregate(transform(col("embedding"), _.cast("double")),
-      lit(0.0), (acc, x) => acc + x * x)
-    t(s, dir, "embeddings")
-      .groupBy("label")
-      .agg(
-        count(lit(1)).as("n"),
-        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c1"),
-        round(avg(element_at(col("embedding"), 2).cast("double")), 4).as("c2"),
-        round(avg(element_at(col("embedding"), 3).cast("double")), 4).as("c3"),
-        round(avg(element_at(col("embedding"), 4).cast("double")), 4).as("c4"),
-        round(avg(sq), 4).as("mean_sq_norm"))
-      .orderBy("label")
-  }
-
-  /** Multiway fact join: lineitem ⋈ part ⋈ supplier ⋈ nation (the
-    * TPC-H Q9 shape). part/supplier/nation are all dimension-sized →
-    * AQE turns every join into a broadcast hash join; the fact table
-    * is never shuffled. Exercises join ordering over 4 relations.
-    */
-  def q65_multiway_join(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .groupBy("n_name", "p_brand")
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n"))
-      .orderBy("n_name", "p_brand")
-
-  /** Equi-width histogram of events.value in 20 bins. min/max ride a
-    * 1-row broadcast; the bin expression is the same IEEE arithmetic
-    * tree in both engines, so edge assignment is deterministic. At
-    * scale this is the one-pass profiling primitive (the quantile
-    * histogram's fixed-width cousin).
-    */
-  def q66_value_histogram(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val stats = ev.agg(min("value").as("mn"), max("value").as("mx"))
-    ev.crossJoin(broadcast(stats))
-      .select(least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / lit(20))),
-        lit(19L)).cast("long").as("bin"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("bin")
-  }
-
-  /** Unpivot (melt) — the inverse of q43's pivot, turning the wide
-    * status counts back into (priority, status, n) rows. Executor-side
-    * row generation; no shuffle beyond the pivot's own.
-    */
-  def q67_unpivot(s: SparkSession, dir: String): DataFrame =
-    q43_pivot(s, dir)
-      .unpivot(
-        Array(col("o_orderpriority")),
-        Array(col("n_f"), col("n_o"), col("n_p")),
-        "status", "n")
-      .orderBy("o_orderpriority", "status")
-
-  /** Per-dimension embedding statistics via posexplode: mean/min/max of
-    * the first 8 coordinates across all vectors — the profiling pass a
-    * vector pipeline runs before normalization/whitening. Generator is
-    * top-level in its projection (codegen'd row expansion).
-    */
-  def q68_dim_stats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "x")))
-      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
-      .groupBy("dim")
-      .agg(count(lit(1)).as("n"),
-        round(avg("x"), 4).as("mean_x"),
-        round(min("x"), 4).as("min_x"),
-        round(max("x"), 4).as("max_x"))
-      .orderBy("dim")
-
-  /** Conditional + boolean aggregation: count_if / filtered sum /
-    * bool_or / bool_and per event type (booleans cast to int for
-    * engine-stable stringification).
-    */
-  def q69_conditional_aggs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("event_type")
-      .agg(
-        count_if(col("value") > 100).as("n_big"),
-        round(coalesce(sum(when(col("value") > 100, col("value"))), lit(0.0)), 2).as("sum_big"),
-        bool_or(col("value") > 450).cast("int").as("any_huge"),
-        bool_and(col("value") >= 0).cast("int").as("all_nonneg"))
-      .orderBy("event_type")
-
-  /** Fuzzy matching: Levenshtein distance between successive customer
-    * names (the record-linkage / data-cleaning primitive). Classic DP
-    * gives identical integers in both engines; the pair set is a
-    * deterministic id equi-join, never an all-pairs blowup.
-    */
-  def q70_fuzzy_match(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-    a.join(b, col("id_b") === col("id_a") + 1)
-      .select(col("id_a"), levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
-      .groupBy("edit_dist")
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("edit_dist")
-  }
-
-  /** Rolling event-time window (RANGE frame): per user, the sum/count
-    * of the trailing 7 days at every event — the moving-average shape
-    * that tumbling windows (q28) cannot express. The frame is defined
-    * on µs epoch VALUES, so rows tying on ts get identical frames in
-    * both engines (peer-inclusive determinism, unlike a ROWS frame).
-    */
-  def q71_rolling_window(s: SparkSession, dir: String): DataFrame = {
-    val weekUs = 7L * 24 * 3600 * 1000000
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
-      .rangeBetween(-weekUs, 0)
-    t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("value"))
-      .withColumn("n_7d", count(lit(1)).over(w))
-      .withColumn("sum_7d", round(sum("value").over(w), 2))
-      .select("event_id", "user_id", "n_7d", "sum_7d")
-      .orderBy("event_id")
-  }
-
-  /** Dispersion statistics per group: sample stddev/variance and the
-    * mean, rounded — the profiling aggregates a quality pipeline runs
-    * per source/type. All partial+final (Welford-mergeable) aggs.
-    */
-  def q72_stats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        round(avg("value"), 2).as("mean_v"),
-        round(stddev_samp(col("value")), 2).as("sd_v"),
-        round(var_samp(col("value")), 1).as("var_v"),
-        round(min("value"), 2).as("min_v"),
-        round(max("value"), 2).as("max_v"))
-      .orderBy("event_type")
-
-  /** SCD2 dimension build from a change log: each (user, event) row
-    * becomes a validity interval [ts, next-ts) via lead() — the
-    * slowly-changing-dimension primitive a warehouse load runs per
-    * batch. One shuffle on the entity key; open intervals close at
-    * Long.MaxValue so `is_current` is derivable without a second pass.
-    * Ties on (user, ts) are totally ordered by event_id, making the
-    * interval chain deterministic in both engines.
-    */
-  def q73_scd2(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
-      .select(
-        col("user_id"), col("event_id"),
-        col("ts_us").as("valid_from_us"),
-        coalesce(col("next_us"), lit(Long.MaxValue)).as("valid_to_us"),
-        col("next_us").isNull.cast("int").as("is_current"))
-      .orderBy("user_id", "valid_from_us", "event_id")
-  }
-
-  /** Character-entropy quality score per document — the Shannon-entropy
-    * filter that catches mojibake/binary-garbage docs (abnormally high)
-    * and boilerplate/repetition (abnormally low). Single-pass form
-    * H = log2(L) − Σ n·log2(n) / L over per-char counts, so the whole
-    * thing is two hash aggregations (char counts, then per-doc fold) —
-    * no per-doc buffers, fully partial+final at any scale. The explode
-    * multiplies rows by doc length, hence tWide (CPU-heavy map stage).
-    */
-  def q74_entropy(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy("doc_id", "ch")
-      .agg(count(lit(1)).cast("double").as("n"))
-      .groupBy("doc_id")
-      .agg((log2(sum("n")) - sum(col("n") * log2(col("n"))) / sum("n")).as("h"))
-      .select(col("doc_id"), round(col("h"), 2).as("entropy_bits"))
-      .orderBy("doc_id")
-
-  /** Term co-occurrence counts — the PMI / embedding-training prep
-    * pass. Pairs are generated MAP-SIDE from each doc's sorted distinct
-    * word array (w_a < w_b falls out of the sort), so the only
-    * shuffle in the job is the partial+final count on the pair key —
-    * the self-join formulation pays three more (a distinct on
-    * (doc, word) plus re-keying both join sides on doc_id) to build
-    * the same pairs. Pair blowup is |doc|·v²/2 with v = per-doc
-    * DISTINCT vocabulary either way, which quality-gated corpora keep
-    * small; it is generated-then-aggregated inside one codegen stage
-    * here, never materialized through an exchange. Top-k tail is
-    * TakeOrderedAndProject, never a global sort.
-    */
-  def q75_cooccurrence(s: SparkSession, dir: String): DataFrame = {
-    val ws = sort_array(array_distinct(
-      filter(split(col("text"), " "), w => length(w) > 0)))
-    tWide(s, dir, "documents")
-      .select(ws.as("ws"))
-      .select(explode(flatten(transform(col("ws"), (x, i) =>
-        transform(slice(col("ws"), i + lit(2), size(col("ws"))),
-          y => struct(x.as("w_a"), y.as("w_b")))))).as("p"))
-      .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(desc("n_docs"), col("w_a"), col("w_b"))
-      .limit(25)
-  }
-
-  /** Inverted-index build: per term, document frequency + the first 10
-    * postings. The WindowGroupLimit-pruned row_number (rank ≤ 10 per
-    * term, discarded partition-local before the sort finishes) BOUNDS
-    * the collect_list state — the naive collect-then-slice holds a
-    * term's whole posting list in one aggregation buffer, which for a
-    * stopword at 100 TB is the corpus. df rides the same shuffled
-    * `words` via a separate count agg, joined back on the term.
-    */
-  def q76_posting_lists(s: SparkSession, dir: String): DataFrame = {
-    // Per-doc word dedup is array_distinct — a map, not the shuffle a
-    // global distinct() over (doc_id, w) would cost (they are the same
-    // set: distinct-per-key IS per-row distinct here).
-    val words = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(filter(split(col("text"), " "),
-          w => length(w) > 0))).as("w"))
-    // df stays a SEPARATE aggregate (map-side combine shrinks it to
-    // |vocab| rows per partition) rather than a count window fused
-    // into the ranking pass: an exact count window would need every
-    // row and so would forfeit WindowGroupLimit's partition-local
-    // prune, which is what keeps the ranking shuffle at ≤10 rows per
-    // term per partition — the property that matters for a stopword
-    // at 100 TB.
-    val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
-    val rankW = Window.partitionBy("w").orderBy("doc_id")
-    val top = words
-      .withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") <= 10)
-      .groupBy("w")
-      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
-    dfreq.join(top, Seq("w"))
-      .select(col("w").as("word"), col("df"), col("postings"))
-      .orderBy("word")
-  }
-
-  /** Conversion funnel: per signup cohort week, the share of users who
-    * purchase within 7 days of first signup — the product-analytics
-    * query every event warehouse serves. The purchase probe is an
-    * EQUI-join on user_id with the time bounds as residual predicates
-    * (hash join, never BNLJ); conversion collapses per user before the
-    * tiny cohort rollup, so the wide side is touched exactly once.
-    */
-  def q77_funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val signup = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("signup_ts"))
-    val purch = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    signup.join(purch,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("signup_ts") &&
-          col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), "left")
-      .groupBy("user_id", "signup_ts")
-      .agg(max(col("p_ts").isNotNull.cast("int")).as("converted"))
-      .groupBy(to_date(date_trunc("week", col("signup_ts"))).as("cohort_week"))
-      .agg(
-        count(lit(1)).as("n_users"),
-        sum("converted").as("n_converted"),
-        floor(lit(10000.0) * sum("converted") / count(lit(1))).cast("long").as("conv_bp"))
-      .orderBy("cohort_week")
-  }
-
-  /** Cohort retention matrix: users grouped by first-activity week,
-    * counted distinct in each subsequent week — two shuffles (per-user
-    * cohort, then the distinct-count on (cohort, week)). The week
-    * offset is integer day arithmetic on DATE-truncated weeks, so both
-    * engines bucket identically (Monday weeks, 2024-01-01 epoch).
-    */
-  def q78_retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val cohort = ev.groupBy("user_id")
-      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
-    val act = ev.select(col("user_id").as("a_user"),
-      to_date(date_trunc("week", col("ts"))).as("act_week")).distinct()
-    cohort.join(act, col("user_id") === col("a_user"))
-      .select(col("cohort_week"),
-        floor(datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_n"),
-        col("user_id"))
-      .groupBy("cohort_week", "week_n")
-      .agg(countDistinct("user_id").as("n_users"))
-      .orderBy("cohort_week", "week_n")
-  }
-
-  /** CSV wire-format ingest — the S2 decode stage for a second format:
-    * rows re-serialized as CSV lines, parsed back with `from_csv`
-    * (codegen'd UniVocity parser, no UDF), then checksum-aggregated.
-    * The oracle aggregates the ORIGINAL parquet values, so the hash
-    * match proves the serialize→parse round trip is lossless for
-    * longs, doubles, and µs timestamps. Same repartition rationale as
-    * q35: a real wire source arrives pre-partitioned.
-    */
-  def q79_csv_ingest(s: SparkSession, dir: String): DataFrame = {
-    val lines = tWide(s, dir, "events").select(concat_ws(",",
-      col("event_id"), unix_micros(col("ts")), col("user_id"),
-      col("event_type"), col("value").cast("string")).as("line"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-    lines
-      .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
-      .select(col("r.*"))
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sum_value"),
-        sum("event_id").as("sum_ids"),
-        max("ts_us").as("max_ts_us"))
-      .orderBy("event_type")
-  }
-
-  /** Bloom-prefiltered incremental dedup (operators/BloomDedup): which
-    * docs from the non-src0 sources are textually new vs. the src0
-    * corpus. The bloom routes "definitely new" rows around the exact
-    * anti-join — only maybe-dupes shuffle — yet the result is exactly
-    * the anti-join's, so a NOT EXISTS oracle verifies it. Compare
-    * q45_dedup_incremental, the hash-anti-join-only shape.
-    */
-  def q80_bloom_dedup(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.BloomDedup
-    val docs = t(s, dir, "documents")
-    val corpus = docs.filter(col("source") === "src0")
-    val incoming = docs.filter(col("source") =!= "src0")
-    BloomDedup.newRows(incoming, corpus, "text", expectedItems = 100000L)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_new"), sum("n_chars").as("sum_chars"))
-      .orderBy("source")
-  }
-
-  /** TF-IDF top terms per document. tf and df are integer aggregates;
-    * idf = ln(N/df) enters only the score VALUE (rounded, q74's log
-    * precedent) — ranking uses (tf DESC, word ASC), pure integers, so
-    * cross-engine float noise cannot reorder rows. Two hash-agg
-    * shuffles (doc×word, word) + one broadcast of the tiny df side.
-    */
-  def q81_tfidf(s: SparkSession, dir: String): DataFrame = {
-    val words = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // df derives from tf — one row per (doc, word) already — so the
-    // corpus is exploded ONCE, not re-scanned for a distinct pass.
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    // Corpus size as a 1-row broadcast aggregate (q58/q66/q101's
-    // pattern) — an eager docs.count() here would run a real Spark job
-    // at query-CONSTRUCTION time (even for plan-only inspections) and
-    // scan documents twice inside the timed body.
-    val nDocs = t(s, dir, "documents")
-      .agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("word").asc)
-    tf.join(broadcast(df), "word")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
-        round(col("tf") * log(col("n_docs") / col("df")), 3).as("tfidf"))
-      .orderBy("doc_id", "rnk")
-  }
-
-  /** BM25 relevance (k1=1.2, b=0.75) of every document against a fixed
-    * term set. avgdl is a sum of integer token counts — exact in
-    * doubles, so both engines divide identical numbers; output rows are
-    * keyed/ordered by doc_id alone (no float-ordered top-k). One
-    * explode+agg shuffle; per-term df and avgdl broadcast as 1-row/
-    * tiny sides.
-    */
-  def q82_bm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "join", "window")
-    val k1 = 1.2; val b = 0.75
-    // n as a 1-row broadcast next to avgdl (see q81's note — no eager
-    // count() job at construction time, no second documents scan).
-    val nDocs = t(s, dir, "documents")
-      .agg(count(lit(1)).cast("double").as("n_docs"))
-    // The query's term list is FIXED, so per-term tf pivots into
-    // columns of ONE per-doc aggregation: the corpus is tokenized and
-    // exploded exactly once, and dl + all tf_t land in the same
-    // map-side-combined groupBy — where the former shape exploded the
-    // corpus twice (dl branch + tf branch) and shuffled a tf⋈dl join.
-    // df/avgdl then derive from the n_docs-row frame (a second pass
-    // over PER-DOC rows, not the corpus) as a 1-row broadcast.
-    val perDoc = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("dl"),
-        terms.map(t0 => sum(when(col("word") === t0, 1L).otherwise(0L)).as(s"tf_$t0")): _*)
-    val stats = perDoc.agg(
-      (sum("dl") / count(lit(1))).as("avgdl"),
-      terms.map(t0 => sum((col(s"tf_$t0") > 0).cast("long")).as(s"df_$t0")): _*)
-    val norm = col("dl") / col("avgdl")
-    val score = terms.map { t0 =>
-      val tf = col(s"tf_$t0"); val dfc = col(s"df_$t0")
-      val idf = log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
-      when(tf > 0, idf * tf * (lit(k1) + 1) /
-        (tf + lit(k1) * (lit(1 - b) + lit(b) * norm))).otherwise(lit(0.0))
-    }.reduce(_ + _)
-    val nTerms = terms.map(t0 => (col(s"tf_$t0") > 0).cast("long")).reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(nDocs))
-      .filter(nTerms > 0)
-      .select(col("doc_id"), round(score, 3).as("bm25"), nTerms.as("n_terms"))
-      .orderBy("doc_id")
-  }
-
-  /** Passage-level dedup: each doc is cut into 16-word passages; a
-    * passage is kept only at its first (doc_id, idx) occurrence
-    * corpus-wide — the sub-document dedup granularity real pipelines
-    * use for boilerplate. Chunking is pure array arithmetic
-    * (sequence/slice/array_join — codegen, no UDF); global first-wins
-    * is one row_number window partitioned by passage hash.
-    */
-  def q83_passage_dedup(s: SparkSession, dir: String): DataFrame = {
-    val chunk = 16
-    val passages = tWide(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), posexplode(
-        transform(
-          sequence(lit(0), (ceil(size(col("ws")) / lit(chunk.toDouble)) - 1).cast("int")),
-          i => array_join(slice(col("ws"), i * chunk + 1, lit(chunk)), " "))))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "passage")
-    val w = Window.partitionBy(col("passage")).orderBy(col("doc_id").asc, col("idx").asc)
-    passages
-      .withColumn("rnk", row_number().over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_passages"),
-        sum((col("rnk") === 1).cast("long")).as("n_kept"))
-      .orderBy("doc_id")
-  }
-
-  /** Z-order layout clustering (operators/ZOrder): orders bucketed on
-    * (custkey mod 256, orderdate-day mod 256), z-interleaved, grouped
-    * into 64-z-value tiles. Each tile's min/max per dimension shows the
-    * 8×8 locality bound that makes footer-stats pruning work on BOTH
-    * columns after a z-sorted write. Pure bit-arithmetic projection +
-    * one hash agg.
-    */
-  def q84_zorder_layout(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.ZOrder
-    val x = pmod(col("o_custkey"), lit(256L))
-    // o_orderdate is TIMESTAMP_NTZ midnight; its epoch-day number is
-    // datediff from 1970-01-01 — matches the oracle's epoch_us // 86400e6.
-    val y = pmod(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"), lit(256L))
-    t(s, dir, "orders")
-      .select(x.as("x"), y.as("y"))
-      .withColumn("tile", shiftright(ZOrder.zvalue(col("x"), col("y")), 6))
-      .groupBy("tile")
-      .agg(count(lit(1)).as("n"),
-        min("x").as("min_x"), max("x").as("max_x"),
-        min("y").as("min_y"), max("y").as("max_y"))
-      .orderBy("tile")
-  }
-
-  /** Length-bucketed batch planning: docs grouped into 32-token length
-    * buckets; per bucket the doc/token totals and the number of 8-doc
-    * training batches (integer ceil — no FP). The split a training
-    * loader uses to minimize padding waste. One explode-free projection
-    * (size of split) + one hash agg.
-    */
-  def q85_length_buckets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select((size(split(col("text"), " "))).as("tokens"))
-      .withColumn("bucket", (col("tokens") / lit(32)).cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
-        ((count(lit(1)) + 7) / 8).cast("long").as("n_batches"))
-      .orderBy("bucket")
-
-  /** Per-entity z-score anomaly flags: events deviating more than 2
-    * sample-stddevs from their user's mean value, counted per event
-    * type. The per-user stats join is a broadcast (users ≪ events);
-    * the flag predicate is evaluated on identical doubles in both
-    * engines (integer-exact counts, sums compared far from the
-    * threshold).
-    */
-  def q86_anomaly_zscore(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val stats = ev.groupBy("user_id")
-      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
-    ev.join(broadcast(stats), "user_id")
-      .filter(col("sd").isNotNull && abs(col("value") - col("mu")) > lit(2) * col("sd"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_outliers"), round(sum("value"), 2).as("sum_outlier_value"))
-      .orderBy("event_type")
-  }
-
-  /** Event-time inter-arrival gaps per user — stream-health telemetry.
-    * max gap needs the lag window; mean gap telescopes to
-    * (last−first)/(n−1), all integer µs arithmetic (DIV) — zero FP in
-    * the output. One shuffle on user_id serves window and aggregation.
-    */
-  def q87_event_gaps(s: SparkSession, dir: String): DataFrame = {
-    // Window ordering uses the post-projection alias `us` — the
-    // pre-projection `ts` no longer resolves after the select.
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), max("gap").as("max_gap_us"),
-        ((max("us") - min("us")) / (count(lit(1)) - 1)).cast("long").as("avg_gap_us"))
-      .filter(col("n_events") >= 2)
-      .orderBy("user_id")
-  }
-
-  /** CDC merge/upsert (MERGE INTO semantics on plain parquet): a
-    * deterministic change batch (keys ≡0 mod 3: deletes where ≡0 mod
-    * 5, else updates at price+10) applied to a base snapshot (keys ≢0
-    * mod 7) in ONE full-outer join pass — updates overwrite, inserts
-    * append, deletes drop, untouched rows carry over. Output is the
-    * merged snapshot's per-priority checksum. At scale both sides
-    * co-partition on the merge key; AQE handles the skew.
-    */
-  def q88_merge_upsert(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val base = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
-      .select(col("o_orderkey").as("b_key"), col("o_orderpriority").as("b_pri"),
-        col("o_totalprice").as("b_price"))
-    val changes = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-      .select(col("o_orderkey").as("c_key"), col("o_orderpriority").as("c_pri"),
-        (col("o_totalprice") + 10).as("c_price"),
-        when(pmod(col("o_orderkey"), lit(5)) === 0, "D").otherwise("U").as("op"))
-    base.join(changes, col("b_key") === col("c_key"), "full_outer")
-      .filter(coalesce(col("op"), lit("keep")) =!= "D")
-      .select(coalesce(col("b_pri"), col("c_pri")).as("pri"),
-        when(col("op") === "U", col("c_price")).otherwise(col("b_price")).as("price"))
-      .groupBy("pri")
-      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
-      .orderBy("pri")
-  }
-
-  /** Global total-order sort — the one legitimately whole-dataset
-    * ordering primitive. Spark plans it as a range-partitioning
-    * exchange (sampled split points) + per-partition sort, so no task
-    * ever holds more than its range slice: the 100 TB-safe shape of
-    * ORDER BY, vs. the single-partition global window PlanAudit flags.
-    * PlanSpec asserts the RangePartitioning exchange is really there.
-    */
-  def q89_global_sort(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-
-  /** Deterministic train/val/test split assignment (90/5/5) by
-    * multiplicative hash of the doc id — reproducible across engines,
-    * runs, and cluster sizes (q41's hash family), which is what makes
-    * dataset splits auditable. Pure projection + one hash agg.
-    */
-  def q90_split_assign(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
-    t(s, dir, "documents")
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-      .orderBy("split", "lang")
-  }
-
-  /** Bigram language-model table: per left-word, the top-3 following
-    * words with conditional probability. Pairing is array arithmetic
-    * over the token list (no self-join — at 100 TB a positional
-    * self-join would shuffle the corpus twice); p = n/total is one
-    * division of exact integers, identical in both engines; ranking is
-    * integer-keyed (n DESC, w2 ASC).
-    */
-  def q91_bigram_lm(s: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), w => length(w) > 0)
-    val pairs = tWide(s, dir, "documents")
-      .select(toks.as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("b.w1"), col("b.w2"))
-    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy("w1").agg(sum("n").as("tot"))
-    val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2").asc)
-    counts.join(totals, "w1")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("w1"), col("rnk"), col("w2"), col("n"),
-        round(col("n").cast("double") / col("tot"), 4).as("p"))
-      .orderBy("w1", "rnk")
-  }
-
-  /** k-anonymity audit over quasi-identifiers (lang, source, size
-    * band): how many equivalence classes — and how many documents —
-    * fall below k=5, the groups a release would have to suppress or
-    * generalize. One hash agg + one tiny re-agg; the privacy gate a
-    * training-corpus export runs before leaving the trust boundary.
-    */
-  def q92_k_anonymity(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupBy(col("lang"), col("source"),
-        (col("n_chars") / lit(100)).cast("long").as("size_band"))
-      .agg(count(lit(1)).as("class_n"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_classes"),
-        sum((col("class_n") < 5).cast("long")).as("n_small_classes"),
-        sum(when(col("class_n") < 5, col("class_n")).otherwise(0L)).as("n_at_risk_docs"))
-      .orderBy("lang")
-
-  /** Equi-depth feature binning: lineitem prices cut into 10
-    * equal-population bins, per bin the support and value envelope —
-    * the discretization step feature pipelines run before categorical
-    * models. A builtin global `ntile` window would move every row to
-    * ONE task; instead the global rank comes from PrefixSum.globalRank
-    * (two-pass distributed zipWithIndex, cost-based small-input
-    * fallback to the single window at test scale) and the ntile bucket
-    * arithmetic — first n mod k buckets one row larger — is
-    * reproduced in exact integers from (rank, n, k).
-    */
-  def q93_equidepth_bins(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val li = t(s, dir, "lineitem")
-      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val k = 10L
-    // n rides in as a broadcast 1-row aggregate (q81's pattern), not an
-    // eager count(): plan-only inspections must not run a lineitem scan.
-    val nDf = li.agg(count(lit(1)).as("__n"))
-    val q = floor(col("__n") / k); val rem = col("__n") % k
-    val ranked = PrefixSum.globalRank(li,
-      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "r")
-      .crossJoin(broadcast(nDf))
-    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
-      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
-      .cast("long") + 1
-    ranked
-      .withColumn("bin", bin)
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        round(min("l_extendedprice"), 2).as("lo"),
-        round(max("l_extendedprice"), 2).as("hi"))
-      .orderBy("bin")
-  }
-
-  /** CMS-prefiltered exact heavy hitters (operators/HeavyHitters):
-    * words occurring ≥ 930 times (about half the synthetic vocabulary
-    * at the gate SF). The count-min sketch's no-undercount guarantee
-    * lets the long tail skip the exact count entirely; the confirm
-    * pass makes the result exactly GROUP BY ... HAVING, so a plain SQL
-    * oracle verifies it.
-    */
-  def q94_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.HeavyHitters
-    val words = tWide(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-    HeavyHitters.atLeast(words, "word", threshold = 930L)
-      .orderBy("word")
-  }
-
-  /** Deterministic weighted sampling without replacement (Efraimidis–
-    * Spirakis A-ES): key = u^(1/w) with u derived from the id by the
-    * q41/q90 multiplicative hash instead of an RNG — the draw is
-    * reproducible across engines, runs, and cluster sizes, and
-    * auditable (given the id you can recompute why it was picked).
-    * Top-k by key is TakeOrderedAndProject (per-partition heaps, no
-    * global sort); weights (n_chars) bias selection toward longer
-    * docs. u is built from exact integer arithmetic so both engines
-    * feed pow identical doubles.
-    */
-  def q95_weighted_sample(s: SparkSession, dir: String): DataFrame = {
-    val u = (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) + 1) /
-      lit(4294967297.0)
-    t(s, dir, "documents")
-      .filter(col("n_chars") > 0)
-      .withColumn("skey", pow(u, lit(1.0) / col("n_chars")))
-      .orderBy(col("skey").desc, col("doc_id").asc)
-      .limit(50)
-      .select("doc_id", "lang", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** ORC source/sink round-trip: a typed projection (int64 / decimal-
-    * valued double / string / TIMESTAMP_NTZ) written as ORC and read
-    * back, with the aggregate computed from the re-read copy. The
-    * oracle aggregates the ORIGINAL parquet — equality proves the
-    * format conversion is lossless, the way a 100 TB estate mixes
-    * formats across teams. Columnar ORC keeps the same pushdown/
-    * pruning properties as parquet.
-    */
-  def q96_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("graft_orc_roundtrip")
-    t(s, dir, "orders")
-      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-      .write.mode("overwrite").orc(out)
-    s.read.orc(out)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).as("total"),
-        sum("o_orderkey").as("key_sum"),
-        max(datediff(col("o_orderdate"), lit("1970-01-01"))).cast("long").as("max_day"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Incremental aggregate maintenance (materialized-view refresh):
-    * the historical partition's PARTIAL aggregates (sum/count/min/max
-    * — all associative) merge with the fresh partition's partials by
-    * re-aggregation, never rescanning history. The oracle aggregates
-    * the full table in one pass — equality is the associativity
-    * guarantee incremental ETL relies on at 100 TB (avg is derived
-    * from merged sum/count, never averaged across partials).
-    */
-  def q97_incremental_agg(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val cut = lit("2024-03-01").cast("timestamp")
-    def partial(df: DataFrame) = df.groupBy("event_type")
-      .agg(count(lit(1)).as("pn"), sum("value").as("psum"),
-        min("value").as("pmin"), max("value").as("pmax"))
-    partial(ev.filter(col("ts") < cut))
-      .unionByName(partial(ev.filter(col("ts") >= cut)))
-      .groupBy("event_type")
-      .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"),
-        round(min("pmin"), 2).as("min_value"), round(max("pmax"), 2).as("max_value"),
-        round(sum("psum") / sum("pn"), 4).as("avg_value"))
-      .orderBy("event_type")
-  }
-
-  /** Snapshot diff: classify every key across two table versions as
-    * added / removed / changed / unchanged in ONE full-outer pass —
-    * the audit step between snapshot publishes (and the read-side
-    * complement of q88's merge). Change detection on the carried
-    * value; both sides co-partition on the key at scale.
-    */
-  def q98_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val old = orders.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
-      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
-    val neu = orders.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
-      .select(col("o_orderkey").as("nkey"),
-        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 5)
-          .otherwise(col("o_totalprice")).as("nprice"))
-    old.join(neu, col("okey") === col("nkey"), "full_outer")
-      .select(
-        when(col("okey").isNull, "added")
-          .when(col("nkey").isNull, "removed")
-          .when(col("oprice") =!= col("nprice"), "changed")
-          .otherwise("unchanged").as("status"),
-        coalesce(col("nprice"), col("oprice")).as("price"))
-      .groupBy("status")
-      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
-      .orderBy("status")
-  }
-
-  /** One-pass quantile SKETCH (Greenwald–Khanna via the builtin
-    * `percentile_approx`) — the bounded-memory, bounded-error
-    * complement to operators/Quantiles' exact paths: state is
-    * O(1/ε·log εn) per group regardless of group size, mergeable
-    * across partitions, one shuffle. ORACLE-JUDGED via the
-    * tolerance-flag pattern (q20's): the sketch's picked values are
-    * engine-specific (rank error ≤ εn) so they cannot hash-compare,
-    * but the EXACT interpolated quantiles can (DuckDB quantile_cont —
-    * identical (1-d)·lo + d·hi definition, round-2 on both sides) and
-    * the sketch's accuracy contract becomes a judged boolean: approx
-    * within 1% of exact, pinned to literal `true` in the oracle —
-    * generous vs the εn=6 rank error at accuracy 10000, tight enough
-    * that a broken sketch fails the hash. Round3OpsSpec keeps the
-    * rank-error bound construction test.
-    */
-  def q99_approx_quantiles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val approx = li.groupBy("l_returnflag")
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
-        count(lit(1)).as("n"))
-    // The exact reference rides Quantiles.exactByGroupHistogramParts
-    // (two fully-parallel passes; no stage ever sees more than one
-    // bucket of one group) — the right shape for FEW ENORMOUS groups:
-    // the builtin exact `percentile` buffers every group value in
-    // executor memory, and the sort path single-tasks each group.
-    // The hash-judged VALUE columns are the DISCRETE quantiles (qlo:
-    // actual cent-valued prices, so no cross-engine rounding exists
-    // to disagree on — interpolated midpoints land on half-cents and
-    // Spark/DuckDB round() implementations split exactly there); the
-    // interpolating form stays judged by the bracketing invariant
-    // qlo ≤ q ≤ qhi, and the sketch by its 1%-of-interpolated flag.
-    val exact = operators.Quantiles.exactByGroupHistogramParts(
-      li.select("l_returnflag", "l_extendedprice"),
-      "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
-    approx.join(exact, "l_returnflag")
-      .select(col("l_returnflag"), col("n"),
-        col("qlo_0").as("p50_disc"),
-        col("qlo_1").as("p95_disc"),
-        (abs(col("p50a") - col("q_0")) / col("q_0") <= 0.01).as("p50_apx_ok"),
-        (abs(col("p95a") - col("q_1")) / col("q_1") <= 0.01).as("p95_apx_ok"),
-        (col("q_0") >= col("qlo_0") && col("q_0") <= col("qhi_0")).as("p50_interp_ok"),
-        (col("q_1") >= col("qlo_1") && col("q_1") <= col("qhi_1")).as("p95_interp_ok"))
-      .orderBy("l_returnflag")
-  }
-
-  /** Trailing-7-day distinct users per day — windowed COUNT DISTINCT,
-    * which neither windows (no distinct frames) nor plain aggs
-    * express. Scale shape: daily distinct sets are built once (one
-    * agg), then each day's set is CONTRIBUTED to the ≤7 window days it
-    * belongs to via an explode of offsets — every shuffle stays
-    * equi-keyed on a date, no range join, no global window, state
-    * bounded by |users/day|·7. The oracle uses DuckDB's range join +
-    * COUNT(DISTINCT) formulation of the same thing.
-    */
-  def q100_rolling_distinct(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "events")
-      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-    val daily = pairs.groupBy("day")
-      .agg(collect_set(col("user_id")).as("users"))
-    val contrib = daily
-      .select(col("day"), col("users"), explode(sequence(lit(0), lit(6))).as("i"))
-      .select(date_add(col("day"), col("i")).as("wday"), col("users"))
-    val win7 = contrib.groupBy("wday")
-      .agg(size(array_distinct(flatten(collect_list(col("users"))))).cast("long").as("n_users_7d"))
-    daily
-      .select(col("day"), size(col("users")).cast("long").as("n_users_day"))
-      .join(win7, col("day") === col("wday"))
-      .select("day", "n_users_day", "n_users_7d")
-      .orderBy("day")
-  }
-
-  /** Ratio-to-report: each priority's share of total revenue. The
-    * grand total is a 1-row aggregate broadcast back over the group
-    * rows (documented bounded nested-loop, q66's pattern) — at 100 TB
-    * the per-group partials and the total come from the SAME partial
-    * aggregation, so the fact table is scanned once.
-    */
-  def q101_share_of_total(s: SparkSession, dir: String): DataFrame = {
-    val byPri = t(s, dir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n"))
-    val total = byPri.agg(sum("rev").as("total_rev"))
-    byPri.crossJoin(broadcast(total))
-      .select(col("o_orderpriority"), col("n"),
-        round(col("rev"), 2).as("revenue"),
-        round(col("rev") / col("total_rev"), 6).as("share"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** Bivariate statistical aggregates: Pearson correlation, sample /
-    * population covariance, and least-squares regression of price on
-    * quantity, per return flag. All are single-pass co-moment
-    * aggregates (partial+final merge like sum/count), so the shape at
-    * 100 TB is exactly q01's: map-side combine, |groups| rows out.
-    */
-  def q102_corr_regression(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("n"),
-        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
-        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_s"),
-        round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_p"),
-        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
-        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
-      .orderBy("l_returnflag")
-
-  /** Spearman rank correlation of quantity vs price per return flag —
-    * Stats.spearmanByGroup (tie-averaged fractional ranks, one
-    * shuffle, no global window; see the operator doc).
-    */
-  def q103_spearman(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.spearmanByGroup(
-      t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
-      .orderBy("l_returnflag")
-
-  /** Column profiling (data-quality pass a training pipeline runs
-    * before ingesting a new source): per column — non-null count, null
-    * count, exact distinct, min/max/avg — for four lineitem measures,
-    * all in ONE aggregation pass. The multi-column exact distincts
-    * plan as one Expand (×4 rows) feeding a single partial+final agg;
-    * at 100 TB swap countDistinct for approx_count_distinct and the
-    * Expand disappears. Wide-to-long via explode of a literal struct
-    * array over the single agg row (driver-side 1-row reshape, free).
-    */
-  def q104_profile(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    // Non-distinct stats in ONE scan; each exact distinct count as its
-    // own narrow sub-agg (column-pruned scan -> partial-deduped
-    // shuffle of distinct values only), crossJoined as 1-row frames.
-    // Four countDistinct in a single agg would trigger
-    // RewriteDistinctAggregates' Expand — every row duplicated 5x
-    // through the shuffle (2.7 s vs 1.8 s cold at sf0.1). At 100 TB
-    // the same profile would swap exact distinct for the HLL sketch
-    // (q20/q132) — exactness here is the oracle contract.
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"n_$c"),
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),
-        round(min(col(c)), 2).as(s"min_$c"),
-        round(max(col(c)), 2).as(s"max_$c"),
-        round(avg(col(c)), 4).as(s"avg_$c"))
-    }
-    val li = t(s, dir, "lineitem")
-    cols.foldLeft(li.agg(aggs.head, aggs.tail: _*)) { (acc, c) =>
-      acc.crossJoin(li.select(col(c)).distinct().agg(count(lit(1)).as(s"nd_$c")))
-    }
-      .select(explode(array(cols.map(c => struct(
-        lit(c).as("column"),
-        col(s"n_$c").as("n_nonnull"),
-        col(s"null_$c").as("n_null"),
-        col(s"nd_$c").as("n_distinct"),
-        col(s"min_$c").as("min_v"),
-        col(s"max_$c").as("max_v"),
-        col(s"avg_$c").as("avg_v"))): _*)).as("m"))
-      .select(col("m.*"))
-      .orderBy("column")
-  }
-
-  /** Int8 scalar quantization of the embedding column (the bandwidth
-    * lever for vector search at scale: 4 B float → 1 B code). Pass 1
-    * computes per-dimension min/max over the posexploded coordinates;
-    * the 64-row stats table broadcasts back over pass 2, which
-    * quantizes q = round(255·(x−lo)/(hi−lo)) and measures the
-    * round-trip reconstruction error per dimension. Both passes are
-    * keyed hash aggregations — no global state beyond the broadcast.
-    */
-  def q105_scalar_quant(s: SparkSession, dir: String): DataFrame = {
-    val ex = t(s, dir, "embeddings")
-      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .select((col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
-    val stats = ex.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
-    val deq = col("lo") + col("q") * (col("hi") - col("lo")) / lit(255)
-    ex.join(broadcast(stats), "dim")
-      .withColumn("q", round(lit(255) * (col("x") - col("lo")) / (col("hi") - col("lo"))))
-      .withColumn("err", abs(col("x") - deq))
-      .groupBy("dim")
-      .agg(
-        count(lit(1)).as("n"),
-        round(min("lo"), 4).as("lo"),
-        round(min("hi"), 4).as("hi"),
-        round(avg("err"), 6).as("avg_abs_err"),
-        round(max("err"), 6).as("max_abs_err"))
-      .orderBy("dim")
-  }
-
-  /** Exact set-similarity self-join by prefix filtering (PPJoin
-    * family) over the q23 shingle sets — the deterministic-exact
-    * complement to q23's MinHash-LSH candidates: same pairs ≥ θ, no
-    * probabilistic signature, no all-pairs scan. See SetSimJoin for
-    * the prefix theorem and the shuffle story.
-    */
-  def q106_setsim_prefix(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingle3Staged(s, dir) // staged signature table (see q36)
-    graft.operators.SetSimJoin.prefixJaccardSelfJoinHashed(docs, "doc_id", "sh", 0.5)
-      .select(col("id_a").as("id_a"), col("id_b").as("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Stopword-filtered suffix-stripped token counts (a Porter-lite
-    * stemmer as pure codegen'd regexp chain — every rule anchored at
-    * `$` so "replace all" vs "replace first" engine semantics cannot
-    * diverge). The stem map is a narrow projection; the count is one
-    * wordcount shuffle; top-30 plans as TakeOrderedAndProject.
-    */
-  def q107_stem_topwords(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq(
-      "the", "and", "for", "are", "but", "not", "you", "all", "can", "was",
-      "one", "our", "out", "has", "his", "her", "how", "its", "may", "new",
-      "now", "see", "two", "way", "who", "did", "that", "with", "this",
-      "from", "they", "have", "will", "what", "been", "were", "each",
-      "which", "their", "would", "there", "about")
-    val tok = regexp_replace(col("tok"), "[^a-z]", "")
-    val stem = Seq(
-      ("(ies|ied)$", "i"), ("sses$", "ss"), ("([^su])s$", "$1"),
-      ("^(.{4,})ing$", "$1"), ("^(.{3,})ed$", "$1"))
-      .foldLeft(tok) { case (c, (p, r)) => regexp_replace(c, p, r) }
-    tWide(s, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      .select(stem.as("stem"))
-      .filter(length(col("stem")) >= 3 && !col("stem").isin(stop: _*))
-      .groupBy("stem").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("stem").asc)
-      .limit(30)
-  }
-
-  /** Argmax aggregation: the latest event per user via max_by over a
-    * (ts, event_id) struct — ONE hash aggregation holding a single
-    * row of state per key, where the window-function formulation would
-    * shuffle and sort every event. The tie-break key (unique event_id)
-    * makes the argmax total, so no nondeterminism at equal timestamps.
-    */
-  def q108_argmax_latest(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("user_id") <= 200)
-      .groupBy("user_id")
-      .agg(
-        count(lit(1)).as("n_events"),
-        max_by(
-          struct(col("event_type").as("event_type"), col("value").as("value")),
-          struct(col("ts"), col("event_id"))).as("last"))
-      .select(
-        col("user_id"), col("n_events"),
-        col("last.event_type").as("last_type"),
-        round(col("last.value"), 2).as("last_value"))
-      .orderBy("user_id")
-
-  /** Robust outlier detection: median / MAD per event type, flagging
-    * |x − median| > 3·1.4826·MAD (the normal-consistent MAD scale).
-    * Three keyed aggregations with the two 6-row stats tables
-    * broadcast back — no global sort. The exact `percentile` builtin
-    * buffers per group; at 100 TB swap in Quantiles.exactByGroup
-    * (spillable rank path) or approx_percentile — same contract.
-    * Both engines compare against the same 4.4478 literal so the
-    * threshold constant cannot differ in the last ulp.
-    */
-  def q109_mad_outliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select("event_type", "value")
-    val med = ev.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("ad", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), "event_type")
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        round(min("med"), 4).as("median"),
-        round(min("mad"), 4).as("mad"),
-        count_if(col("ad") > lit(4.4478) * col("mad")).as("n_outliers"))
-      .orderBy("event_type")
-  }
-
-  /** kNN classification by cosine majority vote: probe vectors
-    * (vec_id ≡ 0 mod 101) against the rest of the corpus. The probe
-    * set is broadcast (it is the small side by construction), so the
-    * base corpus streams through one narrow map — no shuffle of the
-    * big side; ranking is per-probe (WindowGroupLimit prunes to k
-    * rows per probe per partition). Similarities are rounded to 4
-    * before ranking with vec_id tie-break, so the top-k frontier is
-    * engine-stable; the vote picks (votes DESC, label ASC).
-    */
-  def q110_knn_classify(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val probes = e.filter(col("vec_id") % 101 === 0)
-      .select(col("vec_id").as("qid"), col("label").as("true_label"), col("v").as("qv"))
-    val base = e.filter(col("vec_id") % 101 =!= 0)
-    val sims = base.crossJoin(broadcast(probes))
-      .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
-        round(graft.operators.Dedup.cosine(col("v"), col("qv")), 4).as("sim"))
-    val topk = sims
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
-      .filter(col("rn") <= 5)
-    topk.groupBy("qid", "true_label", "label")
-      .agg(count(lit(1)).as("votes"))
-      .withColumn("vr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)))
-      .filter(col("vr") === 1)
-      .select(
-        col("qid").as("vec_id"), col("true_label"),
-        col("label").as("pred_label"), col("votes"),
-        (col("label") === col("true_label")).cast("int").as("correct"))
-      .orderBy("vec_id")
-  }
-
-  /** Peak concurrency (max overlapping 5-minute sessions) per event
-    * type. The oracle runs the textbook single-window ±1 sweep; the
-    * engine side runs Concurrency.peakConcurrent's two-level
-    * distributed scan (within-day running sum + per-day carry-in
-    * prefix sum), which is algebraically identical — see that operator
-    * for the decomposition proof and the tie-determinism argument.
-    */
-  def q111_max_concurrency(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Concurrency.peakConcurrent(
-      t(s, dir, "events"), "event_type", "ts", 300L)
-      .orderBy("event_type")
-
-  /** First-order Markov transition matrix over per-user event streams:
-    * P(next=B | cur=A) from lead() pairs. One shuffle for the user
-    * window, one partial+final count on the (cur, next) key; the
-    * per-cur totals table is |event types|² rows at most — broadcast
-    * back. p is a single exact-integer division, rounded identically
-    * on both engines.
-    */
-  def q112_transition_matrix(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val c = t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("cur_type"))
-      .withColumn("next_type", lead(col("cur_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy("cur_type", "next_type").agg(count(lit(1)).as("n"))
-    val tot = c.groupBy("cur_type").agg(sum("n").as("tot"))
-    c.join(broadcast(tot), "cur_type")
-      .select(col("cur_type"), col("next_type"), col("n"),
-        round(col("n") / col("tot"), 4).as("p"))
-      .orderBy("cur_type", "next_type")
-  }
-
-  /** Bigram-LM document scoring (perplexity-proxy quality filter):
-    * train a conditional-probability table on 90% of docs (q91's LM
-    * shape), score the held-out 10% as the sum of per-bigram scaled
-    * probabilities. The score is INTEGER end-to-end — each bigram
-    * contributes floor(n·10⁴/tot), summed as longs — so no float
-    * reduction order can flip the hash compare. Unseen bigrams (OOV)
-    * contribute 0 and are counted separately. Scale: bigram explode is
-    * map-side; the LM build and the score join shuffle on the bigram
-    * key (high cardinality, partial-agg combined).
-    */
-  def q113_lm_score(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
-      .filter(size(col("ws")) >= 2)
-    val bigrams = toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val lm = bigrams.filter(col("doc_id") % 10 =!= 0)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val tot = lm.groupBy("w1").agg(sum("n").as("tot"))
-    val probs = lm.join(tot, "w1")
-      .select(col("w1"), col("w2"),
-        floor(col("n") * lit(10000) / col("tot")).as("pscaled"))
-    bigrams.filter(col("doc_id") % 10 === 0)
-      .join(probs, Seq("w1", "w2"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("pscaled").isNull, 1).otherwise(0)).as("n_oov"),
-        coalesce(sum("pscaled"), lit(0L)).as("score"))
-      .orderBy("doc_id")
-  }
-
-  /** Winsorized (clipped) robust mean per group: p05/p95 picked by the
-    * q40 discrete-rank method (value AT rank ceil(p·n) — a raw data
-    * value, immune to interpolation-rounding skew), broadcast back as
-    * a 3-row stats table, mean over values clipped into [lo, hi].
-    * The outlier-robust complement to q109's median/MAD flags: this
-    * REPAIRS the aggregate instead of flagging rows.
-    */
-  def q114_winsorize(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-    val stats = li
-      .withColumn("rn", row_number().over(Window.partitionBy("flag").orderBy("v")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-      .groupBy("flag").agg(
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.05) * col("n"))),
-          col("v"))).as("lo"),
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.95) * col("n"))),
-          col("v"))).as("hi"))
-    li.join(broadcast(stats), "flag")
-      .groupBy("flag").agg(
-        count(lit(1)).as("n"),
-        round(avg(greatest(least(col("v"), col("hi")), col("lo"))), 2).as("wins_mean"),
-        round(avg("v"), 2).as("raw_mean"))
-      .select(col("flag").as("l_returnflag"), col("n"), col("wins_mean"),
-        col("raw_mean"))
-      .orderBy("l_returnflag")
-  }
-
-  /** RAG-style overlapping chunking: 64-token windows at stride 32
-    * (chunk i covers tokens [32i, 32i+64)), the retrieval-index
-    * complement of q55's disjoint packing. Pure codegen row
-    * generation — sequence/explode/slice — no shuffle at all until
-    * the final presentation sort.
-    */
-  def q115_chunk_overlap(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0L), floor((size(col("ws")) - 1) / 32))).as("chunk_no"))
-      .select(col("doc_id"), col("chunk_no"),
-        slice(col("ws"), (col("chunk_no") * 32 + 1).cast("int"), lit(64)).as("chunk"))
-      .select(col("doc_id"), col("chunk_no"),
-        size(col("chunk")).cast("long").as("n_toks"),
-        element_at(col("chunk"), 1).as("first_tok"),
-        element_at(col("chunk"), -1).as("last_tok"))
-      .orderBy("doc_id", "chunk_no")
-
-  /** Dataset content fingerprint for snapshot integrity audits: an
-    * md5 per row over the natural key columns, bucketed by the hash's
-    * first hex digit into a 16-row signature (count + min + max per
-    * bucket). Order-independent (pure partial+final agg, no sort), so
-    * two pipelines can compare signatures without canonicalizing row
-    * order — the cheap first check before a q98-style full diff.
-    */
-  def q116_hash_fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(md5(concat_ws("|",
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_linenumber")).cast("binary")).as("h"))
-      .groupBy(substring(col("h"), 1, 1).as("bucket"))
-      .agg(count(lit(1)).as("n"), min("h").as("min_hash"), max("h").as("max_hash"))
-      .orderBy("bucket")
-
-  /** Linear interpolation of gaps in a per-user daily series — the
-    * numeric upgrade of q51's carry-forward fill: missing days get
-    * pv + (nv−pv)·(day−pd)/(nd−pd) between the bracketing observed
-    * days. Four IGNORE NULLS window passes over ONE user-keyed
-    * shuffle (same partition spec, the sort is reused). Arithmetic is
-    * INTEGER-CENT fixed point: the float form lands on exact
-    * half-cent boundaries (e.g. midpoint of two 2-decimal values)
-    * where Spark's BigDecimal HALF_UP and DuckDB's float-path
-    * rounding legally disagree, while floor((nv−pv)·dd / dn) over
-    * longs < 2⁵³ is IEEE-EXACT in both engines (the quotient is
-    * correctly rounded, so its floor can only be wrong if the true
-    * quotient were within one ulp of an integer — impossible for
-    * exact-integer operands unless it IS that integer).
-    */
-  def q117_interp_linear(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events").filter(col("user_id") < 100)
-      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
-      .agg(round(sum("value") * 100, 0).cast("long").as("cents"))
-    val cal = daily.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"),
-        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-    val j = cal.join(daily, Seq("user_id", "day"), "left")
-    val w = Window.partitionBy("user_id").orderBy("day")
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsDay = when(col("cents").isNotNull, col("day"))
-    j.withColumn("pv", last("cents", ignoreNulls = true).over(wPrev))
-      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first("cents", ignoreNulls = true).over(wNext))
-      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
-      .select(col("user_id"), col("day"),
-        when(col("cents").isNotNull, col("cents"))
-          .when(col("pv").isNull, col("nv"))
-          .when(col("nv").isNull, col("pv"))
-          .otherwise(col("pv") + floor((col("nv") - col("pv")) *
-            datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))))
-          .as("est_cents"),
-        when(col("cents").isNull, 1).otherwise(0).as("interpolated"))
-      .orderBy("user_id", "day")
-  }
-
-  /** Entry-path analysis: the first 3 event types per user (ordered by
-    * ts, event_id) as a ">"-joined path string, counted across users —
-    * the onboarding-flow query. Per-user state is ONE sorted struct
-    * array bounded by the user's history (collect_list + sort_array —
-    * at 100 TB, cap with a WindowGroupLimit rank≤3 pre-filter per
-    * user); the path count is a partial+final agg; top-15 plans
-    * TakeOrderedAndProject.
-    */
-  def q118_path_analysis(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(concat_ws(">",
-        transform(slice(col("evs"), 1, 3), e => e.getField("event_type"))).as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n_users"))
-      .orderBy(desc("n_users"), col("path"))
-      .limit(15)
-
-  /** JSON-lines file source/sink round-trip — the third wire format
-    * after CSV (q79) and ORC (q96): events dumped as JSON-lines,
-    * re-read with an explicit schema (no sampling-based inference
-    * pass — at 100 TB schema inference is a full extra scan), then
-    * checksum-aggregated against the ORIGINAL parquet values. Doubles
-    * survive because Spark writes shortest round-trip representations.
-    */
-  def q119_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("graft_json_roundtrip")
-    t(s, dir, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").json(out)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-    s.read.schema(schema).json(out)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
-        round(sum("value"), 2).as("sum_value"), max("ts_us").as("max_ts_us"))
-      .orderBy("event_type")
-  }
-
-  /** Explicit GROUPING SETS (the general form behind q12's rollup and
-    * q31's cube — per-nation and per-priority marginals plus the grand
-    * total in ONE aggregation pass over an Expand, no self-union
-    * rescan). ONE SQL string runs on BOTH engines (q61's pattern), so
-    * the oracle is definitionally the same query; grouping() flags
-    * disambiguate the all-label from a real value.
-    */
-  val q121Sql: String =
-    """SELECT coalesce(n_name, '(all)') AS n_name,
-      |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
-      |  grouping(n_name) AS g_nation, grouping(o_orderpriority) AS g_prio,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
-      |FROM orders
-      |JOIN customer ON o_custkey = c_custkey
-      |JOIN nation ON c_nationkey = n_nationkey
-      |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
-      |ORDER BY g_nation, g_prio, n_name, o_orderpriority""".stripMargin
-
-  def q121_grouping_sets(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    t(s, dir, "customer").createOrReplaceTempView("customer")
-    t(s, dir, "nation").createOrReplaceTempView("nation")
-    s.sql(q121Sql)
-  }
-
-  /** Period-over-period (month-over-month) revenue deltas per order
-    * priority — the lag() growth report every revenue dashboard runs.
-    * Delta is INTEGER basis points over integer cents (floor of an
-    * exact-long division — engine-exact, q117's argument), computed
-    * after the monthly pre-aggregation so the window sees only
-    * |priorities|·|months| rows, partitioned by priority (never a
-    * global window).
-    */
-  def q122_period_over_period(s: SparkSession, dir: String): DataFrame = {
-    val monthly = t(s, dir, "orders")
-      .groupBy(col("o_orderpriority").as("prio"),
-        trunc(col("o_orderdate"), "month").as("month"))
-      .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
-    val w = Window.partitionBy("prio").orderBy("month")
-    monthly.withColumn("prev_cents", lag("cents", 1).over(w))
-      .select(col("prio").as("o_orderpriority"), col("month"), col("cents"),
-        coalesce(floor((col("cents") - col("prev_cents")) * 10000
-          / col("prev_cents")), lit(0L)).as("delta_bp"))
-      .orderBy("o_orderpriority", "month")
-  }
-
-  /** Join-key skew diagnostics — the pre-flight check before choosing
-    * q37's salting factor: per-key count distribution collapsed to a
-    * one-row signature (key count, total, max, mean×100, skew×100 =
-    * max/mean — all exact-integer arithmetic). Two partial+final
-    * aggs; nothing wide ever leaves the executors.
-    */
-  def q123_skew_diagnostics(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("n_keys"), sum("n").as("total_rows"),
-        max("n").as("max_n"), min("n").as("min_n"))
-      .select(col("n_keys"), col("total_rows"), col("max_n"), col("min_n"),
-        floor(col("total_rows") * 100 / col("n_keys")).as("mean_x100"),
-        floor(col("max_n") * 100 * col("n_keys") / col("total_rows"))
-          .as("skew_x100"))
-
-  /** Referential-integrity audit (FK orphan scan): for each fact→dim
-    * edge, how many distinct fact keys have no parent. One left join
-    * per edge on the distinct fact keys (dims' key columns only —
-    * pruned scans), unmatched rows counted by null flag, unioned into
-    * a per-edge report. The data-quality gate a warehouse runs after
-    * every load; zero orphans is the healthy result, and n_keys
-    * proves the check actually scanned.
-    */
-  def q124_fk_audit(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    def audit(fk: String, dim: DataFrame, pk: String, label: String) =
-      li.select(col(fk).as("k")).distinct()
-        .join(dim.select(col(pk).as("k"), lit(1).as("hit")), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_keys"),
-          sum(when(col("hit").isNull, 1).otherwise(0)).as("n_orphans"))
-        .select(lit(label).as("fk"), col("n_keys"), col("n_orphans"))
-    audit("l_orderkey", t(s, dir, "orders"), "o_orderkey", "lineitem.orderkey")
-      .unionByName(audit("l_partkey", t(s, dir, "part"), "p_partkey", "lineitem.partkey"))
-      .unionByName(audit("l_suppkey", t(s, dir, "supplier"), "s_suppkey", "lineitem.suppkey"))
-      .orderBy("fk")
-  }
-
-  /** Entity resolution: blocked fuzzy best-match. Probe parts match
-    * against all same-brand parts (equi-join on the blocking key — a
-    * hash join, never all-pairs), scored by edit distance, best match
-    * kept by (dist, partkey) rank. The blocking key bounds candidate
-    * fan-out; at 100 TB the block would be (brand, container) or a
-    * q84-style locality bucket.
-    */
-  def q120_entity_resolution(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val probes = p.filter(col("p_partkey") % 97 === 0)
-      .select(col("p_partkey").as("qk"), col("p_brand").as("qb"),
-        col("p_name").as("qn"))
-    val cands = p.select(col("p_partkey").as("ck"), col("p_brand").as("cb"),
-      col("p_name").as("cn"))
-    probes.join(cands, col("qb") === col("cb") && col("qk") =!= col("ck"))
-      .select(col("qk"), col("qn"), col("ck"), col("cn"),
-        levenshtein(col("qn"), col("cn")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qk").orderBy(col("dist"), col("ck"))))
-      .filter(col("rn") === 1)
-      .select(col("qk").as("p_partkey"), col("qn").as("p_name"),
-        col("ck").as("match_partkey"), col("cn").as("match_name"), col("dist"))
-      .orderBy("p_partkey")
-  }
-
-  /** Jaro-Winkler fuzzy matching — q120's blocked entity resolution
-    * re-scored with the prefix-weighted similarity the record-linkage
-    * literature prefers for short names, via the native codegen
-    * expression `graft.expr.JaroWinkler` (Spark has levenshtein but no
-    * Jaro-Winkler builtin; semantics pinned to DuckDB's
-    * `jaro_winkler_similarity` so the oracle is definitional). Rank
-    * orders by the ROUNDED score so a 1-ulp cross-engine FP difference
-    * cannot flip the winner; brand blocking keeps the candidate
-    * fan-out bounded exactly as in q120.
-    */
-  def q125_jaro_winkler(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val probes = p.filter(col("p_partkey") % 97 === 0)
-      .select(col("p_partkey").as("qk"), col("p_brand").as("qb"),
-        col("p_name").as("qn"))
-    val cands = p.select(col("p_partkey").as("ck"), col("p_brand").as("cb"),
-      col("p_name").as("cn"))
-    probes.join(cands, col("qb") === col("cb") && col("qk") =!= col("ck"))
-      .select(col("qk"), col("qn"), col("ck"), col("cn"),
-        round(graft.expr.StringSimilarity.jaroWinkler(col("qn"), col("cn")), 4)
-          .as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qk").orderBy(desc("sim"), col("ck"))))
-      .filter(col("rn") === 1)
-      .select(col("qk").as("p_partkey"), col("qn").as("p_name"),
-        col("ck").as("match_partkey"), col("cn").as("match_name"), col("sim"))
-      .orderBy("p_partkey")
-  }
-
-  /** Chi-squared independence test (event_type × user cohort) — the
-    * statistical gate behind "is this feature correlated with that
-    * segment". Emits the full contingency table with expected counts
-    * and per-cell χ² contributions rather than one summed statistic:
-    * the cell division is a single IEEE op identical on both engines,
-    * while a 15-term float SUM would depend on reduction order. The
-    * table is the COMPLETED r × c grid (q313's pattern): an
-    * (event_type, cohort) pair with zero observations still has
-    * expected count E and contribution (0−E)²/E = E — dropping it
-    * would understate any statistic a consumer sums from this report.
-    * Three tiny aggregates (cells, row totals, column totals)
-    * broadcast back onto the bounded grid — the fact table is scanned
-    * once.
-    */
-  def q126_chisq(s: SparkSession, dir: String): DataFrame = {
-    val obs = t(s, dir, "events")
-      .groupBy(col("event_type"), (col("user_id") % 3).as("cohort"))
-      .agg(count(lit(1)).as("n"))
-    val grid = obs.select("event_type").distinct()
-      .crossJoin(broadcast(obs.select("cohort").distinct()))
-    val cells = grid.join(obs, Seq("event_type", "cohort"), "left")
-      .select(col("event_type"), col("cohort"), coalesce(col("n"), lit(0L)).as("n"))
-    val rt = cells.groupBy("event_type").agg(sum("n").as("r"))
-    val ct = cells.groupBy("cohort").agg(sum("n").as("c"))
-    val tot = cells.agg(sum("n").as("t"))
-    val e = (col("r") * col("c")) / col("t")
-    cells.join(rt, "event_type").join(ct, "cohort").crossJoin(tot)
-      .select(col("event_type"), col("cohort"), col("n"),
-        round(e, 4).as("expected"),
-        round((col("n") - e) * (col("n") - e) / e, 4).as("chi2_contrib"))
-      .orderBy("event_type", "cohort")
-  }
-
-  /** Pairwise label-centroid cosine matrix — the cluster-separation
-    * report after q64's centroid build (are label groups distinguishable
-    * in embedding space?). Centroids come from ONE posexplode
-    * partial+final agg over the corpus (|labels|·dims rows out); the
-    * 45-pair upper triangle is a self-join of that tiny table — at
-    * 100 TB the corpus pass dominates and the pair stage is free.
-    */
-  def q127_centroid_sim(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), (col("pos") + 1).as("i"))
-      .agg(avg(col("col").cast("double")).as("v"))
-    val n = c.groupBy("label").agg(sum(col("v") * col("v")).as("nn"))
-    val a = c.select(col("label").as("label_a"), col("i"), col("v").as("va"))
-    val b = c.select(col("label").as("label_b"), col("i"), col("v").as("vb"))
-    a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
-      .groupBy("label_a", "label_b").agg(sum(col("va") * col("vb")).as("dot"))
-      .join(n.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
-      .join(n.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
-      .select(col("label_a"), col("label_b"),
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4).as("cos_sim"))
-      .orderBy("label_a", "label_b")
-  }
-
-  /** Partition-pruned layout round-trip: events written
-    * date-partitioned (the layout a 100 TB event store actually has),
-    * re-read with a date predicate that must prune to 7 of 30
-    * directories via PartitionFilters — never touching the other 23
-    * files' bytes — then aggregated. The oracle aggregates the ORIGINAL
-    * parquet under the equivalent timestamp predicate, so pruning
-    * correctness (no lost or phantom rows at the day boundaries) is
-    * what's being hash-checked.
-    */
-  def q128_partitioned_prune(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("graft_part_prune")
-    t(s, dir, "events")
-      .withColumn("event_date", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    s.read.parquet(out)
-      .filter(col("event_date") >= lit("2024-01-05")
-        && col("event_date") <= lit("2024-01-11"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
-        round(sum("value"), 2).as("sum_value"))
-      .orderBy("event_type")
-  }
-
-  /** Min-cost supplier (TPC-H Q2 shape on our star schema): per part,
-    * the supplier with the lowest observed unit price. Each LINE's
-    * unit cost is rounded to 4 dp IN EXACT INTEGER ARITHMETIC first
-    * (q156's half-up form over exact cents — sf0.1 exposed a raw
-    * double landing exactly on a half boundary, 92.40775, where
-    * Spark's shortest-repr HALF_UP and DuckDB's scaled-double round
-    * split), then MIN over those integers — min/max of exact integers
-    * are engine-identical by construction, where an averaged or
-    * raw-double cost would carry representation noise into the hash.
-    * Argmin via rank-1 window over the pre-aggregated (part,supplier)
-    * table (2 shuffles on the fact); part/supplier dims broadcast
-    * onto the 1-row-per-part result.
-    */
-  def q129_min_cost_supplier(s: SparkSession, dir: String): DataFrame = {
-    val cost = t(s, dir, "lineitem")
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min(expr(
-        """(2 * cast(round(l_extendedprice * 100, 0) as bigint) * 100
-          |   + cast(l_quantity as bigint))
-          | div (2 * cast(l_quantity as bigint))""".stripMargin))
-        .as("uc4"))
-    val best = cost.withColumn("rn", row_number().over(
-      Window.partitionBy("l_partkey").orderBy(col("uc4"), col("l_suppkey"))))
-      .filter(col("rn") === 1)
-    val part = t(s, dir, "part").filter(col("p_size") >= 48)
-      .select(col("p_partkey"), col("p_name"), col("p_size"))
-    best.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("p_name"), col("p_size"),
-        col("s_suppkey"), col("s_name"), (col("uc4") / 10000.0).as("unit_cost"))
-      .orderBy("p_partkey")
-  }
-
-  /** Lexical diversity (type-token ratio + hapax fraction) — the
-    * per-document vocabulary-richness signal quality filters use to
-    * catch keyword-stuffed or template text. One explode → (doc, word)
-    * count agg, then a per-doc re-agg; all-integer outputs (basis
-    * points via exact long division), so no float ever crosses the
-    * oracle boundary.
-    */
-  def q130_lexical_diversity(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))
-          .as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
-      .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        expr("n_types * 10000 div n_tokens").as("ttr_bp"),
-        expr("n_hapax * 10000 div n_types").as("hapax_bp"))
-      .orderBy("doc_id")
-
-  /** PageRank over the word co-occurrence graph (top-30 document
-    * terms) — iterative distributed graph compute in exact fixed-point
-    * arithmetic via `operators/PageRank.scala`: 3 power-iteration
-    * rounds, each ONE ranks⋈edges hash join plus ONE groupBy(dst)
-    * shuffle (the irreducible communication of power iteration).
-    * Integer ranks make the result bit-identical to the oracle's
-    * unrolled-CTE evaluation — float PageRank cannot be
-    * oracle-checked at all. Companion iterative operator to
-    * q53's connected components.
-    */
-  def q131_pagerank(s: SparkSession, dir: String): DataFrame = {
-    // Per-doc dedup happens ROW-LOCALLY (array_distinct before the
-    // explode) — the (doc, word) stream is already distinct, so no
-    // global distinct() shuffle of the exploded rows is needed.
-    val toks = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
-          w => length(w) >= 4))).as("w"))
-    val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(30).select("w")
-    val kept = toks.join(broadcast(top), "w")
-    val edges = kept.select(col("doc_id"), col("w").as("src"))
-      .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    // The node universe is the top-k list itself, passed explicitly so
-    // a top word with NO co-occurrence edge still gets its base rank —
-    // the oracle seeds r0..r3 from `top`, so deriving nodes from the
-    // edge list would silently drop such a word on this side only.
-    operators.PageRank.run(edges, iterations = 3,
-        nodeUniverse = Some(top.select(col("w").as("node"))))
-      .select(col("node"), col("rank").as("pr"))
-      .orderBy(desc("pr"), col("node"))
-  }
-
-  /** Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
-    * builtins): per-day distinct-user sketches union-merged into a
-    * per-type estimate next to the exact count. THE 100 TB pattern for
-    * distinct-counting — daily partials are built once at ingest
-    * (bounded bytes/day), and any date range is answered by merging
-    * sketches instead of rescanning raw events. Estimate is
-    * engine-specific → rows-only gate; Round5OpsSpec pins the estimate
-    * to within 5% of exact and proves merge-associativity.
-    */
-  def q132_hll_merge(s: SparkSession, dir: String): DataFrame = {
-    // The exact comparison column comes from q134's bitmap partials
-    // (popcount of OR-merged 32-id words) — bounded bytes per group at
-    // any scale, unlike a collect_set of raw ids. ORACLE-JUDGED via
-    // the tolerance-flag pattern (q20's): the exact counts hash-check
-    // against DuckDB; the two sketch CONTRACTS become judged booleans
-    // the oracle pins to true — (a) the merged per-day-partials
-    // estimate lands within 5% of exact (DataSketches' documented
-    // band at default lgK), (b) merge-of-partials agrees with the
-    // direct one-shot sketch within 2% (the mergeability claim — THE
-    // property that makes per-day sketches the 100 TB distinct
-    // pattern: range queries merge instead of rescanning).
-    val ev = t(s, dir, "events")
-    val merged = ev
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
-    val direct = ev
-      .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"))
-    val exact = ev
-      .groupBy(col("event_type"), expr("user_id div 32").as("word"))
-      .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 AS int))")).as("bm"))
-      .groupBy("event_type")
-      .agg(sum(bit_count(col("bm"))).as("exact_users"))
-    merged.join(direct, "event_type").join(exact, "event_type")
-      .select(col("event_type"), col("exact_users"),
-        (abs(col("merged_users") - col("exact_users")).cast("double") /
-          col("exact_users") <= 0.05).as("apx_ok"),
-        (abs(col("merged_users") - col("direct_users")).cast("double") /
-          col("direct_users") <= 0.02).as("merge_ok"))
-      .orderBy("event_type")
-  }
-
-  /** XML source/sink round-trip — the fourth wire format after CSV
-    * (q79), ORC (q96), and JSON-lines (q119), using Spark 4's built-in
-    * XML data source. Read back with an explicit schema (inference
-    * would be an extra full scan at 100 TB) and checksum-aggregated
-    * against the ORIGINAL parquet values; timestamps travel as integer
-    * microseconds so no text datetime format is load-bearing.
-    */
-  def q133_xml_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("graft_xml_roundtrip")
-    t(s, dir, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").format("xml").option("rowTag", "event").save(out)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-    s.read.format("xml").option("rowTag", "event").schema(schema).load(out)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
-        round(sum("value"), 2).as("sum_value"), min("ts_us").as("min_ts_us"),
-        max("ts_us").as("max_ts_us"))
-      .orderBy("event_type")
-  }
-
-  /** Bitmap-index distinct rollup (ClickHouse groupBitmap / roaring
-    * pattern): user ids pack 32 per BIGINT word (word = id div 32, one
-    * bit per id — see the inline note for why not 64), per-(segment,
-    * word) bitmaps OR-merge in a hash agg, and EXACT distinct counts
-    * fall out of popcount — 8 bytes per 32 users per segment, no
-    * per-user rows past the first shuffle. The
-    * '(all)' row re-merges the per-type bitmaps WITHOUT rescanning
-    * events — the same partials answer any segment combination, the
-    * bitmap analogue of q132's HLL merge but exact.
-    */
-  def q134_bitmap_distinct(s: SparkSession, dir: String): DataFrame = {
-    val masks = t(s, dir, "events").select(
-      col("event_type"),
-      // 32-bit words inside BIGINT lanes: bit 63 is unreachable, so
-      // neither engine can hit signed-shift overflow (DuckDB errors on
-      // 1<<63 where Java wraps — 32-bit packing sidesteps the
-      // divergence at the cost of 2× the words, still 8 bytes/32 users).
-      expr("user_id div 32").as("word"),
-      expr("shiftleft(1L, cast(user_id % 32 AS int))").as("m"))
-    val perTypeWord = masks.groupBy("event_type", "word")
-      .agg(bit_or(col("m")).as("bm"))
-    val perType = perTypeWord.groupBy("event_type")
-      .agg(sum(bit_count(col("bm"))).as("n_users"))
-    val overall = perTypeWord.groupBy("word").agg(bit_or(col("bm")).as("bm"))
-      .agg(sum(bit_count(col("bm"))).as("n_users"))
-      .select(lit("(all)").as("event_type"), col("n_users"))
-    perType.unionByName(overall).orderBy("event_type")
-  }
-
-  /** Funnel conversion lag: per user, first 'view' → first subsequent
-    * 'purchase', lag in whole seconds (exact integer µs arithmetic),
-    * then per-cohort discrete (type-1) quantiles via q40's
-    * rank-equality pattern — never an interpolated percentile, whose
-    * (n−1)·q float product can land on either side of an integer on
-    * different engines. Two keyed min-aggs + one cohort-partitioned
-    * rank window over |converting users| rows.
-    */
-  def q135_funnel_lag(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("v_us"))
-    val lag = ev.filter(col("event_type") === "purchase")
-      .join(v, "user_id")
-      .filter(col("us") > col("v_us"))
-      .groupBy("user_id", "v_us").agg(min("us").as("p_us"))
-      .select(col("user_id"),
-        expr("(p_us - v_us) div 1000000").as("lag_sec"))
-      .withColumn("cohort", col("user_id") % 4)
-    val ranked = lag
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cohort").orderBy(col("lag_sec"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort")))
-    ranked.groupBy("cohort")
-      .agg(count(lit(1)).as("n_converted"),
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))),
-          col("lag_sec"))).as("p50_sec"),
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.9) * col("n"))),
-          col("lag_sec"))).as("p90_sec"),
-        max(col("lag_sec")).as("max_sec"))
-      .orderBy("cohort")
-  }
-
-  /** Watermark-lateness audit — the telemetry that CHOOSES a streaming
-    * watermark delay: treating event_id as arrival order, how far
-    * behind the running max event-time does each event arrive?
-    * Running max over a day-partitioned window (at 100 TB the
-    * partition key is (day, ingest shard) — arrival order only exists
-    * per shard anyway), then per-day discrete p50/p95/max lateness in
-    * exact integer seconds.
-    */
-  def q137_lateness_audit(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "events").select(
-      to_date(col("ts")).as("day"), col("event_id"),
-      unix_micros(col("ts")).as("us"))
-    val w = Window.partitionBy("day").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = base
-      .withColumn("runmax", max("us").over(w))
-      .select(col("day"), col("event_id"),
-        expr("(runmax - us) div 1000000").as("late_sec"))
-    val ranked = late
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("day").orderBy(col("late_sec"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
-    ranked.groupBy("day")
-      .agg(count(lit(1)).as("n_events"),
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))),
-          col("late_sec"))).as("p50_late_sec"),
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(0.95) * col("n"))),
-          col("late_sec"))).as("p95_late_sec"),
-        max(col("late_sec")).as("max_late_sec"))
-      .orderBy("day")
-  }
-
-  /** Schema-evolution union (the ingest reality the reference's drift
-    * retry hints at, S10): a v1 batch lacking columns later added
-    * unions with a v2 batch via unionByName(allowMissingColumns) —
-    * absent columns null-fill and default-coalesce, exactly how a
-    * 100 TB lake reads a table whose schema grew mid-history. No
-    * shuffle beyond the final agg; the union is a zero-cost plan node.
-    */
-  def q136_schema_evolution(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val v1 = ev.filter(col("event_id") % 2 === 0)
-      .select(col("event_id"), col("user_id"), col("value"))
-    val v2 = ev.filter(col("event_id") % 2 === 1)
-      .select(col("event_id"), col("user_id"), col("value"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    v1.unionByName(v2, allowMissingColumns = true)
-      .select(col("event_id"), col("user_id"), col("value"),
-        coalesce(col("event_type"), lit("unknown")).as("event_type"),
-        coalesce(col("ts_us"), lit(0L)).as("ts_us"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
-        round(sum("value"), 2).as("sum_value"), max("ts_us").as("max_ts_us"))
-      .orderBy("event_type")
-  }
-
-  /** Decile lift / gains table: customers ranked by total spend into
-    * equi-depth deciles (q93's exact ntile arithmetic over
-    * PrefixSum.globalRank — distributed, no single-partition ntile over
-    * the customer universe), then per-decile spend and CUMULATIVE share
-    * in integer basis points. The top-decile concentration report
-    * behind every "whales" analysis. The cumulative window runs over
-    * the 10 AGGREGATED rows only.
-    */
-  def q138_decile_lift(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val spend = t(s, dir, "orders")
-      .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
-    // The customer count feeds the bin boundaries as a LAZY 1-row
-    // broadcast (q81's pattern) — an eager spend.count() here would run
-    // a real job at query-CONSTRUCTION time, during plan-only
-    // inspections too, and scan orders an extra time.
-    val k = 10L
-    val totals = spend.agg(count(lit(1)).as("__n"))
-      .select(expr(s"__n div $k").as("__q"), expr(s"__n % $k").as("__rem"))
-    val q = col("__q"); val rem = col("__rem")
-    val ranked = PrefixSum.globalRank(spend, Seq("cents", "o_custkey"), "r")
-      .crossJoin(broadcast(totals))
-    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
-      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
-      .cast("long") + 1
-    val deciles = ranked.withColumn("decile", bin)
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
-    val wCum = Window.orderBy(col("decile").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    deciles
-      .withColumn("cum_cents", sum("cents").over(wCum))
-      .withColumn("total_cents", sum("cents").over(wAll))
-      .select(col("decile"), col("n_customers"), col("cents"),
-        expr("cum_cents * 10000 div total_cents").as("cum_share_bp"))
-      .orderBy("decile")
-  }
-
-  /** Gap/island detection over the event_id sequence (missing-data
-    * audit after a lossy transfer): drop every 7th id, then find
-    * maximal runs of consecutive ids with the classic id−rank trick —
-    * the rank coming from PrefixSum.globalRank, so no single-partition
-    * row_number over the full fact. Output is the island-length
-    * histogram; all-integer arithmetic end to end.
-    */
-  def q139_gap_islands(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val ids = t(s, dir, "events")
-      .filter(col("event_id") % 7 =!= 0)
-      .select(col("event_id"))
-    val ranked = PrefixSum.globalRank(ids, Seq("event_id"), "r")
-    ranked
-      .groupBy((col("event_id") - col("r")).as("island_key"))
-      .agg(count(lit(1)).as("island_len"))
-      .groupBy("island_len").agg(count(lit(1)).as("n_islands"))
-      .orderBy("island_len")
-  }
-
-  /** Bitmap set algebra across segments: the per-(type, word) bitmap
-    * partials q134 builds answer ANY audience-overlap question with
-    * bit ops — here the full pairwise overlap matrix (users doing both
-    * A and B) via popcount(bm_a AND bm_b), without ever rescanning
-    * events. This is why warehouses store bitmap partials: one scan,
-    * every combination. Join fan-out is |types|² · |words| tiny rows.
-    */
-  def q140_bitmap_intersect(s: SparkSession, dir: String): DataFrame = {
-    val ptw = t(s, dir, "events").select(
-      col("event_type"),
-      expr("user_id div 32").as("word"),
-      expr("shiftleft(1L, cast(user_id % 32 AS int))").as("m"))
-      .groupBy("event_type", "word")
-      .agg(bit_or(col("m")).as("bm"))
-    val a = ptw.select(col("event_type").as("type_a"), col("word"), col("bm").as("bma"))
-    val b = ptw.select(col("event_type").as("type_b"), col("word"), col("bm").as("bmb"))
-    a.join(b, Seq("word"))
-      .filter(col("type_a") < col("type_b"))
-      .groupBy("type_a", "type_b")
-      .agg(sum(bit_count(col("bma").bitwiseAND(col("bmb")))).as("n_both"),
-        sum(bit_count(col("bma").bitwiseOR(col("bmb")))).as("n_either"))
-      .orderBy("type_a", "type_b")
-  }
-
-  /** Hierarchical ratio-to-parent rollup: nation revenue as basis
-    * points of its REGION's total (the drill-down share column every
-    * hierarchy report carries). Region totals re-aggregate from the
-    * nation rows (25 rows — never a second fact scan) and broadcast
-    * back; exact integer cents end to end.
-    */
-  def q141_parent_share(s: SparkSession, dir: String): DataFrame = {
-    val rev = t(s, dir, "orders")
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .groupBy("r_name", "n_name")
-      .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
-    val regionTot = rev.groupBy("r_name").agg(sum("cents").as("r_cents"))
-    rev.join(broadcast(regionTot), "r_name")
-      .select(col("r_name"), col("n_name"), col("cents"),
-        expr("cents * 10000 div r_cents").as("share_of_region_bp"))
-      .orderBy("r_name", "n_name")
-  }
-
-  /** Multimodal decode through the BATCHED featurize path (q33 covers
-    * metadata; this one actually runs `Multimodal.featurizeBatched`'s
-    * mapPartitions + chunked `decodeBatch` over every payload —
-    * payload bytes never leave the partition, only fixed-shape
-    * features). Judged columns are the INTEGER byte statistics the
-    * decode emits, which the oracle reproduces as text byte lengths
-    * (payload = UTF-8 of the text by construction); the float features
-    * stay spec-verified (LlmOpsSpec) where rint-vs-round tie semantics
-    * can't leak into a hash compare.
-    */
-  def q142_media_features(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Multimodal
-    val media = Multimodal.syntheticMedia(s, s"$dir/documents.parquet")
-    Multimodal.featurizeBatched(media, Multimodal.FakeCodec, batchSize = 64)
-      .toDF()
-      .groupBy("kind")
-      .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
-        min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"))
-      .orderBy("kind")
-  }
-
-  /** Interval-union coverage (how much wall-clock was each user
-    * active, counting ±15 min around each event ONCE even when they
-    * overlap): the sorted-sweep island merge — a new island opens when
-    * an interval starts past the running max end — with all
-    * timestamps in exact integer µs. Window is per user (the natural
-    * shard key); output aggregates to one row per user bucket.
-    */
-  def q143_interval_coverage(s: SparkSession, dir: String): DataFrame = {
-    val half = 15L * 60L * 1000000L
-    val iv = t(s, dir, "events").select(
-      col("user_id"),
-      (unix_micros(col("ts")) - half).as("s"),
-      (unix_micros(col("ts")) + half).as("e"))
-    val w = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
-    val runEnd = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val islands = iv
-      .withColumn("prev_max_e", max("e").over(runEnd))
-      .withColumn("new_island",
-        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
-          .otherwise(0L))
-      .withColumn("island", sum("new_island").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "island")
-      .agg(min("s").as("is"), max("e").as("ie"))
-    islands
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_islands"),
-        sum(col("ie") - col("is")).as("covered_us"))
-      .groupBy((col("user_id") % 10).as("user_bucket"))
-      .agg(count(lit(1)).as("n_users"), sum("n_islands").as("n_islands"),
-        expr("sum(covered_us) div 1000000").as("covered_sec"))
-      .orderBy("user_bucket")
-  }
-
-  /** Per-group trend + next-period forecast: OLS slope/intercept of
-    * daily event counts against the day index, per event type, plus
-    * the day-31 projection — q102's one-pass co-moment machinery put
-    * to work. The regression runs over 30 pre-aggregated points per
-    * group; rounding (2dp) happens only at the output boundary.
-    */
-  def q144_trend_forecast(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
-      .agg(count(lit(1)).cast("double").as("n"))
-    daily.groupBy("event_type")
-      .agg(count(lit(1)).as("n_days"),
-        round(regr_slope(col("n"), col("day")), 2).as("slope"),
-        round(regr_intercept(col("n"), col("day")), 2).as("intercept"),
-        round(regr_intercept(col("n"), col("day"))
-          + regr_slope(col("n"), col("day")) * 30.0, 2).as("forecast_day30"))
-      .orderBy("event_type")
-  }
-
-  /** Join-cardinality audit (optimizer telemetry before a big join):
-    * EXACT per-side distinct key counts and key overlap from q134's
-    * bitmap partials — popcount(AND) over OR-merged words — next to
-    * the actual join row count. At 100 TB you run the bitmap half for
-    * pennies to predict the join's blow-up factor before committing
-    * the shuffle; the actual-join column here doubles as the
-    * proof-of-estimate (overlap keys ≤ join rows always).
-    */
-  def q145_join_cardinality(s: SparkSession, dir: String): DataFrame = {
-    def bm(df: DataFrame, key: String) = df.select(
-      expr(s"$key div 32").as("word"),
-      expr(s"shiftleft(1L, cast($key % 32 AS int))").as("m"))
-      .groupBy("word").agg(bit_or(col("m")).as("bm"))
-    val l = bm(t(s, dir, "lineitem").filter(col("l_quantity") >= 45), "l_orderkey")
-    val o = bm(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
-      "o_orderkey")
-    val sides = l.toDF("word", "bml").join(o.toDF("word", "bmo"), Seq("word"), "full")
-      .agg(
-        sum(bit_count(coalesce(col("bml"), lit(0L)))).as("distinct_l"),
-        sum(bit_count(coalesce(col("bmo"), lit(0L)))).as("distinct_o"),
-        sum(bit_count(coalesce(col("bml"), lit(0L))
-          .bitwiseAND(coalesce(col("bmo"), lit(0L))))).as("key_overlap"))
-    val actual = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
-      .select(col("l_orderkey").as("k"))
-      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("k")), Seq("k"))
-      .agg(count(lit(1)).as("join_rows"))
-    sides.crossJoin(actual)
-  }
-
-  /** Per-group top-k via the typed `TopKByScore` Aggregator (UDAF) —
-    * functionally q63/q76's WindowGroupLimit rank, but as an AGGREGATE
-    * with O(k) state per group at every stage: partials trim to k
-    * before they shuffle, no sort of the group ever happens, and it
-    * composes with other aggregates in the same pass (count here).
-    * Exact integer cents + id tiebreak keep it engine-deterministic.
-    */
-  def q146_topk_agg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val topk = udaf(graft.operators.TopKByScore(3))
-    t(s, dir, "orders")
-      .select(col("o_orderpriority"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
-        col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(topk(col("cents"), col("o_orderkey")).as("top"),
-        count(lit(1)).as("n_orders"))
-      .select(col("o_orderpriority"), col("n_orders"),
-        posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("o_orderpriority"), col("n_orders"),
-        (col("pos") + 1).cast("long").as("rnk"),
-        col("t._1").as("cents"), col("t._2").as("o_orderkey"))
-      .orderBy("o_orderpriority", "rnk")
-  }
-
-  /** q38's backward as-of join through the NATIVE physical operator
-    * (plans/AsOfJoinPlan.scala: custom LogicalPlan → Strategy →
-    * SparkPlan with clustered+sorted child contracts — §7.4's deepest
-    * extension rung): one forward merge per partition, O(1) state, no
-    * tagged union, no window buffer. Same oracle semantics as q38
-    * (timestamps travel as exact integer µs; unmatched rows take the
-    * same sentinels); NativePlanSpec pins it to the composed form and
-    * to constructions.
-    */
-  def q147_asof_native(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_id"), col("value"))
-    graft.plans.NativeAsOfJoin.backward(purchases, clicks,
-      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
-      rightTieCol = "event_id", rightPrefix = "click_")
-      .select(
-        col("event_id"), col("user_id"), col("us").as("ts_us"),
-        coalesce(col("click_us"), lit(0L)).as("click_ts_us"),
-        coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
-        round(coalesce(col("click_value"), lit(0.0)), 2).as("click_value"))
-      .orderBy("event_id")
-  }
-
-  /** The custom DataSource V2 (sources/SeqSource.scala) driven through
-    * its whole read path: the `id` range predicate is PUSHED into the
-    * source (ScanBuilder narrows the planned bounds to [50000,150000)
-    * before partitions exist — explain shows `bounds=` + `pushed=`),
-    * and only the generated columns the query needs are materialized
-    * (`pruneColumns`). The table is a deterministic integer sequence
-    * with arithmetic-derived columns, so DuckDB `range()` reproduces
-    * it exactly — the oracle checks generation, pushdown, pruning and
-    * the aggregation in one go. `dir` is unused: the source generates.
-    */
-  def q148_dsv2_source(s: SparkSession, dir: String): DataFrame = {
-    val seq = s.read.format("graft.sources.SeqSource")
-      .option("start", 0L).option("end", 200000L).option("slices", 32)
-      .load()
-    seq.filter(col("id") >= 50000L && col("id") < 150000L)
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
-        countDistinct(col("word")).as("words"))
-      .filter(col("bucket") < 10)
-      .orderBy("bucket")
-  }
-
-  /** Small-files compaction (operators/Compaction.scala): orders is
-    * first shattered into 64 micro-batch-sized files (the layout a
-    * per-epoch streaming sink accretes), then compacted into
-    * size-targeted, range-clustered, within-file-sorted files. The
-    * judged aggregate runs on the COMPACTED copy while the oracle
-    * reads the ORIGINAL table — hash equality is the losslessness
-    * proof; CompactionSpec covers the layout arithmetic.
-    */
-  def q149_compaction(s: SparkSession, dir: String): DataFrame = {
-    val frag = scratch("graft_compact_in")
-    val out = scratch("graft_compact_out")
-    t(s, dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
-    Compaction.compact(s, frag, out, targetFileBytes = 1L << 20,
-      sortCols = Seq("o_orderdate", "o_orderkey"))
-    s.read.parquet(out)
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).as("total"),
-        sum("o_orderkey").as("key_sum"),
-        max(datediff(col("o_orderdate"), lit("1970-01-01"))).cast("long").as("max_day"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** q147's forward mirror through the native exec: for each click,
-    * the next purchase at-or-after it (earliest ts, smallest event_id
-    * on ties) — q59's semantics, but planned as the custom
-    * AsOfJoinExec merge instead of the composed union+window. Same
-    * LATERAL oracle shape and sentinels as q59/q147; µs-long event
-    * times for the exec's 64-bit contract.
-    */
-  def q150_asof_native_fwd(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_id"), col("value"))
-    graft.plans.NativeAsOfJoin.forward(clicks, purchases,
-      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
-      rightTieCol = "event_id", rightPrefix = "next_")
-      .select(
-        col("event_id"), col("user_id"), col("us").as("ts_us"),
-        coalesce(col("next_us"), lit(0L)).as("next_ts_us"),
-        coalesce(col("next_event_id"), lit(-1L)).as("next_event_id"),
-        round(coalesce(col("next_value"), lit(0.0)), 2).as("next_value"))
-      .orderBy("event_id")
-  }
-
-  /** The native as-of join on a STRING key: for each open order, the
-    * latest finished order of the same priority at-or-before its date
-    * (ties → greatest orderkey). Exercises the generic-orderable key
-    * binding of AsOfJoinExec (keys compare through the type's
-    * interpreted ordering — UTF8String here — instead of the 64-bit
-    * fast path q147/q150 use); day-granularity dates travel as exact
-    * integer day numbers for the 64-bit ts contract. Same LATERAL
-    * oracle shape as q147.
-    */
-  def q151_asof_string_key(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val dayN = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
-    val open = o.filter(col("o_orderstatus") === "O")
-      .select(col("o_orderkey"), col("o_orderpriority"), dayN.as("day_n"))
-    val finished = o.filter(col("o_orderstatus") === "F")
-      .select(col("o_orderpriority"), dayN.as("day_n"),
-        col("o_orderkey"), col("o_totalprice"))
-    graft.plans.NativeAsOfJoin.backward(open, finished,
-      keyCol = "o_orderpriority", leftTsCol = "day_n", rightTsCol = "day_n",
-      rightTieCol = "o_orderkey", rightPrefix = "f_")
-      .select(col("o_orderkey"), col("o_orderpriority"), col("day_n"),
-        coalesce(col("f_day_n"), lit(0L)).as("f_day"),
-        coalesce(col("f_o_orderkey"), lit(-1L)).as("f_orderkey"),
-        round(coalesce(col("f_o_totalprice"), lit(0.0)), 2).as("f_total"))
-      .orderBy("o_orderkey")
-  }
-
-  /** The IVF index's ON-DISK pruned search path as a judged query (the
-    * 100 TB read shape, previously spec-only): the inverted file is
-    * PERSISTED partitioned by cell (`writeIndex` — one directory per
-    * centroid), and the search prunes non-probed cells at the FILE
-    * LISTING (PartitionFilters on `centroid_id`), so only
-    * ~nProbe/nCentroids of the stored corpus is opened on the pruned
-    * dial. Judged at the EXACT dial (nProbe = nCentroids, q34's
-    * pattern): the output is the true cosine top-k THROUGH the
-    * write-index → read-index → search round trip, hash-matched
-    * against q08's SQL — a lost cell directory, a partition-column
-    * type mangle, or a search bug breaks the hash. The pruned
-    * nProbe=4 path (recall + PartitionFilters pruning assertions)
-    * stays judged by AnnIvfSpec.
-    */
-  def q152_ann_ivf_disk(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.AnnIvf
-    val emb = t(s, dir, "embeddings")
-    val normed = AnnIvf.normalized(emb, "vec_id", "embedding")
-      .persistTracked()
-    val cents = AnnIvf.centroidsNormed(normed, nCentroids = 16)
-    val idxPath = scratch("graft_ivf_index")
-    AnnIvf.writeIndex(AnnIvf.assignNormed(normed.filter(col("id") =!= 0), cents), idxPath)
-    AnnIvf.search(AnnIvf.readIndex(s, idxPath), cents,
-      probe = emb.filter(col("vec_id") === 0), vecCol = "embedding",
-      k = 10, nProbe = 16) // exact dial; pruned nProbe=4 judged in AnnIvfSpec
-  }
-
-  /** Graph analytics third pillar (after PageRank q131 and connected
-    * components q53): exact triangle counting over the part
-    * co-occurrence graph (parts appearing in the same order), via the
-    * degree-ordered orientation in `operators.Triangles` — wedges are
-    * enumerated only from each triangle's unique out-degree-2 pivot
-    * (max out-degree O(sqrt(m)), so no hub-node d^2 blow-up) and each
-    * triangle counts exactly once. Output is the global census +
-    * clustering coefficient; construction ground truth (cliques,
-    * paths, known censuses) in GraphOpsSpec. Reads the STAGED
-    * degree-oriented adjacency ([[basketAdjacency]]) — the degree agg
-    * and orientation joins are paid once per dataset dir, not per run.
-    */
-  def q153_triangle_count(s: SparkSession, dir: String): DataFrame =
-    operators.Triangles.censusFromAdjacency(basketAdjacency(s, dir))
-
-  /** Interval attribution join (the batch twin of the STREAM-STREAM
-    * interval join — StreamingWindowSpec runs this exact join shape
-    * under readStream with watermarks on both sides and proves the
-    * results match this batch form): every purchase within 1 hour
-    * after a click by the same user, rolled up per click-day. The
-    * equi-key (user_id) makes it a sort-merge join with a range
-    * residual — state in the streaming form is bounded by the
-    * watermark delay, never the stream length.
-    */
-  def q154_interval_attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-    val buys = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"), col("value"))
-    clicks.join(buys,
-        col("user_id") === col("buy_user") &&
-        col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .groupBy(to_date(col("click_ts")).as("day"))
-      .agg(count(lit(1)).as("n_attrib"), round(sum("value"), 2).as("attrib_value"))
-      .orderBy("day")
-  }
-
-  /** The BucketingSpec zero-exchange join as a JUDGED query: both
-    * sides are written bucketed+sorted by the join key (8 buckets,
-    * external tables under the per-JVM scratch dir), then sort-merge
-    * joined with broadcast disabled via the merge hint — the join
-    * plans NO exchange on the key because the bucket layout already
-    * co-locates it (PlanSpec asserts this). At 100 TB this is the
-    * canonical co-location strategy: pay the shuffle ONCE at layout
-    * time, join shuffle-free forever after.
-    */
-  def q155_bucketed_join(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", scratch("b_orders")).mode("overwrite")
-      .saveAsTable("graft_b_orders")
-    t(s, dir, "customer")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", scratch("b_cust")).mode("overwrite")
-      .saveAsTable("graft_b_cust")
-    s.table("graft_b_orders").hint("merge")
-      .join(s.table("graft_b_cust"), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
-      .orderBy("c_mktsegment")
-  }
-
-  /** Time-series seasonal profile: hour-of-day seasonality index per
-    * event type (hourly mean value / the type's overall mean), plus
-    * the hour's traffic share. One narrow scan → 120-group agg; the
-    * window reads the agg output (5x24 rows), not the events.
-    */
-  def q156_seasonality(s: SparkSession, dir: String): DataFrame = {
-    // Sums ride EXACT integer cents (q331's trick): summing raw
-    // doubles is partial-sum-order dependent, and at sf0.001 the
-    // last-ulp difference vs DuckDB's serial sum crossed a 4-dp
-    // rounding boundary. Integer sums are order-free; every division
-    // below starts from exact integers, so both engines compute
-    // identical doubles.
-    // avg_value and traffic_share round at 4 dp IN INTEGER ARITHMETIC
-    // (half-up: (2a+b) div 2b): cent-sums over small n land exactly on
-    // half-boundaries (e.g. 68.92875), where Spark's round (shortest
-    // decimal repr, HALF_UP) and DuckDB's (raw-double scaling) split.
-    // season_idx keeps the double round: its denominator n·type_sc
-    // makes an exact 4-dp half-boundary unconstructible in this data,
-    // and the exact-integer form would overflow int64 at corpus scale.
-    // NON-NEGATIVE ASSUMPTION: the half-up form (2a+b) div (2b) — and
-    // the DuckDB `//` mirror — is only half-up for a >= 0 (Spark `div`
-    // truncates, DuckDB `//` floors; they also diverge from each other
-    // on negatives). events.value is a price, min 0.03 by generation;
-    // a refund-style negative feed would need a sign-aware floorDiv
-    // rewrite ON BOTH SIDES. Guarded here so the assumption fails loud
-    // instead of silently mis-rounding.
-    val w = Window.partitionBy("event_type")
-    t(s, dir, "events")
-      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
-      .agg(count(lit(1)).as("n"),
-        sum(expr("cast(round(value * 100, 0) as bigint)")).as("sc"))
-      .withColumn("type_n", sum("n").over(w))
-      .withColumn("type_sc", sum("sc").over(w))
-      .select(col("event_type"), col("hod"), col("n"),
-        when(col("sc") >= 0, expr("(2 * sc * 100 + n) div (2 * n)") / 10000.0)
-          .otherwise(raise_error(lit(
-            "q156: negative cent sum — the half-up (2a+b) div (2b) " +
-              "form needs a sign-aware floorDiv rewrite on both engines"))
-            .cast("double"))
-          .as("avg_value"),
-        round((col("sc").cast("double") / col("n")) /
-          (col("type_sc").cast("double") / col("type_n")), 4)
-          .as("season_idx"),
-        (expr("(2 * n * 240000 + type_n) div (2 * type_n)") / 10000.0)
-          .as("traffic_share"))
-      .orderBy("event_type", "hod")
-  }
-
-  /** Privacy audit, l-diversity (q92's k-anonymity complement, on the
-    * customer table): for each quasi-identifier class (nation x
-    * segment), the class size k AND the number of DISTINCT sensitive
-    * values (acctbal bucket) — a class can be large (k-anonymous) yet
-    * still leak if every member shares one sensitive value. Output is
-    * the 5 most at-risk classes (lowest diversity, smallest first).
-    */
-  def q157_l_diversity(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .select(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
-      .groupBy("c_nationkey", "c_mktsegment")
-      .agg(count(lit(1)).as("k_size"),
-        countDistinct(col("bal_bucket")).as("l_div"))
-      .orderBy(col("l_div"), col("k_size"), col("c_nationkey"), col("c_mktsegment"))
-      .limit(5)
-
-  /** Flagship END-TO-END near-dup dedup pipeline — the composition a
-    * training-data curation run actually executes, as ONE judged
-    * query: MinHash+LSH candidate pairs (q23's machinery) → exact
-    * Jaccard verify → connected components (q53's pointer-jumping) →
-    * canonical-representative selection per cluster (longest doc,
-    * ties to lowest id) → full-corpus accounting INCLUDING singleton
-    * docs (left join + coalesce to own id — q53 only labels docs that
-    * appear in an edge). Output: one row per surviving cluster with
-    * its canonical doc, member count, kept and dropped token mass.
-    * At 100 TB every stage is the scale-safe form: the LSH shuffle
-    * carries (band_key, id, shingles) never bodies, CC checkpoints
-    * per round, and the argmax window partitions by component (many
-    * small groups, no global window).
-    */
-  def q158_dedup_pipeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Components
-    val docs = tWide(s, dir, "documents")
-    val words = docs.select(col("doc_id"),
-      size(graft.functions.TextFunctions.tokens(col("text"))).as("n_words"))
-    val pairs = lshPairsStaged(s, dir)
-    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("cid"), col("component"))
-    val labeled = words
-      .join(comp, col("doc_id") === col("cid"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
-        col("n_words"))
-    val w = Window.partitionBy("component")
-      .orderBy(col("n_words").desc, col("doc_id").asc)
-    labeled.withColumn("rn", row_number().over(w))
-      .groupBy("component")
-      .agg(
-        max(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
-        count(lit(1)).as("n_members"),
-        max(when(col("rn") === 1, col("n_words"))).as("kept_words"),
-        sum(when(col("rn") > 1, col("n_words")).otherwise(0)).as("dropped_words"))
-      .orderBy("component")
-  }
-
-  /** Distributed covariance matrix over the embedding corpus — the
-    * linear-algebra primitive under PCA / whitening / feature
-    * decorrelation in a training pipeline. Upper triangle of the
-    * d x d matrix (d=64 → 2080 rows) via E[xy] − E[x]E[y]: posexplode
-    * to (vec_id, dim, x), self-join on vec_id with i <= j, then ONE
-    * hash aggregation whose map-side combine collapses the 42M
-    * product rows to d(d+1)/2 groups per partition before the
-    * shuffle — the shuffle carries ~2080 rows per partition no matter
-    * the corpus size, which is the whole 100 TB story. The join's
-    * input is small but its fan-out is d^2 per vector, so both sides
-    * are explicitly repartitioned (the q153 lesson: AQE's input-byte
-    * coalescing would run the fan-out stage nearly single-threaded).
-    * The DESIGNED join is that co-partitioned self-join on vec_id; at
-    * the test SFs the exploded side fits the broadcast threshold and
-    * AQE runs it as a BHJ instead (the small-corpus shortcut). At 10x
-    * it reverts to the designed sort-merge join over the SAME
-    * partitioning — ScaleRehearsal measures exactly this flip with
-    * ZERO added exchanges (4 -> 4), which is why the query sits on
-    * the rehearsal's documented-flip allowlist beside q106/q171.
-    */
-  def q159_embed_covariance(s: SparkSession, dir: String): DataFrame = {
-    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val ex = tWide(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
-      .select(col("vec_id"), (col("p") + 1).as("i"), col("xf").cast("double").as("x"))
-      .repartition(nPart, col("vec_id"))
-    val b = ex.select(col("vec_id").as("vid2"), col("i").as("j"), col("x").as("y"))
-    ex.join(b, col("vec_id") === col("vid2") && col("i") <= col("j"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("sxy"),
-        sum("x").as("sx"), sum("y").as("sy"))
-      .select(col("i"), col("j"),
-        // + 0.0 collapses IEEE negative zero (a tiny negative cov that
-        // rounds to zero stringifies as "-0.0" vs the oracle's "0.0")
-        (round(col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")), 4)
-          + lit(0.0)).as("cov"))
-      .orderBy("i", "j")
-  }
-
-  /** Hybrid retrieval via reciprocal-rank fusion — the standard fusion
-    * of lexical (BM25, q82's scoring) and dense (cosine vs the
-    * vec_id=0 probe, q08's scoring) rankings: rrf = Σ 1/(60+rank),
-    * absent-from-a-list contributes 0 (full outer join). Ranks are
-    * taken over ROUNDED scores with id tie-breaks (the cross-engine
-    * determinism contract), and computed with the distributed
-    * `PrefixSum.globalRank` — NOT a single-partition window — so the
-    * ranking step holds at corpus scale; cosine sims are normalized
-    * `+ 0.0` so a negative sim that rounds to zero cannot order
-    * differently than the oracle (Spark's Double.compare puts -0.0
-    * before 0.0; SQL engines treat them equal).
-    */
-  def q160_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val bm = q82_bm25(s, dir)
-      .select(col("doc_id"), (-col("bm25")).as("neg_s"))
-    val bmRank = PrefixSum.globalRank(bm, Seq("neg_s", "doc_id"), "r_bm")
-      .select(col("doc_id").as("b_id"), col("r_bm"))
-    val emb = tWide(s, dir, "embeddings")
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val e = col("embedding").cast("array<double>")
-    val qv = col("qv").cast("array<double>")
-    val cos = emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))))
-      .select(col("vec_id"),
-        (round(dot(e, qv) / (sqrt(dot(e, e)) * sqrt(dot(qv, qv))), 4) + lit(0.0))
-          .as("sim"))
-      .select(col("vec_id"), (-col("sim")).as("neg_s"))
-    val cosRank = PrefixSum.globalRank(cos, Seq("neg_s", "vec_id"), "r_cos")
-      .select(col("vec_id").as("c_id"), col("r_cos"))
-    bmRank.join(cosRank, col("b_id") === col("c_id"), "full")
-      .select(
-        coalesce(col("b_id"), col("c_id")).as("doc_id"),
-        round(coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6).as("rrf"),
-        coalesce(col("r_bm"), lit(-1L)).as("r_bm"),
-        coalesce(col("r_cos"), lit(-1L)).as("r_cos"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-      .limit(20)
-  }
-
-  /** Quality-percentile corpus filtering — the canonical "keep the top
-    * 75% by quality, per language" curation pass: score each doc
-    * (mean word length, q21's metric, rounded — the determinism
-    * contract), take the per-language 25th-percentile threshold via
-    * q40's type-1 rank-equality pattern (never interpolated), keep
-    * docs at-or-above it, and account for the surviving token mass.
-    * The per-group window is exact and fine while groups fit a
-    * reducer; the 100 TB form swaps the threshold computation for the
-    * GK sketch (operators/Quantiles) with identical downstream
-    * plumbing.
-    */
-  def q161_quality_filter(s: SparkSession, dir: String): DataFrame = {
-    val scored = tWide(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"),
-        TextFunctions.tokens(col("text")).as("toks"))
-      .select(Seq(col("doc_id"), col("lang")) ++
-        TextFunctions.qualityColumns(col("text"), col("toks")): _*)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("mean_word_len").as("score"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(Window.partitionBy("lang")
-        .orderBy(col("score").asc, col("doc_id").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-    val thr = ranked.groupBy("lang")
-      .agg(max(when(col("rn") === greatest(lit(1L), ceil(lit(0.25) * col("n"))),
-        col("score"))).as("p25"))
-    scored.join(broadcast(thr), "lang")
-      .groupBy("lang")
-      .agg(
-        count(lit(1)).as("n_total"),
-        sum((col("score") >= col("p25")).cast("long")).as("n_kept"),
-        round(min(col("p25")), 4).as("p25_threshold"),
-        round(sum(when(col("score") >= col("p25"), col("n_tokens")).otherwise(0))
-          .cast("double") / sum(col("n_tokens")), 4).as("kept_token_share"))
-      .orderBy("lang")
-  }
-
-  /** Graph pillar #4: the 3-core of the REPEAT part co-occurrence
-    * graph (parts that shared >= 2 orders — thresholding prunes the
-    * near-regular single-co-occurrence noise so the peeling has real
-    * structure: 10 rounds deep at sf0.01). Like the other iterative
-    * operators (q53, q131) this runs driver-side fixpoint rounds at
-    * construction time — the documented exception to the plan-only
-    * rule. The DuckDB oracle unrolls 12 peel rounds; peeling is
-    * idempotent once converged, so the two spare rounds are no-ops,
-    * never a divergence.
-    */
-  def q162_kcore(s: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairsW(s, dir)
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
-    operators.KCore.kCore(pairs, "u", "v", k = 3).orderBy("node")
-  }
-
-  /** DSv2 COMPLETE aggregate pushdown (SupportsPushDownAggregates on
-    * the custom source): COUNT/MIN/MAX/SUM over the sequence's id are
-    * answered by the source in CLOSED FORM over its (already
-    * filter-narrowed) bounds — the executed plan is a bare BatchScan +
-    * Project, NO aggregate exec, zero rows generated. A filtered
-    * count over a billion-row range is O(1); Dsv2SourceSpec proves
-    * the same shape at a trillion rows. This is the DSv2 contract
-    * real warehouses (JDBC pushdown) use — either answer COMPLETELY
-    * or refuse and let Spark keep the whole aggregate (partial
-    * buffers are deliberately not offered).
-    */
-  def q163_dsv2_agg_pushdown(s: SparkSession, dir: String): DataFrame =
-    s.read.format("graft.sources.SeqSource")
-      .option("start", 0L).option("end", 1000000000L).option("slices", 32)
-      .load()
-      .filter(col("id") >= 250000000L && col("id") < 750000000L)
-      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
-
-  /** Boilerplate n-gram detection — the C4/RefinedWeb-style corpus
-    * cleanup step: per `source` (the domain analogue), find word
-    * bigrams that recur across >= 5 of the source's documents
-    * (navigation chrome, footers, templates) and report the blast
-    * radius (distinct n-grams, total doc hits, affected docs).
-    *
-    * Scale shape: the n-gram relation (corpus tokens exploded, the
-    * big axis) is shuffled ONCE on (source, ng) with map-side
-    * combine; the boilerplate set that survives the threshold is
-    * orders smaller and BROADCAST back for the affected-doc pass, so
-    * the corpus is scanned twice but never cached — at 100 TB a
-    * persisted exploded-n-gram frame would be several times corpus
-    * size, while a re-scan through the fused codegen tokenizer is a
-    * cheap streaming pass.
-    */
-  def q164_boilerplate_ngrams(s: SparkSession, dir: String): DataFrame = {
-    val docs = tWide(s, dir, "documents")
-      .select(col("source"), col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val ngrams = docs.select(col("source"), col("doc_id"),
-      explode(TextFunctions.wordShingles(col("toks"), 2)).as("ng"))
-    val byNg = ngrams.groupBy("source", "ng").agg(count(lit(1)).as("nd"))
-    val boiler = byNg.filter(col("nd") >= 5)
-    val perSrc = boiler.groupBy("source")
-      .agg(count(lit(1)).as("n_boiler"), sum("nd").as("boiler_doc_hits"))
-    val docsHit = ngrams
-      .join(broadcast(boiler.select("source", "ng")), Seq("source", "ng"))
-      .select("source", "doc_id").distinct()
-      .groupBy("source").agg(count(lit(1)).as("docs_hit"))
-    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .join(perSrc, Seq("source"), "left")
-      .join(docsHit, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        coalesce(col("boiler_doc_hits"), lit(0L)).as("boiler_doc_hits"),
-        coalesce(col("docs_hit"), lit(0L)).as("docs_hit"))
-      .orderBy("source")
-  }
-
-  /** Multi-source BFS hop distance over the repeat co-occurrence
-    * graph (same graph as q162): distance from every part to the
-    * nearest "hub" part (ids divisible by 50) — the fifth graph
-    * pillar. Synchronous frontier expansion with a fixed hop cap;
-    * the cap (10) exceeds the graph's seed eccentricity at every SF,
-    * and extra rounds past the fixpoint are no-ops, so the unrolled
-    * 10-round relaxation oracle reproduces the result exactly.
-    */
-  def q165_bfs_hops(s: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairsW(s, dir)
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
-    val seeds = pairs.select(col("u").as("node"))
-      .union(pairs.select(col("v").as("node")))
-      .distinct().filter(col("node") % 50 === 0)
-    operators.Bfs.hops(pairs, "u", "v", seeds, maxRounds = 10).orderBy("node")
-  }
-
-  /** Community sizes by deterministic synchronous label propagation
-    * (operators/LabelProp) over the part co-occurrence graph — the
-    * sixth graph pillar. 4 rounds: labels flood dense co-purchase
-    * neighborhoods but not the sparse bridges between them, so the
-    * histogram separates communities that connected components (q53)
-    * would merge. Fixed rounds + plurality-then-smallest-label
-    * tie-break make the 4-round unrolled SQL oracle exact.
-    */
-  def q166_label_prop(s: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairsW(s, dir)
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
-    operators.LabelProp.run(pairs, "u", "v", rounds = 4)
-      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
-      .orderBy("label")
-  }
-
-  /** Cluster-scoped embedding dedup (operators/SemanticDedup — the
-    * SemDeDup pattern): k-means cells via the IVF centroid build,
-    * near-dup pairs searched ONLY within cells, drop the higher id of
-    * each pair. Per-cell summary rows. The synthetic embeddings are
-    * near-orthogonal (max off-diagonal cosine ~0.6), so tau=0.3 is
-    * deliberately aggressive to exercise the drop path; the planted
-    * -duplicate ground truth lives in Round5OpsSpec. Rows-only: the
-    * cluster assignment is not SQL-expressible.
-    */
-  def q167_semantic_dedup(s: SparkSession, dir: String): DataFrame =
-    operators.SemanticDedup.summary(
-      tWide(s, dir, "embeddings"), "vec_id", "embedding",
-      nCentroids = 16, tau = 0.3)
-
-  /** Top-principal-component histogram (operators/Pca): distributed
-    * covariance (q159's map-side-combined shape) → driver power
-    * iteration on the 64x64 matrix → distributed projection, scores
-    * cut into 10 equal-width bins. Rows-only: the eigenvector is not
-    * SQL-expressible; the direction-recovery ground truth (planted
-    * dominant axis) lives in Round5OpsSpec.
-    */
-  def q168_pca_power(s: SparkSession, dir: String): DataFrame =
-    operators.Pca.projectionHistogram(
-      tWide(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, nBins = 10)
-
-  /** Bloom-pruned fact⋈dim join (operators/BloomJoin): lineitem rows
-    * are pre-filtered by a bloom over URGENT orders' keys BEFORE the
-    * join shuffle — ~80% of the fact table never rides the exchange.
-    * The join removes the bloom's false positives, so the result (and
-    * the oracle) is exactly the plain join: monthly line counts and
-    * revenue for urgent orders.
-    */
-  def q169_bloom_join(s: SparkSession, dir: String): DataFrame = {
-    // shuffle_hash hint: the operator exists for the dim that is
-    // small-after-filter but NOT broadcastable as rows (the 100 TB
-    // regime); at test SF the planner would broadcast urgent orders
-    // and the bloom would prune a shuffle that no longer exists, so
-    // the judged query pins the shuffle-join plan the operator is for.
-    val urgent = t(s, dir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"), col("o_orderdate"))
-      .hint("shuffle_hash")
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
-    operators.BloomJoin.prunedJoin(li, "l_orderkey", urgent, "o_orderkey",
-        expectedItems = 1000000L)
-      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
-      .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice")), 2).as("revenue"))
-      .orderBy("mon")
-  }
-
-  /** Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
-    * ln(freq) on ln(rank) for the top-1000 words — the corpus-health
-    * diagnostic (natural language sits near slope −1; template/spam
-    * corpora flatten it). Rank comes from PrefixSum.globalRank on
-    * (−count, word) — distributed, deterministic tie-break — and the
-    * fit is the single-pass co-moment `regr_slope`/`regr_intercept`
-    * (q102's shape), so the whole query is two aggregations however
-    * large the vocabulary.
-    */
-  def q170_zipf_slope(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val counts = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val ranked = PrefixSum.globalRank(
-      counts.select(col("w"), col("c"), (-col("c")).as("negc")), Seq("negc", "w"), "r")
-    val vocab = counts.agg(count(lit(1)).as("n_vocab"))
-    ranked.filter(col("r") <= 1000)
-      .agg(count(lit(1)).as("n_top"),
-        round(regr_slope(log(col("c")), log(col("r"))), 4).as("zipf_slope"),
-        round(regr_intercept(log(col("c")), log(col("r"))), 4).as("zipf_intercept"))
-      .crossJoin(broadcast(vocab)) // 1-row frame (q145's pattern)
-      .select(col("n_vocab"), col("n_top"), col("zipf_slope"), col("zipf_intercept"))
-  }
-
-  /** Directional containment join (SetSimJoin.containmentJoin):
-    * pairs where >= 70% of a's discriminative 3-shingles occur in b —
-    * the quote/excerpt/subset-duplication detector Jaccard joins miss
-    * by construction. df-capped inverted index (cap 50) bounds the
-    * fan-out AND defines the score's vocabulary (stop-shingles
-    * excluded from numerator and denominator alike — part of the
-    * operator contract, reproduced by the oracle).
-    *
-    * The index (tokenize → shingle → hash → df-cap) is corpus-derived
-    * and deterministic at the fixed (3, 50) dial, so it is STAGED once
-    * per dataset dir (basketPairsW's pattern) — repeated runs pay one
-    * columnar scan of the (a_id, sh) frame instead of rebuilding the
-    * explode + df aggregation; on a cluster this is "materialize the
-    * inverted index per corpus snapshot", the layout every search
-    * system keeps anyway.
-    */
-  def q171_containment_join(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedParquet(s"cidx|$dir") { out =>
-      val docs = tWide(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      operators.SetSimJoin.containmentIndex(
-          docs, "doc_id", "toks", shingleSize = 3, maxDf = 50L)
-        .write.mode("overwrite").parquet(out)
-    }
-    operators.SetSimJoin.containmentJoinFromIndex(
-        s.read.parquet(staged), minContainment = 0.7)
-      .orderBy("a_id", "b_id")
-  }
-
-  /** Compression-ratio quality audit (functions/CompressionScore):
-    * per source, the deflate-ratio distribution and the count of
-    * suspiciously-compressible documents (ratio < 0.4 — template/
-    * near-duplicate content). Rows-only: DEFLATE output length is
-    * engine-internal (no SQL equivalent); the ordering ground truth
-    * (repetitive text compresses below prose) lives in Round6OpsSpec,
-    * and q368 is the oracle-judged twin (exact byte counts + integer
-    * contract flags DuckDB pins true).
-    */
-  def q172_compress_ratio(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(col("source"),
-        graft.functions.CompressionScore.ratio(col("text")).as("ratio"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg("ratio"), 4).as("mean_ratio"),
-        round(min("ratio"), 4).as("min_ratio"),
-        sum((col("ratio") < 0.4).cast("long")).as("n_suspicious"))
-      .orderBy("source")
-
-  /** First-order Markov transition matrix over per-user event
-    * sequences: P(next event_type | event_type). `lead` over a window
-    * partitioned by user — state is one row per user per partition, so
-    * the shuffle is the only cost and it scales with users, never with
-    * a global sort. (event_id breaks ts ties deterministically; the
-    * regenerated events table has µs timestamps but same-µs pairs
-    * would otherwise make `lead` nondeterministic.) The transition
-    * matrix is the input to session simulation / anomaly scoring.
-    */
-  def q173_markov_transitions(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("to_type", lead("event_type", 1).over(w))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("p",
-        round(col("n") / sum("n").over(Window.partitionBy("from_type")), 4))
-      .orderBy("from_type", "to_type")
-  }
-
-  /** RAG-style sliding-window chunking: each document split into
-    * 64-token chunks with stride 48 (16-token overlap), one output row
-    * per chunk with its token count and content hash. Pure per-row
-    * array arithmetic (`sequence` → `explode` → `slice`) — no shuffle
-    * at all until the final orderBy, so at 100 TB this is a map-only
-    * pass whose output can stream straight into an embedding UDF. The
-    * chunk hash is what a vector-store upsert would key on (re-chunking
-    * an updated corpus only re-embeds changed hashes).
-    */
-  def q174_chunk_sliding(s: SparkSession, dir: String): DataFrame = {
-    val C = 64
-    val S = 48
-    val toks = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("n_chunks",
-        (ceil(greatest(size(col("toks")) - C, lit(0)).cast("double") / S) + 1).cast("int"))
-    toks
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"),
-        col("toks"))
-      .select(col("doc_id"), col("chunk_idx"),
-        slice(col("toks"), col("chunk_idx") * S + 1, lit(C)).as("ch"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("ch")).as("n_toks"),
-        md5(concat_ws(" ", col("ch"))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
-  }
-
-  /** Benford first-digit audit over extended prices — the fabricated-
-    * data / ingestion-bug detector. Digit extraction goes through
-    * exact integer arithmetic (`round(x*100)::BIGINT` → first char),
-    * NOT floor(log10): prices have 2 decimals, so the integer route is
-    * bit-exact in both engines while log10 can straddle a power-of-ten
-    * boundary differently per libm. One narrow scan + a ≤9-row
-    * aggregate; the total for shares comes from re-aggregating the
-    * 9-row frame (q101's 1-row broadcast pattern — ReuseExchange makes
-    * the second scan free), and the expected share is the closed form
-    * log10(1+1/d).
-    */
-  def q175_benford(s: SparkSession, dir: String): DataFrame = {
-    val byDigit = t(s, dir, "lineitem")
-      .select(substring(round(col("l_extendedprice") * 100, 0).cast("long").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy("digit")
-      .agg(count(lit(1)).as("n"))
-    val total = byDigit.agg(sum("n").as("tot"))
-    byDigit.crossJoin(broadcast(total))
-      .withColumn("obs_share", round(col("n") / col("tot"), 4))
-      .withColumn("benford_share", round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 4))
-      .withColumn("abs_dev", round(abs(col("obs_share") - col("benford_share")), 4))
-      .select("digit", "n", "obs_share", "benford_share", "abs_dev")
-      .orderBy("digit")
-  }
-
-  /** Product-quantized ANN (operators/Pq): codebooks trained on a
-    * hash-deterministic sample, the corpus encoded to m=8 byte-codes
-    * per vector (64 float32 → 8 small ints ⇒ 32× compression), then
-    * for three probes an ADC top-10 scan that reads ONLY the code
-    * column — followed by the standard exact re-rank of the 10
-    * survivors. m=8 (8-dim subspaces) rather than 4: the driver
-    * embeddings are i.i.d.-random (PQ's worst case), and halving the
-    * subspace dim roughly doubles measured top-50 containment of the
-    * exact top-10. Rows-only: driver-side Lloyd + a codegen lookup
-    * table have no SQL equivalent; recall-vs-exact (planted clusters),
-    * the ADC/exact correlation on this corpus, and the argmin⟺argmax
-    * augmentation identity are pinned in PqSpec.
-    */
-  def q176_pq_adc(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Pq
-    val emb = t(s, dir, "embeddings")
-    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, sampleN = 2048, rounds = 5)
-    // Consumed once per probe — persist so the 3 ADC scans re-read
-    // codes, not the float corpus. Released by session hygiene.
-    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
-      .persistTracked()
-    val probeIds = Seq(0L, 1L, 2L)
-    val pvs = emb.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val raw = emb.select(col("vec_id").as("id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    probeIds.map { p =>
-      val q = pvs(p)
-      val qq = q.map(x => x * x).sum
-      val topk = Pq.searchTopK(codes.filter(col("id") =!= p), cb, q, 10)
-      raw.join(broadcast(topk), "id")
-        .select(lit(p).as("probe_id"), col("id").as("vec_id"),
-          round(col("adc_dist"), 4).as("adc_dist"),
-          round(graft.expr.VectorExpressions.dot(col("v"), col("v"))
-            - lit(2.0) * graft.expr.VectorExpressions.dot(col("v"),
-                lit(q).cast("array<double>"))
-            + lit(qq), 4).as("exact_dist"))
-    }.reduce(_ unionByName _)
-      .orderBy("probe_id", "adc_dist", "vec_id")
-  }
-
-  /** MMR diversity re-rank (operators/Mmr): cosine top-50 retrieval
-    * (distributed, TakeOrderedAndProject) → greedy λ=0.7 maximal-
-    * marginal-relevance selection of 10 on the driver (bounded 50×64).
-    * Rows-only: the greedy argmax is inherently sequential; the
-    * diversity property (MMR's picks are less mutually similar than
-    * the plain top-10) is pinned in MmrSpec.
-    */
-  def q177_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{AnnIvf, Mmr}
-    val normed = AnnIvf.normalized(t(s, dir, "embeddings"), "vec_id", "embedding")
-    val probe = normed.filter(col("id") === 0)
-      .select("nv").collect()(0).getSeq[Double](0).toArray
-    Mmr.rerank(s, normed.filter(col("id") =!= 0), probe,
-        k = 10, nCandidates = 50, lambda = 0.7)
-      .orderBy("rank")
-  }
-
-  /** Cross-document duplicated-span detection (operators/DupSpans) —
-    * the n-gram-granular ExactSubstr dedup: WHERE and HOW LONG two
-    * documents share verbatim passages, not just that they overlap.
-    * Positional window hashes (fused codegen) → df-capped self-join →
-    * gaps-and-islands per diagonal. The oracle reproduces the whole
-    * contract including the df cap, joining on the window STRING
-    * (Spark joins on its xxhash64 — q106's collision trade).
-    */
-  def q178_dup_spans(s: SparkSession, dir: String): DataFrame =
-    operators.DupSpans.spans(
-        tWide(s, dir, "documents"), "doc_id", "text",
-        n = 8, maxDf = 20L, minSpanTokens = 20)
-      .orderBy("a_id", "b_id", "a_start", "b_start")
-
-  /** IVF-PQ composite index (operators/IvfPq — the FAISS IVFADC
-    * architecture): inverted-file coarse cells + product quantization
-    * of the RESIDUALS, searched via nProbe per-cell ADC scans that
-    * never touch float vectors. The billion-vector configuration:
-    * cell pruning cuts the scan to nProbe/nCells of the corpus AND
-    * each scanned row is m bytes, not d floats. Output is the ADC
-    * top-10 for probe vec 0 with exact re-ranked distances (q176's
-    * shape). Rows-only; recall and the residual-beats-raw property
-    * are pinned in IvfPqSpec.
-    */
-  def q179_ivfpq(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.IvfPq
-    val emb = t(s, dir, "embeddings")
-    val idx = IvfPq.build(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      nCells = 16, m = 8, k = 16)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")))
-      .collect()(0).getSeq[Double](0).toArray
-    val topk = IvfPq.search(idx, q, kTop = 10, nProbe = 4)
-    // Exact re-rank of the survivors in the same normalized space the
-    // index measures (cosine distance = 2 − 2·dot of unit vectors).
-    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
-    graft.operators.AnnIvf.normalized(emb, "vec_id", "embedding")
-      .join(broadcast(topk), "id")
-      .select(col("id").as("vec_id"), round(col("adc_dist"), 4).as("adc_dist"),
-        round(lit(2.0) - lit(2.0) * graft.expr.VectorExpressions.dot(col("nv"),
-          lit(qn).cast("array<double>")), 4).as("exact_dist"))
-      .orderBy("adc_dist", "vec_id")
-  }
-
-  /** One exploded (doc_id, source, w1, w2) bigram pass, shared by the
-    * perplexity and collocation queries. Persisted by the caller when
-    * consumed more than once.
-    */
-  private def docBigrams(s: SparkSession, dir: String): DataFrame =
-    tWide(s, dir, "documents")
-      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
-
-  /** Per-document bigram-LM perplexity — the perplexity-filtering /
-    * curriculum-binning signal every pretraining pipeline computes:
-    * exp(mean −ln p̂(w2|w1)) under the corpus's own add-k-smoothed
-    * bigram model (k=0.5, vocab = distinct successor tokens). Shape:
-    * ONE bigram explode persisted and consumed three times (c(w1,w2),
-    * c(w1), and the per-doc join); the model joins are equi-joins on
-    * Zipf-skewed keys (AQE skew-split handles the head word), partial
-    * aggs are map-side. Self-scored: no external LM needed — template
-    * docs score low, lexical soup scores high.
-    */
-  def q180_doc_perplexity(s: SparkSession, dir: String): DataFrame = {
-    val bi = docBigrams(s, dir)
-      .persistTracked()
-    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cu = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = bi.agg(countDistinct("w2").as("v")) // 1-row broadcast
-    bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).crossJoin(broadcast(v))
-      .withColumn("nll", -log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v"))))
-      .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_bigrams"), round(exp(avg("nll")), 4).as("ppl"))
-      .orderBy("doc_id")
-  }
-
-  /** PMI collocations: adjacent word pairs with pointwise mutual
-    * information ln(p(ab)/(p(a)p(b))) well above chance — the phrase/
-    * multiword-expression miner (and the scoring step ahead of q76's
-    * co-occurrence counts). Unigram probabilities use ALL token
-    * occurrences, bigram probability the adjacent-pair count; a min
-    * count floor (5) kills the noise PMI is notorious for at c=1.
-    * Top-50 by (pmi, pair) plans TakeOrderedAndProject.
-    */
-  def q181_pmi_collocations(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .persistTracked()
-    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
-    val nu = toks.agg(count(lit(1)).as("nu")) // 1-row broadcast
-    // Persist the AGGREGATED counts (|vocab²| rows, small), not the
-    // explode: bi feeds both the PMI branch and the nb total — without
-    // this the corpus-wide bigram explode runs twice.
-    val bi = docBigrams(s, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persistTracked()
-    val nb = bi.agg(sum("c12").as("nb")) // 1-row broadcast
-    bi.filter(col("c12") >= 5)
-      .join(uni.select(col("w").as("w1"), col("cw").as("ca")), "w1")
-      .join(uni.select(col("w").as("w2"), col("cw").as("cb")), "w2")
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-      .select(col("w1"), col("w2"), col("c12"),
-        round(log((col("c12").cast("double") / col("nb")) /
-          ((col("ca").cast("double") / col("nu")) * (col("cb").cast("double") / col("nu")))), 4)
-          .as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
-      .limit(50)
-  }
-
-  /** Logistic linear probe (operators/LinearProbe): train a binary
-    * quality-classifier-style probe (label==0 vs rest) on the
-    * embedding column by full-batch distributed gradient descent —
-    * driver holds d+1 weights, each step is ONE scan + a d-row
-    * shuffle. Output: 1-row training summary (final loss, accuracy,
-    * weight norm). Rows-only: iterative GD has no SQL form; loss
-    * decrease + separable-data accuracy are pinned in LinearProbeSpec.
-    */
-  def q182_linear_probe(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.LinearProbe
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), (col("label") === 0).cast("int").as("y"))
-    val fit = LinearProbe.train(emb, "embedding", "y", iters = 12, lr = 0.5)
-    LinearProbe.predict(emb, "embedding", fit)
-      .agg(count(lit(1)).as("n"),
-        round(avg((col("yhat") === col("y")).cast("double")), 4).as("train_acc"),
-        round(lit(fit.lossPerIter.last), 4).as("final_loss"),
-        round(lit(math.sqrt(fit.weights.map(x => x * x).sum)), 4).as("w_norm"))
-  }
-
-  /** Exact ROC-AUC via the Mann-Whitney rank statistic, computed
-    * DISTRIBUTED: scores are ranked with PrefixSum.globalRank (two-
-    * pass, no single-partition window), then
-    * AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻). Scores = dot(embedding,
-    * probe vec 0) in double precision — bit-identical sequential sums
-    * in both engines, so ranks (ties broken by id; scores continuous)
-    * and the AUC match the oracle exactly. The in-engine eval metric
-    * every retrieval/classifier pipeline needs.
-    */
-  /** Shared eval-harness input (q183 AUC, q184 calibration, q189
-    * ranking metrics): (vec_id, y, score) with score = double-
-    * precision dot to probe vec 0 (bit-identical sequential sums in
-    * both engines) and y = same-label relevance. Factored so the
-    * three metrics can never silently diverge on probe handling.
-    */
-  private def probeScored(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val probe = emb.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")).as("pv"), col("label"))
-      .collect()(0)
-    val pv = probe.getSeq[Double](0).toArray
-    val plab = probe.getInt(1)
-    emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        (col("label") === plab).cast("long").as("y"),
-        graft.expr.VectorExpressions.dot(
-          transform(col("embedding"), x => x.cast("double")),
-          lit(pv).cast("array<double>")).as("score"))
-  }
-
-  def q183_auc(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    PrefixSum.globalRank(probeScored(s, dir), Seq("score", "vec_id"), "rnk")
-      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
-        round((sum(when(col("y") === 1, col("rnk"))) -
-          sum("y") * (sum("y") + 1) / lit(2.0)) /
-          (sum("y") * (count(lit(1)) - sum("y"))), 4).as("auc"))
-  }
-
-  /** Calibration bins for a scorer (q183's companion eval metric):
-    * cosine-to-probe scores split into 10 equal-width bins over the
-    * observed [min,max] (1-row broadcast, q81's envelope pattern),
-    * per-bin count / mean score / positive fraction — the reliability-
-    * diagram table. Scores are double-precision dots (bit-identical
-    * across engines, q183's guarantee), so bin edges and memberships
-    * match the oracle exactly.
-    */
-  def q184_calibration_bins(s: SparkSession, dir: String): DataFrame = {
-    val scored = probeScored(s, dir)
-    val env = scored.agg(min("score").as("lo"), max("score").as("hi")) // 1-row broadcast
-    scored.crossJoin(broadcast(env))
-      .withColumn("bin",
-        least(floor((col("score") - col("lo")) / (col("hi") - col("lo")) * 10), lit(9L)))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        round(avg("score"), 4).as("mean_score"),
-        round(avg(col("y").cast("double")), 4).as("frac_pos"))
-      .orderBy("bin")
-  }
-
-  /** Token-budget corpus selection (corpus assembly's greedy step):
-    * rank documents by a quality score (lexical diversity — distinct/
-    * total token ratio), take in descending order while the running
-    * token total stays within budget. The cumulative sum routes
-    * through PrefixSum.runningTotal on a (−score, id) struct key —
-    * distributed two-pass above the cost threshold, never a global
-    * single-partition sort at scale.
-    */
-  def q185_budget_select(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val budget = 20000L
-    val sc = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("score"),
-        size(col("toks")).cast("long").as("cost"))
-      .withColumn("ord", struct((-col("score")).as("negs"), col("doc_id")))
-    PrefixSum.runningTotal(sc, "ord", "cost", "cum")
-      .filter(col("cum") <= budget)
-      .agg(count(lit(1)).as("n_selected"),
-        sum("cost").as("total_tokens"),
-        round(min("score"), 4).as("min_score"))
-  }
-
-  /** Exact phrase search over the positional window index: every
-    * (doc, token-offset) occurrence of a 3-token phrase (the opening
-    * phrase of doc 0 — taken from the corpus so the query always has
-    * hits). The phrase's window hash is computed by the SAME fused
-    * expression on a 1-row frame and broadcast; the scan then filters
-    * the positional-hash explosion — at 100 TB this is the
-    * inverted-positional-index probe (hash → postings), with the df
-    * of one phrase bounding the result, not the corpus.
-    */
-  def q186_phrase_search(s: SparkSession, dir: String): DataFrame = {
-    val docs = tWide(s, dir, "documents")
-    val phrase = docs.filter(col("doc_id") === 0)
-      .select(concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("ph"))
-      .select(graft.expr.ShingleExpression.positionalShingleHashes(col("ph"), 3)(0).as("ph_h"))
-    docs
-      .select(col("doc_id"),
-        posexplode(graft.expr.ShingleExpression.positionalShingleHashes(col("text"), 3))
-          .as(Seq("pos", "h")))
-      .join(broadcast(phrase), col("h") === col("ph_h"))
-      .select("doc_id", "pos")
-      .orderBy("doc_id", "pos")
-  }
-
-  /** Per-document n-gram novelty — the redundancy/memorization curve:
-    * the fraction of a doc's 8-token windows whose FIRST corpus
-    * occurrence (by ascending doc_id — ingestion order) is this doc.
-    * Crawl-style corpora decay in novelty over time; a flat 1.0 means
-    * no cross-document repetition at all. min-by-key + join-back on
-    * the window hash: the Zipf-headed join is AQE skew territory, the
-    * aggregates are map-side partial. Within-doc repeats count as
-    * novel by contract (this measures CROSS-doc redundancy; q164/q178
-    * cover within-doc and span-level).
-    */
-  def q187_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
-    val pos = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(graft.expr.ShingleExpression.positionalShingleHashes(col("text"), 8))
-          .as("h"))
-    val first = pos.groupBy("h").agg(min("doc_id").as("first_doc"))
-    pos.join(first, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        round(avg((col("first_doc") === col("doc_id")).cast("double")), 4).as("novelty"))
-      .orderBy("doc_id")
-  }
-
-  /** Content-defined chunking (CDC — the storage-dedup / incremental-
-    * sync boundary scheme, here at token grain): a chunk boundary
-    * falls BEFORE token p wherever the 4-token window starting at p
-    * hashes into 1/16 of the space (md5 first hex nibble = 0). Unlike
-    * fixed-stride chunking (q174), an insertion early in a document
-    * only reshuffles chunk boundaries LOCALLY — downstream chunks
-    * re-align and their hashes (the dedup keys) still match, which is
-    * the whole point of CDC. md5 is used for the boundary predicate
-    * and chunk keys because both engines compute identical hex —
-    * boundary decisions are oracle-reproducible. Shape: window-hash
-    * explode → boundary filter → per-doc lead() for chunk extents →
-    * slice+hash; the per-doc window partitions by doc_id, never
-    * global.
-    */
-  def q188_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-    val bounds = toks.filter(size(col("ws")) >= 4)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("ws")) - 4),
-          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(4)))))).as(Seq("pos", "h")))
-      .filter(col("pos") > 0 && substring(col("h"), 1, 1) === "0")
-      .select("doc_id", "pos")
-    val starts = toks.select(col("doc_id"), lit(0).as("pos")).unionByName(bounds)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    starts
-      .withColumn("nxt", lead("pos", 1).over(w))
-      .join(toks, "doc_id")
-      .select(col("doc_id"), col("pos").as("start"),
-        (coalesce(col("nxt"), size(col("ws"))) - col("pos")).as("n_toks"),
-        md5(concat_ws(" ",
-          slice(col("ws"), col("pos") + 1,
-            coalesce(col("nxt"), size(col("ws"))) - col("pos")))).as("chunk_md5"))
-      .orderBy("doc_id", "start")
-  }
-
-  /** Retrieval-eval metrics in one pass — nDCG@10, MRR, recall@10 —
-    * for the cosine-to-probe ranking with same-label relevance
-    * (q183's companion; together they are the eval harness a
-    * retrieval pipeline runs in-engine instead of exporting to
-    * python). Ranks come from PrefixSum.globalRank on (−score, id)
-    * (distributed two-pass); every metric is then conditional
-    * aggregation over ONE ranked frame, and IDCG is a closed-form
-    * HOF sum over min(10, n_pos) on the 1-row result.
-    */
-  def q189_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val scored = probeScored(s, dir).withColumn("negs", -col("score"))
-    PrefixSum.globalRank(scored, Seq("negs", "vec_id"), "rnk")
-      .agg(
-        sum("y").as("n_pos"),
-        sum(when(col("rnk") <= 10, col("y"))).as("hits10"),
-        sum(when(col("rnk") <= 10,
-          col("y") / log(2.0, col("rnk") + 1))).as("dcg"),
-        max(when(col("y") === 1, lit(1.0) / col("rnk"))).as("mrr"))
-      .select(col("n_pos"), col("hits10"),
-        round(col("hits10").cast("double") / col("n_pos"), 4).as("recall10"),
-        round(col("mrr"), 4).as("mrr"),
-        round(col("dcg") / aggregate(
-          sequence(lit(1L), least(lit(10L), col("n_pos"))),
-          lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1)), 4)
-          .as("ndcg10"))
-  }
-
-  /** Cross-split n-gram leakage audit: after the q90 hash split
-    * (train/val/test via the Knuth multiplicative hash — pure integer
-    * arithmetic, oracle-reproducible), count DISTINCT 8-token windows
-    * present in BOTH splits of each pair — the leakage a benchmark
-    * decontamination pass (q49's cross-corpus form) must catch within
-    * one corpus. Per-split distinct windows first (set semantics from
-    * the fused sorted-distinct shingle expression), then a self-join
-    * on the window hash with split_a < split_b.
-    */
-  def q190_split_leakage(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
-    val ws = tWide(s, dir, "documents")
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
-      .select(col("split"),
-        explode(graft.expr.ShingleExpression.shingleHashes(col("text"), 8)).as("h"))
-      .distinct()
-    ws.as("a").join(ws.as("b"),
-        col("a.h") === col("b.h") && col("a.split") < col("b.split"))
-      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy("split_a", "split_b")
-  }
-
-  /** Personalized PageRank over q131's word co-occurrence graph,
-    * teleporting to ONE seed (the most frequent word): mass radiates
-    * from the seed through the link structure — the related-items /
-    * "more like this" ranking, where classic PageRank would return
-    * global importance regardless of the seed. Same exact fixed-point
-    * integer arithmetic as q131 (bit-identical across engines and
-    * reduction orders), so the unrolled 3-round SQL oracle is exact;
-    * the seed mask is one broadcast left-join multiplier.
-    */
-  def q191_ppr_related(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
-          w => length(w) >= 4))).as("w"))
-    val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(30).select("w")
-    val kept = toks.join(broadcast(top), "w")
-    val edges = kept.select(col("doc_id"), col("w").as("src"))
-      .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val seed = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(1).select(col("w").as("node"))
-    operators.PageRank.run(edges, iterations = 3,
-        nodeUniverse = Some(top.select(col("w").as("node"))),
-        teleportSeeds = Some(seed))
-      .select(col("node"), col("rank").as("ppr"))
-      .orderBy(desc("ppr"), col("node"))
-  }
-
-  /** DSIR-style data selection (importance resampling, Xie et al.
-    * 2023): score every pool document by how target-like its hashed
-    * n-gram features are — here target = the English subset, pool =
-    * everything else, features = bigrams hashed into 4096 buckets
-    * (first 3 hex chars of md5, identical hex in both engines). The
-    * weight is the mean per-feature log-ratio
-    * ln p̂_target(f) − ln p̂_pool(f) under add-0.5-smoothed bucket
-    * models. Scale shape: the feature space is FIXED at 4096 buckets
-    * regardless of corpus size, so both LM count tables broadcast; the
-    * corpus is exploded once (persisted, consumed by target counts,
-    * pool counts, and the scoring join); totals derive from the tiny
-    * aggregated tables, never a re-scan; top-k plans
-    * TakeOrderedAndProject.
-    */
-  def q192_dsir_select(s: SparkSession, dir: String): DataFrame = {
-    val B = 4096
-    val feats = tWide(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => substring(md5(concat_ws(" ",
-            element_at(col("ws"), i), element_at(col("ws"), i + 1))), 1, 3))).as("f"))
-      .persistTracked()
-    val rc = feats.groupBy("f").agg(count(lit(1)).as("cr"))
-    val tc = feats.filter(col("lang") === "en").groupBy("f").agg(count(lit(1)).as("ct"))
-    val nr = rc.agg(sum("cr").as("nr")) // totals from the 4096-row aggs,
-    val nt = tc.agg(sum("ct").as("nt")) // not corpus re-scans
-    val lr = rc.join(broadcast(tc), Seq("f"), "left") // tc <= 4096 rows
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-      .select(col("f"),
-        (log((coalesce(col("ct"), lit(0L)) + 0.5) / (col("nt") + lit(0.5) * B)) -
-          log((col("cr") + 0.5) / (col("nr") + lit(0.5) * B))).as("lr"))
-    feats.filter(col("lang") =!= "en")
-      .join(broadcast(lr), "f")
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_feats"), round(avg("lr"), 4).as("dsir_w"))
-      .orderBy(desc("dsir_w"), col("doc_id"))
-      .limit(25)
-  }
-
-  /** BPE merge learning (operators/Bpe): the first 5 byte-pair merges
-    * of a tokenizer trained on this corpus, with their weighted
-    * frequencies. The corpus is scanned ONCE into the word-frequency
-    * table; each merge round runs over that vocabulary-sized frame
-    * only (see Bpe.scala for the 100 TB argument). Rows-only:
-    * the argmax-then-rewrite iteration has no SQL form; BpeSpec pins a
-    * differential against the driver-local reference implementation
-    * plus hand-computed merges on a crafted corpus.
-    */
-  def q193_bpe_merges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val wc = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-    operators.Bpe.learnMerges(wc, k = 5)
-      .toDF("step", "left", "right", "freq")
-      .orderBy("step")
-  }
-
-  /** MOSS winnowing fingerprints (Schleimer et al. 2003): per doc,
-    * hash every 4-token gram, then keep only the MINIMUM hash of each
-    * sliding window of 8 consecutive gram hashes — the fingerprint
-    * set is ~2/(w+1) of the gram set (measured 4.8× smaller here) yet
-    * GUARANTEES any shared run of w+k-1 tokens yields at least one
-    * shared fingerprint. That guarantee is what q23's MinHash can't
-    * give (probabilistic) and what makes winnowing the
-    * plagiarism-detector standard. Pairs sharing >= 3 fingerprints.
-    *
-    * Scale shape: gram hashing + window mins are ONE narrow codegen
-    * map (transform/array_min over per-row arrays, no shuffle); only
-    * the ~5×-compressed fingerprint set reaches the self-join, which
-    * shuffles on the fingerprint value — the same join a full-gram
-    * index would do, on a fifth of the rows. Fingerprints persisted
-    * once (both join sides). Hashes are md5 hex strings: their
-    * lexicographic min is engine-identical, which is what makes the
-    * whole operator DuckDB-oracle-checkable. A boilerplate-hot
-    * fingerprint skews the join like any inverted index — the q171
-    * df-cap contract applies at corpus scale; AQE skew-join covers
-    * the moderate case.
-    */
-  def q194_winnowing(s: SparkSession, dir: String): DataFrame = {
-    val K = 4 // gram size (tokens)
-    val W = 8 // winnowing window (grams)
-    val grams = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= K)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("ws")) - (K - 1)),
-          i => md5(concat_ws(" ", slice(col("ws"), i, lit(K))))).as("hs"))
-    val fps = grams.select(col("doc_id"),
-        explode(when(size(col("hs")) >= W,
-          transform(sequence(lit(1), size(col("hs")) - (W - 1)),
-            i => array_min(slice(col("hs"), i, lit(W)))))
-          .otherwise(array(array_min(col("hs"))))).as("fp"))
-      .distinct()
-      .persistTracked()
-    fps.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 3)
-      .orderBy(desc("shared"), col("doc_a"), col("doc_b"))
-  }
-
-  /** Fuzzy record linkage with blocking: near-identical part names
-    * (levenshtein <= 3) found WITHOUT the all-pairs comparison — names
-    * are blocked on their last word and only within-block pairs are
-    * scored. The classic Fellegi-Sunter blocking contract: the block
-    * key bounds the quadratic to block-size², and the edit-distance
-    * scorer only ever sees candidate pairs. Scale shape: dedup the
-    * name dimension first (distinct), shuffle on the block key, score
-    * inside each block; a skewed block is AQE's skew-join case, and a
-    * production blocker composes several cheap keys (first word, size,
-    * soundex) the same way. `levenshtein` is codegen'd — no UDF.
-    */
-  def q195_fuzzy_linkage(s: SparkSession, dir: String): DataFrame = {
-    val names = t(s, dir, "part").select("p_name").distinct()
-    val blocked = names.select(col("p_name"),
-      element_at(split(col("p_name"), " "), -1).as("blk"))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
-      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
-      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-      .orderBy("dist", "name_a", "name_b")
-  }
-
-  /** SEQUENTIAL conversion funnel: first view → first click within 12h
-    * of it → first purchase within 12h of that click, per user; output
-    * = users surviving each stage. Differs from q77 (signup→any-
-    * purchase conversion, one hop) in that each stage's clock starts
-    * at the PREVIOUS stage's achieved timestamp — the chained
-    * dependency is what makes multi-step funnels irreducible to one
-    * join. Each stage is a filtered scan + per-user
-    * min-aggregate JOINED to the previous stage's (user, ts) frame —
-    * the event_type filters push to parquet, every join key is
-    * user_id, and each stage frame is one row per surviving user, so
-    * the at-scale cost is three pushdown-filtered scans plus shuffles
-    * of per-user aggregates (map-side combined). Stage frames are
-    * persisted because stage N is consumed by both stage N+1 and the
-    * final counts.
-    */
-  def q196_funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val w = expr("INTERVAL 12 HOURS")
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t0"))
-      .persistTracked()
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("t0") && col("ts") <= col("t0") + w)
-      .groupBy("user_id").agg(min("ts").as("t1"))
-      .persistTracked()
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + w)
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    v.agg(count(lit(1)).as("users"))
-      .select(lit(1).as("stage"), lit("view").as("step"), col("users"))
-      .unionAll(c.agg(count(lit(1)).as("users"))
-        .select(lit(2).as("stage"), lit("click_within_12h").as("step"), col("users")))
-      .unionAll(p.agg(count(lit(1)).as("users"))
-        .select(lit(3).as("stage"), lit("purchase_within_12h").as("step"), col("users")))
-      .orderBy("stage")
-  }
-
-  /** Cohort retention, NORMALIZED day-grain form (q78 is the raw
-    * week-grain count matrix): users cohorted by first-seen DATE,
-    * retention = FRACTION of the cohort with a purchase on day offset
-    * 0..7. The cohort frame (one row per user) is persisted — consumed
-    * by the size aggregate and the activity join; cohort sizes are a
-    * date-cardinality frame, always broadcast. Counting (cohort,
-    * offset) groups over the DISTINCT (user, day) activity frame makes
-    * count(*) = distinct users without a count-distinct Expand.
-    * Division happens once per output row on already-aggregated
-    * counts — exact across engines.
-    */
-  def q197_cohort_retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val f = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort"))
-      .persistTracked()
-    val sz = f.groupBy("cohort").agg(count(lit(1)).as("n0"))
-    val a = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    f.join(a, "user_id")
-      .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("offset_d"))
-      .filter(col("offset_d").between(0, 7))
-      .groupBy("cohort", "offset_d").agg(count(lit(1)).as("users"))
-      .join(broadcast(sz), "cohort")
-      .select(col("cohort"), col("offset_d"), col("users"),
-        round(col("users").cast("double") / col("n0"), 4).as("retention"))
-      .orderBy("cohort", "offset_d")
-  }
-
-  /** Adamic-Adar link prediction on the repeat co-purchase graph
-    * (parts co-ordered >= 2 times, q162's graph family): for every
-    * NON-adjacent pair with a common neighbor, AA = Σ_z 1/ln(deg z)
-    * over common neighbors z — the classic "customers also bought"
-    * scorer, where rare shared neighbors count more than hubs. Shape:
-    * the edge set is persisted (consumed 4×: two 2-path sides, the
-    * adjacency anti-join, the degree agg); 2-path enumeration is the
-    * e⋈e self-join on the middle node — Σ deg(z)² rows, the inherent
-    * cost of exact AA, bounded here by the co>=2 sparsification and at
-    * corpus scale by a q171-style degree cap on z; the anti-join
-    * removes existing edges; everything shuffles on node keys with
-    * map-side combine on the final (a,b) agg.
-    */
-  def q198_adamic_adar(s: SparkSession, dir: String): DataFrame = {
-    // The co>=2 edge set IS basketPairsW's staged frame symmetrized:
-    // the old bipartite self-join + groupBy chain counted ordered
-    // (src,dst) pairs per order — identical in both directions to the
-    // staged unordered count — so three shuffles over the pair
-    // explosion collapse to one staged read + union.
-    val ew = basketPairsW(s, dir).filter(col("w") >= 2)
-    val e = ew.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(ew.select(col("v").as("src"), col("u").as("dst")))
-      .persistTracked()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-    val cand = e.select(col("src").as("a"), col("dst").as("z"))
-      .join(e.select(col("src").as("z2"), col("dst").as("b")), col("z") === col("z2"))
-      .filter(col("a") < col("b")).select("a", "b", "z")
-    val nonadj = cand.join(e.select(col("src").as("a"), col("dst").as("b")),
-      Seq("a", "b"), "left_anti")
-    nonadj.join(deg, col("z") === col("node"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common"), round(sum(lit(1.0) / log(col("d"))), 4).as("aa"))
-      .orderBy(desc("aa"), desc("common"), col("a"), col("b"))
-      .limit(20)
-  }
-
-  /** BPE tokenizer APPLICATION (q193 learns, this encodes): learn the
-    * same 5 merges as q193 on the corpus word table (each learning
-    * round is a driver-materialized job — k is the latency knob, and
-    * the encode stage is what this query judges), then encode that
-    * vocabulary by replaying the merges in order — `Bpe.encode` chains the greedy
-    * folds into one narrow codegen map, no shuffle, no UDF. Output =
-    * top subword tokens by weighted frequency with how many distinct
-    * words they appear in — the vocabulary a downstream tokenizer
-    * would ship. Rows-only: the argmax-then-rewrite learning loop has
-    * no SQL form; BpeSpec pins encode == the training loop's final
-    * symbol state AND a driver-local reference encoder. At 100 TB the
-    * corpus is scanned once (the word count); learning and encoding
-    * both run over the vocabulary-sized frame (persisted — consumed by
-    * the k learning rounds and the encode pass).
-    */
-  def q199_bpe_encode(s: SparkSession, dir: String): DataFrame = {
-    val wc = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .persistTracked()
-    val merges = operators.Bpe.learnMerges(wc, k = 5)
-    operators.Bpe.encode(wc, merges)
-      .select(col("n"), explode(col("syms")).as("subword"))
-      .groupBy("subword").agg(sum("n").as("freq"), count(lit(1)).as("n_words"))
-      .orderBy(desc("freq"), col("subword"))
-      .limit(25)
-  }
-
-  /** Gopher-style quality rule-set (Rae et al. 2021 §A1.1 family):
-    * reject documents failing word-count >= 30, mean word length <= 5,
-    * >= 2 stopwords, or top-word dominance <= 20%. Output = the
-    * rejected docs with their metrics and a '|'-joined reason string.
-    * Every PREDICATE is exact integer arithmetic (sum_len > 5·n,
-    * top_c·5 > n) so pass/fail decisions are oracle-identical; floats
-    * appear only in the displayed rounded metrics. Shape: token stats
-    * are one narrow map (fused tokens + aggregate/filter HOFs); the
-    * top-word count is explode → two-level agg (map-side combined, the
-    * only shuffle); the token frame is persisted across its two
-    * consumers. The full Gopher set (symbol ratio, bullet fraction,
-    * ellipsis lines) composes identically — these four are the ones
-    * this corpus exercises in both directions.
-    */
-  def q200_gopher_rules(s: SparkSession, dir: String): DataFrame = {
-    val stopList = Seq("the", "a", "of", "to", "and", "in", "is", "that")
-    val d = tWide(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .persistTracked()
-    val base = d.select(col("doc_id"),
-      size(col("ws")).as("n_words"),
-      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
-      size(filter(col("ws"), w => w.isInCollection(stopList))).as("stops"))
-    val top = d.select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_c"))
-    base.join(top, "doc_id")
-      .select(col("doc_id"), col("n_words"), col("sum_len"), col("stops"), col("top_c"),
-        concat_ws("|",
-          when(col("n_words") < 30, lit("short")),
-          when(col("sum_len") > col("n_words") * 5, lit("mean_word_len")),
-          when(col("stops") < 2, lit("no_stopwords")),
-          when(col("top_c") * 5 > col("n_words"), lit("top_word_dom"))).as("reasons"))
-      .filter(col("reasons") =!= "")
-      .select(col("doc_id"), col("n_words"),
-        round(col("sum_len").cast("double") / col("n_words"), 4).as("mean_wlen"),
-        col("stops"),
-        round(col("top_c").cast("double") / col("n_words"), 4).as("top_share"),
-        col("reasons"))
-      .orderBy("doc_id")
-  }
-
-  /** HITS hubs/authorities (Kleinberg 1999) on the customer→part
-    * purchase BIPARTITE graph: hubs = customers whose baskets
-    * concentrate on widely-bought parts, authorities = parts bought by
-    * strong hubs. Two unrolled rounds in UNNORMALIZED integer
-    * arithmetic — like q131's PageRank, dropping the float
-    * normalization (which only rescales, never reorders) is what makes
-    * the fixpoint EXACTLY reproducible in SQL: h0=1, a1 = in-degree,
-    * h1 = Σ a1, a2 = Σ h1; magnitudes stay well inside int64 for any
-    * bounded round count. Shape: the distinct edge list is persisted
-    * (consumed by all four round-aggregates), every round is one
-    * equi-join + map-side-combined sum shuffled on a node key, and the
-    * two top-8 heads plan TakeOrderedAndProject.
-    *
-    * The bipartite edge list (orders⋈lineitem → distinct (c,p)) is the
-    * query's dominant cost — a join + distinct over the two biggest
-    * tables feeding four CHEAP fixpoint rounds — and it is
-    * dataset-derived and deterministic, so it is STAGED once per
-    * dataset dir (basketPairsW's pattern): first run pays the build +
-    * a 2-int64-column parquet write, repeat runs scan the staged
-    * frame. On a cluster: "materialize the interaction edge list per
-    * corpus snapshot", shared by every graph algorithm over it.
-    */
-  def q201_hits(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedParquet(s"cpe|$dir") { out =>
-      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey").as("c"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p")),
-          "o_orderkey")
-        .select("c", "p").distinct()
-        .write.mode("overwrite").parquet(out)
-    }
-    val e = s.read.parquet(staged).persistTracked()
-    val a1 = e.groupBy("p").agg(count(lit(1)).as("a")) // h0 = 1
-    val h1 = e.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
-    val a2 = e.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
-    val h2 = e.join(a2, "p").groupBy("c").agg(sum("a").as("h"))
-    val hubs = h2.select(lit("hub").as("kind"), col("c").as("node"), col("h").as("score"))
-      .orderBy(desc("score"), col("node")).limit(8)
-    val auths = a2.select(lit("authority").as("kind"), col("p").as("node"), col("a").as("score"))
-      .orderBy(desc("score"), col("node")).limit(8)
-    hubs.unionAll(auths).orderBy(col("kind"), desc("score"), col("node"))
-  }
-
-  /** Association rules (market-basket): for part pairs co-ordered >= 3
-    * times, confidence(a→b) = supp(ab)/supp(a) and lift =
-    * supp(ab)·N/(supp(a)·supp(b)) — q75 counts co-occurrence, this
-    * turns it into the directed rule-mining output with the
-    * interestingness normalization. Shape: ONE persisted basket-array
-    * frame feeds all three supports — ordered pairs from the sorted
-    * basket generate (the Apriori level-2 C(k,2) cost, bounded by
-    * basket size, never routed through a self-join), singles from a
-    * re-explode, the basket total from a count; supports broadcast
-    * back onto the surviving pairs; N is a 1-row broadcast.
-    */
-  def q202_assoc_rules(s: SparkSession, dir: String): DataFrame = {
-    // One basket shuffle feeds all three support counts: pairs from
-    // the sorted-array generate (basketPairs' shape — the self-join on
-    // ok it replaces shuffled the (ok, pk) frame twice and fanned out
-    // basket² rows through join machinery), singles from a re-explode,
-    // baskets by a count of the array frame.
-    val baskets = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .persistTracked()
-    val total = baskets.agg(count(lit(1)).as("total"))
-    val supp1 = baskets.select(explode(col("ps")).as("pk"))
-      .groupBy("pk").agg(count(lit(1)).as("cnt"))
-    // supp(ab) IS the staged basketPairsW frame (same sorted-basket
-    // generate, same (u<v, count-of-orders) grain) — consume the
-    // per-dir staged parquet instead of regenerating the C(k,2) pair
-    // stream, the query's dominant stage.
-    val supp2 = basketPairsW(s, dir)
-      .filter(col("w") >= 3)
-      .select(col("u").as("pa"), col("v").as("pb"), col("w").as("both_cnt"))
-    supp2
-      .join(broadcast(supp1.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
-      .join(broadcast(supp1.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
-      .crossJoin(broadcast(total))
-      .select(col("pa"), col("pb"), col("both_cnt"),
-        round(col("both_cnt").cast("double") / col("ca"), 4).as("conf_a_to_b"),
-        round(col("both_cnt").cast("double") * col("total") / (col("ca") * col("cb")), 4).as("lift"))
-      .orderBy(desc("lift"), col("pa"), col("pb"))
-      .limit(20)
-  }
-
-  /** Domain-shift audit: KL(P_lang ‖ P_en) over add-0.5-smoothed token
-    * unigram distributions on the UNION vocabulary — the drift number
-    * a mixture-balancing pass (q62) reads before reweighting sources.
-    * Shape: one tokenize+count pass per (lang, word); the vocab×lang
-    * grid (vocab is lexicon-sized, langs a handful) is built by
-    * cross-joining the broadcast lang list, so every distribution is
-    * over the SAME support — absent words get the smoothing floor,
-    * which is what makes KL finite and the two engines agree term by
-    * term; per-lang totals and the vocab size are broadcast 1-row
-    * aggregates of already-aggregated frames, never corpus re-scans.
-    */
-  def q203_kl_divergence(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
-    val c = toks.groupBy("lang", "w").agg(count(lit(1)).as("n"))
-      .persistTracked()
-    val vocab = c.select("w").distinct()
-    val nv = vocab.agg(count(lit(1)).as("v"))
-    val tot = c.groupBy("lang").agg(sum("n").as("t"))
-    val en = c.filter(col("lang") === "en").select(col("w"), col("n").as("en_n"))
-    val ent = tot.filter(col("lang") === "en").select(col("t").as("en_t"))
-    val langs = tot.filter(col("lang") =!= "en").select("lang")
-    val grid = vocab.crossJoin(broadcast(langs))
-      .join(c, Seq("lang", "w"), "left")
-      .join(broadcast(en), Seq("w"), "left")
-      .join(broadcast(tot), "lang")
-      .crossJoin(broadcast(ent)).crossJoin(broadcast(nv))
-    val p = (coalesce(col("n"), lit(0L)) + 0.5) / (col("t") + lit(0.5) * col("v"))
-    val q = (coalesce(col("en_n"), lit(0L)) + 0.5) / (col("en_t") + lit(0.5) * col("v"))
-    grid.groupBy("lang")
-      .agg(round(sum(p * log(p / q)), 4).as("kl"))
-      .orderBy("lang")
-  }
-
-  /** Johnson-Lindenstrauss random projection: 64-dim embeddings down
-    * to 4 dims through a ±1 sign matrix derived from md5 parity —
-    * hash-derived, so the "random" matrix needs no storage, no
-    * broadcast, and both engines rebuild it bit-identically (the JL
-    * guarantee only needs sign randomness, Achlioptas 2001). The
-    * projection is a zip_with + left-fold `aggregate` per output dim —
-    * a narrow codegen map, k·d multiply-adds per row, NO shuffle: at
-    * 100 TB this is the cheap pre-pass that shrinks vectors 16× before
-    * ANN indexing or clustering ever shuffles them. Fold order is the
-    * array order in both engines, so the double sums match exactly
-    * (q183's dot-product precedent).
-    */
-  def q204_jl_projection(s: SparkSession, dir: String): DataFrame = {
-    def proj(j: Int): Column = round(
-      aggregate(
-        zip_with(col("embedding"), sequence(lit(0), lit(63)),
-          (x, i) => when(
-            substring(md5(concat_ws("_", lit(j.toString), i.cast("string"))), 1, 1)
-              .isin("0", "1", "2", "3", "4", "5", "6", "7"),
-            x.cast("double")).otherwise(-x.cast("double"))),
-        lit(0.0), (acc, v) => acc + v), 4)
-    t(s, dir, "embeddings")
-      .filter(col("vec_id") < 15)
-      .select(col("vec_id"), proj(0).as("p0"), proj(1).as("p1"),
-        proj(2).as("p2"), proj(3).as("p3"))
-      .orderBy("vec_id")
-  }
-
-  /** Last-touch attribution: every purchase credits the most recent
-    * click STRICTLY BEFORE it (by (ts, event_id) order) within 7 days
-    * by the same user; credit rolls up to the click's campaign key
-    * (the props JSON `k`). ONE window pass does the matching —
-    * `last(click-struct, ignoreNulls)` over rows unbounded..1
-    * PRECEDING on the unioned click/purchase stream — the q38
-    * union-window as-of trick: no range join, no per-purchase scan;
-    * state per partition is one struct. At 100 TB this shuffles each
-    * user's clicks+purchases once on user_id; the window never spans
-    * users. The frame ending at 1 PRECEDING is what encodes
-    * "strictly before" without a tie predicate.
-    */
-  def q205_attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ev.withColumn("lastc",
-        last(when(col("event_type") === "click", struct(col("ts").as("cts"), col("k").as("ck"))),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase" && col("lastc").isNotNull &&
-        col("lastc.cts") >= col("ts") - expr("INTERVAL 7 DAYS"))
-      .groupBy(col("lastc.ck").as("campaign"))
-      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("credited_value"))
-      .orderBy("campaign")
-  }
-
-  /** Two-sample Kolmogorov–Smirnov test: is the `value` distribution of
-    * clicks the same as purchases? D = max |F_a(v) − F_b(v)| over the
-    * pooled support — the canonical distribution-drift gate a feature
-    * pipeline runs between snapshots (q203's KL needs binning; KS is
-    * binless). Shape: one corpus pass groups values into the DISTINCT-
-    * value frame (map-side combined), both empirical CDFs ride the same
-    * cost-based PrefixSum.runningTotal (single window at test scale,
-    * two-pass distributed zipWithIndex above the threshold — the support
-    * of a continuous measure at 100 TB is corpus-sized). Every float is
-    * an exact-integer division so the argmax row is engine-identical;
-    * the result is the TakeOrdered-1 row (max D, min value on ties).
-    */
-  def q206_ks_test(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val g = t(s, dir, "events")
-      .filter(col("event_type").isin("click", "purchase"))
-      .groupBy("value")
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na_v"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb_v"))
-    val ca = PrefixSum.runningTotal(g, "value", "na_v", "ca")
-    val cb = PrefixSum.runningTotal(ca, "value", "nb_v", "cb")
-    val tot = g.agg(sum("na_v").as("na"), sum("nb_v").as("nb"))
-    cb.crossJoin(broadcast(tot))
-      .withColumn("d", abs(col("ca") / col("na") - col("cb") / col("nb")))
-      .orderBy(col("d").desc, col("value").asc)
-      .limit(1)
-      .select(col("value"), col("na"), col("nb"), round(col("d"), 6).as("ks_d"))
-  }
-
-  /** Chi-square token selection: the 15 tokens whose document-level
-    * presence most separates lang='en' from the rest — the feature-
-    * selection step before training a lightweight classifier (q126 is
-    * the contingency-table form over fixed cells; this ranks an OPEN
-    * vocabulary). Presence set = per-doc array_distinct (map-side,
-    * inside the tokenize projection) + explode — NO global distinct
-    * shuffle exists; class totals ride in as a broadcast 1-row
-    * aggregate, never an eager count. The chi2
-    * numerator/denominator stay in EXACT 64-bit integers (max ~N⁴ ≪
-    * 2^63 at any judged SF) with ONE final division, so the ranking is
-    * engine-identical; df≥5 is the textbook applicability floor and the
-    * all-docs guard drops the degenerate zero-denominator token.
-    */
-  def q207_chi2_select(s: SparkSession, dir: String): DataFrame = {
-    // Presence dedup happens WITHIN each doc map-side (array_distinct
-    // before the explode) — no global DISTINCT shuffle; the word agg
-    // partial-aggregates map-side (q302's one-pass shape).
-    val docs0 = tWide(s, dir, "documents")
-      .select(col("lang"),
-        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-      .persistTracked()
-    val pres = docs0
-      .select((col("lang") === "en").cast("long").as("is_en"),
-        explode(array_distinct(col("toks"))).as("word"))
-    val tot = docs0
-      .agg(sum((col("lang") === "en").cast("long")).as("n_en"),
-        sum((col("lang") =!= "en").cast("long")).as("n_oth"))
-    val adbc = col("a") * (col("n_oth") - col("b")) - col("b") * (col("n_en") - col("a"))
-    pres.groupBy("word")
-      .agg(sum("is_en").as("a"), sum(lit(1L) - col("is_en")).as("b"))
-      .filter(col("a") + col("b") >= 5)
-      .crossJoin(broadcast(tot))
-      .filter(col("a") + col("b") < col("n_en") + col("n_oth"))
-      .withColumn("chi2", round(
-        ((col("n_en") + col("n_oth")) * adbc * adbc) /
-          ((col("a") + col("b")) * (col("n_en") + col("n_oth") - col("a") - col("b")) *
-            col("n_en") * col("n_oth")), 4))
-      .orderBy(col("chi2").desc, col("word").asc)
-      .limit(15)
-      .select("word", "a", "b", "chi2")
-  }
-
-  /** Gini coefficient of the per-language token-frequency distribution
-    * — the inequality number behind "a few head words dominate this
-    * slice" (q170's Zipf slope is the power-law FIT; Gini is the
-    * distribution-free summary). Ranks are per-language windows over
-    * the VOCABULARY-sized frequency frame (never corpus rows); the
-    * numerator 2·Σr·x − (n+1)·Σx and denominator n·Σx stay in exact
-    * 64-bit integers (Σr·x ≤ n·Σx ≪ 2^63 for any real vocabulary),
-    * one final division.
-    */
-  def q208_gini_tokens(s: SparkSession, dir: String): DataFrame = {
-    val wc = tWide(s, dir, "documents")
-      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("lang").orderBy(col("cnt").asc, col("word").asc)
-    wc.withColumn("r", row_number().over(w).cast("long"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("vocab"), sum("cnt").as("total"),
-        sum(col("r") * col("cnt")).as("rx"))
-      .withColumn("gini", round(
-        (lit(2L) * col("rx") - (col("vocab") + 1L) * col("total")) /
-          (col("vocab") * col("total")), 4))
-      .select("lang", "vocab", "total", "gini")
-      .orderBy("lang")
-  }
-
-  /** Rank-biased overlap (Webber et al. 2010) between two document
-    * rankings — "did the reranker change what the top of the list looks
-    * like", the list-similarity eval q189's nDCG (one ranking vs
-    * graded labels) cannot answer. Rankings: by raw length vs by
-    * distinct-token count; prefix RBO at depth 20 with p=1/2 so every
-    * p^d weight is an EXACT dyadic double in both engines (arbitrary p
-    * would put `pow` in the hash-compared path). Both top-20s plan
-    * TakeOrderedAndProject; the depth×overlap join is 20×20-bounded,
-    * so the only corpus-scale work is the distinct-count aggregation.
-    */
-  def q209_rbo(s: SparkSession, dir: String): DataFrame = {
-    val depth = 20
-    // row_number over an already-TakeOrdered 20-row frame: the global
-    // window is bounded by `depth`, never corpus-sized.
-    def ranked(df: DataFrame, score: Column, rank: String): DataFrame =
-      df.orderBy(score.desc, col("doc_id").asc).limit(depth)
-        .withColumn(rank,
-          row_number().over(Window.orderBy(score.desc, col("doc_id").asc)).cast("long"))
-        .select(col("doc_id"), col(rank))
-    val a = ranked(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-      col("n_chars"), "ra")
-    val b = ranked(
-      tWide(s, dir, "documents")
-        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-        .groupBy("doc_id").agg(countDistinct("w").as("nd")),
-      col("nd"), "rb")
-    val ov = a.join(b, "doc_id").select(greatest(col("ra"), col("rb")).as("md"))
-    val depths = s.range(1, depth + 1).toDF("d")
-    depths.join(ov, col("md") <= col("d"), "left")
-      .groupBy("d").agg(count(col("md")).as("ov"))
-      .agg(
-        round(sum(pow(lit(0.5), col("d")) * col("ov") / col("d")), 4).as("rbo"),
-        max(when(col("d") === depth, col("ov"))).as("ov20"))
-  }
-
-  /** Tokenizer-vocabulary coverage: build the top-500 corpus vocabulary
-    * and report each language's out-of-vocabulary token rate — the
-    * coverage audit run before committing to a fixed vocab (an OOV rate
-    * that differs 10× across languages means the tokenizer starves
-    * them). The token stream is persisted because it feeds BOTH the
-    * vocabulary build and the coverage join; the vocabulary itself is a
-    * TakeOrdered-500 frame that BROADCASTS into the presence join, so
-    * the corpus-scale side never shuffles. Exact integer counts, one
-    * final division.
-    */
-  def q210_oov_rate(s: SparkSession, dir: String): DataFrame = {
-    val tok = tWide(s, dir, "documents")
-      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .persistTracked()
-    val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc).limit(500)
-      .select(col("word"), lit(1L).as("in_v"))
-    tok.join(broadcast(vocab), Seq("word"), "left")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
-      .orderBy("lang")
-  }
-
-  /** Temperature-scaled mixture weights (α = 1/2, the mT5/XLM-R
-    * up-sampling rule): per-language sampling weight n_l^α / Σ n_l^α
-    * and the implied up-sampling factor vs natural proportions — the
-    * mixture table a multilingual pre-training run feeds its sampler.
-    * All corpus-scale work is one map-side-combined count; the 5-row
-    * language frame carries every float (sqrt is correctly rounded
-    * IEEE, the Σ over languages is rounded per the determinism
-    * contract).
-    */
-  def q211_temperature_mix(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "documents").groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"))
-    val tot = counts.agg(sum(sqrt(col("n_docs"))).as("z"), sum("n_docs").as("n"))
-    counts.crossJoin(broadcast(tot))
-      .select(col("lang"), col("n_docs"),
-        round(sqrt(col("n_docs")) / col("z"), 6).as("weight"),
-        round((sqrt(col("n_docs")) / col("z")) / (col("n_docs") / col("n")), 4)
-          .as("upsample"))
-      .orderBy("lang")
-  }
-
-  /** Per-node local clustering coefficient on the co-purchase graph —
-    * the node-grain community-density report behind q153's one global
-    * number (which nodes sit in tight clusters vs radiate as hubs).
-    * Same degree-ordered oriented enumeration (max out-degree O(√m)
-    * regardless of hub skew), different final aggregation: each closed
-    * triangle credits its three corners, and a node-sized left join
-    * back onto the degree table keeps triangle-free nodes at exactly
-    * 0. Floats: 2·tri exact, d(d−1) integer, one correctly-rounded
-    * division → the ranking is engine-identical. Reads the STAGED
-    * degree-oriented adjacency ([[basketAdjacency]], shared with
-    * q153) — per run only the broadcast, intersect, and credit
-    * aggregation remain.
-    */
-  def q212_local_clustering(s: SparkSession, dir: String): DataFrame =
-    operators.Triangles.perNodeFromAdjacency(basketAdjacency(s, dir), minDeg = 5)
-      .orderBy(col("lcc").desc, col("node").asc)
-      .limit(20)
-
-  /** Click→purchase conversion pairs within 30 minutes, credited to the
-    * click's campaign — the BATCH form of a stream-stream interval
-    * join (the streaming execution — two MemoryStreams, watermarks on
-    * both sides, state expiry from the interval bound — runs in
-    * StreamingWindowSpec; this frame is its batch oracle, the q28/q32
-    * pattern). The join is an EQUI-join on user_id with the time bound
-    * as residual, so both sides co-partition at 100 TB and the range
-    * never degenerates to a cross product; unlike q205 (latest-click
-    * attribution) every qualifying pair counts.
-    */
-  def q213_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
-        col("ts").as("cts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("pts"), col("value"))
-    c.join(p, Seq("user_id"))
-      .filter(col("pts") >= col("cts") &&
-        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
-      .groupBy("campaign")
-      .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 2).as("total_value"))
-      .orderBy("campaign")
-  }
-
-  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the
-    * entity names, compare each record only to its w=5 successors in
-    * sort order, keep levenshtein ≤ 3 — the OTHER classic bounded-
-    * comparison record-linkage method next to q195's key blocking
-    * (blocking misses cross-block typos in the block key itself;
-    * SNM misses only pairs > w apart in sort order — production ER
-    * runs both and unions). The global sort position comes from the
-    * cost-based PrefixSum.globalRank (never a single-partition window);
-    * the "±w neighbors" join is an EQUI-join on rank after a 5-way
-    * offset explode — w× replication of a name-sized frame instead of
-    * a range join, so it co-partitions at any scale.
-    */
-  def q214_sorted_neighborhood(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val w = 5
-    val names = t(s, dir, "part").select("p_name").distinct()
-    val ranked = PrefixSum.globalRank(names, Seq("p_name"), "r")
-    val probes = ranked.select(col("p_name").as("name_a"),
-        explode(sequence(lit(1), lit(w))).as("off"), col("r"))
-      .withColumn("r", col("r") + col("off"))
-    probes.join(ranked.select(col("p_name").as("name_b"), col("r")), "r")
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-      .orderBy("dist", "name_a", "name_b")
-  }
-
-  /** Half-life-decayed engagement score (the feature-store "decayed
-    * counter"): each purchase contributes value · 0.5^(whole weeks
-    * before the corpus frontier) — recency-weighted spend without a
-    * mutable state store, recomputable from the log at any time. The
-    * frontier rides in as a broadcast 1-row aggregate. The decay is
-    * FLOORED at 20 half-lives (a 2^-20 ≈ 1e-6 weight — decayed to
-    * noise), which is what lets the whole sum run in EXACT INTEGER
-    * arithmetic: each term is cents · 2^(20−min(wk,20)), an int64
-    * (≤2^41 per term), so the per-user reduction is order-independent
-    * and engine-identical — the sf0.1 sweep caught the previous
-    * dyadic-double sum differing from DuckDB's by one ULP exactly on
-    * a 2-dp rounding boundary (805.955). The single division by
-    * 100·2^20 happens once per user on the exact integer. One shuffle
-    * on user_id, top-20 plans TakeOrderedAndProject.
-    */
-  def q215_decayed_engagement(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
-    val frontier = p.agg(max(to_date(col("ts"))).as("now"))
-    p.crossJoin(broadcast(frontier))
-      .withColumn("wk", least(
-        floor(datediff(col("now"), to_date(col("ts"))) / 7), lit(20L)))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_purchases"),
-        round(sum(expr("cast(round(value * 100, 0) as bigint)") *
-          call_function("shiftleft", lit(1L), (lit(20) - col("wk")).cast("int")))
-          / (100.0 * (1L << 20)), 2).as("decayed_spend"))
-      .orderBy(col("decayed_spend").desc, col("user_id").asc)
-      .limit(20)
-  }
-
-  /** Quantile normalization of the embedding matrix (the microarray /
-    * feature-preprocessing standard): every dimension's values are
-    * replaced by the MEAN value at that rank across all 64 dimensions,
-    * forcing identical marginal distributions — the cross-feature
-    * calibration step before distance-based ops (q08/q34) when dims
-    * have incomparable scales. Ranks are windows PARTITIONED BY dim
-    * (64-way parallel distributed sorts, never one global window);
-    * the rank-profile is a 1-per-rank aggregate joined back on rank.
-    * Output is the per-dim envelope of the normalized matrix: every
-    * dim must now share min/max (the defining invariant, asserted in
-    * the spec) — reported for the first 8 dims.
-    */
-  def q216_quantile_normalize(s: SparkSession, dir: String): DataFrame = {
-    val cells = tWide(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
-    val ranked = cells.withColumn("rk",
-      row_number().over(Window.partitionBy("dim").orderBy(col("x").asc, col("vec_id").asc)))
-    val profile = ranked.groupBy("rk")
-      .agg(round(avg("x"), 6).as("q"))
-    ranked.join(profile, "rk")
-      .filter(col("dim") < 8)
-      .groupBy("dim")
-      .agg(count(lit(1)).as("n"), round(min("q"), 6).as("min_norm"),
-        round(max("q"), 6).as("max_norm"), round(avg("q"), 4).as("mean_norm"))
-      .orderBy("dim")
-  }
-
-  /** RFM (recency / frequency / monetary) quintile segmentation — the
-    * classic CRM cube over purchase behavior. One fact-table shuffle
-    * builds the user-grain frame; each axis's quintile is q138's
-    * exact-ntile integer arithmetic over PrefixSum.globalRank — the
-    * user dimension is a 100 TB pipeline's LARGEST dimension, so
-    * three sequential single-partition `ntile(5)` sorts of it (the
-    * naive form) would be a driver-adjacent bottleneck; the two-pass
-    * distributed rank keeps every axis partition-parallel. Descending
-    * axes rank on the NEGATED key (freq, cents are exact longs, no
-    * overflow at any realistic grain). Monetary is summed in CENTS
-    * (exact 64-bit integers) so every ordering key is an integer with
-    * a user_id tiebreak — summation order can never move a user
-    * across a quintile boundary between engines, and the bin formula
-    * (first n%5 quintiles get ⌈n/5⌉ users) reproduces `ntile(5)`
-    * exactly (hash-verified against DuckDB's ntile oracle).
-    */
-  def q217_rfm_segments(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
-    val frontier = p.agg(max(to_date(col("ts"))).as("now"))
-    val userG = p.crossJoin(broadcast(frontier))
-      .groupBy("user_id")
-      .agg(min(datediff(col("now"), to_date(col("ts")))).as("recency_days"),
-        count(lit(1)).as("freq"),
-        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-    // Lazy 1-row quintile boundaries (q138's pattern): n div 5 / n % 5
-    // broadcast back; bin(r) is exact integer CASE arithmetic equal to
-    // ntile(5) by definition (first `rem` bins hold q+1 rows).
-    val totals = userG.agg(count(lit(1)).as("__n"))
-      .select(expr("__n div 5").as("__q"), expr("__n % 5").as("__rem"))
-    def quintile(r: Column): Column = {
-      val q = col("__q"); val rem = col("__rem")
-      (when(r <= rem * (q + 1), (r - 1) / (q + 1))
-        .otherwise(rem + (r - rem * (q + 1) - 1) / q)
-        .cast("long") + 1).cast("int")
-    }
-    val ranked = PrefixSum.globalRank(
-      PrefixSum.globalRank(
-        PrefixSum.globalRank(
-          userG.withColumn("__nf", -col("freq")).withColumn("__nm", -col("cents")),
-          Seq("recency_days", "user_id"), "__rr"),
-        Seq("__nf", "user_id"), "__rf"),
-      Seq("__nm", "user_id"), "__rm")
-    val seg = ranked.crossJoin(broadcast(totals))
-      .withColumn("r_q", quintile(col("__rr")))
-      .withColumn("f_q", quintile(col("__rf")))
-      .withColumn("m_q", quintile(col("__rm")))
-    seg.groupBy("r_q", "f_q", "m_q")
-      .agg(count(lit(1)).as("n_users"),
-        round(sum("cents") / lit(100.0), 2).as("segment_value"))
-      .filter(col("n_users") >= 2)
-      .orderBy("r_q", "f_q", "m_q")
-  }
-
-  /** Golden-record construction (survivorship): after q195/q214 decide
-    * which records co-refer, FUSE each block into one canonical row —
-    * modal brand (most frequent, ties lexicographic), max price, min
-    * key as the surviving id. The mode is a two-level aggregate (count
-    * per (block, value) → rank-1 per block), never a collect; all
-    * per-block frames are block-cardinality-sized. The survivorship
-    * policy is the deterministic part of ER that SQL CAN express —
-    * which is exactly why it is the judged half (q195's match scoring
-    * already covers the fuzzy half).
-    */
-  def q218_golden_record(s: SparkSession, dir: String): DataFrame = {
-    val parts = t(s, dir, "part")
-      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    val brandCounts = parts.groupBy("blk", "p_brand").agg(count(lit(1)).as("bc"))
-    val modal = brandCounts
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("blk").orderBy(col("bc").desc, col("p_brand").asc)))
-      .filter(col("rk") === 1)
-      .select(col("blk"), col("p_brand").as("modal_brand"), col("bc").as("brand_support"))
-    parts.groupBy("blk")
-      .agg(count(lit(1)).as("n_records"),
-        min("p_partkey").as("surviving_key"),
-        round(max("p_retailprice"), 2).as("max_price"))
-      .join(modal, "blk")
-      .select("blk", "n_records", "surviving_key", "modal_brand", "brand_support", "max_price")
-      .orderBy("blk")
-  }
-
-  /** Class-balanced downsampling: every language keeps exactly
-    * min-class-size docs, chosen by deterministic content-free hash
-    * order (md5 of the id — both engines reproduce the SAME sample, no
-    * RNG state to ship) — the rebalancing step before training on a
-    * skewed multilingual corpus (q211 reweights the sampler; this
-    * materializes a balanced subset). The quota is a broadcast 1-row
-    * aggregate-of-aggregates; ranking is a window over each language
-    * partition of the doc-id frame. Broadcast bound at 100 TB: the
-    * quota derives from one count per LANGUAGE (≈200 rows for every
-    * language tag in use — fixed by the label space, not the corpus),
-    * collapsed to a single min row before broadcasting; the
-    * per-language rank windows are hash-partitioned corpus work, never
-    * driver-side.
-    */
-  def q219_class_balance(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-    val quota = d.groupBy("lang").agg(count(lit(1)).as("n"))
-      .agg(min("n").as("quota"))
-    d.withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
-      .crossJoin(broadcast(quota))
-      .filter(col("rk") <= col("quota"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"))
-      .orderBy("lang")
-  }
-
-  /** A/B test readout: a deterministic user_id-parity arm split, user-
-    * grain conversion (≥1 purchase), and the two-proportion pooled
-    * z-statistic — the experiment-analysis primitive next to q126's
-    * contingency chi² (z is SIGNED: it says which arm wins, and its
-    * square is the 2×2 chi²). Everything until the final z is exact
-    * integer arithmetic on two broadcast-mergeable partial aggregates
-    * (one fact pass, map-side combined); p₀/p₁/p̂ are exact-integer
-    * divisions and sqrt is correctly-rounded IEEE, so the rounded z is
-    * engine-identical.
-    */
-  def q220_ab_test(s: SparkSession, dir: String): DataFrame = {
-    // conversion = a HIGH-VALUE purchase (>180): at the gate SFs every
-    // user has some purchase, so plain any-purchase is degenerate
-    // (p̂=1 → zero pooled variance); the thresholded form discriminates
-    val perUser = t(s, dir, "events")
-      .groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
-        .otherwise(0L)).as("conv"))
-      .withColumn("arm", (col("user_id") % 2).cast("int"))
-    // both arms in ONE conditional aggregate — no branch-and-rejoin,
-    // the user frame is scanned once
-    val cells = perUser.agg(
-      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
-      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
-      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
-    val p0 = col("c0") / col("n0"); val p1 = col("c1") / col("n1")
-    val phat = (col("c0") + col("c1")) / (col("n0") + col("n1"))
-    cells
-      .select(col("n0"), col("c0"), col("n1"), col("c1"),
-        round(p0, 4).as("p0"), round(p1, 4).as("p1"),
-        round((p0 - p1) /
-          sqrt(phat * (lit(1) - phat) * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)
-          .as("z"))
-  }
-
-  /** Schema-evolution read: two parquet snapshots written at different
-    * schema versions (v2 adds a column) read back as ONE frame via
-    * `mergeSchema` — the every-day reality of a 100 TB estate where
-    * old partitions predate new columns. v1 rows surface the added
-    * column as NULL (never a read error, never a backfill); the
-    * aggregate proves both the union typing and the null semantics.
-    * Columnar pruning still applies per file — v1 files simply have no
-    * pages for the new column.
-    */
-  def q221_schema_evolution(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("graft_schema_evo")
-    val orders = t(s, dir, "orders")
-    orders.filter(col("o_orderkey") % 2 === 0)
-      .select("o_orderkey", "o_totalprice")
-      .write.mode("overwrite").parquet(s"$out/v1")
-    orders.filter(col("o_orderkey") % 2 === 1)
-      .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      .write.mode("overwrite").parquet(s"$out/v2")
-    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
-      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .orderBy("status")
-  }
-
-  /** The plain-SQL surface: the engine's tables registered as views and
-    * a multi-CTE window query run through `spark.sql` — proof that a
-    * reference user can bring raw ANSI SQL (CTEs, joins, windows,
-    * aggregates) and Catalyst plans it like the DataFrame forms (same
-    * optimizer, same codegen; E1-E16 all reachable from SQL). View
-    * names are query-scoped to keep the shared session clean.
-    */
-  def q222_sql_interface(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("q222_customer")
-    t(s, dir, "orders").createOrReplaceTempView("q222_orders")
-    t(s, dir, "nation").createOrReplaceTempView("q222_nation")
-    s.sql("""
-      WITH rev AS (
-        SELECT c.c_nationkey, c.c_custkey, round(sum(o.o_totalprice), 2) AS revenue
-        FROM q222_customer c JOIN q222_orders o ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_nationkey, c.c_custkey),
-      ranked AS (
-        SELECT n.n_name, r.c_custkey, r.revenue,
-               row_number() OVER (PARTITION BY n.n_name
-                                  ORDER BY r.revenue DESC, r.c_custkey ASC) AS rk
-        FROM rev r JOIN q222_nation n ON n.n_nationkey = r.c_nationkey)
-      SELECT n_name, c_custkey, revenue
-      FROM ranked WHERE rk = 1
-      ORDER BY n_name""")
-  }
-
-  /** Wide pivot: the long event stream turned into one row per user
-    * with a column per event type — the `.pivot()` API surface (the
-    * feature-matrix shape ML joins expect). The value list is PINNED
-    * (the 5 known types): an unpinned pivot runs an extra distinct
-    * scan to discover columns and makes the schema data-dependent —
-    * never acceptable on a 100 TB stream. Pivot compiles to ONE
-    * map-side-combined aggregate with 5 conditional counts, same plan
-    * as the CASE-WHEN oracle spells by hand.
-    */
-  def q223_pivot_events(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val pv = t(s, dir, "events")
-      .groupBy("user_id")
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-    types.foldLeft(pv)((df, ty) => df.withColumn(ty, coalesce(col(ty), lit(0L))))
-      .withColumn("total", types.map(col).reduce(_ + _))
-      .filter(col("total") >= 50)
-      .orderBy("user_id")
-  }
-
-  /** Long unpivot (melt): part's numeric metrics stacked into
-    * (metric, value) rows — the dual of q223 and the shape feature
-    * stores and plotting layers want. Uses the native `unpivot`
-    * operator (codegen'd Expand, one scan, NO shuffle until the
-    * summary agg); ids stay typed, both metrics cast to the common
-    * double before stacking, exactly as the UNION-ALL oracle does.
-    */
-  def q224_melt_metrics(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part")
-      .select(col("p_partkey"),
-        col("p_size").cast("double").as("size"),
-        col("p_retailprice").cast("double").as("retailprice"))
-      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
-        "metric", "value")
-      .groupBy("metric")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
-        round(min("value"), 2).as("lo"), round(max("value"), 2).as("hi"))
-      .orderBy("metric")
-
-  /** Point-in-time (AS OF) temporal query over the q73 SCD2 dimension:
-    * reconstruct every user's active version at an instant T and
-    * profile the snapshot by event type — the time-travel read that
-    * versioned dimensions exist for (audit "what did we believe on
-    * Feb 15"). Built BY COMPOSITION on q73's interval frame (one
-    * interval-containment filter selects exactly one version per user
-    * alive at T), then an event-type join back for the profile;
-    * at 100 TB the containment filter prunes on valid_from/valid_to
-    * min/max parquet stats before any shuffle.
-    */
-  def q225_time_travel(s: SparkSession, dir: String): DataFrame = {
-    // 2024-02-15T00:00:00Z in epoch µs, spelled as the literal so the
-    // constant can never shift with the JVM's default timezone (q73's
-    // unix_micros and the oracle's epoch_us both read the naive
-    // timestamps as UTC)
-    val tUs = lit(1707955200000000L)
-    val active = q73_scd2(s, dir)
-      .filter(col("valid_from_us") <= tUs && col("valid_to_us") > tUs)
-      .select("user_id", "event_id")
-    active.join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_users_in_state"))
-      .orderBy("event_type")
-  }
-
-  /** Kendall τ-b between order count and total spend over the top-100
-    * customers — the concordance-based rank correlation whose tie
-    * handling q103's Spearman doesn't model (τ-b corrects both axes).
-    * The O(n²) pair enumeration is BOUNDED BY CONSTRUCTION to the
-    * TakeOrdered-100 frame (4 950 pairs — the statistic any analyst
-    * computes on a leaderboard, not the corpus); concordant/discordant/
-    * tie cells are exact integer sign tests, τ-b is one division over
-    * one IEEE sqrt of integer products.
-    */
-  def q226_kendall_tau(s: SparkSession, dir: String): DataFrame = {
-    val topc = t(s, dir, "orders")
-      .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-      .orderBy(col("cents").desc, col("o_custkey").asc)
-      .limit(100)
-    val a = topc.select(col("o_custkey").as("ka"), col("n_orders").as("xa"), col("cents").as("ya"))
-    val b = topc.select(col("o_custkey").as("kb"), col("n_orders").as("xb"), col("cents").as("yb"))
-    val sx = signum(col("xa") - col("xb")); val sy = signum(col("ya") - col("yb"))
-    a.join(b, col("ka") < col("kb"))
-      .agg(
-        sum(when(sx * sy > 0, 1L).otherwise(0L)).as("concordant"),
-        sum(when(sx * sy < 0, 1L).otherwise(0L)).as("discordant"),
-        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).as("ties_x"),
-        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).as("ties_y"),
-        sum(when(sx === 0 && sy === 0, 1L).otherwise(0L)).as("ties_both"))
-      .select(col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
-        round((col("concordant") - col("discordant")) /
-          sqrt((col("concordant") + col("discordant") + col("ties_x")) *
-               (col("concordant") + col("discordant") + col("ties_y"))), 4).as("tau_b"))
-  }
-
-  /** CUSUM drift detection (Page 1954) over the daily purchase series:
-    * S_t = running sum of (countₜ − mean), drift D_t = S_t − min_{s≤t} S_s,
-    * alarm at max drift — the sequential change-point monitor a
-    * pipeline runs on ingest volumes (q206's KS asks "are two samples
-    * different"; CUSUM asks WHEN the level shifted). Both cumulative
-    * windows are SEQUENTIAL frames over the day-grain series (bounded
-    * by calendar days, not corpus rows), so their double arithmetic is
-    * bit-identical across engines (q183's precedent); the mean is a
-    * broadcast 1-row aggregate.
-    */
-  def q227_cusum_drift(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val mean = daily.agg((sum("n") / count(lit(1))).as("mu"))
-    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    daily.crossJoin(broadcast(mean))
-      .withColumn("s", sum(col("n") - col("mu")).over(wCum))
-      .withColumn("drift", col("s") - min("s").over(wCum))
-      .orderBy(col("drift").desc, col("day").asc)
-      .limit(1)
-      .select(col("day").as("alarm_day"), col("n").as("day_count"),
-        round(col("drift"), 4).as("max_drift"))
-  }
-
-  /** McNemar's paired test on the SAME users' conversion before vs
-    * after the mid-month boundary — the within-subject companion to
-    * q220's between-arm z (did individuals CHANGE, not do groups
-    * differ): only the discordant cells b (early-only) and c
-    * (late-only) carry signal, χ² = (b−c)²/(b+c). One user-grain
-    * conditional aggregate → one row; exact integers with a single
-    * final division.
-    */
-  def q228_mcnemar(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-    val conv = col("event_type") === "purchase" && col("value") > 180
-    val u = t(s, dir, "events")
-      .groupBy("user_id")
-      .agg(max(when(conv && col("ts") < cut, 1L).otherwise(0L)).as("early"),
-        max(when(conv && col("ts") >= cut, 1L).otherwise(0L)).as("late"))
-    u.agg(
-        sum(when(col("early") === 1 && col("late") === 0, 1L).otherwise(0L)).as("b"),
-        sum(when(col("early") === 0 && col("late") === 1, 1L).otherwise(0L)).as("c"))
-      .select(col("b"), col("c"),
-        round((col("b") - col("c")) * (col("b") - col("c")) / (col("b") + col("c")), 4)
-          .as("chi2"))
-  }
-
-  /** Regex pre-tokenizer profile — the BPE-style pretokenization pass
-    * (runs of letters | runs of digits | single other-non-space, over
-    * lowercased text) that q07's whitespace tokenizer deliberately
-    * isn't: "don't!" counts 3 tokens here (don, ', t + !), digits
-    * split from words, CJK falls to per-character — the token-count
-    * accounting a budgeted pretraining corpus is costed with. The
-    * ASCII-explicit character classes keep the scanner, Java regex,
-    * and RE2 semantics identical (no unicode-class divergence in the
-    * hash path); one fused-scanner scan + explode, all counts
-    * map-side combined.
-    */
-  def q229_regex_tokens(s: SparkSession, dir: String): DataFrame = {
-    // fused scanner ≡ regexp_extract_all(lower(text),
-    // '[a-z]+|[0-9]+|[^a-z0-9\s]', 0) — TokensSpec differential. The
-    // regex form measured ~100 s PRE-JIT cold at sf0.1 (1.3 s warm):
-    // a bench that runs each plan once pays that every time, and a
-    // 100 TB corpus pays the regex-engine constant forever (q07's
-    // fused-tokenizer argument, repeated).
-    tWide(s, dir, "documents")
-      .select(col("lang"),
-        explode(graft.expr.PretokenizeExpression.pretokens(col("text"))).as("tok"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_tokens"),
-        count_distinct(col("tok")).as("n_distinct"),
-        sum(when(col("tok").rlike("^[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
-        sum(when(col("tok").rlike("^[0-9]"), 1L).otherwise(0L)).as("n_num"),
-        sum(when(col("tok").rlike("^[a-z0-9]"), 0L).otherwise(1L)).as("n_other"))
-      .orderBy("lang")
-  }
-
-  /** Weighted single-source shortest distances (Bellman-Ford, the
-    * sixth graph pillar after PageRank / CC / triangles / k-core /
-    * BFS): distance from the anchor part over the co-purchase graph
-    * with affinity weights w = 1000 ⌊/⌋ co-count — strong ties are
-    * short hops, so "distance" reads as relatedness depth, the
-    * recommender's graph-radius feature. Four min-plus rounds give
-    * EXACTLY the min weight over ≤4-edge paths (the closed form the
-    * bounded recursive-CTE oracle reproduces integer-for-integer);
-    * each round is one equi-join + one map-side-combined min-agg with
-    * per-round lineage truncation.
-    */
-  def q230_sssp(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Bfs
-    val pairs = basketPairsW(s, dir)
-      .withColumnRenamed("w", "c")
-      .filter(col("c") >= 2)
-      .withColumn("w", (lit(1000) / col("c")).cast("long"))
-    val seed = pairs.agg(min(least(col("u"), col("v"))).as("n"))
-    Bfs.weightedDistances(pairs, "u", "v", "w", seed, rounds = 4)
-      .orderBy(col("dist").asc, col("node").asc)
-      .limit(20)
-  }
-
-  /** Log-odds-ratio with informative Dirichlet prior (Monroe, Colaresi
-    * & Quinn 2008, "Fightin' Words"): which tokens distinguish the
-    * 'web' source from the rest, scored by the prior-smoothed log-odds
-    * z — the corpus-comparison statistic that fixes both χ²'s
-    * overweighting of rare words (the prior shrinks them) and plain
-    * log-odds' variance blindness (the z normalizes); on the SAME
-    * en-vs-rest split as q207, the two rankings differ exactly where
-    * the prior matters. Pooled corpus counts ARE the prior
-    * (α_w = pooled count · α₀/N). Counts
-    * are exact integers from one tokenize pass consumed twice
-    * (persisted); ln/sqrt of exact rationals follow q198/q203's
-    * engine-agreement precedent, rounded.
-    */
-  def q231_log_odds_terms(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select((col("lang") === "en").cast("long").as("is_web"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .persistTracked()
-    val counts = toks.groupBy("word")
-      .agg(sum("is_web").as("a"), sum(lit(1L) - col("is_web")).as("b"))
-      .filter(col("a") + col("b") >= 10)
-    val tot = toks.agg(sum("is_web").as("na"), sum(lit(1L) - col("is_web")).as("nb"))
-    // α_w proportional to the pooled corpus: alpha = (a+b) * a0 / (na+nb),
-    // a0 = 1000 pseudo-tokens. All in exact rationals via doubles.
-    val a0 = lit(1000.0)
-    val alpha = (col("a") + col("b")) * a0 / (col("na") + col("nb"))
-    val lw = log((col("a") + alpha) / (col("na") + a0 - col("a") - alpha))
-    val lb = log((col("b") + alpha) / (col("nb") + a0 - col("b") - alpha))
-    val varz = lit(1.0) / (col("a") + alpha) + lit(1.0) / (col("b") + alpha)
-    counts.crossJoin(broadcast(tot))
-      // + 0.0 folds IEEE −0.0 to 0.0 (stringified-hash parity; DuckDB
-      // prints 0.0 where Java would print −0.0)
-      .withColumn("z", round((lw - lb) / sqrt(varz), 4) + lit(0.0))
-      .orderBy(col("z").desc, col("word").asc)
-      .limit(15)
-      .select("word", "a", "b", "z")
-  }
-
-  /** Data-contract check suite (the dbt-test / Great-Expectations
-    * genre): each row one named assertion over the orders feed with
-    * its violation count — null keys, duplicate primary keys,
-    * referential integrity into customer, value-range and
-    * enum-membership checks. ALL checks ride one orders pass + one
-    * broadcast-free anti-join for the FK probe (customer keys shuffle
-    * once); a 0-violation row is evidence, not absence, so every check
-    * reports. The governance gate a 100 TB feed runs before publish.
-    */
-  def q232_data_contract(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer").select(col("c_custkey"))
-    val base = o.agg(
-      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_pk"),
-      // count(pk) not count(*): null keys are their own check, they
-      // must not inflate the duplicate count
-      (count(col("o_orderkey")) - count_distinct(col("o_orderkey"))).as("dup_pk"),
-      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
-      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
-        .as("bad_status_enum"),
-      sum(when(col("o_orderdate") < lit("1992-01-01").cast("date") ||
-        col("o_orderdate") > lit("2026-01-01").cast("date"), 1L).otherwise(0L))
-        .as("date_out_of_range"))
-    val orphans = o.select(col("o_custkey")).join(c,
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("fk_orphans"))
-    base.crossJoin(orphans)
-      .select(
-        lit("orders").as("table_name"),
-        col("null_pk"), col("dup_pk"), col("fk_orphans"),
-        col("nonpositive_price"), col("bad_status_enum"), col("date_out_of_range"))
-  }
-
-  /** Deterministic bootstrap CI for mean user spend: 100 resampling
-    * replicas whose per-(user, replica) multiplicities come from a
-    * hash-inverted Poisson(1) (the multinomial limit the bootstrap
-    * converges to) — no RNG state, both engines rebuild the SAME
-    * replicas from md5 arithmetic, so the interval is oracle-exact.
-    * The user-grain frame is built once (one fact shuffle), the
-    * replica dimension is a 100-way broadcast explode of the USER
-    * frame only (never the fact table — at 100 TB that is the "bag of
-    * little bootstraps" shape), and the CI is an exact rank pick over
-    * the 100 replica means.
-    */
-  def q233_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
-    val b = 100
-    val perUser = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-    // Poisson(1) CDF inversion on u = first-8-hex of md5(user|replica):
-    // P(0)=.3679, P(≤1)=.7358, P(≤2)=.9197, P(≤3)=.9810
-    val u = conv(substring(md5(concat_ws("|", col("user_id"), col("rep"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
-    val w = when(u < 0.3679, 0L).when(u < 0.7358, 1L)
-      .when(u < 0.9197, 2L).when(u < 0.9810, 3L).otherwise(4L)
-    val reps = perUser
-      .crossJoin(broadcast(s.range(0, b).toDF("rep")))
-      .withColumn("w", w)
-      .groupBy("rep")
-      .agg((sum(col("w") * col("cents")) / (sum("w") * lit(100.0))).as("mean_spend"))
-    val ranked = reps.withColumn("rk",
-      row_number().over(Window.orderBy(col("mean_spend").asc, col("rep").asc)))
-    ranked.agg(
-        count(lit(1)).as("n_reps"),
-        round(avg("mean_spend"), 2).as("boot_mean"),
-        round(max(when(col("rk") === 3, col("mean_spend"))), 2).as("ci_lo"),
-        round(max(when(col("rk") === 98, col("mean_spend"))), 2).as("ci_hi"))
-  }
-
-  /** Autocorrelation function of the daily purchase-count series at
-    * lags 1..7 — the "is there weekly structure" diagnostic feeding
-    * q156's seasonal profile (ACF measures it; the profile assumes
-    * it). ACF_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², lag alignment by
-    * window `lag` over the DAY-grain frame; the mean and the
-    * denominator ride in as one broadcast 1-row aggregate. Exact
-    * integer counts; the float products follow the same
-    * sequential-frame determinism as q227.
-    */
-  def q234_acf(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val stats = daily.agg((sum("n") / count(lit(1))).as("mu"))
-    val centered = daily.crossJoin(broadcast(stats))
-      .withColumn("d", col("n") - col("mu"))
-    val wDay = Window.orderBy("day")
-    val lagged = (1 to 7).foldLeft(centered)((df, k) =>
-      df.withColumn(s"d_$k", lag(col("d"), k).over(wDay)))
-    val denom = lagged.agg(sum(col("d") * col("d")).as("ss"))
-    val accs = (1 to 7).map(k =>
-      round(sum(col("d") * col(s"d_$k")) / first(col("ss")), 4).as(s"acf_$k"))
-    lagged.crossJoin(broadcast(denom))
-      .agg(count(col("d")).as("n_days"), accs: _*)
-  }
-
-  /** Linear (equal-split) multi-touch attribution: every click within
-    * the 7 days before a purchase shares the purchase's value equally
-    * — the fractional complement to q205's last-touch winner-take-all
-    * (same window, opposite credit philosophy; a marketing stack runs
-    * both and diffs them). One user-co-partitioned equi-join bounds
-    * candidates, a per-purchase window count sets each click's share.
-    *
-    * EXACT-INTEGER CONTRACT (dev/SWEEP.md patterns; the round-10
-    * sf0.001 sweep caught campaign 60 on a half-cent boundary where
-    * the float Σ(value/n) flipped 123.94/123.95 with the engines'
-    * association order): shares are integer MICRO-CENTS floored per
-    * touch — (cents·10⁶) div n, exact in both engines — summed as
-    * BIGINT (order-independent), and the campaign total re-rounds to
-    * cents with the half-up integer form (2a+b) div (2b). Per-touch
-    * floor error ≤ 10⁻⁸ dollars; values are non-negative by schema
-    * (q156's guard note applies to the half-up form).
-    */
-  def q235_linear_attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
-        col("ts").as("cts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"), col("value"))
-    val touches = p.join(c, Seq("user_id"))
-      .filter(col("cts") <= col("pts") &&
-        col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
-    val nTouch = Window.partitionBy("pid")
-    touches
-      // q156's fail-loud guard: DIV truncates (Spark) vs // floors
-      // (DuckDB) and the half-up form is only half-up for cents >= 0;
-      // a refund-style negative value must break loudly, not
-      // silently mis-round. NULL gets its own branch + message: with
-      // only `value >= 0`, a NULL value falls into otherwise() (NULL
-      // >= 0 is NULL) and would raise the misleading "negative"
-      // error — while DuckDB's oracle SUM silently drops the NULL,
-      // so the engines would fail asymmetrically on dirty data.
-      .withColumn("cents",
-        when(col("value").isNull, raise_error(lit(
-          "q235: NULL purchase value — oracle SUM drops NULLs while " +
-            "the share DIV propagates them; clean or impute upstream"))
-          .cast("long"))
-          .when(col("value") >= 0, round(col("value") * 100).cast("long"))
-          .otherwise(raise_error(lit(
-            "q235: negative purchase value — the micro-cent DIV form " +
-              "needs a sign-aware floorDiv rewrite on both engines"))
-            .cast("long")))
-      .withColumn("nt", count(lit(1)).over(nTouch))
-      .withColumn("share_u", expr("cents * 1000000 DIV nt"))
-      .groupBy("campaign")
-      .agg(count(lit(1)).as("n_touches"), sum("share_u").as("su"))
-      .select(col("campaign"), col("n_touches"),
-        (expr("(su * 2 + 1000000) DIV 2000000") / 100.0).as("credited_value"))
-      .orderBy("campaign")
-  }
-
-  /** Pairwise corpus-similarity matrix: exact vocabulary Jaccard
-    * between every language pair — the corpus-level relatedness signal
-    * (shared loanwords/named entities) that q203's KL reads
-    * distributionally; Jaccard reads it set-wise. One tokenize pass →
-    * distinct (lang, word); the pair frame joins vocabularies on the
-    * word (vocabulary-sized, never corpus-sized) and |A∪B| comes from
-    * |A|+|B|−|A∩B| — intersection is the only join, union is
-    * arithmetic. Exact integers, one final division.
-    */
-  def q236_vocab_overlap(s: SparkSession, dir: String): DataFrame = {
-    val vocab = tWide(s, dir, "documents")
-      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .distinct()
-      .persistTracked()
-    val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("n"))
-    val inter = vocab.as("a")
-      .join(vocab.as("b"), col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
-      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("na"))), "lang_a")
-      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("nb"))), "lang_b")
-      .select(col("lang_a"), col("lang_b"), col("na"), col("nb"), col("inter"),
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
-      .orderBy("lang_a", "lang_b")
-  }
-
-  /** Dictionary-encoding advisor: per string column of `part`, the
-    * cardinality/width numbers a columnar layout planner reads before
-    * choosing an encoding — distinct count, raw vs dictionary-encoded
-    * byte estimates (8-bit/16-bit/32-bit index by cardinality), and
-    * the compression ratio. One pass per column union'd into a long
-    * report (each leg is an independent map-side-combined aggregate;
-    * at 100 TB each leg reads ONLY its column from parquet). Exact
-    * integer byte arithmetic.
-    */
-  def q237_dict_advisor(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part")
-    def leg(c: String): DataFrame =
-      p.agg(
-        count(lit(1)).as("n_rows"),
-        count_distinct(col(c)).as("n_distinct"),
-        sum(length(col(c))).as("raw_bytes"))
-        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
-          col("raw_bytes"),
-          // dict page = distinct values' bytes; index stream = n_rows ×
-          // index width picked from cardinality
-          (when(col("n_distinct") <= 256, 1L)
-            .when(col("n_distinct") <= 65536, 2L).otherwise(4L)).as("idx_bytes"))
-    val legs = Seq("p_name", "p_brand", "p_type").map(leg).reduce(_ unionByName _)
-    val dicts = Seq("p_name", "p_brand", "p_type").map { c =>
-      p.select(col(c)).distinct()
-        .agg(sum(length(col(c))).as("dict_bytes"))
-        .select(lit(c).as("column_name"), col("dict_bytes"))
-    }.reduce(_ unionByName _)
-    legs.join(dicts, "column_name")
-      .withColumn("dict_total", col("dict_bytes") + col("n_rows") * col("idx_bytes"))
-      .select(col("column_name"), col("n_rows"), col("n_distinct"), col("raw_bytes"),
-        col("dict_total"),
-        round(col("raw_bytes") / col("dict_total"), 4).as("ratio"))
-      .orderBy("column_name")
-  }
-
-  /** Partition-skew report for a date-partitioned write: per
-    * order-month row counts with the skew diagnostics a layout planner
-    * reads — share of total, ratio to the mean partition size, and a
-    * hot flag at 2× mean. THE pre-write audit that decides whether a
-    * partitioned publish needs salting or re-bucketing (writing first
-    * and discovering a 40× partition later costs a rewrite at 100 TB).
-    * One map-side-combined count; mean/total broadcast back.
-    */
-  def q238_partition_skew(s: SparkSession, dir: String): DataFrame = {
-    val parts = t(s, dir, "orders")
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_key"))
-      .agg(count(lit(1)).as("n"))
-    val tot = parts.agg(sum("n").as("total"), (sum("n") / count(lit(1))).as("mean_n"))
-    parts.crossJoin(broadcast(tot))
-      .select(col("part_key"), col("n"),
-        round(col("n") / col("total"), 4).as("share"),
-        round(col("n") / col("mean_n"), 4).as("x_mean"),
-        (col("n") > lit(2.0) * col("mean_n")).cast("int").as("hot"))
-      .orderBy("part_key")
-  }
-
-  /** Difference-in-differences readout: treatment = odd user_id (q220's
-    * split), pre/post = the mid-month boundary (q228's), outcome =
-    * mean purchase cents per user-period — DiD = (T_post − T_pre) −
-    * (C_post − C_pre), the causal-inference workhorse when only the
-    * treated arm changed between periods. All four cell means are
-    * exact integer-cent sums over one conditional aggregate; the
-    * estimate is arithmetic on four exact quotients. The parallel-
-    * trends assumption is the ANALYST's burden; the engine's burden is
-    * cells that cannot disagree between engines — and they can't.
-    */
-  def q239_diff_in_diff(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
-      .select((col("user_id") % 2 === 1).cast("int").as("treated"),
-        (col("ts") >= cut).cast("int").as("post"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-    val cells = p.agg(
-      sum(when(col("treated") === 1 && col("post") === 0, 1L).otherwise(0L)).as("nt0"),
-      sum(when(col("treated") === 1 && col("post") === 0, col("cents")).otherwise(0L)).as("st0"),
-      sum(when(col("treated") === 1 && col("post") === 1, 1L).otherwise(0L)).as("nt1"),
-      sum(when(col("treated") === 1 && col("post") === 1, col("cents")).otherwise(0L)).as("st1"),
-      sum(when(col("treated") === 0 && col("post") === 0, 1L).otherwise(0L)).as("nc0"),
-      sum(when(col("treated") === 0 && col("post") === 0, col("cents")).otherwise(0L)).as("sc0"),
-      sum(when(col("treated") === 0 && col("post") === 1, 1L).otherwise(0L)).as("nc1"),
-      sum(when(col("treated") === 0 && col("post") === 1, col("cents")).otherwise(0L)).as("sc1"))
-    def mean(sm: String, n: String) = col(sm) / col(n) / lit(100.0)
-    cells.select(
-      round(mean("st0", "nt0"), 4).as("treat_pre"),
-      round(mean("st1", "nt1"), 4).as("treat_post"),
-      round(mean("sc0", "nc0"), 4).as("ctrl_pre"),
-      round(mean("sc1", "nc1"), 4).as("ctrl_post"),
-      round((mean("st1", "nt1") - mean("st0", "nt0")) -
-        (mean("sc1", "nc1") - mean("sc0", "nc0")), 4).as("did"))
-  }
-
-  /** Exponential (log2-bucketed) value histogram — the DDSketch-shaped
-    * observability summary: bucket = ⌊log2(cents)⌋, covering 5 orders
-    * of magnitude in ~17 buckets with fixed relative error, the way
-    * latency/value telemetry is actually stored. Bucketing is on exact
-    * integer cents, and log2 of an exact power of two is exactly that
-    * integer in IEEE (no boundary flicker) — so the bucket assignment
-    * is engine-identical. One map-side-combined aggregate.
-    */
-  def q240_exp_histogram(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(round(col("value") * 100, 0).cast("long").as("cents"))
-      .filter(col("cents") >= 1)
-      .withColumn("bucket", floor(log2(col("cents"))).cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
-      .orderBy("bucket")
-
-  /** Embedding-table contract audit — q232's genre applied to the
-    * vector column, where the failure modes are numeric, not
-    * relational: NaN/Inf cells, zero vectors (cosine-undefined),
-    * dimension drift (ragged arrays), duplicate ids, and the norm
-    * envelope (a silently unnormalized batch shifts it). One pass;
-    * the per-cell predicates are codegen'd HOF `exists`/`aggregate`
-    * folds, never a posexplode shuffle. The gate an embedding publish
-    * runs before ANN indexes build on garbage.
-    */
-  def q241_embedding_contract(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val x = col("embedding")
-    val norm2 = aggregate(x, lit(0.0d), (a, v) => a + v.cast("double") * v.cast("double"))
-    // the norm envelope is over HEALTHY vectors only — a NaN cell would
-    // otherwise poison max() (NaN sorts above every double) and report
-    // the corruption twice
-    val healthy = x.isNotNull && !exists(x, v => v.cast("double").isNaN ||
-      abs(v.cast("double")) === lit(Double.PositiveInfinity))
-    e.agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count_distinct(col("vec_id"))).as("dup_ids"),
-        sum(when(x.isNull, 1L).otherwise(0L)).as("null_vectors"),
-        sum(when(exists(x, v => v.cast("double").isNaN ||
-          abs(v.cast("double")) === lit(Double.PositiveInfinity)), 1L).otherwise(0L))
-          .as("nonfinite_vectors"),
-        count_distinct(size(x)).as("n_dims_seen"),
-        sum(when(norm2 === 0.0, 1L).otherwise(0L)).as("zero_vectors"),
-        round(min(when(healthy, sqrt(norm2))), 4).as("min_norm"),
-        round(max(when(healthy, sqrt(norm2))), 4).as("max_norm"))
-  }
-
-  /** Feature-store materialization: the per-user churn-model feature
-    * row — activity counts over trailing 7/14/28-day windows from the
-    * corpus frontier, recency, distinct event types, spend — built in
-    * ONE conditional aggregate over one fact shuffle (the multi-window
-    * trailing counts are predicates, not three scans). Sampled to
-    * user_id % 10 = 0 for a bounded judged result; integer-exact
-    * everything.
-    */
-  def q242_feature_matrix(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val frontier = ev.agg(max(to_date(col("ts"))).as("now"))
-    ev.crossJoin(broadcast(frontier))
-      .withColumn("age_d", datediff(col("now"), to_date(col("ts"))))
-      .groupBy("user_id")
-      .agg(
-        sum(when(col("age_d") < 7, 1L).otherwise(0L)).as("events_7d"),
-        sum(when(col("age_d") < 14, 1L).otherwise(0L)).as("events_14d"),
-        sum(when(col("age_d") < 28, 1L).otherwise(0L)).as("events_28d"),
-        min("age_d").cast("long").as("recency_d"),
-        count_distinct(col("event_type")).as("n_event_types"),
-        sum(when(col("event_type") === "purchase",
-          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("spend_cents"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
-      .filter(col("user_id") % 10 === 0)
-      .orderBy("user_id")
-  }
-
-  /** Multimodal frame-sampling schedule: one row per sampled video
-    * frame (every 700 ms of duration) from the synthetic media table,
-    * rolled up per asset — the seek-plan a distributed video featurizer
-    * executes (the decode itself sits behind Multimodal's codec seam;
-    * the SCHEDULE is the Spark-side contract and it is exactly
-    * oracle-able because the synthetic duration is arithmetic on
-    * doc_id). Row explosion happens executor-side in the typed
-    * Dataset path; payload bytes never enter the frame frame.
-    */
-  def q243_frame_sampling(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Multimodal
-    Multimodal.sampleFrames(
-        Multimodal.syntheticMedia(s, s"$dir/documents.parquet"), everyMs = 700L)
-      .filter(col("media_id") < 60)
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_frames"),
-        max(col("offset_ms")).cast("long").as("last_offset_ms"))
-      .orderBy("media_id")
-  }
-
-  /** Degree assortativity (Newman 2002) of the co-purchase graph: the
-    * Pearson correlation of endpoint degrees over directed edge ends —
-    * POSITIVE means hubs connect to hubs (social-graph shape),
-    * NEGATIVE means hubs fan out to leaves (catalog shape), and which
-    * one you have decides whether degree-based partitioning skews.
-    * Every moment (M, Σx, Σxy, Σx²) is an exact 64-bit integer over
-    * the degree-joined edge list; r is one division over IEEE sqrts —
-    * engine-identical. The symmetric edge list makes Σx = Σy, so one
-    * moment set suffices.
-    */
-  def q244_assortativity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairs(s, dir) // staged distinct — no re-distinct
-    val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val ends = pairs.select(col("u"), col("v"))
-      .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
-    val m = ends.agg(
-      count(lit(1)).as("mm"),
-      sum("du").as("sx"), sum(col("du") * col("du")).as("sxx"),
-      sum(col("du") * col("dv")).as("sxy"))
-    // symmetry collapses the usual sqrt(..)·sqrt(..) denominator to the
-    // SAME integer as the variance term — r is one exact-integer ratio,
-    // no sqrt in the hash path at all
-    m.select(
-      (col("mm") / 2).cast("long").as("n_edges"),
-      round((col("mm") * col("sxy") - col("sx") * col("sx")) /
-        (col("mm") * col("sxx") - col("sx") * col("sx")), 4).as("assortativity"))
-  }
-
-  /** On-disk inverted index with bucket-pruned search — q152's
-    * disk-layout discipline applied to TEXT: posting lists (term, doc,
-    * tf) are written `partitionBy` a 64-way term-hash bucket, and a
-    * term lookup reads ONLY its bucket directory (1/64 of the index,
-    * enforced by partition pruning on the hash value — PlanSpec-style
-    * assert lives in the spec). At 100 TB the index is the thing that
-    * makes phrase/term analytics not re-tokenize the corpus; DuckDB
-    * can't see the layout, so the oracle recomputes the postings —
-    * equality proves the index is LOSSLESS, the spec proves it is
-    * PRUNED.
-    */
-  def q245_inverted_index_disk(s: SparkSession, dir: String): DataFrame = {
-    // Index build (a write job) runs at query-CONSTRUCTION time — the
-    // documented q96/q152 round-trip exception to the plan-only rule:
-    // the returned frame's plan is the pruned READ, which is the part
-    // under judgment.
-    val idx = scratch("graft_inv_index")
-    tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(64)).cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(idx)
-    val probe = "data"
-    s.read.parquet(idx)
-      .filter(col("bucket") === lit(xxhashBucket(probe)) && col("term") === probe)
-      .select(col("doc_id"), col("tf"))
-      .orderBy(col("tf").desc, col("doc_id").asc)
-      .limit(15)
-  }
-
-  /** The writer-side bucket arithmetic (pmod(xxhash64(term), 64)) run
-    * driver-side for one probe term, so the reader can place the
-    * literal in the filter and Catalyst can PRUNE partitions before
-    * listing files. xxhash64's seed-42 value is reproduced through a
-    * 1-row local DataFrame rather than reimplementing the hash.
-    */
-  private def xxhashBucket(term: String): Int = {
-    val spark = SparkSession.active
-    spark.range(1).select(pmod(xxhash64(lit(term)), lit(64)).cast("int"))
-      .head().getInt(0)
-  }
-
-  /** Heaps-law vocabulary-growth fit: β from ln V(n) ~ β·ln n over the
-    * cumulative (tokens-seen, vocab-seen) curve in ingestion (doc_id)
-    * order — q170's Zipf slope describes the FREQUENCY distribution,
-    * Heaps' β predicts how much NEW vocabulary the next TB brings
-    * (the number that sizes a growing tokenizer vocab). New-word
-    * credit = min-doc_id first occurrence (one vocabulary-sized agg);
-    * both cumulatives ride the cost-based PrefixSum.runningTotal; the
-    * least-squares slope is one aggregate over the doc-grain curve
-    * (ln per q170's engine-agreement precedent, rounded).
-    */
-  def q246_heaps_law(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val toks = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .persistTracked()
-    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
-    val firstOcc = toks.groupBy("w").agg(min("doc_id").as("fo"))
-      .groupBy("fo").agg(count(lit(1)).as("new_words"))
-    val curve0 = perDoc
-      .join(firstOcc, col("doc_id") === col("fo"), "left")
-      .select(col("doc_id"), col("n_toks"), coalesce(col("new_words"), lit(0L)).as("nw"))
-    val curve = PrefixSum.runningTotal(
-      PrefixSum.runningTotal(curve0, "doc_id", "nw", "vv"),
-      "doc_id", "n_toks", "nn")
-    val x = log(col("nn")); val y = log(col("vv"))
-    curve.filter(col("vv") > 0)
-      .agg(count(lit(1)).as("n_docs"), max("vv").as("vocab_final"),
-        max("nn").as("tokens_final"),
-        round((count(lit(1)) * sum(x * y) - sum(x) * sum(y)) /
-          (count(lit(1)) * sum(x * x) - sum(x) * sum(x)), 4).as("heaps_beta"))
-  }
-
-  /** Per-column Shannon entropy over `orders` — the profiling number
-    * that finds key candidates (H ≈ ln n → unique), constants (H = 0),
-    * and encoding opportunities (low H → dictionary/RLE, feeding
-    * q237's advisor). Each column is one value-histogram aggregate
-    * (map-side combined) + one vocabulary-sized entropy fold; columns
-    * union into a long report, each leg reading ONLY its column.
-    * ln per the engine-agreement precedent, rounded; n and distinct
-    * exact.
-    */
-  def q247_column_entropy(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    def leg(c: String): DataFrame = {
-      val hist = o.groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val tot = hist.agg(sum("cnt").as("n"), count(lit(1)).as("k"))
-      hist.crossJoin(broadcast(tot))
-        .agg(
-          first(col("n")).as("n_rows"),
-          first(col("k")).as("n_distinct"),
-          round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 4)
-            .as("entropy_nats"))
-        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
-          col("entropy_nats"),
-          round(col("entropy_nats") / log(col("n_rows")), 4).as("key_score"))
-    }
-    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-      .map(leg).reduce(_ unionByName _)
-      .orderBy("column_name")
-  }
-
-  /** Functional-dependency audit: does p_brand functionally depend on
-    * p_name (every name maps to ONE brand)? — the profiling question
-    * behind normalization and golden-record keys (q218 ASSUMED block →
-    * modal brand was lossy; this MEASURES how lossy). Violations =
-    * determinant values with >1 distinct dependent; the report carries
-    * the violating count, the worst offender, and the FD's held/total
-    * ratio. Two vocabulary-sized aggregates, exact integers.
-    */
-  def q248_fd_check(s: SparkSession, dir: String): DataFrame = {
-    val m = t(s, dir, "part")
-      .groupBy("p_name")
-      .agg(count_distinct(col("p_brand")).as("n_brands"),
-        count(lit(1)).as("n_rows"))
-    m.agg(
-        count(lit(1)).as("n_determinants"),
-        sum(when(col("n_brands") > 1, 1L).otherwise(0L)).as("n_violating"),
-        max("n_brands").as("worst_fanout"),
-        sum(when(col("n_brands") === 1, col("n_rows")).otherwise(0L)).as("rows_fd_holds"),
-        sum("n_rows").as("rows_total"))
-      .withColumn("fd_strength", round(col("rows_fd_holds") / col("rows_total"), 4))
-  }
-
-  /** Leave-one-out target encoding: each part's brand encoded as the
-    * mean retail price of the OTHER parts of that brand — the
-    * leakage-controlled categorical encoding (plain mean encoding
-    * leaks each row's own target; LOO (Σ−x)/(n−1) is the standard
-    * fix). One brand-grain aggregate broadcast back onto the rows;
-    * all arithmetic in exact integer cents until one final division
-    * per row. Singleton brands (n=1) have no LOO value → NULL, the
-    * honest answer (imputing the global mean is the caller's policy).
-    */
-  def q249_target_encoding(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part")
-      .select(col("p_partkey"), col("p_brand"),
-        round(col("p_retailprice") * 100, 0).cast("long").as("cents"))
-    val g = p.groupBy("p_brand")
-      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
-    p.join(broadcast(g), "p_brand")
-      .withColumn("loo_mean", when(col("n") > 1,
-        round((col("s") - col("cents")) / ((col("n") - 1) * lit(100.0)), 4)))
-      .filter(col("p_partkey") <= 40)
-      .select("p_partkey", "p_brand", "n", "loo_mean")
-      .orderBy("p_partkey")
-  }
-
-  /** Prediction-interval coverage backtest: per event type, an [p10,
-    * p90] interval fitted on the FIRST half-month by exact rank
-    * arithmetic (q93's ntile integers — no interpolation, both engines
-    * pick the same order statistic), then the EMPIRICAL coverage of
-    * that frozen interval on the second half — the calibration
-    * question behind any quantile forecast ("did 80% intervals cover
-    * 80%?"). Coverage counts are exact integers; train quantiles are
-    * exact value picks via per-type rank windows (type-partitioned,
-    * never global).
-    */
-  def q250_interval_coverage(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-    val ev = t(s, dir, "events")
-      .select(col("event_type"), col("ts"), col("value"))
-    val train = ev.filter(col("ts") < cut)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("event_type").orderBy(col("value").asc, col("ts").asc)))
-    val sizes = train.groupBy("event_type").agg(count(lit(1)).as("n"))
-    // order statistic at ceil(q·n) — integer arithmetic both engines share
-    val bounds = train.join(broadcast(sizes), "event_type")
-      // ceil(q·n) spelled in integers: (n·10q + 9) ⌊/⌋ 10 — the double
-      // quotient is exact at any realistic n, truncation = floor
-      .withColumn("lo_pick", ((col("n") + 9) / 10).cast("long"))
-      .withColumn("hi_pick", ((col("n") * 9 + 9) / 10).cast("long"))
-      .groupBy("event_type")
-      .agg(max(when(col("rk").cast("long") === col("lo_pick"), col("value"))).as("p10"),
-        max(when(col("rk").cast("long") === col("hi_pick"), col("value"))).as("p90"))
-    ev.filter(col("ts") >= cut)
-      .join(broadcast(bounds), "event_type")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_test"),
-        round(first(col("p10")), 2).as("p10"),
-        round(first(col("p90")), 2).as("p90"),
-        sum(when(col("value") >= col("p10") && col("value") <= col("p90"), 1L)
-          .otherwise(0L)).as("n_covered"))
-      .withColumn("coverage", round(col("n_covered") / col("n_test"), 4))
-      .orderBy("event_type")
-  }
-
-  /** Exact-duplicate rate by source — the per-provider curation
-    * dashboard number that decides which feed gets the dedup budget
-    * (a 30% dup-rate crawl and a clean API feed should not share a
-    * pipeline config). Content identity = md5 of the body (the q06
-    * key), counted DISTINCT per source in one aggregate; rate is one
-    * exact-integer division.
-    */
-  def q251_dup_rate_by_source(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        count_distinct(md5(col("text"))).as("n_unique"))
-      .withColumn("dup_rate",
-        round((col("n_docs") - col("n_unique")) / col("n_docs"), 4))
-      .orderBy("source")
-
-  /** Bigram conditional entropy rate per language: H(w₂|w₁) =
-    * H(bigrams) − H(unigrams) — the information-theoretic redundancy
-    * number behind compression-based quality scores (q172 measures
-    * zlib's OPINION of redundancy; this is the model-free quantity,
-    * and a language whose rate collapses is template spam). Both
-    * entropies are vocabulary-sized histogram folds off ONE persisted
-    * token pass; ln per the engine-agreement precedent, counts exact.
-    */
-  def q252_entropy_rate(s: SparkSession, dir: String): DataFrame = {
-    val toks = tWide(s, dir, "documents")
-      .select(col("lang"), col("doc_id"),
-        graft.functions.TextFunctions.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .persistTracked()
-    val uni = toks.select(col("lang"), explode(col("ws")).as("w"))
-      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
-    val bi = toks.select(col("lang"), explode(
-        zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("w"))
-      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
-    def entropy(hist: DataFrame, name: String): DataFrame = {
-      val tot = hist.groupBy("lang").agg(sum("c").as("n"))
-      hist.join(broadcast(tot), "lang")
-        .groupBy("lang")
-        .agg((-sum((col("c") / col("n")) * log(col("c") / col("n")))).as(name),
-          first(col("n")).as(s"${name}_n"))
-    }
-    entropy(uni, "h_uni").join(entropy(bi, "h_bi"), "lang")
-      .select(col("lang"), col("h_uni_n").as("n_tokens"),
-        round(col("h_uni"), 4).as("h_unigram"),
-        round(col("h_bi"), 4).as("h_bigram"),
-        round(col("h_bi") - col("h_uni"), 4).as("entropy_rate"))
-      .orderBy("lang")
-  }
-
-  /** Weighted median per group: the retail price at which half the
-    * BRAND'S TOTAL SIZE UNITS sit below — inventory-weighted central
-    * price, the robust location estimate when rows carry unequal mass
-    * (plain median treats a size-1 and size-50 part alike). First
-    * value whose cumulative weight reaches ⌈W/2⌉, in exact integers:
-    * per-brand sort windows over the DIMENSION-sized part table (at
-    * any corpus scale parts stay dimension-sized; fact-grain weighted
-    * medians would route through Quantiles' two-pass buckets instead).
-    */
-  def q253_weighted_median(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part")
-      .select(col("p_brand"), col("p_partkey"),
-        round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
-        col("p_size").cast("long").as("w"))
-    val win = Window.partitionBy("p_brand").orderBy(col("cents").asc, col("p_partkey").asc)
-    val tot = p.groupBy("p_brand").agg(sum("w").as("tw"), count(lit(1)).as("n_parts"))
-    p.withColumn("cw", sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)))
-      .join(broadcast(tot), "p_brand")
-      .filter(col("cw") * 2 >= col("tw")) // first row reaching ⌈W/2⌉ …
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("p_brand").orderBy(col("cents").asc, col("p_partkey").asc)))
-      .filter(col("rk") === 1)
-      .select(col("p_brand"), col("n_parts"), col("tw").as("total_weight"),
-        round(col("cents") / lit(100.0), 2).as("weighted_median_price"))
-      .orderBy("p_brand")
-  }
-
-  /** Theil-Sen robust trend: the MEDIAN of all pairwise day-slopes of
-    * the daily purchase series — one outlier day corrupts an OLS
-    * slope but moves a median of C(n,2) slopes almost nothing (the
-    * robust companion to q234's ACF and q227's CUSUM). The pair
-    * enumeration is DAY-grain bounded (C(days,2), never corpus rows);
-    * each slope is one exact-integer-over-integer division, the median
-    * an exact rank pick with a (i,j) tiebreak.
-    */
-  def q254_theil_sen(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
-    val a = daily.select(col("d").as("da"), col("n").as("na"))
-    val b = daily.select(col("d").as("db"), col("n").as("nb"))
-    val slopes = a.join(b, col("da") < col("db"))
-      .select(col("da"), col("db"),
-        ((col("nb") - col("na")) / (col("db") - col("da"))).as("slope"))
-    val m = slopes.agg(count(lit(1)).as("np"))
-    slopes.crossJoin(broadcast(m))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("slope").asc, col("da").asc, col("db").asc)))
-      .filter(col("rk").cast("long") === ((col("np") + 1) / 2).cast("long"))
-      .select(col("np").as("n_pairs"), round(col("slope"), 4).as("theil_sen_slope"))
-  }
-
-  /** Rich-club coefficient φ(k): edge density among nodes with degree
-    * > k — do the hubs of the co-purchase graph form their own dense
-    * club (hierarchical backbone) or avoid each other? The third
-    * hub-wiring lens after q212 (local density) and q244 (pairwise
-    * correlation): assortativity can be ~0 while a rich club still
-    * exists. Exact integers end to end — |S|, edges-within via a
-    * broadcast semi-join of the canonical edge list against the club,
-    * φ = one division by C(|S|,2).
-    */
-  def q255_rich_club(s: SparkSession, dir: String): DataFrame = {
-    val k = 10
-    // Staged distinct parquet — re-reads are cheap columnar scans, so
-    // neither the old .distinct() nor the persist earns its keep.
-    val pairs = basketPairs(s, dir)
-    val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val club = deg.filter(col("d") > k).select("n")
-    val clubSize = club.agg(count(lit(1)).as("s"))
-    val within = pairs
-      .join(broadcast(club.select(col("n").as("u"))), Seq("u"), "left_semi")
-      .join(broadcast(club.select(col("n").as("v"))), Seq("v"), "left_semi")
-      .agg(count(lit(1)).as("e_within"))
-    within.crossJoin(broadcast(clubSize))
-      .select(lit(k).as("k"), col("s").as("club_size"), col("e_within"),
-        round(col("e_within") / (col("s") * (col("s") - 1) / 2), 4).as("phi"))
-  }
-
-  /** Rolling 7-day OLS slope of the daily purchase series — the local
-    * trend detector between q227's global change-point and q254's
-    * global robust slope. Every rolling moment (Σx, Σy, Σxy, Σx², n)
-    * is an INTEGER window sum, so frame-internal summation order can
-    * never matter (the usual sliding-window float hazard is designed
-    * out); the slope is one integer-ratio division per day. Day-grain
-    * frame, trailing ROWS frame of 7.
-    */
-  def q256_rolling_slope(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
-    val w = Window.orderBy("day").rowsBetween(-6, 0)
-    daily
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("sx", sum("d").over(w))
-      .withColumn("sy", sum("n").over(w))
-      .withColumn("sxy", sum(col("d") * col("n")).over(w))
-      .withColumn("sxx", sum(col("d") * col("d")).over(w))
-      .filter(col("cnt") === 7)
-      .withColumn("slope", round(
-        (col("cnt") * col("sxy") - col("sx") * col("sy")) /
-          (col("cnt") * col("sxx") - col("sx") * col("sx")), 4))
-      .orderBy(col("day").desc)
-      .limit(10)
-      .select(col("day"), col("n"), col("slope"))
-      .orderBy("day")
-  }
-
-  /** Multivariate text-shape outliers: documents ranked by the sum of
-    * squared per-feature z-scores over (token count, char count,
-    * mean-word-length numerator) — the diagonal-covariance Mahalanobis
-    * screen that catches docs no SINGLE feature flags (long AND
-    * weirdly-punctuated), where q86/q109 are univariate. The z² terms
-    * are spelled as (x·n − S)²/(n·Σx² − S²): every component an exact
-    * 64-bit integer from one corpus aggregate, each term one exact
-    * division, the 3-term sum a fixed-shape expression — so the
-    * ranking is engine-identical with no float-variance hazard.
-    */
-  def q257_multivariate_outliers(s: SparkSession, dir: String): DataFrame = {
-    val base = tWide(s, dir, "documents")
-      .select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("f1"),
-        length(col("text")).cast("long").as("f2"),
-        size(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
-          .cast("long").as("f3"))
-    val m = base.agg(
-      count(lit(1)).as("n"),
-      sum("f1").as("s1"), sum(col("f1") * col("f1")).as("q1"),
-      sum("f2").as("s2"), sum(col("f2") * col("f2")).as("q2"),
-      sum("f3").as("s3"), sum(col("f3") * col("f3")).as("q3"))
-    def z2(x: Column, sm: Column, q: Column, n: Column): Column =
-      ((x * n - sm) * (x * n - sm)) / (n * q - sm * sm)
-    base.crossJoin(broadcast(m))
-      .withColumn("score", round(
-        z2(col("f1"), col("s1"), col("q1"), col("n")) +
-          z2(col("f2"), col("s2"), col("q2"), col("n")) +
-          z2(col("f3"), col("s3"), col("q3"), col("n")), 6))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(15)
-      .select("doc_id", "f1", "f2", "f3", "score")
-  }
-
-  /** Join fan-out profile: the histogram of orders-per-customer — the
-    * cardinality SHAPE behind q145's single expected-fanout number
-    * (two joins with the same average fan-out behave entirely
-    * differently if one hides a 10 000-row key; this is the
-    * skew-or-not diagnostic read before choosing q37's salting).
-    * Two map-side-combined aggregates, exact integers.
-    */
-  def q258_fanout_profile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_custkey").agg(count(lit(1)).as("fanout"))
-      .groupBy("fanout").agg(count(lit(1)).as("n_keys"))
-      .withColumn("rows_contributed", col("fanout") * col("n_keys"))
-      .orderBy("fanout")
-
-  /** One-way ANOVA across weekdays: does the day-of-week MEAN purchase
-    * count differ significantly — the F-statistic that upgrades q156's
-    * descriptive seasonal profile to a test (and tells q234's ACF
-    * whether its lag-7 bump is signal). Between/within sums of squares
-    * from exact integer moments per weekday group — F is arithmetic on
-    * exact rationals, engine-identical; the day-grain frame keeps the
-    * whole computation calendar-sized.
-    */
-  def q259_anova_weekday(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("wd", dayofweek(col("day")).cast("long"))
-    val g = daily.groupBy("wd")
-      .agg(count(lit(1)).as("ng"), sum("n").as("sg"), sum(col("n") * col("n")).as("qg"))
-    val tot = g.agg(sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
-      count(lit(1)).as("k"))
-    // SSB = Σ sg²/ng − s²/n ; SSW = q − Σ sg²/ng — exact-rational parts
-    val parts = g.agg(sum(col("sg") * col("sg") / col("ng")).as("ssb_part"))
-    tot.crossJoin(broadcast(parts))
-      .select(
-        col("k"), col("n").as("n_days"),
-        round((col("ssb_part") - col("s") * col("s") / col("n")) / (col("k") - 1), 4)
-          .as("ms_between"),
-        round((col("q") - col("ssb_part")) / (col("n") - col("k")), 4).as("ms_within"),
-        // zero within-variance (a perfectly deterministic schedule) has
-        // no defined F — report NULL rather than divide by zero
-        when(col("q") - col("ssb_part") > 0,
-          round(((col("ssb_part") - col("s") * col("s") / col("n")) / (col("k") - 1)) /
-            ((col("q") - col("ssb_part")) / (col("n") - col("k"))), 4)).as("f_stat"))
-  }
-
-  /** Revenue whale curve: cumulative share of total spend by customer
-    * decile (biggest spenders first) — the concentration TABLE behind
-    * q208's single Gini number ("the top 10% carry 40% of revenue").
-    * Deciles by q93's exact ntile integer arithmetic over
-    * PrefixSum.globalRank (cost-based, never a mandatory global
-    * window); spend in exact integer cents; shares are cumulative
-    * integer sums with one division per decile row.
-    */
-  def q260_whale_curve(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val spend = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-      // rank by (−cents, user): biggest first, deterministic
-      .withColumn("neg", -col("cents"))
-    val k = 10L
-    val nDf = spend.agg(count(lit(1)).as("__n"), sum("cents").as("__tot"))
-    val ranked = PrefixSum.globalRank(spend, Seq("neg", "user_id"), "r")
-      .crossJoin(broadcast(nDf))
-    val q = floor(col("__n") / k); val rem = col("__n") % k
-    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
-      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
-      .cast("long") + 1
-    val byDecile = ranked.withColumn("decile", bin)
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_users"), sum("cents").as("dc"))
-    byDecile
-      .withColumn("cum_cents", sum("dc").over(
-        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(nDf.select(col("__tot"))))
-      .select(col("decile"), col("n_users"),
-        round(col("dc") / lit(100.0), 2).as("decile_spend"),
-        round(col("cum_cents") / col("__tot"), 4).as("cum_share"))
-      .orderBy("decile")
-  }
-
-  /** Mann-Whitney U rank-sum test: do weekend purchases draw from a
-    * different value DISTRIBUTION than weekday ones — the
-    * nonparametric complement to q259's mean-based ANOVA (no
-    * normality assumption; sensitive to shift anywhere in the
-    * distribution, not just the mean). The pooled ranking needs a
-    * GLOBAL cumulative count over the distinct-value frame — q206's
-    * cost-based PrefixSum scan, never a mandatory single-partition
-    * window over raw rows — and ties take the textbook average rank,
-    * kept EXACT by working in doubled ranks (2·avgrank =
-    * 2·cum − cnt + 1, an integer): the rank sum, U, and the tie
-    * correction Σ(t³−t) are exact 64-bit integers on both engines;
-    * the only floating point is the final normal-approximation z,
-    * rounded once.
-    */
-  def q261_mann_whitney(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val g = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      // Spark dayofweek: 1=Sunday..7=Saturday (oracle uses DuckDB's
-      // 0=Sunday..6=Saturday — both select Sat+Sun)
-      .withColumn("wk", dayofweek(col("ts")).isin(1, 7))
-      .groupBy("value")
-      .agg(sum(when(col("wk"), 0L).otherwise(1L)).as("na_v"),
-        sum(when(col("wk"), 1L).otherwise(0L)).as("nb_v"))
-      .withColumn("cnt", col("na_v") + col("nb_v"))
-    val c = PrefixSum.runningTotal(g, "value", "cnt", "cum")
-    // observations tied at this value hold ranks cum−cnt+1..cum; their
-    // average rank doubled is the INTEGER 2·cum − cnt + 1
-    val r2 = col("cum") * 2 - col("cnt") + 1
-    val a = c.agg(
-      sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
-      sum(col("na_v") * r2).as("r2a"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
-    val n = col("n_a") + col("n_b")
-    val u2 = col("r2a") - col("n_a") * (col("n_a") + 1) // 2·U_a, exact
-    a.select(
-      col("n_a"), col("n_b"),
-      (u2 / 2.0).as("u_a"),
-      round((u2 / 2.0 - col("n_a") * col("n_b") / 2.0) /
-        sqrt(col("n_a") * col("n_b") / 12.0 *
-          ((n + 1) - col("tie3") / (n * (n - lit(1.0))))), 4).as("z"))
-  }
-
-  /** Kaplan-Meier time-to-conversion curve: S(t) = Π(1 − dᵢ/nᵢ) =
-    * probability a user is still UNCONVERTED t days after first touch,
-    * with users who don't purchase inside the 5-day attribution window
-    * right-CENSORED at day 5 (they exit the risk set without counting
-    * as a conversion — the estimator's entire point; a naive
-    * conversion-rate curve over-counts the denominator). Lifetimes
-    * aggregate to a DAY-GRAIN duration frame (bounded by the
-    * attribution window, never corpus rows), so the sequential windows
-    * — at-risk countdown and the cumulative log-survival — are global
-    * windows over a calendar-sized frame by design, the q234/q227
-    * pattern. dᵢ and nᵢ are exact integers; the one floating-point
-    * step (exp∘Σln for the product) is rounded once. Standard tie
-    * rule: deaths at t precede censorings at t, so both stay in the
-    * t-risk set (the n_risk arithmetic below encodes exactly that).
-    */
-  def q262_kaplan_meier(s: SparkSession, dir: String): DataFrame = {
-    val users = t(s, dir, "events")
-      .groupBy("user_id")
-      .agg(min(to_date(col("ts"))).as("first_d"),
-        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("conv_d"))
-    val lag = datediff(col("conv_d"), col("first_d"))
-    val conv = col("conv_d").isNotNull && lag <= 5
-    val byDur = users
-      .select(when(conv, lag).otherwise(5).cast("long").as("dur"),
-        conv.as("converted"))
-      .groupBy("dur")
-      .agg(count(lit(1)).as("ended"),
-        sum(when(col("converted"), 1L).otherwise(0L)).as("d"))
-    val tot = byDur.agg(sum("ended").as("n_users"))
-    val w = Window.orderBy("dur")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDur.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("ended").over(w))
-      .withColumn("n_risk", col("n_users") - col("cum") + col("ended"))
-      // d = n_risk (the whole remaining risk set converts at t) sends
-      // the product to EXACTLY 0 — handled as a sticky flag, never as
-      // ln(0) (Spark nulls it, DuckDB raises; both wrong)
-      .withColumn("hit0",
-        max((col("d") === col("n_risk")).cast("long")).over(w))
-      .withColumn("surv", when(col("hit0") === 1, lit(0.0))
-        .otherwise(round(exp(sum(
-          when(col("d") > 0 && col("d") < col("n_risk"),
-            log(lit(1.0) - col("d") / col("n_risk")))
-            .otherwise(lit(0.0))).over(w)), 4)))
-      .filter(col("d") > 0)
-      .select(col("dur").as("t_days"), col("n_risk"), col("d").as("deaths"),
-        col("surv"))
-      .orderBy("t_days")
-  }
-
-  /** Population stability index of the purchase-value distribution,
-    * first half of the date range vs second — the standard drift gate
-    * before re-using a trained model/feature on fresh data (PSI < 0.1
-    * stable, > 0.25 drifted). Ten equal-width bins over the GLOBAL
-    * value envelope; envelope and period split ride in as 1-row
-    * broadcast aggregates (q81's pattern — no eager action at
-    * construction). Counts are exact; the ±0.5 Laplace smoothing
-    * keeps empty bins finite without dropping them; bin edges use one
-    * identically-ordered float expression on both engines so bin
-    * assignment is bit-identical.
-    */
-  def q263_psi_drift(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(to_date(col("ts")).as("day"), col("value"))
-    val env = p.agg(min("day").as("d0"), max("day").as("d1"),
-      min("value").as("v0"), max("value").as("v1"))
-    val g = p.crossJoin(broadcast(env))
-      .withColumn("late",
-        datediff(col("day"), col("d0")) * 2 > datediff(col("d1"), col("d0")))
-      .withColumn("bin",
-        least(floor((col("value") - col("v0")) * 10.0 / (col("v1") - col("v0"))),
-          lit(9.0)).cast("long"))
-      .groupBy("bin")
-      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("na"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("nb"))
-    val tot = g.agg(sum("na").as("ta"), sum("nb").as("tb"))
-    val pa = (col("na") + 0.5) / (col("ta") + 5.0)
-    val pb = (col("nb") + 0.5) / (col("tb") + 5.0)
-    g.crossJoin(broadcast(tot))
-      .select(col("bin"), col("na"), col("nb"),
-        round((pa - pb) * log(pa / pb), 6).as("psi"))
-      .orderBy("bin")
-  }
-
-  /** 2-D Pareto skyline of orders — cheapest-for-freshest: an order
-    * survives iff NO other order is both ≤ its price and ≥ its date
-    * (one strictly) — the classic skyline operator, O(n²) as written
-    * in SQL but O(n log n) as a strict prefix-maximum scan: group to
-    * the distinct-price frame, take max(date) per price, and keep the
-    * prices whose max-date strictly exceeds the running max over all
-    * cheaper prices. The scan is [[PrefixSum.runningMaxExclusive]] —
-    * cost-based two-pass distributed prefix max, the same shape as
-    * q93's ranks — and the survivors join back by (price, date)
-    * equality, a broadcast-able equi-join. Dates compare as exact
-    * unix_micros longs; ties on both dimensions all survive
-    * (dominance requires one strict inequality).
-    */
-  def q264_skyline(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val o = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
-    // cast("timestamp") first: the testdata files carry TIMESTAMP_NTZ,
-    // which unix_micros rejects; the cast is monotone and injective, so
-    // ordering and equality — all the skyline uses — are unchanged
-    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
-    val g = o.groupBy("o_totalprice")
-      .agg(max(micros(col("o_orderdate"))).as("maxd"))
-    val sky = PrefixSum.runningMaxExclusive(g, "o_totalprice", "maxd", "prevmax")
-      .filter(col("maxd") > col("prevmax"))
-      .select(col("o_totalprice").as("sk_price"), col("maxd"))
-    o.join(sky, o("o_totalprice") === col("sk_price") &&
-        micros(o("o_orderdate")) === col("maxd"))
-      .select(o("o_orderkey"), o("o_totalprice"), o("o_orderdate"))
-      .orderBy("o_totalprice", "o_orderkey")
-  }
-
-  /** Tukey-HSD-style post-hoc pairwise comparisons after q259's
-    * one-way ANOVA: WHICH weekday pairs differ, via the studentized
-    * statistic (mean_a − mean_b)/√(MSW/2·(1/n_a + 1/n_b)) over the
-    * same exact integer moments (per-weekday count/sum/sum-of-squares
-    * of daily purchase counts). The pair frame is C(7,2) = 21 rows by
-    * construction — the inequality self-join is a bounded broadcast,
-    * q254's pattern — and MSW rides in as a 1-row broadcast aggregate.
-    * Means and MSW are single divisions of exact integers; the only
-    * compounding float is the final statistic, rounded once. Weekday
-    * ids use Spark's 1=Sunday..7=Saturday convention (the oracle maps
-    * DuckDB's 0-based convention onto it).
-    */
-  def q265_tukey_hsd(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("wd", dayofweek(col("day")).cast("long"))
-    val g = daily.groupBy("wd")
-      .agg(count(lit(1)).as("ng"), sum("n").as("sg"),
-        sum(col("n") * col("n")).as("qg"))
-    val msw = g.agg(
-      ((sum("qg") - sum(col("sg") * col("sg") / col("ng"))) /
-        (sum("ng") - count(lit(1)))).as("msw"))
-    val a = g.select(col("wd").as("wd_a"), (col("sg") / col("ng")).as("ma"),
-      col("ng").as("na"))
-    val b = g.select(col("wd").as("wd_b"), (col("sg") / col("ng")).as("mb"),
-      col("ng").as("nb"))
-    a.join(b, col("wd_a") < col("wd_b"))
-      .crossJoin(broadcast(msw))
-      .select(col("wd_a"), col("wd_b"),
-        round(col("ma") - col("mb"), 4).as("mean_diff"),
-        round((col("ma") - col("mb")) /
-          sqrt(col("msw") / 2.0 *
-            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("q_stat"))
-      .orderBy("wd_a", "wd_b")
-  }
-
-  /** Classical seasonal decomposition of daily revenue: trend =
-    * centered 7-day moving average, seasonal = per-weekday mean of the
-    * detrended series, residual = what's left — the additive
-    * decompose that explains q156's seasonality profile and feeds
-    * anomaly thresholds (a spike is only a spike relative to
-    * trend+season). The whole computation runs on the DAY-GRAIN
-    * revenue frame (calendar-bounded, never corpus rows), so the
-    * sequential moving-average window is a global window by design —
-    * the q234/q227 pattern. Daily revenue is rounded ONCE before any
-    * window so every downstream difference starts from
-    * engine-identical inputs; edge days without a full 7-day window
-    * are dropped (n7 = 7), the textbook centered-MA rule.
-    */
-  def q266_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val win = Window.orderBy("day").rowsBetween(-3, 3)
-    val d = daily
-      .withColumn("n7", count(lit(1)).over(win))
-      .withColumn("trend", sum("rev").over(win) / 7.0)
-      .filter(col("n7") === 7)
-      .withColumn("detr", col("rev") - col("trend"))
-      .withColumn("wd", dayofweek(col("day")))
-    // wd is only a join key WITHIN this engine (never output), so the
-    // engines' differing dayofweek conventions group identically
-    val seas = d.groupBy("wd")
-      .agg((sum("detr") / count(lit(1))).as("seasonal"))
-    d.join(seas, "wd")
-      .select(col("day"), col("rev"),
-        round(col("trend"), 4).as("trend"),
-        round(col("seasonal"), 4).as("seasonal"),
-        round(col("detr") - col("seasonal"), 4).as("resid"))
-      .orderBy("day")
-  }
-
-  /** Covariate balance audit of the q90 deterministic hash split:
-    * standardized mean difference (SMD) of per-user behavioral
-    * covariates between the train (hash bucket < 80) and holdout
-    * sides — the pre-modeling check that a split didn't accidentally
-    * concentrate heavy users on one side (|SMD| < 0.1 is the usual
-    * "balanced" bar). One pass builds the per-user covariate frame;
-    * stack() melts it to (feature, x) rows so ONE grouped aggregate
-    * computes every feature's exact count/sum/sum-of-squares per side
-    * — adding a covariate is a new stack slot, not a new scan. SMD
-    * uses the pooled-variance form (var_t + var_c)/2 with sample
-    * variances from exact moments; one rounded output per feature.
-    */
-  def q267_covariate_balance(s: SparkSession, dir: String): DataFrame = {
-    val inTrain =
-      pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80
-    val u = t(s, dir, "events")
-      .groupBy("user_id")
-      .agg(count(lit(1)).cast("double").as("f_events"),
-        sum("value").as("f_value"),
-        countDistinct(to_date(col("ts"))).cast("double").as("f_days"),
-        countDistinct("event_type").cast("double").as("f_types"))
-      .withColumn("t", when(inTrain, 1L).otherwise(0L))
-    val m = u.select(col("t"), expr(
-      "stack(4, 'active_days', f_days, 'n_events', f_events, " +
-        "'n_types', f_types, 'total_value', f_value) AS (feature, x)"))
-    val g = m.groupBy("feature").agg(
-      sum(col("t")).as("nt"),
-      sum(when(col("t") === 1, col("x"))).as("st"),
-      sum(when(col("t") === 1, col("x") * col("x"))).as("qt"),
-      sum(lit(1L) - col("t")).as("nc"),
-      sum(when(col("t") === 0, col("x"))).as("sc"),
-      sum(when(col("t") === 0, col("x") * col("x"))).as("qc"))
-    // a zero-variance covariate on both sides (e.g. every user holds
-    // every event type) has no defined SMD — report NULL, q259's rule
-    val pooled =
-      ((col("qt") - col("st") * col("st") / col("nt")) / (col("nt") - 1) +
-        (col("qc") - col("sc") * col("sc") / col("nc")) / (col("nc") - 1)) / 2.0
-    g.select(col("feature"), col("nt"), col("nc"),
-      round(col("st") / col("nt"), 4).as("mean_t"),
-      round(col("sc") / col("nc"), 4).as("mean_c"),
-      when(pooled > 0, round(
-        (col("st") / col("nt") - col("sc") / col("nc")) / sqrt(pooled), 4))
-        .as("smd"))
-      .orderBy("feature")
-  }
-
-  /** Hard-negative mining for retrieval training: for each of the
-    * first 5 probe vectors, the top-1 corpus neighbor (the positive)
-    * plus ranks 11-13 (hard negatives — close enough to be
-    * informative, far enough to be wrong; the band every contrastive
-    * training recipe samples from). Probes broadcast over the corpus
-    * (q110's pattern — the corpus side never shuffles); cosine is the
-    * fused codegen dot product rounded to 4 dp BEFORE ranking with a
-    * vec_id tie-break, q08's determinism rule, so the rank order is
-    * engine-identical. The rank ≤ 13 filter lets Spark's
-    * WindowGroupLimit keep per-partition top-k heaps instead of fully
-    * sorting each probe's scores.
-    */
-  def q268_hard_negatives(s: SparkSession, dir: String): DataFrame = {
-    val emb = tWide(s, dir, "embeddings")
-    val asD = (c: Column) => transform(c, x => x.cast("double"))
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), asD(col("embedding")).as("qv"))
-    val scored = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id"), asD(col("embedding")).as("v"))
-      .crossJoin(broadcast(probes))
-      .select(col("qid"), col("vec_id"),
-        round(graft.operators.Dedup.cosine(col("v"), col("qv")), 4).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") === 1 || (col("rnk") >= 11 && col("rnk") <= 13))
-      .select(col("qid"), col("rnk"),
-        when(col("rnk") === 1, "positive").otherwise("hard_negative").as("role"),
-        col("vec_id"), col("sim"))
-      .orderBy("qid", "rnk")
-  }
-
-  /** Wald-Wolfowitz runs test on daily revenue vs its median: is the
-    * above/below-median sequence RANDOM, or does it trend/oscillate
-    * (too few runs = regime persistence, too many = overcorrection) —
-    * the independence check q234's ACF assumes away. Day-grain frame
-    * throughout (calendar-bounded sequential windows, the q234/q227
-    * pattern); daily revenue is rounded once so the median pick and
-    * every comparison are engine-identical; the lower median is an
-    * actual data value selected by exact rank arithmetic, never an
-    * interpolated float. Runs/n1/n0 are exact integers; z is the one
-    * float, rounded, NULL when the variance degenerates (all days on
-    * one side).
-    */
-  def q269_runs_test(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val ranked = daily.withColumn("r",
-      row_number().over(Window.orderBy("rev", "day")).cast("long"))
-    val medDf = ranked
-      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
-      .filter(col("r") === floor((col("nn") + 1) / 2.0))
-      .select(col("rev").as("med"))
-    val seq = daily.crossJoin(broadcast(medDf))
-      .withColumn("s", (col("rev") > col("med")).cast("long"))
-      .withColumn("prev", lag("s", 1).over(Window.orderBy("day")))
-      .withColumn("is_new",
-        when(col("prev").isNull || col("prev") =!= col("s"), 1L).otherwise(0L))
-    val a = seq.agg(sum("is_new").as("runs"), sum("s").as("n1"),
-      sum(lit(1L) - col("s")).as("n0"))
-    val n = col("n1") + col("n0")
-    val mu = lit(2.0) * col("n1") * col("n0") / n + 1
-    val va = lit(2.0) * col("n1") * col("n0") *
-      (lit(2.0) * col("n1") * col("n0") - n) / (n * n * (n - lit(1.0)))
-    a.select(col("runs"), col("n1"), col("n0"),
-      when(va > 0, round((col("runs") - mu) / sqrt(va), 4)).as("z"))
-  }
-
-  /** Decile QQ table, weekday vs weekend purchase values: where the
-    * two distributions diverge — the location readout behind q261's
-    * single Mann-Whitney number ("the gap opens in the top deciles").
-    * Each side independently gets q93/q260's EXACT equi-depth decile
-    * arithmetic over [[PrefixSum.globalRank]] (cost-based, never a
-    * mandatory single-partition window over raw rows); each decile
-    * reports its max — an actual data value, so the whole table is
-    * exact except the one rounded gap column.
-    */
-  def q270_qq_deciles(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    def deciles(df: DataFrame, outCol: String): DataFrame = {
-      val k = 10L
-      val nDf = df.agg(count(lit(1)).as("__n"))
-      val ranked = PrefixSum.globalRank(df, Seq("value", "event_id"), "r")
-        .crossJoin(broadcast(nDf))
-      val q = floor(col("__n") / k); val rem = col("__n") % k
-      val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
-        .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
-        .cast("long") + 1
-      ranked.withColumn("decile", bin)
-        .groupBy("decile").agg(max(col("value")).as(outCol))
-    }
-    val p = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("wk", dayofweek(col("ts")).isin(1, 7))
-      .select(col("event_id"), col("value"), col("wk"))
-    deciles(p.filter(!col("wk")), "q_weekday")
-      .join(deciles(p.filter(col("wk")), "q_weekend"), "decile")
-      .select(col("decile"), col("q_weekday"), col("q_weekend"),
-        round(col("q_weekend") - col("q_weekday"), 2).as("gap"))
-      .orderBy("decile")
-  }
-
-  /** Pairwise Jensen-Shannon divergence between every two sources'
-    * token distributions — the symmetric, bounded drift matrix behind
-    * q203's one-vs-rest KL (JSD is what you threshold when deciding
-    * whether two crawls can share a training mixture weight). One
-    * fused-tokenizer pass builds per-source word counts; the dense
-    * vocab×source grid (sources are a bounded dimension — broadcast)
-    * fills the zero cells both KL halves need, and the pair frame is
-    * an equi-join ON WORD (shuffle keyed by the unbounded dimension,
-    * filtered to ordered source pairs — never a pair×vocab nested
-    * loop). Zero-probability terms contribute 0 by the standard
-    * convention; guards keep every log argument positive under ANSI.
-    */
-  def q271_js_divergence(s: SparkSession, dir: String): DataFrame = {
-    val counts = tWide(s, dir, "documents")
-      .select(col("source"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("source", "word").agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy("source").agg(sum("n").as("tot"))
-    val dense = counts.select("word").distinct()
-      .crossJoin(broadcast(totals))
-      .join(counts, Seq("source", "word"), "left")
-      .select(col("source"), col("word"),
-        (coalesce(col("n"), lit(0L)) / col("tot")).as("p"))
-    val a = dense.select(col("source").as("sa"), col("word"), col("p").as("pa"))
-    val b = dense.select(col("source").as("sb"), col("word"), col("p").as("pb"))
-    val m = (col("pa") + col("pb")) / 2.0
-    a.join(b, Seq("word")).filter(col("sa") < col("sb"))
-      .withColumn("c",
-        when(col("pa") > 0, col("pa") / 2.0 * log(col("pa") / m)).otherwise(0.0) +
-          when(col("pb") > 0, col("pb") / 2.0 * log(col("pb") / m)).otherwise(0.0))
-      .groupBy("sa", "sb").agg(round(sum("c"), 6).as("jsd"))
-      .orderBy("sa", "sb")
-  }
-
-  /** Cohen's d effect size (with the Hedges' g small-sample
-    * correction) for weekend vs weekday purchase values — the
-    * magnitude readout q261's Mann-Whitney significance omits: a tiny
-    * shift turns "significant" at scale, so pipelines gate on d, not
-    * p. One conditional aggregate computes both groups' exact
-    * count/sum/sum-of-squares in a single pass; pooled SD and both
-    * statistics are arithmetic on those moments, rounded once each.
-    */
-  def q272_cohens_d(s: SparkSession, dir: String): DataFrame = {
-    val a = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("wk", dayofweek(col("ts")).isin(1, 7))
-      .agg(
-        sum(when(!col("wk"), 1L).otherwise(0L)).as("n1"),
-        sum(when(!col("wk"), col("value"))).as("s1"),
-        sum(when(!col("wk"), col("value") * col("value"))).as("q1"),
-        sum(when(col("wk"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("wk"), col("value"))).as("s2"),
-        sum(when(col("wk"), col("value") * col("value"))).as("q2"))
-    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
-    val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
-    val sp = sqrt(((col("n1") - 1) * v1 + (col("n2") - 1) * v2) /
-      (col("n1") + col("n2") - 2))
-    val d = (col("s1") / col("n1") - col("s2") / col("n2")) / sp
-    a.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
-      round(col("s1") / col("n1"), 4).as("mean_weekday"),
-      round(col("s2") / col("n2"), 4).as("mean_weekend"),
-      round(d, 4).as("cohens_d"),
-      round(d * (lit(1.0) - lit(3.0) /
-        (lit(4.0) * (col("n1") + col("n2")) - 9)), 4).as("hedges_g"))
-  }
-
-  /** Mann-Kendall trend test on daily revenue — the significance
-    * companion to q254's Theil-Sen slope (Theil-Sen says HOW steep,
-    * MK says WHETHER the monotone trend is distinguishable from
-    * noise; together they're the standard nonparametric trend kit).
-    * S = Σ sign(rev_j − rev_i) over ordered day pairs — the C(days,2)
-    * pair frame is calendar-bounded, q254's pattern — and the
-    * tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5)
-    * stays in exact integers; daily revenue is rounded once so sign
-    * and tie classes are engine-identical. z applies the standard
-    * ±1 continuity correction, NULL when the variance degenerates.
-    */
-  def q273_mann_kendall(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val a = daily.select(col("day").as("da"), col("rev").as("ra"))
-    val b = daily.select(col("day").as("db"), col("rev").as("rb"))
-    val sS = a.join(b, col("da") < col("db"))
-      .agg(sum(signum(col("rb") - col("ra")).cast("long")).as("s_stat"))
-    val ties = daily.groupBy("rev").agg(count(lit(1)).as("tg"))
-      .agg(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5)).as("tie18"),
-        sum(col("tg")).as("n"))
-    val var18 = col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie18")
-    sS.crossJoin(broadcast(ties))
-      .select(col("n").as("n_days"), col("s_stat"),
-        when(var18 > 0, round(
-          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(var18 / 18.0))
-            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(var18 / 18.0))
-            .otherwise(lit(0.0)), 4)).as("z"))
-  }
-
-  /** TOST equivalence test between the q90 hash split's sides: are
-    * train and holdout purchase values EQUIVALENT within a ±5%-of-
-    * holdout-mean margin — the positive claim q267's SMD audit only
-    * hints at (failing to find a difference is not evidence of
-    * equivalence; two one-sided tests are). Both one-sided z
-    * statistics come from the same single-pass conditional moments
-    * (Welch SE); equivalence holds when z_lower > 1.645 AND z_upper <
-    * −1.645, both tails at α = 0.05. All floats derive from exact
-    * moments with one rounding each.
-    */
-  def q274_tost_equivalence(s: SparkSession, dir: String): DataFrame = {
-    val inTrain =
-      pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80
-    val a = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("t", when(inTrain, 1L).otherwise(0L))
-      .agg(
-        sum(col("t")).as("nt"),
-        sum(when(col("t") === 1, col("value"))).as("st"),
-        sum(when(col("t") === 1, col("value") * col("value"))).as("qt"),
-        sum(lit(1L) - col("t")).as("nc"),
-        sum(when(col("t") === 0, col("value"))).as("sc"),
-        sum(when(col("t") === 0, col("value") * col("value"))).as("qc"))
-    val mt = col("st") / col("nt"); val mc = col("sc") / col("nc")
-    val vt = (col("qt") - col("st") * col("st") / col("nt")) / (col("nt") - 1)
-    val vc = (col("qc") - col("sc") * col("sc") / col("nc")) / (col("nc") - 1)
-    val se = sqrt(vt / col("nt") + vc / col("nc"))
-    val margin = mc * 0.05
-    a.select(col("nt"), col("nc"),
-      round(mt, 4).as("mean_train"), round(mc, 4).as("mean_holdout"),
-      round(margin, 4).as("margin"),
-      round((mt - mc + margin) / se, 4).as("z_lower"),
-      round((mt - mc - margin) / se, 4).as("z_upper"),
-      ((mt - mc + margin) / se > 1.645 &&
-        (mt - mc - margin) / se < -1.645).as("equivalent"))
-  }
-
-  /** Herfindahl-Hirschman concentration of order revenue across the
-    * nations of each region — the antitrust-style "is this market a
-    * monopoly" index (HHI > 2500 = highly concentrated), and the
-    * supplier-risk readout for a region's order book. Fact rows join
-    * the BROADCAST customer→nation→region dimension path (q02's
-    * shape — the orders side never shuffles for the dims), revenue is
-    * exact integer cents (q260's rule), and HHI = 10000·Σ share² is
-    * one division per nation row then an exact-ordered sum over a
-    * bounded (≤ nations-per-region) frame.
-    */
-  def q275_hhi_concentration(s: SparkSession, dir: String): DataFrame = {
-    val byNation = t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")),
-        col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")),
-        col("n_regionkey") === col("r_regionkey"))
-      .groupBy("r_name", "n_name")
-      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val byRegion = byNation.groupBy("r_name")
-      .agg(sum("cents").as("tot"), count(lit(1)).as("n_nations"))
-    byNation.join(byRegion, "r_name")
-      .groupBy("r_name", "n_nations")
-      .agg(round(sum(
-        (col("cents") / col("tot")) * (col("cents") / col("tot")) * 10000
-      ), 2).as("hhi"))
-      .select(col("r_name"), col("n_nations"), col("hhi"))
-      .orderBy("r_name")
-  }
-
-  /** Jarque-Bera normality test on the daily-revenue series: JB =
-    * n/6·(S² + (K−3)²/4) from skewness and excess kurtosis — the
-    * cheap gate before any analysis that assumes Gaussian daily
-    * aggregates (q86's z-scores, q144's forecast intervals). One
-    * day-grain aggregate collects the raw power sums (day counts keep
-    * every magnitude inside double's exact-integer range); central
-    * moments, S, K, and JB are one fixed-order arithmetic expression
-    * each, mirrored verbatim in the oracle, rounded once.
-    */
-  def q276_jarque_bera(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val a = daily.agg(count(lit(1)).cast("double").as("n"),
-      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"),
-      sum(col("rev") * col("rev") * col("rev")).as("s3"),
-      sum(col("rev") * col("rev") * col("rev") * col("rev")).as("s4"))
-    val m = col("s1") / col("n")
-    val m2 = col("s2") / col("n") - m * m
-    val m3 = col("s3") / col("n") - m * (col("s2") / col("n")) * 3 + m * m * m * 2
-    val m4 = col("s4") / col("n") - m * (col("s3") / col("n")) * 4 +
-      m * m * (col("s2") / col("n")) * 6 - m * m * m * m * 3
-    val sk = m3 / sqrt(m2 * m2 * m2)
-    val ku = m4 / (m2 * m2)
-    a.select(col("n").cast("long").as("n_days"),
-      round(sk, 4).as("skewness"),
-      round(ku - 3, 4).as("excess_kurtosis"),
-      round(col("n") / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0), 4).as("jb"))
-  }
-
-  /** Grubbs' maximum-studentized-deviate test on daily revenue: the
-    * single most extreme day and how many sample SDs it sits from the
-    * mean — the formal "is this one day an outlier" complement to
-    * q86's per-row z-flags (Grubbs is the statistic its critical
-    * tables are built for). Moments ride in as a 1-row broadcast
-    * aggregate; G is one fixed-order float expression; the argmax is
-    * integer/na-safe TakeOrdered with a day tie-break, so the
-    * selected row is engine-identical.
-    */
-  def q277_grubbs(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val mom = daily.agg(count(lit(1)).cast("double").as("n"),
-      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"))
-    val mean = col("s1") / col("n")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-    daily.crossJoin(broadcast(mom))
-      .withColumn("g", abs(col("rev") - mean) / sd)
-      .orderBy(col("g").desc, col("day").asc)
-      .limit(1)
-      .select(col("n").cast("long").as("n_days"), col("day"), col("rev"),
-        round(col("g"), 4).as("g_stat"))
-  }
-
-  /** Levene's test (mean-centered form) for variance homogeneity of
-    * daily purchase counts across weekdays — the assumption check
-    * BEHIND q259's ANOVA (its F is only calibrated when group
-    * variances match; Levene is how you find out). Group means join
-    * back as a bounded broadcast (≤7 rows); the absolute deviations
-    * then run the same one-way F machinery as q259, here on the
-    * day-grain z frame. All counts/sums exact; the F statistic is the
-    * one rounded float, NULL when the within-group spread degenerates.
-    */
-  def q278_levene(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
-      .withColumn("wd", dayofweek(col("day")).cast("long"))
-    val gm = daily.groupBy("wd")
-      .agg((sum("x") / count(lit(1))).as("gmean"))
-    val z = daily.join(broadcast(gm), "wd")
-      .select(col("wd"), abs(col("x") - col("gmean")).as("z"))
-    val g = z.groupBy("wd")
-      .agg(count(lit(1)).as("ng"), sum("z").as("sg"),
-        sum(col("z") * col("z")).as("qg"))
-    val tot = g.agg(sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
-      count(lit(1)).as("k"),
-      sum(col("sg") * col("sg") / col("ng")).as("ssb_part"))
-    val ssb = col("ssb_part") - col("s") * col("s") / col("n")
-    val ssw = col("q") - col("ssb_part")
-    tot.select(col("k"), col("n").as("n_days"),
-      round(ssb / (col("k") - 1), 4).as("ms_between"),
-      round(ssw / (col("n") - col("k")), 4).as("ms_within"),
-      when(ssw > 0, round((ssb / (col("k") - 1)) /
-        (ssw / (col("n") - col("k"))), 4)).as("w_stat"))
-  }
-
-  /** Cronbach's alpha over the five per-user engagement "items" (one
-    * count per event type): do the activity channels move together
-    * enough to justify q242-style composite engagement scores (alpha
-    * ≥ 0.7 is the conventional bar for summing items into one
-    * feature). One conditional aggregate builds the user×item count
-    * frame; every item and total variance comes from EXACT integer
-    * sums/sums-of-squares (counts), so alpha is a single fixed-order
-    * float expression — engine-identical before its one rounding.
-    */
-  def q279_cronbach_alpha(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val u = t(s, dir, "events")
-      .groupBy("user_id")
-      .agg(types.map(tp =>
-        sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp")).head,
-        types.tail.map(tp =>
-          sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp")): _*)
-      .withColumn("tot", types.map(tp => col(s"c_$tp")).reduce(_ + _))
-    val moments = Seq(sum("tot").as("st"), sum(col("tot") * col("tot")).as("qt")) ++
-      types.flatMap(tp => Seq(
-        sum(col(s"c_$tp")).as(s"s_$tp"),
-        sum(col(s"c_$tp") * col(s"c_$tp")).as(s"q_$tp")))
-    val a = u.agg(count(lit(1)).as("n"), moments: _*)
-    def sv(sc: Column, qc: Column) =
-      (qc - sc * sc / col("n")) / (col("n") - 1)
-    val itemVarSum = types.map(tp => sv(col(s"s_$tp"), col(s"q_$tp"))).reduce(_ + _)
-    val totVar = sv(col("st"), col("qt"))
-    a.select(col("n").as("n_users"), lit(5L).as("k"),
-      round(lit(5.0) / 4.0 * (lit(1.0) - itemVarSum / totVar), 4).as("alpha"))
-  }
-
-  /** Tukey-fence outlier census on daily revenue: Q1/Q3 picked by
-    * EXACT rank (type-1 quantiles — actual data values, never
-    * interpolated floats), fences at 1.5·IQR, and the count of days
-    * beyond each fence — the box-plot numbers behind q109's
-    * MAD-based flags, over the calendar-bounded day frame. Quartile
-    * rows ride in as 1-row broadcast selections; the fence
-    * comparisons and counts are exact.
-    */
-  def q280_tukey_fences(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val ranked = daily
-      .withColumn("r", row_number().over(Window.orderBy("rev", "day")).cast("long"))
-      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
-    val q1 = ranked.filter(col("r") === ceil(col("nn") / 4.0))
-      .select(col("rev").as("q1"))
-    val q3 = ranked.filter(col("r") === ceil(col("nn") * 3 / 4.0))
-      .select(col("rev").as("q3"))
-    daily.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
-      .agg(count(lit(1)).as("n_days"), first(col("q1")).as("q1x"),
-        first(col("q3")).as("q3x"),
-        sum(when(col("rev") < col("q1") - (col("q3") - col("q1")) * 1.5, 1L)
-          .otherwise(0L)).as("n_low"),
-        sum(when(col("rev") > col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
-          .otherwise(0L)).as("n_high"))
-      .select(col("n_days"), col("q1x").as("q1"), col("q3x").as("q3"),
-        col("n_low"), col("n_high"))
-  }
-
-  /** Token-coverage curve: what fraction of all corpus tokens the top
-    * 10 / 100 / 1000 most-frequent words cover — the number that
-    * sizes a vocabulary (q48) or a stopword list, and the empirical
-    * face of q170's Zipf fit. One fused-tokenizer count pass; ranking
-    * is [[PrefixSum.globalRank]] on (−count, word) (integer-keyed —
-    * float noise cannot reorder it) and the cumulative token mass is
-    * the distributed runningTotal over that rank, so no step is a
-    * mandatory single-partition window over the vocabulary. Counts
-    * exact; one division per checkpoint row.
-    */
-  def q281_token_coverage(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val counts = tWide(s, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("neg", -col("n"))
-    val ranked = PrefixSum.globalRank(counts, Seq("neg", "word"), "r")
-    val cum = PrefixSum.runningTotal(ranked, "r", "n", "cum")
-    val tot = counts.agg(sum("n").as("total"), count(lit(1)).as("vocab"))
-    cum.filter(col("r").isin(10L, 25L, 50L, 100L, 1000L))
-      .crossJoin(broadcast(tot))
-      .select(col("r").as("top_k"), col("cum").as("tokens_covered"),
-        col("total").as("total_tokens"), col("vocab").as("vocab_size"),
-        round(col("cum") / col("total"), 6).as("coverage"))
-      .orderBy("top_k")
-  }
-
-  /** Per-user inter-event burstiness B = (σ−μ)/(σ+μ) over gap times —
-    * the Goh-Barabási parameter separating Poisson-like activity
-    * (B ≈ 0) from bursty sessions (B → 1) and metronomes (B → −1);
-    * the shape number behind q87's raw gap telemetry that decides
-    * session-window widths. Gaps are EXACT integer microseconds from
-    * one per-user lag window (user-partitioned — embarrassingly
-    * parallel); each user's μ/σ come from exact integer moments, and
-    * only users with ≥ 5 gaps enter the corpus summary (B is
-    * meaningless below that). The summary reports mean B and the
-    * bursty/regular split.
-    */
-  def q282_burstiness(s: SparkSession, dir: String): DataFrame = {
-    // SECOND-grain exact integers: gap² in microseconds overflows
-    // int64 (10-day gap ⇒ ~1e30); seconds keep every moment exact.
-    // floor(µs/1e6) is the same IEEE double op on both engines.
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        floor(unix_micros(col("ts").cast("timestamp")) / lit(1e6))
-          .cast("long").as("t"))
-    // event_id tie-break: equal timestamps within a user must order
-    // identically on both engines or the gap sequence diverges
-    val gaps = ev
-      .withColumn("gap",
-        col("t") - lag("t", 1).over(
-          Window.partitionBy("user_id").orderBy("t", "event_id")))
-      .filter(col("gap").isNotNull)
-    val perUser = gaps.groupBy("user_id")
-      .agg(count(lit(1)).as("ng"), sum("gap").as("sg"),
-        sum(col("gap") * col("gap")).as("qg"))
-      .filter(col("ng") >= 5)
-    val mu = col("sg") / col("ng")
-    val sd = sqrt(col("qg") / col("ng") - mu * mu)
-    val b = (sd - mu) / (sd + mu)
-    perUser.agg(count(lit(1)).as("n_users"),
-      round(sum(b) / count(lit(1)), 4).as("mean_b"),
-      sum(when(b > 0, 1L).otherwise(0L)).as("n_bursty"),
-      sum(when(b <= 0, 1L).otherwise(0L)).as("n_regular"))
-  }
-
-  /** Watermark-impact what-if: for candidate watermark delays (0 s,
-    * 1 min, 10 min, 1 h), how many events a streaming job would DROP
-    * and how much purchase revenue goes with them — the decision
-    * table q137's lateness percentiles feed (q137 describes lateness;
-    * this prices each watermark choice). Lateness = run-max event
-    * time over ARRIVAL order (event_id), q137's model, in exact
-    * integer seconds; the 4-row delay dimension broadcasts over the
-    * lateness frame and each (delay, day-independent) drop census is
-    * one conditional aggregate.
-    */
-  def q283_watermark_impact(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "events").select(
-      to_date(col("ts")).as("day"), col("event_id"),
-      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
-    val w = Window.partitionBy("day").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = base
-      .withColumn("runmax", max("us").over(w))
-      .withColumn("late_sec", expr("(runmax - us) div 1000000"))
-    val wms = s.createDataFrame(
-      Seq(Tuple1(0L), Tuple1(60L), Tuple1(600L), Tuple1(3600L))).toDF("wm_sec")
-    late.crossJoin(broadcast(wms))
-      .groupBy("wm_sec")
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("late_sec") > col("wm_sec"), 1L).otherwise(0L)).as("n_dropped"),
-        round(sum(when(col("late_sec") > col("wm_sec"), 1L).otherwise(0L)) /
-          count(lit(1)).cast("double"), 6).as("drop_share"),
-        round(sum(when(col("late_sec") > col("wm_sec") &&
-          col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2)
-          .as("revenue_dropped"))
-      .orderBy("wm_sec")
-  }
-
-  /** Sort-order advisor: for each candidate file sort key, how
-    * prunable every other column's min/max footer stats would be —
-    * the measurement behind choosing a table's layout (q84's Z-order
-    * is the 2-D answer; this scores the 1-D candidates). Orders are
-    * range-bucketed into 32 "files" by (key, o_orderkey) — the exact
-    * equi-depth integer arithmetic of q93, never a single-partition
-    * ntile — and each probe column reports the average per-bucket
-    * span as a share of its global span: ~1/32 means a point filter
-    * prunes ~97% of files, ~1 means the layout is useless for that
-    * column. Spans are exact value arithmetic; one rounding per cell.
-    */
-  def q284_sort_advisor(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val o = t(s, dir, "orders").select(
-      col("o_orderkey"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("k_date"),
-      col("o_custkey").as("k_cust"), col("o_totalprice").as("k_price"))
-    val keys = Seq("k_date", "k_cust", "k_price")
-    val frames = keys.map { key =>
-      val k = 32L
-      val nDf = o.agg(count(lit(1)).as("__n"),
-        (max("k_date") - min("k_date")).cast("double").as("span_date"),
-        (max("k_cust") - min("k_cust")).cast("double").as("span_cust"),
-        (max("k_price") - min("k_price")).as("span_price"))
-      val ranked = PrefixSum.globalRank(o, Seq(key, "o_orderkey"), "r")
-        .crossJoin(broadcast(nDf))
-      val q = floor(col("__n") / k); val rem = col("__n") % k
-      val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
-        .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
-        .cast("long") + 1
-      ranked.withColumn("bucket", bin)
-        .groupBy("bucket")
-        .agg(first(col("span_date")).as("sd"), first(col("span_cust")).as("sc"),
-          first(col("span_price")).as("sp"),
-          (max("k_date") - min("k_date")).cast("double").as("bd"),
-          (max("k_cust") - min("k_cust")).cast("double").as("bc"),
-          (max("k_price") - min("k_price")).as("bp"))
-        .agg(round(avg(col("bd") / col("sd")), 4).as("probe_date"),
-          round(avg(col("bc") / col("sc")), 4).as("probe_cust"),
-          round(avg(col("bp") / col("sp")), 4).as("probe_price"))
-        .withColumn("sort_key", lit(key))
-    }
-    frames.reduce(_ unionByName _)
-      .select(col("sort_key"), col("probe_date"), col("probe_cust"),
-        col("probe_price"))
-      .orderBy("sort_key")
-  }
-
-  /** Mutual information (nats) between event type and weekday, with
-    * both marginal entropies — the magnitude readout behind q126's
-    * chi-square yes/no ("DO they depend" vs "how many bits does one
-    * tell you about the other"); MI/min(H) is the standard normalized
-    * association for feature-redundancy pruning. The contingency
-    * frame is ≤ types×7 cells; marginals and the grand total ride in
-    * as bounded broadcasts; every probability is a single division of
-    * exact counts and the three entropy sums are rounded once each.
-    *
-    * Unlike the chi-square family (q126/q313, which must COMPLETE the
-    * grid because an empty cell still contributes (0−E)²/E = E), the
-    * observed-cells enumeration here is exact by the 0·log 0 = 0
-    * limit convention: an empty cell's p·log(p/(px·py)) term is
-    * identically zero, so dropping it changes nothing
-    * (ContingencyAuditSpec pins this on a perfect-association table
-    * whose off-diagonal cells are empty).
-    */
-  def q285_mutual_information(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "events")
-      .select(col("event_type").as("et"), dayofweek(col("ts")).cast("long").as("wd"))
-    val cells = base.groupBy("et", "wd").agg(count(lit(1)).as("nxy"))
-    val mx = cells.groupBy("et").agg(sum("nxy").as("nx"))
-    val my = cells.groupBy("wd").agg(sum("nxy").as("ny"))
-    val tot = cells.agg(sum("nxy").as("n"))
-    val pxy = col("nxy") / col("n")
-    val mi = cells
-      .join(broadcast(mx), "et").join(broadcast(my), "wd")
-      .crossJoin(broadcast(tot))
-      .agg(round(sum(pxy *
-        log(pxy / ((col("nx") / col("n")) * (col("ny") / col("n"))))), 6)
-        .as("mi_nats"))
-    val hType = mx.crossJoin(broadcast(tot))
-      .agg(round(-sum((col("nx") / col("n")) * log(col("nx") / col("n"))), 6)
-        .as("h_type"))
-    val hWd = my.crossJoin(broadcast(tot))
-      .agg(round(-sum((col("ny") / col("n")) * log(col("ny") / col("n"))), 6)
-        .as("h_weekday"))
-    mi.crossJoin(broadcast(hType)).crossJoin(broadcast(hWd))
-  }
-
-  /** Delta-encoding width advisor: for each integer-ish order column,
-    * the raw bit width of its value span vs the width of the LARGEST
-    * GAP between globally-sorted neighbors — the worst-case per-value
-    * width a delta encoding needs, i.e. the compression headroom the
-    * writer would get from sorting on that column (q237 answers the
-    * same question for dictionaries, q284 for pruning). Adjacency at
-    * scale is the rank equi-join r ↔ r+1 over [[PrefixSum.globalRank]]
-    * (shuffle keyed by rank — never a single-partition lag window);
-    * bit widths come from length(bin(x)) — EXACT integer arithmetic,
-    * immune to the log2-at-power-of-two float flip.
-    */
-  def q286_delta_bitwidth(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val o = t(s, dir, "orders").select(
-      col("o_orderkey"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("v_date"),
-      col("o_custkey").as("v_cust"))
-    def widths(valCol: String, label: String): DataFrame = {
-      val ranked = PrefixSum.globalRank(
-        o.select(col(valCol).as("v"), col("o_orderkey")), Seq("v", "o_orderkey"), "r")
-      val a = ranked.select(col("r").as("ra"), col("v").as("va"))
-      val b = ranked.select((col("r") - 1).as("ra"), col("v").as("vb"))
-      val gaps = a.join(b, "ra").agg(max(col("vb") - col("va")).as("max_gap"))
-      val span = o.agg((max(col(valCol)) - min(col(valCol))).as("span"),
-        count(lit(1)).as("n"))
-      span.crossJoin(broadcast(gaps))
-        .select(lit(label).as("col_name"), col("n"),
-          length(bin(col("span"))).cast("long").as("raw_bits"),
-          col("max_gap"),
-          length(bin(col("max_gap"))).cast("long").as("delta_bits"))
-        .withColumn("savings_pct",
-          round((lit(1.0) - col("delta_bits") / col("raw_bits")) * 100, 2))
-    }
-    widths("o_orderkey", "orderkey")
-      .unionByName(widths("v_date", "orderdate"))
-      .unionByName(widths("v_cust", "custkey"))
-      .orderBy("col_name")
-  }
-
-  /** SAX symbolization of the daily-revenue series: z-normalize
-    * against the series moments (1-row broadcast), map each day onto
-    * the standard 4-symbol Gaussian breakpoints (±0.6745, 0), and
-    * fold each ISO week into one SAX word — the representation
-    * time-series indexes and motif/anomaly miners work on (two weeks
-    * with the same word are shape-equal at this resolution; q227/q86
-    * flag points, SAX compares SHAPES). The word is an order-pinned
-    * fold (array_sort over (day, symbol) structs — collect_list alone
-    * is partition-order nondeterministic); weeks truncate to ISO
-    * Monday on both engines.
-    */
-  def q287_sax_words(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val mom = daily.agg(count(lit(1)).cast("double").as("n"),
-      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"))
-    val mean = col("s1") / col("n")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-    val z = (col("rev") - mean) / sd
-    val sym = when(z < -0.6745, "a").when(z < 0, "b")
-      .when(z < 0.6745, "c").otherwise("d")
-    daily.crossJoin(broadcast(mom))
-      .select(date_trunc("week", col("day")).cast("date").as("week"),
-        col("day"), sym.as("sym"))
-      .groupBy("week")
-      .agg(count(lit(1)).as("n_days"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("day"), col("sym")))),
-          x => x.getField("sym")), "").as("sax_word"))
-      .orderBy("week")
-  }
-
-  /** Session-timeout advisor: the inter-event gap mass by power-of-two
-    * bucket, with the cumulative share that picks the knee — "a 2^b
-    * second timeout keeps X% of consecutive-event pairs in one
-    * session", the number that justifies q29/q39's session gap instead
-    * of folklore. Gap seconds are q282's exact integers; the bucket is
-    * length(bin(gap)) (exact — q286's rule); the cumulative runs over
-    * the ≤ 64-row bucket frame. The `keeps_95` flag marks the first
-    * bucket whose cumulative share reaches 0.95.
-    */
-  def q288_session_timeout(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        floor(unix_micros(col("ts").cast("timestamp")) / lit(1e6))
-          .cast("long").as("t"))
-    val gaps = ev
-      .withColumn("gap",
-        col("t") - lag("t", 1).over(
-          Window.partitionBy("user_id").orderBy("t", "event_id")))
-      .filter(col("gap").isNotNull)
-      .select(length(bin(col("gap"))).cast("long").as("gap_bits"))
-    val buckets = gaps.groupBy("gap_bits").agg(count(lit(1)).as("n_gaps"))
-    val tot = buckets.agg(sum("n_gaps").as("total"))
-    val w = Window.orderBy("gap_bits")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    buckets.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("n_gaps").over(w))
-      .select(col("gap_bits"), col("n_gaps"),
-        round(col("cum") / col("total"), 6).as("cum_share"),
-        (col("cum") * 100 >= col("total") * 95 &&
-          (col("cum") - col("n_gaps")) * 100 < col("total") * 95).as("keeps_95"))
-      .orderBy("gap_bits")
-  }
-
-  /** Information-gain split scoring — the decision-stump step: for
-    * each purchase-value decile boundary, how many nats of event-type
-    * entropy a "value < boundary" split removes, flagging the best
-    * split (the inner loop of tree learning and MDL discretization;
-    * q285 says the columns are associated, this finds WHERE to cut).
-    * One pass bins rows into (type, decile) cells via q93's exact
-    * rank arithmetic; every split's below/above tallies are then
-    * cumulative sums over the ≤ types×10 cell frame — 9 candidate
-    * splits share one scan. Entropies are exact-count divisions with
-    * the standard 0·ln0 = 0 guard, one rounding per row.
-    */
-  def q289_info_gain_split(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val p = t(s, dir, "events")
-      .filter(col("event_type").isin("purchase", "click", "view"))
-      .select(col("event_id"), col("event_type").as("et"), col("value"))
-    val k = 10L
-    val nDf = p.agg(count(lit(1)).as("__n"))
-    val ranked = PrefixSum.globalRank(p, Seq("value", "event_id"), "r")
-      .crossJoin(broadcast(nDf))
-    val q = floor(col("__n") / k); val rem = col("__n") % k
-    val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
-      .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
-      .cast("long") + 1
-    val cells = ranked.withColumn("decile", bin)
-      .groupBy("et", "decile").agg(count(lit(1)).as("c"))
-    // DENSE type×decile grid: a type absent from a decile must still
-    // carry its running below-count forward (a cum over the sparse
-    // cell frame would skip those splits)
-    val typesDf = s.createDataFrame(
-      Seq("click", "purchase", "view").map(Tuple1(_))).toDF("et")
-    val decilesDf = s.createDataFrame((1L to 10L).map(Tuple1(_))).toDF("decile")
-    val wcum = Window.partitionBy("et").orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val below = typesDf.crossJoin(decilesDf)
-      .join(cells, Seq("et", "decile"), "left")
-      .withColumn("c0", coalesce(col("c"), lit(0L)))
-      .withColumn("nb", sum("c0").over(wcum))
-      .filter(col("decile") <= 9)
-      .select(col("et"), col("decile").as("split"), col("nb"))
-    val typeTot = cells.groupBy("et").agg(sum("c").as("nt"))
-    val grand = cells.agg(sum("c").as("n"))
-    val bs = below.groupBy("split").agg(sum("nb").as("bb"))
-    def plogp(num: Column, den: Column): Column =
-      when(num > 0, (num / den) * log(num / den)).otherwise(lit(0.0))
-    val joined = below
-      .join(broadcast(typeTot), "et").crossJoin(broadcast(grand))
-      .join(broadcast(bs), "split")
-      .withColumn("na", col("nt") - col("nb"))
-      .withColumn("aa", col("n") - col("bb"))
-    // IG = H(type) − weighted child entropies; with plogp = Σ p·ln p
-    // (the NEGATIVE entropy) that is (bb/n)·hbn + (aa/n)·han − htn
-    val ig = joined.groupBy("split")
-      .agg(first(col("bb")).as("n_below"),
-        round((first(col("bb")) / first(col("n"))) *
-          sum(plogp(col("nb"), col("bb"))) +
-          (first(col("aa")) / first(col("n"))) *
-            sum(plogp(col("na"), col("aa"))) -
-          sum(plogp(col("nt"), col("n"))), 6).as("info_gain"))
-    val best = ig.agg(max("info_gain").as("best_ig"))
-    ig.crossJoin(broadcast(best))
-      .select(col("split"), col("n_below"), col("info_gain"),
-        (col("info_gain") === col("best_ig")).as("is_best"))
-      .orderBy("split")
-  }
-
-  /** Sample-ratio-mismatch check for the q90 hash split: does the
-    * observed train/holdout user allocation match the designed 80/20
-    * within chi-square tolerance — the FIRST health check any A/B or
-    * split pipeline runs (a mismatched ratio invalidates every
-    * downstream readout before effect sizes are even looked at).
-    * One distinct-user aggregate; chi² = Σ(obs−exp)²/exp over the two
-    * cells in exact arithmetic until the final division.
-    */
-  def q290_srm_check(s: SparkSession, dir: String): DataFrame = {
-    val inTrain =
-      pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80
-    val u = t(s, dir, "events").select(col("user_id")).distinct()
-      .agg(sum(when(inTrain, 1L).otherwise(0L)).as("nt"),
-        sum(when(inTrain, 0L).otherwise(1L)).as("nc"))
-    val n = col("nt") + col("nc")
-    val et = n * 0.8; val ec = n * 0.2
-    u.select(col("nt"), col("nc"),
-      round(et, 2).as("expected_t"), round(ec, 2).as("expected_c"),
-      round((col("nt") - et) * (col("nt") - et) / et +
-        (col("nc") - ec) * (col("nc") - ec) / ec, 4).as("chi2"),
-      // 3.841 = chi-square(1 df) at alpha 0.05 — the standard SRM gate
-      ((col("nt") - et) * (col("nt") - et) / et +
-        (col("nc") - ec) * (col("nc") - ec) / ec > 3.841).as("srm_detected"))
-  }
-
-  /** Join-order advisor by MEASURED intermediates: for the filtered
-    * 3-way customer⋈orders⋈lineitem join, the row count each join
-    * order materializes before its final join — the ground truth
-    * q145's estimate-vs-actual audit calibrates against, and the
-    * number a cost-based optimizer is trying to guess (here: measure
-    * it, rank the orders, flag the winner). Each leg is one exact
-    * count over an equi-join; the final cardinality is shared by both
-    * orders, so selectivity = final/intermediate says how much of the
-    * intermediate was wasted work.
-    */
-  def q291_join_order_advisor(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
-      .select(col("c_custkey"))
-    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = t(s, dir, "lineitem")
-      .filter(col("l_quantity") >= 25)
-      .select(col("l_orderkey"))
-    val co = c.join(o, col("c_custkey") === col("o_custkey"))
-    val ol = o.join(l, col("o_orderkey") === col("l_orderkey"))
-    val interA = co.agg(count(lit(1)).as("ia"))
-    val interB = ol.agg(count(lit(1)).as("ib"))
-    val fin = co.join(l, col("o_orderkey") === col("l_orderkey"))
-      .agg(count(lit(1)).as("f"))
-    val plans = interA.crossJoin(broadcast(interB)).crossJoin(broadcast(fin))
-      .select(explode(array(
-        struct(lit("customer_first").as("plan"), col("ia").as("intermediate_rows"),
-          col("f").as("final_rows")),
-        struct(lit("lineitem_first").as("plan"), col("ib").as("intermediate_rows"),
-          col("f").as("final_rows")))).as("p"))
-      .select(col("p.plan"), col("p.intermediate_rows"), col("p.final_rows"))
-    val best = plans.agg(min("intermediate_rows").as("mi"))
-    plans.crossJoin(broadcast(best))
-      .select(col("plan"), col("intermediate_rows"), col("final_rows"),
-        round(col("final_rows") / col("intermediate_rows"), 6).as("selectivity"),
-        (col("intermediate_rows") === col("mi")).as("is_best"))
-      .orderBy("plan")
-  }
-
-  /** Encoding/codec advisor: per order column, the exact cardinality,
-    * dictionary index width (bits to address the distinct set), and
-    * the RUN count in storage order (adjacent-equal collapse — what
-    * RLE would keep) — then the rule-based pick a parquet writer
-    * would make (few runs → RLE, narrow dictionary → DICT, else
-    * PLAIN). q237 scores dictionaries alone; this decides BETWEEN
-    * encodings, and q286's rank-adjacency equi-join supplies the
-    * at-scale run counting (storage order = orderkey rank, never a
-    * single-partition lag). Values compare as strings so one code
-    * path serves every column type; all counts exact.
-    */
-  def q292_codec_advisor(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val o = t(s, dir, "orders")
-    def audit(valCol: String, label: String): DataFrame = {
-      val vals = o.select(col("o_orderkey"), col(valCol).cast("string").as("v"))
-      val ranked = PrefixSum.globalRank(vals, Seq("o_orderkey"), "r")
-      val a = ranked.select(col("r").as("ra"), col("v").as("va"))
-      val b = ranked.select((col("r") - 1).as("ra"), col("v").as("vb"))
-      val runs = a.join(b, "ra")
-        .agg((sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)) + 1).as("n_runs"))
-      val stats = vals.agg(count(lit(1)).as("n"),
-        countDistinct("v").as("n_distinct"))
-      stats.crossJoin(broadcast(runs))
-        .select(lit(label).as("col_name"), col("n"), col("n_distinct"),
-          length(bin(col("n_distinct") - 1)).cast("long").as("dict_bits"),
-          col("n_runs"),
-          round(col("n_runs") / col("n"), 6).as("run_ratio"))
-        .withColumn("advice",
-          when(col("n_runs") * 10 < col("n"), "rle")
-            .when(col("dict_bits") <= 8, "dict")
-            .otherwise("plain"))
-    }
-    audit("o_orderstatus", "orderstatus")
-      .unionByName(audit("o_orderpriority", "orderpriority"))
-      .unionByName(audit("o_custkey", "custkey"))
-      .orderBy("col_name")
-  }
-
-  /** Power-law tail exponent of the part-popularity distribution via
-    * the Hill MLE: α = 1 + n/Σ ln(dᵢ/d_min) over parts ordered at
-    * least d_min = 25 times (the upper half of the synthetic demand
-    * range) — the number that says whether demand is
-    * heavy-tailed enough for q94/q37-style hot-key treatment to
-    * matter (α ≲ 2.5: a few parts dominate; α large: near-uniform).
-    * Degrees are exact distinct-order counts per part (one grouped
-    * aggregate); the tail filter and count are exact; the single ln
-    * sum is the only float, rounded once with the α arithmetic.
-    */
-  def q293_powerlaw_alpha(s: SparkSession, dir: String): DataFrame = {
-    val dmin = 25L
-    val deg = t(s, dir, "lineitem")
-      .groupBy("l_partkey")
-      .agg(countDistinct("l_orderkey").as("d"))
-    val all = deg.agg(count(lit(1)).as("n_parts"))
-    deg.filter(col("d") >= dmin)
-      .agg(count(lit(1)).as("n_tail"),
-        sum(log(col("d") / lit(dmin.toDouble))).as("lsum"))
-      .crossJoin(broadcast(all))
-      .select(col("n_parts"), lit(dmin).as("d_min"), col("n_tail"),
-        round(lit(1.0) + col("n_tail") / col("lsum"), 4).as("hill_alpha"))
-  }
-
-  /** Catalog cold-start census: parts banded by how often they were
-    * ever ordered (relative to the demand range: cold < 25
-    * distinct orders, warm 25-34, hot ≥ 35) with each band's
-    * share of the catalog and of revenue — the recommender/search
-    * health table ("X% of the catalog is cold and carries Y% of
-    * revenue decides whether a popularity prior is even usable").
-    * One pass aggregates per-part order counts and exact-cent
-    * revenue; banding is integer CASE arithmetic; shares are one
-    * division per band against 1-row broadcast totals.
-    */
-  def q294_catalog_coldstart(s: SparkSession, dir: String): DataFrame = {
-    val parts = t(s, dir, "lineitem")
-      .groupBy("l_partkey")
-      .agg(countDistinct("l_orderkey").as("d"),
-        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
-      .withColumn("band",
-        when(col("d") < 25, "1_cold").when(col("d") < 35, "2_warm")
-          .otherwise("3_hot"))
-    val g = parts.groupBy("band")
-      .agg(count(lit(1)).as("n_parts"), sum("cents").as("band_cents"))
-    val tot = g.agg(sum("n_parts").as("tp"), sum("band_cents").as("tc"))
-    g.crossJoin(broadcast(tot))
-      .select(col("band"), col("n_parts"),
-        round(col("n_parts") / col("tp").cast("double"), 6).as("catalog_share"),
-        round(col("band_cents") / lit(100.0), 2).as("revenue"),
-        round(col("band_cents") / col("tc").cast("double"), 6).as("revenue_share"))
-      .orderBy("band")
-  }
-
-  /** Mood's median test: do weekday and weekend purchase values
-    * straddle the POOLED median differently — the coarsest, most
-    * outlier-proof two-sample test (only the side of the median
-    * matters), closing the nonparametric kit next to q261's
-    * rank-sum and q206's KS. The median is an actual data value
-    * picked by exact rank (q269's rule, 1-row broadcast); the 2×2
-    * above/below table is exact integers and the chi-square is
-    * q126's single-division N(ad−bc)²/(row·col products) form —
-    * engine-identical until one rounding. Ties at the median count
-    * as "not above" (the standard convention, documented here
-    * because it changes the table).
-    *
-    * The pooled rank is PrefixSum.globalRank on (value, event_id) —
-    * the FACT-grain ordering must never plan a single-partition
-    * window (it would move every purchase event to one task); the
-    * cost-based two-pass rank keeps it partition-parallel at scale
-    * while the (unique) tuple keeps the median pick deterministic.
-    */
-  def q295_mood_median(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("value"),
-        dayofweek(col("ts")).isin(1, 7).as("wk"))
-    val ranked = PrefixSum.globalRank(p, Seq("value", "event_id"), "r")
-    val med = ranked
-      .crossJoin(broadcast(p.agg(count(lit(1)).as("nn"))))
-      .filter(col("r") === floor((col("nn") + 1) / 2.0))
-      .select(col("value").as("med"))
-    val cells = p.crossJoin(broadcast(med))
-      .agg(
-        sum(when(!col("wk") && col("value") > col("med"), 1L).otherwise(0L)).as("a"),
-        sum(when(!col("wk") && col("value") <= col("med"), 1L).otherwise(0L)).as("b"),
-        sum(when(col("wk") && col("value") > col("med"), 1L).otherwise(0L)).as("c"),
-        sum(when(col("wk") && col("value") <= col("med"), 1L).otherwise(0L)).as("d"))
-    val n = col("a") + col("b") + col("c") + col("d")
-    val det = col("a") * col("d") - col("b") * col("c")
-    cells.select(col("a").as("wd_above"), col("b").as("wd_below"),
-      col("c").as("we_above"), col("d").as("we_below"),
-      round(n * det * det /
-        ((col("a") + col("b")) * (col("c") + col("d")) *
-          (col("a") + col("c")) * (col("b") + col("d"))).cast("double"), 4)
-        .as("chi2"))
-  }
-
-  /** Partition sizing planner: per event day, the EXACT serialized
-    * payload estimate (fixed 8-byte columns plus the measured string
-    * byte lengths) and the file count a 1 MiB-target writer should
-    * emit — the numbers behind `repartition(n)` before a
-    * date-partitioned write, and the at-scale input to q149's
-    * compaction (estimate first, rewrite never). One pass, integer
-    * sums; ceil division in exact integer arithmetic — no float
-    * rounding can off-by-one a file count.
-    */
-  def q296_partition_planner(s: SparkSession, dir: String): DataFrame = {
-    val target = 1048576L // 1 MiB
-    t(s, dir, "events")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(lit(32L) + length(col("event_type")) + length(col("props")))
-          .as("est_bytes"))
-      // ceil-divide via floor((x + t − 1)/t): the divisor is a power
-      // of two, so the double division is exact — no boundary flips
-      .select(col("day"), col("n_rows"), col("est_bytes"),
-        floor((col("est_bytes") + lit(target) - 1) / lit(target.toDouble))
-          .cast("long").as("n_files"))
-      .orderBy("day")
-  }
-
-  /** Binary-segmentation changepoint: the single day boundary that
-    * removes the most squared error when the daily-revenue series is
-    * split into two constant-mean segments — the exact LOCATION
-    * readout behind q227's CUSUM alarm (CUSUM says "drifted", this
-    * says "on this day, by this much"). Every candidate boundary is
-    * scored from ONE pass of prefix moments (cumulative Σrev, Σrev²
-    * over the calendar-bounded day frame — the q234/q227 global-window
-    * pattern) against 1-row broadcast totals; gain = SSE_total −
-    * SSE_left − SSE_right in fixed-order float arithmetic, argmax by
-    * (gain, day) so the winner is engine-identical.
-    */
-  def q297_changepoint_sse(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val w = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = daily.agg(count(lit(1)).cast("double").as("n"),
-      sum("rev").as("s1"), sum(col("rev") * col("rev")).as("s2"))
-    val pre = daily
-      .withColumn("k", count(lit(1)).over(w).cast("double"))
-      .withColumn("c1", sum("rev").over(w))
-      .withColumn("c2", sum(col("rev") * col("rev")).over(w))
-      .crossJoin(broadcast(tot))
-      .filter(col("k") < col("n")) // a split needs a non-empty right side
-    val sseT = col("s2") - col("s1") * col("s1") / col("n")
-    val sseL = col("c2") - col("c1") * col("c1") / col("k")
-    val sseR = (col("s2") - col("c2")) -
-      (col("s1") - col("c1")) * (col("s1") - col("c1")) / (col("n") - col("k"))
-    pre.withColumn("gain", sseT - sseL - sseR)
-      .orderBy(col("gain").desc, col("day").asc)
-      .limit(1)
-      .select(col("day").as("boundary_after"), col("k").cast("long").as("n_left"),
-        round(col("c1") / col("k"), 4).as("mean_left"),
-        round((col("s1") - col("c1")) / (col("n") - col("k")), 4).as("mean_right"),
-        round(col("gain"), 4).as("sse_gain"))
-  }
-
-  /** Effective sample size of the daily purchase-count series: ESS =
-    * n/(1 + 2Σρ₁..₇) — how many INDEPENDENT observations the
-    * autocorrelated series is worth, the correction every
-    * daily-metric confidence interval silently needs (q233's
-    * bootstrap and q220's z both assume independence; this measures
-    * how wrong that is). The seven lag covariances come from q234's
-    * one-pass day-grain lag windows against a 1-row broadcast mean;
-    * each ρ is one division and ESS one fixed-order expression,
-    * rounded once each.
-    */
-  def q298_effective_n(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
-    val mDf = daily.agg(count(lit(1)).as("n"),
-      (sum("x") / count(lit(1))).as("mu"))
-    val wo = Window.orderBy("day")
-    val dev = daily.crossJoin(broadcast(mDf))
-      .withColumn("d0", col("x") - col("mu"))
-    val withLags = (1 to 7).foldLeft(dev) { (df, k) =>
-      df.withColumn(s"d$k", lag("d0", k).over(wo))
-    }
-    val aggs = Seq(sum(col("d0") * col("d0")).as("den")) ++
-      (1 to 7).map(k => sum(col("d0") * col(s"d$k")).as(s"num$k"))
-    val agg = withLags.agg(first(col("n")).as("n"), aggs: _*)
-    val rhoSum = (1 to 7).map(k => col(s"num$k") / col("den")).reduce(_ + _)
-    agg.select(col("n").as("n_days"),
-      round(rhoSum, 6).as("rho_sum_1_7"),
-      round(col("n") / (lit(1.0) + lit(2.0) * rhoSum), 2).as("ess"))
-  }
-
-  /** Cohen's kappa for the q21 language-ID heuristic against the
-    * tagged labels: chance-corrected agreement — raw accuracy flatters
-    * any classifier on a skewed label mix, kappa subtracts the
-    * marginal-product agreement a label-blind guesser gets for free
-    * (the standard single-number classifier audit next to q207's
-    * per-feature view). Confusion cells, both marginals, and the
-    * diagonal are exact counts (languages are a bounded dimension);
-    * p_o, p_e, and kappa are fixed-order divisions rounded once each.
-    */
-  def q299_cohen_kappa(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val preds = tWide(s, dir, "documents")
-      .select(col("lang").as("y"),
-        TextFunctions.languageId(TextFunctions.tokens(col("text"))).as("p"))
-    val cells = preds.groupBy("y", "p").agg(count(lit(1)).as("c"))
-    val ry = cells.groupBy("y").agg(sum("c").as("ny"))
-    val cp = cells.groupBy("p").agg(sum("c").as("np"))
-    val tot = cells.agg(sum("c").as("n"),
-      sum(when(col("y") === col("p"), col("c")).otherwise(0L)).as("na"))
-    val pe = ry.join(cp, ry("y") === cp("p"))
-      .crossJoin(broadcast(tot))
-      .agg(sum(col("ny") * col("np") / (col("n") * col("n"))).as("pe"))
-    val po = col("na") / col("n")
-    tot.crossJoin(broadcast(pe))
-      .select(col("n").as("n_docs"),
-        round(po, 6).as("accuracy"),
-        round(col("pe"), 6).as("chance_agreement"),
-        when(col("pe") < 1,
-          round((po - col("pe")) / (lit(1.0) - col("pe")), 4)).as("kappa"))
-  }
-
-  /** Corpus health scorecard — the one-row summary a training-data
-    * pipeline prints before anything else runs: document and exact
-    * token counts, vocabulary size, the exact-duplicate share
-    * (content-hash distinct vs rows, q06's measure as a RATE), mean
-    * document length, and the language mix's top share. Two scans
-    * (one fused-tokenizer pass for tokens, one explode for the
-    * vocabulary) folded by 1-row broadcasts; every number is an exact
-    * count until its single output division.
-    */
-  def q300_corpus_scorecard(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val docs = tWide(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
-    val base = docs.agg(count(lit(1)).as("n_docs"),
-      sum("ntok").as("n_tokens"),
-      countDistinct(md5(col("text"))).as("n_unique"),
-      sum("n_chars").as("chars"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-    val vocab = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .agg(countDistinct("w").as("vocab_size"))
-    base.crossJoin(broadcast(vocab))
-      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
-        round((col("n_docs") - col("n_unique")) / col("n_docs").cast("double"), 6)
-          .as("exact_dup_rate"),
-        round(col("chars") / col("n_docs").cast("double"), 2).as("avg_chars"),
-        round(col("n_en") / col("n_docs").cast("double"), 6).as("en_share"))
-  }
-
-  /** Newman modularity of the part co-occurrence graph (parts in the
-    * same order, q153's pair build) under the BRAND partition —
-    * "is this community assignment better than chance", the quality
-    * number q166's label propagation optimizes for but never reports.
-    * Q = Σ_c [m_c/m − (D_c/2m)²] over the distinct-edge graph; the
-    * community map rides in as a broadcast (part is a dimension), the
-    * per-community frame is 25 rows, and the only corpus-scale work is
-    * the bounded ≤21-pairs-per-order fan-out. Contributions are
-    * rounded before the final 5-term sum, then the sum re-rounded, so
-    * engine addition order cannot leak into the hash.
-    */
-  def q301_modularity(s: SparkSession, dir: String): DataFrame = {
-    // Staged distinct parquet: both the labeled-edge join and the
-    // degree count read it as cheap columnar scans — no persist needed.
-    val edges = basketPairs(s, dir)
-    val comm = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-    val e = edges
-      .join(broadcast(comm.select(col("p_partkey").as("u"), col("p_brand").as("cu"))), "u")
-      .join(broadcast(comm.select(col("p_partkey").as("v"), col("p_brand").as("cv"))), "v")
-    val m = e.agg(count(lit(1)).as("m"))
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-    val dc = deg
-      .join(broadcast(comm.select(col("p_partkey").as("node"), col("p_brand").as("community"))), "node")
-      .groupBy("community").agg(sum("d").as("degree_sum"))
-    val mc = e.filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("intra_edges"))
-    val rows = dc.join(mc, Seq("community"), "left")
-      .na.fill(0L, Seq("intra_edges"))
-      .crossJoin(broadcast(m))
-      .withColumn("contribution", round(
-        col("intra_edges").cast("double") / col("m") -
-          (col("degree_sum").cast("double") / (lit(2L) * col("m"))) *
-          (col("degree_sum").cast("double") / (lit(2L) * col("m"))), 6))
-    val q = rows.agg(round(sum("contribution"), 6).as("q_modularity"))
-    rows.crossJoin(broadcast(q))
-      .select("community", "intra_edges", "degree_sum", "contribution", "q_modularity")
-      .orderBy("community")
-  }
-
-  /** Benjamini-Hochberg FDR control over q207's per-token chi-square
-    * screen — the multiple-testing correction a few-thousand-token
-    * selection NEEDS (at α=0.05, 5% of a null vocabulary passes the
-    * raw test by chance). The step-up boundary is evaluated on the
-    * LOG scale (chi2_r ≥ −2·ln(r·α/m) ⟺ p_r ≤ r·α/m for the 1-df
-    * upper-tail surrogate p = exp(−χ²/2)) so no cross-engine exp() of
-    * tiny p-values enters the compare; ranks come from the cost-based
-    * PrefixSum.globalRank over the vocab frame (never corpus rows,
-    * never a mandatory single-partition sort) and chi2 is in DOUBLE from
-    * the start — the all-integer numerator overflows int64 once doc
-    * counts reach ~50k. Output is the one-row audit: tokens tested,
-    * BH rejections vs the (always ≤) Bonferroni count, and the
-    * realized chi-square cutoff.
-    */
-  def q302_fdr_bh(s: SparkSession, dir: String): DataFrame = {
-    val alpha = 0.05
-    // ONE documents scan: the doc-grain (id, lang, tokens) frame is
-    // persisted and feeds BOTH the presence explode and the corpus
-    // totals (each previously re-scanned + re-tokenized the corpus).
-    val docs0 = tWide(s, dir, "documents")
-      .select(col("lang"),
-        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-      .persistTracked()
-    // Presence = "word appears in doc": dedup WITHIN each doc map-side
-    // (array_distinct before the explode) so no global DISTINCT
-    // shuffle exists at all — the only wide exchange left is the
-    // word-keyed aggregate, and it partial-aggregates map-side.
-    val pres = docs0
-      .select((col("lang") === "en").cast("long").as("is_en"),
-        explode(array_distinct(col("toks"))).as("word"))
-    val tot = docs0
-      .agg(sum((col("lang") === "en").cast("long")).as("n_en"),
-        sum((col("lang") =!= "en").cast("long")).as("n_oth"))
-    val adbc = col("a") * (col("n_oth") - col("b")) - col("b") * (col("n_en") - col("a"))
-    val scored = pres.groupBy("word")
-      .agg(sum("is_en").cast("double").as("a"), sum(lit(1L) - col("is_en")).cast("double").as("b"))
-      .filter(col("a") + col("b") >= 5)
-      .crossJoin(broadcast(tot.select(col("n_en").cast("double").as("n_en"),
-        col("n_oth").cast("double").as("n_oth"))))
-      .filter(col("a") + col("b") < col("n_en") + col("n_oth"))
-      .withColumn("chi2",
-        ((col("n_en") + col("n_oth")) * adbc * adbc) /
-          ((col("a") + col("b")) * (col("n_en") + col("n_oth") - col("a") - col("b")) *
-            col("n_en") * col("n_oth")))
-      .select(col("word"), col("chi2"))
-      // Persisted: consumed by BOTH the rank leg and the m_tested
-      // count — without the cache each leg re-runs the presence
-      // explode + vocab shuffle. Vocab-grain (df>=5-floored), so the
-      // cache is small; released (with docs0) via CacheRegistry after
-      // the caller's terminal action.
-      .persistTracked()
-    // Rank by descending chi2 via PrefixSum.globalRank on (−chi2, word)
-    // — the tested vocabulary is df≥5-floored but still corpus-derived,
-    // so the rank must not mandate a single-partition sort of it.
-    val ranked = PrefixSum
-      .globalRank(scored.withColumn("__nc", -col("chi2")), Seq("__nc", "word"), "r")
-      .drop("__nc")
-    val mrow = scored.agg(count(lit(1)).as("m_tested"))
-    ranked.crossJoin(broadcast(mrow))
-      .withColumn("bh_pass",
-        (col("chi2") >= lit(-2.0) * log(col("r") * lit(alpha) / col("m_tested"))).cast("long"))
-      .withColumn("bonf_pass",
-        (col("chi2") >= lit(-2.0) * log(lit(alpha) / col("m_tested"))).cast("long"))
-      .agg(first("m_tested").as("m_tested"),
-        coalesce(max(when(col("bh_pass") === 1L, col("r"))), lit(0L)).as("n_bh"),
-        sum("bonf_pass").as("n_bonferroni"),
-        round(coalesce(min(when(col("bh_pass") === 1L, col("chi2"))), lit(0.0)), 4)
-          .as("chi2_cutoff"))
-  }
-
-  /** EWMA control chart over daily purchase revenue — the
-    * small-persistent-shift monitor next to q227's CUSUM (CUSUM is the
-    * sequential-decision form; the EWMA chart is what ops dashboards
-    * actually plot). The smoother is the NORMALIZED trailing form
-    * ewma_t = Σ λ̄^(t−k)·x_k / Σ λ̄^(t−k) over a 60-day RANGE frame with
-    * λ̄ = 1/2. The exponents are WINDOW-RELATIVE — each frame row is
-    * weighted pow(0.5, t−k) with t−k ∈ [0, 59], via a collect_list of
-    * the (day_idx, rev) frame and a bounded higher-order aggregate
-    * that can see the current row's t (absolute pow(2, day_idx)
-    * weights overflow double to Infinity at day_idx ≥ 1024 — and the
-    * Σ4^k variance sum at ≥ 512 — silently NaN-ing every series that
-    * spans ~1.4+ years). Every weight is an EXACT power of two in
-    * both engines and the trailing truncation drops < 2^-59 of the
-    * estimate, far under the 4-dp rounding. Control
-    * limits use the exact finite-window variance factor Σw²/(Σw)², so
-    * early days get the correct WIDER limits; the in-control (μ₀, σ₀)
-    * come from the first-30-day BURN-IN only — estimating them over
-    * the whole series would let a later shift inflate its own control
-    * limits and mask itself. The window is a day-grain single
-    * partition — bounded by the calendar, never by row count.
-    */
-  def q303_ewma_chart(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
-    val d0 = daily.agg(min("day").as("day0"))
-    val withIdx = daily.crossJoin(broadcast(d0))
-      .withColumn("day_idx", datediff(col("day"), col("day0")).cast("long"))
-    val base = withIdx.filter(col("day_idx") < 30)
-      .agg(avg("rev").as("mu0"), stddev_samp(col("rev")).as("sd0"))
-    val idx = withIdx.crossJoin(broadcast(base))
-    val w = Window.orderBy("day_idx").rangeBetween(-59, 0)
-    idx
-      .withColumn("fr",
-        collect_list(struct(col("day_idx").as("k"), col("rev").as("x"))).over(w))
-      .withColumn("wsum",
-        expr("aggregate(fr, 0.0d, (a, e) -> a + e.x * pow(0.5, day_idx - e.k))"))
-      .withColumn("wden",
-        expr("aggregate(fr, 0.0d, (a, e) -> a + pow(0.5, day_idx - e.k))"))
-      .withColumn("wsq",
-        expr("aggregate(fr, 0.0d, (a, e) -> a + pow(0.25, day_idx - e.k))"))
-      .withColumn("ewma", col("wsum") / col("wden"))
-      .withColumn("half_width",
-        lit(3.0) * col("sd0") * sqrt(col("wsq") / (col("wden") * col("wden"))))
-      .select(col("day"), col("rev"), round(col("ewma"), 4).as("ewma"),
-        round(col("mu0") + col("half_width"), 4).as("ucl"),
-        round(col("mu0") - col("half_width"), 4).as("lcl"),
-        (col("ewma") > col("mu0") + col("half_width") ||
-          col("ewma") < col("mu0") - col("half_width")).as("out_of_control"))
-      .orderBy("day")
-  }
-
-  /** Edit-distance similarity self-join (Ed-Join, Xiao et al. 2008)
-    * over part names at threshold d=2 — the string-similarity join
-    * q70's adjacent-pair probe and q195's blocking-key linkage cannot
-    * express (those miss pairs outside the block; this one is EXACT).
-    * Candidates come from the positional-q-gram prefix filter: tokens
-    * are (bigram, occurrence) pairs so multiset intersection is plain
-    * set intersection, every string keeps only its q·d+1 = 5 GLOBALLY
-    * RAREST tokens, and any pair within distance d must share one of
-    * them (each edit destroys ≤ q grams ⇒ overlap ≥ max|G|−q·d; the
-    * standard prefix pigeonhole does the rest). The join runs at the
-    * DISTINCT-NAME grain: row-grain pair counts are recovered
-    * combinatorially (C(m,2) within a name group, m_a·m_b across),
-    * which turned a 3-million-row-pair verify at sf0.1 (the column
-    * holds 64 distinct values over 20k rows) into a 64-name join —
-    * the dictionary-grain rewrite that makes string-similarity joins
-    * survive heavy value duplication at 100 TB. The length filter and
-    * the exact levenshtein verify keep the chain LOSSLESS, so the
-    * judged per-distance counts are exactly the brute-force oracle's
-    * row-grain numbers.
-    */
-  /** Shared by q304/q307: all DISTINCT-name pairs (na < nb) within
-    * edit distance `d`, found via the positional-q-gram prefix filter
-    * (candidates share one of each side's q·d+1 globally rarest
-    * (bigram, occurrence) tokens) and verified exactly — LOSSLESS, so
-    * callers may treat the result as ground truth.
-    */
-  private def editPairsNameGrain(names: DataFrame, d: Int): DataFrame = {
-    val toks = names
-      .select(col("name"),
-        explode(expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"))
-          .as("g"))
-      .groupBy("name", "g").agg(count(lit(1)).as("c"))
-      .select(col("name"), col("g"), explode(expr("sequence(1L, c)")).as("occ"))
-    val freq = toks.groupBy("g", "occ").agg(count(lit(1)).as("f"))
-    val ranked = toks.join(freq, Seq("g", "occ"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("name").orderBy(col("f").asc, col("g").asc, col("occ").asc)))
-    val prefix = ranked.filter(col("r") <= d * 2 + 1).select("name", "g", "occ")
-    prefix.select(col("name").as("na"), col("g"), col("occ"))
-      .join(prefix.select(col("name").as("nb"), col("g"), col("occ")), Seq("g", "occ"))
-      .filter(col("na") < col("nb"))
-      .select("na", "nb")
-      .distinct()
-      .filter(abs(length(col("na")) - length(col("nb"))) <= d)
-      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("dist") <= d)
-  }
-
-  def q304_edit_join(s: SparkSession, dir: String): DataFrame = {
-    val d = 2
-    val groups = t(s, dir, "part")
-      .select(col("p_name").as("name"))
-      .groupBy("name").agg(count(lit(1)).as("cnt"))
-    val cross = editPairsNameGrain(groups.select("name"), d)
-      .filter(col("dist") >= 1)
-      .join(groups.select(col("name").as("na"), col("cnt").as("ma")), "na")
-      .join(groups.select(col("name").as("nb"), col("cnt").as("mb")), "nb")
-      .select(col("dist"), (col("ma") * col("mb")).as("pairs"))
-    val within = groups
-      .select(lit(0L).as("dist"), expr("(cnt * (cnt - 1)) div 2").as("pairs"))
-    cross.unionAll(within)
-      .groupBy("dist").agg(sum("pairs").as("n_pairs"))
-      .filter(col("n_pairs") > 0)
-      .orderBy("dist")
-  }
-
-  /** Storage-partitioned join (SPJ) over the custom DSv2 source: both
-    * sides declare their physical layout — one planned partition per
-    * id%97 residue class — through `SupportsReportPartitioning` +
-    * `KeyGroupedPartitioning`, each `InputPartition` carrying its key
-    * (`HasPartitionKey`), and with `spark.sql.sources.v2.bucketing
-    * .enabled` Spark satisfies the join's clustered distribution
-    * straight from the CONNECTOR-declared layout: the bucket
-    * equi-join AND the downstream per-bucket aggregate plan ZERO
-    * exchanges (Dsv2SourceSpec asserts the executed plan is
-    * exchange-free). This is q155's Hive-bucketing co-location
-    * generalized to the V2 connector world — the mechanism behind
-    * shuffle-free joins on Iceberg/Delta partition layouts at 100 TB,
-    * where the shuffle being avoided is the dominant cost. Join keys
-    * must cover the partition keys for SPJ to engage (a (id,bucket)
-    * join keeps its exchanges — the probe that pinned this down).
-    */
-  def q305_spj_join(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    def tbl(st: Long, en: Long) = s.read.format("graft.sources.SeqSource")
-      .option("start", st).option("end", en).option("layout", "bucketed").load()
-    val a = tbl(0, 9700).select(col("bucket"), col("cents").as("ca"))
-    val b = tbl(4850, 14550).select(col("bucket"), col("cents").as("cb"))
-    a.hint("merge").join(b, "bucket")
-      .filter(col("bucket") < 10)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_pairs"), sum(col("ca") + col("cb")).as("sum_cents"))
-      .orderBy("bucket")
-  }
-
-  /** The transactional DSv2 sink as a JUDGED query (q149's pattern:
-    * the judged result passes through the custom layout while the
-    * oracle reads the ORIGINAL table — hash equality is the
-    * losslessness proof). The per-segment revenue aggregate is written
-    * through `LedgerSink`'s commit protocol (per-task staging →
-    * commit messages → atomic manifest publish; Dsv2SinkSpec proves
-    * the abort path leaves nothing) and read back through the same
-    * connector's manifest-resolved scan. This is the reference's
-    * batched-insert contract (main.py:305-356: a batch either lands
-    * whole or not at all) enforced by the CONNECTOR rather than by
-    * orchestrator retries.
-    */
-  def q306_dsv2_sink_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val agg = t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
-    // Overwrite (SupportsTruncate): the sink's append mode ACCUMULATES
-    // (the AppendData contract), so a fixed scratch path must replace
-    // its snapshot per run or repeat runs double the rows.
-    val path = scratch("ledger_rt")
-    agg.write.format("graft.sources.LedgerSink")
-      .option("path", path).mode("overwrite").save()
-    s.read.format("graft.sources.LedgerSink").option("path", path).load()
-      .orderBy("c_mktsegment")
-  }
-
-  /** Blocking-quality audit: q214's window-5 sorted-neighborhood
-    * blocking scored against the EXACT edit-distance-≤2 truth (the
-    * lossless q304 machinery) — the reduction-ratio / pair-completeness
-    * readout every record-linkage pipeline needs before trusting a
-    * blocking key (RR says how much of the n² the block avoided; PC
-    * says how much recall it paid for that). Both pair sets live at
-    * the distinct-name grain: truth from the prefix-filtered verify,
-    * candidates from rank-adjacency (r+1..r+5 equi-joins over
-    * [[PrefixSum.globalRank]] — never a windowed self-cross), the
-    * intersection one more equi-join. All counts exact integers; the
-    * two ratios are single divisions rounded once.
-    */
-  def q307_blocking_quality(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val w = 5
-    val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
-    val truth = editPairsNameGrain(names, 2).select("na", "nb")
-    val ranked = PrefixSum.globalRank(names, Seq("name"), "r")
-    val cand = ranked.select(col("name").as("na"),
-        explode(sequence(lit(1), lit(w))).as("off"), col("r"))
-      .withColumn("r", col("r") + col("off"))
-      .join(ranked.select(col("name").as("nb"), col("r")), "r")
-      .select("na", "nb")
-    val caught = truth.join(cand, Seq("na", "nb"), "left_semi")
-    val nNames = names.agg(count(lit(1)).as("n_names"))
-    val counts = nNames
-      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
-    counts.select(col("n_names"), col("n_truth"), col("n_cand"), col("n_caught"),
-      round(lit(1.0) - col("n_cand") /
-        (col("n_names") * (col("n_names") - 1L) / lit(2.0)), 6).as("reduction_ratio"),
-      when(col("n_truth") > 0,
-        round(col("n_caught") / col("n_truth").cast("double"), 6)).as("pair_completeness"))
-  }
-
-  /** Kruskal-Wallis H across the seven weekdays — the k-group
-    * extension of q261's Mann-Whitney (rank-based one-way ANOVA: does
-    * ANY weekday's purchase-value distribution differ, without
-    * q259's normality assumption). Reuses the doubled-tie-averaged
-    * rank trick: observations tied at a value hold ranks
-    * cum−cnt+1..cum, so twice their average rank is the exact integer
-    * 2·cum−cnt+1, and every per-group rank sum stays in int64 until
-    * the one final H evaluation. Tie correction 1 − Σ(t³−t)/(N³−N)
-    * applied as in Conover. Ranks ride on [[PrefixSum.runningTotal]]
-    * over the DISTINCT-value frame — never a corpus-sized window.
-    */
-  def q308_kruskal_wallis(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val byVw = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("wd", dayofweek(col("ts")).cast("long"))
-      .groupBy("value", "wd").agg(count(lit(1)).as("nv"))
-    val byV = byVw.groupBy("value").agg(sum("nv").as("cnt"))
-    val c = PrefixSum.runningTotal(byV, "value", "cnt", "cum")
-    val r2 = col("cum") * 2 - col("cnt") + 1
-    val ranked = byVw.join(c.select(col("value"), col("cnt"), r2.as("r2")), "value")
-    val perG = ranked.groupBy("wd")
-      .agg(sum("nv").as("n_g"), sum(col("nv") * col("r2")).as("r2g"))
-    val tot = c.agg(sum("cnt").as("n"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
-    val h = perG.crossJoin(broadcast(tot))
-      .agg(first("n").as("n"), first("tie3").as("tie3"),
-        sum((col("r2g") / 2.0) * (col("r2g") / 2.0) / col("n_g")).as("sr"))
-      .select(col("n"), col("tie3"),
-        (lit(12.0) / (col("n") * (col("n") + 1)) * col("sr") -
-          lit(3.0) * (col("n") + 1)).as("h_raw"))
-      .select(col("n").as("n_total"), round(col("h_raw"), 4).as("h"),
-        round(col("h_raw") /
-          (lit(1.0) - col("tie3") / (col("n") * col("n") * col("n") - col("n"))), 4)
-          .as("h_tie_corrected"))
-    perG.crossJoin(broadcast(tot))
-      .select(col("wd"), col("n_g"),
-        round(col("r2g") / (lit(2.0) * col("n_g")), 4).as("mean_rank"))
-      .crossJoin(broadcast(h))
-      .orderBy("wd")
-  }
-
-  /** Near-dup cluster SIZE histogram — the dedup-endgame readout over
-    * q53's machinery ("how much of the corpus sits in how-big
-    * clusters"; a long tail of pairs vs one giant component demand
-    * different dedup strategies, and the giant component is THE
-    * failure mode of over-loose LSH thresholds at scale). Docs in no
-    * near-dup pair enter as singleton components computed from the
-    * corpus total — no scan of the non-duplicated majority beyond the
-    * count. Oracle replays the exact-Jaccard pair graph + recursive CC
-    * in DuckDB (q53's oracle) and aggregates the same histogram.
-    */
-  def q309_component_sizes(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Components
-    val pairs = lshPairsStaged(s, dir)
-    val sizes = Components.connectedComponents(pairs, "id_a", "id_b")
-      .groupBy("component").agg(count(lit(1)).as("sz"))
-    val hist = sizes.groupBy("sz").agg(count(lit(1)).as("n_components"))
-    val tot = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val inGraph = sizes.agg(coalesce(sum("sz"), lit(0L)).as("n_in"))
-    val singles = tot.crossJoin(broadcast(inGraph))
-      .select(lit(1L).as("sz"), (col("n_docs") - col("n_in")).as("n_components"))
-    hist.unionAll(singles)
-      .groupBy("sz").agg(sum("n_components").as("n_components"))
-      .filter(col("n_components") > 0)
-      .orderBy("sz")
-  }
-
-  /** Simpson's-paradox audit: the OLS slope of quantity ~ discount
-    * pooled over all lineitems vs within each return-flag stratum —
-    * the aggregation-bias check behind every "metric moved" readout
-    * (a pooled trend whose sign flips inside every stratum is a
-    * composition effect, not a behavior change; q267 audits split
-    * BALANCE, this audits split CONFOUNDING). Slopes are the exact
-    * closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from one
-    * map-side-combined moment aggregate per grain; the pooled moment
-    * row rides in as a 1-row broadcast.
-    */
-  def q310_simpson_audit(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("grp"),
-        col("l_discount").as("x"), col("l_quantity").as("y"))
-    def slope(nc: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column =
-      (nc * sxy - sx * sy) / (nc * sxx - sx * sx)
-    val moments = li.groupBy("grp").agg(
-      count(lit(1)).cast("double").as("n"),
-      sum("x").as("sx"), sum("y").as("sy"),
-      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val pooled = moments.agg(
-      sum("n").as("pn"), sum("sx").as("psx"), sum("sy").as("psy"),
-      sum("sxy").as("psxy"), sum("sxx").as("psxx"))
-    moments.crossJoin(broadcast(pooled))
-      .select(col("grp"), col("n").cast("long").as("n_rows"),
-        round(slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6)
-          .as("slope_group"),
-        round(slope(col("pn"), col("psx"), col("psy"), col("psxy"), col("psxx")), 6)
-          .as("slope_pooled"),
-        (slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")) *
-          slope(col("pn"), col("psx"), col("psy"), col("psxy"), col("psxx")) < 0)
-          .as("sign_flip"))
-      .orderBy("grp")
-  }
-
-  /** A/B sample-size planner: per event type, the observations PER ARM
-    * needed to detect a 5% relative lift of the mean at α=0.05
-    * two-sided, 80% power — the design-time companion to q220's
-    * after-the-fact z readout (and the number q290's SRM gate assumes
-    * someone computed). n = ⌈(z_α/2 + z_β)² · 2σ²/Δ²⌉ with the two z
-    * constants pinned as literals (1.96, 0.84) so no inverse-normal
-    * enters the hash-compared path; σ² and μ come from one
-    * moment aggregate over the historical stream.
-    */
-  def q311_abtest_power(s: SparkSession, dir: String): DataFrame = {
-    val m = t(s, dir, "events")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_obs"), avg("value").as("mu"),
-        var_samp(col("value")).as("s2"))
-    m.select(col("event_type"), col("n_obs"),
-        round(col("mu"), 4).as("mean_value"),
-        round(sqrt(col("s2")), 4).as("sd_value"),
-        ceil((lit(1.96) + lit(0.84)) * (lit(1.96) + lit(0.84)) * lit(2.0) * col("s2") /
-          ((lit(0.05) * col("mu")) * (lit(0.05) * col("mu")))).cast("long")
-          .as("n_per_arm"))
-      .orderBy("event_type")
-  }
-
-  /** The DSv2 VECTORIZED read path as a judged query: the scan hands
-    * Spark 4096-row `ColumnarBatch`es (the parquet-reader contract —
-    * `ColumnarToRow` above the scan, whole-stage codegen consuming the
-    * vectors without per-row boxing; Dsv2SourceSpec asserts the plan
-    * shape and bitwise row parity with the row reader). The group-by
-    * aggregate deliberately refuses the complete-pushdown fast path
-    * (q163 covers that), so the 2M rows genuinely flow through the
-    * columnar batches. At 100 TB, columnar hand-off is the difference
-    * between a scan that feeds codegen at memory bandwidth and one
-    * that boxes every row.
-    */
-  def q312_columnar_scan(s: SparkSession, dir: String): DataFrame =
-    s.read.format("graft.sources.SeqSource")
-      .option("start", 0L).option("end", 2000000L)
-      .option("slices", 32).option("vectorized", "true").load()
-      .groupBy("word")
-      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
-        min("id").as("min_id"), max("bucket").as("max_bucket"))
-      .orderBy("word")
-
-  /** Cramér's V (with the Bergsma bias correction) for event type ×
-    * weekday — the bounded [0,1] association STRENGTH completing the
-    * contingency kit: q126 says whether the dependence is significant,
-    * q285 says how many nats it carries, V says how strong it is on a
-    * scale comparable across tables of different size and shape (raw
-    * φ² inflates on small n / large tables — the correction subtracts
-    * its expectation under independence). Bounded contingency cells,
-    * marginals as broadcasts, one final row of arithmetic.
-    *
-    * The chi-square sum runs over the COMPLETED r x c grid (distinct
-    * event types crossed with distinct weekdays, observed cells
-    * left-joined in, absent cells coalesced to 0): an empty cell still
-    * contributes (0 - E)^2 / E = E, which observed-cells-only
-    * enumeration would silently drop, understating the statistic
-    * whenever the table is sparse (the q203 broadcast-grid pattern).
-    */
-  def q313_cramers_v(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "events")
-      .select(col("event_type").as("et"), dayofweek(col("ts")).cast("long").as("wd"))
-    val obs = base.groupBy("et", "wd").agg(count(lit(1)).cast("double").as("o"))
-    // Bounded r x c frame (#event_types x 7) — safe to cross however big `events` is.
-    val grid = obs.select("et").distinct().crossJoin(broadcast(obs.select("wd").distinct()))
-    val cells = grid.join(obs, Seq("et", "wd"), "left")
-      .select(col("et"), col("wd"), coalesce(col("o"), lit(0.0)).as("o"))
-    val mx = cells.groupBy("et").agg(sum("o").as("nx"))
-    val my = cells.groupBy("wd").agg(sum("o").as("ny"))
-    val dims = cells.agg(countDistinct("et").cast("double").as("r"),
-      countDistinct("wd").cast("double").as("c"), sum("o").as("n"))
-    val chi2 = cells
-      .join(broadcast(mx), "et").join(broadcast(my), "wd")
-      .crossJoin(broadcast(dims))
-      .agg(first("r").as("r"), first("c").as("c"), first("n").as("n"),
-        sum(((col("o") - col("nx") * col("ny") / col("n")) *
-          (col("o") - col("nx") * col("ny") / col("n"))) /
-          (col("nx") * col("ny") / col("n"))).as("chi2"))
-    val phi2 = col("chi2") / col("n")
-    val phi2c = greatest(lit(0.0),
-      phi2 - (col("r") - 1) * (col("c") - 1) / (col("n") - 1))
-    val rc = col("r") - (col("r") - 1) * (col("r") - 1) / (col("n") - 1)
-    val cc = col("c") - (col("c") - 1) * (col("c") - 1) / (col("n") - 1)
-    chi2.select(
-      col("n").cast("long").as("n"), col("r").cast("long").as("n_types"),
-      col("c").cast("long").as("n_weekdays"),
-      round(col("chi2"), 4).as("chi2"),
-      round(sqrt(phi2 / least(col("r") - 1, col("c") - 1)), 6).as("cramers_v"),
-      round(sqrt(phi2c / least(rc - 1, cc - 1)), 6).as("v_bias_corrected"))
-  }
-
-  /** Dynamic partition pruning through the DSv2 runtime-filter
-    * contract ([[graft.sources.SeqBucketedScan]] implements
-    * `SupportsRuntimeFiltering`): the dimension side's selective
-    * filter runs first (broadcast build), Spark hands the surviving
-    * join keys to the scan as an IN filter AT EXECUTION TIME, and the
-    * scan re-plans to only the matching residue-class partitions — 5
-    * of 97 here, asserted in Dsv2SourceSpec. This is the last rung of
-    * the DSv2 ladder next to static pushdown (q148), complete
-    * aggregate pushdown (q163), storage-partitioned joins (q305) and
-    * the columnar path (q312): at 100 TB it is the difference between
-    * scanning every date/bucket directory and scanning the handful the
-    * dimension filter actually touches — pruning decided by DATA, not
-    * by a static predicate.
-    */
-  def q314_runtime_pruned_join(s: SparkSession, dir: String): DataFrame = {
-    val fact = s.read.format("graft.sources.SeqSource")
-      .option("start", 0L).option("end", 2000000L)
-      .option("layout", "bucketed").load()
-    val dim = s.range(0, 97).toDF("bucket").filter(col("bucket") % 19 === 3)
-    fact.join(broadcast(dim), Seq("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
-      .orderBy("bucket")
-  }
-
-  /** NEAREST-event join: for each click, the purchase by the same user
-    * closest in time in EITHER direction — the bidirectional refinement
-    * of as-of (backward q147 / forward q150 return the nearest on one
-    * side only; "nearest sensor reading to this observation" is the
-    * time-series join every alignment pipeline actually wants).
-    * Composed from the custom native as-of plan run once per
-    * direction — each is one merge pass over key-bucketed sorted
-    * runs, zero extra shuffles on co-partitioned input — then an
-    * arithmetic pick of the smaller |Δt| (ties to the backward match,
-    * the as-of convention). Sentinels (-1/none) keep users with no
-    * purchases visible.
-    */
-  def q315_nearest_event_join(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-    val back = graft.plans.NativeAsOfJoin.backward(clicks, purchases,
-      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
-      rightTieCol = "event_id", rightPrefix = "b_")
-    val both = graft.plans.NativeAsOfJoin.forward(back, purchases,
-      keyCol = "user_id", leftTsCol = "us", rightTsCol = "us",
-      rightTieCol = "event_id", rightPrefix = "f_")
-    val db = col("us") - col("b_us")
-    val df = col("f_us") - col("us")
-    val pickBack = col("f_us").isNull || (col("b_us").isNotNull && db <= df)
-    both.select(
-        col("event_id"), col("user_id"), col("us").as("ts_us"),
-        when(col("b_us").isNull && col("f_us").isNull, lit(-1L))
-          .when(pickBack, col("b_event_id")).otherwise(col("f_event_id"))
-          .as("near_event_id"),
-        when(col("b_us").isNull && col("f_us").isNull, lit(-1L))
-          .when(pickBack, db).otherwise(df).as("near_dt_us"),
-        when(col("b_us").isNull && col("f_us").isNull, lit("none"))
-          .when(pickBack, lit("back")).otherwise(lit("fwd")).as("direction"))
-      .orderBy("event_id")
-  }
-
-  /** Isotonic calibration of q184's reliability bins — the monotone
-    * fit every production calibrator (Zadrozny-Elkan isotonic
-    * regression) lays over the raw bin rates before serving
-    * probabilities. Solved by the minimax characterization of PAVA:
-    * ŷ_i = max_{j≤i} min_{k≥i} wavg(y over bins j..k) — three
-    * bounded self-joins of the ≤10-row bin frame (≤10³ combinations),
-    * never an iterative pool loop, and every interval average is one
-    * division of exact integer sums so both engines agree bit-for-bit.
-    * The corpus is touched once (the binning aggregate); everything
-    * monotone happens on the bounded frame — the 100 TB shape.
-    */
-  def q316_isotonic_calibration(s: SparkSession, dir: String): DataFrame = {
-    val scored = probeScored(s, dir)
-    val env = scored.agg(min("score").as("lo"), max("score").as("hi"))
-    val bins = scored.crossJoin(broadcast(env))
-      .withColumn("bin",
-        least(floor((col("score") - col("lo")) / (col("hi") - col("lo")) * 10), lit(9L)))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
-        round(avg("score"), 4).as("mean_score"),
-        round(avg(col("y").cast("double")), 4).as("frac_pos"))
-      .persistTracked() // ≤10 rows, consumed by three bounded joins
-    val fit = operators.Isotonic.fit(bins, "bin", "n", "sy")
-      .withColumnRenamed("bin", "i")
-    bins.join(fit, col("bin") === col("i"))
-      .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
-        round(col("iso"), 6).as("iso_fit"))
-      .orderBy("bin")
-  }
-
-  /** REAL audio DSP through opaque binary columns — the multimodal
-    * path that needs no external codec and so is NOT stubbed (q33/
-    * q142/q243 exercise the stubbed image/video decode seam): 16-bit
-    * PCM tones are synthesized from per-id arithmetic, PACKED into
-    * little-endian int16 payload bytes (`PcmPack`), and per-frame RMS
-    * energy plus silence detection is computed back FROM THE BYTES
-    * (`PcmFrameRms`, a codegen byte loop) — the voice-activity /
-    * silence-trim primitive of audio curation. The oracle reproduces
-    * the same sample arithmetic in SQL without any binary, so hash
-    * equality proves the pack→bytes→RMS path lossless. Payloads never
-    * shuffle; only the 10-double energy arrays move.
-    */
-  def q317_audio_energy(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.PcmExpressions._
-    val amp = when(col("media_id") % 5 === 0, lit(0.0))
-      .otherwise(lit(2000.0) + col("media_id") * 100)
-    val w = ((col("media_id") % 7) + 1) * lit(0.01)
-    val samples = transform(sequence(lit(0), lit(2399)),
-      t => floor(amp * sin(t.cast("double") * w)).cast("long"))
-    val rms = s.range(1, 21).toDF("media_id")
-      .withColumn("payload", pcmPack(samples))
-      .withColumn("rms", pcmFrameRms(col("payload"), 240))
-    rms.select(col("media_id"),
-        size(col("rms")).cast("long").as("n_frames"),
-        round(aggregate(col("rms"), lit(0.0), (a, x) => a + x) / size(col("rms")), 4)
-          .as("mean_rms"),
-        round(array_max(col("rms")), 4).as("peak_rms"),
-        size(filter(col("rms"), x => x < 1.0)).cast("long").as("silence_frames"))
-      .orderBy("media_id")
-  }
-
-  /** q317's image twin: REAL raw-bitmap ops over binary columns —
-    * RGB888 buffers synthesized from per-id arithmetic, then integer
-    * BT.601 luma histogram ((77r+150g+29b)>>8, 8 bins) and a 4×4
-    * nearest-neighbor thumbnail computed FROM THE BYTES by codegen
-    * loops (`RgbLumaHist`/`RgbResizeNearest`/`RgbLumaSum`). Every
-    * output is exact integer arithmetic, so the binary-free DuckDB
-    * oracle matches bit-for-bit — the brightness-profile / thumbnail
-    * primitives of image curation, minus only the compressed-format
-    * decode this container cannot host (that seam stays stubbed in
-    * operators/Multimodal.scala).
-    */
-  def q318_image_stats(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.RgbExpressions._
-    val bytes = transform(sequence(lit(0), lit(575)),
-      i => (col("media_id") * 31 + i.cast("long") * 7) % 256)
-    val df = s.range(1, 13).toDF("media_id")
-      .withColumn("payload", bytesPack(bytes))
-      .withColumn("hist", rgbLumaHist(col("payload"), 8))
-      .withColumn("thumb", rgbResizeNearest(col("payload"), 16, 12, 4, 4))
-    val histCols = (0 until 8).map(b =>
-      element_at(col("hist"), b + 1).as(s"h$b"))
-    df.select(col("media_id") +: histCols :+
-        round(rgbLumaSum(col("thumb")) / lit(16.0), 4).as("thumb_mean_luma"): _*)
-      .orderBy("media_id")
-  }
-
-  /** The video leg of the codec-free multimodal trio (q317 audio,
-    * q318 image): raw concatenated RGB frames synthesized with a
-    * scene cut at frame 3, per-boundary motion energy Σ|Δbyte|
-    * computed FROM THE BYTES by the codegen `RgbMotion` loop — the
-    * scene-cut / static-clip detector video curation runs before
-    * sampling frames for a vision model. Exact integers end to end;
-    * the binary-free oracle reproduces the arithmetic, proving the
-    * byte path. In-scene boundaries drift by 1/byte (motion ~144 per
-    * 144-byte frame pair — though the mod-256 arithmetic can WRAP a
-    * byte across a frame step, |Δ| = 255 instead of 1, so an in-scene
-    * boundary is bounded by 143 + 255, still well under the 1000 cut
-    * threshold) while the cut jumps two orders — the threshold flags
-    * exactly one cut per clip.
-    */
-  def q319_video_motion(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.RgbExpressions._
-    val frameBytes = 144
-    val bytes = transform(sequence(lit(0), lit(863)), i => {
-      val il = i.cast("long")
-      val f = floor(i.cast("double") / frameBytes).cast("long")
-      val j = il % frameBytes
-      (col("media_id") * 13 + j * 5 + f +
-        when(f >= 3, (j % 3 + 1) * 100).otherwise(0)) % 256
-    })
-    val m = s.range(1, 9).toDF("media_id")
-      .withColumn("motion", rgbMotion(bytesPack(bytes), frameBytes))
-    m.select(col("media_id"),
-        size(col("motion")).cast("long").as("n_boundaries"),
-        aggregate(col("motion"), lit(0L), (a, x) => a + x).as("total_motion"),
-        array_max(col("motion")).as("max_motion"),
-        size(filter(col("motion"), x => x > 1000L)).cast("long").as("n_cuts"))
-      .orderBy("media_id")
-  }
-
-  /** ORDER-BY-id top-N pushed into the DSv2 scan
-    * (`SupportsPushDownTopN`): the last-5 probe over a BILLION-row
-    * declared range plans a scan of exactly 5 rows — the source
-    * narrows its bounds to the top slice and Spark's retained sort
-    * runs over those 5 (partial pushdown, so correctness never
-    * depends on cross-partition order). Next to q163's closed-form
-    * aggregate pushdown this is the other "don't read what the query
-    * can't return" rung: at 100 TB, tail probes (latest ids, most
-    * recent partition) become metadata-sized reads.
-    */
-  def q320_dsv2_topn(s: SparkSession, dir: String): DataFrame =
-    s.read.format("graft.sources.SeqSource")
-      .option("start", 0L).option("end", 1000000000L).option("slices", 32).load()
-      .orderBy(desc("id"))
-      .limit(5)
-      .select(col("id"), col("bucket"), col("cents"), col("word"))
-
-  /** GROUPED complete aggregate pushdown (q163's single-row closed
-    * form extended to GROUP BY): each `bucket` residue class of the
-    * filter-narrowed id range is an arithmetic progression of stride
-    * 97, so the connector answers grouped COUNT/MIN/MAX/SUM(id) as 97
-    * rows of arithmetic — Spark plans NO aggregate exec and generates
-    * ZERO input rows (Dsv2SourceSpec asserts both, and that non-
-    * residue groupings still refuse). At 100 TB this is the
-    * partition-level-statistics answer path: per-partition counts and
-    * id spans served from metadata, never from data.
-    */
-  def q321_dsv2_grouped_pushdown(s: SparkSession, dir: String): DataFrame =
-    s.read.format("graft.sources.SeqSource")
-      .option("start", 0L).option("end", 100000000L).option("slices", 32)
-      .load()
-      .filter(col("id") >= 25000000L && col("id") < 75000000L)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
-      .orderBy("bucket")
-
-  /** End-to-end MEDIA curation pipeline (the multimodal q158): 40
-    * synthetic clips each carry an audio payload, a raw video payload,
-    * and a keyframe bitmap — all real bytes — and the pipeline drops
-    * silent clips (q317's frame-RMS gate: the silent generator emits
-    * exact zeros), drops static clips (q319's motion gate: identical
-    * frames give motion exactly 0), then exact-dedups the SURVIVORS on
-    * a composite perceptual key — keyframe-thumbnail luma sum PLUS the
-    * full-frame 8-bin luma histogram packed base-193 into one long
-    * (q318's resize/sum/hist; the thumbnail sum alone collides across
-    * distinct content — vids 3 and 19 here — exactly why real
-    * perceptual fingerprints combine a global profile with a
-    * downsample) — clips share visual content per id%20, so cross-id
-    * duplicates exist by construction; the smallest id is kept. Every stage is
-    * byte-level arithmetic the binary-free oracle reproduces, so the
-    * full verdict column is hash-exact. A partner dropped as
-    * silent/static does NOT shadow its duplicate — dedup runs over
-    * survivors only, the order every real pipeline uses (cheap gates
-    * before the keyed shuffle). The dedup shuffle carries an 8-byte
-    * key; payloads never leave their map side.
-    */
-  def q322_media_pipeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.PcmExpressions._
-    import graft.expr.RgbExpressions._
-    val vid = col("media_id") % 20
-    // Audio: 1200 samples; ids ≡ 0 (mod 4) are digital silence.
-    val amp = when(col("media_id") % 4 === 0, lit(0.0))
-      .otherwise(lit(2100.0) + col("media_id") * 50)
-    val w = ((col("media_id") % 7) + 1) * lit(0.01)
-    val audio = transform(sequence(lit(0), lit(1199)),
-      t => floor(amp * sin(t.cast("double") * w)).cast("long"))
-    // Video: 4 frames x 48 bytes; ids ≡ 0 (mod 5) freeze the frame.
-    val video = transform(sequence(lit(0), lit(191)), i => {
-      val f = floor(i.cast("double") / 48).cast("long")
-      val j = i.cast("long") % 48
-      (vid * 9 + j * 3 +
-        when(col("media_id") % 5 === 0, lit(0L)).otherwise(f * 7)) % 256
-    })
-    // Keyframe: 16x12 RGB888 seeded by id % 20 (the duplicate axis).
-    val keyframe = transform(sequence(lit(0), lit(575)),
-      i => (vid * 31 + i.cast("long") * 7) % 256)
-    // 193 > max bin count (192), so the packed histogram is injective;
-    // 193^7 * 192 fits a long.
-    val p193 = Array.iterate(1L, 8)(_ * 193L)
-    val base = s.range(1, 41).toDF("media_id")
-      .withColumn("silent",
-        array_max(pcmFrameRms(pcmPack(audio), 240)) < 1.0)
-      .withColumn("static",
-        array_max(rgbMotion(bytesPack(video), 48)) < 10L)
-      .withColumn("kf", bytesPack(keyframe))
-      .withColumn("thumb_key",
-        rgbLumaSum(rgbResizeNearest(col("kf"), 16, 12, 4, 4)))
-      .withColumn("hist", rgbLumaHist(col("kf"), 8))
-      .withColumn("hist_key",
-        (0 until 8).map(b => element_at(col("hist"), b + 1) * lit(p193(b)))
-          .reduce(_ + _))
-      .drop("kf", "hist")
-    val keepers = base.filter(!col("silent") && !col("static"))
-      .groupBy("thumb_key", "hist_key").agg(min("media_id").as("keeper"))
-    base.join(broadcast(keepers), Seq("thumb_key", "hist_key"), "left")
-      .select(col("media_id"), col("thumb_key"), col("hist_key"),
-        when(col("silent"), "silent")
-          .when(col("static"), "static")
-          .when(col("media_id") === col("keeper"), "kept")
-          .otherwise("duplicate").as("status"))
-      .orderBy("media_id")
-  }
-
-  /** The REAL compressed-image decode the multimodal trio still
-    * stubbed: q318's synthetic 16×12 RGB888 bitmaps are encoded to
-    * actual PNG bytes and decoded back through the JDK's
-    * `javax.imageio` ([[graft.operators.ImageCodec]]), and the BT.601
-    * luma histogram is re-derived FROM THE DECODED PIXELS by the same
-    * codegen `RgbLumaHist` loop. PNG is lossless, so the binary-free
-    * DuckDB oracle (identical arithmetic to q318's) hash-matches bit
-    * for bit — if the codec fabricated or shifted even one byte, the
-    * histogram (and the projected `lossless` flag comparing decoded
-    * to source bytes) would break. Encode/decode are deliberate UDFs
-    * (a JDK library-call boundary with nothing to codegen —
-    * CompressionScore's documented pattern); payloads decode
-    * partition-locally and never shuffle.
-    */
-  def q323_png_decode(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.RgbExpressions._
-    import graft.operators.ImageCodec
-    val encodeUdf = udf((rgb: Array[Byte]) => ImageCodec.encodePng(rgb, 16, 12))
-    val decodeUdf = udf((png: Array[Byte]) => ImageCodec.decodeToRgb(png))
-    val bytes = transform(sequence(lit(0), lit(575)),
-      i => (col("media_id") * 31 + i.cast("long") * 7) % 256)
-    val df = s.range(1, 13).toDF("media_id")
-      .withColumn("rgb", bytesPack(bytes))
-      .withColumn("png", encodeUdf(col("rgb")))
-      .withColumn("decoded", decodeUdf(col("png")))
-      .withColumn("hist", rgbLumaHist(col("decoded"), 8))
-    val histCols = (0 until 8).map(b =>
-      element_at(col("hist"), b + 1).as(s"h$b"))
-    df.select(col("media_id") +: histCols :+
-        (col("decoded") === col("rgb")).as("lossless"): _*)
-      .orderBy("media_id")
-  }
-
-  /** The Spark-4 arbitrary-state surface, ORACLE-JUDGED (it was
-    * parity-tested only): full sessionization through
-    * `StatefulSessions.SessionProcessor` (`transformWithState`, typed
-    * ValueState + explicit event-time timers, RocksDB-backed) running
-    * as a REAL streaming query — file-source micro-batch over the
-    * events table, distributed parquet sink (session rows are
-    * user-grain — q328's no-driver-materialization rule) — and
-    * hash-matched against q29's
-    * gaps-and-islands SQL oracle. A per-user far-future sentinel event
-    * (global max ts + gap + 1h, value 0) rides the stream so every
-    * REAL session closes through the event path and emits in Append
-    * mode before the query drains; the sentinels' own sessions stay
-    * open in state and are never emitted, so the output is exactly
-    * the batch oracle's session set. Scale shape is the processor's
-    * contract: one shuffle on the key, O(active keys) fixed-size
-    * state, per-key timers.
-    */
-  def q324_sessions_tws_stream(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.StatefulSessions
-    val gapUs = 6L * 3600 * 1000000
-    val ev = StatefulSessions.project(
-      t(s, dir, "events"), "user_id", "event_id", "ts", "value")
-    val sentinels = ev.groupBy("key").agg(count(lit(1)))
-      .crossJoin(broadcast(ev.agg(max(col("ts")).as("gmx"))))
-      .select(col("key"),
-        lit(Long.MaxValue / 2).as("seq"),
-        (col("gmx") + expr("INTERVAL 7 HOURS")).cast("timestamp").as("ts"),
-        lit(0.0).as("value"))
-    val stageDir = stagedParquet(s"tws|$dir") { d =>
-      ev.toDF().unionByName(sentinels).write.mode("overwrite").parquet(d)
-    }
-    // Session rows are USER-grain (unbounded at corpus scale) — they
-    // ride the distributed file sink (runToParquetSink, q328's rule);
-    // the judged frame reads back from parquet.
-    val stream0 = s.readStream.schema(ev.schema).parquet(stageDir)
-      .as[StatefulSessions.SEvent](org.apache.spark.sql.Encoders
-        .product[StatefulSessions.SEvent])
-      .withWatermark("ts", "0 seconds")
-    // RocksDB provider rides runToParquetSink's locked conf window
-    // (set → start → restore under sessionConfLock) — concurrency-safe.
-    val sessions = runToParquetSink(s,
-      StatefulSessions.sessionizeStreamTws(stream0, gapUs).toDF(), "tws",
-      RocksProvider)
-    sessions
-      .select(col("key").as("user_id"),
-        timestamp_micros(col("startUs")).as("s_start"),
-        col("n_events"), round(col("total"), 2).as("total"))
-      .orderBy("user_id", "s_start")
-  }
-
-  private val twsRuns = new java.util.concurrent.atomic.AtomicLong(0)
-
-  /** One staged topic per (query, sfDir) per JVM: repeat invocations
-    * (bench reps, the PlanSpec sweeps that construct every query) skip
-    * the re-serialization write; the streaming run itself still
-    * executes every time. Temp dirs, so a fresh JVM restages.
-    */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedParquet(key: String)(build: String => Unit): String =
-    stageCache.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft_stage_").toString
-      build(d)
-      d
-    })
-
-  /** N-gram LM perplexity scoring with STUPID BACKOFF — the
-    * CCNet/KenLM-style quality filter that ranks documents by how
-    * "language-like" they read, the workhorse between q192's DSIR and
-    * q203's corpus-level KL. A bigram model is trained on the
-    * even-doc_id half of the corpus (hash-deterministic split, no RNG)
-    * and the odd half is scored HELD-OUT, so the backoff path (unseen
-    * bigram → 0.4 × add-half-smoothed unigram) really fires. Per-doc
-    * score is the mean negative log-probability over its bigrams —
-    * ppl = exp(nll) is monotone in it, and staying on the log scale
-    * keeps cross-engine exp() out of the hash (q302's rule).
-    *
-    * Scale: bigrams come from a codegen `zip_with` over the token
-    * array (no per-doc window); count frames are corpus-derived and
-    * therefore SHUFFLE on their token keys, never broadcast (only the
-    * 1-row (N, V) normalizer broadcasts); scoring is three equi-joins
-    * — (w1,w2), w1, w2 — with AQE handling the stopword-head skew,
-    * then one doc_id shuffle for the per-doc mean. Single-token docs
-    * have no bigrams and drop out in both engines.
-    */
-  def q325_ngram_perplexity(s: SparkSession, dir: String): DataFrame = {
-    val toksAll = tWide(s, dir, "documents").select(col("doc_id"), col("lang"),
-      graft.functions.TextFunctions.tokens(col("text")).as("l"))
-    // greatest(…, 0): a 0/1-token doc must yield an empty bigram array,
-    // not a negative slice length (which throws).
-    val bg = zip_with(
-      slice(col("l"), lit(1), greatest(size(col("l")) - 1, lit(0))),
-      slice(col("l"), lit(2), greatest(size(col("l")) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-    val bi = toksAll
-      .select(col("doc_id"), col("lang"), explode(bg).as("b"))
-      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
-    val train = bi.filter(col("doc_id") % 2 === 0)
-    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val c1 = toksAll.filter(col("doc_id") % 2 === 0)
-      .select(explode(col("l")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n1"))
-    val nv = c1.agg(sum("n1").as("nn"), count(lit(1)).as("v"))
-    val scored = bi.filter(col("doc_id") % 2 === 1)
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1.select(col("w").as("w1"), col("n1").as("n1w1")), Seq("w1"), "left")
-      .join(c1.select(col("w").as("w2"), col("n1").as("n1w2")), Seq("w2"), "left")
-      .crossJoin(broadcast(nv))
-      .withColumn("logp",
-        when(col("n2").isNotNull, log(col("n2") / col("n1w1")))
-          .otherwise(log(lit(0.4)) +
-            log((coalesce(col("n1w2"), lit(0L)) + lit(0.5)) /
-              (col("nn") + lit(0.5) * col("v")))))
-    scored.groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("logp")), 4).as("nll"))
-      .orderBy("doc_id")
-  }
-
-  /** CCNet-style perplexity bucketing over q325's held-out scores: each
-    * language's scored docs split into head/middle/tail by exact nll
-    * terciles — the partition CCNet uses to keep the well-modeled
-    * "head" slice of a crawl and drop the tail. A language-PARTITIONED
-    * `ntile(3)` would put each language in one task — and one language
-    * is most of any real crawl, so that is a global sort in disguise.
-    * Instead: ONE cost-based PrefixSum.globalRank over the composite
-    * (lang, nll, doc_id) order, within-language rank recovered by
-    * subtracting per-language exclusive offsets (a ≤#languages-row
-    * frame), and the tercile from q138's exact-ntile integer
-    * arithmetic — every stage partition-parallel. Ranking on the
-    * ALREADY-ROUNDED nll with a doc_id tiebreak keeps the order
-    * engine-stable. Output is the per-(lang, bucket) audit a curation
-    * run reads: doc count, nll envelope, mean.
-    */
-  def q326_perplexity_buckets(s: SparkSession, dir: String): DataFrame = {
-    val scored = q325_ngram_perplexity(s, dir)
-    val ranked = PrefixSum.globalRank(scored, Seq("lang", "nll", "doc_id"), "gr")
-    // Per-language counts + exclusive offsets: bounded by the language
-    // label space (≤ ~200 rows at ANY corpus size) — the window is over
-    // that frame, never doc rows.
-    val offsets = scored.groupBy("lang").agg(count(lit(1)).as("nl"))
-      .withColumn("off", coalesce(
-        sum("nl").over(Window.orderBy("lang")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val q3 = expr("nl div 3")
-    val rem = col("nl") % 3
-    val r = col("gr") - col("off")
-    val bin = (when(r <= rem * (q3 + 1), (r - 1) / (q3 + 1))
-      .otherwise(rem + (r - rem * (q3 + 1) - 1) / q3)
-      .cast("long") + 1)
-    val bucketed = ranked.join(broadcast(offsets), "lang")
-      .withColumn("b", bin)
-      .withColumn("bucket",
-        when(col("b") === 1, "1_head").when(col("b") === 2, "2_middle")
-          .otherwise("3_tail"))
-    bucketed.groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        round(min("nll"), 4).as("min_nll"),
-        round(max("nll"), 4).as("max_nll"),
-        round(avg("nll"), 4).as("mean_nll"))
-      .orderBy("lang", "bucket")
-  }
-
-  /** Stream-STATIC enrichment + streaming aggregation, ORACLE-JUDGED
-    * as a real streaming query (q324's harness): the orders fact
-    * streams through a file-source micro-batch, each batch is enriched
-    * by a BROADCAST join against the static customer⋈nation dimension
-    * (the per-micro-batch map-side join every streaming ETL runs —
-    * dims broadcast once, fact rows never shuffle for the join), and
-    * a stateful streaming aggregation in Complete mode folds revenue
-    * per nation across batches. AvailableNow drains the topic and the
-    * final state must equal the batch join — hash-matched against the
-    * plain three-table SQL oracle. Complete-mode state is one row per
-    * nation (bounded), which is exactly when Complete mode is the
-    * right tool.
-    */
-  def q327_stream_static_enrich(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val orders = t(s, dir, "orders")
-      .select("o_custkey", "o_totalprice")
-    val stageDir = stagedParquet(s"ss|$dir") { d =>
-      orders.write.mode("overwrite").parquet(d)
-    }
-    val dim = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name"))
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_stream_static_$n"
-    val q = withStreamPartitions(s) {
-      s.readStream.schema(orders.schema).parquet(stageDir)
-        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("revenue"))
-        .writeStream.format("memory").queryName(table)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_ss_ckpt_").toString)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    s.table(table).orderBy("n_name")
-  }
-
-  /** The click/purchase topic pair behind q328/q333: clicks and
-    * purchases re-serialized to two staged parquet topics, each
-    * carrying one far-future sentinel row (global max ts + 50 HOURS —
-    * far enough that even a 1-day tumbling window containing the last
-    * real event ends before it; both topics need one because the query
-    * watermark is the MIN across inputs), read back as 0-second-
-    * watermark file-source streams. Sentinel user_ids are negative and
-    * distinct (-1 click / -2 purchase), so sentinels never join and
-    * are trivially filtered from any downstream rollup.
-    */
-  private def sojStreams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("campaign"),
-        col("ts").as("cts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
-    val gmx = ev.agg(max(col("ts")).as("gmx"))
-    val cSchema = clicks.schema
-    val pSchema = purchases.schema
-    val cDir = stagedParquet(s"sojc|$dir") { d =>
-      clicks.unionByName(gmx.select(lit(-1L).as("user_id"),
-          lit(null).cast("long").as("campaign"),
-          (col("gmx") + expr("INTERVAL 50 HOURS")).as("cts")))
-        .write.mode("overwrite").parquet(d)
-    }
-    val pDir = stagedParquet(s"sojp|$dir") { d =>
-      purchases.unionByName(gmx.select(lit(-2L).as("p_user"),
-          (col("gmx") + expr("INTERVAL 50 HOURS")).as("pts"),
-          lit(0.0).as("value")))
-        .write.mode("overwrite").parquet(d)
-    }
-    (s.readStream.schema(cSchema).parquet(cDir)
-        .withWatermark("cts", "0 seconds"),
-      s.readStream.schema(pSchema).parquet(pDir)
-        .withWatermark("pts", "0 seconds"))
-  }
-
-  /** Runs `body` (a streaming-query `start()`) with
-    * `spark.sql.shuffle.partitions` sized to the STREAM'S STATE, not
-    * the session's batch default: state-store partition count is a
-    * checkpoint-pinned property of the stream, and every partition is
-    * a per-epoch state commit (file + fsync — and for RocksDB a store
-    * instance + changelog) whether or not it holds keys, so a
-    * production job sizes it to the per-epoch key volume at startup.
-    * For the test topics 4 partitions is the measured knee: 8→4 cut
-    * the judged drains' cold medians 10-23% (every epoch pays half
-    * the commit fanout) while n=2 bought nothing more (the join/agg
-    * work itself is already sub-second at this SF). At 100 TB the
-    * same knob is set HIGHER than the batch default; the point is it
-    * is set per-stream, not inherited.
-    *
-    * The whole set→start→restore window runs under [[sessionConfLock]]
-    * (session confs are SESSION-wide mutable state): concurrent
-    * runners ON THE SAME SESSION must not race the set/restore pair.
-    * The lock is PER-SESSION (weak-keyed, so cloned tenant sessions
-    * are collectable): two tenants on different sessions mutate
-    * disjoint SQLConfs and never contend — only same-session runners
-    * serialize, which is exactly the hazard. For the streaming
-    * windows here the lock is held only while `start()` builds the
-    * stream's conf snapshot, never across the drain; the two BATCH
-    * conf windows (q337's bloom dials, q358's scripting toggle) hold
-    * it across their bounded executions — so the lock alone is a
-    * belt, not the serving-shape isolation. Real multi-tenant
-    * isolation is one CLONED SESSION per tenant (`spark.newSession()`,
-    * the Thrift-server shape QueryBench runs): session confs and temp
-    * views become tenant-local, and a sibling's lock-free planning
-    * can never observe a mid-toggle conf because the toggle happens
-    * on a different SQLConf. `extraConf` carries additional
-    * per-stream confs (e.g. the RocksDB state-store provider) into
-    * the same window.
-    */
-  private val confLocks = new java.util.WeakHashMap[SparkSession, Object]
-  private[graft] def sessionConfLock(s: SparkSession): Object =
-    confLocks.synchronized(confLocks.computeIfAbsent(s, _ => new Object))
-  private def withStreamPartitions[T](s: SparkSession, n: Int = 4,
-      extraConf: Map[String, String] = Map.empty)(body: => T): T =
-    sessionConfLock(s).synchronized {
-      val keys = extraConf.keySet + "spark.sql.shuffle.partitions"
-      val prevs = keys.toSeq.map(k => k -> s.conf.getOption(k))
-      s.conf.set("spark.sql.shuffle.partitions", n.toString)
-      extraConf.foreach { case (k, v) => s.conf.set(k, v) }
-      try body finally prevs.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
-      }
-    }
-
-  /** Session conf selecting the RocksDB state-store provider for a
-    * streaming run — rides [[withStreamPartitions]]'s conf window via
-    * runToParquetSink's `extraConf`.
-    */
-  private val RocksProvider = Map(
-    "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    // Changelog checkpointing: each commit ships the epoch's change
-    // set instead of a full SST snapshot — the production setting for
-    // short-epoch jobs (snapshot upload cost moves to a background
-    // cadence), and at 100 TB state it is the difference between
-    // per-epoch O(delta) and O(state).
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-      "true")
-
-  /** The q328/q333/q340 interval-join condition, in ONE place so the
-    * window bound can never silently diverge between the three
-    * streaming forms and their shared oracle pattern: a purchase
-    * credits a click by the same user within [cts, cts+30m).
-    */
-  private def sojCondition: Column =
-    col("user_id") === col("p_user") &&
-      col("pts") >= col("cts") &&
-      col("pts") < col("cts") + expr("INTERVAL 30 MINUTES")
-
-  /** Drains a streaming frame through a topic-sized AvailableNow run
-    * into a DISTRIBUTED parquet sink and reads the result back — the
-    * fact-grain streaming-output path (q328's rule: unbounded-grain
-    * rows never land in a driver-side memory table).
-    */
-  private def runToParquetSink(s: SparkSession, df: DataFrame,
-      tag: String, extraConf: Map[String, String] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val outDir = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_out_").toString
-    val q = withStreamPartitions(s, extraConf = extraConf) {
-      df.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory(s"graft_${tag}_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    // Scale telemetry for ScaleRehearsal's streaming drains: the
-    // micro-batch plan shape + final state-store totals, keyed by tag.
-    PlanShape.captureStream(tag, q)
-    s.read.parquet(outDir)
-  }
-
-  /** Stream-stream LEFT OUTER interval join, ORACLE-JUDGED as a real
-    * streaming query — the missing rung of the stream-join matrix
-    * (q213 is the batch form + the INNER streaming execution;
-    * StreamingWindowSpec pins outer-row eviction on MemoryStreams;
-    * this promotes the outer surface to the DuckDB gate). Clicks and
-    * purchases stream from two staged topics; each click left-joins
-    * purchases by the same user within [cts, cts+30min). A null-
-    * extended row may only emit once the watermark PROVES no matching
-    * purchase can still arrive — the state-eviction path an inner join
-    * never exercises. A far-future sentinel row on BOTH topics (the
-    * q324 pattern, via [[sojStreams]]) drives the final
-    * watermark past every real click's expiry so AvailableNow's
-    * closing no-data micro-batch flushes every unmatched click; the
-    * sentinels' own rows (user_id < 0, and the sentinel click's expiry
-    * sits past the final watermark) never emit and are filtered from
-    * the aggregation regardless. Scale shape: the join is an EQUI-join
-    * on user_id with the time bound as residual (co-partitioned state
-    * on both sides, never a cross product), per-key state bounded by
-    * the 30-minute interval + watermark eviction; the post-drain
-    * rollup is one bounded campaign-grain aggregate.
-    */
-  def q328_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
-    val (cs, ps) = sojStreams(s, dir)
-    runToParquetSink(s, cs.join(ps, sojCondition, "left_outer"), "soj")
-      .filter(col("user_id") >= 0)
-      .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
-      .agg(count(col("pts")).as("n_pairs"),
-        count(when(col("pts").isNull, lit(1))).as("n_unmatched"),
-        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
-      .orderBy("campaign")
-  }
-
-  /** Length-grouped batching for training (the padding-waste
-    * minimizer every LLM data loader runs): pack docs into fixed-size
-    * batches of B=32 in TOKEN-LENGTH order vs naive arrival order, and
-    * report the padded-token bill for each — a batch pads every member
-    * to its longest doc, so grouping similar lengths is the classic
-    * free lunch (length-sorted waste is provably ≤ any other grouping
-    * into equal batches of the same order type). Both global orders
-    * ride the cost-based PrefixSum.globalRank (never a raw
-    * single-partition window); batch membership is pure integer
-    * arithmetic on the rank, and the per-batch max/sum aggregate
-    * shuffles on the n/B-cardinality batch key. Complements
-    * q55_pack_chunks (greedy token packing into a fixed context) —
-    * this is the padded-batch regime, that one the packed-sequence
-    * regime.
-    */
-  def q329_length_batching(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val b = 32
-    // Persisted: BOTH rank passes consume this frame, and the
-    // tokenizer map over the corpus is the query's dominant cost —
-    // without the cache each globalRank re-scans and re-tokenizes
-    // (Dedup's contract: caller hygiene — Bench/Verify — releases it).
-    val docs = tWide(s, dir, "documents").select(col("doc_id"),
-      size(graft.functions.TextFunctions.tokens(col("text")))
-        .cast("long").as("n_tok"))
-      .persistTracked()
-    def packCost(ordered: DataFrame, strategy: String): DataFrame =
-      ordered.withColumn("batch", expr(s"(r - 1) div $b"))
-        .groupBy("batch")
-        .agg(count(lit(1)).as("nb"), max("n_tok").as("mx"),
-          sum("n_tok").as("tok"))
-        .agg(count(lit(1)).as("n_batches"),
-          sum(col("nb") * col("mx")).as("padded_tokens"),
-          sum(col("tok")).as("real_tokens"))
-        .select(lit(strategy).as("strategy"), col("n_batches"),
-          col("padded_tokens"), col("real_tokens"),
-          round((col("padded_tokens") - col("real_tokens")) * lit(100.0) /
-            col("padded_tokens"), 2).as("waste_pct"))
-    packCost(PrefixSum.globalRank(docs, Seq("n_tok", "doc_id"), "r"),
-        "1_length_sorted")
-      .unionByName(
-        packCost(PrefixSum.globalRank(docs, Seq("doc_id"), "r"), "2_arrival"))
-      .orderBy("strategy")
-  }
-
-  /** Temperature-based epoch mixing, MATERIALIZED (q211 computes the
-    * α=0.5 sampling weights; this actually builds the epoch-expanded
-    * training list those weights imply): each language's integer
-    * repeat factor is ceil(upsample) capped to [1,4] — low-resource
-    * languages repeat across epochs, the head language runs once —
-    * and every (doc, epoch) copy gets a deterministic interleave key
-    * from modular arithmetic ((doc_id mod M)·1000003 + epoch·7919
-    * mod M, M = 1e9+7 — pre-modded so it is overflow-safe at any id:
-    * hash-free so both engines agree bit-for-bit, uniform enough to
-    * shard the training order without a global shuffle). Expansion is
-    * a codegen explode(sequence(1, rep)) against a BROADCAST
-    * ≤#languages-row factor table — the fact never shuffles to
-    * expand; the audit rollup is a two-level language-grain aggregate
-    * whose checksum folds the modulus at both levels (overflow-proof
-    * at any corpus size — see the inline note).
-    */
-  def q330_epoch_mix(s: SparkSession, dir: String): DataFrame = {
-    val docs = tWide(s, dir, "documents").select("doc_id", "lang")
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"),
-      sum(col("n_docs")).as("n"))
-    val reps = counts.crossJoin(broadcast(z))
-      .withColumn("rep", least(lit(4L), greatest(lit(1L),
-        ceil((sqrt(col("n_docs")) / col("z")) /
-          (col("n_docs") / col("n"))))))
-      .select("lang", "n_docs", "rep")
-    // Two-LEVEL mod reduction for the checksum: a single sum(k) % M
-    // overflows Long once a group exceeds ~9.2e9 copies (real at
-    // 100 TB). Level 1 folds the mod inside 65536 shards per language
-    // (map-side combined; each partial < M), level 2 sums ≤65536
-    // partials (< 65536·M ≪ 2^63). Each shard's raw sum stays exact
-    // up to ~9.2e9 copies, i.e. ~6e14 copies per LANGUAGE — orders of
-    // magnitude past a 100 TB corpus; grow the shard count with the
-    // corpus if that bound ever binds. The key itself pre-mods doc_id
-    // (q338's form) so the multiply never wraps at any id — the raw
-    // doc_id·1000003 form wraps negative in Spark and ERRORS in
-    // DuckDB past ~9.2e12, i.e. the engines would diverge.
-    val m = lit(1000000007L)
-    docs.join(broadcast(reps), "lang")
-      .select(col("lang"), col("n_docs"), col("rep"), col("doc_id"),
-        explode(sequence(lit(1L), col("rep"))).as("epoch"))
-      .withColumn("k",
-        ((col("doc_id") % m) * lit(1000003L) + col("epoch") * lit(7919L)) % m)
-      .groupBy(col("lang"), (col("doc_id") % 65536).as("shard"))
-      .agg(max("n_docs").as("n_docs"), max("rep").as("rep"),
-        count(lit(1)).as("cnt"), min("k").as("mn"), max("k").as("mx"),
-        (sum("k") % m).as("psum"))
-      .groupBy("lang")
-      .agg(max("n_docs").as("n_docs"), max("rep").as("repeat_factor"),
-        sum("cnt").as("n_expanded"),
-        min("mn").as("min_key"), max("mx").as("max_key"),
-        (sum("psum") % m).as("key_checksum"))
-      .orderBy("lang")
-  }
-
-  /** Deep-hierarchy subtree rollup WITHOUT iteration or recursion:
-    * the decimal-digit tree over custkeys (parent = key div 10 — a
-    * contiguous key range makes every ancestor a real node) is rolled
-    * up by PATH ENUMERATION — each row explodes its own ancestor
-    * chain from pure arithmetic (key div 10^i for every power a
-    * BIGINT can hold, ≤19 elements, codegen'd, no join at all), so
-    * one explode + one groupBy computes every node's full subtree sum
-    * in a single shuffle where the textbook recursive-CTE /
-    * iterative-join plan needs depth rounds. This is the org-chart /
-    * category-tree rollup shape; the fixed fan-out is what licenses
-    * the closed-form chain (arbitrary graphs take the q165/q230
-    * iterative route). Balances stay exact integer cents (q141's
-    * rule). Output is the depth-grain profile: node count, total
-    * descendant slots, max and total subtree cents per level —
-    * bounded at 19 rows (the BIGINT digit width) however large the
-    * key space grows.
-    */
-  def q331_hierarchy_rollup(s: SparkSession, dir: String): DataFrame = {
-    // 10^0..10^18: the full BIGINT decimal width, so no key's chain
-    // truncates (a 7-divisor cut would silently drop depth-1..(d-7)
-    // ancestors of 8+-digit keys and diverge from q332's recursion).
-    // Integer iteration, not math.pow: pow is only 1-ulp-accurate and
-    // 1 ulp of 1e18 is 128 — the exactness claim must not ride libm.
-    val divisors = Seq.iterate(1L, 19)(_ * 10).mkString(", ")
-    val contrib = t(s, dir, "customer").selectExpr(
-        "cast(round(c_acctbal * 100, 0) as bigint) AS cents",
-        s"explode(filter(transform(array($divisors), " +
-          "d -> c_custkey div d), a -> a >= 1)) AS node")
-    val sub = contrib.groupBy("node")
-      .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
-    sub.groupBy(length(col("node").cast("string")).cast("long").as("depth"))
-      .agg(count(lit(1)).as("n_nodes"), sum("n_desc").as("n_desc_total"),
-        max("subtree_cents").as("max_subtree_cents"),
-        sum("subtree_cents").as("total_cents"))
-      .orderBy("depth")
-  }
-
-  /** The SAME SQL text [[q331_hierarchy_rollup]] answers by arithmetic
-    * path enumeration, run through Spark 4's `WITH RECURSIVE` (the
-    * UnionLoop engine surface, new in Spark 4.x) — seed every POSITIVE
-    * key as its own descendant (q331's `a >= 1` tree domain), climb
-    * parent = drop-the-last-decimal-digit per level until the root
-    * (substr arithmetic, NOT floor(node/10): '/' is double division
-    * in both engines, unit-exact only below 2^53 — the string form
-    * keeps q331's full-BIGINT-width exactness claim). The identical
-    * text runs in DuckDB as the oracle, so one
-    * query judges BOTH the recursive-CTE surface itself and (because
-    * its output equals q331's) cross-validates recursion against the
-    * closed form. Each recursion level plans one distributed
-    * map+filter over the previous level's frame; depth is bounded by
-    * the key width (≤19 levels for BIGINT), never data-dependent —
-    * the shape that
-    * stays safe when the 100 TB corpus has a billion keys. (Arbitrary-
-    * fan-out graphs still take the q165/q230 iterative route; the CTE
-    * here is the SQL-user's door to the same engine.)
-    */
-  def q332_sql_recursive(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("q332_customer")
-    s.sql(recursiveRollupSql("q332_customer"))
-  }
-
-  private[graft] def recursiveRollupSql(tbl: String): String =
-    s"""WITH RECURSIVE chain AS (
-       |  SELECT c_custkey AS node,
-       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
-       |  FROM $tbl WHERE c_custkey >= 1
-       |  UNION ALL
-       |  -- parent = drop the last decimal digit. Exact at FULL BIGINT
-       |  -- width in BOTH engines: floor(node/10) rides double division
-       |  -- (unit-exact only below 2^53) and DuckDB routes even
-       |  -- decimal-typed division through double — the string form is
-       |  -- the only portable exact integer divide-by-10 here.
-       |  SELECT CAST(substr(CAST(node AS STRING), 1,
-       |                     length(CAST(node AS STRING)) - 1) AS BIGINT) AS node,
-       |         cents
-       |  FROM chain WHERE node >= 10),
-       |n AS (
-       |  SELECT node, count(*) AS n_desc,
-       |         CAST(sum(cents) AS BIGINT) AS subtree_cents
-       |  FROM chain GROUP BY node)
-       |SELECT CAST(length(CAST(node AS STRING)) AS BIGINT) AS depth,
-       |       count(*) AS n_nodes,
-       |       CAST(sum(n_desc) AS BIGINT) AS n_desc_total,
-       |       max(subtree_cents) AS max_subtree_cents,
-       |       CAST(sum(subtree_cents) AS BIGINT) AS total_cents
-       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Correlated LATERAL subquery through the SQL surface (the other
-    * Spark-4 SQL door next to q332's recursion): top-3 customers by
-    * balance PER NATION written as `FROM nation, LATERAL (SELECT …
-    * WHERE correlated ORDER BY … LIMIT 3)` — the form every
-    * SQL-first user reaches for before learning window functions.
-    * The IDENTICAL text runs in DuckDB as the oracle. Catalyst
-    * DECORRELATES the per-row subquery into a set-based plan (rank
-    * under the hood) rather than executing it per outer row — which
-    * is exactly why the surface is safe to expose; with a
-    * low-cardinality outer like nation the composed per-group top-k
-    * (q146's TopKAgg) remains the hand-tuned alternative. No
-    * arithmetic in the output, so raw parquet doubles compare
-    * bit-for-bit with ties broken by key.
-    */
-  def q334_lateral_topk(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "nation").createOrReplaceTempView("q334_nation")
-    t(s, dir, "customer").createOrReplaceTempView("q334_customer")
-    s.sql(lateralTopkSql("q334_nation", "q334_customer"))
-  }
-
-  private[graft] def lateralTopkSql(nation: String, customer: String): String =
-    s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
-       |FROM $nation n, LATERAL (
-       |  SELECT c_custkey, c_acctbal FROM $customer c
-       |  WHERE c.c_nationkey = n.n_nationkey
-       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
-       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
-
-  /** Cross-corpus NEAR-DUP decontamination (the Dolma/RefinedWeb step
-    * q49's exact n-gram overlap can't do): training docs that
-    * near-duplicate any benchmark doc at shingle-Jaccard ≥ 0.5, found
-    * by the ASYMMETRIC LSH band join ([[Dedup.minhashLshPairsCross]]) —
-    * benchmark bands probe training bands only, so candidates scale
-    * with |benchmark|·collisions instead of |train|² (a paraphrased or
-    * lightly-edited test document sails through exact-match decon;
-    * MinHash catches it). The benchmark set is the deterministic
-    * doc_id % 10 == 5 slice — a 10% eval holdout that the planted
-    * near-dup pairs actually straddle at every SF (q49's %97 slice
-    * misses all of them, which would judge an empty frame). Output is
-    * the curation report:
-    * per-source contaminated-doc and pair counts. The exact all-pairs
-    * SQL oracle is safe for the same reason as q23: planted near-dups
-    * sit at jaccard ≥ 0.9 with nothing in (0.1, 0.9), so LSH recall
-    * here is 1 − ~1e-11.
-    */
-  def q336_lsh_decontamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = tWide(s, dir, "documents")
-    val pairs = operators.Dedup.minhashLshPairsCross(
-      docs.filter(col("doc_id") % 10 === 5),
-      docs.filter(col("doc_id") % 10 =!= 5),
-      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
-      threshold = 0.5)
-    pairs
-      .join(t(s, dir, "documents").select(col("doc_id").as("id_r"), col("source")),
-        Seq("id_r"))
-      .groupBy("source")
-      .agg(countDistinct(col("id_r")).as("n_contaminated"),
-        count(lit(1)).as("n_pairs"))
-      .orderBy("source")
-  }
-
-  /** Deterministic per-stratum eval-holdout picker: the fixed
-    * k-per-language eval sample every training run re-derives (and
-    * must re-derive IDENTICALLY). Sample position is hash-free
-    * mod-arithmetic ((doc_id mod M)·1000003 mod M — overflow-safe at
-    * any id, identical in both engines), selection is top-k by
-    * position through the typed TopKByScore Aggregator — per-group
-    * state O(k) with map-side trim, so the head language of a crawl
-    * costs one k-row buffer per partition where a lang-PARTITIONED
-    * window would sort it in one task (q326's argument, solved with
-    * the aggregate instead of the rank). Output is the eval manifest
-    * itself: (lang, doc_id), ≤ k·#languages rows.
-    */
-  def q338_eval_holdout(s: SparkSession, dir: String): DataFrame = {
-    val m = 1000000007L
-    val k = 20
-    val topk = udaf(operators.TopKByScore(k))
-    t(s, dir, "documents")
-      .select(col("lang"),
-        ((col("doc_id") % m) * lit(1000003L) % m).as("score"), col("doc_id"))
-      .groupBy("lang")
-      .agg(topk(col("score"), col("doc_id")).as("sel"))
-      .select(col("lang"), explode(col("sel")).as("t"))
-      .select(col("lang"), col("t._2").as("doc_id"))
-      .orderBy("lang", "doc_id")
-  }
-
-  /** Stream-stream FULL OUTER interval join — the last rung of the
-    * streaming join matrix (inner: q213's streaming form; left outer:
-    * q328; full outer completes it): BOTH sides' unmatched rows may
-    * only emit once the watermark proves no partner can arrive, so
-    * both state stores exercise eviction. Same dual-topic sentinels
-    * ([[sojStreams]]); the sentinels themselves sit exactly AT the
-    * final watermark, where emit-vs-hold is a boundary call — the
-    * rollup filters negative ids so the judged frame is identical
-    * either way. Output is the 1-row reconciliation report
-    * (matched / click-only / purchase-only / matched value); the
-    * fact-grain join output rides the distributed file sink (q328's
-    * rule).
-    */
-  def q340_stream_full_join(s: SparkSession, dir: String): DataFrame = {
-    val (cs, ps) = sojStreams(s, dir)
-    val matched = col("user_id").isNotNull && col("p_user").isNotNull
-    runToParquetSink(s, cs.join(ps, sojCondition, "full_outer"), "sfj")
-      .filter(coalesce(col("user_id"), col("p_user")) >= 0)
-      .agg(count(when(matched, lit(1))).as("n_pairs"),
-        count(when(col("p_user").isNull, lit(1))).as("n_click_only"),
-        count(when(col("user_id").isNull, lit(1))).as("n_purchase_only"),
-        round(sum(when(matched, col("value")).otherwise(lit(0.0))), 2)
-          .as("matched_value"))
-  }
-
-  /** Multi-SOURCE streaming union under the min-watermark policy: the
-    * click and purchase topics (each carrying its OWN watermark) union
-    * into one stream and aggregate into 1-day tumbling windows per
-    * kind. The judged semantics is the coordination rule itself —
-    * Spark advances the QUERY watermark to the MINIMUM across sources
-    * (the default multipleWatermarkPolicy), so a window may only close
-    * once BOTH topics pass it; one lagging topic correctly holds every
-    * window open. The dual sentinels ([[sojStreams]]) push both
-    * sources past the last real day, so AvailableNow drains every
-    * REAL window in Append mode — while the sentinels' own far-future
-    * windows can never emit (their window END sits past the final
-    * watermark), so the output is exactly the real-day set with no
-    * filtering at all. Bounded (day, kind) output to the memory sink;
-    * batch union oracle.
-    */
-  def q343_stream_union_sources(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val (cs, ps) = sojStreams(s, dir)
-    val unioned = cs.select(col("cts").as("ts"), lit("click").as("kind"))
-      .unionByName(ps.select(col("pts").as("ts"), lit("purchase").as("kind")))
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_usrc_$n"
-    val q = withStreamPartitions(s) {
-      unioned
-        .groupBy(window(col("ts"), "1 day").as("w"), col("kind"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("w.start").as("day"), col("kind"), col("n_events"))
-        .writeStream.format("memory").queryName(table)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_usrc_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    s.table(table).orderBy("day", "kind")
-  }
-
-  /** Streaming DEDUP → WINDOWED-AGG chain (the other multi-stateful
-    * pipeline next to q333's join→agg): distinct purchasers per day,
-    * computed as exact dropDuplicates on (user, day-window) feeding a
-    * 1-day tumbling count in the SAME streaming query. The dedup key
-    * includes the `window(pts)` column, which carries the event-time
-    * watermark tag — so dedup state is watermark-EVICTED per day
-    * (unbounded-retention dedup would hold every user forever), and
-    * the downstream agg closes each window once the watermark passes
-    * it. The purchase topic's sentinel drives the final watermark;
-    * its own far-future window never emits. Bounded day-grain output;
-    * batch count(DISTINCT) oracle.
-    */
-  def q344_stream_dedup_window(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val (_, ps) = sojStreams(s, dir)
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_ddw_$n"
-    val q = withStreamPartitions(s) {
-      ps.withColumn("w", window(col("pts"), "1 day"))
-        .dropDuplicates("p_user", "w")
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("n_users"))
-        .select(col("w.start").as("day"), col("n_users"))
-        .writeStream.format("memory").queryName(table)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_ddw_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    s.table(table).orderBy("day")
-  }
-
-  /** NATIVE `session_window` aggregation as a real STREAMING query —
-    * the built-in session operator end-to-end (q29 judges its batch
-    * form; q324 judges the hand-rolled transformWithState twin; this
-    * closes the triangle): per-user 6-hour purchase sessions through
-    * the purchase topic, state merged by Spark's session-window store
-    * and emitted in Append mode only when the watermark passes a
-    * session's END (last event + gap). The topic sentinel pushes the
-    * final watermark past every real session's end while its own
-    * session (end = sentinel + gap, past the watermark) can never
-    * emit — and is filtered by id regardless. Oracle is q29's
-    * gaps-and-islands SQL restricted to purchases (break at ≥ gap,
-    * Spark's half-open [start, last+gap) contract). Output is
-    * user×session grain — UNBOUNDED — so it rides the distributed
-    * parquet sink (q328's rule), never a driver-side memory table.
-    */
-  def q345_session_window_stream(s: SparkSession, dir: String): DataFrame = {
-    val (_, ps) = sojStreams(s, dir)
-    val sessions = ps
-      .groupBy(session_window(col("pts"), "6 hours").as("sw"),
-        col("p_user"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
-      .select(col("p_user").as("user_id"), col("sw.start").as("s_start"),
-        col("n_events"), col("total"))
-    runToParquetSink(s, sessions, "swin")
-      .filter(col("user_id") >= 0)
-      .orderBy("user_id", "s_start")
-  }
-
-  /** Arbitrary MAP state through `transformWithState`, oracle-judged —
-    * the multi-entry state surface next to q324's ValueState session
-    * processor: per-user `MapState[epochDay -> cents]` accumulates
-    * purchase revenue per day ([[graft.streaming.MapStateRevenue]]);
-    * a per-key timer armed just past the key's LAST REAL EVENT
-    * snapshots the whole map once the watermark (driven past every
-    * real timer by one global sentinel row) passes it. Snapshots are
-    * tagged with the timer's expiry time (strictly increasing per key
-    * across firings) and the judged frame keeps the LATEST snapshot
-    * per (user, day) — complete however the source sliced the topic
-    * (q349's robustness contract, for hand-rolled state). Revenue
-    * rides exact integer cents; user×day grain rides the distributed
-    * parquet sink. Oracle is the plain per-user-per-day SQL rollup.
-    */
-  def q351_mapstate_daily(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.MapStateRevenue
-    val purchases = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").cast("long").as("key"),
-        col("ts").cast("timestamp").as("ts"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    // One GLOBAL watermark-driver sentinel (cents = -1, skipped by the
-    // processor): the per-key snapshot timers sit at lastEvent+1ms,
-    // and without a later event time in the topic the final watermark
-    // would never pass the latest key's timer (MapStateRevenue's doc).
-    val sentinel = purchases.agg(max(col("ts")).as("gmx"))
-      .select(lit(-1L).as("key"),
-        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
-        lit(-1L).as("cents"))
-    val stageDir = stagedParquet(s"msr|$dir") { d =>
-      purchases.unionByName(sentinel).write.mode("overwrite").parquet(d)
-    }
-    val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
-      .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
-        .product[MapStateRevenue.REvent])
-      .withWatermark("ts", "0 seconds")
-    val snaps = runToParquetSink(s,
-      MapStateRevenue.dailyRevenue(stream).toDF(), "msr", RocksProvider)
-    snaps.groupBy(col("key").as("user_id"), col("day"))
-      .agg(max_by(col("cents"), col("tagMs")).as("c"))
-      .select(col("user_id"),
-        expr("date_add(DATE'1970-01-01', cast(day as int))").as("day"),
-        (col("c") / 100.0).as("revenue"))
-      .orderBy("user_id", "day")
-  }
-
-  /** The Spark-4 PARAMETERIZED-SQL doors, oracle-judged in one
-    * composition: session VARIABLES (`DECLARE` / `SET VAR`),
-    * `EXECUTE IMMEDIATE` with a named `USING` binding, and the
-    * programmatic `spark.sql(text, args)` named-parameter API — the
-    * injection-safe ways a SQL-first user parameterizes a query
-    * instead of string-splicing. The threshold rides a session
-    * variable into EXECUTE IMMEDIATE; the outer refinement binds via
-    * the args map. Oracle: the same SQL with literals inlined.
-    */
-  def q354_sql_parameterized(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("q354_orders")
-    s.sql("DECLARE OR REPLACE cut354 DOUBLE")
-    s.sql("SET VAR cut354 = 150000.0")
-    s.sql("""EXECUTE IMMEDIATE
-            |  'SELECT o_orderpriority, count(*) AS n,
-            |          round(sum(o_totalprice), 2) AS revenue
-            |   FROM q354_orders WHERE o_totalprice > :cut
-            |   GROUP BY o_orderpriority'
-            |  USING cut354 AS cut""".stripMargin)
-      .createOrReplaceTempView("q354_inner")
-    s.sql("SELECT * FROM q354_inner WHERE n > :minn ORDER BY o_orderpriority",
-      Map("minn" -> 0))
-  }
-
-  /** Spark-4 SQL-language UDFs (`CREATE FUNCTION ... RETURN expr`),
-    * oracle-judged — scalar UDFs (one nested inside another) and a
-    * parameterized TABLE function, the declarative reuse surface that
-    * keeps user logic inside Catalyst (SQL UDFs inline into the plan
-    * and stay codegen'd — unlike JVM UDFs they cost nothing): exact
-    * integer cents via `q355_cents`, a band CASE via `q355_band`
-    * (calling cents), and `q355_rich(k)` as a threshold-parameterized
-    * table function over customer. Oracle inlines all three bodies.
-    */
-  def q355_sql_udf(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("q355_customer")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q355_cents(x DOUBLE)
-            |RETURNS BIGINT RETURN CAST(round(x * 100, 0) AS BIGINT)""".stripMargin)
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q355_band(b BIGINT)
-            |RETURNS STRING RETURN CASE WHEN b < 0 THEN 'neg'
-            |  WHEN b < 500000 THEN 'mid' ELSE 'high' END""".stripMargin)
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q355_rich(k BIGINT)
-            |RETURNS TABLE(c_custkey BIGINT, cents BIGINT)
-            |RETURN SELECT c_custkey, q355_cents(c_acctbal)
-            |       FROM q355_customer WHERE q355_cents(c_acctbal) >= k""".stripMargin)
-    s.sql("""SELECT q355_band(cents) AS band, count(*) AS n,
-            |  CAST(sum(cents) AS BIGINT) AS total_cents
-            |FROM q355_rich(-50000) GROUP BY band ORDER BY band""".stripMargin)
-  }
-
-  /** `transformWithState` WITH INITIAL STATE, oracle-judged — the
-    * warm-start surface (`StatefulProcessorWithInitialState`): the
-    * operational move every stateful migration needs, bootstrapping a
-    * NEW streaming job from a historical BATCH aggregate instead of
-    * replaying the full topic. Purchases split at the time midpoint:
-    * the older half is pre-aggregated to per-user (day → cents) maps
-    * + last-event times and seeded as initial state (the engine calls
-    * handleInitialState once per key before any input); the newer
-    * half streams on top through q351's processor semantics. Seeded
-    * keys arm their snapshot timer from the seed's last HISTORICAL
-    * event, so history-only users still emit. The judged frame (latest
-    * snapshot per user×day) must equal the FULL-corpus rollup — a lost
-    * seed, a double-applied seed, or a timer that never fired all
-    * break the hash. Same oracle as q351.
-    */
-  def q353_initial_state(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.MapStateRevenue
-    val purchases = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").cast("long").as("key"),
-        col("ts").cast("timestamp").as("ts"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    // Deterministic midpoint cut (1-row driver read — the bounded
-    // envelope pattern): history seeds the state, the rest streams.
-    val cutUs = purchases
-      .agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"))
-      .head().getLong(0)
-    val hist = purchases.filter(expr(s"unix_micros(ts) < ${cutUs}L"))
-    val live = purchases.filter(expr(s"unix_micros(ts) >= ${cutUs}L"))
-    val init = hist
-      .select(col("key"), expr("unix_micros(ts)").as("us"),
-        expr("unix_micros(ts) div 86400000000").as("day"), col("cents"))
-      .groupBy("key", "day").agg(sum("cents").as("c"), max("us").as("mu"))
-      .groupBy("key").agg(max("mu").as("lastUs"),
-        map_from_entries(collect_list(struct(col("day"), col("c")))).as("days"))
-      .select("key", "lastUs", "days")
-      .as[MapStateRevenue.UserInit](org.apache.spark.sql.Encoders
-        .product[MapStateRevenue.UserInit])
-    val sentinel = purchases.agg(max(col("ts")).as("gmx"))
-      .select(lit(-1L).as("key"),
-        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
-        lit(-1L).as("cents"))
-    val stageDir = stagedParquet(s"ini|$dir") { d =>
-      live.unionByName(sentinel).write.mode("overwrite").parquet(d)
-    }
-    val stream = s.readStream.schema(live.schema).parquet(stageDir)
-      .as[MapStateRevenue.REvent](org.apache.spark.sql.Encoders
-        .product[MapStateRevenue.REvent])
-      .withWatermark("ts", "0 seconds")
-    val snaps = runToParquetSink(s,
-      MapStateRevenue.dailyRevenueWithInit(stream, init).toDF(), "ini",
-      RocksProvider)
-    snaps.groupBy(col("key").as("user_id"), col("day"))
-      .agg(max_by(col("cents"), col("tagMs")).as("c"))
-      .select(col("user_id"),
-        expr("date_add(DATE'1970-01-01', cast(day as int))").as("day"),
-        (col("c") / 100.0).as("revenue"))
-      .orderBy("user_id", "day")
-  }
-
-  /** ListState through `transformWithState`, oracle-judged — the trio
-    * closer (ValueState q324, MapState q351, ListState here) with an
-    * aggregate that genuinely NEEDS the full per-key history: the
-    * exact per-user purchase MEDIAN
-    * ([[graft.streaming.ListStateMedian]]). Purchases append integer
-    * cents to per-user ListState; at snapshot (q351's timer + tag
-    * discipline, same global watermark sentinel) the LOWER median —
-    * the actual data value at integer rank ⌊(n−1)/2⌋+1, q99's
-    * rounding-free rule — emits with the count. Latest snapshot per
-    * user judged; user-grain output rides the distributed parquet
-    * sink. Oracle: the same integer-rank median in SQL. This query
-    * runs the UNBOUNDED exact dial; the processor's own 100 TB guard
-    * (the `maxKept` level-sampling cap — ListStateMedian's class doc)
-    * is pinned by Round13OpsSpec on an engineered hot key.
-    */
-  def q352_liststate_median(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.ListStateMedian
-    val purchases = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").cast("long").as("key"),
-        col("ts").cast("timestamp").as("ts"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    val sentinel = purchases.agg(max(col("ts")).as("gmx"))
-      .select(lit(-1L).as("key"),
-        (col("gmx") + expr("INTERVAL 1 HOUR")).as("ts"),
-        lit(-1L).as("cents"))
-    val stageDir = stagedParquet(s"lsm|$dir") { d =>
-      purchases.unionByName(sentinel).write.mode("overwrite").parquet(d)
-    }
-    val stream = s.readStream.schema(purchases.schema).parquet(stageDir)
-      .as[ListStateMedian.MEvent](org.apache.spark.sql.Encoders
-        .product[ListStateMedian.MEvent])
-      .withWatermark("ts", "0 seconds")
-    val snaps = runToParquetSink(s,
-      ListStateMedian.medians(stream).toDF(), "lsm", RocksProvider)
-    snaps.groupBy(col("key").as("user_id"))
-      .agg(max_by(struct(col("n"), col("medianCents")), col("tagMs")).as("m"))
-      .select(col("user_id"), col("m.n").as("n_purchases"),
-        (col("m.medianCents") / 100.0).as("median_value"))
-      .orderBy("user_id")
-  }
-
-  /** Stream-stream RIGHT OUTER interval join — q328's mirror, keeping
-    * the PURCHASE side: every purchase emits, null-extended once the
-    * click watermark proves no click within the preceding 30 minutes
-    * can still arrive — the "organic vs attributed revenue" split.
-    * Exercises the opposite state store's eviction path from q328
-    * (unmatched PURCHASES flush, not clicks); same co-partitioned
-    * equi-key + interval residual, dual sentinels drive the drain.
-    * The organic-revenue sum rides exact integer cents (q156's rule:
-    * the matched subset makes partial-sum order engine-visible at a
-    * 2-dp round). Purchase-grain output on the distributed parquet
-    * sink; day-grain rollup after.
-    */
-  def q350_stream_right_outer(s: SparkSession, dir: String): DataFrame = {
-    val (cs, ps) = sojStreams(s, dir)
-    runToParquetSink(s, cs.join(ps, sojCondition, "right_outer"), "sro")
-      .filter(col("p_user") >= 0)
-      .groupBy(date_trunc("day", col("pts")).as("day"))
-      .agg(count(col("cts")).as("n_attributed"),
-        count(when(col("cts").isNull, lit(1))).as("n_organic"),
-        (sum(when(col("cts").isNull,
-          expr("cast(round(value * 100, 0) as bigint)")).otherwise(lit(0L)))
-          / 100.0).as("organic_value"))
-      .orderBy("day")
-  }
-
-  /** Stream-stream LEFT SEMI interval join — the conversion-detection
-    * rung that completes the judged stream-join matrix (INNER
-    * q213/q333, LEFT OUTER q328, FULL OUTER q340, SEMI here): each
-    * click emits AT MOST ONCE, exactly when some purchase by the same
-    * user lands within [cts, cts+30min) — the "did this click
-    * convert" primitive, without the row-multiplication an inner join
-    * pays when one click matches several purchases. Same equi-key +
-    * interval-residual state shape as q328 (co-partitioned on
-    * user_id, watermark-evicted, never a cross product); the dual
-    * sentinels drive the final watermark so unmatched click state
-    * drains without emitting. Click-grain output rides the
-    * distributed parquet sink; the post-drain rollup is
-    * campaign-grain. Oracle: the EXISTS form in DuckDB.
-    */
-  def q348_stream_semi_join(s: SparkSession, dir: String): DataFrame = {
-    val (cs, ps) = sojStreams(s, dir)
-    runToParquetSink(s, cs.join(ps, sojCondition, "left_semi"), "ssj")
-      .filter(col("user_id") >= 0)
-      .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
-      .agg(count(lit(1)).as("n_converted"))
-      .orderBy("campaign")
-  }
-
-  /** The Spark-4 STATE-STORE READER surface, oracle-judged — the ops
-    * door into a streaming query's checkpointed state (`spark.read
-    * .format("statestore")`), which is how a production pipeline
-    * debugs "what does the agg hold right now" without stopping the
-    * query. q327's complete-mode nation-revenue aggregation is drained
-    * through a NOOP sink (state is written by the stateful operator,
-    * not the sink), then the FINAL STATE SNAPSHOT is read back from
-    * the checkpoint as a batch frame — key struct (n_name), value
-    * struct (the agg buffer: count + raw sum) — and projected to the
-    * same three-table SQL oracle q327 answers from the sink side. A
-    * state codec bug, a lost store partition, or a buffer-schema
-    * mangle breaks the hash. Scale shape: the reader scans state
-    * partition-parallel (one task per store partition, no driver
-    * collect), and the judged state itself is nation-grain bounded.
-    */
-  def q347_state_reader(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val orders = t(s, dir, "orders").select("o_custkey", "o_totalprice")
-    val stageDir = stagedParquet(s"ss|$dir") { d =>
-      orders.write.mode("overwrite").parquet(d)
-    }
-    val dim = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stread_ckpt_").toString
-    val q = withStreamPartitions(s) {
-      s.readStream.schema(orders.schema).parquet(stageDir)
-        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("revenue"))
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    // The agg buffer holds (count, RAW sum) — round() is an output
-    // projection, not buffer state — so the round happens here.
-    s.read.format("statestore").option("path", ckpt).load()
-      .select(col("key.n_name").as("n_name"),
-        col("value.count").as("n_orders"),
-        round(col("value.sum"), 2).as("revenue"))
-      .orderBy("n_name")
-  }
-
-  /** The state-store CHANGE FEED surface (q347's snapshot twin): the
-    * same nation-revenue aggregation is drained across SEVERAL
-    * micro-batches (`maxFilesPerTrigger` splits the staged topic), so
-    * the checkpoint accumulates one state UPDATE per touched key per
-    * batch; `readChangeFeed` replays that history — (batch_id,
-    * change_type, key, value) — and the judged frame is the LATEST
-    * change per key, which must equal the batch aggregate regardless
-    * of how the file source happened to slice the topic. This is the
-    * CDC-shaped audit ("what did the agg state look like as it
-    * evolved") a production pipeline replays after an incident; the
-    * latest-per-key reduction runs on the feed's own grain (keys ×
-    * batches, bounded by nation × micro-batch count), never the fact
-    * table.
-    */
-  def q349_state_changefeed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val orders = t(s, dir, "orders").select("o_custkey", "o_totalprice")
-    val stageDir = stagedParquet(s"ss|$dir") { d =>
-      orders.write.mode("overwrite").parquet(d)
-    }
-    val dim = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stcf_ckpt_").toString
-    val q = withStreamPartitions(s) {
-      s.readStream.schema(orders.schema)
-        .option("maxFilesPerTrigger", 8) // force a multi-batch history
-        .parquet(stageDir)
-        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("revenue"))
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    val feed = s.read.format("statestore")
-      .option("path", ckpt)
-      .option("readChangeFeed", "true")
-      .option("changeStartBatchId", 0)
-      .load()
-      .select(col("batch_id"), col("key.n_name").as("n_name"),
-        col("value.count").as("n_orders"),
-        round(col("value.sum"), 2).as("revenue"))
-    val latest = feed.groupBy("n_name").agg(max("batch_id").as("batch_id"))
-    feed.join(latest, Seq("n_name", "batch_id"))
-      .select("n_name", "n_orders", "revenue")
-      .orderBy("n_name")
-  }
-
-  /** The WAV-CONTAINER leg of the multimodal codec seam — q323's PNG
-    * precedent applied to audio through the JDK's `javax.sound.sampled`
-    * ([[graft.operators.AudioCodec]]): q317's synthetic PCM16 tones are
-    * wrapped into REAL RIFF/WAVE bytes, parsed back (payload bytes PLUS
-    * the header's sample-rate/channel metadata), and the per-frame RMS
-    * battery is re-derived FROM THE DECODED bytes by the same codegen
-    * `PcmFrameRms` loop. WAV PCM is a lossless container, so the
-    * binary-free DuckDB oracle (q317's arithmetic + the header
-    * constants) hash-matches bit for bit — and the projected
-    * `lossless` flag compares decoded to source bytes directly, so a
-    * codec that shifted or fabricated even one byte breaks BOTH
-    * columns. Encode/decode are deliberate UDFs (a JDK library-call
-    * boundary with nothing to codegen — q323/CompressionScore's
-    * documented pattern); payloads decode partition-locally and never
-    * shuffle. The video container leg closes the same way in
-    * q356_avi_decode (hand-rolled RIFF/AVI, operators/VideoCodec).
-    */
-  def q346_wav_decode(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.PcmExpressions._
-    import graft.operators.AudioCodec
-    val encodeUdf = udf((pcm: Array[Byte]) => AudioCodec.encodeWav(pcm, 16000, 1))
-    val decodeUdf = udf((wav: Array[Byte]) => {
-      val a = AudioCodec.decodeWav(wav)
-      (a.pcm, a.sampleRate, a.channels)
-    })
-    val amp = when(col("media_id") % 5 === 0, lit(0.0))
-      .otherwise(lit(2000.0) + col("media_id") * 100)
-    val w = ((col("media_id") % 7) + 1) * lit(0.01)
-    val samples = transform(sequence(lit(0), lit(2399)),
-      t => floor(amp * sin(t.cast("double") * w)).cast("long"))
-    val df = s.range(1, 21).toDF("media_id")
-      .withColumn("pcm", pcmPack(samples))
-      .withColumn("wav", encodeUdf(col("pcm")))
-      .withColumn("dec", decodeUdf(col("wav")))
-      .withColumn("rms", pcmFrameRms(col("dec._1"), 240))
-    df.select(col("media_id"),
-        col("dec._2").cast("long").as("sample_rate"),
-        col("dec._3").cast("long").as("channels"),
-        size(col("rms")).cast("long").as("n_frames"),
-        round(aggregate(col("rms"), lit(0.0), (a, x) => a + x) / size(col("rms")), 4)
-          .as("mean_rms"),
-        round(array_max(col("rms")), 4).as("peak_rms"),
-        size(filter(col("rms"), x => x < 1.0)).cast("long").as("silence_frames"),
-        (col("dec._1") === col("pcm")).as("lossless"))
-      .orderBy("media_id")
-  }
-
-  /** The VIDEO-CONTAINER leg of the multimodal codec seam — the last
-    * of the trio (q323 PNG via javax.imageio, q346 WAV via
-    * javax.sound.sampled): q319's synthetic scene-cut clips are
-    * wrapped into REAL RIFF/AVI bytes (uncompressed 24-bit `DIB `
-    * stream, standard hdrl/movi/idx1 layout — a hand-rolled JDK-only
-    * writer/parser, [[graft.operators.VideoCodec]]), parsed back
-    * (frame payloads PLUS the header's width/height/fps/frame-count
-    * metadata), and the motion-energy + luma batteries are re-derived
-    * FROM THE DECODED bytes by the same codegen `RgbMotion` /
-    * `RgbLumaSum` loops. Uncompressed DIB is a lossless byte
-    * permutation (bottom-up BGR padded rows), so the binary-free
-    * DuckDB oracle (q319's arithmetic + the header constants)
-    * hash-matches bit for bit — and the projected `lossless` flag
-    * compares decoded to source bytes directly, so a codec that
-    * shifted, re-padded, or fabricated even one byte breaks BOTH
-    * columns. Encode/decode are deliberate UDFs (byte-stream parsing,
-    * nothing to codegen — q323/q346's documented pattern); payloads
-    * decode partition-locally and never shuffle.
-    */
-  def q356_avi_decode(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.RgbExpressions._
-    import graft.operators.VideoCodec
-    val w = 6; val h = 4; val frameBytes = w * h * 3 // 72
-    val encodeUdf = udf((frames: Seq[Array[Byte]], fps: Int) =>
-      VideoCodec.encodeAvi(frames, w, h, fps))
-    val decodeUdf = udf((avi: Array[Byte]) => {
-      val v = VideoCodec.decodeAvi(avi)
-      (v.frames.reduce(_ ++ _), v.width, v.height, v.fps, v.frames.length)
-    })
-    // q319's generator at 4 frames x 72 bytes with the scene cut at
-    // frame 2: in-scene boundaries drift by ~1/byte, the cut jumps two
-    // orders — same threshold argument as q319's module doc.
-    def frameBytesCol(f: Int) = bytesPack(
-      transform(sequence(lit(0), lit(frameBytes - 1)), j => {
-        val jl = j.cast("long")
-        (col("media_id") * 13 + jl * 5 + lit(f.toLong) +
-          (if (f >= 2) (jl % 3 + 1) * 100 else lit(0L))) % 256
-      }))
-    val df = s.range(1, 11).toDF("media_id")
-      .withColumn("fps", ((col("media_id") % 3 + 1) * 10).cast("int"))
-      .withColumn("fr", array((0 until 4).map(frameBytesCol): _*))
-      .withColumn("src", concat((0 until 4).map(i =>
-        element_at(col("fr"), i + 1)): _*))
-      .withColumn("avi", encodeUdf(col("fr"), col("fps")))
-      .withColumn("dec", decodeUdf(col("avi")))
-      .withColumn("motion", rgbMotion(col("dec._1"), frameBytes))
-    df.select(col("media_id"),
-        col("dec._2").cast("long").as("width"),
-        col("dec._3").cast("long").as("height"),
-        col("dec._4").cast("long").as("fps_hdr"),
-        col("dec._5").cast("long").as("n_frames"),
-        size(col("motion")).cast("long").as("n_boundaries"),
-        aggregate(col("motion"), lit(0L), (a, x) => a + x).as("total_motion"),
-        array_max(col("motion")).as("max_motion"),
-        size(filter(col("motion"), x => x > 1000L)).cast("long").as("n_cuts"),
-        rgbLumaSum(col("dec._1")).as("luma_sum"),
-        (col("dec._1") === col("src")).as("lossless"))
-      .orderBy("media_id")
-  }
-
-  /** ORACLE-JUDGED SimHash (q24's md5 twin — the q27/q194 hash-swap
-    * pattern applied to the last hash-sketch family member): 32-bit
-    * SimHash fingerprints whose per-token hash is the first 8 hex
-    * chars of md5, so DuckDB rebuilds the identical fingerprints with
-    * positional hex arithmetic + integer bit ops and the pairwise
-    * Hamming histogram is hash-exact. Same bounded 50-doc probe frame
-    * as q24 (the documented crossJoin allowlist case — ≤C(50,2) pairs,
-    * never corpus-quadratic); empty-token docs fingerprint to 0 in
-    * both engines. xxhash64 (q24) stays the 64-bit production dial —
-    * this judges the ALGEBRA (counters, sign bits, Hamming) exactly.
-    */
-  def q357_simhash_md5(s: SparkSession, dir: String): DataFrame = {
-    val fps = t(s, dir, "documents").filter(col("doc_id") < 50)
-      .select(col("doc_id"),
-        TextFunctions.simhashMd5_32(TextFunctions.tokens(col("text"))).as("fp"))
-    val a = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(TextFunctions.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-      .orderBy("hamming")
-  }
-
-  /** SQL SCRIPTING (the Spark-4 procedural surface, completing the
-    * SQL-language rungs after q354's parameterized doors and q355's
-    * SQL UDFs): a `BEGIN … END` script with DECLAREd session
-    * variables and a WHILE loop runs the classic iterative
-    * threshold search — double a price cutoff until fewer than
-    * 10,000 orders clear it — then returns the per-priority rollup
-    * above the found cutoff. The loop is driven by the ENGINE's
-    * scripting interpreter (each probe one pushdown-filtered count;
-    * iteration count bounded by log2 of the price envelope, ~9 at any
-    * SF), not by driver-side Scala. Oracle: the identical search as a
-    * bounded recursive CTE (monotone counts make max(t) of the
-    * recursion exactly the loop's exit threshold, and the CTE's row
-    * count exactly the loop's doubling count). A '~total' summary row
-    * (threshold, n_iters, rows above cutoff) precedes the rollup so
-    * the judged frame is non-empty at every SF — at sf0.1 the search
-    * tops out above the price envelope and the rollup alone is empty.
-    */
-  def q358_sql_script(s: SparkSession, dir: String): DataFrame = {
-    // Concurrent-runner safe: per-invocation unique view name (dropped in
-    // finally) and the session-wide scripting-conf toggle serialized under
-    // a lock — two runners on different dirs must not clobber each other's
-    // view or race the set/restore pair (CacheRegistry.withScope contract).
-    val view = s"q358_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    t(s, dir, "orders").createOrReplaceTempView(view)
-    try sessionConfLock(s).synchronized {
-      val prev = s.conf.getOption("spark.sql.scripting.enabled")
-      try {
-        s.conf.set("spark.sql.scripting.enabled", "true")
-        // A '~total' summary row (found threshold, probe-iteration
-        // count, rows-above-cutoff) rides ahead of the rollup so the
-        // judged frame is NON-EMPTY at every SF: at sf0.1 the search
-        // doubles past the price envelope and the rollup alone is 0
-        // rows — both engines agreed on the empty frame, but an empty
-        // judged frame pins only the agreement, not the WHILE loop's
-        // fixpoint. Now the threshold and iteration count themselves
-        // are hash-checked everywhere ('~' sorts after every real
-        // priority in both engines' binary collation).
-        val out = s.sql(
-          s"""BEGIN
-             |  DECLARE t DOUBLE DEFAULT 1000.0;
-             |  DECLARE n BIGINT DEFAULT 10000;
-             |  DECLARE iters BIGINT DEFAULT 0;
-             |  WHILE n >= 10000 DO
-             |    SET t = t * 2;
-             |    SET iters = iters + 1;
-             |    SET n = (SELECT count(*) FROM $view WHERE o_totalprice > t);
-             |  END WHILE;
-             |  SELECT o_orderpriority, t AS threshold, iters AS n_iters,
-             |         count(*) AS n_orders,
-             |         round(sum(o_totalprice), 2) AS revenue
-             |  FROM $view WHERE o_totalprice > t
-             |  GROUP BY o_orderpriority, t, iters
-             |  UNION ALL
-             |  SELECT '~total' AS o_orderpriority, t AS threshold,
-             |         iters AS n_iters, n AS n_orders,
-             |         round(coalesce((SELECT sum(o_totalprice) FROM $view
-             |                         WHERE o_totalprice > t), 0.0), 2) AS revenue
-             |  ORDER BY o_orderpriority;
-             |END""".stripMargin)
-        // Materialize (the rollup is ~5 rows) before the view drops — the
-        // returned plan must not lazily re-read the per-invocation view.
-        out.localCheckpoint(eager = true)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
-          case None => s.conf.unset("spark.sql.scripting.enabled")
-        }
-      }
-    } finally s.catalog.dropTempView(view)
-  }
-
-  /** SemDeDup judged at the EXACT dial (k = 1 cell): with a single
-    * centroid the within-cell pair search degenerates to the exact
-    * all-pairs join, so the WHOLE SemanticDedup algebra — normalize,
-    * assign, within-cell pair filter at tau, drop-the-higher-id,
-    * per-cell rollup — becomes SQL-expressible and DuckDB-judged
-    * (q25's all-pairs precedent; q34/q152's judged-at-the-exact-dial
-    * pattern). The production dial (k = 16 cells, q167) stays
-    * rows-only because the k-means cell assignment is not
-    * SQL-expressible; THIS query pins every other stage of the
-    * operator against the oracle. Quadratic by definition and the
-    * single-cell join runs on one key — the verification baseline,
-    * deliberately NOT the scale path (that is q167's bounded cells /
-    * q26's banded LSH). Measured corpus margin min|cos−0.3| ≥ 5.8e-7
-    * at every SF — eight orders above the ~1e-15 relative rounding
-    * the two engines' different association orders can produce, so
-    * the float boundary cannot flip a pair. The cell LABEL is the
-    * hash-sampled seed's vec_id (engine-internal, like q167's
-    * assignment), so the judged projection rolls the cells up —
-    * at k = 1 that loses nothing: (n_cells, n_vecs, n_dropped) pins
-    * the whole drop set.
-    */
-  def q359_semdedup_exact(s: SparkSession, dir: String): DataFrame =
-    operators.SemanticDedup.summary(
-      tWide(s, dir, "embeddings"), "vec_id", "embedding",
-      nCentroids = 1, tau = 0.3)
-      .agg(count(lit(1)).as("n_cells"), sum("n_vecs").as("n_vecs"),
-        sum("n_dropped").as("n_dropped"))
-
-  /** BPE judged at the FIRST-MERGE dial (k = 1): the single driver
-    * round of Bpe.learnMerges is exactly the operator's distributed
-    * core — corpus tokenize → (word, n) vocabulary → adjacent-symbol
-    * pair explode weighted by word count → argmax with the
-    * (freq desc, left, right) tie-break — and at k = 1 there is no
-    * iterative rewrite yet, so the WHOLE round is SQL-expressible and
-    * DuckDB-judged (the q357/q359 exact-dial pattern). All counts are
-    * integers: no float boundary exists at any SF. The k = 5
-    * production dial (q193) stays rows-only because merge rounds ≥ 2
-    * see a symbol state only the greedy left-to-right fold produces;
-    * BpeSpec's differential tests pin that fold against the local
-    * reference. Scale shape is q193's: the corpus scan happens once
-    * (the word count), the pair agg runs over the vocabulary-sized
-    * frame with map-side partials.
-    */
-  def q360_bpe_first_merge(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val wc = tWide(s, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-    operators.Bpe.learnMerges(wc, k = 1)
-      .toDF("step", "left", "right", "freq")
-      .orderBy("step")
-  }
-
-  /** MMR judged at the k = 2 EXACT dial: the first greedy pick is the
-    * relevance argmax (redundancy 0), the second maximizes
-    * λ·rel − (1−λ)·cos(·, pick₁) over the remaining candidates — both
-    * closed-form single argmaxes over per-row double arithmetic, so
-    * the dial is fully SQL-expressible and judges Mmr.rerank's whole
-    * algebra: candidate retrieval (top-50 by (rel desc, id)), the
-    * λ-blend, the redundancy term, tie-breaks, and the
-    * rint-half-even/1e4 output rounding (round_even in DuckDB). The
-    * k = 10 production dial (q177) stays rows-only: picks ≥ 3 need
-    * max-over-selected-set state only the greedy loop carries.
-    * Float safety is the q183 precedent — every number here is a
-    * per-row SEQUENTIAL double dot (bit-identical in both engines),
-    * never a cross-row float aggregate; measured decision margins
-    * (argmax gap ≥ 4.4e-3, candidate-cut gap ≥ 8.2e-4, half-boundary
-    * distance ≥ 1.8e-4 at every SF) sit ≥ 11 orders above 1e-15
-    * association noise anyway.
-    */
-  def q361_mmr_exact(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{AnnIvf, Mmr}
-    val normed = AnnIvf.normalized(t(s, dir, "embeddings"), "vec_id", "embedding")
-    val probe = normed.filter(col("id") === 0)
-      .select("nv").collect()(0).getSeq[Double](0).toArray
-    Mmr.rerank(s, normed.filter(col("id") =!= 0), probe,
-        k = 2, nCandidates = 50, lambda = 0.7)
-      .orderBy("rank")
-  }
-
-  /** PCA judged at the ONE-POWER-STEP exact dial (q362 — the
-    * q357/q359/q360/q361 pattern, applied to q168): a single power
-    * iteration from the fixed all-ones start is one matvec
-    * v₁ = C·v₀ / ‖C·v₀‖ — and since v₀ is constant, v₁ is just the
-    * covariance ROW SUMS normalized, fully SQL-expressible via q159's
-    * already-oracle-matched d(d+1)/2 co-moment machinery. This judges
-    * every stage of operators/Pca EXCEPT iteration ≥ 2: covariance
-    * (distributed, map-side-combined), the matvec + normalize + sign
-    * fix (first |component| > 1e-12 positive), the distributed
-    * projection dot, and the clamped equal-width histogram. The
-    * 50-iteration production dial (q168) stays rows-only: repeated
-    * normalize steps have no SQL form. Float safety, measured at all
-    * three SFs (SWEEP.md pattern 4): bin-edge margin ≥ 4.2e-5 of a
-    * bin width and sign-component margins ≥ 3.4e-3 vs the ~1e-13
-    * cross-engine perturbation of the covariance sums — and the
-    * extreme rows (pc1 == lo/hi, where a one-ULP re-execution flip
-    * IS possible) are pinned by the operator's two-sided bin clamp.
-    */
-  def q362_pca_first_step(s: SparkSession, dir: String): DataFrame =
-    operators.Pca.projectionHistogram(
-      tWide(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, nBins = 10, powerIters = 1)
-
-  /** Logistic linear probe judged at the ONE-GD-STEP exact dial (q363,
-    * twin of q182): at w₀ = 0 every σ(w·x) is exactly 0.5, so the
-    * first full-batch gradient is the closed-form per-feature
-    * aggregate g_j = avg((0.5 − y)·x_j) and the first step's weights
-    * w₁ = −lr·g are SQL-expressible end-to-end. The judged frame runs
-    * the REAL operator (LinearProbe.train, iters = 1) and emits the
-    * 65 per-dimension weights (64 features + bias) PLUS the post-step
-    * metrics the production probe reports — accuracy at the 0.5
-    * decision threshold and mean log-loss under w₁ — which pins the
-    * whole predict/sigmoid/log-loss algebra too; only iteration ≥ 2
-    * (gradients at non-constant σ) stays rows-only in q182. Float
-    * margins, measured at all 3 SFs: decision scores min |w₁·x| ≥
-    * 0.19 (no accuracy flip possible), weight-rounding boundary
-    * distance ≥ 2.2e-9 and loss-rounding ≥ 0.29 of a 1e-4 step vs
-    * ~1e-17 association noise.
-    */
-  def q363_probe_first_step(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.LinearProbe
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), (col("label") === 0).cast("int").as("y"))
-    val fit = LinearProbe.train(emb, "embedding", "y", iters = 1, lr = 0.5)
-    val scored = LinearProbe.predict(emb, "embedding", fit)
-    val summary = scored.agg(
-      count(lit(1)).as("n"),
-      round(avg((col("yhat") === col("y")).cast("double")), 4).as("acc1"),
-      round(avg(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
-        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12))))), 4)
-        .as("loss1"))
-    import s.implicits._
-    val wdf = fit.weights.zipWithIndex
-      .map { case (w, i) => (i.toLong, BigDecimal(w).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0) }
-      .toSeq.toDF("pos", "w1")
-    wdf.crossJoin(broadcast(summary)) // 1-row metric frame (q145's pattern)
-      .orderBy("pos")
-  }
-
-  /** BPE tokenizer APPLICATION judged at the k = 1 exact dial (q364,
-    * twin of q199): ONE learned merge (q360's oracle-judged argmax)
-    * replayed by Bpe.encode's greedy left-to-right fold. For a
-    * single-character pair (l, r) — always the case at k = 1, symbols
-    * start as chars — the greedy fold is exactly leftmost-first
-    * non-overlapping substring replacement ("aaaa" → ["aa","aa"],
-    * "aaa" → ["aa","a"]; BpeSpec's fixture), which both engines'
-    * replace() implements identically, so the encode pass becomes
-    * SQL-expressible: replace l||r with a sentinel char (probed
-    * absent from the corpus at every SF), split to chars, map the
-    * sentinel back. Judged output = q199's shape (top subwords by
-    * weighted frequency). All counts integers — no float boundary at
-    * any SF. The k = 5 production dial (q199) stays rows-only: merges
-    * ≥ 2 act on multi-char symbol states only the fold carries.
-    */
-  def q364_bpe_encode_k1(s: SparkSession, dir: String): DataFrame = {
-    val wc = tWide(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .persistTracked()
-    val merges = operators.Bpe.learnMerges(wc, k = 1)
-    operators.Bpe.encode(wc, merges)
-      .select(col("n"), explode(col("syms")).as("subword"))
-      .groupBy("subword").agg(sum("n").as("freq"), count(lit(1)).as("n_words"))
-      .orderBy(desc("freq"), col("subword"))
-      .limit(25)
-  }
-
-  /** COMPRESSED video without ffmpeg: MJPEG-in-AVI (q365), closing the
-    * last multimodal seam the environment left open. Smooth synthetic
-    * clips (triangle-wave gradients — continuous content, the class
-    * MJPEG's DCT compresses well with bounded error) are encoded as
-    * real RIFF/AVI `MJPG` streams — every frame an independent
-    * baseline JPEG from the JDK's own ImageIO writer
-    * ([[graft.operators.VideoCodec.encodeAviMjpeg]]) — then parsed and
-    * JPEG-decoded back. JPEG is LOSSY, so this is judged like the
-    * PQ/IVF family: header metadata (dims, fps, frame count, codec
-    * tag) is exact and oracle-checked per row; the decoded pixels are
-    * judged by BOUNDS the construction guarantees — lossy (error > 0),
-    * within tolerance (max |decoded−source| ≤ 48; measured 25-35 on
-    * this content class), and actually compressed (container under
-    * half the raw pixel bytes; measured ~4x) — with the byte-exact
-    * encode determinism and torn-stream rejection pinned in
-    * VideoCodecSpec. Encode/decode are the documented UDF boundary
-    * (q323/q346/q356's pattern); payloads stay partition-local. At
-    * 100 TB, MJPEG's every-frame-a-keyframe profile is what makes
-    * frame sampling chunk-local — no inter-frame state ever crosses
-    * rows.
-    */
-  def q365_mjpeg_avi(s: SparkSession, dir: String): DataFrame = {
-    import graft.expr.RgbExpressions._
-    import graft.operators.VideoCodec
-    val w = 48; val h = 32; val frameBytes = w * h * 3
-    val encodeUdf = udf((frames: Seq[Array[Byte]], fps: Int) =>
-      VideoCodec.encodeAviMjpeg(frames, w, h, fps))
-    val decodeUdf = udf((avi: Array[Byte], src: Array[Byte]) => {
-      val v = VideoCodec.decodeAvi(avi)
-      val dec = v.frames.reduce(_ ++ _)
-      require(dec.length == src.length,
-        s"decoded ${dec.length} bytes vs ${src.length} source")
-      var maxErr = 0
-      var i = 0
-      while (i < dec.length) {
-        val e = math.abs((dec(i) & 0xff) - (src(i) & 0xff))
-        if (e > maxErr) maxErr = e
-        i += 1
-      }
-      (v.width, v.height, v.fps, v.frames.length, v.codec, maxErr)
-    })
-    def frameCol(f: Int) = bytesPack(
-      transform(sequence(lit(0), lit(frameBytes - 1)), j => {
-        val jl = j.cast("long")
-        val p = ((jl - pmod(jl, lit(3))) / 3).cast("long")
-        val c = pmod(jl, lit(3))
-        val x = pmod(p, lit(w))
-        val y = ((p - x) / w).cast("long")
-        val t = pmod(x * 3 + y * 5 + lit(f.toLong * 7) + c * 11 + col("media_id"),
-          lit(510))
-        when(t > 255, lit(510L) - t).otherwise(t)
-      }))
-    val df = s.range(1, 11).toDF("media_id")
-      .withColumn("fps", ((col("media_id") % 3 + 1) * 10).cast("int"))
-      .withColumn("fr", array((0 until 4).map(frameCol): _*))
-      .withColumn("src", concat((0 until 4).map(i =>
-        element_at(col("fr"), i + 1)): _*))
-      .withColumn("avi", encodeUdf(col("fr"), col("fps")))
-      .withColumn("dec", decodeUdf(col("avi"), col("src")))
-    df.select(col("media_id"),
-        col("dec._1").cast("long").as("width"),
-        col("dec._2").cast("long").as("height"),
-        col("dec._3").cast("long").as("fps_hdr"),
-        col("dec._4").cast("long").as("n_frames"),
-        col("dec._5").as("codec"),
-        (col("dec._6") > 0).as("lossy"),
-        (col("dec._6") <= 48).as("within_tol"),
-        (octet_length(col("avi")) * 2 < lit(4 * frameBytes)).as("compressed"))
-      .orderBy("media_id")
-  }
-
-  /** Product quantization judged at the MEAN-CODEBOOK exact dial
-    * (q366, twin of q176 — the q362/q363/q364 pattern applied to the
-    * last twinnable rows-only family): with k = 1 cell per subspace
-    * and the training sample = the WHOLE corpus (sampleN ≥ n,
-    * fail-loud guarded), Lloyd's update degenerates to the per-
-    * subspace MEAN, so the codebook, the encode (all codes 0), the
-    * probe's ADC distance table, and the AdcLookup scan sum are ALL
-    * closed-form and DuckDB-judged: the 64 codebook values pin the
-    * subspace split + centroid update, and the search summary pins
-    * the ADC algebra — every row's distance is Σⱼ‖qⱼ−meanⱼ‖², so
-    * adc_min == adc_max (a lookup that read the wrong table cell
-    * breaks the equality) and top-1 is the id tie-break. The
-    * production dial (q176: m=8, k=16, 5 Lloyd rounds on a hash-
-    * deterministic sample) stays rows-only — multi-centroid Lloyd has
-    * no SQL form. Float margins at all 3 SFs: centroid-rounding
-    * boundary ≥ 1.3e-8 abs, ADC ≥ 0.085 of a 1e-4 step, vs ~1e-15
-    * association noise. With this, 9 of the 10 rows-only operators
-    * carry oracle-judged exact-dial twins; the 10th (q172,
-    * engine-internal DEFLATE) is twinned by q368's judged contract
-    * flags — every rows-only operator now has an oracle-checked
-    * component.
-    */
-  def q366_pq_mean_dial(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Pq
-    val emb = t(s, dir, "embeddings")
-    val n = emb.count() // bounded table; the dial's contract check
-    require(n <= 4096,
-      s"q366 exact dial needs sampleN(4096) >= corpus rows ($n): at that " +
-        "point the sample is no longer the whole corpus and the oracle breaks")
-    val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 1,
-      sampleN = 4096, rounds = 1)
-    val probe = emb.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")))
-      .collect()(0).getSeq[Double](0).toArray
-    val top = Pq.searchTopK(
-      Pq.encode(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb),
-      cb, probe, k = 3)
-    val summary = top.agg(count(lit(1)).as("n_top"), min("id").as("top1_id"),
-      (round(min("adc_dist"), 4) + 0.0).as("adc_min"),
-      (round(max("adc_dist"), 4) + 0.0).as("adc_max"))
-    import s.implicits._
-    val cells = (for (j <- 0 until cb.m; i <- 0 until cb.subDim) yield
-      (j.toLong, i.toLong, BigDecimal(cb.cells(j)(0)(i))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
-      .toDF("subspace", "dim", "centroid")
-    cells.crossJoin(broadcast(summary)) // 1-row frame (q145's pattern)
-      .orderBy("subspace", "dim")
-  }
-
-  /** Residual IVF-PQ judged at the 1-CELL / MEAN-CODEBOOK exact dial
-    * (q367, twin of q179 — completing the twin set: every rows-only
-    * operator except engine-internal DEFLATE now has an oracle-judged
-    * dial): with one coarse cell, AnnIvf's Lloyd converges to the
-    * NORMALIZED MEAN of the unit vectors; the PQ codebook over
-    * residuals (k = 1, sample = whole corpus, fail-loud guarded)
-    * degenerates to the MEAN RESIDUAL μ − c ≠ 0; and the probe's ADC
-    * distance is Σ‖(qₙ−c)ⱼ − (μ−c)ⱼ‖² — identical for every row, so
-    * adc_min == adc_max pins the per-cell table + lookup, and the
-    * top-10 is pure id tie-break (ids 1..10). The judged rows are the
-    * 64 coarse-centroid values AND the 64 residual-codebook values —
-    * together they pin normalize→mean→normalize, the residual
-    * subtraction (the IVFADC trick), the residual-space PQ train, and
-    * the probed-cell ADC search; only multi-cell Lloyd (q179's
-    * production dial: 16 cells, m=8, k=16) stays rows-only. Float
-    * margins at 3 SFs: value-rounding ≥ 1.5e-9 abs, ADC ≥ 0.13 of a
-    * 1e-4 step.
-    */
-  def q367_ivfpq_mean_dial(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.IvfPq
-    val emb = t(s, dir, "embeddings")
-    val n = emb.count() // bounded table; the dial's contract check
-    require(n <= 2048,
-      s"q367 exact dial needs Pq.train's sample (2048) >= corpus rows ($n)")
-    val idx = IvfPq.build(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      nCells = 1, m = 4, k = 1)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")))
-      .collect()(0).getSeq[Double](0).toArray
-    val top = IvfPq.search(idx, q, kTop = 10, nProbe = 1)
-    val summary = top.agg(count(lit(1)).as("n_top"),
-      min("id").as("top1_id"), max("id").as("top10_id"),
-      (round(min("adc_dist"), 4) + 0.0).as("adc_min"),
-      (round(max("adc_dist"), 4) + 0.0).as("adc_max"))
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    val coarse = idx.cents.head._2
-    val pqRes = (0 until idx.cb.m).flatMap(j => idx.cb.cells(j)(0))
-    import s.implicits._
-    val rows =
-      (coarse.toSeq.zipWithIndex.map { case (v, d) => ("coarse", d.toLong, r6(v)) } ++
-        pqRes.zipWithIndex.map { case (v, d) => ("pq_res", d.toLong, r6(v)) })
-        .toDF("kind", "dim", "value")
-    rows.crossJoin(broadcast(summary)) // 1-row frame (q145's pattern)
-      .orderBy("kind", "dim")
-  }
-
-  /** Compression-score CONTRACT audit (q368, twin of q172 — the LAST
-    * rows-only operator gains an oracle-judged component, via the
-    * q99/q132 tolerance-flag pattern: exact columns DuckDB hash-checks
-    * next to contract booleans the oracle pins to `true`). DEFLATE
-    * output lengths are engine-internal, but the operator's contract
-    * is not, and every flag here is an INTEGER comparison on
-    * [[graft.functions.CompressionScore.deflateLen]] — no float
-    * boundary exists for the hash to land on (SWEEP.md pattern 4):
-    *
-    *   - bounds_ok: 0 < z ≤ raw + 16 per doc — deflate never expands
-    *     past the stored-block worst case (~5 B/16 KiB block + 6 B
-    *     zlib wrapper; the corpus max doc is far below one block);
-    *   - det_ok: z from a second, structurally distinct evaluation
-    *     (concat(text, '') — a different expression tree, so neither
-    *     constant folding nor subexpression elimination can collapse
-    *     the two UDF calls) equals z — the determinism echo. The
-    *     cross-RUN determinism claim rides the sweep itself: the hash
-    *     must reproduce at three SFs on every rerun;
-    *   - rep_lt_ok: deflate(text ⧺ ' ' ⧺ text) < 2·deflate(text) per
-    *     doc — doubling a document must compress strictly better than
-    *     twice (the second copy is one back-reference, ≤ ~4 B per 258-B
-    *     match, vs z ≥ ~30 B for the ≥44-B corpus docs). This is
-    *     Round6OpsSpec's "repetitive compresses below prose" ordering
-    *     in per-doc differential form: ratio(text·2) < ratio(text)
-    *     ⟺ z2x < 2z + z/L, and the judged flag uses the stricter
-    *     z2x < 2z.
-    *
-    * The exact columns (n_docs, raw UTF-8 byte mass per source) are
-    * reproduced by DuckDB from the same parquet. Scale shape is
-    * q172's: a narrow embarrassingly-parallel map (three partition-
-    * local Deflater calls/row — the documented UDF codec boundary),
-    * one map-side-combined source-grain agg.
-    */
-  def q368_compress_contract(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.CompressionScore.deflateLen
-    tWide(s, dir, "documents")
-      .select(col("source"),
-        octet_length(col("text")).cast("long").as("raw_bytes"),
-        deflateLen(col("text")).as("z"),
-        deflateLen(concat(col("text"), lit(""))).as("z_echo"),
-        deflateLen(concat(col("text"), lit(" "), col("text"))).as("z2x"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("raw_bytes").as("raw_bytes"),
-        bool_and(col("z") > 0 && col("z") <= col("raw_bytes") + 16)
-          .as("bounds_ok"),
-        bool_and(col("z") === col("z_echo")).as("det_ok"),
-        bool_and(col("z2x") < col("z") * 2).as("rep_lt_ok"))
-      .orderBy("source")
-  }
-
-  /** The ClickHouse HTTP INSERT wire, end-to-end and ORACLE-JUDGED
-    * (q369 — closing the round-11 verdict's missing item #2 as far as
-    * the sandbox allows): the reference's actual sink protocol
-    * (main.py:305-356 — HTTP port 8123, `INSERT INTO db.table FORMAT
-    * ArrowStream` with the five async-insert settings as URL params,
-    * X-ClickHouse-* auth headers, Arrow IPC stream body) runs for
-    * real against an in-process stand-in server
-    * ([[graft.io.MiniClickHouse]]) that authenticates, REJECTS any
-    * insert missing a setting at its exact main.py:329-335 value,
-    * parses the Arrow stream back, and aggregates what landed. The
-    * judged frame is the SERVER's per-event_type receipt — row count,
-    * exact value-cents, id/user sums, max ts µs — which DuckDB
-    * recomputes from the source parquet: a mangled vector, a dropped
-    * batch, a double-posted partition, or a mis-encoded timestamp
-    * breaks the hash. Spark side is distributed by construction (one
-    * POST per partition chunk, 8 partitions here so concurrent POSTs
-    * really interleave; no driver materialization); delivery is
-    * at-least-once per POST exactly like the reference (the
-    * exactly-once path is q306's ledgered DSv2 sink). requires pin
-    * client-count == server-count == corpus rows and zero rejected
-    * requests BEFORE the hash compare, so a silent drop cannot pass.
-    */
-  def q369_clickhouse_http_sink(s: SparkSession, dir: String): DataFrame = {
-    import graft.io.{ClickHouseHttp, MiniClickHouse}
-    val ev = t(s, dir, "events")
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .repartition(8)
-    val srv = new MiniClickHouse("ingest", "ingest_secret")
-    val port = srv.start()
-    try {
-      val posted = ClickHouseHttp.insertArrow(ev, ClickHouseHttp.Target(
-        "127.0.0.1", port, "ingest", "ingest_secret",
-        "analytics", "events_buffer"))
-      val landed = srv.snapshot
-      require(srv.rejected == 0, s"server rejected ${srv.rejected} requests")
-      require(srv.insertTargets ==
-        Set("INSERT INTO analytics.events_buffer FORMAT ArrowStream"),
-        s"unexpected insert targets: ${srv.insertTargets}")
-      require(posted == landed.map(_._2).sum,
-        s"posted $posted rows but server landed ${landed.map(_._2).sum}")
-      import s.implicits._
-      landed.toDF("event_type", "n_rows", "total_cents", "id_sum",
-        "uid_sum", "max_ts_us").orderBy("event_type")
-    } finally srv.stop()
-  }
-
-  /** END-TO-END text-curation pipeline — the TEXT-modality flagship
-    * beside q322's media pipeline, composing the judged operators in
-    * the order a Dolma/RefinedWeb-class run executes them as ONE
-    * declarative plan:
-    *   (1) QUALITY GATE — exact-integer Gopher-style rules (≥30
-    *       tokens, mean word length ≤ 5 as sum_len ≤ 5·n — integer
-    *       predicates so pass/fail is engine-identical, q200's rule);
-    *   (2) NEAR-DUP DROP — MinHash-LSH pairs over the survivors
-    *       (q23's machinery), keep-first semantics: drop any doc with
-    *       a lower-id partner at jaccard ≥ 0.5 (pairwise, exactly
-    *       expressible in SQL; the exact all-pairs oracle is safe by
-    *       the planted-dup gap);
-    *   (3) PACKING AUDIT — inclusive token running-total over the
-    *       unique survivors (cost-based PrefixSum, q55's concat-then-
-    *       chunk semantics) counting docs that STRADDLE a 2048-token
-    *       context boundary.
-    * Output is the per-source curation funnel: docs in → past
-    * quality → past dedup, token mass kept, boundary straddlers —
-    * sources that lose every doc stay visible with zeros (left joins
-    * from the input grain). Every stage is a judged operator; the
-    * flagship judges their COMPOSITION.
-    */
-  def q342_text_curation(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, PrefixSum}
-    val toks = graft.functions.TextFunctions.tokens(col("text"))
-    // Persisted: consumed by the per-source input counts, the quality
-    // gate, AND (via quality) the LSH build — one tokenize pass
-    // (caller hygiene releases it, Dedup's contract).
-    val docs = tWide(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"), toks.as("l"))
-      .withColumn("n_tok", size(col("l")).cast("long"))
-      .withColumn("sum_len",
-        aggregate(transform(col("l"), t => length(t)), lit(0), _ + _)
-          .cast("long"))
-      .persistTracked()
-    val quality = docs.filter(col("n_tok") >= 30 &&
-      col("sum_len") <= lit(5L) * col("n_tok"))
-    val dropIds = Dedup.minhashLshPairs(quality, "doc_id", "text",
-        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
-      .select(col("id_b").as("doc_id")).distinct()
-    val unique = quality.join(dropIds, Seq("doc_id"), "left_anti")
-      .select("doc_id", "source", "n_tok")
-    val packed = PrefixSum.runningTotal(unique, "doc_id", "n_tok", "cum")
-      .withColumn("straddles",
-        expr("(cum - n_tok) div 2048") =!= expr("(cum - 1) div 2048"))
-    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val qc = quality.groupBy("source").agg(count(lit(1)).as("n_quality"))
-    val uc = packed.groupBy("source").agg(count(lit(1)).as("n_unique"),
-      sum("n_tok").as("tokens_kept"),
-      count(when(col("straddles"), lit(1))).as("n_straddlers"))
-    base.join(qc, Seq("source"), "left").join(uc, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
-        coalesce(col("n_straddlers"), lit(0L)).as("n_straddlers"))
-      .orderBy("source")
-  }
-
-  /** Stream-static LEFT ANTI incremental dedup, ORACLE-JUDGED (it was
-    * spec-only on MemoryStreams): the arriving increment — the final
-    * 7 days of events (cutoff = exact max(ts) − 7d, engine-stable),
-    * salted with a replay of 500 ALREADY-INGESTED rows to give the
-    * anti-join something real to drop — streams from a staged topic
-    * and anti-joins the static corpus (everything before the cutoff)
-    * on event_id. This is the streaming
-    * analogue of q45's incremental dedup and the state-free cousin of
-    * BloomDedup: the static side broadcasts per micro-batch (at
-    * corpus scale: a bloom/bucketed variant — q80's route), the
-    * stream side never shuffles for the join and carries NO state, so
-    * there is no watermark to manage at all. Fresh rows land in the
-    * distributed file sink; the judged frame is the per-type arrival
-    * report, which must count exactly the truly-new rows (replays
-    * dropped) — the batch anti-join oracle.
-    */
-  def q341_stream_anti_dedup(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("c"))
-    val evC = ev.crossJoin(broadcast(cutoff))
-    val corpus = evC.filter(col("ts") < col("c"))
-      .select("event_id", "user_id", "event_type", "value")
-    val increment = evC.filter(col("ts") >= col("c"))
-      .unionByName(evC.filter(col("ts") < col("c") && col("event_id") % 97 === 0)
-        .limit(500))
-      .select("event_id", "user_id", "event_type", "value")
-    val incSchema = increment.schema
-    val stageDir = stagedParquet(s"sad|$dir") { d =>
-      increment.write.mode("overwrite").parquet(d)
-    }
-    val fresh = s.readStream.schema(incSchema).parquet(stageDir)
-      .join(broadcast(corpus.select("event_id")), Seq("event_id"), "left_anti")
-    runToParquetSink(s, fresh, "sad")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_new"),
-        round(sum("value"), 2).as("new_value"))
-      .orderBy("event_type")
-  }
-
-  /** The Spark-4 VARIANT surface as a judged query (the binary
-    * semi-structured type the ingest pipeline itself parses into —
-    * Validation's S5 path; q18/q52 judge the classic JSON-string
-    * functions, this judges the typed-variant door): `parse_json` →
-    * `variant_get(v, path, type)` for the typed hit,
-    * `try_variant_get` for the missing-path null (counted per group to
-    * pin the null-safe contract). VARIANT decode is a per-row codegen
-    * op with no shuffle of its own; the rollup is one bounded
-    * event-type aggregate. Oracle reproduces the extraction with
-    * DuckDB's json_extract + cast.
-    */
-  def q339_variant_ops(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    ev.select(col("event_type"), parse_json(col("props")).as("v"))
-      .select(col("event_type"),
-        variant_get(col("v"), "$.k", "bigint").as("k"),
-        try_variant_get(col("v"), "$.zz", "bigint").as("zz"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-        min("k").as("min_k"), max("k").as("max_k"),
-        count(col("zz")).as("n_zz"))
-      .orderBy("event_type")
-  }
-
-  /** ENGINE-NATIVE runtime bloom-filter join injection (Catalyst's
-    * InjectRuntimeFilter — the planner-side answer to q169's manual
-    * BloomJoin, the row-level sibling of q314's partition-level DPP):
-    * with a selective predicate on the small creation side of a
-    * shuffle join, the optimizer plants a bloom_filter_agg subquery on
-    * that side and a BloomFilterMightContain probe BELOW the fact
-    * scan's shuffle, so most non-matching fact rows exit before the
-    * exchange. Threshold confs are lowered to make the 10 GB-scale
-    * rule fire at test SF (conf-wrapped and restored, q324's pattern);
-    * the plan really carrying the probe is pinned in Round11OpsSpec.
-    * The ≤3-row flag aggregate is collected INSIDE the wrap so the
-    * judged run executes the bloom plan (bounded collect — the
-    * advisor-query pattern), then rehydrated as the result frame.
-    * Bloom injection is semantics-preserving, which the plain-join
-    * DuckDB oracle proves.
-    */
-  /** The threshold overrides that make InjectRuntimeFilter fire at
-    * test SF — ONE definition shared by q337 and its plan-pin spec, so
-    * tuning them can never silently decouple the judged query from the
-    * asserted plan.
-    */
-  private[graft] val runtimeBloomConfs: Seq[(String, String)] = Seq(
-    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-
-  def q337_runtime_bloom_join(s: SparkSession, dir: String): DataFrame =
-      sessionConfLock(s).synchronized {
-    val keep = runtimeBloomConfs
-    val prev = keep.map { case (k, _) => k -> s.conf.getOption(k) }
-    try {
-      keep.foreach { case (k, v) => s.conf.set(k, v) }
-      val agg = runtimeBloomAgg(s, dir)
-      val rows = agg.collect() // ≤3 return flags — bounded by construction
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
-  }
-
-  /** The join q337 wraps (shared with its plan-assertion spec). */
-  private[graft] def runtimeBloomAgg(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_orderkey")
-    val li = t(s, dir, "lineitem")
-      .select("l_orderkey", "l_returnflag", "l_extendedprice")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        round(sum("l_extendedprice"), 2).as("revenue"))
-      .orderBy("l_returnflag")
-  }
-
-  /** SQL pipe-operator syntax (`|>`, new in Spark 4.0 — SPARK-49555):
-    * the linear FROM → WHERE → AGGREGATE → ORDER BY form that reads
-    * in dataflow order instead of inside-out SQL. Semantically
-    * IDENTICAL to the classic aggregate (the parser lowers each pipe
-    * stage onto the same logical operators, so Catalyst's plan is the
-    * q01-class scan→partial-agg→final-agg), which the classic-SQL
-    * DuckDB oracle proves: same filter pushdown, same two-phase
-    * aggregation, same result hash. Judges the surface a SQL-first
-    * migrator would reach for on day one.
-    */
-  def q335_sql_pipe(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("q335_orders")
-    s.sql("""FROM q335_orders
-            ||> WHERE o_orderstatus = 'O'
-            ||> AGGREGATE count(*) AS n_orders,
-            |             round(sum(o_totalprice), 2) AS revenue
-            |   GROUP BY o_orderpriority
-            ||> ORDER BY o_orderpriority""".stripMargin)
-  }
-
-  /** CHAINED stateful streaming — stream-stream interval join feeding
-    * a windowed aggregation in ONE streaming query (the multi-stateful
-    * pipeline Spark allowed from 3.4: per-operator watermark
-    * propagation lets the join's append output be re-keyed into a
-    * 1-day tumbling event-time window downstream). Clicks⋈purchases
-    * within [cts, cts+30m) as in q328, then revenue per (day,
-    * campaign) with day = the purchase's tumbling window. In Append
-    * mode a window only emits once the watermark passes its END;
-    * [[sojStreams]]' +50h sentinels push the final watermark past even
-    * the last partial day, so AvailableNow drains every real window —
-    * and the sentinels themselves never join (distinct negative
-    * user_ids), so they influence time, never data. Hash-matched
-    * against the batch join + date_trunc oracle. State is join-bounded
-    * by the interval and agg-bounded by open windows — both
-    * watermark-evicted, both co-partitioned on their keys.
-    *
-    * GRAIN CONTRACT (StreamSinkGateSpec): the output keys on (day,
-    * campaign). `campaign` is parsed from the click's JSON props, but
-    * it is a MARKETING-DIMENSION key — tens to low-thousands of live
-    * campaigns at any corpus size — not a fact-grain value; combined
-    * with the calendar-bounded day, open-window state and the
-    * driver-side memory table stay bounded. If campaign were ever
-    * fact-grain (e.g. a per-click id), this query would have to move
-    * to runToParquetSink like q328/q345.
-    */
-  def q333_stream_join_window(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val (cs, ps) = sojStreams(s, dir)
-    val n = Queries.twsRuns.incrementAndGet()
-    val table = s"graft_sjw_$n"
-    val joined = cs.join(ps, sojCondition)
-    val q = withStreamPartitions(s) {
-      joined
-        .groupBy(window(col("pts"), "1 day").as("w"),
-          coalesce(col("campaign"), lit(-1L)).as("campaign"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(sum("value"), 2).as("total_value"))
-        .select(col("w.start").as("day"), col("campaign"),
-          col("n_pairs"), col("total_value"))
-        .writeStream.format("memory").queryName(table)
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_sjw_ckpt_").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    PlanShape.captureStream("sjw", q)
-    s.table(table).orderBy("day", "campaign")
-  }
-
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_pricing"   -> (q01_agg_pricing _),
-    "q02_join_broadcast" -> (q02_join_broadcast _),
-    "q03_join_fact"     -> (q03_join_fact _),
-    "q04_window_rank"   -> (q04_window_rank _),
-    "q05_topk_orders"   -> (q05_topk_orders _),
-    "q06_dedup_exact"   -> (q06_dedup_exact _),
-    "q07_text_wordcount" -> (q07_text_wordcount _),
-    "q08_cosine_topk"   -> (q08_cosine_topk _),
-    "q09_join_left"     -> (q09_join_left _),
-    "q10_join_range"    -> (q10_join_range _),
-    "q11_distinct"      -> (q11_distinct _),
-    "q12_rollup"        -> (q12_rollup _),
-    "q13_window_running" -> (q13_window_running _),
-    "q14_setops"        -> (q14_setops _),
-    "q15_strings"       -> (q15_strings _),
-    "q16_dates"         -> (q16_dates _),
-    "q17_math"          -> (q17_math _),
-    "q18_json"          -> (q18_json _),
-    "q19_arrays"        -> (q19_arrays _),
-    "q20_approx_distinct" -> (q20_approx_distinct _),
-    "q21_lang_quality"  -> (q21_lang_quality _),
-    "q22_token_counts"  -> (q22_token_counts _),
-    "q23_dedup_minhash" -> (q23_dedup_minhash _),
-    "q24_simhash_hamming" -> (q24_simhash_hamming _),
-    "q25_embed_neardup" -> (q25_embed_neardup _),
-    "q26_embed_neardup_lsh" -> (q26_embed_neardup_lsh _),
-    "q27_fingerprints"  -> (q27_fingerprints _),
-    "q28_window_tumble" -> (q28_window_tumble _),
-    "q29_sessions"      -> (q29_sessions _),
-    "q30_dedup_keyed"   -> (q30_dedup_keyed _),
-    "q31_cube"          -> (q31_cube _),
-    "q32_window_slide"  -> (q32_window_slide _),
-    "q33_media_meta"    -> (q33_media_meta _),
-    "q34_ann_ivf"       -> (q34_ann_ivf _),
-    "q35_ingest_pipeline" -> (q35_ingest_pipeline _),
-    "q36_ngram_jaccard" -> (q36_ngram_jaccard _),
-    "q37_skew_salted"   -> (q37_skew_salted _),
-    "q38_asof_join"     -> (q38_asof_join _),
-    "q39_sessions_stateful" -> (q39_sessions_stateful _),
-    "q40_quantiles"     -> (q40_quantiles _),
-    "q41_sample_stratified" -> (q41_sample_stratified _),
-    "q42_corpus_filter" -> (q42_corpus_filter _),
-    "q43_pivot"         -> (q43_pivot _),
-    "q44_interval_join" -> (q44_interval_join _),
-    "q45_dedup_incremental" -> (q45_dedup_incremental _),
-    "q46_collect"       -> (q46_collect _),
-    "q47_scrub"         -> (q47_scrub _),
-    "q48_vocab"         -> (q48_vocab _),
-    "q49_contamination" -> (q49_contamination _),
-    "q50_ohlc"          -> (q50_ohlc _),
-    "q51_gapfill"       -> (q51_gapfill _),
-    "q52_props_map"     -> (q52_props_map _),
-    "q53_dedup_components" -> (q53_dedup_components _),
-    "q54_window_analytics" -> (q54_window_analytics _),
-    "q55_pack_chunks"   -> (q55_pack_chunks _),
-    "q56_normalize"     -> (q56_normalize _),
-    "q57_repetition"    -> (q57_repetition _),
-    "q58_doc_freq"      -> (q58_doc_freq _),
-    "q59_asof_forward"  -> (q59_asof_forward _),
-    "q60_join_full"     -> (q60_join_full _),
-    "q61_sql_subquery"  -> (q61_sql_subquery _),
-    "q62_source_mix"    -> (q62_source_mix _),
-    "q63_top_ngrams"    -> (q63_top_ngrams _),
-    "q64_label_centroids" -> (q64_label_centroids _),
-    "q65_multiway_join" -> (q65_multiway_join _),
-    "q66_value_histogram" -> (q66_value_histogram _),
-    "q67_unpivot"       -> (q67_unpivot _),
-    "q68_dim_stats"     -> (q68_dim_stats _),
-    "q69_conditional_aggs" -> (q69_conditional_aggs _),
-    "q70_fuzzy_match"   -> (q70_fuzzy_match _),
-    "q71_rolling_window" -> (q71_rolling_window _),
-    "q72_stats"         -> (q72_stats _),
-    "q73_scd2"          -> (q73_scd2 _),
-    "q74_entropy"       -> (q74_entropy _),
-    "q75_cooccurrence"  -> (q75_cooccurrence _),
-    "q76_posting_lists" -> (q76_posting_lists _),
-    "q77_funnel"        -> (q77_funnel _),
-    "q78_retention"     -> (q78_retention _),
-    "q79_csv_ingest"    -> (q79_csv_ingest _),
-    "q80_bloom_dedup"   -> (q80_bloom_dedup _),
-    "q81_tfidf"         -> (q81_tfidf _),
-    "q82_bm25"          -> (q82_bm25 _),
-    "q83_passage_dedup" -> (q83_passage_dedup _),
-    "q84_zorder_layout" -> (q84_zorder_layout _),
-    "q85_length_buckets" -> (q85_length_buckets _),
-    "q86_anomaly_zscore" -> (q86_anomaly_zscore _),
-    "q87_event_gaps"    -> (q87_event_gaps _),
-    "q88_merge_upsert"  -> (q88_merge_upsert _),
-    "q89_global_sort"   -> (q89_global_sort _),
-    "q90_split_assign"  -> (q90_split_assign _),
-    "q91_bigram_lm"     -> (q91_bigram_lm _),
-    "q92_k_anonymity"   -> (q92_k_anonymity _),
-    "q93_equidepth_bins" -> (q93_equidepth_bins _),
-    "q94_heavy_hitters" -> (q94_heavy_hitters _),
-    "q95_weighted_sample" -> (q95_weighted_sample _),
-    "q96_orc_roundtrip" -> (q96_orc_roundtrip _),
-    "q97_incremental_agg" -> (q97_incremental_agg _),
-    "q98_snapshot_diff" -> (q98_snapshot_diff _),
-    "q99_approx_quantiles" -> (q99_approx_quantiles _),
-    "q100_rolling_distinct" -> (q100_rolling_distinct _),
-    "q101_share_of_total" -> (q101_share_of_total _),
-    "q102_corr_regression" -> (q102_corr_regression _),
-    "q103_spearman"     -> (q103_spearman _),
-    "q104_profile"      -> (q104_profile _),
-    "q105_scalar_quant" -> (q105_scalar_quant _),
-    "q106_setsim_prefix" -> (q106_setsim_prefix _),
-    "q107_stem_topwords" -> (q107_stem_topwords _),
-    "q108_argmax_latest" -> (q108_argmax_latest _),
-    "q109_mad_outliers" -> (q109_mad_outliers _),
-    "q110_knn_classify" -> (q110_knn_classify _),
-    "q111_max_concurrency" -> (q111_max_concurrency _),
-    "q112_transition_matrix" -> (q112_transition_matrix _),
-    "q113_lm_score"     -> (q113_lm_score _),
-    "q114_winsorize"    -> (q114_winsorize _),
-    "q115_chunk_overlap" -> (q115_chunk_overlap _),
-    "q116_hash_fingerprint" -> (q116_hash_fingerprint _),
-    "q117_interp_linear" -> (q117_interp_linear _),
-    "q118_path_analysis" -> (q118_path_analysis _),
-    "q119_json_roundtrip" -> (q119_json_roundtrip _),
-    "q120_entity_resolution" -> (q120_entity_resolution _),
-    "q121_grouping_sets" -> (q121_grouping_sets _),
-    "q122_period_over_period" -> (q122_period_over_period _),
-    "q123_skew_diagnostics" -> (q123_skew_diagnostics _),
-    "q124_fk_audit"     -> (q124_fk_audit _),
-    "q125_jaro_winkler" -> (q125_jaro_winkler _),
-    "q126_chisq"        -> (q126_chisq _),
-    "q127_centroid_sim" -> (q127_centroid_sim _),
-    "q128_partitioned_prune" -> (q128_partitioned_prune _),
-    "q129_min_cost_supplier" -> (q129_min_cost_supplier _),
-    "q130_lexical_diversity" -> (q130_lexical_diversity _),
-    "q131_pagerank"     -> (q131_pagerank _),
-    "q132_hll_merge"    -> (q132_hll_merge _),
-    "q133_xml_roundtrip" -> (q133_xml_roundtrip _),
-    "q134_bitmap_distinct" -> (q134_bitmap_distinct _),
-    "q135_funnel_lag"   -> (q135_funnel_lag _),
-    "q137_lateness_audit" -> (q137_lateness_audit _),
-    "q136_schema_evolution" -> (q136_schema_evolution _),
-    "q138_decile_lift"  -> (q138_decile_lift _),
-    "q139_gap_islands"  -> (q139_gap_islands _),
-    "q140_bitmap_intersect" -> (q140_bitmap_intersect _),
-    "q141_parent_share" -> (q141_parent_share _),
-    "q142_media_features" -> (q142_media_features _),
-    "q143_interval_coverage" -> (q143_interval_coverage _),
-    "q144_trend_forecast" -> (q144_trend_forecast _),
-    "q145_join_cardinality" -> (q145_join_cardinality _),
-    "q146_topk_agg"     -> (q146_topk_agg _),
-    "q147_asof_native"  -> (q147_asof_native _),
-    "q148_dsv2_source"  -> (q148_dsv2_source _),
-    "q149_compaction"   -> (q149_compaction _),
-    "q150_asof_native_fwd" -> (q150_asof_native_fwd _),
-    "q151_asof_string_key" -> (q151_asof_string_key _),
-    "q152_ann_ivf_disk" -> (q152_ann_ivf_disk _),
-    "q153_triangle_count" -> (q153_triangle_count _),
-    "q154_interval_attribution" -> (q154_interval_attribution _),
-    "q155_bucketed_join" -> (q155_bucketed_join _),
-    "q156_seasonality"  -> (q156_seasonality _),
-    "q157_l_diversity"  -> (q157_l_diversity _),
-    "q158_dedup_pipeline" -> (q158_dedup_pipeline _),
-    "q159_embed_covariance" -> (q159_embed_covariance _),
-    "q160_hybrid_rrf"   -> (q160_hybrid_rrf _),
-    "q161_quality_filter" -> (q161_quality_filter _),
-    "q162_kcore"        -> (q162_kcore _),
-    "q163_dsv2_agg_pushdown" -> (q163_dsv2_agg_pushdown _),
-    "q164_boilerplate_ngrams" -> (q164_boilerplate_ngrams _),
-    "q165_bfs_hops"     -> (q165_bfs_hops _),
-    "q166_label_prop"   -> (q166_label_prop _),
-    "q167_semantic_dedup" -> (q167_semantic_dedup _),
-    "q168_pca_power"    -> (q168_pca_power _),
-    "q169_bloom_join"   -> (q169_bloom_join _),
-    "q170_zipf_slope"   -> (q170_zipf_slope _),
-    "q171_containment_join" -> (q171_containment_join _),
-    "q172_compress_ratio" -> (q172_compress_ratio _),
-    "q173_markov_transitions" -> (q173_markov_transitions _),
-    "q174_chunk_sliding" -> (q174_chunk_sliding _),
-    "q175_benford"      -> (q175_benford _),
-    "q176_pq_adc"       -> (q176_pq_adc _),
-    "q177_mmr_rerank"   -> (q177_mmr_rerank _),
-    "q178_dup_spans"    -> (q178_dup_spans _),
-    "q179_ivfpq"        -> (q179_ivfpq _),
-    "q180_doc_perplexity" -> (q180_doc_perplexity _),
-    "q181_pmi_collocations" -> (q181_pmi_collocations _),
-    "q182_linear_probe" -> (q182_linear_probe _),
-    "q183_auc"          -> (q183_auc _),
-    "q184_calibration_bins" -> (q184_calibration_bins _),
-    "q185_budget_select" -> (q185_budget_select _),
-    "q186_phrase_search" -> (q186_phrase_search _),
-    "q187_ngram_novelty" -> (q187_ngram_novelty _),
-    "q188_cdc_chunks"   -> (q188_cdc_chunks _),
-    "q189_retrieval_metrics" -> (q189_retrieval_metrics _),
-    "q190_split_leakage" -> (q190_split_leakage _),
-    "q191_ppr_related"  -> (q191_ppr_related _),
-    "q192_dsir_select"  -> (q192_dsir_select _),
-    "q193_bpe_merges"   -> (q193_bpe_merges _),
-    "q194_winnowing"    -> (q194_winnowing _),
-    "q195_fuzzy_linkage" -> (q195_fuzzy_linkage _),
-    "q196_funnel"       -> (q196_funnel _),
-    "q197_cohort_retention" -> (q197_cohort_retention _),
-    "q198_adamic_adar"  -> (q198_adamic_adar _),
-    "q199_bpe_encode"   -> (q199_bpe_encode _),
-    "q200_gopher_rules" -> (q200_gopher_rules _),
-    "q201_hits"         -> (q201_hits _),
-    "q202_assoc_rules"  -> (q202_assoc_rules _),
-    "q203_kl_divergence" -> (q203_kl_divergence _),
-    "q204_jl_projection" -> (q204_jl_projection _),
-    "q205_attribution"  -> (q205_attribution _),
-    "q206_ks_test"      -> (q206_ks_test _),
-    "q207_chi2_select"  -> (q207_chi2_select _),
-    "q208_gini_tokens"  -> (q208_gini_tokens _),
-    "q209_rbo"          -> (q209_rbo _),
-    "q210_oov_rate"     -> (q210_oov_rate _),
-    "q211_temperature_mix" -> (q211_temperature_mix _),
-    "q212_local_clustering" -> (q212_local_clustering _),
-    "q213_stream_stream_join" -> (q213_stream_stream_join _),
-    "q214_sorted_neighborhood" -> (q214_sorted_neighborhood _),
-    "q215_decayed_engagement" -> (q215_decayed_engagement _),
-    "q216_quantile_normalize" -> (q216_quantile_normalize _),
-    "q217_rfm_segments" -> (q217_rfm_segments _),
-    "q218_golden_record" -> (q218_golden_record _),
-    "q219_class_balance" -> (q219_class_balance _),
-    "q220_ab_test"      -> (q220_ab_test _),
-    "q221_schema_evolution" -> (q221_schema_evolution _),
-    "q222_sql_interface" -> (q222_sql_interface _),
-    "q223_pivot_events" -> (q223_pivot_events _),
-    "q224_melt_metrics" -> (q224_melt_metrics _),
-    "q225_time_travel"  -> (q225_time_travel _),
-    "q226_kendall_tau"  -> (q226_kendall_tau _),
-    "q227_cusum_drift"  -> (q227_cusum_drift _),
-    "q228_mcnemar"      -> (q228_mcnemar _),
-    "q229_regex_tokens" -> (q229_regex_tokens _),
-    "q230_sssp"         -> (q230_sssp _),
-    "q231_log_odds_terms" -> (q231_log_odds_terms _),
-    "q232_data_contract" -> (q232_data_contract _),
-    "q233_bootstrap_ci" -> (q233_bootstrap_ci _),
-    "q234_acf"          -> (q234_acf _),
-    "q235_linear_attribution" -> (q235_linear_attribution _),
-    "q236_vocab_overlap" -> (q236_vocab_overlap _),
-    "q237_dict_advisor" -> (q237_dict_advisor _),
-    "q238_partition_skew" -> (q238_partition_skew _),
-    "q239_diff_in_diff" -> (q239_diff_in_diff _),
-    "q240_exp_histogram" -> (q240_exp_histogram _),
-    "q241_embedding_contract" -> (q241_embedding_contract _),
-    "q242_feature_matrix" -> (q242_feature_matrix _),
-    "q243_frame_sampling" -> (q243_frame_sampling _),
-    "q244_assortativity" -> (q244_assortativity _),
-    "q245_inverted_index_disk" -> (q245_inverted_index_disk _),
-    "q246_heaps_law"    -> (q246_heaps_law _),
-    "q247_column_entropy" -> (q247_column_entropy _),
-    "q248_fd_check"     -> (q248_fd_check _),
-    "q249_target_encoding" -> (q249_target_encoding _),
-    "q250_interval_coverage" -> (q250_interval_coverage _),
-    "q251_dup_rate_by_source" -> (q251_dup_rate_by_source _),
-    "q252_entropy_rate" -> (q252_entropy_rate _),
-    "q253_weighted_median" -> (q253_weighted_median _),
-    "q254_theil_sen"    -> (q254_theil_sen _),
-    "q255_rich_club"    -> (q255_rich_club _),
-    "q256_rolling_slope" -> (q256_rolling_slope _),
-    "q257_multivariate_outliers" -> (q257_multivariate_outliers _),
-    "q258_fanout_profile" -> (q258_fanout_profile _),
-    "q259_anova_weekday" -> (q259_anova_weekday _),
-    "q260_whale_curve"  -> (q260_whale_curve _),
-    "q261_mann_whitney" -> (q261_mann_whitney _),
-    "q262_kaplan_meier" -> (q262_kaplan_meier _),
-    "q263_psi_drift"    -> (q263_psi_drift _),
-    "q264_skyline"      -> (q264_skyline _),
-    "q265_tukey_hsd"    -> (q265_tukey_hsd _),
-    "q266_seasonal_decompose" -> (q266_seasonal_decompose _),
-    "q267_covariate_balance" -> (q267_covariate_balance _),
-    "q268_hard_negatives" -> (q268_hard_negatives _),
-    "q269_runs_test"    -> (q269_runs_test _),
-    "q270_qq_deciles"   -> (q270_qq_deciles _),
-    "q271_js_divergence" -> (q271_js_divergence _),
-    "q272_cohens_d"     -> (q272_cohens_d _),
-    "q273_mann_kendall" -> (q273_mann_kendall _),
-    "q274_tost_equivalence" -> (q274_tost_equivalence _),
-    "q275_hhi_concentration" -> (q275_hhi_concentration _),
-    "q276_jarque_bera"  -> (q276_jarque_bera _),
-    "q277_grubbs"       -> (q277_grubbs _),
-    "q278_levene"       -> (q278_levene _),
-    "q279_cronbach_alpha" -> (q279_cronbach_alpha _),
-    "q280_tukey_fences" -> (q280_tukey_fences _),
-    "q281_token_coverage" -> (q281_token_coverage _),
-    "q282_burstiness"   -> (q282_burstiness _),
-    "q283_watermark_impact" -> (q283_watermark_impact _),
-    "q284_sort_advisor" -> (q284_sort_advisor _),
-    "q285_mutual_information" -> (q285_mutual_information _),
-    "q286_delta_bitwidth" -> (q286_delta_bitwidth _),
-    "q287_sax_words"    -> (q287_sax_words _),
-    "q288_session_timeout" -> (q288_session_timeout _),
-    "q289_info_gain_split" -> (q289_info_gain_split _),
-    "q290_srm_check"    -> (q290_srm_check _),
-    "q291_join_order_advisor" -> (q291_join_order_advisor _),
-    "q292_codec_advisor" -> (q292_codec_advisor _),
-    "q293_powerlaw_alpha" -> (q293_powerlaw_alpha _),
-    "q294_catalog_coldstart" -> (q294_catalog_coldstart _),
-    "q295_mood_median"  -> (q295_mood_median _),
-    "q296_partition_planner" -> (q296_partition_planner _),
-    "q297_changepoint_sse" -> (q297_changepoint_sse _),
-    "q298_effective_n"  -> (q298_effective_n _),
-    "q299_cohen_kappa"  -> (q299_cohen_kappa _),
-    "q300_corpus_scorecard" -> (q300_corpus_scorecard _),
-    "q301_modularity"   -> (q301_modularity _),
-    "q302_fdr_bh"       -> (q302_fdr_bh _),
-    "q303_ewma_chart"   -> (q303_ewma_chart _),
-    "q304_edit_join"    -> (q304_edit_join _),
-    "q305_spj_join"     -> (q305_spj_join _),
-    "q306_dsv2_sink_roundtrip" -> (q306_dsv2_sink_roundtrip _),
-    "q307_blocking_quality" -> (q307_blocking_quality _),
-    "q308_kruskal_wallis" -> (q308_kruskal_wallis _),
-    "q309_component_sizes" -> (q309_component_sizes _),
-    "q310_simpson_audit" -> (q310_simpson_audit _),
-    "q311_abtest_power" -> (q311_abtest_power _),
-    "q312_columnar_scan" -> (q312_columnar_scan _),
-    "q313_cramers_v" -> (q313_cramers_v _),
-    "q314_runtime_pruned_join" -> (q314_runtime_pruned_join _),
-    "q315_nearest_event_join" -> (q315_nearest_event_join _),
-    "q316_isotonic_calibration" -> (q316_isotonic_calibration _),
-    "q317_audio_energy" -> (q317_audio_energy _),
-    "q318_image_stats" -> (q318_image_stats _),
-    "q319_video_motion" -> (q319_video_motion _),
-    "q320_dsv2_topn" -> (q320_dsv2_topn _),
-    "q321_dsv2_grouped_pushdown" -> (q321_dsv2_grouped_pushdown _),
-    "q322_media_pipeline" -> (q322_media_pipeline _),
-    "q323_png_decode" -> (q323_png_decode _),
-    "q324_sessions_tws_stream" -> (q324_sessions_tws_stream _),
-    "q325_ngram_perplexity" -> (q325_ngram_perplexity _),
-    "q326_perplexity_buckets" -> (q326_perplexity_buckets _),
-    "q327_stream_static_enrich" -> (q327_stream_static_enrich _),
-    "q328_stream_outer_join" -> (q328_stream_outer_join _),
-    "q329_length_batching" -> (q329_length_batching _),
-    "q330_epoch_mix"    -> (q330_epoch_mix _),
-    "q331_hierarchy_rollup" -> (q331_hierarchy_rollup _),
-    "q332_sql_recursive" -> (q332_sql_recursive _),
-    "q333_stream_join_window" -> (q333_stream_join_window _),
-    "q334_lateral_topk" -> (q334_lateral_topk _),
-    "q335_sql_pipe"     -> (q335_sql_pipe _),
-    "q336_lsh_decontamination" -> (q336_lsh_decontamination _),
-    "q337_runtime_bloom_join" -> (q337_runtime_bloom_join _),
-    "q338_eval_holdout" -> (q338_eval_holdout _),
-    "q339_variant_ops"  -> (q339_variant_ops _),
-    "q340_stream_full_join" -> (q340_stream_full_join _),
-    "q341_stream_anti_dedup" -> (q341_stream_anti_dedup _),
-    "q342_text_curation" -> (q342_text_curation _),
-    "q343_stream_union_sources" -> (q343_stream_union_sources _),
-    "q344_stream_dedup_window" -> (q344_stream_dedup_window _),
-    "q345_session_window_stream" -> (q345_session_window_stream _),
-    "q346_wav_decode" -> (q346_wav_decode _),
-    "q347_state_reader" -> (q347_state_reader _),
-    "q348_stream_semi_join" -> (q348_stream_semi_join _),
-    "q349_state_changefeed" -> (q349_state_changefeed _),
-    "q350_stream_right_outer" -> (q350_stream_right_outer _),
-    "q351_mapstate_daily" -> (q351_mapstate_daily _),
-    "q352_liststate_median" -> (q352_liststate_median _),
-    "q353_initial_state" -> (q353_initial_state _),
-    "q354_sql_parameterized" -> (q354_sql_parameterized _),
-    "q355_sql_udf" -> (q355_sql_udf _),
-    "q356_avi_decode" -> (q356_avi_decode _),
-    "q357_simhash_md5" -> (q357_simhash_md5 _),
-    "q358_sql_script" -> (q358_sql_script _),
-    "q359_semdedup_exact" -> (q359_semdedup_exact _),
-    "q360_bpe_first_merge" -> (q360_bpe_first_merge _),
-    "q361_mmr_exact"    -> (q361_mmr_exact _),
-    "q362_pca_first_step" -> (q362_pca_first_step _),
-    "q363_probe_first_step" -> (q363_probe_first_step _),
-    "q364_bpe_encode_k1" -> (q364_bpe_encode_k1 _),
-    "q365_mjpeg_avi"    -> (q365_mjpeg_avi _),
-    "q366_pq_mean_dial" -> (q366_pq_mean_dial _),
-    "q367_ivfpq_mean_dial" -> (q367_ivfpq_mean_dial _),
-    "q368_compress_contract" -> (q368_compress_contract _),
-    "q369_clickhouse_http_sink" -> (q369_clickhouse_http_sink _),
-  )
-
-  val oracle: Map[String, String] = Map(
-    "q01_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
-        | count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q02_join_broadcast" ->
-      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "q03_join_fact" ->
-      """SELECT o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | count(*) AS n
-        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q04_window_rank" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
-    "q05_topk_orders" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    "q06_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS dupes
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
-    "q07_text_wordcount" ->
-      """SELECT word, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
-        |  FROM documents)
-        |WHERE word <> '' GROUP BY word
-        |ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
-    "q08_cosine_topk" ->
-      """WITH probe AS (
-        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(list_dot_product(embedding::DOUBLE[], qv) /
-        |        (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-        |         sqrt(list_dot_product(qv, qv))), 4) AS sim
-        |FROM embeddings, probe WHERE vec_id <> 0
-        |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "q09_join_left" ->
-      """SELECT c.c_custkey,
-        |  count(o.o_orderkey) AS n_orders,
-        |  CASE WHEN count(o.o_orderkey) > 0 THEN 1 ELSE 0 END AS has_orders
-        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
-    "q10_join_range" ->
-      """SELECT b.band, count(*) AS n, round(sum(l_extendedprice), 2) AS price
-        |FROM lineitem
-        |JOIN (VALUES ('b00_10', 0.0, 10.0), ('b10_20', 10.0, 20.0),
-        |             ('b20_30', 20.0, 30.0), ('b30_40', 30.0, 40.0),
-        |             ('b40_50', 40.0, 50.0)) AS b(band, lo, hi)
-        |  ON l_quantity > b.lo AND l_quantity <= b.hi
-        |GROUP BY b.band ORDER BY b.band""".stripMargin,
-    "q11_distinct" ->
-      """SELECT d.l_returnflag, d.l_linestatus, a.n_parts, a.n_supps
-        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) d
-        |CROSS JOIN (SELECT count(DISTINCT l_partkey) AS n_parts,
-        |                   count(DISTINCT l_suppkey) AS n_supps FROM lineitem) a
-        |ORDER BY d.l_returnflag, d.l_linestatus""".stripMargin,
-    "q12_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-    "q13_window_running" ->
-      """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_price,
-        |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS next_price
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "q14_setops" ->
-      """WITH cwo AS (SELECT DISTINCT o_custkey AS k FROM orders),
-        |     ac AS (SELECT c_custkey AS k FROM customer),
-        |     tagged AS (
-        |       SELECT k, 'both' AS src FROM (SELECT k FROM cwo INTERSECT SELECT k FROM ac)
-        |       UNION ALL
-        |       SELECT k, 'orphan' AS src FROM (SELECT k FROM cwo EXCEPT SELECT k FROM ac)
-        |       UNION ALL
-        |       SELECT k, 'inactive' AS src FROM (SELECT k FROM ac EXCEPT SELECT k FROM cwo))
-        |SELECT src, count(*) AS n, min(k) AS min_k, max(k) AS max_k
-        |FROM tagged GROUP BY src ORDER BY src""".stripMargin,
-    "q15_strings" ->
-      """SELECT c_custkey, lower(c_name) AS lname, upper(c_mktsegment) AS useg,
-        |  substring(c_name, 1, 8) AS prefix, length(c_name) AS len,
-        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
-        |  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits
-        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
-    "q16_dates" ->
-      """SELECT o_orderkey,
-        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
-        |  date_trunc('month', o_orderdate) AS month_start,
-        |  date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_to_98
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q17_math" ->
-      """SELECT l_orderkey,
-        |  round(abs(l_extendedprice * -1), 2) AS abs_price,
-        |  round(power(l_discount + 1, 2), 6) AS disc_sq,
-        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
-        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
-        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
-        |  l_partkey % 7 AS pk_mod
-        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
-    "q18_json" ->
-      """SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
-    "q19_arrays" ->
-      """SELECT vec_id, len(embedding) AS dim,
-        |  round(embedding[1]::DOUBLE, 6) AS first,
-        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-        |  round(list_sum(embedding::DOUBLE[]), 4) AS vsum
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q21_lang_quality" -> {
-      val profiles = graft.functions.TextFunctions.stopwordProfiles
-      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      val hits = profiles.map { case (l, ws) =>
-        s"len(list_distinct(list_intersect(toks, ${lst(ws)}))) AS h_$l"
-      }.mkString(",\n        ")
-      val bestExpr = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
-      val caseArms = profiles.map { case (l, _) =>
-        s"WHEN h_$l = best AND best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH tok AS (
-        |  SELECT doc_id, lang, text,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, lang, text, toks,
-        |        $hits
-        |  FROM tok),
-        |best AS (SELECT *, $bestExpr AS best FROM sc)
-        |SELECT doc_id, lang AS tagged_lang,
-        |  CASE $caseArms ELSE 'und' END AS pred_lang,
-        |  len(toks) AS n_tokens,
-        |  round(CASE WHEN len(toks) > 0
-        |    THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
-        |    ELSE 0.0 END, 4) AS mean_word_len,
-        |  round((length(text) - length(regexp_replace(text,
-        |    '[.,;:!?''"()\\[\\]{}]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4)
-        |    AS punct_ratio,
-        |  round(len(list_distinct(list_intersect(toks, ${lst(profiles.head._2)})))::DOUBLE
-        |    / greatest(len(toks), 1), 4) AS stopword_ratio,
-        |  CASE WHEN len(toks) BETWEEN 5 AND 100000
-        |    AND (CASE WHEN len(toks) > 0
-        |         THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
-        |         ELSE 0.0 END) BETWEEN 2 AND 12
-        |    THEN 1 ELSE 0 END AS quality_keep
-        |FROM best ORDER BY doc_id""".stripMargin
-    },
-    "q22_token_counts" ->
-      """SELECT doc_id,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ws_tokens,
-        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_splits,
-        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS alnum_tokens,
-        |  length(text) // 4 AS est_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q23_dedup_minhash" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM d WHERE len(toks) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-        |FROM s a, s b
-        |WHERE a.doc_id < b.doc_id
-        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q25_embed_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-        |    AS cosine
-        |FROM e a, e b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q358_sql_script" ->
-      // |s| = the loop's doubling count: the anchor row is the first
-      // SET t = t*2 (always executed — n starts at the threshold), and
-      // each recursive row reproduces one more passed probe, so
-      // count(*) over s equals the script's iters at every SF.
-      """WITH RECURSIVE s(t) AS (
-        |  SELECT 2000.0::DOUBLE
-        |  UNION ALL
-        |  SELECT t * 2 FROM s
-        |  WHERE (SELECT count(*) FROM orders WHERE o_totalprice > s.t) >= 10000
-        |),
-        |f AS (SELECT max(t) AS t, count(*)::BIGINT AS n_iters FROM s)
-        |SELECT o_orderpriority, f.t AS threshold, f.n_iters,
-        |  count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders, f WHERE o_totalprice > f.t
-        |GROUP BY 1, 2, 3
-        |UNION ALL
-        |SELECT '~total', f.t, f.n_iters,
-        |  (SELECT count(*) FROM orders WHERE o_totalprice > f.t)::BIGINT,
-        |  round(coalesce((SELECT sum(o_totalprice) FROM orders
-        |                  WHERE o_totalprice > f.t), 0), 2)
-        |FROM f
-        |ORDER BY o_orderpriority""".stripMargin,
-    "q359_semdedup_exact" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |d AS (
-        |  SELECT count(DISTINCT b.vec_id) AS n_dropped
-        |  FROM e a, e b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
-        |SELECT 1::BIGINT AS n_cells, (SELECT count(*) FROM e) AS n_vecs, d.n_dropped
-        |FROM d ORDER BY n_cells""".stripMargin,
-    "q360_bpe_first_merge" ->
-      """WITH w AS (
-        |  SELECT word, count(*)::BIGINT AS n FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |p AS (
-        |  SELECT unnest([{'l': word[i:i], 'r': word[i+1:i+1]}
-        |                 for i in range(1, length(word))]) AS pr, n
-        |  FROM w WHERE length(word) >= 2)
-        |SELECT 1 AS step, pr.l AS "left", pr.r AS "right", sum(n)::BIGINT AS freq
-        |FROM p GROUP BY 1, 2, 3
-        |ORDER BY freq DESC, "left", "right" LIMIT 1""".stripMargin,
-    "q361_mmr_exact" ->
-      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |nrm AS (SELECT id,
-        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
-        |p AS (SELECT nv AS pv FROM nrm WHERE id = 0),
-        |c AS (SELECT id, list_dot_product(nv, pv) AS rel, nv
-        |      FROM nrm, p WHERE id <> 0
-        |      ORDER BY rel DESC, id LIMIT 50),
-        |s1 AS (SELECT id, rel, nv, 0.7 * rel AS score FROM c
-        |       ORDER BY rel DESC, id LIMIT 1),
-        |s2 AS (SELECT c.id, c.rel,
-        |         0.7 * c.rel - 0.3 * list_dot_product(c.nv, s1.nv) AS score
-        |       FROM c, s1 WHERE c.id <> s1.id
-        |       ORDER BY score DESC, c.id LIMIT 1)
-        |SELECT 1 AS rank, id, round_even(rel * 10000, 0) / 10000 AS relevance,
-        |       round_even(score * 10000, 0) / 10000 AS mmr_score FROM s1
-        |UNION ALL
-        |SELECT 2, id, round_even(rel * 10000, 0) / 10000,
-        |       round_even(score * 10000, 0) / 10000 FROM s2
-        |ORDER BY rank""".stripMargin,
-    "q362_pca_first_step" ->
-      """WITH ex AS (
-        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
-        |  FROM embeddings, range(1, 65) t(i)),
-        |cov AS (
-        |  SELECT a.i AS i, b.i AS j,
-        |    sum(a.x * b.x) / count(*) -
-        |      (sum(a.x) / count(*)) * (sum(b.x) / count(*)) AS c
-        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |  GROUP BY 1, 2),
-        |covf AS (SELECT i, j, c FROM cov
-        |         UNION ALL SELECT j, i, c FROM cov WHERE i <> j),
-        |w AS (SELECT i, sum(c) AS wi FROM covf GROUP BY i),
-        |nrm AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w),
-        |vs AS (SELECT i, wi / nrm AS v FROM w, nrm),
-        |sgn AS (SELECT CASE WHEN
-        |    (SELECT v FROM vs WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1) < 0
-        |  THEN -1.0 ELSE 1.0 END AS sg),
-        |v AS (SELECT i, v * sg AS v FROM vs, sgn),
-        |proj AS (SELECT e.vec_id, sum(e.x * v.v) AS pc1
-        |         FROM ex e JOIN v USING (i) GROUP BY e.vec_id),
-        |rng AS (SELECT min(pc1) AS lo, max(pc1) AS hi FROM proj),
-        |binned AS (
-        |  SELECT greatest(0, least(floor((pc1 - lo) / ((hi - lo) / 10)), 9))::BIGINT AS bin,
-        |    lo, hi
-        |  FROM proj, rng)
-        |SELECT bin, count(*) AS n,
-        |  round(min(lo + bin * (hi - lo) / 10), 4) + 0.0 AS bin_lo
-        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
-    "q363_probe_first_step" ->
-      """WITH x AS (
-        |  SELECT vec_id, (label = 0)::INT AS y, i,
-        |    CASE WHEN i <= 64 THEN embedding[i]::DOUBLE ELSE 1.0 END AS xj
-        |  FROM embeddings, range(1, 66) t(i)),
-        |g AS (SELECT i, avg((0.5 - y) * xj) AS gi FROM x GROUP BY i),
-        |w AS (SELECT i, -0.5 * gi AS wi FROM g),
-        |score AS (SELECT x.vec_id, any_value(x.y) AS y, sum(x.xj * w.wi) AS z
-        |          FROM x JOIN w USING (i) GROUP BY x.vec_id),
-        |p AS (SELECT vec_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM score),
-        |s AS (SELECT count(*) AS n,
-        |        round(avg((((p >= 0.5)::INT = y))::INT::DOUBLE), 4) AS acc1,
-        |        round(avg(-(y * ln(greatest(p, 1e-12)) +
-        |                    (1 - y) * ln(greatest(1.0 - p, 1e-12)))), 4) AS loss1
-        |      FROM p)
-        |SELECT w.i - 1 AS pos, round(wi, 6) + 0.0 AS w1, s.n, s.acc1, s.loss1
-        |FROM w, s ORDER BY pos""".stripMargin,
-    "q364_bpe_encode_k1" ->
-      """WITH w AS (
-        |  SELECT word, count(*)::BIGINT AS n FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |pr AS (
-        |  SELECT unnest([{'l': word[i:i], 'r': word[i+1:i+1]}
-        |                 for i in range(1, length(word))]) AS pr, n
-        |  FROM w WHERE length(word) >= 2),
-        |m AS (SELECT pr.l AS l, pr.r AS r FROM pr GROUP BY 1, 2
-        |      ORDER BY sum(n) DESC, l, r LIMIT 1),
-        |enc AS (SELECT w.n, replace(w.word, m.l || m.r, chr(1)) AS e FROM w, m),
-        |sym AS (SELECT n, CASE WHEN c = chr(1) THEN (SELECT l || r FROM m)
-        |                       ELSE c END AS subword
-        |        FROM enc, unnest(string_split(e, '')) t(c))
-        |SELECT subword, sum(n)::BIGINT AS freq, count(*)::BIGINT AS n_words
-        |FROM sym GROUP BY subword ORDER BY freq DESC, subword LIMIT 25""".stripMargin,
-    "q365_mjpeg_avi" ->
-      // The PQ-family grading: metadata columns recompute the exact
-      // construction (fps grid, dims, frame count); the codec-derived
-      // booleans are construction-guaranteed bounds the Spark side
-      // MEASURES (JPEG error ≤ 48, container < raw/2) — the oracle
-      // asserts they hold, VideoCodecSpec pins the determinism.
-      """SELECT id AS media_id, 48::BIGINT AS width, 32::BIGINT AS height,
-        |  ((id % 3) + 1) * 10 AS fps_hdr, 4::BIGINT AS n_frames,
-        |  'MJPG' AS codec, TRUE AS lossy, TRUE AS within_tol,
-        |  TRUE AS compressed
-        |FROM range(1, 11) t(id) ORDER BY media_id""".stripMargin,
-    "q366_pq_mean_dial" ->
-      """WITH e AS (SELECT vec_id, i - 1 AS i0, embedding[i]::DOUBLE AS x
-        |           FROM embeddings, range(1, 65) t(i)),
-        |mean AS (SELECT i0 // 16 AS subspace, i0 % 16 AS dim, avg(x) AS c
-        |         FROM e GROUP BY 1, 2),
-        |probe AS (SELECT i0, x FROM e WHERE vec_id = 0),
-        |d AS (SELECT sum((p.x - m.c) * (p.x - m.c)) AS d2
-        |      FROM probe p JOIN mean m
-        |        ON p.i0 // 16 = m.subspace AND p.i0 % 16 = m.dim)
-        |SELECT m.subspace, m.dim, round(m.c, 6) + 0.0 AS centroid,
-        |  3::BIGINT AS n_top, 1::BIGINT AS top1_id,
-        |  round(d.d2, 4) + 0.0 AS adc_min, round(d.d2, 4) + 0.0 AS adc_max
-        |FROM mean m, d ORDER BY subspace, dim""".stripMargin,
-    "q367_ivfpq_mean_dial" ->
-      """WITH raw AS (SELECT vec_id, i - 1 AS i0, embedding[i]::DOUBLE AS x
-        |             FROM embeddings, range(1, 65) t(i)),
-        |nv AS (SELECT vec_id, i0,
-        |         x / sqrt(sum(x * x) OVER (PARTITION BY vec_id)) AS nv
-        |       FROM raw),
-        |mu AS (SELECT i0, avg(nv) AS m FROM nv WHERE vec_id <> 0 GROUP BY i0),
-        |mn AS (SELECT sqrt(sum(m * m)) AS mn FROM mu),
-        |c AS (SELECT i0, m / mn AS c FROM mu, mn),
-        |pq AS (SELECT mu.i0, mu.m - c.c AS p FROM mu JOIN c ON mu.i0 = c.i0),
-        |qn AS (SELECT i0, nv FROM nv WHERE vec_id = 0),
-        |rq AS (SELECT q.i0, q.nv - c.c AS r FROM qn q JOIN c ON q.i0 = c.i0),
-        |adc AS (SELECT sum((rq.r - pq.p) * (rq.r - pq.p)) AS d2
-        |        FROM rq JOIN pq ON rq.i0 = pq.i0),
-        |rows_ AS (
-        |  SELECT 'coarse' AS kind, i0 AS dim, round(c, 6) + 0.0 AS value FROM c
-        |  UNION ALL
-        |  SELECT 'pq_res', i0, round(p, 6) + 0.0 FROM pq)
-        |SELECT kind, dim, value, 10::BIGINT AS n_top, 1::BIGINT AS top1_id,
-        |  10::BIGINT AS top10_id, round(adc.d2, 4) + 0.0 AS adc_min,
-        |  round(adc.d2, 4) + 0.0 AS adc_max
-        |FROM rows_, adc ORDER BY kind, dim""".stripMargin,
-    "q368_compress_contract" ->
-      // The q99/q132 tolerance-flag grading: n_docs + raw UTF-8 byte
-      // mass are recomputed exactly (DuckDB strlen(VARCHAR) counts
-      // BYTES, = Spark octet_length); the three DEFLATE contract
-      // booleans — integer bounds, determinism echo, doubling-
-      // compresses-strictly-better — are pinned true.
-      """SELECT source, count(*)::BIGINT AS n_docs,
-        |  sum(strlen(text))::BIGINT AS raw_bytes,
-        |  true AS bounds_ok, true AS det_ok, true AS rep_lt_ok
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q369_clickhouse_http_sink" ->
-      // Recomputes the server-side receipt from the source parquet:
-      // exact integer cents (2-decimal values — no .5 tie exists),
-      // id/user sums, max µs epoch. Any wire corruption diverges.
-      """SELECT event_type, count(*)::BIGINT AS n_rows,
-        |  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS total_cents,
-        |  sum(event_id)::BIGINT AS id_sum,
-        |  sum(user_id)::BIGINT AS uid_sum,
-        |  max(epoch_us(ts))::BIGINT AS max_ts_us
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q357_simhash_md5" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
-        |tk AS (SELECT doc_id,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |  FROM d),
-        |hv AS (SELECT doc_id,
-        |    ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 268435456
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16777216
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 1048576
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) * 65536
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) * 4096
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) * 256
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) * 16
-        |   + (strpos('0123456789abcdef', substring(md5(tok), 8, 1)) - 1))::BIGINT AS h
-        |  FROM tk WHERE tok <> ''),
-        |bt AS (SELECT doc_id, b.b AS b,
-        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        |  FROM hv, range(0, 32) b(b) GROUP BY 1, 2),
-        |fp0 AS (SELECT doc_id,
-        |    sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
-        |  FROM bt GROUP BY 1),
-        |fp AS (SELECT d.doc_id, coalesce(fp0.fp, 0) AS fp
-        |  FROM d LEFT JOIN fp0 USING (doc_id)),
-        |pr AS (SELECT bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
-        |  FROM fp a, fp b WHERE a.doc_id < b.doc_id)
-        |SELECT hamming, count(*)::BIGINT AS n_pairs
-        |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin,
-    "q27_fingerprints" ->
-      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
-        |  WHERE doc_id < 100),
-        |g AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 3, 1))) AS i, t
-        |  FROM d),
-        |g2 AS (SELECT doc_id, i, md5(substring(t, i::INT, 5)) AS h FROM g),
-        |w AS (SELECT doc_id, i,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
-        |    count(*) OVER (PARTITION BY doc_id) AS n
-        |  FROM g2),
-        |f AS (SELECT doc_id, count(DISTINCT mh) AS n_fp
-        |  FROM w WHERE i <= n - 3 GROUP BY 1)
-        |SELECT d.doc_id, coalesce(f.n_fp, 0)::BIGINT AS n_fp
-        |FROM d LEFT JOIN f USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    "q26_embed_neardup_lsh" ->
-      """WITH e0 AS (SELECT vec_id AS oid, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |tw AS (SELECT oid + 100000 AS vec_id,
-        |    list_transform(list_zip(v, range(0, len(v))),
-        |      z -> z[1] + 0.015 * ((oid*31 + z[2]*7) % 5 - 2)) AS v
-        |  FROM e0),
-        |e AS (SELECT oid AS vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM tw),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v) /
-        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-        |      AS cosine
-        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cosine FROM p
-        |WHERE cosine >= 0.95
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q28_window_tumble" ->
-      """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
-    "q29_sessions" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |y AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
-        |  round(sum(value), 2) AS total
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
-    "q30_dedup_keyed" ->
-      """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n
-        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
-    "q31_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
-    "q32_window_slide" ->
-      """SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS total
-        |FROM (
-        |  SELECT unnest([time_bucket(INTERVAL '1 day', ts),
-        |                 time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day']) AS wstart,
-        |         event_type, value
-        |  FROM events)
-        |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
-    "q33_media_meta" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  count(*) AS n,
-        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN doc_id % 10 * 1000 + 1000 ELSE 0 END) AS BIGINT) AS total_ms
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
-    "q35_ingest_pipeline" ->
-      """SELECT event_id, ts, user_id, event_type, value, props
-        |FROM events ORDER BY event_id""".stripMargin,
-    "q36_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM d WHERE len(toks) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
-        |WHERE a.doc_id % 5 = 0
-        |ORDER BY id_a""".stripMargin,
-    "q37_skew_salted" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q38_asof_join" ->
-      """SELECT l.event_id, l.user_id, l.ts,
-        |  coalesce(r.ts, TIMESTAMP '1970-01-01') AS click_ts,
-        |  coalesce(r.event_id, -1) AS click_event_id,
-        |  coalesce(r.value, 0.0) AS click_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'purchase') l
-        |LEFT JOIN LATERAL (
-        |  SELECT ts, event_id, value FROM events r
-        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
-        |    AND r.ts <= l.ts
-        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
-        |ORDER BY l.event_id""".stripMargin,
-    "q39_sessions_stateful" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |y AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
-        |  round(sum(value), 2) AS total
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
-    "q40_quantiles" ->
-      """WITH r AS (
-        |  SELECT l_returnflag, l_extendedprice,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
-        |SELECT l_returnflag,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.25 * n)) THEN l_extendedprice END) AS p25,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN l_extendedprice END) AS p50,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.75 * n)) THEN l_extendedprice END) AS p75,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN l_extendedprice END) AS p95
-        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q41_sample_stratified" ->
-      """SELECT lang, doc_id, rn FROM (
-        |  SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
-    "q42_corpus_filter" ->
-      """WITH q AS (
-        |  SELECT doc_id, lang, text,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> t <> '')) AS n_tokens
-        |  FROM documents),
-        |f AS (SELECT * FROM q WHERE n_tokens BETWEEN 5 AND 1000),
-        |d AS (
-        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM f),
-        |c AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |      ::BIGINT AS cum_tokens
-        |  FROM d WHERE rn = 1)
-        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
-        |WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin,
-    "q43_pivot" ->
-      """SELECT o_orderpriority,
-        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
-        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
-        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q44_interval_join" ->
-      """SELECT p.user_id, count(*) AS n_pairs,
-        |  round(sum(c.value), 2) AS click_total
-        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        | AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
-        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
-    "q45_dedup_incremental" ->
-      """SELECT lang, count(*) AS n_new
-        |FROM documents n
-        |WHERE doc_id >= 250 AND NOT EXISTS (
-        |  SELECT 1 FROM documents h WHERE h.doc_id < 250 AND h.text = n.text)
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q46_collect" ->
-      """SELECT o_orderpriority,
-        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
-        |  count(DISTINCT o_orderstatus) AS n_statuses
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q47_scrub" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_redacted,
-        |  length(regexp_replace(text, '\b(customer|spark)\b', '[REDACTED]', 'g'))
-        |    AS scrubbed_len
-        |FROM documents
-        |WHERE len(regexp_extract_all(text, '\b(customer|spark)\b')) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "q48_vocab" ->
-      """WITH w AS (
-        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |    t -> t <> '')) AS word FROM documents),
-        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
-        |v AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20)
-        |SELECT (SELECT count(*) FROM v) AS n_vocab,
-        |  (SELECT sum(cnt) FROM c)::BIGINT AS total_tokens,
-        |  (SELECT sum(cnt) FROM v)::BIGINT AS covered_tokens,
-        |  round((SELECT sum(cnt) FROM v)::DOUBLE /
-        |        (SELECT sum(cnt) FROM c), 4) AS coverage""".stripMargin,
-    "q49_contamination" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
-        |                          for i in range(1, len(toks) - 3)])) AS sh
-        |  FROM d WHERE len(toks) >= 5)
-        |SELECT e.doc_id AS eval_id, count(DISTINCT t.doc_id) AS n_contaminating
-        |FROM s e JOIN s t ON e.sh = t.sh AND t.doc_id % 97 <> 0
-        |WHERE e.doc_id % 97 = 0
-        |GROUP BY e.doc_id ORDER BY eval_id""".stripMargin,
-    "q50_ohlc" ->
-      """WITH e AS (
-        |  SELECT user_id, ts::DATE AS day, ts, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id, ts::DATE
-        |      ORDER BY ts, event_id) AS rn_f,
-        |    row_number() OVER (PARTITION BY user_id, ts::DATE
-        |      ORDER BY ts DESC, event_id DESC) AS rn_l
-        |  FROM events)
-        |SELECT user_id, day,
-        |  round(max(CASE WHEN rn_f = 1 THEN value END), 2) AS open,
-        |  round(max(value), 2) AS high,
-        |  round(min(value), 2) AS low,
-        |  round(max(CASE WHEN rn_l = 1 THEN value END), 2) AS close,
-        |  count(*) AS n_events
-        |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
-    "q51_gapfill" ->
-      """WITH daily AS (
-        |  SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS day_total
-        |  FROM events GROUP BY 1, 2),
-        |cal AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
-        |  FROM daily GROUP BY user_id),
-        |j AS (
-        |  SELECT c.user_id, c.day, d.day_total,
-        |    CASE WHEN d.day_total IS NULL THEN 1 ELSE 0 END AS is_gap
-        |  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day)
-        |SELECT user_id, day,
-        |  last_value(day_total IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_total,
-        |  is_gap
-        |FROM j ORDER BY user_id, day""".stripMargin,
-    "q52_props_map" ->
-      """SELECT k.key, count(*) AS n,
-        |  sum(json_extract(props::JSON, '$.' || k.key)::BIGINT)::BIGINT AS total
-        |FROM events
-        |CROSS JOIN unnest(json_keys(props::JSON)) AS k(key)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q53_dedup_components" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM tok WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION
-        |  SELECT id_b, id_a FROM pairs),
-        |reach(id, lab) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id AS doc_id, min(lab) AS component,
-        |  CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS is_canonical
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-    "q54_window_analytics" ->
-      """SELECT o_orderpriority, o_orderkey,
-        |  ntile(4) OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_totalprice, o_orderkey) AS quartile,
-        |  percent_rank() OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_totalprice, o_orderkey) AS pct_rank,
-        |  cume_dist() OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_totalprice, o_orderkey) AS cume,
-        |  coalesce(nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_totalprice, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS second_key
-        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
-    "q55_pack_chunks" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> t <> '')) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |      ::BIGINT AS cum
-        |  FROM q)
-        |SELECT (cum - n_tokens) // 2048 AS chunk, count(*) AS n_docs,
-        |  sum(n_tokens)::BIGINT AS chunk_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1 ORDER BY chunk""".stripMargin,
-    "q56_normalize" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
-        |  FROM documents)
-        |SELECT doc_id, length(norm) AS norm_len,
-        |  count(*) OVER (PARTITION BY norm) AS n_same_norm,
-        |  min(doc_id) OVER (PARTITION BY norm) AS canonical_id
-        |FROM n ORDER BY doc_id""".stripMargin,
-    "q57_repetition" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |    greatest(len(toks) - 1, 0) AS n_bigrams,
-        |    len(list_distinct([array_to_string(toks[i:i+1], ' ')
-        |                       for i in range(1, len(toks))])) AS n_distinct
-        |  FROM d)
-        |SELECT doc_id, n_bigrams, n_distinct,
-        |  n_bigrams - n_distinct AS n_repeated,
-        |  CASE WHEN n_bigrams > 0
-        |    THEN ((n_bigrams - n_distinct) * 10000) // n_bigrams
-        |    ELSE 0 END AS dup_bp
-        |FROM b ORDER BY doc_id""".stripMargin,
-    "q58_doc_freq" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
-        |      t -> t <> ''))) AS word
-        |  FROM documents),
-        |c AS (SELECT word, count(*) AS df FROM w GROUP BY word),
-        |t AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT word, df, n_docs,
-        |  round(ln((n_docs + 1)::DOUBLE / (df + 1)), 4) AS idf
-        |FROM c CROSS JOIN t
-        |ORDER BY df DESC, word ASC LIMIT 25""".stripMargin,
-    "q59_asof_forward" ->
-      """SELECT l.event_id, l.user_id, l.ts,
-        |  coalesce(r.ts, TIMESTAMP '1970-01-01') AS next_ts,
-        |  coalesce(r.event_id, -1) AS next_event_id,
-        |  coalesce(r.value, 0.0) AS next_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click') l
-        |LEFT JOIN LATERAL (
-        |  SELECT ts, event_id, value FROM events r
-        |  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
-        |    AND r.ts >= l.ts
-        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) r ON true
-        |ORDER BY l.event_id""".stripMargin,
-    "q60_join_full" ->
-      """WITH ship AS (
-        |  SELECT l_shipdate::DATE AS day, round(sum(l_extendedprice), 2) AS ship_rev
-        |  FROM lineitem GROUP BY 1),
-        |intake AS (
-        |  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS order_rev
-        |  FROM orders GROUP BY 1)
-        |SELECT coalesce(s.day, i.day) AS day,
-        |  coalesce(s.ship_rev, 0.0) AS ship_rev,
-        |  coalesce(i.order_rev, 0.0) AS order_rev,
-        |  CASE WHEN s.day IS NULL OR i.day IS NULL THEN 1 ELSE 0 END AS one_sided
-        |FROM ship s FULL JOIN intake i ON s.day = i.day
-        |ORDER BY day""".stripMargin,
-    "q61_sql_subquery" -> Queries.q61Sql,
-    "q62_source_mix" ->
-      """WITH r AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
-        |    CASE WHEN substr(source, 4)::INT < 5 THEN 20
-        |         WHEN substr(source, 4)::INT < 10 THEN 10
-        |         ELSE 5 END AS quota
-        |  FROM documents)
-        |SELECT source, count(*) AS n_picked, min(doc_id) AS first_pick
-        |FROM r WHERE rn <= quota
-        |GROUP BY source ORDER BY source""".stripMargin,
-    "q63_top_ngrams" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT lang,
-        |    unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
-        |                          for i in range(1, len(toks) - 3)])) AS ng
-        |  FROM d WHERE len(toks) >= 5),
-        |c AS (SELECT lang, ng, count(*) AS n_docs FROM s GROUP BY lang, ng),
-        |r AS (
-        |  SELECT lang, ng, n_docs,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY n_docs DESC, ng ASC) AS rn
-        |  FROM c)
-        |SELECT lang, rn, ng, n_docs FROM r WHERE rn <= 3
-        |ORDER BY lang, rn""".stripMargin,
-    "q64_label_centroids" ->
-      """SELECT label, count(*) AS n,
-        |  round(avg(embedding[1]::DOUBLE), 4) AS c1,
-        |  round(avg(embedding[2]::DOUBLE), 4) AS c2,
-        |  round(avg(embedding[3]::DOUBLE), 4) AS c3,
-        |  round(avg(embedding[4]::DOUBLE), 4) AS c4,
-        |  round(avg(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
-        |    AS mean_sq_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
-    "q65_multiway_join" ->
-      """SELECT n_name, p_brand,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
-    "q66_value_histogram" ->
-      """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-        |SELECT least(floor((value - mn) / ((mx - mn) / 20)), 19)::BIGINT AS bin,
-        |  count(*) AS n
-        |FROM events, s GROUP BY 1 ORDER BY bin""".stripMargin,
-    "q67_unpivot" ->
-      """WITH p AS (
-        |  SELECT o_orderpriority,
-        |    count(*) FILTER (o_orderstatus = 'F') AS n_f,
-        |    count(*) FILTER (o_orderstatus = 'O') AS n_o,
-        |    count(*) FILTER (o_orderstatus = 'P') AS n_p
-        |  FROM orders GROUP BY o_orderpriority)
-        |SELECT o_orderpriority, 'n_f' AS status, n_f AS n FROM p
-        |UNION ALL
-        |SELECT o_orderpriority, 'n_o', n_o FROM p
-        |UNION ALL
-        |SELECT o_orderpriority, 'n_p', n_p FROM p
-        |ORDER BY o_orderpriority, status""".stripMargin,
-    "q68_dim_stats" ->
-      """SELECT i AS dim, count(*) AS n,
-        |  round(avg(embedding[i]::DOUBLE), 4) AS mean_x,
-        |  round(min(embedding[i]::DOUBLE), 4) AS min_x,
-        |  round(max(embedding[i]::DOUBLE), 4) AS max_x
-        |FROM embeddings, range(1, 9) t(i)
-        |GROUP BY i ORDER BY dim""".stripMargin,
-    "q69_conditional_aggs" ->
-      """SELECT event_type,
-        |  count(*) FILTER (value > 100) AS n_big,
-        |  round(coalesce(sum(value) FILTER (value > 100), 0.0), 2) AS sum_big,
-        |  bool_or(value > 450)::INT AS any_huge,
-        |  bool_and(value >= 0)::INT AS all_nonneg
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q70_fuzzy_match" ->
-      """SELECT levenshtein(a.c_name, b.c_name) AS edit_dist, count(*) AS n_pairs
-        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
-        |GROUP BY 1 ORDER BY edit_dist""".stripMargin,
-    "q71_rolling_window" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS n_7d,
-        |  round(sum(value) OVER w, 2) AS sum_7d
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-    "q72_stats" ->
-      """SELECT event_type, count(*) AS n,
-        |  round(avg(value), 2) AS mean_v,
-        |  round(stddev_samp(value), 2) AS sd_v,
-        |  round(var_samp(value), 1) AS var_v,
-        |  round(min(value), 2) AS min_v,
-        |  round(max(value), 2) AS max_v
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q73_scd2" ->
-      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
-        |  coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807) AS valid_to_us,
-        |  CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
-    "q74_entropy" ->
-      """WITH chars AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
-        |), counts AS (
-        |  SELECT doc_id, ch, count(*)::DOUBLE AS n FROM chars GROUP BY doc_id, ch
-        |)
-        |SELECT doc_id,
-        |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 2) AS entropy_bits
-        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q75_cooccurrence" ->
-      """WITH words AS (
-        |  SELECT DISTINCT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) > 0)
-        |SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_docs
-        |FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.w < b.w
-        |GROUP BY 1, 2 ORDER BY n_docs DESC, w_a, w_b LIMIT 25""".stripMargin,
-    "q76_posting_lists" ->
-      """WITH words AS (
-        |  SELECT DISTINCT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) > 0),
-        |dfreq AS (SELECT w, count(*) AS df FROM words GROUP BY w),
-        |top AS (
-        |  SELECT w, array_to_string(list_sort(list(doc_id)), ',') AS postings
-        |  FROM (SELECT w, doc_id FROM (
-        |    SELECT w, doc_id, row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
-        |    FROM words) r WHERE rn <= 10) f
-        |  GROUP BY w)
-        |SELECT d.w AS word, d.df, t.postings
-        |FROM dfreq d JOIN top t ON d.w = t.w ORDER BY word""".stripMargin,
-    "q77_funnel" ->
-      """WITH signup AS (
-        |  SELECT user_id, min(ts) AS signup_ts FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id),
-        |conv AS (
-        |  SELECT s.user_id, s.signup_ts,
-        |    max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
-        |  FROM signup s LEFT JOIN events p
-        |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
-        |   AND p.ts >= s.signup_ts AND p.ts <= s.signup_ts + INTERVAL 7 DAY
-        |  GROUP BY s.user_id, s.signup_ts)
-        |SELECT date_trunc('week', signup_ts)::DATE AS cohort_week,
-        |  count(*) AS n_users, sum(converted)::BIGINT AS n_converted,
-        |  floor(10000.0 * sum(converted) / count(*))::BIGINT AS conv_bp
-        |FROM conv GROUP BY 1 ORDER BY cohort_week""".stripMargin,
-    "q78_retention" ->
-      """WITH cohort AS (
-        |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
-        |  FROM events GROUP BY user_id),
-        |act AS (
-        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS act_week FROM events)
-        |SELECT c.cohort_week,
-        |  floor(datediff('day', c.cohort_week, a.act_week) / 7)::INT AS week_n,
-        |  count(DISTINCT c.user_id) AS n_users
-        |FROM cohort c JOIN act a ON a.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin,
-    "q79_csv_ingest" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-        |  sum(event_id)::BIGINT AS sum_ids, max(epoch_us(ts)) AS max_ts_us
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q80_bloom_dedup" ->
-      """SELECT source, count(*) AS n_new, sum(n_chars)::BIGINT AS sum_chars
-        |FROM documents d
-        |WHERE source <> 'src0'
-        |  AND NOT EXISTS (SELECT 1 FROM documents c
-        |                  WHERE c.source = 'src0' AND c.text = d.text)
-        |GROUP BY source ORDER BY source""".stripMargin,
-    "q81_tfidf" ->
-      """WITH words AS (
-        |  SELECT doc_id, w AS word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) > 0),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
-        |df AS (SELECT word, count(*) AS df FROM (
-        |    SELECT DISTINCT doc_id, word FROM words) u GROUP BY word),
-        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |                       ORDER BY tf.tf DESC, tf.word ASC) AS rnk
-        |  FROM tf JOIN df USING (word))
-        |SELECT doc_id, rnk, word, tf,
-        |  round(tf * ln((SELECT n FROM n) / df), 3) AS tfidf
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
-    "q82_bm25" ->
-      """WITH words AS (
-        |  SELECT doc_id, w AS word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) > 0),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
-        |avgdl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
-        |       WHERE word IN ('spark', 'join', 'window') GROUP BY doc_id, word),
-        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
-        |SELECT tf.doc_id,
-        |  round(sum(ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5))
-        |            * tf * (1.2 + 1)
-        |            / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 3) AS bm25,
-        |  count(*) AS n_terms
-        |FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN avgdl
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
-    "q83_passage_dedup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |c AS (SELECT doc_id, ws,
-        |    unnest(range(0, cast(ceil(len(ws) / 16.0) AS INT))) AS idx FROM w),
-        |p AS (SELECT doc_id, idx,
-        |    array_to_string(ws[idx*16+1 : idx*16+16], ' ') AS passage FROM c),
-        |r AS (SELECT doc_id, idx, passage,
-        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rnk
-        |  FROM p)
-        |SELECT doc_id, count(*) AS n_passages,
-        |  sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q84_zorder_layout" -> {
-      val z = graft.operators.ZOrder.zvalueSql("x", "y")
-      s"""WITH b AS (
-         |  SELECT o_custkey % 256 AS x,
-         |    (epoch_us(o_orderdate) // 86400000000) % 256 AS y
-         |  FROM orders),
-         |z AS (SELECT x, y, ($z) >> 6 AS tile FROM b)
-         |SELECT tile, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
-         |  min(y) AS min_y, max(y) AS max_y
-         |FROM z GROUP BY tile ORDER BY tile""".stripMargin
-    },
-    "q85_length_buckets" ->
-      """WITH d AS (SELECT len(string_split(text, ' ')) AS tokens FROM documents)
-        |SELECT tokens // 32 AS bucket, count(*) AS n_docs,
-        |  sum(tokens)::BIGINT AS sum_tokens,
-        |  ((count(*) + 7) // 8)::BIGINT AS n_batches
-        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "q86_anomaly_zscore" ->
-      """WITH st AS (
-        |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
-        |  FROM events GROUP BY user_id)
-        |SELECT event_type, count(*) AS n_outliers,
-        |  round(sum(value), 2) AS sum_outlier_value
-        |FROM events JOIN st USING (user_id)
-        |WHERE sd IS NOT NULL AND abs(value - mu) > 2 * sd
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q87_event_gaps" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT user_id, us,
-        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
-        |  FROM e)
-        |SELECT user_id, count(*) AS n_events, max(gap) AS max_gap_us,
-        |  ((max(us) - min(us)) // (count(*) - 1))::BIGINT AS avg_gap_us
-        |FROM g GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin,
-    "q88_merge_upsert" ->
-      """WITH base AS (
-        |  SELECT o_orderkey AS b_key, o_orderpriority AS b_pri,
-        |    o_totalprice AS b_price
-        |  FROM orders WHERE o_orderkey % 7 <> 0),
-        |changes AS (
-        |  SELECT o_orderkey AS c_key, o_orderpriority AS c_pri,
-        |    o_totalprice + 10 AS c_price,
-        |    CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
-        |  FROM orders WHERE o_orderkey % 3 = 0),
-        |m AS (
-        |  SELECT coalesce(b_pri, c_pri) AS pri,
-        |    CASE WHEN op = 'U' THEN c_price ELSE b_price END AS price
-        |  FROM base FULL OUTER JOIN changes ON b_key = c_key
-        |  WHERE coalesce(op, 'keep') <> 'D')
-        |SELECT pri, count(*) AS n, round(sum(price), 2) AS total
-        |FROM m GROUP BY pri ORDER BY pri""".stripMargin,
-    "q89_global_sort" ->
-      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
-        |FROM lineitem
-        |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
-    "q90_split_assign" ->
-      """WITH d AS (
-        |  SELECT *, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
-        |  FROM documents)
-        |SELECT CASE WHEN bucket < 90 THEN 'train'
-        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
-        |  lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
-    "q91_bigram_lm" ->
-      """WITH w AS (
-        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM (
-        |    SELECT ws, unnest(range(1, len(ws))) AS i FROM w
-        |    WHERE len(ws) >= 2) t),
-        |c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
-        |tot AS (SELECT w1, sum(n)::BIGINT AS tot FROM c GROUP BY w1),
-        |r AS (SELECT c.w1, c.w2, c.n, tot.tot,
-        |    row_number() OVER (PARTITION BY c.w1
-        |                       ORDER BY c.n DESC, c.w2 ASC) AS rnk
-        |  FROM c JOIN tot USING (w1))
-        |SELECT w1, rnk, w2, n, round(n::DOUBLE / tot, 4) AS p
-        |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
-    "q92_k_anonymity" ->
-      """WITH cls AS (
-        |  SELECT lang, source, n_chars // 100 AS size_band, count(*) AS class_n
-        |  FROM documents GROUP BY 1, 2, 3)
-        |SELECT lang, count(*) AS n_classes,
-        |  sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_small_classes,
-        |  sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)::BIGINT AS n_at_risk_docs
-        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin,
-    "q93_equidepth_bins" ->
-      """WITH r AS (
-        |  SELECT l_extendedprice,
-        |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
-        |                    l_linenumber) AS bin
-        |  FROM lineitem)
-        |SELECT bin, count(*) AS n, round(min(l_extendedprice), 2) AS lo,
-        |  round(max(l_extendedprice), 2) AS hi
-        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
-    "q94_heavy_hitters" ->
-      """SELECT word, count(*) AS n FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-        |WHERE length(word) > 0
-        |GROUP BY word HAVING count(*) >= 930 ORDER BY word""".stripMargin,
-    "q95_weighted_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    pow((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0,
-        |        1.0 / n_chars) AS skey
-        |  FROM documents WHERE n_chars > 0),
-        |s AS (SELECT doc_id, lang, n_chars FROM d
-        |      ORDER BY skey DESC, doc_id ASC LIMIT 50)
-        |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
-    "q96_orc_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total,
-        |  sum(o_orderkey)::BIGINT AS key_sum,
-        |  max(epoch_us(o_orderdate) // 86400000000) AS max_day
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q97_incremental_agg" ->
-      """SELECT event_type, count(*) AS n,
-        |  round(sum(value), 2) AS sum_value,
-        |  round(min(value), 2) AS min_value,
-        |  round(max(value), 2) AS max_value,
-        |  round(sum(value) / count(*), 4) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q98_snapshot_diff" ->
-      """WITH old AS (
-        |  SELECT o_orderkey AS okey, o_totalprice AS oprice
-        |  FROM orders WHERE o_orderkey % 11 <> 0),
-        |neu AS (
-        |  SELECT o_orderkey AS nkey,
-        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5
-        |         ELSE o_totalprice END AS nprice
-        |  FROM orders WHERE o_orderkey % 13 <> 0),
-        |d AS (
-        |  SELECT CASE WHEN okey IS NULL THEN 'added'
-        |              WHEN nkey IS NULL THEN 'removed'
-        |              WHEN oprice <> nprice THEN 'changed'
-        |              ELSE 'unchanged' END AS status,
-        |    coalesce(nprice, oprice) AS price
-        |  FROM old FULL OUTER JOIN neu ON okey = nkey)
-        |SELECT status, count(*) AS n, round(sum(price), 2) AS total
-        |FROM d GROUP BY status ORDER BY status""".stripMargin,
-    "q100_rolling_distinct" ->
-      """WITH e AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
-        |days AS (SELECT DISTINCT day FROM e),
-        |w AS (SELECT d.day, count(DISTINCT e.user_id) AS n_users_7d
-        |      FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
-        |      GROUP BY d.day),
-        |dd AS (SELECT day, count(*) AS n_users_day FROM e GROUP BY day)
-        |SELECT w.day, dd.n_users_day, w.n_users_7d
-        |FROM w JOIN dd USING (day) ORDER BY day""".stripMargin,
-    "q101_share_of_total" ->
-      """WITH p AS (
-        |  SELECT o_orderpriority, sum(o_totalprice) AS rev, count(*) AS n
-        |  FROM orders GROUP BY o_orderpriority),
-        |t AS (SELECT sum(rev) AS total_rev FROM p)
-        |SELECT o_orderpriority, n, round(rev, 2) AS revenue,
-        |  round(rev / total_rev, 6) AS share
-        |FROM p CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
-    "q102_corr_regression" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
-        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
-        |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q103_spearman" ->
-      """WITH r AS (
-        |  SELECT l_returnflag,
-        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-        |      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq,
-        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-        |      + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp
-        |  FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n, round(corr(rq, rp), 4) AS spearman
-        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q104_profile" ->
-      """SELECT 'l_discount' AS "column", count(l_discount) AS n_nonnull,
-        |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-        |  count(DISTINCT l_discount) AS n_distinct,
-        |  round(min(l_discount), 2) AS min_v, round(max(l_discount), 2) AS max_v,
-        |  round(avg(l_discount), 4) AS avg_v
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_extendedprice', count(l_extendedprice),
-        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |  count(DISTINCT l_extendedprice),
-        |  round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
-        |  round(avg(l_extendedprice), 4)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_quantity', count(l_quantity),
-        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |  count(DISTINCT l_quantity),
-        |  round(min(l_quantity), 2), round(max(l_quantity), 2),
-        |  round(avg(l_quantity), 4)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_tax', count(l_tax),
-        |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |  count(DISTINCT l_tax),
-        |  round(min(l_tax), 2), round(max(l_tax), 2), round(avg(l_tax), 4)
-        |FROM lineitem
-        |ORDER BY "column"""".stripMargin,
-    "q105_scalar_quant" ->
-      """WITH ex AS (
-        |  SELECT i AS dim, embedding[i]::DOUBLE AS x
-        |  FROM embeddings, range(1, 65) t(i)),
-        |st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
-        |q AS (
-        |  SELECT ex.dim, x, lo, hi, round(255 * (x - lo) / (hi - lo)) AS qv
-        |  FROM ex JOIN st USING (dim))
-        |SELECT dim, count(*) AS n, round(min(lo), 4) AS lo, round(min(hi), 4) AS hi,
-        |  round(avg(abs(x - (lo + qv * (hi - lo) / 255))), 6) AS avg_abs_err,
-        |  round(max(abs(x - (lo + qv * (hi - lo) / 255))), 6) AS max_abs_err
-        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
-    "q106_setsim_prefix" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM d WHERE len(toks) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-        |FROM s a, s b
-        |WHERE a.doc_id < b.doc_id
-        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q107_stem_topwords" ->
-      """WITH tk AS (
-        |  SELECT regexp_replace(unnest(
-        |      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
-        |    '[^a-z]', '', 'g') AS tok
-        |  FROM documents),
-        |st AS (
-        |  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(tok, '(ies|ied)$', 'i'),
-        |      'sses$', 'ss'), '([^su])s$', '\1'),
-        |      '^(.{4,})ing$', '\1'), '^(.{3,})ed$', '\1') AS stem
-        |  FROM tk)
-        |SELECT stem, count(*) AS n FROM st
-        |WHERE length(stem) >= 3 AND stem NOT IN (
-        |  'the','and','for','are','but','not','you','all','can','was','one',
-        |  'our','out','has','his','her','how','its','may','new','now','see',
-        |  'two','way','who','did','that','with','this','from','they','have',
-        |  'will','what','been','were','each','which','their','would','there',
-        |  'about')
-        |GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 30""".stripMargin,
-    "q108_argmax_latest" ->
-      """WITH r AS (
-        |  SELECT user_id, event_type, value,
-        |    count(*) OVER (PARTITION BY user_id) AS n_events,
-        |    row_number() OVER (PARTITION BY user_id
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE user_id <= 200)
-        |SELECT user_id, n_events, event_type AS last_type,
-        |  round(value, 2) AS last_value
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "q109_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY event_type),
-        |dev AS (
-        |  SELECT e.event_type, abs(value - med) AS ad, med
-        |  FROM events e JOIN med USING (event_type)),
-        |mad AS (
-        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
-        |  FROM dev GROUP BY event_type)
-        |SELECT d.event_type, count(*) AS n,
-        |  round(min(med), 4) AS median, round(min(mad), 4) AS mad,
-        |  count(*) FILTER (ad > 4.4478 * mad) AS n_outliers
-        |FROM dev d JOIN mad USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
-    "q110_knn_classify" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
-        |      FROM e WHERE vec_id % 101 = 0),
-        |b AS (SELECT * FROM e WHERE vec_id % 101 <> 0),
-        |sims AS (
-        |  SELECT q.qid, q.true_label, b.vec_id, b.label,
-        |    round(list_dot_product(b.v, q.qv) /
-        |          (sqrt(list_dot_product(b.v, b.v)) *
-        |           sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
-        |  FROM q, b),
-        |top AS (SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY qid
-        |        ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
-        |  WHERE rn <= 5),
-        |votes AS (SELECT qid, true_label, label, count(*) AS votes
-        |          FROM top GROUP BY qid, true_label, label),
-        |pick AS (SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY qid
-        |        ORDER BY votes DESC, label ASC) AS vr FROM votes) t
-        |  WHERE vr = 1)
-        |SELECT qid AS vec_id, true_label, label AS pred_label, votes,
-        |  (label = true_label)::INT AS correct
-        |FROM pick ORDER BY vec_id""".stripMargin,
-    "q111_max_concurrency" ->
-      """WITH d AS (
-        |  SELECT event_type, ts AS t, 1 AS delta FROM events
-        |  UNION ALL
-        |  SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events),
-        |r AS (
-        |  SELECT event_type, delta,
-        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
-        |                     ROWS UNBOUNDED PRECEDING) AS run
-        |  FROM d)
-        |SELECT event_type, max(run)::BIGINT AS peak_concurrent,
-        |  count(*) FILTER (delta = 1) AS n_sessions
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q112_transition_matrix" ->
-      """WITH s AS (
-        |  SELECT event_type AS cur_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id) AS next_type
-        |  FROM events),
-        |c AS (SELECT cur_type, next_type, count(*) AS n FROM s
-        |      WHERE next_type IS NOT NULL GROUP BY cur_type, next_type),
-        |tt AS (SELECT cur_type, sum(n)::BIGINT AS tot FROM c GROUP BY cur_type)
-        |SELECT c.cur_type, c.next_type, c.n,
-        |  round(c.n::DOUBLE / tt.tot, 4) AS p
-        |FROM c JOIN tt ON c.cur_type = tt.cur_type
-        |ORDER BY c.cur_type, c.next_type""".stripMargin,
-    "q113_lm_score" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM (
-        |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w
-        |    WHERE len(ws) >= 2) t),
-        |lm AS (SELECT w1, w2, count(*) AS n FROM b
-        |       WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
-        |tt AS (SELECT w1, sum(n)::BIGINT AS tot FROM lm GROUP BY w1),
-        |p AS (SELECT lm.w1, lm.w2,
-        |        floor(lm.n * 10000 / tt.tot)::BIGINT AS pscaled
-        |      FROM lm JOIN tt ON lm.w1 = tt.w1),
-        |tst AS (SELECT b.doc_id, p.pscaled FROM b
-        |        LEFT JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
-        |        WHERE b.doc_id % 10 = 0)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  sum(CASE WHEN pscaled IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-        |  coalesce(sum(pscaled), 0)::BIGINT AS score
-        |FROM tst GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q114_winsorize" ->
-      """WITH v AS (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
-        |r AS (SELECT flag, v,
-        |        row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
-        |        count(*) OVER (PARTITION BY flag) AS n FROM v),
-        |s AS (SELECT flag,
-        |        max(CASE WHEN rn = greatest(1, ceil(0.05 * n)) THEN v END) AS lo,
-        |        max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN v END) AS hi
-        |      FROM r GROUP BY flag)
-        |SELECT v.flag AS l_returnflag, count(*) AS n,
-        |  round(avg(greatest(least(v.v, s.hi), s.lo)), 2) AS wins_mean,
-        |  round(avg(v.v), 2) AS raw_mean
-        |FROM v JOIN s ON v.flag = s.flag
-        |GROUP BY v.flag ORDER BY l_returnflag""".stripMargin,
-    "q115_chunk_overlap" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |c AS (SELECT doc_id,
-        |        unnest(range(0, ((len(ws) - 1) // 32) + 1)) AS chunk_no, ws
-        |      FROM w WHERE len(ws) > 0),
-        |s AS (SELECT doc_id, chunk_no,
-        |        ws[chunk_no * 32 + 1 : least(chunk_no * 32 + 64, len(ws))] AS chunk
-        |      FROM c)
-        |SELECT doc_id, chunk_no, len(chunk) AS n_toks,
-        |  chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
-        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
-    "q116_hash_fingerprint" ->
-      """WITH h AS (
-        |  SELECT md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey,
-        |                       l_linenumber)) AS h
-        |  FROM lineitem)
-        |SELECT substr(h, 1, 1) AS bucket, count(*) AS n,
-        |  min(h) AS min_hash, max(h) AS max_hash
-        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q117_interp_linear" ->
-      """WITH daily AS (
-        |  SELECT user_id, ts::DATE AS day,
-        |    round(sum(value) * 100, 0)::BIGINT AS cents
-        |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
-        |cal AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
-        |  FROM daily GROUP BY user_id),
-        |j AS (SELECT c.user_id, c.day, d.cents
-        |      FROM cal c LEFT JOIN daily d
-        |        ON d.user_id = c.user_id AND d.day = c.day),
-        |f AS (SELECT user_id, day, cents,
-        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY day
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-        |  first_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY day
-        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-        |  FROM j)
-        |SELECT user_id, day,
-        |  CASE WHEN cents IS NOT NULL THEN cents
-        |       WHEN pv IS NULL THEN nv
-        |       WHEN nv IS NULL THEN pv
-        |       ELSE pv + floor((nv - pv) * (day - pd) / (nd - pd))::BIGINT
-        |       END AS est_cents,
-        |  CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS interpolated
-        |FROM f ORDER BY user_id, day""".stripMargin,
-    "q118_path_analysis" ->
-      """WITH p AS (
-        |  SELECT user_id,
-        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
-        |  FROM events GROUP BY user_id)
-        |SELECT path, count(*) AS n_users FROM p
-        |GROUP BY path ORDER BY n_users DESC, path LIMIT 15""".stripMargin,
-    "q119_json_roundtrip" ->
-      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
-        |  round(sum(value), 2) AS sum_value, max(epoch_us(ts)) AS max_ts_us
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q120_entity_resolution" ->
-      """WITH probes AS (
-        |  SELECT p_partkey AS qk, p_brand AS qb, p_name AS qn
-        |  FROM part WHERE p_partkey % 97 = 0),
-        |sc AS (SELECT qk, qn, p.p_partkey AS ck, p.p_name AS cn,
-        |         levenshtein(qn, p.p_name) AS dist,
-        |         row_number() OVER (PARTITION BY qk
-        |           ORDER BY levenshtein(qn, p.p_name), p.p_partkey) AS rn
-        |       FROM probes JOIN part p
-        |         ON p.p_brand = probes.qb AND p.p_partkey <> probes.qk)
-        |SELECT qk AS p_partkey, qn AS p_name, ck AS match_partkey,
-        |  cn AS match_name, dist
-        |FROM sc WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
-    "q121_grouping_sets" -> Queries.q121Sql,
-    "q122_period_over_period" ->
-      """WITH m AS (
-        |  SELECT o_orderpriority, date_trunc('month', o_orderdate)::DATE AS month,
-        |    round(sum(o_totalprice) * 100, 0)::BIGINT AS cents
-        |  FROM orders GROUP BY 1, 2),
-        |d AS (SELECT o_orderpriority, month, cents,
-        |        lag(cents) OVER (PARTITION BY o_orderpriority
-        |                         ORDER BY month) AS prev_cents
-        |      FROM m)
-        |SELECT o_orderpriority, month, cents,
-        |  coalesce(floor((cents - prev_cents) * 10000 / prev_cents)::BIGINT, 0)
-        |    AS delta_bp
-        |FROM d ORDER BY o_orderpriority, month""".stripMargin,
-    "q123_skew_diagnostics" ->
-      """WITH k AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
-        |SELECT count(*) AS n_keys, sum(n)::BIGINT AS total_rows,
-        |  max(n)::BIGINT AS max_n, min(n)::BIGINT AS min_n,
-        |  floor(sum(n) * 100 / count(*))::BIGINT AS mean_x100,
-        |  floor(max(n) * 100 * count(*) / sum(n))::BIGINT AS skew_x100
-        |FROM k""".stripMargin,
-    "q124_fk_audit" ->
-      """WITH e1 AS (
-        |  SELECT 'lineitem.orderkey' AS fk, count(*) AS n_keys,
-        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_orphans
-        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
-        |  LEFT JOIN orders o ON k.l_orderkey = o.o_orderkey),
-        |e2 AS (
-        |  SELECT 'lineitem.partkey' AS fk, count(*) AS n_keys,
-        |    sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_orphans
-        |  FROM (SELECT DISTINCT l_partkey FROM lineitem) k
-        |  LEFT JOIN part p ON k.l_partkey = p.p_partkey),
-        |e3 AS (
-        |  SELECT 'lineitem.suppkey' AS fk, count(*) AS n_keys,
-        |    sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_orphans
-        |  FROM (SELECT DISTINCT l_suppkey FROM lineitem) k
-        |  LEFT JOIN supplier s ON k.l_suppkey = s.s_suppkey)
-        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
-        |ORDER BY fk""".stripMargin,
-    "q125_jaro_winkler" ->
-      """WITH probes AS (
-        |  SELECT p_partkey AS qk, p_brand AS qb, p_name AS qn
-        |  FROM part WHERE p_partkey % 97 = 0),
-        |scored AS (
-        |  SELECT qk, qn, c.p_partkey AS ck, c.p_name AS cn,
-        |    round(jaro_winkler_similarity(qn, c.p_name), 4) AS sim
-        |  FROM probes JOIN part c ON qb = c.p_brand AND qk <> c.p_partkey)
-        |SELECT qk AS p_partkey, qn AS p_name, ck AS match_partkey,
-        |  cn AS match_name, sim
-        |FROM (SELECT *, row_number()
-        |        OVER (PARTITION BY qk ORDER BY sim DESC, ck) AS rn
-        |      FROM scored)
-        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
-    "q126_chisq" ->
-      """WITH obs AS (
-        |  SELECT event_type, user_id % 3 AS cohort, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |cells AS (SELECT g.event_type, g.cohort, coalesce(o.n, 0) AS n
-        |  FROM (SELECT event_type, cohort
-        |        FROM (SELECT DISTINCT event_type FROM obs),
-        |             (SELECT DISTINCT cohort FROM obs)) g
-        |  LEFT JOIN obs o
-        |    ON g.event_type = o.event_type AND g.cohort = o.cohort),
-        |rt AS (SELECT event_type, sum(n)::BIGINT AS r FROM cells GROUP BY 1),
-        |ct AS (SELECT cohort, sum(n)::BIGINT AS c FROM cells GROUP BY 1),
-        |tot AS (SELECT sum(n)::BIGINT AS t FROM cells)
-        |SELECT event_type, cohort, n,
-        |  round((r * c) / t, 4) AS expected,
-        |  round((n - (r * c) / t) * (n - (r * c) / t) / ((r * c) / t), 4)
-        |    AS chi2_contrib
-        |FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort), tot
-        |ORDER BY event_type, cohort""".stripMargin,
-    "q127_centroid_sim" ->
-      """WITH c AS (
-        |  SELECT label, r.i AS i, avg(embedding[r.i]::DOUBLE) AS v
-        |  FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2),
-        |n AS (SELECT label, sum(v * v) AS nn FROM c GROUP BY 1)
-        |SELECT a.label AS label_a, b.label AS label_b,
-        |  round(sum(a.v * b.v) / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cos_sim
-        |FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
-        |JOIN n na ON na.label = a.label
-        |JOIN n nb ON nb.label = b.label
-        |GROUP BY a.label, b.label, na.nn, nb.nn
-        |ORDER BY label_a, label_b""".stripMargin,
-    "q128_partitioned_prune" ->
-      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
-        |  round(sum("value"), 2) AS sum_value
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-05'
-        |  AND ts < TIMESTAMP '2024-01-12'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q129_min_cost_supplier" ->
-      """WITH cost AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    min((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 100
-        |         + CAST(l_quantity AS BIGINT))
-        |        // (2 * CAST(l_quantity AS BIGINT))) AS uc4
-        |  FROM lineitem GROUP BY 1, 2),
-        |best AS (
-        |  SELECT * FROM (SELECT *, row_number()
-        |      OVER (PARTITION BY l_partkey
-        |            ORDER BY uc4, l_suppkey) AS rn
-        |    FROM cost) WHERE rn = 1)
-        |SELECT p_partkey, p_name, p_size, s_suppkey, s_name,
-        |  uc4 / 10000.0 AS unit_cost
-        |FROM best
-        |JOIN part ON l_partkey = p_partkey AND p_size >= 48
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY p_partkey""".stripMargin,
-    "q130_lexical_diversity" ->
-      """WITH wc AS (
-        |  SELECT doc_id, w, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                         t -> t <> '')) AS w
-        |    FROM documents) GROUP BY doc_id, w)
-        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
-        |  ((count(*) * 10000) // sum(c))::BIGINT AS ttr_bp,
-        |  ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT
-        |    AS hapax_bp
-        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q131_pagerank" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, w FROM (
-        |    SELECT doc_id,
-        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                         t -> len(t) >= 4)) AS w
-        |    FROM documents)),
-        |top AS (SELECT w, count(*) AS n FROM toks GROUP BY w
-        |        ORDER BY n DESC, w LIMIT 30),
-        |e AS (SELECT DISTINCT a.w AS src, b.w AS dst
-        |      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w <> b.w
-        |      JOIN top ta ON ta.w = a.w JOIN top tb ON tb.w = b.w),
-        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-        |r0 AS (SELECT w AS node, CAST(1000000 AS BIGINT) AS r FROM top),
-        |r1 AS (SELECT t.w AS node,
-        |    CAST(150000 + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
-        |  FROM top t LEFT JOIN (
-        |    SELECT e.dst AS dst, sum(r0.r // deg.d) AS m
-        |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.dst = t.w),
-        |r2 AS (SELECT t.w AS node,
-        |    CAST(150000 + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
-        |  FROM top t LEFT JOIN (
-        |    SELECT e.dst AS dst, sum(r1.r // deg.d) AS m
-        |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.dst = t.w),
-        |r3 AS (SELECT t.w AS node,
-        |    CAST(150000 + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
-        |  FROM top t LEFT JOIN (
-        |    SELECT e.dst AS dst, sum(r2.r // deg.d) AS m
-        |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.dst = t.w)
-        |SELECT node, r AS pr FROM r3 ORDER BY pr DESC, node""".stripMargin,
-    "q133_xml_roundtrip" ->
-      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
-        |  round(sum("value"), 2) AS sum_value,
-        |  epoch_us(min(ts))::BIGINT AS min_ts_us,
-        |  epoch_us(max(ts))::BIGINT AS max_ts_us
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q134_bitmap_distinct" ->
-      """WITH masks AS (
-        |  SELECT event_type, user_id // 32 AS word,
-        |    (1::BIGINT << (user_id % 32)::INT) AS m
-        |  FROM events),
-        |ptw AS (SELECT event_type, word, bit_or(m) AS bm
-        |        FROM masks GROUP BY 1, 2),
-        |pt AS (SELECT event_type, sum(bit_count(bm))::BIGINT AS n_users
-        |       FROM ptw GROUP BY 1),
-        |ov AS (SELECT '(all)' AS event_type, sum(bit_count(bm))::BIGINT AS n_users
-        |       FROM (SELECT word, bit_or(bm) AS bm FROM ptw GROUP BY word))
-        |SELECT * FROM pt UNION ALL SELECT * FROM ov
-        |ORDER BY event_type""".stripMargin,
-    "q135_funnel_lag" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |v AS (SELECT user_id, min(us) AS v_us FROM ev
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |lag AS (
-        |  SELECT ev.user_id, (min(us) - v_us) // 1000000 AS lag_sec,
-        |    ev.user_id % 4 AS cohort
-        |  FROM ev JOIN v ON ev.user_id = v.user_id
-        |  WHERE event_type = 'purchase' AND us > v_us
-        |  GROUP BY ev.user_id, v_us),
-        |r AS (
-        |  SELECT cohort, lag_sec,
-        |    row_number() OVER (PARTITION BY cohort
-        |      ORDER BY lag_sec, user_id) AS rn,
-        |    count(*) OVER (PARTITION BY cohort) AS n
-        |  FROM lag)
-        |SELECT cohort, count(*) AS n_converted,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN lag_sec END)
-        |    AS p50_sec,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.9 * n)) THEN lag_sec END)
-        |    AS p90_sec,
-        |  max(lag_sec) AS max_sec
-        |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
-    "q137_lateness_audit" ->
-      """WITH base AS (
-        |  SELECT ts::DATE AS day, event_id, epoch_us(ts) AS us FROM events),
-        |late AS (
-        |  SELECT day, event_id,
-        |    (max(us) OVER (PARTITION BY day ORDER BY event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
-        |      // 1000000 AS late_sec
-        |  FROM base),
-        |r AS (
-        |  SELECT day, late_sec,
-        |    row_number() OVER (PARTITION BY day
-        |      ORDER BY late_sec, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY day) AS n
-        |  FROM late)
-        |SELECT day, count(*) AS n_events,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN late_sec END)
-        |    AS p50_late_sec,
-        |  max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN late_sec END)
-        |    AS p95_late_sec,
-        |  max(late_sec) AS max_late_sec
-        |FROM r GROUP BY day ORDER BY day""".stripMargin,
-    "q136_schema_evolution" ->
-      """WITH v1 AS (
-        |  SELECT event_id, user_id, "value" FROM events
-        |  WHERE event_id % 2 = 0),
-        |v2 AS (
-        |  SELECT event_id, user_id, "value", event_type, epoch_us(ts) AS ts_us
-        |  FROM events WHERE event_id % 2 = 1),
-        |u AS (
-        |  SELECT event_id, user_id, "value",
-        |    'unknown' AS event_type, 0::BIGINT AS ts_us FROM v1
-        |  UNION ALL
-        |  SELECT event_id, user_id, "value",
-        |    event_type, ts_us::BIGINT FROM v2)
-        |SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_ids,
-        |  round(sum("value"), 2) AS sum_value, max(ts_us) AS max_ts_us
-        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q138_decile_lift" ->
-      """WITH spend AS (
-        |  SELECT o_custkey, round(sum(o_totalprice) * 100, 0)::BIGINT AS cents
-        |  FROM orders GROUP BY 1),
-        |d AS (
-        |  SELECT cents,
-        |    ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
-        |  FROM spend),
-        |agg AS (
-        |  SELECT decile, count(*) AS n_customers, sum(cents)::BIGINT AS cents
-        |  FROM d GROUP BY decile)
-        |SELECT decile, n_customers, cents,
-        |  (sum(cents) OVER (ORDER BY decile DESC
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
-        |   // sum(cents) OVER ())::BIGINT AS cum_share_bp
-        |FROM agg ORDER BY decile""".stripMargin,
-    "q139_gap_islands" ->
-      """WITH ids AS (
-        |  SELECT event_id FROM events WHERE event_id % 7 <> 0),
-        |r AS (
-        |  SELECT event_id,
-        |    event_id - row_number() OVER (ORDER BY event_id) AS island_key
-        |  FROM ids),
-        |i AS (SELECT island_key, count(*) AS island_len FROM r GROUP BY 1)
-        |SELECT island_len, count(*) AS n_islands FROM i
-        |GROUP BY island_len ORDER BY island_len""".stripMargin,
-    "q140_bitmap_intersect" ->
-      """WITH ptw AS (
-        |  SELECT event_type, user_id // 32 AS word,
-        |    bit_or(1::BIGINT << (user_id % 32)::INT) AS bm
-        |  FROM events GROUP BY 1, 2)
-        |SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |  sum(bit_count(a.bm & b.bm))::BIGINT AS n_both,
-        |  sum(bit_count(a.bm | b.bm))::BIGINT AS n_either
-        |FROM ptw a JOIN ptw b
-        |  ON a.word = b.word AND a.event_type < b.event_type
-        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
-    "q141_parent_share" ->
-      """WITH rev AS (
-        |  SELECT r_name, n_name,
-        |    round(sum(o_totalprice) * 100, 0)::BIGINT AS cents
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2),
-        |rt AS (SELECT r_name, sum(cents)::BIGINT AS r_cents
-        |       FROM rev GROUP BY 1)
-        |SELECT rev.r_name, n_name, cents,
-        |  (cents * 10000) // r_cents AS share_of_region_bp
-        |FROM rev JOIN rt ON rev.r_name = rt.r_name
-        |ORDER BY rev.r_name, n_name""".stripMargin,
-    "q142_media_features" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |  ELSE 'video' END AS kind,
-        |  count(*) AS n, sum(strlen(text))::BIGINT AS total_bytes,
-        |  min(strlen(text))::BIGINT AS min_bytes,
-        |  max(strlen(text))::BIGINT AS max_bytes
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
-    "q143_interval_coverage" ->
-      """WITH iv AS (
-        |  SELECT user_id, epoch_us(ts) - 900000000 AS s,
-        |    epoch_us(ts) + 900000000 AS e
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, s, e,
-        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |  FROM iv),
-        |isl AS (
-        |  SELECT user_id, s, e,
-        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY s, e
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM m),
-        |per AS (
-        |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
-        |  FROM isl GROUP BY 1, 2),
-        |pu AS (
-        |  SELECT user_id, count(*) AS n_islands,
-        |    sum(i_e - i_s) AS covered_us
-        |  FROM per GROUP BY 1)
-        |SELECT user_id % 10 AS user_bucket, count(*) AS n_users,
-        |  sum(n_islands)::BIGINT AS n_islands,
-        |  (sum(covered_us) // 1000000)::BIGINT AS covered_sec
-        |FROM pu GROUP BY 1 ORDER BY user_bucket""".stripMargin,
-    "q144_trend_forecast" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
-        |    count(*)::DOUBLE AS n
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, count(*) AS n_days,
-        |  round(regr_slope(n, day), 2) AS slope,
-        |  round(regr_intercept(n, day), 2) AS intercept,
-        |  round(regr_intercept(n, day) + regr_slope(n, day) * 30.0, 2)
-        |    AS forecast_day30
-        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q145_join_cardinality" ->
-      """WITH l AS (
-        |  SELECT l_orderkey // 32 AS word,
-        |    bit_or(1::BIGINT << (l_orderkey % 32)::INT) AS bml
-        |  FROM lineitem WHERE l_quantity >= 45 GROUP BY 1),
-        |o AS (
-        |  SELECT o_orderkey // 32 AS word,
-        |    bit_or(1::BIGINT << (o_orderkey % 32)::INT) AS bmo
-        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
-        |sides AS (
-        |  SELECT
-        |    sum(bit_count(coalesce(bml, 0)))::BIGINT AS distinct_l,
-        |    sum(bit_count(coalesce(bmo, 0)))::BIGINT AS distinct_o,
-        |    sum(bit_count(coalesce(bml, 0) & coalesce(bmo, 0)))::BIGINT
-        |      AS key_overlap
-        |  FROM l FULL JOIN o USING (word)),
-        |actual AS (
-        |  SELECT count(*) AS join_rows
-        |  FROM (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 45) a
-        |  JOIN (SELECT o_orderkey AS k FROM orders
-        |        WHERE o_orderpriority = '1-URGENT') b USING (k))
-        |SELECT * FROM sides, actual""".stripMargin,
-    "q146_topk_agg" ->
-      """WITH o AS (
-        |  SELECT o_orderpriority,
-        |    round(o_totalprice * 100, 0)::BIGINT AS cents, o_orderkey,
-        |    count(*) OVER (PARTITION BY o_orderpriority) AS n_orders,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY round(o_totalprice * 100, 0)::BIGINT DESC,
-        |               o_orderkey) AS rnk
-        |  FROM orders)
-        |SELECT o_orderpriority, n_orders::BIGINT AS n_orders, rnk::BIGINT AS rnk,
-        |  cents, o_orderkey
-        |FROM o WHERE rnk <= 3
-        |ORDER BY o_orderpriority, rnk""".stripMargin,
-    "q147_asof_native" ->
-      """SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us,
-        |  coalesce(epoch_us(r.ts), 0)::BIGINT AS click_ts_us,
-        |  coalesce(r.event_id, -1)::BIGINT AS click_event_id,
-        |  round(coalesce(r."value", 0.0), 2) AS click_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'purchase') l
-        |LEFT JOIN LATERAL (
-        |  SELECT ts, event_id, "value" FROM events r
-        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
-        |    AND r.ts <= l.ts
-        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
-        |ORDER BY l.event_id""".stripMargin,
-    "q148_dsv2_source" ->
-      """SELECT id % 97 AS bucket, count(*) AS n,
-        |  (sum((id * 2654435761) % 1000003))::BIGINT AS sum_cents,
-        |  count(DISTINCT 'w' || (id % 13)::VARCHAR) AS words
-        |FROM range(50000, 150000) t(id)
-        |WHERE id % 97 < 10
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q149_compaction" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total,
-        |  (sum(o_orderkey))::BIGINT AS key_sum,
-        |  max(datediff('day', DATE '1970-01-01', o_orderdate))::BIGINT AS max_day
-        |FROM orders
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q151_asof_string_key" ->
-      """SELECT l.o_orderkey, l.o_orderpriority,
-        |  datediff('day', DATE '1970-01-01', l.o_orderdate)::BIGINT AS day_n,
-        |  coalesce(datediff('day', DATE '1970-01-01', r.o_orderdate), 0)::BIGINT AS f_day,
-        |  coalesce(r.o_orderkey, -1)::BIGINT AS f_orderkey,
-        |  round(coalesce(r.o_totalprice, 0.0), 2) AS f_total
-        |FROM (SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
-        |      WHERE o_orderstatus = 'O') l
-        |LEFT JOIN LATERAL (
-        |  SELECT o_orderdate, o_orderkey, o_totalprice FROM orders r
-        |  WHERE r.o_orderstatus = 'F'
-        |    AND r.o_orderpriority = l.o_orderpriority
-        |    AND r.o_orderdate <= l.o_orderdate
-        |  ORDER BY r.o_orderdate DESC, r.o_orderkey DESC LIMIT 1) r ON true
-        |ORDER BY l.o_orderkey""".stripMargin,
-    "q150_asof_native_fwd" ->
-      """SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us,
-        |  coalesce(epoch_us(r.ts), 0)::BIGINT AS next_ts_us,
-        |  coalesce(r.event_id, -1)::BIGINT AS next_event_id,
-        |  round(coalesce(r."value", 0.0), 2) AS next_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click') l
-        |LEFT JOIN LATERAL (
-        |  SELECT ts, event_id, "value" FROM events r
-        |  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
-        |    AND r.ts >= l.ts
-        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) r ON true
-        |ORDER BY l.event_id""".stripMargin,
-    "q153_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT node, count(*) AS d FROM (
-        |          SELECT u AS node FROM pairs
-        |          UNION ALL SELECT v AS node FROM pairs) GROUP BY node),
-        |orient AS (SELECT
-        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
-        |         THEN p.u ELSE p.v END AS s,
-        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
-        |         THEN p.v ELSE p.u END AS t
-        |  FROM pairs p JOIN deg du ON du.node = p.u
-        |               JOIN deg dv ON dv.node = p.v),
-        |tri AS (SELECT count(*) AS n_triangles
-        |        FROM orient e1
-        |        JOIN orient e2 ON e1.s = e2.s AND e1.t < e2.t
-        |        JOIN pairs c ON c.u = e1.t AND c.v = e2.t),
-        |wtot AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
-        |nodes AS (SELECT count(*) AS n_nodes FROM deg),
-        |edges AS (SELECT count(*) AS n_edges FROM pairs)
-        |SELECT n_triangles, n_wedges, n_nodes, n_edges,
-        |  round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
-        |FROM tri, wtot, nodes, edges""".stripMargin,
-    "q154_interval_attribution" ->
-      """SELECT CAST(c.ts AS DATE) AS day, count(*) AS n_attrib,
-        |  round(sum(p."value"), 2) AS attrib_value
-        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
-        |JOIN (SELECT user_id, ts, "value" FROM events
-        |      WHERE event_type = 'purchase') p
-        |  ON p.user_id = c.user_id
-        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q155_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q156_seasonality" ->
-      """WITH h AS (
-        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
-        |    count(*) AS n,
-        |    CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS sc
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, hod, n,
-        |  ((2 * sc * 100 + n) // (2 * n)) / 10000.0 AS avg_value,
-        |  round((CAST(sc AS DOUBLE) / n) /
-        |        (CAST(sum(sc) OVER (PARTITION BY event_type) AS DOUBLE) /
-        |         sum(n) OVER (PARTITION BY event_type)), 4) AS season_idx,
-        |  ((2 * n * 240000 + sum(n) OVER (PARTITION BY event_type)) //
-        |   (2 * sum(n) OVER (PARTITION BY event_type))) / 10000.0 AS traffic_share
-        |FROM h ORDER BY event_type, hod""".stripMargin,
-    "q157_l_diversity" ->
-      """SELECT c_nationkey, c_mktsegment, count(*) AS k_size,
-        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_div
-        |FROM customer
-        |GROUP BY c_nationkey, c_mktsegment
-        |ORDER BY l_div, k_size, c_nationkey, c_mktsegment
-        |LIMIT 5""".stripMargin,
-    "q158_dedup_pipeline" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |words AS (SELECT doc_id, len(toks) AS n_words FROM tok),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM tok WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION
-        |  SELECT id_b, id_a FROM pairs),
-        |reach(id, lab) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
-        |labeled AS (
-        |  SELECT w.doc_id, coalesce(c.component, w.doc_id) AS component, w.n_words
-        |  FROM words w LEFT JOIN comp c ON c.id = w.doc_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY component ORDER BY n_words DESC, doc_id ASC) AS rn
-        |  FROM labeled)
-        |SELECT component,
-        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
-        |  count(*) AS n_members,
-        |  max(CASE WHEN rn = 1 THEN n_words END) AS kept_words,
-        |  sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END)::BIGINT AS dropped_words
-        |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
-    "q159_embed_covariance" ->
-      """WITH ex AS (
-        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
-        |  FROM embeddings, range(1, 65) t(i))
-        |SELECT a.i AS i, b.i AS j,
-        |  round(sum(a.x * b.x) / count(*) -
-        |        (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 4) + 0.0 AS cov
-        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
-    "q160_hybrid_rrf" ->
-      """WITH words AS (
-        |  SELECT doc_id, w AS word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) > 0),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
-        |avgdl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
-        |       WHERE word IN ('spark', 'join', 'window') GROUP BY doc_id, word),
-        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |bm AS (
-        |  SELECT tf.doc_id,
-        |    round(sum(ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5))
-        |              * tf * (1.2 + 1)
-        |              / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 3) AS bm25
-        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN avgdl
-        |  GROUP BY tf.doc_id),
-        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
-        |        FROM bm),
-        |probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |cos AS (
-        |  SELECT vec_id,
-        |    round(list_dot_product(embedding::DOUBLE[], qv) /
-        |          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-        |           sqrt(list_dot_product(qv, qv))), 4) + 0.0 AS sim
-        |  FROM embeddings, probe WHERE vec_id <> 0),
-        |cr AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cos
-        |       FROM cos)
-        |SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
-        |  round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6)
-        |    AS rrf,
-        |  coalesce(r_bm, -1) AS r_bm, coalesce(r_cos, -1) AS r_cos
-        |FROM bmr b FULL JOIN cr c ON b.doc_id = c.vec_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-    "q161_quality_filter" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, lang, len(toks) AS n_tokens,
-        |    round(CASE WHEN len(toks) > 0
-        |      THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
-        |      ELSE 0.0 END, 4) AS score
-        |  FROM tok),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS n
-        |  FROM sc),
-        |thr AS (
-        |  SELECT lang,
-        |    max(CASE WHEN rn = greatest(1, ceil(0.25 * n)) THEN score END) AS p25
-        |  FROM r GROUP BY lang)
-        |SELECT sc.lang, count(*) AS n_total,
-        |  sum(CASE WHEN score >= p25 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        |  round(min(p25), 4) AS p25_threshold,
-        |  round(sum(CASE WHEN score >= p25 THEN n_tokens ELSE 0 END)::DOUBLE /
-        |        sum(n_tokens), 4) AS kept_token_share
-        |FROM sc JOIN thr USING (lang)
-        |GROUP BY sc.lang ORDER BY lang""".stripMargin,
-    "q162_kcore" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e0 AS MATERIALIZED (
-        |  SELECT a.pk AS u, b.pk AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |s1 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e1 AS MATERIALIZED (
-        |  SELECT u, v FROM e0
-        |  JOIN s1 a ON a.node = e0.u JOIN s1 b ON b.node = e0.v),
-        |s2 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e2 AS MATERIALIZED (
-        |  SELECT u, v FROM e1
-        |  JOIN s2 a ON a.node = e1.u JOIN s2 b ON b.node = e1.v),
-        |s3 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e3 AS MATERIALIZED (
-        |  SELECT u, v FROM e2
-        |  JOIN s3 a ON a.node = e2.u JOIN s3 b ON b.node = e2.v),
-        |s4 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e4 AS MATERIALIZED (
-        |  SELECT u, v FROM e3
-        |  JOIN s4 a ON a.node = e3.u JOIN s4 b ON b.node = e3.v),
-        |s5 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e5 AS MATERIALIZED (
-        |  SELECT u, v FROM e4
-        |  JOIN s5 a ON a.node = e4.u JOIN s5 b ON b.node = e4.v),
-        |s6 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e6 AS MATERIALIZED (
-        |  SELECT u, v FROM e5
-        |  JOIN s6 a ON a.node = e5.u JOIN s6 b ON b.node = e5.v),
-        |s7 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e7 AS MATERIALIZED (
-        |  SELECT u, v FROM e6
-        |  JOIN s7 a ON a.node = e6.u JOIN s7 b ON b.node = e6.v),
-        |s8 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e7 UNION ALL SELECT v FROM e7)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e8 AS MATERIALIZED (
-        |  SELECT u, v FROM e7
-        |  JOIN s8 a ON a.node = e7.u JOIN s8 b ON b.node = e7.v),
-        |s9 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e9 AS MATERIALIZED (
-        |  SELECT u, v FROM e8
-        |  JOIN s9 a ON a.node = e8.u JOIN s9 b ON b.node = e8.v),
-        |s10 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e9 UNION ALL SELECT v FROM e9)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e10 AS MATERIALIZED (
-        |  SELECT u, v FROM e9
-        |  JOIN s10 a ON a.node = e9.u JOIN s10 b ON b.node = e9.v),
-        |s11 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e11 AS MATERIALIZED (
-        |  SELECT u, v FROM e10
-        |  JOIN s11 a ON a.node = e10.u JOIN s11 b ON b.node = e10.v),
-        |s12 AS MATERIALIZED (
-        |  SELECT node FROM (SELECT u AS node FROM e11 UNION ALL SELECT v FROM e11)
-        |  GROUP BY node HAVING count(*) >= 3),
-        |e12 AS MATERIALIZED (
-        |  SELECT u, v FROM e11
-        |  JOIN s12 a ON a.node = e11.u JOIN s12 b ON b.node = e11.v),
-        |fin AS (SELECT u, v FROM e12)
-        |SELECT node, count(*) AS core_deg
-        |FROM (SELECT u AS node FROM fin UNION ALL SELECT v FROM fin)
-        |GROUP BY node ORDER BY node""".stripMargin,
-    "q163_dsv2_agg_pushdown" ->
-      """SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id,
-        |  sum(id)::BIGINT AS sum_id
-        |FROM range(250000000, 750000000) t(id)""".stripMargin,
-    "q164_boilerplate_ngrams" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |docs AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 2),
-        |s AS (
-        |  SELECT source, doc_id,
-        |    unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
-        |                          for i in range(1, len(toks))])) AS ng
-        |  FROM docs),
-        |c AS (SELECT source, ng, count(*) AS nd FROM s GROUP BY source, ng),
-        |b AS (SELECT source, ng, nd FROM c WHERE nd >= 5),
-        |ps AS (SELECT source, count(*) AS n_boiler, sum(nd) AS hits FROM b GROUP BY source),
-        |dh AS (SELECT source, count(DISTINCT doc_id) AS docs_hit
-        |       FROM s JOIN b USING (source, ng) GROUP BY source),
-        |nd2 AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source)
-        |SELECT nd2.source, n_docs,
-        |  coalesce(n_boiler, 0) AS n_boiler,
-        |  coalesce(hits, 0)::BIGINT AS boiler_doc_hits,
-        |  coalesce(docs_hit, 0) AS docs_hit
-        |FROM nd2 LEFT JOIN ps USING (source) LEFT JOIN dh USING (source)
-        |ORDER BY nd2.source""".stripMargin,
-    "q165_bfs_hops" -> {
-      // 10 unrolled min-relaxation rounds (MATERIALIZED, as in q162's
-      // peel oracle): d_i(n) = shortest distance using <= i hops, and
-      // the seed eccentricity is < 10 at every SF, so d10 is the BFS
-      // fixpoint. Rounds are generated, not hand-written.
-      val rounds = (1 to 10).map { i =>
-        s"""d$i AS MATERIALIZED (
-           |  SELECT node, min(dist) AS dist FROM (
-           |    SELECT node, dist FROM d${i - 1}
-           |    UNION ALL
-           |    SELECT g.b AS node, d${i - 1}.dist + 1 AS dist
-           |    FROM d${i - 1} JOIN g ON g.a = d${i - 1}.node)
-           |  GROUP BY node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |e AS MATERIALIZED (
-         |  SELECT a.pk AS u, b.pk AS v
-         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |g AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |d0 AS MATERIALIZED (
-         |  SELECT DISTINCT x AS node, 0 AS dist
-         |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
-         |  WHERE x % 50 = 0),
-         |$rounds
-         |SELECT node, dist::BIGINT AS dist FROM d10 ORDER BY node""".stripMargin
-    },
-    "q166_label_prop" -> {
-      // 4 unrolled synchronous LPA rounds. Each round is the exact
-      // deterministic recurrence: plurality neighbor label, ties to
-      // the smallest label, every node updating from the previous
-      // round (QUALIFY row_number ORDER BY c DESC, label ASC = Spark's
-      // max_by over the (count, -label) struct).
-      val rounds = (1 to 4).map { i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT node, label FROM (
-           |    SELECT g.b AS node, l.label, count(*) AS c
-           |    FROM g JOIN l${i - 1} l ON g.a = l.node
-           |    GROUP BY 1, 2)
-           |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |e AS MATERIALIZED (
-         |  SELECT a.pk AS u, b.pk AS v
-         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |g AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM g),
-         |$rounds
-         |SELECT label, count(*)::BIGINT AS n_nodes FROM l4
-         |GROUP BY label ORDER BY label""".stripMargin
-    },
-    "q169_bloom_join" ->
-      """SELECT date_trunc('month', o.o_orderdate)::DATE AS mon,
-        |  count(*)::BIGINT AS n_items,
-        |  round(sum(l.l_extendedprice), 2) AS revenue
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderpriority = '1-URGENT'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q170_zipf_slope" ->
-      """WITH toks AS (
-        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
-        |  FROM documents),
-        |c AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-        |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM c),
-        |t AS (SELECT * FROM r WHERE r <= 1000)
-        |SELECT (SELECT count(*) FROM c)::BIGINT AS n_vocab,
-        |  count(*)::BIGINT AS n_top,
-        |  round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
-        |  round(regr_intercept(ln(c), ln(r)), 4) AS zipf_intercept
-        |FROM t""".stripMargin,
-    "q171_containment_join" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |docs AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                        for i in range(1, len(toks)-1)])) AS sh
-        |  FROM docs),
-        |f AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 50),
-        |idx AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS n_common
-        |  FROM idx a JOIN idx b USING (sh)
-        |  WHERE a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, n_common,
-        |  round(n_common * 1.0 / sz, 4) AS containment
-        |FROM pairs JOIN sizes ON a_id = doc_id
-        |WHERE n_common * 1.0 / sz >= 0.7
-        |ORDER BY a_id, b_id""".stripMargin,
-    "q173_markov_transitions" ->
-      """WITH seq AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |c AS (
-        |  SELECT from_type, to_type, count(*)::BIGINT AS n
-        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
-    "q174_chunk_sliding" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |nz AS (
-        |  SELECT doc_id, toks,
-        |    (CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) + 1) AS n_chunks
-        |  FROM d WHERE len(toks) > 0),
-        |c AS (
-        |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks
-        |  FROM nz)
-        |SELECT doc_id, chunk_idx,
-        |  len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS n_toks,
-        |  md5(array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ')) AS chunk_hash
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q175_benford" ->
-      """WITH digits AS (
-        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM lineitem),
-        |c AS (SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit)
-        |SELECT digit, n,
-        |  round(n * 1.0 / (SELECT sum(n) FROM c), 4) AS obs_share,
-        |  round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
-        |  round(abs(round(n * 1.0 / (SELECT sum(n) FROM c), 4)
-        |            - round(log10(1.0 + 1.0 / digit), 4)), 4) AS abs_dev
-        |FROM c ORDER BY digit""".stripMargin,
-    "q178_dup_spans" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest([{'pos': i-1, 'w': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks)-6)]) AS pw
-        |  FROM d WHERE len(toks) >= 8),
-        |s AS (SELECT doc_id, pw.pos AS pos, pw.w AS w FROM g),
-        |f AS (SELECT w FROM s GROUP BY w HAVING count(*) <= 20),
-        |i2 AS (SELECT s.doc_id, s.pos, s.w FROM s JOIN f USING (w)),
-        |m AS (SELECT a.doc_id a_id, b.doc_id b_id, a.pos pa, b.pos pb
-        |      FROM i2 a JOIN i2 b USING (w) WHERE a.doc_id < b.doc_id),
-        |r AS (SELECT *, pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS rk FROM m)
-        |SELECT a_id, b_id, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
-        |  (count(*) + 7)::BIGINT AS span_tokens
-        |FROM r GROUP BY a_id, b_id, pa - pb, rk
-        |HAVING count(*) + 7 >= 20
-        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
-    "q180_doc_perplexity" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |dd AS (SELECT doc_id, source, ws FROM d WHERE len(ws) >= 2),
-        |bi AS (
-        |  SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2
-        |  FROM (SELECT doc_id, source,
-        |          unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
-        |        FROM dd)),
-        |cb AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-        |cu AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT w2) AS v FROM bi)
-        |SELECT b.doc_id, b.source, count(*)::BIGINT AS n_bigrams,
-        |  round(exp(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v)))), 4) AS ppl
-        |FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv
-        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
-    "q181_pmi_collocations" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |toks AS (SELECT unnest(ws) AS w FROM d),
-        |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
-        |nu AS (SELECT count(*) AS nu FROM toks),
-        |dd AS (SELECT ws FROM d WHERE len(ws) >= 2),
-        |bi AS (
-        |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
-        |  FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
-        |        FROM dd)
-        |  GROUP BY 1, 2),
-        |nb AS (SELECT sum(c12) AS nb FROM bi)
-        |SELECT w1, w2, c12::BIGINT AS c12,
-        |  round(ln((c12 * 1.0 / nb) / ((ca * 1.0 / nu) * (cb * 1.0 / nu))), 4) AS pmi
-        |FROM (SELECT bi.w1, bi.w2, bi.c12, a.cw AS ca, b.cw AS cb
-        |      FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w
-        |      WHERE bi.c12 >= 5)
-        |CROSS JOIN nu CROSS JOIN nb
-        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
-    "q183_auc" ->
-      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
-        |s AS (SELECT e.vec_id,
-        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
-        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
-        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
-        |r AS (SELECT *, row_number() OVER (ORDER BY score, vec_id) AS rnk FROM s)
-        |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
-        |  round((sum(CASE WHEN y = 1 THEN rnk END) - sum(y) * (sum(y) + 1) / 2.0)
-        |        / (sum(y) * (count(*) - sum(y))), 4) AS auc
-        |FROM r""".stripMargin,
-    "q184_calibration_bins" ->
-      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
-        |s AS (SELECT e.vec_id,
-        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
-        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
-        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
-        |env AS (SELECT min(score) AS lo, max(score) AS hi FROM s)
-        |SELECT least(floor((score - lo) / (hi - lo) * 10), 9)::BIGINT AS bin,
-        |  count(*)::BIGINT AS n,
-        |  round(avg(score), 4) AS mean_score,
-        |  round(avg(y * 1.0), 4) AS frac_pos
-        |FROM s CROSS JOIN env
-        |GROUP BY 1 ORDER BY bin""".stripMargin,
-    "q185_budget_select" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id,
-        |    len(list_distinct(toks)) * 1.0 / len(toks) AS score,
-        |    len(toks)::BIGINT AS cost
-        |  FROM d WHERE len(toks) > 0),
-        |r AS (SELECT *, sum(cost) OVER (ORDER BY score DESC, doc_id
-        |        ROWS UNBOUNDED PRECEDING) AS cum FROM sc)
-        |SELECT count(*)::BIGINT AS n_selected, sum(cost)::BIGINT AS total_tokens,
-        |  round(min(score), 4) AS min_score
-        |FROM r WHERE cum <= 20000""".stripMargin,
-    "q186_phrase_search" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |p AS (SELECT array_to_string(toks[1:3], ' ') AS ph FROM d WHERE doc_id = 0),
-        |occ AS (
-        |  SELECT doc_id,
-        |    unnest([i-1 for i in range(1, len(toks)-1) if array_to_string(toks[i:i+2], ' ') = ph]) AS pos
-        |  FROM d CROSS JOIN p WHERE len(toks) >= 3)
-        |SELECT doc_id, pos FROM occ ORDER BY doc_id, pos""".stripMargin,
-    "q187_ngram_novelty" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS w
-        |  FROM d WHERE len(toks) >= 8),
-        |f AS (SELECT w, min(doc_id) AS first_doc FROM g GROUP BY w)
-        |SELECT g.doc_id, count(*)::BIGINT AS n_windows,
-        |  round(avg(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END), 4) AS novelty
-        |FROM g JOIN f USING (w)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "q188_cdc_chunks" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |dd AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1),
-        |b AS (
-        |  SELECT doc_id,
-        |    unnest([i-1 for i in range(2, len(toks)-2) if md5(array_to_string(toks[i:i+3], ' ')) LIKE '0%']) AS pos
-        |  FROM dd WHERE len(toks) >= 4),
-        |s AS (SELECT doc_id, 0 AS pos FROM dd
-        |      UNION ALL SELECT doc_id, pos FROM b),
-        |c AS (SELECT doc_id, pos AS start,
-        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s),
-        |j AS (SELECT c.doc_id, start,
-        |        coalesce(nxt, len(toks)) - start AS n_toks,
-        |        md5(array_to_string(toks[start+1 : coalesce(nxt, len(toks))], ' ')) AS chunk_md5
-        |      FROM c JOIN dd USING (doc_id))
-        |SELECT doc_id, start, n_toks::BIGINT AS n_toks, chunk_md5
-        |FROM j ORDER BY doc_id, start""".stripMargin,
-    "q189_retrieval_metrics" ->
-      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
-        |s AS (SELECT e.vec_id,
-        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
-        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
-        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
-        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rnk FROM s),
-        |a AS (SELECT sum(y)::BIGINT AS n_pos,
-        |        sum(CASE WHEN rnk <= 10 THEN y ELSE 0 END)::BIGINT AS hits10,
-        |        sum(CASE WHEN rnk <= 10 THEN y / log2(rnk + 1) ELSE 0 END) AS dcg,
-        |        max(CASE WHEN y = 1 THEN 1.0 / rnk END) AS mrr
-        |      FROM r)
-        |SELECT n_pos, hits10,
-        |  round(hits10 * 1.0 / n_pos, 4) AS recall10,
-        |  round(mrr, 4) AS mrr,
-        |  round(dcg / list_sum([1.0 / log2(i + 1) for i in range(1, least(10, n_pos) + 1)]), 4) AS ndcg10
-        |FROM a""".stripMargin,
-    "q190_split_leakage" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |ws AS (
-        |  SELECT DISTINCT split, w FROM (
-        |    SELECT CASE WHEN bucket < 90 THEN 'train'
-        |                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
-        |      unnest([array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS w
-        |    FROM d WHERE len(toks) >= 8))
-        |SELECT a.split AS split_a, b.split AS split_b, count(*)::BIGINT AS n_shared
-        |FROM ws a JOIN ws b ON a.w = b.w AND a.split < b.split
-        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
-    "q191_ppr_related" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, w FROM (
-        |    SELECT doc_id,
-        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                         t -> len(t) >= 4)) AS w
-        |    FROM documents)),
-        |top AS (SELECT w, count(*) AS n FROM toks GROUP BY w
-        |        ORDER BY n DESC, w LIMIT 30),
-        |seed AS (SELECT w FROM top ORDER BY n DESC, w LIMIT 1),
-        |e AS (SELECT DISTINCT a.w AS src, b.w AS dst
-        |      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w <> b.w
-        |      JOIN top ta ON ta.w = a.w JOIN top tb ON tb.w = b.w),
-        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-        |r0 AS (SELECT t.w AS node,
-        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 1000000 ELSE 0 END AS BIGINT) AS r
-        |  FROM top t),
-        |r1 AS (SELECT t.w AS node,
-        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 150000 ELSE 0 END
-        |         + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
-        |  FROM top t LEFT JOIN (
-        |    SELECT e.dst AS dst, sum(r0.r // deg.d) AS m
-        |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.dst = t.w),
-        |r2 AS (SELECT t.w AS node,
-        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 150000 ELSE 0 END
-        |         + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
-        |  FROM top t LEFT JOIN (
-        |    SELECT e.dst AS dst, sum(r1.r // deg.d) AS m
-        |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.dst = t.w),
-        |r3 AS (SELECT t.w AS node,
-        |    CAST(CASE WHEN t.w = (SELECT w FROM seed) THEN 150000 ELSE 0 END
-        |         + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS r
-        |  FROM top t LEFT JOIN (
-        |    SELECT e.dst AS dst, sum(r2.r // deg.d) AS m
-        |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.dst = t.w)
-        |SELECT node, r AS ppr FROM r3 ORDER BY ppr DESC, node""".stripMargin,
-    "q192_dsir_select" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |dd AS (SELECT doc_id, lang, ws FROM d WHERE len(ws) >= 2),
-        |feats AS (
-        |  SELECT doc_id, lang, substr(md5(b.w1 || ' ' || b.w2), 1, 3) AS f
-        |  FROM (SELECT doc_id, lang,
-        |          unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
-        |        FROM dd)),
-        |rc AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
-        |tc AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
-        |nr AS (SELECT sum(cr) AS nr FROM rc),
-        |nt AS (SELECT sum(ct) AS nt FROM tc),
-        |lr AS (SELECT rc.f AS f,
-        |         ln((coalesce(tc.ct, 0) + 0.5) / (nt.nt + 0.5 * 4096))
-        |       - ln((rc.cr + 0.5) / (nr.nr + 0.5 * 4096)) AS lr
-        |       FROM rc LEFT JOIN tc ON rc.f = tc.f CROSS JOIN nt CROSS JOIN nr)
-        |SELECT doc_id, lang, count(*)::BIGINT AS n_feats, round(avg(lr.lr), 4) AS dsir_w
-        |FROM feats JOIN lr ON feats.f = lr.f
-        |WHERE lang <> 'en'
-        |GROUP BY doc_id, lang
-        |ORDER BY dsir_w DESC, doc_id LIMIT 25""".stripMargin,
-    "q194_winnowing" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws)-2)] AS hs
-        |  FROM d WHERE len(ws) >= 4),
-        |f AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(hs) >= 8
-        |    THEN [list_min(hs[i:i+7]) for i in range(1, len(hs)-6)]
-        |    ELSE [list_min(hs)] END) AS fp FROM g)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
-        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY shared DESC, doc_a, doc_b""".stripMargin,
-    "q195_fuzzy_linkage" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part),
-        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
-        |SELECT a.p_name AS name_a, c.p_name AS name_b,
-        |  levenshtein(a.p_name, c.p_name)::BIGINT AS dist
-        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
-        |WHERE levenshtein(a.p_name, c.p_name) <= 3
-        |ORDER BY dist, name_a, name_b""".stripMargin,
-    "q196_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
-        |           WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
-        |      JOIN v ON v.user_id = e.user_id
-        |      WHERE e.event_type = 'click' AND e.ts > v.t0
-        |        AND e.ts <= v.t0 + INTERVAL 12 HOUR
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |      JOIN c ON c.user_id = e.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.t1
-        |        AND e.ts <= c.t1 + INTERVAL 12 HOUR
-        |      GROUP BY e.user_id)
-        |SELECT 1 AS stage, 'view' AS step, count(*)::BIGINT AS users FROM v
-        |UNION ALL
-        |SELECT 2, 'click_within_12h', count(*)::BIGINT FROM c
-        |UNION ALL
-        |SELECT 3, 'purchase_within_12h', count(*)::BIGINT FROM p
-        |ORDER BY stage""".stripMargin,
-    "q197_cohort_retention" ->
-      """WITH f AS (SELECT user_id, min(ts)::DATE AS cohort FROM events GROUP BY user_id),
-        |sz AS (SELECT cohort, count(*)::BIGINT AS n0 FROM f GROUP BY cohort),
-        |a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT f.cohort AS cohort, datediff('day', f.cohort, a.d) AS offset_d,
-        |  count(*)::BIGINT AS users, round(count(*) * 1.0 / sz.n0, 4) AS retention
-        |FROM f JOIN a ON a.user_id = f.user_id
-        |  AND datediff('day', f.cohort, a.d) BETWEEN 0 AND 7
-        |JOIN sz ON sz.cohort = f.cohort
-        |GROUP BY f.cohort, offset_d, sz.n0
-        |ORDER BY cohort, offset_d""".stripMargin,
-    "q198_adamic_adar" ->
-      """WITH pe AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
-        |e AS (SELECT a.pk AS src, b.pk AS dst
-        |      FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk <> b.pk
-        |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
-        |cand AS (SELECT e1.src AS a, e2.dst AS b, e1.dst AS z
-        |         FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst),
-        |nonadj AS (SELECT c.a, c.b, c.z FROM cand c
-        |           LEFT JOIN e ON e.src = c.a AND e.dst = c.b WHERE e.src IS NULL)
-        |SELECT a, b, count(*)::BIGINT AS common,
-        |  round(sum(1.0 / ln(deg.d)), 4) AS aa
-        |FROM nonadj JOIN deg ON deg.node = nonadj.z
-        |GROUP BY a, b
-        |ORDER BY aa DESC, common DESC, a, b LIMIT 20""".stripMargin,
-    "q200_gopher_rules" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) > 0),
-        |base AS (SELECT doc_id, len(ws) AS n_words,
-        |    list_sum([len(w) for w in ws]) AS sum_len,
-        |    len(list_filter(ws,
-        |      w -> w IN ('the','a','of','to','and','in','is','that'))) AS stops
-        |  FROM dd),
-        |top AS (SELECT doc_id, max(c) AS top_c FROM (
-        |    SELECT doc_id, w, count(*) AS c
-        |    FROM (SELECT doc_id, unnest(ws) AS w FROM dd) GROUP BY doc_id, w)
-        |  GROUP BY doc_id),
-        |j AS (SELECT base.doc_id AS doc_id, n_words, sum_len, stops, top_c,
-        |    concat_ws('|',
-        |      CASE WHEN n_words < 30 THEN 'short' END,
-        |      CASE WHEN sum_len > n_words * 5 THEN 'mean_word_len' END,
-        |      CASE WHEN stops < 2 THEN 'no_stopwords' END,
-        |      CASE WHEN top_c * 5 > n_words THEN 'top_word_dom' END) AS reasons
-        |  FROM base JOIN top ON base.doc_id = top.doc_id)
-        |SELECT doc_id, n_words, round(sum_len * 1.0 / n_words, 4) AS mean_wlen,
-        |  stops, round(top_c * 1.0 / n_words, 4) AS top_share, reasons
-        |FROM j WHERE reasons <> '' ORDER BY doc_id""".stripMargin,
-    "q201_hits" ->
-      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-        |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |a1 AS (SELECT p, count(*)::BIGINT AS a FROM e GROUP BY p),
-        |h1 AS (SELECT e.c, sum(a1.a)::BIGINT AS h FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c),
-        |a2 AS (SELECT e.p, sum(h1.h)::BIGINT AS a FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p),
-        |h2 AS (SELECT e.c, sum(a2.a)::BIGINT AS h FROM e JOIN a2 ON a2.p = e.p GROUP BY e.c),
-        |hubs AS (SELECT 'hub' AS kind, c AS node, h AS score FROM h2
-        |         ORDER BY score DESC, node LIMIT 8),
-        |auths AS (SELECT 'authority' AS kind, p AS node, a AS score FROM a2
-        |          ORDER BY score DESC, node LIMIT 8)
-        |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
-        |ORDER BY kind, score DESC, node""".stripMargin,
-    "q202_assoc_rules" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |n AS (SELECT count(DISTINCT ok) AS total FROM op),
-        |supp1 AS (SELECT pk, count(*)::BIGINT AS cnt FROM op GROUP BY pk),
-        |supp2 AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS both_cnt
-        |          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-        |          GROUP BY 1, 2 HAVING count(*) >= 3)
-        |SELECT s2.pa, s2.pb, s2.both_cnt,
-        |  round(s2.both_cnt * 1.0 / sa.cnt, 4) AS conf_a_to_b,
-        |  round((s2.both_cnt * 1.0 * n.total) / (sa.cnt * sb.cnt), 4) AS lift
-        |FROM supp2 s2
-        |JOIN supp1 sa ON sa.pk = s2.pa
-        |JOIN supp1 sb ON sb.pk = s2.pb
-        |CROSS JOIN n
-        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
-    "q203_kl_divergence" ->
-      """WITH toks AS (SELECT lang,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
-        |  FROM documents),
-        |c AS (SELECT lang, w, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
-        |vocab AS (SELECT DISTINCT w FROM c),
-        |nv AS (SELECT count(*) AS v FROM vocab),
-        |tot AS (SELECT lang, sum(n) AS t FROM c GROUP BY lang),
-        |en AS (SELECT w, n AS en_n FROM c WHERE lang = 'en'),
-        |ent AS (SELECT t AS en_t FROM tot WHERE lang = 'en'),
-        |grid AS (SELECT v.w, l.lang, c.n FROM vocab v
-        |  CROSS JOIN (SELECT lang FROM tot WHERE lang <> 'en') l
-        |  LEFT JOIN c ON c.w = v.w AND c.lang = l.lang)
-        |SELECT g.lang AS lang,
-        |  round(sum( ((coalesce(g.n, 0) + 0.5) / (tot.t + 0.5 * nv.v)) *
-        |    ln( ((coalesce(g.n, 0) + 0.5) / (tot.t + 0.5 * nv.v)) /
-        |        ((coalesce(en.en_n, 0) + 0.5) / (ent.en_t + 0.5 * nv.v)) ) ), 4) AS kl
-        |FROM grid g
-        |JOIN tot ON tot.lang = g.lang
-        |LEFT JOIN en ON en.w = g.w
-        |CROSS JOIN ent CROSS JOIN nv
-        |GROUP BY g.lang ORDER BY g.lang""".stripMargin,
-    "q204_jl_projection" ->
-      """SELECT vec_id,
-        |  round(list_sum([CASE WHEN substr(md5('0_' || (i-1)::VARCHAR), 1, 1)
-        |      IN ('0','1','2','3','4','5','6','7')
-        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-        |      for i in range(1, len(embedding)+1)]), 4) AS p0,
-        |  round(list_sum([CASE WHEN substr(md5('1_' || (i-1)::VARCHAR), 1, 1)
-        |      IN ('0','1','2','3','4','5','6','7')
-        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-        |      for i in range(1, len(embedding)+1)]), 4) AS p1,
-        |  round(list_sum([CASE WHEN substr(md5('2_' || (i-1)::VARCHAR), 1, 1)
-        |      IN ('0','1','2','3','4','5','6','7')
-        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-        |      for i in range(1, len(embedding)+1)]), 4) AS p2,
-        |  round(list_sum([CASE WHEN substr(md5('3_' || (i-1)::VARCHAR), 1, 1)
-        |      IN ('0','1','2','3','4','5','6','7')
-        |      THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-        |      for i in range(1, len(embedding)+1)]), 4) AS p3
-        |FROM embeddings WHERE vec_id < 15 ORDER BY vec_id""".stripMargin,
-    "q205_attribution" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    json_extract(props, '$.k')::BIGINT AS k, value
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |w AS (SELECT *,
-        |    last_value(CASE WHEN event_type = 'click'
-        |        THEN struct_pack(cts := ts, ck := k) END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastc
-        |  FROM ev)
-        |SELECT lastc.ck AS campaign, count(*)::BIGINT AS n_purchases,
-        |  round(sum(value), 2) AS credited_value
-        |FROM w
-        |WHERE event_type = 'purchase' AND lastc IS NOT NULL
-        |  AND lastc.cts >= ts - INTERVAL 7 DAY
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q206_ks_test" ->
-      """WITH g AS (
-        |  SELECT value,
-        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na_v,
-        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb_v
-        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
-        |c AS (SELECT value,
-        |    sum(na_v) OVER (ORDER BY value)::BIGINT AS ca,
-        |    sum(nb_v) OVER (ORDER BY value)::BIGINT AS cb FROM g),
-        |tot AS (SELECT sum(na_v)::BIGINT AS na, sum(nb_v)::BIGINT AS nb FROM g)
-        |SELECT value, na, nb,
-        |  round(abs(ca::DOUBLE / na - cb::DOUBLE / nb), 6) AS ks_d
-        |FROM c, tot
-        |ORDER BY abs(ca::DOUBLE / na - cb::DOUBLE / nb) DESC, value ASC
-        |LIMIT 1""".stripMargin,
-    "q207_chi2_select" ->
-      """WITH pres AS (
-        |  SELECT DISTINCT doc_id, is_en, word FROM (
-        |    SELECT doc_id, (lang = 'en')::BIGINT AS is_en,
-        |      unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> ''),
-        |tot AS (SELECT sum((lang = 'en')::BIGINT)::BIGINT AS n_en,
-        |               sum((lang <> 'en')::BIGINT)::BIGINT AS n_oth FROM documents),
-        |g AS (SELECT word, sum(is_en)::BIGINT AS a, sum(1 - is_en)::BIGINT AS b
-        |      FROM pres GROUP BY word HAVING sum(is_en) + sum(1 - is_en) >= 5)
-        |SELECT word, a, b,
-        |  round(((n_en + n_oth) * (a * (n_oth - b) - b * (n_en - a))
-        |           * (a * (n_oth - b) - b * (n_en - a)))::DOUBLE /
-        |        ((a + b) * (n_en + n_oth - a - b) * n_en * n_oth), 4) AS chi2
-        |FROM g, tot
-        |WHERE a + b < n_en + n_oth
-        |ORDER BY chi2 DESC, word ASC LIMIT 15""".stripMargin,
-    "q208_gini_tokens" ->
-      """WITH wc AS (
-        |  SELECT lang, word, count(*)::BIGINT AS cnt FROM (
-        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> '' GROUP BY lang, word),
-        |r AS (SELECT lang, cnt,
-        |    row_number() OVER (PARTITION BY lang ORDER BY cnt ASC, word ASC)::BIGINT AS r
-        |  FROM wc)
-        |SELECT lang, count(*)::BIGINT AS vocab, sum(cnt)::BIGINT AS total,
-        |  round((2 * sum(r * cnt) - (count(*) + 1) * sum(cnt))::DOUBLE /
-        |        (count(*) * sum(cnt)), 4) AS gini
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
-    "q209_rbo" ->
-      """WITH a AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS ra
-        |  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20),
-        |wd AS (SELECT doc_id, count(DISTINCT word)::BIGINT AS nd FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> '' GROUP BY doc_id),
-        |b AS (SELECT doc_id, row_number() OVER (ORDER BY nd DESC, doc_id ASC)::BIGINT AS rb
-        |  FROM wd ORDER BY nd DESC, doc_id ASC LIMIT 20),
-        |ov AS (SELECT greatest(a.ra, b.rb) AS md FROM a JOIN b USING (doc_id)),
-        |ds AS (SELECT d::BIGINT AS d FROM generate_series(1, 20) AS t(d)),
-        |o AS (SELECT d, count(md)::BIGINT AS ov
-        |      FROM ds LEFT JOIN ov ON md <= d GROUP BY d)
-        |SELECT round(sum(pow(0.5, d) * ov / d), 4) AS rbo,
-        |  max(CASE WHEN d = 20 THEN ov END)::BIGINT AS ov20
-        |FROM o""".stripMargin,
-    "q210_oov_rate" ->
-      """WITH tok AS (
-        |  SELECT lang, word FROM (
-        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> ''),
-        |vocab AS (SELECT word FROM (
-        |    SELECT word, count(*) AS cnt FROM tok GROUP BY word)
-        |  ORDER BY cnt DESC, word ASC LIMIT 500)
-        |SELECT lang, count(*)::BIGINT AS n_tokens,
-        |  sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-        |  round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
-        |    AS oov_rate
-        |FROM tok t LEFT JOIN vocab v ON t.word = v.word
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q211_temperature_mix" ->
-      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
-        |tot AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs)::BIGINT AS n FROM c)
-        |SELECT lang, n_docs,
-        |  round(sqrt(n_docs) / z, 6) AS weight,
-        |  round((sqrt(n_docs) / z) / (n_docs::DOUBLE / n), 4) AS upsample
-        |FROM c, tot ORDER BY lang""".stripMargin,
-    "q212_local_clustering" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
-        |          SELECT u AS node FROM pairs
-        |          UNION ALL SELECT v AS node FROM pairs) GROUP BY node),
-        |orient AS (SELECT
-        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
-        |         THEN p.u ELSE p.v END AS s,
-        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
-        |         THEN p.v ELSE p.u END AS t
-        |  FROM pairs p JOIN deg du ON du.node = p.u
-        |               JOIN deg dv ON dv.node = p.v),
-        |tri3 AS (SELECT e1.s AS a, e1.t AS x, e2.t AS y
-        |        FROM orient e1
-        |        JOIN orient e2 ON e1.s = e2.s AND e1.t < e2.t
-        |        JOIN pairs c ON c.u = e1.t AND c.v = e2.t),
-        |pn AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
-        |         SELECT a AS node FROM tri3
-        |         UNION ALL SELECT x FROM tri3
-        |         UNION ALL SELECT y FROM tri3) GROUP BY node)
-        |SELECT d.node, d.d, coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
-        |  round(2.0 * coalesce(pn.n_tri, 0) / (d.d * (d.d - 1)), 4) AS lcc
-        |FROM deg d LEFT JOIN pn ON d.node = pn.node
-        |WHERE d.d >= 5
-        |ORDER BY lcc DESC, d.node ASC LIMIT 20""".stripMargin,
-    "q213_stream_stream_join" ->
-      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
-        |             ts AS cts FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts AS pts, value FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT campaign, count(*)::BIGINT AS n_pairs,
-        |  round(sum(value), 2) AS total_value
-        |FROM c JOIN p USING (user_id)
-        |WHERE pts >= cts AND pts < cts + INTERVAL 30 MINUTE
-        |GROUP BY campaign ORDER BY campaign""".stripMargin,
-    "q214_sorted_neighborhood" ->
-      """WITH names AS (SELECT DISTINCT p_name FROM part),
-        |ranked AS (SELECT p_name,
-        |    row_number() OVER (ORDER BY p_name)::BIGINT AS r FROM names)
-        |SELECT a.p_name AS name_a, b.p_name AS name_b,
-        |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist
-        |FROM ranked a JOIN ranked b
-        |  ON b.r BETWEEN a.r + 1 AND a.r + 5
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY dist, name_a, name_b""".stripMargin,
-    "q215_decayed_engagement" ->
-      """WITH p AS (SELECT user_id, value, ts::DATE AS d FROM events
-        |           WHERE event_type = 'purchase'),
-        |f AS (SELECT max(d) AS now FROM p)
-        |SELECT user_id, count(*)::BIGINT AS n_purchases,
-        |  round(sum(CAST(round(value * 100) AS BIGINT)
-        |            * (1::BIGINT << (20 - least((now - d) // 7, 20))::INTEGER))
-        |        / (100.0 * (1::BIGINT << 20)), 2) AS decayed_spend
-        |FROM p, f
-        |GROUP BY user_id
-        |ORDER BY decayed_spend DESC, user_id ASC LIMIT 20""".stripMargin,
-    "q216_quantile_normalize" ->
-      """WITH cells AS (
-        |  SELECT vec_id, (i - 1)::INTEGER AS dim, embedding[i]::DOUBLE AS x
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
-        |ranked AS (SELECT vec_id, dim, x,
-        |    row_number() OVER (PARTITION BY dim ORDER BY x ASC, vec_id ASC) AS rk
-        |  FROM cells),
-        |profile AS (SELECT rk, round(avg(x), 6) AS q FROM ranked GROUP BY rk)
-        |SELECT dim, count(*)::BIGINT AS n, round(min(q), 6) AS min_norm,
-        |  round(max(q), 6) AS max_norm, round(avg(q), 4) AS mean_norm
-        |FROM ranked r JOIN profile p ON r.rk = p.rk
-        |WHERE dim < 8
-        |GROUP BY dim ORDER BY dim""".stripMargin,
-    "q217_rfm_segments" ->
-      """WITH p AS (SELECT user_id, value, ts::DATE AS d FROM events
-        |           WHERE event_type = 'purchase'),
-        |f AS (SELECT max(d) AS now FROM p),
-        |u AS (SELECT user_id,
-        |    min(now - d)::BIGINT AS recency_days,
-        |    count(*)::BIGINT AS freq,
-        |    sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
-        |  FROM p, f GROUP BY user_id, now),
-        |seg AS (SELECT *,
-        |    ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_q,
-        |    ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_q,
-        |    ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS m_q
-        |  FROM u)
-        |SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users,
-        |  round(sum(cents) / 100.0, 2) AS segment_value
-        |FROM seg GROUP BY r_q, f_q, m_q
-        |HAVING count(*) >= 2
-        |ORDER BY r_q, f_q, m_q""".stripMargin,
-    "q218_golden_record" ->
-      """WITH parts AS (SELECT *, string_split(p_name, ' ')[-1] AS blk FROM part),
-        |bc AS (SELECT blk, p_brand, count(*)::BIGINT AS bc
-        |       FROM parts GROUP BY blk, p_brand),
-        |modal AS (SELECT blk, p_brand AS modal_brand, bc AS brand_support
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY blk
-        |          ORDER BY bc DESC, p_brand ASC) AS rk FROM bc)
-        |  WHERE rk = 1)
-        |SELECT p.blk, count(*)::BIGINT AS n_records,
-        |  min(p_partkey)::BIGINT AS surviving_key,
-        |  any_value(modal_brand) AS modal_brand,
-        |  any_value(brand_support)::BIGINT AS brand_support,
-        |  round(max(p_retailprice), 2) AS max_price
-        |FROM parts p JOIN modal m ON p.blk = m.blk
-        |GROUP BY p.blk ORDER BY p.blk""".stripMargin,
-    "q219_class_balance" ->
-      """WITH q AS (SELECT min(n)::BIGINT AS quota FROM (
-        |    SELECT count(*) AS n FROM documents GROUP BY lang)),
-        |r AS (SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)::BIGINT AS rk
-        |  FROM documents)
-        |SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
-        |FROM r, q WHERE rk <= quota
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q220_ab_test" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' AND value > 180
-        |             THEN 1 ELSE 0 END)::BIGINT AS conv,
-        |    (user_id % 2)::INTEGER AS arm
-        |  FROM events GROUP BY user_id),
-        |cells AS (SELECT
-        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
-        |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
-        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
-        |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c1
-        |  FROM u)
-        |SELECT n0, c0, n1, c1,
-        |  round(c0::DOUBLE / n0, 4) AS p0,
-        |  round(c1::DOUBLE / n1, 4) AS p1,
-        |  round((c0::DOUBLE / n0 - c1::DOUBLE / n1) /
-        |    sqrt(((c0 + c1)::DOUBLE / (n0 + n1)) * (1 - (c0 + c1)::DOUBLE / (n0 + n1))
-        |         * (1.0 / n0 + 1.0 / n1)), 4) AS z
-        |FROM cells""".stripMargin,
-    "q221_schema_evolution" ->
-      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END,
-        |         '<pre-schema>') AS status,
-        |  count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY 1 ORDER BY status""".stripMargin,
-    "q222_sql_interface" ->
-      """WITH rev AS (
-        |  SELECT c.c_nationkey, c.c_custkey, round(sum(o.o_totalprice), 2) AS revenue
-        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-        |  GROUP BY c.c_nationkey, c.c_custkey),
-        |ranked AS (
-        |  SELECT n.n_name, r.c_custkey, r.revenue,
-        |         row_number() OVER (PARTITION BY n.n_name
-        |                            ORDER BY r.revenue DESC, r.c_custkey ASC) AS rk
-        |  FROM rev r JOIN nation n ON n.n_nationkey = r.c_nationkey)
-        |SELECT n_name, c_custkey, revenue
-        |FROM ranked WHERE rk = 1
-        |ORDER BY n_name""".stripMargin,
-    "q223_pivot_events" ->
-      """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
-        |  count(*)::BIGINT AS total
-        |FROM events
-        |GROUP BY user_id HAVING count(*) >= 50
-        |ORDER BY user_id""".stripMargin,
-    "q224_melt_metrics" ->
-      """WITH long AS (
-        |  SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
-        |  UNION ALL
-        |  SELECT p_partkey, 'retailprice', p_retailprice::DOUBLE FROM part)
-        |SELECT metric, count(*)::BIGINT AS n, round(sum(value), 2) AS total,
-        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
-        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
-    "q225_time_travel" ->
-      """WITH scd AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
-        |    coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807) AS valid_to_us
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |active AS (SELECT user_id, event_id FROM scd
-        |  WHERE valid_from_us <= epoch_us(TIMESTAMP '2024-02-15 00:00:00')
-        |    AND valid_to_us > epoch_us(TIMESTAMP '2024-02-15 00:00:00'))
-        |SELECT e.event_type, count(*)::BIGINT AS n_users_in_state
-        |FROM active a JOIN events e ON a.event_id = e.event_id
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
-    "q226_kendall_tau" ->
-      """WITH topc AS (
-        |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
-        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
-        |  FROM orders GROUP BY o_custkey
-        |  ORDER BY cents DESC, o_custkey ASC LIMIT 100),
-        |pairs AS (
-        |  SELECT sign(a.n_orders - b.n_orders) AS sx, sign(a.cents - b.cents) AS sy
-        |  FROM topc a JOIN topc b ON a.o_custkey < b.o_custkey),
-        |cells AS (SELECT
-        |    sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
-        |    sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant,
-        |    sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)::BIGINT AS ties_x,
-        |    sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)::BIGINT AS ties_y
-        |  FROM pairs)
-        |SELECT concordant, discordant, ties_x, ties_y,
-        |  round((concordant - discordant)::DOUBLE /
-        |    sqrt((concordant + discordant + ties_x)
-        |         * (concordant + discordant + ties_y)), 4) AS tau_b
-        |FROM cells""".stripMargin,
-    "q227_cusum_drift" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |m AS (SELECT sum(n)::DOUBLE / count(*) AS mu FROM daily),
-        |s AS (SELECT day, n,
-        |    sum(n - mu) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-        |  FROM daily, m),
-        |d AS (SELECT day, n,
-        |    s - min(s) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drift
-        |  FROM s)
-        |SELECT day AS alarm_day, n AS day_count, round(drift, 4) AS max_drift
-        |FROM d ORDER BY drift DESC, day ASC LIMIT 1""".stripMargin,
-    "q228_mcnemar" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' AND value > 180
-        |             AND ts < TIMESTAMP '2024-01-16 00:00:00'
-        |             THEN 1 ELSE 0 END)::BIGINT AS early,
-        |    max(CASE WHEN event_type = 'purchase' AND value > 180
-        |             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
-        |             THEN 1 ELSE 0 END)::BIGINT AS late
-        |  FROM events GROUP BY user_id),
-        |cells AS (SELECT
-        |    sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
-        |    sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)::BIGINT AS c
-        |  FROM u)
-        |SELECT b, c, round((b - c) * (b - c)::DOUBLE / (b + c), 4) AS chi2
-        |FROM cells""".stripMargin,
-    "q229_regex_tokens" ->
-      """WITH toks AS (
-        |  SELECT lang, unnest(regexp_extract_all(lower(text),
-        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
-        |  FROM documents)
-        |SELECT lang, count(*)::BIGINT AS n_tokens,
-        |  count(DISTINCT tok)::BIGINT AS n_distinct,
-        |  sum(CASE WHEN regexp_matches(tok, '^[a-z]') THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
-        |  sum(CASE WHEN regexp_matches(tok, '^[0-9]') THEN 1 ELSE 0 END)::BIGINT AS n_num,
-        |  sum(CASE WHEN regexp_matches(tok, '^[a-z0-9]') THEN 0 ELSE 1 END)::BIGINT AS n_other
-        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
-    "q230_sssp" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |pairs AS (SELECT a.pk AS u, b.pk AS v, count(*) AS c
-        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |          GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS s, v AS d, 1000 // c AS w FROM pairs
-        |      UNION ALL SELECT v, u, 1000 // c FROM pairs),
-        |seed AS (SELECT min(s) AS n FROM e),
-        |walk(node, dist, depth) AS (
-        |  SELECT n, 0, 0 FROM seed
-        |  UNION ALL
-        |  SELECT e.d, walk.dist + e.w, depth + 1
-        |  FROM walk JOIN e ON e.s = walk.node WHERE depth < 4)
-        |SELECT node, min(dist)::BIGINT AS dist FROM walk
-        |GROUP BY node ORDER BY dist ASC, node ASC LIMIT 20""".stripMargin,
-    "q231_log_odds_terms" ->
-      """WITH toks AS (
-        |  SELECT (lang = 'en')::BIGINT AS is_web,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS word
-        |  FROM documents),
-        |t2 AS (SELECT * FROM toks WHERE word <> ''),
-        |counts AS (SELECT word, sum(is_web)::BIGINT AS a,
-        |    sum(1 - is_web)::BIGINT AS b
-        |  FROM t2 GROUP BY word HAVING sum(is_web) + sum(1 - is_web) >= 10),
-        |tot AS (SELECT sum(is_web)::BIGINT AS na, sum(1 - is_web)::BIGINT AS nb FROM t2)
-        |SELECT word, a, b,
-        |  round((ln((a + (a + b) * 1000.0 / (na + nb)) /
-        |            (na + 1000.0 - a - (a + b) * 1000.0 / (na + nb))) -
-        |         ln((b + (a + b) * 1000.0 / (na + nb)) /
-        |            (nb + 1000.0 - b - (a + b) * 1000.0 / (na + nb)))) /
-        |        sqrt(1.0 / (a + (a + b) * 1000.0 / (na + nb)) +
-        |             1.0 / (b + (a + b) * 1000.0 / (na + nb))), 4) AS z
-        |FROM counts, tot
-        |ORDER BY z DESC, word ASC LIMIT 15""".stripMargin,
-    "q232_data_contract" ->
-      """WITH base AS (SELECT
-        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_pk,
-        |    (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS dup_pk,
-        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
-        |      AS nonpositive_price,
-        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT
-        |      AS bad_status_enum,
-        |    sum(CASE WHEN o_orderdate < DATE '1992-01-01'
-        |             OR o_orderdate > DATE '2026-01-01' THEN 1 ELSE 0 END)::BIGINT
-        |      AS date_out_of_range
-        |  FROM orders),
-        |orph AS (SELECT count(*)::BIGINT AS fk_orphans FROM orders o
-        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        |SELECT 'orders' AS table_name, null_pk, dup_pk, fk_orphans,
-        |  nonpositive_price, bad_status_enum, date_out_of_range
-        |FROM base, orph""".stripMargin,
-    "q233_bootstrap_ci" ->
-      """WITH pu AS (
-        |  SELECT user_id, sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-        |reps AS (SELECT r AS rep FROM generate_series(0, 99) AS t(r)),
-        |wts AS (SELECT rep, cents,
-        |    CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
-        |         WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3 ELSE 4 END::BIGINT AS w
-        |  FROM (SELECT rep, cents,
-        |      ('0x' || substr(md5(user_id::VARCHAR || '|' || rep::VARCHAR), 1, 8))::BIGINT
-        |        / 4294967296.0 AS u
-        |    FROM pu, reps)),
-        |means AS (SELECT rep,
-        |    sum(w * cents)::DOUBLE / (sum(w) * 100.0) AS mean_spend
-        |  FROM wts GROUP BY rep),
-        |ranked AS (SELECT *,
-        |    row_number() OVER (ORDER BY mean_spend ASC, rep ASC) AS rk FROM means)
-        |SELECT count(*)::BIGINT AS n_reps,
-        |  round(avg(mean_spend), 2) AS boot_mean,
-        |  round(max(CASE WHEN rk = 3 THEN mean_spend END), 2) AS ci_lo,
-        |  round(max(CASE WHEN rk = 98 THEN mean_spend END), 2) AS ci_hi
-        |FROM ranked""".stripMargin,
-    "q234_acf" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |m AS (SELECT sum(n)::DOUBLE / count(*) AS mu FROM daily),
-        |c AS (SELECT day, n - mu AS d FROM daily, m),
-        |lagged AS (SELECT day, d,
-        |    lag(d, 1) OVER w AS d_1, lag(d, 2) OVER w AS d_2,
-        |    lag(d, 3) OVER w AS d_3, lag(d, 4) OVER w AS d_4,
-        |    lag(d, 5) OVER w AS d_5, lag(d, 6) OVER w AS d_6,
-        |    lag(d, 7) OVER w AS d_7
-        |  FROM c WINDOW w AS (ORDER BY day)),
-        |ss AS (SELECT sum(d * d) AS ss FROM lagged)
-        |SELECT count(d)::BIGINT AS n_days,
-        |  round(sum(d * d_1) / any_value(ss), 4) AS acf_1,
-        |  round(sum(d * d_2) / any_value(ss), 4) AS acf_2,
-        |  round(sum(d * d_3) / any_value(ss), 4) AS acf_3,
-        |  round(sum(d * d_4) / any_value(ss), 4) AS acf_4,
-        |  round(sum(d * d_5) / any_value(ss), 4) AS acf_5,
-        |  round(sum(d * d_6) / any_value(ss), 4) AS acf_6,
-        |  round(sum(d * d_7) / any_value(ss), 4) AS acf_7
-        |FROM lagged, ss""".stripMargin,
-    "q235_linear_attribution" ->
-      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
-        |             ts AS cts FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, event_id AS pid, ts AS pts, value FROM events
-        |      WHERE event_type = 'purchase'),
-        |touches AS (SELECT campaign, round(value * 100)::BIGINT AS cents,
-        |    count(*) OVER (PARTITION BY pid) AS nt
-        |  FROM p JOIN c USING (user_id)
-        |  WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY),
-        |g AS (SELECT campaign, count(*)::BIGINT AS n_touches,
-        |    sum(cents * 1000000 // nt)::BIGINT AS su
-        |  FROM touches GROUP BY campaign)
-        |SELECT campaign, n_touches,
-        |  ((su * 2 + 1000000) // 2000000) / 100.0 AS credited_value
-        |FROM g ORDER BY campaign""".stripMargin,
-    "q236_vocab_overlap" ->
-      """WITH vocab AS (
-        |  SELECT DISTINCT lang, word FROM (
-        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> ''),
-        |sizes AS (SELECT lang, count(*)::BIGINT AS n FROM vocab GROUP BY lang),
-        |inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS inter
-        |  FROM vocab a JOIN vocab b ON a.word = b.word AND a.lang < b.lang
-        |  GROUP BY 1, 2)
-        |SELECT lang_a, lang_b, sa.n AS na, sb.n AS nb, inter,
-        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.lang = lang_a
-        |           JOIN sizes sb ON sb.lang = lang_b
-        |ORDER BY lang_a, lang_b""".stripMargin,
-    "q237_dict_advisor" ->
-      """WITH legs AS (
-        |  SELECT 'p_name' AS column_name, count(*)::BIGINT AS n_rows,
-        |    count(DISTINCT p_name)::BIGINT AS n_distinct,
-        |    sum(length(p_name))::BIGINT AS raw_bytes FROM part
-        |  UNION ALL
-        |  SELECT 'p_brand', count(*), count(DISTINCT p_brand),
-        |    sum(length(p_brand)) FROM part
-        |  UNION ALL
-        |  SELECT 'p_type', count(*), count(DISTINCT p_type),
-        |    sum(length(p_type)) FROM part),
-        |dicts AS (
-        |  SELECT 'p_name' AS column_name,
-        |    sum(length(p_name))::BIGINT AS dict_bytes
-        |  FROM (SELECT DISTINCT p_name FROM part)
-        |  UNION ALL
-        |  SELECT 'p_brand', sum(length(p_brand))
-        |  FROM (SELECT DISTINCT p_brand FROM part)
-        |  UNION ALL
-        |  SELECT 'p_type', sum(length(p_type))
-        |  FROM (SELECT DISTINCT p_type FROM part))
-        |SELECT l.column_name, n_rows::BIGINT AS n_rows,
-        |  n_distinct::BIGINT AS n_distinct, raw_bytes::BIGINT AS raw_bytes,
-        |  (dict_bytes + n_rows * (CASE WHEN n_distinct <= 256 THEN 1
-        |     WHEN n_distinct <= 65536 THEN 2 ELSE 4 END))::BIGINT AS dict_total,
-        |  round(raw_bytes::DOUBLE /
-        |    (dict_bytes + n_rows * (CASE WHEN n_distinct <= 256 THEN 1
-        |       WHEN n_distinct <= 65536 THEN 2 ELSE 4 END)), 4) AS ratio
-        |FROM legs l JOIN dicts d ON l.column_name = d.column_name
-        |ORDER BY l.column_name""".stripMargin,
-    "q238_partition_skew" ->
-      """WITH parts AS (
-        |  SELECT strftime(o_orderdate, '%Y-%m') AS part_key, count(*)::BIGINT AS n
-        |  FROM orders GROUP BY 1),
-        |tot AS (SELECT sum(n)::BIGINT AS total,
-        |    sum(n)::DOUBLE / count(*) AS mean_n FROM parts)
-        |SELECT part_key, n,
-        |  round(n::DOUBLE / total, 4) AS share,
-        |  round(n / mean_n, 4) AS x_mean,
-        |  (n > 2.0 * mean_n)::INTEGER AS hot
-        |FROM parts, tot ORDER BY part_key""".stripMargin,
-    "q239_diff_in_diff" ->
-      """WITH p AS (
-        |  SELECT (user_id % 2 = 1)::INTEGER AS treated,
-        |    (ts >= TIMESTAMP '2024-01-16 00:00:00')::INTEGER AS post,
-        |    round(value * 100, 0)::BIGINT AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |cells AS (SELECT
-        |    sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS nt0,
-        |    sum(CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END)::BIGINT AS st0,
-        |    sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS nt1,
-        |    sum(CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END)::BIGINT AS st1,
-        |    sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS nc0,
-        |    sum(CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END)::BIGINT AS sc0,
-        |    sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS nc1,
-        |    sum(CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END)::BIGINT AS sc1
-        |  FROM p)
-        |SELECT
-        |  round(st0::DOUBLE / nt0 / 100.0, 4) AS treat_pre,
-        |  round(st1::DOUBLE / nt1 / 100.0, 4) AS treat_post,
-        |  round(sc0::DOUBLE / nc0 / 100.0, 4) AS ctrl_pre,
-        |  round(sc1::DOUBLE / nc1 / 100.0, 4) AS ctrl_post,
-        |  round((st1::DOUBLE / nt1 / 100.0 - st0::DOUBLE / nt0 / 100.0)
-        |      - (sc1::DOUBLE / nc1 / 100.0 - sc0::DOUBLE / nc0 / 100.0), 4) AS did
-        |FROM cells""".stripMargin,
-    "q240_exp_histogram" ->
-      """WITH c AS (
-        |  SELECT round(value * 100, 0)::BIGINT AS cents FROM events
-        |  WHERE event_type = 'purchase')
-        |SELECT floor(log2(cents))::BIGINT AS bucket, count(*)::BIGINT AS n,
-        |  min(cents)::BIGINT AS lo_cents, max(cents)::BIGINT AS hi_cents
-        |FROM c WHERE cents >= 1
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q241_embedding_contract" ->
-      """SELECT count(*)::BIGINT AS n_rows,
-        |  (count(*) - count(DISTINCT vec_id))::BIGINT AS dup_ids,
-        |  sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_vectors,
-        |  sum(CASE WHEN len(list_filter(embedding,
-        |        v -> isnan(v::DOUBLE) OR abs(v::DOUBLE) = 'infinity'::DOUBLE)) > 0
-        |      THEN 1 ELSE 0 END)::BIGINT AS nonfinite_vectors,
-        |  count(DISTINCT len(embedding))::BIGINT AS n_dims_seen,
-        |  sum(CASE WHEN list_sum([v::DOUBLE * v::DOUBLE for v in embedding]) = 0
-        |      THEN 1 ELSE 0 END)::BIGINT AS zero_vectors,
-        |  round(min(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
-        |      v -> isnan(v::DOUBLE) OR abs(v::DOUBLE) = 'infinity'::DOUBLE)) = 0
-        |    THEN sqrt(list_sum([v::DOUBLE * v::DOUBLE for v in embedding])) END), 4)
-        |    AS min_norm,
-        |  round(max(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
-        |      v -> isnan(v::DOUBLE) OR abs(v::DOUBLE) = 'infinity'::DOUBLE)) = 0
-        |    THEN sqrt(list_sum([v::DOUBLE * v::DOUBLE for v in embedding])) END), 4)
-        |    AS max_norm
-        |FROM embeddings""".stripMargin,
-    "q242_feature_matrix" ->
-      """WITH f AS (SELECT max(ts::DATE) AS now FROM events),
-        |u AS (SELECT user_id,
-        |    sum(CASE WHEN now - ts::DATE < 7 THEN 1 ELSE 0 END)::BIGINT AS events_7d,
-        |    sum(CASE WHEN now - ts::DATE < 14 THEN 1 ELSE 0 END)::BIGINT AS events_14d,
-        |    sum(CASE WHEN now - ts::DATE < 28 THEN 1 ELSE 0 END)::BIGINT AS events_28d,
-        |    min(now - ts::DATE)::BIGINT AS recency_d,
-        |    count(DISTINCT event_type)::BIGINT AS n_event_types,
-        |    sum(CASE WHEN event_type = 'purchase'
-        |        THEN round(value * 100, 0)::BIGINT ELSE 0 END)::BIGINT AS spend_cents,
-        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
-        |  FROM events, f GROUP BY user_id)
-        |SELECT * FROM u WHERE user_id % 10 = 0 ORDER BY user_id""".stripMargin,
-    "q243_frame_sampling" ->
-      """WITH v AS (
-        |  SELECT doc_id AS media_id, (doc_id % 10) * 1000 + 1000 AS dur
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT media_id,
-        |    unnest(range(0, (dur // 700)::BIGINT + 1)) AS i
-        |  FROM v)
-        |SELECT media_id, count(*)::BIGINT AS n_frames,
-        |  max(i * 700)::BIGINT AS last_offset_ms
-        |FROM f WHERE media_id < 60
-        |GROUP BY media_id ORDER BY media_id""".stripMargin,
-    "q244_assortativity" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
-        |          SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY n),
-        |ends AS (SELECT du.d AS du, dv.d AS dv
-        |  FROM (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs) e
-        |  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
-        |m AS (SELECT count(*)::BIGINT AS mm, sum(du)::BIGINT AS sx,
-        |    sum(du * du)::BIGINT AS sxx, sum(du * dv)::BIGINT AS sxy FROM ends)
-        |SELECT (mm // 2)::BIGINT AS n_edges,
-        |  round((mm * sxy - sx * sx)::DOUBLE / (mm * sxx - sx * sx), 4)
-        |    AS assortativity
-        |FROM m""".stripMargin,
-    "q245_inverted_index_disk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-        |  FROM documents),
-        |post AS (SELECT term, doc_id, count(*)::BIGINT AS tf
-        |  FROM toks WHERE term <> '' GROUP BY term, doc_id)
-        |SELECT doc_id, tf FROM post WHERE term = 'data'
-        |ORDER BY tf DESC, doc_id ASC LIMIT 15""".stripMargin,
-    "q246_heaps_law" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
-        |  FROM documents),
-        |t2 AS (SELECT * FROM toks WHERE w <> ''),
-        |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM t2 GROUP BY doc_id),
-        |fo AS (SELECT fo, count(*)::BIGINT AS new_words FROM (
-        |    SELECT w, min(doc_id) AS fo FROM t2 GROUP BY w) GROUP BY fo),
-        |curve0 AS (SELECT p.doc_id, p.n_toks,
-        |    coalesce(f.new_words, 0)::BIGINT AS nw
-        |  FROM perdoc p LEFT JOIN fo f ON f.fo = p.doc_id),
-        |curve AS (SELECT doc_id,
-        |    sum(nw) OVER w AS vv, sum(n_toks) OVER w AS nn
-        |  FROM curve0
-        |  WINDOW w AS (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |pts AS (SELECT ln(nn) AS x, ln(vv) AS y, vv, nn FROM curve WHERE vv > 0)
-        |SELECT count(*)::BIGINT AS n_docs, max(vv)::BIGINT AS vocab_final,
-        |  max(nn)::BIGINT AS tokens_final,
-        |  round((count(*) * sum(x * y) - sum(x) * sum(y)) /
-        |        (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS heaps_beta
-        |FROM pts""".stripMargin,
-    "q247_column_entropy" ->
-      """WITH e AS (
-        |  SELECT column_name, n_rows, n_distinct, entropy_nats FROM (
-        |    SELECT 'o_orderkey' AS column_name, sum(cnt)::BIGINT AS n_rows,
-        |      count(*)::BIGINT AS n_distinct,
-        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4) AS entropy_nats
-        |    FROM (SELECT o_orderkey::VARCHAR AS v, count(*)::BIGINT AS cnt
-        |          FROM orders GROUP BY 1),
-        |         (SELECT count(*)::BIGINT AS n FROM orders)
-        |    UNION ALL
-        |    SELECT 'o_custkey', sum(cnt), count(*),
-        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4)
-        |    FROM (SELECT o_custkey::VARCHAR AS v, count(*)::BIGINT AS cnt
-        |          FROM orders GROUP BY 1),
-        |         (SELECT count(*)::BIGINT AS n FROM orders)
-        |    UNION ALL
-        |    SELECT 'o_orderstatus', sum(cnt), count(*),
-        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4)
-        |    FROM (SELECT o_orderstatus AS v, count(*)::BIGINT AS cnt
-        |          FROM orders GROUP BY 1),
-        |         (SELECT count(*)::BIGINT AS n FROM orders)
-        |    UNION ALL
-        |    SELECT 'o_orderpriority', sum(cnt), count(*),
-        |      round(-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 4)
-        |    FROM (SELECT o_orderpriority AS v, count(*)::BIGINT AS cnt
-        |          FROM orders GROUP BY 1),
-        |         (SELECT count(*)::BIGINT AS n FROM orders)))
-        |SELECT column_name, n_rows::BIGINT AS n_rows,
-        |  n_distinct::BIGINT AS n_distinct, entropy_nats,
-        |  round(entropy_nats / ln(n_rows), 4) AS key_score
-        |FROM e ORDER BY column_name""".stripMargin,
-    "q248_fd_check" ->
-      """WITH m AS (
-        |  SELECT p_name, count(DISTINCT p_brand)::BIGINT AS n_brands,
-        |    count(*)::BIGINT AS n_rows
-        |  FROM part GROUP BY p_name)
-        |SELECT count(*)::BIGINT AS n_determinants,
-        |  sum(CASE WHEN n_brands > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
-        |  max(n_brands)::BIGINT AS worst_fanout,
-        |  sum(CASE WHEN n_brands = 1 THEN n_rows ELSE 0 END)::BIGINT AS rows_fd_holds,
-        |  sum(n_rows)::BIGINT AS rows_total,
-        |  round(sum(CASE WHEN n_brands = 1 THEN n_rows ELSE 0 END)::DOUBLE
-        |        / sum(n_rows), 4) AS fd_strength
-        |FROM m""".stripMargin,
-    "q249_target_encoding" ->
-      """WITH p AS (SELECT p_partkey, p_brand,
-        |    round(p_retailprice * 100, 0)::BIGINT AS cents FROM part),
-        |g AS (SELECT p_brand, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
-        |      FROM p GROUP BY p_brand)
-        |SELECT p_partkey, p.p_brand, n,
-        |  CASE WHEN n > 1
-        |    THEN round((s - cents)::DOUBLE / ((n - 1) * 100.0), 4) END AS loo_mean
-        |FROM p JOIN g ON p.p_brand = g.p_brand
-        |WHERE p_partkey <= 40
-        |ORDER BY p_partkey""".stripMargin,
-    "q250_interval_coverage" ->
-      """WITH train AS (
-        |  SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value ASC, ts ASC) AS rk
-        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
-        |sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM train
-        |          GROUP BY event_type),
-        |bounds AS (SELECT t.event_type,
-        |    max(CASE WHEN rk = (n + 9) // 10 THEN value END) AS p10,
-        |    max(CASE WHEN rk = (n * 9 + 9) // 10 THEN value END) AS p90
-        |  FROM train t JOIN sizes s ON s.event_type = t.event_type
-        |  GROUP BY t.event_type)
-        |SELECT e.event_type, count(*)::BIGINT AS n_test,
-        |  round(any_value(p10), 2) AS p10, round(any_value(p90), 2) AS p90,
-        |  sum(CASE WHEN value >= p10 AND value <= p90 THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_covered,
-        |  round(sum(CASE WHEN value >= p10 AND value <= p90 THEN 1 ELSE 0 END)::DOUBLE
-        |        / count(*), 4) AS coverage
-        |FROM events e JOIN bounds b ON b.event_type = e.event_type
-        |WHERE e.ts >= TIMESTAMP '2024-01-16 00:00:00'
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
-    "q251_dup_rate_by_source" ->
-      """SELECT source, count(*)::BIGINT AS n_docs,
-        |  count(DISTINCT md5(text))::BIGINT AS n_unique,
-        |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 4)
-        |    AS dup_rate
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q252_entropy_rate" ->
-      """WITH d AS (
-        |  SELECT lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |dd AS (SELECT lang, ws FROM d WHERE len(ws) >= 2),
-        |uni AS (SELECT lang, w, count(*)::BIGINT AS c FROM (
-        |    SELECT lang, unnest(ws) AS w FROM dd) GROUP BY lang, w),
-        |bi AS (SELECT lang, w, count(*)::BIGINT AS c FROM (
-        |    SELECT lang, unnest([ws[i] || ' ' || ws[i+1]
-        |      for i in range(1, len(ws))]) AS w FROM dd) GROUP BY lang, w),
-        |un AS (SELECT lang, sum(c)::BIGINT AS n FROM uni GROUP BY lang),
-        |bn AS (SELECT lang, sum(c)::BIGINT AS n FROM bi GROUP BY lang),
-        |hu AS (SELECT uni.lang,
-        |    -sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h_uni,
-        |    any_value(n)::BIGINT AS n_tokens
-        |  FROM uni JOIN un ON un.lang = uni.lang GROUP BY uni.lang),
-        |hb AS (SELECT bi.lang,
-        |    -sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h_bi
-        |  FROM bi JOIN bn ON bn.lang = bi.lang GROUP BY bi.lang)
-        |SELECT hu.lang, n_tokens,
-        |  round(h_uni, 4) AS h_unigram, round(h_bi, 4) AS h_bigram,
-        |  round(h_bi - h_uni, 4) AS entropy_rate
-        |FROM hu JOIN hb ON hb.lang = hu.lang
-        |ORDER BY hu.lang""".stripMargin,
-    "q253_weighted_median" ->
-      """WITH p AS (SELECT p_brand, p_partkey,
-        |    round(p_retailprice * 100, 0)::BIGINT AS cents,
-        |    p_size::BIGINT AS w FROM part),
-        |tot AS (SELECT p_brand, sum(w)::BIGINT AS tw, count(*)::BIGINT AS n_parts
-        |        FROM p GROUP BY p_brand),
-        |c AS (SELECT p.p_brand, cents, tw, n_parts,
-        |    sum(w) OVER (PARTITION BY p.p_brand ORDER BY cents, p_partkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-        |    p_partkey
-        |  FROM p JOIN tot ON tot.p_brand = p.p_brand),
-        |hit AS (SELECT *, row_number() OVER (PARTITION BY p_brand
-        |      ORDER BY cents, p_partkey) AS rk
-        |  FROM c WHERE cw * 2 >= tw)
-        |SELECT p_brand, n_parts, tw AS total_weight,
-        |  round(cents / 100.0, 2) AS weighted_median_price
-        |FROM hit WHERE rk = 1 ORDER BY p_brand""".stripMargin,
-    "q254_theil_sen" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
-        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS d
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |slopes AS (SELECT a.d AS da, b.d AS db,
-        |    (b.n - a.n)::DOUBLE / (b.d - a.d) AS slope
-        |  FROM daily a JOIN daily b ON a.d < b.d),
-        |m AS (SELECT count(*)::BIGINT AS np FROM slopes),
-        |r AS (SELECT slope, np,
-        |    row_number() OVER (ORDER BY slope ASC, da ASC, db ASC) AS rk
-        |  FROM slopes, m)
-        |SELECT np AS n_pairs, round(slope, 4) AS theil_sen_slope
-        |FROM r WHERE rk = (np + 1) // 2""".stripMargin,
-    "q255_rich_club" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
-        |          SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY n),
-        |club AS (SELECT n FROM deg WHERE d > 10),
-        |cs AS (SELECT count(*)::BIGINT AS s FROM club),
-        |wi AS (SELECT count(*)::BIGINT AS e_within FROM pairs
-        |  WHERE u IN (SELECT n FROM club) AND v IN (SELECT n FROM club))
-        |SELECT 10 AS k, s AS club_size, e_within,
-        |  round(e_within::DOUBLE / (s * (s - 1) / 2), 4) AS phi
-        |FROM wi, cs""".stripMargin,
-    "q256_rolling_slope" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
-        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS d
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |r AS (SELECT day, n,
-        |    count(*) OVER w AS cnt, sum(d) OVER w AS sx, sum(n) OVER w AS sy,
-        |    sum(d * n) OVER w AS sxy, sum(d * d) OVER w AS sxx
-        |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
-        |    AND CURRENT ROW)),
-        |s AS (SELECT day, n,
-        |    round((cnt * sxy - sx * sy)::DOUBLE / (cnt * sxx - sx * sx), 4) AS slope
-        |  FROM r WHERE cnt = 7
-        |  ORDER BY day DESC LIMIT 10)
-        |SELECT day, n, slope FROM s ORDER BY day""".stripMargin,
-    "q257_multivariate_outliers" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> t <> ''))::BIGINT AS f1,
-        |    length(text)::BIGINT AS f2,
-        |    len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> t <> '')))::BIGINT AS f3
-        |  FROM documents),
-        |m AS (SELECT count(*)::BIGINT AS n,
-        |    sum(f1)::BIGINT AS s1, sum(f1 * f1)::BIGINT AS q1,
-        |    sum(f2)::BIGINT AS s2, sum(f2 * f2)::BIGINT AS q2,
-        |    sum(f3)::BIGINT AS s3, sum(f3 * f3)::BIGINT AS q3
-        |  FROM base)
-        |SELECT doc_id, f1, f2, f3,
-        |  round(((f1 * n - s1) * (f1 * n - s1))::DOUBLE / (n * q1 - s1 * s1) +
-        |        ((f2 * n - s2) * (f2 * n - s2))::DOUBLE / (n * q2 - s2 * s2) +
-        |        ((f3 * n - s3) * (f3 * n - s3))::DOUBLE / (n * q3 - s3 * s3), 6)
-        |    AS score
-        |FROM base, m
-        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
-    "q258_fanout_profile" ->
-      """WITH f AS (SELECT o_custkey, count(*)::BIGINT AS fanout
-        |           FROM orders GROUP BY o_custkey)
-        |SELECT fanout, count(*)::BIGINT AS n_keys,
-        |  (fanout * count(*))::BIGINT AS rows_contributed
-        |FROM f GROUP BY fanout ORDER BY fanout""".stripMargin,
-    "q259_anova_weekday" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |dd AS (SELECT n, dayofweek(day)::BIGINT AS wd FROM daily),
-        |g AS (SELECT wd, count(*)::BIGINT AS ng, sum(n)::BIGINT AS sg,
-        |    sum(n * n)::BIGINT AS qg FROM dd GROUP BY wd),
-        |tot AS (SELECT sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS s,
-        |    sum(qg)::BIGINT AS q, count(*)::BIGINT AS k FROM g),
-        |parts AS (SELECT sum(sg * sg / ng) AS ssb_part FROM g)
-        |SELECT k, n AS n_days,
-        |  round((ssb_part - s * s / n) / (k - 1), 4) AS ms_between,
-        |  round((q - ssb_part) / (n - k), 4) AS ms_within,
-        |  CASE WHEN q - ssb_part > 0 THEN
-        |    round(((ssb_part - s * s / n) / (k - 1)) /
-        |          ((q - ssb_part) / (n - k)), 4) END AS f_stat
-        |FROM tot, parts""".stripMargin,
-    "q260_whale_curve" ->
-      """WITH spend AS (
-        |  SELECT user_id, sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-        |t AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS tot FROM spend),
-        |r AS (SELECT cents,
-        |    row_number() OVER (ORDER BY -cents ASC, user_id ASC)::BIGINT AS r
-        |  FROM spend),
-        |b AS (SELECT cents,
-        |    CASE WHEN r <= (n % 10) * (n // 10 + 1)
-        |         THEN (r - 1) // (n // 10 + 1)
-        |         ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
-        |    END + 1 AS decile
-        |  FROM r, t),
-        |d AS (SELECT decile, count(*)::BIGINT AS n_users, sum(cents)::BIGINT AS dc
-        |  FROM b GROUP BY decile),
-        |c AS (SELECT *, sum(dc) OVER (ORDER BY decile
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents
-        |  FROM d)
-        |SELECT decile, n_users, round(dc / 100.0, 2) AS decile_spend,
-        |  round(cum_cents::DOUBLE / tot, 4) AS cum_share
-        |FROM c, t ORDER BY decile""".stripMargin,
-    "q261_mann_whitney" ->
-      """WITH g AS (
-        |  SELECT value,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)::BIGINT AS na_v,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::BIGINT AS nb_v
-        |  FROM events WHERE event_type = 'purchase' GROUP BY value),
-        |c AS (SELECT *, na_v + nb_v AS cnt,
-        |    sum(na_v + nb_v) OVER (ORDER BY value
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
-        |  FROM g),
-        |a AS (SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b,
-        |    sum(na_v * (2 * cum - cnt + 1))::BIGINT AS r2a,
-        |    sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3 FROM c)
-        |SELECT n_a, n_b,
-        |  (r2a - n_a * (n_a + 1)) / 2.0 AS u_a,
-        |  round(((r2a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0) /
-        |    sqrt(n_a * n_b / 12.0 *
-        |      ((n_a + n_b + 1) - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0)))), 4) AS z
-        |FROM a""".stripMargin,
-    "q262_kaplan_meier" ->
-      """WITH u AS (SELECT user_id, min(ts::DATE) AS fd,
-        |    min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) AS cd
-        |  FROM events GROUP BY user_id),
-        |l AS (SELECT
-        |    CASE WHEN cd IS NOT NULL AND cd - fd <= 5 THEN cd - fd
-        |         ELSE 5 END::BIGINT AS dur,
-        |    (cd IS NOT NULL AND cd - fd <= 5) AS conv FROM u),
-        |b AS (SELECT dur, count(*)::BIGINT AS ended,
-        |    sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS d
-        |  FROM l GROUP BY dur),
-        |t AS (SELECT sum(ended)::BIGINT AS n_users FROM b),
-        |c AS (SELECT *, sum(ended) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
-        |  FROM b),
-        |r AS (SELECT dur, d, n_users - cum + ended AS n_risk,
-        |    CASE WHEN d > 0 AND d < n_users - cum + ended
-        |         THEN ln(1 - d::DOUBLE / (n_users - cum + ended))
-        |         ELSE 0 END AS lns FROM c, t),
-        |s AS (SELECT *, sum(lns) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
-        |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit0 FROM r)
-        |SELECT dur AS t_days, n_risk, d AS deaths,
-        |  CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(cl), 4) END AS surv
-        |FROM s WHERE d > 0 ORDER BY t_days""".stripMargin,
-    "q263_psi_drift" ->
-      """WITH p AS (SELECT ts::DATE AS day, value FROM events
-        |           WHERE event_type = 'purchase'),
-        |env AS (SELECT min(day) AS d0, max(day) AS d1,
-        |    min(value) AS v0, max(value) AS v1 FROM p),
-        |g AS (SELECT
-        |    least(floor((value - v0) * 10.0 / (v1 - v0)), 9)::BIGINT AS bin,
-        |    sum(CASE WHEN (day - d0) * 2 > (d1 - d0) THEN 0 ELSE 1 END)::BIGINT AS na,
-        |    sum(CASE WHEN (day - d0) * 2 > (d1 - d0) THEN 1 ELSE 0 END)::BIGINT AS nb
-        |  FROM p, env GROUP BY 1),
-        |tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM g)
-        |SELECT bin, na, nb,
-        |  round(((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0)) *
-        |    ln(((na + 0.5) / (ta + 5.0)) / ((nb + 0.5) / (tb + 5.0))), 6) AS psi
-        |FROM g, tot ORDER BY bin""".stripMargin,
-    "q264_skyline" ->
-      """WITH g AS (SELECT o_totalprice, max(o_orderdate) AS maxd
-        |           FROM orders GROUP BY o_totalprice),
-        |p AS (SELECT *, max(maxd) OVER (ORDER BY o_totalprice
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM g),
-        |s AS (SELECT o_totalprice, maxd FROM p
-        |      WHERE prevmax IS NULL OR maxd > prevmax)
-        |SELECT o_orderkey, o.o_totalprice, o_orderdate
-        |FROM orders o JOIN s ON o.o_totalprice = s.o_totalprice
-        |  AND o.o_orderdate = s.maxd
-        |ORDER BY o.o_totalprice, o_orderkey""".stripMargin,
-    "q265_tukey_hsd" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |dd AS (SELECT n, (dayofweek(day) + 1)::BIGINT AS wd FROM daily),
-        |g AS (SELECT wd, count(*)::BIGINT AS ng, sum(n)::BIGINT AS sg,
-        |    sum(n * n)::BIGINT AS qg FROM dd GROUP BY wd),
-        |m AS (SELECT (sum(qg) - sum(sg * sg / ng)) /
-        |    (sum(ng) - count(*)) AS msw FROM g)
-        |SELECT a.wd AS wd_a, b.wd AS wd_b,
-        |  round(a.sg / a.ng - b.sg / b.ng, 4) AS mean_diff,
-        |  round((a.sg / a.ng - b.sg / b.ng) /
-        |    sqrt(msw / 2.0 * (1.0 / a.ng + 1.0 / b.ng)), 4) AS q_stat
-        |FROM g a, g b, m WHERE a.wd < b.wd ORDER BY wd_a, wd_b""".stripMargin,
-    "q266_seasonal_decompose" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |w AS (SELECT *, count(*) OVER win AS n7,
-        |    sum(rev) OVER win / 7.0 AS trend
-        |  FROM daily WINDOW win AS (ORDER BY day
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |d AS (SELECT day, rev, trend, rev - trend AS detr,
-        |    dayofweek(day) AS wd FROM w WHERE n7 = 7),
-        |s AS (SELECT wd, sum(detr) / count(*) AS seasonal FROM d GROUP BY wd)
-        |SELECT day, rev, round(trend, 4) AS trend,
-        |  round(seasonal, 4) AS seasonal,
-        |  round(detr - seasonal, 4) AS resid
-        |FROM d JOIN s USING (wd) ORDER BY day""".stripMargin,
-    "q267_covariate_balance" ->
-      """WITH u AS (SELECT user_id,
-        |    count(*)::DOUBLE AS f_events, sum(value) AS f_value,
-        |    count(DISTINCT ts::DATE)::DOUBLE AS f_days,
-        |    count(DISTINCT event_type)::DOUBLE AS f_types
-        |  FROM events GROUP BY user_id),
-        |ut AS (SELECT *, CASE WHEN ((user_id * 2654435761) % 4294967296)
-        |    % 100 < 80 THEN 1 ELSE 0 END AS t FROM u),
-        |m AS (
-        |  SELECT t, 'active_days' AS feature, f_days AS x FROM ut UNION ALL
-        |  SELECT t, 'n_events', f_events FROM ut UNION ALL
-        |  SELECT t, 'n_types', f_types FROM ut UNION ALL
-        |  SELECT t, 'total_value', f_value FROM ut),
-        |g AS (SELECT feature,
-        |    sum(t)::BIGINT AS nt,
-        |    sum(CASE WHEN t = 1 THEN x END) AS st,
-        |    sum(CASE WHEN t = 1 THEN x * x END) AS qt,
-        |    sum(1 - t)::BIGINT AS nc,
-        |    sum(CASE WHEN t = 0 THEN x END) AS sc,
-        |    sum(CASE WHEN t = 0 THEN x * x END) AS qc
-        |  FROM m GROUP BY feature)
-        |SELECT feature, nt, nc,
-        |  round(st / nt, 4) AS mean_t, round(sc / nc, 4) AS mean_c,
-        |  CASE WHEN ((qt - st * st / nt) / (nt - 1) +
-        |             (qc - sc * sc / nc) / (nc - 1)) / 2.0 > 0 THEN
-        |    round((st / nt - sc / nc) /
-        |      sqrt(((qt - st * st / nt) / (nt - 1) +
-        |            (qc - sc * sc / nc) / (nc - 1)) / 2.0), 4) END AS smd
-        |FROM g ORDER BY feature""".stripMargin,
-    "q268_hard_negatives" ->
-      """WITH probes AS (
-        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id < 5),
-        |scored AS (SELECT qid, vec_id,
-        |    round(list_dot_product(embedding::DOUBLE[], qv) /
-        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(qv, qv))), 4) AS sim
-        |  FROM embeddings, probes WHERE vec_id >= 5),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY sim DESC, vec_id ASC)::BIGINT AS rnk FROM scored)
-        |SELECT qid, rnk,
-        |  CASE WHEN rnk = 1 THEN 'positive' ELSE 'hard_negative' END AS role,
-        |  vec_id, sim
-        |FROM r WHERE rnk = 1 OR rnk BETWEEN 11 AND 13
-        |ORDER BY qid, rnk""".stripMargin,
-    "q269_runs_test" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |ranked AS (SELECT *, row_number() OVER (ORDER BY rev, day)::BIGINT AS r
-        |  FROM daily),
-        |nn AS (SELECT count(*)::BIGINT AS nn FROM daily),
-        |med AS (SELECT rev AS med FROM ranked, nn
-        |        WHERE r = floor((nn + 1) / 2.0)),
-        |sq AS (SELECT day, (rev > med)::BIGINT AS s FROM daily, med),
-        |sq2 AS (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM sq),
-        |a AS (SELECT
-        |    sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)::BIGINT AS runs,
-        |    sum(s)::BIGINT AS n1, sum(1 - s)::BIGINT AS n0 FROM sq2)
-        |SELECT runs, n1, n0,
-        |  CASE WHEN 2.0 * n1 * n0 * (2.0 * n1 * n0 - (n1 + n0)) /
-        |      ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0)) > 0 THEN
-        |    round((runs - (2.0 * n1 * n0 / (n1 + n0) + 1)) /
-        |      sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - (n1 + n0)) /
-        |        ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))), 4) END AS z
-        |FROM a""".stripMargin,
-    "q270_qq_deciles" ->
-      """WITH p AS (SELECT event_id, value, dayofweek(ts) IN (0, 6) AS wk
-        |  FROM events WHERE event_type = 'purchase'),
-        |ra AS (SELECT value, row_number() OVER (ORDER BY value, event_id)::BIGINT AS r
-        |  FROM p WHERE NOT wk),
-        |na AS (SELECT count(*)::BIGINT AS n FROM ra),
-        |da AS (SELECT CASE WHEN r <= (n % 10) * (n // 10 + 1)
-        |      THEN (r - 1) // (n // 10 + 1)
-        |      ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
-        |    END + 1 AS decile, max(value) AS q_weekday
-        |  FROM ra, na GROUP BY 1),
-        |rb AS (SELECT value, row_number() OVER (ORDER BY value, event_id)::BIGINT AS r
-        |  FROM p WHERE wk),
-        |nb AS (SELECT count(*)::BIGINT AS n FROM rb),
-        |db AS (SELECT CASE WHEN r <= (n % 10) * (n // 10 + 1)
-        |      THEN (r - 1) // (n // 10 + 1)
-        |      ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
-        |    END + 1 AS decile, max(value) AS q_weekend
-        |  FROM rb, nb GROUP BY 1)
-        |SELECT decile, q_weekday, q_weekend,
-        |  round(q_weekend - q_weekday, 2) AS gap
-        |FROM da JOIN db USING (decile) ORDER BY decile""".stripMargin,
-    "q271_js_divergence" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS word
-        |  FROM documents),
-        |counts AS (SELECT source, word, count(*)::BIGINT AS n FROM toks
-        |  WHERE word <> '' GROUP BY source, word),
-        |totals AS (SELECT source, sum(n)::BIGINT AS tot FROM counts GROUP BY source),
-        |vocab AS (SELECT DISTINCT word FROM counts),
-        |dense AS (SELECT t.source, v.word,
-        |    coalesce(c.n, 0) / t.tot AS p
-        |  FROM vocab v CROSS JOIN totals t
-        |  LEFT JOIN counts c ON c.source = t.source AND c.word = v.word)
-        |SELECT a.source AS sa, b.source AS sb,
-        |  round(sum(
-        |    CASE WHEN a.p > 0 THEN a.p / 2.0 * ln(a.p / ((a.p + b.p) / 2.0))
-        |         ELSE 0 END +
-        |    CASE WHEN b.p > 0 THEN b.p / 2.0 * ln(b.p / ((a.p + b.p) / 2.0))
-        |         ELSE 0 END), 6) AS jsd
-        |FROM dense a JOIN dense b ON a.word = b.word AND a.source < b.source
-        |GROUP BY a.source, b.source ORDER BY sa, sb""".stripMargin,
-    "q272_cohens_d" ->
-      """WITH a AS (SELECT
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)::BIGINT AS n1,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN NULL ELSE value END) AS s1,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN NULL
-        |        ELSE value * value END) AS q1,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::BIGINT AS n2,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN value END) AS s2,
-        |    sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN value * value END) AS q2
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT n1 AS n_weekday, n2 AS n_weekend,
-        |  round(s1 / n1, 4) AS mean_weekday,
-        |  round(s2 / n2, 4) AS mean_weekend,
-        |  round((s1 / n1 - s2 / n2) /
-        |    sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1)) +
-        |          (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1))) /
-        |         (n1 + n2 - 2)), 4) AS cohens_d,
-        |  round((s1 / n1 - s2 / n2) /
-        |    sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1)) +
-        |          (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1))) /
-        |         (n1 + n2 - 2)) *
-        |    (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)), 4) AS hedges_g
-        |FROM a""".stripMargin,
-    "q273_mann_kendall" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |ss AS (SELECT sum(sign(b.rev - a.rev))::BIGINT AS s_stat
-        |  FROM daily a JOIN daily b ON a.day < b.day),
-        |ties AS (SELECT sum(tg * (tg - 1) * (2 * tg + 5))::BIGINT AS tie18,
-        |    sum(tg)::BIGINT AS n
-        |  FROM (SELECT count(*)::BIGINT AS tg FROM daily GROUP BY rev))
-        |SELECT n AS n_days, s_stat,
-        |  CASE WHEN n * (n - 1) * (2 * n + 5) - tie18 > 0 THEN
-        |    round(CASE WHEN s_stat > 0 THEN (s_stat - 1) /
-        |        sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0)
-        |      WHEN s_stat < 0 THEN (s_stat + 1) /
-        |        sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0)
-        |      ELSE 0.0 END, 4) END AS z
-        |FROM ss, ties""".stripMargin,
-    "q274_tost_equivalence" ->
-      """WITH a AS (SELECT
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN 1 ELSE 0 END)::BIGINT AS nt,
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN value END) AS st,
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN value * value END) AS qt,
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN 0 ELSE 1 END)::BIGINT AS nc,
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN NULL ELSE value END) AS sc,
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN NULL ELSE value * value END) AS qc
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT nt, nc,
-        |  round(st / nt, 4) AS mean_train, round(sc / nc, 4) AS mean_holdout,
-        |  round(sc / nc * 0.05, 4) AS margin,
-        |  round((st / nt - sc / nc + sc / nc * 0.05) /
-        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
-        |         (qc - sc * sc / nc) / (nc - 1) / nc), 4) AS z_lower,
-        |  round((st / nt - sc / nc - sc / nc * 0.05) /
-        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
-        |         (qc - sc * sc / nc) / (nc - 1) / nc), 4) AS z_upper,
-        |  ((st / nt - sc / nc + sc / nc * 0.05) /
-        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
-        |         (qc - sc * sc / nc) / (nc - 1) / nc) > 1.645 AND
-        |   (st / nt - sc / nc - sc / nc * 0.05) /
-        |    sqrt((qt - st * st / nt) / (nt - 1) / nt +
-        |         (qc - sc * sc / nc) / (nc - 1) / nc) < -1.645) AS equivalent
-        |FROM a""".stripMargin,
-    "q275_hhi_concentration" ->
-      """WITH bn AS (SELECT r_name, n_name,
-        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY r_name, n_name),
-        |br AS (SELECT r_name, sum(cents)::BIGINT AS tot,
-        |    count(*)::BIGINT AS n_nations FROM bn GROUP BY r_name)
-        |SELECT r_name, n_nations,
-        |  round(sum((cents / tot) * (cents / tot) * 10000), 2) AS hhi
-        |FROM bn JOIN br USING (r_name)
-        |GROUP BY r_name, n_nations ORDER BY r_name""".stripMargin,
-    "q276_jarque_bera" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |a AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
-        |    sum(rev * rev) AS s2, sum(rev * rev * rev) AS s3,
-        |    sum(rev * rev * rev * rev) AS s4 FROM daily),
-        |b AS (SELECT n, s1 / n AS m, s2, s3, s4 FROM a),
-        |c AS (SELECT n,
-        |    s2 / n - m * m AS m2,
-        |    s3 / n - m * (s2 / n) * 3 + m * m * m * 2 AS m3,
-        |    s4 / n - m * (s3 / n) * 4 + m * m * (s2 / n) * 6
-        |      - m * m * m * m * 3 AS m4 FROM b),
-        |d AS (SELECT n, m3 / sqrt(m2 * m2 * m2) AS sk,
-        |    m4 / (m2 * m2) AS ku FROM c)
-        |SELECT n::BIGINT AS n_days, round(sk, 4) AS skewness,
-        |  round(ku - 3, 4) AS excess_kurtosis,
-        |  round(n / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0), 4) AS jb
-        |FROM d""".stripMargin,
-    "q277_grubbs" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |mom AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
-        |    sum(rev * rev) AS s2 FROM daily)
-        |SELECT n::BIGINT AS n_days, day, rev,
-        |  round(abs(rev - s1 / n) /
-        |    sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS g_stat
-        |FROM daily, mom
-        |ORDER BY abs(rev - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) DESC,
-        |  day ASC LIMIT 1""".stripMargin,
-    "q278_levene" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |dd AS (SELECT x, (dayofweek(day) + 1)::BIGINT AS wd FROM daily),
-        |gm AS (SELECT wd, sum(x) / count(*) AS gmean FROM dd GROUP BY wd),
-        |z AS (SELECT dd.wd, abs(x - gmean) AS z FROM dd JOIN gm USING (wd)),
-        |g AS (SELECT wd, count(*)::BIGINT AS ng, sum(z) AS sg,
-        |    sum(z * z) AS qg FROM z GROUP BY wd),
-        |tot AS (SELECT sum(ng)::BIGINT AS n, sum(sg) AS s, sum(qg) AS q,
-        |    count(*)::BIGINT AS k, sum(sg * sg / ng) AS ssb_part FROM g)
-        |SELECT k, n AS n_days,
-        |  round((ssb_part - s * s / n) / (k - 1), 4) AS ms_between,
-        |  round((q - ssb_part) / (n - k), 4) AS ms_within,
-        |  CASE WHEN q - ssb_part > 0 THEN
-        |    round(((ssb_part - s * s / n) / (k - 1)) /
-        |          ((q - ssb_part) / (n - k)), 4) END AS w_stat
-        |FROM tot""".stripMargin,
-    "q279_cronbach_alpha" ->
-      """WITH u AS (SELECT user_id,
-        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
-        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c2,
-        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c3,
-        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS c4,
-        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c5,
-        |    count(*)::BIGINT AS tot
-        |  FROM events GROUP BY user_id),
-        |a AS (SELECT count(*)::BIGINT AS n,
-        |    sum(tot)::BIGINT AS st, sum(tot * tot)::BIGINT AS qt,
-        |    sum(c1)::BIGINT AS s1, sum(c1 * c1)::BIGINT AS q1,
-        |    sum(c2)::BIGINT AS s2, sum(c2 * c2)::BIGINT AS q2,
-        |    sum(c3)::BIGINT AS s3, sum(c3 * c3)::BIGINT AS q3,
-        |    sum(c4)::BIGINT AS s4, sum(c4 * c4)::BIGINT AS q4,
-        |    sum(c5)::BIGINT AS s5, sum(c5 * c5)::BIGINT AS q5
-        |  FROM u)
-        |SELECT n AS n_users, 5::BIGINT AS k,
-        |  round(5.0 / 4.0 * (1.0 -
-        |    ((q1 - s1 * s1 / n) / (n - 1) + (q2 - s2 * s2 / n) / (n - 1) +
-        |     (q3 - s3 * s3 / n) / (n - 1) + (q4 - s4 * s4 / n) / (n - 1) +
-        |     (q5 - s5 * s5 / n) / (n - 1)) /
-        |    ((qt - st * st / n) / (n - 1))), 4) AS alpha
-        |FROM a""".stripMargin,
-    "q280_tukey_fences" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |ranked AS (SELECT *, row_number() OVER (ORDER BY rev, day)::BIGINT AS r
-        |  FROM daily),
-        |nn AS (SELECT count(*)::BIGINT AS nn FROM daily),
-        |q1 AS (SELECT rev AS q1 FROM ranked, nn WHERE r = ceil(nn / 4.0)),
-        |q3 AS (SELECT rev AS q3 FROM ranked, nn WHERE r = ceil(nn * 3 / 4.0))
-        |SELECT count(*)::BIGINT AS n_days, first(q1) AS q1, first(q3) AS q3,
-        |  sum(CASE WHEN rev < q1 - (q3 - q1) * 1.5 THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_low,
-        |  sum(CASE WHEN rev > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_high
-        |FROM daily, q1, q3""".stripMargin,
-    "q281_token_coverage" ->
-      """WITH counts AS (
-        |  SELECT word, count(*)::BIGINT AS n FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> '' GROUP BY word),
-        |ranked AS (SELECT n,
-        |    row_number() OVER (ORDER BY -n ASC, word ASC)::BIGINT AS r
-        |  FROM counts),
-        |cum AS (SELECT r, sum(n) OVER (ORDER BY r
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
-        |  FROM ranked),
-        |tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vocab
-        |  FROM counts)
-        |SELECT r AS top_k, cum AS tokens_covered, total AS total_tokens,
-        |  vocab AS vocab_size, round(cum::DOUBLE / total, 6) AS coverage
-        |FROM cum, tot WHERE r IN (10, 25, 50, 100, 1000) ORDER BY top_k""".stripMargin,
-    "q282_burstiness" ->
-      """WITH ev AS (SELECT user_id, event_id,
-        |    floor(epoch_us(ts) / 1000000.0)::BIGINT AS t FROM events),
-        |gaps AS (SELECT user_id,
-        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
-        |  FROM ev),
-        |pu AS (SELECT user_id, count(*)::BIGINT AS ng, sum(gap)::BIGINT AS sg,
-        |    sum(gap * gap)::BIGINT AS qg
-        |  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
-        |  HAVING count(*) >= 5),
-        |b AS (SELECT (sqrt(qg / ng - (sg / ng) * (sg / ng)) - sg / ng) /
-        |    (sqrt(qg / ng - (sg / ng) * (sg / ng)) + sg / ng) AS b FROM pu)
-        |SELECT count(*)::BIGINT AS n_users,
-        |  round(sum(b) / count(*), 4) AS mean_b,
-        |  sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bursty,
-        |  sum(CASE WHEN b <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_regular
-        |FROM b""".stripMargin,
-    "q283_watermark_impact" ->
-      """WITH base AS (SELECT ts::DATE AS day, event_id, event_type, value,
-        |    epoch_us(ts) AS us FROM events),
-        |late AS (SELECT *,
-        |    (max(us) OVER (PARTITION BY day ORDER BY event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) // 1000000
-        |      AS late_sec FROM base),
-        |wms AS (SELECT unnest([0, 60, 600, 3600])::BIGINT AS wm_sec)
-        |SELECT wm_sec, count(*)::BIGINT AS n_events,
-        |  sum(CASE WHEN late_sec > wm_sec THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
-        |  round(sum(CASE WHEN late_sec > wm_sec THEN 1 ELSE 0 END) /
-        |    count(*)::DOUBLE, 6) AS drop_share,
-        |  round(sum(CASE WHEN late_sec > wm_sec AND event_type = 'purchase'
-        |    THEN value ELSE 0.0 END), 2) AS revenue_dropped
-        |FROM late, wms GROUP BY wm_sec ORDER BY wm_sec""".stripMargin,
-    "q285_mutual_information" ->
-      """WITH base AS (SELECT event_type AS et, dayofweek(ts)::BIGINT AS wd
-        |  FROM events),
-        |cells AS (SELECT et, wd, count(*)::BIGINT AS nxy FROM base
-        |  GROUP BY et, wd),
-        |mx AS (SELECT et, sum(nxy)::BIGINT AS nx FROM cells GROUP BY et),
-        |my AS (SELECT wd, sum(nxy)::BIGINT AS ny FROM cells GROUP BY wd),
-        |tot AS (SELECT sum(nxy)::BIGINT AS n FROM cells),
-        |mi AS (SELECT round(sum((nxy / n) *
-        |    ln((nxy / n) / ((nx / n) * (ny / n)))), 6) AS mi_nats
-        |  FROM cells JOIN mx USING (et) JOIN my USING (wd), tot),
-        |ht AS (SELECT round(-sum((nx / n) * ln(nx / n)), 6) AS h_type
-        |  FROM mx, tot),
-        |hw AS (SELECT round(-sum((ny / n) * ln(ny / n)), 6) AS h_weekday
-        |  FROM my, tot)
-        |SELECT mi_nats, h_type, h_weekday FROM mi, ht, hw""".stripMargin,
-    "q286_delta_bitwidth" ->
-      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS v_date,
-        |    o_custkey AS v_cust FROM orders),
-        |c1 AS (SELECT o_orderkey AS v, o_orderkey AS k FROM o),
-        |w1 AS (SELECT v - lag(v) OVER (ORDER BY v, k) AS gap FROM c1),
-        |g1 AS (SELECT max(gap)::BIGINT AS max_gap FROM w1 WHERE gap IS NOT NULL),
-        |s1 AS (SELECT (max(v) - min(v))::BIGINT AS span, count(*)::BIGINT AS n
-        |  FROM c1),
-        |f1 AS (SELECT 'orderkey' AS col_name, n,
-        |    length(bin(span))::BIGINT AS raw_bits, max_gap,
-        |    length(bin(max_gap))::BIGINT AS delta_bits FROM s1, g1),
-        |c2 AS (SELECT v_date AS v, o_orderkey AS k FROM o),
-        |w2 AS (SELECT v - lag(v) OVER (ORDER BY v, k) AS gap FROM c2),
-        |g2 AS (SELECT max(gap)::BIGINT AS max_gap FROM w2 WHERE gap IS NOT NULL),
-        |s2 AS (SELECT (max(v) - min(v))::BIGINT AS span, count(*)::BIGINT AS n
-        |  FROM c2),
-        |f2 AS (SELECT 'orderdate' AS col_name, n,
-        |    length(bin(span))::BIGINT AS raw_bits, max_gap,
-        |    length(bin(max_gap))::BIGINT AS delta_bits FROM s2, g2),
-        |c3 AS (SELECT v_cust AS v, o_orderkey AS k FROM o),
-        |w3 AS (SELECT v - lag(v) OVER (ORDER BY v, k) AS gap FROM c3),
-        |g3 AS (SELECT max(gap)::BIGINT AS max_gap FROM w3 WHERE gap IS NOT NULL),
-        |s3 AS (SELECT (max(v) - min(v))::BIGINT AS span, count(*)::BIGINT AS n
-        |  FROM c3),
-        |f3 AS (SELECT 'custkey' AS col_name, n,
-        |    length(bin(span))::BIGINT AS raw_bits, max_gap,
-        |    length(bin(max_gap))::BIGINT AS delta_bits FROM s3, g3)
-        |SELECT *, round((1.0 - delta_bits / raw_bits) * 100, 2) AS savings_pct
-        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
-        |      UNION ALL SELECT * FROM f3)
-        |ORDER BY col_name""".stripMargin,
-    "q287_sax_words" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |mom AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
-        |    sum(rev * rev) AS s2 FROM daily),
-        |sy AS (SELECT date_trunc('week', day)::DATE AS week, day,
-        |    CASE WHEN (rev - s1 / n) /
-        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) < -0.6745 THEN 'a'
-        |      WHEN (rev - s1 / n) /
-        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) < 0 THEN 'b'
-        |      WHEN (rev - s1 / n) /
-        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) < 0.6745 THEN 'c'
-        |      ELSE 'd' END AS sym
-        |  FROM daily, mom)
-        |SELECT week, count(*)::BIGINT AS n_days,
-        |  string_agg(sym, '' ORDER BY day) AS sax_word
-        |FROM sy GROUP BY week ORDER BY week""".stripMargin,
-    "q288_session_timeout" ->
-      """WITH ev AS (SELECT user_id, event_id,
-        |    floor(epoch_us(ts) / 1000000.0)::BIGINT AS t FROM events),
-        |gaps AS (SELECT length(bin(t - lag(t) OVER (PARTITION BY user_id
-        |      ORDER BY t, event_id)))::BIGINT AS gap_bits
-        |  FROM ev QUALIFY t - lag(t) OVER (PARTITION BY user_id
-        |      ORDER BY t, event_id) IS NOT NULL),
-        |b AS (SELECT gap_bits, count(*)::BIGINT AS n_gaps FROM gaps
-        |  GROUP BY gap_bits),
-        |tot AS (SELECT sum(n_gaps)::BIGINT AS total FROM b),
-        |c AS (SELECT *, sum(n_gaps) OVER (ORDER BY gap_bits
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
-        |  FROM b, tot)
-        |SELECT gap_bits, n_gaps, round(cum::DOUBLE / total, 6) AS cum_share,
-        |  (cum * 100 >= total * 95 AND (cum - n_gaps) * 100 < total * 95)
-        |    AS keeps_95
-        |FROM c ORDER BY gap_bits""".stripMargin,
-    "q289_info_gain_split" ->
-      """WITH p AS (SELECT event_id, event_type AS et, value FROM events
-        |  WHERE event_type IN ('purchase', 'click', 'view')),
-        |nn AS (SELECT count(*)::BIGINT AS n FROM p),
-        |rk AS (SELECT et,
-        |    row_number() OVER (ORDER BY value, event_id)::BIGINT AS r FROM p),
-        |cells AS (SELECT et,
-        |    CASE WHEN r <= (n % 10) * (n // 10 + 1)
-        |      THEN (r - 1) // (n // 10 + 1)
-        |      ELSE (n % 10) + (r - (n % 10) * (n // 10 + 1) - 1) // (n // 10)
-        |    END + 1 AS decile, count(*)::BIGINT AS c
-        |  FROM rk, nn GROUP BY 1, 2),
-        |grid AS (SELECT t.et, d.decile, coalesce(c.c, 0)::BIGINT AS c0
-        |  FROM (VALUES ('click'), ('purchase'), ('view')) t(et)
-        |  CROSS JOIN (SELECT unnest(range(1, 11))::BIGINT AS decile) d
-        |  LEFT JOIN cells c ON c.et = t.et AND c.decile = d.decile),
-        |below AS (SELECT et, decile AS split,
-        |    sum(c0) OVER (PARTITION BY et ORDER BY decile
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS nb
-        |  FROM grid WHERE decile <= 9),
-        |tt AS (SELECT et, sum(c)::BIGINT AS nt FROM cells GROUP BY et),
-        |g AS (SELECT sum(c)::BIGINT AS n FROM cells),
-        |bs AS (SELECT split, sum(nb)::BIGINT AS bb FROM below GROUP BY split),
-        |j AS (SELECT b.split, b.nb, tt.nt, g.n, bs.bb,
-        |    tt.nt - b.nb AS na, g.n - bs.bb AS aa
-        |  FROM below b JOIN tt USING (et) CROSS JOIN g
-        |  JOIN bs ON b.split = bs.split),
-        |ig AS (SELECT split, first(bb) AS n_below,
-        |    round((first(bb) / first(n)) *
-        |      sum(CASE WHEN nb > 0 THEN (nb / bb) * ln(nb / bb) ELSE 0 END) +
-        |      (first(aa) / first(n)) *
-        |      sum(CASE WHEN na > 0 THEN (na / aa) * ln(na / aa) ELSE 0 END) -
-        |      sum(CASE WHEN nt > 0 THEN (nt / n) * ln(nt / n) ELSE 0 END), 6)
-        |      AS info_gain
-        |  FROM j GROUP BY split),
-        |best AS (SELECT max(info_gain) AS big FROM ig)
-        |SELECT split, n_below, info_gain, info_gain = big AS is_best
-        |FROM ig, best ORDER BY split""".stripMargin,
-    "q290_srm_check" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |a AS (SELECT
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN 1 ELSE 0 END)::BIGINT AS nt,
-        |    sum(CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
-        |        THEN 0 ELSE 1 END)::BIGINT AS nc
-        |  FROM u)
-        |SELECT nt, nc,
-        |  round((nt + nc) * 0.8, 2) AS expected_t,
-        |  round((nt + nc) * 0.2, 2) AS expected_c,
-        |  round((nt - (nt + nc) * 0.8) * (nt - (nt + nc) * 0.8) /
-        |      ((nt + nc) * 0.8) +
-        |    (nc - (nt + nc) * 0.2) * (nc - (nt + nc) * 0.2) /
-        |      ((nt + nc) * 0.2), 4) AS chi2,
-        |  ((nt - (nt + nc) * 0.8) * (nt - (nt + nc) * 0.8) /
-        |      ((nt + nc) * 0.8) +
-        |    (nc - (nt + nc) * 0.2) * (nc - (nt + nc) * 0.2) /
-        |      ((nt + nc) * 0.2) > 3.841) AS srm_detected
-        |FROM a""".stripMargin,
-    "q284_sort_advisor" ->
-      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS k_date,
-        |    o_custkey AS k_cust, o_totalprice AS k_price FROM orders),
-        |nn AS (SELECT count(*)::BIGINT AS n,
-        |    (max(k_date) - min(k_date))::DOUBLE AS sd,
-        |    (max(k_cust) - min(k_cust))::DOUBLE AS sc,
-        |    max(k_price) - min(k_price) AS sp FROM o),
-        |rd AS (SELECT *, row_number() OVER (ORDER BY k_date, o_orderkey)::BIGINT AS r FROM o),
-        |bd AS (SELECT CASE WHEN r <= (n % 32) * (n // 32 + 1)
-        |      THEN (r - 1) // (n // 32 + 1)
-        |      ELSE (n % 32) + (r - (n % 32) * (n // 32 + 1) - 1) // (n // 32)
-        |    END + 1 AS bucket,
-        |    k_date, k_cust, k_price, sd, sc, sp FROM rd, nn),
-        |gd AS (SELECT bucket, first(sd) AS sd, first(sc) AS sc, first(sp) AS sp,
-        |    (max(k_date) - min(k_date))::DOUBLE AS wd,
-        |    (max(k_cust) - min(k_cust))::DOUBLE AS wc,
-        |    max(k_price) - min(k_price) AS wp FROM bd GROUP BY bucket),
-        |fd AS (SELECT 'k_date' AS sort_key, round(avg(wd / sd), 4) AS probe_date,
-        |    round(avg(wc / sc), 4) AS probe_cust,
-        |    round(avg(wp / sp), 4) AS probe_price FROM gd),
-        |rc AS (SELECT *, row_number() OVER (ORDER BY k_cust, o_orderkey)::BIGINT AS r FROM o),
-        |bc AS (SELECT CASE WHEN r <= (n % 32) * (n // 32 + 1)
-        |      THEN (r - 1) // (n // 32 + 1)
-        |      ELSE (n % 32) + (r - (n % 32) * (n // 32 + 1) - 1) // (n // 32)
-        |    END + 1 AS bucket,
-        |    k_date, k_cust, k_price, sd, sc, sp FROM rc, nn),
-        |gc AS (SELECT bucket, first(sd) AS sd, first(sc) AS sc, first(sp) AS sp,
-        |    (max(k_date) - min(k_date))::DOUBLE AS wd,
-        |    (max(k_cust) - min(k_cust))::DOUBLE AS wc,
-        |    max(k_price) - min(k_price) AS wp FROM bc GROUP BY bucket),
-        |fc AS (SELECT 'k_cust' AS sort_key, round(avg(wd / sd), 4) AS probe_date,
-        |    round(avg(wc / sc), 4) AS probe_cust,
-        |    round(avg(wp / sp), 4) AS probe_price FROM gc),
-        |rp AS (SELECT *, row_number() OVER (ORDER BY k_price, o_orderkey)::BIGINT AS r FROM o),
-        |bp AS (SELECT CASE WHEN r <= (n % 32) * (n // 32 + 1)
-        |      THEN (r - 1) // (n // 32 + 1)
-        |      ELSE (n % 32) + (r - (n % 32) * (n // 32 + 1) - 1) // (n // 32)
-        |    END + 1 AS bucket,
-        |    k_date, k_cust, k_price, sd, sc, sp FROM rp, nn),
-        |gp AS (SELECT bucket, first(sd) AS sd, first(sc) AS sc, first(sp) AS sp,
-        |    (max(k_date) - min(k_date))::DOUBLE AS wd,
-        |    (max(k_cust) - min(k_cust))::DOUBLE AS wc,
-        |    max(k_price) - min(k_price) AS wp FROM bp GROUP BY bucket),
-        |fp AS (SELECT 'k_price' AS sort_key, round(avg(wd / sd), 4) AS probe_date,
-        |    round(avg(wc / sc), 4) AS probe_cust,
-        |    round(avg(wp / sp), 4) AS probe_price FROM gp)
-        |SELECT * FROM fd UNION ALL SELECT * FROM fc UNION ALL SELECT * FROM fp
-        |ORDER BY sort_key""".stripMargin,
-    "q291_join_order_advisor" ->
-      """WITH c AS (SELECT c_custkey FROM customer
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
-        |l AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),
-        |ia AS (SELECT count(*)::BIGINT AS ia FROM c
-        |  JOIN orders ON c_custkey = o_custkey),
-        |ib AS (SELECT count(*)::BIGINT AS ib FROM orders
-        |  JOIN l ON o_orderkey = l_orderkey),
-        |f AS (SELECT count(*)::BIGINT AS f FROM c
-        |  JOIN orders ON c_custkey = o_custkey
-        |  JOIN l ON o_orderkey = l_orderkey),
-        |plans AS (
-        |  SELECT 'customer_first' AS plan, ia AS intermediate_rows,
-        |    f AS final_rows FROM ia, f
-        |  UNION ALL
-        |  SELECT 'lineitem_first', ib, f FROM ib, f),
-        |best AS (SELECT min(intermediate_rows) AS mi FROM plans)
-        |SELECT plan, intermediate_rows, final_rows,
-        |  round(final_rows / intermediate_rows, 6) AS selectivity,
-        |  intermediate_rows = mi AS is_best
-        |FROM plans, best ORDER BY plan""".stripMargin,
-    "q292_codec_advisor" ->
-      """WITH o1 AS (SELECT o_orderkey, o_orderstatus::VARCHAR AS v FROM orders),
-        |r1 AS (SELECT v, lag(v) OVER (ORDER BY o_orderkey) AS pv FROM o1),
-        |a1 AS (SELECT count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS nd
-        |  FROM o1),
-        |x1 AS (SELECT (sum(CASE WHEN pv IS NOT NULL AND v <> pv
-        |    THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs FROM r1),
-        |f1 AS (SELECT 'orderstatus' AS col_name, n, nd AS n_distinct,
-        |    length(bin(nd - 1))::BIGINT AS dict_bits, n_runs FROM a1, x1),
-        |o2 AS (SELECT o_orderkey, o_orderpriority::VARCHAR AS v FROM orders),
-        |r2 AS (SELECT v, lag(v) OVER (ORDER BY o_orderkey) AS pv FROM o2),
-        |a2 AS (SELECT count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS nd
-        |  FROM o2),
-        |x2 AS (SELECT (sum(CASE WHEN pv IS NOT NULL AND v <> pv
-        |    THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs FROM r2),
-        |f2 AS (SELECT 'orderpriority' AS col_name, n, nd AS n_distinct,
-        |    length(bin(nd - 1))::BIGINT AS dict_bits, n_runs FROM a2, x2),
-        |o3 AS (SELECT o_orderkey, o_custkey::VARCHAR AS v FROM orders),
-        |r3 AS (SELECT v, lag(v) OVER (ORDER BY o_orderkey) AS pv FROM o3),
-        |a3 AS (SELECT count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS nd
-        |  FROM o3),
-        |x3 AS (SELECT (sum(CASE WHEN pv IS NOT NULL AND v <> pv
-        |    THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs FROM r3),
-        |f3 AS (SELECT 'custkey' AS col_name, n, nd AS n_distinct,
-        |    length(bin(nd - 1))::BIGINT AS dict_bits, n_runs FROM a3, x3)
-        |SELECT col_name, n, n_distinct, dict_bits, n_runs,
-        |  round(n_runs / n, 6) AS run_ratio,
-        |  CASE WHEN n_runs * 10 < n THEN 'rle'
-        |       WHEN dict_bits <= 8 THEN 'dict' ELSE 'plain' END AS advice
-        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
-        |      UNION ALL SELECT * FROM f3)
-        |ORDER BY col_name""".stripMargin,
-    "q293_powerlaw_alpha" ->
-      """WITH deg AS (SELECT l_partkey, count(DISTINCT l_orderkey)::BIGINT AS d
-        |  FROM lineitem GROUP BY l_partkey),
-        |allp AS (SELECT count(*)::BIGINT AS n_parts FROM deg),
-        |tail AS (SELECT count(*)::BIGINT AS n_tail,
-        |    sum(ln(d / 25.0)) AS lsum FROM deg WHERE d >= 25)
-        |SELECT n_parts, 25::BIGINT AS d_min, n_tail,
-        |  round(1.0 + n_tail / lsum, 4) AS hill_alpha
-        |FROM tail, allp""".stripMargin,
-    "q294_catalog_coldstart" ->
-      """WITH parts AS (SELECT l_partkey,
-        |    count(DISTINCT l_orderkey)::BIGINT AS d,
-        |    sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS cents
-        |  FROM lineitem GROUP BY l_partkey),
-        |b AS (SELECT CASE WHEN d < 25 THEN '1_cold'
-        |    WHEN d < 35 THEN '2_warm' ELSE '3_hot' END AS band,
-        |    d, cents FROM parts),
-        |g AS (SELECT band, count(*)::BIGINT AS n_parts,
-        |    sum(cents)::BIGINT AS band_cents FROM b GROUP BY band),
-        |tot AS (SELECT sum(n_parts)::BIGINT AS tp,
-        |    sum(band_cents)::BIGINT AS tc FROM g)
-        |SELECT band, n_parts,
-        |  round(n_parts / tp::DOUBLE, 6) AS catalog_share,
-        |  round(band_cents / 100.0, 2) AS revenue,
-        |  round(band_cents / tc::DOUBLE, 6) AS revenue_share
-        |FROM g, tot ORDER BY band""".stripMargin,
-    "q295_mood_median" ->
-      """WITH p AS (SELECT event_id, value,
-        |    dayofweek(ts) IN (0, 6) AS wk FROM events
-        |  WHERE event_type = 'purchase'),
-        |ranked AS (SELECT *, row_number() OVER (ORDER BY value, event_id)::BIGINT
-        |    AS r FROM p),
-        |nn AS (SELECT count(*)::BIGINT AS nn FROM p),
-        |med AS (SELECT value AS med FROM ranked, nn
-        |  WHERE r = floor((nn + 1) / 2.0)),
-        |cells AS (SELECT
-        |    sum(CASE WHEN NOT wk AND value > med THEN 1 ELSE 0 END)::BIGINT AS a,
-        |    sum(CASE WHEN NOT wk AND value <= med THEN 1 ELSE 0 END)::BIGINT AS b,
-        |    sum(CASE WHEN wk AND value > med THEN 1 ELSE 0 END)::BIGINT AS c,
-        |    sum(CASE WHEN wk AND value <= med THEN 1 ELSE 0 END)::BIGINT AS d
-        |  FROM p, med)
-        |SELECT a AS wd_above, b AS wd_below, c AS we_above, d AS we_below,
-        |  round((a + b + c + d) * (a * d - b * c) * (a * d - b * c) /
-        |    ((a + b) * (c + d) * (a + c) * (b + d))::DOUBLE, 4) AS chi2
-        |FROM cells""".stripMargin,
-    "q296_partition_planner" ->
-      """SELECT ts::DATE AS day, count(*)::BIGINT AS n_rows,
-        |  sum(32 + length(event_type) + length(props))::BIGINT AS est_bytes,
-        |  floor((sum(32 + length(event_type) + length(props)) + 1048575) /
-        |    1048576.0)::BIGINT AS n_files
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
-    "q297_changepoint_sse" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |tot AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS s1,
-        |    sum(rev * rev) AS s2 FROM daily),
-        |pre AS (SELECT day,
-        |    count(*) OVER win::DOUBLE AS k,
-        |    sum(rev) OVER win AS c1,
-        |    sum(rev * rev) OVER win AS c2
-        |  FROM daily WINDOW win AS (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |g AS (SELECT day, k, c1,
-        |    (s2 - s1 * s1 / n) - (c2 - c1 * c1 / k) -
-        |    ((s2 - c2) - (s1 - c1) * (s1 - c1) / (n - k)) AS gain,
-        |    s1, n FROM pre, tot WHERE k < n)
-        |SELECT day AS boundary_after, k::BIGINT AS n_left,
-        |  round(c1 / k, 4) AS mean_left,
-        |  round((s1 - c1) / (n - k), 4) AS mean_right,
-        |  round(gain, 4) AS sse_gain
-        |FROM g ORDER BY gain DESC, day ASC LIMIT 1""".stripMargin,
-    "q298_effective_n" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |m AS (SELECT count(*)::BIGINT AS n, sum(x) / count(*) AS mu FROM daily),
-        |dv AS (SELECT day, x - mu AS d0 FROM daily, m),
-        |lg AS (SELECT d0,
-        |    lag(d0, 1) OVER w AS d1, lag(d0, 2) OVER w AS d2,
-        |    lag(d0, 3) OVER w AS d3, lag(d0, 4) OVER w AS d4,
-        |    lag(d0, 5) OVER w AS d5, lag(d0, 6) OVER w AS d6,
-        |    lag(d0, 7) OVER w AS d7
-        |  FROM dv WINDOW w AS (ORDER BY day)),
-        |a AS (SELECT sum(d0 * d0) AS den,
-        |    sum(d0 * d1) AS num1, sum(d0 * d2) AS num2, sum(d0 * d3) AS num3,
-        |    sum(d0 * d4) AS num4, sum(d0 * d5) AS num5, sum(d0 * d6) AS num6,
-        |    sum(d0 * d7) AS num7 FROM lg)
-        |SELECT n AS n_days,
-        |  round(num1 / den + num2 / den + num3 / den + num4 / den +
-        |    num5 / den + num6 / den + num7 / den, 6) AS rho_sum_1_7,
-        |  round(n / (1.0 + 2.0 * (num1 / den + num2 / den + num3 / den +
-        |    num4 / den + num5 / den + num6 / den + num7 / den)), 2) AS ess
-        |FROM a, m""".stripMargin,
-    "q299_cohen_kappa" -> {
-      val profiles = graft.functions.TextFunctions.stopwordProfiles
-      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      val hits = profiles.map { case (l, ws) =>
-        s"len(list_distinct(list_intersect(toks, ${lst(ws)}))) AS h_$l"
-      }.mkString(",\n        ")
-      val bestExpr = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
-      val caseArms = profiles.map { case (l, _) =>
-        s"WHEN h_$l = best AND best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH tok AS (
-        |  SELECT lang AS y,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |sc AS (SELECT y, $hits FROM tok),
-        |pr AS (SELECT y, CASE $caseArms ELSE 'und' END AS p
-        |  FROM (SELECT *, $bestExpr AS best FROM sc)),
-        |cells AS (SELECT y, p, count(*)::BIGINT AS c FROM pr GROUP BY y, p),
-        |ry AS (SELECT y, sum(c)::BIGINT AS ny FROM cells GROUP BY y),
-        |cp AS (SELECT p, sum(c)::BIGINT AS np FROM cells GROUP BY p),
-        |tot AS (SELECT sum(c)::BIGINT AS n,
-        |    sum(CASE WHEN y = p THEN c ELSE 0 END)::BIGINT AS na FROM cells),
-        |pe AS (SELECT sum(ny * np / (n * n)) AS pe
-        |  FROM ry JOIN cp ON ry.y = cp.p, tot)
-        |SELECT n AS n_docs, round(na / n, 6) AS accuracy,
-        |  round(pe, 6) AS chance_agreement,
-        |  CASE WHEN pe < 1 THEN round((na / n - pe) / (1.0 - pe), 4) END AS kappa
-        |FROM tot, pe""".stripMargin
-    },
-    "q300_corpus_scorecard" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars, text,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'),
-        |      t -> t <> ''))::BIGINT AS ntok
-        |  FROM documents),
-        |base AS (SELECT count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
-        |    count(DISTINCT md5(text))::BIGINT AS n_unique,
-        |    sum(n_chars)::BIGINT AS chars,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
-        |  FROM d),
-        |v AS (SELECT count(DISTINCT word)::BIGINT AS vocab_size FROM (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
-        |  FROM documents) WHERE word <> '')
-        |SELECT n_docs, n_tokens, vocab_size,
-        |  round((n_docs - n_unique) / n_docs::DOUBLE, 6) AS exact_dup_rate,
-        |  round(chars / n_docs::DOUBLE, 2) AS avg_chars,
-        |  round(n_en / n_docs::DOUBLE, 6) AS en_share
-        |FROM base, v""".stripMargin,
-    "q301_modularity" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT u, v, pu.p_brand AS cu, pv.p_brand AS cv
-        |  FROM pairs JOIN part pu ON u = pu.p_partkey
-        |             JOIN part pv ON v = pv.p_partkey),
-        |m AS (SELECT count(*)::BIGINT AS m FROM e),
-        |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
-        |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
-        |  GROUP BY node),
-        |dc AS (SELECT p_brand AS community, sum(d)::BIGINT AS degree_sum
-        |  FROM deg JOIN part ON node = p_partkey GROUP BY 1),
-        |mc AS (SELECT cu AS community, count(*)::BIGINT AS intra_edges
-        |  FROM e WHERE cu = cv GROUP BY 1),
-        |rows_ AS (SELECT community, coalesce(intra_edges, 0)::BIGINT AS intra_edges,
-        |    degree_sum,
-        |    round(coalesce(intra_edges, 0) / m::DOUBLE -
-        |      (degree_sum / (2.0 * m)) * (degree_sum / (2.0 * m)), 6) AS contribution
-        |  FROM dc LEFT JOIN mc USING (community), m),
-        |q AS (SELECT round(sum(contribution), 6) AS q_modularity FROM rows_)
-        |SELECT community, intra_edges, degree_sum, contribution, q_modularity
-        |FROM rows_, q ORDER BY community""".stripMargin,
-    "q302_fdr_bh" ->
-      """WITH pres AS (
-        |  SELECT DISTINCT doc_id, is_en, word FROM (
-        |    SELECT doc_id, (lang = 'en')::BIGINT AS is_en,
-        |      unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents) WHERE word <> ''),
-        |tot AS (SELECT sum((lang = 'en')::BIGINT)::DOUBLE AS n_en,
-        |               sum((lang <> 'en')::BIGINT)::DOUBLE AS n_oth FROM documents),
-        |scored AS (SELECT word,
-        |    ((n_en + n_oth) * (a * (n_oth - b) - b * (n_en - a))
-        |       * (a * (n_oth - b) - b * (n_en - a))) /
-        |      ((a + b) * (n_en + n_oth - a - b) * n_en * n_oth) AS chi2
-        |  FROM (SELECT word, sum(is_en)::DOUBLE AS a, sum(1 - is_en)::DOUBLE AS b
-        |        FROM pres GROUP BY word HAVING sum(is_en) + sum(1 - is_en) >= 5) g,
-        |       tot
-        |  WHERE a + b < n_en + n_oth),
-        |mr AS (SELECT count(*)::BIGINT AS m_tested FROM scored),
-        |ranked AS (SELECT chi2,
-        |    row_number() OVER (ORDER BY chi2 DESC, word ASC)::BIGINT AS r
-        |  FROM scored)
-        |SELECT m_tested,
-        |  coalesce(max(CASE WHEN chi2 >= -2.0 * ln(r * 0.05 / m_tested)
-        |    THEN r END), 0)::BIGINT AS n_bh,
-        |  sum(CASE WHEN chi2 >= -2.0 * ln(0.05 / m_tested)
-        |    THEN 1 ELSE 0 END)::BIGINT AS n_bonferroni,
-        |  round(coalesce(min(CASE WHEN chi2 >= -2.0 * ln(r * 0.05 / m_tested)
-        |    THEN chi2 END), 0.0), 4) AS chi2_cutoff
-        |FROM ranked, mr GROUP BY m_tested""".stripMargin,
-    "q303_ewma_chart" ->
-      """WITH daily AS (
-        |  SELECT ts::DATE AS day, round(sum(value), 2) AS rev FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |d0 AS (SELECT min(day) AS day0 FROM daily),
-        |wi AS (SELECT day, rev,
-        |    date_diff('day', day0, day)::BIGINT AS day_idx FROM daily, d0),
-        |base AS (SELECT avg(rev) AS mu0, stddev_samp(rev) AS sd0
-        |  FROM wi WHERE day_idx < 30),
-        |idx AS (SELECT day, rev, mu0, sd0, day_idx FROM wi, base),
-        |win AS (SELECT t.day, t.rev, t.mu0, t.sd0,
-        |    sum(k.rev * pow(0.5, t.day_idx - k.day_idx)) AS wsum,
-        |    sum(pow(0.5, t.day_idx - k.day_idx)) AS wden,
-        |    sum(pow(0.25, t.day_idx - k.day_idx)) AS wsq
-        |  FROM idx t JOIN idx k
-        |    ON k.day_idx BETWEEN t.day_idx - 59 AND t.day_idx
-        |  GROUP BY t.day, t.rev, t.mu0, t.sd0)
-        |SELECT day, rev, round(wsum / wden, 4) AS ewma,
-        |  round(mu0 + 3.0 * sd0 * sqrt(wsq / (wden * wden)), 4) AS ucl,
-        |  round(mu0 - 3.0 * sd0 * sqrt(wsq / (wden * wden)), 4) AS lcl,
-        |  (wsum / wden > mu0 + 3.0 * sd0 * sqrt(wsq / (wden * wden)) OR
-        |   wsum / wden < mu0 - 3.0 * sd0 * sqrt(wsq / (wden * wden)))
-        |    AS out_of_control
-        |FROM win ORDER BY day""".stripMargin,
-    "q304_edit_join" ->
-      """WITH n AS (SELECT p_partkey AS id, p_name AS name FROM part),
-        |pr AS (SELECT levenshtein(a.name, b.name)::BIGINT AS dist
-        |  FROM n a JOIN n b ON a.id < b.id
-        |    AND abs(len(a.name) - len(b.name)) <= 2)
-        |SELECT dist, count(*)::BIGINT AS n_pairs FROM pr
-        |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
-    "q305_spj_join" ->
-      """WITH a AS (SELECT id % 97 AS bucket,
-        |    (id * 2654435761) % 1000003 AS ca FROM range(0, 9700) t(id)),
-        |b AS (SELECT id % 97 AS bucket,
-        |    (id * 2654435761) % 1000003 AS cb FROM range(4850, 14550) t(id))
-        |SELECT bucket, count(*)::BIGINT AS n_pairs,
-        |  sum(ca + cb)::BIGINT AS sum_cents
-        |FROM a JOIN b USING (bucket) WHERE bucket < 10
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "q306_dsv2_sink_roundtrip" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q307_blocking_quality" ->
-      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-        |truth AS (SELECT a.name AS na, b.name AS nb
-        |  FROM names a JOIN names b ON a.name < b.name
-        |    AND abs(len(a.name) - len(b.name)) <= 2
-        |  WHERE levenshtein(a.name, b.name) <= 2),
-        |ranked AS (SELECT name,
-        |    row_number() OVER (ORDER BY name)::BIGINT AS r FROM names),
-        |cand AS (SELECT a.name AS na, b.name AS nb
-        |  FROM ranked a JOIN ranked b
-        |    ON b.r > a.r AND b.r <= a.r + 5),
-        |caught AS (SELECT * FROM truth WHERE (na, nb) IN
-        |  (SELECT (na, nb) FROM cand)),
-        |c AS (SELECT
-        |  (SELECT count(*) FROM names)::BIGINT AS n_names,
-        |  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
-        |  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
-        |  (SELECT count(*) FROM caught)::BIGINT AS n_caught)
-        |SELECT n_names, n_truth, n_cand, n_caught,
-        |  round(1.0 - n_cand / (n_names * (n_names - 1) / 2.0), 6)
-        |    AS reduction_ratio,
-        |  CASE WHEN n_truth > 0
-        |    THEN round(n_caught / n_truth::DOUBLE, 6) END
-        |    AS pair_completeness
-        |FROM c""".stripMargin,
-    "q308_kruskal_wallis" ->
-      """WITH p AS (SELECT value, dayofweek(ts)::BIGINT + 1 AS wd FROM events
-        |  WHERE event_type = 'purchase'),
-        |byvw AS (SELECT value, wd, count(*)::BIGINT AS nv FROM p GROUP BY 1, 2),
-        |byv AS (SELECT value, sum(nv)::BIGINT AS cnt FROM byvw GROUP BY 1),
-        |c AS (SELECT value, cnt,
-        |    sum(cnt) OVER (ORDER BY value)::BIGINT AS cum FROM byv),
-        |ranked AS (SELECT byvw.value, wd, nv, cnt,
-        |    (cum * 2 - cnt + 1)::BIGINT AS r2
-        |  FROM byvw JOIN c ON byvw.value = c.value),
-        |perg AS (SELECT wd, sum(nv)::BIGINT AS n_g,
-        |    sum(nv * r2)::BIGINT AS r2g FROM ranked GROUP BY wd),
-        |tot AS (SELECT sum(cnt)::BIGINT AS n,
-        |    sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3 FROM c),
-        |h AS (SELECT n AS n_total, round(h_raw, 4) AS h,
-        |    round(h_raw / (1.0 - tie3 / (n * n * n - n)::DOUBLE), 4)
-        |      AS h_tie_corrected
-        |  FROM (SELECT n, tie3,
-        |      12.0 / (n * (n + 1)) *
-        |        sum((r2g / 2.0) * (r2g / 2.0) / n_g) - 3.0 * (n + 1) AS h_raw
-        |    FROM perg, tot GROUP BY n, tie3))
-        |SELECT wd, n_g, round(r2g / (2.0 * n_g), 4) AS mean_rank,
-        |  n_total, h, h_tie_corrected
-        |FROM perg, h ORDER BY wd""".stripMargin,
-    "q309_component_sizes" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM tok WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION
-        |  SELECT id_b, id_a FROM pairs),
-        |reach(id, lab) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
-        |sizes AS (SELECT component, count(*)::BIGINT AS sz FROM comp GROUP BY 1),
-        |hist AS (SELECT sz, count(*)::BIGINT AS n_components FROM sizes GROUP BY 1),
-        |tot AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
-        |ing AS (SELECT coalesce(sum(sz), 0)::BIGINT AS n_in FROM sizes)
-        |SELECT sz, sum(n_components)::BIGINT AS n_components FROM (
-        |  SELECT sz, n_components FROM hist
-        |  UNION ALL SELECT 1::BIGINT, n_docs - n_in FROM tot, ing)
-        |GROUP BY sz HAVING sum(n_components) > 0 ORDER BY sz""".stripMargin,
-    "q310_simpson_audit" ->
-      """WITH m AS (SELECT l_returnflag AS grp, count(*)::DOUBLE AS n,
-        |    sum(l_discount) AS sx, sum(l_quantity) AS sy,
-        |    sum(l_discount * l_quantity) AS sxy,
-        |    sum(l_discount * l_discount) AS sxx
-        |  FROM lineitem GROUP BY 1),
-        |p AS (SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
-        |    sum(sxy) AS psxy, sum(sxx) AS psxx FROM m)
-        |SELECT grp, n::BIGINT AS n_rows,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_group,
-        |  round((pn * psxy - psx * psy) / (pn * psxx - psx * psx), 6)
-        |    AS slope_pooled,
-        |  ((n * sxy - sx * sy) / (n * sxx - sx * sx) *
-        |   ((pn * psxy - psx * psy) / (pn * psxx - psx * psx)) < 0) AS sign_flip
-        |FROM m, p ORDER BY grp""".stripMargin,
-    "q311_abtest_power" ->
-      """SELECT event_type, count(*)::BIGINT AS n_obs,
-        |  round(avg(value), 4) AS mean_value,
-        |  round(sqrt(var_samp(value)), 4) AS sd_value,
-        |  ceil((1.96 + 0.84) * (1.96 + 0.84) * 2.0 * var_samp(value) /
-        |    ((0.05 * avg(value)) * (0.05 * avg(value))))::BIGINT AS n_per_arm
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q312_columnar_scan" ->
-      """SELECT 'w' || (id % 13)::VARCHAR AS word, count(*) AS n,
-        |  (sum((id * 2654435761) % 1000003))::BIGINT AS sum_cents,
-        |  min(id)::BIGINT AS min_id, max(id % 97)::BIGINT AS max_bucket
-        |FROM range(0, 2000000) t(id)
-        |GROUP BY 1 ORDER BY word""".stripMargin,
-    "q313_cramers_v" ->
-      """WITH base AS (SELECT event_type AS et, dayofweek(ts)::BIGINT AS wd
-        |  FROM events),
-        |obs AS (SELECT et, wd, count(*)::DOUBLE AS o FROM base GROUP BY 1, 2),
-        |cells AS (SELECT g.et, g.wd, coalesce(o.o, 0.0) AS o
-        |  FROM (SELECT et, wd FROM (SELECT DISTINCT et FROM obs),
-        |        (SELECT DISTINCT wd FROM obs)) g
-        |  LEFT JOIN obs o ON g.et = o.et AND g.wd = o.wd),
-        |mx AS (SELECT et, sum(o) AS nx FROM cells GROUP BY 1),
-        |my AS (SELECT wd, sum(o) AS ny FROM cells GROUP BY 1),
-        |dims AS (SELECT count(DISTINCT et)::DOUBLE AS r,
-        |    count(DISTINCT wd)::DOUBLE AS c, sum(o) AS n FROM cells),
-        |x AS (SELECT r, c, n,
-        |    sum((o - nx * ny / n) * (o - nx * ny / n) / (nx * ny / n)) AS chi2
-        |  FROM cells JOIN mx USING (et) JOIN my USING (wd), dims
-        |  GROUP BY r, c, n)
-        |SELECT n::BIGINT AS n, r::BIGINT AS n_types, c::BIGINT AS n_weekdays,
-        |  round(chi2, 4) AS chi2,
-        |  round(sqrt(chi2 / n / least(r - 1, c - 1)), 6) AS cramers_v,
-        |  round(sqrt(greatest(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1)) /
-        |    least(r - (r - 1) * (r - 1) / (n - 1) - 1,
-        |          c - (c - 1) * (c - 1) / (n - 1) - 1)), 6) AS v_bias_corrected
-        |FROM x""".stripMargin,
-    "q314_runtime_pruned_join" ->
-      """SELECT id % 97 AS bucket, count(*) AS n,
-        |  sum((id * 2654435761) % 1000003)::BIGINT AS sum_cents
-        |FROM range(0, 2000000) t(id)
-        |WHERE (id % 97) % 19 = 3
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q315_nearest_event_join" ->
-      """SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS ts_us,
-        |  (CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN -1
-        |       WHEN f.event_id IS NULL THEN b.event_id
-        |       WHEN b.event_id IS NULL THEN f.event_id
-        |       WHEN epoch_us(c.ts) - epoch_us(b.ts)
-        |            <= epoch_us(f.ts) - epoch_us(c.ts) THEN b.event_id
-        |       ELSE f.event_id END)::BIGINT AS near_event_id,
-        |  (CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN -1
-        |       WHEN f.event_id IS NULL THEN epoch_us(c.ts) - epoch_us(b.ts)
-        |       WHEN b.event_id IS NULL THEN epoch_us(f.ts) - epoch_us(c.ts)
-        |       WHEN epoch_us(c.ts) - epoch_us(b.ts)
-        |            <= epoch_us(f.ts) - epoch_us(c.ts)
-        |         THEN epoch_us(c.ts) - epoch_us(b.ts)
-        |       ELSE epoch_us(f.ts) - epoch_us(c.ts) END)::BIGINT AS near_dt_us,
-        |  CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN 'none'
-        |       WHEN f.event_id IS NULL THEN 'back'
-        |       WHEN b.event_id IS NULL THEN 'fwd'
-        |       WHEN epoch_us(c.ts) - epoch_us(b.ts)
-        |            <= epoch_us(f.ts) - epoch_us(c.ts) THEN 'back'
-        |       ELSE 'fwd' END AS direction
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click') c
-        |LEFT JOIN LATERAL (
-        |  SELECT ts, event_id FROM events r
-        |  WHERE r.event_type = 'purchase' AND r.user_id = c.user_id
-        |    AND r.ts <= c.ts
-        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) b ON true
-        |LEFT JOIN LATERAL (
-        |  SELECT ts, event_id FROM events r
-        |  WHERE r.event_type = 'purchase' AND r.user_id = c.user_id
-        |    AND r.ts >= c.ts
-        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) f ON true
-        |ORDER BY c.event_id""".stripMargin,
-    "q316_isotonic_calibration" ->
-      """WITH p AS (SELECT embedding AS pv, label AS plab FROM embeddings WHERE vec_id = 0),
-        |s AS (SELECT e.vec_id,
-        |        CASE WHEN e.label = p.plab THEN 1 ELSE 0 END AS y,
-        |        list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS score
-        |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
-        |env AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
-        |b AS (SELECT least(floor((score - lo) / (hi - lo) * 10), 9)::BIGINT AS bin,
-        |        count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
-        |        round(avg(score), 4) AS mean_score,
-        |        round(avg(y * 1.0), 4) AS frac_pos
-        |      FROM s CROSS JOIN env GROUP BY 1),
-        |iv AS (SELECT j.bin AS j, k.bin AS k,
-        |        sum(x.sy) * 1.0 / sum(x.n) AS avg_jk
-        |      FROM b j, b k, b x
-        |      WHERE j.bin <= k.bin AND x.bin BETWEEN j.bin AND k.bin
-        |      GROUP BY 1, 2),
-        |m AS (SELECT i.bin AS bin, iv.j AS j, min(iv.avg_jk) AS mn
-        |      FROM b i, iv WHERE iv.j <= i.bin AND iv.k >= i.bin
-        |      GROUP BY 1, 2),
-        |f AS (SELECT bin, max(mn) AS iso FROM m GROUP BY 1)
-        |SELECT b.bin, b.n, b.mean_score, b.frac_pos,
-        |  round(f.iso, 6) AS iso_fit
-        |FROM b JOIN f USING (bin) ORDER BY b.bin""".stripMargin,
-    "q317_audio_energy" ->
-      """WITH m AS (SELECT id AS media_id,
-        |    CASE WHEN id % 5 = 0 THEN 0.0 ELSE 2000.0 + id * 100 END AS amp,
-        |    ((id % 7) + 1) * 0.01 AS w
-        |  FROM range(1, 21) t(id)),
-        |s AS (SELECT media_id, (t.t // 240)::BIGINT AS f,
-        |    floor(amp * sin(t.t * w)) AS v
-        |  FROM m, range(0, 2400) t(t)),
-        |fr AS (SELECT media_id, f, sqrt(avg(v * v)) AS rms
-        |  FROM s GROUP BY 1, 2)
-        |SELECT media_id, count(*)::BIGINT AS n_frames,
-        |  round(avg(rms), 4) AS mean_rms,
-        |  round(max(rms), 4) AS peak_rms,
-        |  sum(CASE WHEN rms < 1.0 THEN 1 ELSE 0 END)::BIGINT AS silence_frames
-        |FROM fr GROUP BY 1 ORDER BY media_id""".stripMargin,
-    "q318_image_stats" ->
-      """WITH im AS (SELECT id AS media_id FROM range(1, 13) t(id)),
-        |px AS (SELECT media_id, p.p AS p,
-        |    ((77 * ((media_id*31 + (3*p.p)*7) % 256)
-        |    + 150 * ((media_id*31 + (3*p.p+1)*7) % 256)
-        |    + 29 * ((media_id*31 + (3*p.p+2)*7) % 256)) // 256) AS y
-        |  FROM im, range(0, 192) p(p)),
-        |h AS (SELECT media_id,
-        |    sum(CASE WHEN y // 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
-        |    sum(CASE WHEN y // 32 = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
-        |    sum(CASE WHEN y // 32 = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
-        |    sum(CASE WHEN y // 32 = 3 THEN 1 ELSE 0 END)::BIGINT AS h3,
-        |    sum(CASE WHEN y // 32 = 4 THEN 1 ELSE 0 END)::BIGINT AS h4,
-        |    sum(CASE WHEN y // 32 = 5 THEN 1 ELSE 0 END)::BIGINT AS h5,
-        |    sum(CASE WHEN y // 32 = 6 THEN 1 ELSE 0 END)::BIGINT AS h6,
-        |    sum(CASE WHEN y // 32 = 7 THEN 1 ELSE 0 END)::BIGINT AS h7
-        |  FROM px GROUP BY 1),
-        |tp AS (SELECT (y2.y * 3 * 16 + x2.x * 4) AS p
-        |  FROM range(0, 4) y2(y), range(0, 4) x2(x)),
-        |th AS (SELECT media_id, round(sum(y) / 16.0, 4) AS thumb_mean_luma
-        |  FROM px JOIN tp USING (p) GROUP BY 1)
-        |SELECT h.media_id, h0, h1, h2, h3, h4, h5, h6, h7, th.thumb_mean_luma
-        |FROM h JOIN th ON h.media_id = th.media_id
-        |ORDER BY h.media_id""".stripMargin,
-    "q319_video_motion" ->
-      """WITH v AS (SELECT id AS media_id, i.i AS i,
-        |    (id*13 + (i.i % 144)*5 + (i.i // 144)
-        |     + CASE WHEN i.i // 144 >= 3
-        |            THEN ((i.i % 144) % 3 + 1) * 100 ELSE 0 END) % 256 AS v
-        |  FROM range(1, 9) t(id), range(0, 864) i(i)),
-        |d AS (SELECT a.media_id, (a.i // 144) AS b,
-        |    sum(abs(a.v - bb.v))::BIGINT AS motion
-        |  FROM v a JOIN v bb
-        |    ON a.media_id = bb.media_id AND bb.i = a.i + 144
-        |  GROUP BY 1, 2)
-        |SELECT media_id, count(*)::BIGINT AS n_boundaries,
-        |  sum(motion)::BIGINT AS total_motion,
-        |  max(motion)::BIGINT AS max_motion,
-        |  sum(CASE WHEN motion > 1000 THEN 1 ELSE 0 END)::BIGINT AS n_cuts
-        |FROM d GROUP BY 1 ORDER BY media_id""".stripMargin,
-    "q320_dsv2_topn" ->
-      """SELECT id, id % 97 AS bucket,
-        |  (id * 2654435761) % 1000003 AS cents,
-        |  'w' || (id % 13)::VARCHAR AS word
-        |FROM range(999999995, 1000000000) t(id)
-        |ORDER BY id DESC""".stripMargin,
-    "q321_dsv2_grouped_pushdown" ->
-      """SELECT id % 97 AS bucket, count(*) AS n_rows,
-        |  min(id) AS min_id, max(id) AS max_id, sum(id)::BIGINT AS sum_id
-        |FROM range(25000000, 75000000) t(id)
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q322_media_pipeline" ->
-      """WITH m AS (SELECT id AS media_id, id % 20 AS vid FROM range(1, 41) t(id)),
-        |asamp AS (SELECT media_id, t.t AS t,
-        |    floor((CASE WHEN media_id % 4 = 0 THEN 0.0
-        |                ELSE 2100.0 + media_id * 50 END)
-        |          * sin(t.t * ((media_id % 7) + 1) * 0.01)) AS v
-        |  FROM m, range(0, 1200) t(t)),
-        |arms AS (SELECT media_id, (t // 240) AS f, sqrt(avg(v * v)) AS r
-        |  FROM asamp GROUP BY 1, 2),
-        |au AS (SELECT media_id, max(r) AS max_rms FROM arms GROUP BY 1),
-        |vbyte AS (SELECT media_id, (i.i // 48) AS f, (i.i % 48) AS j,
-        |    (vid * 9 + (i.i % 48) * 3 +
-        |     CASE WHEN media_id % 5 = 0 THEN 0 ELSE (i.i // 48) * 7 END) % 256 AS v
-        |  FROM m, range(0, 192) i(i)),
-        |mot AS (SELECT a.media_id, a.f AS b, sum(abs(b2.v - a.v)) AS motion
-        |  FROM vbyte a JOIN vbyte b2
-        |    ON a.media_id = b2.media_id AND b2.f = a.f + 1 AND b2.j = a.j
-        |  GROUP BY 1, 2),
-        |vi AS (SELECT media_id, max(motion) AS max_motion FROM mot GROUP BY 1),
-        |tp AS (SELECT (y2.y * 3 * 16 + x2.x * 4) AS p
-        |  FROM range(0, 4) y2(y), range(0, 4) x2(x)),
-        |ky AS (SELECT m.media_id,
-        |    sum((77 * ((vid*31 + (3*tp.p)*7) % 256)
-        |       + 150 * ((vid*31 + (3*tp.p+1)*7) % 256)
-        |       + 29 * ((vid*31 + (3*tp.p+2)*7) % 256)) // 256)::BIGINT AS thumb_key
-        |  FROM m, tp GROUP BY 1),
-        |lum AS (SELECT media_id,
-        |    ((77 * ((vid*31 + (3*i.i)*7) % 256)
-        |     + 150 * ((vid*31 + (3*i.i+1)*7) % 256)
-        |     + 29 * ((vid*31 + (3*i.i+2)*7) % 256)) // 256) // 32 AS b
-        |  FROM m, range(0, 192) i(i)),
-        |hk AS (SELECT media_id,
-        |    sum(CASE b WHEN 0 THEN 1 WHEN 1 THEN 193 WHEN 2 THEN 37249
-        |        WHEN 3 THEN 7189057 WHEN 4 THEN 1387488001
-        |        WHEN 5 THEN 267785184193 WHEN 6 THEN 51682540549249
-        |        ELSE 9974730326005057 END)::BIGINT AS hist_key
-        |  FROM lum GROUP BY 1),
-        |fl AS (SELECT m.media_id, ky.thumb_key, hk.hist_key,
-        |    (au.max_rms < 1.0) AS silent, (vi.max_motion < 10) AS is_static
-        |  FROM m JOIN au USING (media_id) JOIN vi USING (media_id)
-        |    JOIN ky USING (media_id) JOIN hk USING (media_id)),
-        |kp AS (SELECT thumb_key, hist_key, min(media_id) AS keeper FROM fl
-        |  WHERE NOT silent AND NOT is_static GROUP BY 1, 2)
-        |SELECT fl.media_id, fl.thumb_key, fl.hist_key,
-        |  CASE WHEN fl.silent THEN 'silent'
-        |       WHEN fl.is_static THEN 'static'
-        |       WHEN fl.media_id = kp.keeper THEN 'kept'
-        |       ELSE 'duplicate' END AS status
-        |FROM fl LEFT JOIN kp USING (thumb_key, hist_key)
-        |ORDER BY fl.media_id""".stripMargin,
-    // q318's histogram arithmetic verbatim — the engine side computes it
-    // from PNG-DECODED pixels, so a hash match proves the JDK codec
-    // round-trips losslessly; `lossless` additionally pins the byte-level
-    // equality of decoded vs source buffers.
-    "q323_png_decode" ->
-      """WITH im AS (SELECT id AS media_id FROM range(1, 13) t(id)),
-        |px AS (SELECT media_id,
-        |    ((77 * ((media_id*31 + (3*p.p)*7) % 256)
-        |    + 150 * ((media_id*31 + (3*p.p+1)*7) % 256)
-        |    + 29 * ((media_id*31 + (3*p.p+2)*7) % 256)) // 256) AS y
-        |  FROM im, range(0, 192) p(p))
-        |SELECT media_id,
-        |  sum(CASE WHEN y // 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
-        |  sum(CASE WHEN y // 32 = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
-        |  sum(CASE WHEN y // 32 = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
-        |  sum(CASE WHEN y // 32 = 3 THEN 1 ELSE 0 END)::BIGINT AS h3,
-        |  sum(CASE WHEN y // 32 = 4 THEN 1 ELSE 0 END)::BIGINT AS h4,
-        |  sum(CASE WHEN y // 32 = 5 THEN 1 ELSE 0 END)::BIGINT AS h5,
-        |  sum(CASE WHEN y // 32 = 6 THEN 1 ELSE 0 END)::BIGINT AS h6,
-        |  sum(CASE WHEN y // 32 = 7 THEN 1 ELSE 0 END)::BIGINT AS h7,
-        |  TRUE AS lossless
-        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
-    // q29's gaps-and-islands oracle verbatim: the engine side computes
-    // the same sessions through a REAL transformWithState streaming
-    // query (RocksDB state, event-time timers), so a hash match judges
-    // the Spark-4 arbitrary-state surface against SQL semantics.
-    "q324_sessions_tws_stream" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |y AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
-        |  round(sum(value), 2) AS total
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
-    "q325_ngram_perplexity" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
-        |  FROM documents),
-        |toks AS (SELECT doc_id, lang, i, l[i] AS w
-        |  FROM d, unnest(range(1, len(l) + 1)) AS t(i)),
-        |bi AS (SELECT doc_id, lang, w AS w1,
-        |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-        |  FROM toks),
-        |tr AS (SELECT w1, w2, count(*)::BIGINT AS n2 FROM bi
-        |  WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2),
-        |u AS (SELECT w, count(*)::BIGINT AS n1 FROM toks
-        |  WHERE doc_id % 2 = 0 GROUP BY 1),
-        |nv AS (SELECT sum(n1)::BIGINT AS nn, count(*)::BIGINT AS v FROM u),
-        |sc AS (SELECT b.doc_id, b.lang,
-        |    CASE WHEN tr.n2 IS NOT NULL THEN ln(tr.n2 / u1.n1::DOUBLE)
-        |         ELSE ln(0.4) + ln((coalesce(u2.n1, 0) + 0.5) /
-        |                           (nv.nn + 0.5 * nv.v)) END AS logp
-        |  FROM bi b
-        |  LEFT JOIN tr ON tr.w1 = b.w1 AND tr.w2 = b.w2
-        |  LEFT JOIN u u1 ON u1.w = b.w1
-        |  LEFT JOIN u u2 ON u2.w = b.w2
-        |  CROSS JOIN nv
-        |  WHERE b.doc_id % 2 = 1 AND b.w2 IS NOT NULL)
-        |SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
-        |  round(-avg(logp), 4) AS nll
-        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
-    "q326_perplexity_buckets" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
-        |  FROM documents),
-        |toks AS (SELECT doc_id, lang, i, l[i] AS w
-        |  FROM d, unnest(range(1, len(l) + 1)) AS t(i)),
-        |bi AS (SELECT doc_id, lang, w AS w1,
-        |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-        |  FROM toks),
-        |tr AS (SELECT w1, w2, count(*)::BIGINT AS n2 FROM bi
-        |  WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2),
-        |u AS (SELECT w, count(*)::BIGINT AS n1 FROM toks
-        |  WHERE doc_id % 2 = 0 GROUP BY 1),
-        |nv AS (SELECT sum(n1)::BIGINT AS nn, count(*)::BIGINT AS v FROM u),
-        |sc AS (SELECT b.doc_id, b.lang,
-        |    CASE WHEN tr.n2 IS NOT NULL THEN ln(tr.n2 / u1.n1::DOUBLE)
-        |         ELSE ln(0.4) + ln((coalesce(u2.n1, 0) + 0.5) /
-        |                           (nv.nn + 0.5 * nv.v)) END AS logp
-        |  FROM bi b
-        |  LEFT JOIN tr ON tr.w1 = b.w1 AND tr.w2 = b.w2
-        |  LEFT JOIN u u1 ON u1.w = b.w1
-        |  LEFT JOIN u u2 ON u2.w = b.w2
-        |  CROSS JOIN nv
-        |  WHERE b.doc_id % 2 = 1 AND b.w2 IS NOT NULL),
-        |docs AS (SELECT doc_id, lang, round(-avg(logp), 4) AS nll
-        |  FROM sc GROUP BY doc_id, lang),
-        |bk AS (SELECT lang, nll,
-        |    ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS b
-        |  FROM docs)
-        |SELECT lang,
-        |  CASE b WHEN 1 THEN '1_head' WHEN 2 THEN '2_middle'
-        |    ELSE '3_tail' END AS bucket,
-        |  count(*)::BIGINT AS n_docs,
-        |  round(min(nll), 4) AS min_nll,
-        |  round(max(nll), 4) AS max_nll,
-        |  round(avg(nll), 4) AS mean_nll
-        |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
-    // The engine side computes this through a REAL streaming query
-    // (file-source micro-batches, broadcast dim join per batch,
-    // Complete-mode stateful aggregation) — the oracle is the plain
-    // batch join it must converge to.
-    "q327_stream_static_enrich" ->
-      """SELECT n_name, count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "q328_stream_outer_join" ->
-      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
-        |             ts AS cts FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts AS pts, value FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT coalesce(campaign, -1) AS campaign,
-        |  count(pts)::BIGINT AS n_pairs,
-        |  count(CASE WHEN pts IS NULL THEN 1 END)::BIGINT AS n_unmatched,
-        |  round(sum(coalesce(value, 0)), 2) AS total_value
-        |FROM c LEFT JOIN p ON c.user_id = p.user_id
-        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q329_length_batching" ->
-      """WITH d AS (SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> t <> ''))::BIGINT AS n_tok
-        |  FROM documents),
-        |r1 AS (SELECT n_tok,
-        |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch
-        |  FROM d),
-        |r2 AS (SELECT n_tok,
-        |    (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch
-        |  FROM d),
-        |b1 AS (SELECT batch, count(*)::BIGINT AS nb, max(n_tok) AS mx,
-        |    sum(n_tok)::BIGINT AS tok FROM r1 GROUP BY 1),
-        |b2 AS (SELECT batch, count(*)::BIGINT AS nb, max(n_tok) AS mx,
-        |    sum(n_tok)::BIGINT AS tok FROM r2 GROUP BY 1),
-        |s1 AS (SELECT '1_length_sorted' AS strategy,
-        |    count(*)::BIGINT AS n_batches, sum(nb * mx)::BIGINT AS padded_tokens,
-        |    sum(tok)::BIGINT AS real_tokens FROM b1),
-        |s2 AS (SELECT '2_arrival' AS strategy,
-        |    count(*)::BIGINT AS n_batches, sum(nb * mx)::BIGINT AS padded_tokens,
-        |    sum(tok)::BIGINT AS real_tokens FROM b2)
-        |SELECT strategy, n_batches, padded_tokens, real_tokens,
-        |  round((padded_tokens - real_tokens) * 100.0 / padded_tokens, 2)
-        |    AS waste_pct
-        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
-        |ORDER BY strategy""".stripMargin,
-    "q330_epoch_mix" ->
-      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs
-        |  FROM documents GROUP BY 1),
-        |z AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs)::BIGINT AS n FROM c),
-        |r AS (SELECT lang, n_docs,
-        |    least(4, greatest(1, ceil((sqrt(n_docs) / z.z) /
-        |      (n_docs::DOUBLE / z.n))::BIGINT)) AS rep
-        |  FROM c CROSS JOIN z),
-        |e AS (SELECT d.lang, r.n_docs, r.rep, d.doc_id,
-        |    unnest(range(1, r.rep + 1)) AS epoch
-        |  FROM documents d JOIN r USING (lang)),
-        |k AS (SELECT lang, n_docs, rep,
-        |    ((doc_id % 1000000007) * 1000003 + epoch * 7919)
-        |      % 1000000007 AS k FROM e)
-        |SELECT lang, max(n_docs) AS n_docs, max(rep) AS repeat_factor,
-        |  count(*)::BIGINT AS n_expanded, min(k) AS min_key, max(k) AS max_key,
-        |  (sum(k) % 1000000007)::BIGINT AS key_checksum
-        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
-    "q331_hierarchy_rollup" ->
-      """WITH a AS (SELECT round(c_acctbal * 100, 0)::BIGINT AS cents,
-        |    unnest(list_filter([c_custkey // 1, c_custkey // 10,
-        |      c_custkey // 100, c_custkey // 1000, c_custkey // 10000,
-        |      c_custkey // 100000, c_custkey // 1000000,
-        |      c_custkey // 10000000, c_custkey // 100000000,
-        |      c_custkey // 1000000000, c_custkey // 10000000000,
-        |      c_custkey // 100000000000, c_custkey // 1000000000000,
-        |      c_custkey // 10000000000000, c_custkey // 100000000000000,
-        |      c_custkey // 1000000000000000, c_custkey // 10000000000000000,
-        |      c_custkey // 100000000000000000,
-        |      c_custkey // 1000000000000000000],
-        |      x -> x >= 1)) AS node
-        |  FROM customer),
-        |n AS (SELECT node, count(*)::BIGINT AS n_desc,
-        |    sum(cents)::BIGINT AS subtree_cents
-        |  FROM a GROUP BY 1)
-        |SELECT length(node::VARCHAR)::BIGINT AS depth,
-        |  count(*)::BIGINT AS n_nodes, sum(n_desc)::BIGINT AS n_desc_total,
-        |  max(subtree_cents) AS max_subtree_cents,
-        |  sum(subtree_cents)::BIGINT AS total_cents
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q332_sql_recursive" -> recursiveRollupSql("customer"),
-    "q333_stream_join_window" ->
-      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
-        |             ts AS cts FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts AS pts, value FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT date_trunc('day', pts) AS day,
-        |  coalesce(campaign, -1) AS campaign,
-        |  count(*)::BIGINT AS n_pairs,
-        |  round(sum(value), 2) AS total_value
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q334_lateral_topk" -> lateralTopkSql("nation", "customer"),
-    "q335_sql_pipe" ->
-      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders WHERE o_orderstatus = 'O'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q336_lsh_decontamination" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, source,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                   for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM d WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT b.doc_id AS bench_id, t.doc_id AS train_id, t.source
-        |  FROM s b, s t
-        |  WHERE b.doc_id % 10 = 5 AND t.doc_id % 10 <> 5
-        |    AND len(list_intersect(b.sh, t.sh))::DOUBLE /
-        |        (len(b.sh) + len(t.sh) - len(list_intersect(b.sh, t.sh))) >= 0.5)
-        |SELECT source, count(DISTINCT train_id)::BIGINT AS n_contaminated,
-        |  count(*)::BIGINT AS n_pairs
-        |FROM pairs GROUP BY source ORDER BY source""".stripMargin,
-    "q337_runtime_bloom_join" ->
-      """SELECT l_returnflag, count(*)::BIGINT AS n,
-        |  round(sum(l_extendedprice), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q338_eval_holdout" ->
-      """WITH s AS (
-        |  SELECT lang, doc_id,
-        |    (doc_id % 1000000007) * 1000003 % 1000000007 AS score
-        |  FROM documents),
-        |r AS (
-        |  SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |                       ORDER BY score DESC, doc_id) AS rk
-        |  FROM s)
-        |SELECT lang, doc_id FROM r WHERE rk <= 20
-        |ORDER BY lang, doc_id""".stripMargin,
-    "q339_variant_ops" ->
-      """SELECT event_type, count(*)::BIGINT AS n,
-        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
-        |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
-        |  count(json_extract(props, '$.zz')::BIGINT)::BIGINT AS n_zz
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q340_stream_full_join" ->
-      """WITH c AS (SELECT user_id, ts AS cts FROM events
-        |           WHERE event_type = 'click'),
-        |p AS (SELECT user_id AS p_user, ts AS pts, value FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT
-        |  count(CASE WHEN c.user_id IS NOT NULL AND p.p_user IS NOT NULL
-        |             THEN 1 END)::BIGINT AS n_pairs,
-        |  count(CASE WHEN p.p_user IS NULL THEN 1 END)::BIGINT AS n_click_only,
-        |  count(CASE WHEN c.user_id IS NULL THEN 1 END)::BIGINT AS n_purchase_only,
-        |  round(sum(CASE WHEN c.user_id IS NOT NULL AND p.p_user IS NOT NULL
-        |                 THEN value ELSE 0 END), 2) AS matched_value
-        |FROM c FULL JOIN p ON c.user_id = p.p_user
-        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE""".stripMargin,
-    "q341_stream_anti_dedup" ->
-      """WITH c AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events)
-        |SELECT event_type, count(*)::BIGINT AS n_new,
-        |  round(sum(value), 2) AS new_value
-        |FROM events, c WHERE ts >= c.c
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q342_text_curation" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, source, l, len(l)::BIGINT AS n_tok,
-        |    coalesce(list_sum(list_transform(l, t -> len(t))), 0)::BIGINT AS sum_len
-        |  FROM d),
-        |q AS (SELECT * FROM m WHERE n_tok >= 30 AND sum_len <= 5 * n_tok),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(l[i:i+2], ' ')
-        |                   for i in range(1, len(l) - 1)]) AS sh
-        |  FROM q WHERE len(l) >= 3),
-        |dup AS (
-        |  SELECT DISTINCT b.doc_id AS drop_id
-        |  FROM s a, s b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |u AS (
-        |  SELECT doc_id, source, n_tok FROM q
-        |  WHERE doc_id NOT IN (SELECT drop_id FROM dup)),
-        |r AS (
-        |  SELECT source, n_tok,
-        |    sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM u),
-        |base AS (SELECT source, count(*)::BIGINT AS n_docs FROM m GROUP BY 1),
-        |qc AS (SELECT source, count(*)::BIGINT AS n_quality FROM q GROUP BY 1),
-        |uc AS (
-        |  SELECT source, count(*)::BIGINT AS n_unique,
-        |    sum(n_tok)::BIGINT AS tokens_kept,
-        |    count(CASE WHEN (cum - n_tok) // 2048 <> (cum - 1) // 2048
-        |               THEN 1 END)::BIGINT AS n_straddlers
-        |  FROM r GROUP BY 1)
-        |SELECT base.source, base.n_docs,
-        |  coalesce(qc.n_quality, 0) AS n_quality,
-        |  coalesce(uc.n_unique, 0) AS n_unique,
-        |  coalesce(uc.tokens_kept, 0) AS tokens_kept,
-        |  coalesce(uc.n_straddlers, 0) AS n_straddlers
-        |FROM base LEFT JOIN qc USING (source) LEFT JOIN uc USING (source)
-        |ORDER BY source""".stripMargin,
-    "q343_stream_union_sources" ->
-      """WITH u AS (
-        |  SELECT ts, 'click' AS kind FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT ts, 'purchase' AS kind FROM events
-        |  WHERE event_type = 'purchase')
-        |SELECT date_trunc('day', ts) AS day, kind,
-        |  count(*)::BIGINT AS n_events
-        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q344_stream_dedup_window" ->
-      """SELECT date_trunc('day', ts) AS day,
-        |  count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q345_session_window_stream" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase'),
-        |x AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1
-        |         ELSE 0 END AS brk
-        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |y AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT user_id, min(ts) AS s_start, count(*)::BIGINT AS n_events,
-        |  round(sum(value), 2) AS total
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
-    "q354_sql_parameterized" ->
-      """SELECT o_orderpriority, count(*)::BIGINT AS n,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders WHERE o_totalprice > 150000.0
-        |GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin,
-    "q355_sql_udf" ->
-      """WITH r AS (
-        |  SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
-        |  FROM customer
-        |  WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) >= -50000)
-        |SELECT CASE WHEN cents < 0 THEN 'neg'
-        |            WHEN cents < 500000 THEN 'mid' ELSE 'high' END AS band,
-        |  count(*)::BIGINT AS n,
-        |  CAST(sum(cents) AS BIGINT) AS total_cents
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q353_initial_state" ->
-      """SELECT user_id, CAST(ts AS DATE) AS day,
-        |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
-        |    / 100.0 AS revenue
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q352_liststate_median" ->
-      """WITH p AS (
-        |  SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |r AS (SELECT user_id, cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM p)
-        |SELECT user_id, max(n)::BIGINT AS n_purchases,
-        |  max(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) / 100.0
-        |    AS median_value
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q351_mapstate_daily" ->
-      """SELECT user_id, CAST(ts AS DATE) AS day,
-        |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
-        |    / 100.0 AS revenue
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q350_stream_right_outer" ->
-      """WITH c AS (SELECT user_id, ts AS cts FROM events
-        |           WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts AS pts, "value" FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT date_trunc('day', p.pts) AS day,
-        |  count(cts)::BIGINT AS n_attributed,
-        |  count(CASE WHEN cts IS NULL THEN 1 END)::BIGINT AS n_organic,
-        |  sum(CASE WHEN cts IS NULL
-        |        THEN CAST(round("value" * 100, 0) AS BIGINT)
-        |        ELSE 0 END) / 100.0 AS organic_value
-        |FROM p LEFT JOIN c ON c.user_id = p.user_id
-        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q348_stream_semi_join" ->
-      """WITH c AS (SELECT user_id, json_extract(props, '$.k')::BIGINT AS campaign,
-        |             ts AS cts FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts AS pts FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT coalesce(campaign, -1) AS campaign,
-        |  count(*)::BIGINT AS n_converted
-        |FROM c WHERE EXISTS (
-        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
-        |    AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q349_state_changefeed" ->
-      """SELECT n_name, count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "q347_state_reader" ->
-      """SELECT n_name, count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "q132_hll_merge" ->
-      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
-        |  true AS apx_ok, true AS merge_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q20_approx_distinct" ->
-      """SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts,
-        |  count(DISTINCT l_suppkey)::BIGINT AS n_supps,
-        |  true AS parts_apx_ok, true AS supps_apx_ok
-        |FROM lineitem""".stripMargin,
-    "q34_ann_ivf" ->
-      """WITH n AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-        |                                     embedding::DOUBLE[]))) AS nv
-        |  FROM embeddings),
-        |p AS (SELECT nv AS qnv FROM n WHERE id = 0)
-        |SELECT id, round(list_dot_product(nv, qnv), 4) AS sim
-        |FROM n, p WHERE id <> 0
-        |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
-    // Discrete quantiles (actual price at the integer rank
-    // ⌊(n−1)·p⌋+1, computed with INTEGER arithmetic — no float h, no
-    // round()) so no cross-engine rounding boundary exists; the
-    // interpolated form and the sketch are judged via flags.
-    "q99_approx_quantiles" ->
-      """WITH vals AS (
-        |  SELECT l_returnflag AS k, l_extendedprice AS v,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |                       ORDER BY l_extendedprice) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |g AS (SELECT DISTINCT k, n FROM vals),
-        |t AS (SELECT k, pi, ((n - 1) * pn) // 100 + 1 AS rlo
-        |      FROM g, (VALUES (0, 50), (1, 95)) AS ps(pi, pn)),
-        |d AS (SELECT t.k, t.pi, vals.v
-        |      FROM t JOIN vals ON vals.k = t.k AND vals.rn = t.rlo)
-        |SELECT g.k AS l_returnflag, g.n::BIGINT AS n,
-        |  max(CASE WHEN pi = 0 THEN v END) AS p50_disc,
-        |  max(CASE WHEN pi = 1 THEN v END) AS p95_disc,
-        |  true AS p50_apx_ok, true AS p95_apx_ok,
-        |  true AS p50_interp_ok, true AS p95_interp_ok
-        |FROM g JOIN d ON d.k = g.k
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
-    "q152_ann_ivf_disk" ->
-      """WITH n AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-        |                                     embedding::DOUBLE[]))) AS nv
-        |  FROM embeddings),
-        |p AS (SELECT nv AS qnv FROM n WHERE id = 0)
-        |SELECT id, round(list_dot_product(nv, qnv), 4) AS sim
-        |FROM n, p WHERE id <> 0
-        |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin,
-    "q346_wav_decode" ->
-      """WITH m AS (SELECT id AS media_id,
-        |    CASE WHEN id % 5 = 0 THEN 0.0 ELSE 2000.0 + id * 100 END AS amp,
-        |    ((id % 7) + 1) * 0.01 AS w
-        |  FROM range(1, 21) t(id)),
-        |s AS (SELECT media_id, (t.t // 240)::BIGINT AS f,
-        |    floor(amp * sin(t.t * w)) AS v
-        |  FROM m, range(0, 2400) t(t)),
-        |fr AS (SELECT media_id, f, sqrt(avg(v * v)) AS rms
-        |  FROM s GROUP BY 1, 2)
-        |SELECT media_id, 16000::BIGINT AS sample_rate, 1::BIGINT AS channels,
-        |  count(*)::BIGINT AS n_frames,
-        |  round(avg(rms), 4) AS mean_rms,
-        |  round(max(rms), 4) AS peak_rms,
-        |  sum(CASE WHEN rms < 1.0 THEN 1 ELSE 0 END)::BIGINT AS silence_frames,
-        |  true AS lossless
-        |FROM fr GROUP BY 1 ORDER BY media_id""".stripMargin,
-    "q356_avi_decode" ->
-      """WITH m AS (SELECT id AS media_id, ((id % 3) + 1) * 10 AS fps
-        |  FROM range(1, 11) t(id)),
-        |v AS (SELECT media_id, i.i AS i,
-        |    (media_id*13 + (i.i % 72)*5 + (i.i // 72)
-        |     + CASE WHEN i.i // 72 >= 2
-        |            THEN ((i.i % 72) % 3 + 1) * 100 ELSE 0 END) % 256 AS v
-        |  FROM m, range(0, 288) i(i)),
-        |d AS (SELECT a.media_id, (a.i // 72) AS b,
-        |    sum(abs(a.v - bb.v))::BIGINT AS motion
-        |  FROM v a JOIN v bb
-        |    ON a.media_id = bb.media_id AND bb.i = a.i + 72
-        |  GROUP BY 1, 2),
-        |mo AS (SELECT media_id, count(*)::BIGINT AS n_boundaries,
-        |    sum(motion)::BIGINT AS total_motion,
-        |    max(motion)::BIGINT AS max_motion,
-        |    sum(CASE WHEN motion > 1000 THEN 1 ELSE 0 END)::BIGINT AS n_cuts
-        |  FROM d GROUP BY 1),
-        |px AS (SELECT media_id, (i // 3) AS p,
-        |    sum(CASE WHEN i % 3 = 0 THEN 77*v
-        |             WHEN i % 3 = 1 THEN 150*v ELSE 29*v END) AS wsum
-        |  FROM v GROUP BY 1, 2),
-        |ls AS (SELECT media_id, sum(wsum // 256)::BIGINT AS luma_sum
-        |  FROM px GROUP BY 1)
-        |SELECT m.media_id, 6::BIGINT AS width, 4::BIGINT AS height,
-        |  m.fps::BIGINT AS fps_hdr, 4::BIGINT AS n_frames,
-        |  mo.n_boundaries, mo.total_motion, mo.max_motion, mo.n_cuts,
-        |  ls.luma_sum, true AS lossless
-        |FROM m JOIN mo ON m.media_id = mo.media_id
-        |  JOIN ls ON m.media_id = ls.media_id
-        |ORDER BY m.media_id""".stripMargin,
-  )
+object Queries
+    extends QueriesShared
+    with QueriesCore
+    with QueriesIo
+    with QueriesSql
+    with QueriesMedia
+    with QueriesGraph
+    with QueriesDedup
+    with QueriesMl
+    with QueriesText
+    with QueriesTime
+    with QueriesStats
+    with QueriesStreaming {
+
+  /** Aggregated driver map — identical key set and closures to the
+    * pre-split monolith (the split is per-family traits mixed into
+    * this object; dev/split_queries.py verified entry parity). */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    coreAll ++ ioAll ++ sqlAll ++ mediaAll ++ graphAll ++ dedupAll ++ mlAll ++ textAll ++ timeAll ++ statsAll ++ streamingAll
+
+  val oracle: Map[String, String] =
+    coreOracle ++ ioOracle ++ sqlOracle ++ mediaOracle ++ graphOracle ++ dedupOracle ++ mlOracle ++ textOracle ++ timeOracle ++ statsOracle ++ streamingOracle
 }

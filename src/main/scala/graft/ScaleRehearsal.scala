@@ -80,13 +80,20 @@ object ScaleRehearsal {
   }
 
   /** Copy k's text derivation: LOWERCASE, then rotate the letter AND
-    * digit alphabets by k. Lowercasing first is what makes the
-    * "copies share ZERO shingles" invariant hold for ANY corpus
-    * content — an uppercase letter or digit that passed through
-    * `translate` unrotated would re-create shared shingles across
-    * copies (tokens() lowercases downstream), silently turning the
-    * linear dedup scale-up quadratic. Exposed for the spec that pins
-    * exactly that invariant.
+    * digit alphabets by k. Lowercasing first closes the loudest
+    * collision channel: an uppercase letter or digit that passed
+    * through `translate` unrotated would re-create shared shingles
+    * across copies (tokens() lowercases downstream), silently turning
+    * the linear dedup scale-up quadratic. The invariant this buys is
+    * "no shared ALPHANUMERIC shingles across copies, up to Caesar
+    * coincidences": punctuation-only tokens pass through identical in
+    * every copy, and a corpus that happens to contain both shingle x
+    * and rot_(k1-k2)(x) shares that shingle between copies k1 and k2.
+    * Neither residual occurs in the driver's generated documents
+    * corpus (word-salad over a lowercase lexicon — measured zero
+    * cross-copy candidate pairs in the rehearsal ledger), but the
+    * guarantee is empirical for a given corpus, not universal.
+    * Exposed for the spec that pins the rotation itself.
     */
   def rotateText(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     translate(lower(c), rotated(0), rotated(k))

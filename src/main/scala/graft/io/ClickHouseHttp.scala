@@ -201,7 +201,7 @@ final class MiniClickHouse(user: String, password: String) {
   private val aggs = mutable.HashMap.empty[String, Agg]
   private val lock = new Object
   @volatile private var queries: List[String] = Nil
-  @volatile private var badRequests = 0
+  private val badRequests = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = com.sun.net.httpserver.HttpServer
     .create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -209,7 +209,7 @@ final class MiniClickHouse(user: String, password: String) {
 
   private def fail(ex: com.sun.net.httpserver.HttpExchange, code: Int,
       msg: String): Unit = {
-    badRequests += 1
+    badRequests.incrementAndGet()
     val b = msg.getBytes(UTF_8)
     ex.sendResponseHeaders(code, b.length)
     ex.getResponseBody.write(b); ex.close()
@@ -242,6 +242,7 @@ final class MiniClickHouse(user: String, password: String) {
           fail(ex, 400, s"missing/mismatched async settings: $missing")
         else {
           val body = ex.getRequestBody.readAllBytes()
+          var landedRows = 0L
           val allocator = new RootAllocator(Long.MaxValue)
           try {
             val r = new ArrowStreamReader(
@@ -251,6 +252,7 @@ final class MiniClickHouse(user: String, password: String) {
               def vec[T](name: String): T =
                 root.getVector(name).asInstanceOf[T]
               while (r.loadNextBatch()) {
+                landedRows += root.getRowCount
                 val et = vec[VarCharVector]("event_type")
                 val value = vec[Float8Vector]("value")
                 val eid = vec[BigIntVector]("event_id")
@@ -274,7 +276,7 @@ final class MiniClickHouse(user: String, password: String) {
           } finally allocator.close()
           val resp = "{\"ok\":1}".getBytes(UTF_8)
           ex.getResponseHeaders.set("X-ClickHouse-Summary",
-            s"""{"written_rows":"${body.length}"}""")
+            s"""{"written_rows":"$landedRows"}""")
           ex.sendResponseHeaders(200, resp.length)
           ex.getResponseBody.write(resp)
           ex.close()
@@ -303,5 +305,5 @@ final class MiniClickHouse(user: String, password: String) {
   /** Distinct INSERT statements seen (table-target audit). */
   def insertTargets: Set[String] = queries.toSet
 
-  def rejected: Int = badRequests
+  def rejected: Int = badRequests.get()
 }

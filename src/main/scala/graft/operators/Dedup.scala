@@ -124,6 +124,114 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash-LSH near-dup pairs with a BOUNDED per-band bucket — the
+    * adversarial-duplication guard (round 13). [[minhashLshPairs]]'s
+    * band self-join emits all C(n,2) pairs of every bucket; on benign
+    * corpora buckets are O(1), but a corpus where a large fraction of
+    * docs sit in a few giant near-dup clusters (scraped mirror sites,
+    * boilerplate floods) puts the WHOLE cluster in one bucket per
+    * band, and candidate pairs go quadratic in cluster size — the
+    * classic LSH failure mode at 100 TB. Guard: buckets with more than
+    * `maxBucket` members switch from all-pairs to a STAR — every
+    * member pairs with the bucket's min-id hub only — so per-bucket
+    * emission drops from O(n²) to O(n) while CONNECTIVITY within the
+    * bucket is fully preserved (all members reach each other through
+    * the hub), which is the property the downstream
+    * connected-components dedup (q158's pipeline) actually consumes.
+    *
+    * Semantics vs the unbounded form:
+    *  - component structure over TRUE near-dup clusters is unchanged
+    *    (an exact/near-dup cluster's bucket hub IS a near-dup of every
+    *    member, so hub edges survive the Jaccard verify);
+    *  - pair-level recall for pairs that collide ONLY in overflowed
+    *    buckets is reduced to hub pairs (documented trade — the FAISS
+    *    -style bucket cap). On exact-duplicate clusters the output is
+    *    exactly {(min_id, other) | other ∈ cluster}, which is what the
+    *    q370 oracle pins in SQL.
+    *
+    * Cost shape: one extra groupBy on the 8-byte band key (bucket
+    * size + hub) joined back on the same key — both stages carry
+    * 16-24 B rows, never shingles; the giant-bucket join is an
+    * equi-join AQE can skew-split, never a single-task window buffer.
+    * Caller releases the cache ([[minhashLshPairs]] contract).
+    */
+  def minhashLshPairsBounded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
+    val rowsPerBand = numHashes / bands
+    val hashed = df
+      .select(col(idCol).as("id"),
+        graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .persistTracked()
+    val bandedIds = hashed
+      .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    val stats = bandedIds.groupBy("band_key")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
+    val tagged = bandedIds.join(stats, Seq("band_key"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+      .select(col("band_key"), col("id"))
+    val smallPairs = small.select(col("band_key"), col("id").as("id_a"))
+      .join(small.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val starPairs = tagged
+      .filter(col("__n") > maxBucket && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    val cand = smallPairs.unionByName(starPairs)
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-band bucket-size accounting for the LSH stress/telemetry
+    * ledger: one row per (bucket-size) with the bucket count and the
+    * candidate pairs an UNBOUNDED all-pairs band join would emit from
+    * buckets of that size (Σ C(n,2) before cross-band dedup) next to
+    * what the `maxBucket`-bounded form emits (C(n,2) capped / star
+    * n−1). This is the "measure, don't guess" frame the round-13
+    * adversarial rehearsal records — quadratic blowup shows up here
+    * as the unbounded column exploding while the bounded one stays
+    * linear in cluster size.
+    */
+  def lshBucketStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"),
+        graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
+      .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .groupBy("band_key").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n") * (col("n") - 1) / 2).as("unbounded_pairs"),
+        sum(when(col("n") <= maxBucket, col("n") * (col("n") - 1) / 2)
+          .otherwise(col("n") - 1)).as("bounded_pairs"))
+      .orderBy(col("n"))
+  }
+
   /** Cross-corpus MinHash-LSH pairs: LEFT (e.g. a benchmark/eval set)
     * against RIGHT (the training corpus) — the decontamination join
     * (Dolma/RefinedWeb-style): which right-side docs near-duplicate

@@ -52,8 +52,15 @@ class StreamSinkGateSpec extends AnyFunSuite {
   }
 
   test("every allowlisted site still exists (no stale entries)") {
-    val qsrc = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/main/scala/graft/Queries.scala")))
+    // The query defs live in the per-family trait files under
+    // queries/ since the round-13 split of the Queries monolith.
+    import scala.jdk.CollectionConverters._
+    val qsrc = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala/graft/queries"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p)))
+      .mkString("\n")
     val stale = bounded.keys.filterNot(q => qsrc.contains(s"def $q("))
     assert(stale.isEmpty, s"allowlist entries with no query: ${stale.mkString(", ")}")
   }
