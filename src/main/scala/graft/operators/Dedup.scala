@@ -495,6 +495,55 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[embeddingPairsLshBanded]] with the BOUNDED per-bucket guard
+    * (the round-13 adversarial-duplication rule, mirroring
+    * [[minhashLshPairsBounded]]): a hyperplane bucket with more than
+    * `maxBucket` members — which at 100 TB means an embedding-level
+    * duplicate flood, e.g. the same boilerplate page embedded millions
+    * of times — emits a STAR to its min-id hub instead of all pairs,
+    * so per-bucket emission is O(n) while connectivity (what SemDeDup
+    * -style cluster dedup consumes downstream) is preserved. Same
+    * candidates-first discipline; same recall trade as the text form
+    * (pairs colliding ONLY in overflowed buckets reduce to hub
+    * pairs). Caller releases the cache.
+    */
+  def embeddingPairsLshBandedBounded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numPlanes: Int = 8,
+      tables: Int = 24,
+      maxBucket: Int = 64): DataFrame = {
+    require(numPlanes < 56, "table index must fit above the plane bits")
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
+    val normed = normalized(df, idCol, vecCol).persistTracked()
+    val keys = graft.expr.VectorExpressions.lshBucketKeys(
+      col("nv"), planeMatrix(dim, numPlanes, tables), numPlanes, tables)
+    val banded = normed.select(col("id"), explode(keys).as("bucket"))
+    val stats = banded.groupBy("bucket")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
+    val tagged = banded.join(stats, Seq("bucket"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+      .select(col("bucket"), col("id"))
+    val smallPairs = small.select(col("bucket"), col("id").as("id_a"))
+      .join(small.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val starPairs = tagged
+      .filter(col("__n") > maxBucket && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    val cand = smallPairs.unionByName(starPairs)
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(normed.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
+      .join(normed.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))
+      .withColumn("cosine", round(dot(col("nv_a"), col("nv_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Brute-force cosine top-k neighbors of one probe vector (the exact
     * ANN baseline; plans as broadcast of the probe + TakeOrdered).
     */

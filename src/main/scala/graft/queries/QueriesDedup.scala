@@ -782,8 +782,51 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       .orderBy("id_a", "id_b")
   }
 
+  /** Bounded-bucket guard for the EMBEDDING LSH family
+    * (Dedup.embeddingPairsLshBandedBounded — q26's operator under the
+    * round-13 adversarial rule), judged at the exact dial. Planting
+    * differs from q370 in two deliberate ways that make the star
+    * output deterministic under ARBITRARY background bucket
+    * cohabitation (hyperplane buckets are coarse — 2^8 per table —
+    * so background vectors share cluster buckets routinely, unlike
+    * minhash band keys):
+    *
+    *  - copies carry NEGATIVE ids (-(seed·100+k)), below every
+    *    background id, so ANY bucket containing cluster members has
+    *    the cluster's own most-negative copy as its min-id hub — the
+    *    star's source never depends on which background vectors
+    *    happen to cohabit;
+    *  - maxBucket=4 sits BELOW the small cluster size (5), so every
+    *    cluster bucket overflows in every table and the star path is
+    *    the only emitter for planted pairs (sub-cap all-pairs is
+    *    judged by q370 and pinned by AdversarialDedupSpec).
+    *
+    * Every planted vector is an EXACT copy of its seed: verified
+    * cosine is exactly 1.0 while the background tops out at 0.513
+    * (measured, sf0.01) — stray candidates die at the threshold and
+    * the output is pure cluster algebra: hub → {19 copies + seed}
+    * for the 21-member clusters, hub → {3 copies + seed} for the
+    * 5-member ones. Cross-cluster bucket sharing cannot suppress a
+    * cluster's star: that would need the two distinct seed vectors to
+    * collide in ALL 24 tables (p ≈ 0.042²⁴ at their ≤0.513 cosine).
+    */
+  def q371_embed_lsh_bounded(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = base.filter(col("vec_id") % 100 === 0)
+    val copies = seeds
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(1),
+          when(col("vec_id") % 200 === 0, lit(20)).otherwise(lit(4)))).as("k"))
+      .select((-(col("vec_id") * 100 + col("k"))).as("vec_id"), col("v"))
+    Dedup.embeddingPairsLshBandedBounded(base.unionByName(copies), "vec_id", "v",
+        dim = 64, threshold = 1.0, numPlanes = 8, tables = 24, maxBucket = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   private[graft] def dedupAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q370_lsh_bounded"  -> (q370_lsh_bounded _),
+    "q371_embed_lsh_bounded" -> (q371_embed_lsh_bounded _),
     "q06_dedup_exact"   -> (q06_dedup_exact _),
     "q23_dedup_minhash" -> (q23_dedup_minhash _),
     "q24_simhash_hamming" -> (q24_simhash_hamming _),
@@ -855,6 +898,25 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         |SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS jaccard FROM small
         |UNION ALL
         |SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS jaccard FROM nat
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q371_embed_lsh_bounded" ->
+      """WITH seeds AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0),
+        |big AS (  -- 21-member cluster: star from the most-negative copy
+        |  SELECT -(s.vec_id * 100 + 20) AS id_a,
+        |         CASE WHEN k.i = 0 THEN s.vec_id
+        |              ELSE -(s.vec_id * 100 + k.i) END AS id_b
+        |  FROM seeds s, range(0, 20) k(i)
+        |  WHERE s.vec_id % 200 = 0),
+        |small AS (  -- 5-member cluster: cap 4 < 5, still the star
+        |  SELECT -(s.vec_id * 100 + 4) AS id_a,
+        |         CASE WHEN k.i = 0 THEN s.vec_id
+        |              ELSE -(s.vec_id * 100 + k.i) END AS id_b
+        |  FROM seeds s, range(0, 4) k(i)
+        |  WHERE s.vec_id % 200 <> 0)
+        |SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS cosine FROM big
+        |UNION ALL
+        |SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS cosine FROM small
         |ORDER BY id_a, id_b""".stripMargin,
     "q06_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dupes

@@ -86,6 +86,28 @@ class AdversarialDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("embedding LSH guard: giant identical-vector cluster stars to the min-id hub") {
+    // 1 cluster of 30 exact-duplicate vectors (ids 0..29) + 60 distinct
+    // background vectors (ids 1000+): every hyperplane bucket holding
+    // the cluster has >= 30 members > cap 8, so the only planted
+    // emissions are star pairs (0, k); background cohabitants die at
+    // the threshold (deterministic splitmix vectors, cosine << 1).
+    val dim = 16
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(i =>
+        (java.lang.Math.floorMod(graft.expr.Splitmix.mix64(seed * 977L + i), 2001L)
+          - 1000L).toDouble / 1000.0)
+    val cluster = (0 until 30).map(k => (k.toLong, vec(42)))
+    val background = (0 until 60).map(b => (1000L + b, vec(100 + b)))
+    val df = (cluster ++ background).toDF("id", "v")
+    val pairs = operators.Dedup.embeddingPairsLshBandedBounded(
+      df, "id", "v", dim = dim, threshold = 1.0, maxBucket = 8).collect()
+    assert(pairs.length == 29, s"expected 29 star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    assert(pairs.map(_.getLong(1)).toSet == (1L to 29L).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("accounting: unbounded pair mass is quadratic in cluster size, bounded is linear") {
     def mass(clusterSize: Int): (Long, Long) = {
       val df = adversarial(nClusters = 2, clusterSize = clusterSize, nBackground = 30)
