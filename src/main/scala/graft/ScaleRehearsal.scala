@@ -103,6 +103,60 @@ object ScaleRehearsal {
     * mixed-case/numeric content re-created shared shingles across
     * copies — rebuilt with the lowercase+digit rotation below.)
     */
+  /** N-copy corpus builder for the DEEP tiers (30-100x, round 13).
+    * Differs from [[buildCorpus]] in two ways, both forced by N > 36:
+    *
+    *  - text derivation is a per-copy TOKEN SUFFIX (`tok` → `tok_k`),
+    *    not an alphabet rotation — rotation has only 36 distinct
+    *    states, so at 100 copies each rotation repeats ~3x and every
+    *    doc gains exact cross-copy twins, turning the near-dup
+    *    workload quadratic (a different workload, not a scale-up).
+    *    The suffix is collision-proof for ANY corpus whose tokens
+    *    contain no underscore (tokenA+"_"+k1 == tokenB+"_"+k2 forces
+    *    k1 == k2 then tokenA == tokenB), which also closes the
+    *    punctuation-token caveat the rotation scheme documents;
+    *  - only the tables the deep tier's query set reads are built
+    *    (documents/embeddings/events + the region warm-up table) —
+    *    lineitem at 100x would be 60M rows of build time that no
+    *    flip-set query scans.
+    *
+    * Writes the same `_BUILT_v2` marker so FlipProfile's
+    * buildCorpus-or-reuse call accepts the directory as prebuilt.
+    */
+  def buildCorpusSuffix(s: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_BUILT_v2")
+    if (done.exists()) { System.err.println(s"[scale] reusing $outDir"); return }
+    new java.io.File(outDir).mkdirs()
+    def shifted(df: DataFrame, idCols: Seq[String],
+        textSuffix: Option[String] = None): DataFrame = {
+      val shifts = idCols.map(c =>
+        c -> (df.agg(max(col(c))).collect()(0).getLong(0) + 1L)).toMap
+      (0 until copies).map { k =>
+        val withIds = idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * shifts(c))))
+        textSuffix match {
+          case Some(tc) => withIds.withColumn(tc,
+            regexp_replace(lower(col(tc)), "(\\S+)", s"$$1_$k"))
+          case None => withIds
+        }
+      }.reduce(_ unionAll _)
+    }
+    val docs = s.read.parquet(s"$baseDir/documents.parquet")
+    shifted(docs, Seq("doc_id"), textSuffix = Some("text"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = s.read.parquet(s"$baseDir/embeddings.parquet")
+    shifted(emb, Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val ev = sources.Tables.events(s, baseDir)
+    shifted(ev, Seq("event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    s.read.parquet(s"$baseDir/region.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    done.createNewFile()
+    System.err.println(s"[scale] built ${copies}x corpus at $outDir")
+  }
+
   def buildCorpus(s: SparkSession, baseDir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_BUILT_v2")
     if (done.exists()) { System.err.println(s"[scale] reusing $outDir"); return }
@@ -147,7 +201,7 @@ object ScaleRehearsal {
     * (and the exchanges/sorts the shuffle join adds) is accepted;
     * everything else must still match exactly.
     */
-  private val DocumentedFlips: Set[String] =
+  private[graft] val DocumentedFlips: Set[String] =
     Set("q106_setsim_prefix", "q171_containment_join",
       // q159: the designed plan is the co-partitioned self-join on
       // vec_id (both sides explicitly repartitioned); at base SF AQE
@@ -166,7 +220,7 @@ object ScaleRehearsal {
     * ([[PlanShape]]), so broadcast exchanges can no longer hide inside
     * a substring-matched "Exchange" bound.
     */
-  private def shapeVerdict(name: String, base: Map[String, Int],
+  private[graft] def shapeVerdict(name: String, base: Map[String, Int],
       x10: Map[String, Int]): Option[String] = {
     def joins(m: Map[String, Int]) =
       m("BroadcastHashJoin") + m("SortMergeJoin") + m("ShuffledHashJoin")
