@@ -62,7 +62,15 @@ object Bench {
     // median) and ship both the raw sweep total and the cold-adjusted
     // total IN the artifact, so the trended number carries its own
     // de-noising instead of needing an out-of-band DebugBench session.
-    val top10 = results.sortBy(-_._2).take(10)
+    // Round 13: the cold set is TOP-25 (was 10) — the host's measured
+    // 34-43% same-code ambient swings exceed any code effect in the
+    // raw sweep, so interleaved cold medians are the CANONICAL
+    // cross-round number (total_cold_adj below re-bases the 25
+    // heaviest residents on their cold medians; SWEEP.md documents the
+    // protocol). The JSON "c10" dict stays the top-10 slice to keep
+    // the one-line artifact inside the harness's ~2000-char log tail;
+    // all 25 ship as BENCH_COLD stderr lines for humans/ledgers.
+    val top10 = results.sortBy(-_._2).take(25)
     // INTERLEAVED reps (rep r runs all 10 queries before any query's
     // next rep): back-to-back reps 2-3 ran with that query's page
     // cache and JIT fully warm, biasing the "cold" median low; with 9
@@ -99,7 +107,8 @@ object Bench {
     val coldAdj = total - top10.map(_._2).sum + cold10.map(_._2).sum
     // c10 keys are qNN short names, values integer centiseconds (same
     // budget discipline as qv; ~12 chars/entry keeps the line <2000).
-    val c10 = cold10.map { case (k, v) => s""""${short(k)}":${math.round(v * 100)}""" }
+    // Only the 10 heaviest of the 25-query cold set are serialized.
+    val c10 = cold10.take(10).map { case (k, v) => s""""${short(k)}":${math.round(v * 100)}""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","total_cold_adj":$coldAdj%.2f,"c10":$c10,"qunit":"cs","nq":${results.size},"qkeys":"ASCII-sorted qNN prefixes of SparkEntry.queries keys","qv":$qv,"sf":"$sfDir"}""")
     spark.stop()
