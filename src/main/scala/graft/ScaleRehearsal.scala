@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *     attribution universes.
   *   - documents: doc_id shifted AND the text alphabet ROTATED by k
   *     (translate a..z -> rotation; word lengths, token counts, and
-  *     within-copy structure preserved) so copies share ZERO shingles:
+  *     within-copy structure preserved) so copies share no
+  *     alphanumeric shingles (up to Caesar coincidences — see
+  *     [[rotateText]]'s caveat; measured zero on this corpus):
   *     identical text would make every doc a 10-way near-duplicate and
   *     blow the dedup pair count up QUADRATICALLY — a different
   *     workload, not a scale-up of this one. Rotation keeps each
