@@ -54,6 +54,27 @@ object AdversarialStress {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
+  /** Embedding analogue of [[corpus]]: background vectors + 5 clusters
+    * of C EXACT copies of the first 5 seed vectors. Copies carry
+    * NEGATIVE ids (-(seed·100000 + k)) — q371's trick — so the min-id
+    * hub of any overflowed hyperplane bucket is always the cluster's
+    * own most-negative copy regardless of which background vectors
+    * cohabit the (coarse, 2^8-per-table) bucket, making the bounded
+    * form's expected output exactly 5·C star pairs at threshold 1.0.
+    */
+  def embCorpus(s: SparkSession, baseDir: String, c: Int): DataFrame = {
+    val base = s.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = base.filter(col("id") < 5)
+    val copies = seeds
+      .select(col("id"), col("v"),
+        explode(sequence(lit(1), lit(c))).as("k"))
+      .select((-(col("id") * 100000L + col("k"))).as("id"), col("v"))
+    base.unionByName(copies)
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Background + 5 near-dup clusters of size C. Cluster member ids
     * are 10_000_000 + seed*100_000 + k (disjoint from doc_ids).
     */
@@ -177,6 +198,44 @@ object AdversarialStress {
         (nCand, nVer)
       }
       println(f"$c%6d ${"ppjoin_cand/verified"}%-22s ${pp._1}%12d $tP%8.2f  verified=${pp._2} (pair contract: output itself is Θ(C²))")
+    }
+
+    // ===== embedding LSH (q26/q371 family): same adversary, vector
+    // modality — 5 clusters of C EXACT vector copies over the sf
+    // background. Identical vectors collide in EVERY table, so the
+    // unbounded banded join's candidate mass is the full 5·C(C+1,2)
+    // all-pairs set; the bounded guard must collapse each cluster to
+    // exactly C star pairs (hub = most-negative copy, q371's
+    // determinism argument) while components still reassemble the 5
+    // clusters of C+1.
+    for (c <- Seq(250, 500, 1000, 2000)) {
+      val df = embCorpus(spark, baseDir, c).localCheckpoint(true)
+
+      hygiene()
+      val (tU, nU) = timed {
+        Dedup.embeddingPairsLshBanded(df, "id", "v", dim = 64,
+          threshold = 1.0).count()
+      }
+      println(f"$c%6d ${"emb_lsh_unbounded"}%-22s $nU%12d $tU%8.2f  pairs ~ 5*C(C+1,2) expected=${5L * (c + 1) * c / 2}")
+
+      hygiene()
+      val (tB, nB) = timed {
+        Dedup.embeddingPairsLshBandedBounded(df, "id", "v", dim = 64,
+          threshold = 1.0, maxBucket = 64).count()
+      }
+      println(f"$c%6d ${"emb_lsh_bounded"}%-22s $nB%12d $tB%8.2f  star ~ 5*C expected=${5L * c}")
+
+      hygiene()
+      val (tC, compSizes) = timed {
+        val pairs = Dedup.embeddingPairsLshBandedBounded(df, "id", "v",
+          dim = 64, threshold = 1.0, maxBucket = 64)
+        Components.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy("component").count()
+          .groupBy("count").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      }
+      println(f"$c%6d ${"emb_components"}%-22s ${compSizes.map(_._2).sum}%12d $tC%8.2f  " +
+        s"size->n ${compSizes.mkString(",")} (expect 5 comps of ${c + 1})")
     }
     spark.stop()
   }
