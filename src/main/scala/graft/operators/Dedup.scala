@@ -102,10 +102,14 @@ object Dedup {
     // otherwise re-rank k times). The shingle arrays are then attached
     // by two id-keyed joins of the (small) candidate set back to the
     // doc shingles. At 100 TB this is the difference between shuffling
-    // O(n · bands · |shingles|) bytes and O(n · bands · 16) bytes;
-    // tokenization runs once per join side (3× total), which is
-    // map-side CPU — far cheaper than the avoided shuffle.
-    val bandedIds = sigs.select(col("band_key"), col("id"))
+    // O(n · bands · |shingles|) bytes and O(n · bands · 16) bytes.
+    // PERSISTED (r13 optimization): both self-join sides consume this
+    // frame, and without the cache each side re-runs the 32-hash
+    // MinHash signature over every doc's shingle set (the dominant
+    // map CPU) — the cache is 16 B/row · bands, orders smaller than
+    // the shingle frame it derives from, so at any scale caching the
+    // banded ids is strictly cheaper than recomputing signatures.
+    val bandedIds = sigs.select(col("band_key"), col("id")).persistTracked()
     val cand = bandedIds.select(col("band_key"), col("id").as("id_a"))
       .join(bandedIds.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
@@ -172,10 +176,15 @@ object Dedup {
         graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) >= 1)
       .persistTracked()
+    // PERSISTED (r13 optimization): consumed FOUR times (bucket stats,
+    // the stats tag-back join, and both sides of the small-bucket
+    // self-join) — without the cache each consumer re-runs the 32-hash
+    // MinHash signature over the cached shingle sets. 16 B/row · bands.
     val bandedIds = hashed
       .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .persistTracked()
     val stats = bandedIds.groupBy("band_key")
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
     val tagged = bandedIds.join(stats, Seq("band_key"))
@@ -263,10 +272,15 @@ object Dedup {
           graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
         .filter(size(col("hs")) >= 1)
         .persistTracked()
+      // Persisted like minhashLshPairs' bandedIds: the asymmetric band
+      // join consumes each side once, but candidates re-derive from the
+      // banded frame only through the cache (16 B/row · bands), never a
+      // second signature pass.
       val banded = hashed
         .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
         .select(col("id"),
           explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+        .persistTracked()
       (hashed, banded)
     }
     val (hashedL, bandedL) = prep(left)
@@ -481,7 +495,11 @@ object Dedup {
     val normed = normalized(df, idCol, vecCol).persistTracked()
     val keys = graft.expr.VectorExpressions.lshBucketKeys(
       col("nv"), planeMatrix(dim, numPlanes, tables), numPlanes, tables)
+    // Persisted (r13): both self-join sides consume this frame; the
+    // cache (16 B/row · tables) replaces a second numPlanes·tables
+    // hyperplane-projection pass over every vector.
     val banded = normed.select(col("id"), explode(keys).as("bucket"))
+      .persistTracked()
     val cand = banded.select(col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -521,7 +539,10 @@ object Dedup {
     val normed = normalized(df, idCol, vecCol).persistTracked()
     val keys = graft.expr.VectorExpressions.lshBucketKeys(
       col("nv"), planeMatrix(dim, numPlanes, tables), numPlanes, tables)
+    // Persisted (r13): consumed four times (stats, tag-back, both
+    // self-join sides) — same rationale as minhashLshPairsBounded.
     val banded = normed.select(col("id"), explode(keys).as("bucket"))
+      .persistTracked()
     val stats = banded.groupBy("bucket")
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
     val tagged = banded.join(stats, Seq("bucket"))

@@ -109,13 +109,20 @@ private[graft] trait QueriesGraph { this: Queries.type =>
     // Per-doc dedup happens ROW-LOCALLY (array_distinct before the
     // explode) — the (doc, word) stream is already distinct, so no
     // global distinct() shuffle of the exploded rows is needed.
+    // r13 optimization: the tokenize+explode pass over the corpus was
+    // re-executed by every consumer (top-word agg, BOTH sides of the
+    // co-occurrence self-join, and the node universe) — 4 full scans.
+    // Persisting the tiny 30-row top list and the top-filtered (doc,
+    // word) frame (≤30 rows/doc at any corpus size) cuts that to one
+    // tokenize pass + cache reads; results are bit-identical.
     val toks = tWide(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
           w => length(w) >= 4))).as("w"))
     val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("w")).limit(30).select("w")
-    val kept = toks.join(broadcast(top), "w")
+      .persistTracked()
+    val kept = toks.join(broadcast(top), "w").persistTracked()
     val edges = kept.select(col("doc_id"), col("w").as("src"))
       .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
       .filter(col("src") =!= col("dst"))
@@ -207,19 +214,23 @@ private[graft] trait QueriesGraph { this: Queries.type =>
     * the seed mask is one broadcast left-join multiplier.
     */
   def q191_ppr_related(s: SparkSession, dir: String): DataFrame = {
+    // r13 optimization: q131's persist pattern — one tokenize pass; the
+    // 30-row ordered top-count frame additionally feeds the seed pick
+    // (its own groupBy re-scan before). Bit-identical results.
     val toks = tWide(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
           w => length(w) >= 4))).as("w"))
-    val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(30).select("w")
-    val kept = toks.join(broadcast(top), "w")
+    val topC = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(30)
+      .persistTracked()
+    val top = topC.select("w")
+    val kept = toks.join(broadcast(top), "w").persistTracked()
     val edges = kept.select(col("doc_id"), col("w").as("src"))
       .join(kept.select(col("doc_id"), col("w").as("dst")), "doc_id")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    val seed = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(1).select(col("w").as("node"))
+    val seed = topC.orderBy(desc("n"), col("w")).limit(1).select(col("w").as("node"))
     operators.PageRank.run(edges, iterations = 3,
         nodeUniverse = Some(top.select(col("w").as("node"))),
         teleportSeeds = Some(seed))

@@ -33,12 +33,21 @@ private[graft] trait QueriesIo { this: Queries.type =>
     // this the whole decode→validate→coerce pipeline runs on ONE core
     // (a Kafka source would arrive partitioned, so this shuffle stands
     // in for the source's natural parallelism).
+    // persistTracked is an optimizer barrier (r13 optimization): without
+    // it PushDownPredicate inlines the pipeline's tombstone filter —
+    // with the to_json DUPLICATED into both conjuncts — BELOW this
+    // repartition, so the whole table was JSON-serialized twice on the
+    // single-partition scan and a third time above the exchange
+    // (measured in the committed before-plan: Filter(4) carries two
+    // StructsToJsonEvaluator invocations under the scan). With the
+    // barrier to_json runs once, parallel, post-repartition.
     val asJson = events.repartition(s.sparkContext.defaultParallelism)
       .select(
         to_json(
           struct(events.columns.map(col): _*),
           java.util.Map.of("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .as(Pipeline.ValueCol))
+      .persistTracked()
     val metas = events.schema.fields.toSeq.map(f =>
       CHType.columnMeta(f.name, CHType.fromSpark(f.dataType)))
     val cfg = PipelineConfig(

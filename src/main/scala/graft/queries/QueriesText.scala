@@ -478,6 +478,10 @@ private[graft] trait QueriesText { this: Queries.type =>
     * plumbing.
     */
   def q161_quality_filter(s: SparkSession, dir: String): DataFrame = {
+    // r13 optimization: persisted — the threshold branch (rank windows)
+    // and the final keep/account join both consume this frame, and each
+    // re-ran the tokenize+quality pass over the corpus. Doc-grain cache
+    // (4 narrow columns); released by Bench/Verify hygiene.
     val scored = tWide(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.tokens(col("text")).as("toks"))
@@ -485,6 +489,7 @@ private[graft] trait QueriesText { this: Queries.type =>
         TextFunctions.qualityColumns(col("text"), col("toks")): _*)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("mean_word_len").as("score"))
+      .persistTracked()
     val ranked = scored
       .withColumn("rn", row_number().over(Window.partitionBy("lang")
         .orderBy(col("score").asc, col("doc_id").asc)))
@@ -519,9 +524,16 @@ private[graft] trait QueriesText { this: Queries.type =>
     * cheap streaming pass.
     */
   def q164_boilerplate_ngrams(s: SparkSession, dir: String): DataFrame = {
+    // r13 optimization: the DOC-grain token frame persists (three
+    // consumers — both n-gram passes and the per-source input counts —
+    // each re-ran the tokenizer before). The EXPLODED n-gram relation
+    // stays uncached exactly as documented below: its two passes now
+    // re-explode from cached token arrays instead of re-tokenizing
+    // raw text. Bit-identical results.
     val docs = tWide(s, dir, "documents")
       .select(col("source"), col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
+      .persistTracked()
     val ngrams = docs.select(col("source"), col("doc_id"),
       explode(TextFunctions.wordShingles(col("toks"), 2)).as("ng"))
     val byNg = ngrams.groupBy("source", "ng").agg(count(lit(1)).as("nd"))
@@ -628,9 +640,16 @@ private[graft] trait QueriesText { this: Queries.type =>
   def q180_doc_perplexity(s: SparkSession, dir: String): DataFrame = {
     val bi = docBigrams(s, dir)
       .persistTracked()
+    // r13 optimization: cb persisted (bigram-vocab grain, orders
+    // smaller than the exploded stream) and the vocab count derived
+    // from IT — distinct w2 over cb equals distinct w2 over bi by
+    // construction (every bi row is represented in cb), so the third
+    // full scan of the cached bigram stream becomes a scan of the
+    // aggregated table. Bit-identical.
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persistTracked()
     val cu = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = bi.agg(countDistinct("w2").as("v")) // 1-row broadcast
+    val v = cb.agg(countDistinct("w2").as("v")) // 1-row broadcast
     bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).crossJoin(broadcast(v))
       .withColumn("nll", -log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v"))))
       .groupBy("doc_id", "source")
@@ -1525,8 +1544,14 @@ private[graft] trait QueriesText { this: Queries.type =>
     val bin = when(col("r") <= rem * (q + 1), (col("r") - 1) / (q + 1))
       .otherwise(rem + (col("r") - rem * (q + 1) - 1) / q)
       .cast("long") + 1
+    // r13 optimization: persisted — this ≤ types×10-row frame is
+    // consumed three times (dense grid join, per-type totals, grand
+    // total), and each consumption re-ran the full globalRank pass
+    // over the events fact upstream. A ≤30-row cache removes those
+    // re-executions; results are bit-identical.
     val cells = ranked.withColumn("decile", bin)
       .groupBy("et", "decile").agg(count(lit(1)).as("c"))
+      .persistTracked()
     // DENSE type×decile grid: a type absent from a decile must still
     // carry its running below-count forward (a cum over the sparse
     // cell frame would skip those splits)
@@ -1641,8 +1666,14 @@ private[graft] trait QueriesText { this: Queries.type =>
     * have no bigrams and drop out in both engines.
     */
   def q325_ngram_perplexity(s: SparkSession, dir: String): DataFrame = {
+    // r13 optimization: persisted — the train-bigram branch, the
+    // unigram branch and the held-out scoring branch each re-ran the
+    // tokenizer over the full corpus (3 passes). Doc-grain token
+    // arrays (q329/q342's established cache shape); released by
+    // Bench/Verify hygiene. Bit-identical results.
     val toksAll = tWide(s, dir, "documents").select(col("doc_id"), col("lang"),
       graft.functions.TextFunctions.tokens(col("text")).as("l"))
+      .persistTracked()
     // greatest(…, 0): a 0/1-token doc must yield an empty bigram array,
     // not a negative slice length (which throws).
     val bg = zip_with(
@@ -1689,7 +1720,13 @@ private[graft] trait QueriesText { this: Queries.type =>
     * run reads: doc count, nll envelope, mean.
     */
   def q326_perplexity_buckets(s: SparkSession, dir: String): DataFrame = {
-    val scored = q325_ngram_perplexity(s, dir)
+    // r13 optimization: persisted — the rank pass and the per-language
+    // offset aggregate BOTH consume the scored frame, and without the
+    // cache each re-executed q325's whole pipeline (tokenize + the
+    // three LM joins) end to end. The cache is doc-grain (4 narrow
+    // columns), far smaller than the bigram streams it derives from;
+    // released by Bench/Verify hygiene (Dedup's caller contract).
+    val scored = q325_ngram_perplexity(s, dir).persistTracked()
     val ranked = PrefixSum.globalRank(scored, Seq("lang", "nll", "doc_id"), "gr")
     // Per-language counts + exclusive offsets: bounded by the language
     // label space (≤ ~200 rows at ANY corpus size) — the window is over
