@@ -89,8 +89,13 @@ object Dedup {
     val hashed = df
       .select(col(idCol).as("id"),
         graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
-      .filter(size(col("hs")) >= 1)
+      // Cache BELOW the non-empty filter (r13): with the filter inside
+      // the cached subtree, pushdown inlined shingle_hashes into the
+      // filter condition and the cache build evaluated the shingle
+      // expression twice per row; filtering ABOVE the cache reads the
+      // materialized array's size instead. Same rows downstream.
       .persistTracked()
+      .filter(size(col("hs")) >= 1)
     val sigs = hashed
       .withColumn("sig", graft.expr.MinHashExpression.minhashHashed(col("hs"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
@@ -174,8 +179,13 @@ object Dedup {
     val hashed = df
       .select(col(idCol).as("id"),
         graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
-      .filter(size(col("hs")) >= 1)
+      // Cache BELOW the non-empty filter (r13): with the filter inside
+      // the cached subtree, pushdown inlined shingle_hashes into the
+      // filter condition and the cache build evaluated the shingle
+      // expression twice per row; filtering ABOVE the cache reads the
+      // materialized array's size instead. Same rows downstream.
       .persistTracked()
+      .filter(size(col("hs")) >= 1)
     // PERSISTED (r13 optimization): consumed FOUR times (bucket stats,
     // the stats tag-back join, and both sides of the small-bucket
     // self-join) — without the cache each consumer re-runs the 32-hash
@@ -270,8 +280,10 @@ object Dedup {
       val hashed = df
         .select(col(idCol).as("id"),
           graft.expr.ShingleExpression.shingleHashes(col(textCol), shingleSize).as("hs"))
-        .filter(size(col("hs")) >= 1)
+        // Cache below the filter — same single-evaluation rationale as
+        // minhashLshPairs (r13).
         .persistTracked()
+        .filter(size(col("hs")) >= 1)
       // Persisted like minhashLshPairs' bandedIds: the asymmetric band
       // join consumes each side once, but candidates re-derive from the
       // banded frame only through the cache (16 B/row · bands), never a

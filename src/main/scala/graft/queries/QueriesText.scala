@@ -384,8 +384,15 @@ private[graft] trait QueriesText { this: Queries.type =>
   /** Stopword-filtered suffix-stripped token counts (a Porter-lite
     * stemmer as pure codegen'd regexp chain — every rule anchored at
     * `$` so "replace all" vs "replace first" engine semantics cannot
-    * diverge). The stem map is a narrow projection; the count is one
-    * wordcount shuffle; top-30 plans as TakeOrderedAndProject.
+    * diverge). r13 optimization: the corpus aggregates on the RAW
+    * token first (map-side-combined wordcount shuffle), and the regex
+    * chain runs over the VOCABULARY-sized count frame — before, the
+    * stem projection sat under the stopword filter and pushdown
+    * inlined the 6-regex chain into the filter, so every corpus token
+    * occurrence paid the chain 2-3× (12 regexp_replace calls in the
+    * committed before-plan's Filter). Σ token-counts per stem ≡ the
+    * per-occurrence count, so results are bit-identical; top-30 still
+    * plans TakeOrderedAndProject.
     */
   def q107_stem_topwords(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq(
@@ -401,9 +408,10 @@ private[graft] trait QueriesText { this: Queries.type =>
       .foldLeft(tok) { case (c, (p, r)) => regexp_replace(c, p, r) }
     tWide(s, dir, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      .select(stem.as("stem"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(stem.as("stem"), col("c"))
       .filter(length(col("stem")) >= 3 && !col("stem").isin(stop: _*))
-      .groupBy("stem").agg(count(lit(1)).as("n"))
+      .groupBy("stem").agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("stem").asc)
       .limit(30)
   }
