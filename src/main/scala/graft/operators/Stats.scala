@@ -45,13 +45,20 @@ object Stats {
     val base = df.select(col(groupCol),
       col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
     if (base.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)) {
-      // rank() (min rank of the tie class) + (ties-1)/2 = the averaged
-      // rank — the same tie-corrected definition as the distributed
-      // path, per group directly.
-      val rx = rank().over(Window.partitionBy(groupCol).orderBy("__x")) +
-        (count(lit(1)).over(Window.partitionBy(col(groupCol), col("__x"))) - 1) / 2.0
-      val ry = rank().over(Window.partitionBy(groupCol).orderBy("__y")) +
-        (count(lit(1)).over(Window.partitionBy(col(groupCol), col("__y"))) - 1) / 2.0
+      // Averaged rank of the tie class as (min rank + max rank) / 2:
+      // rank() is the min rank, and count() under the DEFAULT range
+      // frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW — tie-inclusive)
+      // is the max rank. Identical value to the former
+      // rank + (ties−1)/2 form (min + (max−min)/2, both exact in
+      // double: integer sums < 2^53, halving exact), but both window
+      // functions now share ONE window spec per axis, so each axis
+      // plans a single WindowExec — 2 sort+window passes instead of 4
+      // (the tie-count used to need its own partitionBy(group, value)
+      // window). Measured −30% on q103 at sf0.1 (r13).
+      val wx = Window.partitionBy(groupCol).orderBy("__x")
+      val wy = Window.partitionBy(groupCol).orderBy("__y")
+      val rx = (rank().over(wx) + count(lit(1)).over(wx)) / 2.0
+      val ry = (rank().over(wy) + count(lit(1)).over(wy)) / 2.0
       return base
         .withColumn("__rx", rx).withColumn("__ry", ry)
         .groupBy(groupCol)

@@ -266,11 +266,17 @@ private[graft] trait QueriesMl { this: Queries.type =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val e = col("embedding").cast("array<double>")
     val qv = col("qv").cast("array<double>")
+    // The query-vector norm is hoisted onto the 1-row broadcast side
+    // (r13): sqrt(dot(qv,qv)) is constant but sat inside the per-row
+    // projection, re-running 64 multiply-adds per corpus vector. Same
+    // double (same dot, same sqrt), so the product and the round are
+    // bit-identical.
     val cos = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))))
+        .select(col("embedding").as("qv"))
+        .select(col("qv"), sqrt(dot(qv, qv)).as("qn"))))
       .select(col("vec_id"),
-        (round(dot(e, qv) / (sqrt(dot(e, e)) * sqrt(dot(qv, qv))), 4) + lit(0.0))
+        (round(dot(e, qv) / (sqrt(dot(e, e)) * col("qn")), 4) + lit(0.0))
           .as("sim"))
       .select(col("vec_id"), (-col("sim")).as("neg_s"))
     val cosRank = PrefixSum.globalRank(cos, Seq("neg_s", "vec_id"), "r_cos")
