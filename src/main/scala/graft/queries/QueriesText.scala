@@ -486,10 +486,15 @@ private[graft] trait QueriesText { this: Queries.type =>
     * plumbing.
     */
   def q161_quality_filter(s: SparkSession, dir: String): DataFrame = {
-    // r13 optimization: persisted — the threshold branch (rank windows)
-    // and the final keep/account join both consume this frame, and each
-    // re-ran the tokenize+quality pass over the corpus. Doc-grain cache
-    // (4 narrow columns); released by Bench/Verify hygiene.
+    // Two corpus passes BY CHOICE (r13, measured): the threshold
+    // branch needs the rank window, the account branch only the
+    // doc-grain scores — keeping the account branch window-free lets
+    // its aggregate partial-combine map-side below its exchange. A
+    // persistTracked() on `scored` (one pass + cache) measured SLOWER
+    // at sf0.1 (cache-build barrier > the deduplicated tokenize), and
+    // routing the account through the window subtree for AQE exchange
+    // reuse measured slower still (column pruning makes the two
+    // subtrees differ, so nothing reuses and the window runs twice).
     val scored = tWide(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.tokens(col("text")).as("toks"))
@@ -497,7 +502,6 @@ private[graft] trait QueriesText { this: Queries.type =>
         TextFunctions.qualityColumns(col("text"), col("toks")): _*)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("mean_word_len").as("score"))
-      .persistTracked()
     val ranked = scored
       .withColumn("rn", row_number().over(Window.partitionBy("lang")
         .orderBy(col("score").asc, col("doc_id").asc)))
