@@ -943,15 +943,19 @@ private[graft] trait QueriesText { this: Queries.type =>
       .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
     val c = toks.groupBy("lang", "w").agg(count(lit(1)).as("n"))
       .persistTracked()
-    val vocab = c.select("w").distinct()
+    // Vocab + the en reference counts in ONE aggregation over the
+    // persisted count table (was: a distinct pass for the vocab AND a
+    // separate broadcast join for the en leg — the conditional sum
+    // yields exactly the en count where present and NULL where absent,
+    // which is what the left join produced).
+    val vocab = c.groupBy("w")
+      .agg(sum(when(col("lang") === "en", col("n"))).as("en_n"))
     val nv = vocab.agg(count(lit(1)).as("v"))
     val tot = c.groupBy("lang").agg(sum("n").as("t"))
-    val en = c.filter(col("lang") === "en").select(col("w"), col("n").as("en_n"))
     val ent = tot.filter(col("lang") === "en").select(col("t").as("en_t"))
     val langs = tot.filter(col("lang") =!= "en").select("lang")
     val grid = vocab.crossJoin(broadcast(langs))
       .join(c, Seq("lang", "w"), "left")
-      .join(broadcast(en), Seq("w"), "left")
       .join(broadcast(tot), "lang")
       .crossJoin(broadcast(ent)).crossJoin(broadcast(nv))
     val p = (coalesce(col("n"), lit(0L)) + 0.5) / (col("t") + lit(0.5) * col("v"))
